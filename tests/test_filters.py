@@ -1,0 +1,120 @@
+"""Filter dialect golden tests (FIXTURES.md §4, SURVEY §2.2)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vanus_spark.filters import compile_filter
+
+
+def _count(df, spec):
+    return df.where(compile_filter(spec)).count()
+
+
+def test_exact_attr(cloudevents, events):
+    expected = events.where(F.col("event_type") == "purchase").count()
+    assert _count(cloudevents, {"exact": {"type": "purchase"}}) == expected
+    assert expected > 0
+
+
+def test_exact_multiple_is_and(cloudevents, events):
+    spec = {"exact": {"type": "purchase", "source": "/test/source"}}
+    expected = events.where(F.col("event_type") == "purchase").count()
+    assert _count(cloudevents, spec) == expected
+    spec2 = {"exact": {"type": "purchase", "source": "/other"}}
+    assert _count(cloudevents, spec2) == 0
+
+
+def test_prefix_suffix(cloudevents, events):
+    assert _count(cloudevents, {"prefix": {"type": "sign"}}) == events.where(
+        F.col("event_type").startswith("sign")
+    ).count()
+    assert _count(cloudevents, {"suffix": {"type": "up"}}) == events.where(
+        F.col("event_type").endswith("up")
+    ).count()
+
+
+def test_data_jsonpath_exact(cloudevents, events):
+    expected = events.where(F.get_json_object("props", "$.k") == "12").count()
+    assert _count(cloudevents, {"exact": {"data.props.k": "12"}}) == expected
+    assert expected > 0
+
+
+def test_missing_attr_fails(cloudevents):
+    # subject is NULL for every event -> exact on it fails all rows
+    assert _count(cloudevents, {"exact": {"subject": "x"}}) == 0
+
+
+def test_not_missing_attr_passes_all(cloudevents):
+    # missing attr => inner fails => NOT passes (not_filter.go:27-40)
+    total = cloudevents.count()
+    assert _count(cloudevents, {"not": {"exact": {"subject": "x"}}}) == total
+
+
+def test_empty_key_or_value_discards(cloudevents):
+    total = cloudevents.count()
+    assert _count(cloudevents, {"exact": {"type": ""}}) == total
+    assert _count(cloudevents, {"exact": {"": "x"}}) == total
+
+
+def test_all_any_nesting(cloudevents, events):
+    spec = {
+        "any": [
+            {"exact": {"type": "error"}},
+            {"all": [{"prefix": {"type": "sign"}}, {"suffix": {"type": "up"}}]},
+        ]
+    }
+    expected = events.where(
+        (F.col("event_type") == "error")
+        | (F.col("event_type").startswith("sign") & F.col("event_type").endswith("up"))
+    ).count()
+    assert _count(cloudevents, spec) == expected
+
+
+def test_filter_list_is_and(cloudevents, events):
+    spec = [{"exact": {"type": "purchase"}}, {"cel": "$value.(double) > 50.0"}]
+    expected = events.where(
+        (F.col("event_type") == "purchase") & (F.col("value") > 50.0)
+    ).count()
+    assert _count(cloudevents, spec) == expected
+
+
+def test_nil_filter_passes(cloudevents):
+    assert _count(cloudevents, None) == cloudevents.count()
+    assert _count(cloudevents, []) == cloudevents.count()
+
+
+def test_cesql(cloudevents, events):
+    spec = {"ce_sql": "type = 'error' AND EXISTS partitionkey"}
+    expected = events.where(F.col("event_type") == "error").count()
+    assert _count(cloudevents, spec) == expected
+
+
+def test_cesql_like_in_arith(cloudevents, events):
+    assert _count(cloudevents, {"ce_sql": "type LIKE 's%p'"}) == events.where(
+        F.col("event_type").like("s%p")
+    ).count()
+    assert _count(
+        cloudevents, {"ce_sql": "type IN ('error', 'view')"}
+    ) == events.where(F.col("event_type").isin("error", "view")).count()
+    # arithmetic + comparison over a numeric-valued extension attr
+    assert _count(
+        cloudevents, {"ce_sql": "partitionkey * 2 >= 20"}
+    ) == events.where(F.col("user_id") * 2 >= 20).count()
+
+
+def test_cel_typed_vars(cloudevents, events):
+    assert _count(cloudevents, {"cel": "$user_id.(int64) > 10"}) == events.where(
+        F.col("user_id") > 10
+    ).count()
+    assert _count(
+        cloudevents, {"cel": '$props.k.(int64) >= 50 && $user_id.(int64) < 8'}
+    ) == events.where(
+        (F.get_json_object("props", "$.k").cast("long") >= 50) & (F.col("user_id") < 8)
+    ).count()
+
+
+def test_cel_bad_extract_fails_filter(cloudevents):
+    # non-existent path -> NULL -> coalesce false -> all rows fail
+    assert _count(cloudevents, {"cel": "$nope.xyz.(int64) > 0"}) == 0

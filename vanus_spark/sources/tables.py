@@ -1,0 +1,46 @@
+"""Parquet table loaders for the test corpus.
+
+The ``events`` table is written with nanosecond timestamps, which the
+Spark 4 Parquet reader rejects unless
+``spark.sql.legacy.parquet.nanosAsLong`` is set; we read the nanos as
+long and truncate to microseconds (the same truncation DuckDB applies
+when casting TIMESTAMP_NS to its native microsecond timestamp), so
+Spark-vs-DuckDB oracle comparisons line up exactly.
+
+At 100 TB these readers stay scan-friendly: plain ``spark.read
+.parquet`` keeps predicate pushdown / column pruning; the ts
+conversion is a cheap projected expression, not a UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+            )
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
