@@ -1,0 +1,158 @@
+"""Transformer = define + pipeline + template, over DataFrames.
+
+Execution per event (reference: server/trigger/transform/
+transformer.go:67-106): ① parse payload as JSON (failure = transform
+error -> DLQ route), ② evaluate define vars (errors -> var nil,
+continue; reference: define/define.go:30-76), ③ run actions
+sequentially with skip-on-error, ④ render template as the new payload
+or re-serialize the mutated data.
+
+Spark integration: the whole transformer runs as ONE ``mapInPandas``
+over the envelope DataFrame — Arrow-batched, partition-parallel, no
+driver involvement; the per-row Python interpreter is the price of
+schemaless JSON mutation (static pipelines should use
+plans/compiler.py instead, which stays JVM-side).
+
+Output adds a ``transform_error`` boolean column — the route-split
+marker for the DLQ path (reference: trigger.go:285-297).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from vanus_spark.actions.interp import (
+    BoundAction,
+    EventContext,
+    build_action,
+    new_arg,
+    run_pipeline,
+)
+from vanus_spark.templates import (
+    build_template_model,
+    parse_text_template,
+    render_json,
+    render_text,
+    sniff_template_type,
+)
+
+_ENVELOPE_COLS = [
+    "id", "source", "specversion", "type", "time", "datacontenttype",
+    "dataschema", "subject", "attributes", "data",
+]
+
+TRANSFORM_OUTPUT_SCHEMA = (
+    "id string, source string, specversion string, type string, "
+    "time timestamp, datacontenttype string, dataschema string, "
+    "subject string, attributes map<string,string>, data string, "
+    "transform_error boolean"
+)
+
+
+class Transformer:
+    """Compiled subscription transformer (spec: {define, pipeline, template})."""
+
+    def __init__(self, spec: dict[str, Any] | None):
+        spec = spec or {}
+        self.define_args = {
+            f"<{k}>": new_arg(v) for k, v in (spec.get("define") or {}).items()
+        }
+        self.actions: list[BoundAction] = [
+            build_action(cmd) for cmd in (spec.get("pipeline") or [])
+        ]
+        tmpl = spec.get("template")
+        if isinstance(tmpl, dict):  # {type: text|json, template: "..."}
+            self.template = tmpl.get("template")
+            self.template_type = tmpl.get("type") or sniff_template_type(self.template)
+        else:
+            self.template = tmpl
+            self.template_type = sniff_template_type(tmpl) if tmpl else None
+        self.text_segments = (
+            parse_text_template(self.template) if self.template_type == "text" else None
+        )
+
+    @property
+    def is_noop(self) -> bool:
+        return not self.define_args and not self.actions and self.template is None
+
+    def execute_event(self, attrs: dict[str, Any], data_raw: str | None) -> tuple[dict[str, Any], str | None, bool]:
+        """Returns (attrs, new_data, is_error)."""
+        try:
+            data = json.loads(data_raw) if data_raw else None
+        except (json.JSONDecodeError, TypeError):
+            return attrs, data_raw, True  # ErrTransformCode -> DLQ
+        ctx = EventContext(attrs=attrs, data=data)
+        # define vars: evaluation errors leave the var nil (define.go:51-76)
+        define: dict[str, Any] = {}
+        for name, arg in self.define_args.items():
+            try:
+                define[name] = arg.evaluate(ctx)
+            except Exception:  # noqa: BLE001
+                define[name] = None
+        ctx.define = define
+        run_pipeline(self.actions, ctx)
+        if self.template is not None:
+            model = build_template_model(ctx.attrs, ctx.data)
+            if self.template_type == "json":
+                rendered = render_json(self.template, model, define)
+                ctx.attrs["datacontenttype"] = "application/json"
+            else:
+                rendered = render_text(self.text_segments, model, define)
+                ctx.attrs["datacontenttype"] = "text/plain"
+            return ctx.attrs, rendered, False
+        return ctx.attrs, json.dumps(ctx.data, ensure_ascii=False, separators=(",", ":")), False
+
+
+def transform_dataframe(df: DataFrame, spec: dict[str, Any] | None) -> DataFrame:
+    """Apply a transformer spec to an envelope DataFrame via
+    mapInPandas (Arrow-batched). Adds ``transform_error``."""
+    tf = Transformer(spec)
+    if tf.is_noop:
+        from pyspark.sql import functions as F
+
+        return df.withColumn("transform_error", F.lit(False))
+
+    spec_json = json.dumps(spec)  # re-build inside workers: cheap & picklable
+
+    def run_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        worker_tf = Transformer(json.loads(spec_json))
+        for pdf in batches:
+            out_rows = []
+            for row in pdf.itertuples(index=False):
+                attrs = {}
+                for k in ("id", "source", "specversion", "type", "datacontenttype",
+                          "dataschema", "subject"):
+                    v = getattr(row, k, None)
+                    if v is not None:
+                        attrs[k] = v
+                t = getattr(row, "time", None)
+                if t is not None and not pd.isna(t):
+                    attrs["time"] = t.isoformat() if hasattr(t, "isoformat") else str(t)
+                ext = getattr(row, "attributes", None)
+                if isinstance(ext, dict):
+                    attrs.update({k: v for k, v in ext.items() if v is not None})
+                new_attrs, new_data, is_err = worker_tf.execute_event(attrs, row.data)
+                spec_out = {k: new_attrs.get(k) for k in (
+                    "id", "source", "specversion", "type", "datacontenttype",
+                    "dataschema", "subject")}
+                extensions = {
+                    k: str(v) for k, v in new_attrs.items()
+                    if k not in ("id", "source", "specversion", "type", "time",
+                                 "datacontenttype", "dataschema", "subject")
+                    and v is not None
+                }
+                out_rows.append({
+                    **spec_out,
+                    "time": getattr(row, "time", None),
+                    "attributes": extensions,
+                    "data": new_data,
+                    "transform_error": is_err,
+                })
+            yield pd.DataFrame(out_rows)
+
+    return df.mapInPandas(run_batches, schema=TRANSFORM_OUTPUT_SCHEMA)
