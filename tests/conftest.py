@@ -5,6 +5,10 @@ import os
 import pytest
 
 os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+# Executor python workers must be able to unpickle classes defined in
+# test modules (e.g. sink doubles) — put tests/ on their path.
+_here = os.path.dirname(os.path.abspath(__file__))
+os.environ["PYTHONPATH"] = _here + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 

@@ -1,0 +1,120 @@
+"""Deterministic batch-replay tests for the delivery loop (no wall
+clock — logical batch timestamps, per SURVEY §5)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from vanus_spark.streaming.runner import DeliveryLoop
+from vanus_spark.subscription import Subscription
+
+T0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+
+
+def _envelope(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "id string, source string, specversion string, type string, "
+        "time timestamp, datacontenttype string, dataschema string, "
+        "subject string, attributes map<string,string>, data string",
+    )
+
+
+def _row(i, typ="purchase", attrs=None, data='{"v":1}'):
+    return (str(i), "/s", "1.0", typ, T0, "application/json", None, None, attrs or {}, data)
+
+
+class FlakySink:
+    """Fails ids in `fail_ids` with `status` until attempt `heal_after`."""
+
+    def __init__(self, fail_ids, status=503):
+        self.fail_ids = set(fail_ids)
+        self.status = status
+
+    def __call__(self, rows):
+        return [self.status if r["id"] in self.fail_ids else 200 for r in rows]
+
+
+def test_happy_path_delivery(spark):
+    loop = DeliveryLoop(spark, Subscription.from_spec({}), lambda rows: [200] * len(rows))
+    res = loop.process_batch(_envelope(spark, [_row(1), _row(2)]), T0)
+    assert res.delivered.count() == 2
+    assert loop.pending.count() == 0 and loop.dead.count() == 0
+
+
+def test_filter_applies(spark):
+    sub = Subscription.from_spec({"filters": [{"exact": {"type": "purchase"}}]})
+    loop = DeliveryLoop(spark, sub, lambda rows: [200] * len(rows))
+    res = loop.process_batch(
+        _envelope(spark, [_row(1, "purchase"), _row(2, "click")]), T0
+    )
+    assert [r.id for r in res.delivered.collect()] == ["1"]
+
+
+def test_retry_then_heal(spark):
+    sink = FlakySink({"1"})
+    loop = DeliveryLoop(spark, Subscription.from_spec({}), sink)
+    res1 = loop.process_batch(_envelope(spark, [_row(1), _row(2)]), T0)
+    assert res1.delivered.count() == 1  # id 2
+    pend = loop.pending.collect()
+    assert len(pend) == 1
+    assert pend[0].attributes["xvanusretryattempts"] == "1"
+    # due 1s later (attempt 1 backoff)
+    assert pend[0].due_ts == T0 + dt.timedelta(seconds=1)
+
+    # next tick before due: nothing delivered
+    res2 = loop.process_batch(_envelope(spark, []), T0 + dt.timedelta(milliseconds=500))
+    assert res2.delivered.count() == 0 and loop.pending.count() == 1
+
+    # heal the sink; tick after due: retry delivered
+    sink.fail_ids = set()
+    res3 = loop.process_batch(_envelope(spark, []), T0 + dt.timedelta(seconds=2))
+    assert [r.id for r in res3.delivered.collect()] == ["1"]
+    assert loop.pending.count() == 0
+
+
+def test_404_goes_to_dlq(spark):
+    loop = DeliveryLoop(spark, Subscription.from_spec({}), FlakySink({"1"}, status=404))
+    res = loop.process_batch(_envelope(spark, [_row(1)]), T0)
+    assert res.delivered.count() == 0 and loop.pending.count() == 0
+    d = loop.dead.collect()
+    assert len(d) == 1 and d[0].attributes["xvanusdlreason"] == "Response404"
+
+
+def test_transform_error_goes_to_dlq(spark):
+    sub = Subscription.from_spec({"transformer": {"pipeline": [["CREATE", "$.data.x", 1]]}})
+    loop = DeliveryLoop(spark, sub, lambda rows: [200] * len(rows))
+    res = loop.process_batch(
+        _envelope(spark, [_row(1, data="not-json{"), _row(2)]), T0
+    )
+    assert res.delivered.count() == 1
+    d = loop.dead.collect()
+    assert len(d) == 1 and d[0].attributes["xvanusdlreason"] == "TransformError"
+
+
+def test_delayed_event_parks_until_due(spark):
+    delay_attr = {"xvanusdeliverytime": "2024-06-01T12:05:00Z"}
+    loop = DeliveryLoop(spark, Subscription.from_spec({}), lambda rows: [200] * len(rows))
+    res1 = loop.process_batch(_envelope(spark, [_row(1, attrs=delay_attr)]), T0)
+    assert res1.delivered.count() == 0 and loop.pending.count() == 1
+    res2 = loop.process_batch(_envelope(spark, []), T0 + dt.timedelta(minutes=4))
+    assert res2.delivered.count() == 0
+    res3 = loop.process_batch(_envelope(spark, []), T0 + dt.timedelta(minutes=5))
+    assert [r.id for r in res3.delivered.collect()] == ["1"]
+
+
+def test_backoff_escalates_across_retries(spark):
+    sink = FlakySink({"1"})
+    loop = DeliveryLoop(spark, Subscription.from_spec({}), sink)
+    t = T0
+    loop.process_batch(_envelope(spark, [_row(1)]), t)
+    expected_delays = [5, 10, 30]  # attempts 2,3,4
+    for exp in expected_delays:
+        pend = loop.pending.collect()[0]
+        t = pend.due_ts
+        loop.process_batch(_envelope(spark, []), t)  # due again, fails again
+        new_pend = loop.pending.collect()[0]
+        assert new_pend.due_ts == t + dt.timedelta(seconds=exp)

@@ -1,0 +1,189 @@
+"""Streaming delivery loop: the Spark-native replacement for the
+reference's trigger worker + timing wheel + retry/DLQ buses.
+
+Reference dataflow (server/trigger/trigger/trigger.go:594-643): reader
+-> filter+transform -> batcher -> sender -> ack/offset-commit, with
+failed events written to retry (timer) buses and a DLQ bus, and
+delayed events parked in the timing wheel.
+
+Spark design (SURVEY §7.4): ONE pending-events table replaces the 130
+timer eventbuses; each micro-batch:
+
+  1. due = pending WHERE due_ts <= batch_time; carry the rest
+  2. fresh = filter(transform(batch)); transform errors -> DLQ route
+  3. deliver (due ∪ fresh) executor-side (mapInPandas over the sink
+     callable — no driver round-trip, partition-parallel)
+  4. failures -> route_failed_events -> retry rows re-enter pending
+     with the backoff schedule; dead rows append to the DLQ table
+  5. committed offset advances by the min-unacked rule
+
+The loop is a pure function of (batch, pending, batch_time), so tests
+replay deterministic batches with logical timestamps (no wall clock),
+exactly like the reference's own unit strategy for the wheel.
+
+At scale: pending is small relative to throughput (only failures and
+delays), so the union is cheap; delivery parallelism = input
+partitions; the only shuffle is the offset aggregation (tiny,
+partial-agg). For exactly-once bookkeeping the delivered/dead tables
+would be Delta/Iceberg appends keyed by (eventlog, offset) — plain
+parquet appends here since those jars aren't in the test image.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import Any, Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from vanus_spark.delivery import route_failed_events, split_due_events
+from vanus_spark.model import ATTR_DELIVERY_TIME
+from vanus_spark.subscription import Subscription
+
+# sink: rows (list of dict) -> list of int status codes (2xx = success)
+SinkFn = Callable[[list[dict[str, Any]]], list[int]]
+
+
+@dataclass
+class SinkResult:
+    delivered: DataFrame
+    pending: DataFrame
+    dead: DataFrame
+
+
+_STATUS_SCHEMA_SUFFIX = ", status int, error string"
+
+
+def _deliver_with_sink(df: DataFrame, sink_fn: SinkFn) -> DataFrame:
+    """Run the sink executor-side per Arrow batch; returns df + status.
+
+    The sink callable must be picklable (it ships to executors, like
+    the reference's sender goroutines ship the HTTP client config).
+    """
+    schema = df.schema.simpleString()[7:-1]  # strip struct<...>
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+        + _STATUS_SCHEMA_SUFFIX
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = pdf.to_dict("records")
+            try:
+                statuses = sink_fn(rows)
+            except Exception as e:  # noqa: BLE001 — sink blew up: all fail
+                statuses = [500] * len(rows)
+                pdf = pdf.assign(status=statuses, error=str(e))
+                yield pdf
+                continue
+            pdf = pdf.assign(
+                status=statuses,
+                error=["" if 200 <= s < 300 else f"status={s}" for s in statuses],
+            )
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+class DeliveryLoop:
+    """Per-subscription micro-batch delivery with retry/DLQ/delay."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        subscription: Subscription,
+        sink_fn: SinkFn,
+        sub_id: str = "sub-0",
+    ):
+        self.spark = spark
+        self.sub = subscription
+        self.sink_fn = sink_fn
+        self.sub_id = sub_id
+        self.empty_envelope = spark.createDataFrame(
+            [],
+            "id string, source string, specversion string, type string, "
+            "time timestamp, datacontenttype string, dataschema string, "
+            "subject string, attributes map<string,string>, data string",
+        )
+        self.pending: DataFrame = self.empty_envelope.withColumn(
+            "due_ts", F.lit(None).cast("timestamp")
+        ).limit(0)
+        self.dead: DataFrame = self.empty_envelope
+        self.delivered_count = 0
+
+    def _with_due_ts(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "due_ts",
+            F.to_timestamp(F.col("attributes").getItem(ATTR_DELIVERY_TIME)),
+        )
+
+    def process_batch(self, batch_df: DataFrame, batch_time) -> SinkResult:
+        """One micro-batch tick; updates pending/dead state, returns
+        what happened (all DataFrames, lazily evaluated)."""
+        # 1. transform: errors route to DLQ with TransformError
+        processed = self.sub.apply(batch_df)
+        fresh_ok = processed.where(~F.col("transform_error")).drop("transform_error")
+        tf_failed = (
+            processed.where(F.col("transform_error"))
+            .drop("transform_error")
+            .withColumn("status", F.lit(1))
+            .withColumn("error", F.lit("transform error"))
+        )
+        _, tf_dead = route_failed_events(
+            tf_failed, self.sub_id, batch_time, self.sub.max_retry_attempts
+        )
+
+        # 2. delayed events in the fresh batch park in pending
+        fresh = self._with_due_ts(fresh_ok)
+        delayed = fresh.where(F.col("due_ts") > F.lit(batch_time).cast("timestamp"))
+        immediate = fresh.where(
+            F.col("due_ts").isNull() | (F.col("due_ts") <= F.lit(batch_time).cast("timestamp"))
+        )
+
+        # 3. due pending events rejoin the stream
+        due, still_pending = split_due_events(self.pending, batch_time)
+
+        to_send = immediate.unionByName(due).drop("due_ts")
+
+        # 4. deliver executor-side, split by status
+        sent = _deliver_with_sink(to_send, self.sink_fn).cache()
+        ok = sent.where((F.col("status") >= 200) & (F.col("status") < 300)).drop(
+            "status", "error"
+        )
+        failed = sent.where((F.col("status") < 200) | (F.col("status") >= 300))
+        retry, dead = route_failed_events(
+            failed, self.sub_id, batch_time, self.sub.max_retry_attempts
+        )
+
+        # 5. state: retries re-enter pending with their backoff due_ts
+        self.pending = still_pending.unionByName(
+            self._with_due_ts(retry)
+        ).unionByName(delayed).localCheckpoint(eager=True)
+        new_dead = dead.unionByName(tf_dead)
+        self.dead = self.dead.unionByName(new_dead).localCheckpoint(eager=True)
+        return SinkResult(delivered=ok, pending=self.pending, dead=new_dead)
+
+    # ----- Structured Streaming wiring -------------------------------------
+
+    def run_stream(self, stream_df: DataFrame, checkpoint_dir: str, **trigger_kwargs):
+        """Attach the loop to a streaming DataFrame via foreachBatch.
+        Offsets/exactly-once come from the checkpoint (the Spark
+        equivalent of the reference's committed-offset store)."""
+
+        def on_batch(batch_df: DataFrame, epoch_id: int):
+            import datetime as _dt
+
+            res = self.process_batch(batch_df, _dt.datetime.now(_dt.timezone.utc))
+            # force delivery + expose progress (metrics surface, like the
+            # reference's TriggerDeliveryEventCounter)
+            self.delivered_count += res.delivered.count()
+
+        return (
+            stream_df.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(**(trigger_kwargs or {"availableNow": True}))
+            .start()
+        )
