@@ -1,0 +1,179 @@
+"""LLM-pipeline operators over the documents/embeddings fixtures."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from vanus_spark.llm import dedup, multimodal, similarity, textstats
+from vanus_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_exact_dedup(spark, docs):
+    groups = dedup.exact_dedup(docs)
+    n_docs = docs.count()
+    n_groups = groups.count()
+    assert n_groups <= n_docs
+    assert groups.agg(F.sum("dup_count")).first()[0] == n_docs
+    survivors = dedup.exact_dedup_rows(docs)
+    assert survivors.count() == n_groups
+    # duplicated text collapses
+    dup = docs.limit(1).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    aug = docs.unionByName(dup)
+    assert dedup.exact_dedup_rows(aug).count() == n_groups
+
+
+def test_minhash_detects_near_dups(spark, docs):
+    # a doc with one word changed should share LSH buckets with its source
+    base = docs.limit(5)
+    mutated = base.withColumn("doc_id", F.col("doc_id") + 1_000_000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" extra"))
+    )
+    aug = base.unionByName(mutated)
+    pairs = dedup.minhash_lsh_pairs(aug, num_hashes=16, bands=8).collect()
+    found = {(p.id_a, p.id_b) for p in pairs}
+    for r in base.select("doc_id").collect():
+        assert (r.doc_id, r.doc_id + 1_000_000) in found
+
+
+def test_jaccard_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f"), (3, "x y z w v")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    res = {(r.id_a, r.id_b): r.jaccard for r in dedup.ngram_jaccard_pairs(df, pairs).collect()}
+    # 3-gram shingles of 5 tokens: 3 each; (1,2) share 2 of 4 distinct
+    assert res[(1, 2)] == pytest.approx(0.5)
+    assert res[(1, 3)] == 0.0
+
+
+def test_simhash_identical_and_different(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox"), (3, "totally different words here")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.fingerprint for r in df.select(
+        "doc_id", dedup.simhash(F.col("text")).alias("fingerprint")
+    ).collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+
+def test_cosine_topk(spark, emb):
+    queries = emb.where(F.col("vec_id") < 3)
+    res = similarity.cosine_topk(emb, queries, k=5)
+    rows = res.collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+        assert r.neighbor_id != r.query_id
+        assert -1.0001 <= r.cosine <= 1.0001
+    for q, rs in by_q.items():
+        sims = [r.cosine for r in sorted(rs, key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_cosine_matches_python(spark, emb):
+    two = emb.where(F.col("vec_id").isin(0, 1)).collect()
+    v0 = two[0].embedding if two[0].vec_id == 0 else two[1].embedding
+    v1 = two[1].embedding if two[1].vec_id == 1 else two[0].embedding
+    expected = sum(a * b for a, b in zip(v0, v1)) / (
+        math.sqrt(sum(a * a for a in v0)) * math.sqrt(sum(b * b for b in v1))
+    )
+    got = (
+        similarity.cosine_topk(emb, emb.where(F.col("vec_id") == 0), k=emb.count())
+        .where(F.col("neighbor_id") == 1)
+        .first()
+        .cosine
+    )
+    assert got == pytest.approx(expected, rel=1e-6)
+
+
+def test_lsh_ann_subset_of_exact_space(spark, emb):
+    queries = emb.where(F.col("vec_id") < 3)
+    approx = similarity.lsh_ann(emb, queries, k=5, n_planes=4)
+    rows = approx.collect()
+    assert all(r.neighbor_id != r.query_id for r in rows)
+    # recall sanity: with 4 planes buckets are coarse; hits exist
+    assert len(rows) > 0
+
+
+def test_embedding_near_dup_finds_clones(spark, emb):
+    clone = emb.limit(3).withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    aug = emb.unionByName(clone)
+    res = similarity.embedding_near_dup(aug, threshold=0.999)
+    found = {(r.id_a, r.id_b) for r in res.collect()}
+    for r in emb.limit(3).select("vec_id").collect():
+        assert (r.vec_id, r.vec_id + 1_000_000) in found
+
+
+def test_text_profile(spark, docs):
+    prof = textstats.text_profile(docs)
+    rows = prof.limit(20).collect()
+    for r in rows:
+        assert r.n_tokens > 0
+        assert 0 <= r.punct_ratio <= 1
+        assert 0 <= r.quality <= 1
+        assert len(r.fingerprint) == 32
+    assert prof.count() == docs.count()
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is here of course"),
+            (2, "le chat et la maison les arbres des fleurs"),
+            (3, "qqq www eee"),
+        ],
+        "doc_id long, text string",
+    )
+    res = {r.doc_id: r.lang for r in df.select(
+        "doc_id", textstats.lang_id(F.col("text")).alias("lang")
+    ).collect()}
+    assert res[1] == "en"
+    assert res[2] == "fr"
+    assert res[3] == "und"
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "Hello, world! 42 times")], "doc_id long, text string")
+    r = df.select(
+        textstats.whitespace_token_count(F.col("text")).alias("ws"),
+        textstats.bpe_ish_token_count(F.col("text")).alias("bpe"),
+    ).first()
+    assert r.ws == 4
+    # hello , world ! 42 times -> 6 pieces
+    assert r.bpe == 6
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = multimodal.synthesize_media_from_documents(docs.limit(20))
+    with_meta = multimodal.attach_image_metadata(media)
+    m = with_meta.select("meta.n_bytes", "meta.format").collect()
+    assert all(r.n_bytes > 0 for r in m)
+    decoded = multimodal.decode_images(with_meta)
+    rows = decoded.collect()
+    assert len(rows) == 20
+    assert all(len(r.features) == 8 for r in rows)
+    assert all(64 <= r.width < 256 for r in rows)
+    resized = multimodal.resize_images(media, 224, 224).collect()
+    assert all(r.width == 224 and r.height == 224 for r in resized)
+    frames = multimodal.sample_video_frames(media, every_n=10)
+    assert frames.count() >= 20
+    # determinism
+    d2 = multimodal.decode_images(with_meta).collect()
+    assert {(r.media_id, r.width) for r in rows} == {(r.media_id, r.width) for r in d2}

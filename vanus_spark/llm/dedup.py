@@ -1,0 +1,245 @@
+"""Deduplication operators for document corpora.
+
+Five families, all shuffle-aware for 100 TB:
+
+- exact: hash-groupBy on a content digest. One shuffle on the digest;
+  map-side combine collapses duplicates early, so shuffle volume is
+  ~#distinct rather than #rows.
+- MinHash + LSH: shingle -> k minhashes -> b bands -> bucket join.
+  Candidate generation is a self-join on (band, band_hash) — the
+  classic way to avoid the O(n²) pair explosion; only same-bucket
+  pairs shuffle.
+- SimHash: 64-bit sign-sum fingerprint; near-dups share fingerprints
+  (or differ in few bits). Grouping on the fingerprint is one shuffle.
+- n-gram Jaccard: exact verification on candidate pairs (from LSH or
+  any blocking key) via explode + semi-join token intersection.
+- embedding cosine: near-dup if cosine >= threshold, candidates from
+  the similarity module's LSH buckets.
+
+Hashing: every engine-portable hash is built from md5 (stable across
+Spark and DuckDB, which is what the correctness oracle needs — unlike
+xxhash64/crc32, which differ per engine). At real scale xxhash64
+halves the hash cost; the structure is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+# ---------------------------------------------------------------------------
+# shared hashing helpers (md5-derived 63-bit ints, engine-portable)
+# ---------------------------------------------------------------------------
+
+def md5_long(c: Column, seed: int = 0) -> Column:
+    """Stable 63-bit integer hash: first 15 hex digits of
+    md5(seed || value). Positive, fits a signed long; reproducible in
+    DuckDB as ('0x' || substr(md5(...), 1, 15))::BIGINT."""
+    payload = F.concat(F.lit(str(seed) + "|"), c.cast("string"))
+    return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long")
+
+
+def normalize_text(c: Column) -> Column:
+    """Canonical form for content hashing: lowercase, collapse
+    whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(c), "\\s+", " "))
+
+
+def shingles(c: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array of strings (distinct)."""
+    toks = F.split(normalize_text(c), " ")
+    k = F.size(toks) - (n - 1)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative per exact (normalized)
+    content digest. groupBy(digest) -> min(id): partial aggregation
+    makes the shuffle ~#distinct digests."""
+    digest = F.md5(normalize_text(F.col(text_col))).alias("content_hash")
+    return (
+        docs.select(digest, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def exact_dedup_rows(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The deduplicated corpus itself (row per surviving doc)."""
+    keep = exact_dedup(docs, text_col, id_col).select(F.col("keep_id").alias(id_col))
+    return docs.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(c: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
+    """Array of `num_hashes` minhashes over word shingles. Each
+    permutation is an independent md5-seeded hash; min() over the
+    shingle set approximates the Jaccard kernel."""
+    sh = shingles(c, shingle_n)
+
+    def perm_min(seed):
+        # closure, NOT a defaulted lambda param (which PySpark would
+        # interpret as an (element, index) two-arg lambda)
+        return F.array_min(F.transform(sh, lambda s: md5_long(s, seed=seed)))
+
+    return F.array(*[perm_min(i) for i in range(num_hashes)])
+
+
+def minhash_lsh_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band, band_key) — docs sharing a band_key are candidates.
+    rows = #docs × bands (narrow); the join key is the band digest."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig")
+    with_sig = docs.select(F.col(id_col), sig)
+    bands_col = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                        "_",
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return with_sig.select(id_col, F.explode(bands_col).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing any LSH band. The
+    self-join is per (band, band_key) bucket — skew-safe under AQE;
+    hot buckets (boilerplate docs) would be salted in production."""
+    b = minhash_lsh_buckets(docs, text_col, id_col, num_hashes, bands, shingle_n)
+    left = b.alias("l")
+    right = b.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(c: Column, bits: int = 16) -> Column:
+    """Sign-sum fingerprint over word features. For each bit i, count
+    tokens whose md5-derived bit i is set vs unset; bit i of the
+    fingerprint = majority sign. Pure column ops (aggregate over the
+    token array), no UDF."""
+    toks = F.array_distinct(F.split(normalize_text(c), " "))
+    h = F.transform(toks, lambda t: md5_long(t))
+    fingerprint = F.lit(0).cast("long")
+
+    def bit_filter(ii):
+        # NB: plain single-arg lambda — a second (defaulted) param would
+        # make PySpark treat it as an (element, index) lambda
+        return F.filter(h, lambda x: F.shiftright(x, ii).bitwiseAND(F.lit(1)) == 1)
+
+    for i in range(bits):  # static unroll — bits is a compile-time constant
+        set_count = F.size(bit_filter(i))
+        fingerprint = fingerprint + F.when(
+            set_count * 2 > F.size(h), F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return fingerprint
+
+
+def simhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """Group docs by identical simhash fingerprint (the hamming-radius
+    expansion joins on fingerprint splits; radius 0 here)."""
+    return (
+        docs.select(F.col(id_col), simhash(F.col(text_col), bits).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verification
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard over word n-grams for given candidate (id_a,
+    id_b) pairs. Shingle arrays are joined in, intersection/union via
+    array ops — the heavy explode only happens for candidates, never
+    the full corpus."""
+    sh = docs.select(
+        F.col(id_col), shingles(F.col(text_col), n).alias("sh")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        pairs.join(a, pairs.id_a == F.col(f"a.{id_col}"))
+        .join(b, pairs.id_b == F.col(f"b.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+                / F.size(F.array_union("a.sh", "b.sh"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def near_dup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """End-to-end near-dup: LSH candidates -> exact Jaccard >= t."""
+    cands = minhash_lsh_pairs(docs, text_col, id_col, num_hashes, bands, shingle_n)
+    return ngram_jaccard_pairs(docs, cands, text_col, id_col, shingle_n).where(
+        F.col("jaccard") >= threshold
+    )

@@ -1,0 +1,154 @@
+"""Text analysis: language ID, quality scoring, token counting,
+document fingerprinting.
+
+All pure Column expressions — whole-stage codegen over the documents
+scan, embarrassingly parallel, zero shuffle (the scan's partitioning
+is the output partitioning). Every function is mirrored by an ANSI
+SQL oracle in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from vanus_spark.llm.dedup import normalize_text
+
+# stopword markers per language for the n-gram/marker heuristic.
+# Deterministic + SQL-expressible (occurrence counting) by design.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " to ", " is "],
+    "fr": [" le ", " la ", " et ", " les ", " des "],
+    "es": [" el ", " la ", " los ", " que ", " y "],
+    "de": [" der ", " die ", " und ", " das ", " ist "],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "at", "by", "it", "this", "that",
+]
+
+
+def occurrences(c: Column, needle: str) -> Column:
+    """Count occurrences of a literal substring — the portable
+    (length - length(replace)) / length(needle) trick, which DuckDB
+    evaluates identically."""
+    return (
+        (F.length(c) - F.length(F.replace(c, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("long")
+
+
+def whitespace_token_count(c: Column) -> Column:
+    """Whitespace tokenization count."""
+    t = normalize_text(c)
+    return F.when(F.length(t) == 0, F.lit(0).cast("long")).otherwise(
+        F.size(F.split(t, " ")).cast("long")
+    )
+
+
+def bpe_ish_token_count(c: Column) -> Column:
+    """BPE-ish proxy: count word pieces + digits + punctuation runs
+    via a regex token pattern (letters runs, digit runs, single
+    non-space symbols). A real tokenizer plugs in as a pandas UDF."""
+    # count matches of [A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]
+    return F.size(
+        F.filter(
+            F.split(
+                F.regexp_replace(
+                    F.col(c) if isinstance(c, str) else c,
+                    r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])",
+                    "$1",
+                ),
+                "",
+            ),
+            lambda x: F.trim(x) != "",
+        )
+    ).cast("long")
+
+
+def punct_ratio(c: Column) -> Column:
+    no_punct = F.regexp_replace(c, r"[^\w\s]", "")
+    return (
+        (F.length(c) - F.length(no_punct)).cast("double")
+        / F.greatest(F.length(c), F.lit(1))
+    )
+
+
+def stopword_ratio(c: Column) -> Column:
+    """Fraction of whitespace tokens that are English stopwords."""
+    toks = F.split(normalize_text(c), " ")
+    hits = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    return hits.cast("double") / F.greatest(F.size(toks), F.lit(1))
+
+
+def mean_word_length(c: Column) -> Column:
+    toks = F.split(normalize_text(c), " ")
+    return F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + F.length(t)
+    ) / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(c: Column) -> Column:
+    """Composite [0,1] quality heuristic: long enough, sane word
+    length, not punctuation soup. Deliberately simple + portable;
+    the shape (weighted clamped signals) matches production quality
+    classifiers' feature layer."""
+    n_tokens = whitespace_token_count(c).cast("double")
+    len_signal = F.least(n_tokens / F.lit(50.0), F.lit(1.0))
+    mwl = mean_word_length(c)
+    wl_signal = F.when((mwl >= 3) & (mwl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    punct_signal = F.lit(1.0) - F.least(punct_ratio(c) * 5, F.lit(1.0))
+    return (len_signal * 0.4 + wl_signal * 0.3 + punct_signal * 0.3).alias("quality")
+
+
+def lang_scores(c: Column) -> dict[str, Column]:
+    padded = F.concat(F.lit(" "), normalize_text(c), F.lit(" "))
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        score = None
+        for m in markers:
+            occ = occurrences(padded, m)
+            score = occ if score is None else score + occ
+        out[lang] = score
+    return out
+
+
+def lang_id(c: Column) -> Column:
+    """Marker-count argmax language ID; 'und' when no marker hits.
+    Ties break by language code order (deterministic, matches the
+    SQL oracle's greatest-first CASE)."""
+    scores = lang_scores(c)
+    # argmax via chained when() in fixed lang order
+    langs = sorted(scores)
+    best = F.lit("und")
+    best_score = F.lit(0).cast("long")
+    for lang in langs:
+        s = scores[lang]
+        is_better = s > best_score
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    return best
+
+
+def doc_fingerprint(c: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (the rolling-hash role; cheap join key for exact dedup)."""
+    return F.md5(normalize_text(c))
+
+
+def text_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The full per-document analysis row."""
+    c = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        whitespace_token_count(c).alias("n_tokens"),
+        bpe_ish_token_count(c).alias("n_bpe_tokens"),
+        F.length(c).cast("long").alias("n_chars_actual"),
+        F.round(punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
+        F.round(mean_word_length(c), 6).alias("mean_word_len"),
+        F.round(quality_score(c), 6).alias("quality"),
+        lang_id(c).alias("lang_pred"),
+        doc_fingerprint(c).alias("fingerprint"),
+    )
