@@ -1,38 +1,927 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``     — flagship subscription pipeline on sf0.001.
+``queries()``        — one entry per implemented operator (SURVEY §2 +
+                       the LLM-pipeline additions); each callable is
+                       (spark, sf_dir) -> DataFrame.
+``oracle_sql()``     — DuckDB-equivalent ANSI SQL per query (omitted
+                       only for genuinely non-SQL-expressible ops,
+                       which get the driver's rows-only check).
+
+Column names are aliased identically on both sides; float outputs are
+rounded on both sides to absorb engine-level float noise.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vanus_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "events")
+
+
+def _cloudevents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vanus_spark.model import events_to_cloudevents
+
+    return events_to_cloudevents(_events(spark, sf_dir))
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from vanus_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship = the reference's whole data plane in one plan —
+# subscription filter -> transform -> per-type delivery stats
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from vanus_spark.filters import compile_filter
 
+    sf_dir = "/root/testdata/sf0.001"
+    ce = _cloudevents(spark, sf_dir)
+    flt = compile_filter(
+        {
+            "any": [
+                {"exact": {"type": "purchase"}},
+                {"all": [{"prefix": {"type": "s"}}, {"cel": "$value.(double) > 50.0"}]},
+            ]
+        }
+    )
+    return (
+        ce.where(flt)
+        .select(
+            "type",
+            F.get_json_object("data", "$.user_id").cast("long").alias("user_id"),
+            F.get_json_object("data", "$.value").cast("double").alias("value"),
+        )
+        .groupBy("type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# filter dialect queries (SURVEY §2.2) — each returns matching event ids
+# ---------------------------------------------------------------------------
+
+def _filter_query(spec):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from vanus_spark.filters import compile_filter
+
+        ce = _cloudevents(spark, sf_dir)
+        return ce.where(compile_filter(spec)).select(
+            F.col("id").cast("long").alias("event_id")
+        )
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# bus / addressing queries (SURVEY §2.1)
+# ---------------------------------------------------------------------------
+
+def q_bus_offset_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+
+    from vanus_spark.bus import assign_addresses, lookup_offset_by_time
+
+    bus = assign_addresses(_events(spark, sf_dir))
+    return lookup_offset_by_time(bus, dt.datetime(2024, 1, 15))
+
+
+def q_bus_get_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vanus_spark.bus import assign_addresses, get_event
+
+    bus = assign_addresses(_events(spark, sf_dir))
+    return get_event(bus, eventlog=1, offset=5, number=10).select(
+        "eventlog", "offset", "event_id"
+    )
+
+
+def q_bus_earliest_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vanus_spark.bus import assign_addresses, earliest_latest_offsets
+
+    return earliest_latest_offsets(assign_addresses(_events(spark, sf_dir)))
+
+
+def q_offset_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vanus_spark.bus import assign_addresses
+    from vanus_spark.delivery import committed_offsets_df
+
+    bus = assign_addresses(_events(spark, sf_dir))
+    # deterministic ack pattern: offsets not divisible by 7 are acked
+    received = bus.select(
+        "eventlog", "offset", (F.col("offset") % 7 != 0).alias("acked")
+    )
+    return committed_offsets_df(received)
+
+
+def q_delivery_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vanus_spark.delivery import backoff_seconds_col
+
+    return spark.range(1, 33).select(
+        F.col("id").cast("int").alias("attempt"),
+        backoff_seconds_col(F.col("id")).cast("long").alias("delay_s"),
+    )
+
+
+def q_delivery_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vanus_spark.delivery import no_retry_reason_col, should_retry_col
+
+    ev = _events(spark, sf_dir)
+    # deterministic synthetic status per event
+    status = F.element_at(
+        F.array(
+            F.lit(200), F.lit(404), F.lit(429), F.lit(500), F.lit(503), F.lit(1), F.lit(-1)
+        ),
+        (F.col("event_id") % 7 + 1).cast("int"),
+    )
+    return ev.select(
+        "event_id",
+        status.alias("status"),
+        should_retry_col(status).alias("should_retry"),
+        no_retry_reason_col(status).alias("no_retry_reason"),
+    )
+
+
+def q_delayed_due_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+
+    from vanus_spark.delivery import split_due_events
+
+    ev = _events(spark, sf_dir).withColumn("due_ts", F.col("ts"))
+    due, _ = split_due_events(ev, dt.datetime(2024, 1, 10))
+    return due.select("event_id")
+
+
+# ---------------------------------------------------------------------------
+# scalar action parity queries (SURVEY §2.4) — compiled column path
+# ---------------------------------------------------------------------------
+
+def q_action_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vanus_spark.functions import scalars as vf
+
+    ev = _events(spark, sf_dir)
+    denom = (F.col("event_id") % 4).cast("double")
+    return ev.select(
+        "event_id",
+        F.round(vf.math_add(F.col("value"), F.lit(1), F.lit(2.5)), 6).alias("add_r"),
+        F.round(vf.math_sub(F.col("value"), F.col("user_id")), 6).alias("sub_r"),
+        F.round(vf.math_mul(F.col("value"), F.lit(100)), 6).alias("mul_r"),
+        # div-by-zero => skip (NULL marks the skipped action)
+        F.round(vf.math_div(F.col("value"), denom), 6).alias("div_r"),
+    )
+
+
+def q_action_strings_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vanus_spark.functions import scalars as vf
+
+    docs = _t(spark, sf_dir, "documents")
+    src = F.substring("text", 1, 40)
+    return docs.select(
+        "doc_id",
+        F.upper(src).alias("upper_r"),
+        F.lower(src).alias("lower_r"),
+        vf.capitalize_sentence(src).alias("cap_sentence"),
+        vf.capitalize_word(src).alias("cap_word"),
+        vf.add_prefix(src, "pre|").alias("prefixed"),
+        vf.add_suffix(src, "|post").alias("suffixed"),
+    )
+
+
+def q_action_strings_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vanus_spark.functions import scalars as vf
+
+    ev = _events(spark, sf_dir)
+    # props is '{"k": 87}' — a real delimiter-extraction target
+    return ev.select(
+        "event_id",
+        vf.extract_between_delimiters(F.col("props"), ": ", "}").alias("k_str"),
+        vf.extract_between_positions(F.col("props"), 2, 4).alias("pos_str"),
+        vf.replace_between_delimiters(F.col("props"), "{", ":", "K").alias("repl_delim"),
+        vf.replace_string(F.col("props"), '"', "").alias("no_quotes"),
+        vf.check_custom_values(F.col("props"), '"k"', "has_k", "no_k").alias("check_r"),
+        vf.extract_missing(F.col("props"), "EMPTY", "FULL").alias("missing_r"),
+    )
+
+
+def q_action_strings_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vanus_spark.functions import scalars as vf
+
+    docs = _t(spark, sf_dir, "documents")
+    src = F.substring("text", 1, 30)
+    return docs.select(
+        "doc_id",
+        vf.split_literal(src, " ").alias("split_ws"),
+        vf.split_from_start(src, 10).alias("split_start"),
+        vf.split_between_positions(src, 5, 10).alias("split_between"),
+    )
+
+
+def q_action_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vanus_spark.functions import scalars as vf
+
+    li = _t(spark, sf_dir, "lineitem").limit(5000)
+    epoch = F.unix_timestamp("l_shipdate")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        vf.date_format_php(F.col("l_shipdate"), "Y-m-d H:i:s").alias("fmt_r"),
+        vf.date_format_php(F.col("l_shipdate"), "d/m/y").alias("fmt_dmy"),
+        vf.unix_time_format(epoch, "Y-m-d").alias("unix_fmt"),
+    )
+
+
+def q_action_condition_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vanus_spark.functions import scalars as vf
+
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        vf.condition_if(F.col("value"), ">=", F.lit(100), "hi", "lo").alias("cond_r"),
+        vf.condition_if(F.col("event_type"), "==", F.lit("error"), "E", "N").alias("cond_eq"),
+        F.length("props").cast("long").alias("len_r"),
+    )
+
+
+def q_template_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vanus_spark.templates import compile_text_template
+
+    ce = _cloudevents(spark, sf_dir)
+    tmpl = compile_text_template("uid=<$.data.user_id> type=<type>!")
+    return ce.select(F.col("id").cast("long").alias("event_id"), tmpl.alias("rendered"))
+
+
+def q_cast_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vanus_spark.casts import col_to_bool, col_to_int, col_to_string
+
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k")
+    return ev.select(
+        "event_id",
+        col_to_int(k).alias("k_int"),
+        F.col("value").cast("long").alias("value_trunc"),
+        col_to_string(F.col("value")).alias("value_str"),
+        col_to_bool(F.when(F.col("event_id") % 2 == 0, "true").otherwise("FALSE")).alias(
+            "bool_r"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark-native analytics over the star schema (added operators:
+# joins/aggs/windows the reference lacks, SURVEY §2.6-2.8)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                4,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_join_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rk")
+    )
+
+
+def q_events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min gap splits a user's events into sessions."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    with_new = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    with_sid = with_new.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return with_sid.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline queries
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vanus_spark.llm.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vanus_spark.llm.textstats import doc_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vanus_spark.llm import textstats as ts
+
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        ts.whitespace_token_count(c).alias("n_tokens"),
+        F.round(ts.punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(ts.stopword_ratio(c), 6).alias("stopword_ratio"),
+        F.round(ts.mean_word_length(c), 6).alias("mean_word_len"),
+        F.round(ts.quality_score(c), 6).alias("quality"),
+    )
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vanus_spark.llm.textstats import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vanus_spark.llm.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    out = cosine_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vanus_spark.llm.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, num_hashes=16, bands=8)
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vanus_spark.llm.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=8)
+    return ngram_jaccard_pairs(docs, pairs).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vanus_spark.llm.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash(F.col("text"), bits=16).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # filter dialects
+        "filter_exact": _filter_query({"exact": {"type": "purchase"}}),
+        "filter_prefix": _filter_query({"prefix": {"type": "sign"}}),
+        "filter_suffix": _filter_query({"suffix": {"type": "up"}}),
+        "filter_data_jsonpath": _filter_query({"exact": {"data.props.k": "12"}}),
+        "filter_not_missing": _filter_query({"not": {"exact": {"subject": "x"}}}),
+        "filter_any_all": _filter_query(
+            {
+                "any": [
+                    {"exact": {"type": "error"}},
+                    {"all": [{"prefix": {"type": "sign"}}, {"suffix": {"type": "up"}}]},
+                ]
+            }
+        ),
+        "filter_cesql": _filter_query(
+            {"ce_sql": "type = 'error' AND EXISTS partitionkey"}
+        ),
+        "filter_cesql_like_in": _filter_query(
+            {"ce_sql": "type LIKE 's%p' OR type IN ('error', 'view')"}
+        ),
+        "filter_cel": _filter_query({"cel": "$user_id.(int64) > 10"}),
+        "filter_cel_data": _filter_query(
+            {"cel": "$props.k.(int64) >= 50 && $value.(double) < 100.0"}
+        ),
+        # bus / delivery
+        "bus_offset_by_time": q_bus_offset_by_time,
+        "bus_get_event": q_bus_get_event,
+        "bus_earliest_latest": q_bus_earliest_latest,
+        "offset_commit": q_offset_commit,
+        "delivery_backoff": q_delivery_backoff,
+        "delivery_routing": q_delivery_routing,
+        "delayed_due_split": q_delayed_due_split,
+        # scalar actions
+        "action_math": q_action_math,
+        "action_strings_case": q_action_strings_case,
+        "action_strings_extract": q_action_strings_extract,
+        "action_strings_split": q_action_strings_split,
+        "action_datetime": q_action_datetime,
+        "action_condition_length": q_action_condition_length,
+        "template_render": q_template_render,
+        "cast_lattice": q_cast_lattice,
+        # analytics (Spark-native additions)
+        "tpch_q1_pricing": q_tpch_q1_pricing,
+        "join_revenue_by_region": q_join_revenue_by_region,
+        "topk_per_group": q_topk_per_group,
+        "events_windowed_agg": q_events_windowed_agg,
+        "events_sessionize": q_events_sessionize,
+        # llm pipeline
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "text_fingerprint": q_text_fingerprint,
+        "text_stats": q_text_stats,
+        "text_langid": q_text_langid,
+        "similarity_topk": q_similarity_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_NORM = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    norm_text = _NORM.format(c="text")
+    return {
+        "filter_exact": "SELECT event_id FROM events WHERE event_type = 'purchase'",
+        "filter_prefix": "SELECT event_id FROM events WHERE event_type LIKE 'sign%'",
+        "filter_suffix": "SELECT event_id FROM events WHERE event_type LIKE '%up'",
+        "filter_data_jsonpath": (
+            "SELECT event_id FROM events WHERE json_extract_string(props, '$.k') = '12'"
+        ),
+        "filter_not_missing": "SELECT event_id FROM events",
+        "filter_any_all": (
+            "SELECT event_id FROM events WHERE event_type = 'error' "
+            "OR (event_type LIKE 'sign%' AND event_type LIKE '%up')"
+        ),
+        "filter_cesql": "SELECT event_id FROM events WHERE event_type = 'error'",
+        "filter_cesql_like_in": (
+            "SELECT event_id FROM events WHERE event_type LIKE 's%p' "
+            "OR event_type IN ('error', 'view')"
+        ),
+        "filter_cel": "SELECT event_id FROM events WHERE user_id > 10",
+        "filter_cel_data": (
+            "SELECT event_id FROM events WHERE "
+            "json_extract_string(props, '$.k')::BIGINT >= 50 AND value < 100.0"
+        ),
+        "bus_offset_by_time": """
+            WITH bus AS (
+              SELECT *, user_id % 4 AS eventlog,
+                     row_number() OVER (PARTITION BY user_id % 4
+                                        ORDER BY ts, event_id) - 1 AS "offset"
+              FROM events)
+            SELECT eventlog,
+                   coalesce(min(CASE WHEN ts >= TIMESTAMP '2024-01-15' THEN "offset" END),
+                            max("offset") + 1) AS "offset"
+            FROM bus GROUP BY eventlog
+        """,
+        "bus_get_event": """
+            WITH bus AS (
+              SELECT *, user_id % 4 AS eventlog,
+                     row_number() OVER (PARTITION BY user_id % 4
+                                        ORDER BY ts, event_id) - 1 AS "offset"
+              FROM events)
+            SELECT eventlog, "offset", event_id FROM bus
+            WHERE eventlog = 1 AND "offset" >= 5 ORDER BY "offset" LIMIT 10
+        """,
+        "bus_earliest_latest": """
+            WITH bus AS (
+              SELECT *, user_id % 4 AS eventlog,
+                     row_number() OVER (PARTITION BY user_id % 4
+                                        ORDER BY ts, event_id) - 1 AS "offset"
+              FROM events)
+            SELECT eventlog, min("offset") AS earliest, max("offset") AS latest,
+                   count(*) AS length
+            FROM bus GROUP BY eventlog
+        """,
+        "offset_commit": """
+            WITH bus AS (
+              SELECT *, user_id % 4 AS eventlog,
+                     row_number() OVER (PARTITION BY user_id % 4
+                                        ORDER BY ts, event_id) - 1 AS "offset"
+              FROM events)
+            SELECT eventlog,
+                   coalesce(min(CASE WHEN "offset" % 7 = 0 THEN "offset" END),
+                            max("offset") + 1) AS committed_offset
+            FROM bus GROUP BY eventlog
+        """,
+        "delivery_backoff": """
+            SELECT attempt::INTEGER AS attempt,
+                   (CASE WHEN attempt >= 10 THEN 3600
+                         WHEN attempt >= 4 THEN (30 * 2**(attempt-4))::BIGINT
+                         WHEN attempt >= 2 THEN 5 * (attempt - 1)
+                         ELSE 1 END)::BIGINT AS delay_s
+            FROM generate_series(1, 32) t(attempt)
+        """,
+        "delivery_routing": """
+            WITH s AS (
+              SELECT event_id,
+                     ([200, 404, 429, 500, 503, 1, -1])[(event_id % 7 + 1)::INTEGER]
+                       AS status
+              FROM events)
+            SELECT event_id, status,
+                   CASE WHEN status = 1 THEN false
+                        WHEN status = -1 THEN false
+                        WHEN status >= 400 AND status < 500 THEN status = 429
+                        ELSE true END AS should_retry,
+                   CASE WHEN status = 1 THEN 'TransformError'
+                        WHEN status = -1 THEN 'OrderEvent'
+                        WHEN status >= 400 AND status < 500 AND status != 429
+                          THEN 'Response' || status::VARCHAR
+                        ELSE NULL END AS no_retry_reason
+            FROM s
+        """,
+        "delayed_due_split": (
+            "SELECT event_id FROM events WHERE ts <= TIMESTAMP '2024-01-10'"
+        ),
+        "action_math": """
+            SELECT event_id,
+                   round(value + 1 + 2.5, 6) AS add_r,
+                   round(value - user_id, 6) AS sub_r,
+                   round(value * 100, 6) AS mul_r,
+                   CASE WHEN event_id % 4 = 0 THEN NULL
+                        ELSE round(value / (event_id % 4), 6) END AS div_r
+            FROM events
+        """,
+        "action_strings_case": """
+            WITH s AS (SELECT doc_id, substr(text, 1, 40) AS src FROM documents)
+            SELECT doc_id,
+                   upper(src) AS upper_r,
+                   lower(src) AS lower_r,
+                   upper(src[1]) || src[2:] AS cap_sentence,
+                   array_to_string(
+                     list_transform(str_split(src, ' '),
+                       w -> CASE WHEN length(w) > 0 THEN upper(w[1]) || w[2:] ELSE w END),
+                     ' ') AS cap_word,
+                   'pre|' || src AS prefixed,
+                   src || '|post' AS suffixed
+            FROM s
+        """,
+        "action_strings_extract": """
+            SELECT event_id,
+                   CASE WHEN strpos(props, ': ') > 0
+                         AND strpos(substr(props, strpos(props, ': ') + 2), '}') > 0
+                        THEN substr(props, strpos(props, ': ') + 2,
+                                    strpos(substr(props, strpos(props, ': ') + 2), '}') - 1)
+                        END AS k_str,
+                   CASE WHEN length(props) >= 4 THEN substr(props, 2, 3) END AS pos_str,
+                   CASE WHEN strpos(props, '{') > 0
+                         AND strpos(substr(props, strpos(props, '{') + 1), ':') > 0
+                        THEN substr(props, 1, strpos(props, '{') - 1) || 'K' ||
+                             substr(props, strpos(props, '{') + 1 +
+                                    strpos(substr(props, strpos(props, '{') + 1), ':'))
+                        END AS repl_delim,
+                   replace(props, '"', '') AS no_quotes,
+                   CASE WHEN strpos(props, '"k"') > 0 THEN 'has_k' ELSE 'no_k' END AS check_r,
+                   CASE WHEN props IS NULL OR props = '' THEN 'EMPTY' ELSE 'FULL' END
+                     AS missing_r
+            FROM events
+        """,
+        "action_strings_split": """
+            WITH s AS (SELECT doc_id, substr(text, 1, 30) AS src FROM documents)
+            SELECT doc_id,
+                   str_split(src, ' ') AS split_ws,
+                   [substr(src, 1, 10), substr(src, 11)] AS split_start,
+                   CASE WHEN length(src) <= 5 THEN [src, '', '']
+                        WHEN length(src) < 10 THEN [substr(src,1,5), substr(src,6), '']
+                        ELSE [substr(src,1,5), substr(src,6,5), substr(src,11)]
+                   END AS split_between
+            FROM s
+        """,
+        "action_datetime": """
+            SELECT l_orderkey, l_linenumber,
+                   strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS fmt_r,
+                   strftime(l_shipdate, '%d/%m/%y') AS fmt_dmy,
+                   strftime(to_timestamp(epoch(l_shipdate)), '%Y-%m-%d') AS unix_fmt
+            FROM lineitem LIMIT 5000
+        """,
+        "action_condition_length": """
+            SELECT event_id,
+                   CASE WHEN value >= 100 THEN 'hi' ELSE 'lo' END AS cond_r,
+                   CASE WHEN event_type = 'error' THEN 'E' ELSE 'N' END AS cond_eq,
+                   length(props)::BIGINT AS len_r
+            FROM events
+        """,
+        "template_render": """
+            SELECT event_id,
+                   'uid=' || user_id::VARCHAR || ' type=' || event_type || '!'
+                     AS rendered
+            FROM events
+        """,
+        "cast_lattice": """
+            SELECT event_id,
+                   json_extract_string(props, '$.k')::BIGINT AS k_int,
+                   trunc(value)::BIGINT AS value_trunc,
+                   CASE WHEN value = floor(value) AND abs(value) < 1e15
+                        THEN trunc(value)::BIGINT::VARCHAR
+                        ELSE value::VARCHAR END AS value_str,
+                   CASE WHEN event_id % 2 = 0 THEN true ELSE false END AS bool_r
+            FROM events
+        """,
+        "tpch_q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)
+                     AS sum_charge,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_extendedprice), 6) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_revenue_by_region": """
+            SELECT r_name, round(sum(o_totalprice), 4) AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "topk_per_group": """
+            WITH ranked AS (
+              SELECT p_brand, p_partkey, p_retailprice,
+                     row_number() OVER (PARTITION BY p_brand
+                                        ORDER BY p_retailprice DESC, p_partkey ASC)
+                       AS rk
+              FROM part)
+            SELECT p_brand, p_partkey, p_retailprice, rk FROM ranked WHERE rk <= 3
+        """,
+        "events_windowed_agg": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                     AS window_start,
+                   event_type, count(*) AS n, round(sum(value), 4) AS total
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessionize": """
+            WITH gaps AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sess AS (
+              SELECT user_id, ts,
+                     sum(new_session) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM gaps)
+            SELECT user_id, session_seq, count(*) AS n_events,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+            FROM sess GROUP BY user_id, session_seq
+        """,
+        "dedup_exact": f"""
+            SELECT md5({norm_text}) AS content_hash,
+                   min(doc_id) AS keep_id, count(*) AS dup_count
+            FROM documents GROUP BY 1
+        """,
+        "text_fingerprint": f"""
+            SELECT doc_id, md5({norm_text}) AS fingerprint FROM documents
+        """,
+        "text_stats": f"""
+            WITH n AS (SELECT doc_id, text, {norm_text} AS nt FROM documents),
+            base AS (
+              SELECT doc_id, text, nt,
+                     CASE WHEN length(nt) = 0 THEN 0
+                          ELSE len(str_split(nt, ' ')) END::BIGINT AS n_tokens,
+                     (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                       ::DOUBLE / greatest(length(text), 1) AS praw,
+                     len(list_filter(str_split(nt, ' '),
+                       t -> list_contains(['the','a','an','and','or','of','to','in','is',
+                                           'are','was','for','on','with','as','at','by',
+                                           'it','this','that'], t)))::DOUBLE
+                       / greatest(len(str_split(nt, ' ')), 1) AS sraw,
+                     list_reduce(list_transform(str_split(nt, ' '),
+                                                t -> length(t)::DOUBLE),
+                                 (a, b) -> a + b)
+                       / greatest(len(str_split(nt, ' ')), 1) AS mraw
+              FROM n)
+            SELECT doc_id, n_tokens,
+                   round(praw, 6) AS punct_ratio,
+                   round(sraw, 6) AS stopword_ratio,
+                   round(mraw, 6) AS mean_word_len,
+                   round(least(n_tokens / 50.0, 1.0) * 0.4
+                         + (CASE WHEN mraw >= 3 AND mraw <= 10 THEN 1.0 ELSE 0.5 END) * 0.3
+                         + (1.0 - least(praw * 5, 1.0)) * 0.3, 6) AS quality
+            FROM base
+        """,
+        "text_langid": _langid_oracle(),
+        "similarity_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
+                       FROM embeddings WHERE vec_id < 8),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     list_dot_product(q.q_vec::DOUBLE[], e.embedding::DOUBLE[])
+                       / (sqrt(list_dot_product(q.q_vec::DOUBLE[], q.q_vec::DOUBLE[]))
+                          * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                  e.embedding::DOUBLE[]))) AS cosine
+              FROM embeddings e, q WHERE e.vec_id != q.query_id),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "dedup_minhash_lsh": _minhash_oracle(),
+        "dedup_ngram_jaccard": _jaccard_oracle(),
+        "dedup_simhash": _simhash_oracle(),
+    }
+
+
+def _langid_oracle() -> str:
+    from vanus_spark.llm.textstats import LANG_MARKERS
+
+    norm = _NORM.format(c="text")
+    padded = f"' ' || {norm} || ' '"
+    score_exprs = []
+    for lang in sorted(LANG_MARKERS):
+        parts = [
+            f"((length(p) - length(replace(p, '{m}', ''))) / {len(m)})::BIGINT"
+            for m in LANG_MARKERS[lang]
+        ]
+        score_exprs.append(f"({' + '.join(parts)}) AS s_{lang}")
+    langs = sorted(LANG_MARKERS)
+    # fold argmax in the same fixed order as the Spark side
+    best = "'und'"
+    best_score = "0::BIGINT"
+    for lang in langs:
+        best = f"CASE WHEN s_{lang} > {best_score} THEN '{lang}' ELSE {best} END"
+        best_score = f"CASE WHEN s_{lang} > {best_score} THEN s_{lang} ELSE {best_score} END"
+    return f"""
+        WITH p AS (SELECT doc_id, {padded} AS p FROM documents),
+        scores AS (SELECT doc_id, {', '.join(score_exprs)} FROM p)
+        SELECT doc_id, {best} AS lang_pred FROM scores
     """
-    return {}
+
+
+def _shingle_sql(norm: str = "nt", n: int = 3) -> str:
+    """DuckDB expr: distinct word n-gram shingles of a normalized text
+    column (mirrors vanus_spark.llm.dedup.shingles)."""
+    return f"""
+        list_distinct(list_transform(
+            generate_series(1, greatest(len(str_split({norm}, ' ')) - {n - 1}, 1)),
+            i -> array_to_string(str_split({norm}, ' ')[i:i+{n - 1}], ' ')))
+    """
+
+
+def _minhash_oracle() -> str:
+    """MinHash LSH pairs in SQL: same md5-derived hash family
+    (('0x'||substr(md5(seed|shingle),1,15))::BIGINT == Spark's
+    conv(substr(md5(...),1,15),16,10))."""
+    norm = _NORM.format(c="text")
+    mins = ", ".join(
+        f"list_min(list_transform(sh, s -> ('0x' || substr(md5('{i}|' || s), 1, 15))::BIGINT)) AS h{i}"
+        for i in range(16)
+    )
+    bands = ", ".join(
+        "md5(" + " || '_' || ".join(f"h{b * 2 + j}::VARCHAR" for j in range(2)) + f") AS band_{b}"
+        for b in range(8)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, band_{b} AS band_key FROM banded" for b in range(8)
+    )
+    return f"""
+        WITH n AS (SELECT doc_id, {norm} AS nt FROM documents),
+        sh AS (SELECT doc_id, {_shingle_sql()} AS sh FROM n),
+        sig AS (SELECT doc_id, {mins} FROM sh),
+        banded AS (SELECT doc_id, {bands} FROM sig),
+        buckets AS ({band_rows})
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM buckets l JOIN buckets r
+          ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+    """
+
+
+def _jaccard_oracle() -> str:
+    norm = _NORM.format(c="text")
+    return f"""
+        WITH n AS (SELECT doc_id, {norm} AS nt FROM documents),
+        sh AS (SELECT doc_id, {_shingle_sql()} AS sh FROM n),
+        mins AS (SELECT doc_id, {', '.join(
+            f"list_min(list_transform(sh, s -> ('0x' || substr(md5('{i}|' || s), 1, 15))::BIGINT)) AS h{i}"
+            for i in range(16)
+        )} FROM sh),
+        banded AS (SELECT doc_id, {', '.join(
+            "md5(" + " || '_' || ".join(f"h{b * 2 + j}::VARCHAR" for j in range(2)) + f") AS band_{b}"
+            for b in range(8)
+        )} FROM mins),
+        buckets AS ({' UNION ALL '.join(
+            f"SELECT doc_id, {b} AS band, band_{b} AS band_key FROM banded" for b in range(8)
+        )}),
+        pairs AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM buckets l JOIN buckets r
+            ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id)
+        SELECT p.id_a, p.id_b,
+               round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                     / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        FROM pairs p
+        JOIN sh a ON p.id_a = a.doc_id
+        JOIN sh b ON p.id_b = b.doc_id
+    """
+
+
+def _simhash_oracle() -> str:
+    norm = _NORM.format(c="text")
+    bit_terms = " + ".join(
+        f"""CASE WHEN len(list_filter(h, x -> (x // {1 << i}) % 2 = 1)) * 2 > len(h)
+             THEN {1 << i}::BIGINT ELSE 0 END"""
+        for i in range(16)
+    )
+    return f"""
+        WITH n AS (SELECT doc_id, {norm} AS nt FROM documents),
+        toks AS (SELECT doc_id, list_distinct(str_split(nt, ' ')) AS t FROM n),
+        hashed AS (SELECT doc_id,
+                          list_transform(t, s -> ('0x' || substr(md5('0|' || s), 1, 15))::BIGINT)
+                            AS h
+                   FROM toks)
+        SELECT doc_id, ({bit_terms}) AS fingerprint FROM hashed
+    """

@@ -109,8 +109,9 @@ def math_mul(*cols: Column) -> Column:
 
 def math_div(a: Column, b: Column) -> Column:
     """Division by zero errors in the reference (action skipped);
-    NULL is the compiled-plan skip marker, which Spark gives us free."""
-    return a.cast("double") / b.cast("double")
+    NULL is the compiled-plan skip marker. try_divide keeps that
+    semantics under ANSI mode (Spark 4 default) too."""
+    return F.try_divide(a.cast("double"), b.cast("double"))
 
 
 # ---------------------------------------------------------------------------
@@ -192,27 +193,29 @@ def replace_between_positions(c: Column, start: int, end: int, value: str) -> Co
 
 def replace_between_delimiters(c: Column, sd: str, ed: str, value: str) -> Column:
     """First-match replacement between delimiters; missing delimiter =>
-    error (NULL) (reference: strings_functions.go:123-147)."""
+    error (NULL) (reference: strings_functions.go:123-147).
+    F.locate only takes a literal start position, so the second search
+    runs on the tail substring instead."""
     start_idx = F.locate(sd, c)  # 1-based, 0 = absent
-    search_from = start_idx + len(sd)
-    end_idx = F.locate(ed, c, search_from)
-    ok = (start_idx > 0) & (end_idx > 0)
+    tail = c.substr(start_idx + len(sd), F.length(c))  # after start delim
+    end_rel = F.locate(ed, tail)  # 1-based within tail
+    ok = (start_idx > 0) & (end_rel > 0)
     return F.when(
         ok,
         F.concat(
             F.substring(c, 1, start_idx - 1),
             F.lit(value),
-            c.substr(end_idx + len(ed), F.length(c)),
+            tail.substr(end_rel + len(ed), F.length(c)),
         ),
     )
 
 
 def extract_between_delimiters(c: Column, sd: str, ed: str) -> Column:
     start_idx = F.locate(sd, c)
-    content_from = start_idx + len(sd)
-    end_idx = F.locate(ed, c, content_from)
-    ok = (start_idx > 0) & (end_idx > 0)
-    return F.when(ok, c.substr(content_from, end_idx - content_from))
+    tail = c.substr(start_idx + len(sd), F.length(c))
+    end_rel = F.locate(ed, tail)
+    ok = (start_idx > 0) & (end_rel > 0)
+    return F.when(ok, tail.substr(F.lit(1), end_rel - 1))
 
 
 def extract_between_positions(c: Column, start: int, end: int) -> Column:
