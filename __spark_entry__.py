@@ -450,6 +450,124 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", simhash(F.col("text"), bits=16).alias("fingerprint"))
 
 
+def q_similarity_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vanus_spark.llm.similarity import embedding_near_dup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup(emb, threshold=0.5, n_planes=6).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def q_similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vanus_spark.llm.similarity import lsh_ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    return lsh_ann(emb, queries, k=5, n_planes=6).select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def q_transform_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INTERPRETED transformer (mapInPandas path) against a SQL
+    oracle: MATH_MUL on value, CONDITION_IF flag, UPPER_CASE on a
+    created attr-derived field."""
+    from vanus_spark.transformer import transform_dataframe
+
+    ce = _cloudevents(spark, sf_dir)
+    spec = {
+        "pipeline": [
+            ["MATH_MUL", "$.data.value", "$.data.value", 100],
+            ["CONDITION_IF", "$.data.flag", "$.data.value", ">=", 5000, "hi", "lo"],
+            ["DUPLICATE", "$.type", "$.data.etype"],
+            ["UPPER_CASE", "$.data.etype"],
+        ]
+    }
+    out = transform_dataframe(ce, spec)
+    return out.where(~F.col("transform_error")).select(
+        F.col("id").cast("long").alias("event_id"),
+        F.round(F.get_json_object("data", "$.value").cast("double"), 6).alias("cents"),
+        F.get_json_object("data", "$.flag").alias("flag"),
+        F.get_json_object("data", "$.etype").alias("etype"),
+    )
+
+
+def q_dlq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DeliveryLoop batch-replay: purchase events whose
+    user_id % 5 == 0 get a 404 sink -> DLQ with Response404; the rest
+    deliver. Returns the dead-letter set."""
+    import datetime as dt
+
+    from vanus_spark.streaming.runner import DeliveryLoop
+    from vanus_spark.subscription import Subscription
+
+    sub = Subscription.from_spec({"filters": [{"exact": {"type": "purchase"}}]})
+
+    def sink(rows):
+        return [404 if int(r["attributes"]["partitionkey"]) % 5 == 0 else 200 for r in rows]
+
+    loop = DeliveryLoop(spark, sub, sink, "sub-oracle")
+    loop.process_batch(_cloudevents(spark, sf_dir), dt.datetime(2024, 6, 1, 12, 0, 0))
+    return loop.dead.select(
+        F.col("id").cast("long").alias("event_id"),
+        F.col("attributes").getItem("xvanusdlreason").alias("dl_reason"),
+    )
+
+
+def q_dlq_resend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ResendDeadLetterEvent strips DLQ attrs (deadletter.go:156-263)."""
+    import datetime as dt
+
+    from vanus_spark.delivery import resend_dead_letter
+    from vanus_spark.streaming.runner import DeliveryLoop
+    from vanus_spark.subscription import Subscription
+
+    sub = Subscription.from_spec({"filters": [{"exact": {"type": "error"}}]})
+    loop = DeliveryLoop(spark, sub, lambda rows: [404] * len(rows), "sub-oracle")
+    loop.process_batch(_cloudevents(spark, sf_dir), dt.datetime(2024, 6, 1, 12, 0, 0))
+    resent = resend_dead_letter(loop.dead)
+    return resent.select(
+        F.col("id").cast("long").alias("event_id"),
+        F.array_join(F.array_sort(F.map_keys("attributes")), ",").alias("attr_keys"),
+    )
+
+
+def q_cesql_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CESQL built-in function surface: LENGTH/CONCAT/UPPER/SUBSTRING/
+    LEFT/RIGHT/ABS in one projection query."""
+    from vanus_spark.cesql import cesql_expr_column
+    from vanus_spark.filters import compile_filter
+
+    ce = _cloudevents(spark, sf_dir)
+    return ce.where(
+        compile_filter({"ce_sql": "LENGTH(type) >= 5 AND UPPER(LEFT(type, 2)) != 'ER'"})
+    ).select(
+        F.col("id").cast("long").alias("event_id"),
+        cesql_expr_column("CONCAT(type, ':', RIGHT(type, 2))").alias("concat_r"),
+        cesql_expr_column("SUBSTRING(type, 2, 3)").alias("substr_r"),
+        cesql_expr_column("ABS(0 - LENGTH(type))").cast("long").alias("abs_len"),
+    )
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing over synthesized binary media. The stub
+    decoder is deterministic (md5-derived), so even this has an
+    oracle: width/height from the content digest."""
+    from vanus_spark.llm.multimodal import (
+        attach_image_metadata,
+        decode_images,
+        synthesize_media_from_documents,
+    )
+
+    media = synthesize_media_from_documents(_t(spark, sf_dir, "documents"))
+    meta = attach_image_metadata(media).select(
+        "media_id", F.col("meta.n_bytes").alias("n_bytes"), F.col("meta.format").alias("format")
+    )
+    decoded = decode_images(media).select("media_id", "width", "height")
+    return meta.join(decoded, "media_id")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -503,6 +621,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "events_windowed_agg": q_events_windowed_agg,
         "events_sessionize": q_events_sessionize,
+        # transformer interpreter + streaming replay + cesql functions
+        "transform_pipeline_e2e": q_transform_pipeline_e2e,
+        "dlq_replay": q_dlq_replay,
+        "dlq_resend": q_dlq_resend,
+        "cesql_functions": q_cesql_functions,
         # llm pipeline
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -512,6 +635,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
         "similarity_topk": q_similarity_topk,
+        "similarity_neardup_embedding": q_similarity_neardup_embedding,
+        "similarity_lsh_ann": q_similarity_lsh_ann,
+        "multimodal_decode": q_multimodal_decode,
     }
 
 
@@ -813,7 +939,93 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_ngram_jaccard": _jaccard_oracle(),
         "dedup_simhash": _simhash_oracle(),
+        "transform_pipeline_e2e": """
+            SELECT event_id,
+                   round(value * 100, 6) AS cents,
+                   CASE WHEN value * 100 >= 5000 THEN 'hi' ELSE 'lo' END AS flag,
+                   upper(event_type) AS etype
+            FROM events
+        """,
+        "dlq_replay": """
+            SELECT event_id, 'Response404' AS dl_reason FROM events
+            WHERE event_type = 'purchase' AND user_id % 5 = 0
+        """,
+        "dlq_resend": """
+            SELECT event_id, 'partitionkey,xvanussubid' AS attr_keys FROM events
+            WHERE event_type = 'error'
+        """,
+        "cesql_functions": """
+            SELECT event_id,
+                   event_type || ':' || right(event_type, 2) AS concat_r,
+                   substr(event_type, 2, 3) AS substr_r,
+                   abs(0 - length(event_type))::BIGINT AS abs_len
+            FROM events
+            WHERE length(event_type) >= 5
+              AND upper(left(event_type, 2)) != 'ER'
+        """,
+        "similarity_neardup_embedding": _embedding_neardup_oracle(),
+        "similarity_lsh_ann": _lsh_ann_oracle(),
+        "multimodal_decode": """
+            SELECT doc_id AS media_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   'unknown' AS format,
+                   64 + ('0x' || substr(md5(text), 1, 2))::INTEGER % 192 AS width,
+                   64 + ('0x' || substr(md5(text), 3, 2))::INTEGER % 192 AS height
+            FROM documents
+        """,
     }
+
+
+def _planes_bucket_sql(vec_expr: str, n_planes: int = 6, dim: int = 64) -> str:
+    """LSH bucket expression with the SAME hyperplanes as
+    vanus_spark.llm.similarity.random_hyperplanes(dim, n, seed=42),
+    inlined as SQL literals."""
+    from vanus_spark.llm.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(dim, n_planes, 42)
+    bits = [
+        f"(CASE WHEN list_dot_product({vec_expr}::DOUBLE[], "
+        f"[{', '.join(repr(x) for x in plane)}]) >= 0 THEN '1' ELSE '0' END)"
+        for plane in planes
+    ]
+    return " || ".join(bits)
+
+
+_COSINE_SQL = (
+    "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+    "(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+    "sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+)
+
+
+def _embedding_neardup_oracle() -> str:
+    bucket = _planes_bucket_sql("embedding")
+    cos = _COSINE_SQL.format(a="a.embedding", b="b.embedding")
+    return f"""
+        WITH signed AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cosine
+        FROM signed a JOIN signed b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {cos} >= 0.5
+    """
+
+
+def _lsh_ann_oracle() -> str:
+    bucket = _planes_bucket_sql("embedding")
+    cos = _COSINE_SQL.format(a="q.embedding", b="c.embedding")
+    return f"""
+        WITH signed AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+        q AS (SELECT * FROM signed WHERE vec_id < 8),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cosine
+          FROM signed c JOIN q ON c.bucket = q.bucket AND c.vec_id != q.vec_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+        FROM ranked WHERE rank <= 5
+    """
 
 
 def _langid_oracle() -> str:
@@ -852,14 +1064,18 @@ def _shingle_sql(norm: str = "nt", n: int = 3) -> str:
     """
 
 
-def _minhash_oracle() -> str:
-    """MinHash LSH pairs in SQL: same md5-derived hash family
-    (('0x'||substr(md5(seed|shingle),1,15))::BIGINT == Spark's
-    conv(substr(md5(...),1,15),16,10))."""
+def _minhash_cte() -> str:
+    """Shared CTE chain: normalized text -> shingles -> universal-hash
+    minhash signature -> LSH band buckets (mirrors
+    vanus_spark.llm.dedup.minhash_signatures_df/minhash_lsh_buckets:
+    base = ('0x'||substr(md5('0|'||s),1,15))::BIGINT % p, then
+    h_i = (a_i*base + b_i) % p with the same coefficient family)."""
+    from vanus_spark.llm.dedup import MINHASH_P, minhash_coeffs
+
     norm = _NORM.format(c="text")
+    coeffs = minhash_coeffs(16)
     mins = ", ".join(
-        f"list_min(list_transform(sh, s -> ('0x' || substr(md5('{i}|' || s), 1, 15))::BIGINT)) AS h{i}"
-        for i in range(16)
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS h{i}" for i, (a, b) in enumerate(coeffs)
     )
     bands = ", ".join(
         "md5(" + " || '_' || ".join(f"h{b * 2 + j}::VARCHAR" for j in range(2)) + f") AS band_{b}"
@@ -869,11 +1085,21 @@ def _minhash_oracle() -> str:
         f"SELECT doc_id, {b} AS band, band_{b} AS band_key FROM banded" for b in range(8)
     )
     return f"""
-        WITH n AS (SELECT doc_id, {norm} AS nt FROM documents),
+        n AS (SELECT doc_id, {norm} AS nt FROM documents),
         sh AS (SELECT doc_id, {_shingle_sql()} AS sh FROM n),
-        sig AS (SELECT doc_id, {mins} FROM sh),
+        hashed AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5('0|' || u.s), 1, 15))::BIGINT % {MINHASH_P} AS h
+          FROM sh, unnest(sh.sh) AS u(s)),
+        sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
         banded AS (SELECT doc_id, {bands} FROM sig),
         buckets AS ({band_rows})
+    """
+
+
+def _minhash_oracle() -> str:
+    return f"""
+        WITH {_minhash_cte()}
         SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
         FROM buckets l JOIN buckets r
           ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
@@ -881,21 +1107,8 @@ def _minhash_oracle() -> str:
 
 
 def _jaccard_oracle() -> str:
-    norm = _NORM.format(c="text")
     return f"""
-        WITH n AS (SELECT doc_id, {norm} AS nt FROM documents),
-        sh AS (SELECT doc_id, {_shingle_sql()} AS sh FROM n),
-        mins AS (SELECT doc_id, {', '.join(
-            f"list_min(list_transform(sh, s -> ('0x' || substr(md5('{i}|' || s), 1, 15))::BIGINT)) AS h{i}"
-            for i in range(16)
-        )} FROM sh),
-        banded AS (SELECT doc_id, {', '.join(
-            "md5(" + " || '_' || ".join(f"h{b * 2 + j}::VARCHAR" for j in range(2)) + f") AS band_{b}"
-            for b in range(8)
-        )} FROM mins),
-        buckets AS ({' UNION ALL '.join(
-            f"SELECT doc_id, {b} AS band, band_{b} AS band_key FROM banded" for b in range(8)
-        )}),
+        WITH {_minhash_cte()},
         pairs AS (
           SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
           FROM buckets l JOIN buckets r

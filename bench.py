@@ -1,0 +1,81 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Queries are forced through a noop write so every output column is
+actually computed (count() would let Catalyst prune the projections).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("PYTHONPATH", os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "filter_exact",
+    "filter_cesql_like_in",
+    "filter_cel_data",
+    "action_math",
+    "action_strings_extract",
+    "action_datetime",
+    "template_render",
+    "bus_offset_by_time",
+    "delivery_routing",
+    "tpch_q1_pricing",
+    "join_revenue_by_region",
+    "events_sessionize",
+    "events_windowed_agg",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_stats",
+    "text_langid",
+    "similarity_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as entry_mod
+    from vanus_spark.session import get_spark
+
+    spark = get_spark("vanus_spark_bench")
+    qs = entry_mod.queries()
+
+    def force(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    # JVM + parquet-footer warmup (not measured)
+    qs["filter_exact"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        force(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -335,10 +335,17 @@ def _call_function(name: str, args: list[tuple[Column, str]]) -> tuple[Column, s
 
 
 def cesql_to_column(expression: str) -> Column:
-    """Compile a CESQL expression to a boolean Column.
+    """Compile a CESQL expression to a boolean Column (filter use).
 
     Eval errors fail the filter, never raise (reference:
     cesql_filter.go:55-63) — the caller wraps with coalesce(p, false).
     """
     col, tag = _Parser(tokenize(expression)).parse()
     return _as_bool(col, tag)
+
+
+def cesql_expr_column(expression: str) -> Column:
+    """Compile a CESQL expression to its natural-typed Column (for
+    projections — no boolean coercion)."""
+    col, _tag = _Parser(tokenize(expression)).parse()
+    return col

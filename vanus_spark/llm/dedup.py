@@ -82,18 +82,61 @@ def exact_dedup_rows(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+# Universal-hash permutation family: h_i(x) = (a_i*x + b_i) mod p over
+# a 31-bit base hash. ONE md5 per shingle; permutations are arithmetic.
+# p Mersenne prime keeps products inside signed-64 (no ANSI overflow).
+MINHASH_P = 2_147_483_647  # 2^31 - 1
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs, odd a, engine-portable."""
+    return [(2 * i + 1, (i * i + i + 7) % MINHASH_P) for i in range(num_hashes)]
+
+
+def minhash_base_hash(c: Column) -> Column:
+    """31-bit base hash of a shingle string (md5-derived, portable)."""
+    return md5_long(c) % MINHASH_P
+
+
 def minhash_signature(c: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
-    """Array of `num_hashes` minhashes over word shingles. Each
-    permutation is an independent md5-seeded hash; min() over the
-    shingle set approximates the Jaccard kernel."""
-    sh = shingles(c, shingle_n)
+    """Array of `num_hashes` minhashes over word shingles. The base
+    md5 hash is computed once per shingle; each permutation is
+    (a_i*h + b_i) mod p — 16 array_mins over one hashed array."""
+    base = F.transform(shingles(c, shingle_n), lambda s: minhash_base_hash(s))
 
-    def perm_min(seed):
-        # closure, NOT a defaulted lambda param (which PySpark would
-        # interpret as an (element, index) two-arg lambda)
-        return F.array_min(F.transform(sh, lambda s: md5_long(s, seed=seed)))
+    def perm_min(a, b):
+        return F.array_min(
+            F.transform(base, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P))
+        )
 
-    return F.array(*[perm_min(i) for i in range(num_hashes)])
+    return F.array(*[perm_min(a, b) for a, b in minhash_coeffs(num_hashes)])
+
+
+def minhash_signatures_df(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig array<long>) via explode -> ONE base hash per shingle
+    -> groupBy(id) with 16 min aggregates. The explode materializes
+    each shingle hash exactly once (no expression re-evaluation), and
+    min() partial-aggregates map-side, so the shuffle is #docs ×
+    num_hashes longs regardless of document length — the shape that
+    survives 100 TB."""
+    exploded = docs.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    ).select(F.col(id_col), minhash_base_hash(F.col("shingle")).alias("h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    ]
+    sig = exploded.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def minhash_lsh_buckets(
@@ -107,8 +150,7 @@ def minhash_lsh_buckets(
     """(id, band, band_key) — docs sharing a band_key are candidates.
     rows = #docs × bands (narrow); the join key is the band digest."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig")
-    with_sig = docs.select(F.col(id_col), sig)
+    with_sig = minhash_signatures_df(docs, text_col, id_col, num_hashes, shingle_n)
     bands_col = F.array(
         *[
             F.struct(
