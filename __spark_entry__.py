@@ -568,6 +568,131 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.join(decoded, "media_id")
 
 
+def q_action_structs_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct actions through the interpreter: CREATE / DUPLICATE /
+    RENAME / MOVE / DELETE with create-must-not-exist semantics."""
+    from vanus_spark.transformer import transform_dataframe
+
+    ce = _cloudevents(spark, sf_dir)
+    spec = {
+        "pipeline": [
+            ["CREATE", "$.data.tag", "fresh"],
+            ["CREATE", "$.data.tag", "overwritten"],      # key exists -> skipped
+            ["DUPLICATE", "$.data.user_id", "$.data.uid_copy"],
+            ["RENAME", "$.data.props", "$.data.p"],
+            ["MOVE", "$.data.uid_copy", "$.data.meta.uid"],
+            ["DELETE", "$.data.value"],
+        ]
+    }
+    out = transform_dataframe(ce, spec)
+    return out.select(
+        F.col("id").cast("long").alias("event_id"),
+        F.get_json_object("data", "$.tag").alias("tag"),
+        F.get_json_object("data", "$.meta.uid").cast("long").alias("meta_uid"),
+        F.get_json_object("data", "$.p.k").cast("long").alias("p_k"),
+        F.get_json_object("data", "$.value").alias("deleted_value"),
+        F.get_json_object("data", "$.uid_copy").alias("moved_away"),
+    )
+
+
+def q_action_array_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array actions through the interpreter: SPLIT_WITH_DELIMITER ->
+    UNFOLD_ARRAY -> LENGTH -> JOIN over the event_type characters."""
+    from vanus_spark.transformer import transform_dataframe
+
+    ce = _cloudevents(spark, sf_dir)
+    spec = {
+        "define": {"t": "$.type"},
+        "pipeline": [
+            ["CREATE", "$.data.s", "<t>"],
+            ["SPLIT_WITH_DELIMITER", "$.data.s", "u", "$.data.parts"],
+            ["LENGTH", "$.data.n_parts", "$.data.parts"],
+            ["UNFOLD_ARRAY", "$.data.parts", "$.data.part"],
+            ["JOIN", "$.data.rejoined", "|", "$.data.parts"],
+        ]
+    }
+    out = transform_dataframe(ce, spec)
+    return out.select(
+        F.col("id").cast("long").alias("event_id"),
+        F.get_json_object("data", "$.n_parts").cast("long").alias("n_parts"),
+        F.get_json_object("data", "$.part-0").alias("part0"),
+        F.get_json_object("data", "$.rejoined").alias("rejoined"),
+    )
+
+
+def q_action_regex_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vanus_spark.functions import scalars as vf
+
+    docs = _t(spark, sf_dir, "documents")
+    src = F.substring("text", 1, 24)
+    return docs.select(
+        "doc_id",
+        vf.replace_with_regex(src, "[aeiou]", "_").alias("regex_r"),
+        vf.replace_between_positions(src, 2, 6, "XX").alias("repl_pos"),
+        F.slice(vf.split_literal(src, " "), 1, 3).alias("first3"),
+    )
+
+
+def q_action_convert_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT_TIMEZONE default format Y-m-d H:i:s, UTC -> EST
+    (reference: datatime_functions.go:70-99)."""
+    from vanus_spark.functions import scalars as vf
+
+    li = _t(spark, sf_dir, "lineitem").limit(5000)
+    as_str = F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        vf.convert_timezone(as_str, "UTC", "EST").alias("est_r"),
+        vf.convert_timezone(as_str, "UTC", "Asia/Shanghai").alias("cst_r"),
+    )
+
+
+def q_template_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON output template through the interpreter
+    (reference: pkg/template/json)."""
+    from vanus_spark.transformer import transform_dataframe
+
+    ce = _cloudevents(spark, sf_dir)
+    spec = {
+        "define": {"u": "$.data.user_id"},
+        "template": '{"uid":<u>,"etype":"<type>","k":<$.data.props.k>}',
+    }
+    out = transform_dataframe(ce, spec)
+    return out.select(
+        F.col("id").cast("long").alias("event_id"),
+        F.col("data").alias("rendered"),
+        F.col("datacontenttype").alias("content_type"),
+    )
+
+
+def q_debezium_mongo_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium CDC -> MongoDB sink command adapter
+    (reference: convert_to_mongodb_sink.go:33-113). Op derives from
+    event_id: r/c -> insert, u -> update (unique key stripped),
+    d -> delete."""
+    from vanus_spark.transformer import transform_dataframe
+
+    ce = _cloudevents(spark, sf_dir)
+    op = F.element_at(
+        F.array(F.lit("r"), F.lit("c"), F.lit("u"), F.lit("d")),
+        (F.col("id").cast("long") % 4 + 1).cast("int"),
+    )
+    with_op = ce.withColumn(
+        "attributes", F.map_concat("attributes", F.create_map(F.lit("iodebeziumop"), op))
+    )
+    spec = {"pipeline": [["DEBEZIUM_CONVERT_TO_MONGODB_SINK", "user_id", "$.data.user_id"]]}
+    out = transform_dataframe(with_op, spec)
+    return out.where(~F.col("transform_error")).select(
+        F.col("id").cast("long").alias("event_id"),
+        F.col("attributes").getItem("iodebeziumop").alias("op"),
+        F.get_json_object("data", "$.inserts[0].user_id").cast("long").alias("ins_uid"),
+        F.get_json_object("data", "$.updates[0].filter.user_id").cast("long").alias("upd_uid"),
+        F.get_json_object("data", "$.updates[0].update.$set.value").cast("double").alias("upd_value"),
+        F.get_json_object("data", "$.deletes[0].filter.user_id").cast("long").alias("del_uid"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -623,6 +748,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         # transformer interpreter + streaming replay + cesql functions
         "transform_pipeline_e2e": q_transform_pipeline_e2e,
+        "action_structs_e2e": q_action_structs_e2e,
+        "action_array_e2e": q_action_array_e2e,
+        "action_regex_splits": q_action_regex_splits,
+        "action_convert_timezone": q_action_convert_timezone,
+        "template_json": q_template_json,
+        "debezium_mongo_sink": q_debezium_mongo_sink,
         "dlq_replay": q_dlq_replay,
         "dlq_resend": q_dlq_resend,
         "cesql_functions": q_cesql_functions,
@@ -945,6 +1076,57 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN value * 100 >= 5000 THEN 'hi' ELSE 'lo' END AS flag,
                    upper(event_type) AS etype
             FROM events
+        """,
+        "action_structs_e2e": """
+            SELECT event_id,
+                   'fresh' AS tag,
+                   user_id AS meta_uid,
+                   json_extract_string(props, '$.k')::BIGINT AS p_k,
+                   NULL::VARCHAR AS deleted_value,
+                   NULL::VARCHAR AS moved_away
+            FROM events
+        """,
+        "action_array_e2e": """
+            WITH s AS (SELECT event_id, str_split(event_type, 'u') AS parts FROM events)
+            SELECT event_id,
+                   len(parts)::BIGINT AS n_parts,
+                   parts[1] AS part0,
+                   array_to_string(parts, '|') AS rejoined
+            FROM s
+        """,
+        "action_regex_splits": """
+            WITH s AS (SELECT doc_id, substr(text, 1, 24) AS src FROM documents)
+            SELECT doc_id,
+                   regexp_replace(src, '[aeiou]', '_', 'g') AS regex_r,
+                   CASE WHEN 2 < length(src) AND 6 < length(src)
+                        THEN substr(src, 1, 2) || 'XX' || substr(src, 7)
+                        END AS repl_pos,
+                   str_split(src, ' ')[1:3] AS first3
+            FROM s
+        """,
+        "action_convert_timezone": """
+            SELECT l_orderkey, l_linenumber,
+                   strftime(l_shipdate - INTERVAL 5 HOUR, '%Y-%m-%d %H:%M:%S') AS est_r,
+                   strftime(l_shipdate + INTERVAL 8 HOUR, '%Y-%m-%d %H:%M:%S') AS cst_r
+            FROM lineitem LIMIT 5000
+        """,
+        "template_json": """
+            SELECT event_id,
+                   '{"uid":' || user_id::VARCHAR || ',"etype":"' || event_type
+                     || '","k":' || json_extract_string(props, '$.k') || '}' AS rendered,
+                   'application/json' AS content_type
+            FROM events
+        """,
+        "debezium_mongo_sink": """
+            WITH s AS (
+              SELECT *, (['r','c','u','d'])[(event_id % 4 + 1)::INTEGER] AS op
+              FROM events)
+            SELECT event_id, op,
+                   CASE WHEN op IN ('r','c') THEN user_id END AS ins_uid,
+                   CASE WHEN op = 'u' THEN user_id END AS upd_uid,
+                   CASE WHEN op = 'u' THEN value END AS upd_value,
+                   CASE WHEN op = 'd' THEN user_id END AS del_uid
+            FROM s
         """,
         "dlq_replay": """
             SELECT event_id, 'Response404' AS dl_reason FROM events
