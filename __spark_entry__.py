@@ -409,10 +409,9 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vanus_spark.llm.textstats import lang_id
+    from vanus_spark.llm.textstats import lang_id_df
 
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+    return lang_id_df(_t(spark, sf_dir, "documents"))
 
 
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -444,10 +443,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vanus_spark.llm.dedup import simhash
+    from vanus_spark.llm.dedup import simhash_df
 
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash(F.col("text"), bits=16).alias("fingerprint"))
+    return simhash_df(_t(spark, sf_dir, "documents"), bits=16)
 
 
 def q_similarity_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -566,6 +564,71 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     decoded = decode_images(media).select("media_id", "width", "height")
     return meta.join(decoded, "media_id")
+
+
+def q_action_render_foreach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY_FOREACH (nested action per element) + RENDER_ARRAY
+    (per-element template) through the interpreter."""
+    from vanus_spark.transformer import transform_dataframe
+
+    ce = _cloudevents(spark, sf_dir)
+    with_arr = ce.withColumn(
+        "data",
+        F.to_json(
+            F.struct(
+                F.array(
+                    F.struct(F.col("type").alias("n")),
+                    F.struct(F.col("attributes").getItem("partitionkey").alias("n")),
+                ).alias("users")
+            )
+        ),
+    )
+    spec = {
+        "pipeline": [
+            ["ARRAY_FOREACH", "$.data.users", ["UPPER_CASE", "$.data.n"]],
+            ["RENDER_ARRAY", "$.data.tags", "$.data.users", "n=<@.n>;"],
+        ]
+    }
+    out = transform_dataframe(with_arr, spec)
+    return out.select(
+        F.col("id").cast("long").alias("event_id"),
+        F.get_json_object("data", "$.users[0].n").alias("u0"),
+        F.get_json_object("data", "$.users[1].n").alias("u1"),
+        F.get_json_object("data", "$.tags[0]").alias("tag0"),
+        F.get_json_object("data", "$.tags[1]").alias("tag1"),
+    )
+
+
+def q_publish_roundrobin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publish write policy: round-robin eventlog assignment
+    (reference: client/pkg/policy/policy.go:25-57)."""
+    from vanus_spark.bus import publish_round_robin
+
+    return publish_round_robin(_events(spark, sf_dir)).select("event_id", "eventlog")
+
+
+def q_retry_refilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retry-bus re-filter: redelivered events must match sub id and
+    re-pass the filter (reference: trigger.go:256-302)."""
+    from vanus_spark.delivery import refilter_retry_events
+    from vanus_spark.filters import compile_filter
+
+    ce = _cloudevents(spark, sf_dir)
+    # synthesize a retry bus: alternate events belong to sub-a / sub-b
+    retry_bus = ce.withColumn(
+        "attributes",
+        F.map_concat(
+            "attributes",
+            F.create_map(
+                F.lit("xvanussubid"),
+                F.when(F.col("id").cast("long") % 2 == 0, "sub-a").otherwise("sub-b"),
+            ),
+        ),
+    )
+    out = refilter_retry_events(
+        retry_bus, "sub-a", compile_filter({"exact": {"type": "purchase"}})
+    )
+    return out.select(F.col("id").cast("long").alias("event_id"))
 
 
 def q_action_structs_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -748,6 +811,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         # transformer interpreter + streaming replay + cesql functions
         "transform_pipeline_e2e": q_transform_pipeline_e2e,
+        "action_render_foreach": q_action_render_foreach,
+        "publish_roundrobin": q_publish_roundrobin,
+        "retry_refilter": q_retry_refilter,
         "action_structs_e2e": q_action_structs_e2e,
         "action_array_e2e": q_action_array_e2e,
         "action_regex_splits": q_action_regex_splits,
@@ -1076,6 +1142,23 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN value * 100 >= 5000 THEN 'hi' ELSE 'lo' END AS flag,
                    upper(event_type) AS etype
             FROM events
+        """,
+        "action_render_foreach": """
+            SELECT event_id,
+                   upper(event_type) AS u0,
+                   user_id::VARCHAR AS u1,
+                   'n=' || upper(event_type) || ';' AS tag0,
+                   'n=' || user_id::VARCHAR || ';' AS tag1
+            FROM events
+        """,
+        "publish_roundrobin": """
+            SELECT event_id,
+                   (row_number() OVER (ORDER BY event_id) - 1) % 4 AS eventlog
+            FROM events
+        """,
+        "retry_refilter": """
+            SELECT event_id FROM events
+            WHERE event_id % 2 = 0 AND event_type = 'purchase'
         """,
         "action_structs_e2e": """
             SELECT event_id,

@@ -37,6 +37,29 @@ def assign_addresses(events: DataFrame, n_logs: int = 4) -> DataFrame:
     ).withColumn("offset", (F.row_number().over(w) - 1).cast("long"))
 
 
+def publish_round_robin(events: DataFrame, n_logs: int = 4, order_col: str = "event_id") -> DataFrame:
+    """Publish-path write policy: round-robin eventlog assignment
+    (reference: client/pkg/policy/policy.go:25-57 — a per-writer
+    monotonic counter mod #logs; deterministically reproduced here as
+    arrival order mod #logs).
+
+    NOTE the global row_number exists only to make the tiny test
+    fixture deterministic; at scale the writer assigns log ids at
+    ingest (per-task counters), which needs no global ordering."""
+    w = Window.orderBy(order_col)
+    return events.withColumn(
+        "eventlog", ((F.row_number().over(w) - 1) % n_logs).cast("long")
+    )
+
+
+def route_delayed_publish(envelope: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Publish gateway split: events carrying xvanusdeliverytime are
+    rerouted to the timer bus instead of their target bus
+    (reference: server/gateway/proxy/proxy.go:207-231)."""
+    delay = F.col("attributes").getItem("xvanusdeliverytime")
+    return envelope.where(delay.isNull()), envelope.where(delay.isNotNull())
+
+
 def get_event(bus: DataFrame, eventlog: int, offset: int, number: int = 1) -> DataFrame:
     """GetEvent(eventbus, eventlog, offset, n)
     (reference: proxy.go:750-800; n capped server-side)."""

@@ -156,6 +156,18 @@ def route_failed_events(
     return retry_df, dead_df
 
 
+def refilter_retry_events(
+    retry: DataFrame, sub_id: str, filter_pred: Column
+) -> DataFrame:
+    """Retry-bus re-filter: redelivered events must match the
+    subscription id AND re-pass the subscription's filter
+    (reference: server/trigger/trigger/trigger.go:256-302)."""
+    return retry.where(
+        (F.col("attributes").getItem(ATTR_SUB_ID) == sub_id)
+        & F.coalesce(filter_pred, F.lit(False))
+    )
+
+
 def resend_dead_letter(dead: DataFrame) -> DataFrame:
     """ResendDeadLetterEvent strips the DLQ attrs and re-appends
     (reference: server/gateway/proxy/deadletter.go:156-263)."""

@@ -227,11 +227,38 @@ def simhash(c: Column, bits: int = 16) -> Column:
     return fingerprint
 
 
+def simhash_df(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """(id, fingerprint) via explode + partial-agg: ONE md5 per
+    distinct token, then per bit a conditional count aggregate
+    (bit i set iff set-count*2 > token-count). Same result as the
+    column-expression ``simhash`` but the token hash is computed once
+    instead of 2×bits times, and the shuffle is #docs × (bits+1)
+    counters — the 100 TB shape."""
+    toks = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
+    exploded = docs.select(
+        F.col(id_col), F.explode(toks).alias("tok")
+    ).select(F.col(id_col), md5_long(F.col("tok")).alias("h"))
+    aggs = [
+        F.count(F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1)).alias(f"c{i}")
+        for i in range(bits)
+    ] + [F.count("*").alias("n")]
+    counted = exploded.groupBy(id_col).agg(*aggs)
+    fingerprint = None
+    for i in range(bits):
+        term = F.when(
+            F.col(f"c{i}") * 2 > F.col("n"), F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return counted.select(F.col(id_col), fingerprint.alias("fingerprint"))
+
+
 def simhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
     """Group docs by identical simhash fingerprint (the hamming-radius
     expansion joins on fingerprint splits; radius 0 here)."""
     return (
-        docs.select(F.col(id_col), simhash(F.col(text_col), bits).alias("fingerprint"))
+        simhash_df(docs, text_col, id_col, bits)
         .groupBy("fingerprint")
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
     )

@@ -103,23 +103,22 @@ def quality_score(c: Column) -> Column:
 
 
 def lang_scores(c: Column) -> dict[str, Column]:
-    padded = F.concat(F.lit(" "), normalize_text(c), F.lit(" "))
+    """Marker-occurrence scores. ``c`` should be the PRE-NORMALIZED
+    padded text when called in bulk (see lang_id_df) — each marker
+    does a length+replace over it, so normalizing inline would
+    re-run the regexp per marker."""
     out = {}
     for lang, markers in LANG_MARKERS.items():
         score = None
         for m in markers:
-            occ = occurrences(padded, m)
+            occ = occurrences(c, m)
             score = occ if score is None else score + occ
         out[lang] = score
     return out
 
 
-def lang_id(c: Column) -> Column:
-    """Marker-count argmax language ID; 'und' when no marker hits.
-    Ties break by language code order (deterministic, matches the
-    SQL oracle's greatest-first CASE)."""
-    scores = lang_scores(c)
-    # argmax via chained when() in fixed lang order
+def _argmax_lang(scores: dict[str, Column]) -> Column:
+    # argmax via chained when() in fixed lang order; 'und' when 0 hits
     langs = sorted(scores)
     best = F.lit("und")
     best_score = F.lit(0).cast("long")
@@ -129,6 +128,28 @@ def lang_id(c: Column) -> Column:
         best = F.when(is_better, F.lit(lang)).otherwise(best)
         best_score = F.when(is_better, s).otherwise(best_score)
     return best
+
+
+def lang_id(c: Column) -> Column:
+    """Marker-count argmax language ID over raw text; convenient but
+    re-evaluates the normalize regexp per marker — prefer lang_id_df
+    for bulk scoring."""
+    padded = F.concat(F.lit(" "), normalize_text(c), F.lit(" "))
+    return _argmax_lang(lang_scores(padded))
+
+
+def lang_id_df(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Bulk language ID: the normalized padded text is materialized in
+    its own projection, so the regexp runs ONCE per row and the 25
+    marker counts + argmax run over the cached string. (Catalyst's
+    CollapseProject keeps the barrier because the expression is
+    non-cheap and multiply-referenced.) Also keeps each generated
+    expression under janino's 64KB codegen limit."""
+    padded = F.concat(F.lit(" "), normalize_text(F.col(text_col)), F.lit(" "))
+    staged = docs.select(F.col(id_col), padded.alias("_padded"))
+    return staged.select(
+        F.col(id_col), _argmax_lang(lang_scores(F.col("_padded"))).alias("lang_pred")
+    )
 
 
 def doc_fingerprint(c: Column) -> Column:

@@ -154,6 +154,10 @@ class DeliveryLoop:
             "status", "error"
         )
         failed = sent.where((F.col("status") < 200) | (F.col("status") >= 300))
+        if self.sub.ordered:
+            # ordered mode: a failed send never retries — straight to
+            # DLQ with reason OrderEvent (reference: trigger.go:427-434)
+            failed = failed.withColumn("status", F.lit(-1))
         retry, dead = route_failed_events(
             failed, self.sub_id, batch_time, self.sub.max_retry_attempts
         )
