@@ -376,6 +376,73 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (union-window composition): for each purchase, the
+    latest prior-or-same-instant signup of the same user."""
+    from vanus_spark.operators import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.where("event_type = 'purchase'").select("user_id", "ts", "event_id")
+    signups = ev.where("event_type = 'signup'").select(
+        "user_id", F.col("ts").alias("sts"), F.col("event_id").alias("signup_id")
+    )
+    out = asof_join(purchases, signups, "user_id", "ts", "sts", ["signup_id"])
+    return out.select("event_id", "asof_signup_id")
+
+
+def q_range_join_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range join: event pairs with |value diff| <= 0.25."""
+    from vanus_spark.operators import range_join_buckets
+
+    ev = _events(spark, sf_dir)
+    a = ev.where("event_id % 20 = 0").select(
+        F.col("event_id").alias("aid"), F.col("value").alias("av")
+    )
+    b = ev.where("event_id % 20 = 10").select(
+        F.col("event_id").alias("bid"), F.col("value").alias("bv")
+    )
+    out = range_join_buckets(a, b, "av", "bv", 0.25)
+    return out.select("aid", F.col("r_bid").alias("bid"))
+
+
+def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.min("value"), 6).alias("vmin"),
+        F.round(F.max("value"), 6).alias("vmax"),
+    )
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .rollup("event_type", "day")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+    )
+
+
+def q_events_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    purchasers = ev.where("event_type = 'purchase'").select("user_id").distinct()
+    erroring = ev.where("event_type = 'error'").select("user_id").distinct()
+    both = purchasers.intersect(erroring).withColumn("relation", F.lit("both"))
+    only_purch = purchasers.exceptAll(erroring).withColumn("relation", F.lit("purchase_only"))
+    return both.unionByName(only_purch)
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["purchase", "click", "error", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline queries
 # ---------------------------------------------------------------------------
@@ -809,6 +876,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "events_windowed_agg": q_events_windowed_agg,
         "events_sessionize": q_events_sessionize,
+        "asof_join_events": q_asof_join_events,
+        "range_join_values": q_range_join_values,
+        "events_percentiles": q_events_percentiles,
+        "events_rollup": q_events_rollup,
+        "events_setops": q_events_setops,
+        "events_pivot": q_events_pivot,
         # transformer interpreter + streaming replay + cesql functions
         "transform_pipeline_e2e": q_transform_pipeline_e2e,
         "action_render_foreach": q_action_render_foreach,
@@ -1079,6 +1152,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_seq, count(*) AS n_events,
                    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
             FROM sess GROUP BY user_id, session_seq
+        """,
+        "asof_join_events": """
+            WITH p AS (SELECT user_id, ts, event_id FROM events
+                       WHERE event_type = 'purchase'),
+                 s AS (SELECT user_id, ts AS sts, event_id AS signup_id FROM events
+                       WHERE event_type = 'signup')
+            SELECT p.event_id, s.signup_id AS asof_signup_id
+            FROM p ASOF LEFT JOIN s
+              ON p.user_id = s.user_id AND s.sts <= p.ts
+        """,
+        "range_join_values": """
+            SELECT a.event_id AS aid, b.event_id AS bid
+            FROM (SELECT * FROM events WHERE event_id % 20 = 0) a
+            JOIN (SELECT * FROM events WHERE event_id % 20 = 10) b
+              ON abs(a.value - b.value) <= 0.25
+        """,
+        "events_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   round(min(value), 6) AS vmin,
+                   round(max(value), 6) AS vmax
+            FROM events GROUP BY event_type
+        """,
+        "events_rollup": """
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                   count(*) AS n, round(sum(value), 4) AS total
+            FROM events GROUP BY ROLLUP (event_type, day)
+        """,
+        "events_setops": """
+            WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+                 e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+            SELECT user_id, 'both' AS relation
+            FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM e)
+            UNION ALL
+            SELECT user_id, 'purchase_only' AS relation
+            FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM e)
+        """,
+        "events_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'purchase') AS purchase,
+                   count(*) FILTER (event_type = 'click') AS click,
+                   count(*) FILTER (event_type = 'error') AS error,
+                   count(*) FILTER (event_type = 'signup') AS signup,
+                   count(*) FILTER (event_type = 'view') AS view
+            FROM events GROUP BY user_id
         """,
         "dedup_exact": f"""
             SELECT md5({norm_text}) AS content_hash,

@@ -1,0 +1,95 @@
+"""as-of join and range join operators."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from vanus_spark.operators import asof_join, range_join_buckets
+
+
+def ts(h):
+    return dt.datetime(2024, 1, 1, h)
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [("A", ts(1), 10.0), ("A", ts(3), 11.0), ("B", ts(2), 20.0)],
+        "sym string, qts timestamp, price double",
+    )
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [("A", ts(0), 5), ("A", ts(2), 7), ("A", ts(3), 9), ("B", ts(5), 11)],
+        "sym string, tts timestamp, qty int",
+    )
+
+
+def test_asof_backward(spark, trades, quotes):
+    out = asof_join(trades, quotes, "sym", "tts", "qts", ["price"])
+    got = {(r.sym, r.tts.hour): r.asof_price for r in out.collect()}
+    assert got == {
+        ("A", 0): None,   # no quote yet
+        ("A", 2): 10.0,   # quote@1
+        ("A", 3): 11.0,   # quote@3 ties -> visible
+        ("B", 5): 20.0,
+    }
+
+
+def test_asof_strict_excludes_ties(spark, trades, quotes):
+    out = asof_join(trades, quotes, "sym", "tts", "qts", ["price"], strict=True)
+    got = {(r.sym, r.tts.hour): r.asof_price for r in out.collect()}
+    assert got[("A", 3)] == 10.0  # quote@3 NOT visible under strict
+
+
+def test_asof_matches_pandas_merge_asof(spark, events):
+    """Property check vs pandas.merge_asof on real data: for each
+    purchase event, the latest prior signup of the same user."""
+    import pandas as pd
+
+    purchases = events.where("event_type = 'purchase'").select("user_id", "ts", "event_id")
+    signups = events.where("event_type = 'signup'").select(
+        "user_id", F.col("ts").alias("sts"), F.col("event_id").alias("signup_id")
+    )
+    out = asof_join(purchases, signups, "user_id", "ts", "sts", ["signup_id"])
+    got = {r.event_id: r.asof_signup_id for r in out.collect()}
+
+    pp = purchases.orderBy("ts").toPandas()
+    sp = signups.orderBy("sts").toPandas()
+    merged = pd.merge_asof(
+        pp, sp.rename(columns={"sts": "ts"}), on="ts", by="user_id"
+    )
+    expected = {
+        int(r.event_id): (None if pd.isna(r.signup_id) else int(r.signup_id))
+        for r in merged.itertuples()
+    }
+    assert got == expected
+
+
+def test_range_join(spark):
+    left = spark.createDataFrame([(1, 10.0), (2, 55.0)], "lid long, v double")
+    right = spark.createDataFrame(
+        [(100, 12.0), (101, 19.0), (102, 54.0), (103, 70.0)], "rid long, v double"
+    )
+    out = range_join_buckets(left, right, "v", "v", 5.0)
+    pairs = {(r.lid, r.r_rid) for r in out.collect()}
+    assert pairs == {(1, 100), (2, 102)}
+
+
+def test_range_join_matches_cartesian(spark, events):
+    a = events.limit(120).select(F.col("event_id").alias("aid"), F.col("value").alias("av"))
+    b = events.limit(120).select(F.col("event_id").alias("bid"), F.col("value").alias("bv"))
+    fast = {
+        (r.aid, r.r_bid)
+        for r in range_join_buckets(a, b, "av", "bv", 1.5).collect()
+    }
+    slow = {
+        (r.aid, r.bid)
+        for r in a.crossJoin(b).where(F.abs(F.col("av") - F.col("bv")) <= 1.5).collect()
+    }
+    assert fast == slow
