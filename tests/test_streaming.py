@@ -106,6 +106,28 @@ def test_delayed_event_parks_until_due(spark):
     assert [r.id for r in res3.delivered.collect()] == ["1"]
 
 
+def test_run_stream_with_checkpoint(spark, cloudevents, tmp_path):
+    """Real Structured Streaming source + foreachBatch + checkpoint
+    resume (no reprocessing on restart)."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    ce = cloudevents.limit(100)
+    ce.write.parquet(src)
+    sub = Subscription.from_spec({"filters": [{"exact": {"type": "purchase"}}]})
+    loop = DeliveryLoop(spark, sub, lambda rows: [200] * len(rows))
+
+    q = loop.run_stream(spark.readStream.schema(ce.schema).parquet(src), ckpt)
+    q.processAllAvailable()
+    q.stop()
+    expected = ce.where("type = 'purchase'").count()
+    assert loop.delivered_count == expected
+
+    q2 = loop.run_stream(spark.readStream.schema(ce.schema).parquet(src), ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    assert loop.delivered_count == expected  # checkpoint: no reprocessing
+
+
 def test_backoff_escalates_across_retries(spark):
     sink = FlakySink({"1"})
     loop = DeliveryLoop(spark, Subscription.from_spec({}), sink)

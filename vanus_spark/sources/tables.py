@@ -31,6 +31,10 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The caller's session may not be ours (the driver supplies its own):
+    # pin UTC so date_format/date_trunc agree with DuckDB's naive
+    # timestamps regardless of host timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")

@@ -175,7 +175,14 @@ class DeliveryLoop:
     def run_stream(self, stream_df: DataFrame, checkpoint_dir: str, **trigger_kwargs):
         """Attach the loop to a streaming DataFrame via foreachBatch.
         Offsets/exactly-once come from the checkpoint (the Spark
-        equivalent of the reference's committed-offset store)."""
+        equivalent of the reference's committed-offset store).
+
+        Backpressure / rate limiting (reference: maxUACK=10000
+        offset/offset.go:29-63; per-subscription ratelimit
+        trigger.go:247) map onto the source's maxOffsetsPerTrigger /
+        maxFilesPerTrigger options plus the trigger interval — set
+        them on ``stream_df``'s reader; pass
+        ``processingTime='...'`` here to pace the ticks."""
 
         def on_batch(batch_df: DataFrame, epoch_id: int):
             import datetime as _dt

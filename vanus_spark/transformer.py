@@ -62,9 +62,15 @@ class Transformer:
         self.define_args = {
             f"<{k}>": new_arg(v) for k, v in (spec.get("define") or {}).items()
         }
-        self.actions: list[BoundAction] = [
-            build_action(cmd) for cmd in (spec.get("pipeline") or [])
-        ]
+        # an unparseable action is skipped, not fatal — the reference
+        # logs and continues (pipeline/pipeline.go:37-48 Parse)
+        self.actions: list[BoundAction] = []
+        self.parse_errors: list[str] = []
+        for cmd in spec.get("pipeline") or []:
+            try:
+                self.actions.append(build_action(cmd))
+            except Exception as e:  # noqa: BLE001
+                self.parse_errors.append(f"{cmd!r}: {e}")
         tmpl = spec.get("template")
         if isinstance(tmpl, dict):  # {type: text|json, template: "..."}
             self.template = tmpl.get("template")
