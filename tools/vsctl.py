@@ -1,0 +1,163 @@
+"""vsctl-style CLI over the Spark eventbus (reference:
+tool/vsctl/command/event.go — `vsctl event put/get/query`).
+
+Usage:
+  python tools/vsctl.py get   --bus <parquet> --eventlog 1 --offset 5 --number 3
+  python tools/vsctl.py get   --bus <parquet> --event-id <base64id>
+  python tools/vsctl.py query --bus <parquet> --time 2024-01-15T00:00:00
+  python tools/vsctl.py put   --bus <outdir> --data '{"k":1}' --type demo [--delay 2024-..]
+  python tools/vsctl.py validate --subscription '<json spec>' --event '<json envelope>'
+
+`validate` mirrors the reference's ValidateSubscription dry-run oracle
+(server/gateway/proxy/proxy.go:799-858): prints the filter result and
+the transformed payload for one event.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _spark():
+    from vanus_spark.session import get_spark
+
+    return get_spark("vsctl", int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+
+
+def _load_bus(spark, path):
+    from vanus_spark.bus import assign_addresses
+    from vanus_spark.sources.tables import load_table
+
+    if path.endswith("events.parquet"):
+        return assign_addresses(load_table(spark, os.path.dirname(path), "events"))
+    return spark.read.parquet(path)
+
+
+def cmd_get(args):
+    from vanus_spark.bus import get_event, get_event_by_id
+
+    spark = _spark()
+    bus = _load_bus(spark, args.bus)
+    if args.event_id:
+        df = get_event_by_id(bus, args.event_id)
+    else:
+        df = get_event(bus, args.eventlog, args.offset, args.number)
+    for r in df.collect():
+        print(json.dumps({k: str(v) for k, v in r.asDict().items()}))
+
+
+def cmd_query(args):
+    from vanus_spark.bus import lookup_offset_by_time
+
+    spark = _spark()
+    bus = _load_bus(spark, args.bus)
+    t = dt.datetime.fromisoformat(args.time)
+    for r in lookup_offset_by_time(bus, t).orderBy("eventlog").collect():
+        print(json.dumps({"eventlog": r.eventlog, "offset": r.offset}))
+
+
+def cmd_put(args):
+    from pyspark.sql import functions as F
+
+    from vanus_spark.bus import route_delayed_publish
+
+    spark = _spark()
+    attrs = {}
+    if args.delay:
+        attrs["xvanusdeliverytime"] = args.delay
+    row = [(
+        args.id or "1", args.source, "1.0", args.type,
+        dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
+        "application/json", None, None, attrs, args.data,
+    )]
+    df = spark.createDataFrame(
+        row,
+        "id string, source string, specversion string, type string, "
+        "time timestamp, datacontenttype string, dataschema string, "
+        "subject string, attributes map<string,string>, data string",
+    )
+    direct, timer = route_delayed_publish(df)
+    direct.write.mode("append").parquet(os.path.join(args.bus, "events"))
+    timer.write.mode("append").parquet(os.path.join(args.bus, "timer"))
+    print(json.dumps({"published": direct.count(), "delayed": timer.count()}))
+
+
+def cmd_validate(args):
+    from vanus_spark.filters import compile_filter
+    from vanus_spark.subscription import Subscription
+    from vanus_spark.transformer import Transformer
+
+    spec = json.loads(args.subscription)
+    event = json.loads(args.event)
+    sub = Subscription.from_spec(spec)
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(
+            str(event.get("id", "1")), event.get("source", "/"), "1.0",
+            event.get("type", ""), None, event.get("datacontenttype"),
+            None, event.get("subject"),
+            {k: str(v) for k, v in (event.get("attributes") or {}).items()},
+            json.dumps(event.get("data")) if not isinstance(event.get("data"), str)
+            else event["data"],
+        )],
+        "id string, source string, specversion string, type string, "
+        "time timestamp, datacontenttype string, dataschema string, "
+        "subject string, attributes map<string,string>, data string",
+    )
+    matched = df.where(compile_filter(sub.filters)).count() > 0
+    result = {"filter_result": matched}
+    if matched and sub.transformer:
+        tf = Transformer(sub.transformer)
+        r = df.first()
+        attrs = {k: v for k, v in r.asDict().items() if v is not None and k != "data"}
+        attrs.pop("attributes", None)
+        attrs.update(r.attributes or {})
+        _, data, err = tf.execute_event(attrs, r.data)
+        result["transform_error"] = err
+        result["transformed"] = data
+    print(json.dumps(result))
+
+
+def main():
+    p = argparse.ArgumentParser(prog="vsctl")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("get")
+    g.add_argument("--bus", required=True)
+    g.add_argument("--eventlog", type=int, default=0)
+    g.add_argument("--offset", type=int, default=0)
+    g.add_argument("--number", type=int, default=1)
+    g.add_argument("--event-id")
+    g.set_defaults(fn=cmd_get)
+
+    q = sub.add_parser("query")
+    q.add_argument("--bus", required=True)
+    q.add_argument("--time", required=True)
+    q.set_defaults(fn=cmd_query)
+
+    u = sub.add_parser("put")
+    u.add_argument("--bus", required=True)
+    u.add_argument("--data", required=True)
+    u.add_argument("--type", default="demo")
+    u.add_argument("--source", default="/vsctl")
+    u.add_argument("--id")
+    u.add_argument("--delay")
+    u.set_defaults(fn=cmd_put)
+
+    v = sub.add_parser("validate")
+    v.add_argument("--subscription", required=True)
+    v.add_argument("--event", required=True)
+    v.set_defaults(fn=cmd_validate)
+
+    args = p.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
