@@ -558,6 +558,25 @@ def q_transform_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transform_pipeline_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same pipeline as transform_pipeline_e2e's core but through the
+    STATIC COLUMN COMPILER (plans/compiler.py) — zero Python at eval
+    time; the e2e/compiled pair is the two-path equivalence gate."""
+    from vanus_spark.plans import compile_pipeline
+
+    ce = _cloudevents(spark, sf_dir)
+    pipeline = [
+        ["MATH_MUL", "$.data.value", "$.data.value", 100],
+        ["CONDITION_IF", "$.data.flag", "$.data.value", ">=", 5000, "hi", "lo"],
+    ]
+    out = compile_pipeline(pipeline, "user_id long, value double, props struct<k: int>")(ce)
+    return out.select(
+        F.col("id").cast("long").alias("event_id"),
+        F.round(F.get_json_object("data", "$.value").cast("double"), 6).alias("cents"),
+        F.get_json_object("data", "$.flag").alias("flag"),
+    )
+
+
 def q_dlq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic DeliveryLoop batch-replay: purchase events whose
     user_id % 5 == 0 get a 404 sink -> DLQ with Response404; the rest
@@ -884,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": q_events_pivot,
         # transformer interpreter + streaming replay + cesql functions
         "transform_pipeline_e2e": q_transform_pipeline_e2e,
+        "transform_pipeline_compiled": q_transform_pipeline_compiled,
         "action_render_foreach": q_action_render_foreach,
         "publish_roundrobin": q_publish_roundrobin,
         "retry_refilter": q_retry_refilter,
@@ -1260,6 +1280,12 @@ def oracle_sql() -> dict[str, str]:
                    round(value * 100, 6) AS cents,
                    CASE WHEN value * 100 >= 5000 THEN 'hi' ELSE 'lo' END AS flag,
                    upper(event_type) AS etype
+            FROM events
+        """,
+        "transform_pipeline_compiled": """
+            SELECT event_id,
+                   round(value * 100, 6) AS cents,
+                   CASE WHEN value * 100 >= 5000 THEN 'hi' ELSE 'lo' END AS flag
             FROM events
         """,
         "action_render_foreach": """

@@ -25,6 +25,8 @@ HEADLINE = [
     "action_math",
     "action_strings_extract",
     "action_datetime",
+    "transform_pipeline_e2e",
+    "transform_pipeline_compiled",
     "template_render",
     "bus_offset_by_time",
     "delivery_routing",
@@ -32,6 +34,9 @@ HEADLINE = [
     "join_revenue_by_region",
     "events_sessionize",
     "events_windowed_agg",
+    "asof_join_events",
+    "range_join_values",
+    "events_pivot",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -50,13 +50,33 @@ class Subscription:
     def ordered(self) -> bool:
         return bool(self.config.get("ordered_event", False))
 
-    def apply(self, envelope_df: DataFrame) -> DataFrame:
+    def apply(self, envelope_df: DataFrame, data_schema=None) -> DataFrame:
         """Batch path: filter then transform (filter BEFORE transform,
         as the reference pipelines it — trigger.go:316-336 — which is
-        also Catalyst's pushdown order)."""
+        also Catalyst's pushdown order).
+
+        When ``data_schema`` is given and the transformer is a static
+        pipeline (no define vars / template), it compiles to a pure
+        Column plan (plans/compiler.py) — whole-stage codegen, no
+        Python; otherwise the Arrow-batched interpreter runs."""
         out = envelope_df.where(compile_filter(self.filters))
-        out = transform_dataframe(out, self.transformer)
-        return out
+        tf = self.transformer or {}
+        if (
+            data_schema is not None
+            and tf.get("pipeline")
+            and not tf.get("define")
+            and not tf.get("template")
+        ):
+            from pyspark.sql import functions as F
+
+            from vanus_spark.plans import CompileFallback, compile_pipeline
+
+            try:
+                compiled = compile_pipeline(tf["pipeline"], data_schema)
+                return compiled(out).withColumn("transform_error", F.lit(False))
+            except CompileFallback:
+                pass  # dynamic pipeline -> interpreter
+        return transform_dataframe(out, self.transformer)
 
     def dry_run(self, envelope_df: DataFrame) -> DataFrame:
         """ValidateSubscription-style dry run: returns filter result
