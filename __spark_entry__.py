@@ -509,6 +509,15 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup: LSH candidates -> exact Jaccard >= 0.8."""
+    from vanus_spark.llm.dedup import near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = near_dup_pairs(docs, threshold=0.8, num_hashes=16, bands=8)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vanus_spark.llm.dedup import simhash_df
 
@@ -920,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_near_dup": q_dedup_near_dup,
         "dedup_simhash": q_dedup_simhash,
         "text_fingerprint": q_text_fingerprint,
         "text_stats": q_text_stats,
@@ -1274,6 +1284,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_ngram_jaccard": _jaccard_oracle(),
+        "dedup_near_dup": (
+            "SELECT * FROM (" + _jaccard_oracle() + ") WHERE jaccard >= 0.8"
+        ),
         "dedup_simhash": _simhash_oracle(),
         "transform_pipeline_e2e": """
             SELECT event_id,

@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis) for the pure-Python kernels —
+exceeding the reference's own test strategy, which has none (SURVEY §5)."""
+
+from __future__ import annotations
+
+import json
+import string
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from vanus_spark.casts import CastError, py_cast
+from vanus_spark.jsonpath import JSONPathNotExist, py_delete, py_get, py_set
+from vanus_spark.model import decode_event_id, encode_event_id
+from vanus_spark.templates import parse_text_template, render_text
+from vanus_spark.delivery import backoff_seconds
+
+KEY = st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=6)
+SCALAR = st.one_of(
+    st.integers(min_value=-(2**53), max_value=2**53),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.text(max_size=20),
+    st.booleans(),
+)
+
+
+@given(SCALAR)
+def test_cast_to_string_total(v):
+    # anything -> String is always defined (cast.go:31-48)
+    s = py_cast(v, "string")
+    assert isinstance(s, str)
+
+
+@given(st.dictionaries(KEY, SCALAR, max_size=4))
+def test_cast_map_to_string_is_json(d):
+    s = py_cast(d, "string")
+    assert json.loads(s) == json.loads(json.dumps(d))
+
+
+@given(st.integers(min_value=-(2**53), max_value=2**53))
+def test_cast_int_roundtrip(v):
+    assert py_cast(py_cast(v, "string"), "int") == v
+
+
+@given(st.floats(allow_nan=False, allow_infinity=False, min_value=-1e15, max_value=1e15))
+def test_cast_float_to_int_truncates(v):
+    assert py_cast(v, "int") == int(v)
+
+
+@given(st.text(max_size=10))
+def test_cast_bad_int_raises_not_nulls(s):
+    # Vanus: non-numeric string -> ERROR (not NULL like Spark CAST)
+    try:
+        int(s, 10)
+        valid = True
+    except ValueError:
+        valid = False
+    if not valid:
+        with pytest.raises(CastError):
+            py_cast(s, "int")
+
+
+@given(SCALAR)
+def test_cast_scalar_to_string_array_wraps(v):
+    if isinstance(v, bool):
+        return  # bool -> stringArray undefined in the lattice
+    assert py_cast(v, "string_array") == [py_cast(v, "string")]
+
+
+@given(st.lists(KEY, min_size=1, max_size=4, unique=True), SCALAR)
+def test_jsonpath_set_get_roundtrip(path_parts, v):
+    path = "$." + ".".join(path_parts)
+    data = py_set({}, path, v)
+    assert py_get(data, path) == v
+    py_delete(data, path)
+    with pytest.raises(JSONPathNotExist):
+        py_get(data, path)
+
+
+@given(st.integers(min_value=0, max_value=2**64 - 1), st.integers(min_value=0, max_value=2**64 - 1))
+def test_event_id_roundtrip(log, off):
+    assert decode_event_id(encode_event_id(log, off)) == (log, off)
+
+
+@given(st.text(max_size=30).filter(lambda s: "<" not in s and "\\" not in s))
+def test_text_template_literal_identity(s):
+    segs = parse_text_template(s)
+    assert render_text(segs, {}, {}) == s
+
+
+@given(st.integers(min_value=1, max_value=1000))
+def test_backoff_monotone_capped(n):
+    # schedule is monotone nondecreasing and capped at 3600
+    assert backoff_seconds(n) <= 3600
+    if n > 1:
+        assert backoff_seconds(n) >= backoff_seconds(n - 1)

@@ -128,6 +128,39 @@ def test_run_stream_with_checkpoint(spark, cloudevents, tmp_path):
     assert loop.delivered_count == expected  # checkpoint: no reprocessing
 
 
+def test_streaming_windowed_agg_with_watermark(spark, cloudevents, tmp_path):
+    """Event-time windowed aggregation with watermark over the bus —
+    the Structured Streaming surface the reference lacks natively."""
+    src = str(tmp_path / "wsrc")
+    ce = cloudevents.limit(500)
+    ce.write.parquet(src)
+    stream = spark.readStream.schema(ce.schema).parquet(src)
+    agg = (
+        stream.withWatermark("time", "1 hour")
+        .groupBy(F.window("time", "1 day"), "type")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.window.start.date().isoformat(), r.type): r.n
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    expected = {
+        (r.d.date().isoformat(), r.type): r.n
+        for r in ce.groupBy(F.date_trunc("day", "time").alias("d"), "type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == expected
+
+
 def test_backoff_escalates_across_retries(spark):
     sink = FlakySink({"1"})
     loop = DeliveryLoop(spark, Subscription.from_spec({}), sink)

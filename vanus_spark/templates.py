@@ -174,6 +174,90 @@ def build_template_model(attrs: dict[str, Any], data: Any) -> dict[str, Any]:
 # Column compiler (JVM path for static templates)
 # ---------------------------------------------------------------------------
 
+def _json_encode_col(v: Column) -> Column:
+    """JSON-encode a typed Column: wrap in to_json(struct(x)) and
+    strip the envelope — type-faithful (strings quoted+escaped,
+    numbers bare, NULL -> 'null')."""
+    encoded = F.regexp_extract(
+        F.to_json(F.struct(v.alias("x"))), '^\\{"x":(.*)\\}$', 1
+    )
+    return F.when(v.isNull(), F.lit("null")).otherwise(encoded)
+
+
+def _json_string_fragment(v: Column) -> Column:
+    """Escaped string-body fragment (no surrounding quotes); NULL -> ''."""
+    enc = F.regexp_extract(
+        F.to_json(F.struct(v.cast("string").alias("x"))), '^\\{"x":"(.*)"\\}$', 1
+    )
+    return F.when(v.isNull(), F.lit("")).otherwise(enc)
+
+
+def compile_json_template(
+    template: str, data_schema, data_col: str = "data"
+) -> Column:
+    """Static JSON template -> concat() of JSON fragments and
+    JSON-encoded placeholder values — the JVM fast path of
+    render_json.
+
+    Needs the payload schema: data paths resolve through
+    ``from_json`` so values keep their JSON types (get_json_object
+    alone can't distinguish the number 87 from the string "87")."""
+    from pyspark.sql import types as T
+
+    from vanus_spark.model import attribute_column
+
+    schema = (
+        T._parse_datatype_string(data_schema)  # noqa: SLF001
+        if isinstance(data_schema, str)
+        else data_schema
+    )
+    parsed = F.from_json(F.col(data_col), schema)
+
+    def resolve(inner: str) -> Column:
+        if inner == "$.data":
+            return parsed
+        if inner.startswith("$.data."):
+            c = parsed
+            for part in inner[7:].split("."):
+                c = c.getField(part)
+            return c
+        if inner.startswith("$."):
+            return attribute_column(inner[2:]).cast("string")
+        return attribute_column(inner).cast("string")
+
+    parts: list[Column] = []
+    buf: list[str] = []
+    in_string = False
+    i, n = 0, len(template)
+
+    def flush():
+        if buf:
+            parts.append(F.lit("".join(buf)))
+            buf.clear()
+
+    while i < n:
+        ch = template[i]
+        if ch == '"' and (i == 0 or template[i - 1] != "\\"):
+            in_string = not in_string
+            buf.append(ch)
+            i += 1
+            continue
+        if ch == "<":
+            m = _PLACEHOLDER_RE.match(template, i)
+            if m:
+                flush()
+                v = resolve(m.group(1))
+                parts.append(
+                    _json_string_fragment(v) if in_string else _json_encode_col(v)
+                )
+                i = m.end()
+                continue
+        buf.append(ch)
+        i += 1
+    flush()
+    return F.concat(*parts) if parts else F.lit("")
+
+
 def compile_text_template(text: str, data_col: str = "data") -> Column:
     """Static text template -> concat() of literals, attribute columns
     and get_json_object extracts. Fully JVM-side."""
