@@ -586,6 +586,45 @@ def q_transform_pipeline_compiled(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_subscription_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A complete subscription — CESQL filter + static pipeline +
+    compiled JSON template — running 100%% JVM-side: the fast-path
+    composition of the whole reference data plane."""
+    from vanus_spark.filters import compile_filter
+    from vanus_spark.plans import compile_pipeline
+    from vanus_spark.templates import compile_json_template
+
+    ce = _cloudevents(spark, sf_dir)
+    schema = "user_id long, value double, props struct<k: int>"
+    filtered = ce.where(
+        compile_filter({"ce_sql": "type IN ('purchase', 'signup') AND EXISTS partitionkey"})
+    )
+    transformed = compile_pipeline(
+        [
+            ["MATH_MUL", "$.data.value", "$.data.value", 100],
+            ["CONDITION_IF", "$.data.tier", "$.data.value", ">=", 10000, "gold", "basic"],
+        ],
+        schema,
+    )(filtered)
+    rendered = transformed.withColumn(
+        "data",
+        compile_json_template(
+            '{"uid":<$.data.user_id>,"cents":<$.data.value>,"tier":"<$.data.tier>","t":"<type>"}',
+            "user_id long, value double, tier string",
+        ),
+    )
+    return rendered.select(
+        F.col("id").cast("long").alias("event_id"), F.col("data").alias("payload")
+    )
+
+
+def q_skew_two_phase_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase (salted) aggregation — skew-proof count by type."""
+    from vanus_spark.operators.skew import two_phase_count
+
+    return two_phase_count(_events(spark, sf_dir), ["event_type"])
+
+
 def q_dlq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic DeliveryLoop batch-replay: purchase events whose
     user_id % 5 == 0 get a 404 sink -> DLQ with Response404; the rest
@@ -925,6 +964,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dlq_replay": q_dlq_replay,
         "dlq_resend": q_dlq_resend,
         "cesql_functions": q_cesql_functions,
+        "subscription_full": q_subscription_full,
+        "skew_two_phase_count": q_skew_two_phase_count,
         # llm pipeline
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1385,6 +1426,19 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE length(event_type) >= 5
               AND upper(left(event_type, 2)) != 'ER'
+        """,
+        "subscription_full": """
+            SELECT event_id,
+                   '{"uid":' || user_id::VARCHAR
+                   || ',"cents":' || (value * 100)::VARCHAR
+                   || ',"tier":"'
+                   || (CASE WHEN value * 100 >= 10000 THEN 'gold' ELSE 'basic' END)
+                   || '","t":"' || event_type || '"}' AS payload
+            FROM events
+            WHERE event_type IN ('purchase', 'signup')
+        """,
+        "skew_two_phase_count": """
+            SELECT event_type, count(*) AS count FROM events GROUP BY event_type
         """,
         "similarity_neardup_embedding": _embedding_neardup_oracle(),
         "similarity_lsh_ann": _lsh_ann_oracle(),

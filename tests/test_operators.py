@@ -93,3 +93,11 @@ def test_range_join_matches_cartesian(spark, events):
         for r in a.crossJoin(b).where(F.abs(F.col("av") - F.col("bv")) <= 1.5).collect()
     }
     assert fast == slow
+
+
+def test_two_phase_count_matches_plain(spark, events):
+    from vanus_spark.operators.skew import two_phase_count
+
+    fast = {r.event_type: r["count"] for r in two_phase_count(events, ["event_type"]).collect()}
+    plain = {r.event_type: r.n for r in events.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    assert fast == plain

@@ -721,7 +721,6 @@ def _render_array(args, ctx):
             raise ActionError("template value length is not same")
     rendered = []
     for i in range(n):
-        it = iter(range(len(paths)))
         parts = []
         j = 0
         for s in segments:

@@ -118,11 +118,6 @@ def math_div(a: Column, b: Column) -> Column:
 # strings (reference: strings_functions.go, action/strings/*.go)
 # ---------------------------------------------------------------------------
 
-def _java_quote(s: str) -> Column:
-    """Literal (non-regex) pattern."""
-    return F.lit(s)
-
-
 def add_prefix(c: Column, prefix: str | Column) -> Column:
     p = prefix if isinstance(prefix, Column) else F.lit(prefix)
     return F.concat(p, c)
@@ -292,11 +287,11 @@ def condition_if(source: Column, op: str, compare, true_val, false_val) -> Colum
     return F.when(cond, tv).otherwise(fv)
 
 
-def length_of(c: Column) -> Column:
+def length_of(c: Column, dtype: str = "string") -> Column:
     """LENGTH of string/array/map (reference: common_function.go:23-39)."""
-    return F.when(
-        F.lit(True), F.length(c)
-    )  # caller picks size()/map variant for non-strings
+    if dtype in ("array", "map"):
+        return F.size(c).cast("long")
+    return F.length(c.cast("string")).cast("long")
 
 
 def unfold_array(arr: Column, prefix: str, max_size: int) -> list[Column]:
