@@ -227,6 +227,7 @@ def q_action_strings_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         vf.split_literal(src, " ").alias("split_ws"),
         vf.split_from_start(src, 10).alias("split_start"),
         vf.split_between_positions(src, 5, 10).alias("split_between"),
+        vf.split_with_intervals(src, 4, 7).alias("split_intervals"),
     )
 
 
@@ -1134,7 +1135,14 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN length(src) <= 5 THEN [src, '', '']
                         WHEN length(src) < 10 THEN [substr(src,1,5), substr(src,6), '']
                         ELSE [substr(src,1,5), substr(src,6,5), substr(src,11)]
-                   END AS split_between
+                   END AS split_between,
+                   CASE WHEN length(src) < 4 THEN [src]
+                        ELSE list_prepend(substr(src, 1, 4),
+                          list_filter(
+                            list_transform(generate_series(5, greatest(length(src), 5), 7),
+                                           p -> substr(src, p, 7)),
+                            x -> length(x) > 0))
+                   END AS split_intervals
             FROM s
         """,
         "action_datetime": """

@@ -173,3 +173,35 @@ def test_backoff_escalates_across_retries(spark):
         loop.process_batch(_envelope(spark, []), t)  # due again, fails again
         new_pend = loop.pending.collect()[0]
         assert new_pend.due_ts == t + dt.timedelta(seconds=exp)
+
+
+def test_durable_state_survives_restart(spark, tmp_path):
+    """Pending retries and DLQ persist across loop restarts."""
+    state = str(tmp_path / "state")
+    sink = FlakySink({"1"})
+    loop = DeliveryLoop(spark, Subscription.from_spec({}), sink, "sub-d", state_dir=state)
+    loop.process_batch(_envelope(spark, [_row(1), _row(2)]), T0)
+    assert loop.pending.count() == 1
+
+    # simulate crash: brand-new loop over the same state dir
+    sink2 = FlakySink(set())  # healed
+    loop2 = DeliveryLoop(spark, Subscription.from_spec({}), sink2, "sub-d", state_dir=state)
+    assert loop2.pending.count() == 1  # parked retry restored
+    res = loop2.process_batch(_envelope(spark, []), T0 + dt.timedelta(seconds=2))
+    assert [r.id for r in res.delivered.collect()] == ["1"]
+    assert loop2.pending.count() == 0
+
+
+def test_durable_dead_letter_accumulates(spark, tmp_path):
+    state = str(tmp_path / "state2")
+    loop = DeliveryLoop(
+        spark, Subscription.from_spec({}), FlakySink({"1", "2"}, status=404),
+        "sub-d2", state_dir=state,
+    )
+    loop.process_batch(_envelope(spark, [_row(1)]), T0)
+    loop.process_batch(_envelope(spark, [_row(2)]), T0 + dt.timedelta(seconds=5))
+    loop2 = DeliveryLoop(
+        spark, Subscription.from_spec({}), lambda rows: [200] * len(rows),
+        "sub-d2", state_dir=state,
+    )
+    assert loop2.dead.count() == 2

@@ -165,6 +165,21 @@ def split_between_positions(c: Column, start: int, end: int) -> Column:
     )
 
 
+def split_with_intervals(c: Column, start: int, interval: int) -> Column:
+    """[s[:start], s[start:start+interval], ...]; start beyond end ->
+    [s] (reference: action/strings/split_with_intervals.go:48-80)."""
+    n = F.length(c)
+    chunk_starts = F.sequence(
+        F.lit(start + 1), F.greatest(n, F.lit(start + 1)), F.lit(interval)
+    )
+    chunks = F.filter(
+        F.transform(chunk_starts, lambda p: c.substr(p, F.lit(interval))),
+        lambda s: F.length(s) > 0,
+    )
+    full = F.concat(F.array(F.substring(c, 1, start)), chunks)
+    return F.when(F.length(c) < start, F.array(c)).otherwise(full)
+
+
 def replace_string(c: Column, old: str, new: str) -> Column:
     """ReplaceAll, literal (reference: action/strings/replace_string.go)."""
     return F.replace(c, F.lit(old), F.lit(new))

@@ -97,11 +97,19 @@ class DeliveryLoop:
         subscription: Subscription,
         sink_fn: SinkFn,
         sub_id: str = "sub-0",
+        state_dir: str | None = None,
     ):
+        """``state_dir`` makes pending/dead state durable: the pending
+        table snapshots per epoch (alternating dirs, so a crash mid-
+        write leaves the previous epoch intact) and the DLQ appends —
+        a restarted loop resumes its parked retries/delays. In-memory
+        (localCheckpoint) otherwise — fine for tests, not restarts."""
         self.spark = spark
         self.sub = subscription
         self.sink_fn = sink_fn
         self.sub_id = sub_id
+        self.state_dir = state_dir
+        self._epoch = 0
         self.empty_envelope = spark.createDataFrame(
             [],
             "id string, source string, specversion string, type string, "
@@ -113,6 +121,37 @@ class DeliveryLoop:
         ).limit(0)
         self.dead: DataFrame = self.empty_envelope
         self.delivered_count = 0
+        if state_dir:
+            self._restore_state()
+
+    # ----- durable state ---------------------------------------------------
+
+    def _pending_dir(self, epoch: int) -> str:
+        return f"{self.state_dir}/pending_e{epoch % 2}"
+
+    def _restore_state(self) -> None:
+        import os
+
+        marker = f"{self.state_dir}/EPOCH"
+        if os.path.exists(marker):
+            with open(marker) as f:
+                self._epoch = int(f.read().strip())
+            self.pending = self.spark.read.parquet(self._pending_dir(self._epoch))
+        dead_dir = f"{self.state_dir}/dead"
+        if os.path.isdir(dead_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(dead_dir)
+        ):
+            self.dead = self.spark.read.parquet(dead_dir)
+
+    def _persist_state(self, new_dead: DataFrame) -> None:
+        self._epoch += 1
+        path = self._pending_dir(self._epoch)
+        self.pending.write.mode("overwrite").parquet(path)
+        self.pending = self.spark.read.parquet(path)
+        new_dead.write.mode("append").parquet(f"{self.state_dir}/dead")
+        self.dead = self.spark.read.parquet(f"{self.state_dir}/dead")
+        with open(f"{self.state_dir}/EPOCH", "w") as f:
+            f.write(str(self._epoch))
 
     def _with_due_ts(self, df: DataFrame) -> DataFrame:
         return df.withColumn(
@@ -165,9 +204,13 @@ class DeliveryLoop:
         # 5. state: retries re-enter pending with their backoff due_ts
         self.pending = still_pending.unionByName(
             self._with_due_ts(retry)
-        ).unionByName(delayed).localCheckpoint(eager=True)
+        ).unionByName(delayed)
         new_dead = dead.unionByName(tf_dead)
-        self.dead = self.dead.unionByName(new_dead).localCheckpoint(eager=True)
+        if self.state_dir:
+            self._persist_state(new_dead)
+        else:
+            self.pending = self.pending.localCheckpoint(eager=True)
+            self.dead = self.dead.unionByName(new_dead).localCheckpoint(eager=True)
         return SinkResult(delivered=ok, pending=self.pending, dead=new_dead)
 
     # ----- Structured Streaming wiring -------------------------------------
