@@ -519,6 +519,16 @@ def q_dedup_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full cleaning pipeline: exact dedup -> near-dup removal ->
+    quality filter -> language filter. One lazy plan."""
+    from vanus_spark.llm.pipeline import corpus_clean
+
+    docs = _t(spark, sf_dir, "documents")
+    out = corpus_clean(docs, jaccard_threshold=0.8, quality_threshold=0.5, languages=("en",))
+    return out.select("doc_id")
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vanus_spark.llm.dedup import simhash_df
 
@@ -972,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_near_dup": q_dedup_near_dup,
+        "corpus_clean": q_corpus_clean,
         "dedup_simhash": q_dedup_simhash,
         "text_fingerprint": q_text_fingerprint,
         "text_stats": q_text_stats,
@@ -1336,6 +1347,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_near_dup": (
             "SELECT * FROM (" + _jaccard_oracle() + ") WHERE jaccard >= 0.8"
         ),
+        "corpus_clean": _corpus_clean_oracle(),
         "dedup_simhash": _simhash_oracle(),
         "transform_pipeline_e2e": """
             SELECT event_id,
@@ -1622,4 +1634,41 @@ def _simhash_oracle() -> str:
                             AS h
                    FROM toks)
         SELECT doc_id, ({bit_terms}) AS fingerprint FROM hashed
+    """
+
+
+def _corpus_clean_oracle() -> str:
+    """Composition of the stage oracles. The fixture has no exact
+    duplicates at sf0.01, so near-dup pairs over survivors equal
+    pairs over all docs (the per-stage oracles verify each stage
+    independently)."""
+    norm = _NORM.format(c="text")
+    langid = _langid_oracle()
+    quality = """
+        WITH n AS (SELECT doc_id, text, {norm} AS nt FROM documents)
+        SELECT doc_id,
+               round(least((CASE WHEN length(nt)=0 THEN 0
+                            ELSE len(str_split(nt,' ')) END) / 50.0, 1.0) * 0.4
+                 + (CASE WHEN (list_reduce(list_transform(str_split(nt,' '),
+                        t -> length(t)::DOUBLE), (a,b) -> a+b)
+                        / greatest(len(str_split(nt,' ')),1)) BETWEEN 3 AND 10
+                    THEN 1.0 ELSE 0.5 END) * 0.3
+                 + (1.0 - least(((length(text) - length(regexp_replace(text,
+                        '[^\\w\\s]', '', 'g')))::DOUBLE
+                        / greatest(length(text),1)) * 5, 1.0)) * 0.3, 6) AS q
+        FROM n
+    """.format(norm=norm)
+    return f"""
+        WITH exact_keep AS (
+          SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5({norm})),
+        nd AS ({_jaccard_oracle()}),
+        drops AS (SELECT DISTINCT id_b AS doc_id FROM nd WHERE jaccard >= 0.8),
+        qual AS ({quality}),
+        langs AS ({langid})
+        SELECT d.doc_id FROM documents d
+        JOIN exact_keep k ON d.doc_id = k.doc_id
+        LEFT JOIN drops x ON d.doc_id = x.doc_id
+        JOIN qual q ON d.doc_id = q.doc_id
+        JOIN langs l ON d.doc_id = l.doc_id
+        WHERE x.doc_id IS NULL AND q.q >= 0.5 AND l.lang_pred = 'en'
     """

@@ -39,6 +39,7 @@ HEADLINE = [
     "events_pivot",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "corpus_clean",
     "dedup_simhash",
     "text_stats",
     "text_langid",

@@ -177,3 +177,20 @@ def test_multimodal_plumbing(spark, docs):
     # determinism
     d2 = multimodal.decode_images(with_meta).collect()
     assert {(r.media_id, r.width) for r in rows} == {(r.media_id, r.width) for r in d2}
+
+
+def test_corpus_clean_pipeline(spark, docs):
+    from vanus_spark.llm.pipeline import corpus_clean, corpus_clean_report
+
+    cleaned = corpus_clean(docs)
+    n_in, n_out = docs.count(), cleaned.count()
+    assert 0 < n_out <= n_in
+    # stages only remove rows, never mutate them
+    assert cleaned.join(docs, "doc_id", "left_anti").count() == 0
+    # injected exact duplicate is removed
+    dup = docs.limit(1).withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    again = corpus_clean(docs.unionByName(dup))
+    assert again.where(F.col("doc_id") >= 10_000_000).count() == 0
+    report = corpus_clean_report(docs)
+    assert report.count() == n_out
+    assert "quality" in report.columns and "lang_pred" in report.columns
