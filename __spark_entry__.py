@@ -927,6 +927,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_cesql_like_in": _filter_query(
             {"ce_sql": "type LIKE 's%p' OR type IN ('error', 'view')"}
         ),
+        "filter_data_raw_prefix": _filter_query(
+            {"prefix": {"data": '{"user_id":1,'}}
+        ),
         "filter_cel": _filter_query({"cel": "$user_id.(int64) > 10"}),
         "filter_cel_data": _filter_query(
             {"cel": "$props.k.(int64) >= 50 && $value.(double) < 100.0"}
@@ -1011,6 +1014,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id FROM events WHERE json_extract_string(props, '$.k') = '12'"
         ),
         "filter_not_missing": "SELECT event_id FROM events",
+        "filter_data_raw_prefix": "SELECT event_id FROM events WHERE user_id = 1",
         "filter_any_all": (
             "SELECT event_id FROM events WHERE event_type = 'error' "
             "OR (event_type LIKE 'sign%' AND event_type LIKE '%up')"

@@ -24,7 +24,7 @@ halves the hash cost; the structure is identical.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 # ---------------------------------------------------------------------------
 # shared hashing helpers (md5-derived 63-bit ints, engine-portable)

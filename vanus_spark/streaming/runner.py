@@ -31,7 +31,6 @@ parquet appends here since those jars aren't in the test image.
 
 from __future__ import annotations
 
-import json
 from dataclasses import dataclass
 from typing import Any, Callable, Iterator
 
@@ -63,7 +62,6 @@ def _deliver_with_sink(df: DataFrame, sink_fn: SinkFn) -> DataFrame:
     The sink callable must be picklable (it ships to executors, like
     the reference's sender goroutines ship the HTTP client config).
     """
-    schema = df.schema.simpleString()[7:-1]  # strip struct<...>
     out_schema = (
         ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
         + _STATUS_SCHEMA_SUFFIX
