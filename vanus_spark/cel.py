@@ -100,12 +100,53 @@ def _cel_syntax_to_sql(expr: str) -> str:
     return "".join(out)
 
 
+def _schema_for_paths(paths: list[str]) -> str:
+    """Minimal all-string struct schema covering the given $.a.b paths
+    (string fields so from_json stringifies scalars; the typed
+    try_cast afterwards reproduces the reference's coercions)."""
+    tree: dict = {}
+    for p in paths:
+        parts = p[2:].split(".")  # strip "$."
+        cur = tree
+        for part in parts[:-1]:
+            cur = cur.setdefault(part, {})
+        cur.setdefault(parts[-1], None)
+
+    def render(node: dict) -> str:
+        fields = []
+        for k, v in node.items():
+            if isinstance(v, dict):
+                fields.append(f"`{k}` struct<{render(v)}>")
+            else:
+                fields.append(f"`{k}` string")
+        return ", ".join(fields)
+
+    return render(tree)
+
+
 def cel_to_column(expression: str, data_col: str = "data") -> Column:
     """Compile the CEL filter expression to a boolean Column over the
-    JSON payload column. Stays fully JVM-side."""
+    JSON payload column. Stays fully JVM-side.
+
+    The payload is parsed ONCE (`from_json` over the minimal schema of
+    all referenced paths) instead of one `get_json_object` parse per
+    variable — at N variables that's an N× reduction in JSON parsing,
+    the hot cost of payload predicates."""
     rewritten, variables = extract_variables(expression)
     inlined = _cel_syntax_to_sql(rewritten)
+    if not variables:
+        return F.expr(inlined)
+    if any("[" in path for path, _ in variables.values()):
+        # array-indexed paths aren't expressible as a struct schema —
+        # fall back to per-variable get_json_object
+        for name, (path, spark_type) in variables.items():
+            extract = f"try_cast(get_json_object({data_col}, '{path}') AS {spark_type})"
+            inlined = re.sub(rf"\b{re.escape(name)}\b", extract, inlined)
+        return F.expr(inlined)
+    schema = _schema_for_paths([path for path, _ in variables.values()])
+    parsed = f"from_json({data_col}, '{schema}')"
     for name, (path, spark_type) in variables.items():
-        extract = f"try_cast(get_json_object({data_col}, '{path}') AS {spark_type})"
+        field_ref = ".".join(f"`{p}`" for p in path[2:].split("."))
+        extract = f"try_cast({parsed}.{field_ref} AS {spark_type})"
         inlined = re.sub(rf"\b{re.escape(name)}\b", extract, inlined)
     return F.expr(inlined)
