@@ -519,6 +519,15 @@ def q_dedup_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-radius SimHash pairs (pigeonhole chunk blocking +
+    exact bit_count verify)."""
+    from vanus_spark.llm.dedup import simhash_near_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, max_hamming=3)
+
+
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full cleaning pipeline: exact dedup -> near-dup removal ->
     quality filter -> language filter. One lazy plan."""
@@ -986,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_near_dup": q_dedup_near_dup,
         "corpus_clean": q_corpus_clean,
+        "dedup_simhash_near": q_dedup_simhash_near,
         "dedup_simhash": q_dedup_simhash,
         "text_fingerprint": q_text_fingerprint,
         "text_stats": q_text_stats,
@@ -1352,6 +1362,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM (" + _jaccard_oracle() + ") WHERE jaccard >= 0.8"
         ),
         "corpus_clean": _corpus_clean_oracle(),
+        "dedup_simhash_near": _simhash_near_oracle(),
         "dedup_simhash": _simhash_oracle(),
         "transform_pipeline_e2e": """
             SELECT event_id,
@@ -1675,4 +1686,15 @@ def _corpus_clean_oracle() -> str:
         JOIN qual q ON d.doc_id = q.doc_id
         JOIN langs l ON d.doc_id = l.doc_id
         WHERE x.doc_id IS NULL AND q.q >= 0.5 AND l.lang_pred = 'en'
+    """
+
+
+def _simhash_near_oracle() -> str:
+    """Exact O(n^2) hamming join is fine at oracle scale (500 docs)."""
+    return f"""
+        WITH fp AS ({_simhash_oracle()})
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.fingerprint, b.fingerprint)) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 3
     """

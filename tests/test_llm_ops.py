@@ -194,3 +194,20 @@ def test_corpus_clean_pipeline(spark, docs):
     report = corpus_clean_report(docs)
     assert report.count() == n_out
     assert "quality" in report.columns and "lang_pred" in report.columns
+
+
+def test_simhash_near_pairs_recall(spark):
+    from vanus_spark.llm.dedup import simhash_df, simhash_near_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"shared words base text plus unique{'x' * (i % 3)} token{i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    fast = {(r.id_a, r.id_b): r.hamming for r in simhash_near_pairs(df, max_hamming=3).collect()}
+    fps = {r.doc_id: r.fingerprint for r in simhash_df(df).collect()}
+    brute = {
+        (a, b): bin(fps[a] ^ fps[b]).count("1")
+        for a in fps for b in fps
+        if a < b and bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    assert fast == brute

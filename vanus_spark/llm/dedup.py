@@ -267,6 +267,55 @@ def simhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
+def simhash_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with hamming(fingerprint_a, fingerprint_b) <=
+    max_hamming. Pigeonhole blocking: split the fingerprint into
+    ``chunks`` equal bit-chunks; any pair within radius chunks-1
+    shares at least one identical chunk, so candidates come from
+    ``chunks`` equi-joins (union) and the exact hamming check
+    (bit_count of xor) runs only on candidates. Never O(n²).
+
+    Requires max_hamming <= chunks - 1 for full recall.
+    """
+    if max_hamming > chunks - 1:
+        raise ValueError("pigeonhole blocking needs max_hamming <= chunks - 1")
+    chunk_bits = bits // chunks
+    mask = (1 << chunk_bits) - 1
+    fp = simhash_df(docs, text_col, id_col, bits)
+    chunk_cols = [
+        F.shiftright("fingerprint", i * chunk_bits).bitwiseAND(F.lit(mask)).alias(f"c{i}")
+        for i in range(chunks)
+    ]
+    keyed = fp.select(F.col(id_col), F.col("fingerprint"), *chunk_cols)
+    pairs = None
+    for i in range(chunks):
+        a, b = keyed.alias("a"), keyed.alias("b")
+        p = a.join(
+            b,
+            (F.col(f"a.c{i}") == F.col(f"b.c{i}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.fingerprint").alias("fp_a"),
+            F.col("b.fingerprint").alias("fp_b"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        pairs.distinct()
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard verification
 # ---------------------------------------------------------------------------
