@@ -110,6 +110,17 @@ def q_bus_get_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bus_event_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetch by the 16-byte base64 global event ID
+    (reference: proxy.go:860-900)."""
+    from vanus_spark.bus import assign_addresses, get_event_by_id
+    from vanus_spark.model import encode_event_id
+
+    bus = assign_addresses(_events(spark, sf_dir))
+    eid = encode_event_id(2, 7)  # deterministic address
+    return get_event_by_id(bus, eid).select("eventlog", "offset", "event_id")
+
+
 def q_bus_earliest_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vanus_spark.bus import assign_addresses, earliest_latest_offsets
 
@@ -946,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bus / delivery
         "bus_offset_by_time": q_bus_offset_by_time,
         "bus_get_event": q_bus_get_event,
+        "bus_event_by_id": q_bus_event_by_id,
         "bus_earliest_latest": q_bus_earliest_latest,
         "offset_commit": q_offset_commit,
         "delivery_backoff": q_delivery_backoff,
@@ -1058,6 +1070,15 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             SELECT eventlog, "offset", event_id FROM bus
             WHERE eventlog = 1 AND "offset" >= 5 ORDER BY "offset" LIMIT 10
+        """,
+        "bus_event_by_id": """
+            WITH bus AS (
+              SELECT *, user_id % 4 AS eventlog,
+                     row_number() OVER (PARTITION BY user_id % 4
+                                        ORDER BY ts, event_id) - 1 AS "offset"
+              FROM events)
+            SELECT eventlog, "offset", event_id FROM bus
+            WHERE eventlog = 2 AND "offset" = 7
         """,
         "bus_earliest_latest": """
             WITH bus AS (
