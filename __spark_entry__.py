@@ -233,12 +233,14 @@ def q_action_strings_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     src = F.substring("text", 1, 30)
+    # Array outputs are JSON-serialized: the driver's pandas-based canon
+    # cannot hash list-typed cells (round-1 `unhashable type: 'list'`).
     return docs.select(
         "doc_id",
-        vf.split_literal(src, " ").alias("split_ws"),
-        vf.split_from_start(src, 10).alias("split_start"),
-        vf.split_between_positions(src, 5, 10).alias("split_between"),
-        vf.split_with_intervals(src, 4, 7).alias("split_intervals"),
+        F.to_json(vf.split_literal(src, " ")).alias("split_ws"),
+        F.to_json(vf.split_from_start(src, 10)).alias("split_start"),
+        F.to_json(vf.split_between_positions(src, 5, 10)).alias("split_between"),
+        F.to_json(vf.split_with_intervals(src, 4, 7)).alias("split_intervals"),
     )
 
 
@@ -853,11 +855,12 @@ def q_action_regex_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     src = F.substring("text", 1, 24)
+    # first3 is JSON-serialized: driver canon cannot hash list cells.
     return docs.select(
         "doc_id",
         vf.replace_with_regex(src, "[aeiou]", "_").alias("regex_r"),
         vf.replace_between_positions(src, 2, 6, "XX").alias("repl_pos"),
-        F.slice(vf.split_literal(src, " "), 1, 3).alias("first3"),
+        F.to_json(F.slice(vf.split_literal(src, " "), 1, 3)).alias("first3"),
     )
 
 
@@ -1176,19 +1179,20 @@ def oracle_sql() -> dict[str, str]:
         "action_strings_split": """
             WITH s AS (SELECT doc_id, substr(text, 1, 30) AS src FROM documents)
             SELECT doc_id,
-                   str_split(src, ' ') AS split_ws,
-                   [substr(src, 1, 10), substr(src, 11)] AS split_start,
-                   CASE WHEN length(src) <= 5 THEN [src, '', '']
+                   to_json(str_split(src, ' '))::VARCHAR AS split_ws,
+                   to_json([substr(src, 1, 10), substr(src, 11)])::VARCHAR
+                     AS split_start,
+                   to_json(CASE WHEN length(src) <= 5 THEN [src, '', '']
                         WHEN length(src) < 10 THEN [substr(src,1,5), substr(src,6), '']
                         ELSE [substr(src,1,5), substr(src,6,5), substr(src,11)]
-                   END AS split_between,
-                   CASE WHEN length(src) < 4 THEN [src]
+                   END)::VARCHAR AS split_between,
+                   to_json(CASE WHEN length(src) < 4 THEN [src]
                         ELSE list_prepend(substr(src, 1, 4),
                           list_filter(
                             list_transform(generate_series(5, greatest(length(src), 5), 7),
                                            p -> substr(src, p, 7)),
                             x -> length(x) > 0))
-                   END AS split_intervals
+                   END)::VARCHAR AS split_intervals
             FROM s
         """,
         "action_datetime": """
@@ -1274,7 +1278,8 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY ts, event_id
                                             ROWS UNBOUNDED PRECEDING) AS session_seq
               FROM gaps)
-            SELECT user_id, session_seq, count(*) AS n_events,
+            SELECT user_id, session_seq::BIGINT AS session_seq,
+                   count(*) AS n_events,
                    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
             FROM sess GROUP BY user_id, session_seq
         """,
@@ -1439,7 +1444,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN 2 < length(src) AND 6 < length(src)
                         THEN substr(src, 1, 2) || 'XX' || substr(src, 7)
                         END AS repl_pos,
-                   str_split(src, ' ')[1:3] AS first3
+                   to_json(str_split(src, ' ')[1:3])::VARCHAR AS first3
             FROM s
         """,
         "action_convert_timezone": """

@@ -4,14 +4,22 @@ Runs every ``queries()`` entry from __spark_entry__.py against its
 ``oracle_sql()`` DuckDB twin at sf0.01 and reports row-count, schema
 (sorted column names), and order-insensitive value-hash matches.
 
+The canonicalization deliberately mirrors the DRIVER's (round-1 verdict):
+both sides land in pandas (Spark ``toPandas()``, DuckDB ``.df()`` — so
+dtype coercions like HUGEINT->float64 surface locally), columns sorted by
+name, rows via ``DataFrame.sort_values`` over all columns (list-typed
+cells raise ``unhashable type: 'list'`` exactly like the driver), cells
+stringified with plain ``str()`` — NO float smoothing, so int64 ``1`` vs
+float64 ``1.0`` is a mismatch here too.
+
 Usage: python tools/oracle_check.py [query_name ...]
+Env: ORACLE_ENTRY=/path/to/entry.py to check an alternate entry module.
 """
 
 from __future__ import annotations
 
 import hashlib
 import importlib.util
-import math
 import os
 import sys
 
@@ -27,39 +35,28 @@ TABLES = (
 
 
 def load_entry():
-    spec = importlib.util.spec_from_file_location(
-        "__spark_entry__", "/root/repo/__spark_entry__.py"
-    )
+    path = os.environ.get("ORACLE_ENTRY", "/root/repo/__spark_entry__.py")
+    spec = importlib.util.spec_from_file_location("__spark_entry__", path)
     m = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(m)
     return m
 
 
-def norm_value(v):
-    if v is None:
-        return "NULL"
-    if isinstance(v, bool):
-        return "true" if v else "false"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        # round to 6 significant-ish decimals to absorb engine float noise
-        return f"{v:.6g}"
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(norm_value(x) for x in v) + "]"
-    if hasattr(v, "isoformat"):
-        return v.isoformat()
-    return str(v)
+def canon(pdf):
+    """Driver-style canon: sort columns by name, sort rows by all columns,
+    stringify every cell with str(). Raises on unhashable (list) cells,
+    just like the driver's pandas sort_values did in round 1."""
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+    return pdf
 
 
-def table_hash(rows: list[tuple], colnames: list[str]) -> str:
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    lines = sorted(
-        "\x01".join(norm_value(r[i]) for i in order) for r in rows
-    )
+def table_hash(pdf) -> str:
+    pdf = canon(pdf)
     h = hashlib.sha256()
-    for line in lines:
-        h.update(line.encode())
+    for row in pdf.itertuples(index=False, name=None):
+        h.update("\x01".join(str(v) for v in row).encode())
         h.update(b"\n")
     return h.hexdigest()[:16]
 
@@ -83,28 +80,30 @@ def main(only: list[str]):
             continue
         try:
             sdf = qs[name](spark, SF_DIR)
-            srows = sdf.collect()
-            scols = sdf.columns
+            spdf = sdf.toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"{name}: SPARK ERROR {str(e)[:200]}")
             failed += 1
             continue
         if name not in oracles:
-            print(f"{name}: rows-only ({len(srows)} rows) [no oracle]")
+            print(f"{name}: rows-only ({len(spdf)} rows) [no oracle]")
             rows_only += 1
             continue
         try:
-            res = con.sql(oracles[name])
-            drows = res.fetchall()
-            dcols = res.columns
+            dpdf = con.sql(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"{name}: DUCKDB ERROR {str(e)[:200]}")
             failed += 1
             continue
-        ok_count = len(srows) == len(drows)
-        ok_schema = sorted(scols) == sorted(dcols)
-        sh = table_hash([tuple(r) for r in srows], scols)
-        dh = table_hash(drows, dcols)
+        ok_count = len(spdf) == len(dpdf)
+        ok_schema = sorted(spdf.columns) == sorted(dpdf.columns)
+        try:
+            sh = table_hash(spdf)
+            dh = table_hash(dpdf)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: CANON ERROR {type(e).__name__}: {str(e)[:160]}")
+            failed += 1
+            continue
         ok_hash = sh == dh
         status = "OK" if (ok_count and ok_schema and ok_hash) else "MISMATCH"
         if status == "OK":
@@ -112,13 +111,17 @@ def main(only: list[str]):
         else:
             failed += 1
         print(
-            f"{name}: {status} rows={len(srows)}/{len(drows)} "
-            f"schema={'ok' if ok_schema else f'{sorted(scols)} vs {sorted(dcols)}'} "
+            f"{name}: {status} rows={len(spdf)}/{len(dpdf)} "
+            f"schema={'ok' if ok_schema else f'{sorted(spdf.columns)} vs {sorted(dpdf.columns)}'} "
             f"hash={'ok' if ok_hash else f'{sh} vs {dh}'}"
         )
-        if status == "MISMATCH" and len(srows) <= 20 and len(drows) <= 20:
-            print("  spark :", sorted(tuple(r) for r in srows)[:5])
-            print("  duckdb:", sorted(drows)[:5])
+        if status == "MISMATCH":
+            scan = canon(spdf)
+            dcan = canon(dpdf)
+            print("  spark dtypes :", dict(spdf.dtypes.astype(str)))
+            print("  duckdb dtypes:", dict(dpdf.dtypes.astype(str)))
+            print("  spark :", scan.head(3).to_dict("records"))
+            print("  duckdb:", dcan.head(3).to_dict("records"))
     print(f"\n{passed} ok, {failed} failed, {rows_only} rows-only of {len(names)}")
     return 1 if failed else 0
 

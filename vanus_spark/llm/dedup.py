@@ -115,22 +115,28 @@ def minhash_signature(c: Column, num_hashes: int = 16, shingle_n: int = 3) -> Co
     return F.array(*[perm_min(a, b) for a, b in minhash_coeffs(num_hashes)])
 
 
-def minhash_signatures_df(
-    docs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 16,
-    shingle_n: int = 3,
+def shingles_df(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """(id, sig array<long>) via explode -> ONE base hash per shingle
-    -> groupBy(id) with 16 min aggregates. The explode materializes
-    each shingle hash exactly once (no expression re-evaluation), and
-    min() partial-aggregates map-side, so the shuffle is #docs ×
-    num_hashes longs regardless of document length — the shape that
-    survives 100 TB."""
-    exploded = docs.select(
-        F.col(id_col),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    """(id, sh array<string>) — the shingle set per document. Compute
+    ONCE and persist/write when several downstream stages (signature
+    generation, Jaccard verification) need it; at 100 TB this is a
+    stored table, not a recomputed expression."""
+    return docs.select(F.col(id_col), shingles(F.col(text_col), n).alias("sh"))
+
+
+def minhash_signatures_from_shingles(
+    sh_df: DataFrame, id_col: str = "doc_id", num_hashes: int = 16
+) -> DataFrame:
+    """(id, sig array<long>) from a precomputed (id, sh) frame via
+    explode -> ONE base hash per shingle -> groupBy(id) with
+    `num_hashes` min aggregates. The explode materializes each shingle
+    hash exactly once (no expression re-evaluation), and min()
+    partial-aggregates map-side, so the shuffle is #docs × num_hashes
+    longs regardless of document length — the shape that survives
+    100 TB."""
+    exploded = sh_df.select(
+        F.col(id_col), F.explode("sh").alias("shingle")
     ).select(F.col(id_col), minhash_base_hash(F.col("shingle")).alias("h"))
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{i}")
@@ -142,6 +148,20 @@ def minhash_signatures_df(
     )
 
 
+def minhash_signatures_df(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig array<long>) straight from documents (see
+    minhash_signatures_from_shingles for the aggregation shape)."""
+    return minhash_signatures_from_shingles(
+        shingles_df(docs, text_col, id_col, shingle_n), id_col, num_hashes
+    )
+
+
 def minhash_lsh_buckets(
     docs: DataFrame,
     text_col: str = "text",
@@ -149,11 +169,19 @@ def minhash_lsh_buckets(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    sig_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id, band, band_key) — docs sharing a band_key are candidates.
-    rows = #docs × bands (narrow); the join key is the band digest."""
+    rows = #docs × bands (narrow); the join key is the band digest.
+    Pass ``sig_df`` (a persisted/stored (id, sig) table) to band a
+    signature set computed once elsewhere instead of recomputing the
+    shingle->hash chain."""
     rows_per_band = num_hashes // bands
-    with_sig = minhash_signatures_df(docs, text_col, id_col, num_hashes, shingle_n)
+    with_sig = (
+        sig_df
+        if sig_df is not None
+        else minhash_signatures_df(docs, text_col, id_col, num_hashes, shingle_n)
+    )
     bands_col = F.array(
         *[
             F.struct(
@@ -183,11 +211,14 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    sig_df: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing any LSH band. The
     self-join is per (band, band_key) bucket — skew-safe under AQE;
     hot buckets (boilerplate docs) would be salted in production."""
-    b = minhash_lsh_buckets(docs, text_col, id_col, num_hashes, bands, shingle_n)
+    b = minhash_lsh_buckets(
+        docs, text_col, id_col, num_hashes, bands, shingle_n, sig_df=sig_df
+    )
     left = b.alias("l")
     right = b.alias("r")
     return (
@@ -326,13 +357,17 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard over word n-grams for given candidate (id_a,
     id_b) pairs. Shingle arrays are joined in, intersection/union via
     array ops — the heavy explode only happens for candidates, never
-    the full corpus."""
-    sh = docs.select(
-        F.col(id_col), shingles(F.col(text_col), n).alias("sh")
+    the full corpus. Pass ``shingle_df`` (persisted (id, sh)) to reuse
+    shingles computed once elsewhere."""
+    sh = (
+        shingle_df
+        if shingle_df is not None
+        else shingles_df(docs, text_col, id_col, n)
     )
     a = sh.alias("a")
     b = sh.alias("b")
@@ -358,9 +393,24 @@ def near_dup_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
-    """End-to-end near-dup: LSH candidates -> exact Jaccard >= t."""
-    cands = minhash_lsh_pairs(docs, text_col, id_col, num_hashes, bands, shingle_n)
-    return ngram_jaccard_pairs(docs, cands, text_col, id_col, shingle_n).where(
-        F.col("jaccard") >= threshold
+    """End-to-end near-dup: LSH candidates -> exact Jaccard >= t.
+
+    With ``shingle_df`` (a persisted (id, sh) table) the shingle set is
+    computed ONCE and reused by both the signature chain and the
+    Jaccard verification — at 100 TB this is the stored-signatures
+    design: hash the corpus once, join candidates against the stored
+    table (cf. reference-scale dedup pipelines)."""
+    sh = (
+        shingle_df
+        if shingle_df is not None
+        else shingles_df(docs, text_col, id_col, shingle_n)
     )
+    sig = minhash_signatures_from_shingles(sh, id_col, num_hashes)
+    cands = minhash_lsh_pairs(
+        docs, text_col, id_col, num_hashes, bands, shingle_n, sig_df=sig
+    )
+    return ngram_jaccard_pairs(
+        docs, cands, text_col, id_col, shingle_n, shingle_df=sh
+    ).where(F.col("jaccard") >= threshold)

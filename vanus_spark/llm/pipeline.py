@@ -20,8 +20,9 @@ instead of an iterative algorithm.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
 
-from vanus_spark.llm.dedup import exact_dedup_rows, near_dup_pairs
+from vanus_spark.llm.dedup import exact_dedup_rows, near_dup_pairs, shingles_df
 from vanus_spark.llm.textstats import lang_id_df, quality_score, text_profile
 
 
@@ -32,11 +33,26 @@ def corpus_clean(
     languages: tuple[str, ...] = ("en",),
     id_col: str = "doc_id",
     text_col: str = "text",
+    persist_signatures: bool = True,
 ) -> DataFrame:
-    """Returns the cleaned corpus (surviving rows of ``docs``)."""
+    """Returns the cleaned corpus (surviving rows of ``docs``).
+
+    The shingle set is computed ONCE and persisted
+    (MEMORY_AND_DISK), then reused by the MinHash signature chain and
+    the Jaccard verification — hash the corpus once, join candidates
+    against the stored table. At 100 TB the persist becomes a written
+    ``(doc_id, sh)`` / ``(doc_id, sig)`` table bucketed by band key;
+    the plan shape is identical."""
     survivors = exact_dedup_rows(docs, text_col, id_col)
+    sh = shingles_df(survivors, text_col, id_col)
+    if persist_signatures:
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     dup_pairs = near_dup_pairs(
-        survivors, threshold=jaccard_threshold, text_col=text_col, id_col=id_col
+        survivors,
+        threshold=jaccard_threshold,
+        text_col=text_col,
+        id_col=id_col,
+        shingle_df=sh,
     )
     drop_ids = dup_pairs.select(F.col("id_b").alias(id_col)).distinct()
     survivors = survivors.join(drop_ids, id_col, "left_anti")

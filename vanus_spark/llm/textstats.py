@@ -139,17 +139,30 @@ def lang_id(c: Column) -> Column:
 
 
 def lang_id_df(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Bulk language ID: the normalized padded text is materialized in
-    its own projection, so the regexp runs ONCE per row and the 25
-    marker counts + argmax run over the cached string. (Catalyst's
-    CollapseProject keeps the barrier because the expression is
-    non-cheap and multiply-referenced.) Also keeps each generated
-    expression under janino's 64KB codegen limit."""
+    """Bulk language ID in THREE stacked projections:
+
+    1. normalized padded text (the regexp runs ONCE per row),
+    2. one score column per language (5 marker counts each),
+    3. argmax over the 5 plain column refs (greatest + first-match).
+
+    Catalyst's CollapseProject keeps the barriers because the staged
+    expressions are non-cheap and multiply-referenced (SPARK-36718).
+    The old single-expression argmax nested every score inside chained
+    when()s — the generated method exceeded janino's 64KB limit and
+    the whole projection silently fell back to interpreted eval
+    (~5x slower); this shape compiles."""
     padded = F.concat(F.lit(" "), normalize_text(F.col(text_col)), F.lit(" "))
     staged = docs.select(F.col(id_col), padded.alias("_padded"))
-    return staged.select(
-        F.col(id_col), _argmax_lang(lang_scores(F.col("_padded"))).alias("lang_pred")
+    scores = lang_scores(F.col("_padded"))
+    langs = sorted(scores)
+    scored = staged.select(
+        F.col(id_col), *[scores[lang].alias(f"_s_{lang}") for lang in langs]
     )
+    max_score = F.greatest(*[F.col(f"_s_{lang}") for lang in langs])
+    pred = F.when(max_score <= 0, F.lit("und"))
+    for lang in langs:  # first lang (sorted order) hitting the max wins ties
+        pred = pred.when(F.col(f"_s_{lang}") == max_score, F.lit(lang))
+    return scored.select(F.col(id_col), pred.alias("lang_pred"))
 
 
 def doc_fingerprint(c: Column) -> Column:
