@@ -651,6 +651,41 @@ def q_subscription_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transform_template_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL transformer spec — define vars + action pipeline + JSON
+    output template — through the static compiler
+    (plans/compiler.py compile_transformer): zero Python in the
+    executed plan, no to_json/from_json round-trip between pipeline
+    and template (reference: transformer.go:67-106, define.go:30-76).
+    Gated against the interpreter in tests/test_compile_transformer.py
+    and against DuckDB here. ``cstr`` exercises the Go %v float
+    formatting (964.0 -> "964") in string position."""
+    from vanus_spark.subscription import Subscription
+
+    ce = _cloudevents(spark, sf_dir)
+    sub = Subscription.from_spec(
+        {
+            "transformer": {
+                "define": {"u": "$.data.user_id"},
+                "pipeline": [
+                    ["MATH_MUL", "$.data.value", "$.data.value", 100],
+                    ["CONDITION_IF", "$.data.tier", "$.data.value", ">=", 10000,
+                     "gold", "basic"],
+                ],
+                "template": '{"uid":<u>,"cents":<$.data.value>,'
+                            '"tier":"<$.data.tier>","cstr":"<$.data.value>",'
+                            '"t":"<type>"}',
+            }
+        }
+    )
+    out = sub.apply(ce, data_schema="user_id long, value double, props struct<k: int>")
+    return out.select(
+        F.col("id").cast("long").alias("event_id"),
+        F.col("data").alias("payload"),
+        F.col("datacontenttype").alias("content_type"),
+    )
+
+
 def q_skew_two_phase_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase (salted) aggregation — skew-proof count by type."""
     from vanus_spark.operators.skew import two_phase_count
@@ -1003,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dlq_resend": q_dlq_resend,
         "cesql_functions": q_cesql_functions,
         "subscription_full": q_subscription_full,
+        "transform_template_full": q_transform_template_full,
         "skew_two_phase_count": q_skew_two_phase_count,
         # llm pipeline
         "dedup_exact": q_dedup_exact,
@@ -1497,6 +1533,21 @@ def oracle_sql() -> dict[str, str]:
                    || '","t":"' || event_type || '"}' AS payload
             FROM events
             WHERE event_type IN ('purchase', 'signup')
+        """,
+        "transform_template_full": """
+            SELECT event_id,
+                   '{"uid":' || user_id::VARCHAR
+                   || ',"cents":' || (value * 100)::VARCHAR
+                   || ',"tier":"'
+                   || (CASE WHEN value * 100 >= 10000 THEN 'gold' ELSE 'basic' END)
+                   || '","cstr":"'
+                   || (CASE WHEN value * 100 = trunc(value * 100)
+                             AND abs(value * 100) < 1e15
+                        THEN (value * 100)::BIGINT::VARCHAR
+                        ELSE (value * 100)::VARCHAR END)
+                   || '","t":"' || event_type || '"}' AS payload,
+                   'application/json' AS content_type
+            FROM events
         """,
         "skew_two_phase_count": """
             SELECT event_type, count(*) AS count FROM events GROUP BY event_type

@@ -27,6 +27,7 @@ HEADLINE = [
     "action_datetime",
     "transform_pipeline_e2e",
     "transform_pipeline_compiled",
+    "transform_template_full",
     "template_render",
     "bus_offset_by_time",
     "delivery_routing",

@@ -1,0 +1,131 @@
+"""Equivalence gate: compile_transformer (pure-Column path) must match
+the mapInPandas interpreter byte-for-byte on every in-subset spec —
+define vars, pipelines, text/JSON templates, malformed payloads.
+
+Reference semantics under test: transformer.go:67-106 execution order,
+define.go:30-76 nil-on-error vars, template.go datacontenttype
+rewrites, pipeline.go:41-52 skip-on-error.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from vanus_spark.plans import CompileFallback, compile_transformer
+from vanus_spark.transformer import transform_dataframe
+
+ENV_SCHEMA = (
+    "id string, source string, specversion string, type string, time timestamp, "
+    "datacontenttype string, dataschema string, subject string, "
+    "attributes map<string,string>, data string"
+)
+DATA_SCHEMA = "user_id long, value double, name string, props struct<k: int>"
+
+
+def _envelope(spark):
+    rows = [
+        ("1", "/s", "1.0", "purchase", None, "application/json", None, None,
+         {"partitionkey": "12"}, '{"user_id":12,"value":9.64,"name":"ada","props":{"k":87}}'),
+        ("2", "/s", "1.0", "signup", None, "application/json", None, None,
+         {"partitionkey": "7"}, '{"user_id":7,"value":50.0,"name":"bob","props":{"k":3}}'),
+        # value missing -> numeric actions must SKIP, not else-branch
+        ("3", "/s", "1.0", "click", None, "application/json", None, None,
+         {}, '{"user_id":9,"name":"eve"}'),
+        ("4", "/s", "1.0", "purchase", None, "application/json", None, None, {}, "{bad"),
+        ("5", "/s", "1.0", "click", None, "application/json", None, None, {}, None),
+        ("6", "/s", "1.0", "click", None, "application/json", None, None, {}, ""),
+        ("7", "/s", "1.0", "click", None, "application/json", None, None, {}, "null"),
+        # non-numeric value -> ordered CONDITION_IF cast error -> skip
+        ("8", "/s", "1.0", "click", None, "application/json", None, None,
+         {}, '{"user_id":1,"value":3.5,"name":"zoe","props":{"k":1}}'),
+    ]
+    return spark.createDataFrame(rows, ENV_SCHEMA)
+
+
+SPECS = {
+    "pipeline_only": {
+        "pipeline": [
+            ["MATH_MUL", "$.data.value", "$.data.value", 100],
+            ["CONDITION_IF", "$.data.tier", "$.data.value", ">=", 1000, "gold", "basic"],
+            ["UPPER_CASE", "$.data.name"],
+        ],
+    },
+    "define_in_actions": {
+        "define": {"u": "$.data.user_id", "ghost": "$.data.nope"},
+        "pipeline": [
+            ["MATH_ADD", "$.data.value", "$.data.value", "<u>"],
+            ["CREATE", "$.data.gone", "<ghost>"],
+            ["CREATE", "$.data.undefined_ref", "<never_defined>"],
+        ],
+    },
+    "text_template": {
+        "define": {"u": "$.data.user_id", "missing": "$.data.nope"},
+        "pipeline": [
+            ["MATH_MUL", "$.data.value", "$.data.value", 100],
+            ["CONDITION_IF", "$.data.tier", "$.data.value", ">=", 1000, "gold", "basic"],
+        ],
+        "template": "uid=<u> cents=<$.data.value> tier=<$.data.tier> t=<type> "
+                    "pk=<partitionkey> m=<missing>!",
+    },
+    "json_template": {
+        "define": {"u": "$.data.user_id"},
+        "pipeline": [["MATH_MUL", "$.data.value", "$.data.value", 100]],
+        "template": '{"uid":<u>,"cents":<$.data.value>,"k":<$.data.props.k>,'
+                    '"s":"<$.data.value>","n":"<$.data.name>","t":"<type>"}',
+    },
+    "json_template_dict_form": {
+        "template": {"type": "json", "template": '{"t":"<type>","v":<$.data.value>}'},
+    },
+    "skip_family": {
+        "pipeline": [
+            ["CHECK_CUSTOM_VALUES", "$.data.nope2", "x", "$.data.flag", "yes", "no"],
+            ["EXTRACT_MISSING", "$.data.nope2", "$.data.m", "EMPTY", "FULL"],
+            ["SPLIT_WITH_DELIMITER", "$.data.name", "o", "$.data.parts"],
+            ["CHECK_CUSTOM_VALUES", "$.data.name", "o", "$.data.has_o", "yes", "no"],
+        ],
+    },
+}
+
+
+@pytest.mark.parametrize("spec_name", sorted(SPECS))
+def test_compiled_matches_interpreter(spark, spec_name):
+    spec = SPECS[spec_name]
+    df = _envelope(spark)
+    cols = ["id", "datacontenttype", "data", "transform_error"]
+    interp = sorted(transform_dataframe(df, spec).select(*cols).collect())
+    comp = sorted(compile_transformer(spec, DATA_SCHEMA)(df).select(*cols).collect())
+    assert comp == interp
+
+
+def test_fallback_on_dynamic_path():
+    with pytest.raises(CompileFallback):
+        compile_transformer(
+            {"pipeline": [["DELETE", "$.data.arr[0]"]]}, DATA_SCHEMA
+        )
+
+
+def test_fallback_on_time_var():
+    with pytest.raises(CompileFallback):
+        compile_transformer({"template": "at <time>"}, DATA_SCHEMA)
+
+
+def test_subscription_routes_to_compiled(spark):
+    """subscription.apply with a schema must produce a plan with no
+    Python eval (no mapInPandas / BatchEvalPython nodes)."""
+    from vanus_spark.subscription import Subscription
+
+    sub = Subscription.from_spec(
+        {
+            "filters": {"exact": {"type": "purchase"}},
+            "transformer": SPECS["text_template"],
+        }
+    )
+    out = sub.apply(_envelope(spark), data_schema=DATA_SCHEMA)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "mapInPandas" not in plan.lower()
+    assert "EvalPython" not in plan
+    interp = sorted(
+        sub.apply(_envelope(spark)).select("id", "data", "transform_error").collect()
+    )
+    comp = sorted(out.select("id", "data", "transform_error").collect())
+    assert comp == interp

@@ -1,1 +1,5 @@
-from vanus_spark.plans.compiler import compile_pipeline, CompileFallback  # noqa: F401
+from vanus_spark.plans.compiler import (  # noqa: F401
+    CompileFallback,
+    compile_pipeline,
+    compile_transformer,
+)

@@ -68,12 +68,17 @@ def _schema_field(schema: T.StructType, path: str) -> T.DataType | None:
 
 class _State:
     """Tracks the evolving data struct column + the set of paths known
-    to exist (schema fields + compiled CREATEs)."""
+    to exist (schema fields + compiled CREATEs), the compiled define
+    vars, and a coarse output-type kind per created path (for template
+    stringification parity with the Go-style interpreter)."""
 
     def __init__(self, data: Column, schema: T.StructType):
         self.data = data
         self.schema = schema
         self.created: set[str] = set()
+        self.kinds: dict[str, str] = {}  # created path -> string|double|long|array|any
+        self.define: dict[str, Column] = {}
+        self.define_kinds: dict[str, str] = {}
 
     def in_schema(self, path: str) -> bool:
         return _schema_field(self.schema, path) is not None
@@ -89,17 +94,38 @@ class _State:
             c = c.getField(part)
         return c
 
-    def set(self, path: str, value: Column) -> None:
+    def set(self, path: str, value: Column, kind: str = "any") -> None:
         self.data = self.data.withField(path, value)
         self.created.add(path)
+        self.kinds[path] = kind
 
     def drop(self, path: str) -> None:
         self.data = self.data.dropFields(path)
         self.created.discard(path)
+        self.kinds.pop(path, None)
+
+    def kind_of(self, path: str) -> str:
+        """Coarse type for template rendering: schema dtype when the
+        path was never rewritten, else the recorded action kind."""
+        if path in self.kinds:
+            return self.kinds[path]
+        dtype = _schema_field(self.schema, path)
+        if dtype is None:
+            return "any"
+        if isinstance(dtype, (T.DoubleType, T.FloatType, T.DecimalType)):
+            return "double"
+        if isinstance(dtype, (T.ArrayType, T.MapType, T.StructType)):
+            return "array"
+        if isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+            return "long"
+        if isinstance(dtype, T.BooleanType):
+            return "bool"
+        return "string"
 
 
 def _value_arg(state: _State, arg: Any) -> Column:
-    """Resolve a source arg: data path, constant, or attribute."""
+    """Resolve a source arg: data path, constant, define var, or
+    attribute (mirrors actions/interp.py new_arg)."""
     if _is_data_path(arg):
         return state.get(_path_of(arg))
     if isinstance(arg, str) and arg.startswith("$.") and not arg.startswith("$.data"):
@@ -108,7 +134,38 @@ def _value_arg(state: _State, arg: Any) -> Column:
         return attribute_column(arg[2:].lower())
     if isinstance(arg, str) and arg.startswith("@."):
         return state.get(arg[2:])
+    if _is_define_ref(arg):
+        name = arg.strip()[1:-1]
+        if name in state.define:
+            return state.define[name]
+        raise _UnknownRead(arg)  # undefined var -> action always errors
     return F.lit(arg)
+
+
+def _is_define_ref(arg: Any) -> bool:
+    if not isinstance(arg, str):
+        return False
+    s = arg.strip()
+    return len(s) >= 3 and s[0] == "<" and s[-1] == ">" and s[1] != "@"
+
+
+def _kind_of_arg(state: _State, arg: Any) -> str:
+    """Coarse render-kind of a source arg (for template parity)."""
+    if _is_data_path(arg):
+        return state.kind_of(_path_of(arg))
+    if isinstance(arg, str) and arg.startswith("@."):
+        return state.kind_of(arg[2:])
+    if _is_define_ref(arg):
+        return state.define_kinds.get(arg.strip()[1:-1], "any")
+    if isinstance(arg, str):
+        return "string"
+    if isinstance(arg, bool):
+        return "bool"
+    if isinstance(arg, float):
+        return "double"
+    if isinstance(arg, int):
+        return "long"
+    return "any"
 
 
 def _num(state: _State, arg: Any) -> Column:
@@ -163,18 +220,26 @@ def _compile_action(state: _State, cmd: list[Any]) -> None:  # noqa: PLR0912, PL
             raise CompileFallback("CREATE on non-data target")
         path = _path_of(args[0])
         val = _value_arg(state, args[1])
+        k = _kind_of_arg(state, args[1])
         if state.known(path):
             # runtime exists-check: only write where currently null
-            state.set(path, F.coalesce(state.get(path), val))
+            old_k = state.kind_of(path)
+            state.set(path, F.coalesce(state.get(path), val),
+                      k if k == old_k else "any")
         else:
-            state.set(path, val)
+            state.set(path, val, k)
         return
     if name == "REPLACE":
         path = _path_of(args[0])
         if not state.known(path):
             return  # target never exists -> always skipped
         old = state.get(path)
-        state.set(path, F.when(old.isNotNull(), _value_arg(state, args[1])).otherwise(old))
+        old_k, new_k = state.kind_of(path), _kind_of_arg(state, args[1])
+        state.set(
+            path,
+            F.when(old.isNotNull(), _value_arg(state, args[1])).otherwise(old),
+            new_k if new_k == old_k else "any",
+        )
         return
     if name == "DELETE":
         path = _path_of(args[0])
@@ -185,7 +250,7 @@ def _compile_action(state: _State, cmd: list[Any]) -> None:  # noqa: PLR0912, PL
         src, dst = _path_of(args[0]), _path_of(args[1])
         if state.known(dst):
             raise CompileFallback(f"{name} destination {dst} may exist at runtime")
-        state.set(dst, state.get(src))
+        state.set(dst, state.get(src), state.kind_of(src))
         if name in ("MOVE", "RENAME"):
             state.drop(src)
         return
@@ -201,7 +266,7 @@ def _compile_action(state: _State, cmd: list[Any]) -> None:  # noqa: PLR0912, PL
             new = vf.math_mul(*nums)
         else:
             new = vf.math_div(*nums)
-        state.set(path, _skip_on_null(state, path, new))
+        state.set(path, _skip_on_null(state, path, new), "double")
         return
 
     in_place_str = {
@@ -232,19 +297,34 @@ def _compile_action(state: _State, cmd: list[Any]) -> None:  # noqa: PLR0912, PL
     if name in in_place_str:
         path = _path_of(args[0])
         old = state.get(path).cast("string")
-        state.set(path, _skip_on_null(state, path, in_place_str[name](old, args[1:])))
+        state.set(
+            path, _skip_on_null(state, path, in_place_str[name](old, args[1:])), "string"
+        )
         return
 
     if name == "CONDITION_IF":
         path = _path_of(args[0])
-        new = vf.condition_if(
-            _value_arg(state, args[1]),
-            str(args[2]),
-            _value_arg(state, args[3]),
-            _value_arg(state, args[4]),
-            _value_arg(state, args[5]),
+        srcv = _value_arg(state, args[1])
+        op = str(args[2])
+        # interpreter parity: missing source -> arg error -> skip; for
+        # ordered ops a non-numeric source -> cast error -> skip
+        # (condition_if_action.go via RunArgs). NULL result = skipped.
+        if op == "==":
+            valid = srcv.isNotNull()
+        else:
+            valid = srcv.cast("string").try_cast("double").isNotNull()
+        new = F.when(
+            valid,
+            vf.condition_if(
+                srcv,
+                op,
+                _value_arg(state, args[3]),
+                _value_arg(state, args[4]),
+                _value_arg(state, args[5]),
+            ),
         )
-        state.set(path, _skip_on_null(state, path, new))
+        k1, k2 = _kind_of_arg(state, args[4]), _kind_of_arg(state, args[5])
+        state.set(path, _skip_on_null(state, path, new), k1 if k1 == k2 else "any")
         return
     if name == "LENGTH":
         path = _path_of(args[0])
@@ -267,12 +347,16 @@ def _compile_action(state: _State, cmd: list[Any]) -> None:  # noqa: PLR0912, PL
             new = F.when(src.isNotNull(), total.cast("long"))
         else:
             new = F.length(src.cast("string")).cast("long")
-        state.set(path, _skip_on_null(state, path, new))
+        state.set(path, _skip_on_null(state, path, new), "long")
         return
     if name == "SPLIT_WITH_DELIMITER":
         src = state.get(_path_of(args[0])).cast("string")
         target = _path_of(args[2])
-        state.set(target, vf.split_literal(src, str(args[1])))
+        state.set(
+            target,
+            _skip_on_null(state, target, vf.split_literal(src, str(args[1]))),
+            "array",
+        )
         return
     if name == "EXTRACT_BETWEEN_DELIMITERS":
         src = state.get(_path_of(args[0])).cast("string")
@@ -282,6 +366,7 @@ def _compile_action(state: _State, cmd: list[Any]) -> None:  # noqa: PLR0912, PL
             _skip_on_null(
                 state, target, vf.extract_between_delimiters(src, str(args[2]), str(args[3]))
             ),
+            "string",
         )
         return
     if name == "EXTRACT_BETWEEN_POSITIONS":
@@ -292,22 +377,194 @@ def _compile_action(state: _State, cmd: list[Any]) -> None:  # noqa: PLR0912, PL
             _skip_on_null(
                 state, target, vf.extract_between_positions(src, int(args[2]), int(args[3]))
             ),
+            "string",
         )
         return
     if name == "CHECK_CUSTOM_VALUES":
         src = state.get(_path_of(args[0])).cast("string")
         target = _path_of(args[2])
-        state.set(
-            target,
+        new = F.when(  # missing source -> arg error -> skip (NULL)
+            src.isNotNull(),
             vf.check_custom_values(
                 src, str(args[1]), _value_arg(state, args[3]), _value_arg(state, args[4])
+            ),
+        )
+        state.set(
+            target,
+            _skip_on_null(state, target, new),
+            (lambda a, b: a if a == b else "any")(
+                _kind_of_arg(state, args[3]), _kind_of_arg(state, args[4])
             ),
         )
         return
     if name in ("EXTRACT_MISSING", "EXTRACT_MISSING_ACTION"):
         src = state.get(_path_of(args[0])).cast("string")
         target = _path_of(args[1])
-        state.set(target, vf.extract_missing(src, str(args[2]), str(args[3])))
+        new = F.when(  # missing source -> arg error -> skip (NULL)
+            src.isNotNull(), vf.extract_missing(src, str(args[2]), str(args[3]))
+        )
+        state.set(target, _skip_on_null(state, target, new), "string")
         return
 
     raise CompileFallback(f"action {name} not compilable")
+
+
+# ---------------------------------------------------------------------------
+# Full transformer compilation: define + pipeline + template
+# ---------------------------------------------------------------------------
+
+def compile_transformer(
+    spec: dict[str, Any] | None, data_schema: T.StructType | str
+) -> Callable[[DataFrame], DataFrame]:
+    """Compile a FULL transformer spec — define vars, action pipeline,
+    and output template — to pure Columns (reference semantics:
+    server/trigger/transform/transformer.go:67-106).
+
+    Semantics preserved beyond compile_pipeline:
+    - define vars evaluate against the ORIGINAL event (define.go:30-76);
+      evaluation errors leave the var nil;
+    - template renders against the MUTATED data + original attributes,
+      with define vars winning over model names (template.go:33-54);
+    - JSON template sets datacontenttype application/json, text sets
+      text/plain (transformer.go:96-104);
+    - unparseable payload JSON -> transform_error=true, data passes
+      through untouched (ErrTransformCode -> DLQ, transformer.go:70-74);
+    - Go %v float formatting in string positions (6.0 -> "6") via a
+      conditional integral cast — matching casts.py _format_float.
+
+    The template reads the evolved struct DIRECTLY — no intermediate
+    to_json/from_json round-trip between pipeline and template.
+    Raises CompileFallback for anything outside the subset (dynamic
+    paths, <time> model var, non-scalar text substitutions).
+    """
+    from vanus_spark.model import attribute_column
+    from vanus_spark.templates import (
+        compile_json_template_generic,
+        parse_text_template,
+        sniff_template_type,
+    )
+
+    spec = spec or {}
+    define_spec = spec.get("define") or {}
+    pipeline = spec.get("pipeline") or []
+    tmpl = spec.get("template")
+    if isinstance(tmpl, dict):
+        template = tmpl.get("template")
+        ttype = tmpl.get("type") or sniff_template_type(template or "")
+    else:
+        template = tmpl
+        ttype = sniff_template_type(tmpl) if tmpl else None
+
+    schema = (
+        T._parse_datatype_string(data_schema)  # noqa: SLF001
+        if isinstance(data_schema, str)
+        else data_schema
+    )
+    if not isinstance(schema, T.StructType):
+        raise CompileFallback("data schema must be a struct")
+
+    # Parse with a corrupt-record sidecar: from_json never returns NULL
+    # for malformed input (it yields an all-null struct), so the only
+    # JVM-side malformed-JSON signal is columnNameOfCorruptRecord.
+    schema_cr = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    parsed = F.from_json(
+        F.col("data"), schema_cr, {"columnNameOfCorruptRecord": "_corrupt_record"}
+    )
+    state = _State(parsed, schema)
+    for name, expr in define_spec.items():
+        try:
+            state.define[name] = _value_arg(state, expr)
+            state.define_kinds[name] = _kind_of_arg(state, expr)
+        except _UnknownRead:  # var statically never resolves -> nil
+            state.define[name] = F.lit(None)
+            state.define_kinds[name] = "string"
+    for cmd in pipeline:
+        try:
+            _compile_action(state, cmd)
+        except _UnknownRead:
+            continue  # action can never succeed -> statically skipped
+
+    def resolve_typed(inner: str) -> Column:
+        if inner == "$.data" or inner == "data":
+            return state.data
+        if inner.startswith("$.data."):
+            path = inner[7:]
+            if "[" in path or "*" in path:
+                raise CompileFallback(f"dynamic template path {inner}")
+            if not state.known(path):
+                return F.lit(None)
+            return state.get(path)
+        if inner == "time" or inner == "$.time":
+            # isoformat()-rendered in the interpreter; not replicated
+            raise CompileFallback("<time> model var")
+        if inner.startswith("$."):
+            return attribute_column(inner[2:])
+        if inner in state.define:  # define wins over model
+            return state.define[inner]
+        return attribute_column(inner)
+
+    def kind_of_inner(inner: str) -> str:
+        if inner == "$.data" or inner == "data":
+            return "array"
+        if inner.startswith("$.data."):
+            path = inner[7:]
+            return state.kind_of(path) if state.known(path) else "string"
+        if inner.startswith("$."):
+            return "string"
+        if inner in state.define_kinds:
+            return state.define_kinds[inner]
+        return "string"  # model attributes are strings
+
+    def go_str(inner: str) -> Column:
+        """String form matching py_cast(v, 'string') for scalars."""
+        c = resolve_typed(inner)
+        k = kind_of_inner(inner)
+        if k == "double":
+            as_long = c.cast("long")
+            return F.when(
+                (c == as_long.cast("double")) & (F.abs(c) < F.lit(1e15)),
+                as_long.cast("string"),
+            ).otherwise(c.cast("string"))
+        if k in ("array", "any"):
+            raise CompileFallback(f"non-scalar string substitution <{inner}>")
+        return c.cast("string")
+
+    if ttype == "text":
+        cols = []
+        for seg in parse_text_template(template):
+            if seg.kind == "text":
+                cols.append(F.lit(seg.value))
+            else:
+                cols.append(F.coalesce(go_str(seg.value), F.lit("")))
+        rendered = F.concat(*cols) if cols else F.lit("")
+    elif ttype == "json":
+        rendered = compile_json_template_generic(template, resolve_typed, go_str)
+    # nil-ish payloads parse to data=None in the interpreter (no error):
+    # NULL, empty/whitespace, and the JSON literal "null" (which the
+    # corrupt-record parse wrongly flags).
+    trimmed = F.trim(F.col("data"))
+    nilish = F.col("data").isNull() | (trimmed == "") | (trimmed == "null")
+    if ttype is None:
+        # no template: re-serialize mutated data; nil payload -> "null"
+        # (the interpreter's json.dumps(None))
+        rendered = F.when(nilish, F.lit("null")).otherwise(F.to_json(state.data))
+
+    bad_json = F.coalesce(
+        parsed.getField("_corrupt_record").isNotNull() & ~nilish, F.lit(False)
+    )
+
+    def apply(df: DataFrame) -> DataFrame:
+        cols = {
+            "transform_error": bad_json,
+            "data": F.when(bad_json, F.col("data")).otherwise(rendered),
+        }
+        if ttype is not None:
+            dct = "application/json" if ttype == "json" else "text/plain"
+            cols["datacontenttype"] = F.when(
+                bad_json, F.col("datacontenttype")
+            ).otherwise(F.lit(dct))
+        return df.withColumns(cols)
+
+    return apply

@@ -55,27 +55,24 @@ class Subscription:
         as the reference pipelines it — trigger.go:316-336 — which is
         also Catalyst's pushdown order).
 
-        When ``data_schema`` is given and the transformer is a static
-        pipeline (no define vars / template), it compiles to a pure
-        Column plan (plans/compiler.py) — whole-stage codegen, no
-        Python; otherwise the Arrow-batched interpreter runs."""
+        When ``data_schema`` is given and the whole transformer —
+        define vars, action pipeline, AND output template — is inside
+        the static subset, it compiles to a pure Column plan
+        (plans/compiler.py compile_transformer) — whole-stage codegen,
+        no Python at eval time; otherwise the Arrow-batched
+        interpreter runs. Both paths are exact (the equivalence is
+        test-gated)."""
         out = envelope_df.where(compile_filter(self.filters))
         tf = self.transformer or {}
-        if (
-            data_schema is not None
-            and tf.get("pipeline")
-            and not tf.get("define")
-            and not tf.get("template")
+        if data_schema is not None and (
+            tf.get("pipeline") or tf.get("define") or tf.get("template")
         ):
-            from pyspark.sql import functions as F
-
-            from vanus_spark.plans import CompileFallback, compile_pipeline
+            from vanus_spark.plans import CompileFallback, compile_transformer
 
             try:
-                compiled = compile_pipeline(tf["pipeline"], data_schema)
-                return compiled(out).withColumn("transform_error", F.lit(False))
+                return compile_transformer(tf, data_schema)(out)
             except CompileFallback:
-                pass  # dynamic pipeline -> interpreter
+                pass  # dynamic transformer -> interpreter
         return transform_dataframe(out, self.transformer)
 
     def dry_run(self, envelope_df: DataFrame) -> DataFrame:

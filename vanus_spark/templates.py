@@ -192,6 +192,51 @@ def _json_string_fragment(v: Column) -> Column:
     return F.when(v.isNull(), F.lit("")).otherwise(enc)
 
 
+def compile_json_template_generic(template: str, resolve, resolve_str=None) -> Column:
+    """JSON template -> concat() of literal fragments and placeholder
+    Columns. ``resolve(inner)`` returns the TYPED Column for a
+    placeholder (bare position: JSON-encoded via to_json; in-string
+    position: stringified then JSON-escaped). ``resolve_str(inner)``,
+    when given, overrides the in-string stringification (used by the
+    transformer compiler for Go-style float formatting)."""
+    parts: list[Column] = []
+    buf: list[str] = []
+    in_string = False
+    i, n = 0, len(template)
+
+    def flush():
+        if buf:
+            parts.append(F.lit("".join(buf)))
+            buf.clear()
+
+    while i < n:
+        ch = template[i]
+        if ch == '"' and (i == 0 or template[i - 1] != "\\"):
+            in_string = not in_string
+            buf.append(ch)
+            i += 1
+            continue
+        if ch == "<":
+            m = _PLACEHOLDER_RE.match(template, i)
+            if m:
+                flush()
+                inner = m.group(1)
+                if in_string:
+                    s = resolve_str(inner) if resolve_str else resolve(inner).cast("string")
+                    enc = F.regexp_extract(
+                        F.to_json(F.struct(s.alias("x"))), '^\\{"x":"(.*)"\\}$', 1
+                    )
+                    parts.append(F.when(s.isNull(), F.lit("")).otherwise(enc))
+                else:
+                    parts.append(_json_encode_col(resolve(inner)))
+                i = m.end()
+                continue
+        buf.append(ch)
+        i += 1
+    flush()
+    return F.concat(*parts) if parts else F.lit("")
+
+
 def compile_json_template(
     template: str, data_schema, data_col: str = "data"
 ) -> Column:
@@ -225,37 +270,7 @@ def compile_json_template(
             return attribute_column(inner[2:]).cast("string")
         return attribute_column(inner).cast("string")
 
-    parts: list[Column] = []
-    buf: list[str] = []
-    in_string = False
-    i, n = 0, len(template)
-
-    def flush():
-        if buf:
-            parts.append(F.lit("".join(buf)))
-            buf.clear()
-
-    while i < n:
-        ch = template[i]
-        if ch == '"' and (i == 0 or template[i - 1] != "\\"):
-            in_string = not in_string
-            buf.append(ch)
-            i += 1
-            continue
-        if ch == "<":
-            m = _PLACEHOLDER_RE.match(template, i)
-            if m:
-                flush()
-                v = resolve(m.group(1))
-                parts.append(
-                    _json_string_fragment(v) if in_string else _json_encode_col(v)
-                )
-                i = m.end()
-                continue
-        buf.append(ch)
-        i += 1
-    flush()
-    return F.concat(*parts) if parts else F.lit("")
+    return compile_json_template_generic(template, resolve)
 
 
 def compile_text_template(text: str, data_col: str = "data") -> Column:
