@@ -52,11 +52,17 @@ def main(only):
             "py_eval": len(re.findall(r"(ArrowEvalPython|FlatMapsInPandas|MapInPandas|PythonMapInArrow)", p)),
             # formatted mode annotates codegen membership per node
             "wsc": len(set(re.findall(r"\[codegen id : (\d+)\]", p))),
+            # full-data single-task funnels (global windows/sorts); tiny
+            # aggregate-side SinglePartition exchanges don't appear here
+            # because Arguments lines carry the partitioning spec
+            "single": len(re.findall(r"Exchange SinglePartition", p)),
         }
         rows.append((name, stats))
         flags = []
         if stats["cartesian"]:
             flags.append("CARTESIAN!")
+        if stats["single"]:
+            flags.append("SINGLE-PARTITION!")
         if stats["exchanges"] > 6:
             flags.append("many-shuffles")
         print(

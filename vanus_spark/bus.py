@@ -12,10 +12,12 @@ Spark mapping: Parquet replaces VSB; ``eventlog`` is a hash partition
 of the bus, ``offset`` is the per-log row_number ordered by (ts,
 event_id). At 100 TB the bus would be written partitioned BY eventlog
 with offsets assigned at ingest (monotonic per partition, e.g. Kafka
-offsets) — the window here exists only to reconstruct addressing for
-the unpartitioned test fixture. Time->offset lookup is a partial agg
-(min) per partition — one narrow shuffle of (log, offset) pairs, and
-Parquet min/max stats on ``ts`` prune the scan.
+offsets) — address reconstruction here uses a two-phase distributed
+rank (range partition -> local window -> broadcast prefix-count join)
+so NO stage ever funnels through one task, whatever the bus size.
+Time->offset lookup is a partial agg (min) per partition — one narrow
+shuffle of (log, offset) pairs, and Parquet min/max stats on ``ts``
+prune the scan.
 """
 
 from __future__ import annotations
@@ -25,16 +27,61 @@ from pyspark.sql import DataFrame, Window, functions as F
 from vanus_spark.model import decode_event_id, encode_event_id  # noqa: F401 (re-export)
 
 
+def distributed_row_number(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list[str],
+    out_col: str,
+) -> DataFrame:
+    """``row_number() OVER (PARTITION BY part_cols ORDER BY order_cols)
+    - 1`` computed WITHOUT a per-key (or, for empty part_cols, global)
+    single-reducer window — the two-phase rank that survives 100 TB:
+
+    1. range-partition on (part_cols + order_cols): partitions are
+       disjoint, ordered slices with ~equal rows (sampled boundaries);
+    2. local row_number per (part_cols, slice) — parallelism is
+       #slices × #keys, never 1;
+    3. global rank = local rank + prefix count of earlier slices of
+       the same key — a #slices-row aggregate, broadcast-joined.
+
+    Ordering keys must be unique per key-group (callers tie-break with
+    event_id), which makes the result reproducible run-to-run.
+    """
+    keys = [*part_cols, *order_cols]
+    ranged = df.repartitionByRange(*keys).withColumn(
+        "_slice", F.spark_partition_id()
+    )
+    local_w = Window.partitionBy(*part_cols, "_slice").orderBy(*order_cols)
+    local = ranged.withColumn("_lrn", F.row_number().over(local_w))
+    counts = local.groupBy(*part_cols, "_slice").agg(F.count("*").alias("_n"))
+    prefix_w = (
+        Window.partitionBy(*part_cols)
+        .orderBy("_slice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = counts.withColumn(
+        "_base", F.coalesce(F.sum("_n").over(prefix_w), F.lit(0))
+    ).drop("_n")
+    return (
+        local.join(F.broadcast(prefix), [*part_cols, "_slice"])
+        .withColumn(out_col, (F.col("_base") + F.col("_lrn") - 1).cast("long"))
+        .drop("_slice", "_lrn", "_base")
+    )
+
+
 def assign_addresses(events: DataFrame, n_logs: int = 4) -> DataFrame:
     """Attach (eventlog, offset) columns to the raw events table.
 
     Fixture convention (FIXTURES.md §1): eventlog = user_id % n_logs,
-    offset = row_number over (eventlog) ordered by (ts, event_id) - 1.
-    """
-    w = Window.partitionBy("eventlog").orderBy("ts", "event_id")
-    return events.withColumn(
+    offset = rank within eventlog ordered by (ts, event_id). The rank
+    is the two-phase distributed form — parallelism does not collapse
+    to n_logs tasks."""
+    with_log = events.withColumn(
         "eventlog", (F.col("user_id") % n_logs).cast("long")
-    ).withColumn("offset", (F.row_number().over(w) - 1).cast("long"))
+    )
+    return distributed_row_number(
+        with_log, ["eventlog"], ["ts", "event_id"], "offset"
+    )
 
 
 def publish_round_robin(events: DataFrame, n_logs: int = 4, order_col: str = "event_id") -> DataFrame:
@@ -43,13 +90,14 @@ def publish_round_robin(events: DataFrame, n_logs: int = 4, order_col: str = "ev
     monotonic counter mod #logs; deterministically reproduced here as
     arrival order mod #logs).
 
-    NOTE the global row_number exists only to make the tiny test
-    fixture deterministic; at scale the writer assigns log ids at
-    ingest (per-task counters), which needs no global ordering."""
-    w = Window.orderBy(order_col)
-    return events.withColumn(
-        "eventlog", ((F.row_number().over(w) - 1) % n_logs).cast("long")
-    )
+    The arrival rank is the two-phase distributed row_number — at
+    ingest the writer's per-task counter needs no ordering at all;
+    this reconstruction keeps the fixture deterministic without ever
+    funneling the bus through a single task."""
+    ranked = distributed_row_number(events, [], [order_col], "_arrival")
+    return ranked.withColumn(
+        "eventlog", (F.col("_arrival") % n_logs).cast("long")
+    ).drop("_arrival")
 
 
 def route_delayed_publish(envelope: DataFrame) -> tuple[DataFrame, DataFrame]:
