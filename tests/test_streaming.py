@@ -205,3 +205,115 @@ def test_durable_dead_letter_accumulates(spark, tmp_path):
         "sub-d2", state_dir=state,
     )
     assert loop2.dead.count() == 2
+
+
+def test_max_uack_caps_each_tick_and_drains_fifo(spark):
+    """max_uack (reference: offset/offset.go:29-63) bounds what reaches
+    the sender per tick; the overflow parks and drains FIFO."""
+    sub = Subscription.from_spec({"config": {"max_uack": 3}})
+    loop = DeliveryLoop(spark, sub, lambda rows: [200] * len(rows))
+    batch = _envelope(spark, [_row(i) for i in range(10)])
+
+    delivered_ids = []
+    t = T0
+    for tick in range(4):
+        res = loop.process_batch(batch if tick == 0 else _envelope(spark, []), t)
+        got = [r.id for r in res.delivered.collect()]
+        assert len(got) <= 3  # the enforced bound
+        delivered_ids += got
+        t += dt.timedelta(seconds=1)
+    # everything delivered exactly once, nothing lost
+    assert sorted(delivered_ids, key=int) == [str(i) for i in range(10)]
+    assert loop.pending.count() == 0
+    # FIFO by (time, id): first tick sends the lexicographically-first ids
+    assert sorted(delivered_ids[:3]) == delivered_ids[:3]
+
+
+def test_rate_limit_integrates_over_tick(spark):
+    """rate_limit × tick_seconds bounds the send (trigger.go:247)."""
+    sub = Subscription.from_spec({"config": {"rate_limit": 4}})
+    loop = DeliveryLoop(spark, sub, lambda rows: [200] * len(rows))
+    batch = _envelope(spark, [_row(i) for i in range(10)])
+    # tick of 2s at 4 ev/s -> 8 events allowed
+    res1 = loop.process_batch(batch, T0, tick_seconds=2.0)
+    assert res1.delivered.count() == 8
+    assert loop.pending.count() == 2
+    res2 = loop.process_batch(
+        _envelope(spark, []), T0 + dt.timedelta(seconds=2), tick_seconds=2.0
+    )
+    assert res2.delivered.count() == 2
+    assert loop.pending.count() == 0
+
+
+def test_throttled_events_still_retry_on_failure(spark):
+    """Backpressure composes with the retry path: a throttled event that
+    later fails gets the normal backoff, not a second throttle-park."""
+    sink = FlakySink({"9"})
+    sub = Subscription.from_spec({"config": {"max_uack": 5}})
+    loop = DeliveryLoop(spark, sub, sink)
+    batch = _envelope(spark, [_row(i) for i in range(10)])
+    loop.process_batch(batch, T0)                                   # sends 0-4
+    loop.process_batch(_envelope(spark, []), T0 + dt.timedelta(seconds=1))  # 5-9, 9 fails
+    pend = loop.pending.collect()
+    assert len(pend) == 1 and pend[0].id == "9"
+    assert pend[0].attributes["xvanusretryattempts"] == "1"
+
+
+def test_source_cap_bounds_micro_batch_reads(spark, cloudevents, tmp_path):
+    """maxFilesPerTrigger is honored end-to-end: no micro-batch reads
+    more than one file's rows (the source-side backpressure layer)."""
+    src = str(tmp_path / "capped_src")
+    ckpt = str(tmp_path / "capped_ckpt")
+    ce = cloudevents.limit(100)
+    # 4 files of <=25 rows each
+    ce.repartition(4).write.option("maxRecordsPerFile", 25).parquet(src)
+    per_file_max = 25
+
+    sizes = []
+
+    def on_batch(df, epoch_id):
+        sizes.append(df.count())
+
+    q = (
+        spark.readStream.schema(ce.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sum(sizes) == 100
+    assert len(sizes) >= 4
+    assert max(sizes) <= per_file_max
+
+
+def test_stream_with_both_backpressure_layers(spark, cloudevents, tmp_path):
+    """Source cap + subscription max_uack together through run_stream:
+    every event still delivered exactly once overall."""
+    src = str(tmp_path / "bp_src")
+    ckpt = str(tmp_path / "bp_ckpt")
+    ce = cloudevents.limit(60)
+    ce.repartition(3).write.option("maxRecordsPerFile", 20).parquet(src)
+    sub = Subscription.from_spec({"config": {"max_uack": 7}})
+    loop = DeliveryLoop(spark, sub, lambda rows: [200] * len(rows))
+    q = loop.run_stream(
+        spark.readStream.schema(ce.schema).option("maxFilesPerTrigger", 1).parquet(src),
+        ckpt,
+    )
+    q.processAllAvailable()
+    q.stop()
+    # throttled leftovers drain on extra empty ticks, <=7 per tick
+    total = loop.delivered_count
+    t = dt.datetime.now(dt.timezone.utc)
+    for _ in range(12):
+        if loop.pending.count() == 0:
+            break
+        t += dt.timedelta(seconds=1)
+        n = loop.process_batch(_envelope(spark, []), t).delivered.count()
+        assert n <= 7
+        total += n
+    assert loop.pending.count() == 0
+    assert total == 60  # exactly once across both layers

@@ -157,9 +157,20 @@ class DeliveryLoop:
             F.to_timestamp(F.col("attributes").getItem(ATTR_DELIVERY_TIME)),
         )
 
-    def process_batch(self, batch_df: DataFrame, batch_time) -> SinkResult:
+    def process_batch(
+        self, batch_df: DataFrame, batch_time, tick_seconds: float = 1.0
+    ) -> SinkResult:
         """One micro-batch tick; updates pending/dead state, returns
-        what happened (all DataFrames, lazily evaluated)."""
+        what happened (all DataFrames, lazily evaluated).
+
+        Backpressure/rate limiting are ENFORCED here, not passed
+        through: ``config.max_uack`` (reference: offset/offset.go:29-63
+        maxUACK) and ``config.rate_limit`` × ``tick_seconds``
+        (reference: trigger.go:130-132,247) bound how many events reach
+        the sender this tick; the excess parks in pending (due
+        immediately) and drains FIFO — by (time, id) — on later ticks,
+        exactly the bounded-unacked-window behavior of the reference's
+        offset tracker."""
         # 1. transform: errors route to DLQ with TransformError
         processed = self.sub.apply(batch_df)
         fresh_ok = processed.where(~F.col("transform_error")).drop("transform_error")
@@ -185,6 +196,20 @@ class DeliveryLoop:
 
         to_send = immediate.unionByName(due).drop("due_ts")
 
+        # 3b. backpressure: cap what reaches the sender; overflow parks
+        # (sort+limit is TakeOrdered — memory bounded by the cap, never
+        # a full global sort)
+        cap = self.sub.batch_cap(tick_seconds)
+        throttled = None
+        if cap is not None:
+            sendable = (
+                to_send.orderBy(F.col("time").asc_nulls_last(), "id").limit(cap)
+            )
+            throttled = to_send.join(
+                sendable.select("id"), "id", "left_anti"
+            ).withColumn("due_ts", F.lit(batch_time).cast("timestamp"))
+            to_send = sendable
+
         # 4. deliver executor-side, split by status
         sent = _deliver_with_sink(to_send, self.sink_fn).cache()
         ok = sent.where((F.col("status") >= 200) & (F.col("status") < 300)).drop(
@@ -203,6 +228,8 @@ class DeliveryLoop:
         self.pending = still_pending.unionByName(
             self._with_due_ts(retry)
         ).unionByName(delayed)
+        if throttled is not None:
+            self.pending = self.pending.unionByName(throttled)
         new_dead = dead.unionByName(tf_dead)
         if self.state_dir:
             self._persist_state(new_dead)
@@ -213,22 +240,32 @@ class DeliveryLoop:
 
     # ----- Structured Streaming wiring -------------------------------------
 
-    def run_stream(self, stream_df: DataFrame, checkpoint_dir: str, **trigger_kwargs):
+    def run_stream(
+        self,
+        stream_df: DataFrame,
+        checkpoint_dir: str,
+        tick_seconds: float = 1.0,
+        **trigger_kwargs,
+    ):
         """Attach the loop to a streaming DataFrame via foreachBatch.
         Offsets/exactly-once come from the checkpoint (the Spark
         equivalent of the reference's committed-offset store).
 
-        Backpressure / rate limiting (reference: maxUACK=10000
-        offset/offset.go:29-63; per-subscription ratelimit
-        trigger.go:247) map onto the source's maxOffsetsPerTrigger /
-        maxFilesPerTrigger options plus the trigger interval — set
-        them on ``stream_df``'s reader; pass
+        Backpressure / rate limiting are enforced at TWO layers: the
+        source's maxOffsetsPerTrigger / maxFilesPerTrigger options
+        bound what each micro-batch READS (set them on ``stream_df``'s
+        reader), and the subscription's max_uack / rate_limit config
+        bounds what each tick SENDS (process_batch parks the excess in
+        pending). ``tick_seconds`` should match the trigger interval
+        so rate_limit integrates correctly; pass
         ``processingTime='...'`` here to pace the ticks."""
 
         def on_batch(batch_df: DataFrame, epoch_id: int):
             import datetime as _dt
 
-            res = self.process_batch(batch_df, _dt.datetime.now(_dt.timezone.utc))
+            res = self.process_batch(
+                batch_df, _dt.datetime.now(_dt.timezone.utc), tick_seconds
+            )
             # force delivery + expose progress (metrics surface, like the
             # reference's TriggerDeliveryEventCounter)
             self.delivered_count += res.delivered.count()

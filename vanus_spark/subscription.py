@@ -47,6 +47,31 @@ class Subscription:
         return int(self.config.get("max_retry_attempts", DEFAULT_MAX_RETRY_ATTEMPTS))
 
     @property
+    def rate_limit(self) -> float | None:
+        """Events/second cap (reference: config.RateLimit,
+        server/trigger/trigger/trigger.go:130-132,247)."""
+        v = self.config.get("rate_limit")
+        return float(v) if v is not None else None
+
+    @property
+    def max_uack(self) -> int | None:
+        """Max in-flight (sent, unacked) events per tick (reference:
+        maxUACK, server/trigger/offset/offset.go:29-63)."""
+        v = self.config.get("max_uack")
+        return int(v) if v is not None else None
+
+    def batch_cap(self, tick_seconds: float = 1.0) -> int | None:
+        """Events allowed into the sender this tick: min of the uack
+        window and the rate limit integrated over the tick. None = no
+        cap configured."""
+        caps = []
+        if self.max_uack is not None:
+            caps.append(self.max_uack)
+        if self.rate_limit is not None:
+            caps.append(int(self.rate_limit * tick_seconds))
+        return min(caps) if caps else None
+
+    @property
     def ordered(self) -> bool:
         return bool(self.config.get("ordered_event", False))
 
