@@ -576,6 +576,22 @@ def q_similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN (similarity.py ivf_ann): 1-iteration seeded
+    k-means inverted lists, 2-probe search, cosine top-5. The oracle
+    re-derives the SAME centroids in SQL (seed = 8 lowest ids, one
+    Lloyd step, means rounded to 3 decimals) — exercising the whole
+    train/assign/probe chain, not just the final ranking."""
+    from vanus_spark.llm.similarity import ivf_ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    out = ivf_ann(emb, queries, k=5, n_clusters=8, n_probe=2, iters=1)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 def q_transform_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The INTERPRETED transformer (mapInPandas path) against a SQL
     oracle: MATH_MUL on value, CONDITION_IF flag, UPPER_CASE on a
@@ -1054,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "similarity_neardup_embedding": q_similarity_neardup_embedding,
         "similarity_lsh_ann": q_similarity_lsh_ann,
+        "similarity_ivf_ann": q_similarity_ivf_ann,
         "multimodal_decode": q_multimodal_decode,
     }
 
@@ -1554,6 +1571,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "similarity_neardup_embedding": _embedding_neardup_oracle(),
         "similarity_lsh_ann": _lsh_ann_oracle(),
+        "similarity_ivf_ann": _ivf_ann_oracle(),
         "multimodal_decode": """
             SELECT doc_id AS media_id,
                    octet_length(encode(text)) AS n_bytes,
@@ -1585,6 +1603,67 @@ _COSINE_SQL = (
     "(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
     "sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
 )
+
+
+def _ivf_ann_oracle(n_clusters: int = 8, n_probe: int = 2, k: int = 5) -> str:
+    """SQL twin of similarity.ivf_ann: identical seeded-kmeans chain.
+    Distances use the same |x|^2 - 2x.c + |c|^2 expansion and
+    parenthesization so the float folds are bit-identical."""
+    cos = _COSINE_SQL.format(a="p.q_vec", b="inv.e")
+    d_expr = (
+        "(list_dot_product(v.e, v.e) - 2 * list_dot_product(v.e, cent.c))"
+        " + list_dot_product(cent.c, cent.c)"
+    )
+    return f"""
+        WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        seeds AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, e AS c
+          FROM (SELECT * FROM emb ORDER BY vec_id LIMIT {n_clusters})),
+        d0 AS (
+          SELECT v.vec_id, cent.cluster, {d_expr} AS d
+          FROM emb v CROSS JOIN seeds cent),
+        a0 AS (
+          SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+            FROM d0) WHERE rn = 1),
+        m0 AS (
+          SELECT a0.cluster, u.pos, round(avg(u.val), 3) AS val
+          FROM a0 JOIN emb USING (vec_id),
+               LATERAL (SELECT unnest(e) AS val,
+                               generate_subscripts(e, 1) AS pos) u
+          GROUP BY a0.cluster, u.pos),
+        cent1 AS (
+          SELECT s.cluster,
+                 coalesce(list(m0.val ORDER BY m0.pos), s.c) AS c
+          FROM seeds s LEFT JOIN m0 ON s.cluster = m0.cluster
+          GROUP BY s.cluster, s.c),
+        d1 AS (
+          SELECT v.vec_id, cent.cluster, {d_expr} AS d
+          FROM emb v CROSS JOIN cent1 cent),
+        inv AS (
+          SELECT d1.vec_id, cluster, e FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+            FROM d1) d1 JOIN emb USING (vec_id) WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS query_id, cluster, e AS q_vec FROM (
+            SELECT d1.vec_id, cluster, e,
+                   row_number() OVER (PARTITION BY d1.vec_id
+                                      ORDER BY d, cluster) AS rn
+            FROM d1 JOIN emb USING (vec_id)
+            WHERE d1.vec_id < {n_clusters}) WHERE rn <= {n_probe}),
+        scored AS (
+          SELECT p.query_id, inv.vec_id AS neighbor_id, {cos} AS cosine
+          FROM probes p JOIN inv ON inv.cluster = p.cluster
+          WHERE inv.vec_id != p.query_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+        FROM ranked WHERE rank <= {k}
+    """
 
 
 def _embedding_neardup_oracle() -> str:

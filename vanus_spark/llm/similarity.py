@@ -139,6 +139,130 @@ def lsh_ann(
     )
 
 
+def _sq_dist(vec: Column, centroid: list[float], vec_dot: Column) -> Column:
+    """Squared L2 to a literal centroid via the expansion
+    |x|^2 - 2 x.c + |c|^2 — one corpus-side dot per centroid, and the
+    exact formula the DuckDB oracle mirrors (bit-identical folds)."""
+    c = F.array(*[F.lit(float(v)) for v in centroid])
+    cc = float(sum(v * v for v in centroid))
+    return vec_dot - 2.0 * dot(vec, c) + F.lit(cc)
+
+
+def _nearest_clusters(vec: Column, centroids: list[list[float]], n: int) -> Column:
+    """Array of the n nearest centroid indices (ties -> lower index),
+    via array_sort over (distance, index) structs — pure Columns."""
+    vv = dot(vec, vec)
+    ds = F.array(
+        *[
+            F.named_struct(
+                F.lit("d"), _sq_dist(vec, c, vv), F.lit("c"), F.lit(i)
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.slice(F.array_sort(ds), 1, n).getField("c")
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int = 3,
+) -> list[list[float]]:
+    """Seeded Lloyd iterations, Spark-shaped: init = the vectors of
+    the ``n_clusters`` lowest ids (deterministic); each iteration
+    assigns every vector to its nearest centroid (broadcast literal
+    centroids, argmin in pure Columns — a map over the corpus) and
+    recomputes element-wise means via posexplode + partial-agg
+    groupBy(cluster, pos) — shuffle is #clusters × dim rows. The
+    k × dim centroid model collects to the driver per iteration (the
+    standard k-means model-broadcast loop; at 100 TB you train on a
+    sample — pass ``corpus.where(...)``). Means are ROUNDED so the
+    centroid table is engine-portable (the DuckDB oracle re-derives
+    identical centroids); empty clusters keep their previous centroid.
+    """
+    vec = F.col(vec_col).cast("array<double>")
+    seed_rows = (
+        corpus.orderBy(id_col).limit(n_clusters).select(vec.alias("v")).collect()
+    )
+    # seeds stay RAW (float32->double is exact in every engine); only
+    # the aggregated means get rounded — Spark round and DuckDB round
+    # are both HALF_UP, Python's round() is banker's, so never round
+    # centroids driver-side
+    centroids = [[float(x) for x in r.v] for r in seed_rows]
+    for _ in range(iters):
+        assigned = corpus.select(
+            _nearest_clusters(vec, centroids, 1)[0].alias("cluster"),
+            F.posexplode(vec).alias("pos", "val"),
+        )
+        means = (
+            assigned.groupBy("cluster", "pos")
+            .agg(F.round(F.avg("val"), round_decimals).alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cluster", F.col("pm.m").alias("c"))
+            .collect()
+        )
+        new_centroids = list(centroids)  # empty cluster -> keep previous
+        for r in means:
+            new_centroids[r.cluster] = [float(x) for x in r.c]
+        centroids = new_centroids
+    return centroids
+
+
+def ivf_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    iters: int = 1,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: k-means the corpus into ``n_clusters``
+    inverted lists, probe each query's ``n_probe`` nearest lists, and
+    score cosine only inside them — the classic IVF-Flat shape. At
+    scale the inverted index is the corpus WRITTEN partitioned by
+    ``cluster`` (probing prunes partitions); here the cluster id is a
+    computed column and the probe is a broadcast equi-join, which is
+    the same plan shape. Recall is tuned by n_probe/n_clusters."""
+    if centroids is None:
+        centroids = kmeans_centroids(corpus, n_clusters, iters, id_col, vec_col)
+    cvec = F.col(vec_col).cast("array<double>")
+    inverted = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _nearest_clusters(cvec, centroids, 1)[0].alias("cluster"),
+    )
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(_nearest_clusters(cvec, centroids, n_probe)).alias("cluster"),
+    )
+    scored = (
+        inverted.join(F.broadcast(probes), ["cluster"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(
+                F.col("q_vec").cast("array<double>"),
+                F.col("c_vec").cast("array<double>"),
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def embedding_near_dup(
     corpus: DataFrame,
     threshold: float = 0.95,
