@@ -193,13 +193,20 @@ def compile_pipeline(
         raise CompileFallback("data schema must be a struct")
 
     def apply(df: DataFrame) -> DataFrame:
-        state = _State(F.from_json(F.col("data"), schema), schema)
+        # Two-step select: the parsed struct becomes a REAL column, so
+        # the (non-cheap) from_json runs once per row no matter how
+        # many actions read it — CollapseProject refuses to inline
+        # multiply-referenced non-cheap exprs (SPARK-36718), which both
+        # bounds the codegen'd plan size (compile time) and the
+        # per-row parse count.
+        staged = df.withColumn("__vs_parsed", F.from_json(F.col("data"), schema))
+        state = _State(F.col("__vs_parsed"), schema)
         for cmd in pipeline:
             try:
                 _compile_action(state, cmd)
             except _UnknownRead:
                 continue  # action can never succeed -> statically skipped
-        return df.withColumn("data", F.to_json(state.data))
+        return staged.withColumn("data", F.to_json(state.data)).drop("__vs_parsed")
 
     # dry-compile against an empty state to surface fallbacks eagerly
     probe = _State(F.from_json(F.lit("{}"), schema), schema)
@@ -469,7 +476,14 @@ def compile_transformer(
     schema_cr = T.StructType(
         list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
     )
-    parsed = F.from_json(
+    # The parsed payload is referenced by every define var, action and
+    # template slot — materialize it as ONE real column (two-step
+    # select) instead of repeating the from_json subtree per reference.
+    # CollapseProject keeps multiply-referenced non-cheap exprs
+    # materialized (SPARK-36718): one parse per row, and a plan whose
+    # codegen size stays O(actions), not O(actions × parse-tree).
+    parsed = F.col("__vs_parsed")
+    parse_expr = F.from_json(
         F.col("data"), schema_cr, {"columnNameOfCorruptRecord": "_corrupt_record"}
     )
     state = _State(parsed, schema)
@@ -556,6 +570,7 @@ def compile_transformer(
     )
 
     def apply(df: DataFrame) -> DataFrame:
+        staged = df.withColumn("__vs_parsed", parse_expr)
         cols = {
             "transform_error": bad_json,
             "data": F.when(bad_json, F.col("data")).otherwise(rendered),
@@ -565,6 +580,6 @@ def compile_transformer(
             cols["datacontenttype"] = F.when(
                 bad_json, F.col("datacontenttype")
             ).otherwise(F.lit(dct))
-        return df.withColumns(cols)
+        return staged.withColumns(cols).drop("__vs_parsed")
 
     return apply
