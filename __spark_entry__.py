@@ -702,6 +702,80 @@ def q_transform_template_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fanout_multi_sub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-subscription fan-out: ONE bus scan feeding three
+    subscription plans with different filter dialects, union tagged by
+    sub_id (reference: server/trigger/worker.go:58,78 triggerMap — the
+    reference reads the bus once PER trigger; the shared-scan form
+    reads it once total, the N× scan saving at 100 TB)."""
+    from vanus_spark.streaming.fanout import fanout_apply
+
+    ce = _cloudevents(spark, sf_dir)
+    out = fanout_apply(
+        ce,
+        {
+            "purchases": {"filters": [{"exact": {"type": "purchase"}}]},
+            "clicks": {"filters": [{"prefix": {"type": "cl"}}]},
+            "big_spenders": {
+                "filters": [{"ce_sql": "type = 'purchase' OR type = 'signup'"}]
+            },
+        },
+    )
+    return out.select(
+        F.col("sub_id"), F.col("id").cast("long").alias("event_id")
+    )
+
+
+def q_http_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live HTTP CloudEvents gateway roundtrip (reference:
+    server/gateway/proxy/proxy.go:166-231 Publish): the first 200
+    events are POSTed in binary content mode to an embedded receiver,
+    spooled with ingest-assigned (eventlog, offset) addresses
+    (round-robin over 4 logs, client/pkg/policy/policy.go:25-57), and
+    read back through the envelope schema. The bounded collect() here
+    is the HTTP *client* half of the harness (an external producer),
+    not a data-plane operator — the engine-side path is
+    file-source -> envelope schema, fully distributed."""
+    import json as _json
+    import tempfile
+    import urllib.request
+
+    from vanus_spark.sources.http_ingest import CloudEventsReceiver
+
+    rows = _events(spark, sf_dir).orderBy("event_id").limit(200).collect()
+    spool = tempfile.mkdtemp(prefix="vs_http_ingest_")
+    with CloudEventsReceiver(spool, n_logs=4) as r:
+        url = f"{r.url}/gateway/v1/eventbus/driverbus/events"
+        for e in rows:
+            req = urllib.request.Request(
+                url,
+                data=_json.dumps({"user_id": e["user_id"]}).encode(),
+                headers={
+                    "ce-id": str(e["event_id"]),
+                    "ce-source": "/driver",
+                    "ce-specversion": "1.0",
+                    "ce-type": e["event_type"],
+                    "Content-Type": "application/json",
+                },
+                method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=5) as resp:
+                assert resp.status == 200
+        r.flush()
+    ingested = spark.read.schema(
+        "id STRING, source STRING, specversion STRING, type STRING, "
+        "time TIMESTAMP, datacontenttype STRING, dataschema STRING, "
+        "subject STRING, attributes MAP<STRING,STRING>, data STRING, "
+        "eventlog LONG, offset LONG"
+    ).json(spool + "/driverbus")
+    return ingested.select(
+        F.col("id").cast("long").alias("event_id"),
+        F.col("type"),
+        "eventlog",
+        "offset",
+    )
+
+
 def q_skew_two_phase_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase (salted) aggregation — skew-proof count by type."""
     from vanus_spark.operators.skew import two_phase_count
@@ -1055,6 +1129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cesql_functions": q_cesql_functions,
         "subscription_full": q_subscription_full,
         "transform_template_full": q_transform_template_full,
+        "fanout_multi_sub": q_fanout_multi_sub,
+        "http_ingest_roundtrip": q_http_ingest_roundtrip,
         "skew_two_phase_count": q_skew_two_phase_count,
         # llm pipeline
         "dedup_exact": q_dedup_exact,
@@ -1568,6 +1644,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "skew_two_phase_count": """
             SELECT event_type, count(*) AS count FROM events GROUP BY event_type
+        """,
+        "fanout_multi_sub": """
+            SELECT 'purchases' AS sub_id, event_id FROM events
+            WHERE event_type = 'purchase'
+            UNION ALL
+            SELECT 'clicks' AS sub_id, event_id FROM events
+            WHERE event_type LIKE 'cl%'
+            UNION ALL
+            SELECT 'big_spenders' AS sub_id, event_id FROM events
+            WHERE event_type = 'purchase' OR event_type = 'signup'
+        """,
+        "http_ingest_roundtrip": """
+            WITH sel AS (
+                SELECT event_id, event_type,
+                       row_number() OVER (ORDER BY event_id) - 1 AS rk
+                FROM (SELECT * FROM events ORDER BY event_id LIMIT 200)
+            )
+            SELECT event_id,
+                   event_type AS type,
+                   (rk % 4)::BIGINT AS eventlog,
+                   (rk // 4)::BIGINT AS "offset"
+            FROM sel
         """,
         "similarity_neardup_embedding": _embedding_neardup_oracle(),
         "similarity_lsh_ann": _lsh_ann_oracle(),
