@@ -16,6 +16,7 @@ Two sides:
 
 from __future__ import annotations
 
+import functools
 import re
 from typing import Any
 
@@ -33,12 +34,18 @@ class JSONPathNotExist(JSONPathError):
 _TOKEN_RE = re.compile(r"\.?([^.\[\]]+)|\[([^\]]*)\]")
 
 
+@functools.lru_cache(maxsize=4096)
 def parse_path(path: str) -> list[Any]:
     """'$.a.b[0][*].c' -> ['a', 'b', 0, '*', 'c'].
 
     Accepts leading '$' or '$.'; '@.x' is the caller's shorthand and
     must be rewritten to '$.data.x' before reaching here
     (reference: pkg/transform/arg/arg.go:60-62).
+
+    Memoized ("parse once, evaluate per event" — the reference parses
+    specs at build time, trigger.go:106-136; the interpreter hot loop
+    re-resolves per event, so the cache is what restores that
+    property). Callers must treat the returned list as immutable.
     """
     p = path.strip()
     if p.startswith("$"):

@@ -125,40 +125,69 @@ def transform_dataframe(df: DataFrame, spec: dict[str, Any] | None) -> DataFrame
 
     spec_json = json.dumps(spec)  # re-build inside workers: cheap & picklable
 
+    spec_keys = ("id", "source", "specversion", "type", "datacontenttype",
+                 "dataschema", "subject")
+
     def run_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         worker_tf = Transformer(json.loads(spec_json))
         for pdf in batches:
-            out_rows = []
-            for row in pdf.itertuples(index=False):
-                attrs = {}
-                for k in ("id", "source", "specversion", "type", "datacontenttype",
-                          "dataschema", "subject"):
-                    v = getattr(row, k, None)
+            n = len(pdf)
+            # Envelope marshalling is vectorized AROUND the per-event
+            # action loop: column pulls, the time isoformat, and the
+            # output assembly are per-column pandas ops; only the
+            # dynamic action pipeline runs per row.
+            cols_in = {
+                k: (pdf[k].tolist() if k in pdf.columns else [None] * n)
+                for k in spec_keys
+            }
+            if "time" in pdf.columns:
+                times = pdf["time"].tolist()
+                time_strs = [
+                    None if t is None or t != t else t.isoformat()
+                    for t in times
+                ]
+            else:
+                times = [None] * n
+                time_strs = [None] * n
+            exts_in = (
+                pdf["attributes"].tolist()
+                if "attributes" in pdf.columns else [None] * n
+            )
+            data_in = pdf["data"].tolist() if "data" in pdf.columns else [None] * n
+
+            out_cols: dict[str, list] = {k: [] for k in spec_keys}
+            out_attrs, out_data, out_err = [], [], []
+            base = {}
+            for i in range(n):
+                base.clear()
+                for k in spec_keys:
+                    v = cols_in[k][i]
                     if v is not None:
-                        attrs[k] = v
-                t = getattr(row, "time", None)
-                if t is not None and not pd.isna(t):
-                    attrs["time"] = t.isoformat() if hasattr(t, "isoformat") else str(t)
-                ext = getattr(row, "attributes", None)
+                        base[k] = v
+                if time_strs[i] is not None:
+                    base["time"] = time_strs[i]
+                ext = exts_in[i]
                 if isinstance(ext, dict):
-                    attrs.update({k: v for k, v in ext.items() if v is not None})
-                new_attrs, new_data, is_err = worker_tf.execute_event(attrs, row.data)
-                spec_out = {k: new_attrs.get(k) for k in (
-                    "id", "source", "specversion", "type", "datacontenttype",
-                    "dataschema", "subject")}
-                extensions = {
+                    for k, v in ext.items():
+                        if v is not None:
+                            base[k] = v
+                new_attrs, new_data, is_err = worker_tf.execute_event(
+                    dict(base), data_in[i]
+                )
+                for k in spec_keys:
+                    out_cols[k].append(new_attrs.get(k))
+                out_attrs.append({
                     k: str(v) for k, v in new_attrs.items()
-                    if k not in ("id", "source", "specversion", "type", "time",
-                                 "datacontenttype", "dataschema", "subject")
-                    and v is not None
-                }
-                out_rows.append({
-                    **spec_out,
-                    "time": getattr(row, "time", None),
-                    "attributes": extensions,
-                    "data": new_data,
-                    "transform_error": is_err,
+                    if k not in spec_keys and k != "time" and v is not None
                 })
-            yield pd.DataFrame(out_rows)
+                out_data.append(new_data)
+                out_err.append(is_err)
+            yield pd.DataFrame({
+                **out_cols,
+                "time": times,
+                "attributes": out_attrs,
+                "data": out_data,
+                "transform_error": out_err,
+            })
 
     return df.mapInPandas(run_batches, schema=TRANSFORM_OUTPUT_SCHEMA)
