@@ -1050,6 +1050,114 @@ def q_debezium_mongo_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# corpus curation queries (PII / contamination / sampling / packing /
+# incremental dedup) + ordered delivery
+# ---------------------------------------------------------------------------
+
+# deterministic PII injected into the fixture text so the redactor has
+# real targets (the synthetic corpus contains none)
+_PII_SUFFIX_SPARK = lambda: F.concat(  # noqa: E731
+    F.col("text"),
+    F.lit(" contact u"), F.col("doc_id").cast("string"),
+    F.lit("@mail.example.com from 10.0."),
+    (F.col("doc_id") % 200).cast("string"),
+    F.lit(".25 ssn 123-45-6789 call 555-123-4567"),
+)
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vanus_spark.llm.curation import pii_report
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _PII_SUFFIX_SPARK().alias("text")
+    )
+    return pii_report(docs)
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: word-3-gram overlap of every
+    training doc against the benchmark subset (doc_id % 37 == 0)."""
+    from vanus_spark.llm.curation import contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    tests = docs.where(F.col("doc_id") % 37 != 0)
+    return contamination_report(tests, bench, n=3, threshold=0.2)
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language mixing ratios via deterministic hash gate."""
+    from vanus_spark.llm.curation import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs,
+        strata_col="lang",
+        rates={"en": 0.8, "fr": 0.5, "es": 0.25, "de": 0.1},
+        key_col="doc_id",
+        default_rate=0.05,
+    )
+    return out.select("doc_id", "lang")
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk packing into 256-token context windows,
+    one stream per language."""
+    from vanus_spark.llm.curation import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, capacity=256, group_col="lang")
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest: new batch (doc_id >= 400) deduped against
+    the stored corpus (doc_id < 400) — exact digest anti-join + LSH
+    bands joined against the stored signature table."""
+    from vanus_spark.llm.dedup import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") >= 400)
+    corpus = docs.where(F.col("doc_id") < 400)
+    out = incremental_dedup(new, corpus, threshold=0.8, num_hashes=16, bands=8)
+    return out.select("doc_id")
+
+
+def q_ordered_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-mode delivery disposition (reference:
+    trigger.go:427-434): a failed send never retries — straight to
+    DLQ with reason OrderEvent even when the status itself (503)
+    would be retriable in unordered mode. Routes through the real
+    route_failed_events; the retry branch must contribute ZERO rows
+    for the row count to match the oracle."""
+    import datetime as dt
+
+    from vanus_spark.delivery import ORDER_EVENT_CODE, route_failed_events
+    from vanus_spark.model import ATTR_DL_REASON
+
+    ce = _cloudevents(spark, sf_dir)
+    status = F.when(F.col("type") == "error", F.lit(503)).otherwise(F.lit(200))
+    sent = ce.withColumn("status", status).withColumn(
+        "error", F.when(F.col("status") != 200, F.lit("connection refused"))
+    )
+    ok = sent.where(F.col("status") == 200)
+    failed = sent.where(F.col("status") != 200).withColumn(
+        "status", F.lit(ORDER_EVENT_CODE)
+    )
+    retry, dead = route_failed_events(failed, "sub-ordered", dt.datetime(2024, 2, 1))
+    eid = F.col("id").cast("long").alias("event_id")
+    return (
+        ok.select(eid, F.lit("delivered").alias("outcome"),
+                  F.lit(None).cast("string").alias("reason"))
+        .unionByName(dead.select(
+            eid, F.lit("dead").alias("outcome"),
+            F.col("attributes").getItem(ATTR_DL_REASON).alias("reason")))
+        .unionByName(retry.select(
+            eid, F.lit("retry").alias("outcome"),
+            F.lit(None).cast("string").alias("reason")))
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1148,6 +1256,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh_ann": q_similarity_lsh_ann,
         "similarity_ivf_ann": q_similarity_ivf_ann,
         "multimodal_decode": q_multimodal_decode,
+        # corpus curation + ordered delivery
+        "pii_redact": q_pii_redact,
+        "contamination_check": q_contamination_check,
+        "sample_stratified": q_sample_stratified,
+        "pack_sequences": q_pack_sequences,
+        "dedup_incremental": q_dedup_incremental,
+        "ordered_delivery": q_ordered_delivery,
     }
 
 
@@ -1678,7 +1793,134 @@ def oracle_sql() -> dict[str, str]:
                    64 + ('0x' || substr(md5(text), 3, 2))::INTEGER % 192 AS height
             FROM documents
         """,
+        "pii_redact": _pii_oracle(),
+        "contamination_check": _contamination_oracle(),
+        "sample_stratified": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5('0|' || doc_id::VARCHAR), 1, 15))::BIGINT
+                    / 1152921504606846976.0
+                  < CASE lang WHEN 'en' THEN 0.8 WHEN 'fr' THEN 0.5
+                              WHEN 'es' THEN 0.25 WHEN 'de' THEN 0.1
+                              ELSE 0.05 END
+        """,
+        "pack_sequences": _pack_sequences_oracle(),
+        "dedup_incremental": _incremental_dedup_oracle(),
+        "ordered_delivery": """
+            SELECT event_id,
+                   CASE WHEN event_type = 'error' THEN 'dead'
+                        ELSE 'delivered' END AS outcome,
+                   CASE WHEN event_type = 'error' THEN 'OrderEvent' END AS reason
+            FROM events
+        """,
     }
+
+
+def _pii_oracle() -> str:
+    """SQL twin of q_pii_redact: same injected PII suffix, the same
+    regexp_replace chain (RE2/Java-common patterns, 'g' = replace-all
+    to match Spark), and the same substring-occurrence counts."""
+    from vanus_spark.llm.curation import PII_PATTERNS
+
+    red = (
+        "text || ' contact u' || doc_id::VARCHAR || '@mail.example.com from 10.0.' "
+        "|| (doc_id % 200)::VARCHAR || '.25 ssn 123-45-6789 call 555-123-4567'"
+    )
+    for _, pattern, token in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pattern}', '{token}', 'g')"
+    counts = ", ".join(
+        f"((length(redacted) - length(replace(redacted, '{token}', '')))"
+        f" / {len(token)})::BIGINT AS n_{kind}"
+        for kind, _, token in PII_PATTERNS
+    )
+    return f"""
+        WITH r AS (SELECT doc_id, {red} AS redacted FROM documents)
+        SELECT doc_id, redacted, {counts} FROM r
+    """
+
+
+def _contamination_oracle(threshold: float = 0.2) -> str:
+    """SQL twin of q_contamination_check: word-3-gram shingles, the
+    benchmark subset is doc_id % 37 = 0, overlap counted over each
+    test doc's DISTINCT shingles (shingles() is array_distinct)."""
+    norm = _NORM.format(c="text")
+    return f"""
+        WITH n AS (SELECT doc_id, {norm} AS nt FROM documents),
+        sh AS (SELECT doc_id, {_shingle_sql()} AS sh FROM n),
+        bench AS (SELECT DISTINCT u.s AS shingle
+                  FROM sh, unnest(sh.sh) AS u(s) WHERE doc_id % 37 = 0),
+        doc_sh AS (SELECT doc_id, u.s AS shingle
+                   FROM sh, unnest(sh.sh) AS u(s) WHERE doc_id % 37 <> 0),
+        overlap AS (SELECT doc_id, count(*)::BIGINT AS n_overlap FROM doc_sh
+                    WHERE shingle IN (SELECT shingle FROM bench)
+                    GROUP BY doc_id),
+        totals AS (SELECT doc_id, len(sh)::BIGINT AS n_shingles FROM sh
+                   WHERE doc_id % 37 <> 0)
+        SELECT t.doc_id, t.n_shingles,
+               coalesce(o.n_overlap, 0)::BIGINT AS n_overlap,
+               round(coalesce(o.n_overlap, 0) / greatest(t.n_shingles, 1), 6)
+                 AS contamination,
+               coalesce(o.n_overlap, 0) / greatest(t.n_shingles, 1)
+                 >= {threshold} AS contaminated
+        FROM totals t LEFT JOIN overlap o USING (doc_id)
+    """
+
+
+def _pack_sequences_oracle(capacity: int = 256) -> str:
+    """SQL twin of q_pack_sequences (curation.pack_sequences):
+    per-lang running token sum in doc_id order, chunked every
+    `capacity` tokens. Window sum cast ::BIGINT (DuckDB HUGEINT would
+    land in pandas as float64 and break the driver hash)."""
+    norm = _NORM.format(c="text")
+    return f"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 (CASE WHEN length({norm}) = 0 THEN 0
+                       ELSE len(str_split({norm}, ' ')) END)::BIGINT AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT doc_id, lang, n_tokens,
+                 (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+                   AS cum
+          FROM t)
+        SELECT doc_id, lang, n_tokens,
+               floor((cum - n_tokens) / {capacity}.0)::BIGINT AS pack_id,
+               ((cum - n_tokens) % {capacity})::BIGINT AS pack_offset,
+               (floor((cum - 1) / {capacity}.0)
+                  - floor((cum - n_tokens) / {capacity}.0) + 1)::BIGINT
+                 AS n_packs_spanned
+        FROM c
+    """
+
+
+def _incremental_dedup_oracle(threshold: float = 0.8) -> str:
+    """SQL twin of q_dedup_incremental: new batch = doc_id >= 400,
+    stored corpus = doc_id < 400; exact digest anti-join, then LSH
+    band candidates (new x corpus only, never corpus self-join) with
+    the n-gram Jaccard >= t verify on candidates."""
+    return f"""
+        WITH {_minhash_cte()},
+        dig AS (SELECT doc_id, md5(nt) AS content_hash FROM n),
+        fresh AS (
+          SELECT doc_id FROM dig
+          WHERE doc_id >= 400
+            AND content_hash NOT IN
+                (SELECT content_hash FROM dig WHERE doc_id < 400)),
+        cands AS (
+          SELECT DISTINCT l.doc_id AS new_id, r.doc_id AS corpus_id
+          FROM buckets l JOIN buckets r
+            ON l.band = r.band AND l.band_key = r.band_key
+          WHERE l.doc_id IN (SELECT doc_id FROM fresh) AND r.doc_id < 400),
+        dup AS (
+          SELECT DISTINCT c.new_id AS doc_id
+          FROM cands c
+          JOIN sh a ON c.new_id = a.doc_id
+          JOIN sh b ON c.corpus_id = b.doc_id
+          WHERE len(list_intersect(a.sh, b.sh))
+                >= {threshold} * len(list_distinct(list_concat(a.sh, b.sh))))
+        SELECT doc_id FROM fresh
+        WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+    """
 
 
 def _planes_bucket_sql(vec_expr: str, n_planes: int = 6, dim: int = 64) -> str:

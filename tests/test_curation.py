@@ -1,0 +1,117 @@
+"""Corpus-curation operators: PII redaction, contamination detection,
+stratified sampling, sequence packing, incremental dedup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vanus_spark.llm import curation, dedup
+from vanus_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+def _one(spark, text):
+    return spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+
+def test_redact_pii_all_kinds(spark):
+    df = _one(
+        spark,
+        "mail bob.smith+x@corp.example.co from 192.168.0.1 "
+        "ssn 123-45-6789 phone 555 123 4567 end",
+    )
+    row = df.select(curation.redact_pii(F.col("text")).alias("r")).first()
+    assert row.r == "mail <EMAIL> from <IP> ssn <SSN> phone <PHONE> end"
+
+
+def test_redact_pii_leaves_clean_text(spark):
+    txt = "no pii here, just words and 42 numbers"
+    row = _one(spark, txt).select(curation.redact_pii(F.col("text")).alias("r")).first()
+    assert row.r == txt
+
+
+def test_pii_report_counts(spark):
+    df = _one(spark, "a@b.co and c@d.org at 10.0.0.1; ssn 000-11-2222")
+    row = curation.pii_report(df).first()
+    assert (row.n_email, row.n_ipv4, row.n_ssn, row.n_phone) == (2, 1, 1, 0)
+
+
+def test_contamination_flags_verbatim_overlap(spark):
+    bench = _one(spark, "the quick brown fox jumps over the lazy dog")
+    docs = spark.createDataFrame(
+        [
+            (10, "intro text then the quick brown fox jumps over the lazy dog"),
+            (11, "completely unrelated words about spark execution plans"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in curation.contamination_report(docs, bench).collect()}
+    assert out[10].contaminated and out[10].n_overlap > 0
+    assert not out[11].contaminated and out[11].n_overlap == 0
+    assert out[11].contamination == 0.0  # null-safe left-join miss
+
+
+def test_stratified_sample_rates_and_determinism(docs):
+    rates = {"en": 0.8, "fr": 0.5, "es": 0.25, "de": 0.1}
+    kept = curation.stratified_sample(docs, "lang", rates, "doc_id", 0.05)
+    a = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    b = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    assert a == b  # hash gate => same draw every run
+    n = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    k = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # loose binomial sanity at tiny SF: kept fraction within ±0.35 of rate
+    for lang, rate in rates.items():
+        if n.get(lang, 0) >= 20:
+            assert abs(k.get(lang, 0) / n[lang] - rate) < 0.35
+
+
+def test_pack_sequences_layout(spark):
+    # tokens: 100, 100, 100 -> cum 100, 200, 300 with capacity 128
+    rows = [(i, "g", " ".join(["w"] * 100)) for i in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r.doc_id: r for r in curation.pack_sequences(df, 128, "lang").collect()}
+    assert (out[1].pack_id, out[1].pack_offset, out[1].n_packs_spanned) == (0, 0, 1)
+    assert (out[2].pack_id, out[2].pack_offset, out[2].n_packs_spanned) == (0, 100, 2)
+    assert (out[3].pack_id, out[3].pack_offset, out[3].n_packs_spanned) == (1, 72, 2)
+
+
+def test_pack_sequences_groups_independent(spark):
+    rows = [(1, "a", "x y z"), (2, "b", "x y z")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r.doc_id: r for r in curation.pack_sequences(df, 4, "lang").collect()}
+    # each group starts its own pack 0
+    assert out[1].pack_id == 0 and out[2].pack_id == 0
+
+
+def test_incremental_dedup_drops_exact_and_near(spark, docs):
+    corpus = docs.where(F.col("doc_id") < 400)
+    base = corpus.limit(2).collect()
+    exact_copy = (base[0].doc_id + 10_000, base[0].text, "en", "s", 1)
+    near_copy = (base[1].doc_id + 20_000, base[1].text + " extra", "en", "s", 1)
+    novel = (30_000, "a genuinely novel document about catalyst optimizer rules", "en", "s", 1)
+    new = spark.createDataFrame(
+        [exact_copy, near_copy, novel],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = dedup.incremental_dedup(new, corpus, threshold=0.8, num_hashes=16, bands=8)
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    assert kept == {30_000}
+
+
+def test_incremental_dedup_accepts_stored_signatures(spark, docs):
+    corpus = docs.where(F.col("doc_id") < 100)
+    new = docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 120))
+    sh = dedup.shingles_df(corpus).cache()
+    sig = dedup.minhash_signatures_from_shingles(sh)
+    via_stored = dedup.incremental_dedup(
+        new, corpus, corpus_sh_df=sh, corpus_sig_df=sig, num_hashes=16, bands=8
+    )
+    recomputed = dedup.incremental_dedup(new, corpus, num_hashes=16, bands=8)
+    assert {r.doc_id for r in via_stored.collect()} == {
+        r.doc_id for r in recomputed.collect()
+    }

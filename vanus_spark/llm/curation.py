@@ -1,0 +1,206 @@
+"""Corpus curation operators a large-scale training-data pipeline
+needs beyond dedup: PII redaction, benchmark-contamination detection,
+stratified sampling, and sequence packing.
+
+All four are designed scale-first:
+
+- PII redaction is a pure regexp_replace chain — whole-stage codegen,
+  zero shuffle, runs at scan speed.
+- Contamination detection is the standard n-gram-overlap check
+  (the style of train/test decontamination used for LLM corpora):
+  explode test-doc shingles, semi-join against the (much smaller)
+  benchmark shingle set — the benchmark side is broadcast, so the
+  corpus never shuffles.
+- Stratified sampling is hash-gated per stratum: a deterministic
+  md5-derived uniform in [0,1) compared to the stratum's rate. No
+  shuffle, no RNG state, reproducible across engines and retries
+  (sampling by hash is the only repeatable form at 100 TB, where a
+  task retry would replay a random generator differently).
+- Sequence packing is the concat-then-chunk document packing used to
+  fill fixed-size training context windows: a running token total per
+  group assigns each document a starting pack id and offset. One
+  window per group partition — groups bound partition size, so no
+  global single-partition window at any scale.
+
+Hashing note: md5-derived (portable to the DuckDB oracle) like
+vanus_spark.llm.dedup; at production scale swap xxhash64 for md5 with
+the same structure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from vanus_spark.llm.dedup import md5_long, shingles
+from vanus_spark.llm.textstats import whitespace_token_count
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Pattern order matters: SSN before generic phone (both digit runs),
+# email before anything that could eat '@'. Each regex is written in
+# the common Java-regex/RE2 subset so the DuckDB oracle evaluates the
+# identical pattern.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(c: Column) -> Column:
+    """Replace every email / IPv4 / SSN / US-phone occurrence with a
+    typed placeholder. Pure Column chain (4 regexp_replace), global
+    replacement on both engines."""
+    out = c
+    for _, pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_report(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, redacted, n_<kind> counts). Counts come from occurrences of
+    the placeholder in the redacted text, so they cost no extra regex
+    passes beyond the redaction itself."""
+    red = redact_pii(F.col(text_col))
+    staged = docs.select(F.col(id_col), red.alias("redacted"))
+    counts = [
+        (
+            (F.length("redacted")
+             - F.length(F.replace(F.col("redacted"), F.lit(token), F.lit(""))))
+            / F.lit(len(token))
+        ).cast("long").alias(f"n_{kind}")
+        for kind, _, token in PII_PATTERNS
+    ]
+    return staged.select(F.col(id_col), F.col("redacted"), *counts)
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination detection
+# ---------------------------------------------------------------------------
+
+def contamination_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag training documents whose word ``n``-gram sets overlap a
+    benchmark set (train/test decontamination).
+
+    Plan shape: benchmark shingles -> distinct -> broadcast;
+    corpus shingles -> explode -> broadcast LEFT SEMI join -> count
+    per doc. The corpus (the 100 TB side) is never shuffled — the
+    only aggregation is the per-doc overlap count, partial-aggregated
+    map-side. Returns (id, n_shingles, n_overlap, contamination,
+    contaminated)."""
+    bench_sh = (
+        benchmark.select(F.explode(shingles(F.col(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+    doc_sh = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    )
+    overlap = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    totals = docs.select(
+        F.col(id_col), F.size(shingles(F.col(text_col), n)).alias("n_shingles")
+    )
+    # coalesce BEFORE the ratio: a doc with no overlapping shingle has
+    # contamination 0.0 / false, not null (left-join miss)
+    overlap_cnt = F.coalesce(F.col("n_overlap"), F.lit(0))
+    frac = overlap_cnt / F.greatest(F.col("n_shingles"), F.lit(1))
+    return (
+        totals.join(overlap, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            overlap_cnt.cast("long").alias("n_overlap"),
+            F.round(frac, 6).alias("contamination"),
+            (frac >= threshold).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# stratified deterministic sampling
+# ---------------------------------------------------------------------------
+
+def hash_uniform(c: Column, seed: int = 0) -> Column:
+    """Deterministic uniform in [0,1): md5-derived hash scaled by its
+    actual range — md5_long takes 15 hex digits = 60 bits, so divide
+    by 2^60 (2^63 would squash u into [0, 0.125) and over-keep every
+    stratum). Engine-portable and replay-stable (same row -> same
+    draw on every engine and every task retry)."""
+    return md5_long(c, seed) / F.lit(float(1 << 60))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Keep each row with its stratum's probability, decided by a
+    deterministic hash of ``key_col`` — the reproducible form of the
+    per-source mixing ratios used to compose training corpora.
+
+    No shuffle: the gate is a filter. Rows in strata not listed in
+    ``rates`` keep with ``default_rate``."""
+    u = hash_uniform(F.col(key_col), seed)
+    rate = F.lit(default_rate)
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(r)).otherwise(rate)
+    return df.where(u < rate)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (concat-then-chunk)
+# ---------------------------------------------------------------------------
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int,
+    group_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign each document a (pack_id, pack_offset) inside fixed
+    ``capacity``-token context windows, greedy concat-then-chunk: docs
+    are laid end-to-end in ``id_col`` order within each ``group_col``
+    stream and chunked every ``capacity`` tokens.
+
+    The window partitions by ``group_col`` (a bounded stream — e.g.
+    language or source shard), so no single-partition global sort
+    exists at any scale; each group's packing is independent and the
+    assignment is one running sum per partition. Returns
+    (id, group, n_tokens, pack_id, pack_offset, n_packs_spanned)."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = whitespace_token_count(F.col(text_col))
+    staged = docs.select(
+        F.col(id_col), F.col(group_col), toks.alias("n_tokens")
+    )
+    cum = F.sum("n_tokens").over(w)
+    cum_before = cum - F.col("n_tokens")
+    pack_id = F.floor(cum_before / capacity)
+    return staged.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col("n_tokens"),
+        pack_id.cast("long").alias("pack_id"),
+        (cum_before % capacity).cast("long").alias("pack_offset"),
+        (F.floor((cum - 1) / capacity) - pack_id + 1).cast("long").alias("n_packs_spanned"),
+    )

@@ -385,6 +385,84 @@ def ngram_jaccard_pairs(
     )
 
 
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    corpus_sh_df: DataFrame | None = None,
+    corpus_sig_df: DataFrame | None = None,
+) -> DataFrame:
+    """Surviving rows of ``new_docs``: drop anything that is an exact
+    or near (Jaccard >= t) duplicate of the EXISTING corpus.
+
+    This is the incremental-ingest path of the stored-signature
+    design: the corpus side's digests / shingles / signatures are
+    read from persisted tables (pass ``corpus_sh_df`` /
+    ``corpus_sig_df``; recomputed here only as a stand-in), so a new
+    batch costs hash(new) + two key joins against stored state — the
+    100 TB corpus is never re-hashed per batch.
+
+    Plan shape: anti-join on content digest (exact), then new-batch
+    LSH bands equi-joined against stored corpus bands (never a corpus
+    self-join), Jaccard verify on candidates only, anti-join the
+    flagged ids. New-vs-new duplicates are the batch's own
+    ``near_dup_pairs`` problem, handled before or after this call.
+    """
+    digest = F.md5(normalize_text(F.col(text_col)))
+    corpus_digests = corpus_docs.select(digest.alias("content_hash")).distinct()
+    fresh = new_docs.select(F.col(id_col), digest.alias("content_hash")).join(
+        corpus_digests, "content_hash", "left_anti"
+    ).select(id_col)
+    survivors = new_docs.join(fresh, id_col, "left_semi")
+
+    new_sh = shingles_df(survivors, text_col, id_col, shingle_n)
+    corpus_sh = (
+        corpus_sh_df
+        if corpus_sh_df is not None
+        else shingles_df(corpus_docs, text_col, id_col, shingle_n)
+    )
+    corpus_sig = (
+        corpus_sig_df
+        if corpus_sig_df is not None
+        else minhash_signatures_from_shingles(corpus_sh, id_col, num_hashes)
+    )
+    new_sig = minhash_signatures_from_shingles(new_sh, id_col, num_hashes)
+    new_b = minhash_lsh_buckets(
+        survivors, text_col, id_col, num_hashes, bands, shingle_n, sig_df=new_sig
+    ).alias("l")
+    corpus_b = minhash_lsh_buckets(
+        corpus_docs, text_col, id_col, num_hashes, bands, shingle_n, sig_df=corpus_sig
+    ).alias("r")
+    cands = (
+        new_b.join(
+            corpus_b,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("new_id"), F.col(f"r.{id_col}").alias("corpus_id")
+        )
+        .distinct()
+    )
+    a, b = new_sh.alias("a"), corpus_sh.alias("b")
+    dup_ids = (
+        cands.join(a, cands.new_id == F.col(f"a.{id_col}"))
+        .join(b, cands.corpus_id == F.col(f"b.{id_col}"))
+        .where(
+            F.size(F.array_intersect("a.sh", "b.sh"))
+            >= F.lit(threshold) * F.size(F.array_union("a.sh", "b.sh"))
+        )
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return survivors.join(dup_ids, id_col, "left_anti")
+
+
 def near_dup_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
