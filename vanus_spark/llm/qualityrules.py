@@ -1,0 +1,205 @@
+"""Repetition/structure quality rules for corpus filtering.
+
+The rule families a production training-data pipeline applies before
+training (cf. the published Gopher/MassiveText and C4 filtering
+rules; reference repo has no counterpart — these are part of the
+LLM-pipeline surface this engine adds):
+
+- per-document structural flags (word counts, symbol ratios, bullet/
+  ellipsis lines, within-document duplicate lines): pure Column
+  expressions, zero shuffle, whole-stage codegen over the scan.
+- top-n-gram concentration (the "most common 2-gram fraction" rule):
+  explode -> two partial aggregations; shuffle is #(doc, distinct
+  gram) then #docs — the scale shape, never a per-row O(d²) mode.
+- corpus-level line dedup (the C4 "remove any line that appears
+  verbatim elsewhere" rule): line-hash groupBy across the WHOLE
+  corpus (map-side combine => shuffle ~#distinct lines), join back,
+  order-preserving reconstruction of the cleaned text.
+
+Everything is engine-portable (md5 hashing, plain string/array ops)
+so each operator has a DuckDB oracle twin in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from vanus_spark.llm.dedup import normalize_text
+from vanus_spark.operators.parallelism import repartition_for_compute
+
+LINE_SEP = "\n"
+
+
+def _lines(c: Column) -> Column:
+    return F.split(c, LINE_SEP)
+
+
+def _words(c: Column) -> Column:
+    return F.split(normalize_text(c), " ")
+
+
+def word_ngrams(c: Column, n: int = 2) -> Column:
+    """Word n-grams WITH multiplicity (unlike dedup.shingles, which
+    deduplicates) — repetition rules need the counts."""
+    toks = _words(c)
+    k = F.size(toks) - (n - 1)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+
+
+def gopher_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_fraction: float = 0.9,
+    max_ellipsis_fraction: float = 0.3,
+    min_alpha_fraction: float = 0.8,
+    max_dup_line_fraction: float = 0.3,
+) -> DataFrame:
+    """Per-document structural quality metrics + keep flag.
+
+    Two stacked projections: the word/line arrays materialize once,
+    every metric is then a cheap array expression over them (the
+    two-step select keeps CollapseProject from re-inlining the split
+    chains per metric). Zero shuffle at any scale."""
+    staged = docs.select(
+        F.col(id_col),
+        _words(F.col(text_col)).alias("_w"),
+        _lines(F.col(text_col)).alias("_l"),
+    )
+    w, lines = F.col("_w"), F.col("_l")
+    n_words = F.size(w).cast("long")
+    n_lines = F.size(lines).cast("long")
+    symbols = F.aggregate(
+        w,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.size(F.split(t, "#", -1))
+        - 1
+        + F.size(F.split(t, r"\.\.\.", -1))
+        - 1,
+    )
+    alpha_words = F.size(F.filter(w, lambda t: t.rlike("[a-z]")))
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: F.ltrim(l).rlike("^[-*•]"))
+    )
+    ellipsis_lines = F.size(F.filter(lines, lambda l: F.rtrim(l).rlike("\\.\\.\\.$")))
+    dup_lines = n_lines - F.size(F.array_distinct(lines))
+    metrics = staged.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_lines.alias("n_lines"),
+        F.round(symbols / F.greatest(n_words, F.lit(1)), 6).alias("symbol_word_ratio"),
+        F.round(alpha_words / F.greatest(n_words, F.lit(1)), 6).alias("alpha_word_fraction"),
+        F.round(bullet_lines / F.greatest(n_lines, F.lit(1)), 6).alias("bullet_line_fraction"),
+        F.round(ellipsis_lines / F.greatest(n_lines, F.lit(1)), 6).alias("ellipsis_line_fraction"),
+        F.round(dup_lines / F.greatest(n_lines, F.lit(1)), 6).alias("dup_line_fraction"),
+    )
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("symbol_word_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_line_fraction") <= max_bullet_fraction)
+        & (F.col("ellipsis_line_fraction") <= max_ellipsis_fraction)
+        & (F.col("alpha_word_fraction") >= min_alpha_fraction)
+        & (F.col("dup_line_fraction") <= max_dup_line_fraction)
+    )
+    return metrics.withColumn("keep", keep)
+
+
+def top_ngram_stats(
+    docs: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_grams, top_gram_count, top_gram_fraction): how much of
+    the document is its single most common word n-gram (Gopher's
+    repetition rule). explode -> count per (doc, gram) -> max per doc:
+    both aggregations partial-combine map-side, so the shuffles are
+    #(doc, distinct gram) rows then #docs rows — never a per-row
+    O(d²) mode computation."""
+    docs = repartition_for_compute(docs, id_col)
+    grams = docs.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    )
+    per_gram = grams.groupBy(id_col, "gram").agg(F.count("*").alias("c"))
+    return (
+        per_gram.groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.max("c").cast("long").alias("top_gram_count"),
+        )
+        .select(
+            F.col(id_col),
+            "n_grams",
+            "top_gram_count",
+            F.round(
+                F.col("top_gram_count") / F.greatest(F.col("n_grams"), F.lit(1)), 6
+            ).alias("top_gram_fraction"),
+        )
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style corpus-level line dedup: a line whose normalized form
+    appears >= ``min_count`` times ACROSS THE CORPUS is boilerplate;
+    the cleaned text keeps the remaining lines in original order.
+
+    Returns (id, n_lines, n_boilerplate_lines, boilerplate_fraction,
+    clean_text).
+
+    Shape: posexplode lines -> md5 line key -> corpus-wide count per
+    key (map-side combine => shuffle ~#distinct lines) -> shuffle
+    join back on the key -> per-doc rebuild via sort_array over
+    (pos, line) structs. No broadcast of the line table (it scales
+    with the corpus); AQE handles the join's skew (empty/common
+    lines are hot keys)."""
+    docs = repartition_for_compute(docs, id_col)
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(_lines(F.col(text_col))).alias("pos", "line"),
+    ).withColumn("line_key", F.md5(normalize_text(F.col("line"))))
+    counts = lines.groupBy("line_key").agg(F.count("*").alias("n_occurrences"))
+    tagged = lines.join(counts, "line_key").withColumn(
+        "is_boilerplate", F.col("n_occurrences") >= min_count
+    )
+    rebuilt = tagged.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.col("is_boilerplate").cast("long")).cast("long").alias(
+            "n_boilerplate_lines"
+        ),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("is_boilerplate"),
+                            F.struct(F.col("pos"), F.col("line")),
+                        )
+                    )
+                ),
+                lambda s: s.getField("line"),
+            ),
+            LINE_SEP,
+        ).alias("clean_text"),
+    )
+    return rebuilt.select(
+        F.col(id_col),
+        "n_lines",
+        "n_boilerplate_lines",
+        F.round(
+            F.col("n_boilerplate_lines") / F.greatest(F.col("n_lines"), F.lit(1)), 6
+        ).alias("boilerplate_fraction"),
+        "clean_text",
+    )
