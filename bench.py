@@ -6,12 +6,18 @@ Prints ONE JSON line:
 
 Queries are forced through a noop write so every output column is
 actually computed (count() would let Catalyst prune the projections).
+
+Each query is timed SPARK_GRAFT_BENCH_RUNS times (default 3) and the
+MEDIAN is reported, so a one-off co-tenant CPU burst cannot record a
+phantom regression (round-2 lesson: a single contaminated run inflated
+several queries 2-5x on the record).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -64,11 +70,15 @@ def main() -> None:
     # JVM + parquet-footer warmup (not measured)
     qs["filter_exact"](spark, sf_dir).count()
 
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        force(qs[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            force(qs[name](spark, sf_dir))
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -79,6 +89,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "runs_per_query": runs,
+                "aggregation": "median",
             }
         )
     )
