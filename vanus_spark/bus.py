@@ -51,6 +51,15 @@ def distributed_row_number(
     ranged = df.repartitionByRange(*keys).withColumn(
         "_slice", F.spark_partition_id()
     )
+    # _slice comes from a nondeterministically-SAMPLED range exchange, and
+    # both the local ranks and the prefix counts below must observe the SAME
+    # slice assignment.  Relying on Catalyst ReuseExchange to canonicalize
+    # the two subtrees equal is fragile (disabled reuse or a future edit
+    # that un-equalizes them would silently corrupt offsets), so pin the
+    # assignment by materializing the ranged data once: a lazy local
+    # checkpoint computes the partitions on first use and every branch
+    # reads the stored blocks.
+    ranged = ranged.localCheckpoint(eager=False)
     local_w = Window.partitionBy(*part_cols, "_slice").orderBy(*order_cols)
     local = ranged.withColumn("_lrn", F.row_number().over(local_w))
     counts = local.groupBy(*part_cols, "_slice").agg(F.count("*").alias("_n"))

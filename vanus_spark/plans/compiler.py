@@ -486,7 +486,12 @@ def compile_transformer(
     parse_expr = F.from_json(
         F.col("data"), schema_cr, {"columnNameOfCorruptRecord": "_corrupt_record"}
     )
-    state = _State(parsed, schema)
+    # The sidecar is only for the bad_json flag (read off the raw parsed
+    # column below); strip it from the struct the transformer state sees so
+    # a bare <$.data> template slot / no-template re-serialize never leaks
+    # "_corrupt_record" into rendered output (a payload of the literal
+    # 'null' is corrupt-flagged but nilish-suppressed, so it WOULD leak).
+    state = _State(parsed.dropFields("_corrupt_record"), schema)
     for name, expr in define_spec.items():
         try:
             state.define[name] = _value_arg(state, expr)

@@ -23,6 +23,7 @@ the injected transport is (they ship to executors).
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 from typing import Any, Callable, Sequence
 
@@ -51,7 +52,18 @@ def event_row_to_cloudevent_json(row: dict[str, Any]) -> str:
             ev[k] = row[k]
     t = row.get("time")
     if t is not None:
-        ev["time"] = t.isoformat() + "Z" if hasattr(t, "isoformat") else str(t)
+        if hasattr(t, "isoformat"):
+            # Normalize to UTC: tz-aware datetimes convert (naive ones were
+            # collected under the session's UTC timezone — see get_spark);
+            # render RFC3339 with a single 'Z', never '...+00:00Z'.
+            if getattr(t, "tzinfo", None) is not None:
+                t = t.astimezone(_dt.timezone.utc)
+            s = t.isoformat()
+            if s.endswith("+00:00"):
+                s = s[:-6]
+            ev["time"] = s + "Z"
+        else:
+            ev["time"] = str(t)
     for k, v in (row.get("attributes") or {}).items():
         if v is not None:
             ev[k] = v

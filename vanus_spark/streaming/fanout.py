@@ -43,6 +43,8 @@ def fanout_apply(
     reuse under AQE) the source is materialized once however many
     subscriptions fan out of it.
     """
+    if not specs:
+        raise ValueError("fanout_apply: specs must be non-empty")
     branches = []
     for sub_id, spec in sorted(specs.items()):
         sub = Subscription.from_spec(spec)
@@ -89,7 +91,14 @@ class TriggerWorker:
         self, batch_df: DataFrame, batch_time, tick_seconds: float = 1.0
     ) -> dict[str, SinkResult]:
         """One shared tick: cache the batch, run every subscription's
-        loop over it, release. Results keyed by sub_id."""
+        loop over it, release. Results keyed by sub_id.
+
+        The unpersist in the finally block is only safe because each
+        DeliveryLoop.process_batch EAGERLY materializes its outputs
+        (localCheckpoint on pending/delivered inside the loop) before
+        returning — if that eager step is ever removed, results would
+        lazily re-read an unpersisted batch and the shared-scan
+        guarantee silently degrades to N re-scans."""
         cached = batch_df.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             return {

@@ -63,12 +63,17 @@ class Subscription:
     def batch_cap(self, tick_seconds: float = 1.0) -> int | None:
         """Events allowed into the sender this tick: min of the uack
         window and the rate limit integrated over the tick. None = no
-        cap configured."""
+        cap configured.
+
+        Floors at 1 so a sub-1-event/tick rate limit still drains
+        slowly (truncating to 0 would re-park everything every tick —
+        permanent starvation, unlike the reference's token-bucket
+        limiter)."""
         caps = []
         if self.max_uack is not None:
             caps.append(self.max_uack)
         if self.rate_limit is not None:
-            caps.append(int(self.rate_limit * tick_seconds))
+            caps.append(max(1, int(self.rate_limit * tick_seconds)))
         return min(caps) if caps else None
 
     @property
