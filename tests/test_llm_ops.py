@@ -243,3 +243,51 @@ def test_kmeans_centroids_deterministic(spark, emb):
     c2 = kmeans_centroids(emb, n_clusters=4, iters=1)
     assert c1 == c2
     assert len(c1) == 4 and len(c1[0]) == 64
+
+
+def test_lsh_bucket_cap_degenerate_corpus(spark):
+    """50% identical boilerplate: the capped path must complete with
+    O(m) pairs from the hot bucket and still drop every boilerplate
+    copy except the representative."""
+    from vanus_spark.llm.dedup import minhash_lsh_pairs, near_dup_pairs
+
+    boiler = "this page is intentionally left blank see terms and conditions apply"
+    rows = [(i, boiler) for i in range(200)] + [
+        (1000 + i, f"unique document number {i} with its own distinct words body {i * 7}")
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = minhash_lsh_pairs(docs, bucket_cap=16)
+    pairs = capped.collect()
+    # hot bucket contributes star pairs only: every boilerplate doc pairs
+    # with representative 0 — 199 pairs, not 200*199/2
+    boiler_pairs = [p for p in pairs if p.id_a < 1000 and p.id_b < 1000]
+    assert len(boiler_pairs) == 199
+    assert all(p.id_a == 0 for p in boiler_pairs)
+
+    # end-to-end: every boilerplate copy except doc 0 is flagged as a dup
+    dups = near_dup_pairs(docs, threshold=0.9, bucket_cap=16)
+    dropped = {r.id_b for r in dups.collect()}
+    assert set(range(1, 200)) <= dropped
+    assert 0 not in dropped
+
+    # uncapped on the same corpus gives the quadratic pair set
+    full = minhash_lsh_pairs(docs, bucket_cap=None)
+    n_full_boiler = full.where((F.col("id_a") < 1000) & (F.col("id_b") < 1000)).count()
+    assert n_full_boiler == 200 * 199 // 2
+
+
+def test_repartition_for_compute_no_rdd(spark, docs):
+    """Scan-rooted narrow frames widen; post-shuffle frames are left
+    alone (no second exchange)."""
+    from vanus_spark.operators.parallelism import repartition_for_compute
+
+    target = spark.sparkContext.defaultParallelism
+    widened = repartition_for_compute(docs.select("doc_id", "text"), "doc_id")
+    assert "Repartition" in widened._jdf.queryExecution().analyzed().toString()
+    assert widened.count() == docs.count()
+
+    agged = docs.groupBy("lang").count()
+    same = repartition_for_compute(agged)
+    assert same is agged

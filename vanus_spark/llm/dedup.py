@@ -223,27 +223,56 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     sig_df: DataFrame | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing any LSH band. The
-    self-join is per (band, band_key) bucket — skew-safe under AQE;
-    hot buckets (boilerplate docs) would be salted in production."""
+    self-join is per (band, band_key) bucket — skew-safe under AQE.
+
+    ``bucket_cap`` bounds the degenerate-bucket blowup: a corpus where
+    half the docs are identical boilerplate puts them ALL in one
+    bucket, and the self-join emits m²/2 pairs from it — quadratic
+    OUTPUT volume, which no skew-split can fix. With a cap, buckets
+    with ≤ cap members keep the exact all-pairs behavior, while larger
+    buckets switch to STAR pairing — every member pairs with the
+    bucket's min-id representative, O(m) pairs. A bucket that large is
+    (by LSH construction) a near-identical content cluster, so
+    verifying each member against one representative loses no real
+    dedup decisions; recall is only reduced for same-bucket pairs
+    where neither side matches the representative, which at cap sizes
+    in the hundreds is noise. The bucket-size window shuffles on the
+    same (band, band_key) key the join needs — no extra exchange."""
     b = minhash_lsh_buckets(
         docs, text_col, id_col, num_hashes, bands, shingle_n, sig_df=sig_df
     )
-    left = b.alias("l")
-    right = b.alias("r")
-    return (
-        left.join(
+
+    def all_pairs(buckets: DataFrame) -> DataFrame:
+        left = buckets.alias("l")
+        right = buckets.alias("r")
+        return left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.band_key") == F.col("r.band_key"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
+        ).select(
             F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
         )
-        .distinct()
+
+    if bucket_cap is None:
+        return all_pairs(b).distinct()
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "band_key")
+    sized = (
+        b.withColumn("_n", F.count("*").over(w))
+        .withColumn("_rep", F.min(id_col).over(w))
     )
+    small = sized.where(F.col("_n") <= bucket_cap).select(id_col, "band", "band_key")
+    star = (
+        sized.where((F.col("_n") > bucket_cap) & (F.col(id_col) != F.col("_rep")))
+        .select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    return all_pairs(small).unionByName(star).distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -484,6 +513,7 @@ def near_dup_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     shingle_df: DataFrame | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """End-to-end near-dup: LSH candidates -> exact Jaccard >= t.
 
@@ -499,7 +529,8 @@ def near_dup_pairs(
     )
     sig = minhash_signatures_from_shingles(sh, id_col, num_hashes)
     cands = minhash_lsh_pairs(
-        docs, text_col, id_col, num_hashes, bands, shingle_n, sig_df=sig
+        docs, text_col, id_col, num_hashes, bands, shingle_n, sig_df=sig,
+        bucket_cap=bucket_cap,
     )
     return ngram_jaccard_pairs(
         docs, cands, text_col, id_col, shingle_n, shingle_df=sh

@@ -22,7 +22,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
-from vanus_spark.llm.dedup import exact_dedup_rows, near_dup_pairs, shingles_df
+from vanus_spark.llm.dedup import (
+    exact_dedup_rows,
+    minhash_lsh_pairs,
+    minhash_signatures_df,
+    ngram_jaccard_pairs,
+    shingles_df,
+)
 from vanus_spark.llm.textstats import lang_id_df, quality_score, text_profile
 
 
@@ -34,26 +40,44 @@ def corpus_clean(
     id_col: str = "doc_id",
     text_col: str = "text",
     persist_signatures: bool = True,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Returns the cleaned corpus (surviving rows of ``docs``).
 
-    The shingle set is computed ONCE and persisted
-    (MEMORY_AND_DISK), then reused by the MinHash signature chain and
-    the Jaccard verification — hash the corpus once, join candidates
-    against the stored table. At 100 TB the persist becomes a written
-    ``(doc_id, sh)`` / ``(doc_id, sig)`` table bucketed by band key;
-    the plan shape is identical."""
+    The persisted artifact is the SIGNATURE table ``(doc_id, sig)`` —
+    16 longs per doc, O(#docs × 128 B) — never the shingle arrays
+    (~3× the text volume). Shingles are a transient expression inside
+    the signature projection; for Jaccard verification they are
+    recomputed only for the candidate-pair docs (a semi-join against
+    ``docs`` — a tiny subset of the corpus). At 100 TB the persist
+    becomes a written ``(doc_id, sig)`` table bucketed by band key;
+    the plan shape is identical. ``bucket_cap`` bounds degenerate LSH
+    buckets (see minhash_lsh_pairs)."""
+    # Signatures are computed on the scan-rooted frame (narrow chain,
+    # so the parallelism guard widens a single-file scan and the heavy
+    # hash work never lands on an AQE-coalesced post-join frame), then
+    # semi-joined down to the exact-dedup survivors — the only waste
+    # is signatures for exact-dup copies, proportional to the dup rate.
     survivors = exact_dedup_rows(docs, text_col, id_col)
-    sh = shingles_df(survivors, text_col, id_col)
-    if persist_signatures:
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    dup_pairs = near_dup_pairs(
-        survivors,
-        threshold=jaccard_threshold,
-        text_col=text_col,
-        id_col=id_col,
-        shingle_df=sh,
+    surv_ids = survivors.select(id_col)
+    sig = minhash_signatures_df(docs, text_col, id_col).join(
+        surv_ids, id_col, "left_semi"
     )
+    if persist_signatures:
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    cands = minhash_lsh_pairs(
+        survivors, text_col, id_col, sig_df=sig, bucket_cap=bucket_cap
+    )
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .unionByName(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    cand_docs = docs.join(cand_ids, id_col, "left_semi")
+    cand_sh = shingles_df(cand_docs, text_col, id_col)
+    dup_pairs = ngram_jaccard_pairs(
+        survivors, cands, text_col, id_col, shingle_df=cand_sh
+    ).where(F.col("jaccard") >= jaccard_threshold)
     drop_ids = dup_pairs.select(F.col("id_b").alias(id_col)).distinct()
     survivors = survivors.join(drop_ids, id_col, "left_anti")
     survivors = survivors.where(
