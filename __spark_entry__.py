@@ -858,6 +858,28 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.join(decoded, "media_id")
 
 
+def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, no stub: binary PPM rasters are synthesized
+    as pure Columns (position-varying pixel colors), then parsed
+    byte-for-byte by the dependency-free P6 decoder (struct/numpy)
+    inside mapInPandas; the oracle recomputes width/height and the
+    channel statistics arithmetically from the pixel formula."""
+    from vanus_spark.llm.multimodal import decode_images, synthesize_ppm_images
+
+    media = synthesize_ppm_images(_t(spark, sf_dir, "documents"))
+    dec = decode_images(media, decode_stub=False)
+    return dec.select(
+        "media_id",
+        "width",
+        "height",
+        F.round(F.element_at("features", 1), 6).alias("mean_r"),
+        F.round(F.element_at("features", 2), 6).alias("mean_g"),
+        F.round(F.element_at("features", 3), 6).alias("mean_b"),
+        F.element_at("features", 7).alias("min_gray"),
+        F.element_at("features", 8).alias("max_gray"),
+    )
+
+
 def q_action_render_foreach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ARRAY_FOREACH (nested action per element) + RENDER_ARRAY
     (per-element template) through the interpreter."""
@@ -1186,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh_ann": q_similarity_lsh_ann,
         "similarity_ivf_ann": q_similarity_ivf_ann,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_decode_real": q_multimodal_decode_real,
         "pii_redact": q_pii_redact,
         "contamination_check": q_contamination_check,
         "sample_stratified": q_sample_stratified,
@@ -1799,6 +1822,27 @@ def oracle_sql() -> dict[str, str]:
                    64 + ('0x' || substr(md5(text), 1, 2))::INTEGER % 192 AS width,
                    64 + ('0x' || substr(md5(text), 3, 2))::INTEGER % 192 AS height
             FROM documents
+        """,
+        "multimodal_decode_real": """
+            WITH px AS (
+              SELECT doc_id,
+                     unnest(generate_series(
+                       0::BIGINT,
+                       CAST((4 + doc_id % 8) * (3 + doc_id % 5) - 1 AS BIGINT)
+                     )) AS j
+              FROM documents
+            )
+            SELECT doc_id AS media_id,
+                   CAST(4 + doc_id % 8 AS INT) AS width,
+                   CAST(3 + doc_id % 5 AS INT) AS height,
+                   round(avg((doc_id + j) % 256), 6)      AS mean_r,
+                   round(avg((doc_id * 7 + j) % 256), 6)  AS mean_g,
+                   round(avg((doc_id * 13 + j) % 256), 6) AS mean_b,
+                   CAST(min(((doc_id + j) % 256 + (doc_id * 7 + j) % 256
+                             + (doc_id * 13 + j) % 256) // 3) AS DOUBLE) AS min_gray,
+                   CAST(max(((doc_id + j) % 256 + (doc_id * 7 + j) % 256
+                             + (doc_id * 13 + j) % 256) // 3) AS DOUBLE) AS max_gray
+            FROM px GROUP BY doc_id
         """,
         "pii_redact": _pii_oracle(),
         "contamination_check": _contamination_oracle(),

@@ -291,3 +291,68 @@ def test_repartition_for_compute_no_rdd(spark, docs):
     agged = docs.groupBy("lang").count()
     same = repartition_for_compute(agged)
     assert same is agged
+
+
+def test_ppm_bmp_codecs_real():
+    """Dependency-free codecs: PPM roundtrip, hand-crafted BMP with
+    bottom-up rows + padding, feature stats over real pixels."""
+    import numpy as np
+    import struct
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    raw = multimodal.encode_ppm(px)
+    assert raw.startswith(b"P6\n3 2\n255\n")
+    back = multimodal.decode_ppm(raw)
+    assert np.array_equal(back, px)
+    # comments + extra whitespace in the header parse too
+    commented = b"P6\n# a comment\n 3  2 \n255\n" + px.tobytes()
+    assert np.array_equal(multimodal.decode_ppm(commented), px)
+
+    # 24bpp BMP, 3x2, bottom-up, rows padded to 4 bytes (3*3=9 -> 12)
+    rows = []
+    for y in (1, 0):  # bottom-up storage
+        row = b""
+        for x in range(3):
+            r, g, b = px[y, x]
+            row += bytes([b, g, r])  # BGR
+        rows.append(row + b"\x00\x00\x00")
+    raster = b"".join(rows)
+    header = (
+        b"BM" + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 24, 0, len(raster), 0, 0, 0, 0)
+    )
+    assert np.array_equal(multimodal.decode_bmp(header + raster), px)
+
+    w, h, feats = multimodal._decode_image_bytes(raw, stub=False)
+    assert (w, h) == (3, 2)
+    assert feats[0] == pytest.approx(px[:, :, 0].mean())
+    assert feats[6] == float(min(p.astype(int).sum() // 3 for p in px.reshape(-1, 3)))
+
+    with pytest.raises(NotImplementedError):
+        multimodal._decode_image_bytes(b"\xff\xd8\xff\xe0fakejpeg", stub=False)
+
+
+def test_resize_real_ppm(spark):
+    """Integer-factor nearest-neighbor resize duplicates pixels
+    exactly (checked against the numpy reference)."""
+    import numpy as np
+
+    px = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    df = spark.createDataFrame(
+        [(1, bytearray(multimodal.encode_ppm(px)))], "media_id long, content binary"
+    )
+    out = multimodal.resize_images(df, 4, 4, decode_stub=False).collect()
+    assert out[0].width == 4 and out[0].height == 4
+    resized = multimodal.decode_ppm(bytes(out[0].content))
+    assert np.array_equal(resized, px.repeat(2, axis=0).repeat(2, axis=1))
+
+
+def test_synthesize_ppm_images_decode(spark, docs):
+    from vanus_spark.llm.multimodal import synthesize_ppm_images
+
+    media = synthesize_ppm_images(docs, max_rows=20)
+    rows = multimodal.decode_images(media, decode_stub=False).collect()
+    for r in rows:
+        assert r.width == 4 + r.media_id % 8
+        assert r.height == 3 + r.media_id % 5
+        assert len(r.features) == 8

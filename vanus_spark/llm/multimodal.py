@@ -9,18 +9,23 @@ Design (the part that matters at 100 TB):
 - decode/resize/sample run as ``mapInPandas`` over partitions:
   Arrow moves the bytes once per batch, work is embarrassingly
   parallel, output schema is fixed up front.
-- the actual codec calls (PIL/ffmpeg/torchaudio) are STUBBED in this
-  container (libs not installed): ``decode_stub=True`` swaps in a
-  deterministic fake decoder so the plumbing — schema, batch shape,
-  partitioning — is real and tested; a real decoder drops into
+- decode is REAL for the uncompressed formats a dependency-free
+  decoder can handle: PPM (P6/P5) and BMP (24/32bpp uncompressed),
+  parsed with struct/numpy — actual bytes -> (w, h, pixels) ->
+  channel statistics. Compressed formats (jpeg/png/video) need
+  PIL/ffmpeg, absent from this container: ``decode_stub=True`` swaps
+  in a deterministic fake for those so the plumbing — schema, batch
+  shape, partitioning — still runs; a PIL call drops into
   ``_decode_image_bytes`` unchanged.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F, types as T
@@ -45,13 +50,105 @@ IMAGE_SCHEMA = T.StructType(
 )
 
 
+# ---------------------------------------------------------------------------
+# dependency-free codecs: PPM (P6/P5) and BMP (24/32bpp uncompressed)
+# ---------------------------------------------------------------------------
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 -> binary PPM (P6)."""
+    h, w = pixels.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        pixels, dtype=np.uint8
+    ).tobytes()
+
+
+def decode_ppm(raw: bytes) -> np.ndarray:
+    """Binary PPM/PGM (P6/P5, maxval <= 255) -> (H, W, 3) uint8.
+    Real header parse: whitespace-separated tokens, '#' comments."""
+    magic = raw[:2]
+    if magic not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM")
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(raw) and raw[i : i + 1].isspace():
+            i += 1
+        if raw[i : i + 1] == b"#":
+            while i < len(raw) and raw[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(raw) and not raw[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(raw[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval, then the raster
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    ch = 3 if magic == b"P6" else 1
+    arr = np.frombuffer(raw, dtype=np.uint8, count=w * h * ch, offset=i).reshape(
+        h, w, ch
+    )
+    return np.repeat(arr, 3, axis=2) if ch == 1 else arr
+
+
+def decode_bmp(raw: bytes) -> np.ndarray:
+    """Uncompressed 24/32bpp BMP -> (H, W, 3) uint8 (BGR -> RGB,
+    bottom-up rows flipped, 4-byte row padding honored)."""
+    if raw[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", raw, 10)[0]
+    w, h = struct.unpack_from("<ii", raw, 18)
+    bpp = struct.unpack_from("<H", raw, 28)[0]
+    compression = struct.unpack_from("<I", raw, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    flip = h > 0
+    h = abs(h)
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    rows = np.frombuffer(
+        raw, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)
+    img = rows[:, : w * nch].reshape(h, w, nch)[:, :, 2::-1]  # BGR(A) -> RGB
+    return img[::-1] if flip else img
+
+
+# order of the 8-entry feature vector decode_images emits
+IMAGE_FEATURES = (
+    "mean_r", "mean_g", "mean_b", "std_r", "std_g", "std_b",
+    "min_gray", "max_gray",
+)
+
+
+def _pixel_features(px: np.ndarray) -> list[float]:
+    """Channel statistics over (H, W, 3) uint8 — the IMAGE_FEATURES
+    vector. gray is the integer (r+g+b)//3 so min/max stay exact."""
+    flat = px.reshape(-1, 3).astype(np.float64)
+    gray = px.reshape(-1, 3).astype(np.uint32).sum(axis=1) // 3
+    return [
+        *flat.mean(axis=0).tolist(),
+        *flat.std(axis=0).tolist(),
+        float(gray.min()),
+        float(gray.max()),
+    ]
+
+
 def _decode_image_bytes(raw: bytes, stub: bool) -> tuple[int, int, list[float]]:
-    """Returns (width, height, feature_vec[8]). Real impl would be:
-    PIL.Image.open(io.BytesIO(raw)) -> size + model features."""
+    """Returns (width, height, feature_vec[8]). PPM/BMP decode for
+    real — bytes to pixels to channel stats; compressed formats fall
+    back to the deterministic fake (stub=True) or raise (stub=False,
+    where a PIL.Image.open drops in)."""
+    magic = raw[:2]
+    if magic in (b"P6", b"P5", b"BM"):
+        px = decode_bmp(raw) if magic == b"BM" else decode_ppm(raw)
+        h, w = px.shape[:2]
+        return w, h, _pixel_features(px)
     if not stub:
         raise NotImplementedError(
-            "real image decode requires PIL/torchvision — not in this image; "
-            "pass decode_stub=True or install the codec libs"
+            "jpeg/png/gif decode requires PIL — not in this image; "
+            "pass decode_stub=True, or use PPM/BMP which decode natively"
         )
     # deterministic fake: dimensions + features derived from content digest
     d = hashlib.md5(raw or b"").digest()
@@ -70,6 +167,9 @@ def attach_image_metadata(df: DataFrame, content_col: str = "content") -> DataFr
         F.when(magic.startswith("FFD8"), "jpeg")
         .when(magic == "89504E47", "png")
         .when(magic.startswith("47494638"), "gif")
+        .when(magic.startswith("5036"), "ppm")
+        .when(magic.startswith("5035"), "pgm")
+        .when(magic.startswith("424D"), "bmp")
         .otherwise("unknown")
     )
     return df.withColumn(
@@ -116,21 +216,36 @@ def resize_images(
     id_col: str = "media_id",
     decode_stub: bool = True,
 ) -> DataFrame:
-    """Resize plumbing: batch in, batch out with new dimensions and
-    (stubbed) re-encoded bytes."""
+    """Resize: REAL nearest-neighbor resample for PPM/BMP content
+    (decode -> index-map -> re-encode P6); compressed formats fall
+    back to a deterministic fake (or raise with decode_stub=False)."""
     out_schema = f"{id_col} long, content binary, width int, height int"
+
+    def _resize_one(raw_b: bytes) -> bytes:
+        magic = raw_b[:2]
+        if magic in (b"P6", b"P5", b"BM"):
+            px = decode_bmp(raw_b) if magic == b"BM" else decode_ppm(raw_b)
+            h, w = px.shape[:2]
+            ys = (np.arange(target_h) * h) // target_h
+            xs = (np.arange(target_w) * w) // target_w
+            return encode_ppm(px[ys][:, xs])
+        if not decode_stub:
+            raise NotImplementedError("jpeg/png resize requires PIL")
+        # fake resize: content digest re-keyed by target size
+        return hashlib.md5(raw_b + f"{target_w}x{target_h}".encode()).digest()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, raw in zip(pdf[id_col], pdf[content_col]):
-                if not decode_stub:
-                    raise NotImplementedError("real resize requires PIL")
                 raw_b = bytes(raw) if raw is not None else b""
-                # fake resize: content digest re-keyed by target size
-                new = hashlib.md5(raw_b + f"{target_w}x{target_h}".encode()).digest()
                 rows.append(
-                    {id_col: mid, "content": new, "width": target_w, "height": target_h}
+                    {
+                        id_col: mid,
+                        "content": _resize_one(raw_b),
+                        "width": target_w,
+                        "height": target_h,
+                    }
                 )
             yield pd.DataFrame(rows)
 
@@ -167,6 +282,38 @@ def sample_video_frames(
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def synthesize_ppm_images(
+    docs: DataFrame, id_col: str = "doc_id", max_rows: int | None = None
+) -> DataFrame:
+    """(media_id, content): genuine binary PPM (P6) images built as
+    pure Columns — header + a position-varying raster where pixel j
+    is ((id + j) % 256, (id*7 + j) % 256, (id*13 + j) % 256) — then
+    encoded ISO-8859-1 (1:1 char -> byte). Everything stays JVM-side;
+    the bytes are real images the native decoder must actually parse."""
+    if max_rows:
+        docs = docs.limit(max_rows)
+    mid = F.col(id_col)
+    w = (F.lit(4) + mid % 8).cast("int")
+    h = (F.lit(3) + mid % 5).cast("int")
+    raster = F.aggregate(
+        F.sequence(F.lit(0), (w * h - 1).cast("long")),
+        F.lit(""),
+        lambda acc, j: F.concat(
+            acc,
+            F.char((mid + j) % 256),
+            F.char((mid * 7 + j) % 256),
+            F.char((mid * 13 + j) % 256),
+        ),
+    )
+    header = F.concat(
+        F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"), F.lit("\n255\n")
+    )
+    return docs.select(
+        mid.alias("media_id"),
+        F.encode(F.concat(header, raster), "ISO-8859-1").alias("content"),
+    )
 
 
 def synthesize_media_from_documents(docs: DataFrame) -> DataFrame:
