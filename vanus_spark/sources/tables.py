@@ -30,6 +30,20 @@ TABLES = (
 )
 
 
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to TIMESTAMP (LTZ).
+
+    Parquet written with isAdjustedToUTC=false infers as NTZ under
+    Spark 4; NTZ is rejected by watermarks/windowed streaming and
+    diverges from DuckDB's naive-timestamp canon only in type, not
+    value (session tz is pinned UTC, so the wall-clock is preserved).
+    """
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The caller's session may not be ours (the driver supplies its own):
     # pin UTC so date_format/date_trunc agree with DuckDB's naive
@@ -42,8 +56,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
             )
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return _normalize_ntz(df)
+    return _normalize_ntz(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
