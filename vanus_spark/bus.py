@@ -63,14 +63,25 @@ def distributed_row_number(
     local_w = Window.partitionBy(*part_cols, "_slice").orderBy(*order_cols)
     local = ranged.withColumn("_lrn", F.row_number().over(local_w))
     counts = local.groupBy(*part_cols, "_slice").agg(F.count("*").alias("_n"))
-    prefix_w = (
-        Window.partitionBy(*part_cols)
-        .orderBy("_slice")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # Prefix count of earlier slices per key-group, via a triangular
+    # self-join on the #slices-row aggregate.  A window over an empty
+    # PARTITION BY would compute the same thing but emits WindowExec's
+    # single-partition warning and funnels through one task; the join is
+    # O(#slices^2) TUPLES on a frame of #partitions rows — trivially
+    # broadcastable at any bus size.
+    earlier = counts.select(
+        *[F.col(c).alias(f"_e_{c}") for c in part_cols],
+        F.col("_slice").alias("_e_slice"),
+        F.col("_n").alias("_e_n"),
     )
-    prefix = counts.withColumn(
-        "_base", F.coalesce(F.sum("_n").over(prefix_w), F.lit(0))
-    ).drop("_n")
+    cond = F.col("_e_slice") < F.col("_slice")
+    for c in part_cols:
+        cond = cond & (F.col(f"_e_{c}") == F.col(c))
+    prefix = (
+        counts.join(F.broadcast(earlier), cond, "left")
+        .groupBy(*part_cols, "_slice")
+        .agg(F.coalesce(F.sum("_e_n"), F.lit(0)).alias("_base"))
+    )
     return (
         local.join(F.broadcast(prefix), [*part_cols, "_slice"])
         .withColumn(out_col, (F.col("_base") + F.col("_lrn") - 1).cast("long"))
