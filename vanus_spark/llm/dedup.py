@@ -46,18 +46,38 @@ def normalize_text(c: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(c), "\\s+", " "))
 
 
+def bound(c: Column, f) -> Column:
+    """Evaluate ``c`` ONCE and pass it to ``f`` as a bound lambda
+    variable.
+
+    Higher-order-function lambdas get no common-subexpression
+    elimination: an expression referenced N times inside (or iterated
+    by) a lambda body is re-evaluated N times per row. Routing the
+    value through a one-element array transform binds it as a lambda
+    variable — computed once, then referenced cheaply. Measured on the
+    shingle chain at sf0.1: 3.2 s -> 0.4 s (the tokenizer regex was
+    re-running once per shingle index)."""
+    return F.get(F.transform(F.array(c), f), F.lit(0))
+
+
 def shingles(c: Column, n: int = 3) -> Column:
     """Word n-gram shingles as an array of strings (distinct).
 
     slice+array_join measured faster than the try_element_at+concat_ws
-    formulation (try_element_at's ANSI guard costs ~3× here)."""
+    formulation (try_element_at's ANSI guard costs ~3× here). The
+    token array is lambda-bound (see ``bound``) so the normalize+split
+    chain runs once per row, not once per shingle."""
     toks = F.split(normalize_text(c), " ")
-    k = F.size(toks) - (n - 1)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-        )
+    return bound(
+        toks,
+        lambda tk: F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.greatest(F.size(tk) - F.lit(n), F.lit(0))
+                ),
+                lambda i: F.array_join(F.slice(tk, i + 1, n), " "),
+            )
+        ),
     )
 
 
@@ -109,12 +129,17 @@ def minhash_signature(c: Column, num_hashes: int = 16, shingle_n: int = 3) -> Co
     (a_i*h + b_i) mod p — 16 array_mins over one hashed array."""
     base = F.transform(shingles(c, shingle_n), lambda s: minhash_base_hash(s))
 
-    def perm_min(a, b):
+    def perm_min(hs, a, b):
         return F.array_min(
-            F.transform(base, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P))
+            F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P))
         )
 
-    return F.array(*[perm_min(a, b) for a, b in minhash_coeffs(num_hashes)])
+    return bound(
+        base,
+        lambda hs: F.array(
+            *[perm_min(hs, a, b) for a, b in minhash_coeffs(num_hashes)]
+        ),
+    )
 
 
 def shingles_df(
@@ -286,19 +311,24 @@ def simhash(c: Column, bits: int = 16) -> Column:
     token array), no UDF."""
     toks = F.array_distinct(F.split(normalize_text(c), " "))
     h = F.transform(toks, lambda t: md5_long(t))
-    fingerprint = F.lit(0).cast("long")
 
-    def bit_filter(ii):
+    def bit_filter(hs, ii):
         # NB: plain single-arg lambda — a second (defaulted) param would
         # make PySpark treat it as an (element, index) lambda
-        return F.filter(h, lambda x: F.shiftright(x, ii).bitwiseAND(F.lit(1)) == 1)
+        return F.filter(hs, lambda x: F.shiftright(x, ii).bitwiseAND(F.lit(1)) == 1)
 
-    for i in range(bits):  # static unroll — bits is a compile-time constant
-        set_count = F.size(bit_filter(i))
-        fingerprint = fingerprint + F.when(
-            set_count * 2 > F.size(h), F.lit(1 << i).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return fingerprint
+    def fp(hs):
+        fingerprint = F.lit(0).cast("long")
+        for i in range(bits):  # static unroll — bits is compile-time
+            set_count = F.size(bit_filter(hs, i))
+            fingerprint = fingerprint + F.when(
+                set_count * 2 > F.size(hs), F.lit(1 << i).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return fingerprint
+
+    # hs is lambda-bound (see ``bound``): the md5 token array is
+    # computed once per row, not once per bit test.
+    return bound(h, fp)
 
 
 def simhash_df(

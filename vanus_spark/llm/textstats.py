@@ -172,17 +172,68 @@ def doc_fingerprint(c: Column) -> Column:
 
 
 def text_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """The full per-document analysis row."""
+    """The full per-document analysis row.
+
+    Staged projections: the normalize regexp, the token split, and the
+    25 language-marker scores each evaluate ONCE per row and are then
+    referenced as plain attributes. The single-select form re-ran the
+    normalize chain ~10x per row and nested the lang argmax inside
+    chained when()s, exponentially duplicating the marker counts."""
     c = F.col(text_col)
-    return docs.select(
+    staged = docs.select(F.col(id_col), c.alias("_raw"), normalize_text(c).alias("_norm"))
+    staged = staged.select(
         F.col(id_col),
-        whitespace_token_count(c).alias("n_tokens"),
-        bpe_ish_token_count(c).alias("n_bpe_tokens"),
-        F.length(c).cast("long").alias("n_chars_actual"),
-        F.round(punct_ratio(c), 6).alias("punct_ratio"),
-        F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
-        F.round(mean_word_length(c), 6).alias("mean_word_len"),
-        F.round(quality_score(c), 6).alias("quality"),
-        lang_id(c).alias("lang_pred"),
-        doc_fingerprint(c).alias("fingerprint"),
+        "_raw",
+        "_norm",
+        F.split("_norm", " ").alias("_toks"),
+        F.concat(F.lit(" "), F.col("_norm"), F.lit(" ")).alias("_padded"),
+    )
+    scores = lang_scores(F.col("_padded"))
+    langs = sorted(scores)
+    toks = F.col("_toks")
+    raw = F.col("_raw")
+    n_tokens = F.when(F.length("_norm") == 0, F.lit(0).cast("long")).otherwise(
+        F.size(toks).cast("long")
+    )
+    mwl = F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t)) / F.greatest(
+        F.size(toks), F.lit(1)
+    )
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    featured = staged.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        bpe_ish_token_count(raw).alias("n_bpe_tokens"),
+        F.length(raw).cast("long").alias("n_chars_actual"),
+        F.round(punct_ratio(raw), 6).alias("punct_ratio"),
+        F.round(stop_hits.cast("double") / F.greatest(F.size(toks), F.lit(1)), 6).alias(
+            "stopword_ratio"
+        ),
+        F.round(mwl, 6).alias("mean_word_len"),
+        mwl.alias("_mwl"),
+        punct_ratio(raw).alias("_punct"),
+        F.md5("_norm").alias("fingerprint"),
+        *[scores[lang].alias(f"_s_{lang}") for lang in langs],
+    )
+    len_signal = F.least(F.col("n_tokens").cast("double") / F.lit(50.0), F.lit(1.0))
+    wl_signal = F.when(
+        (F.col("_mwl") >= 3) & (F.col("_mwl") <= 10), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    punct_signal = F.lit(1.0) - F.least(F.col("_punct") * 5, F.lit(1.0))
+    max_score = F.greatest(*[F.col(f"_s_{lang}") for lang in langs])
+    pred = F.when(max_score <= 0, F.lit("und"))
+    for lang in langs:  # first lang (sorted order) hitting the max wins ties
+        pred = pred.when(F.col(f"_s_{lang}") == max_score, F.lit(lang))
+    return featured.select(
+        F.col(id_col),
+        "n_tokens",
+        "n_bpe_tokens",
+        "n_chars_actual",
+        "punct_ratio",
+        "stopword_ratio",
+        "mean_word_len",
+        F.round(len_signal * 0.4 + wl_signal * 0.3 + punct_signal * 0.3, 6).alias(
+            "quality"
+        ),
+        pred.alias("lang_pred"),
+        "fingerprint",
     )
