@@ -1179,6 +1179,45 @@ def q_ordered_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style structural quality flags per document
+    (word counts, symbol/alpha ratios, bullet/ellipsis/duplicate
+    lines) — pure Columns, zero shuffle."""
+    from vanus_spark.llm.qualityrules import gopher_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_flags(docs)
+
+
+def q_quality_top_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rule: fraction of the doc that is its single
+    most common word 2-gram. explode -> two partial aggregations."""
+    from vanus_spark.llm.qualityrules import top_ngram_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return top_ngram_stats(docs, n=2)
+
+
+def _lined_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with synthesized line structure (the corpus text is
+    single-line word soup): a newline after every 8th word. The oracle
+    applies the identical regexp."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.withColumn(
+        "text", F.regexp_replace("text", r"((\S+ ){7}\S+) ", "$1\n")
+    )
+
+
+def q_quality_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level line dedup: any line whose normalized
+    form appears >= 2 times across the corpus is boilerplate; cleaned
+    text preserves remaining lines in order. Corpus-wide line-hash
+    groupBy (map-side combine), join back, order-preserving rebuild."""
+    from vanus_spark.llm.qualityrules import line_dedup
+
+    return line_dedup(_lined_documents(spark, sf_dir), min_count=2)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1214,6 +1253,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "pack_sequences": q_pack_sequences,
         "dedup_incremental": q_dedup_incremental,
+        # --- new this round: repetition/structure quality rules ---
+        "quality_gopher": q_quality_gopher,
+        "quality_top_ngram": q_quality_top_ngram,
+        "quality_line_dedup": q_quality_line_dedup,
         # --- never driver-checked in rounds 1-2: streaming / transformer e2e ---
         "dlq_resend": q_dlq_resend,
         "cesql_functions": q_cesql_functions,
@@ -1637,6 +1680,78 @@ def oracle_sql() -> dict[str, str]:
                          + (CASE WHEN mraw >= 3 AND mraw <= 10 THEN 1.0 ELSE 0.5 END) * 0.3
                          + (1.0 - least(praw * 5, 1.0)) * 0.3, 6) AS quality
             FROM base
+        """,
+        "quality_gopher": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     str_split({norm_text}, ' ') AS w,
+                     str_split(text, chr(10)) AS l
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     len(w)::BIGINT AS n_words,
+                     len(l)::BIGINT AS n_lines,
+                     round(list_sum(list_transform(w, t ->
+                         (length(t) - length(replace(t, '#', '')))
+                         + (length(t) - length(replace(t, '...', ''))) // 3))::DOUBLE
+                       / greatest(len(w), 1), 6) AS symbol_word_ratio,
+                     round(len(list_filter(w, t -> regexp_matches(t, '[a-z]')))::DOUBLE
+                       / greatest(len(w), 1), 6) AS alpha_word_fraction,
+                     round(len(list_filter(l, x -> regexp_matches(ltrim(x), '^[-*•]')))::DOUBLE
+                       / greatest(len(l), 1), 6) AS bullet_line_fraction,
+                     round(len(list_filter(l, x -> regexp_matches(rtrim(x), '\\.\\.\\.$')))::DOUBLE
+                       / greatest(len(l), 1), 6) AS ellipsis_line_fraction,
+                     round((len(l) - len(list_distinct(l)))::DOUBLE
+                       / greatest(len(l), 1), 6) AS dup_line_fraction
+              FROM base)
+            SELECT *,
+                   (n_words >= 50 AND n_words <= 100000
+                    AND symbol_word_ratio <= 0.1
+                    AND bullet_line_fraction <= 0.9
+                    AND ellipsis_line_fraction <= 0.3
+                    AND alpha_word_fraction >= 0.8
+                    AND dup_line_fraction <= 0.3) AS keep
+            FROM m
+        """,
+        "quality_top_ngram": f"""
+            WITH n AS (SELECT doc_id, str_split({norm_text}, ' ') AS w FROM documents),
+            g AS (SELECT doc_id,
+                         unnest(list_transform(
+                           range(1, greatest(len(w) - 1, 1) + 1),
+                           i -> array_to_string(w[i:least(i + 1, len(w))], ' '))) AS gram
+                  FROM n),
+            per AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+            SELECT doc_id,
+                   sum(c)::BIGINT AS n_grams,
+                   max(c)::BIGINT AS top_gram_count,
+                   round(max(c)::DOUBLE / greatest(sum(c), 1), 6) AS top_gram_fraction
+            FROM per GROUP BY doc_id
+        """,
+        "quality_line_dedup": f"""
+            WITH lined AS (
+              SELECT doc_id,
+                     regexp_replace(text, '((\\S+ ){{7}}\\S+) ',
+                                    '\\1' || chr(10), 'g') AS text
+              FROM documents),
+            l AS (
+              SELECT doc_id, unnest(
+                list_transform(str_split(text, chr(10)),
+                               (x, i) -> struct_pack(line := x, pos := i))) AS u
+              FROM lined),
+            k AS (
+              SELECT doc_id, u.pos AS pos, u.line AS line,
+                     md5({_NORM.format(c="u.line")}) AS key
+              FROM l),
+            c AS (SELECT key, count(*) AS n_occ FROM k GROUP BY key),
+            t AS (SELECT k.*, c.n_occ >= 2 AS boil FROM k JOIN c USING (key))
+            SELECT doc_id,
+                   count(*)::BIGINT AS n_lines,
+                   sum(boil::INT)::BIGINT AS n_boilerplate_lines,
+                   round(sum(boil::INT)::DOUBLE / greatest(count(*), 1), 6)
+                     AS boilerplate_fraction,
+                   coalesce(string_agg(CASE WHEN NOT boil THEN line END,
+                                       chr(10) ORDER BY pos), '') AS clean_text
+            FROM t GROUP BY doc_id
         """,
         "text_langid": _langid_oracle(),
         "similarity_topk": """

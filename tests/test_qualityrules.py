@@ -1,0 +1,80 @@
+"""Repetition/structure quality rules (Gopher/MassiveText, C4-style)
+on crafted documents exercising every flag branch."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def crafted(spark):
+    long_ok = "word " * 60  # 60 words, clean
+    rows = [
+        (1, long_ok.strip()),
+        (2, "too short"),
+        (3, ("spam ham " * 30 + "# " * 20).strip()),  # symbol soup
+        (4, "- one\n- two\n- three"),  # all bullet lines
+        (5, "keep this\nto be continued...\nand more...\nend"),  # ellipses
+        (6, "same line\nsame line\nsame line\nunique line"),  # dup lines
+        (7, ("lorem ipsum " * 40).strip()),  # heavy 2-gram repetition
+        (8, "1 2 3 4 5 6 7 8 9 10"),  # no alpha words
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_gopher_flags(spark, crafted):
+    from vanus_spark.llm.qualityrules import gopher_flags
+
+    out = {r.doc_id: r for r in gopher_flags(crafted).collect()}
+    assert out[1].keep
+    assert not out[2].keep and out[2].n_words == 2  # below min_words
+    assert out[3].symbol_word_ratio > 0.1 and not out[3].keep
+    assert out[4].bullet_line_fraction == 1.0 and not out[4].keep
+    assert out[5].ellipsis_line_fraction == 0.5 and not out[5].keep
+    assert out[6].dup_line_fraction == 0.5 and not out[6].keep
+    assert out[8].alpha_word_fraction == 0.0 and not out[8].keep
+
+
+def test_top_ngram_stats(spark, crafted):
+    from vanus_spark.llm.qualityrules import top_ngram_stats
+
+    out = {r.doc_id: r for r in top_ngram_stats(crafted, n=2).collect()}
+    # doc 7: "lorem ipsum" x40 -> grams lorem-ipsum x40, ipsum-lorem x39
+    assert out[7].n_grams == 79
+    assert out[7].top_gram_count == 40
+    assert abs(out[7].top_gram_fraction - 40 / 79) < 1e-6
+    # doc 1: "word word" everywhere -> one gram dominates completely
+    assert out[1].top_gram_fraction == 1.0
+
+
+def test_line_dedup_corpus_level(spark, crafted):
+    from vanus_spark.llm.qualityrules import line_dedup
+
+    # "same line" repeats WITHIN doc 6; add a second doc sharing a line
+    # ACROSS docs to prove corpus-level counting.
+    extra = spark.createDataFrame(
+        [(9, "unique line\nsolo content here")], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: r
+        for r in line_dedup(crafted.unionByName(extra), min_count=2).collect()
+    }
+    assert out[6].n_lines == 4 and out[6].n_boilerplate_lines == 4
+    # doc 6's "unique line" became boilerplate via doc 9's copy
+    assert out[6].clean_text == ""
+    assert out[9].n_boilerplate_lines == 1
+    assert out[9].clean_text == "solo content here"
+    # untouched doc keeps its text verbatim
+    assert out[5].clean_text == crafted.where("doc_id = 5").collect()[0].text
+
+
+def test_word_ngrams_single_word(spark):
+    from vanus_spark.llm.qualityrules import word_ngrams
+
+    row = (
+        spark.createDataFrame([("solo",)], ["text"])
+        .select(word_ngrams(F.col("text"), 2).alias("g"))
+        .collect()[0]
+    )
+    assert row.g == ["solo"]

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from vanus_spark.llm.dedup import normalize_text
+from vanus_spark.llm.dedup import bound, normalize_text
 from vanus_spark.operators.parallelism import repartition_for_compute
 
 LINE_SEP = "\n"
@@ -41,11 +41,14 @@ def _words(c: Column) -> Column:
 def word_ngrams(c: Column, n: int = 2) -> Column:
     """Word n-grams WITH multiplicity (unlike dedup.shingles, which
     deduplicates) — repetition rules need the counts."""
-    toks = _words(c)
-    k = F.size(toks) - (n - 1)
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    # tokens are lambda-bound (see dedup.bound) so the normalize+split
+    # chain runs once per row, not once per gram index
+    return bound(
+        _words(c),
+        lambda tk: F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(tk) - F.lit(n), F.lit(0))),
+            lambda i: F.array_join(F.slice(tk, i + 1, n), " "),
+        ),
     )
 
 
