@@ -1179,6 +1179,32 @@ def q_ordered_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV round-trip: pure-Column RIFF/PCM synthesis (id-keyed
+    integer sawtooth, 8-bit mono) -> binary -> the dependency-free
+    chunk-walking decoder (decode_stub=False: no fake path) -> sample
+    statistics. The oracle recomputes every stat from the generating
+    formula; 8-bit samples are exact dyadic rationals, so float sums
+    are order-independent and the comparison is exact."""
+    from vanus_spark.llm.audio import decode_audio, synthesize_wav_audio
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    dec = decode_audio(synthesize_wav_audio(docs), decode_stub=False)
+    f = F.col("features")
+    return dec.select(
+        "media_id",
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round(f[0], 6).alias("mean"),
+        F.round(f[1], 6).alias("rms"),
+        F.round(f[2], 6).alias("peak"),
+        F.round(f[3], 6).alias("zero_cross_rate"),
+        F.round(f[4], 6).alias("clip_fraction"),
+    )
+
+
 def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/MassiveText-style structural quality flags per document
     (word counts, symbol/alpha ratios, bullet/ellipsis/duplicate
@@ -1253,10 +1279,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "pack_sequences": q_pack_sequences,
         "dedup_incremental": q_dedup_incremental,
-        # --- new this round: repetition/structure quality rules ---
+        # --- new this round: repetition/structure quality rules, audio ---
         "quality_gopher": q_quality_gopher,
         "quality_top_ngram": q_quality_top_ngram,
         "quality_line_dedup": q_quality_line_dedup,
+        "audio_decode": q_audio_decode,
         # --- never driver-checked in rounds 1-2: streaming / transformer e2e ---
         "dlq_resend": q_dlq_resend,
         "cesql_functions": q_cesql_functions,
@@ -1680,6 +1707,39 @@ def oracle_sql() -> dict[str, str]:
                          + (CASE WHEN mraw >= 3 AND mraw <= 10 THEN 1.0 ELSE 0.5 END) * 0.3
                          + (1.0 - least(praw * 5, 1.0)) * 0.3, 6) AS quality
             FROM base
+        """,
+        "audio_decode": """
+            WITH m AS (SELECT doc_id AS media_id,
+                              (300 + (doc_id % 8) * 50)::BIGINT AS n
+                       FROM documents WHERE doc_id < 200),
+            x AS (SELECT media_id, n, j,
+                         (((media_id * 3 + j * (1 + media_id % 7)) % 256) - 128)
+                           / 128.0 AS xv
+                  FROM m, unnest(range(0, n)) AS t(j)),
+            agg AS (SELECT media_id, any_value(n) AS n,
+                           sum(xv) AS sx, sum(xv * xv) AS sxx,
+                           max(abs(xv)) AS peak,
+                           count(*) FILTER (WHERE xv <= -1.0) AS clip
+                    FROM x GROUP BY media_id),
+            z AS (SELECT media_id, xv,
+                         lag(sign(xv)) OVER (PARTITION BY media_id ORDER BY j) AS prev
+                  FROM x WHERE xv != 0),
+            zc AS (SELECT media_id,
+                          count(*) FILTER (WHERE prev IS NOT NULL
+                                           AND sign(xv) != prev) AS crossings
+                   FROM z GROUP BY media_id)
+            SELECT a.media_id,
+                   8000::INT AS sample_rate,
+                   1::INT AS n_channels,
+                   a.n AS n_samples,
+                   round(a.n / 8000.0, 6) AS duration_s,
+                   round(a.sx / a.n, 6) AS mean,
+                   round(sqrt(a.sxx / a.n), 6) AS rms,
+                   round(a.peak, 6) AS peak,
+                   round(coalesce(zc.crossings, 0) / a.n::DOUBLE, 6)
+                     AS zero_cross_rate,
+                   round(a.clip / a.n::DOUBLE, 6) AS clip_fraction
+            FROM agg a LEFT JOIN zc USING (media_id)
         """,
         "quality_gopher": f"""
             WITH base AS (
