@@ -1205,6 +1205,51 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """y4m stream metadata WITHOUT decoding: pure-Column regexp over
+    the header line + byte-length arithmetic for the frame count —
+    the plan never leaves the JVM and never reads frame bytes."""
+    from vanus_spark.llm.video import attach_video_metadata, synthesize_y4m_video
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    out = attach_video_metadata(synthesize_y4m_video(docs))
+    return out.select(
+        "media_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.fps_num").alias("fps_num"),
+        F.col("meta.fps_den").alias("fps_den"),
+        F.col("meta.colorspace").alias("colorspace"),
+        F.col("meta.n_frames").alias("n_frames"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+
+
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL y4m round-trip: pure-Column YUV4MPEG2 synthesis -> binary
+    -> the dependency-free FRAME-walking parser (decode_stub=False)
+    -> every-2nd-frame plane statistics. The oracle recomputes each
+    sampled frame's stats from the generating formula (integer sums,
+    exact)."""
+    from vanus_spark.llm.video import sample_video_frames, synthesize_y4m_video
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    out = sample_video_frames(
+        synthesize_y4m_video(docs), every_n=2, decode_stub=False
+    )
+    return out.select(
+        "media_id",
+        "frame_index",
+        "width",
+        "height",
+        F.round("y_mean", 6).alias("y_mean"),
+        "y_min",
+        "y_max",
+        F.round("u_mean", 6).alias("u_mean"),
+        F.round("v_mean", 6).alias("v_mean"),
+    )
+
+
 def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/MassiveText-style structural quality flags per document
     (word counts, symbol/alpha ratios, bullet/ellipsis/duplicate
@@ -1284,6 +1329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_top_ngram": q_quality_top_ngram,
         "quality_line_dedup": q_quality_line_dedup,
         "audio_decode": q_audio_decode,
+        "video_metadata": q_video_metadata,
+        "video_frame_sample": q_video_frame_sample,
         # --- never driver-checked in rounds 1-2: streaming / transformer e2e ---
         "dlq_resend": q_dlq_resend,
         "cesql_functions": q_cesql_functions,
@@ -1740,6 +1787,41 @@ def oracle_sql() -> dict[str, str]:
                      AS zero_cross_rate,
                    round(a.clip / a.n::DOUBLE, 6) AS clip_fraction
             FROM agg a LEFT JOIN zc USING (media_id)
+        """,
+        "video_metadata": """
+            WITH m AS (SELECT doc_id AS media_id,
+                              (8 + (doc_id % 3) * 4)::INT AS width,
+                              (6 + (doc_id % 3) * 2)::INT AS height,
+                              (2 + doc_id % 4)::BIGINT AS nf
+                       FROM documents WHERE doc_id < 200)
+            SELECT media_id, width, height,
+                   25::INT AS fps_num, 1::INT AS fps_den,
+                   'C444' AS colorspace, nf::INT AS n_frames,
+                   (length('YUV4MPEG2 W' || width || ' H' || height
+                           || ' F25:1 Ip A1:1 C444') + 1
+                    + nf * (6 + 3 * width * height))::BIGINT AS n_bytes
+            FROM m
+        """,
+        "video_frame_sample": """
+            WITH m AS (SELECT doc_id AS media_id,
+                              (8 + (doc_id % 3) * 4)::BIGINT AS w,
+                              (6 + (doc_id % 3) * 2)::BIGINT AS h,
+                              (2 + doc_id % 4)::BIGINT AS nf
+                       FROM documents WHERE doc_id < 120),
+            fr AS (SELECT media_id, w, h, f
+                   FROM m, unnest(range(0, nf)) AS t(f) WHERE f % 2 = 0),
+            px AS (SELECT media_id, w, h, f, p,
+                          (media_id + f * 7 + p) % 256 AS y,
+                          (media_id * 5 + f + p) % 256 AS u,
+                          (media_id * 11 + f * 3 + p) % 256 AS v
+                   FROM fr, unnest(range(0, w * h)) AS t(p))
+            SELECT media_id, f::INT AS frame_index,
+                   any_value(w)::INT AS width, any_value(h)::INT AS height,
+                   round(sum(y)::DOUBLE / count(*), 6) AS y_mean,
+                   min(y)::INT AS y_min, max(y)::INT AS y_max,
+                   round(sum(u)::DOUBLE / count(*), 6) AS u_mean,
+                   round(sum(v)::DOUBLE / count(*), 6) AS v_mean
+            FROM px GROUP BY media_id, f
         """,
         "quality_gopher": f"""
             WITH base AS (
