@@ -1205,6 +1205,16 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking into 32-token windows with 8-token
+    overlap — one narrow explode, zero shuffle; chunk uids are
+    retry-stable md5(doc:index)."""
+    from vanus_spark.llm.curation import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, overlap_tokens=8)
+
+
 def q_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """y4m stream metadata WITHOUT decoding: pure-Column regexp over
     the header line + byte-length arithmetic for the frame count —
@@ -1331,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_decode": q_audio_decode,
         "video_metadata": q_video_metadata,
         "video_frame_sample": q_video_frame_sample,
+        "chunk_documents": q_chunk_documents,
         # --- never driver-checked in rounds 1-2: streaming / transformer e2e ---
         "dlq_resend": q_dlq_resend,
         "cesql_functions": q_cesql_functions,
@@ -1787,6 +1798,23 @@ def oracle_sql() -> dict[str, str]:
                      AS zero_cross_rate,
                    round(a.clip / a.n::DOUBLE, 6) AS clip_fraction
             FROM agg a LEFT JOIN zc USING (media_id)
+        """,
+        "chunk_documents": """
+            WITH t AS (SELECT doc_id,
+                              str_split_regex(trim(text), '\\s+') AS tk
+                       FROM documents),
+            c AS (SELECT doc_id, tk, len(tk) AS n,
+                         unnest(range(0,
+                           ceil(greatest(len(tk) - 8, 1)::DOUBLE / 24)::BIGINT)) AS k
+                  FROM t)
+            SELECT doc_id,
+                   k AS chunk_index,
+                   least(32, n - k * 24)::BIGINT AS n_chunk_tokens,
+                   array_to_string(tk[(k * 24 + 1)::INT
+                                      : least(k * 24 + 32, n)::INT], ' ')
+                     AS chunk_text,
+                   md5(doc_id::VARCHAR || ':' || k::VARCHAR) AS chunk_uid
+            FROM c
         """,
         "video_metadata": """
             WITH m AS (SELECT doc_id AS media_id,

@@ -115,3 +115,43 @@ def test_incremental_dedup_accepts_stored_signatures(spark, docs):
     assert {r.doc_id for r in via_stored.collect()} == {
         r.doc_id for r in recomputed.collect()
     }
+
+
+def test_chunk_documents_windows(spark):
+    from vanus_spark.llm.curation import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(100))
+    docs = spark.createDataFrame([(1, text), (2, "short doc"), (3, "")],
+                                 ["doc_id", "text"])
+    out = chunk_documents(docs, chunk_tokens=32, overlap_tokens=8)
+    rows = sorted(out.collect(), key=lambda r: (r.doc_id, r.chunk_index))
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: 100 tokens, stride 24 -> ceil(92/24) = 4 chunks
+    c1 = by_doc[1]
+    assert [r.chunk_index for r in c1] == [0, 1, 2, 3]
+    assert c1[0].chunk_text.startswith("w0 w1") and c1[0].n_chunk_tokens == 32
+    assert c1[1].chunk_text.startswith("w24 ")  # stride 24
+    assert c1[3].n_chunk_tokens == 100 - 3 * 24  # truncated tail, no pad
+    # consecutive chunks overlap by exactly 8 tokens
+    assert c1[0].chunk_text.split()[-8:] == c1[1].chunk_text.split()[:8]
+    # every token appears in some chunk
+    seen = set()
+    for r in c1:
+        seen.update(r.chunk_text.split())
+    assert len(seen) == 100
+    # short + empty docs -> exactly one chunk each
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_chunk_tokens == 2
+    assert len(by_doc[3]) == 1
+    # uids unique and stable
+    assert len({r.chunk_uid for r in rows}) == len(rows)
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+    from vanus_spark.llm.curation import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=8, overlap_tokens=8)

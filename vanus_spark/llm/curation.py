@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from vanus_spark.llm.dedup import md5_long, shingles
+from vanus_spark.llm.dedup import bound, md5_long, shingles
 from vanus_spark.llm.textstats import whitespace_token_count
 
 # ---------------------------------------------------------------------------
@@ -203,4 +203,74 @@ def pack_sequences(
         pack_id.cast("long").alias("pack_id"),
         (cum_before % capacity).cast("long").alias("pack_offset"),
         (F.floor((cum - 1) / capacity) - pack_id + 1).cast("long").alias("n_packs_spanned"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sliding-window document chunking
+# ---------------------------------------------------------------------------
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    overlap_tokens: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into overlapping ``chunk_tokens``-token
+    windows (whitespace tokens), stride = chunk - overlap — the
+    context-window preparation step of a training/RAG pipeline.
+
+    One narrow projection + explode: zero shuffle at any scale, and
+    output partitioning inherits the scan's. The token array is
+    lambda-bound (see dedup.bound) so the tokenizer runs once per row.
+    Chunk ids are content-independent (md5 of doc id + index) so a
+    re-run or a retry emits identical rows. Returns
+    (id, chunk_index, n_chunk_tokens, chunk_text, chunk_uid); the
+    tail chunk is truncated, never padded, and every token beyond
+    position ``overlap`` appears in exactly one non-overlap region.
+    """
+    if chunk_tokens <= overlap_tokens:
+        raise ValueError("chunk_tokens must exceed overlap_tokens")
+    stride = chunk_tokens - overlap_tokens
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    chunks = bound(
+        toks,
+        lambda tk: F.transform(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.ceil(
+                    F.greatest(
+                        F.size(tk) - F.lit(overlap_tokens), F.lit(1)
+                    ).cast("double")
+                    / F.lit(float(stride))
+                ).cast("long")
+                - 1,
+            ),
+            lambda k: F.struct(
+                k.cast("long").alias("chunk_index"),
+                F.least(
+                    F.lit(chunk_tokens), F.size(tk) - (k * stride).cast("int")
+                ).cast("long").alias("n_chunk_tokens"),
+                F.array_join(
+                    F.slice(tk, (k * stride + 1).cast("int"), chunk_tokens), " "
+                ).alias("chunk_text"),
+            ),
+        ),
+    )
+    exploded = docs.select(
+        F.col(id_col), F.explode(chunks).alias("ch")
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("ch.chunk_index").alias("chunk_index"),
+        F.col("ch.n_chunk_tokens").alias("n_chunk_tokens"),
+        F.col("ch.chunk_text").alias("chunk_text"),
+        F.md5(
+            F.concat(
+                F.col(id_col).cast("string"),
+                F.lit(":"),
+                F.col("ch.chunk_index").cast("string"),
+            )
+        ).alias("chunk_uid"),
     )
