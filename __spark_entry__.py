@@ -1205,6 +1205,39 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over deterministic messy URLs (mixed-case
+    scheme/host, www, default ports, tracking params, unordered query,
+    fragments, trailing slashes). The oracle states the INTENDED
+    canonical form straight from the generating residues, so the whole
+    regex chain is checked end-to-end, not re-implemented."""
+    from vanus_spark.llm.urls import canonicalize_url, synthesize_messy_urls
+
+    docs = _t(spark, sf_dir, "documents")
+    urls = synthesize_messy_urls(docs)
+    return urls.select(
+        "doc_id", "url", canonicalize_url(F.col("url")).alias("canonical_url")
+    )
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-keyed dedup: best capture (max n_chars, ties to lowest id)
+    per canonical URL + capture count. One per-key window."""
+    from vanus_spark.llm.urls import synthesize_messy_urls, url_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    urls = synthesize_messy_urls(docs).join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    out = url_dedup(urls, quality_col="n_chars")
+    return out.select(
+        "canonical_url",
+        F.col("doc_id").alias("keep_id"),
+        "n_chars",
+        "dup_count",
+    )
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking into 32-token windows with 8-token
     overlap — one narrow explode, zero shuffle; chunk uids are
@@ -1342,6 +1375,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_metadata": q_video_metadata,
         "video_frame_sample": q_video_frame_sample,
         "chunk_documents": q_chunk_documents,
+        "url_canonicalize": q_url_canonicalize,
+        "url_dedup": q_url_dedup,
         # --- never driver-checked in rounds 1-2: streaming / transformer e2e ---
         "dlq_resend": q_dlq_resend,
         "cesql_functions": q_cesql_functions,
@@ -1798,6 +1833,45 @@ def oracle_sql() -> dict[str, str]:
                      AS zero_cross_rate,
                    round(a.clip / a.n::DOUBLE, 6) AS clip_fraction
             FROM agg a LEFT JOIN zc USING (media_id)
+        """,
+        "url_canonicalize": """
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END)
+                   || '://'
+                   || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+                   || 'Example' || (doc_id % 5) || '.COM'
+                   || (CASE WHEN doc_id % 10 = 0 THEN ':443'
+                            WHEN doc_id % 10 = 5 THEN ':80' ELSE '' END)
+                   || '/docs/page' || (doc_id % 7)
+                   || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+                   || '?'
+                   || (CASE WHEN doc_id % 2 = 0
+                            THEN 'utm_source=feed&q=' || (doc_id % 3)
+                            ELSE 'q=' || (doc_id % 3) || '&utm_source=feed' END)
+                   || (CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END)
+                     AS url,
+                   (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
+                   || '://example' || (doc_id % 5) || '.com'
+                   || '/docs/page' || (doc_id % 7)
+                   || '?q=' || (doc_id % 3) AS canonical_url
+            FROM documents
+        """,
+        "url_dedup": """
+            WITH u AS (
+              SELECT doc_id, n_chars,
+                     (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
+                     || '://example' || (doc_id % 5) || '.com'
+                     || '/docs/page' || (doc_id % 7)
+                     || '?q=' || (doc_id % 3) AS canonical_url
+              FROM documents),
+            r AS (SELECT *,
+                         row_number() OVER (PARTITION BY canonical_url
+                                            ORDER BY n_chars DESC, doc_id)
+                           AS rn,
+                         count(*) OVER (PARTITION BY canonical_url) AS dup_count
+                  FROM u)
+            SELECT canonical_url, doc_id AS keep_id, n_chars, dup_count
+            FROM r WHERE rn = 1
         """,
         "chunk_documents": """
             WITH t AS (SELECT doc_id,

@@ -1,0 +1,51 @@
+"""URL canonicalization + URL-keyed dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vanus_spark.llm.urls import canonicalize_url, synthesize_messy_urls, url_dedup
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    return [r.c for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()]
+
+
+def test_canonicalize_rules(spark):
+    cases = {
+        "HTTP://WWW.Example.COM:80/a/b/": "http://example.com/a/b",
+        "https://example.com:443/x": "https://example.com/x",
+        "https://example.com:8443/x": "https://example.com:8443/x",  # non-default port kept
+        "http://example.com/p?utm_source=a&q=1&fbclid=zz#frag": "http://example.com/p?q=1",
+        "http://example.com/p?b=2&a=1": "http://example.com/p?a=1&b=2",  # sorted
+        "http://example.com.": "http://example.com",
+        "http://example.com/?utm_campaign=x": "http://example.com",
+        "  http://example.com/a  ": "http://example.com/a",
+        "not a url": "not a url",  # no scheme -> trimmed passthrough
+    }
+    got = _canon(spark, list(cases))
+    assert got == list(cases.values())
+
+
+def test_url_dedup_keeps_best_quality(spark):
+    rows = [
+        (1, "http://A.com/x?utm_source=s", 10),
+        (2, "http://a.com/x/", 99),
+        (3, "HTTP://www.a.com/x", 50),
+        (4, "http://b.com/y", 7),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url", "n_chars"])
+    out = {r.canonical_url: r for r in url_dedup(df, quality_col="n_chars").collect()}
+    assert out["http://a.com/x"].doc_id == 2  # highest quality wins
+    assert out["http://a.com/x"].dup_count == 3
+    assert out["http://b.com/y"].dup_count == 1
+
+
+def test_synthesized_urls_collide_after_canon(spark):
+    docs = spark.range(420).withColumnRenamed("id", "doc_id")
+    urls = synthesize_messy_urls(docs)
+    canon = urls.select(canonicalize_url(F.col("url")).alias("c"))
+    n_distinct = canon.distinct().count()
+    # residues cycle at lcm(2,5,7,3) = 210 -> exactly 210 canonical urls
+    assert n_distinct == 210
