@@ -1205,6 +1205,22 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-on-ingest: the documents corpus replayed as TWO
+    micro-batches (doc_id < 250, then >= 250) through DedupIngestLoop.
+    Batch 1 dedups within itself against empty state; batch 2 dedups
+    within itself, then against batch 1's accepted rows via the stored
+    signature table (exact digest anti-join + bands x stored-bands
+    candidates + Jaccard verify). Returns the final accepted corpus."""
+    from vanus_spark.streaming.dedup_ingest import DedupIngestLoop
+
+    docs = _t(spark, sf_dir, "documents")
+    loop = DedupIngestLoop(spark, threshold=0.8, num_hashes=16, bands=8)
+    loop.process_batch(docs.where(F.col("doc_id") < 250))
+    loop.process_batch(docs.where(F.col("doc_id") >= 250))
+    return loop.corpus.select("doc_id")
+
+
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization over deterministic messy URLs (mixed-case
     scheme/host, www, default ports, tracking params, unordered query,
@@ -1377,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "url_canonicalize": q_url_canonicalize,
         "url_dedup": q_url_dedup,
+        "dedup_incremental_stream": q_dedup_incremental_stream,
         # --- never driver-checked in rounds 1-2: streaming / transformer e2e ---
         "dlq_resend": q_dlq_resend,
         "cesql_functions": q_cesql_functions,
@@ -2215,6 +2232,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pack_sequences": _pack_sequences_oracle(),
         "dedup_incremental": _incremental_dedup_oracle(),
+        "dedup_incremental_stream": _incremental_stream_oracle(),
         "ordered_delivery": """
             SELECT event_id,
                    CASE WHEN event_type = 'error' THEN 'dead'
@@ -2330,6 +2348,68 @@ def _incremental_dedup_oracle(threshold: float = 0.8) -> str:
                 >= {threshold} * len(list_distinct(list_concat(a.sh, b.sh))))
         SELECT doc_id FROM fresh
         WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+    """
+
+
+def _incremental_stream_oracle(threshold: float = 0.8) -> str:
+    """SQL twin of q_dedup_incremental_stream: two replayed batches
+    (doc_id < 250, >= 250). Per batch: exact keep-min-id per digest,
+    then greedy LSH+Jaccard near-dup (drop id_b) WITHIN the batch;
+    batch 2 additionally anti-joins digests and LSH-verifies against
+    batch 1's survivors (the stored corpus). Buckets/shingles come
+    from the global CTE — band keys are per-doc, so restricting by
+    membership equals per-batch computation."""
+    jac = (
+        f"len(list_intersect(a.sh, b.sh)) >= {threshold} "
+        "* len(list_distinct(list_concat(a.sh, b.sh)))"
+    )
+    return f"""
+        WITH {_minhash_cte()},
+        dig AS (SELECT doc_id, md5(nt) AS content_hash FROM n),
+        e1 AS (SELECT min(doc_id) AS doc_id FROM dig
+               WHERE doc_id < 250 GROUP BY content_hash),
+        p1 AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+               FROM buckets l JOIN buckets r
+                 ON l.band = r.band AND l.band_key = r.band_key
+                    AND l.doc_id < r.doc_id
+               WHERE l.doc_id IN (SELECT doc_id FROM e1)
+                 AND r.doc_id IN (SELECT doc_id FROM e1)),
+        d1 AS (SELECT DISTINCT p.id_b AS doc_id FROM p1 p
+               JOIN sh a ON p.id_a = a.doc_id
+               JOIN sh b ON p.id_b = b.doc_id
+               WHERE {jac}),
+        s1 AS (SELECT doc_id FROM e1
+               WHERE doc_id NOT IN (SELECT doc_id FROM d1)),
+        e2 AS (SELECT min(doc_id) AS doc_id FROM dig
+               WHERE doc_id >= 250 GROUP BY content_hash),
+        p2 AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+               FROM buckets l JOIN buckets r
+                 ON l.band = r.band AND l.band_key = r.band_key
+                    AND l.doc_id < r.doc_id
+               WHERE l.doc_id IN (SELECT doc_id FROM e2)
+                 AND r.doc_id IN (SELECT doc_id FROM e2)),
+        d2 AS (SELECT DISTINCT p.id_b AS doc_id FROM p2 p
+               JOIN sh a ON p.id_a = a.doc_id
+               JOIN sh b ON p.id_b = b.doc_id
+               WHERE {jac}),
+        w2 AS (SELECT doc_id FROM e2
+               WHERE doc_id NOT IN (SELECT doc_id FROM d2)),
+        f2 AS (SELECT w.doc_id FROM w2 w JOIN dig g ON w.doc_id = g.doc_id
+               WHERE g.content_hash NOT IN
+                 (SELECT g1.content_hash FROM s1 JOIN dig g1
+                    ON s1.doc_id = g1.doc_id)),
+        c2 AS (SELECT DISTINCT l.doc_id AS new_id, r.doc_id AS corpus_id
+               FROM buckets l JOIN buckets r
+                 ON l.band = r.band AND l.band_key = r.band_key
+               WHERE l.doc_id IN (SELECT doc_id FROM f2)
+                 AND r.doc_id IN (SELECT doc_id FROM s1)),
+        x2 AS (SELECT DISTINCT c.new_id AS doc_id FROM c2 c
+               JOIN sh a ON c.new_id = a.doc_id
+               JOIN sh b ON c.corpus_id = b.doc_id
+               WHERE {jac}),
+        s2 AS (SELECT doc_id FROM f2
+               WHERE doc_id NOT IN (SELECT doc_id FROM x2))
+        SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2
     """
 
 

@@ -1,0 +1,80 @@
+"""Streaming dedup-on-ingest: within-batch + cross-batch rules,
+durable state resume, and a real two-micro-batch file stream."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vanus_spark.streaming.dedup_ingest import DedupIngestLoop
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and then runs far "
+    "away into the deep green forest to hide from every hunter"
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_within_and_cross_batch_rules(spark):
+    loop = DedupIngestLoop(spark, threshold=0.8)
+    b1 = _docs(
+        spark,
+        [
+            (1, BASE),
+            (2, BASE),  # exact dup of 1 (within batch)
+            (3, BASE + " extra"),  # near dup of 1 (within batch)
+            (4, "completely different text about spark query planning engines"),
+        ],
+    )
+    s1 = {r.doc_id for r in loop.process_batch(b1).collect()}
+    assert s1 == {1, 4}
+    b2 = _docs(
+        spark,
+        [
+            (10, BASE),  # exact dup of stored 1
+            (11, BASE + " tiny"),  # near dup of stored 1
+            (12, "fresh unrelated content mentioning adaptive execution runtime"),
+            (13, "fresh unrelated content mentioning adaptive execution runtime x"),
+            # 13 is a near dup of 12 WITHIN this batch
+        ],
+    )
+    s2 = {r.doc_id for r in loop.process_batch(b2).collect()}
+    assert s2 == {12}
+    assert {r.doc_id for r in loop.corpus.collect()} == {1, 4, 12}
+    assert loop.accepted_count == 3
+
+
+def test_state_dir_resume(spark, tmp_path):
+    state = str(tmp_path / "state")
+    loop = DedupIngestLoop(spark, state_dir=state)
+    loop.process_batch(_docs(spark, [(1, BASE)]))
+    # a FRESH loop restored from disk still rejects dups of batch 1
+    loop2 = DedupIngestLoop(spark, state_dir=state)
+    out = loop2.process_batch(_docs(spark, [(2, BASE), (3, "novel words entirely")]))
+    assert {r.doc_id for r in out.collect()} == {3}
+    assert {r.doc_id for r in loop2.corpus.collect()} == {1, 3}
+
+
+def test_run_stream_two_file_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _docs(spark, [(1, BASE), (2, "alpha beta gamma delta epsilon zeta")]).coalesce(
+        1
+    ).write.parquet(src)
+    _docs(spark, [(3, BASE), (4, "unrelated novel content here")]).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    loop = DedupIngestLoop(spark)
+    schema = "doc_id long, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = loop.run_stream(stream, str(tmp_path / "ckpt"), str(tmp_path / "out"))
+    q.processAllAvailable()
+    q.stop()
+    accepted = {r.doc_id for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    # 3 is an exact dup of 1 -> rejected whichever batch order ran
+    assert accepted == {1, 2, 4}

@@ -520,6 +520,17 @@ def incremental_dedup(
         )
         .distinct()
     )
+    # Jaccard verify needs corpus shingles only for CANDIDATE corpus
+    # docs — semi-join before shingling so a 100 TB corpus is never
+    # re-shingled per batch (unless a persisted shingle table was
+    # handed in, which is already cheap to probe).
+    if corpus_sh_df is None:
+        cand_corpus = corpus_docs.join(
+            cands.select(F.col("corpus_id").alias(id_col)).distinct(),
+            id_col,
+            "left_semi",
+        )
+        corpus_sh = shingles_df(cand_corpus, text_col, id_col, shingle_n)
     a, b = new_sh.alias("a"), corpus_sh.alias("b")
     dup_ids = (
         cands.join(a, cands.new_id == F.col(f"a.{id_col}"))

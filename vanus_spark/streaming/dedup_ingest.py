@@ -1,0 +1,160 @@
+"""Dedup-on-ingest: the streaming form of the corpus dedup pipeline.
+
+Each micro-batch of documents is deduplicated (a) within itself —
+exact digest + MinHash-LSH near-dup, the same rules as
+``llm.pipeline.corpus_clean`` — and (b) against everything already
+accepted, via ``llm.dedup.incremental_dedup`` probing the loop's
+STORED state: the accepted corpus and its signature table. Accepted
+rows and their signatures append to the state, so batch N+1 never
+re-hashes the corpus (reference has no counterpart — this is the
+ingest-time composition of the engine's LLM-pipeline surface, wired
+like ``DeliveryLoop``: a pure function of (batch, state), replayable
+with deterministic batches, attachable to a real stream via
+foreachBatch + checkpoint).
+
+At 100 TB: state lives as parquet/Delta tables keyed by doc id
+(``state_dir``); the per-batch cost is hash(batch) + two key joins
+against stored state. In-memory localCheckpoint otherwise (tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from vanus_spark.llm.dedup import (
+    exact_dedup_rows,
+    incremental_dedup,
+    minhash_signatures_df,
+    near_dup_pairs,
+)
+
+
+class DedupIngestLoop:
+    """Per-stream incremental dedup with stored corpus/signature state."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        threshold: float = 0.8,
+        num_hashes: int = 16,
+        bands: int = 8,
+        shingle_n: int = 3,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        state_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.threshold = threshold
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.shingle_n = shingle_n
+        self.text_col = text_col
+        self.id_col = id_col
+        self.state_dir = state_dir
+        self.corpus: DataFrame | None = None
+        self.sig: DataFrame | None = None
+        self.accepted_count = 0
+        if state_dir:
+            self._restore_state()
+
+    # ----- durable state ---------------------------------------------------
+
+    def _restore_state(self) -> None:
+        import os
+
+        cdir = f"{self.state_dir}/corpus"
+        if os.path.isdir(cdir) and any(
+            f.endswith(".parquet") for f in os.listdir(cdir)
+        ):
+            self.corpus = self.spark.read.parquet(cdir)
+            self.sig = self.spark.read.parquet(f"{self.state_dir}/sig")
+
+    def _append_state(self, survivors: DataFrame, new_sig: DataFrame) -> None:
+        if self.state_dir:
+            survivors.write.mode("append").parquet(f"{self.state_dir}/corpus")
+            new_sig.write.mode("append").parquet(f"{self.state_dir}/sig")
+            self.corpus = self.spark.read.parquet(f"{self.state_dir}/corpus")
+            self.sig = self.spark.read.parquet(f"{self.state_dir}/sig")
+        else:
+            grown_c = (
+                survivors
+                if self.corpus is None
+                else self.corpus.unionByName(survivors)
+            )
+            grown_s = (
+                new_sig if self.sig is None else self.sig.unionByName(new_sig)
+            )
+            self.corpus = grown_c.localCheckpoint(eager=True)
+            self.sig = grown_s.localCheckpoint(eager=True)
+
+    # ----- one tick --------------------------------------------------------
+
+    def process_batch(self, batch_df: DataFrame) -> DataFrame:
+        """Returns the batch's accepted (deduplicated) rows, after
+        appending them + their signatures to the stored state.
+
+        Within-batch: exact digest keep-lowest-id, then greedy LSH
+        near-dup (drop the higher id of every Jaccard >= t pair) —
+        identical rules to corpus_clean. Cross-batch: exact digest
+        anti-join + new-bands x stored-bands candidates, Jaccard
+        verified, via incremental_dedup probing the stored signature
+        table."""
+        uniq = exact_dedup_rows(batch_df, self.text_col, self.id_col)
+        pairs = near_dup_pairs(
+            uniq,
+            self.threshold,
+            self.text_col,
+            self.id_col,
+            self.num_hashes,
+            self.bands,
+            self.shingle_n,
+        )
+        drops = pairs.select(F.col("id_b").alias(self.id_col)).distinct()
+        within = uniq.join(drops, self.id_col, "left_anti")
+        if self.corpus is None:
+            survivors = within
+        else:
+            survivors = incremental_dedup(
+                within,
+                self.corpus,
+                self.threshold,
+                self.text_col,
+                self.id_col,
+                self.num_hashes,
+                self.bands,
+                self.shingle_n,
+                corpus_sig_df=self.sig,
+            )
+        survivors = survivors.localCheckpoint(eager=True)
+        new_sig = minhash_signatures_df(
+            survivors, self.text_col, self.id_col, self.num_hashes, self.shingle_n
+        )
+        self._append_state(survivors, new_sig)
+        self.accepted_count += survivors.count()
+        return survivors
+
+    # ----- Structured Streaming wiring -------------------------------------
+
+    def run_stream(
+        self,
+        stream_df: DataFrame,
+        checkpoint_dir: str,
+        output_dir: str,
+        **trigger_kwargs,
+    ):
+        """Attach to a document stream via foreachBatch: each
+        micro-batch's accepted rows append to ``output_dir``; offsets
+        come from the checkpoint, so a restarted stream resumes
+        without re-offering delivered batches (and the digest
+        anti-join makes a replayed batch a no-op anyway — the dedup
+        state IS the idempotency guard)."""
+
+        def on_batch(batch_df: DataFrame, epoch_id: int):
+            self.process_batch(batch_df).write.mode("append").parquet(output_dir)
+
+        return (
+            stream_df.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(**(trigger_kwargs or {"availableNow": True}))
+            .start()
+        )
