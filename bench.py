@@ -51,6 +51,14 @@ HEADLINE = [
     "text_stats",
     "text_langid",
     "similarity_topk",
+    "quality_gopher",
+    "quality_top_ngram",
+    "quality_line_dedup",
+    "chunk_documents",
+    "url_dedup",
+    "audio_decode",
+    "video_frame_sample",
+    "dedup_incremental_stream",
 ]
 
 
