@@ -21,6 +21,8 @@ import random
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from vanus_spark.llm.dedup import bound
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -53,18 +55,26 @@ def cosine_topk(
     per partition with no shuffle until the final per-query top-k
     window (rows = #queries × k after the filter, tiny).
     """
+    # norms are per-VECTOR, so compute them per side before the join:
+    # #queries + #corpus norm evaluations instead of #queries × #corpus
+    # (the cosine value is unchanged — same expressions, staged)
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+        l2_norm(F.col(vec_col).cast("array<double>")).alias("q_norm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+        l2_norm(F.col(vec_col).cast("array<double>")).alias("c_norm"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec").cast("array<double>"), F.col("c_vec").cast("array<double>")).alias("cosine"),
+            (dot(F.col("q_vec"), F.col("c_vec"))
+             / (F.col("q_norm") * F.col("c_norm"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -86,15 +96,21 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
 
 def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit signature: bit i = (vec · plane_i) >= 0. Emitted as a
-    bit string so it works as a plain join key."""
-    bits = [
-        F.when(
-            dot(vec.cast("array<double>"), F.array(*[F.lit(p) for p in plane])) >= 0,
-            F.lit("1"),
-        ).otherwise(F.lit("0"))
-        for plane in planes
-    ]
-    return F.concat(*bits)
+    bit string so it works as a plain join key. The casted vector is
+    lambda-bound (see dedup.bound) so the O(dim) cast runs once per
+    row, not once per plane."""
+
+    def bits(v: Column) -> Column:
+        return F.concat(
+            *[
+                F.when(
+                    dot(v, F.array(*[F.lit(p) for p in plane])) >= 0, F.lit("1")
+                ).otherwise(F.lit("0"))
+                for plane in planes
+            ]
+        )
+
+    return bound(vec.cast("array<double>"), bits)
 
 
 def lsh_ann(
@@ -114,12 +130,14 @@ def lsh_ann(
     planes = random_hyperplanes(dim, n_planes, seed)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+        l2_norm(F.col(vec_col).cast("array<double>")).alias("c_norm"),
         lsh_signature(F.col(vec_col), planes).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+        l2_norm(F.col(vec_col).cast("array<double>")).alias("q_norm"),
         lsh_signature(F.col(vec_col), planes).alias("bucket"),
     )
     scored = (
@@ -128,7 +146,8 @@ def lsh_ann(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec").cast("array<double>"), F.col("c_vec").cast("array<double>")).alias("cosine"),
+            (dot(F.col("q_vec"), F.col("c_vec"))
+             / (F.col("q_norm") * F.col("c_norm"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -150,17 +169,23 @@ def _sq_dist(vec: Column, centroid: list[float], vec_dot: Column) -> Column:
 
 def _nearest_clusters(vec: Column, centroids: list[list[float]], n: int) -> Column:
     """Array of the n nearest centroid indices (ties -> lower index),
-    via array_sort over (distance, index) structs — pure Columns."""
-    vv = dot(vec, vec)
-    ds = F.array(
-        *[
-            F.named_struct(
-                F.lit("d"), _sq_dist(vec, c, vv), F.lit("c"), F.lit(i)
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
-    return F.slice(F.array_sort(ds), 1, n).getField("c")
+    via array_sort over (distance, index) structs — pure Columns. The
+    vector is lambda-bound (see dedup.bound) so its cast/derivation
+    runs once per row, not once per centroid."""
+
+    def inner(v: Column) -> Column:
+        vv = dot(v, v)
+        ds = F.array(
+            *[
+                F.named_struct(
+                    F.lit("d"), _sq_dist(v, c, vv), F.lit("c"), F.lit(i)
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+        return F.slice(F.array_sort(ds), 1, n).getField("c")
+
+    return bound(vec, inner)
 
 
 def kmeans_centroids(
@@ -193,9 +218,17 @@ def kmeans_centroids(
     # centroids driver-side
     centroids = [[float(x) for x in r.v] for r in seed_rows]
     for _ in range(iters):
-        assigned = corpus.select(
+        # stage the assignment BEFORE the explode: a generator select
+        # evaluates its other expressions once per OUTPUT row, so an
+        # inline cluster expression would re-run the whole
+        # nearest-centroid chain dim times per vector (measured 4x
+        # slower at sf0.1)
+        staged = corpus.select(
             _nearest_clusters(vec, centroids, 1)[0].alias("cluster"),
-            F.posexplode(vec).alias("pos", "val"),
+            vec.alias("_v"),
+        )
+        assigned = staged.select(
+            "cluster", F.posexplode("_v").alias("pos", "val")
         )
         means = (
             assigned.groupBy("cluster", "pos")
@@ -235,12 +268,14 @@ def ivf_ann(
     cvec = F.col(vec_col).cast("array<double>")
     inverted = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
+        cvec.alias("c_vec"),
+        l2_norm(cvec).alias("c_norm"),
         _nearest_clusters(cvec, centroids, 1)[0].alias("cluster"),
     )
     probes = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
+        cvec.alias("q_vec"),
+        l2_norm(cvec).alias("q_norm"),
         F.explode(_nearest_clusters(cvec, centroids, n_probe)).alias("cluster"),
     )
     scored = (
@@ -249,10 +284,8 @@ def ivf_ann(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(
-                F.col("q_vec").cast("array<double>"),
-                F.col("c_vec").cast("array<double>"),
-            ).alias("cosine"),
+            (dot(F.col("q_vec"), F.col("c_vec"))
+             / (F.col("q_norm") * F.col("c_norm"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -276,7 +309,8 @@ def embedding_near_dup(
     planes = random_hyperplanes(dim, n_planes, seed)
     signed = corpus.select(
         F.col(id_col),
-        F.col(vec_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        l2_norm(F.col(vec_col).cast("array<double>")).alias("_norm"),
         lsh_signature(F.col(vec_col), planes).alias("bucket"),
     )
     a, b = signed.alias("a"), signed.alias("b")
@@ -289,10 +323,8 @@ def embedding_near_dup(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            cosine(
-                F.col(f"a.{vec_col}").cast("array<double>"),
-                F.col(f"b.{vec_col}").cast("array<double>"),
-            ).alias("cosine"),
+            (dot(F.col("a._v"), F.col("b._v"))
+             / (F.col("a._norm") * F.col("b._norm"))).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )

@@ -99,7 +99,13 @@ class DedupIngestLoop:
         anti-join + new-bands x stored-bands candidates, Jaccard
         verified, via incremental_dedup probing the stored signature
         table."""
-        uniq = exact_dedup_rows(batch_df, self.text_col, self.id_col)
+        # a micro-batch is referenced many times downstream (signature
+        # chain, bucket self-join both sides, Jaccard both sides) —
+        # materialize the exact-dedup survivors once instead of
+        # re-deriving the groupBy+semi-join per reference
+        uniq = exact_dedup_rows(batch_df, self.text_col, self.id_col).localCheckpoint(
+            eager=False
+        )
         pairs = near_dup_pairs(
             uniq,
             self.threshold,
@@ -110,7 +116,9 @@ class DedupIngestLoop:
             self.shingle_n,
         )
         drops = pairs.select(F.col("id_b").alias(self.id_col)).distinct()
-        within = uniq.join(drops, self.id_col, "left_anti")
+        within = uniq.join(drops, self.id_col, "left_anti").localCheckpoint(
+            eager=False
+        )
         if self.corpus is None:
             survivors = within
         else:
