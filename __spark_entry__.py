@@ -1205,6 +1205,18 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph (iterative
+    min-label propagation, one shuffle per round, converges in
+    O(component diameter)); the oracle is a DuckDB recursive CTE
+    computing the exact transitive closure."""
+    from vanus_spark.llm.dedup import duplicate_components, near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(docs, threshold=0.8, num_hashes=16, bands=8)
+    return duplicate_components(pairs)
+
+
 def q_dedup_incremental_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-on-ingest: the documents corpus replayed as TWO
     micro-batches (doc_id < 250, then >= 250) through DedupIngestLoop.
@@ -1394,6 +1406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "url_dedup": q_url_dedup,
         "dedup_incremental_stream": q_dedup_incremental_stream,
+        "dedup_components": q_dedup_components,
         # --- never driver-checked in rounds 1-2: streaming / transformer e2e ---
         "dlq_resend": q_dlq_resend,
         "cesql_functions": q_cesql_functions,
@@ -2233,6 +2246,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _pack_sequences_oracle(),
         "dedup_incremental": _incremental_dedup_oracle(),
         "dedup_incremental_stream": _incremental_stream_oracle(),
+        "dedup_components": _components_oracle(),
         "ordered_delivery": """
             SELECT event_id,
                    CASE WHEN event_type = 'error' THEN 'dead'
@@ -2348,6 +2362,36 @@ def _incremental_dedup_oracle(threshold: float = 0.8) -> str:
                 >= {threshold} * len(list_distinct(list_concat(a.sh, b.sh))))
         SELECT doc_id FROM fresh
         WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+    """
+
+
+def _components_oracle(threshold: float = 0.8) -> str:
+    """SQL twin of q_dedup_components: the same LSH+Jaccard pair graph,
+    then EXACT connected components via a recursive CTE (transitive
+    closure -> min reachable node per node)."""
+    return f"""
+        WITH RECURSIVE {_minhash_cte()},
+        pairs AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM buckets l JOIN buckets r
+            ON l.band = r.band AND l.band_key = r.band_key
+               AND l.doc_id < r.doc_id),
+        nd AS (
+          SELECT p.id_a, p.id_b FROM pairs p
+          JOIN sh a ON p.id_a = a.doc_id
+          JOIN sh b ON p.id_b = b.doc_id
+          WHERE len(list_intersect(a.sh, b.sh))
+                >= {threshold} * len(list_distinct(list_concat(a.sh, b.sh)))),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM nd
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM nd),
+        walk(node, label) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.node)
+        SELECT node AS doc_id, min(label) AS component
+        FROM walk GROUP BY node
     """
 
 

@@ -356,3 +356,24 @@ def test_synthesize_ppm_images_decode(spark, docs):
         assert r.width == 4 + r.media_id % 8
         assert r.height == 3 + r.media_id % 5
         assert len(r.features) == 8
+
+
+def test_duplicate_components_transitive(spark):
+    from vanus_spark.llm.dedup import duplicate_components
+
+    # path graph 1-2-3-4 (diameter 3, needs >1 round) + separate pair
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    out = {r.doc_id: r.component for r in duplicate_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_duplicate_components_beats_greedy(spark):
+    from vanus_spark.llm.dedup import duplicate_components
+
+    # greedy drop-id_b on pairs (5,6),(6,7) drops {6,7}; components
+    # cluster all three together under representative 5
+    pairs = spark.createDataFrame([(5, 6), (6, 7)], ["id_a", "id_b"])
+    out = {r.doc_id: r.component for r in duplicate_components(pairs).collect()}
+    assert out == {5: 5, 6: 5, 7: 5}

@@ -576,3 +576,78 @@ def near_dup_pairs(
     return ngram_jaccard_pairs(
         docs, cands, text_col, id_col, shingle_n, shingle_df=sh
     ).where(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# connected-component duplicate clustering
+# ---------------------------------------------------------------------------
+
+def duplicate_components(
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over a duplicate-pair graph: every doc in
+    a component keeps the component's min id as its cluster
+    representative — the exact clustering the greedy drop-the-higher-
+    id rule approximates (greedy can over-drop when a<b, b<c pairs
+    exist but a,c were never compared; components never do).
+
+    Algorithm: iterative min-label propagation over the undirected
+    edge set (the DataFrame form of label propagation / small-star):
+    each round every node adopts the smallest label among itself and
+    its neighbors; converges in O(component diameter) rounds — for
+    dedup graphs (near-clique clusters of boilerplate) that is 2-3
+    rounds, never the pathological chain. Each round is one shuffle
+    on the node id (partial-agg min); the driver only checks the
+    per-round convergence flag (a 1-row aggregate), bounded by
+    ``max_iters``.
+
+    Input: (id_a, id_b) pairs. Output: (doc_id, component) for every
+    node that appears in a pair (isolated docs are their own trivial
+    component and are not emitted).
+    """
+    edges = pairs.select(
+        F.col("id_a").cast("long").alias("src"),
+        F.col("id_b").cast("long").alias("dst"),
+    )
+    # undirected: both directions + self-loop seeds the label
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    sym = sym.localCheckpoint(eager=False)
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("component")
+    )
