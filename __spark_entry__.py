@@ -1205,6 +1205,24 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained unigram LM scoring (perplexity-proxy corpus
+    filter): corpus-wide token counts, then each document's mean token
+    probability and mean ln p(token). Two partial-agg shuffles + one
+    token join."""
+    from vanus_spark.llm.qualityrules import unigram_score
+
+    docs = _t(spark, sf_dir, "documents")
+    out = unigram_score(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "oov_count",
+        F.round("avg_tok_prob", 9).alias("avg_tok_prob"),
+        F.round("avg_logprob", 6).alias("avg_logprob"),
+    )
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the near-dup pair graph (iterative
     min-label propagation, one shuffle per round, converges in
@@ -1407,6 +1425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "dedup_incremental_stream": q_dedup_incremental_stream,
         "dedup_components": q_dedup_components,
+        "quality_unigram": q_quality_unigram,
         # --- never driver-checked in rounds 1-2: streaming / transformer e2e ---
         "dlq_resend": q_dlq_resend,
         "cesql_functions": q_cesql_functions,
@@ -1954,6 +1973,21 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(u)::DOUBLE / count(*), 6) AS u_mean,
                    round(sum(v)::DOUBLE / count(*), 6) AS v_mean
             FROM px GROUP BY media_id, f
+        """,
+        "quality_unigram": f"""
+            WITH tk AS (SELECT doc_id, unnest(str_split({norm_text}, ' ')) AS tok
+                        FROM documents),
+            vocab AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+            tot AS (SELECT sum(c) AS t FROM vocab)
+            SELECT doc_id,
+                   count(*)::BIGINT AS n_tokens,
+                   0::BIGINT AS oov_count,
+                   round(sum(v.c)::DOUBLE / (count(*) * any_value(tot.t)), 9)
+                     AS avg_tok_prob,
+                   round(avg(ln(v.c::DOUBLE)) - ln(any_value(tot.t)::DOUBLE), 6)
+                     AS avg_logprob
+            FROM tk JOIN vocab v USING (tok) CROSS JOIN tot
+            GROUP BY doc_id
         """,
         "quality_gopher": f"""
             WITH base AS (

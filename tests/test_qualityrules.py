@@ -78,3 +78,32 @@ def test_word_ngrams_single_word(spark):
         .collect()[0]
     )
     assert row.g == ["solo"]
+
+
+def test_unigram_score_self_trained(spark):
+    import math
+
+    from vanus_spark.llm.qualityrules import unigram_score
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b"), (3, "c")], ["doc_id", "text"]
+    )
+    # corpus counts: a=3, b=2, c=1, total=6
+    out = {r.doc_id: r for r in unigram_score(docs).collect()}
+    assert out[1].n_tokens == 3 and out[1].oov_count == 0
+    assert abs(out[1].avg_tok_prob - (3 + 3 + 2) / (3 * 6)) < 1e-12
+    expected_lp = (2 * math.log(3 / 6) + math.log(2 / 6)) / 3
+    assert abs(out[1].avg_logprob - expected_lp) < 1e-12
+    assert abs(out[3].avg_tok_prob - 1 / 6) < 1e-12
+
+
+def test_unigram_score_stored_model_oov(spark):
+    from vanus_spark.llm.qualityrules import unigram_model, unigram_score
+
+    train = spark.createDataFrame([(1, "a a b")], ["doc_id", "text"])
+    model = unigram_model(train)
+    new = spark.createDataFrame([(9, "a z z")], ["doc_id", "text"])
+    row = unigram_score(new, model_df=model).collect()[0]
+    # z is OOV: counted, probability contributes 0, logprob floors at 1
+    assert row.oov_count == 2
+    assert abs(row.avg_tok_prob - 2 / (3 * 3)) < 1e-12

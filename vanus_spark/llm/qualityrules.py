@@ -206,3 +206,65 @@ def line_dedup(
         ).alias("boilerplate_fraction"),
         "clean_text",
     )
+
+
+# ---------------------------------------------------------------------------
+# unigram language-model scoring (perplexity-proxy quality filter)
+# ---------------------------------------------------------------------------
+
+def unigram_model(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(tok, tok_count): corpus-wide unigram counts — the trainable
+    half of a perplexity-style quality filter. One explode + one
+    partial-agg groupBy (shuffle ~#distinct tokens); at 100 TB this
+    is a stored model table, re-trained per corpus snapshot."""
+    toks = docs.select(F.explode(_words(F.col(text_col))).alias("tok"))
+    return toks.groupBy("tok").agg(F.count("*").alias("tok_count"))
+
+
+def unigram_score(
+    docs: DataFrame,
+    model_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document unigram LM scores against ``model_df`` (trained on
+    ``docs`` itself when omitted — the classic self-perplexity corpus
+    filter; unusually-worded documents score low):
+
+    - ``avg_tok_prob``: mean corpus probability of the doc's tokens
+      (integer-sum derived — engine-exact)
+    - ``avg_logprob``: mean ln p(token) — the log-perplexity proxy
+    - ``oov_count``: tokens absent from the model (0 when self-trained)
+
+    Shape: explode -> shuffle join tokens to the model (AQE handles
+    the head-word skew) -> per-doc partial agg. The 1-row total
+    broadcasts; nothing else leaves its key partitioning."""
+    vocab = model_df if model_df is not None else unigram_model(docs, text_col, id_col)
+    total = vocab.agg(F.sum("tok_count").alias("_total"))
+    toks = docs.select(F.col(id_col), F.explode(_words(F.col(text_col))).alias("tok"))
+    joined = toks.join(vocab, "tok", "left").crossJoin(F.broadcast(total))
+    n = F.count("*")
+    return joined.groupBy(id_col).agg(
+        n.cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("tok_count").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("oov_count"),
+        (
+            F.sum(F.coalesce(F.col("tok_count"), F.lit(0))).cast("double")
+            / (n * F.first("_total"))
+        ).alias("avg_tok_prob"),
+        # avg(ln(c/T)) = avg(ln(c)) - ln(T): T is constant, and Spark
+        # rejects first(T) nested inside avg()
+        (
+            F.avg(
+                F.log(
+                    F.greatest(
+                        F.coalesce(F.col("tok_count"), F.lit(0)), F.lit(1)
+                    ).cast("double")
+                )
+            )
+            - F.log(F.first("_total").cast("double"))
+        ).alias("avg_logprob"),
+    )
