@@ -1205,6 +1205,17 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dup pairs via content-defined anchor windows
+    (winnowing-style): 40-char windows anchored where an 8-char seed
+    hash is 0 mod 4; pairs share at least one exact window. The join
+    key is the window STRING itself — exact by construction."""
+    from vanus_spark.llm.dedup import substring_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return substring_dup_pairs(docs, min_len=40, seed_len=8, anchor_mod=4)
+
+
 def q_quality_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-trained unigram LM scoring (perplexity-proxy corpus
     filter): corpus-wide token counts, then each document's mean token
@@ -1426,6 +1437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_stream": q_dedup_incremental_stream,
         "dedup_components": q_dedup_components,
         "quality_unigram": q_quality_unigram,
+        "dedup_substring": q_dedup_substring,
         # --- never driver-checked in rounds 1-2: streaming / transformer e2e ---
         "dlq_resend": q_dlq_resend,
         "cesql_functions": q_cesql_functions,
@@ -1973,6 +1985,28 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(u)::DOUBLE / count(*), 6) AS u_mean,
                    round(sum(v)::DOUBLE / count(*), 6) AS v_mean
             FROM px GROUP BY media_id, f
+        """,
+        "dedup_substring": f"""
+            WITH n AS (SELECT doc_id, {norm_text} AS nt FROM documents),
+            wins AS (
+              SELECT DISTINCT doc_id, win FROM (
+                SELECT doc_id,
+                       unnest(list_filter(
+                         list_transform(
+                           range(0, greatest(length(nt) - 40, 0) + 1),
+                           i -> CASE
+                             WHEN i + 40 <= length(nt)
+                              AND ('0x' || substr(md5('0|' ||
+                                    substr(nt, (i + 1)::INT, 8)), 1, 15))::BIGINT
+                                  % 4 = 0
+                             THEN substr(nt, (i + 1)::INT, 40) END),
+                         x -> x IS NOT NULL)) AS win
+                FROM n))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*)::BIGINT AS n_shared_windows
+            FROM wins a JOIN wins b
+              ON a.win = b.win AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
         """,
         "quality_unigram": f"""
             WITH tk AS (SELECT doc_id, unnest(str_split({norm_text}, ' ')) AS tok

@@ -377,3 +377,36 @@ def test_duplicate_components_beats_greedy(spark):
     pairs = spark.createDataFrame([(5, 6), (6, 7)], ["id_a", "id_b"])
     out = {r.doc_id: r.component for r in duplicate_components(pairs).collect()}
     assert out == {5: 5, 6: 5, 7: 5}
+
+
+def test_substring_dup_pairs_offset_independent(spark):
+    from vanus_spark.llm.dedup import substring_dup_pairs
+
+    shared = "this exact sentence is copied verbatim between two documents here"
+    docs = spark.createDataFrame(
+        [
+            (1, "unique prefix alpha beta. " + shared),
+            (2, shared + " totally different suffix text follows now"),
+            (3, "no overlap with anything else whatsoever in this corpus entry"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = substring_dup_pairs(docs, min_len=40, seed_len=8, anchor_mod=2).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    # the shared span sits at DIFFERENT offsets in 1 and 2 — content-
+    # defined anchors still align inside it
+    assert (1, 2) in found
+    assert all(3 not in p for p in found)
+
+
+def test_substring_windows_short_doc_empty(spark):
+    from pyspark.sql import functions as F
+
+    from vanus_spark.llm.dedup import substring_windows
+
+    row = (
+        spark.createDataFrame([("short text",)], ["text"])
+        .select(substring_windows(F.col("text"), 40).alias("w"))
+        .collect()[0]
+    )
+    assert row.w == []

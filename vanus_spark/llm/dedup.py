@@ -651,3 +651,83 @@ def duplicate_components(
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("component")
     )
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup (content-defined anchor fingerprinting)
+# ---------------------------------------------------------------------------
+
+def substring_windows(
+    c: Column, min_len: int = 40, seed_len: int = 8, anchor_mod: int = 8
+) -> Column:
+    """Array of ``min_len``-char windows of the normalized text taken
+    at CONTENT-DEFINED anchor positions: position i anchors iff the
+    md5 of its ``seed_len``-char prefix is 0 mod ``anchor_mod`` (the
+    winnowing/rsync trick). Because anchoring depends only on local
+    content, two documents sharing a long substring produce IDENTICAL
+    windows inside the shared region regardless of offset — fixed-
+    stride sampling would miss unaligned copies. Expected density is
+    one window per ``anchor_mod`` positions; a shared span of length
+    L >= min_len is detected with probability
+    1 - (1 - 1/anchor_mod)^(L - min_len + 1)."""
+    nt = normalize_text(c)
+    return bound(
+        nt,
+        lambda t: F.filter(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.greatest(F.length(t) - F.lit(min_len), F.lit(0))
+                ),
+                lambda i: F.when(
+                    (i + F.lit(min_len) <= F.length(t))
+                    & (
+                        md5_long(F.substr(t, i + 1, F.lit(seed_len)))
+                        % F.lit(anchor_mod)
+                        == 0
+                    ),
+                    F.substr(t, i + 1, F.lit(min_len)),
+                ),
+            ),
+            lambda w: w.isNotNull(),
+        ),
+    )
+
+
+def substring_dup_pairs(
+    docs: DataFrame,
+    min_len: int = 40,
+    seed_len: int = 8,
+    anchor_mod: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_a, id_b, n_shared_windows): document pairs sharing at least
+    one exact ``min_len``-char substring window at content-defined
+    anchors — the scalable approximation of suffix-array exact-
+    substring dedup (which needs a global sort at 100 TB; this needs
+    one groupBy-free explode and one equi-join on the window string,
+    with join keys exact by construction — no hash-collision verify
+    step). AQE's skew handling covers hot windows (boilerplate); the
+    anchor density knob bounds explode volume."""
+    docs = repartition_for_compute(docs, id_col)
+    wins = (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                substring_windows(F.col(text_col), min_len, seed_len, anchor_mod)
+            ).alias("win"),
+        )
+        .distinct()
+    )
+    a, b = wins.alias("a"), wins.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.win") == F.col("b.win"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_shared_windows"))
+    )
