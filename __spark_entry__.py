@@ -1350,6 +1350,53 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization of the embedding corpus: per-dimension
+    min/max model (bounded driver collect, like the k-means model),
+    then codes + reconstruction MSE as a pure-Column projection. The
+    mse fold is left-to-right on both engines, so floats match
+    exactly; codes serialize via to_json (canon-friendly)."""
+    from vanus_spark.llm.similarity import quantize_embeddings_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = quantize_embeddings_int8(emb)
+    return out.select(
+        "vec_id",
+        F.to_json("codes").alias("codes_json"),
+        F.round("mse", 10).alias("mse"),
+    )
+
+
+def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal composition, all REAL codecs end-to-end: pure-Column
+    y4m synthesis -> FRAME-walking parser samples every 2nd frame and
+    re-encodes the luma plane as PGM -> the image codec decodes those
+    PGM bytes -> channel statistics. The oracle recomputes the stats
+    from the generating formula (integer sums + sqrt: engine-exact)."""
+    from vanus_spark.llm.multimodal import decode_images
+    from vanus_spark.llm.video import sample_video_frames, synthesize_y4m_video
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    frames = sample_video_frames(
+        synthesize_y4m_video(docs), every_n=2, decode_stub=False
+    )
+    # frame rows become image rows: (media_id*100+frame_index, pgm bytes)
+    imgs = frames.select(
+        (F.col("media_id") * 100 + F.col("frame_index")).alias("media_id"),
+        F.col("frame_pgm").alias("content"),
+    )
+    dec = decode_images(imgs, decode_stub=False)
+    f = F.col("features")
+    return dec.select(
+        "media_id",
+        "width",
+        "height",
+        F.round(f[0], 6).alias("mean_r"),
+        f[6].cast("long").alias("min_gray"),
+        f[7].cast("long").alias("max_gray"),
+    )
+
+
 def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/MassiveText-style structural quality flags per document
     (word counts, symbol/alpha ratios, bullet/ellipsis/duplicate
@@ -1438,6 +1485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "quality_unigram": q_quality_unigram,
         "dedup_substring": q_dedup_substring,
+        "multimodal_pipeline": q_multimodal_pipeline,
+        "embedding_quantize": q_embedding_quantize,
         # --- never driver-checked in rounds 1-2: streaming / transformer e2e ---
         "dlq_resend": q_dlq_resend,
         "cesql_functions": q_cesql_functions,
@@ -1985,6 +2034,51 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(u)::DOUBLE / count(*), 6) AS u_mean,
                    round(sum(v)::DOUBLE / count(*), 6) AS v_mean
             FROM px GROUP BY media_id, f
+        """,
+        "embedding_quantize": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            d0 AS (SELECT unnest(list_transform(v,
+                     (x, i) -> struct_pack(x := x, pos := i))) AS s FROM e),
+            d AS (SELECT s.pos AS pos, min(s.x) AS lo, max(s.x) AS hi
+                  FROM d0 GROUP BY s.pos),
+            m AS (SELECT list(lo ORDER BY pos) AS los,
+                         list(hi - lo ORDER BY pos) AS rngs FROM d),
+            coded AS (
+              SELECT vec_id, v, los, rngs,
+                     list_transform(v, (x, i) ->
+                       least(greatest(
+                         CASE WHEN rngs[i] = 0 THEN 0.0
+                              ELSE round((x - los[i]) * 255.0 / rngs[i], 0) END,
+                         0.0), 255.0)::INT) AS codes
+              FROM e, m),
+            diffs AS (
+              SELECT vec_id, codes,
+                     list_transform(v, (x, i) ->
+                       x - (los[i] + list_extract(codes, i) * rngs[i] / 255.0))
+                       AS dv
+              FROM coded)
+            SELECT vec_id,
+                   to_json(codes) AS codes_json,
+                   round(list_reduce(list_transform(dv, y -> y * y),
+                                     (a, b) -> a + b) / len(dv), 10) AS mse
+            FROM diffs
+        """,
+        "multimodal_pipeline": """
+            WITH m AS (SELECT doc_id AS vid,
+                              (8 + (doc_id % 3) * 4)::BIGINT AS w,
+                              (6 + (doc_id % 3) * 2)::BIGINT AS h,
+                              (2 + doc_id % 4)::BIGINT AS nf
+                       FROM documents WHERE doc_id < 60),
+            fr AS (SELECT vid, w, h, f
+                   FROM m, unnest(range(0, nf)) AS t(f) WHERE f % 2 = 0),
+            px AS (SELECT vid, w, h, f, (vid + f * 7 + p) % 256 AS y
+                   FROM fr, unnest(range(0, w * h)) AS t(p))
+            SELECT (vid * 100 + f)::BIGINT AS media_id,
+                   any_value(w)::INT AS width, any_value(h)::INT AS height,
+                   round(sum(y)::DOUBLE / count(*), 6) AS mean_r,
+                   min(y)::BIGINT AS min_gray,
+                   max(y)::BIGINT AS max_gray
+            FROM px GROUP BY vid, f
         """,
         "dedup_substring": f"""
             WITH n AS (SELECT doc_id, {norm_text} AS nt FROM documents),

@@ -59,6 +59,8 @@ HEADLINE = [
     "audio_decode",
     "video_frame_sample",
     "dedup_incremental_stream",
+    "dedup_substring",
+    "quality_unigram",
 ]
 
 

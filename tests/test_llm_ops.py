@@ -410,3 +410,23 @@ def test_substring_windows_short_doc_empty(spark):
         .collect()[0]
     )
     assert row.w == []
+
+
+def test_quantize_embeddings_int8(spark):
+    from vanus_spark.llm.similarity import embedding_minmax, quantize_embeddings_int8
+
+    rows = [
+        (1, [0.0, 10.0, 5.0]),
+        (2, [1.0, 20.0, 5.0]),  # dim 2 is constant -> range 0
+        (3, [0.5, 15.0, 5.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    mins, maxs = embedding_minmax(df)
+    assert mins == [0.0, 10.0, 5.0] and maxs == [1.0, 20.0, 5.0]
+    out = {r.vec_id: r for r in quantize_embeddings_int8(df).collect()}
+    assert out[1].codes == [0, 0, 0]
+    assert out[2].codes == [255, 255, 0]
+    assert out[3].codes == [128, 128, 0]  # 0.5 rounds half-up
+    # constant dim reconstructs exactly; mse only from rounding error
+    assert out[1].mse < 1e-5 and out[2].mse < 1e-5
+    assert 0 < out[3].mse < 1e-3

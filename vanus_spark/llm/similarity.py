@@ -328,3 +328,68 @@ def embedding_near_dup(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# scalar quantization (int8 codes + reconstruction error)
+# ---------------------------------------------------------------------------
+
+def embedding_minmax(
+    corpus: DataFrame, vec_col: str = "embedding"
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (min, max) across the corpus — the trained half
+    of scalar quantization. posexplode -> partial-agg groupBy(pos):
+    shuffle is dim x #partitions rows; the dim-sized model collects to
+    the driver (bounded, like the k-means centroid model — at 100 TB
+    train on a sample)."""
+    stats = (
+        corpus.select(F.posexplode(F.col(vec_col).cast("array<double>")))
+        .groupBy("pos")
+        .agg(F.min("col").alias("lo"), F.max("col").alias("hi"))
+        .orderBy("pos")
+        .collect()
+    )
+    return [r.lo for r in stats], [r.hi for r in stats]
+
+
+def quantize_embeddings_int8(
+    corpus: DataFrame,
+    mins: list[float] | None = None,
+    maxs: list[float] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>, mse): per-dimension affine int8 codes
+    code_i = round((x_i - min_i) * 255 / (max_i - min_i)) plus the
+    reconstruction mean-squared-error — 4x storage compression for
+    ANN shortlists, with the error column quantifying recall risk.
+    Quantization itself is a pure-Column projection (zero shuffle);
+    the fold orders inside mse are left-to-right so the DuckDB oracle
+    reproduces the float arithmetic exactly."""
+    if mins is None or maxs is None:
+        mins, maxs = embedding_minmax(corpus, vec_col)
+    lo = F.array(*[F.lit(float(v)) for v in mins])
+    rng = F.array(*[F.lit(float(b - a)) for a, b in zip(mins, maxs)])
+    vec = F.col(vec_col).cast("array<double>")
+
+    def code(x, i):
+        r = F.get(rng, i)
+        raw = F.when(r == 0, F.lit(0.0)).otherwise(
+            F.round((x - F.get(lo, i)) * 255.0 / r, 0)
+        )
+        return F.least(F.greatest(raw, F.lit(0.0)), F.lit(255.0)).cast("int")
+
+    staged = corpus.select(F.col(id_col), vec.alias("_v"))
+    coded = staged.select(
+        F.col(id_col),
+        F.col("_v"),
+        F.transform("_v", code).alias("codes"),
+    )
+    recon = F.zip_with(
+        F.col("codes"),
+        F.sequence(F.lit(0), F.size("codes") - 1),
+        lambda c, i: F.get(lo, i) + c * F.get(rng, i) / 255.0,
+    )
+    sq = F.zip_with(F.col("_v"), recon, lambda x, r: (x - r) * (x - r))
+    mse = F.aggregate(sq, F.lit(0.0), lambda a, v: a + v) / F.size("codes")
+    return coded.select(F.col(id_col), F.col("codes"), mse.alias("mse"))
