@@ -61,6 +61,8 @@ HEADLINE = [
     "dedup_incremental_stream",
     "dedup_substring",
     "quality_unigram",
+    "embedding_quantize",
+    "multimodal_pipeline",
 ]
 
 
