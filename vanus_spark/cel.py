@@ -144,9 +144,16 @@ def cel_to_column(expression: str, data_col: str = "data") -> Column:
             inlined = re.sub(rf"\b{re.escape(name)}\b", extract, inlined)
         return F.expr(inlined)
     schema = _schema_for_paths([path for path, _ in variables.values()])
-    parsed = f"from_json({data_col}, '{schema}')"
     for name, (path, spark_type) in variables.items():
         field_ref = ".".join(f"`{p}`" for p in path[2:].split("."))
-        extract = f"try_cast({parsed}.{field_ref} AS {spark_type})"
+        extract = f"try_cast(_ce_s.{field_ref} AS {spark_type})"
         inlined = re.sub(rf"\b{re.escape(name)}\b", extract, inlined)
-    return F.expr(inlined)
+    # Bind the parsed struct as a lambda variable so the payload is
+    # parsed ONCE however many variables reference it — inlining the
+    # from_json per variable leaves N parses in the physical plan
+    # (no CSE across a predicate's subtrees; measured 2 variables =
+    # 2x one-variable cost at sf0.1).
+    return F.expr(
+        f"get(transform(array(from_json({data_col}, '{schema}')), "
+        f"_ce_s -> ({inlined})), 0)"
+    )
