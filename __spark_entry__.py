@@ -1350,6 +1350,18 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-amplified LSH ANN: 3 independent 6-plane tables, candidates
+    = collision in ANY table, cosine top-5 on the distinct union."""
+    from vanus_spark.llm.similarity import lsh_ann_multi
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    return lsh_ann_multi(emb, queries, k=5, n_planes=6, n_tables=3).select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 scalar quantization of the embedding corpus: per-dimension
     min/max model (bounded driver collect, like the k-means model),
@@ -1487,6 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring": q_dedup_substring,
         "multimodal_pipeline": q_multimodal_pipeline,
         "embedding_quantize": q_embedding_quantize,
+        "similarity_lsh_multi": q_similarity_lsh_multi,
         # --- never driver-checked in rounds 1-2: streaming / transformer e2e ---
         "dlq_resend": q_dlq_resend,
         "cesql_functions": q_cesql_functions,
@@ -2365,6 +2378,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "similarity_neardup_embedding": _embedding_neardup_oracle(),
         "similarity_lsh_ann": _lsh_ann_oracle(),
+        "similarity_lsh_multi": _lsh_multi_oracle(),
         "similarity_ivf_ann": _ivf_ann_oracle(),
         "multimodal_decode": """
             SELECT doc_id AS media_id,
@@ -2619,13 +2633,15 @@ def _incremental_stream_oracle(threshold: float = 0.8) -> str:
     """
 
 
-def _planes_bucket_sql(vec_expr: str, n_planes: int = 6, dim: int = 64) -> str:
+def _planes_bucket_sql(
+    vec_expr: str, n_planes: int = 6, dim: int = 64, seed: int = 42
+) -> str:
     """LSH bucket expression with the SAME hyperplanes as
-    vanus_spark.llm.similarity.random_hyperplanes(dim, n, seed=42),
+    vanus_spark.llm.similarity.random_hyperplanes(dim, n, seed),
     inlined as SQL literals."""
     from vanus_spark.llm.similarity import random_hyperplanes
 
-    planes = random_hyperplanes(dim, n_planes, 42)
+    planes = random_hyperplanes(dim, n_planes, seed)
     bits = [
         f"(CASE WHEN list_dot_product({vec_expr}::DOUBLE[], "
         f"[{', '.join(repr(x) for x in plane)}]) >= 0 THEN '1' ELSE '0' END)"
@@ -2729,6 +2745,38 @@ def _lsh_ann_oracle() -> str:
           FROM scored)
         SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
         FROM ranked WHERE rank <= 5
+    """
+
+
+def _lsh_multi_oracle(n_planes: int = 6, n_tables: int = 3, k: int = 5) -> str:
+    """SQL twin of similarity.lsh_ann_multi: per-table bucket columns
+    (same seeded hyperplanes), UNION ALL of per-table collisions,
+    distinct candidates, cosine top-k."""
+    cos = _COSINE_SQL.format(a="q2.embedding", b="c2.embedding")
+    table_sel = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS table_id, "
+        f"{_planes_bucket_sql('embedding', n_planes, 64, 42 + 1000 * t)} AS bucket "
+        "FROM embeddings"
+        for t in range(n_tables)
+    )
+    return f"""
+        WITH s AS ({table_sel}),
+        q AS (SELECT * FROM s WHERE vec_id < 8),
+        cands AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM s c JOIN q ON c.table_id = q.table_id AND c.bucket = q.bucket
+          WHERE c.vec_id != q.vec_id),
+        scored AS (
+          SELECT cd.query_id, cd.neighbor_id, {cos} AS cosine
+          FROM cands cd
+          JOIN embeddings c2 ON cd.neighbor_id = c2.vec_id
+          JOIN embeddings q2 ON cd.query_id = q2.vec_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+        FROM ranked WHERE rank <= {k}
     """
 
 

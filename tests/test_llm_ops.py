@@ -430,3 +430,20 @@ def test_quantize_embeddings_int8(spark):
     # constant dim reconstructs exactly; mse only from rounding error
     assert out[1].mse < 1e-5 and out[2].mse < 1e-5
     assert 0 < out[3].mse < 1e-3
+
+
+def test_lsh_multi_recall_superset(spark, sf_dir):
+    from vanus_spark.sources import load_table
+    from vanus_spark.llm.similarity import lsh_ann, lsh_ann_multi
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id < 4")
+    single = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_ann(emb, q, k=50, n_planes=6).collect()
+    }
+    multi_pairs = lsh_ann_multi(emb, q, k=50, n_planes=6, n_tables=3)
+    multi = {(r.query_id, r.neighbor_id) for r in multi_pairs.collect()}
+    # table 0 uses the single-table seed, so OR-amplification can only
+    # grow the candidate set (k large enough that ranking doesn't cut)
+    assert len(multi) >= len(single)

@@ -393,3 +393,78 @@ def quantize_embeddings_int8(
     sq = F.zip_with(F.col("_v"), recon, lambda x, r: (x - r) * (x - r))
     mse = F.aggregate(sq, F.lit(0.0), lambda a, v: a + v) / F.size("codes")
     return coded.select(F.col(id_col), F.col("codes"), mse.alias("mse"))
+
+
+# ---------------------------------------------------------------------------
+# multi-table LSH (OR-amplification)
+# ---------------------------------------------------------------------------
+
+def lsh_ann_multi(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    n_tables: int = 3,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """OR-amplified LSH ANN: ``n_tables`` independent hyperplane
+    tables; a pair is a candidate if it collides in ANY table, so
+    recall rises to 1-(1-p^b)^T while each table's join stays a plain
+    equi-join on (table_id, bucket). The standard recall knob when a
+    single signature misses near neighbors on the wrong side of one
+    hyperplane.
+
+    Shape: per side, one projection emits (id, table_id, bucket) via
+    posexplode of the T signatures (the signature array is the
+    generator input — computed once per row); candidates are the
+    DISTINCT union of per-table collisions; scoring joins vectors
+    back by id so each vector's norm is computed once."""
+    tables = [
+        random_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+    ]
+
+    def signed(df: DataFrame, out_id: str) -> DataFrame:
+        sigs = F.array(*[lsh_signature(F.col(vec_col), pl) for pl in tables])
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.posexplode(sigs).alias("table_id", "bucket"),
+        )
+
+    c = signed(corpus, "neighbor_id")
+    q = signed(queries, "query_id")
+    cands = (
+        c.join(F.broadcast(q), ["table_id", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    vec = F.col(vec_col).cast("array<double>")
+    cn = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        vec.alias("c_vec"),
+        l2_norm(vec).alias("c_norm"),
+    )
+    qn = queries.select(
+        F.col(id_col).alias("query_id"),
+        vec.alias("q_vec"),
+        l2_norm(vec).alias("q_norm"),
+    )
+    scored = (
+        cands.join(cn, "neighbor_id")
+        .join(F.broadcast(qn), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("q_vec"), F.col("c_vec"))
+             / (F.col("q_norm") * F.col("c_norm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
