@@ -78,3 +78,15 @@ def test_run_stream_two_file_batches(spark, tmp_path):
     accepted = {r.doc_id for r in spark.read.parquet(str(tmp_path / "out")).collect()}
     # 3 is an exact dup of 1 -> rejected whichever batch order ran
     assert accepted == {1, 2, 4}
+
+
+def test_ingest_metrics(spark):
+    loop = DedupIngestLoop(spark)
+    loop.process_batch(
+        _docs(spark, [(1, BASE), (2, BASE), (3, BASE + " extra"), (4, "novel words")])
+    )
+    loop.process_batch(_docs(spark, [(10, BASE), (11, "more novel words")]))
+    m = {r.batch: r for r in loop.metrics_df().collect()}
+    assert m[0].n_in == 4 and m[0].rejected_exact_within == 1
+    assert m[0].rejected_near_within == 1 and m[0].accepted == 2
+    assert m[1].rejected_vs_corpus == 1 and m[1].accepted == 1

@@ -54,6 +54,7 @@ class DedupIngestLoop:
         self.corpus: DataFrame | None = None
         self.sig: DataFrame | None = None
         self.accepted_count = 0
+        self.metrics: list[dict] = []
         if state_dir:
             self._restore_state()
 
@@ -138,8 +139,32 @@ class DedupIngestLoop:
             survivors, self.text_col, self.id_col, self.num_hashes, self.shingle_n
         )
         self._append_state(survivors, new_sig)
-        self.accepted_count += survivors.count()
+        n_in = batch_df.count()
+        n_uniq = uniq.count()
+        n_within = within.count()
+        n_accepted = survivors.count()
+        self.accepted_count += n_accepted
+        self.metrics.append(
+            {
+                "batch": len(self.metrics),
+                "n_in": n_in,
+                "rejected_exact_within": n_in - n_uniq,
+                "rejected_near_within": n_uniq - n_within,
+                "rejected_vs_corpus": n_within - n_accepted,
+                "accepted": n_accepted,
+            }
+        )
         return survivors
+
+    def metrics_df(self) -> DataFrame:
+        """Per-batch ingest metrics as a DataFrame (the corpus-growth
+        observability surface: accepted/rejected counts by reason,
+        one row per processed micro-batch)."""
+        schema = (
+            "batch long, n_in long, rejected_exact_within long, "
+            "rejected_near_within long, rejected_vs_corpus long, accepted long"
+        )
+        return self.spark.createDataFrame(self.metrics, schema)
 
     # ----- Structured Streaming wiring -------------------------------------
 
