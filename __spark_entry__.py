@@ -1350,6 +1350,27 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing decision table: per (lang, source) doc counts,
+    token counts, and each stratum's share of total tokens — one
+    partial-agg groupBy + a broadcast 1-row total."""
+    from vanus_spark.llm.textstats import whitespace_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(whitespace_token_count(F.col("text"))).alias("n_tokens"),
+    )
+    total = per.agg(F.sum("n_tokens").alias("_total"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("_total"), 9).alias("token_share"),
+    )
+
+
 def q_similarity_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OR-amplified LSH ANN: 3 independent 6-plane tables, candidates
     = collision in ANY table, cosine top-5 on the distinct union."""
@@ -1500,6 +1521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_pipeline": q_multimodal_pipeline,
         "embedding_quantize": q_embedding_quantize,
         "similarity_lsh_multi": q_similarity_lsh_multi,
+        "corpus_mixture": q_corpus_mixture,
         # --- never driver-checked in rounds 1-2: streaming / transformer e2e ---
         "dlq_resend": q_dlq_resend,
         "cesql_functions": q_cesql_functions,
@@ -2114,6 +2136,18 @@ def oracle_sql() -> dict[str, str]:
             FROM wins a JOIN wins b
               ON a.win = b.win AND a.doc_id < b.doc_id
             GROUP BY 1, 2
+        """,
+        "corpus_mixture": f"""
+            WITH per AS (
+              SELECT lang, source, count(*)::BIGINT AS n_docs,
+                     sum(CASE WHEN length({norm_text}) = 0 THEN 0
+                              ELSE len(str_split({norm_text}, ' ')) END)::BIGINT
+                       AS n_tokens
+              FROM documents GROUP BY lang, source),
+            tot AS (SELECT sum(n_tokens) AS t FROM per)
+            SELECT lang, source, n_docs, n_tokens,
+                   round(n_tokens / tot.t, 9) AS token_share
+            FROM per, tot
         """,
         "quality_unigram": f"""
             WITH tk AS (SELECT doc_id, unnest(str_split({norm_text}, ' ')) AS tok
