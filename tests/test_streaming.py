@@ -374,3 +374,51 @@ def test_checkpoint_recovery_fresh_loop_no_double_delivery(spark, tmp_path):
     assert sorted(delivered) == sorted(str(i) for i in range(20))
     assert len(delivered) == len(set(delivered))
     assert loop2.delivered_count == 10
+
+
+def test_apply_in_pandas_with_state_running_stats(spark, events, tmp_path):
+    """Arbitrary per-key state across micro-batches: totals accumulate
+    batch-over-batch and restore from the checkpoint on restart."""
+    from vanus_spark.streaming.stateful import running_user_stats
+
+    src = str(tmp_path / "ssrc")
+    b1 = events.where("event_id < 200").select("event_id", "user_id", "value")
+    b2 = events.where("event_id >= 200 AND event_id < 400").select(
+        "event_id", "user_id", "value"
+    )
+    b1.coalesce(1).write.parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        running_user_stats(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ustats")
+        .option("checkpointLocation", str(tmp_path / "sckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM ustats").collect()
+    # the LAST emission per user must equal the full two-batch totals
+    last = {}
+    for r in rows:
+        last[r.user_id] = r  # memory sink appends in batch order
+    both = b1.unionByName(b2)
+    expected = {
+        r.user_id: (r.n, r.t)
+        for r in both.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    for uid, (n, t) in expected.items():
+        assert last[uid].n_events == n
+        assert abs(last[uid].total_value - t) < 1e-9
+    # a user active in both batches emitted twice with growing counts
+    twice = [r for r in rows if r.user_id == list(expected)[0]]
+    if len(twice) == 2:
+        assert twice[0].n_events < twice[1].n_events
