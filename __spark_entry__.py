@@ -1350,6 +1350,23 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: 4 subvector k-means codebooks (8
+    codewords each, seeded + 1 Lloyd iteration), per-vector codes +
+    reconstruction MSE. The chosen codeword's squared distance IS the
+    subvector error, so Spark and the oracle share one float path
+    (the |x|^2 - 2x.c + |c|^2 expansion, identical parenthesization)."""
+    from vanus_spark.llm.similarity import pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = pq_encode(emb, m=4, n_clusters=8, iters=1, dim=64)
+    return out.select(
+        "vec_id",
+        F.to_json("codes").alias("codes_json"),
+        F.round("mse", 9).alias("mse"),
+    )
+
+
 def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixing decision table: per (lang, source) doc counts,
     token counts, and each stratum's share of total tokens — one
@@ -1522,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "similarity_lsh_multi": q_similarity_lsh_multi,
         "corpus_mixture": q_corpus_mixture,
+        "embedding_pq": q_embedding_pq,
         # --- never driver-checked in rounds 1-2: streaming / transformer e2e ---
         "dlq_resend": q_dlq_resend,
         "cesql_functions": q_cesql_functions,
@@ -2413,6 +2431,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_neardup_embedding": _embedding_neardup_oracle(),
         "similarity_lsh_ann": _lsh_ann_oracle(),
         "similarity_lsh_multi": _lsh_multi_oracle(),
+        "embedding_pq": _pq_oracle(),
         "similarity_ivf_ann": _ivf_ann_oracle(),
         "multimodal_decode": """
             SELECT doc_id AS media_id,
@@ -2779,6 +2798,64 @@ def _lsh_ann_oracle() -> str:
           FROM scored)
         SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
         FROM ranked WHERE rank <= 5
+    """
+
+
+def _pq_oracle(m: int = 4, n_clusters: int = 8, dim: int = 64) -> str:
+    """SQL twin of similarity.pq_encode: per-subvector seeded-kmeans
+    chain (the ivf oracle's CTE pattern over e[lo:hi] slices), then
+    each vector's nearest codeword + its squared distance per
+    subvector; mse = sum of chosen distances / dim."""
+    sub = dim // m
+    d_expr = (
+        "(list_dot_product(v.es, v.es) - 2 * list_dot_product(v.es, cent.c))"
+        " + list_dot_product(cent.c, cent.c)"
+    )
+    ctes = []
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        ctes.append(f"""
+        emb{s} AS (SELECT vec_id, e[{lo}:{hi}] AS es FROM emb),
+        seeds{s} AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, es AS c
+          FROM (SELECT * FROM emb{s} ORDER BY vec_id LIMIT {n_clusters})),
+        d0_{s} AS (
+          SELECT v.vec_id, cent.cluster, {d_expr} AS d
+          FROM emb{s} v CROSS JOIN seeds{s} cent),
+        a0_{s} AS (
+          SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+            FROM d0_{s}) WHERE rn = 1),
+        m0_{s} AS (
+          SELECT a.cluster, u.pos, round(avg(u.val), 3) AS val
+          FROM a0_{s} a JOIN emb{s} USING (vec_id),
+               LATERAL (SELECT unnest(es) AS val,
+                               generate_subscripts(es, 1) AS pos) u
+          GROUP BY a.cluster, u.pos),
+        cent1_{s} AS (
+          SELECT sd.cluster,
+                 coalesce(list(m0_{s}.val ORDER BY m0_{s}.pos), sd.c) AS c
+          FROM seeds{s} sd LEFT JOIN m0_{s} ON sd.cluster = m0_{s}.cluster
+          GROUP BY sd.cluster, sd.c),
+        pick{s} AS (
+          SELECT vec_id, cluster, d FROM (
+            SELECT v.vec_id, cent.cluster, {d_expr} AS d,
+                   row_number() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {d_expr}, cent.cluster) AS rn
+            FROM emb{s} v CROSS JOIN cent1_{s} cent) WHERE rn = 1)""")
+    joins = " ".join(f"JOIN pick{s} p{s} USING (vec_id)" for s in range(1, m))
+    codes = ", ".join(
+        ("p0.cluster" if s == 0 else f"p{s}.cluster") for s in range(m)
+    )
+    errs = " + ".join(("p0.d" if s == 0 else f"p{s}.d") for s in range(m))
+    return f"""
+        WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        {','.join(ctes)}
+        SELECT p0.vec_id,
+               to_json([{codes}]) AS codes_json,
+               round(({errs}) / {dim}, 9) AS mse
+        FROM pick0 p0 {joins}
     """
 
 

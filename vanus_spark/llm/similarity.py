@@ -468,3 +468,96 @@ def lsh_ann_multi(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (per-subvector k-means codebooks)
+# ---------------------------------------------------------------------------
+
+def _nearest_with_dist(vec: Column, centroids: list[list[float]]) -> Column:
+    """struct(d, c) of the nearest centroid (ties -> lower index) —
+    the chosen squared distance IS the subvector's reconstruction
+    error, so PQ needs no separate reconstruction arithmetic."""
+
+    def inner(v: Column) -> Column:
+        vv = dot(v, v)
+        ds = F.array(
+            *[
+                F.named_struct(
+                    F.lit("d"), _sq_dist(v, c, vv), F.lit("c"), F.lit(i)
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+        return F.get(F.array_sort(ds), 0)
+
+    return bound(vec, inner)
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 4,
+    n_clusters: int = 8,
+    iters: int = 1,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """One seeded k-means codebook per contiguous ``dim/m``-dim
+    subvector (the classic PQ trainer). Each codebook reuses
+    kmeans_centroids on the sliced corpus — deterministic seeds,
+    rounded means, engine-portable."""
+    sub = dim // m
+    books = []
+    for s in range(m):
+        sliced = corpus.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col).cast("array<double>"), s * sub + 1, sub).alias(
+                vec_col
+            ),
+        )
+        books.append(kmeans_centroids(sliced, n_clusters, iters, id_col, vec_col))
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]] | None = None,
+    m: int = 4,
+    n_clusters: int = 8,
+    iters: int = 1,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>, mse): each vector's per-subvector
+    nearest-codeword indices (m log2(k)-bit codes ~ 32x compression
+    at m=4, k=8 over float32x64) plus the reconstruction MSE — the
+    sum of the chosen codewords' squared distances over dim. Encoding
+    is a zero-shuffle projection against broadcast literal codebooks;
+    at 100 TB the codebooks train on a sample and the encoded table
+    is what ANN shortlists scan."""
+    if codebooks is None:
+        codebooks = pq_train(corpus, m, n_clusters, iters, dim, id_col, vec_col)
+    sub = dim // m
+    staged = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    picks = staged.select(
+        F.col(id_col),
+        *[
+            _nearest_with_dist(
+                F.slice("_v", s * sub + 1, sub), codebooks[s]
+            ).alias(f"_p{s}")
+            for s in range(len(codebooks))
+        ],
+    )
+    total_err = None
+    for s in range(len(codebooks)):
+        d = F.col(f"_p{s}.d")
+        total_err = d if total_err is None else total_err + d
+    return picks.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_p{s}.c") for s in range(len(codebooks))]).alias("codes"),
+        (total_err / F.lit(dim)).alias("mse"),
+    )
