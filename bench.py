@@ -63,6 +63,9 @@ HEADLINE = [
     "quality_unigram",
     "embedding_quantize",
     "multimodal_pipeline",
+    "embedding_pq",
+    "similarity_lsh_multi",
+    "corpus_mixture",
 ]
 
 
