@@ -94,3 +94,73 @@ def test_backoff_monotone_capped(n):
     assert backoff_seconds(n) <= 3600
     if n > 1:
         assert backoff_seconds(n) >= backoff_seconds(n - 1)
+
+
+# ---------------------------------------------------------------------------
+# media codecs (round-3 kernels)
+# ---------------------------------------------------------------------------
+
+@given(
+    st.integers(min_value=1, max_value=500),
+    st.sampled_from([1, 2]),
+    st.sampled_from([8000, 16000, 44100]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_wav_16bit_roundtrip_property(n, ch, rate, seed):
+    import numpy as np
+
+    from vanus_spark.llm.audio import decode_wav, encode_wav
+
+    rng = np.random.default_rng(seed)
+    x = rng.integers(-32768, 32767, size=(n, ch), dtype=np.int16)
+    out_rate, out = decode_wav(encode_wav(x, rate))
+    assert out_rate == rate and out.shape == (n, ch)
+    assert (out * 32768.0 == x).all()
+
+
+@given(
+    st.integers(min_value=1, max_value=300),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_wav_8bit_roundtrip_property(n, seed):
+    import numpy as np
+
+    from vanus_spark.llm.audio import decode_wav, encode_wav
+
+    rng = np.random.default_rng(seed)
+    x = rng.integers(0, 256, size=n, dtype=np.uint8)
+    rate, out = decode_wav(encode_wav(x, 8000, bits=8))
+    assert ((out[:, 0] * 128.0 + 128) == x).all()
+
+
+@given(
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=4),
+    st.sampled_from([b"C444", b"Cmono"]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_y4m_frame_walk_property(w, h, nf, cs, seed):
+    import numpy as np
+
+    from vanus_spark.llm.video import _iter_y4m_frames
+
+    rng = np.random.default_rng(seed)
+    sixths = {b"C444": 18, b"Cmono": 6}[cs]
+    frame_len = w * h * sixths // 6
+    payloads = [rng.integers(0, 256, frame_len, dtype=np.uint8) for _ in range(nf)]
+    raw = b"YUV4MPEG2 W%d H%d F25:1 %s\n" % (w, h, cs)
+    for p in payloads:
+        raw += b"FRAME\n" + p.tobytes()
+    frames = list(_iter_y4m_frames(raw))
+    assert len(frames) == nf
+    for i, (idx, y, u, v) in enumerate(frames):
+        assert idx == i and y.shape == (h, w)
+        assert (y.reshape(-1) == payloads[i][: w * h]).all()
+        if cs == b"Cmono":
+            assert u is None and v is None
+        else:
+            assert (u == payloads[i][w * h : 2 * w * h]).all()

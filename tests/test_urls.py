@@ -49,3 +49,26 @@ def test_synthesized_urls_collide_after_canon(spark):
     n_distinct = canon.distinct().count()
     # residues cycle at lcm(2,5,7,3) = 210 -> exactly 210 canonical urls
     assert n_distinct == 210
+
+
+def test_canonicalize_idempotent_on_fuzzed_urls(spark):
+    import random
+
+    rng = random.Random(7)
+    schemes = ["http", "HTTP", "https", "HTTPS"]
+    hosts = ["Example.COM", "www.site.org", "a.b.co.", "X.Y:8080", "h.io:80"]
+    paths = ["", "/", "/a", "/a/b/", "/a//b", "/p%20q"]
+    queries = ["", "?a=1", "?b=2&a=1", "?utm_source=x&q=3", "?q=3&gclid=9&z="]
+    frags = ["", "#f", "#x/y?z"]
+    urls = [
+        rng.choice(schemes) + "://" + rng.choice(hosts) + rng.choice(paths)
+        + rng.choice(queries) + rng.choice(frags)
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    once = canonicalize_url(F.col("url"))
+    rows = df.select(
+        once.alias("c1"), canonicalize_url(once).alias("c2")
+    ).collect()
+    for r in rows:
+        assert r.c1 == r.c2, r
