@@ -504,19 +504,60 @@ def pq_train(
     vec_col: str = "embedding",
 ) -> list[list[list[float]]]:
     """One seeded k-means codebook per contiguous ``dim/m``-dim
-    subvector (the classic PQ trainer). Each codebook reuses
-    kmeans_centroids on the sliced corpus — deterministic seeds,
-    rounded means, engine-portable."""
+    subvector (the classic PQ trainer), trained JOINTLY: one corpus
+    scan per Lloyd iteration computes all m assignments (one bound
+    nearest-chain per subvector in a single projection) and one
+    partial-agg groupBy((subvector, cluster, pos)) recomputes every
+    mean — 2 driver collects total instead of 2 per codebook.
+    Centroid values are identical to training each slice separately
+    (same seeds, same assignments, same rounded means), which is what
+    the SQL oracle mirrors."""
     sub = dim // m
-    books = []
-    for s in range(m):
-        sliced = corpus.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col).cast("array<double>"), s * sub + 1, sub).alias(
-                vec_col
-            ),
+    vec = F.col(vec_col).cast("array<double>")
+    seed_rows = (
+        corpus.orderBy(id_col).limit(n_clusters).select(vec.alias("v")).collect()
+    )
+    books = [
+        [[float(x) for x in r.v[s * sub : (s + 1) * sub]] for r in seed_rows]
+        for s in range(m)
+    ]
+    for _ in range(iters):
+        staged = corpus.select(
+            *[
+                _nearest_clusters(F.slice(vec, s * sub + 1, sub), books[s], 1)[0]
+                .alias(f"_c{s}")
+                for s in range(m)
+            ],
+            vec.alias("_v"),
         )
-        books.append(kmeans_centroids(sliced, n_clusters, iters, id_col, vec_col))
+        exploded = staged.select(
+            *[f"_c{s}" for s in range(m)], F.posexplode("_v").alias("pos", "val")
+        )
+        subv = F.floor(F.col("pos") / sub).cast("int")
+        cluster = None
+        for s in range(m):
+            term = F.when(subv == s, F.col(f"_c{s}"))
+            cluster = term if cluster is None else cluster.when(
+                subv == s, F.col(f"_c{s}")
+            )
+        means = (
+            exploded.select(
+                subv.alias("s"),
+                cluster.alias("cluster"),
+                (F.col("pos") % sub).alias("pos"),
+                "val",
+            )
+            .groupBy("s", "cluster", "pos")
+            .agg(F.round(F.avg("val"), 3).alias("mval"))
+            .groupBy("s", "cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mval"))).alias("pm"))
+            .select("s", "cluster", F.col("pm.mval").alias("c"))
+            .collect()
+        )
+        new_books = [list(b) for b in books]  # empty cluster keeps previous
+        for r in means:
+            new_books[r.s][r.cluster] = [float(x) for x in r.c]
+        books = new_books
     return books
 
 
