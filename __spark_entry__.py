@@ -1350,6 +1350,77 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (adapted to the fixture's columns): unshipped
+    BUILDING-segment revenue, top 10. Dims broadcast; the
+    orders-lineitem join shuffles on the key both sides are already
+    filtered down on."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1995-03-15")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds 250, with
+    the customer attached. The HAVING aggregate partial-combines; the
+    qualifying-key set then drives two key joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round("total_qty", 4).alias("total_qty"),
+        )
+    )
+
+
+def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, distinct
+    active users per (cohort day, day offset). Two partial-agg
+    shuffles on user_id, then one on the cohort pair."""
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort")
+    )
+    active = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            F.datediff(
+                F.to_date(F.date_trunc("day", F.col("ts"))), F.to_date("cohort")
+            ).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return active.groupBy("cohort", "day_offset").agg(
+        F.count("*").alias("n_users")
+    )
+
+
 def q_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization: 4 subvector k-means codebooks (8
     codewords each, seeded + 1 Lloyd iteration), per-vector codes +
@@ -1540,6 +1611,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh_multi": q_similarity_lsh_multi,
         "corpus_mixture": q_corpus_mixture,
         "embedding_pq": q_embedding_pq,
+        "tpch_q3_shipping": q_tpch_q3_shipping,
+        "tpch_q18_large_orders": q_tpch_q18_large_orders,
+        "events_cohort_retention": q_events_cohort_retention,
         # --- never driver-checked in rounds 1-2: streaming / transformer e2e ---
         "dlq_resend": q_dlq_resend,
         "cesql_functions": q_cesql_functions,
@@ -2087,6 +2161,40 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(u)::DOUBLE / count(*), 6) AS u_mean,
                    round(sum(v)::DOUBLE / count(*), 6) AS v_mean
             FROM px GROUP BY media_id, f
+        """,
+        "tpch_q3_shipping": """
+            SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < '1995-03-15'
+              AND l.l_shipdate > '1995-03-15'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, l.l_orderkey
+            LIMIT 10
+        """,
+        "tpch_q18_large_orders": """
+            WITH big AS (
+              SELECT l_orderkey, sum(l_quantity) AS total_qty
+              FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250)
+            SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+                   round(b.total_qty, 4) AS total_qty
+            FROM big b
+            JOIN orders o ON b.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "events_cohort_retention": """
+            WITH f AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort
+                       FROM events GROUP BY user_id),
+            a AS (SELECT DISTINCT e.user_id, f.cohort,
+                         date_diff('day', f.cohort::DATE,
+                                   date_trunc('day', e.ts)::DATE)::INT
+                           AS day_offset
+                  FROM events e JOIN f USING (user_id))
+            SELECT cohort, day_offset, count(*) AS n_users
+            FROM a GROUP BY 1, 2
         """,
         "embedding_quantize": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -427,7 +427,25 @@ def lsh_ann_multi(
     ]
 
     def signed(df: DataFrame, out_id: str) -> DataFrame:
-        sigs = F.array(*[lsh_signature(F.col(vec_col), pl) for pl in tables])
+        # one bound cast shared by all T signatures (lsh_signature
+        # would bind per table -> T casts per row)
+        def all_sigs(v: Column) -> Column:
+            return F.array(
+                *[
+                    F.concat(
+                        *[
+                            F.when(
+                                dot(v, F.array(*[F.lit(p) for p in plane])) >= 0,
+                                F.lit("1"),
+                            ).otherwise(F.lit("0"))
+                            for plane in pl
+                        ]
+                    )
+                    for pl in tables
+                ]
+            )
+
+        sigs = bound(F.col(vec_col).cast("array<double>"), all_sigs)
         return df.select(
             F.col(id_col).alias(out_id),
             F.posexplode(sigs).alias("table_id", "bucket"),
