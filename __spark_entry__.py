@@ -1350,6 +1350,16 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_exact_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 20 docs per language, chosen by deterministic hash
+    order — the reproducible eval-set construction primitive."""
+    from vanus_spark.llm.curation import exact_stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = exact_stratified_sample(docs, "lang", 20, "doc_id")
+    return out.select("doc_id", "lang")
+
+
 def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape (adapted to the fixture's columns): unshipped
     BUILDING-segment revenue, top 10. Dims broadcast; the
@@ -1611,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh_multi": q_similarity_lsh_multi,
         "corpus_mixture": q_corpus_mixture,
         "embedding_pq": q_embedding_pq,
+        "sample_exact_stratified": q_sample_exact_stratified,
         "tpch_q3_shipping": q_tpch_q3_shipping,
         "tpch_q18_large_orders": q_tpch_q18_large_orders,
         "events_cohort_retention": q_events_cohort_retention,
@@ -2161,6 +2172,18 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(u)::DOUBLE / count(*), 6) AS u_mean,
                    round(sum(v)::DOUBLE / count(*), 6) AS v_mean
             FROM px GROUP BY media_id, f
+        """,
+        "sample_exact_stratified": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY ('0x' || substr(md5('0|' || doc_id::VARCHAR),
+                                                1, 15))::BIGINT
+                                / 1152921504606846976.0 ASC,
+                                doc_id ASC) AS rn
+              FROM documents)
+            WHERE rn <= 20
         """,
         "tpch_q3_shipping": """
             SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,

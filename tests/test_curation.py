@@ -155,3 +155,21 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
     with _pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=8, overlap_tokens=8)
+
+
+def test_exact_stratified_sample(spark):
+    from vanus_spark.llm.curation import exact_stratified_sample
+
+    rows = [(i, "en" if i % 3 else "fr") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = exact_stratified_sample(df, "lang", 10, "doc_id")
+    by_lang = {
+        r.lang: r.n for r in out.groupBy("lang").count().withColumnRenamed("count", "n").collect()
+    }
+    assert by_lang == {"en": 10, "fr": 10}
+    # deterministic: same draw every run
+    again = exact_stratified_sample(df, "lang", 10, "doc_id")
+    assert {r.doc_id for r in out.collect()} == {r.doc_id for r in again.collect()}
+    # small stratum: returns all of it
+    tiny = exact_stratified_sample(df.where("doc_id < 4"), "lang", 10, "doc_id")
+    assert tiny.count() == 4

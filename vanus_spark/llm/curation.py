@@ -274,3 +274,25 @@ def chunk_documents(
             )
         ).alias("chunk_uid"),
     )
+
+
+def exact_stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    key_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """EXACTLY ``n_per_stratum`` rows per stratum (fewer only when the
+    stratum is smaller), chosen by deterministic hash order of
+    ``key_col`` — the eval-set construction primitive: reproducible
+    across runs, engines, and retries, unlike rate-based sampling
+    whose per-stratum counts fluctuate. One per-stratum window
+    (partitioned — parallelism is #strata x hash range, never 1)."""
+    u = hash_uniform(F.col(key_col), seed)
+    w = Window.partitionBy(strata_col).orderBy(u.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )
