@@ -1623,8 +1623,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pq": q_embedding_pq,
         "sample_exact_stratified": q_sample_exact_stratified,
         "tpch_q3_shipping": q_tpch_q3_shipping,
-        "tpch_q18_large_orders": q_tpch_q18_large_orders,
-        "events_cohort_retention": q_events_cohort_retention,
         # --- never driver-checked in rounds 1-2: streaming / transformer e2e ---
         "dlq_resend": q_dlq_resend,
         "cesql_functions": q_cesql_functions,
@@ -1634,6 +1632,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "http_ingest_roundtrip": q_http_ingest_roundtrip,
         "skew_two_phase_count": q_skew_two_phase_count,
         "ordered_delivery": q_ordered_delivery,
+        "tpch_q18_large_orders": q_tpch_q18_large_orders,
+        "events_cohort_retention": q_events_cohort_retention,
         # --- load-bearing backfill (driver-green r1+r2, most central ops) ---
         "transform_pipeline_e2e": q_transform_pipeline_e2e,
         "transform_pipeline_compiled": q_transform_pipeline_compiled,
