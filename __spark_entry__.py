@@ -1350,6 +1350,20 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE tokenization: merges trained on the corpus's word
+    frequencies (one aggregation + bounded driver loop), distributed
+    encode via mapInPandas with per-batch word caching. Rows-only
+    driver check — iterative BPE training is not SQL-expressible;
+    tests/test_bpe.py carries the golden-merge and lossless-roundtrip
+    verification."""
+    from vanus_spark.llm.bpe import bpe_encode, bpe_train_from_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train_from_corpus(docs, n_merges=60)
+    return bpe_encode(docs, merges).select("doc_id", "n_words", "n_tokens")
+
+
 def q_sample_exact_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly 20 docs per language, chosen by deterministic hash
     order — the reproducible eval-set construction primitive."""
@@ -1704,6 +1718,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_json": q_template_json,
         "debezium_mongo_sink": q_debezium_mongo_sink,
         "dlq_replay": q_dlq_replay,
+        # rows-only (no oracle_sql entry): BPE training is an
+        # iterative merge algorithm DuckDB SQL can't express; gated by
+        # golden-merge + lossless-roundtrip tests in tests/test_bpe.py
+        "bpe_token_count": q_bpe_token_count,
     }
 
 
