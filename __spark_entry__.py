@@ -1364,6 +1364,26 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, merges).select("doc_id", "n_words", "n_tokens")
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained BPE merge table itself — (merge_rank, lhs, rhs) for
+    the first 60 merges learned from the corpus word frequencies.
+
+    This is the oracle-checkable projection of BPE training (VERDICT
+    r3 item 1): DuckDB cannot *derive* an iterative merge loop, but it
+    can verify a *stored* one, so the oracle pins the golden merge
+    list for the sf0.01 fixture — the same list tests/test_bpe.py
+    asserts against. Training is deterministic (ties break
+    lexicographically), so the hash comparison is exact."""
+    from vanus_spark.llm.bpe import bpe_train_from_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train_from_corpus(docs, n_merges=60)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        schema="merge_rank int, lhs string, rhs string",
+    )
+
+
 def q_sample_exact_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly 20 docs per language, chosen by deterministic hash
     order — the reproducible eval-set construction primitive."""
@@ -1677,6 +1697,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_cel_data": _filter_query(
             {"cel": "$props.k.(int64) >= 50 && $value.(double) < 100.0"}
         ),
+        # >= 2 data paths => single-parse from_json consolidation, with
+        # a pure-attribute conjunct that must stay pushdown-eligible
+        "filter_multi_data": _filter_query(
+            {
+                "all": [
+                    {"prefix": {"type": "s"}},
+                    {"exact": {"data.props.k": "12"}},
+                    {"prefix": {"data.user_id": "1"}},
+                ]
+            }
+        ),
         # bus / delivery
         "bus_offset_by_time": q_bus_offset_by_time,
         "bus_get_event": q_bus_get_event,
@@ -1756,6 +1787,11 @@ def oracle_sql() -> dict[str, str]:
         "filter_cel_data": (
             "SELECT event_id FROM events WHERE "
             "json_extract_string(props, '$.k')::BIGINT >= 50 AND value < 100.0"
+        ),
+        "filter_multi_data": (
+            "SELECT event_id FROM events WHERE event_type LIKE 's%' "
+            "AND json_extract_string(props, '$.k') = '12' "
+            "AND starts_with(user_id::VARCHAR, '1')"
         ),
         "bus_offset_by_time": """
             WITH bus AS (
@@ -2225,6 +2261,34 @@ def oracle_sql() -> dict[str, str]:
             FROM big b
             JOIN orders o ON b.l_orderkey = o.o_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        # Pinned golden merges for the sf0.01 fixture (VERDICT r3 item
+        # 1): DuckDB can't derive an iterative BPE merge loop, but it
+        # can verify the stored one. Training is deterministic
+        # (lexicographic tie-break), so hashes compare exactly.
+        "bpe_merges": """
+            SELECT * FROM (VALUES
+            (0, 'e', 'r'), (1, 'e', '</w>'), (2, 'n', '</w>'),
+            (3, 'er', '</w>'), (4, 'o', 'w'), (5, 'ow', '</w>'),
+            (6, 'o', 'r'), (7, 's', 't'), (8, 'h', '</w>'),
+            (9, 'a', 't'), (10, 'l', 'u'), (11, 'i', 'n'),
+            (12, 'a', '</w>'), (13, 'g', '</w>'), (14, 'y', '</w>'),
+            (15, 'a', 'r'), (16, 'p', 'ar'), (17, 't', '</w>'),
+            (18, 'i', 'n</w>'), (19, 'j', 'o'), (20, 'jo', 'in</w>'),
+            (21, 'a', 's'), (22, 'as', 'h</w>'), (23, 'h', 'ash</w>'),
+            (24, 'r', 'ow</w>'), (25, 'at', 'c'), (26, 'atc', 'h</w>'),
+            (27, 'b', 'atch</w>'), (28, 'a', 'n</w>'), (29, 'c', 'an</w>'),
+            (30, 's', 'can</w>'), (31, 'c', 'o'), (32, 'c', 'u'),
+            (33, 'co', 'lu'), (34, 'colu', 'm'), (35, 'colum', 'n</w>'),
+            (36, 'cu', 'st'), (37, 'cust', 'o'), (38, 'custo', 'm'),
+            (39, 'custom', 'er</w>'), (40, 'f', 'i'), (41, 'fi', 'l'),
+            (42, 'fil', 't'), (43, 'filt', 'er</w>'), (44, 'a', 'l'),
+            (45, 'al', 'l'), (46, 'all', '</w>'), (47, 'm', 'all</w>'),
+            (48, 's', 'mall</w>'), (49, 'er', 'g'), (50, 'erg', 'e</w>'),
+            (51, 'l', 'ow</w>'), (52, 'm', 'erge</w>'), (53, 's', 'low</w>'),
+            (54, 'c', 't'), (55, 'ct', 'or'), (56, 'ctor', '</w>'),
+            (57, 'd', 'er</w>'), (58, 'e', 'ctor</w>'), (59, 'or', 'der</w>')
+            ) AS t(merge_rank, lhs, rhs)
         """,
         "events_cohort_retention": """
             WITH f AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort

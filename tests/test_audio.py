@@ -94,3 +94,17 @@ def test_window_audio_counts(spark):
     assert rows[1].start_s == 80 / SYNTH_RATE
     for r in rows:
         assert 0.0 <= r.rms <= 1.0
+
+
+def test_window_audio_emits_boundary_tail(spark):
+    """Regression (ADVICE r3): a tail window whose hop-multiple start
+    lands exactly on len-1 must be emitted — len=5, hop=2 gives starts
+    0, 2, 4, the last a 1-sample truncated window."""
+    from vanus_spark.llm.audio import encode_wav
+    import numpy as np
+
+    raw = encode_wav(np.linspace(-0.5, 0.5, 5).reshape(-1, 1), 1000)
+    df = spark.createDataFrame([(7, bytearray(raw))], "media_id long, content binary")
+    rows = window_audio(df, window_s=0.002, hop_s=0.002, decode_stub=False).collect()
+    assert [r.window_index for r in rows] == [0, 1, 2]
+    assert [r.n_samples for r in rows] == [2, 2, 1]

@@ -118,3 +118,108 @@ def test_cel_typed_vars(cloudevents, events):
 def test_cel_bad_extract_fails_filter(cloudevents):
     # non-existent path -> NULL -> coalesce false -> all rows fail
     assert _count(cloudevents, {"cel": "$nope.xyz.(int64) > 0"}) == 0
+
+
+# ---------------------------------------------------------------------------
+# single-parse consolidation (round 4)
+# ---------------------------------------------------------------------------
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_multi_data_paths_single_parse(cloudevents, events):
+    """>=2 data paths: one from_json in the physical plan, zero
+    get_json_object; semantics unchanged vs the per-path compile."""
+    spec = {
+        "all": [
+            {"exact": {"data.props.k": "12"}},
+            {"prefix": {"data.user_id": "1"}},
+        ]
+    }
+    out = cloudevents.where(compile_filter(spec))
+    plan = _plan(out)
+    # ONE shared parse binding; no per-path get_json_object parses
+    assert plan.count("transform(array(from_json") >= 1
+    assert "get_json_object" not in plan
+    expected = events.where(
+        (F.get_json_object("props", "$.k") == "12")
+        & F.col("user_id").cast("string").startswith("1")
+    ).count()
+    assert out.count() == expected
+    assert expected > 0
+
+
+def test_multi_data_attr_conjunct_stays_pushable(events):
+    """A pure-attribute conjunct alongside the data conjuncts compiles
+    OUTSIDE the from_json binding and reaches the parquet scan as a
+    pushed filter (needs the UNCACHED frame — the cached fixture has
+    no parquet scan to push into)."""
+    from vanus_spark.model import events_to_cloudevents
+
+    spec = [
+        {"exact": {"type": "purchase"}},
+        {"exact": {"data.props.k": "12"}},
+        {"prefix": {"data.user_id": "1"}},
+    ]
+    # perturb the plan so Spark's cache manager does NOT substitute the
+    # cached cloudevents fixture (cache lookup matches plan fragments)
+    out = events_to_cloudevents(events.where(F.col("event_id") >= 0)).where(
+        compile_filter(spec)
+    )
+    plan = _plan(out)
+    assert plan.count("transform(array(from_json") >= 1
+    # the attr predicate must appear in PushedFilters on the scan
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "event_type" in pushed or "type" in pushed
+
+
+def test_single_data_path_keeps_get_json_object(cloudevents):
+    """One data path: no consolidation, the plain get_json_object
+    route (cheaper than from_json for a single leaf)."""
+    out = cloudevents.where(compile_filter({"exact": {"data.props.k": "12"}}))
+    plan = _plan(out)
+    assert "get_json_object" in plan
+    assert "transform(array(from_json" not in plan
+
+
+def test_multi_data_under_any_and_not(cloudevents, events):
+    """Consolidation preserves three-valued semantics through any/not
+    boundaries: missing path => inner fails => NOT passes."""
+    spec = {
+        "any": [
+            {"exact": {"data.props.k": "12"}},
+            {"not": {"exact": {"data.user_id": "1"}}},
+        ]
+    }
+    out = cloudevents.where(compile_filter(spec))
+    assert _plan(out).count("transform(array(from_json") >= 1
+    expected = events.where(
+        (F.get_json_object("props", "$.k") == "12")
+        | ~F.coalesce(F.col("user_id").cast("string") == "1", F.lit(False))
+    ).count()
+    assert out.count() == expected
+
+
+def test_prefix_conflict_path_falls_back(cloudevents, events):
+    """$.props (interior object) alongside $.props.k: the deeper path
+    can't share a struct leaf with its prefix — the interior-object
+    path keeps get_json_object while others still consolidate."""
+    spec = {
+        "all": [
+            {"prefix": {"data.props": "{"}},
+            {"exact": {"data.props.k": "12"}},
+            {"prefix": {"data.user_id": "1"}},
+        ]
+    }
+    out = cloudevents.where(compile_filter(spec))
+    plan = _plan(out)
+    assert plan.count("transform(array(from_json") >= 1
+    assert "get_json_object" in plan  # the $.props interior path
+    expected = events.where(
+        (F.get_json_object("props", "$.k") == "12")
+        & F.col("user_id").cast("string").startswith("1")
+    ).count()
+    assert out.count() == expected

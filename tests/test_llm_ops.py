@@ -278,6 +278,36 @@ def test_lsh_bucket_cap_degenerate_corpus(spark):
     assert n_full_boiler == 200 * 199 // 2
 
 
+def test_lsh_bucket_cap_is_default(spark):
+    """Scale-safe by DEFAULT (round-4 flip): a bucket above
+    DEFAULT_BUCKET_CAP star-pairs without any opt-in, on both the raw
+    pair generator and the shipped corpus_clean composition."""
+    from vanus_spark.llm.dedup import DEFAULT_BUCKET_CAP, minhash_lsh_pairs
+    from vanus_spark.llm.pipeline import corpus_clean
+
+    m = DEFAULT_BUCKET_CAP + 300  # one hot bucket well above the cap
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, boiler + f" tail") for i in range(m)] + [
+        (10_000 + i, f"unique english document {i} carrying body {i * 13}")
+        for i in range(50)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # no bucket_cap argument: the default must bound the hot bucket
+    pairs = minhash_lsh_pairs(docs).collect()
+    boiler_pairs = [p for p in pairs if p.id_a < 10_000 and p.id_b < 10_000]
+    assert len(boiler_pairs) == m - 1  # star, not m*(m-1)/2
+    assert all(p.id_a == 0 for p in boiler_pairs)
+
+    # corpus_clean default path: identical texts collapse in the exact
+    # stage already, so vary a token to force the near-dup stage
+    rows2 = [(i, boiler + f" v{i}") for i in range(m)]
+    docs2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    cleaned = corpus_clean(docs2, quality_threshold=0.0, languages=("en",))
+    n = cleaned.count()
+    assert n < m * 0.1  # near-dup stage collapsed the cluster via star pairs
+
+
 def test_repartition_for_compute_no_rdd(spark, docs):
     """Scan-rooted narrow frames widen; post-shuffle frames are left
     alone (no second exchange)."""
@@ -377,6 +407,23 @@ def test_duplicate_components_beats_greedy(spark):
     pairs = spark.createDataFrame([(5, 6), (6, 7)], ["id_a", "id_b"])
     out = {r.doc_id: r.component for r in duplicate_components(pairs).collect()}
     assert out == {5: 5, 6: 5, 7: 5}
+
+
+def test_duplicate_components_long_chain_pointer_jump(spark):
+    """A 64-link duplicate chain (diameter far above the round count)
+    must still converge — pointer jumping makes rounds O(log d), and
+    the unconverged case now raises instead of silently splitting."""
+    from vanus_spark.llm.dedup import duplicate_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], ["id_a", "id_b"]
+    )
+    out = {
+        r.doc_id: r.component
+        for r in duplicate_components(pairs, max_iters=10).collect()
+    }
+    assert set(out) == set(range(65))
+    assert set(out.values()) == {0}
 
 
 def test_substring_dup_pairs_offset_independent(spark):

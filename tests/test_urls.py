@@ -23,6 +23,11 @@ def test_canonicalize_rules(spark):
         "http://example.com/?utm_campaign=x": "http://example.com",
         "  http://example.com/a  ": "http://example.com/a",
         "not a url": "not a url",  # no scheme -> trimmed passthrough
+        # valueless tracking params (ad platforms emit both forms)
+        "http://example.com/p?gclid": "http://example.com/p",
+        "http://example.com/p?fbclid&q=1": "http://example.com/p?q=1",
+        # non-tracking param that merely PREFIXES a tracking name is kept
+        "http://example.com/p?reference=9": "http://example.com/p?reference=9",
     }
     got = _canon(spark, list(cases))
     assert got == list(cases.values())

@@ -261,7 +261,7 @@ def window_audio(
                 mono = x.mean(axis=1)
                 win = max(1, int(round(window_s * rate)))
                 hop = max(1, int(round(hop_s * rate)))
-                for wi, start in enumerate(range(0, max(len(mono) - 1, 1), hop)):
+                for wi, start in enumerate(range(0, max(len(mono), 1), hop)):
                     chunk = mono[start : start + win]
                     if not len(chunk):
                         break

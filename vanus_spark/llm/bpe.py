@@ -144,10 +144,27 @@ def bpe_encode(
 
 
 def bpe_train_from_corpus(
-    docs: DataFrame, n_merges: int = 100, text_col: str = "text"
+    docs: DataFrame,
+    n_merges: int = 100,
+    text_col: str = "text",
+    max_vocab: int = 1_000_000,
 ) -> list[tuple[str, str]]:
     """Train on the corpus's aggregated word-frequency table (ONE
-    Spark aggregation; the collect is #distinct words — cap with a
-    .limit/sample upstream at 100 TB)."""
-    rows = word_frequencies(docs, text_col).collect()
+    Spark aggregation).
+
+    The driver-side collect is hard-capped at ``max_vocab`` rows: the
+    cap is pushed into the plan as a frequency-ordered limit (Catalyst
+    compiles orderBy+limit to TakeOrderedAndProject — a distributed
+    top-k, each task keeps only its local top ``max_vocab``), so at
+    100 TB the collect is bounded no matter how many distinct words
+    the corpus holds. Trade-off: words outside the top ``max_vocab``
+    by frequency contribute nothing to pair statistics — the standard
+    production-tokenizer truncation (rare words barely move merge
+    ranks anyway). Ties at the frequency boundary break by word so
+    the trained merges stay deterministic. ``max_vocab=None``
+    explicitly opts out (test-scale corpora only)."""
+    wf = word_frequencies(docs, text_col)
+    if max_vocab is not None:
+        wf = wf.orderBy(F.desc("freq"), F.asc("word")).limit(max_vocab)
+    rows = wf.collect()
     return bpe_train([(r.word, r.freq) for r in rows], n_merges)

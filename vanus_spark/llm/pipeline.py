@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from vanus_spark.llm.dedup import (
+    DEFAULT_BUCKET_CAP,
     exact_dedup_rows,
     minhash_lsh_pairs,
     minhash_signatures_df,
@@ -40,7 +41,7 @@ def corpus_clean(
     id_col: str = "doc_id",
     text_col: str = "text",
     persist_signatures: bool = True,
-    bucket_cap: int | None = None,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Returns the cleaned corpus (surviving rows of ``docs``).
 

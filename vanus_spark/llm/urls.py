@@ -16,8 +16,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-# query params that identify a click, not a resource
-TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|ref)="
+# Query params that identify a click, not a resource. The (=|$)
+# alternation drops VALUELESS forms too (?gclid, ?fbclid — ad
+# platforms emit both). Deliberate trade-off: 'ref' is dropped even
+# though a few sites use it as a genuine resource selector — for
+# crawl dedup, over-merging the rare ref-keyed page beats keeping
+# every referral variant of every popular page as a distinct URL.
+TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|ref)(=|$)"
 
 _SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
 _AUTHORITY_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)"

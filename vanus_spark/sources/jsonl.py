@@ -37,19 +37,37 @@ def read_documents_jsonl(
     spark: SparkSession,
     path: str,
     schema: str = DOCUMENT_SCHEMA,
+    cache: bool = False,
 ) -> JsonlRead:
     """Read a JSONL document corpus. Returns (docs, bad): well-formed
     rows with the declared schema, and quarantined raw lines for
-    malformed input."""
-    # Spark forbids queries that prune down to ONLY the corrupt-record
-    # column of a raw JSON scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN); the
-    # documented remedy is materializing the parsed frame. cache() here
-    # is per-ingest-shard state; at 100 TB the split is written in the
-    # same pass (both branches from one staged scan), never re-parsed.
-    raw = spark.read.schema(schema + f", {_CORRUPT} string").json(path).cache()
-    docs = raw.where(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
-    bad = raw.where(F.col(_CORRUPT).isNotNull()).select(
-        F.col(_CORRUPT).alias("raw_line")
+    malformed input.
+
+    The scan is a TEXT read + ``from_json``: same Jackson parse cost
+    as the native json source, but free of the raw-JSON-scan
+    corrupt-column restriction (QUERY_ONLY_CORRUPT_RECORD_COLUMN), so
+    neither branch forces materialization and the quarantined line is
+    the literal input line. ``cache=True`` optionally pins the parsed
+    frame so consuming BOTH branches parses each line once — callers
+    own the unpersist (``r.docs.unpersist()`` releases it; the
+    branches share the plan). The default does NOT cache: pinning a
+    corpus-sized parse for the whole session is wrong at scale, and
+    consuming a single branch costs one parse pass either way.
+    """
+    raw = spark.read.text(path).where(F.trim("value") != "")
+    parsed = raw.select(
+        "value",
+        F.from_json(
+            F.col("value"),
+            schema + f", {_CORRUPT} string",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT},
+        ).alias("j"),
+    )
+    if cache:
+        parsed = parsed.cache()
+    docs = parsed.where(F.col(f"j.{_CORRUPT}").isNull()).select("j.*").drop(_CORRUPT)
+    bad = parsed.where(F.col(f"j.{_CORRUPT}").isNotNull()).select(
+        F.col("value").alias("raw_line")
     )
     return JsonlRead(docs=docs, bad=bad)
 

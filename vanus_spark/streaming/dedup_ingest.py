@@ -139,10 +139,27 @@ class DedupIngestLoop:
             survivors, self.text_col, self.id_col, self.num_hashes, self.shingle_n
         )
         self._append_state(survivors, new_sig)
-        n_in = batch_df.count()
-        n_uniq = uniq.count()
-        n_within = within.count()
-        n_accepted = survivors.count()
+        # metrics in ONE action: tag each pipeline stage and count per
+        # tag in a single 4-group aggregate (each stage frame is
+        # already localCheckpoint-materialized by the state append, so
+        # this job re-scans checkpointed partitions, it does not
+        # re-run the dedup) — vs four separate .count() jobs per batch
+        stage_counts = {
+            r["stage"]: r["n"]
+            for r in (
+                batch_df.select(F.lit("in").alias("stage"))
+                .unionByName(uniq.select(F.lit("uniq").alias("stage")))
+                .unionByName(within.select(F.lit("within").alias("stage")))
+                .unionByName(survivors.select(F.lit("acc").alias("stage")))
+                .groupBy("stage")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            )
+        }
+        n_in = stage_counts.get("in", 0)
+        n_uniq = stage_counts.get("uniq", 0)
+        n_within = stage_counts.get("within", 0)
+        n_accepted = stage_counts.get("acc", 0)
         self.accepted_count += n_accepted
         self.metrics.append(
             {
