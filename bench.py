@@ -66,6 +66,10 @@ HEADLINE = [
     "embedding_pq",
     "similarity_lsh_multi",
     "corpus_mixture",
+    # round 4
+    "filter_multi_data",
+    "ann_recall",
+    "bpe_merges",
 ]
 
 

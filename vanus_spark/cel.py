@@ -136,9 +136,11 @@ def cel_to_column(expression: str, data_col: str = "data") -> Column:
     inlined = _cel_syntax_to_sql(rewritten)
     if not variables:
         return F.expr(inlined)
-    if any("[" in path for path, _ in variables.values()):
+    if len(variables) < 2 or any("[" in path for path, _ in variables.values()):
+        # one referenced path => a single get_json_object IS the single
+        # parse, without the struct-conversion overhead of from_json;
         # array-indexed paths aren't expressible as a struct schema —
-        # fall back to per-variable get_json_object
+        # both cases take the per-variable get_json_object route
         for name, (path, spark_type) in variables.items():
             extract = f"try_cast(get_json_object({data_col}, '{path}') AS {spark_type})"
             inlined = re.sub(rf"\b{re.escape(name)}\b", extract, inlined)

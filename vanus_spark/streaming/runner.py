@@ -240,11 +240,36 @@ class DeliveryLoop:
 
     # ----- Structured Streaming wiring -------------------------------------
 
+    _HEARTBEAT_ID = "__heartbeat__"
+
+    def _heartbeat_stream(self) -> DataFrame:
+        """A rate-source stream shaped like the envelope: one marker
+        row per second whose only job is to make the trigger fire so
+        parked retries/delays drain on a QUIET input stream. Without
+        it, a file/kafka source with no new data never invokes
+        foreachBatch, and a retry due at T+5s waits for the next
+        unrelated event — the reference's loop is clock-driven
+        (trigger.go:594-643), so ours must tick on the clock too."""
+        rate = self.spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        return rate.select(
+            F.lit(self._HEARTBEAT_ID).alias("id"),
+            F.lit("/heartbeat").alias("source"),
+            F.lit("1.0").alias("specversion"),
+            F.lit(self._HEARTBEAT_ID).alias("type"),
+            F.col("timestamp").alias("time"),
+            F.lit(None).cast("string").alias("datacontenttype"),
+            F.lit(None).cast("string").alias("dataschema"),
+            F.lit(None).cast("string").alias("subject"),
+            F.create_map().cast("map<string,string>").alias("attributes"),
+            F.lit(None).cast("string").alias("data"),
+        )
+
     def run_stream(
         self,
         stream_df: DataFrame,
         checkpoint_dir: str,
         tick_seconds: float = 1.0,
+        heartbeat: bool = False,
         **trigger_kwargs,
     ):
         """Attach the loop to a streaming DataFrame via foreachBatch.
@@ -258,11 +283,23 @@ class DeliveryLoop:
         bounds what each tick SENDS (process_batch parks the excess in
         pending). ``tick_seconds`` should match the trigger interval
         so rate_limit integrates correctly; pass
-        ``processingTime='...'`` here to pace the ticks."""
+        ``processingTime='...'`` here to pace the ticks.
+
+        ``heartbeat=True`` unions a 1-row/s rate-source marker stream
+        so ticks fire even when the input is quiet — REQUIRED for
+        long-lived processingTime streams with retries/delays (a file
+        source with no new files never triggers a batch, which would
+        strand parked retries until the next unrelated event). Leave
+        off for availableNow/replay runs, where a drain loop would
+        never terminate."""
+        if heartbeat:
+            stream_df = stream_df.unionByName(self._heartbeat_stream())
 
         def on_batch(batch_df: DataFrame, epoch_id: int):
             import datetime as _dt
 
+            if heartbeat:
+                batch_df = batch_df.where(F.col("id") != self._HEARTBEAT_ID)
             res = self.process_batch(
                 batch_df, _dt.datetime.now(_dt.timezone.utc), tick_seconds
             )
