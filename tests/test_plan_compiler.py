@@ -51,6 +51,36 @@ def both_paths(cloudevents, pipeline):
             ["CHECK_CUSTOM_VALUES", "$.data.s", "inner", "$.data.has", "Y", "N"],
         ],
         [["SPLIT_WITH_DELIMITER", "$.data.s", ",", "$.data.parts"]],  # s unknown -> skipped both
+        # round 4: array-producing splits + JOIN (compiled)
+        [
+            ["CREATE", "$.data.s", "abcdefgh"],
+            ["SPLIT_FROM_START", "$.data.s", 3, "$.data.sp"],
+        ],
+        [
+            ["CREATE", "$.data.s", "abcdefgh"],
+            ["SPLIT_FROM_START", "$.data.s", 99, "$.data.sp"],  # pos > len
+        ],
+        [
+            ["CREATE", "$.data.s", "abcdefgh"],
+            ["SPLIT_BETWEEN_POSITIONS", "$.data.s", 2, 5, "$.data.sp"],
+        ],
+        [
+            ["CREATE", "$.data.s", "abc"],
+            ["SPLIT_BETWEEN_POSITIONS", "$.data.s", 2, 9, "$.data.sp"],  # end > len
+        ],
+        [
+            ["CREATE", "$.data.s", "abcdefgh"],
+            ["SPLIT_WITH_INTERVALS", "$.data.s", 2, 3, "$.data.sp"],
+        ],
+        [
+            ["CREATE", "$.data.s", "ab"],
+            ["SPLIT_WITH_INTERVALS", "$.data.s", 5, 2, "$.data.sp"],  # start > len
+        ],
+        [
+            ["CREATE", "$.data.s", "a,b,c"],
+            ["SPLIT_WITH_DELIMITER", "$.data.s", ",", "$.data.parts"],
+            ["JOIN", "$.data.joined", "-", "$.data.parts", "$.data.parts"],
+        ],
     ],
 )
 def test_compiled_matches_interpreter(cloudevents, pipeline):
@@ -92,3 +122,47 @@ def test_subscription_falls_back_for_template(cloudevents):
     )
     out = sub.apply(cloudevents.limit(5), data_schema=DATA_SCHEMA)
     assert out.collect()[0].data.startswith("v=")
+
+
+def test_array_foreach_compiles_with_abort_prefix(spark):
+    """ARRAY_FOREACH compiles for a single in-place string op over a
+    schema array<struct>, reproducing the interpreter's mid-array
+    abort: elements before the first error keep their mutation, the
+    failing element and everything after stay untouched."""
+    schema = "items array<struct<name: string, n: long>>"
+    rows = [
+        # all valid -> every element mutated
+        ("1", '{"items":[{"name":"ab","n":1},{"name":"cd","n":2}]}'),
+        # middle element's name is ABSENT -> nested read errors there:
+        # first element keeps its mutation, second and third untouched
+        # (explicit JSON null is out of compiled scope: to_json cannot
+        # re-emit it — the documented absent-vs-null wire limit)
+        ("2", '{"items":[{"name":"x","n":1},{"n":2},{"name":"z","n":3}]}'),
+        # empty array -> no-op
+        ("3", '{"items":[]}'),
+    ]
+    df = spark.createDataFrame(
+        [(i, "/s", "1.0", "t", None, None, None, None, {}, d) for i, d in rows],
+        "id string, source string, specversion string, type string, "
+        "time timestamp, datacontenttype string, dataschema string, "
+        "subject string, attributes map<string,string>, data string",
+    )
+    pipeline = [["ARRAY_FOREACH", "$.data.items", ["UPPER_CASE", "$.data.name"]]]
+    compiled = compile_pipeline(pipeline, schema)(df)
+    interp = transform_dataframe(df, {"pipeline": pipeline})
+    c, i = _parse(compiled.collect()), _parse(interp.collect())
+    assert c == i
+    assert c["1"]["items"][0]["name"] == "AB"
+    assert c["2"]["items"][0]["name"] == "X"      # before the abort: mutated
+    assert "name" not in c["2"]["items"][1]       # the failing element
+    assert c["2"]["items"][2]["name"] == "z"      # after the abort: untouched
+
+
+def test_array_foreach_falls_back_outside_subset(cloudevents):
+    """Nested non-string ops / multiple nested commands stay on the
+    interpreter path."""
+    with pytest.raises(CompileFallback):
+        compile_pipeline(
+            [["ARRAY_FOREACH", "$.data.items", ["MATH_ADD", "$.data.n", "$.data.n", 1]]],
+            "items array<struct<name: string, n: long>>",
+        )

@@ -23,8 +23,13 @@ Compilable actions: CREATE REPLACE DELETE MOVE RENAME DUPLICATE,
 MATH_ADD/SUB/MUL/DIV, UPPER/LOWER_CASE, ADD_PREFIX/SUFFIX,
 CAPITALIZE_SENTENCE/WORD, REPLACE_STRING, REPLACE_WITH_REGEX,
 CONDITION_IF, LENGTH, DATE_FORMAT, UNIX_TIME_FORMAT,
-CONVERT_TIMEZONE, SPLIT_WITH_DELIMITER, EXTRACT_BETWEEN_DELIMITERS,
-EXTRACT_BETWEEN_POSITIONS, CHECK_CUSTOM_VALUES, EXTRACT_MISSING.
+CONVERT_TIMEZONE, SPLIT_WITH_DELIMITER, SPLIT_FROM_START,
+SPLIT_BETWEEN_POSITIONS, SPLIT_WITH_INTERVALS, JOIN (array<string>
+sources), EXTRACT_BETWEEN_DELIMITERS, EXTRACT_BETWEEN_POSITIONS,
+CHECK_CUSTOM_VALUES, EXTRACT_MISSING. Still interpreter-only:
+UNFOLD_ARRAY (data-dependent keys), ARRAY_FOREACH / RENDER_ARRAY
+(nested dynamic addressing), DEBEZIUM sink conversion, dynamic
+``[*]`` paths.
 """
 
 from __future__ import annotations
@@ -365,6 +370,73 @@ def _compile_action(state: _State, cmd: list[Any]) -> None:  # noqa: PLR0912, PL
             "array",
         )
         return
+    if name == "SPLIT_FROM_START":
+        target = _path_of(args[2])
+        if state.known(target):
+            # success writes array<string>, error keeps the old value —
+            # a struct field can't hold both types, interpreter only
+            raise CompileFallback(f"SPLIT_FROM_START target {target} may exist")
+        src = state.get(_path_of(args[0])).cast("string")
+        state.set(
+            target,
+            _skip_on_null(state, target, vf.split_from_start(src, int(args[1]))),
+            "array",
+        )
+        return
+    if name == "SPLIT_BETWEEN_POSITIONS":
+        target = _path_of(args[3])
+        if state.known(target):
+            # exists-check raises at runtime when present => conditional
+            # skip; only the statically-absent case compiles (cf. MOVE)
+            raise CompileFallback(f"SPLIT_BETWEEN_POSITIONS target {target} may exist")
+        start, end = int(args[1]), int(args[2])
+        if start >= end:
+            return  # static arg error -> action always skipped
+        src = state.get(_path_of(args[0])).cast("string")
+        state.set(
+            target,
+            _skip_on_null(state, target, vf.split_between_positions(src, start, end)),
+            "array",
+        )
+        return
+    if name == "SPLIT_WITH_INTERVALS":
+        target = _path_of(args[3])
+        if state.known(target):
+            raise CompileFallback(f"SPLIT_WITH_INTERVALS target {target} may exist")
+        start, interval = int(args[1]), int(args[2])
+        if start < 0 or interval < 1:
+            return  # static arg error -> action always skipped
+        src = state.get(_path_of(args[0])).cast("string")
+        state.set(
+            target,
+            _skip_on_null(
+                state, target, vf.split_with_intervals(src, start, interval)
+            ),
+            "array",
+        )
+        return
+    if name == "JOIN":
+        target = _path_of(args[0])
+        sep = str(args[1])
+        arrs = []
+        for a in args[2:]:
+            if not _is_data_path(a):
+                raise CompileFallback("JOIN of non-data array arg")
+            p = _path_of(a)
+            dtype = _schema_field(state.schema, p)
+            elem_ok = isinstance(dtype, T.ArrayType) and isinstance(
+                dtype.elementType, T.StringType
+            )
+            if not (elem_ok or state.kinds.get(p) == "array"):
+                # non-string elements would need the Go stringification
+                # lattice per element — interpreter territory
+                raise CompileFallback(f"JOIN source {p} is not array<string>")
+            arrs.append(state.get(p))
+        new = vf.join_arrays(sep, *arrs)
+        # any missing source array => arg error => skip (NULL propagates
+        # through array_join/concat)
+        state.set(target, _skip_on_null(state, target, new), "string")
+        return
     if name == "EXTRACT_BETWEEN_DELIMITERS":
         src = state.get(_path_of(args[0])).cast("string")
         target = _path_of(args[1])
@@ -411,6 +483,74 @@ def _compile_action(state: _State, cmd: list[Any]) -> None:  # noqa: PLR0912, PL
             src.isNotNull(), vf.extract_missing(src, str(args[2]), str(args[3]))
         )
         state.set(target, _skip_on_null(state, target, new), "string")
+        return
+
+    if name == "ARRAY_FOREACH":
+        # [ARRAY_FOREACH, arrayPath, subCmd]: the nested action runs
+        # with each ELEMENT as its data root, and a nested error ABORTS
+        # the foreach mid-array — elements before the failing one keep
+        # their mutation, the rest stay untouched (interp.py
+        # build_array_foreach: in-place dict mutation + abort).
+        # Compilable subset: ONE nested pure-string in-place op (cannot
+        # fail on a non-null source, keeps the element type stable) on
+        # a string field of a schema array<struct>. The abort-prefix
+        # semantics compile as: first invalid element's 1-based
+        # position gates an indexed transform.
+        _FOREACH_SAFE = {
+            "UPPER_CASE",
+            "LOWER_CASE",
+            "CAPITALIZE_SENTENCE",
+            "CAPITALIZE_WORD",
+            "ADD_PREFIX",
+            "ADD_SUFFIX",
+            "REPLACE_STRING",
+            "REPLACE_WITH_REGEX",
+        }
+        if (
+            len(args) != 2
+            or not _is_data_path(args[0])
+            or not isinstance(args[1], list)
+        ):
+            raise CompileFallback("ARRAY_FOREACH shape not compilable")
+        arr_path = _path_of(args[0])
+        dtype = _schema_field(state.schema, arr_path)
+        if not (
+            isinstance(dtype, T.ArrayType)
+            and isinstance(dtype.elementType, T.StructType)
+        ):
+            raise CompileFallback("ARRAY_FOREACH needs a schema array<struct>")
+        elem_schema = dtype.elementType
+        sub = args[1]
+        sub_name = str(sub[0]).upper()
+        if sub_name not in _FOREACH_SAFE or not _is_data_path(sub[1]):
+            raise CompileFallback(
+                f"ARRAY_FOREACH nested {sub_name} not in the compilable subset"
+            )
+        field_path = _path_of(sub[1])
+        if not isinstance(_schema_field(elem_schema, field_path), T.StringType):
+            raise CompileFallback("ARRAY_FOREACH nested target must be string")
+        sub_args = sub[2:]
+        op = in_place_str[sub_name]
+
+        def _field(e: Column) -> Column:
+            cur = e
+            for part in field_path.split("."):
+                cur = cur.getField(part)
+            return cur
+
+        arr = state.get(arr_path)
+        first_bad = F.array_position(
+            F.transform(arr, lambda e: _field(e).isNotNull()), F.lit(False)
+        )
+        new_arr = F.transform(
+            arr,
+            lambda e, i: F.when(
+                (first_bad == 0) | (i < first_bad - 1),
+                e.withField(field_path, op(_field(e), sub_args)),
+            ).otherwise(e),
+        )
+        # missing array itself -> arg error -> whole action skipped
+        state.set(arr_path, _skip_on_null(state, arr_path, new_arr), "array")
         return
 
     raise CompileFallback(f"action {name} not compilable")
