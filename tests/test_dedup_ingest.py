@@ -90,3 +90,26 @@ def test_ingest_metrics(spark):
     assert m[0].n_in == 4 and m[0].rejected_exact_within == 1
     assert m[0].rejected_near_within == 1 and m[0].accepted == 2
     assert m[1].rejected_vs_corpus == 1 and m[1].accepted == 1
+
+
+def test_state_commit_is_atomic(spark, tmp_path):
+    """A crash between the corpus write and the sig write (or before
+    the manifest rename) must be invisible: restore reads only
+    manifest-committed batch dirs, so orphan directories from a torn
+    append never surface."""
+    state = str(tmp_path / "state")
+    loop = DedupIngestLoop(spark, state_dir=state)
+    loop.process_batch(_docs(spark, [(1, BASE)]))
+
+    # simulate a torn append: batch dir written, manifest NEVER renamed
+    _docs(spark, [(99, "orphan uncommitted words")]).write.parquet(
+        f"{state}/corpus/b1"
+    )
+    # (sig/b1 missing entirely — the crash happened between the writes)
+
+    loop2 = DedupIngestLoop(spark, state_dir=state)
+    assert {r.doc_id for r in loop2.corpus.collect()} == {1}
+    out = loop2.process_batch(_docs(spark, [(2, BASE), (3, "fresh novel text")]))
+    assert {r.doc_id for r in out.collect()} == {3}
+    # the next committed append claims the b1 slot, overwriting the orphan
+    assert {r.doc_id for r in loop2.corpus.collect()} == {1, 3}

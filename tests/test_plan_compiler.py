@@ -166,3 +166,38 @@ def test_array_foreach_falls_back_outside_subset(cloudevents):
             [["ARRAY_FOREACH", "$.data.items", ["MATH_ADD", "$.data.n", "$.data.n", 1]]],
             "items array<struct<name: string, n: long>>",
         )
+
+
+def test_render_array_compiles(spark):
+    """RENDER_ARRAY compiles to one transform over a schema
+    array<struct>: static render parity with the interpreter,
+    including the no-placeholder and missing-field-aborts cases."""
+    schema = "users array<struct<name: string, n: long>>"
+    rows = [
+        ("1", '{"users":[{"name":"ann","n":1},{"name":"bob","n":2}]}'),
+        # second element misses n -> wildcard read errors -> action
+        # skipped entirely (no tags field)
+        ("2", '{"users":[{"name":"x","n":1},{"name":"y"}]}'),
+        ("3", '{"users":[]}'),
+    ]
+    df = spark.createDataFrame(
+        [(i, "/s", "1.0", "t", None, None, None, None, {}, d) for i, d in rows],
+        "id string, source string, specversion string, type string, "
+        "time timestamp, datacontenttype string, dataschema string, "
+        "subject string, attributes map<string,string>, data string",
+    )
+    pipeline = [["RENDER_ARRAY", "$.data.tags", "$.data.users", "u=<@.name>#<@.n>;"]]
+    compiled = compile_pipeline(pipeline, schema)(df)
+    interp = transform_dataframe(df, {"pipeline": pipeline})
+    c, i = _parse(compiled.collect()), _parse(interp.collect())
+    assert c == i
+    assert c["1"]["tags"] == ["u=ann#1;", "u=bob#2;"]
+    assert "tags" not in c["2"]
+    assert "tags" not in c["3"]  # empty array: wildcard read errors -> skip
+
+    # no placeholders: unconditional single-element render
+    pipeline2 = [["RENDER_ARRAY", "$.data.tags", "$.data.users", "static"]]
+    c2 = _parse(compile_pipeline(pipeline2, schema)(df).collect())
+    i2 = _parse(transform_dataframe(df, {"pipeline": pipeline2}).collect())
+    assert c2 == i2
+    assert c2["1"]["tags"] == ["static"]

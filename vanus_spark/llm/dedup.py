@@ -274,9 +274,15 @@ def minhash_lsh_pairs(
     where neither side matches the representative, which at cap sizes
     in the hundreds is noise. The bucket-size window shuffles on the
     same (band, band_key) key the join needs — no extra exchange."""
+    # The bucket table fans out below (self-join left+right, bucket-size
+    # aggregate, star join) and Catalyst does NOT share repeated plan
+    # subtrees — without materialization every reference recomputes the
+    # full shingle->signature hash chain. One lazy localCheckpoint makes
+    # it (id, band, band_key) rows computed exactly once; at corpus
+    # scale this is the stored-signatures design (hash once, join many).
     b = minhash_lsh_buckets(
         docs, text_col, id_col, num_hashes, bands, shingle_n, sig_df=sig_df
-    )
+    ).localCheckpoint(eager=False)
 
     def all_pairs(buckets: DataFrame) -> DataFrame:
         left = buckets.alias("l")
@@ -293,16 +299,21 @@ def minhash_lsh_pairs(
     if bucket_cap is None:
         return all_pairs(b).distinct()
 
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("band", "band_key")
-    sized = (
-        b.withColumn("_n", F.count("*").over(w))
-        .withColumn("_rep", F.min(id_col).over(w))
+    # Hot buckets only: the partial-combined groupBy shuffles one row
+    # per bucket, and the WHERE leaves just the degenerate ones — in a
+    # healthy corpus an (almost) empty table, so AQE turns both the
+    # anti-join and the star join into broadcasts and the cap costs
+    # ~nothing. (The earlier window-function form shuffled + sorted
+    # every bucket row to learn sizes the aggregate gets map-side.)
+    hot = (
+        b.groupBy("band", "band_key")
+        .agg(F.count("*").alias("_n"), F.min(id_col).alias("_rep"))
+        .where(F.col("_n") > bucket_cap)
     )
-    small = sized.where(F.col("_n") <= bucket_cap).select(id_col, "band", "band_key")
+    small = b.join(hot.select("band", "band_key"), ["band", "band_key"], "left_anti")
     star = (
-        sized.where((F.col("_n") > bucket_cap) & (F.col(id_col) != F.col("_rep")))
+        b.join(hot, ["band", "band_key"])
+        .where(F.col(id_col) != F.col("_rep"))
         .select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"))
     )
     return all_pairs(small).unionByName(star).distinct()

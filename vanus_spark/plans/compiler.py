@@ -223,6 +223,31 @@ def compile_pipeline(
     return apply
 
 
+def _parse_render_array_template(text: str) -> tuple[list[str | None], list[str]]:
+    """The interpreter's segment scan verbatim (interp.py
+    _render_array): returns (segments with None placeholder markers,
+    placeholder paths)."""
+    paths: list[str] = []
+    segments: list[str | None] = []
+    pos = 0
+    while True:
+        x = text.find("<@", pos)
+        if x < 0:
+            segments.append(text[pos:])
+            break
+        y = text.find(">", x + 2)
+        if y < 0:
+            segments.append(text[pos:])
+            break
+        segments.append(text[pos:x])
+        paths.append(text[x + 2 : y])
+        segments.append(None)
+        pos = y + 1
+        if pos == len(text):
+            break
+    return segments, paths
+
+
 def _compile_action(state: _State, cmd: list[Any]) -> None:  # noqa: PLR0912, PLR0915
     name = str(cmd[0]).upper()
     args = cmd[1:]
@@ -483,6 +508,94 @@ def _compile_action(state: _State, cmd: list[Any]) -> None:  # noqa: PLR0912, PL
             src.isNotNull(), vf.extract_missing(src, str(args[2]), str(args[3]))
         )
         state.set(target, _skip_on_null(state, target, new), "string")
+        return
+
+    if name == "RENDER_ARRAY":
+        # RENDER_ARRAY(target, arrayPathPrefix, template): per-element
+        # template render over prefix[:]-wildcard reads (interp.py
+        # _render_array). Compiles when the prefix is a schema
+        # array<struct> and every <@.path> placeholder addresses a
+        # scalar field — one F.transform, concat of static segments
+        # and casted fields. A missing field in ANY element errors the
+        # whole action in the interpreter (wildcard read fails), so
+        # the compiled form gates on forall(field non-null).
+        target = _path_of(args[0])
+        if state.known(target):
+            raise CompileFallback(f"RENDER_ARRAY target {target} may exist")
+        if not _is_data_path(args[1]):
+            raise CompileFallback("RENDER_ARRAY non-data prefix")
+        segments, ph_paths = _parse_render_array_template(str(args[2]))
+        if not ph_paths:
+            # no placeholders: unconditional 1-element static render —
+            # the interpreter never even reads the array
+            state.set(
+                target,
+                F.array(F.lit("".join(s for s in segments if s is not None))),
+                "array",
+            )
+            return
+        prefix = _path_of(args[1])
+        dtype = _schema_field(state.schema, prefix)
+        if not (
+            isinstance(dtype, T.ArrayType)
+            and isinstance(dtype.elementType, T.StructType)
+        ):
+            raise CompileFallback("RENDER_ARRAY needs a schema array<struct>")
+        elem_schema = dtype.elementType
+        fpaths = []
+        for p in ph_paths:
+            # raw path, no normalization — the interpreter concatenates
+            # it verbatim, so anything but ".field" errors there too
+            if not p.startswith("."):
+                raise CompileFallback(f"RENDER_ARRAY placeholder {p!r} shape")
+            fp = p[1:]
+            fd = _schema_field(elem_schema, fp)
+            if not isinstance(
+                fd,
+                (
+                    T.StringType,
+                    T.LongType,
+                    T.IntegerType,
+                    T.ShortType,
+                    T.ByteType,
+                    T.BooleanType,
+                ),
+            ):
+                raise CompileFallback(f"RENDER_ARRAY field {fp} type not compilable")
+            fpaths.append(fp)
+
+        def _f(e: Column, fp: str) -> Column:
+            cur = e
+            for part in fp.split("."):
+                cur = cur.getField(part)
+            return cur
+
+        def _render(e: Column) -> Column:
+            parts: list[Column] = []
+            j = 0
+            for s in segments:
+                if s is None:
+                    parts.append(_f(e, fpaths[j]).cast("string"))
+                    j += 1
+                elif s:
+                    parts.append(F.lit(s))
+            return F.concat(*parts) if parts else F.lit("")
+
+        arr = state.get(prefix)
+
+        def _all_present(e: Column) -> Column:
+            cond = _f(e, fpaths[0]).isNotNull()
+            for fp in fpaths[1:]:
+                cond = cond & _f(e, fp).isNotNull()
+            return cond
+
+        # empty array: the [:] wildcard read matches nothing and errors
+        # in the interpreter -> action skipped, so gate on size > 0
+        new = F.when(
+            (F.size(arr) > 0) & F.forall(arr, _all_present),
+            F.transform(arr, _render),
+        )
+        state.set(target, _skip_on_null(state, target, new), "array")
         return
 
     if name == "ARRAY_FOREACH":

@@ -59,23 +59,49 @@ class DedupIngestLoop:
             self._restore_state()
 
     # ----- durable state ---------------------------------------------------
+    #
+    # Manifest-committed appends (the no-extra-jars shape of a Delta/
+    # Iceberg transaction log): each batch writes its corpus AND sig
+    # rows into per-batch directories, then a single atomic rename of
+    # the COMMITTED manifest makes BOTH visible at once. A crash
+    # between the two parquet writes — or before the rename — leaves
+    # orphan directories the restore path never reads, so the two
+    # state tables can never disagree about which batches exist.
 
-    def _restore_state(self) -> None:
+    def _committed_batches(self) -> list[str]:
         import os
 
-        cdir = f"{self.state_dir}/corpus"
-        if os.path.isdir(cdir) and any(
-            f.endswith(".parquet") for f in os.listdir(cdir)
-        ):
-            self.corpus = self.spark.read.parquet(cdir)
-            self.sig = self.spark.read.parquet(f"{self.state_dir}/sig")
+        path = f"{self.state_dir}/COMMITTED"
+        if not os.path.exists(path):
+            return []
+        with open(path) as f:
+            return [line for line in f.read().split() if line]
+
+    def _restore_state(self) -> None:
+        batches = self._committed_batches()
+        if batches:
+            self.corpus = self.spark.read.parquet(
+                *[f"{self.state_dir}/corpus/{b}" for b in batches]
+            )
+            self.sig = self.spark.read.parquet(
+                *[f"{self.state_dir}/sig/{b}" for b in batches]
+            )
 
     def _append_state(self, survivors: DataFrame, new_sig: DataFrame) -> None:
         if self.state_dir:
-            survivors.write.mode("append").parquet(f"{self.state_dir}/corpus")
-            new_sig.write.mode("append").parquet(f"{self.state_dir}/sig")
-            self.corpus = self.spark.read.parquet(f"{self.state_dir}/corpus")
-            self.sig = self.spark.read.parquet(f"{self.state_dir}/sig")
+            import os
+
+            batches = self._committed_batches()
+            b = f"b{len(batches)}"
+            survivors.write.mode("overwrite").parquet(
+                f"{self.state_dir}/corpus/{b}"
+            )
+            new_sig.write.mode("overwrite").parquet(f"{self.state_dir}/sig/{b}")
+            tmp = f"{self.state_dir}/.COMMITTED.tmp"
+            with open(tmp, "w") as f:
+                f.write("\n".join([*batches, b]))
+            os.replace(tmp, f"{self.state_dir}/COMMITTED")  # the commit point
+            self._restore_state()
         else:
             grown_c = (
                 survivors
