@@ -301,19 +301,23 @@ def minhash_lsh_pairs(
 
     # Hot buckets only: the partial-combined groupBy shuffles one row
     # per bucket, and the WHERE leaves just the degenerate ones — in a
-    # healthy corpus an (almost) empty table, so AQE turns both the
-    # anti-join and the star join into broadcasts and the cap costs
-    # ~nothing. (The earlier window-function form shuffled + sorted
+    # healthy corpus an (almost) empty table, so AQE broadcasts it.
+    # ONE left join tags every bucket row with its (rare) hot-bucket
+    # representative; the tagged table is checkpointed so the small/
+    # star split and the self-join all scan it instead of re-running
+    # the join. (The earlier window-function form shuffled + sorted
     # every bucket row to learn sizes the aggregate gets map-side.)
     hot = (
         b.groupBy("band", "band_key")
         .agg(F.count("*").alias("_n"), F.min(id_col).alias("_rep"))
         .where(F.col("_n") > bucket_cap)
     )
-    small = b.join(hot.select("band", "band_key"), ["band", "band_key"], "left_anti")
+    tagged = b.join(
+        hot.select("band", "band_key", "_rep"), ["band", "band_key"], "left"
+    ).localCheckpoint(eager=False)
+    small = tagged.where(F.col("_rep").isNull()).select(id_col, "band", "band_key")
     star = (
-        b.join(hot, ["band", "band_key"])
-        .where(F.col(id_col) != F.col("_rep"))
+        tagged.where(F.col("_rep").isNotNull() & (F.col(id_col) != F.col("_rep")))
         .select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"))
     )
     return all_pairs(small).unionByName(star).distinct()
