@@ -223,3 +223,42 @@ def test_prefix_conflict_path_falls_back(cloudevents, events):
         & F.col("user_id").cast("string").startswith("1")
     ).count()
     assert out.count() == expected
+
+
+def test_consolidation_equivalence_on_random_specs(cloudevents):
+    """Seeded sweep: for random filter trees mixing attribute and
+    data.x keys, the consolidated compile (shared from_json) must
+    select exactly the rows of the per-path get_json_object compile."""
+    import random
+
+    from vanus_spark.filters import _compile
+
+    rng = random.Random(42)
+    keys = ["type", "subject", "data.props.k", "data.user_id", "data.value", "data"]
+    vals = ["12", "1", "purchase", "sign", "up", "x", '{"user_id":1,']
+    ops = ["exact", "prefix", "suffix"]
+
+    def leaf():
+        return {rng.choice(ops): {rng.choice(keys): rng.choice(vals)}}
+
+    def tree(depth):
+        r = rng.random()
+        if depth == 0 or r < 0.4:
+            return leaf()
+        if r < 0.6:
+            return {"not": tree(depth - 1)}
+        if r < 0.8:
+            return {"all": [tree(depth - 1) for _ in range(rng.randint(1, 3))]}
+        return {"any": [tree(depth - 1) for _ in range(rng.randint(1, 3))]}
+
+    ids = F.col("id")
+    for _ in range(25):
+        spec = tree(2)
+        consolidated = {
+            r[0] for r in cloudevents.where(compile_filter(spec)).select(ids).collect()
+        }
+        plain = {
+            r[0]
+            for r in cloudevents.where(_compile(spec, "data", None)).select(ids).collect()
+        }
+        assert consolidated == plain, spec

@@ -277,9 +277,16 @@ def minhash_lsh_pairs(
     # The bucket table fans out below (self-join left+right, bucket-size
     # aggregate, star join) and Catalyst does NOT share repeated plan
     # subtrees — without materialization every reference recomputes the
-    # full shingle->signature hash chain. One lazy localCheckpoint makes
-    # it (id, band, band_key) rows computed exactly once; at corpus
-    # scale this is the stored-signatures design (hash once, join many).
+    # full shingle->signature chain, which contains a SHUFFLE (the
+    # explode+groupBy minhash aggregation), so each recompute repeats a
+    # full exchange. One lazy localCheckpoint makes the (id, band,
+    # band_key) rows computed exactly once — measured ~5x on the pair
+    # query at sf0.1. (Contrast: narrow shuffle-free chains like
+    # simhash fingerprints are CHEAPER to recompute than to checkpoint,
+    # because the checkpointed RDD loses stats and costs the self-join
+    # its broadcast — so only shuffle-bearing fan-outs get this
+    # treatment.) At corpus scale this is the stored-signatures design:
+    # hash once, join many.
     b = minhash_lsh_buckets(
         docs, text_col, id_col, num_hashes, bands, shingle_n, sig_df=sig_df
     ).localCheckpoint(eager=False)
