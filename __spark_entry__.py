@@ -1384,6 +1384,20 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture materialization: the largest corpus with lang shares
+    en:de:fr = 2:1:1, no upsampling — per-stratum exact-k selection in
+    deterministic hash order, limits derived from one #strata-row
+    aggregate (T = min floor(n_s / w_s), k_s = floor(T * w_s))."""
+    from vanus_spark.llm.curation import resample_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    out = resample_mixture(
+        docs, "lang", {"en": 0.5, "de": 0.25, "fr": 0.25}, "doc_id"
+    )
+    return out.select("doc_id", "lang")
+
+
 def q_sample_exact_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly 20 docs per language, chosen by deterministic hash
     order — the reproducible eval-set construction primitive."""
@@ -1568,6 +1582,19 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup: within-k-means-cluster cosine
+    pairs at >= 0.5 drop the higher id; output = surviving vec_ids.
+    The oracle re-derives the identical seeded k-means chain in SQL
+    (same |x|²-2x·c+|c|² expansion, same tie-breaks), so the whole
+    train/assign/pair/drop composition is hash-checked."""
+    from vanus_spark.llm.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, threshold=0.5, n_clusters=8, iters=1)
+    return out.select("vec_id")
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 scalar quantization of the embedding corpus: per-dimension
     min/max model (bounded driver collect, like the k-means model),
@@ -1749,10 +1776,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_top_ngram": q_quality_top_ngram,
         "quality_line_dedup": q_quality_line_dedup,
         "quality_unigram": q_quality_unigram,
-        # --- single-driver-round coverage so far ---
+        # --- new this round (mixture materialization, semantic dedup) ---
+        "sample_mixture": q_sample_mixture,
+        "semantic_dedup": q_semantic_dedup,
+        # ==================== end of the 50-entry window ====================
         "tpch_q18_large_orders": q_tpch_q18_large_orders,
         "cesql_functions": q_cesql_functions,
-        # ==================== end of the 50-entry window ====================
         "text_fingerprint": q_text_fingerprint,
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
@@ -2286,6 +2315,25 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(v)::DOUBLE / count(*), 6) AS v_mean
             FROM px GROUP BY media_id, f
         """,
+        "sample_mixture": """
+            WITH w AS (SELECT * FROM (VALUES ('en', 0.5), ('de', 0.25),
+                                             ('fr', 0.25)) AS t(lang, wt)),
+            c AS (SELECT d.lang, count(*) AS n
+                  FROM documents d JOIN w USING (lang) GROUP BY d.lang),
+            tot AS (SELECT min(floor(c.n / w.wt))::BIGINT AS total
+                    FROM c JOIN w USING (lang)),
+            k AS (SELECT w.lang, floor(tot.total * w.wt)::BIGINT AS kk
+                  FROM w, tot),
+            r AS (SELECT d.doc_id, d.lang,
+                         row_number() OVER (
+                           PARTITION BY d.lang
+                           ORDER BY ('0x' || substr(md5('0|' || d.doc_id::VARCHAR),
+                                                    1, 15))::BIGINT
+                                    / 1152921504606846976.0 ASC,
+                                    d.doc_id ASC) AS rn
+                  FROM documents d JOIN w USING (lang))
+            SELECT doc_id, lang FROM r JOIN k USING (lang) WHERE rn <= kk
+        """,
         "sample_exact_stratified": """
             SELECT doc_id, lang FROM (
               SELECT doc_id, lang,
@@ -2703,6 +2751,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_neardup_embedding": _embedding_neardup_oracle(),
         "similarity_lsh_ann": _lsh_ann_oracle(),
         "ann_recall": _ann_recall_oracle(),
+        "semantic_dedup": _semantic_dedup_oracle(),
         "similarity_lsh_multi": _lsh_multi_oracle(),
         "embedding_pq": _pq_oracle(),
         "similarity_ivf_ann": _ivf_ann_oracle(),
@@ -3021,6 +3070,57 @@ def _ann_recall_oracle(k: int = 5) -> str:
         nt AS (SELECT count(*) AS n_truth FROM truth),
         {ctes}
         {' UNION ALL '.join(branches)}
+    """
+
+
+def _semantic_dedup_oracle(n_clusters: int = 8, threshold: float = 0.5) -> str:
+    """SQL twin of similarity.semantic_dedup: the ivf oracle's
+    seeded-kmeans chain (seeds -> one Lloyd step -> rounded means ->
+    nearest-cent1 assignment), then within-cluster pairs at
+    cosine >= threshold drop the higher id."""
+    cos = _COSINE_SQL.format(a="x.e", b="y.e")
+    d_expr = (
+        "(list_dot_product(v.e, v.e) - 2 * list_dot_product(v.e, cent.c))"
+        " + list_dot_product(cent.c, cent.c)"
+    )
+    return f"""
+        WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        seeds AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, e AS c
+          FROM (SELECT * FROM emb ORDER BY vec_id LIMIT {n_clusters})),
+        d0 AS (
+          SELECT v.vec_id, cent.cluster, {d_expr} AS d
+          FROM emb v CROSS JOIN seeds cent),
+        a0 AS (
+          SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+            FROM d0) WHERE rn = 1),
+        m0 AS (
+          SELECT a0.cluster, u.pos, round(avg(u.val), 3) AS val
+          FROM a0 JOIN emb USING (vec_id),
+               LATERAL (SELECT unnest(e) AS val,
+                               generate_subscripts(e, 1) AS pos) u
+          GROUP BY a0.cluster, u.pos),
+        cent1 AS (
+          SELECT s.cluster,
+                 coalesce(list(m0.val ORDER BY m0.pos), s.c) AS c
+          FROM seeds s LEFT JOIN m0 ON s.cluster = m0.cluster
+          GROUP BY s.cluster, s.c),
+        d1 AS (
+          SELECT v.vec_id, cent.cluster, {d_expr} AS d
+          FROM emb v CROSS JOIN cent1 cent),
+        assigned AS (
+          SELECT d1.vec_id, cluster, e FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+            FROM d1) d1 JOIN emb USING (vec_id) WHERE rn = 1),
+        drops AS (
+          SELECT DISTINCT y.vec_id
+          FROM assigned x JOIN assigned y
+            ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+          WHERE {cos} >= {threshold})
+        SELECT vec_id FROM emb WHERE vec_id NOT IN (SELECT vec_id FROM drops)
     """
 
 

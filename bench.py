@@ -70,6 +70,8 @@ HEADLINE = [
     "filter_multi_data",
     "ann_recall",
     "bpe_merges",
+    "sample_mixture",
+    "semantic_dedup",
 ]
 
 

@@ -173,3 +173,24 @@ def test_exact_stratified_sample(spark):
     # small stratum: returns all of it
     tiny = exact_stratified_sample(df.where("doc_id < 4"), "lang", 10, "doc_id")
     assert tiny.count() == 4
+
+
+def test_resample_mixture_exact_shares(spark):
+    """The materialized mixture honors the weights exactly (floor
+    rounding), capped by the stratum that runs out first, and is
+    deterministic in hash order."""
+    from vanus_spark.llm.curation import resample_mixture
+
+    rows = [(i, "en" if i < 60 else ("de" if i < 80 else "fr")) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = resample_mixture(df, "lang", {"en": 0.5, "de": 0.25, "fr": 0.25}, "doc_id")
+    got = out.groupBy("lang").count().collect()
+    by = {r.lang: r["count"] for r in got}
+    # T = min(60/.5, 20/.25, 20/.25) = 80 -> en 40, de 20, fr 20
+    assert by == {"en": 40, "de": 20, "fr": 20}
+    # deterministic: same call, same rows
+    again = resample_mixture(df, "lang", {"en": 0.5, "de": 0.25, "fr": 0.25}, "doc_id")
+    assert {r.doc_id for r in out.collect()} == {r.doc_id for r in again.collect()}
+    # unknown strata are dropped; weights renormalize
+    out2 = resample_mixture(df, "lang", {"en": 1.0}, "doc_id")
+    assert out2.count() == 60 and {r.lang for r in out2.collect()} == {"en"}

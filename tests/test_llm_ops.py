@@ -512,3 +512,23 @@ def test_pq_encode_roundtrip_properties(spark, emb):
     by_id = {r.vec_id: r.mse for r in rows}
     mean_mse = sum(by_id.values()) / len(by_id)
     assert mean_mse > 0
+
+
+def test_semantic_dedup_drops_within_cluster_clones(spark, emb):
+    """The SemDeDup shape: near-identical embeddings land in one
+    k-means cluster and only the lowest id survives; dissimilar
+    vectors are untouched."""
+    from vanus_spark.llm.similarity import semantic_dedup
+
+    survivors = {r.vec_id for r in semantic_dedup(emb, threshold=0.95).collect()}
+    all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    dropped = all_ids - survivors
+    # any dropped id must have a surviving near-duplicate with a lower id
+    from vanus_spark.llm.similarity import cosine_topk
+
+    if dropped:
+        top1 = cosine_topk(emb, emb.where(F.col("vec_id").isin(*dropped)), k=1)
+        best = {r.query_id: (r.neighbor_id, r.cosine) for r in top1.collect()}
+        for d in dropped:
+            nb, cos = best[d]
+            assert cos >= 0.95 and nb < d

@@ -296,3 +296,48 @@ def exact_stratified_sample(
         .where(F.col("_rn") <= n_per_stratum)
         .drop("_rn")
     )
+
+
+def resample_mixture(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    key_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Materialize the largest corpus whose strata follow ``weights``
+    exactly (up to floor rounding) WITHOUT upsampling — the data-mixing
+    step that turns per-source weights into an actual training corpus.
+
+    The feasible total is capped by whichever stratum runs out first:
+    T = min_s floor(n_s / w_s); each stratum then keeps
+    k_s = floor(T * w_s) rows in deterministic hash order of
+    ``key_col`` (reproducible across runs, engines, and task retries).
+    One #strata-row aggregate collect derives the limits; the data
+    path is a single per-stratum window — parallelism #strata, no
+    second scan. Strata not named in ``weights`` are dropped.
+    """
+    wsum = sum(weights.values())
+    norm = {s: w / wsum for s, w in weights.items() if w > 0}
+    counts = {
+        r[0]: r[1]
+        for r in df.where(F.col(strata_col).isin(*norm))
+        .groupBy(strata_col)
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    if not counts:
+        return df.limit(0)
+    total = min(int(counts.get(s, 0) / w) for s, w in norm.items())
+    limits = {s: int(total * w) for s, w in norm.items()}
+    u = hash_uniform(F.col(key_col), seed)
+    win = Window.partitionBy(strata_col).orderBy(u.asc(), F.col(key_col).asc())
+    limit = F.lit(0)
+    for s, k in sorted(limits.items()):
+        limit = F.when(F.col(strata_col) == s, F.lit(k)).otherwise(limit)
+    return (
+        df.where(F.col(strata_col).isin(*norm))
+        .withColumn("_rn", F.row_number().over(win))
+        .where(F.col("_rn") <= limit)
+        .drop("_rn")
+    )

@@ -620,3 +620,50 @@ def pq_encode(
         F.array(*[F.col(f"_p{s}.c") for s in range(len(codebooks))]).alias("codes"),
         (total_err / F.lit(dim)).alias("mse"),
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    n_clusters: int = 8,
+    iters: int = 1,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-partition the embedding space, compare
+    cosine ONLY within a cluster, and drop the higher id of every pair
+    at or above ``threshold`` — the surviving corpus keeps one
+    representative per semantic near-duplicate group.
+
+    Scale shape: the pairwise work is bounded per cluster (never a
+    corpus-wide self-join); at 100 TB the cluster id is a write-time
+    partition key and each partition dedups independently. The k×dim
+    centroid model is the only driver-side state (trained on a sample
+    upstream via ``centroids=``)."""
+    if centroids is None:
+        centroids = kmeans_centroids(corpus, n_clusters, iters, id_col, vec_col)
+    cvec = F.col(vec_col).cast("array<double>")
+    tagged = corpus.select(
+        F.col(id_col),
+        cvec.alias("_v"),
+        l2_norm(cvec).alias("_norm"),
+        _nearest_clusters(cvec, centroids, 1)[0].alias("cluster"),
+    )
+    a, b = tagged.alias("a"), tagged.alias("b")
+    drops = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .where(
+            (dot(F.col("a._v"), F.col("b._v"))
+             / (F.col("a._norm") * F.col("b._norm")))
+            >= threshold
+        )
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(drops, id_col, "left_anti")
