@@ -1479,6 +1479,48 @@ def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> signup -> purchase: a user reaches step
+    k only via an event strictly after their step-(k-1) entry time.
+    Three per-user min aggregations chained by key joins — all on
+    user_id, so one shuffle partitioning serves the whole chain."""
+    ev = _t(spark, sf_dir, "events")
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "signup")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    parts = [
+        s1.agg(F.count("*").alias("n_users")).select(
+            F.lit("view").alias("step"), "n_users"
+        ),
+        s2.agg(F.count("*").alias("n_users")).select(
+            F.lit("signup").alias("step"), "n_users"
+        ),
+        s3.agg(F.count("*").alias("n_users")).select(
+            F.lit("purchase").alias("step"), "n_users"
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization: 4 subvector k-means codebooks (8
     codewords each, seeded + 1 Lloyd iteration), per-vector codes +
@@ -1775,11 +1817,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gopher": q_quality_gopher,
         "quality_top_ngram": q_quality_top_ngram,
         "quality_line_dedup": q_quality_line_dedup,
-        "quality_unigram": q_quality_unigram,
-        # --- new this round (mixture materialization, semantic dedup) ---
+        # --- new this round (mixture, semantic dedup, funnel) ---
         "sample_mixture": q_sample_mixture,
         "semantic_dedup": q_semantic_dedup,
+        "events_funnel": q_events_funnel,
         # ==================== end of the 50-entry window ====================
+        "quality_unigram": q_quality_unigram,
         "tpch_q18_large_orders": q_tpch_q18_large_orders,
         "cesql_functions": q_cesql_functions,
         "text_fingerprint": q_text_fingerprint,
@@ -2396,6 +2439,23 @@ def oracle_sql() -> dict[str, str]:
             (54, 'c', 't'), (55, 'ct', 'or'), (56, 'ctor', '</w>'),
             (57, 'd', 'er</w>'), (58, 'e', 'ctor</w>'), (59, 'or', 'der</w>')
             ) AS t(merge_rank, lhs, rhs)
+        """,
+        "events_funnel": """
+            WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t2
+                   FROM events e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'signup' AND e.ts > s1.t1
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t3
+                   FROM events e JOIN s2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                   GROUP BY e.user_id)
+            SELECT 'view' AS step, (SELECT count(*) FROM s1) AS n_users
+            UNION ALL
+            SELECT 'signup', (SELECT count(*) FROM s2)
+            UNION ALL
+            SELECT 'purchase', (SELECT count(*) FROM s3)
         """,
         "events_cohort_retention": """
             WITH f AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort

@@ -72,6 +72,7 @@ HEADLINE = [
     "bpe_merges",
     "sample_mixture",
     "semantic_dedup",
+    "events_funnel",
 ]
 
 
