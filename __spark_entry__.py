@@ -1216,6 +1216,32 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dup_pairs(docs, min_len=40, seed_len=8, anchor_mod=4)
 
 
+def q_quality_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backoff-bigram LM scoring with a HELD-OUT model (trained on
+    doc_id < 250, scoring every document): unseen word transitions
+    take the stupid-backoff branch (alpha * unigram p), so both the
+    bigram path and the backoff path are hash-checked."""
+    from vanus_spark.llm.qualityrules import (
+        bigram_model,
+        bigram_score,
+        unigram_model,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") < 250)
+    out = bigram_score(
+        docs,
+        uni_df=unigram_model(train),
+        big_df=bigram_model(train),
+    )
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        "backoff_count",
+        F.round("avg_logprob2", 6).alias("avg_logprob2"),
+    )
+
+
 def q_quality_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-trained unigram LM scoring (perplexity-proxy corpus
     filter): corpus-wide token counts, then each document's mean token
@@ -1812,7 +1838,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_pipeline_compiled": q_transform_pipeline_compiled,
         "transform_template_full": q_transform_template_full,
         "http_ingest_roundtrip": q_http_ingest_roundtrip,
-        "publish_roundrobin": q_publish_roundrobin,
         # --- quality rules (recently added; keep a driver eye on them) ---
         "quality_gopher": q_quality_gopher,
         "quality_top_ngram": q_quality_top_ngram,
@@ -1821,7 +1846,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mixture": q_sample_mixture,
         "semantic_dedup": q_semantic_dedup,
         "events_funnel": q_events_funnel,
+        "quality_bigram": q_quality_bigram,
         # ==================== end of the 50-entry window ====================
+        "publish_roundrobin": q_publish_roundrobin,
         "quality_unigram": q_quality_unigram,
         "tpch_q18_large_orders": q_tpch_q18_large_orders,
         "cesql_functions": q_cesql_functions,
@@ -2546,6 +2573,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, source, n_docs, n_tokens,
                    round(n_tokens / tot.t, 9) AS token_share
             FROM per, tot
+        """,
+        "quality_bigram": f"""
+            WITH w AS (SELECT doc_id, str_split({norm_text}, ' ') AS wd
+                       FROM documents),
+            pairs AS (SELECT doc_id,
+                             unnest(wd[1:len(wd)-1]) AS prev,
+                             unnest(wd[2:len(wd)]) AS tok
+                      FROM w WHERE len(wd) >= 2),
+            ttk AS (SELECT unnest(str_split({norm_text}, ' ')) AS tok
+                    FROM documents WHERE doc_id < 250),
+            uni AS (SELECT tok, count(*) AS c FROM ttk GROUP BY tok),
+            tot AS (SELECT sum(c) AS t FROM uni),
+            tbg AS (SELECT doc_id, wd FROM w WHERE doc_id < 250),
+            tpairs AS (SELECT unnest(wd[1:len(wd)-1]) AS prev,
+                              unnest(wd[2:len(wd)]) AS tok
+                       FROM tbg WHERE len(wd) >= 2),
+            big AS (SELECT prev, tok, count(*) AS bc
+                    FROM tpairs GROUP BY prev, tok)
+            SELECT p.doc_id,
+                   count(*)::BIGINT AS n_bigrams,
+                   sum(CASE WHEN b.bc IS NULL THEN 1 ELSE 0 END)::BIGINT
+                     AS backoff_count,
+                   round(avg(ln(CASE WHEN b.bc IS NOT NULL
+                                     THEN b.bc::DOUBLE / up.c
+                                     ELSE 0.4 * greatest(coalesce(ut.c, 0), 1)::DOUBLE
+                                          / tot.t END)), 6)
+                     AS avg_logprob2
+            FROM pairs p
+            LEFT JOIN big b ON p.prev = b.prev AND p.tok = b.tok
+            LEFT JOIN uni up ON p.prev = up.tok
+            LEFT JOIN uni ut ON p.tok = ut.tok
+            CROSS JOIN tot
+            GROUP BY p.doc_id
         """,
         "quality_unigram": f"""
             WITH tk AS (SELECT doc_id, unnest(str_split({norm_text}, ' ')) AS tok

@@ -73,6 +73,7 @@ HEADLINE = [
     "sample_mixture",
     "semantic_dedup",
     "events_funnel",
+    "quality_bigram",
 ]
 
 

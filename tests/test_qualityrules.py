@@ -107,3 +107,40 @@ def test_unigram_score_stored_model_oov(spark):
     # z is OOV: counted, probability contributes 0, logprob floors at 1
     assert row.oov_count == 2
     assert abs(row.avg_tok_prob - 2 / (3 * 3)) < 1e-12
+
+
+def test_bigram_score_golden(spark):
+    """Hand-computed backoff-bigram values on a tiny corpus: model
+    trained on doc 1 only, scored over both docs so the backoff
+    branch is exercised."""
+    import math
+
+    from vanus_spark.llm.qualityrules import (
+        bigram_model,
+        bigram_score,
+        unigram_model,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    train = docs.where("doc_id = 1")
+    out = {
+        r.doc_id: r
+        for r in bigram_score(
+            docs, uni_df=unigram_model(train), big_df=bigram_model(train)
+        ).collect()
+    }
+    # train bigrams: (a,b)x2, (b,a)x1; unigrams: a:2, b:2, T=4
+    r1 = out[1]
+    assert r1.n_bigrams == 3 and r1.backoff_count == 0
+    # p(a->b)=2/2=1 twice, p(b->a)=1/2
+    assert r1.avg_logprob2 == pytest.approx(
+        (math.log(1.0) * 2 + math.log(0.5)) / 3
+    )
+    r2 = out[2]
+    assert r2.n_bigrams == 2 and r2.backoff_count == 1
+    # p(a->b)=1; (b,c) unseen -> 0.4 * max(c_c,1)/T = 0.4 * 1/4
+    assert r2.avg_logprob2 == pytest.approx(
+        (math.log(1.0) + math.log(0.4 * 1 / 4)) / 2
+    )

@@ -268,3 +268,88 @@ def unigram_score(
             - F.log(F.first("_total").cast("double"))
         ).alias("avg_logprob"),
     )
+
+
+def bigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(prev, tok, big_count): corpus-wide bigram counts over adjacent
+    word pairs WITHIN each document. Same shape as unigram_model: one
+    explode + one partial-agg groupBy; at 100 TB a stored model table."""
+    def pairs_of(w: Column) -> Column:
+        n = F.size(w)
+        return F.zip_with(
+            F.slice(w, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(w, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("prev"), b.alias("tok")),
+        )
+
+    bg = docs.select(
+        F.explode(bound(_words(F.col(text_col)), pairs_of)).alias("bg")
+    )
+    return bg.select("bg.prev", "bg.tok").groupBy("prev", "tok").agg(
+        F.count("*").alias("big_count")
+    )
+
+
+def bigram_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+    uni_df: DataFrame | None = None,
+    big_df: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document backoff-bigram LM score (the KenLM-style corpus
+    quality filter, one order up from unigram_score): for each
+    adjacent pair, p = big_count/prev_count when the bigram is in the
+    model, else the stupid-backoff alpha * unigram p(tok). Returns
+    (id, n_bigrams, backoff_count, avg_logprob2).
+
+    Self-trained on ``docs`` (the self-perplexity filter: documents
+    whose word TRANSITIONS are unusual for the corpus score low even
+    when every individual word is common). Shape: explode pairs ->
+    three key joins against the model tables (bigram, prev-unigram,
+    tok-unigram — AQE handles head-word skew) -> per-doc partial agg;
+    the 1-row total broadcasts. Pass ``uni_df``/``big_df`` to score
+    against a model trained elsewhere (e.g. on a held-out snapshot) —
+    then unseen transitions actually take the backoff branch."""
+    uni = uni_df if uni_df is not None else unigram_model(docs, text_col, id_col)
+    big = big_df if big_df is not None else bigram_model(docs, text_col)
+    total = uni.agg(F.sum("tok_count").alias("_total"))
+
+    def pairs_of(w: Column) -> Column:
+        n = F.size(w)
+        return F.zip_with(
+            F.slice(w, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(w, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("prev"), b.alias("tok")),
+        )
+
+    pairs = docs.select(
+        F.col(id_col), F.explode(bound(_words(F.col(text_col)), pairs_of)).alias("bg")
+    ).select(id_col, F.col("bg.prev").alias("prev"), F.col("bg.tok").alias("tok"))
+    prev_counts = uni.select(
+        F.col("tok").alias("prev"), F.col("tok_count").alias("prev_count")
+    )
+    j = (
+        pairs.join(big, ["prev", "tok"], "left")
+        .join(prev_counts, "prev", "left")
+        .join(uni, "tok", "left")
+        .crossJoin(F.broadcast(total))
+    )
+    p = F.when(
+        F.col("big_count").isNotNull(),
+        F.col("big_count").cast("double") / F.col("prev_count"),
+    ).otherwise(
+        # OOV tok floors at count 1 (like unigram_score) so a held-out
+        # model never produces ln(0)
+        F.lit(alpha)
+        * F.greatest(F.coalesce(F.col("tok_count"), F.lit(0)), F.lit(1)).cast("double")
+        / F.col("_total")
+    )
+    return j.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum(F.when(F.col("big_count").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("backoff_count"),
+        F.avg(F.log(p)).alias("avg_logprob2"),
+    )
