@@ -74,19 +74,20 @@ def gopher_flags(
         F.col(id_col),
         _words(F.col(text_col)).alias("_w"),
         _lines(F.col(text_col)).alias("_l"),
+        normalize_text(F.col(text_col)).alias("_nt"),
     )
-    w, lines = F.col("_w"), F.col("_l")
+    w, lines, nt = F.col("_w"), F.col("_l"), F.col("_nt")
     n_words = F.size(w).cast("long")
     n_lines = F.size(lines).cast("long")
-    symbols = F.aggregate(
-        w,
-        F.lit(0).cast("long"),
-        lambda acc, t: acc
-        + F.size(F.split(t, "#", -1))
-        - 1
-        + F.size(F.split(t, r"\.\.\.", -1))
-        - 1,
-    )
+    # '#' and '...' counts over the whole normalized text equal the
+    # per-word sums (words are single-space separated, so a '...' run
+    # never spans a word boundary) — four flat string ops per row
+    # instead of a higher-order aggregate running two regex splits per
+    # word
+    symbols = (
+        (F.length(nt) - F.length(F.replace(nt, F.lit("#"), F.lit(""))))
+        + (F.length(nt) - F.length(F.replace(nt, F.lit("..."), F.lit("")))) / 3
+    ).cast("long")
     alpha_words = F.size(F.filter(w, lambda t: t.rlike("[a-z]")))
     bullet_lines = F.size(
         F.filter(lines, lambda l: F.ltrim(l).rlike("^[-*•]"))
