@@ -108,3 +108,33 @@ def test_compile_text_template_column(spark, cloudevents):
     for r in rows:
         uid = json.loads(r.data)["user_id"]
         assert r.t == f"uid={uid}:{r.type}"
+
+
+def test_user_registered_custom_action(cloudevents):
+    """The §2.12 extensibility surface (reference runtime.AddAction,
+    pkg/transform/runtime/action.go:28-41): a user registers a named
+    action into the interpreter registry and uses it in a pipeline
+    like any built-in — arity checks, skip-on-error, and arg
+    addressing all apply."""
+    from vanus_spark.actions.interp import register
+    from vanus_spark.casts import py_cast
+    from vanus_spark.transformer import transform_dataframe
+
+    @register("REVERSE_STRING", 1)
+    def _reverse(args, ctx):
+        v = py_cast(args[0].evaluate(ctx), "string")
+        args[0].set_value(ctx, v[::-1])
+
+    out = transform_dataframe(
+        cloudevents.limit(20),
+        {
+            "pipeline": [
+                ["CREATE", "$.data.s", "hello"],
+                ["REVERSE_STRING", "$.data.s"],
+            ]
+        },
+    )
+    import json
+
+    rows = [json.loads(r.data) for r in out.collect()]
+    assert all(r["s"] == "olleh" for r in rows)

@@ -813,3 +813,28 @@ def build_action(command: list[Any]) -> BoundAction:  # noqa: F811
     ):
         return build_array_foreach(command)
     return _plain_build_action(command)
+
+
+# ---------------------------------------------------------------------------
+# user extensibility (reference: runtime.AddAction, runtime/action.go:28-41)
+# ---------------------------------------------------------------------------
+
+# names present at import time = the built-in action set; anything
+# registered after (user code calling ``register``) is a CUSTOM action
+# that must ship to executor Python workers explicitly — workers
+# re-import this module fresh, so driver-side registrations alone
+# would silently parse-skip there.
+_BUILTIN_ACTIONS = frozenset(_REGISTRY)
+
+
+def custom_actions() -> dict[str, ActionDef]:
+    """Registry entries added after import (user-registered actions).
+    transform_dataframe captures these into its closure so executors
+    see them; the run callables must be cloudpickle-able (module-level
+    or closure functions both work)."""
+    return {k: v for k, v in _REGISTRY.items() if k not in _BUILTIN_ACTIONS}
+
+
+def install_actions(defs: dict[str, ActionDef]) -> None:
+    """Worker-side re-registration of shipped custom actions."""
+    _REGISTRY.update(defs)

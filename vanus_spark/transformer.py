@@ -124,11 +124,21 @@ def transform_dataframe(df: DataFrame, spec: dict[str, Any] | None) -> DataFrame
         return df.withColumn("transform_error", F.lit(False))
 
     spec_json = json.dumps(spec)  # re-build inside workers: cheap & picklable
+    # user-registered actions (reference runtime.AddAction) live only in
+    # the driver's registry — capture them into the closure so the
+    # worker-side rebuild can resolve them instead of parse-skipping
+    from vanus_spark.actions.interp import custom_actions
+
+    shipped_actions = custom_actions()
 
     spec_keys = ("id", "source", "specversion", "type", "datacontenttype",
                  "dataschema", "subject")
 
     def run_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if shipped_actions:
+            from vanus_spark.actions.interp import install_actions
+
+            install_actions(shipped_actions)
         worker_tf = Transformer(json.loads(spec_json))
         for pdf in batches:
             n = len(pdf)
