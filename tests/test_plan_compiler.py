@@ -201,3 +201,32 @@ def test_render_array_compiles(spark):
     i2 = _parse(transform_dataframe(df, {"pipeline": pipeline2}).collect())
     assert c2 == i2
     assert c2["1"]["tags"] == ["static"]
+
+
+def test_register_column_action_compiles(cloudevents):
+    """§2.12 compiled-path extensibility: a user Column builder
+    registered under an action name compiles like a built-in and
+    agrees with a matching interpreter registration."""
+    from vanus_spark.actions.interp import register
+    from vanus_spark.casts import py_cast
+    from vanus_spark.plans.compiler import register_column_action, _skip_on_null
+
+    @register("SHOUT", 1)
+    def _shout_interp(args, ctx):
+        v = py_cast(args[0].evaluate(ctx), "string")
+        args[0].set_value(ctx, v.upper() + "!")
+
+    @register_column_action("SHOUT")
+    def _shout_col(state, args):
+        path = args[0][7:]  # strip "$.data."
+        old = state.get(path).cast("string")
+        state.set(
+            path,
+            _skip_on_null(state, path, F.concat(F.upper(old), F.lit("!"))),
+            "string",
+        )
+
+    pipeline = [["CREATE", "$.data.s", "hey"], ["SHOUT", "$.data.s"]]
+    compiled, interp = both_paths(cloudevents, pipeline)
+    assert compiled == interp
+    assert all(v["s"] == "HEY!" for v in compiled.values())

@@ -223,6 +223,31 @@ def compile_pipeline(
     return apply
 
 
+# ---------------------------------------------------------------------------
+# user extensibility, compiled path (§2.12: the Column-builder half of
+# the reference's AddAction registry — interp.register covers the
+# interpreted path)
+# ---------------------------------------------------------------------------
+
+# name -> builder(state, args). A builder reads/writes the evolving
+# data struct through the same _State API the built-ins use (get /
+# set / known / kind_of); raising CompileFallback sends the pipeline
+# to the interpreter.
+_CUSTOM_COLUMN_ACTIONS: dict[str, Callable[["_State", list], None]] = {}
+
+
+def register_column_action(name: str):
+    """Register a pure-Column action builder for the static compiler.
+    Pair it with an ``actions.interp.register`` entry of the same name
+    so dynamic (schemaless) pipelines keep working."""
+
+    def deco(fn: Callable[["_State", list], None]):
+        _CUSTOM_COLUMN_ACTIONS[name.upper()] = fn
+        return fn
+
+    return deco
+
+
 def _parse_render_array_template(text: str) -> tuple[list[str | None], list[str]]:
     """The interpreter's segment scan verbatim (interp.py
     _render_array): returns (segments with None placeholder markers,
@@ -664,6 +689,11 @@ def _compile_action(state: _State, cmd: list[Any]) -> None:  # noqa: PLR0912, PL
         )
         # missing array itself -> arg error -> whole action skipped
         state.set(arr_path, _skip_on_null(state, arr_path, new_arr), "array")
+        return
+
+    custom = _CUSTOM_COLUMN_ACTIONS.get(name)
+    if custom is not None:
+        custom(state, args)
         return
 
     raise CompileFallback(f"action {name} not compilable")
