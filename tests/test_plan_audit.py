@@ -1,0 +1,47 @@
+"""Plan audit: every registered query's physical plan is screened for
+scale red flags. This is the automated form of the per-round manual
+`.explain()` review — it catches a regression where an operator
+silently picks up a cartesian product or loses its parquet scan.
+
+Red flags:
+- ``CartesianProduct`` — the non-broadcast cross join (a broadcast
+  1-row total via BroadcastNestedLoopJoin is fine and expected).
+
+The audit only PLANS (no job runs for the plan inspection itself),
+but several query builders do bounded driver work while constructing
+(k-means model collects, BPE training, streaming replays), so the
+sweep runs at sf0.001 and is marked slow-ish but kept in the default
+suite — it is the widest single guard in the repo.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _entry():
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry_audit__", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+def test_no_cartesian_products_anywhere(spark):
+    m = _entry()
+    failures = []
+    for name, fn in m.queries().items():
+        try:
+            df = fn(spark, SF_DIR)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: failed to plan: {e}")
+            continue
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct in physical plan")
+    assert not failures, "\n".join(failures)
