@@ -1242,6 +1242,39 @@ def q_quality_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_c4_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level structural cleaning over deterministic synthetic
+    multi-line docs (the fixture's documents are single-line): line 1
+    always passes, line 2 is too short, line 3 alternates between a
+    drop-marker hit, missing terminal punctuation, and a clean keep.
+    The oracle states the INTENDED output in closed form from the
+    generating residues — the whole rule chain is checked end-to-end."""
+    from vanus_spark.llm.qualityrules import c4_line_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("the first proper sentence line."),
+            F.lit("short"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("this line mentions lorem ipsum sadly."),
+            ).otherwise(
+                F.concat(
+                    F.lit("another good sentence with punctuation"),
+                    F.when(F.col("doc_id") % 2 == 0, F.lit(".")).otherwise(
+                        F.lit("")
+                    ),
+                )
+            ),
+        ).alias("text"),
+    )
+    out = c4_line_filter(synth)
+    return out.select("doc_id", "text", "n_lines_in", "n_lines_kept")
+
+
 def q_quality_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-trained unigram LM scoring (perplexity-proxy corpus
     filter): corpus-wide token counts, then each document's mean token
@@ -1823,7 +1856,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "url_dedup": q_url_dedup,
         "audio_decode": q_audio_decode,
-        "video_metadata": q_video_metadata,
         "video_frame_sample": q_video_frame_sample,
         # --- filter-dependent streaming / transformer e2e ---
         "subscription_full": q_subscription_full,
@@ -1847,7 +1879,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "events_funnel": q_events_funnel,
         "quality_bigram": q_quality_bigram,
+        "quality_c4_lines": q_quality_c4_lines,
         # ==================== end of the 50-entry window ====================
+        "video_metadata": q_video_metadata,
         "publish_roundrobin": q_publish_roundrobin,
         "quality_unigram": q_quality_unigram,
         "tpch_q18_large_orders": q_tpch_q18_large_orders,
@@ -2573,6 +2607,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, source, n_docs, n_tokens,
                    round(n_tokens / tot.t, 9) AS token_share
             FROM per, tot
+        """,
+        "quality_c4_lines": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 <> 0 AND doc_id % 2 = 0
+                        THEN 'the first proper sentence line.' || chr(10)
+                             || 'another good sentence with punctuation.'
+                        ELSE 'the first proper sentence line.' END AS text,
+                   3::BIGINT AS n_lines_in,
+                   (CASE WHEN doc_id % 3 <> 0 AND doc_id % 2 = 0
+                         THEN 2 ELSE 1 END)::BIGINT AS n_lines_kept
+            FROM documents
         """,
         "quality_bigram": f"""
             WITH w AS (SELECT doc_id, str_split({norm_text}, ' ') AS wd

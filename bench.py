@@ -74,6 +74,7 @@ HEADLINE = [
     "semantic_dedup",
     "events_funnel",
     "quality_bigram",
+    "quality_c4_lines",
 ]
 
 

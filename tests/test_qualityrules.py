@@ -144,3 +144,27 @@ def test_bigram_score_golden(spark):
     assert r2.avg_logprob2 == pytest.approx(
         (math.log(1.0) + math.log(0.4 * 1 / 4)) / 2
     )
+
+
+def test_c4_line_filter_rules(spark):
+    from vanus_spark.llm.qualityrules import c4_line_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, 'a good sentence here.\nno\nAnother proper one!\nends without punct'),
+            (2, 'contains lorem ipsum text.\nthis uses javascript sadly.\nbrace { line here.'),
+            (3, 'only short\nno'),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in c4_line_filter(docs).collect()}
+    assert out[1].text == "a good sentence here.\nAnother proper one!"
+    assert out[1].n_lines_in == 4 and out[1].n_lines_kept == 2
+    assert 2 not in out  # every line hits a drop marker
+    assert 3 not in out  # every line too short / unpunctuated
+    # relaxed mode keeps unpunctuated lines
+    relaxed = {
+        r.doc_id: r
+        for r in c4_line_filter(docs, require_terminal_punct=False).collect()
+    }
+    assert relaxed[1].n_lines_kept == 3

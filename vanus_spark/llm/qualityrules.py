@@ -354,3 +354,48 @@ def bigram_score(
         .alias("backoff_count"),
         F.avg(F.log(p)).alias("avg_logprob2"),
     )
+
+
+def c4_line_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 3,
+    require_terminal_punct: bool = True,
+    drop_markers: tuple[str, ...] = ("lorem ipsum", "javascript", "{"),
+) -> DataFrame:
+    """C4's line-level structural cleaning (Raffel et al. 2020, the
+    C4 recipe): keep only lines that (a) have at least ``min_words``
+    words, (b) end in terminal punctuation (. ! ? ") when required,
+    and (c) contain none of the ``drop_markers`` (case-insensitive).
+    Documents whose every line is dropped disappear entirely.
+
+    Returns (id, text, n_lines_in, n_lines_kept) with ``text``
+    rebuilt from the surviving lines. Pure Columns: one filter over
+    the line array per row, zero shuffle at any scale."""
+    lines = _lines(F.col(text_col))
+
+    def keep(l: Column) -> Column:
+        low = F.lower(F.trim(l))
+        cond = F.size(F.split(F.trim(l), r"\s+")) >= min_words
+        if require_terminal_punct:
+            cond = cond & low.rlike('[.!?"]$')
+        for m in drop_markers:
+            cond = cond & ~low.contains(m.lower())
+        return cond
+
+    kept = bound(lines, lambda ls: F.filter(ls, keep))
+    staged = docs.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines_in"),
+        kept.alias("_kept"),
+    )
+    return (
+        staged.where(F.size("_kept") > 0)
+        .select(
+            id_col,
+            F.array_join("_kept", "\n").alias(text_col),
+            "n_lines_in",
+            F.size("_kept").cast("long").alias("n_lines_kept"),
+        )
+    )
