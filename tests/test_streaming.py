@@ -422,3 +422,22 @@ def test_apply_in_pandas_with_state_running_stats(spark, events, tmp_path):
     twice = [r for r in rows if r.user_id == list(expected)[0]]
     if len(twice) == 2:
         assert twice[0].n_events < twice[1].n_events
+
+
+def test_run_stream_metrics(spark, tmp_path):
+    """One tagged-union job per tick feeds the metrics table:
+    delivered / newly-dead / parked counts per epoch."""
+    src = str(tmp_path / "src")
+    rows = [_row(i) for i in range(6)] + [_row(100, typ="purchase")]
+    df = _envelope(spark, rows)
+    df.coalesce(1).write.parquet(src)
+    sink = FlakySink({"100"}, status=404)
+    loop = DeliveryLoop(spark, Subscription.from_spec({}), sink)
+    q = loop.run_stream(spark.readStream.schema(df.schema).parquet(src), str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    m = loop.metrics_df().collect()
+    assert sum(r.delivered for r in m) == 6
+    assert sum(r.new_dead for r in m) == 1
+    assert m[-1].pending == 0
+    assert loop.delivered_count == 6

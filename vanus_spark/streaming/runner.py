@@ -119,6 +119,7 @@ class DeliveryLoop:
         ).limit(0)
         self.dead: DataFrame = self.empty_envelope
         self.delivered_count = 0
+        self.metrics: list[dict] = []
         if state_dir:
             self._restore_state()
 
@@ -240,6 +241,13 @@ class DeliveryLoop:
 
     # ----- Structured Streaming wiring -------------------------------------
 
+    def metrics_df(self) -> DataFrame:
+        """Per-tick delivery metrics as a DataFrame (delivered /
+        newly-dead / parked per processed micro-batch — the
+        observability surface of the reference's delivery counters)."""
+        schema = "epoch long, delivered long, new_dead long, pending long"
+        return self.spark.createDataFrame(self.metrics, schema)
+
     _HEARTBEAT_ID = "__heartbeat__"
 
     def _heartbeat_stream(self) -> DataFrame:
@@ -303,9 +311,29 @@ class DeliveryLoop:
             res = self.process_batch(
                 batch_df, _dt.datetime.now(_dt.timezone.utc), tick_seconds
             )
-            # force delivery + expose progress (metrics surface, like the
-            # reference's TriggerDeliveryEventCounter)
-            self.delivered_count += res.delivered.count()
+            # force delivery + expose progress in ONE tagged-union job
+            # (the reference's TriggerDeliveryEventCounter surface:
+            # delivered / newly-dead / parked per tick)
+            counts = {
+                r["k"]: r["n"]
+                for r in (
+                    res.delivered.select(F.lit("delivered").alias("k"))
+                    .unionByName(res.dead.select(F.lit("dead").alias("k")))
+                    .unionByName(res.pending.select(F.lit("pending").alias("k")))
+                    .groupBy("k")
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                )
+            }
+            self.delivered_count += counts.get("delivered", 0)
+            self.metrics.append(
+                {
+                    "epoch": int(epoch_id),
+                    "delivered": counts.get("delivered", 0),
+                    "new_dead": counts.get("dead", 0),
+                    "pending": counts.get("pending", 0),
+                }
+            )
 
         return (
             stream_df.writeStream.foreachBatch(on_batch)
