@@ -1,0 +1,109 @@
+"""Scaling probe: how do the headline LLM operators grow with corpus
+size? Replicates the sf0.1 documents corpus R times (deterministic
+word-rotation per replica, so replicas are mostly UNIQUE documents —
+measuring throughput scaling, not dedup collapse) and times each
+operator at every multiple.
+
+Usage: python tools/scaling_probe.py [R ...]   (default 1 2 5 10)
+Writes one JSON line per (operator, R) and a summary table; the
+SCALING.md report interprets the result.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+os.environ.setdefault("PYTHONPATH", "/root/repo")
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+
+def replicate_docs(docs: DataFrame, r: int) -> DataFrame:
+    """R near-unique copies: replica k rotates each text by k words and
+    offsets ids — deterministic, shingle-distinct, same length stats."""
+    if r == 1:
+        return docs
+    reps = F.explode(F.sequence(F.lit(0), F.lit(r - 1))).alias("rep")
+    base = docs.select("doc_id", "text", "lang", reps)
+    words = F.split(F.col("text"), " ")
+
+    def rotated(w):
+        k = F.col("rep") % F.greatest(F.size(w), F.lit(1))
+        return F.concat(
+            F.slice(w, k + 1, F.size(w) - k), F.slice(w, 1, k)
+        )
+
+    return base.select(
+        (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+        F.array_join(rotated(words), " ").alias("text"),
+        "lang",
+    )
+
+
+def main() -> None:
+    from vanus_spark import get_spark
+    from vanus_spark.sources import load_table
+
+    multiples = [int(a) for a in sys.argv[1:]] or [1, 2, 5, 10]
+    spark = get_spark("scaling_probe")
+    docs0 = load_table(spark, "/root/testdata/sf0.1", "documents")
+
+    def ops(docs: DataFrame) -> dict:
+        from vanus_spark.llm.dedup import (
+            minhash_lsh_pairs,
+            near_dup_pairs,
+            simhash_df,
+        )
+        from vanus_spark.llm.pipeline import corpus_clean
+        from vanus_spark.llm.textstats import lang_id_df
+
+        return {
+            "minhash_lsh_pairs": lambda: minhash_lsh_pairs(
+                docs, num_hashes=16, bands=8
+            ).count(),
+            "near_dup_pairs": lambda: near_dup_pairs(
+                docs, threshold=0.8, num_hashes=16, bands=8
+            ).count(),
+            "simhash": lambda: simhash_df(docs, bits=16).count(),
+            "lang_id": lambda: lang_id_df(docs).count(),
+            "corpus_clean": lambda: corpus_clean(docs).count(),
+        }
+
+    results: dict[str, dict[int, float]] = {}
+    for r in multiples:
+        docs = replicate_docs(docs0, r).localCheckpoint(eager=True)
+        n = docs.count()
+        for name, fn in ops(docs).items():
+            fn()  # warm the shape
+            t0 = time.perf_counter()
+            out = fn()
+            dt = round(time.perf_counter() - t0, 2)
+            results.setdefault(name, {})[r] = dt
+            print(
+                json.dumps(
+                    {"op": name, "multiple": r, "rows": n, "sec": dt, "out": out}
+                ),
+                flush=True,
+            )
+        docs.unpersist()
+
+    print("\n== scaling summary (seconds; columns = corpus multiple) ==")
+    header = "op".ljust(20) + "".join(f"{r:>8}x" for r in multiples)
+    print(header)
+    for name, times in results.items():
+        row = name.ljust(20) + "".join(
+            f"{times.get(r, float('nan')):>9.2f}" for r in multiples
+        )
+        base = times.get(multiples[0])
+        last = times.get(multiples[-1])
+        if base and last:
+            row += f"   ({last / base:.1f}x time at {multiples[-1]}x data)"
+        print(row)
+
+
+if __name__ == "__main__":
+    main()
