@@ -1,0 +1,74 @@
+"""CLI e2e: the vsctl-style command surface (reference tool/vsctl)
+driven in-process (argv-parsed through the real main(), stdout
+captured) so each command exercises the same code path a shell user
+hits — without paying a fresh JVM per invocation."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import sys
+
+
+def _vsctl(capsys, *argv) -> list[dict]:
+    spec = importlib.util.spec_from_file_location(
+        "vsctl_under_test", "/root/repo/tools/vsctl.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    old = sys.argv
+    sys.argv = ["vsctl", *argv]
+    try:
+        m.main()
+    finally:
+        sys.argv = old
+    out = capsys.readouterr().out
+    return [json.loads(line) for line in out.splitlines() if line.strip()]
+
+
+def test_cli_get_and_query(spark, sf_dir, capsys):
+    bus = f"{sf_dir}/events.parquet"
+    rows = _vsctl(capsys, "get", "--bus", bus, "--eventlog", "1", "--offset", "0",
+                  "--number", "3")
+    assert len(rows) == 3
+    assert all(r["eventlog"] == "1" for r in rows)
+    assert [int(r["offset"]) for r in rows] == [0, 1, 2]
+
+    q = _vsctl(capsys, "query", "--bus", bus, "--time", "2024-01-02T00:00:00")
+    assert len(q) >= 1
+    assert all("eventlog" in r and "offset" in r for r in q)
+
+
+def test_cli_put_and_validate(spark, tmp_path, capsys):
+    out = _vsctl(
+        capsys, "put", "--bus", str(tmp_path), "--data", '{"k": 1}',
+        "--type", "demo",
+    )
+    assert out[-1] == {"published": 1, "delayed": 0}
+
+    delayed = _vsctl(
+        capsys, "put", "--bus", str(tmp_path), "--data", '{"k": 2}',
+        "--type", "demo", "--delay", "2099-01-01T00:00:00Z",
+    )
+    assert delayed[-1] == {"published": 0, "delayed": 1}
+
+    v = _vsctl(
+        capsys, "validate",
+        "--subscription",
+        json.dumps({
+            "filters": [{"exact": {"type": "demo"}}],
+            "transformer": {"pipeline": [["UPPER_CASE", "$.data.s"]]},
+        }),
+        "--event",
+        json.dumps({"id": "9", "type": "demo", "data": {"s": "hello"}}),
+    )
+    assert v[-1]["filter_result"] is True
+    assert v[-1]["transform_error"] is False
+    assert json.loads(v[-1]["transformed"]) == {"s": "HELLO"}
+
+    miss = _vsctl(
+        capsys, "validate",
+        "--subscription", json.dumps({"filters": [{"exact": {"type": "other"}}]}),
+        "--event", json.dumps({"id": "9", "type": "demo", "data": {}}),
+    )
+    assert miss[-1] == {"filter_result": False}
