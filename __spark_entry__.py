@@ -1122,6 +1122,17 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced export sharding: per-lang running token sums
+    assign each doc the shard where its first token lands (~2000
+    tokens per shard, docs never split). The writer's
+    partitionBy(lang, shard) then yields near-target files."""
+    from vanus_spark.llm.curation import shard_assignment
+
+    docs = _t(spark, sf_dir, "documents")
+    return shard_assignment(docs, target_tokens=2000, group_col="lang")
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-then-chunk packing into 256-token context windows,
     one stream per language."""
@@ -1856,7 +1867,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "url_dedup": q_url_dedup,
         "audio_decode": q_audio_decode,
-        "video_frame_sample": q_video_frame_sample,
         # --- filter-dependent streaming / transformer e2e ---
         "subscription_full": q_subscription_full,
         "fanout_multi_sub": q_fanout_multi_sub,
@@ -1880,7 +1890,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "quality_bigram": q_quality_bigram,
         "quality_c4_lines": q_quality_c4_lines,
+        "export_shards": q_export_shards,
         # ==================== end of the 50-entry window ====================
+        "video_frame_sample": q_video_frame_sample,
         "video_metadata": q_video_metadata,
         "publish_roundrobin": q_publish_roundrobin,
         "quality_unigram": q_quality_unigram,
@@ -2960,6 +2972,7 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 0.05 END
         """,
         "pack_sequences": _pack_sequences_oracle(),
+        "export_shards": _shard_assignment_oracle(),
         "dedup_incremental": _incremental_dedup_oracle(),
         "dedup_incremental_stream": _incremental_stream_oracle(),
         "dedup_components": _components_oracle(),
@@ -3020,6 +3033,30 @@ def _contamination_oracle(threshold: float = 0.2) -> str:
                coalesce(o.n_overlap, 0) / greatest(t.n_shingles, 1)
                  >= {threshold} AS contaminated
         FROM totals t LEFT JOIN overlap o USING (doc_id)
+    """
+
+
+def _shard_assignment_oracle(target: int = 2000) -> str:
+    """SQL twin of q_export_shards (curation.shard_assignment): the
+    pack_sequences running-sum window with shard = floor(cum_before /
+    target) — a doc lands in the shard where its first token falls."""
+    norm = _NORM.format(c="text")
+    return f"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 (CASE WHEN length({norm}) = 0 THEN 0
+                       ELSE len(str_split({norm}, ' ')) END)::BIGINT AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT doc_id, lang, n_tokens,
+                 (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+                   AS cum
+          FROM t)
+        SELECT doc_id, lang, n_tokens,
+               floor((cum - n_tokens) / {target}.0)::BIGINT AS shard,
+               ((cum - n_tokens) % {target})::BIGINT AS shard_tokens_before
+        FROM c
     """
 
 

@@ -75,6 +75,7 @@ HEADLINE = [
     "events_funnel",
     "quality_bigram",
     "quality_c4_lines",
+    "export_shards",
 ]
 
 

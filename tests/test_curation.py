@@ -194,3 +194,17 @@ def test_resample_mixture_exact_shares(spark):
     # unknown strata are dropped; weights renormalize
     out2 = resample_mixture(df, "lang", {"en": 1.0}, "doc_id")
     assert out2.count() == 60 and {r.lang for r in out2.collect()} == {"en"}
+
+
+def test_shard_assignment_balanced(spark):
+    from vanus_spark.llm.curation import shard_assignment
+
+    rows = [(i, "en", " ".join(["w"] * 10)) for i in range(10)]  # 10 tokens each
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = shard_assignment(df, target_tokens=25, group_col="lang").collect()
+    by = {r.doc_id: r for r in out}
+    # cum_before: 0,10,20,...,90 -> shard = floor(/25): 0,0,0,1,1,2,2,2,3,3
+    assert [by[i].shard for i in range(10)] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+    assert by[3].shard_tokens_before == 30 % 25
+    # doc never splits: every doc appears exactly once
+    assert len(out) == 10

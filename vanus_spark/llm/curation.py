@@ -341,3 +341,39 @@ def resample_mixture(
         .where(F.col("_rn") <= limit)
         .drop("_rn")
     )
+
+
+def shard_assignment(
+    docs: DataFrame,
+    target_tokens: int,
+    group_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-balanced shard ids for training-data EXPORT: within each
+    ``group_col`` stream, docs in ``id_col`` order accumulate into a
+    shard until its running token total would pass ``target_tokens``
+    (a document never splits — shards overshoot by at most one doc,
+    the standard WebDataset/jsonl.gz sharding rule).
+
+    shard = floor(cum_before / target): deterministic, one running-sum
+    window per group — parallelism is #groups, never a global sort.
+    Writers then ``partitionBy(group, shard)`` so each output file
+    lands near the target size. Returns (id, group, n_tokens, shard,
+    shard_tokens_before)."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = whitespace_token_count(F.col(text_col))
+    staged = docs.select(F.col(id_col), F.col(group_col), toks.alias("n_tokens"))
+    cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    shard = F.floor(cum_before / target_tokens)
+    return staged.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col("n_tokens"),
+        shard.cast("long").alias("shard"),
+        (cum_before % target_tokens).cast("long").alias("shard_tokens_before"),
+    )
