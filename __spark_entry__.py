@@ -1660,10 +1660,15 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 8)
+    # eager: all three method branches of the final union semi-join
+    # this frame inside ONE job — a lazy checkpoint would be computed
+    # by the first branch to touch it and raced/recomputed by the
+    # others (measured 3x the brute-force cost); materializing it up
+    # front makes every branch a checkpoint-block read
     truth = (
         cosine_topk(emb, queries_df, k=5)
         .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     methods = [
         ("ivf_ann", ivf_ann(emb, queries_df, k=5, n_clusters=8, n_probe=2, iters=1)),

@@ -104,6 +104,16 @@ def main() -> None:
             force(qs[name](spark, sf_dir))
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
+        # Isolate queries from each other: drop persisted frames and
+        # release checkpoint RDD references so a query that caches
+        # internals (e.g. corpus_clean's signature table) cannot pile
+        # storage/GC pressure onto every query measured after it
+        # (observed: late-suite queries ran 3-4x slower inside the
+        # suite than in isolation before this).
+        import gc
+
+        spark.catalog.clearCache()
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     print(

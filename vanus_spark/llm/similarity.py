@@ -16,12 +16,30 @@ no Python in the hot path.
 
 from __future__ import annotations
 
+import json
 import math
 import random
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from vanus_spark.llm.dedup import bound
+
+
+def lit_vec(vals) -> Column:
+    """Literal array<double> built JVM-side in ONE py4j round trip.
+
+    ``F.lit(list)`` / ``F.array(*[F.lit(x) ...])`` cost one py4j call
+    PER ELEMENT — for model literals (hyperplanes, centroids,
+    codebooks: k x dim doubles) that is thousands of driver round
+    trips per query build (measured ~1 s per 6x64 plane set). A SQL
+    ``array(...)`` string parses JVM-side; ``repr`` is shortest
+    round-trip so the doubles are bit-identical. Non-finite values
+    fall back to from_json (constant-folded by Catalyst either way).
+    """
+    vs = [float(v) for v in vals]
+    if all(math.isfinite(v) for v in vs):
+        return F.expr("array(" + ",".join(repr(v) + "D" for v in vs) + ")")
+    return F.from_json(F.lit(json.dumps(vs)), "array<double>")
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -98,13 +116,15 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit signature: bit i = (vec · plane_i) >= 0. Emitted as a
     bit string so it works as a plain join key. The casted vector is
     lambda-bound (see dedup.bound) so the O(dim) cast runs once per
-    row, not once per plane."""
+    row, not once per plane. (An unrolled-SQL variant was measured
+    SLOWER warm than the HOF form — the giant generated method falls
+    out of JIT/codegen sweet spots — so the HOF stays.)"""
 
     def bits(v: Column) -> Column:
         return F.concat(
             *[
                 F.when(
-                    dot(v, F.array(*[F.lit(p) for p in plane])) >= 0, F.lit("1")
+                    dot(v, lit_vec(plane)) >= 0, F.lit("1")
                 ).otherwise(F.lit("0"))
                 for plane in planes
             ]
@@ -128,17 +148,27 @@ def lsh_ann(
     top-k. Recall < 1.0 by design; raise n_planes/tables for
     precision at scale."""
     planes = random_hyperplanes(dim, n_planes, seed)
+    # two-stage: project the cast once to a named column, then the
+    # unrolled signature references that ATTRIBUTE (CollapseProject
+    # keeps the stages separate because the cast is referenced dim x
+    # n_planes times — so the cast really runs once per row)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("c_vec"),
-        l2_norm(F.col(vec_col).cast("array<double>")).alias("c_norm"),
-        lsh_signature(F.col(vec_col), planes).alias("bucket"),
+    ).select(
+        "neighbor_id",
+        "c_vec",
+        l2_norm(F.col("c_vec")).alias("c_norm"),
+        lsh_signature(F.col("c_vec"), planes).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
-        l2_norm(F.col(vec_col).cast("array<double>")).alias("q_norm"),
-        lsh_signature(F.col(vec_col), planes).alias("bucket"),
+    ).select(
+        "query_id",
+        "q_vec",
+        l2_norm(F.col("q_vec")).alias("q_norm"),
+        lsh_signature(F.col("q_vec"), planes).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), ["bucket"])
@@ -162,7 +192,7 @@ def _sq_dist(vec: Column, centroid: list[float], vec_dot: Column) -> Column:
     """Squared L2 to a literal centroid via the expansion
     |x|^2 - 2 x.c + |c|^2 — one corpus-side dot per centroid, and the
     exact formula the DuckDB oracle mirrors (bit-identical folds)."""
-    c = F.array(*[F.lit(float(v)) for v in centroid])
+    c = lit_vec(centroid)
     cc = float(sum(v * v for v in centroid))
     return vec_dot - 2.0 * dot(vec, c) + F.lit(cc)
 
@@ -223,9 +253,9 @@ def kmeans_centroids(
         # inline cluster expression would re-run the whole
         # nearest-centroid chain dim times per vector (measured 4x
         # slower at sf0.1)
-        staged = corpus.select(
-            _nearest_clusters(vec, centroids, 1)[0].alias("cluster"),
-            vec.alias("_v"),
+        staged = corpus.select(vec.alias("_v")).select(
+            _nearest_clusters(F.col("_v"), centroids, 1)[0].alias("cluster"),
+            F.col("_v"),
         )
         assigned = staged.select(
             "cluster", F.posexplode("_v").alias("pos", "val")
@@ -267,16 +297,22 @@ def ivf_ann(
         centroids = kmeans_centroids(corpus, n_clusters, iters, id_col, vec_col)
     cvec = F.col(vec_col).cast("array<double>")
     inverted = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        cvec.alias("c_vec"),
-        l2_norm(cvec).alias("c_norm"),
-        _nearest_clusters(cvec, centroids, 1)[0].alias("cluster"),
+        F.col(id_col).alias("neighbor_id"), cvec.alias("c_vec")
+    ).select(
+        "neighbor_id",
+        "c_vec",
+        l2_norm(F.col("c_vec")).alias("c_norm"),
+        _nearest_clusters(F.col("c_vec"), centroids, 1)[0].alias("cluster"),
     )
     probes = queries.select(
-        F.col(id_col).alias("query_id"),
-        cvec.alias("q_vec"),
-        l2_norm(cvec).alias("q_norm"),
-        F.explode(_nearest_clusters(cvec, centroids, n_probe)).alias("cluster"),
+        F.col(id_col).alias("query_id"), cvec.alias("q_vec")
+    ).select(
+        "query_id",
+        "q_vec",
+        l2_norm(F.col("q_vec")).alias("q_norm"),
+        F.explode(_nearest_clusters(F.col("q_vec"), centroids, n_probe)).alias(
+            "cluster"
+        ),
     )
     scored = (
         inverted.join(F.broadcast(probes), ["cluster"])
@@ -308,10 +344,12 @@ def embedding_near_dup(
     """Embedding-cosine near-duplicate pairs via LSH self-join."""
     planes = random_hyperplanes(dim, n_planes, seed)
     signed = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    ).select(
         F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-        l2_norm(F.col(vec_col).cast("array<double>")).alias("_norm"),
-        lsh_signature(F.col(vec_col), planes).alias("bucket"),
+        F.col("_v"),
+        l2_norm(F.col("_v")).alias("_norm"),
+        lsh_signature(F.col("_v"), planes).alias("bucket"),
     )
     a, b = signed.alias("a"), signed.alias("b")
     return (
@@ -368,8 +406,8 @@ def quantize_embeddings_int8(
     reproduces the float arithmetic exactly."""
     if mins is None or maxs is None:
         mins, maxs = embedding_minmax(corpus, vec_col)
-    lo = F.array(*[F.lit(float(v)) for v in mins])
-    rng = F.array(*[F.lit(float(b - a)) for a, b in zip(mins, maxs)])
+    lo = lit_vec(mins)
+    rng = lit_vec(b - a for a, b in zip(mins, maxs))
     vec = F.col(vec_col).cast("array<double>")
 
     def code(x, i):
@@ -427,27 +465,14 @@ def lsh_ann_multi(
     ]
 
     def signed(df: DataFrame, out_id: str) -> DataFrame:
-        # one bound cast shared by all T signatures (lsh_signature
-        # would bind per table -> T casts per row)
-        def all_sigs(v: Column) -> Column:
-            return F.array(
-                *[
-                    F.concat(
-                        *[
-                            F.when(
-                                dot(v, F.array(*[F.lit(p) for p in plane])) >= 0,
-                                F.lit("1"),
-                            ).otherwise(F.lit("0"))
-                            for plane in pl
-                        ]
-                    )
-                    for pl in tables
-                ]
-            )
-
-        sigs = bound(F.col(vec_col).cast("array<double>"), all_sigs)
+        # one projected cast shared by all T signatures, each table's
+        # signature an unrolled-SQL expression over the attribute
+        sigs = F.array(*[lsh_signature(F.col("_v"), pl) for pl in tables])
         return df.select(
             F.col(id_col).alias(out_id),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        ).select(
+            out_id,
             F.posexplode(sigs).alias("table_id", "bucket"),
         )
 
@@ -542,11 +567,16 @@ def pq_train(
     for _ in range(iters):
         staged = corpus.select(
             *[
-                _nearest_clusters(F.slice(vec, s * sub + 1, sub), books[s], 1)[0]
-                .alias(f"_c{s}")
+                F.slice(vec, s * sub + 1, sub).alias(f"_s{s}")
                 for s in range(m)
             ],
             vec.alias("_v"),
+        ).select(
+            *[
+                _nearest_clusters(F.col(f"_s{s}"), books[s], 1)[0].alias(f"_c{s}")
+                for s in range(m)
+            ],
+            F.col("_v"),
         )
         exploded = staged.select(
             *[f"_c{s}" for s in range(m)], F.posexplode("_v").alias("pos", "val")
@@ -600,14 +630,18 @@ def pq_encode(
         codebooks = pq_train(corpus, m, n_clusters, iters, dim, id_col, vec_col)
     sub = dim // m
     staged = corpus.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+        F.col(id_col),
+        *[
+            F.slice(F.col(vec_col).cast("array<double>"), s * sub + 1, sub).alias(
+                f"_s{s}"
+            )
+            for s in range(len(codebooks))
+        ],
     )
     picks = staged.select(
         F.col(id_col),
         *[
-            _nearest_with_dist(
-                F.slice("_v", s * sub + 1, sub), codebooks[s]
-            ).alias(f"_p{s}")
+            _nearest_with_dist(F.col(f"_s{s}"), codebooks[s]).alias(f"_p{s}")
             for s in range(len(codebooks))
         ],
     )
@@ -645,25 +679,48 @@ def semantic_dedup(
     if centroids is None:
         centroids = kmeans_centroids(corpus, n_clusters, iters, id_col, vec_col)
     cvec = F.col(vec_col).cast("array<double>")
-    tagged = corpus.select(
+    # Cluster assignment stays a pure Column (the exact argmin chain
+    # the DuckDB oracle mirrors); the WITHIN-cluster pairwise compare
+    # is per-cluster vectorized numpy (Arrow-grouped matmul) — the
+    # shape SemDeDup actually runs. A pure-Column pair join costs an
+    # interpreted HOF dot per pair (measured ~2.4 s for 250 k pairs at
+    # sf0.1); one float64 Gram matrix per cluster is ~50x cheaper and
+    # identical under the threshold compare (margins >> 1e-12).
+    tagged = corpus.select(F.col(id_col), cvec.alias("_v")).select(
         F.col(id_col),
-        cvec.alias("_v"),
-        l2_norm(cvec).alias("_norm"),
-        _nearest_clusters(cvec, centroids, 1)[0].alias("cluster"),
+        F.col("_v"),
+        _nearest_clusters(F.col("_v"), centroids, 1)[0].alias("cluster"),
     )
-    a, b = tagged.alias("a"), tagged.alias("b")
-    drops = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .where(
-            (dot(F.col("a._v"), F.col("b._v"))
-             / (F.col("a._norm") * F.col("b._norm")))
-            >= threshold
-        )
-        .select(F.col(f"b.{id_col}").alias(id_col))
-        .distinct()
+
+    def _cluster_drops(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({id_col: ids[:0]})
+        mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = mat / norms[:, None]
+        # drop the higher id of EVERY pair >= threshold (even when the
+        # lower id is itself dropped) — same rule as the pair join:
+        # g is dropped iff ANY i < g has cosine(i, g) >= threshold
+        dropped = np.zeros(n, dtype=bool)
+        block = 2048  # bound the Gram slab to block x n per task
+        for start in range(0, n, block):
+            stop = min(start + block, n)
+            gram = unit[start:stop] @ unit.T  # (stop-start, n)
+            for r in range(stop - start):
+                g = start + r
+                if g and (gram[r, :g] >= threshold).any():
+                    dropped[g] = True
+        return pd.DataFrame({id_col: ids[dropped]})
+
+    id_field = tagged.schema[id_col]
+    drops = tagged.groupBy("cluster").applyInPandas(
+        _cluster_drops, f"{id_col} {id_field.dataType.simpleString()}"
     )
     return corpus.join(drops, id_col, "left_anti")
