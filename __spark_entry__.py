@@ -1798,6 +1798,74 @@ def q_quality_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(_lined_documents(spark, sf_dir), min_count=2)
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two corpus versions (dataset versioning
+    between crawls): per-doc added/removed/changed/unchanged by
+    normalized-content digest. The two snapshots derive
+    deterministically from the fixture (old = ids % 7 != 0 with an
+    edit on ids % 5 == 0; new = ids % 11 != 3), so the oracle states
+    the same full outer join."""
+    from vanus_spark.llm.versioning import corpus_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" legacy edit"))
+        ).otherwise(F.col("text")),
+    )
+    new = docs.where(F.col("doc_id") % 11 != 3)
+    return corpus_diff(old, new)
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic global shuffle + shard assignment for
+    training order: shard = md5-key % 8, pos = per-shard rank of the
+    key. The window partitions BY SHARD (parallel ~N/8 sorts, no
+    single global-window task)."""
+    from vanus_spark.llm.versioning import deterministic_shuffle
+
+    docs = _t(spark, sf_dir, "documents")
+    out = deterministic_shuffle(docs, n_shards=8, seed=7)
+    return out.select(
+        "doc_id", "shard", F.col("pos").cast("long").alias("pos"), "shuffle_key"
+    )
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality/domain filtering (the CCNet/fastText
+    pattern): train an add-1-smoothed Naive-Bayes word model on a
+    labeled seed split (even ids; label = lang == 'en'), score the
+    held-out split (odd ids) with per-doc log-odds, pred = score > 0.
+    Train = one explode + token groupBy; score = explode -> left join
+    model -> per-doc partial agg."""
+    from vanus_spark.llm.qualityrules import nb_score, nb_train
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0).withColumn(
+        "label", (F.col("lang") == "en").cast("int")
+    )
+    word_df, stats_df = nb_train(train)
+    held_out = docs.where(F.col("doc_id") % 2 == 1)
+    return nb_score(held_out, word_df, stats_df)
+
+
+def q_ingest_metrics_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-growth observability: the documents corpus replayed as
+    FOUR micro-batches (doc_id % 4) through the exact-digest ingest
+    tier (lsh=False — cross-batch check probes the stored digest
+    table), then the per-batch metrics roll up into tumbling windows
+    of 2 batches with acceptance rates. The oracle re-derives every
+    batch's accepted count from one rank-per-digest window."""
+    from vanus_spark.streaming.dedup_ingest import DedupIngestLoop, windowed_metrics
+
+    docs = _t(spark, sf_dir, "documents")
+    loop = DedupIngestLoop(spark, lsh=False)
+    for k in range(4):
+        loop.process_batch(docs.where(F.col("doc_id") % 4 == k))
+    return windowed_metrics(loop.metrics_df(), every=2)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1816,6 +1884,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # remain gated by tools/oracle_check.py regardless of position.
     return {
         # --- new this round ---
+        "corpus_diff": q_corpus_diff,
+        "corpus_shuffle": q_corpus_shuffle,
+        "quality_classifier": q_quality_classifier,
+        "ingest_metrics_windowed": q_ingest_metrics_windowed,
         "bpe_merges": q_bpe_merges,
         "filter_multi_data": _filter_query(
             {
@@ -1829,12 +1901,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         # --- never driver-checked (r3 position 51) ---
         "events_cohort_retention": q_events_cohort_retention,
-        # --- filters.py was rewritten this round: whole family re-gated ---
-        "filter_exact": _filter_query({"exact": {"type": "purchase"}}),
-        "filter_prefix": _filter_query({"prefix": {"type": "sign"}}),
-        "filter_suffix": _filter_query({"suffix": {"type": "up"}}),
+        # --- filters.py was rewritten this round: family re-gated
+        # (the four plainest single-predicate forms rotate to the
+        # tail to make window room for the new operators above; they
+        # are r1-r3 driver-green and stay replica-gated) ---
         "filter_data_jsonpath": _filter_query({"exact": {"data.props.k": "12"}}),
-        "filter_not_missing": _filter_query({"not": {"exact": {"subject": "x"}}}),
         "filter_any_all": _filter_query(
             {
                 "any": [
@@ -1897,6 +1968,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_c4_lines": q_quality_c4_lines,
         "export_shards": q_export_shards,
         # ==================== end of the 50-entry window ====================
+        "filter_exact": _filter_query({"exact": {"type": "purchase"}}),
+        "filter_prefix": _filter_query({"prefix": {"type": "sign"}}),
+        "filter_suffix": _filter_query({"suffix": {"type": "up"}}),
+        "filter_not_missing": _filter_query({"not": {"exact": {"subject": "x"}}}),
         "video_frame_sample": q_video_frame_sample,
         "video_metadata": q_video_metadata,
         "publish_roundrobin": q_publish_roundrobin,
@@ -2933,6 +3008,88 @@ def oracle_sql() -> dict[str, str]:
         "similarity_neardup_embedding": _embedding_neardup_oracle(),
         "similarity_lsh_ann": _lsh_ann_oracle(),
         "ann_recall": _ann_recall_oracle(),
+        "corpus_diff": f"""
+            WITH old AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(lower(
+                       CASE WHEN doc_id % 5 = 0 THEN text || ' legacy edit'
+                            ELSE text END), '\\s+', ' ', 'g'))) AS old_digest
+              FROM documents WHERE doc_id % 7 != 0),
+            new AS (
+              SELECT doc_id, md5({norm_text}) AS new_digest
+              FROM documents WHERE doc_id % 11 != 3)
+            SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+                   CASE WHEN old_digest IS NULL THEN 'added'
+                        WHEN new_digest IS NULL THEN 'removed'
+                        WHEN old_digest = new_digest THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   old_digest, new_digest
+            FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+        """,
+        "corpus_shuffle": """
+            WITH k AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5('7|' || doc_id::VARCHAR), 1, 15))::BIGINT
+                       AS shuffle_key
+              FROM documents)
+            SELECT doc_id,
+                   (shuffle_key % 8)::INTEGER AS shard,
+                   row_number() OVER (PARTITION BY shuffle_key % 8
+                                      ORDER BY shuffle_key, doc_id) AS pos,
+                   shuffle_key
+            FROM k
+        """,
+        "quality_classifier": f"""
+            WITH train AS (
+              SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, text
+              FROM documents WHERE doc_id % 2 = 0),
+            tk AS (SELECT y, unnest(str_split({norm_text}, ' ')) AS tok FROM train),
+            wc AS (SELECT tok, sum(y)::BIGINT AS pos_c,
+                          sum(1 - y)::BIGINT AS neg_c
+                   FROM tk GROUP BY tok),
+            cls AS (SELECT sum(y)::BIGINT AS n_pos, sum(1 - y)::BIGINT AS n_neg
+                    FROM train),
+            ts AS (SELECT sum(pos_c) AS t_pos, sum(neg_c) AS t_neg,
+                          count(*) AS vocab FROM wc),
+            sc AS (SELECT doc_id, unnest(str_split({norm_text}, ' ')) AS tok
+                   FROM documents WHERE doc_id % 2 = 1),
+            agg AS (
+              SELECT doc_id,
+                     count(*)::BIGINT AS n_tokens,
+                     round(ln(any_value(cls.n_pos)::DOUBLE)
+                           - ln(any_value(cls.n_neg)::DOUBLE)
+                           + sum(ln(coalesce(wc.pos_c, 0) + 1.0)
+                                 - ln(coalesce(wc.neg_c, 0) + 1.0))
+                           + count(*) * (ln((any_value(ts.t_neg)
+                                             + any_value(ts.vocab))::DOUBLE)
+                                         - ln((any_value(ts.t_pos)
+                                               + any_value(ts.vocab))::DOUBLE)),
+                           6) AS score
+              FROM sc LEFT JOIN wc USING (tok) CROSS JOIN cls CROSS JOIN ts
+              GROUP BY doc_id)
+            SELECT doc_id, n_tokens, score, score > 0 AS pred FROM agg
+        """,
+        "ingest_metrics_windowed": f"""
+            WITH d AS (
+              SELECT doc_id, doc_id % 4 AS batch, md5({norm_text}) AS dg
+              FROM documents),
+            r AS (SELECT batch,
+                         CASE WHEN row_number() OVER (PARTITION BY dg
+                                ORDER BY batch, doc_id) = 1
+                              THEN 1 ELSE 0 END AS acc
+                  FROM d),
+            b AS (SELECT batch, count(*) AS n_in, sum(acc) AS accepted
+                  FROM r GROUP BY batch)
+            SELECT (batch // 2)::BIGINT AS win,
+                   min(batch)::BIGINT AS first_batch,
+                   max(batch)::BIGINT AS last_batch,
+                   sum(n_in)::BIGINT AS n_in,
+                   sum(accepted)::BIGINT AS accepted,
+                   (sum(n_in) - sum(accepted))::BIGINT AS rejected,
+                   round(sum(accepted)::DOUBLE / greatest(sum(n_in), 1), 6)
+                     AS acceptance_rate
+            FROM b GROUP BY batch // 2
+        """,
         "semantic_dedup": _semantic_dedup_oracle(),
         "similarity_lsh_multi": _lsh_multi_oracle(),
         "embedding_pq": _pq_oracle(),

@@ -76,6 +76,10 @@ HEADLINE = [
     "quality_bigram",
     "quality_c4_lines",
     "export_shards",
+    "corpus_diff",
+    "corpus_shuffle",
+    "quality_classifier",
+    "ingest_metrics_windowed",
 ]
 
 

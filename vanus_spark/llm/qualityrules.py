@@ -399,3 +399,92 @@ def c4_line_filter(
             F.size("_kept").cast("long").alias("n_lines_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Naive-Bayes text classifier (model-based quality / domain filtering)
+# ---------------------------------------------------------------------------
+
+def nb_train(
+    labeled: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Train a binomial Naive-Bayes word model (the CCNet/fastText
+    style model-based corpus filter: train on a labeled seed set,
+    score the whole corpus). ``label_col`` is 0/1.
+
+    Returns (word_df, stats_df):
+    - word_df: (tok, pos_c, neg_c) per-class INTEGER counts — the
+      model stays integer-valued so storing/re-deriving it is
+      engine-exact; log-odds are computed at score time.
+    - stats_df: 1 row (n_pos_docs, n_neg_docs, t_pos, t_neg, vocab)
+      — class priors and smoothing denominators.
+
+    Shape: one explode + one partial-agg groupBy(tok) (shuffle
+    ~#distinct tokens) + a 1-row total. At 100 TB the seed set is
+    small by construction; word_df is a stored model table."""
+    lab = F.col(label_col).cast("int")
+    tk = labeled.select(
+        lab.alias("_y"), F.explode(_words(F.col(text_col))).alias("tok")
+    )
+    word_df = tk.groupBy("tok").agg(
+        F.sum("_y").cast("long").alias("pos_c"),
+        F.sum(1 - F.col("_y")).cast("long").alias("neg_c"),
+    )
+    docs_per_class = labeled.agg(
+        F.sum(lab).cast("long").alias("n_pos_docs"),
+        F.sum(1 - lab).cast("long").alias("n_neg_docs"),
+    )
+    token_stats = word_df.agg(
+        F.sum("pos_c").alias("t_pos"),
+        F.sum("neg_c").alias("t_neg"),
+        F.count("*").alias("vocab"),
+    )
+    stats_df = docs_per_class.crossJoin(token_stats)
+    return word_df, stats_df
+
+
+def nb_score(
+    docs: DataFrame,
+    word_df: DataFrame,
+    stats_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_tokens, score, pred): add-1-smoothed NB log-odds score.
+
+    score = ln(N1/N0)
+          + sum_tok [ln(pos_c+1) - ln(neg_c+1)]
+          + n_tokens * [ln(T0+V) - ln(T1+V)]
+
+    (the per-token smoothing denominators factor out of the sum, so
+    an out-of-vocabulary token contributes exactly the constant
+    term). pred = score > 0. Shape: explode -> left join to the model
+    (shuffle ~#tokens; AQE absorbs head-word skew) -> per-doc partial
+    agg; stats broadcast as a 1-row cross join."""
+    tk = docs.select(
+        F.col(id_col), F.explode(_words(F.col(text_col))).alias("tok")
+    )
+    joined = tk.join(word_df, "tok", "left").crossJoin(F.broadcast(stats_df))
+    n = F.count("*")
+    per_tok = F.log(F.coalesce(F.col("pos_c"), F.lit(0)) + 1.0) - F.log(
+        F.coalesce(F.col("neg_c"), F.lit(0)) + 1.0
+    )
+    prior = F.log(F.first("n_pos_docs").cast("double")) - F.log(
+        F.first("n_neg_docs").cast("double")
+    )
+    oov_term = F.log((F.first("t_neg") + F.first("vocab")).cast("double")) - F.log(
+        (F.first("t_pos") + F.first("vocab")).cast("double")
+    )
+    score = prior + F.sum(per_tok) + n * oov_term
+    return joined.groupBy(id_col).agg(
+        n.cast("long").alias("n_tokens"),
+        F.round(score, 6).alias("score"),
+    ).select(
+        id_col,
+        "n_tokens",
+        "score",
+        (F.col("score") > 0).alias("pred"),
+    )

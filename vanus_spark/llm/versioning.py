@@ -1,0 +1,96 @@
+"""Corpus versioning operators: snapshot diff and deterministic
+training-order shuffle.
+
+A training-data pipeline re-crawls and re-cleans continuously; two
+needs fall out that the dedup/cleaning operators don't cover:
+
+- ``corpus_diff``: classify every document across two corpus
+  snapshots as added / removed / changed / unchanged, by content
+  digest. At 100 TB this is one full outer join keyed by doc id —
+  shuffle ~#docs rows of (id, digest), never the text (the digests
+  are computed in the scan projection, so only 32-byte hashes move).
+
+- ``deterministic_shuffle``: a seeded, reproducible global shuffle +
+  shard assignment for training order. Hash-derived order keys mean
+  no global sort of data rows is required at scale: shard = hash %
+  n_shards is a map-side computation, and the within-shard position
+  window partitions BY SHARD (each window task sees ~N/n_shards
+  rows, never a single global-window task).
+
+No counterpart in the reference (vanus is an event bus); these are
+the Spark-native corpus-management layer around its LLM-pipeline
+surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from vanus_spark.llm.dedup import md5_long, normalize_text
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, status, old_digest, new_digest): per-document diff between
+    two corpus snapshots.
+
+    status: 'added' (id only in ``new``), 'removed' (only in
+    ``old``), 'changed' (both, digest differs), 'unchanged'. Digests
+    are md5 of the normalized text (same canon as exact dedup), so a
+    whitespace-only edit is 'unchanged' — content diff, not byte
+    diff."""
+    o = old.select(
+        F.col(id_col),
+        F.md5(normalize_text(F.col(text_col))).alias("old_digest"),
+    )
+    n = new.select(
+        F.col(id_col),
+        F.md5(normalize_text(F.col(text_col))).alias("new_digest"),
+    )
+    joined = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(F.col("old_digest") == F.col("new_digest"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        F.col(id_col), status.alias("status"), "old_digest", "new_digest"
+    )
+
+
+def diff_summary(diff: DataFrame) -> DataFrame:
+    """(status, n_docs): the snapshot-over-snapshot change report."""
+    return diff.groupBy("status").agg(F.count("*").alias("n_docs"))
+
+
+def deterministic_shuffle(
+    docs: DataFrame,
+    n_shards: int = 8,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, shard, pos, shuffle_key): seeded reproducible global
+    shuffle for training order.
+
+    shuffle_key = md5_long(seed || id) — uniform, engine-portable
+    (DuckDB re-derives it exactly). shard = key % n_shards; pos =
+    rank of the key within its shard. Re-running with the same seed
+    reproduces the exact order; a new seed gives an independent
+    permutation. The window partitions by shard, so the sort is
+    n_shards parallel ~N/n_shards sorts, not one global task."""
+    key = md5_long(F.col(id_col), seed=seed)
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return (
+        docs.select(
+            F.col(id_col),
+            key.alias("shuffle_key"),
+            F.pmod(key, F.lit(n_shards)).cast("int").alias("shard"),
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .select(id_col, "shard", "pos", "shuffle_key")
+    )

@@ -26,6 +26,7 @@ from vanus_spark.llm.dedup import (
     incremental_dedup,
     minhash_signatures_df,
     near_dup_pairs,
+    normalize_text,
 )
 
 
@@ -42,6 +43,7 @@ class DedupIngestLoop:
         text_col: str = "text",
         id_col: str = "doc_id",
         state_dir: str | None = None,
+        lsh: bool = True,
     ):
         self.spark = spark
         self.threshold = threshold
@@ -51,6 +53,11 @@ class DedupIngestLoop:
         self.text_col = text_col
         self.id_col = id_col
         self.state_dir = state_dir
+        # lsh=False: exact-digest-only ingest (the cheap tier — no
+        # signature chain, cross-batch check is one digest anti-join).
+        # The right mode when near-dup runs as a periodic batch sweep
+        # instead of on the ingest path.
+        self.lsh = lsh
         self.corpus: DataFrame | None = None
         self.sig: DataFrame | None = None
         self.accepted_count = 0
@@ -133,37 +140,59 @@ class DedupIngestLoop:
         uniq = exact_dedup_rows(batch_df, self.text_col, self.id_col).localCheckpoint(
             eager=False
         )
-        pairs = near_dup_pairs(
-            uniq,
-            self.threshold,
-            self.text_col,
-            self.id_col,
-            self.num_hashes,
-            self.bands,
-            self.shingle_n,
-        )
-        drops = pairs.select(F.col("id_b").alias(self.id_col)).distinct()
-        within = uniq.join(drops, self.id_col, "left_anti").localCheckpoint(
-            eager=False
-        )
-        if self.corpus is None:
-            survivors = within
+        if not self.lsh:
+            # exact-only tier: the stored "sig" table holds content
+            # DIGESTS, so the cross-batch check probes the compact
+            # digest state (32 B/doc) — the accumulated corpus text
+            # is never re-hashed
+            within = uniq
+            if self.sig is None:
+                survivors = within
+            else:
+                digest = F.md5(normalize_text(F.col(self.text_col)))
+                survivors = within.join(
+                    self.sig.select(F.col("sig").alias("_d")),
+                    digest == F.col("_d"),
+                    "left_anti",
+                )
         else:
-            survivors = incremental_dedup(
-                within,
-                self.corpus,
+            pairs = near_dup_pairs(
+                uniq,
                 self.threshold,
                 self.text_col,
                 self.id_col,
                 self.num_hashes,
                 self.bands,
                 self.shingle_n,
-                corpus_sig_df=self.sig,
             )
+            drops = pairs.select(F.col("id_b").alias(self.id_col)).distinct()
+            within = uniq.join(drops, self.id_col, "left_anti").localCheckpoint(
+                eager=False
+            )
+            if self.corpus is None:
+                survivors = within
+            else:
+                survivors = incremental_dedup(
+                    within,
+                    self.corpus,
+                    self.threshold,
+                    self.text_col,
+                    self.id_col,
+                    self.num_hashes,
+                    self.bands,
+                    self.shingle_n,
+                    corpus_sig_df=self.sig,
+                )
         survivors = survivors.localCheckpoint(eager=True)
-        new_sig = minhash_signatures_df(
-            survivors, self.text_col, self.id_col, self.num_hashes, self.shingle_n
-        )
+        if self.lsh:
+            new_sig = minhash_signatures_df(
+                survivors, self.text_col, self.id_col, self.num_hashes, self.shingle_n
+            )
+        else:  # exact tier: digests ARE the signature state
+            new_sig = survivors.select(
+                F.col(self.id_col),
+                F.md5(normalize_text(F.col(self.text_col))).alias("sig"),
+            )
         self._append_state(survivors, new_sig)
         # metrics in ONE action: tag each pipeline stage and count per
         # tag in a single 4-group aggregate (each stage frame is
@@ -216,6 +245,7 @@ class DedupIngestLoop:
         stream_df: DataFrame,
         checkpoint_dir: str,
         output_dir: str,
+        metrics_dir: str | None = None,
         **trigger_kwargs,
     ):
         """Attach to a document stream via foreachBatch: each
@@ -223,10 +253,16 @@ class DedupIngestLoop:
         come from the checkpoint, so a restarted stream resumes
         without re-offering delivered batches (and the digest
         anti-join makes a replayed batch a no-op anyway — the dedup
-        state IS the idempotency guard)."""
+        state IS the idempotency guard). With ``metrics_dir``, each
+        batch also appends its metrics row, feeding the live
+        ``metrics_stream`` + ``windowed_metrics`` dashboard."""
 
         def on_batch(batch_df: DataFrame, epoch_id: int):
             self.process_batch(batch_df).write.mode("append").parquet(output_dir)
+            if metrics_dir is not None:
+                self.metrics_df().where(
+                    F.col("batch") == len(self.metrics) - 1
+                ).write.mode("append").parquet(metrics_dir)
 
         return (
             stream_df.writeStream.foreachBatch(on_batch)
@@ -234,3 +270,45 @@ class DedupIngestLoop:
             .trigger(**(trigger_kwargs or {"availableNow": True}))
             .start()
         )
+
+
+
+def windowed_metrics(metrics: DataFrame, every: int = 2) -> DataFrame:
+    """Tumbling-window rollup of per-batch ingest metrics: acceptance
+    and rejection rates per window of ``every`` consecutive batches —
+    the corpus-growth dashboard row. Input is ``metrics_df()`` (batch
+    mode) or the metrics stream (see ``metrics_stream``); the same
+    aggregation runs in both because it is a plain groupBy over the
+    window index (watermark-free: batch indices are monotonic)."""
+    win = F.floor(F.col("batch") / every).alias("win")
+    agg = metrics.groupBy(win).agg(
+        F.min("batch").alias("first_batch"),
+        F.max("batch").alias("last_batch"),
+        F.sum("n_in").alias("n_in"),
+        F.sum("accepted").alias("accepted"),
+        (F.sum("n_in") - F.sum("accepted")).alias("rejected"),
+    )
+    return agg.select(
+        "win",
+        "first_batch",
+        "last_batch",
+        "n_in",
+        "accepted",
+        "rejected",
+        F.round(
+            F.col("accepted") / F.greatest(F.col("n_in"), F.lit(1)), 6
+        ).alias("acceptance_rate"),
+    )
+
+
+def metrics_stream(spark: SparkSession, metrics_dir: str) -> DataFrame:
+    """readStream over a metrics directory (each ``process_batch``
+    inside ``run_stream`` can append its metrics row there) — feeds
+    ``windowed_metrics`` + ``writeStream`` for a LIVE acceptance-rate
+    table. Complete-mode aggregation: the batch-index tumble needs no
+    watermark, and windows stay revisable until their batches close."""
+    schema = (
+        "batch long, n_in long, rejected_exact_within long, "
+        "rejected_near_within long, rejected_vs_corpus long, accepted long"
+    )
+    return spark.readStream.schema(schema).parquet(metrics_dir)
