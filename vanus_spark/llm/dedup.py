@@ -497,6 +497,7 @@ def incremental_dedup(
     shingle_n: int = 3,
     corpus_sh_df: DataFrame | None = None,
     corpus_sig_df: DataFrame | None = None,
+    new_sh_df: DataFrame | None = None,
 ) -> DataFrame:
     """Surviving rows of ``new_docs``: drop anything that is an exact
     or near (Jaccard >= t) duplicate of the EXISTING corpus.
@@ -521,7 +522,14 @@ def incremental_dedup(
     ).select(id_col)
     survivors = new_docs.join(fresh, id_col, "left_semi")
 
-    new_sh = shingles_df(survivors, text_col, id_col, shingle_n)
+    # new_sh_df: a precomputed (id, sh) table covering new_docs (the
+    # caller already shingled the batch — e.g. for its within-batch
+    # near_dup_pairs) — semi-joined down instead of re-shingling
+    new_sh = (
+        new_sh_df.join(fresh, id_col, "left_semi")
+        if new_sh_df is not None
+        else shingles_df(survivors, text_col, id_col, shingle_n)
+    )
     corpus_sh = (
         corpus_sh_df
         if corpus_sh_df is not None

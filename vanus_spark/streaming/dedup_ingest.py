@@ -24,9 +24,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from vanus_spark.llm.dedup import (
     exact_dedup_rows,
     incremental_dedup,
-    minhash_signatures_df,
+    minhash_signatures_from_shingles,
     near_dup_pairs,
     normalize_text,
+    shingles_df,
 )
 
 
@@ -156,6 +157,13 @@ class DedupIngestLoop:
                     "left_anti",
                 )
         else:
+            # ONE shingle table per batch, shared by the within-batch
+            # pair search, the cross-corpus incremental check, and the
+            # state-append signatures (was three independent
+            # normalize+shingle+minhash chains over the same rows)
+            batch_sh = shingles_df(
+                uniq, self.text_col, self.id_col, self.shingle_n
+            ).localCheckpoint(eager=False)
             pairs = near_dup_pairs(
                 uniq,
                 self.threshold,
@@ -164,6 +172,7 @@ class DedupIngestLoop:
                 self.num_hashes,
                 self.bands,
                 self.shingle_n,
+                shingle_df=batch_sh,
             )
             drops = pairs.select(F.col("id_b").alias(self.id_col)).distinct()
             within = uniq.join(drops, self.id_col, "left_anti").localCheckpoint(
@@ -182,11 +191,16 @@ class DedupIngestLoop:
                     self.bands,
                     self.shingle_n,
                     corpus_sig_df=self.sig,
+                    new_sh_df=batch_sh,
                 )
         survivors = survivors.localCheckpoint(eager=True)
         if self.lsh:
-            new_sig = minhash_signatures_df(
-                survivors, self.text_col, self.id_col, self.num_hashes, self.shingle_n
+            new_sig = minhash_signatures_from_shingles(
+                batch_sh.join(
+                    survivors.select(self.id_col), self.id_col, "left_semi"
+                ),
+                self.id_col,
+                self.num_hashes,
             )
         else:  # exact tier: digests ARE the signature state
             new_sig = survivors.select(
