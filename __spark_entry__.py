@@ -1798,6 +1798,48 @@ def q_quality_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(_lined_documents(spark, sf_dir), min_count=2)
 
 
+def q_url_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist URL filtering (the C4/RefinedWeb first-pass
+    filter): extract each URL's registered domain (eTLD+1 with
+    registry-SLD handling: blog.example.co.uk -> example.co.uk) and
+    drop blocklisted domains via a broadcast anti-join. URLs are
+    synthesized from id residues (subdomain id%3, host id%5, ccTLD
+    id%2, port noise id%10); the oracle states the INTENDED domain
+    straight from the residues, so the whole extraction chain is
+    checked end-to-end."""
+    from vanus_spark.llm.urls import domain_blocklist_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    mid = F.col("doc_id")
+    sub = (
+        F.when(mid % 3 == 0, F.lit("www."))
+        .when(mid % 3 == 1, F.lit("CDN."))
+        .otherwise(F.lit(""))
+    )
+    tld = F.when(mid % 2 == 0, F.lit(".com")).otherwise(F.lit(".co.uk"))
+    port = F.when(mid % 10 == 0, F.lit(":8080")).otherwise(F.lit(""))
+    urls = docs.select(
+        mid,
+        F.concat(
+            F.lit("https://"),
+            sub,
+            F.lit("Example"),
+            (mid % 5).cast("string"),
+            tld,
+            port,
+            F.lit("/p/"),
+            (mid % 7).cast("string"),
+        ).alias("url"),
+    )
+    blocklist = spark.createDataFrame(
+        [("example1.com",), ("example3.co.uk",), ("example4.com",)],
+        "domain string",
+    )
+    return domain_blocklist_filter(urls, blocklist).select(
+        "doc_id", "url", "domain"
+    )
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff between two corpus versions (dataset versioning
     between crawls): per-doc added/removed/changed/unchanged by
@@ -1884,6 +1926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # remain gated by tools/oracle_check.py regardless of position.
     return {
         # --- new this round ---
+        "url_domain_filter": q_url_domain_filter,
         "corpus_diff": q_corpus_diff,
         "corpus_shuffle": q_corpus_shuffle,
         "quality_classifier": q_quality_classifier,
@@ -1947,7 +1990,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subscription_full": q_subscription_full,
         "fanout_multi_sub": q_fanout_multi_sub,
         "retry_refilter": q_retry_refilter,
-        "delivery_routing": q_delivery_routing,
         "dlq_replay": q_dlq_replay,
         "dlq_resend": q_dlq_resend,
         "delayed_due_split": q_delayed_due_split,
@@ -1968,6 +2010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_c4_lines": q_quality_c4_lines,
         "export_shards": q_export_shards,
         # ==================== end of the 50-entry window ====================
+        "delivery_routing": q_delivery_routing,
         "filter_exact": _filter_query({"exact": {"type": "purchase"}}),
         "filter_prefix": _filter_query({"prefix": {"type": "sign"}}),
         "filter_suffix": _filter_query({"suffix": {"type": "up"}}),
@@ -3008,6 +3051,27 @@ def oracle_sql() -> dict[str, str]:
         "similarity_neardup_embedding": _embedding_neardup_oracle(),
         "similarity_lsh_ann": _lsh_ann_oracle(),
         "ann_recall": _ann_recall_oracle(),
+        "url_domain_filter": """
+            WITH u AS (
+              SELECT doc_id,
+                     'https://'
+                     || CASE WHEN doc_id % 3 = 0 THEN 'www.'
+                             WHEN doc_id % 3 = 1 THEN 'CDN.'
+                             ELSE '' END
+                     || 'Example' || (doc_id % 5)::VARCHAR
+                     || CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.co.uk' END
+                     || CASE WHEN doc_id % 10 = 0 THEN ':8080' ELSE '' END
+                     || '/p/' || (doc_id % 7)::VARCHAR AS url,
+                     -- the INTENDED registered domain, straight from
+                     -- the generating residues (not re-extracted)
+                     'example' || (doc_id % 5)::VARCHAR
+                     || CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.co.uk' END
+                       AS domain
+              FROM documents)
+            SELECT doc_id, url, domain
+            FROM u
+            WHERE domain NOT IN ('example1.com', 'example3.co.uk', 'example4.com')
+        """,
         "corpus_diff": f"""
             WITH old AS (
               SELECT doc_id,

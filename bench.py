@@ -80,6 +80,7 @@ HEADLINE = [
     "corpus_shuffle",
     "quality_classifier",
     "ingest_metrics_windowed",
+    "url_domain_filter",
 ]
 
 

@@ -77,3 +77,47 @@ def test_canonicalize_idempotent_on_fuzzed_urls(spark):
     ).collect()
     for r in rows:
         assert r.c1 == r.c2, r
+
+
+# ---------------------------------------------------------------------------
+# registered domain + blocklist filtering
+# ---------------------------------------------------------------------------
+
+def test_registered_domain_rules(spark):
+    from vanus_spark.llm.urls import registered_domain
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("blog.Example.CO.UK:8080", "example.co.uk"),
+        ("cdn.static.example1.com", "example1.com"),
+        ("example.com", "example.com"),
+        ("localhost", "localhost"),
+        ("a.b.gov.br", "b.gov.br"),
+        ("deep.sub.domain.example.org", "example.org"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in rows], "host string")
+    got = [
+        r.d
+        for r in df.select(registered_domain(F.col("host")).alias("d")).collect()
+    ]
+    assert got == [want for _, want in rows]
+
+
+def test_domain_blocklist_filter_broadcasts_and_drops(spark):
+    from vanus_spark.llm.urls import domain_blocklist_filter
+
+    urls = spark.createDataFrame(
+        [
+            (1, "https://www.good.com/a"),
+            (2, "https://bad.com/b"),
+            (3, "https://sub.bad.com/c"),
+            (4, "https://good.co.uk/d"),
+        ],
+        "doc_id long, url string",
+    )
+    bl = spark.createDataFrame([("BAD.com",)], "domain string")
+    out = domain_blocklist_filter(urls, bl)
+    assert {r.doc_id for r in out.collect()} == {1, 4}
+    # the blocklist side must broadcast (corpus never shuffles)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan

@@ -128,3 +128,56 @@ def synthesize_messy_urls(
             scheme, F.lit("://"), www, host, port, path, slash, F.lit("?"), params, frag
         ).alias("url"),
     )
+
+
+# ---------------------------------------------------------------------------
+# domain-level filtering (blocklists — the C4/RefinedWeb URL filter)
+# ---------------------------------------------------------------------------
+
+# Registry second-level labels under 2-letter TLDs (co.uk, com.au,
+# gov.br, ...). A compact public-suffix heuristic: the real PSL is a
+# data-file swap, the pure-Column plan shape is the point.
+CC_SLD = ("co", "com", "net", "org", "ac", "gov", "edu")
+
+
+def host_of(url: Column) -> Column:
+    """Authority (host[:port]) of a URL, '' for non-URLs."""
+    return F.regexp_extract(F.trim(url), _AUTHORITY_RE, 1)
+
+
+def registered_domain(host: Column) -> Column:
+    """eTLD+1: the last two host labels, or the last three when the
+    TLD is 2 letters and the second-level label is a registry SLD
+    (blog.example.co.uk -> example.co.uk; cdn.example1.com ->
+    example1.com). Lowercased, port stripped. Pure Columns — at
+    100 TB this is a zero-shuffle projection."""
+    h = F.regexp_replace(F.lower(F.trim(host)), r":\d+$", "")
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    tld = F.element_at(labels, -1)
+    sld = F.element_at(labels, -2)
+    take3 = (n >= 3) & (F.length(tld) == 2) & sld.isin(*CC_SLD)
+    return (
+        F.when(take3, F.concat_ws(".", F.element_at(labels, -3), sld, tld))
+        .when(n >= 2, F.concat_ws(".", sld, tld))
+        .otherwise(h)
+    )
+
+
+def domain_blocklist_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Rows whose URL's registered domain is NOT on the blocklist,
+    plus the extracted ``domain`` column. The blocklist (one
+    ``domain`` column, human-curated scale: thousands of rows)
+    BROADCASTS; the corpus never shuffles — filter-by-small-table is
+    a map-side anti-join at any corpus size."""
+    tagged = df.withColumn(
+        "domain", registered_domain(host_of(F.col(url_col)))
+    )
+    bl = blocklist.select(
+        F.lower(F.col(blocklist.columns[0])).alias("domain")
+    )
+    return tagged.join(F.broadcast(bl), "domain", "left_anti")
