@@ -1798,6 +1798,38 @@ def q_quality_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(_lined_documents(spark, sf_dir), min_count=2)
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic leakage-safe train/val/test split: membership is
+    a pure function of (seed, doc_id) — one hash + one CASE per row,
+    zero shuffle, stable under re-runs and incremental appends. Split
+    sizes emitted per (split, lang) so the oracle also checks that
+    assignment is independent of the stratum."""
+    from vanus_spark.llm.versioning import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    out = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=11)
+    return out.groupBy("split", "lang").agg(F.count("*").alias("n_docs"))
+
+
+def q_intra_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-line removal (RefinedWeb-style): each
+    line keeps only its first occurrence inside its own document. The
+    fixture appends every document's first line twice, so every doc
+    has exactly two droppable repeats; the cleaner is a per-row array
+    fold — zero shuffle, no explode+window."""
+    from vanus_spark.llm.qualityrules import intra_doc_line_dedup
+
+    lined = _lined_documents(spark, sf_dir)
+    first_line = F.element_at(F.split(F.col("text"), "\n"), 1)
+    docs = lined.withColumn(
+        "text",
+        F.concat(
+            F.col("text"), F.lit("\n"), first_line, F.lit("\n"), first_line
+        ),
+    )
+    return intra_doc_line_dedup(docs)
+
+
 def q_url_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-blocklist URL filtering (the C4/RefinedWeb first-pass
     filter): extract each URL's registered domain (eTLD+1 with
@@ -1926,6 +1958,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # remain gated by tools/oracle_check.py regardless of position.
     return {
         # --- new this round ---
+        "hash_split": q_hash_split,
+        "intra_doc_dedup": q_intra_doc_dedup,
         "url_domain_filter": q_url_domain_filter,
         "corpus_diff": q_corpus_diff,
         "corpus_shuffle": q_corpus_shuffle,
@@ -1990,7 +2024,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subscription_full": q_subscription_full,
         "fanout_multi_sub": q_fanout_multi_sub,
         "retry_refilter": q_retry_refilter,
-        "dlq_replay": q_dlq_replay,
         "dlq_resend": q_dlq_resend,
         "delayed_due_split": q_delayed_due_split,
         "ordered_delivery": q_ordered_delivery,
@@ -2000,7 +2033,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "http_ingest_roundtrip": q_http_ingest_roundtrip,
         # --- quality rules (recently added; keep a driver eye on them) ---
         "quality_gopher": q_quality_gopher,
-        "quality_top_ngram": q_quality_top_ngram,
         "quality_line_dedup": q_quality_line_dedup,
         # --- new this round (mixture, semantic dedup, funnel) ---
         "sample_mixture": q_sample_mixture,
@@ -2011,6 +2043,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_shards": q_export_shards,
         # ==================== end of the 50-entry window ====================
         "delivery_routing": q_delivery_routing,
+        "dlq_replay": q_dlq_replay,
+        "quality_top_ngram": q_quality_top_ngram,
         "filter_exact": _filter_query({"exact": {"type": "purchase"}}),
         "filter_prefix": _filter_query({"prefix": {"type": "sign"}}),
         "filter_suffix": _filter_query({"suffix": {"type": "up"}}),
@@ -3051,6 +3085,51 @@ def oracle_sql() -> dict[str, str]:
         "similarity_neardup_embedding": _embedding_neardup_oracle(),
         "similarity_lsh_ann": _lsh_ann_oracle(),
         "ann_recall": _ann_recall_oracle(),
+        "hash_split": """
+            WITH h AS (
+              SELECT lang,
+                     (('0x' || substr(md5('11|' || doc_id::VARCHAR), 1, 15))::BIGINT
+                      % 1000000) / 1000000.0 AS u
+              FROM documents)
+            SELECT CASE WHEN u < 0.8 THEN 'train'
+                        WHEN u < 0.9 THEN 'val'
+                        ELSE 'test' END AS split,
+                   lang,
+                   count(*)::BIGINT AS n_docs
+            FROM h GROUP BY 1, 2
+        """,
+        "intra_doc_dedup": f"""
+            WITH lined AS (
+              SELECT doc_id,
+                     regexp_replace(text, '((\\S+ ){{7}}\\S+) ',
+                                    '\\1' || chr(10), 'g') AS text
+              FROM documents),
+            aug AS (
+              SELECT doc_id,
+                     text || chr(10) || str_split(text, chr(10))[1]
+                          || chr(10) || str_split(text, chr(10))[1] AS text
+              FROM lined),
+            l AS (
+              SELECT doc_id, unnest(
+                list_transform(str_split(text, chr(10)),
+                               (x, i) -> struct_pack(line := x, pos := i))) AS u
+              FROM aug),
+            k AS (
+              SELECT doc_id, u.pos AS pos, u.line AS line,
+                     {_NORM.format(c="u.line")} AS key
+              FROM l),
+            t AS (SELECT k.*,
+                         row_number() OVER (PARTITION BY doc_id, key
+                                            ORDER BY pos) AS rn
+                  FROM k)
+            SELECT doc_id,
+                   count(*)::BIGINT AS n_lines,
+                   sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_repeated_lines,
+                   coalesce(string_agg(CASE WHEN rn = 1 THEN line END,
+                                       chr(10) ORDER BY pos), '') AS clean_text
+            FROM t GROUP BY doc_id
+        """,
         "url_domain_filter": """
             WITH u AS (
               SELECT doc_id,

@@ -81,6 +81,8 @@ HEADLINE = [
     "quality_classifier",
     "ingest_metrics_windowed",
     "url_domain_filter",
+    "intra_doc_dedup",
+    "hash_split",
 ]
 
 

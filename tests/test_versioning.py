@@ -179,3 +179,47 @@ def test_metrics_stream_live_table(spark, tmp_path):
     rows = spark.sql("select * from live_metrics").collect()
     assert len(rows) == 1
     assert rows[0].n_in == 4 and rows[0].accepted == 3
+
+
+# ---------------------------------------------------------------------------
+# hash_split
+# ---------------------------------------------------------------------------
+
+def test_hash_split_deterministic_and_weighted(spark):
+    from vanus_spark.llm.versioning import hash_split
+
+    docs = _docs(spark, [(i, f"doc {i}") for i in range(2000)])
+    a = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=3)
+    b = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=3)
+    ra = {r.doc_id: r.split for r in a.collect()}
+    rb = {r.doc_id: r.split for r in b.collect()}
+    assert ra == rb  # pure function of (seed, id)
+    from collections import Counter
+
+    counts = Counter(ra.values())
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.75 < counts["train"] / 2000 < 0.85
+    # membership stable under appends: the original docs keep their
+    # split when more rows arrive
+    more = _docs(spark, [(i, f"doc {i}") for i in range(3000)])
+    rc = {r.doc_id: r.split
+          for r in hash_split(more, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=3).collect()}
+    assert all(rc[i] == ra[i] for i in range(2000))
+
+
+def test_intra_doc_line_dedup_keeps_first_occurrence(spark):
+    from vanus_spark.llm.qualityrules import intra_doc_line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nbeta\nalpha\ngamma\nBETA"),
+            (2, "one\ntwo"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in intra_doc_line_dedup(docs).collect()}
+    # 'alpha' repeat dropped; 'BETA' normalizes to 'beta' -> dropped
+    assert got[1].clean_text == "alpha\nbeta\ngamma"
+    assert (got[1].n_lines, got[1].n_repeated_lines) == (5, 2)
+    assert got[2].clean_text == "one\ntwo"
+    assert got[2].n_repeated_lines == 0

@@ -488,3 +488,62 @@ def nb_score(
         "score",
         (F.col("score") > 0).alias("pred"),
     )
+
+
+def intra_doc_line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """WITHIN-document repeated-line removal (the RefinedWeb
+    line-level repetition cleaner; complements ``line_dedup``'s
+    corpus-level pass): every line keeps only its FIRST occurrence
+    inside its own document (by normalized form); later repeats drop.
+
+    Returns (id, n_lines, n_repeated_lines, clean_text).
+
+    Pure Columns, zero shuffle at any scale: the first-occurrence
+    scan is a per-row array fold (aggregate over the line array
+    carrying the set of seen line keys), never an explode+window."""
+    lines = _lines(F.col(text_col))
+
+    def first_occurrences(ls: Column) -> Column:
+        # fold: acc = struct(seen map, kept lines); a line is kept iff
+        # its normalized form is not yet in seen
+        return F.aggregate(
+            ls,
+            F.struct(
+                F.create_map().cast("map<string,boolean>").alias("seen"),
+                F.array().cast("array<string>").alias("kept"),
+            ),
+            lambda acc, l: F.struct(
+                F.map_concat(
+                    acc["seen"],
+                    F.when(
+                        F.isnull(
+                            F.element_at(acc["seen"], normalize_text(l))
+                        ),
+                        F.create_map(normalize_text(l), F.lit(True)),
+                    ).otherwise(F.create_map().cast("map<string,boolean>")),
+                ).alias("seen"),
+                F.when(
+                    F.isnull(F.element_at(acc["seen"], normalize_text(l))),
+                    F.concat(acc["kept"], F.array(l)),
+                ).otherwise(acc["kept"]).alias("kept"),
+            ),
+            lambda acc: acc["kept"],
+        )
+
+    staged = docs.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        bound(lines, first_occurrences).alias("_kept"),
+    )
+    return staged.select(
+        id_col,
+        "n_lines",
+        (F.col("n_lines") - F.size("_kept")).cast("long").alias(
+            "n_repeated_lines"
+        ),
+        F.array_join("_kept", "\n").alias("clean_text"),
+    )

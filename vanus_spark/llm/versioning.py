@@ -94,3 +94,35 @@ def deterministic_shuffle(
         .withColumn("pos", F.row_number().over(w))
         .select(id_col, "shard", "pos", "shuffle_key")
     )
+
+
+def hash_split(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by id hash (the
+    standard leakage-safe split: membership is a pure function of
+    (seed, id), so re-runs, incremental appends, and different
+    machines all agree — no sampling state to persist).
+
+    ``weights`` maps split name -> fraction (default 0.98/0.01/0.01);
+    names are assigned in insertion order over contiguous hash
+    ranges. Zero shuffle: one hash + one CASE per row."""
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = float(sum(weights.values()))
+    u = (md5_long(F.col(id_col), seed=seed) % 1_000_000) / 1_000_000.0
+    expr, acc = None, 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        # round the cumulative threshold so 0.8+0.1 is 0.9, not
+        # 0.9000000000000001 — u is a 1e-6-granular double and the
+        # boundary must be the same double everywhere
+        acc = round(acc + weights[name] / total, 12)
+        cond = u < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    split = (
+        F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
+    )
+    return docs.withColumn("split", split)
