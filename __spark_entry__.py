@@ -1798,6 +1798,45 @@ def q_quality_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(_lined_documents(spark, sf_dir), min_count=2)
 
 
+def q_vsctl_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vsctl CLI end-to-end under the oracle: drive the REAL
+    argv entrypoint (`tools/vsctl.py get`), capture its stdout JSON
+    lines, and re-materialize them as a DataFrame — so the CLI's
+    argument parsing, bus loading, address assignment, and output
+    serialization are all hash-checked against the same SQL that
+    gates bus_get_event (reference: tool/vsctl/command/event.go)."""
+    import contextlib
+    import io
+    import json as _json
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(
+        0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "tools")
+    )
+    import vsctl
+
+    argv, buf = _sys.argv, io.StringIO()
+    _sys.argv = [
+        "vsctl", "get",
+        "--bus", f"{sf_dir}/events.parquet",
+        "--eventlog", "1", "--offset", "5", "--number", "20",
+    ]
+    try:
+        with contextlib.redirect_stdout(buf):
+            vsctl.main()
+    finally:
+        _sys.argv = argv
+    rows = [_json.loads(line) for line in buf.getvalue().splitlines()]
+    return spark.createDataFrame(
+        [
+            (int(r["eventlog"]), int(r["offset"]), int(r["event_id"]))
+            for r in rows
+        ],
+        "eventlog long, offset long, event_id long",
+    )
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic leakage-safe train/val/test split: membership is
     a pure function of (seed, doc_id) — one hash + one CASE per row,
@@ -1958,6 +1997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # remain gated by tools/oracle_check.py regardless of position.
     return {
         # --- new this round ---
+        "vsctl_get": q_vsctl_get,
         "hash_split": q_hash_split,
         "intra_doc_dedup": q_intra_doc_dedup,
         "url_domain_filter": q_url_domain_filter,
@@ -2033,7 +2073,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "http_ingest_roundtrip": q_http_ingest_roundtrip,
         # --- quality rules (recently added; keep a driver eye on them) ---
         "quality_gopher": q_quality_gopher,
-        "quality_line_dedup": q_quality_line_dedup,
         # --- new this round (mixture, semantic dedup, funnel) ---
         "sample_mixture": q_sample_mixture,
         "semantic_dedup": q_semantic_dedup,
@@ -2045,6 +2084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delivery_routing": q_delivery_routing,
         "dlq_replay": q_dlq_replay,
         "quality_top_ngram": q_quality_top_ngram,
+        "quality_line_dedup": q_quality_line_dedup,
         "filter_exact": _filter_query({"exact": {"type": "purchase"}}),
         "filter_prefix": _filter_query({"prefix": {"type": "sign"}}),
         "filter_suffix": _filter_query({"suffix": {"type": "up"}}),
@@ -3085,6 +3125,15 @@ def oracle_sql() -> dict[str, str]:
         "similarity_neardup_embedding": _embedding_neardup_oracle(),
         "similarity_lsh_ann": _lsh_ann_oracle(),
         "ann_recall": _ann_recall_oracle(),
+        "vsctl_get": """
+            WITH bus AS (
+              SELECT *, user_id % 4 AS eventlog,
+                     row_number() OVER (PARTITION BY user_id % 4
+                                        ORDER BY ts, event_id) - 1 AS "offset"
+              FROM events)
+            SELECT eventlog, "offset", event_id FROM bus
+            WHERE eventlog = 1 AND "offset" >= 5 ORDER BY "offset" LIMIT 20
+        """,
         "hash_split": """
             WITH h AS (
               SELECT lang,

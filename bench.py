@@ -83,6 +83,7 @@ HEADLINE = [
     "url_domain_filter",
     "intra_doc_dedup",
     "hash_split",
+    "vsctl_get",
 ]
 
 
