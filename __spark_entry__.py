@@ -1798,6 +1798,28 @@ def q_quality_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(_lined_documents(spark, sf_dir), min_count=2)
 
 
+def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-graph PageRank (frontier prioritization / mixture
+    weighting — the Common-Crawl-style importance signal): 3 power
+    iterations over a deterministic link graph (every doc links to
+    its 7x+3 rotation; every 10th doc also links to hub 0). One
+    join + one partial-agg shuffle per iteration; the oracle unrolls
+    the identical three iterations as chained CTEs."""
+    from vanus_spark.llm.graphs import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    e1 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % n).alias("dst"),
+    )
+    e2 = docs.where((F.col("doc_id") % 10 == 0) & (F.col("doc_id") != 0)).select(
+        F.col("doc_id").alias("src"), F.lit(0).cast("long").alias("dst")
+    )
+    ranks = pagerank(e1.unionByName(e2), damping=0.85, iters=3)
+    return ranks.select("node", F.round("rank", 9).alias("rank"))
+
+
 def q_vsctl_get(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The vsctl CLI end-to-end under the oracle: drive the REAL
     argv entrypoint (`tools/vsctl.py get`), capture its stdout JSON
@@ -1997,6 +2019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # remain gated by tools/oracle_check.py regardless of position.
     return {
         # --- new this round ---
+        "link_pagerank": q_link_pagerank,
         "vsctl_get": q_vsctl_get,
         "hash_split": q_hash_split,
         "intra_doc_dedup": q_intra_doc_dedup,
@@ -2059,7 +2082,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- urls / audio fixed this round ---
         "url_canonicalize": q_url_canonicalize,
         "url_dedup": q_url_dedup,
-        "audio_decode": q_audio_decode,
         # --- filter-dependent streaming / transformer e2e ---
         "subscription_full": q_subscription_full,
         "fanout_multi_sub": q_fanout_multi_sub,
@@ -3125,6 +3147,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_neardup_embedding": _embedding_neardup_oracle(),
         "similarity_lsh_ann": _lsh_ann_oracle(),
         "ann_recall": _ann_recall_oracle(),
+        "link_pagerank": _pagerank_oracle(iters=3),
         "vsctl_get": """
             WITH bus AS (
               SELECT *, user_id % 4 AS eventlog,
@@ -3627,6 +3650,50 @@ def _ann_recall_oracle(k: int = 5) -> str:
         {ctes}
         {' UNION ALL '.join(branches)}
     """
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    """SQL twin of graphs.pagerank over the q_link_pagerank graph:
+    the power iterations unroll as chained CTEs (r0..rN), each the
+    same left join + contribution sum + teleport as the Spark loop.
+    All arithmetic forced to DOUBLE (DuckDB numeric literals default
+    to DECIMAL) so the folds match IEEE-for-IEEE."""
+    parts = [
+        """
+        WITH tot AS (SELECT count(*)::BIGINT AS n FROM documents),
+        e AS (
+          SELECT doc_id AS src,
+                 (doc_id * 7 + 3) % (SELECT n FROM tot) AS dst
+          FROM documents
+          UNION ALL
+          SELECT doc_id AS src, 0::BIGINT AS dst FROM documents
+          WHERE doc_id % 10 = 0 AND doc_id != 0),
+        nodes AS (SELECT DISTINCT node FROM
+                  (SELECT src AS node FROM e
+                   UNION ALL SELECT dst FROM e)),
+        deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        r0 AS (SELECT node,
+                      1.0::DOUBLE / (SELECT n FROM tot) AS rank
+               FROM nodes)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+        r{k} AS (
+          SELECT n.node,
+                 0.15::DOUBLE / (SELECT n FROM tot)
+                 + 0.85::DOUBLE * coalesce(c.s, 0.0::DOUBLE) AS rank
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum(r.rank / d.deg) AS s
+            FROM e JOIN r{k - 1} r ON e.src = r.node
+                   JOIN deg d ON e.src = d.src
+            GROUP BY e.dst) c USING (node))"""
+        )
+    parts.append(
+        f"""
+        SELECT node, round(rank, 9) AS rank FROM r{iters}"""
+    )
+    return "".join(parts)
 
 
 def _semantic_dedup_oracle(n_clusters: int = 8, threshold: float = 0.5) -> str:

@@ -84,6 +84,7 @@ HEADLINE = [
     "intra_doc_dedup",
     "hash_split",
     "vsctl_get",
+    "link_pagerank",
 ]
 
 

@@ -1,0 +1,38 @@
+"""Link-graph operators (crawl frontier ranking)."""
+
+from __future__ import annotations
+
+
+def test_pagerank_hand_computed(spark):
+    from vanus_spark.llm.graphs import pagerank
+
+    # 1 -> 2, 2 -> 1, 3 -> 1 : node 1 should dominate
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 1)], "src long, dst long"
+    )
+    ranks = {r.node: r.rank for r in pagerank(edges, iters=2).collect()}
+    # hand-roll 2 iterations: r0 = 1/3 each
+    d, n = 0.85, 3
+    t = 0.15 / n
+    r1 = {1: t + d * (1 / 3 + 1 / 3), 2: t + d * (1 / 3), 3: t}
+    r2 = {1: t + d * (r1[2] + r1[3]), 2: t + d * r1[1], 3: t}
+    for node in (1, 2, 3):
+        assert abs(ranks[node] - r2[node]) < 1e-12
+    # node 3 has no in-links: pure teleport mass, strictly smallest
+    assert ranks[3] == min(ranks.values())
+
+
+def test_pagerank_mass_conservation_without_dangling(spark):
+    from vanus_spark.llm.graphs import pagerank
+
+    # ring graph: no dangling nodes -> total mass stays 1
+    n = 50
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src long, dst long"
+    )
+    ranks = pagerank(edges, iters=4).collect()
+    total = sum(r.rank for r in ranks)
+    assert abs(total - 1.0) < 1e-9
+    # ring is symmetric: every node identical
+    vals = {round(r.rank, 12) for r in ranks}
+    assert len(vals) == 1
