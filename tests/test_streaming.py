@@ -161,6 +161,77 @@ def test_streaming_windowed_agg_with_watermark(spark, cloudevents, tmp_path):
     assert got == expected
 
 
+def test_late_data_dropped_by_watermark(spark, tmp_path):
+    """Append-mode windowed aggregation with a watermark DROPS events
+    that arrive after their window has closed (the late-data rule the
+    complete-mode test can't see). Two deterministic micro-batches:
+    batch 1 advances the watermark past the 09:00 window; batch 2
+    replays a late 09:10 event plus an on-time one — only the on-time
+    event may count."""
+    import os
+    import time as _time
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    schema = "ts timestamp, k string"
+
+    def write_batch(name, rows, mtime):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / name))
+        import glob, shutil
+
+        [part] = glob.glob(str(tmp_path / name / "part-*.parquet"))
+        dst = os.path.join(src, name + ".parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))  # deterministic file order
+
+    t = dt.datetime(2024, 1, 1, 9, 0, 0)
+    base = _time.time()
+    # batch 1: events at 09:10 and 12:00 -> watermark = 12:00 - 1h = 11:00
+    write_batch("b1", [(t + dt.timedelta(minutes=10), "a"),
+                       (t + dt.timedelta(hours=3), "a")], base - 30)
+    # batch 2: on-time only; the 09:00 window (end 10:00 < wm 11:00)
+    # is evicted + emitted at this batch boundary
+    write_batch("b2", [(t + dt.timedelta(hours=3, minutes=10), "a")], base - 20)
+    # batch 3: a LATE 09:20 event (its window already closed and
+    # emitted -> dropped) plus an on-time 12:30 event
+    write_batch("b3", [(t + dt.timedelta(minutes=20), "a"),
+                       (t + dt.timedelta(hours=3, minutes=30), "a")], base - 10)
+    # batch 4: push the watermark far ahead so every surviving window
+    # closes and emits in append mode
+    write_batch("b4", [(t + dt.timedelta(days=2), "a")], base)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "k")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.window.start.strftime("%H:%M"), r.n)
+        for r in spark.sql("SELECT * FROM late_out").collect()
+    }
+    # 09:00 window counts ONLY the batch-1 event (the late replay was
+    # dropped after eviction); 12:00 window counts all three on-time
+    # events
+    assert ("09:00", 1) in got
+    assert ("12:00", 3) in got
+    assert ("09:00", 2) not in got
+
+
 def test_backoff_escalates_across_retries(spark):
     sink = FlakySink({"1"})
     loop = DeliveryLoop(spark, Subscription.from_spec({}), sink)
