@@ -1798,6 +1798,55 @@ def q_quality_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(_lined_documents(spark, sf_dir), min_count=2)
 
 
+def q_sink_payload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FaaS/gRPC sink SERIALIZATION path under the oracle: every
+    envelope row renders through the real
+    ``sinks.event_row_to_cloudevent_json`` (the Lambda / gcloud /
+    grpc payload builder — reference lambda.go:33-80,
+    gcloud_functions.go:36-88) on EXECUTORS via mapInPandas, then the
+    payload parses back to typed fields. The oracle re-derives each
+    field from the raw events table, so id/type/time-RFC3339/
+    extension-attribute flattening/data-embedding all hash-check;
+    transport delivery itself stays pytest-gated (no HTTP in the
+    image)."""
+    ce = _cloudevents(spark, sf_dir)
+
+    def render(batches):
+        import pandas as pd
+
+        from vanus_spark.sinks import event_row_to_cloudevent_json
+
+        for pdf in batches:
+            rows = pdf.to_dict("records")
+            yield pd.DataFrame(
+                {
+                    "payload": [
+                        event_row_to_cloudevent_json(r) for r in rows
+                    ]
+                }
+            )
+
+    payloads = ce.mapInPandas(render, "payload string")
+    j = F.from_json(
+        F.col("payload"),
+        "specversion string, id string, source string, type string, "
+        "datacontenttype string, time string, partitionkey string, "
+        "data struct<user_id: long, value: double, props: struct<k: int>>",
+    )
+    return payloads.select(j.alias("j")).select(
+        F.col("j.id").cast("long").alias("event_id"),
+        F.col("j.specversion").alias("specversion"),
+        F.col("j.source").alias("source"),
+        F.col("j.type").alias("event_type"),
+        F.col("j.datacontenttype").alias("datacontenttype"),
+        F.col("j.time").alias("time_rfc3339"),
+        F.col("j.partitionkey").alias("partitionkey"),
+        F.col("j.data.user_id").alias("user_id"),
+        F.col("j.data.value").alias("value"),
+        F.col("j.data.props.k").alias("prop_k"),
+    )
+
+
 def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-graph PageRank (frontier prioritization / mixture
     weighting — the Common-Crawl-style importance signal): 3 power
@@ -2019,6 +2068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # remain gated by tools/oracle_check.py regardless of position.
     return {
         # --- new this round ---
+        "sink_payload_roundtrip": q_sink_payload_roundtrip,
         "link_pagerank": q_link_pagerank,
         "vsctl_get": q_vsctl_get,
         "hash_split": q_hash_split,
@@ -2080,7 +2130,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_near": q_dedup_simhash_near,
         "dedup_substring": q_dedup_substring,
         # --- urls / audio fixed this round ---
-        "url_canonicalize": q_url_canonicalize,
         "url_dedup": q_url_dedup,
         # --- filter-dependent streaming / transformer e2e ---
         "subscription_full": q_subscription_full,
@@ -3147,6 +3196,19 @@ def oracle_sql() -> dict[str, str]:
         "similarity_neardup_embedding": _embedding_neardup_oracle(),
         "similarity_lsh_ann": _lsh_ann_oracle(),
         "ann_recall": _ann_recall_oracle(),
+        "sink_payload_roundtrip": """
+            SELECT event_id,
+                   '1.0' AS specversion,
+                   '/test/source' AS source,
+                   event_type,
+                   'application/json' AS datacontenttype,
+                   strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS time_rfc3339,
+                   user_id::VARCHAR AS partitionkey,
+                   user_id,
+                   value,
+                   json_extract(props, '$.k')::INTEGER AS prop_k
+            FROM events
+        """,
         "link_pagerank": _pagerank_oracle(iters=3),
         "vsctl_get": """
             WITH bus AS (

@@ -85,6 +85,7 @@ HEADLINE = [
     "hash_split",
     "vsctl_get",
     "link_pagerank",
+    "sink_payload_roundtrip",
 ]
 
 
