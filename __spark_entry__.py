@@ -1798,6 +1798,29 @@ def q_quality_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(_lined_documents(spark, sf_dir), min_count=2)
 
 
+def q_dedup_best_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware dedup keeping the BEST copy per near-dup
+    component (highest quality score, ties to lowest id) instead of
+    greedy drop-the-higher-id — the production-preferred rule. The
+    oracle runs the exact transitive closure + the same rounded
+    quality ranking."""
+    from vanus_spark.llm.pipeline import best_representative_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return best_representative_dedup(docs).select("doc_id")
+
+
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights from the corpus's own token
+    distribution (weight ∝ token_share^alpha, the multilingual
+    rebalancing rule): per-language token sums, natural share, and
+    alpha=0.5 weight."""
+    from vanus_spark.llm.curation import temperature_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_weights(docs, strata_col="lang", alpha=0.5)
+
+
 def q_sink_payload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FaaS/gRPC sink SERIALIZATION path under the oracle: every
     envelope row renders through the real
@@ -2068,6 +2091,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # remain gated by tools/oracle_check.py regardless of position.
     return {
         # --- new this round ---
+        "dedup_best_rep": q_dedup_best_rep,
+        "mixture_temperature": q_mixture_temperature,
         "sink_payload_roundtrip": q_sink_payload_roundtrip,
         "link_pagerank": q_link_pagerank,
         "vsctl_get": q_vsctl_get,
@@ -2110,9 +2135,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_cesql_like_in": _filter_query(
             {"ce_sql": "type LIKE 's%p' OR type IN ('error', 'view')"}
         ),
-        "filter_data_raw_prefix": _filter_query(
-            {"prefix": {"data": '{"user_id":1,'}}
-        ),
         "filter_cel": _filter_query({"cel": "$user_id.(int64) > 10"}),
         "filter_cel_data": _filter_query(
             {"cel": "$props.k.(int64) >= 50 && $value.(double) < 100.0"}
@@ -2134,7 +2156,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- filter-dependent streaming / transformer e2e ---
         "subscription_full": q_subscription_full,
         "fanout_multi_sub": q_fanout_multi_sub,
-        "retry_refilter": q_retry_refilter,
         "dlq_resend": q_dlq_resend,
         "delayed_due_split": q_delayed_due_split,
         "ordered_delivery": q_ordered_delivery,
@@ -3196,6 +3217,21 @@ def oracle_sql() -> dict[str, str]:
         "similarity_neardup_embedding": _embedding_neardup_oracle(),
         "similarity_lsh_ann": _lsh_ann_oracle(),
         "ann_recall": _ann_recall_oracle(),
+        "dedup_best_rep": _best_rep_oracle(),
+        "mixture_temperature": f"""
+            WITH per AS (
+              SELECT lang AS stratum,
+                     sum(CASE WHEN length({_NORM.format(c='text')}) = 0 THEN 0
+                          ELSE len(str_split({_NORM.format(c='text')}, ' '))
+                          END)::BIGINT AS n_tokens
+              FROM documents GROUP BY lang),
+            tot AS (SELECT sum(n_tokens) AS t,
+                           sum(pow(n_tokens::DOUBLE, 0.5)) AS zn FROM per)
+            SELECT stratum, n_tokens,
+                   round(n_tokens / t, 9) AS share,
+                   round(pow(n_tokens::DOUBLE, 0.5) / zn, 9) AS weight
+            FROM per CROSS JOIN tot
+        """,
         "sink_payload_roundtrip": """
             SELECT event_id,
                    '1.0' AS specversion,
@@ -3554,6 +3590,60 @@ def _incremental_dedup_oracle(threshold: float = 0.8) -> str:
                 >= {threshold} * len(list_distinct(list_concat(a.sh, b.sh))))
         SELECT doc_id FROM fresh
         WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+    """
+
+
+def _best_rep_oracle(threshold: float = 0.8) -> str:
+    """SQL twin of q_dedup_best_rep: the components oracle's exact
+    transitive closure, then each component keeps its max-quality
+    member (rounded quality, ties to lowest id); unclustered docs
+    pass through."""
+    norm = _NORM.format(c="text")
+    return f"""
+        WITH RECURSIVE {_minhash_cte()},
+        pairs AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM buckets l JOIN buckets r
+            ON l.band = r.band AND l.band_key = r.band_key
+               AND l.doc_id < r.doc_id),
+        nd AS (
+          SELECT p.id_a, p.id_b FROM pairs p
+          JOIN sh a ON p.id_a = a.doc_id
+          JOIN sh b ON p.id_b = b.doc_id
+          WHERE len(list_intersect(a.sh, b.sh))
+                >= {threshold} * len(list_distinct(list_concat(a.sh, b.sh)))),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM nd
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM nd),
+        walk(node, label) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.node),
+        comp AS (SELECT node AS doc_id, min(label) AS component
+                 FROM walk GROUP BY node),
+        qn AS (SELECT doc_id, text, {norm} AS nt FROM documents),
+        qual AS (
+          SELECT doc_id,
+                 round(least((CASE WHEN length(nt)=0 THEN 0
+                              ELSE len(str_split(nt,' ')) END) / 50.0, 1.0) * 0.4
+                   + (CASE WHEN (list_reduce(list_transform(str_split(nt,' '),
+                          t -> length(t)::DOUBLE), (a,b) -> a+b)
+                          / greatest(len(str_split(nt,' ')),1)) BETWEEN 3 AND 10
+                      THEN 1.0 ELSE 0.5 END) * 0.3
+                   + (1.0 - least(((length(text) - length(regexp_replace(text,
+                          '[^\\w\\s]', '', 'g')))::DOUBLE
+                          / greatest(length(text),1)) * 5, 1.0)) * 0.3, 6) AS q
+          FROM qn),
+        ranked AS (
+          SELECT c.doc_id,
+                 row_number() OVER (PARTITION BY c.component
+                                    ORDER BY q.q DESC, c.doc_id) AS rn
+          FROM comp c JOIN qual q USING (doc_id))
+        SELECT d.doc_id FROM documents d
+        LEFT JOIN comp c ON d.doc_id = c.doc_id
+        LEFT JOIN ranked r ON d.doc_id = r.doc_id
+        WHERE c.doc_id IS NULL OR r.rn = 1
     """
 
 

@@ -86,6 +86,8 @@ HEADLINE = [
     "vsctl_get",
     "link_pagerank",
     "sink_payload_roundtrip",
+    "dedup_best_rep",
+    "mixture_temperature",
 ]
 
 

@@ -532,3 +532,40 @@ def test_semantic_dedup_drops_within_cluster_clones(spark, emb):
         for d in dropped:
             nb, cos = best[d]
             assert cos >= 0.95 and nb < d
+
+
+def test_best_representative_dedup_keeps_cleanest(spark):
+    """The cluster survivor is the highest-quality member, not the
+    lowest id (the greedy rule's pick)."""
+    from vanus_spark.llm.pipeline import best_representative_dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet green field toward the river bank today"
+    )
+    noisy = base.replace("quiet", "quiet !!! ??? ;;; :::")
+    docs = spark.createDataFrame(
+        [
+            (1, noisy),      # same cluster, punctuation soup
+            (2, base),       # cleanest copy, higher id
+            (50, "completely unrelated text about spark physical plans"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id for r in best_representative_dedup(docs, 0.5).select("doc_id").collect()}
+    assert out == {2, 50}  # 2 beats 1 on quality; 50 unclustered
+
+
+def test_temperature_weights_interpolate_toward_uniform(spark):
+    from vanus_spark.llm.curation import temperature_weights
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 90 else "fr", "w " * 20) for i in range(100)],
+        "doc_id long, lang string, text string",
+    )
+    natural = {r.stratum: r.weight for r in temperature_weights(docs, "lang", alpha=1.0).collect()}
+    cooled = {r.stratum: r.weight for r in temperature_weights(docs, "lang", alpha=0.3).collect()}
+    assert abs(natural["en"] - 0.9) < 1e-6  # alpha=1 == natural share
+    assert cooled["en"] < natural["en"]     # cooling lifts the tail
+    assert cooled["fr"] > natural["fr"]
+    assert abs(sum(cooled.values()) - 1.0) < 1e-6

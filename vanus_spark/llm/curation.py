@@ -377,3 +377,45 @@ def shard_assignment(
         shard.cast("long").alias("shard"),
         (cum_before % target_tokens).cast("long").alias("shard_tokens_before"),
     )
+
+
+def temperature_weights(
+    docs: DataFrame,
+    strata_col: str,
+    alpha: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """(stratum, n_tokens, share, weight): temperature-scaled mixture
+    weights from the corpus's own token distribution — weight_s ∝
+    share_s^alpha, the standard multilingual/multi-domain rebalancing
+    (alpha=1 keeps natural proportions, alpha→0 approaches uniform;
+    cf. the sampling-temperature scheme of multilingual pretraining).
+
+    One partial-agg groupBy(stratum) over token counts + a 1-row
+    total broadcast — nothing scales with the corpus except the first
+    aggregation. Feed the resulting weights into resample_mixture to
+    materialize the rebalanced corpus."""
+    from vanus_spark.llm.textstats import whitespace_token_count
+
+    per = docs.groupBy(strata_col).agg(
+        F.sum(whitespace_token_count(F.col(text_col))).alias("n_tokens")
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("_t"),
+        F.sum(
+            F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+        ).alias("_zn"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col(strata_col).alias("stratum"),
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("_t"), 9).alias("share"),
+            F.round(
+                F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+                / F.col("_zn"),
+                9,
+            ).alias("weight"),
+        )
+    )

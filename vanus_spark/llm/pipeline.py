@@ -19,7 +19,7 @@ instead of an iterative algorithm.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from vanus_spark.llm.dedup import (
@@ -95,3 +95,49 @@ def corpus_clean_report(docs: DataFrame, **kwargs) -> DataFrame:
     """Cleaned corpus + per-document profile (the training-stats row)."""
     cleaned = corpus_clean(docs, **kwargs)
     return text_profile(cleaned)
+
+
+def best_representative_dedup(
+    docs: DataFrame,
+    jaccard_threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **near_dup_kwargs,
+) -> DataFrame:
+    """Cluster-aware dedup that keeps the BEST copy, not the lowest
+    id: connected components over the near-dup pair graph, then each
+    component keeps its highest-quality member (ties to lowest id).
+    Production pipelines prefer this to greedy drop-the-higher-id —
+    the survivor of a boilerplate cluster is the cleanest capture,
+    not the one that happened to be crawled first.
+
+    Shape: the pair graph + components as in duplicate_components
+    (O(log diameter) label rounds); the best-of-cluster pick is one
+    per-component window over #clustered docs (a small subset of the
+    corpus); unclustered docs pass through untouched via one
+    anti-join."""
+    from vanus_spark.llm.dedup import duplicate_components, near_dup_pairs
+
+    pairs = near_dup_pairs(
+        docs, jaccard_threshold, text_col, id_col, **near_dup_kwargs
+    )
+    comp = duplicate_components(pairs, id_col)
+    scored = comp.join(
+        docs.select(
+            F.col(id_col), F.round(quality_score(F.col(text_col)), 6).alias("_q")
+        ),
+        id_col,
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("_q"), F.asc(id_col)
+    )
+    best = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col)
+    )
+    unclustered = docs.join(comp.select(id_col), id_col, "left_anti").select(
+        id_col
+    )
+    keep = unclustered.unionByName(best)
+    return docs.join(keep, id_col, "left_semi")
