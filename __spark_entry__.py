@@ -2080,15 +2080,17 @@ def q_ingest_metrics_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver verifies the FIRST 50 entries of this dict
     # against the DuckDB oracles (rounds 1-3: each CORRECTNESS file contains
-    # exactly registry positions 1-50). Round-4 window = queries that are NEW
-    # this round (bpe_merges, filter_multi_data, ann_recall), the one entry
-    # never driver-checked (events_cohort_retention, r3 position 51), and
-    # every query whose code CHANGED this round (the full filter family after
-    # the single-parse rewrite; the dedup/LSH family after the bucket_cap
-    # default flip and the components pointer-jump; urls/audio after their
-    # fixes; the filter-dependent streaming e2e chain). Multi-round-green
-    # queries whose code did not change rotate to the tail; ALL entries
-    # remain gated by tools/oracle_check.py regardless of position.
+    # exactly registry positions 1-50). Round-4 window = every query that is
+    # NEW this round (the corpus-management family: diff/shuffle/split/
+    # classifier/domain-filter/intra-doc-dedup/pagerank/best-rep/temperature/
+    # windowed-ingest-metrics/sink-serialization/vsctl, plus bpe_merges,
+    # filter_multi_data, ann_recall), the one r3 driver gap
+    # (events_cohort_retention), and queries whose code CHANGED this round
+    # (single-parse filters, the dedup/LSH family after the bucket_cap flip +
+    # shared-shingle ingest, the similarity family after the lit_vec/SemDeDup
+    # rewrites, the filter-dependent streaming e2e chain). Multi-round-green
+    # unchanged queries rotate to the tail; ALL entries remain gated by
+    # tools/oracle_check.py regardless of position.
     return {
         # --- new this round ---
         "dedup_best_rep": q_dedup_best_rep,
@@ -2175,6 +2177,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==================== end of the 50-entry window ====================
         "delivery_routing": q_delivery_routing,
         "dlq_replay": q_dlq_replay,
+        "retry_refilter": q_retry_refilter,
+        "filter_data_raw_prefix": _filter_query(
+            {"prefix": {"data": '{"user_id":1,'}}
+        ),
+        "url_canonicalize": q_url_canonicalize,
+        "audio_decode": q_audio_decode,
         "quality_top_ngram": q_quality_top_ngram,
         "quality_line_dedup": q_quality_line_dedup,
         "filter_exact": _filter_query({"exact": {"type": "purchase"}}),

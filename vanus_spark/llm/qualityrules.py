@@ -504,7 +504,11 @@ def intra_doc_line_dedup(
 
     Pure Columns, zero shuffle at any scale: the first-occurrence
     scan is a per-row array fold (aggregate over the line array
-    carrying the set of seen line keys), never an explode+window."""
+    carrying the set of seen line keys), never an explode+window.
+    The fold's seen-set lookup is linear in distinct lines, so the
+    per-doc cost is O(L^2) worst case — the right trade for real
+    documents (10^2-10^4 lines); a pathological 10^6-line doc should
+    go through the corpus-level line_dedup (shuffle-based) instead."""
     lines = _lines(F.col(text_col))
 
     def first_occurrences(ls: Column) -> Column:
