@@ -1807,7 +1807,9 @@ def q_dedup_best_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vanus_spark.llm.pipeline import best_representative_dedup
 
     docs = _t(spark, sf_dir, "documents")
-    return best_representative_dedup(docs).select("doc_id")
+    return best_representative_dedup(docs, num_hashes=16, bands=8).select(
+        "doc_id"
+    )
 
 
 def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1905,9 +1907,11 @@ def q_vsctl_get(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
     import sys as _sys
 
-    _sys.path.insert(
-        0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "tools")
+    tools_dir = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)), "tools"
     )
+    if tools_dir not in _sys.path:
+        _sys.path.insert(0, tools_dir)
     import vsctl
 
     argv, buf = _sys.argv, io.StringIO()

@@ -397,9 +397,12 @@ def temperature_weights(
     materialize the rebalanced corpus."""
     from vanus_spark.llm.textstats import whitespace_token_count
 
+    # materialize the #strata-row aggregate: `tot` derives from `per`,
+    # and without this the corpus-scale token aggregation would appear
+    # twice in the plan (Catalyst does not share repeated subtrees)
     per = docs.groupBy(strata_col).agg(
         F.sum(whitespace_token_count(F.col(text_col))).alias("n_tokens")
-    )
+    ).localCheckpoint(eager=False)
     tot = per.agg(
         F.sum("n_tokens").alias("_t"),
         F.sum(

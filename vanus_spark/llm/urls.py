@@ -151,7 +151,8 @@ def registered_domain(host: Column) -> Column:
     (blog.example.co.uk -> example.co.uk; cdn.example1.com ->
     example1.com). Lowercased, port stripped. Pure Columns — at
     100 TB this is a zero-shuffle projection."""
-    h = F.regexp_replace(F.lower(F.trim(host)), r":\d+$", "")
+    h = F.regexp_replace(F.lower(F.trim(host)), r"^[^@/]*@", "")  # userinfo
+    h = F.regexp_replace(h, r":\d+$", "")
     labels = F.split(h, r"\.")
     n = F.size(labels)
     tld = F.element_at(labels, -1)

@@ -61,6 +61,12 @@ def event_row_to_cloudevent_json(row: dict[str, Any]) -> str:
             s = t.isoformat()
             if s.endswith("+00:00"):
                 s = s[:-6]
+            if "." not in s:
+                # whole-second timestamps: force the 6-digit fraction
+                # so the rendering is uniform (isoformat omits it when
+                # microsecond == 0; RFC3339 allows both, but a single
+                # shape keeps downstream parsers and the oracle exact)
+                s += ".000000"
             ev["time"] = s + "Z"
         else:
             ev["time"] = str(t)

@@ -31,6 +31,12 @@ from vanus_spark.llm.dedup import (
 )
 
 
+_METRICS_SCHEMA = (
+    "batch long, n_in long, rejected_exact_within long, "
+    "rejected_near_within long, rejected_vs_corpus long, accepted long"
+)
+
+
 class DedupIngestLoop:
     """Per-stream incremental dedup with stored corpus/signature state."""
 
@@ -246,11 +252,7 @@ class DedupIngestLoop:
         """Per-batch ingest metrics as a DataFrame (the corpus-growth
         observability surface: accepted/rejected counts by reason,
         one row per processed micro-batch)."""
-        schema = (
-            "batch long, n_in long, rejected_exact_within long, "
-            "rejected_near_within long, rejected_vs_corpus long, accepted long"
-        )
-        return self.spark.createDataFrame(self.metrics, schema)
+        return self.spark.createDataFrame(self.metrics, _METRICS_SCHEMA)
 
     # ----- Structured Streaming wiring -------------------------------------
 
@@ -274,9 +276,18 @@ class DedupIngestLoop:
         def on_batch(batch_df: DataFrame, epoch_id: int):
             self.process_batch(batch_df).write.mode("append").parquet(output_dir)
             if metrics_dir is not None:
-                self.metrics_df().where(
-                    F.col("batch") == len(self.metrics) - 1
-                ).write.mode("append").parquet(metrics_dir)
+                # key the row by the foreachBatch EPOCH (not the loop's
+                # in-memory counter, which restarts at 0 on a new
+                # process) and overwrite an epoch-named directory so a
+                # crash-then-replay of the same epoch is idempotent —
+                # never a duplicated batch row in the live table
+                row = dict(self.metrics[-1])
+                row["batch"] = int(epoch_id)
+                self.spark.createDataFrame(
+                    [row], _METRICS_SCHEMA
+                ).write.mode("overwrite").parquet(
+                    f"{metrics_dir}/b{int(epoch_id)}"
+                )
 
         return (
             stream_df.writeStream.foreachBatch(on_batch)
@@ -321,8 +332,6 @@ def metrics_stream(spark: SparkSession, metrics_dir: str) -> DataFrame:
     ``windowed_metrics`` + ``writeStream`` for a LIVE acceptance-rate
     table. Complete-mode aggregation: the batch-index tumble needs no
     watermark, and windows stay revisable until their batches close."""
-    schema = (
-        "batch long, n_in long, rejected_exact_within long, "
-        "rejected_near_within long, rejected_vs_corpus long, accepted long"
+    return spark.readStream.schema(_METRICS_SCHEMA).parquet(
+        f"{metrics_dir}/*"
     )
-    return spark.readStream.schema(schema).parquet(metrics_dir)
