@@ -58,8 +58,15 @@ def main() -> None:
             near_dup_pairs,
             simhash_df,
         )
-        from vanus_spark.llm.pipeline import corpus_clean
+        from vanus_spark.llm.graphs import pagerank
+        from vanus_spark.llm.pipeline import best_representative_dedup, corpus_clean
+        from vanus_spark.llm.qualityrules import (
+            intra_doc_line_dedup,
+            nb_score,
+            nb_train,
+        )
         from vanus_spark.llm.textstats import lang_id_df
+        from vanus_spark.llm.versioning import hash_split
 
         return {
             "minhash_lsh_pairs": lambda: minhash_lsh_pairs(
@@ -71,6 +78,25 @@ def main() -> None:
             "simhash": lambda: simhash_df(docs, bits=16).count(),
             "lang_id": lambda: lang_id_df(docs).count(),
             "corpus_clean": lambda: corpus_clean(docs).count(),
+            "best_rep_dedup": lambda: best_representative_dedup(
+                docs, num_hashes=16, bands=8
+            ).count(),
+            "nb_classifier": lambda: nb_score(
+                docs, *nb_train(
+                    docs.withColumn(
+                        "label", (F.col("lang") == "en").cast("int")
+                    )
+                ),
+            ).count(),
+            "intra_doc_dedup": lambda: intra_doc_line_dedup(docs).count(),
+            "hash_split": lambda: hash_split(docs).count(),
+            "pagerank3": lambda: pagerank(
+                docs.select(
+                    F.col("doc_id").alias("src"),
+                    ((F.col("doc_id") * 7 + 3) % docs.count()).alias("dst"),
+                ),
+                iters=3,
+            ).count(),
         }
 
     results: dict[str, dict[int, float]] = {}
