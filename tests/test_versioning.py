@@ -223,3 +223,26 @@ def test_intra_doc_line_dedup_keeps_first_occurrence(spark):
     assert (got[1].n_lines, got[1].n_repeated_lines) == (5, 2)
     assert got[2].clean_text == "one\ntwo"
     assert got[2].n_repeated_lines == 0
+
+
+def test_corpus_diff_self_is_all_unchanged(spark):
+    from vanus_spark.llm.versioning import corpus_diff
+
+    docs = _docs(spark, [(i, f"text {i}") for i in range(50)])
+    statuses = {r.status for r in corpus_diff(docs, docs).collect()}
+    assert statuses == {"unchanged"}
+
+
+def test_intra_doc_dedup_idempotent(spark):
+    from vanus_spark.llm.qualityrules import intra_doc_line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a\nb\na\nc\nb"), (2, "x\nx\nx")], "doc_id long, text string"
+    )
+    once = intra_doc_line_dedup(docs).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    twice = intra_doc_line_dedup(once)
+    for r in twice.collect():
+        assert r.n_repeated_lines == 0
+        assert r.clean_text == {1: "a\nb\nc", 2: "x"}[r.doc_id]
