@@ -512,3 +512,75 @@ def test_run_stream_metrics(spark, tmp_path):
     assert sum(r.new_dead for r in m) == 1
     assert m[-1].pending == 0
     assert loop.delivered_count == 6
+
+
+def test_session_windows_gap_and_timeout_close(spark, tmp_path):
+    """Custom sessionizer (applyInPandasWithState + EventTimeTimeout):
+    a within-stream gap closes a session immediately; the event-time
+    timeout closes the final idle session when the watermark passes
+    end + gap — all under deterministic batch replay."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from vanus_spark.streaming.stateful import session_windows
+
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+    schema = "ts timestamp, user_id long"
+
+    def write_batch(name, rows, mtime):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / name))
+        [part] = glob.glob(str(tmp_path / name / "part-*.parquet"))
+        dst = os.path.join(src, name + ".parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    base = _time.time()
+    # batch 1: user 7 events at 09:00 and 09:05 (one session)
+    write_batch("b1", [(t0, 7), (t0 + dt.timedelta(minutes=5), 7)], base - 20)
+    # batch 2: user 7 at 11:00 -> >30min gap closes session 1 ('gap');
+    # user 8 opens a session
+    write_batch(
+        "b2",
+        [(t0 + dt.timedelta(hours=2), 7), (t0 + dt.timedelta(hours=2), 8)],
+        base - 10,
+    )
+    # batch 3: far-future event pushes the watermark past every
+    # open session's end + gap -> remaining sessions close by timeout
+    write_batch("b3", [(t0 + dt.timedelta(days=3), 9)], base)
+
+    out = session_windows(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        gap_s=1800,
+        watermark_delay="1 minute",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "select * from sessions_out order by user_id, session_start"
+    ).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    s1 = by_user[7][0]
+    assert s1.closed_by == "gap"
+    assert s1.n_events == 2
+    assert s1.session_start == t0
+    assert s1.session_end == t0 + dt.timedelta(minutes=5)
+    # user 7's 11:00 session and user 8's session close by timeout
+    assert by_user[7][1].closed_by == "timeout"
+    assert by_user[7][1].n_events == 1
+    assert by_user[8][0].closed_by == "timeout"
