@@ -1500,6 +1500,73 @@ def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q5_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): the classic 6-way join
+    — region/nation broadcast all the way down, customer and supplier
+    both resolve to the SAME nation (the Q5 co-location predicate),
+    revenue summed per nation. The only shuffles are the
+    orders-lineitem key join and the final #nations-row aggregate;
+    every dimension is a broadcast."""
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    asian_nations = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    cust = c.join(
+        F.broadcast(asian_nations), c.c_nationkey == F.col("n_nationkey")
+    ).select("c_custkey", "c_nationkey", "n_name")
+    sup = s.select("s_suppkey", "s_nationkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust), o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed anomaly detection on event rates: hourly event counts
+    per type, then each hour's z-score against that type's mean/std
+    over the whole month; |z| >= 2 flags the hour. Two partial-agg
+    shuffles (hour counts, per-type moments) + one broadcast-size
+    join — the standard streaming-ops dashboard query."""
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"),
+        F.col("event_type"),
+    ).agg(F.count("*").alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("n").alias("mu"),
+        F.stddev_pop("n").alias("sigma"),
+    )
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "hour",
+            "n",
+            F.round(
+                (F.col("n") - F.col("mu"))
+                / F.greatest(F.col("sigma"), F.lit(1e-9)),
+                6,
+            ).alias("zscore"),
+        )
+        .withColumn("is_anomaly", F.abs(F.col("zscore")) >= 2.0)
+    )
+
+
 def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: orders whose total quantity exceeds 250, with
     the customer attached. The HAVING aggregate partial-combines; the
@@ -2097,6 +2164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/oracle_check.py regardless of position.
     return {
         # --- new this round ---
+        "tpch_q5_volume": q_tpch_q5_volume,
+        "events_anomaly": q_events_anomaly,
         "dedup_best_rep": q_dedup_best_rep,
         "mixture_temperature": q_mixture_temperature,
         "sink_payload_roundtrip": q_sink_payload_roundtrip,
@@ -2162,8 +2231,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- filter-dependent streaming / transformer e2e ---
         "subscription_full": q_subscription_full,
         "fanout_multi_sub": q_fanout_multi_sub,
-        "dlq_resend": q_dlq_resend,
-        "delayed_due_split": q_delayed_due_split,
         "ordered_delivery": q_ordered_delivery,
         "transform_pipeline_e2e": q_transform_pipeline_e2e,
         "transform_pipeline_compiled": q_transform_pipeline_compiled,
@@ -2181,6 +2248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==================== end of the 50-entry window ====================
         "delivery_routing": q_delivery_routing,
         "dlq_replay": q_dlq_replay,
+        "dlq_resend": q_dlq_resend,
+        "delayed_due_split": q_delayed_due_split,
         "retry_refilter": q_retry_refilter,
         "filter_data_raw_prefix": _filter_query(
             {"prefix": {"data": '{"user_id":1,'}}
@@ -3229,6 +3298,37 @@ def oracle_sql() -> dict[str, str]:
         "similarity_neardup_embedding": _embedding_neardup_oracle(),
         "similarity_lsh_ann": _lsh_ann_oracle(),
         "ann_recall": _ann_recall_oracle(),
+        "tpch_q5_volume": """
+            SELECT n.n_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                     AS revenue,
+                   count(*)::BIGINT AS n_lineitems
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND c.c_nationkey = s.s_nationkey
+              AND o.o_orderdate >= '1996-01-01'
+              AND o.o_orderdate < '1998-01-01'
+            GROUP BY n.n_name
+        """,
+        "events_anomaly": """
+            WITH hourly AS (
+              SELECT date_trunc('hour', ts) AS hour, event_type,
+                     count(*)::BIGINT AS n
+              FROM events GROUP BY 1, 2),
+            stats AS (
+              SELECT event_type, avg(n) AS mu, stddev_pop(n) AS sigma
+              FROM hourly GROUP BY event_type)
+            SELECT h.event_type, h.hour, h.n,
+                   round((h.n - s.mu) / greatest(s.sigma, 1e-9), 6) AS zscore,
+                   abs(round((h.n - s.mu) / greatest(s.sigma, 1e-9), 6)) >= 2.0
+                     AS is_anomaly
+            FROM hourly h JOIN stats s USING (event_type)
+        """,
         "dedup_best_rep": _best_rep_oracle(),
         "mixture_temperature": f"""
             WITH per AS (

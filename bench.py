@@ -88,6 +88,8 @@ HEADLINE = [
     "sink_payload_roundtrip",
     "dedup_best_rep",
     "mixture_temperature",
+    "tpch_q5_volume",
+    "events_anomaly",
 ]
 
 
