@@ -1500,6 +1500,69 @@ def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full filtering funnel as one report: how many documents
+    survive each successive gate (exact dedup -> Gopher structural
+    rules -> quality-score threshold -> English lang-id) — the
+    attrition table every corpus build publishes. Each stage is the
+    already-oracle-gated operator; the funnel composes them and
+    counts survivors per stage in ONE pass (a stage is a boolean
+    column; counts are conditional sums, so the corpus scans once)."""
+    from vanus_spark.llm.dedup import exact_dedup_rows
+    from vanus_spark.llm.qualityrules import gopher_flags
+    from vanus_spark.llm.textstats import lang_id_df, quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    uniq = exact_dedup_rows(docs).select("doc_id")
+    gopher = gopher_flags(docs).select("doc_id", F.col("keep").alias("g_keep"))
+    langs = lang_id_df(docs).select(
+        "doc_id", (F.col("lang_pred") == "en").alias("l_keep")
+    )
+    staged = (
+        docs.select(
+            "doc_id",
+            (F.round(quality_score(F.col("text")), 6) >= 0.5).alias("q_keep"),
+        )
+        .join(uniq.withColumn("u_keep", F.lit(True)), "doc_id", "left")
+        .join(gopher, "doc_id")
+        .join(langs, "doc_id")
+        .select(
+            F.coalesce("u_keep", F.lit(False)).alias("s1"),
+            "g_keep",
+            "q_keep",
+            "l_keep",
+        )
+    )
+    agg = staged.agg(
+        F.count("*").alias("n_input"),
+        F.sum(F.col("s1").cast("long")).alias("after_exact_dedup"),
+        F.sum((F.col("s1") & F.col("g_keep")).cast("long")).alias(
+            "after_gopher"
+        ),
+        F.sum(
+            (F.col("s1") & F.col("g_keep") & F.col("q_keep")).cast("long")
+        ).alias("after_quality"),
+        F.sum(
+            (
+                F.col("s1")
+                & F.col("g_keep")
+                & F.col("q_keep")
+                & F.col("l_keep")
+            ).cast("long")
+        ).alias("after_langid"),
+    )
+    return agg.select(
+        "n_input",
+        "after_exact_dedup",
+        "after_gopher",
+        "after_quality",
+        "after_langid",
+        F.round(F.col("after_langid") / F.col("n_input"), 6).alias(
+            "retention"
+        ),
+    )
+
+
 def q_tpch_q5_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape (local supplier volume): the classic 6-way join
     — region/nation broadcast all the way down, customer and supplier
@@ -2164,6 +2227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/oracle_check.py regardless of position.
     return {
         # --- new this round ---
+        "quality_funnel": q_quality_funnel,
         "tpch_q5_volume": q_tpch_q5_volume,
         "events_anomaly": q_events_anomaly,
         "dedup_best_rep": q_dedup_best_rep,
@@ -2224,7 +2288,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_stream": q_dedup_incremental_stream,
         "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash_near": q_dedup_simhash_near,
         "dedup_substring": q_dedup_substring,
         # --- urls / audio fixed this round ---
         "url_dedup": q_url_dedup,
@@ -3298,6 +3361,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_neardup_embedding": _embedding_neardup_oracle(),
         "similarity_lsh_ann": _lsh_ann_oracle(),
         "ann_recall": _ann_recall_oracle(),
+        "quality_funnel": _quality_funnel_oracle(),
         "tpch_q5_volume": """
             SELECT n.n_name,
                    round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
@@ -4301,6 +4365,80 @@ def _simhash_oracle() -> str:
                             AS h
                    FROM toks)
         SELECT doc_id, ({bit_terms}) AS fingerprint FROM hashed
+    """
+
+
+def _quality_funnel_oracle() -> str:
+    """SQL twin of q_quality_funnel: the same four gates (exact
+    dedup, Gopher keep, quality >= 0.5, lang-id en) as boolean
+    columns, counted as successive conjunctions."""
+    norm = _NORM.format(c="text")
+    langid = _langid_oracle()
+    return f"""
+        WITH ek AS (
+          SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5({norm})),
+        gb AS (
+          SELECT doc_id,
+                 str_split({norm}, ' ') AS w,
+                 str_split(text, chr(10)) AS l
+          FROM documents),
+        gm AS (
+          SELECT doc_id,
+                 len(w)::BIGINT AS n_words,
+                 round(list_sum(list_transform(w, t ->
+                     (length(t) - length(replace(t, '#', '')))
+                     + (length(t) - length(replace(t, '...', ''))) // 3))::DOUBLE
+                   / greatest(len(w), 1), 6) AS symbol_word_ratio,
+                 round(len(list_filter(w, t -> regexp_matches(t, '[a-z]')))::DOUBLE
+                   / greatest(len(w), 1), 6) AS alpha_word_fraction,
+                 round(len(list_filter(l, x -> regexp_matches(ltrim(x), '^[-*•]')))::DOUBLE
+                   / greatest(len(l), 1), 6) AS bullet_line_fraction,
+                 round(len(list_filter(l, x -> regexp_matches(rtrim(x), '\\.\\.\\.$')))::DOUBLE
+                   / greatest(len(l), 1), 6) AS ellipsis_line_fraction,
+                 round((len(l) - len(list_distinct(l)))::DOUBLE
+                   / greatest(len(l), 1), 6) AS dup_line_fraction
+          FROM gb),
+        g AS (
+          SELECT doc_id,
+                 (n_words >= 50 AND n_words <= 100000
+                  AND symbol_word_ratio <= 0.1
+                  AND bullet_line_fraction <= 0.9
+                  AND ellipsis_line_fraction <= 0.3
+                  AND alpha_word_fraction >= 0.8
+                  AND dup_line_fraction <= 0.3) AS g_keep
+          FROM gm),
+        qn AS (SELECT doc_id, text, {norm} AS nt FROM documents),
+        q AS (
+          SELECT doc_id,
+                 round(least((CASE WHEN length(nt)=0 THEN 0
+                              ELSE len(str_split(nt,' ')) END) / 50.0, 1.0) * 0.4
+                   + (CASE WHEN (list_reduce(list_transform(str_split(nt,' '),
+                          t -> length(t)::DOUBLE), (a,b) -> a+b)
+                          / greatest(len(str_split(nt,' ')),1)) BETWEEN 3 AND 10
+                      THEN 1.0 ELSE 0.5 END) * 0.3
+                   + (1.0 - least(((length(text) - length(regexp_replace(text,
+                          '[^\\w\\s]', '', 'g')))::DOUBLE
+                          / greatest(length(text),1)) * 5, 1.0)) * 0.3, 6)
+                   >= 0.5 AS q_keep
+          FROM qn),
+        langs AS ({langid}),
+        staged AS (
+          SELECT (ek.doc_id IS NOT NULL) AS s1, g.g_keep, q.q_keep,
+                 (langs.lang_pred = 'en') AS l_keep
+          FROM documents d
+          LEFT JOIN ek ON d.doc_id = ek.doc_id
+          JOIN g ON d.doc_id = g.doc_id
+          JOIN q ON d.doc_id = q.doc_id
+          JOIN langs ON d.doc_id = langs.doc_id)
+        SELECT count(*)::BIGINT AS n_input,
+               sum(s1::INT)::BIGINT AS after_exact_dedup,
+               sum((s1 AND g_keep)::INT)::BIGINT AS after_gopher,
+               sum((s1 AND g_keep AND q_keep)::INT)::BIGINT AS after_quality,
+               sum((s1 AND g_keep AND q_keep AND l_keep)::INT)::BIGINT
+                 AS after_langid,
+               round(sum((s1 AND g_keep AND q_keep AND l_keep)::INT)::DOUBLE
+                     / count(*), 6) AS retention
+        FROM staged
     """
 
 

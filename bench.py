@@ -90,6 +90,7 @@ HEADLINE = [
     "mixture_temperature",
     "tpch_q5_volume",
     "events_anomaly",
+    "quality_funnel",
 ]
 
 
