@@ -2313,6 +2313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dlq_replay": q_dlq_replay,
         "dlq_resend": q_dlq_resend,
         "delayed_due_split": q_delayed_due_split,
+        "dedup_simhash_near": q_dedup_simhash_near,
         "retry_refilter": q_retry_refilter,
         "filter_data_raw_prefix": _filter_query(
             {"prefix": {"data": '{"user_id":1,'}}
