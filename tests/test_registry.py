@@ -1,0 +1,46 @@
+"""Registry integrity: the driver contract's queries() / oracle_sql()
+must stay in lockstep (two window rotations silently dropped entries
+this round — this pins the invariants)."""
+
+from __future__ import annotations
+
+import importlib.util
+
+ROWS_ONLY = {"bpe_token_count"}  # documented oracle-free entries
+
+
+def _entry_module():
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+def test_every_query_has_an_oracle_and_vice_versa():
+    m = _entry_module()
+    qs, osql = set(m.queries()), set(m.oracle_sql())
+    assert qs - osql == ROWS_ONLY, (
+        f"queries without oracle beyond the documented rows-only set: "
+        f"{sorted(qs - osql - ROWS_ONLY)}"
+    )
+    assert not (osql - qs), (
+        f"oracles whose query was dropped (bad window rotation?): "
+        f"{sorted(osql - qs)}"
+    )
+
+
+def test_driver_window_is_exactly_50():
+    src = open("/root/repo/__spark_entry__.py").read()
+    import re
+
+    i = src.index("def queries()")
+    j = src.index("end of the 50-entry window")
+    keys = [
+        k
+        for k in re.findall(r'^\s+"([a-z0-9_]+)":', src[i:j], re.M)
+        if k not in ("all", "any")  # nested filter-spec keys
+    ]
+    assert len(keys) == 50, f"window has {len(keys)} entries"
+    assert len(set(keys)) == 50, "duplicate keys in the window"
