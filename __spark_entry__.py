@@ -1133,6 +1133,39 @@ def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_assignment(docs, target_tokens=2000, group_col="lang")
 
 
+def q_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The export MANIFEST next to the shards: per (lang, shard) row
+    counts, token totals, and an order-insensitive content checksum
+    (sum of per-doc 63-bit digests) — what a downstream loader uses
+    to validate a delivered dataset without re-reading the text. One
+    extra aggregate over the shard assignment; the checksum addends
+    are per-doc map-side."""
+    from vanus_spark.llm.curation import shard_assignment
+    from vanus_spark.llm.dedup import md5_long, normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    shards = shard_assignment(docs, target_tokens=2000, group_col="lang")
+    checks = docs.select(
+        "doc_id", md5_long(normalize_text(F.col("text"))).alias("_dg")
+    )
+    # checksum = sum of per-doc digests mod 2^61-1: the sum accumulates
+    # in decimal(38,0) (exact, no ANSI long overflow at any corpus
+    # size), the mod folds it back to one long — order-insensitive and
+    # engine-exact (DuckDB sums into HUGEINT and takes the same mod)
+    mod = 2_305_843_009_213_693_951  # 2^61 - 1
+    return (
+        shards.join(checks, "doc_id")
+        .groupBy("lang", "shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.pmod(F.sum(F.col("_dg").cast("decimal(38,0)")), F.lit(mod))
+            .cast("long")
+            .alias("content_checksum"),
+        )
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-then-chunk packing into 256-token context windows,
     one stream per language."""
@@ -2227,6 +2260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/oracle_check.py regardless of position.
     return {
         # --- new this round ---
+        "export_manifest": q_export_manifest,
         "quality_funnel": q_quality_funnel,
         "tpch_q5_volume": q_tpch_q5_volume,
         "events_anomaly": q_events_anomaly,
@@ -2281,7 +2315,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- dedup/LSH family: bucket_cap default flip + pointer-jump ---
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_near_dup": q_dedup_near_dup,
         "corpus_clean": q_corpus_clean,
         "dedup_components": q_dedup_components,
@@ -2314,6 +2347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dlq_resend": q_dlq_resend,
         "delayed_due_split": q_delayed_due_split,
         "dedup_simhash_near": q_dedup_simhash_near,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "retry_refilter": q_retry_refilter,
         "filter_data_raw_prefix": _filter_query(
             {"prefix": {"data": '{"user_id":1,'}}
@@ -3625,6 +3659,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pack_sequences": _pack_sequences_oracle(),
         "export_shards": _shard_assignment_oracle(),
+        "export_manifest": f"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     (CASE WHEN length({_NORM.format(c='text')}) = 0 THEN 0
+                           ELSE len(str_split({_NORM.format(c='text')}, ' '))
+                      END)::BIGINT AS n_tokens,
+                     ('0x' || substr(md5('0|' ||
+                        {_NORM.format(c='text')}), 1, 15))::BIGINT AS dg
+              FROM documents),
+            c AS (
+              SELECT lang, n_tokens, dg,
+                     (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - n_tokens) AS cum_before
+              FROM t)
+            SELECT lang, floor(cum_before / 2000.0)::BIGINT AS shard,
+                   count(*)::BIGINT AS n_docs,
+                   sum(n_tokens)::BIGINT AS n_tokens,
+                   (sum(dg) % 2305843009213693951)::BIGINT
+                     AS content_checksum
+            FROM c GROUP BY 1, 2
+        """,
         "dedup_incremental": _incremental_dedup_oracle(),
         "dedup_incremental_stream": _incremental_stream_oracle(),
         "dedup_components": _components_oracle(),

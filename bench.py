@@ -91,6 +91,7 @@ HEADLINE = [
     "tpch_q5_volume",
     "events_anomaly",
     "quality_funnel",
+    "export_manifest",
 ]
 
 
