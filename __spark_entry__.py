@@ -1136,7 +1136,7 @@ def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The export MANIFEST next to the shards: per (lang, shard) row
     counts, token totals, and an order-insensitive content checksum
-    (sum of per-doc 63-bit digests) — what a downstream loader uses
+    (sum of per-doc 60-bit digests) — what a downstream loader uses
     to validate a delivered dataset without re-reading the text. One
     extra aggregate over the shard assignment; the checksum addends
     are per-doc map-side."""
@@ -1541,12 +1541,15 @@ def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-oracle-gated operator; the funnel composes them and
     counts survivors per stage in ONE pass (a stage is a boolean
     column; counts are conditional sums, so the corpus scans once)."""
-    from vanus_spark.llm.dedup import exact_dedup_rows
+    from vanus_spark.llm.dedup import exact_dedup
     from vanus_spark.llm.qualityrules import gopher_flags
     from vanus_spark.llm.textstats import lang_id_df, quality_score
 
     docs = _t(spark, sf_dir, "documents")
-    uniq = exact_dedup_rows(docs).select("doc_id")
+    # keep-ids straight from the digest aggregate (exact_dedup_rows
+    # would semi-join them back against the corpus only to re-project
+    # the id — a wasted second scan at any scale)
+    uniq = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
     gopher = gopher_flags(docs).select("doc_id", F.col("keep").alias("g_keep"))
     langs = lang_id_df(docs).select(
         "doc_id", (F.col("lang_pred") == "en").alias("l_keep")
@@ -3148,36 +3151,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
         """,
         "quality_gopher": f"""
-            WITH base AS (
-              SELECT doc_id,
-                     str_split({norm_text}, ' ') AS w,
-                     str_split(text, chr(10)) AS l
-              FROM documents),
-            m AS (
-              SELECT doc_id,
-                     len(w)::BIGINT AS n_words,
-                     len(l)::BIGINT AS n_lines,
-                     round(list_sum(list_transform(w, t ->
-                         (length(t) - length(replace(t, '#', '')))
-                         + (length(t) - length(replace(t, '...', ''))) // 3))::DOUBLE
-                       / greatest(len(w), 1), 6) AS symbol_word_ratio,
-                     round(len(list_filter(w, t -> regexp_matches(t, '[a-z]')))::DOUBLE
-                       / greatest(len(w), 1), 6) AS alpha_word_fraction,
-                     round(len(list_filter(l, x -> regexp_matches(ltrim(x), '^[-*•]')))::DOUBLE
-                       / greatest(len(l), 1), 6) AS bullet_line_fraction,
-                     round(len(list_filter(l, x -> regexp_matches(rtrim(x), '\\.\\.\\.$')))::DOUBLE
-                       / greatest(len(l), 1), 6) AS ellipsis_line_fraction,
-                     round((len(l) - len(list_distinct(l)))::DOUBLE
-                       / greatest(len(l), 1), 6) AS dup_line_fraction
-              FROM base)
-            SELECT *,
-                   (n_words >= 50 AND n_words <= 100000
-                    AND symbol_word_ratio <= 0.1
-                    AND bullet_line_fraction <= 0.9
-                    AND ellipsis_line_fraction <= 0.3
-                    AND alpha_word_fraction >= 0.8
-                    AND dup_line_fraction <= 0.3) AS keep
-            FROM m
+            WITH m AS ({_gopher_metrics_oracle()})
+            SELECT *, {_GOPHER_KEEP_SQL} AS keep FROM m
         """,
         "quality_top_ngram": f"""
             WITH n AS (SELECT doc_id, str_split({norm_text}, ' ') AS w FROM documents),
@@ -3660,26 +3635,19 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _pack_sequences_oracle(),
         "export_shards": _shard_assignment_oracle(),
         "export_manifest": f"""
-            WITH t AS (
-              SELECT doc_id, lang,
-                     (CASE WHEN length({_NORM.format(c='text')}) = 0 THEN 0
-                           ELSE len(str_split({_NORM.format(c='text')}, ' '))
-                      END)::BIGINT AS n_tokens,
+            WITH s AS ({_shard_assignment_oracle()}),
+            d AS (
+              SELECT doc_id,
                      ('0x' || substr(md5('0|' ||
                         {_NORM.format(c='text')}), 1, 15))::BIGINT AS dg
-              FROM documents),
-            c AS (
-              SELECT lang, n_tokens, dg,
-                     (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                      - n_tokens) AS cum_before
-              FROM t)
-            SELECT lang, floor(cum_before / 2000.0)::BIGINT AS shard,
+              FROM documents)
+            SELECT s.lang, s.shard,
                    count(*)::BIGINT AS n_docs,
-                   sum(n_tokens)::BIGINT AS n_tokens,
-                   (sum(dg) % 2305843009213693951)::BIGINT
+                   sum(s.n_tokens)::BIGINT AS n_tokens,
+                   (sum(d.dg) % 2305843009213693951)::BIGINT
                      AS content_checksum
-            FROM c GROUP BY 1, 2
+            FROM s JOIN d USING (doc_id)
+            GROUP BY 1, 2
         """,
         "dedup_incremental": _incremental_dedup_oracle(),
         "dedup_incremental_stream": _incremental_stream_oracle(),
@@ -3855,19 +3823,7 @@ def _best_rep_oracle(threshold: float = 0.8) -> str:
           SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.node),
         comp AS (SELECT node AS doc_id, min(label) AS component
                  FROM walk GROUP BY node),
-        qn AS (SELECT doc_id, text, {norm} AS nt FROM documents),
-        qual AS (
-          SELECT doc_id,
-                 round(least((CASE WHEN length(nt)=0 THEN 0
-                              ELSE len(str_split(nt,' ')) END) / 50.0, 1.0) * 0.4
-                   + (CASE WHEN (list_reduce(list_transform(str_split(nt,' '),
-                          t -> length(t)::DOUBLE), (a,b) -> a+b)
-                          / greatest(len(str_split(nt,' ')),1)) BETWEEN 3 AND 10
-                      THEN 1.0 ELSE 0.5 END) * 0.3
-                   + (1.0 - least(((length(text) - length(regexp_replace(text,
-                          '[^\\w\\s]', '', 'g')))::DOUBLE
-                          / greatest(length(text),1)) * 5, 1.0)) * 0.3, 6) AS q
-          FROM qn),
+        qual AS ({_quality_score_oracle()}),
         ranked AS (
           SELECT c.doc_id,
                  row_number() OVER (PARTITION BY c.component
@@ -4425,59 +4381,76 @@ def _simhash_oracle() -> str:
     """
 
 
+def _gopher_metrics_oracle() -> str:
+    """SELECT doc_id + the Gopher structural metrics — the single SQL
+    twin of qualityrules.gopher_flags, shared by the quality_gopher
+    gate and the funnel (one copy to keep in sync with the operator)."""
+    norm = _NORM.format(c="text")
+    return f"""
+            SELECT doc_id,
+                   len(w)::BIGINT AS n_words,
+                   len(l)::BIGINT AS n_lines,
+                   round(list_sum(list_transform(w, t ->
+                       (length(t) - length(replace(t, '#', '')))
+                       + (length(t) - length(replace(t, '...', ''))) // 3))::DOUBLE
+                     / greatest(len(w), 1), 6) AS symbol_word_ratio,
+                   round(len(list_filter(w, t -> regexp_matches(t, '[a-z]')))::DOUBLE
+                     / greatest(len(w), 1), 6) AS alpha_word_fraction,
+                   round(len(list_filter(l, x -> regexp_matches(ltrim(x), '^[-*•]')))::DOUBLE
+                     / greatest(len(l), 1), 6) AS bullet_line_fraction,
+                   round(len(list_filter(l, x -> regexp_matches(rtrim(x), '\\.\\.\\.$')))::DOUBLE
+                     / greatest(len(l), 1), 6) AS ellipsis_line_fraction,
+                   round((len(l) - len(list_distinct(l)))::DOUBLE
+                     / greatest(len(l), 1), 6) AS dup_line_fraction
+            FROM (SELECT doc_id,
+                         str_split({norm}, ' ') AS w,
+                         str_split(text, chr(10)) AS l
+                  FROM documents) gopher_base"""
+
+
+_GOPHER_KEEP_SQL = """(n_words >= 50 AND n_words <= 100000
+                    AND symbol_word_ratio <= 0.1
+                    AND bullet_line_fraction <= 0.9
+                    AND ellipsis_line_fraction <= 0.3
+                    AND alpha_word_fraction >= 0.8
+                    AND dup_line_fraction <= 0.3)"""
+
+
+def _quality_score_oracle() -> str:
+    """SELECT doc_id, q (rounded composite quality) — the single SQL
+    twin of textstats.quality_score, shared by corpus_clean, the
+    best-representative ranking, and the funnel."""
+    norm = _NORM.format(c="text")
+    return f"""
+            SELECT doc_id,
+                   round(least((CASE WHEN length(nt)=0 THEN 0
+                                ELSE len(str_split(nt,' ')) END) / 50.0, 1.0) * 0.4
+                     + (CASE WHEN (list_reduce(list_transform(str_split(nt,' '),
+                            t -> length(t)::DOUBLE), (a,b) -> a+b)
+                            / greatest(len(str_split(nt,' ')),1)) BETWEEN 3 AND 10
+                        THEN 1.0 ELSE 0.5 END) * 0.3
+                     + (1.0 - least(((length(text) - length(regexp_replace(text,
+                            '[^\\w\\s]', '', 'g')))::DOUBLE
+                            / greatest(length(text),1)) * 5, 1.0)) * 0.3, 6) AS q
+            FROM (SELECT doc_id, text, {norm} AS nt FROM documents) qn"""
+
+
 def _quality_funnel_oracle() -> str:
     """SQL twin of q_quality_funnel: the same four gates (exact
     dedup, Gopher keep, quality >= 0.5, lang-id en) as boolean
-    columns, counted as successive conjunctions."""
+    columns, counted as successive conjunctions. Every stage reuses
+    the SAME factored oracle fragment as its standalone gate."""
     norm = _NORM.format(c="text")
     langid = _langid_oracle()
     return f"""
         WITH ek AS (
           SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5({norm})),
-        gb AS (
-          SELECT doc_id,
-                 str_split({norm}, ' ') AS w,
-                 str_split(text, chr(10)) AS l
-          FROM documents),
-        gm AS (
-          SELECT doc_id,
-                 len(w)::BIGINT AS n_words,
-                 round(list_sum(list_transform(w, t ->
-                     (length(t) - length(replace(t, '#', '')))
-                     + (length(t) - length(replace(t, '...', ''))) // 3))::DOUBLE
-                   / greatest(len(w), 1), 6) AS symbol_word_ratio,
-                 round(len(list_filter(w, t -> regexp_matches(t, '[a-z]')))::DOUBLE
-                   / greatest(len(w), 1), 6) AS alpha_word_fraction,
-                 round(len(list_filter(l, x -> regexp_matches(ltrim(x), '^[-*•]')))::DOUBLE
-                   / greatest(len(l), 1), 6) AS bullet_line_fraction,
-                 round(len(list_filter(l, x -> regexp_matches(rtrim(x), '\\.\\.\\.$')))::DOUBLE
-                   / greatest(len(l), 1), 6) AS ellipsis_line_fraction,
-                 round((len(l) - len(list_distinct(l)))::DOUBLE
-                   / greatest(len(l), 1), 6) AS dup_line_fraction
-          FROM gb),
         g AS (
-          SELECT doc_id,
-                 (n_words >= 50 AND n_words <= 100000
-                  AND symbol_word_ratio <= 0.1
-                  AND bullet_line_fraction <= 0.9
-                  AND ellipsis_line_fraction <= 0.3
-                  AND alpha_word_fraction >= 0.8
-                  AND dup_line_fraction <= 0.3) AS g_keep
-          FROM gm),
-        qn AS (SELECT doc_id, text, {norm} AS nt FROM documents),
+          SELECT doc_id, {_GOPHER_KEEP_SQL} AS g_keep
+          FROM ({_gopher_metrics_oracle()}) gm),
         q AS (
-          SELECT doc_id,
-                 round(least((CASE WHEN length(nt)=0 THEN 0
-                              ELSE len(str_split(nt,' ')) END) / 50.0, 1.0) * 0.4
-                   + (CASE WHEN (list_reduce(list_transform(str_split(nt,' '),
-                          t -> length(t)::DOUBLE), (a,b) -> a+b)
-                          / greatest(len(str_split(nt,' ')),1)) BETWEEN 3 AND 10
-                      THEN 1.0 ELSE 0.5 END) * 0.3
-                   + (1.0 - least(((length(text) - length(regexp_replace(text,
-                          '[^\\w\\s]', '', 'g')))::DOUBLE
-                          / greatest(length(text),1)) * 5, 1.0)) * 0.3, 6)
-                   >= 0.5 AS q_keep
-          FROM qn),
+          SELECT doc_id, q >= 0.5 AS q_keep
+          FROM ({_quality_score_oracle()}) qs),
         langs AS ({langid}),
         staged AS (
           SELECT (ek.doc_id IS NOT NULL) AS s1, g.g_keep, q.q_keep,
@@ -4506,20 +4479,7 @@ def _corpus_clean_oracle() -> str:
     independently)."""
     norm = _NORM.format(c="text")
     langid = _langid_oracle()
-    quality = """
-        WITH n AS (SELECT doc_id, text, {norm} AS nt FROM documents)
-        SELECT doc_id,
-               round(least((CASE WHEN length(nt)=0 THEN 0
-                            ELSE len(str_split(nt,' ')) END) / 50.0, 1.0) * 0.4
-                 + (CASE WHEN (list_reduce(list_transform(str_split(nt,' '),
-                        t -> length(t)::DOUBLE), (a,b) -> a+b)
-                        / greatest(len(str_split(nt,' ')),1)) BETWEEN 3 AND 10
-                    THEN 1.0 ELSE 0.5 END) * 0.3
-                 + (1.0 - least(((length(text) - length(regexp_replace(text,
-                        '[^\\w\\s]', '', 'g')))::DOUBLE
-                        / greatest(length(text),1)) * 5, 1.0)) * 0.3, 6) AS q
-        FROM n
-    """.format(norm=norm)
+    quality = _quality_score_oracle()
     return f"""
         WITH exact_keep AS (
           SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5({norm})),

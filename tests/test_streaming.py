@@ -232,6 +232,64 @@ def test_late_data_dropped_by_watermark(spark, tmp_path):
     assert ("09:00", 2) not in got
 
 
+def test_session_windows_survives_below_watermark_straggler(spark, tmp_path):
+    """A late event arriving after the watermark passed its session's
+    end + gap must form/close its own stale session — NOT set a
+    below-watermark timeout and crash the query (reproduced pre-fix:
+    PySparkValueError INVALID_TIMEOUT_TIMESTAMP aborting the stream,
+    and again on every restart)."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from vanus_spark.streaming.stateful import session_windows
+
+    src = str(tmp_path / "lag_src")
+    os.makedirs(src)
+    schema = "ts timestamp, user_id long"
+
+    def write_batch(name, rows, mtime):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / name))
+        [part] = glob.glob(str(tmp_path / name / "part-*.parquet"))
+        dst = os.path.join(src, name + ".parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    base = _time.time()
+    # batch 1: far-future event -> watermark jumps to ~day 3
+    write_batch("b1", [(t0 + dt.timedelta(days=3), 1)], base - 20)
+    # batch 2: straggler at 09:00 (points-in-time far below watermark)
+    write_batch("b2", [(t0, 2)], base - 10)
+    # batch 3: advance the watermark again so the straggler's clamped
+    # timeout fires
+    write_batch("b3", [(t0 + dt.timedelta(days=6), 3)], base)
+
+    q = (
+        session_windows(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            gap_s=1800,
+            watermark_delay="1 minute",
+        )
+        .writeStream.format("memory")
+        .queryName("straggler_out")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    assert q.exception() is None  # the stream survived
+    q.stop()
+    rows = spark.sql("select * from straggler_out").collect()
+    stale = [r for r in rows if r.user_id == 2]
+    assert len(stale) == 1 and stale[0].closed_by == "timeout"
+    assert stale[0].n_events == 1
+
+
 def test_backoff_escalates_across_retries(spark):
     sink = FlakySink({"1"})
     loop = DeliveryLoop(spark, Subscription.from_spec({}), sink)

@@ -52,7 +52,7 @@ def main() -> None:
     spark = get_spark("scaling_probe")
     docs0 = load_table(spark, "/root/testdata/sf0.1", "documents")
 
-    def ops(docs: DataFrame) -> dict:
+    def ops(docs: DataFrame, n_docs: int) -> dict:
         from vanus_spark.llm.dedup import (
             minhash_lsh_pairs,
             near_dup_pairs,
@@ -93,7 +93,7 @@ def main() -> None:
             "pagerank3": lambda: pagerank(
                 docs.select(
                     F.col("doc_id").alias("src"),
-                    ((F.col("doc_id") * 7 + 3) % docs.count()).alias("dst"),
+                    ((F.col("doc_id") * 7 + 3) % n_docs).alias("dst"),
                 ),
                 iters=3,
             ).count(),
@@ -103,7 +103,7 @@ def main() -> None:
     for r in multiples:
         docs = replicate_docs(docs0, r).localCheckpoint(eager=True)
         n = docs.count()
-        for name, fn in ops(docs).items():
+        for name, fn in ops(docs, n).items():
             fn()  # warm the shape
             t0 = time.perf_counter()
             out = fn()

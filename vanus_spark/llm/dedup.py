@@ -41,7 +41,7 @@ DEFAULT_BUCKET_CAP = 200
 # ---------------------------------------------------------------------------
 
 def md5_long(c: Column, seed: int = 0) -> Column:
-    """Stable 63-bit integer hash: first 15 hex digits of
+    """Stable 60-bit integer hash: first 15 hex digits of
     md5(seed || value). Positive, fits a signed long; reproducible in
     DuckDB as ('0x' || substr(md5(...), 1, 15))::BIGINT."""
     payload = F.concat(F.lit(str(seed) + "|"), c.cast("string"))

@@ -97,7 +97,10 @@ def _make_session_fn(gap_s: int):
             int(t.value // 1000)  # pandas ns -> us
             for pdf in pdfs
             for t in pd.to_datetime(pdf["ts"])
+            if pd.notna(t)  # a null ts must not poison the session
         )
+        if not ts and not state.exists:
+            return
         closed: list[dict] = []
         if state.exists:
             start_us, last_us, n = state.get
@@ -107,12 +110,24 @@ def _make_session_fn(gap_s: int):
             if t - last_us > gap_us:
                 closed.append(row(start_us, last_us, n, "gap"))
                 start_us, n = t, 0
+            # within-watermark out-of-order events may precede the
+            # stored session start — the window must cover them
+            start_us = min(start_us, t)
             last_us = max(last_us, t)
             n += 1
         state.update((start_us, last_us, n))
         # close the open session when the WATERMARK passes last + gap
-        # (event-time timeout: deterministic under replay, no wall clock)
-        state.setTimeoutTimestamp((last_us + gap_us) // 1000)
+        # (event-time timeout: deterministic under replay, no wall
+        # clock). Clamp ABOVE the current watermark: a straggler key
+        # whose session already expired would otherwise set a
+        # below-watermark timeout, which Spark rejects — and the
+        # error would kill the whole query (and again on restart,
+        # since the checkpoint replays the same batch). Clamped, the
+        # stale session closes at the next watermark advance.
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(
+            max((last_us + gap_us) // 1000, wm_ms + 1)
+        )
         if closed:
             yield pd.DataFrame(closed)
 
