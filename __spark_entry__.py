@@ -1133,6 +1133,32 @@ def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_assignment(docs, target_tokens=2000, group_col="lang")
 
 
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics in ONE scan (rows, nulls,
+    exact ndv, min/max as strings per column) — what a cost-based
+    join planner reads. All per-column aggregates batch into a single
+    grouping-free agg; the rows-per-column explode is 1-row."""
+    from vanus_spark.sources.layout import table_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return table_stats(docs, ["doc_id", "lang", "n_chars"])
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key over (n_chars, doc_id%97): per-dim
+    quantile buckets bit-interleaved into one sort key (the Delta
+    OPTIMIZE ZORDER shape — sorting by zkey makes min/max file stats
+    prune range predicates on EITHER dimension). The oracle
+    re-derives the identical rank-bucket + bit-interleave chain."""
+    from vanus_spark.sources.layout import zorder_table
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", (F.col("doc_id") % 97).alias("d2")
+    )
+    out = zorder_table(docs, ["n_chars", "d2"], bits=4)
+    return out.select("doc_id", "_zb_n_chars", "_zb_d2", "zkey")
+
+
 def q_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The export MANIFEST next to the shards: per (lang, shard) row
     counts, token totals, and an order-insensitive content checksum
@@ -2263,6 +2289,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/oracle_check.py regardless of position.
     return {
         # --- new this round ---
+        "table_stats": q_table_stats,
+        "zorder_layout": q_zorder_layout,
         "export_manifest": q_export_manifest,
         "quality_funnel": q_quality_funnel,
         "tpch_q5_volume": q_tpch_q5_volume,
@@ -2330,11 +2358,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- filter-dependent streaming / transformer e2e ---
         "subscription_full": q_subscription_full,
         "fanout_multi_sub": q_fanout_multi_sub,
-        "ordered_delivery": q_ordered_delivery,
         "transform_pipeline_e2e": q_transform_pipeline_e2e,
         "transform_pipeline_compiled": q_transform_pipeline_compiled,
         "transform_template_full": q_transform_template_full,
-        "http_ingest_roundtrip": q_http_ingest_roundtrip,
         # --- quality rules (recently added; keep a driver eye on them) ---
         "quality_gopher": q_quality_gopher,
         # --- new this round (mixture, semantic dedup, funnel) ---
@@ -2349,6 +2375,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dlq_replay": q_dlq_replay,
         "dlq_resend": q_dlq_resend,
         "delayed_due_split": q_delayed_due_split,
+        "ordered_delivery": q_ordered_delivery,
+        "http_ingest_roundtrip": q_http_ingest_roundtrip,
         "dedup_simhash_near": q_dedup_simhash_near,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "retry_refilter": q_retry_refilter,
@@ -3634,6 +3662,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pack_sequences": _pack_sequences_oracle(),
         "export_shards": _shard_assignment_oracle(),
+        "table_stats": """
+            SELECT 'doc_id' AS "column", count(*)::BIGINT AS n_rows,
+                   sum((doc_id IS NULL)::INT)::BIGINT AS n_nulls,
+                   count(DISTINCT doc_id)::BIGINT AS n_distinct,
+                   min(doc_id::VARCHAR) AS min_str,
+                   max(doc_id::VARCHAR) AS max_str
+            FROM documents
+            UNION ALL
+            SELECT 'lang', count(*)::BIGINT, sum((lang IS NULL)::INT)::BIGINT,
+                   count(DISTINCT lang)::BIGINT,
+                   min(lang::VARCHAR), max(lang::VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', count(*)::BIGINT,
+                   sum((n_chars IS NULL)::INT)::BIGINT,
+                   count(DISTINCT n_chars)::BIGINT,
+                   min(n_chars::VARCHAR), max(n_chars::VARCHAR)
+            FROM documents
+        """,
+        "zorder_layout": _zorder_oracle(bits=4),
         "export_manifest": f"""
             WITH s AS ({_shard_assignment_oracle()}),
             d AS (
@@ -4378,6 +4426,31 @@ def _simhash_oracle() -> str:
                             AS h
                    FROM toks)
         SELECT doc_id, ({bit_terms}) AS fingerprint FROM hashed
+    """
+
+
+def _zorder_oracle(bits: int = 4) -> str:
+    """SQL twin of q_zorder_layout: identical percent_rank bucket per
+    dimension + the same bit-interleave (dims = [n_chars, d2]; dim i
+    contributes bit b at position b*n_dims + (n_dims-1-i))."""
+    n_buckets = (1 << bits) - 1
+    terms = []
+    for b in range(bits):
+        terms.append(f"(((zb1 >> {b}) & 1) << {b * 2 + 1})")
+        terms.append(f"(((zb2 >> {b}) & 1) << {b * 2})")
+    zkey = " + ".join(terms)
+    return f"""
+        WITH t AS (SELECT doc_id, n_chars, doc_id % 97 AS d2 FROM documents),
+        r AS (
+          SELECT doc_id,
+                 least(floor(percent_rank() OVER (ORDER BY n_chars)
+                             * {1 << bits}), {n_buckets})::BIGINT AS zb1,
+                 least(floor(percent_rank() OVER (ORDER BY d2)
+                             * {1 << bits}), {n_buckets})::BIGINT AS zb2
+          FROM t)
+        SELECT doc_id, zb1 AS _zb_n_chars, zb2 AS _zb_d2,
+               ({zkey})::BIGINT AS zkey
+        FROM r
     """
 
 

@@ -92,6 +92,8 @@ HEADLINE = [
     "events_anomaly",
     "quality_funnel",
     "export_manifest",
+    "table_stats",
+    "zorder_layout",
 ]
 
 

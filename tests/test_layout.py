@@ -59,3 +59,59 @@ def test_bucketed_join_has_no_shuffle(spark, events, tmp_path):
         )
         spark.sql("DROP TABLE IF EXISTS t_left_bkt")
         spark.sql("DROP TABLE IF EXISTS t_right_bkt")
+
+
+def test_table_stats_single_pass(spark):
+    from vanus_spark.sources.layout import table_stats
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, "b")], "id long, tag string"
+    )
+    got = {r.column: r for r in table_stats(df).collect()}
+    assert got["id"].n_rows == 4 and got["id"].n_nulls == 0
+    assert got["id"].n_distinct == 4
+    assert (got["id"].min_str, got["id"].max_str) == ("1", "4")
+    assert got["tag"].n_nulls == 1 and got["tag"].n_distinct == 2
+    # ONE scan: a single aggregate node feeds every column's stats
+    plan = table_stats(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") == 1
+
+
+def test_zorder_key_interleaves_and_localizes(spark):
+    from vanus_spark.sources.layout import zorder_key, zorder_table
+    from pyspark.sql import functions as F
+
+    # hand-check the interleave: x=0b10, y=0b01, bits=2
+    # positions: x bit b -> 2b+1, y bit b -> 2b
+    df = spark.createDataFrame([(2, 1)], "x long, y long")
+    [r] = df.select(
+        zorder_key([F.col("x"), F.col("y")], bits=2).alias("z")
+    ).collect()
+    assert r.z == (1 << 3) | (1 << 0)  # x msb at pos 3, y lsb at pos 0
+    # clustering property: sorting by zkey keeps both dims locally
+    # bounded — the max bucket spread within any 16-row zkey run is
+    # far below the global spread
+    n = 256
+    data = spark.createDataFrame(
+        [(i, (i * 37) % n, (i * 101) % n) for i in range(n)],
+        "doc_id long, a long, b long",
+    )
+    out = zorder_table(data, ["a", "b"], bits=4).orderBy("zkey").collect()
+    runs = [out[i : i + 16] for i in range(0, n, 16)]
+    for run in runs:
+        assert max(r._zb_a for r in run) - min(r._zb_a for r in run) <= 8
+        assert max(r._zb_b for r in run) - min(r._zb_b for r in run) <= 8
+
+
+def test_zorder_approx_path_no_global_window(spark):
+    from vanus_spark.sources.layout import zorder_table
+
+    data = spark.createDataFrame(
+        [(i, float(i % 50), i % 7) for i in range(500)],
+        "doc_id long, a double, b long",
+    )
+    out = zorder_table(data, ["a", "b"], bits=3, exact=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # the scale path has no global sort
+    rows = out.collect()
+    assert all(0 <= r.zkey < 64 for r in rows)

@@ -23,7 +23,7 @@ Bucketing requires the session catalog (saveAsTable) — plain
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 
 def write_bus_partitioned(bus: DataFrame, path: str, mode: str = "overwrite") -> None:
@@ -57,3 +57,105 @@ def write_bucketed(
 
 def bucketed_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+# ---------------------------------------------------------------------------
+# table statistics + Z-order clustering
+# ---------------------------------------------------------------------------
+
+def table_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """ANALYZE-style per-column statistics: (column, n_rows, n_nulls,
+    n_distinct, min_str, max_str) — the stats a cost-based planner
+    (or a human sizing a join) reads before picking broadcast vs
+    shuffle. One aggregate per column batched into a single pass
+    (grouping-free agg with conditional counts), so the table scans
+    ONCE regardless of column count. min/max surface as strings so
+    one schema covers every column type."""
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__ndv"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__rows").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__ndv").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_str"),
+                F.col(f"{c}__max").alias("max_str"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(rows).alias("s")).select("s.*")
+
+
+def zorder_key(cols: list[Column], bits: int = 8) -> Column:
+    """Interleaved-bit Z-order key over per-column RANK buckets.
+
+    Callers first bucket each dimension into [0, 2^bits) (e.g. via
+    ntile or a rank window — buckets, not raw values, so skewed
+    dimensions still interleave evenly), then this folds the bucket
+    ids into one long by bit interleaving: sorting by the key stores
+    rows so that range predicates on ANY of the dimensions touch few
+    contiguous row ranges — the standard multi-dimensional clustering
+    for 100 TB scans (Delta OPTIMIZE ZORDER shape). Pure integer
+    Columns, zero shuffle beyond the caller's final sort."""
+    key = F.lit(0).cast("long")
+    n = len(cols)
+    for b in range(bits - 1, -1, -1):  # msb first
+        for i, c in enumerate(cols):
+            bit = F.shiftrightunsigned(c.cast("long"), b) % 2
+            pos = b * n + (n - 1 - i)
+            key = key + F.shiftleft(bit, pos)
+    return key
+
+
+def zorder_table(
+    df: DataFrame,
+    dims: list[str],
+    bits: int = 8,
+    exact: bool = True,
+) -> DataFrame:
+    """df + (dimension bucket columns, zkey): each dim is ranked into
+    2^bits quantile buckets, then the interleaved zkey is appended.
+    Writers sort by zkey (repartitionByRange + sortWithinPartitions)
+    so min/max file stats prune on every dimension.
+
+    exact=True buckets by a percent_rank window per dim — exact and
+    oracle-mirrorable, but each window is a global sort: fixture/
+    small-table mode. exact=False is the 100 TB path: approximate
+    quantile BOUNDARIES (one approxQuantile sketch pass, driver-side
+    list of 2^bits-1 cut points) and a zero-shuffle bucket lookup per
+    row — no global sort anywhere before the writer's range
+    partitioning."""
+    out = df
+    n_buckets = (1 << bits) - 1
+    for d in dims:
+        if exact:
+            w = Window.orderBy(F.col(d))
+            bucket = F.least(
+                F.floor(F.percent_rank().over(w) * (1 << bits)).cast("long"),
+                F.lit(n_buckets).cast("long"),
+            )
+        else:
+            qs = [i / (1 << bits) for i in range(1, 1 << bits)]
+            bnds = df.approxQuantile(d, qs, 0.001)
+            bucket = F.size(
+                F.filter(
+                    F.lit([float(b) for b in bnds]),
+                    lambda x: F.col(d).cast("double") > x,
+                )
+            ).cast("long")
+        out = out.withColumn(f"_zb_{d}", bucket)
+    return out.withColumn(
+        "zkey", zorder_key([F.col(f"_zb_{d}") for d in dims], bits)
+    )
