@@ -290,6 +290,69 @@ def test_session_windows_survives_below_watermark_straggler(spark, tmp_path):
     assert stale[0].n_events == 1
 
 
+def test_session_windows_backward_gap_splits(spark, tmp_path):
+    """An in-watermark out-of-order event more than a gap BEFORE the
+    open session's start must form its own (already-over) session —
+    not be absorbed into one window that gap semantics say is two."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from vanus_spark.streaming.stateful import session_windows
+
+    src = str(tmp_path / "bg_src")
+    os.makedirs(src)
+    schema = "ts timestamp, user_id long"
+
+    def write_batch(name, rows, mtime):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / name))
+        [part] = glob.glob(str(tmp_path / name / "part-*.parquet"))
+        dst = os.path.join(src, name + ".parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    base = _time.time()
+    # batch 1: open session at 10:00 (watermark stays far behind: 2h)
+    write_batch("b1", [(t0 + dt.timedelta(hours=1), 1)], base - 20)
+    # batch 2: out-of-order 09:00 event — in-watermark, but 60 min
+    # (2x the gap) BEFORE the open session's start
+    write_batch("b2", [(t0, 1)], base - 10)
+    # batch 3: advance the watermark so everything closes
+    write_batch("b3", [(t0 + dt.timedelta(days=2), 2)], base)
+
+    q = (
+        session_windows(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            gap_s=1800,
+            watermark_delay="2 hours",
+        )
+        .writeStream.format("memory")
+        .queryName("backgap_out")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    assert q.exception() is None
+    q.stop()
+    rows = [
+        r
+        for r in spark.sql("select * from backgap_out").collect()
+        if r.user_id == 1
+    ]
+    assert len(rows) == 2  # TWO sessions, not one merged window
+    rows.sort(key=lambda r: r.session_start)
+    assert rows[0].session_start == rows[0].session_end == t0
+    assert rows[0].n_events == 1 and rows[0].closed_by == "gap"
+    assert rows[1].session_start == t0 + dt.timedelta(hours=1)
+    assert rows[1].n_events == 1
+
+
 def test_backoff_escalates_across_retries(spark):
     sink = FlakySink({"1"})
     loop = DeliveryLoop(spark, Subscription.from_spec({}), sink)

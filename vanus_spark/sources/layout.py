@@ -72,10 +72,9 @@ def table_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     ONCE regardless of column count. min/max surface as strings so
     one schema covers every column type."""
     cols = columns or df.columns
-    aggs = []
+    aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in cols:
         aggs += [
-            F.count(F.lit(1)).alias(f"{c}__rows"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
             F.count_distinct(F.col(c)).alias(f"{c}__ndv"),
             F.min(F.col(c).cast("string")).alias(f"{c}__min"),
@@ -86,7 +85,7 @@ def table_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         *[
             F.struct(
                 F.lit(c).alias("column"),
-                F.col(f"{c}__rows").alias("n_rows"),
+                F.col("__rows").alias("n_rows"),
                 F.col(f"{c}__nulls").alias("n_nulls"),
                 F.col(f"{c}__ndv").alias("n_distinct"),
                 F.col(f"{c}__min").alias("min_str"),
@@ -109,8 +108,14 @@ def zorder_key(cols: list[Column], bits: int = 8) -> Column:
     contiguous row ranges — the standard multi-dimensional clustering
     for 100 TB scans (Delta OPTIMIZE ZORDER shape). Pure integer
     Columns, zero shuffle beyond the caller's final sort."""
-    key = F.lit(0).cast("long")
     n = len(cols)
+    if bits * n > 63:
+        raise ValueError(
+            f"zorder_key needs bits*dims <= 63 (got {bits}*{n}): JVM "
+            "shiftleft wraps shift distances mod 64, which would "
+            "silently corrupt the interleaving"
+        )
+    key = F.lit(0).cast("long")
     for b in range(bits - 1, -1, -1):  # msb first
         for i, c in enumerate(cols):
             bit = F.shiftrightunsigned(c.cast("long"), b) % 2
@@ -139,6 +144,11 @@ def zorder_table(
     partitioning."""
     out = df
     n_buckets = (1 << bits) - 1
+    all_bnds: dict[str, list[float]] = {}
+    if not exact:
+        qs = [i / (1 << bits) for i in range(1, 1 << bits)]
+        # ONE sketch pass computes every dimension's boundaries
+        all_bnds = dict(zip(dims, df.approxQuantile(dims, qs, 0.001)))
     for d in dims:
         if exact:
             w = Window.orderBy(F.col(d))
@@ -147,11 +157,9 @@ def zorder_table(
                 F.lit(n_buckets).cast("long"),
             )
         else:
-            qs = [i / (1 << bits) for i in range(1, 1 << bits)]
-            bnds = df.approxQuantile(d, qs, 0.001)
             bucket = F.size(
                 F.filter(
-                    F.lit([float(b) for b in bnds]),
+                    F.lit([float(b) for b in all_bnds[d]]),
                     lambda x: F.col(d).cast("double") > x,
                 )
             ).cast("long")

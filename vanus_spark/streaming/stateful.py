@@ -101,33 +101,57 @@ def _make_session_fn(gap_s: int):
         )
         if not ts and not state.exists:
             return
-        closed: list[dict] = []
-        if state.exists:
-            start_us, last_us, n = state.get
-        else:
-            start_us, last_us, n = ts[0], ts[0], 0
+        # gap-split the batch's sorted events into segments, then
+        # merge the STORED open session in by interval distance — so
+        # an out-of-order straggler more than a gap BEFORE the stored
+        # session start forms its own (already-over) session instead
+        # of being absorbed into a window that by gap semantics must
+        # be two sessions
+        segments: list[list[int]] = []  # [start, last, n]
         for t in ts:
-            if t - last_us > gap_us:
-                closed.append(row(start_us, last_us, n, "gap"))
-                start_us, n = t, 0
-            # within-watermark out-of-order events may precede the
-            # stored session start — the window must cover them
-            start_us = min(start_us, t)
-            last_us = max(last_us, t)
-            n += 1
-        state.update((start_us, last_us, n))
-        # close the open session when the WATERMARK passes last + gap
-        # (event-time timeout: deterministic under replay, no wall
-        # clock). Clamp ABOVE the current watermark: a straggler key
-        # whose session already expired would otherwise set a
-        # below-watermark timeout, which Spark rejects — and the
-        # error would kill the whole query (and again on restart,
-        # since the checkpoint replays the same batch). Clamped, the
-        # stale session closes at the next watermark advance.
-        wm_ms = state.getCurrentWatermarkMs()
-        state.setTimeoutTimestamp(
-            max((last_us + gap_us) // 1000, wm_ms + 1)
-        )
+            if segments and t - segments[-1][1] <= gap_us:
+                segments[-1][1] = t
+                segments[-1][2] += 1
+            else:
+                segments.append([t, t, 1])
+        if state.exists:
+            segments.append(list(state.get))
+            segments.sort(key=lambda s: s[0])
+            remerged, acc = [], None
+            for seg in segments:
+                if acc is not None and seg[0] - acc[1] <= gap_us:
+                    acc[1] = max(acc[1], seg[1])
+                    acc[2] += seg[2]
+                else:
+                    if acc is not None:
+                        remerged.append(acc)
+                    acc = list(seg)
+            remerged.append(acc)
+            segments = remerged
+        closed = [
+            row(s, l, n, "gap") for s, l, n in segments[:-1]
+        ]  # every non-final segment is over (a later event > gap away)
+        start_us, last_us, n = segments[-1]
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if wm_us > last_us + gap_us:
+            # the final session is ALREADY expired (straggler whose
+            # natural timeout is below the watermark): close it now —
+            # deferring to the next watermark advance would leave it
+            # open forever on a quiet stream
+            closed.append(row(start_us, last_us, n, "timeout"))
+            state.remove()
+        else:
+            state.update((start_us, last_us, n))
+            # close the open session when the WATERMARK passes
+            # last + gap (event-time timeout: deterministic under
+            # replay, no wall clock). Clamp ABOVE the current
+            # watermark — ms truncation could otherwise set a
+            # below-watermark timeout, which Spark rejects and the
+            # error would kill the whole query (again on restart,
+            # since the checkpoint replays the same batch).
+            state.setTimeoutTimestamp(
+                max((last_us + gap_us) // 1000, wm_us // 1000 + 1)
+            )
         if closed:
             yield pd.DataFrame(closed)
 
