@@ -113,3 +113,39 @@ def test_state_commit_is_atomic(spark, tmp_path):
     assert {r.doc_id for r in out.collect()} == {3}
     # the next committed append claims the b1 slot, overwriting the orphan
     assert {r.doc_id for r in loop2.corpus.collect()} == {1, 3}
+
+
+def test_compact_state_preserves_corpus_and_survives_restart(spark, tmp_path):
+    from vanus_spark.streaming.dedup_ingest import DedupIngestLoop
+
+    state = str(tmp_path / "state")
+    loop = DedupIngestLoop(spark, lsh=False, state_dir=state)
+    for k, rows in enumerate(
+        [
+            [(1, "one"), (2, "two")],
+            [(3, "one"), (4, "three")],   # 3 dups vs stored state
+            [(5, "four"), (6, "three")],  # 6 dups vs stored state
+        ]
+    ):
+        loop.process_batch(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        )
+    before = {r.doc_id for r in loop.corpus.collect()}
+    assert before == {1, 2, 4, 5}
+    folded = loop.compact_state()
+    assert folded == 3
+    assert {r.doc_id for r in loop.corpus.collect()} == before
+    # a FRESH loop restores the compacted state and keeps deduping
+    loop2 = DedupIngestLoop(spark, lsh=False, state_dir=state)
+    assert {r.doc_id for r in loop2.corpus.collect()} == before
+    out = loop2.process_batch(
+        spark.createDataFrame([(7, "four"), (8, "five")], "doc_id long, text string")
+    )
+    assert {r.doc_id for r in out.collect()} == {8}
+    # one directory per state table after compaction + the new append
+    import os
+
+    assert len(os.listdir(os.path.join(state, "corpus"))) == 2
+    # compacting a single-batch state is a no-op
+    assert loop2.compact_state() == 2  # folds (c3, b1) -> 1
+    assert loop2.compact_state() == 0

@@ -248,6 +248,43 @@ class DedupIngestLoop:
         )
         return survivors
 
+    def compact_state(self) -> int:
+        """Fold the accumulated per-batch state directories into one
+        (the maintenance half of the manifest-commit design: a
+        long-lived ingest stream otherwise grows one corpus + one sig
+        directory per micro-batch, and restore-time listing cost
+        grows with stream age). Reads every committed batch, rewrites
+        corpus+sig as a single new batch directory, then atomically
+        swaps the manifest to reference only it — the same crash
+        contract as _append_state: a failure before the rename leaves
+        the old manifest (and state) fully intact; orphan directories
+        are never read. Returns the number of directories folded."""
+        if not self.state_dir:
+            return 0  # in-memory state is already one checkpoint
+        import os
+
+        batches = self._committed_batches()
+        if len(batches) <= 1:
+            return 0
+        b = f"c{len(batches)}"  # distinct namespace from b{N} appends
+        self.corpus.write.mode("overwrite").parquet(
+            f"{self.state_dir}/corpus/{b}"
+        )
+        self.sig.write.mode("overwrite").parquet(f"{self.state_dir}/sig/{b}")
+        tmp = f"{self.state_dir}/.COMMITTED.tmp"
+        with open(tmp, "w") as f:
+            f.write(b)
+        os.replace(tmp, f"{self.state_dir}/COMMITTED")  # the swap point
+        self._restore_state()
+        for old in batches:
+            for kind in ("corpus", "sig"):
+                path = f"{self.state_dir}/{kind}/{old}"
+                if os.path.isdir(path):
+                    import shutil
+
+                    shutil.rmtree(path, ignore_errors=True)
+        return len(batches)
+
     def metrics_df(self) -> DataFrame:
         """Per-batch ingest metrics as a DataFrame (the corpus-growth
         observability surface: accepted/rejected counts by reason,
