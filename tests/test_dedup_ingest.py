@@ -111,7 +111,9 @@ def test_state_commit_is_atomic(spark, tmp_path):
     assert {r.doc_id for r in loop2.corpus.collect()} == {1}
     out = loop2.process_batch(_docs(spark, [(2, BASE), (3, "fresh novel text")]))
     assert {r.doc_id for r in out.collect()} == {3}
-    # the next committed append claims the b1 slot, overwriting the orphan
+    # the orphan's generation is consumed, never its contents: the next
+    # append picks a strictly higher generation and the orphan stays
+    # unreferenced forever (doc 99 must not surface)
     assert {r.doc_id for r in loop2.corpus.collect()} == {1, 3}
 
 
@@ -147,5 +149,100 @@ def test_compact_state_preserves_corpus_and_survives_restart(spark, tmp_path):
 
     assert len(os.listdir(os.path.join(state, "corpus"))) == 2
     # compacting a single-batch state is a no-op
-    assert loop2.compact_state() == 2  # folds (c3, b1) -> 1
+    assert loop2.compact_state() == 2  # folds (compacted dir, new append) -> 1
     assert loop2.compact_state() == 0
+
+
+def test_compact_under_steady_cadence_never_destroys_state(spark, tmp_path):
+    """Regression (r4 advisor, HIGH): the fold target was named
+    c{len(batches)}, which could equal a LIVE committed directory
+    (manifest [c2, b1] folded to target c2), so the overwrite deleted
+    source files mid-read — the third compaction under an
+    append/compact cadence failed and left COMMITTED pointing at a
+    destroyed directory. The monotonic generation makes every fold
+    target fresh; this replays the exact cadence that reproduced it."""
+    state = str(tmp_path / "state")
+    loop = DedupIngestLoop(spark, lsh=False, state_dir=state)
+    expected: set[int] = set()
+    for i in range(4):  # append, compact, append, compact, ...
+        loop.process_batch(
+            spark.createDataFrame(
+                [(10 * i + 1, f"text {i} a"), (10 * i + 2, f"text {i} b")],
+                "doc_id long, text string",
+            )
+        )
+        expected |= {10 * i + 1, 10 * i + 2}
+        loop.compact_state()
+        assert {r.doc_id for r in loop.corpus.collect()} == expected
+    # restore from the final manifest sees the same corpus
+    loop2 = DedupIngestLoop(spark, lsh=False, state_dir=state)
+    assert {r.doc_id for r in loop2.corpus.collect()} == expected
+
+
+def test_concurrent_writer_is_fenced(spark, tmp_path):
+    """Two loops over one state_dir: the writer that committed since
+    the other's last manifest read is rejected at ITS commit point
+    (epoch mismatch) — stale dedup state can never silently commit,
+    and the loser's directories stay unreferenced orphans."""
+    import pytest
+
+    from vanus_spark.streaming.dedup_ingest import ConcurrentWriterError
+
+    state = str(tmp_path / "state")
+    a = DedupIngestLoop(spark, lsh=False, state_dir=state)
+    a.process_batch(_docs(spark, [(1, "alpha")]))
+    b = DedupIngestLoop(spark, lsh=False, state_dir=state)  # observes epoch 1
+    a.process_batch(_docs(spark, [(2, "beta")]))  # a commits epoch 2
+    with pytest.raises(ConcurrentWriterError):
+        b.process_batch(_docs(spark, [(3, "gamma")]))
+    # the committed state reflects only a's commits; b's orphans unread
+    fresh = DedupIngestLoop(spark, lsh=False, state_dir=state)
+    assert {r.doc_id for r in fresh.corpus.collect()} == {1, 2}
+    # a re-instantiated b (re-reading the manifest) proceeds normally
+    b2 = DedupIngestLoop(spark, lsh=False, state_dir=state)
+    out = b2.process_batch(_docs(spark, [(3, "gamma"), (4, "alpha")]))
+    assert {r.doc_id for r in out.collect()} == {3}
+
+
+def test_metrics_epoch_replay_is_idempotent_for_live_reader(spark, tmp_path):
+    """A crash-replay of the same foreachBatch epoch must atomically
+    REPLACE the epoch's metrics file under the identical filename —
+    a live file-source reader (which tracks seen filenames) then
+    never double-counts the epoch and never sees a vanished file."""
+    import os
+
+    src = str(tmp_path / "src")
+    _docs(spark, [(1, "one"), (2, "two")]).repartition(1).write.parquet(src)
+    mdir = str(tmp_path / "metrics")
+    loop = DedupIngestLoop(spark, lsh=False)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = loop.run_stream(
+        stream,
+        checkpoint_dir=str(tmp_path / "ck"),
+        output_dir=str(tmp_path / "out"),
+        metrics_dir=mdir,
+        availableNow=True,
+    )
+    q.awaitTermination(120)
+    files1 = sorted(os.listdir(mdir))
+    assert files1 == ["epoch-0.parquet"]
+    # simulate the crash-replay of epoch 0: a fresh loop + fresh
+    # checkpoint re-processes the same file as the same epoch id
+    loop2 = DedupIngestLoop(spark, lsh=False)
+    q2 = loop2.run_stream(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        checkpoint_dir=str(tmp_path / "ck2"),
+        output_dir=str(tmp_path / "out2"),
+        metrics_dir=mdir,
+        availableNow=True,
+    )
+    q2.awaitTermination(120)
+    assert sorted(os.listdir(mdir)) == files1  # same filename, replaced
+    m = spark.read.parquet(mdir).collect()
+    assert len(m) == 1 and m[0].n_in == 2  # exactly one row for the epoch

@@ -36,6 +36,23 @@ _METRICS_SCHEMA = (
     "rejected_near_within long, rejected_vs_corpus long, accepted long"
 )
 
+_METRICS_FIELDS = [
+    "batch",
+    "n_in",
+    "rejected_exact_within",
+    "rejected_near_within",
+    "rejected_vs_corpus",
+    "accepted",
+]
+
+
+class ConcurrentWriterError(RuntimeError):
+    """A second live writer committed state since this loop last read
+    the manifest — this loop's view is stale and its pending append
+    was computed against outdated dedup state. The loser's parquet
+    directories are writer-private orphans the restore path never
+    reads; re-instantiate the loop (re-reading COMMITTED) to continue."""
+
 
 class DedupIngestLoop:
     """Per-stream incremental dedup with stored corpus/signature state."""
@@ -69,6 +86,14 @@ class DedupIngestLoop:
         self.sig: DataFrame | None = None
         self.accepted_count = 0
         self.metrics: list[dict] = []
+        # writer-private directory suffix: two concurrent loops can
+        # never write into the same batch directory, so a fenced-off
+        # (stale) writer's parquet output is always an orphan — it can
+        # not clobber a directory the winning writer committed
+        import uuid
+
+        self._writer_id = uuid.uuid4().hex[:8]
+        self._epoch = 0  # manifest epoch this loop last observed
         if state_dir:
             self._restore_state()
 
@@ -81,18 +106,95 @@ class DedupIngestLoop:
     # between the two parquet writes — or before the rename — leaves
     # orphan directories the restore path never reads, so the two
     # state tables can never disagree about which batches exist.
+    #
+    # Concurrency (the Raft-replicated store's job in the reference,
+    # server/store/raft/): the manifest carries an EPOCH that every
+    # commit increments under a short-lived lock file. A writer that
+    # observed epoch E can only commit epoch E+1; if another writer
+    # got there first the swap is rejected (ConcurrentWriterError) —
+    # optimistic concurrency control, the same shape as a Delta
+    # transaction-log version check. Batch directory names embed a
+    # per-writer token plus a monotonic generation (1 + max generation
+    # across every existing directory, committed or orphaned), so no
+    # two writes — concurrent or across compactions — ever target the
+    # same path, and mode("overwrite") can never destroy live state.
 
-    def _committed_batches(self) -> list[str]:
+    def _read_manifest(self) -> tuple[int, list[str]]:
+        """(epoch, committed batch dirs). Pre-epoch manifests (no
+        '#epoch' header) read as epoch 0."""
         import os
 
         path = f"{self.state_dir}/COMMITTED"
         if not os.path.exists(path):
-            return []
+            return 0, []
+        epoch, batches = 0, []
         with open(path) as f:
-            return [line for line in f.read().split() if line]
+            for tok in f.read().split():
+                if tok.startswith("#epoch="):
+                    epoch = int(tok[len("#epoch=") :])
+                elif tok:
+                    batches.append(tok)
+        return epoch, batches
+
+    def _committed_batches(self) -> list[str]:
+        return self._read_manifest()[1]
+
+    def _next_gen(self) -> int:
+        """1 + max numeric generation across EVERY existing batch
+        directory (committed, orphaned, or mid-write) — a fresh name
+        can therefore never collide with a directory any reader or
+        concurrent writer can see."""
+        import os
+        import re
+
+        gen = 0
+        for kind in ("corpus", "sig"):
+            d = f"{self.state_dir}/{kind}"
+            if not os.path.isdir(d):
+                continue
+            for name in os.listdir(d):
+                m = re.match(r"^[bc](\d+)", name)
+                if m:
+                    gen = max(gen, int(m.group(1)))
+        return gen + 1
+
+    def _commit_manifest(self, batches: list[str]) -> None:
+        """Epoch-fenced atomic manifest swap: re-read the live epoch
+        under a lock file; a mismatch with the epoch this loop last
+        observed means another writer committed in between — reject
+        (the stale writer's directories stay unreferenced orphans)."""
+        import os
+        import time
+
+        lock = f"{self.state_dir}/.COMMITTED.lock"
+        deadline = time.monotonic() + 10.0
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                if time.monotonic() > deadline:
+                    raise TimeoutError(f"manifest lock busy: {lock}")
+                time.sleep(0.01)
+        try:
+            live_epoch, _ = self._read_manifest()
+            if live_epoch != self._epoch:
+                raise ConcurrentWriterError(
+                    f"stale writer: observed epoch {self._epoch}, "
+                    f"live manifest is at epoch {live_epoch}"
+                )
+            new_epoch = self._epoch + 1
+            tmp = f"{self.state_dir}/.COMMITTED.tmp"
+            with open(tmp, "w") as f:
+                f.write("\n".join([f"#epoch={new_epoch}", *batches]))
+            os.replace(tmp, f"{self.state_dir}/COMMITTED")  # commit point
+            self._epoch = new_epoch
+        finally:
+            os.close(fd)
+            os.unlink(lock)
 
     def _restore_state(self) -> None:
-        batches = self._committed_batches()
+        self._epoch, batches = self._read_manifest()
         if batches:
             self.corpus = self.spark.read.parquet(
                 *[f"{self.state_dir}/corpus/{b}" for b in batches]
@@ -103,18 +205,13 @@ class DedupIngestLoop:
 
     def _append_state(self, survivors: DataFrame, new_sig: DataFrame) -> None:
         if self.state_dir:
-            import os
-
             batches = self._committed_batches()
-            b = f"b{len(batches)}"
+            b = f"b{self._next_gen()}-{self._writer_id}"
             survivors.write.mode("overwrite").parquet(
                 f"{self.state_dir}/corpus/{b}"
             )
             new_sig.write.mode("overwrite").parquet(f"{self.state_dir}/sig/{b}")
-            tmp = f"{self.state_dir}/.COMMITTED.tmp"
-            with open(tmp, "w") as f:
-                f.write("\n".join([*batches, b]))
-            os.replace(tmp, f"{self.state_dir}/COMMITTED")  # the commit point
+            self._commit_manifest([*batches, b])
             self._restore_state()
         else:
             grown_c = (
@@ -254,11 +351,15 @@ class DedupIngestLoop:
         long-lived ingest stream otherwise grows one corpus + one sig
         directory per micro-batch, and restore-time listing cost
         grows with stream age). Reads every committed batch, rewrites
-        corpus+sig as a single new batch directory, then atomically
-        swaps the manifest to reference only it — the same crash
-        contract as _append_state: a failure before the rename leaves
-        the old manifest (and state) fully intact; orphan directories
-        are never read. Returns the number of directories folded."""
+        corpus+sig into a single FRESH generation directory (the
+        monotonic counter guarantees the fold target is never a live
+        committed directory — folding into a name already in the
+        manifest would delete source files mid-read), then atomically
+        swaps the manifest to reference only it — the same crash +
+        fencing contract as _append_state: a failure before the swap
+        leaves the old manifest (and state) fully intact; orphan
+        directories are never read. Returns the number of directories
+        folded."""
         if not self.state_dir:
             return 0  # in-memory state is already one checkpoint
         import os
@@ -266,15 +367,13 @@ class DedupIngestLoop:
         batches = self._committed_batches()
         if len(batches) <= 1:
             return 0
-        b = f"c{len(batches)}"  # distinct namespace from b{N} appends
+        b = f"c{self._next_gen()}-{self._writer_id}"
+        assert b not in batches  # fold target must never be live state
         self.corpus.write.mode("overwrite").parquet(
             f"{self.state_dir}/corpus/{b}"
         )
         self.sig.write.mode("overwrite").parquet(f"{self.state_dir}/sig/{b}")
-        tmp = f"{self.state_dir}/.COMMITTED.tmp"
-        with open(tmp, "w") as f:
-            f.write(b)
-        os.replace(tmp, f"{self.state_dir}/COMMITTED")  # the swap point
+        self._commit_manifest([b])
         self._restore_state()
         for old in batches:
             for kind in ("corpus", "sig"):
@@ -315,16 +414,31 @@ class DedupIngestLoop:
             if metrics_dir is not None:
                 # key the row by the foreachBatch EPOCH (not the loop's
                 # in-memory counter, which restarts at 0 on a new
-                # process) and overwrite an epoch-named directory so a
-                # crash-then-replay of the same epoch is idempotent —
-                # never a duplicated batch row in the live table
+                # process), and publish ONE deterministically-named
+                # file per epoch via write-temp + atomic rename: a
+                # crash-then-replay of the same epoch atomically
+                # replaces the identical filename, so a LIVE file-
+                # source reader (which tracks seen filenames) never
+                # ingests a duplicate row and never hits a deleted
+                # part file — a Spark dir write would mint a fresh
+                # part-UUID name on each replay
+                import os
+
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+
                 row = dict(self.metrics[-1])
                 row["batch"] = int(epoch_id)
-                self.spark.createDataFrame(
-                    [row], _METRICS_SCHEMA
-                ).write.mode("overwrite").parquet(
-                    f"{metrics_dir}/b{int(epoch_id)}"
+                os.makedirs(metrics_dir, exist_ok=True)
+                tbl = pa.table(
+                    {
+                        k: pa.array([int(row[k])], type=pa.int64())
+                        for k in _METRICS_FIELDS
+                    }
                 )
+                tmp = f"{metrics_dir}/.epoch-{int(epoch_id)}.parquet.tmp"
+                pq.write_table(tbl, tmp)
+                os.replace(tmp, f"{metrics_dir}/epoch-{int(epoch_id)}.parquet")
 
         return (
             stream_df.writeStream.foreachBatch(on_batch)
