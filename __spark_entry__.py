@@ -1391,6 +1391,81 @@ def q_dedup_incremental_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return loop.corpus.select("doc_id")
 
 
+_SESSION_GAP_S = 6 * 3600  # 6 h gap over ~8 h median inter-event time
+
+
+def q_session_windows_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful sessionizer (applyInPandasWithState +
+    event-time timeouts, streaming/stateful.py) driven through a REAL
+    Structured Streaming replay: events of users < 12 split into three
+    time-ordered micro-batches (a file per batch, mtime-forced order)
+    plus a far-future sentinel that advances the watermark past every
+    open session's end + gap, flushing them all. The watermark delay
+    (60 d) exceeds the 30 d event span, so every session is emitted at
+    the final flush with all of its user's segments in state — labels
+    are then pure gap semantics: 'gap' when a later session of the
+    same user exists, 'timeout' for the user's final session, which is
+    exactly the shape the DuckDB islands oracle states independently."""
+    import datetime as dtm
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from vanus_spark.streaming.stateful import session_windows
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where((F.col("user_id") < 12) & F.col("ts").isNotNull())
+        .select("ts", "user_id")
+    )
+    work = tempfile.mkdtemp(prefix="vs_session_replay_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    cut1, cut2 = dtm.datetime(2024, 1, 11), dtm.datetime(2024, 1, 21)
+    sentinel = spark.createDataFrame(
+        [(dtm.datetime(2030, 1, 1), -1)], "ts timestamp, user_id long"
+    )
+    batches = [
+        ev.where(F.col("ts") < F.lit(cut1)),
+        ev.where((F.col("ts") >= F.lit(cut1)) & (F.col("ts") < F.lit(cut2))),
+        ev.where(F.col("ts") >= F.lit(cut2)),
+        sentinel,
+    ]
+    for i, b in enumerate(batches):
+        stage = os.path.join(work, f"stage{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(stage)
+        [part] = glob.glob(os.path.join(stage, "part-*.parquet"))
+        dst = os.path.join(src, f"b{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    out = session_windows(
+        spark.readStream.schema("ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        gap_s=_SESSION_GAP_S,
+        watermark_delay="60 days",
+    )
+    name = "session_replay_sink"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(name).where(F.col("user_id") >= 0).collect()
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, closed_by string",
+    )
+
+
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization over deterministic messy URLs (mixed-case
     scheme/host, www, default ports, tracking params, unordered query,
@@ -2289,6 +2364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/oracle_check.py regardless of position.
     return {
         # --- new this round ---
+        "session_windows_replay": q_session_windows_replay,
         "table_stats": q_table_stats,
         "zorder_layout": q_zorder_layout,
         "export_manifest": q_export_manifest,
@@ -2324,7 +2400,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (the four plainest single-predicate forms rotate to the
         # tail to make window room for the new operators above; they
         # are r1-r3 driver-green and stay replica-gated) ---
-        "filter_data_jsonpath": _filter_query({"exact": {"data.props.k": "12"}}),
         "filter_any_all": _filter_query(
             {
                 "any": [
@@ -2371,6 +2446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_c4_lines": q_quality_c4_lines,
         "export_shards": q_export_shards,
         # ==================== end of the 50-entry window ====================
+        "filter_data_jsonpath": _filter_query({"exact": {"data.props.k": "12"}}),
         "delivery_routing": q_delivery_routing,
         "dlq_replay": q_dlq_replay,
         "dlq_resend": q_dlq_resend,
@@ -3699,6 +3775,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_incremental": _incremental_dedup_oracle(),
         "dedup_incremental_stream": _incremental_stream_oracle(),
+        # Gap-islands twin of the streaming sessionizer replay: break
+        # on inter-event distance > gap, cumulative-sum the breaks
+        # into session ids, aggregate — the textbook batch form of
+        # session windows, stated independently of the stateful
+        # operator. Labels: a user's chronologically final session is
+        # the one only the watermark flush (sentinel) closed.
+        "session_windows_replay": f"""
+            WITH ev AS (
+              SELECT user_id, ts FROM events
+              WHERE user_id < 12 AND ts IS NOT NULL
+            ), lagged AS (
+              SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts - lag(ts) OVER w) > {_SESSION_GAP_S}
+                     THEN 1 ELSE 0 END AS brk
+              FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+              SELECT user_id, ts,
+                sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+              FROM lagged
+            ), agg AS (
+              SELECT user_id, sid,
+                     min(ts) AS session_start, max(ts) AS session_end,
+                     count(*) AS n_events
+              FROM sess GROUP BY user_id, sid
+            )
+            SELECT user_id, session_start, session_end, n_events,
+                   CASE WHEN session_end = max(session_end)
+                          OVER (PARTITION BY user_id)
+                        THEN 'timeout' ELSE 'gap' END AS closed_by
+            FROM agg
+        """,
         "dedup_components": _components_oracle(),
         "ordered_delivery": """
             SELECT event_id,

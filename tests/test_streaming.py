@@ -353,6 +353,73 @@ def test_session_windows_backward_gap_splits(spark, tmp_path):
     assert rows[1].n_events == 1
 
 
+def test_session_windows_late_event_bridges_split_segments(spark, tmp_path):
+    """Regression (r4 advisor): two gap-split segments were emitted
+    eagerly, so an in-watermark out-of-order event arriving in a LATER
+    batch could no longer bridge them — the true single session came
+    out as two with wrong boundaries. Emission now defers until the
+    watermark passes end + gap (the built-in session_window rule), so
+    the bridge event merges the retained segments."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from vanus_spark.streaming.stateful import session_windows
+
+    src = str(tmp_path / "bridge_src")
+    os.makedirs(src)
+    schema = "ts timestamp, user_id long"
+
+    def write_batch(name, rows, mtime):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / name))
+        [part] = glob.glob(str(tmp_path / name / "part-*.parquet"))
+        dst = os.path.join(src, name + ".parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    base = _time.time()
+    # batch 1: 09:00 and 10:00 — 60 min apart, gap is 35 min -> split
+    write_batch(
+        "b1", [(t0, 1), (t0 + dt.timedelta(hours=1), 1)], base - 20
+    )
+    # batch 2: out-of-order 09:30 (in-watermark) — within 35 min of
+    # BOTH segments: bridges them into one session
+    write_batch("b2", [(t0 + dt.timedelta(minutes=30), 1)], base - 10)
+    # batch 3: advance the watermark so the merged session closes
+    write_batch("b3", [(t0 + dt.timedelta(days=2), 2)], base)
+
+    q = (
+        session_windows(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            gap_s=2100,  # 35 minutes
+            watermark_delay="2 hours",
+        )
+        .writeStream.format("memory")
+        .queryName("bridge_out")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    assert q.exception() is None
+    q.stop()
+    rows = [
+        r
+        for r in spark.sql("select * from bridge_out").collect()
+        if r.user_id == 1
+    ]
+    assert len(rows) == 1  # ONE bridged session, not two fragments
+    assert rows[0].session_start == t0
+    assert rows[0].session_end == t0 + dt.timedelta(hours=1)
+    assert rows[0].n_events == 3
+    assert rows[0].closed_by == "timeout"
+
+
 def test_backoff_escalates_across_retries(spark):
     sink = FlakySink({"1"})
     loop = DeliveryLoop(spark, Subscription.from_spec({}), sink)

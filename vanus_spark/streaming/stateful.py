@@ -65,7 +65,12 @@ _SESSION_OUT = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "n_events long, closed_by string"
 )
-_SESSION_STATE = "start_us long, last_us long, n long"
+# ALL of a user's not-yet-final sessions, parallel arrays ordered by
+# start: a gap-split segment stays revisable (an in-watermark
+# out-of-order event in a later batch may bridge two of them) until
+# the watermark passes its end + gap — the same emission rule as the
+# built-in session_window aggregation.
+_SESSION_STATE = "starts array<long>, lasts array<long>, ns array<long>"
 
 _US = 1_000_000
 
@@ -87,71 +92,77 @@ def _make_session_fn(gap_s: int):
                 "closed_by": why,
             }
 
-        if state.hasTimedOut:
-            start_us, last_us, n = state.get
-            state.remove()
-            yield pd.DataFrame([row(start_us, last_us, n, "timeout")])
-            return
-
-        ts = sorted(
-            int(t.value // 1000)  # pandas ns -> us
-            for pdf in pdfs
-            for t in pd.to_datetime(pdf["ts"])
-            if pd.notna(t)  # a null ts must not poison the session
-        )
-        if not ts and not state.exists:
-            return
-        # gap-split the batch's sorted events into segments, then
-        # merge the STORED open session in by interval distance — so
-        # an out-of-order straggler more than a gap BEFORE the stored
-        # session start forms its own (already-over) session instead
-        # of being absorbed into a window that by gap semantics must
-        # be two sessions
-        segments: list[list[int]] = []  # [start, last, n]
-        for t in ts:
-            if segments and t - segments[-1][1] <= gap_us:
-                segments[-1][1] = t
-                segments[-1][2] += 1
-            else:
-                segments.append([t, t, 1])
+        segments: list[list[int]] = []  # [start, last, n], by start
         if state.exists:
-            segments.append(list(state.get))
+            starts, lasts, ns = state.get
+            segments = [[s, l, n] for s, l, n in zip(starts, lasts, ns)]
+
+        if not state.hasTimedOut:
+            ts = sorted(
+                int(t.value // 1000)  # pandas ns -> us
+                for pdf in pdfs
+                for t in pd.to_datetime(pdf["ts"])
+                if pd.notna(t)  # a null ts must not poison the session
+            )
+            if not ts and not segments:
+                return
+            # fold the batch's events in as unit segments, then merge
+            # by interval distance — events within a gap of a RETAINED
+            # segment (even one split off in an earlier batch) extend
+            # or bridge it, which is what gap semantics demand of
+            # out-of-order arrivals inside the watermark delay
+            segments.extend([t, t, 1] for t in ts)
             segments.sort(key=lambda s: s[0])
-            remerged, acc = [], None
+            merged: list[list[int]] = []
             for seg in segments:
-                if acc is not None and seg[0] - acc[1] <= gap_us:
-                    acc[1] = max(acc[1], seg[1])
-                    acc[2] += seg[2]
+                if merged and seg[0] - merged[-1][1] <= gap_us:
+                    merged[-1][1] = max(merged[-1][1], seg[1])
+                    merged[-1][2] += seg[2]
                 else:
-                    if acc is not None:
-                        remerged.append(acc)
-                    acc = list(seg)
-            remerged.append(acc)
-            segments = remerged
-        closed = [
-            row(s, l, n, "gap") for s, l, n in segments[:-1]
-        ]  # every non-final segment is over (a later event > gap away)
-        start_us, last_us, n = segments[-1]
+                    merged.append(list(seg))
+            segments = merged
+
+        # emit every segment the watermark has passed (end + gap <
+        # watermark ⇒ no in-watermark event can extend it any more):
+        # 'gap' when a later segment of the same user proves it over,
+        # 'timeout' when only the watermark does (the user's final
+        # segment — including a straggler already below the watermark
+        # on arrival, which closes immediately rather than idling)
         wm_us = state.getCurrentWatermarkMs() * 1000
-        if wm_us > last_us + gap_us:
-            # the final session is ALREADY expired (straggler whose
-            # natural timeout is below the watermark): close it now —
-            # deferring to the next watermark advance would leave it
-            # open forever on a quiet stream
-            closed.append(row(start_us, last_us, n, "timeout"))
-            state.remove()
-        else:
-            state.update((start_us, last_us, n))
-            # close the open session when the WATERMARK passes
-            # last + gap (event-time timeout: deterministic under
-            # replay, no wall clock). Clamp ABOVE the current
+        ready = [s for s in segments if wm_us > s[1] + gap_us]
+        still_open = [s for s in segments if not (wm_us > s[1] + gap_us)]
+        closed = [
+            row(
+                s,
+                l,
+                n,
+                "gap" if (i < len(ready) - 1 or still_open) else "timeout",
+            )
+            for i, (s, l, n) in enumerate(ready)
+        ]
+        if still_open:
+            state.update(
+                (
+                    [s[0] for s in still_open],
+                    [s[1] for s in still_open],
+                    [s[2] for s in still_open],
+                )
+            )
+            # wake when the WATERMARK passes the earliest open
+            # segment's end + gap (event-time timeout: deterministic
+            # under replay, no wall clock). Clamp ABOVE the current
             # watermark — ms truncation could otherwise set a
             # below-watermark timeout, which Spark rejects and the
             # error would kill the whole query (again on restart,
             # since the checkpoint replays the same batch).
             state.setTimeoutTimestamp(
-                max((last_us + gap_us) // 1000, wm_us // 1000 + 1)
+                max(
+                    min(s[1] + gap_us for s in still_open) // 1000,
+                    wm_us // 1000 + 1,
+                )
             )
+        elif state.exists:
+            state.remove()
         if closed:
             yield pd.DataFrame(closed)
 
@@ -169,13 +180,18 @@ def session_windows(
     Spark-native §2.10 'arbitrary per-key state' surface with
     EVENT-TIME timeouts).
 
-    A session closes when (a) a later event of the same user arrives
-    more than ``gap_s`` after it (emitted immediately, closed_by =
-    'gap'), or (b) the watermark passes session_end + gap (emitted by
-    the state timeout, closed_by = 'timeout') — so idle users' state
-    is reclaimed deterministically, never by wall clock. State is one
-    (start, last, n) triple per user in the checkpointed store;
-    parallelism is #users, one key shuffle per micro-batch."""
+    A session EMITS only once the watermark passes its end + gap (the
+    built-in session_window emission rule): until then a gap-split
+    segment stays revisable in state, so an in-watermark out-of-order
+    event arriving in a later batch can still bridge two segments into
+    the single session gap semantics demand. ``closed_by`` records the
+    closing evidence: 'gap' when a later session of the same user
+    exists (an event > gap after it proved it over), 'timeout' when
+    only the watermark closed it (the user's final session) — so idle
+    users' state is reclaimed deterministically, never by wall clock.
+    State is the user's open (start, last, n) segments in the
+    checkpointed store; parallelism is #users, one key shuffle per
+    micro-batch."""
     return (
         events_stream.withWatermark("ts", watermark_delay)
         .groupBy("user_id")
