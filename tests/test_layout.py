@@ -103,15 +103,26 @@ def test_zorder_key_interleaves_and_localizes(spark):
         assert max(r._zb_b for r in run) - min(r._zb_b for r in run) <= 8
 
 
-def test_zorder_approx_path_no_global_window(spark):
+def test_zorder_default_path_has_no_global_window(spark):
+    """The DEFAULT zorder_table path must be the sketch one: no
+    Window (single-task global sort) anywhere in the physical plan —
+    safe-by-default, same principle as dedup's bucket_cap."""
     from vanus_spark.sources.layout import zorder_table
 
     data = spark.createDataFrame(
         [(i, float(i % 50), i % 7) for i in range(500)],
         "doc_id long, a double, b long",
     )
-    out = zorder_table(data, ["a", "b"], bits=3, exact=False)
+    out = zorder_table(data, ["a", "b"], bits=3)  # defaults only
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan  # the scale path has no global sort
     rows = out.collect()
     assert all(0 <= r.zkey < 64 for r in rows)
+    # the opt-in exact path exists and uses the rank window
+    exact_plan = (
+        zorder_table(data, ["a", "b"], bits=3, exact=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" in exact_plan

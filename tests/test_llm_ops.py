@@ -534,6 +534,55 @@ def test_semantic_dedup_drops_within_cluster_clones(spark, emb):
             assert cos >= 0.95 and nb < d
 
 
+def test_semantic_dedup_fixture_margin_guards_oracle_parity(spark):
+    """Guard (r4 advisor): the Spark side computes cosine as a
+    unit-normalized float64 matmul while the DuckDB oracle folds
+    dot/(|a||b|) sequentially — different summation order could flip a
+    pair sitting exactly at the 0.5 threshold. Assert every
+    within-cluster pair of the ORACLE fixture (sf0.01 embeddings,
+    n_clusters=8) keeps |cosine - 0.5| far above float error under
+    BOTH formulations, and that the two formulations agree pairwise."""
+    import numpy as np
+
+    from vanus_spark.llm.similarity import _nearest_clusters, kmeans_centroids
+    from vanus_spark.sources import load_table
+
+    emb01 = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    cents = kmeans_centroids(emb01, 8, 1)
+    tagged = emb01.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        _nearest_clusters(
+            F.col("embedding").cast("array<double>"), cents, 1
+        )[0].alias("cluster"),
+    ).collect()
+    by_cluster: dict[int, list] = {}
+    for r in tagged:
+        by_cluster.setdefault(r.cluster, []).append(np.array(r.v))
+    min_margin = 1.0
+    for vecs in by_cluster.values():
+        if len(vecs) < 2:
+            continue
+        mat = np.stack(vecs).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = mat / norms[:, None]
+        gram = unit @ unit.T  # the Spark-side formulation
+        for i in range(len(vecs)):
+            for j in range(i + 1, len(vecs)):
+                # the oracle-side formulation: raw dot / (|a||b|)
+                seq = float(np.dot(mat[i], mat[j])) / (
+                    float(norms[i]) * float(norms[j])
+                )
+                assert (gram[i, j] >= 0.5) == (seq >= 0.5)
+                min_margin = min(
+                    min_margin, abs(gram[i, j] - 0.5), abs(seq - 0.5)
+                )
+    # float64 matmul-vs-fold disagreement is ~1e-15; demand 6+ orders
+    # of headroom so fixture drift gets caught before parity breaks
+    assert min_margin > 1e-9, f"fixture margin shrank to {min_margin}"
+
+
 def test_best_representative_dedup_keeps_cleanest(spark):
     """The cluster survivor is the highest-quality member, not the
     lowest id (the greedy rule's pick)."""

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import importlib.util
 
-ROWS_ONLY = {"bpe_token_count"}  # documented oracle-free entries
+ROWS_ONLY: set[str] = set()  # every registered query is oracle-gated (r5)
 
 
 def _entry_module():

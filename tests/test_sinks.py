@@ -41,6 +41,22 @@ def test_cloudevent_json_marshal():
     assert ce["time"].startswith("2024-06-01T12:00:00")
 
 
+def test_cloudevent_time_non_utc_offset_is_well_formed_rfc3339():
+    """Regression (r4 advisor): a tz-aware timestamp with a non-UTC
+    offset must convert to UTC before the fraction + 'Z' are appended
+    — never the malformed '...+05:30.000000Z' shape."""
+    ist = dt.timezone(dt.timedelta(hours=5, minutes=30))
+    r = _row(3)
+    r["time"] = dt.datetime(2024, 1, 1, 9, 0, 0, tzinfo=ist)
+    ce = json.loads(event_row_to_cloudevent_json(r))
+    assert ce["time"] == "2024-01-01T03:30:00.000000Z"  # UTC, one Z
+    # whole-second UTC-aware input keeps the uniform 6-digit fraction
+    r["time"] = dt.datetime(2024, 1, 1, 9, 0, 0, tzinfo=dt.timezone.utc)
+    assert json.loads(event_row_to_cloudevent_json(r))["time"] == (
+        "2024-01-01T09:00:00.000000Z"
+    )
+
+
 def test_cloudevent_json_non_json_payload():
     r = _row(2, data="plain text")
     r["datacontenttype"] = "text/plain"

@@ -128,20 +128,21 @@ def zorder_table(
     df: DataFrame,
     dims: list[str],
     bits: int = 8,
-    exact: bool = True,
+    exact: bool = False,
 ) -> DataFrame:
     """df + (dimension bucket columns, zkey): each dim is ranked into
     2^bits quantile buckets, then the interleaved zkey is appended.
     Writers sort by zkey (repartitionByRange + sortWithinPartitions)
     so min/max file stats prune on every dimension.
 
+    The DEFAULT (exact=False) is the 100 TB path: approximate quantile
+    BOUNDARIES (one approxQuantile sketch pass, driver-side list of
+    2^bits-1 cut points) and a zero-shuffle bucket lookup per row — no
+    global sort anywhere before the writer's range partitioning.
     exact=True buckets by a percent_rank window per dim — exact and
-    oracle-mirrorable, but each window is a global sort: fixture/
-    small-table mode. exact=False is the 100 TB path: approximate
-    quantile BOUNDARIES (one approxQuantile sketch pass, driver-side
-    list of 2^bits-1 cut points) and a zero-shuffle bucket lookup per
-    row — no global sort anywhere before the writer's range
-    partitioning."""
+    oracle-mirrorable, but each window is a SINGLE-TASK global sort:
+    opt into it only for fixtures/small tables (the same safe-by-
+    default principle as dedup's bucket_cap)."""
     out = df
     n_buckets = (1 << bits) - 1
     all_bnds: dict[str, list[float]] = {}
