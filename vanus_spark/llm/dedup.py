@@ -785,6 +785,13 @@ def substring_dup_pairs(
             ).alias("win"),
         )
         .distinct()
+        # materialization rule (ROADMAP #8): both self-join sides
+        # reference this table and its recompute chain contains a
+        # shuffle (the distinct) ON TOP of the per-position md5 anchor
+        # scan — the most expensive narrow chain in the module.
+        # Measured at sf0.1: 1.8 s -> 0.9 s median (the r4 bench
+        # regression was exactly this double evaluation).
+        .localCheckpoint(eager=False)
     )
     a, b = wins.alias("a"), wins.alias("b")
     return (
