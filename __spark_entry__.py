@@ -1393,6 +1393,46 @@ def q_dedup_incremental_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return loop.corpus.select("doc_id")
 
 
+def q_filter_cel_data_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEL over a SCHEMA-FREE heterogeneous payload (fields appear and
+    vanish row-to-row, one is array-indexed): the schema is SAMPLE-
+    INFERRED (schema_infer.infer_data_schema — the spark.read.json
+    inference pass over a bounded sample), then the whole 3-variable
+    predicate binds ONE from_json over it (test_filters pins the
+    single-parse plan shape: from_json x1, get_json_object x0). The
+    oracle re-states the predicate from the payload's generating
+    residues, so inference + resolution + coercion are all checked
+    end-to-end. Exercises every leaf class: long (clicks), string via
+    array index (tags[0]), fractional-declared-double (score)."""
+    from vanus_spark.filters import compile_filter
+    from vanus_spark.schema_infer import infer_data_schema
+
+    ev = _t(spark, sf_dir, "events")
+    payload = F.to_json(
+        F.struct(
+            F.col("user_id"),
+            F.when(
+                F.col("event_id") % 3 != 0,
+                F.struct(
+                    (F.col("event_id") % 7).alias("clicks"),
+                    F.col("value").alias("score"),
+                ),
+            ).alias("metrics"),
+            F.when(
+                F.col("event_id") % 2 == 0,
+                F.array(F.col("event_type"), F.lit("x")),
+            ).alias("tags"),
+        )
+    )
+    df = ev.select("event_id", payload.alias("data"))
+    schema = infer_data_schema(df, "data")
+    spec = {
+        "cel": '$metrics.clicks.(int64) >= 3 && $tags[0].(string) == "view"'
+        " && $metrics.score.(double) < 150.0"
+    }
+    return df.where(compile_filter(spec, data_schema=schema)).select("event_id")
+
+
 _SESSION_GAP_S = 6 * 3600  # 6 h gap over ~8 h median inter-event time
 
 
@@ -2443,6 +2483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_cel_data": _filter_query(
             {"cel": "$props.k.(int64) >= 50 && $value.(double) < 100.0"}
         ),
+        "filter_cel_data_dynamic": q_filter_cel_data_dynamic,
         # --- dedup/LSH family: bucket_cap default flip + pointer-jump ---
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2461,8 +2502,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_pipeline_e2e": q_transform_pipeline_e2e,
         "transform_pipeline_compiled": q_transform_pipeline_compiled,
         "transform_template_full": q_transform_template_full,
-        # --- quality rules (recently added; keep a driver eye on them) ---
-        "quality_gopher": q_quality_gopher,
         # --- new this round (mixture, semantic dedup, funnel) ---
         "sample_mixture": q_sample_mixture,
         "semantic_dedup": q_semantic_dedup,
@@ -2474,6 +2513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # golden; the TRAINING side stays gated by bpe_merges above ---
         "bpe_token_count": q_bpe_token_count,
         # ==================== end of the 50-entry window ====================
+        "quality_gopher": q_quality_gopher,
         "export_shards": q_export_shards,
         "filter_data_jsonpath": _filter_query({"exact": {"data.props.k": "12"}}),
         "delivery_routing": q_delivery_routing,
@@ -2593,6 +2633,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id FROM events WHERE "
             "json_extract_string(props, '$.k')::BIGINT >= 50 AND value < 100.0"
         ),
+        # the dynamic-schema query's payload is SYNTHESIZED from events
+        # columns by known residues — the oracle states the predicate
+        # straight from those residues, checking inference + binding +
+        # coercion end-to-end without re-implementing them
+        "filter_cel_data_dynamic": """
+            SELECT event_id FROM events
+            WHERE event_id % 3 != 0 AND event_id % 7 >= 3
+              AND event_id % 2 = 0 AND event_type = 'view'
+              AND value < 150.0
+        """,
         "filter_multi_data": (
             "SELECT event_id FROM events WHERE event_type LIKE 's%' "
             "AND json_extract_string(props, '$.k') = '12' "

@@ -262,3 +262,120 @@ def test_consolidation_equivalence_on_random_specs(cloudevents):
             for r in cloudevents.where(_compile(spec, "data", None)).select(ids).collect()
         }
         assert consolidated == plain, spec
+
+
+# ---------------------------------------------------------------------------
+# schema-free payloads: sample-inferred schema (schema_infer.py)
+# ---------------------------------------------------------------------------
+
+
+def _hetero_payloads(spark):
+    """Deterministic heterogeneous payloads: some rows lack metrics,
+    some lack tags, types vary per field — the schema-free shape."""
+    rows = []
+    for i in range(60):
+        parts = [f'"user_id": {i}']
+        if i % 3 != 0:
+            parts.append(f'"metrics": {{"clicks": {i % 7}, "score": {i / 4}}}')
+        if i % 2 == 0:
+            parts.append(f'"tags": ["t{i % 5}", "x"]')
+        rows.append((i, "{" + ", ".join(parts) + "}"))
+    return spark.createDataFrame(rows, "id long, data string")
+
+
+def test_infer_data_schema_and_resolution(spark):
+    from pyspark.sql.types import ArrayType, StructType
+
+    from vanus_spark.schema_infer import infer_data_schema, resolve_json_path
+
+    df = _hetero_payloads(spark)
+    schema = infer_data_schema(df)
+    assert isinstance(schema, StructType)
+    assert set(schema.fieldNames()) == {"user_id", "metrics", "tags"}
+    assert isinstance(schema["tags"].dataType, ArrayType)
+    ref, leaf = resolve_json_path(schema, "$.metrics.clicks")
+    assert ref == ".`metrics`.`clicks`" and leaf.typeName() == "long"
+    ref, leaf = resolve_json_path(schema, "$.tags[1]")
+    assert ref == ".`tags`[1]" and leaf.typeName() == "string"
+    assert resolve_json_path(schema, "$.missing") is None
+    assert resolve_json_path(schema, "$.metrics") is None  # interior object
+    assert resolve_json_path(schema, "$.user_id[0]") is None  # not an array
+
+
+def test_infer_data_schema_unparseable_returns_none(spark):
+    from vanus_spark.schema_infer import infer_data_schema
+
+    junk = spark.createDataFrame(
+        [(1, "not json at all"), (2, "{broken")], "id long, data string"
+    )
+    assert infer_data_schema(junk) is None
+
+
+def test_cel_dynamic_schema_single_parse_matches_fallback(spark):
+    """A CEL spec with an array-indexed path over a SCHEMA-FREE payload:
+    with an inferred schema the whole predicate binds ONE from_json
+    (no get_json_object anywhere); without it, the per-path fallback —
+    and both routes select the identical rows."""
+    from vanus_spark.schema_infer import infer_data_schema
+
+    df = _hetero_payloads(spark)
+    spec = {
+        "cel": '$metrics.clicks.(int64) >= 3 && $tags[0].(string) == "t2" '
+        "&& $user_id.(int64) < 50"
+    }
+    schema = infer_data_schema(df)
+    bound = df.where(compile_filter(spec, data_schema=schema))
+    plan = _plan(bound)
+    assert plan.count("from_json") == 1
+    assert "get_json_object" not in plan
+    fallback = df.where(compile_filter(spec))
+    assert "get_json_object" in _plan(fallback)  # the N-parse shape
+    got = {r.id for r in bound.collect()}
+    assert got == {r.id for r in fallback.collect()}
+    expected = {
+        i
+        for i in range(60)
+        if i % 3 != 0 and i % 7 >= 3 and i % 2 == 0 and i % 5 == 2 and i < 50
+    }
+    assert got == expected and got
+
+
+def test_dynamic_schema_coercion_matches_get_json_object(spark):
+    """The inferred-schema route must coerce through STRING: a double
+    leaf declared int64 fails (NULL) exactly like try_cast of the
+    get_json_object text — never a truncating numeric cast."""
+    from vanus_spark.schema_infer import infer_data_schema
+
+    df = spark.createDataFrame(
+        [(1, '{"a": 12.5, "b": 1}'), (2, '{"a": 3, "b": 2}')],
+        "id long, data string",
+    )
+    spec = {"cel": "$a.(int64) >= 1 && $b.(int64) >= 1"}
+    schema = infer_data_schema(df)
+    got = {r.id for r in df.where(compile_filter(spec, data_schema=schema)).collect()}
+    want = {r.id for r in df.where(compile_filter(spec)).collect()}
+    assert got == want == {2}  # 12.5 under int64 fails, never truncates to 12
+
+
+def test_exact_prefix_consolidate_under_inferred_schema(spark):
+    """exact/prefix over data paths INCLUDING an array index share the
+    single inferred-schema parse and match the per-path semantics."""
+    from vanus_spark.schema_infer import infer_data_schema
+
+    df = _hetero_payloads(spark)
+    spec = {
+        "all": [
+            {"exact": {"data.tags[0]": "t2"}},
+            {"prefix": {"data.metrics.clicks": "4"}},
+        ]
+    }
+    schema = infer_data_schema(df)
+    bound = df.where(compile_filter(spec, data_schema=schema))
+    plan = _plan(bound)
+    assert plan.count("from_json") == 1 and "get_json_object" not in plan
+    got = {r.id for r in bound.collect()}
+    assert got == {r.id for r in df.where(compile_filter(spec)).collect()}
+    expected = {
+        i for i in range(60) if i % 2 == 0 and i % 5 == 2 and i % 3 != 0 and i % 7 == 4
+    }
+    assert got == expected and got

@@ -124,18 +124,79 @@ def _schema_for_paths(paths: list[str]) -> str:
     return render(tree)
 
 
-def cel_to_column(expression: str, data_col: str = "data") -> Column:
+def _bind_inferred_schema(
+    inlined: str,
+    variables: dict[str, tuple[str, str]],
+    data_col: str,
+    schema,
+) -> Column | None:
+    """One from_json over the INFERRED payload schema, every variable
+    a struct/array walk off the bound parse — or None when any
+    variable's path doesn't resolve to an atomic leaf (the caller
+    then keeps the per-path route for the whole expression, so the
+    plan never mixes half-bound parses)."""
+    from vanus_spark.schema_infer import FRACTIONAL_TYPES, resolve_json_path
+
+    exts: dict[str, str] = {}
+    for name, (path, spark_type) in variables.items():
+        r = resolve_json_path(schema, path)
+        if r is None:
+            return None
+        ref, leaf = r
+        if isinstance(leaf, FRACTIONAL_TYPES):
+            # a fractional leaf's string rendering diverges from the
+            # raw JSON text (3 -> '3.0'), so it is only bindable when
+            # the declared type IS double — a same-type direct read.
+            # Any other declaration must keep the get_json_object
+            # route (try_cast('12.5' as long) is NULL; a direct
+            # double->long cast would truncate instead).
+            if spark_type != "double":
+                return None
+            exts[name] = f"cast(_ce_s{ref} AS double)"
+        else:
+            # through STRING first: long/bool/string leaves render
+            # exactly the raw token, so try_cast failure semantics
+            # match the get_json_object route bit-for-bit
+            exts[name] = f"try_cast(cast(_ce_s{ref} AS string) AS {spark_type})"
+    ddl = schema.simpleString()
+    for name, extract in exts.items():
+        inlined = re.sub(rf"\b{re.escape(name)}\b", extract, inlined)
+    return F.expr(
+        f"get(transform(array(from_json({data_col}, '{ddl}')), "
+        f"_ce_s -> ({inlined})), 0)"
+    )
+
+
+def cel_to_column(
+    expression: str, data_col: str = "data", data_schema=None
+) -> Column:
     """Compile the CEL filter expression to a boolean Column over the
     JSON payload column. Stays fully JVM-side.
 
     The payload is parsed ONCE (`from_json` over the minimal schema of
     all referenced paths) instead of one `get_json_object` parse per
     variable — at N variables that's an N× reduction in JSON parsing,
-    the hot cost of payload predicates."""
+    the hot cost of payload predicates.
+
+    ``data_schema`` (a StructType, e.g. from
+    ``schema_infer.infer_data_schema``) extends the single-parse route
+    to SCHEMA-FREE payloads: every variable that resolves to an atomic
+    leaf — including array-indexed paths the declared-paths schema
+    cannot express — reads from one ``from_json`` over the full
+    inferred schema. Leaves are cast through STRING before the typed
+    try_cast, so coercion semantics match the get_json_object route
+    exactly (a double 12.5 under an int64 declaration stays NULL,
+    never truncates). Unresolvable variables keep per-path parsing."""
     rewritten, variables = extract_variables(expression)
     inlined = _cel_syntax_to_sql(rewritten)
     if not variables:
         return F.expr(inlined)
+    if data_schema is not None and len(variables) >= 2:
+        bound = _bind_inferred_schema(
+            inlined, variables, data_col, data_schema
+        )
+        if bound is not None:
+            return bound
     if len(variables) < 2 or any("[" in path for path, _ in variables.values()):
         # one referenced path => a single get_json_object IS the single
         # parse, without the struct-conversion overhead of from_json;

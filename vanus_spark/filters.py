@@ -102,7 +102,10 @@ def _common_filter(
 
 
 def _compile(
-    spec: dict[str, Any] | list | None, data_col: str, extract: _Extract | None
+    spec: dict[str, Any] | list | None,
+    data_col: str,
+    extract: _Extract | None,
+    data_schema=None,
 ) -> Column:
     if spec is None:
         return F.lit(True)
@@ -110,7 +113,8 @@ def _compile(
         if not spec:
             return F.lit(True)
         return reduce(
-            lambda a, b: a & b, (_compile(f, data_col, extract) for f in spec)
+            lambda a, b: a & b,
+            (_compile(f, data_col, extract, data_schema) for f in spec),
         )
     dialect = _dialect_of(spec)
     if dialect is None:
@@ -121,23 +125,26 @@ def _compile(
     if dialect == "not":
         # inner fail => NOT passes (not_filter.go:27-40): coalesce the
         # inner to two-valued before negating so NULL -> false -> true.
-        return ~_coalesce_false(_compile(body, data_col, extract))
+        return ~_coalesce_false(_compile(body, data_col, extract, data_schema))
     if dialect in ("cesql", "ce_sql"):
         return cesql_to_column(body)
     if dialect == "cel":
-        # CEL binds its own single-parse internally (cel.py)
-        return cel_to_column(body, data_col)
+        # CEL binds its own single-parse internally (cel.py); an
+        # inferred payload schema extends it to array-indexed paths
+        return cel_to_column(body, data_col, data_schema)
     if dialect == "all":
         if not body:
             return F.lit(True)
         return reduce(
-            lambda a, b: a & b, (_compile(f, data_col, extract) for f in body)
+            lambda a, b: a & b,
+            (_compile(f, data_col, extract, data_schema) for f in body),
         )
     if dialect == "any":
         if not body:
             return F.lit(True)
         return reduce(
-            lambda a, b: a | b, (_compile(f, data_col, extract) for f in body)
+            lambda a, b: a | b,
+            (_compile(f, data_col, extract, data_schema) for f in body),
         )
     raise ValueError(f"unknown filter dialect {dialect}")
 
@@ -190,32 +197,48 @@ def _split_conjuncts(spec: dict[str, Any] | list) -> list[dict[str, Any]]:
 
 
 def _compile_single_parse(
-    conjuncts: list[dict[str, Any]], data_col: str, paths: list[str]
+    conjuncts: list[dict[str, Any]],
+    data_col: str,
+    paths: list[str],
+    data_schema=None,
 ) -> Column:
     """Compile the data-touching conjuncts' AND inside ONE from_json
     binding: the payload parses once (the lambda's array element),
     every path is a struct field read. Same binding trick as cel.py —
     inlining from_json per path leaves N parses in the physical plan
-    (no CSE across predicate subtrees)."""
-    schema = _schema_for_paths(paths)
+    (no CSE across predicate subtrees).
+
+    With ``data_schema`` (inferred, schema_infer.py) the parse uses
+    the payload's REAL schema, so array-indexed paths consolidate too;
+    leaves read back through a string cast to keep get_json_object's
+    text semantics."""
+    from vanus_spark.schema_infer import resolve_json_path_col
+
+    schema = data_schema if data_schema is not None else _schema_for_paths(paths)
     consolidated = set(paths)
 
     def build(s: Column) -> Column:
         def extract(path: str) -> Column | None:
             if path not in consolidated:
                 return None  # caller falls back to get_json_object
+            if data_schema is not None:
+                return resolve_json_path_col(s, data_schema, path)
             cur = s
             for part in path[2:].split("."):
                 cur = cur[part]
             return cur
 
-        return _compile(conjuncts, data_col, extract)
+        return _compile(conjuncts, data_col, extract, data_schema)
 
     parsed = F.from_json(F.col(data_col), schema)
     return F.get(F.transform(F.array(parsed), build), 0)
 
 
-def compile_filter(spec: dict[str, Any] | list | None, data_col: str = "data") -> Column:
+def compile_filter(
+    spec: dict[str, Any] | list | None,
+    data_col: str = "data",
+    data_schema=None,
+) -> Column:
     """Compile a SubscriptionFilter (or list = implicit AND) to a
     boolean Column. Returns lit(True) for nil/empty.
 
@@ -223,27 +246,51 @@ def compile_filter(spec: dict[str, Any] | list | None, data_col: str = "data") -
     ``from_json`` parse shared by all of them (see module docstring);
     attribute-only conjuncts stay outside the parse binding so Parquet
     pushdown is unaffected.
+
+    ``data_schema`` — a StructType, typically from
+    ``schema_infer.infer_data_schema(df)`` — switches the parse to the
+    payload's real (inferred) schema: array-indexed paths become
+    consolidatable and CEL sub-filters bind the same way. Paths that
+    don't resolve to atomic leaves keep the per-path
+    ``get_json_object`` route, so a partially-inferable payload still
+    compiles correctly.
     """
     if spec is None:
         return F.lit(True)
     conjuncts = _split_conjuncts(spec)
     data_cj = [c for c in conjuncts if _spec_data_paths(c)]
-    candidates = {
-        p for c in data_cj for p in _spec_data_paths(c) if _is_struct_path(p)
-    }
-    # a path that is a strict prefix of another addresses an interior
-    # object — not expressible as a struct-schema leaf; it keeps the
-    # get_json_object route while the deeper paths consolidate
-    paths = sorted(
-        p
-        for p in candidates
-        if not any(o != p and o.startswith(p + ".") for o in candidates)
-    )
+    if data_schema is not None:
+        from vanus_spark.schema_infer import FRACTIONAL_TYPES, resolve_json_path
+
+        # the inferred schema decides consolidatability: anything
+        # resolving to an atomic NON-FRACTIONAL leaf (array indices
+        # included) joins the single parse — these filters compare
+        # TEXT, and a fractional leaf's rendering diverges from the
+        # raw token ('3.0' vs '3'); the rest keeps get_json_object
+        def _textual(p: str) -> bool:
+            r = resolve_json_path(data_schema, p)
+            return r is not None and not isinstance(r[1], FRACTIONAL_TYPES)
+
+        paths = sorted(
+            {p for c in data_cj for p in _spec_data_paths(c) if _textual(p)}
+        )
+    else:
+        candidates = {
+            p for c in data_cj for p in _spec_data_paths(c) if _is_struct_path(p)
+        }
+        # a path that is a strict prefix of another addresses an interior
+        # object — not expressible as a struct-schema leaf; it keeps the
+        # get_json_object route while the deeper paths consolidate
+        paths = sorted(
+            p
+            for p in candidates
+            if not any(o != p and o.startswith(p + ".") for o in candidates)
+        )
     if len(paths) >= 2:
         plain = [c for c in conjuncts if c not in data_cj]
-        bound = _compile_single_parse(data_cj, data_col, paths)
+        bound = _compile_single_parse(data_cj, data_col, paths, data_schema)
         if not plain:
             return bound
-        rest = _compile(plain, data_col, None)
+        rest = _compile(plain, data_col, None, data_schema)
         return rest & bound
-    return _compile(spec, data_col, None)
+    return _compile(spec, data_col, None, data_schema)
