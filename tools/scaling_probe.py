@@ -99,11 +99,105 @@ def main() -> None:
             ).count(),
         }
 
+    def corpus_ops(docs: DataFrame, n_docs: int) -> dict:
+        """Round-5 additions: the corpus-management family + a
+        HEAVY-TAILED pagerank (dst = floor(n/u), u uniform — dst=1
+        receives ~half of ALL edges, the skew-join/partial-agg stress
+        the uniform out-degree-1 fixture never exercised)."""
+        from vanus_spark.llm.curation import shard_assignment
+        from vanus_spark.llm.dedup import exact_dedup, md5_long, normalize_text
+        from vanus_spark.llm.graphs import pagerank
+        from vanus_spark.llm.qualityrules import gopher_flags
+        from vanus_spark.llm.textstats import lang_id_df, quality_score
+        from vanus_spark.llm.versioning import (
+            corpus_diff,
+            deterministic_shuffle,
+            diff_summary,
+        )
+
+        # a perturbed snapshot: ~9% of ids removed, ~14% of texts
+        # changed, ~5% added — the realistic diff workload
+        removed = docs.where(F.col("doc_id") % 11 != 0)
+        changed = removed.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+            "lang",
+        )
+        snapshot2 = changed.unionByName(
+            docs.where(F.col("doc_id") % 19 == 0).select(
+                (F.col("doc_id") + 50_000_000).alias("doc_id"), "text", "lang"
+            )
+        )
+
+        def funnel() -> int:
+            uniq = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+            gopher = gopher_flags(docs).select(
+                "doc_id", F.col("keep").alias("g_keep")
+            )
+            langs = lang_id_df(docs).select(
+                "doc_id", (F.col("lang_pred") == "en").alias("l_keep")
+            )
+            staged = (
+                docs.select(
+                    "doc_id",
+                    (F.round(quality_score(F.col("text")), 6) >= 0.5).alias(
+                        "q_keep"
+                    ),
+                )
+                .join(uniq.withColumn("u_keep", F.lit(True)), "doc_id", "left")
+                .join(gopher, "doc_id")
+                .join(langs, "doc_id")
+            )
+            return staged.agg(
+                F.count("*"),
+                F.sum(F.coalesce("u_keep", F.lit(False)).cast("long")),
+                F.sum((F.col("g_keep") & F.col("q_keep")).cast("long")),
+            ).count()
+
+        def manifest() -> int:
+            shards = shard_assignment(docs, target_tokens=2000, group_col="lang")
+            checks = docs.select(
+                "doc_id", md5_long(normalize_text(F.col("text"))).alias("_dg")
+            )
+            mod = 2_305_843_009_213_693_951
+            return (
+                shards.join(checks, "doc_id")
+                .groupBy("lang", "shard")
+                .agg(
+                    F.count("*"),
+                    F.sum("n_tokens"),
+                    F.pmod(
+                        F.sum(F.col("_dg").cast("decimal(38,0)")), F.lit(mod)
+                    ),
+                )
+                .count()
+            )
+
+        u = 1 + F.pmod(md5_long(F.col("doc_id")), F.lit(n_docs))
+        skew_edges = docs.select(
+            F.col("doc_id").alias("src"),
+            F.floor(F.lit(n_docs) / u).cast("long").alias("dst"),
+        )
+        return {
+            "corpus_diff": lambda: diff_summary(
+                corpus_diff(docs, snapshot2)
+            ).count(),
+            "corpus_shuffle": lambda: deterministic_shuffle(docs, 8).count(),
+            "export_manifest": manifest,
+            "quality_funnel": funnel,
+            "pagerank3_skew": lambda: pagerank(skew_edges, iters=3).count(),
+        }
+
+    op_set = corpus_ops if os.environ.get("PROBE_SET") == "corpus" else ops
     results: dict[str, dict[int, float]] = {}
     for r in multiples:
         docs = replicate_docs(docs0, r).localCheckpoint(eager=True)
         n = docs.count()
-        for name, fn in ops(docs, n).items():
+        for name, fn in op_set(docs, n).items():
             fn()  # warm the shape
             t0 = time.perf_counter()
             out = fn()
