@@ -1508,6 +1508,224 @@ def q_session_windows_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA smoothing of event values (the anomaly-baseline /
+    dashboard primitive Spark lacks natively): bounded-window left
+    fold via F.aggregate over the last 32 values, one key shuffle
+    total (operators/timeseries.py). alpha = 0.5 -> every fold step is
+    exact dyadic arithmetic, so DuckDB's list_reduce over the same
+    frame agrees bit-for-bit."""
+    from vanus_spark.operators.timeseries import ewma
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    out = ewma(ev, "value", "ts", "user_id", "event_id", alpha=0.5, k=32)
+    # fixed-point nanos via floor, not round: the dyadic fold can land
+    # EXACTLY on a half at the 9th decimal, where Spark and DuckDB
+    # round doubles differently; x*1e9 and floor are deterministic
+    # IEEE ops, so the engines agree bit-for-bit
+    return out.select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("ewma") * 1e9).cast("long").alias("ewma_nanos"),
+    )
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES): key = u^(1/w) per doc from a seeded-hash uniform, global
+    top-k keys = the sample; plan is hash + pow per row then
+    TakeOrderedAndProject (never a full sort). Weights = n_chars, so
+    long documents are proportionally likelier. The oracle pins the
+    GOLDEN selected set for the sf0.01 fixture (pow is libm-dependent
+    across engines, so cross-engine float re-derivation would be
+    flaky by construction — the bpe_merges pinning pattern instead);
+    determinism under (seed, id) is what makes the pin sound, and
+    tests/test_llm_ops.py checks the statistical property."""
+    from vanus_spark.llm.curation import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample(docs, "n_chars", k=25, seed=7)
+    return out.select("doc_id", "n_chars", "sample_rank")
+
+
+def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract drift detection between two payload snapshots:
+    both corpus versions' JSON payload schemas are SAMPLE-INFERRED
+    (schema_infer.infer_data_schema), then diffed field-by-field into
+    (added / removed / type_changed / unchanged) — v2 drops 'legacy',
+    adds 'metrics.retries', and changes 'code' from long to string.
+    The oracle states the expected report straight from the
+    generating rules, so the inference + flatten + diff chain is
+    checked end-to-end."""
+    from vanus_spark.llm.versioning import schema_drift
+    from vanus_spark.schema_infer import infer_data_schema
+
+    ev = _t(spark, sf_dir, "events")
+    v1 = ev.select(
+        F.to_json(
+            F.struct(
+                F.col("user_id"),
+                (F.col("event_id") % 5).alias("code"),
+                F.lit("x").alias("legacy"),
+                F.struct(F.col("value").alias("score")).alias("metrics"),
+            )
+        ).alias("data")
+    )
+    v2 = ev.select(
+        F.to_json(
+            F.struct(
+                F.col("user_id"),
+                F.concat(F.lit("c"), (F.col("event_id") % 5)).alias("code"),
+                F.struct(
+                    F.col("value").alias("score"),
+                    (F.col("event_id") % 3).alias("retries"),
+                ).alias("metrics"),
+            )
+        ).alias("data")
+    )
+    return schema_drift(
+        spark, infer_data_schema(v1), infer_data_schema(v2)
+    )
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining over the embeddings corpus: per query
+    vector (vec_id < 8), the top-5 most similar vectors with a
+    DIFFERENT label — the contrastive-training counterpart of
+    similarity_topk, broadcast queries + one corpus scan + per-query
+    top-k window."""
+    from vanus_spark.llm.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = hard_negatives(emb, emb.where(F.col("vec_id") < 8), k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "neg_label",
+        F.round("cosine", 6).alias("cosine"),
+        "rank",
+    )
+
+
+def q_tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (adapted to the fixture's columns): revenue
+    locked in small-quantity orders of one brand's small parts —
+    l_quantity below 20% of the PART'S OWN average. The correlated
+    scalar subquery decorrelates into a per-part aggregate joined
+    back (what Catalyst does to the SQL form); the comparison uses
+    the integer identity 5*qty*cnt < sum(qty) (quantities are whole)
+    and revenue sums in decimal(18,2), so both engines are exact —
+    no float aggregation order anywhere."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    sel_parts = part.where(
+        (F.col("p_brand") == "Brand#4") & (F.col("p_size") <= 25)
+    ).select("p_partkey")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("_qsum"),
+        F.count("*").alias("_qcnt"),
+    )
+    return (
+        li.join(F.broadcast(sel_parts), li.l_partkey == sel_parts.p_partkey)
+        .join(F.broadcast(per_part), "l_partkey")
+        .where(
+            F.col("l_quantity").cast("long") * 5 * F.col("_qcnt")
+            < F.col("_qsum")
+        )
+        .agg(
+            F.count("*").alias("n_small_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+                "small_qty_revenue"
+            ),
+        )
+    )
+
+
+def q_stream_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL watermarked stream-stream interval join (the §2.10
+    surface beyond per-key state): views and purchases replay as TWO
+    file streams (two time-ordered micro-batches each), inner-joined
+    on user with purchase_ts in [view_ts, view_ts + 2h]. Both sides
+    carry 1-day watermarks, so join state is BOUNDED — a view row is
+    evicted once the watermark passes view_ts + 2h — while the
+    time-split replay keeps every true pair inside the retention
+    window (a pair spans at most 2h; the files split at day 15 and
+    the watermark trails the max seen event time by a full day). The
+    oracle is the equivalent batch interval join."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events").where(
+        (F.col("user_id") < 30) & F.col("ts").isNotNull()
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    import datetime as dtm
+
+    work = tempfile.mkdtemp(prefix="vs_ssj_replay_")
+    cut = F.lit(dtm.datetime(2024, 1, 15))
+    dirs = {}
+    for side, df, ts in (("v", views, "v_ts"), ("p", purchases, "p_ts")):
+        src = os.path.join(work, side)
+        os.makedirs(src)
+        dirs[side] = src
+        for i, half in enumerate(
+            (df.where(F.col(ts) < cut), df.where(F.col(ts) >= cut))
+        ):
+            stage = os.path.join(work, f"stage_{side}{i}")
+            half.coalesce(1).write.mode("overwrite").parquet(stage)
+            [part] = glob.glob(os.path.join(stage, "part-*.parquet"))
+            dst = os.path.join(src, f"b{i}.parquet")
+            shutil.copy(part, dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    v_stream = (
+        spark.readStream.schema("v_user long, v_ts timestamp, view_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dirs["v"])
+        .withWatermark("v_ts", "1 day")
+    )
+    p_stream = (
+        spark.readStream.schema("p_user long, p_ts timestamp, purchase_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dirs["p"])
+        .withWatermark("p_ts", "1 day")
+    )
+    joined = v_stream.join(
+        p_stream,
+        F.expr(
+            "v_user = p_user AND p_ts >= v_ts "
+            "AND p_ts <= v_ts + interval 2 hours"
+        ),
+        "inner",
+    ).select("view_id", "purchase_id", F.col("v_user").alias("user_id"))
+    name = "ssj_replay_sink"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(name).collect()
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "view_id long, purchase_id long, user_id long"
+    )
+
+
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization over deterministic messy URLs (mixed-case
     scheme/host, www, default ports, tracking params, unordered query,
@@ -2430,14 +2648,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new this round ---
         "session_windows_replay": q_session_windows_replay,
-        "table_stats": q_table_stats,
+        "events_ewma": q_events_ewma,
+        "sample_weighted": q_sample_weighted,
+        "schema_drift": q_schema_drift,
+        "hard_negatives": q_hard_negatives,
+        "tpch_q17_small_qty": q_tpch_q17_small_qty,
+        "stream_stream_join_replay": q_stream_stream_join_replay,
         "zorder_layout": q_zorder_layout,
-        "export_manifest": q_export_manifest,
-        "quality_funnel": q_quality_funnel,
-        "tpch_q5_volume": q_tpch_q5_volume,
-        "events_anomaly": q_events_anomaly,
         "dedup_best_rep": q_dedup_best_rep,
-        "mixture_temperature": q_mixture_temperature,
         "sink_payload_roundtrip": q_sink_payload_roundtrip,
         "link_pagerank": q_link_pagerank,
         "vsctl_get": q_vsctl_get,
@@ -2513,6 +2731,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # golden; the TRAINING side stays gated by bpe_merges above ---
         "bpe_token_count": q_bpe_token_count,
         # ==================== end of the 50-entry window ====================
+        "table_stats": q_table_stats,
+        "export_manifest": q_export_manifest,
+        "quality_funnel": q_quality_funnel,
+        "tpch_q5_volume": q_tpch_q5_volume,
+        "events_anomaly": q_events_anomaly,
+        "mixture_temperature": q_mixture_temperature,
         "quality_gopher": q_quality_gopher,
         "export_shards": q_export_shards,
         "filter_data_jsonpath": _filter_query({"exact": {"data.props.k": "12"}}),
@@ -3870,6 +4094,99 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_incremental": _incremental_dedup_oracle(),
         "dedup_incremental_stream": _incremental_stream_oracle(),
+        # EWMA: identical left fold over the identical 32-row frame —
+        # alpha=0.5 keeps every step exact dyadic arithmetic, so the
+        # engines agree bit-for-bit before the courtesy round
+        "events_ewma": """
+            WITH o AS (
+              SELECT user_id, event_id,
+                     list(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 31 PRECEDING AND CURRENT ROW
+                     ) AS arr
+              FROM events WHERE user_id < 40
+            )
+            SELECT user_id, event_id,
+                   floor(list_reduce(arr::DOUBLE[],
+                                     (acc, x) -> 0.5*x + 0.5*acc)
+                         * 1e9)::BIGINT AS ewma_nanos
+            FROM o
+        """,
+        # stream-stream interval join: the batch form of the same join
+        "stream_stream_join_replay": """
+            SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+                   v.user_id
+            FROM events v JOIN events p
+              ON v.user_id = p.user_id
+             AND v.event_type = 'view' AND p.event_type = 'purchase'
+             AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR
+            WHERE v.user_id < 30 AND v.ts IS NOT NULL AND p.ts IS NOT NULL
+        """,
+        # schema drift: the expected contract diff straight from the
+        # two synthesized payload generators (v1 vs v2 field sets)
+        "schema_drift": """
+            SELECT * FROM (VALUES
+              ('code', 'type_changed', 'long', 'string'),
+              ('legacy', 'removed', 'string', NULL),
+              ('metrics', 'unchanged', 'struct', 'struct'),
+              ('metrics.retries', 'added', NULL, 'long'),
+              ('metrics.score', 'unchanged', 'double', 'double'),
+              ('user_id', 'unchanged', 'long', 'long')
+            ) AS t(field, status, old_type, new_type)
+        """,
+        "hard_negatives": """
+            WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+                              embedding AS q_vec
+                       FROM embeddings WHERE vec_id < 8),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     e.label AS neg_label,
+                     list_dot_product(q.q_vec::DOUBLE[], e.embedding::DOUBLE[])
+                       / (sqrt(list_dot_product(q.q_vec::DOUBLE[], q.q_vec::DOUBLE[]))
+                          * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                  e.embedding::DOUBLE[]))) AS cosine
+              FROM embeddings e, q WHERE e.label != q.q_label),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id, neg_label,
+                   round(cosine, 6) AS cosine, rank
+            FROM ranked WHERE rank <= 5
+        """,
+        # A-ES weighted sample: pinned golden for the sf0.01 fixture
+        # (pow is libm-dependent, so a cross-engine float re-derivation
+        # would be flaky by construction; determinism under (seed, id)
+        # makes the pin sound — the bpe_merges pattern). Regenerate
+        # with queries()["sample_weighted"] if the fixture changes.
+        "sample_weighted": """
+            SELECT doc_id::BIGINT AS doc_id, n_chars::BIGINT AS n_chars,
+                   sample_rank::INT AS sample_rank
+            FROM (VALUES
+              (489, 317, 1), (232, 316, 2), (318, 456, 3), (444, 419, 4),
+              (81, 357, 5), (182, 343, 6), (259, 259, 7), (341, 427, 8),
+              (133, 500, 9), (150, 274, 10), (271, 295, 11), (115, 132, 12),
+              (37, 378, 13), (200, 303, 14), (326, 198, 15), (378, 337, 16),
+              (109, 395, 17), (346, 409, 18), (209, 223, 19), (249, 431, 20),
+              (412, 365, 21), (162, 458, 22), (219, 175, 23), (373, 388, 24),
+              (140, 157, 25)
+            ) AS t(doc_id, n_chars, sample_rank)
+        """,
+        # Q17 shape with exact arithmetic: integer identity for the
+        # correlated 20%-of-avg predicate, decimal(18,2) revenue sums
+        "tpch_q17_small_qty": """
+            WITH sel AS (SELECT p_partkey FROM part
+                         WHERE p_brand = 'Brand#4' AND p_size <= 25),
+            pp AS (SELECT l_partkey, sum(l_quantity::BIGINT) AS qsum,
+                          count(*) AS qcnt
+                   FROM lineitem GROUP BY l_partkey)
+            SELECT count(*) AS n_small_qty,
+                   sum(l_extendedprice::DECIMAL(18,2)) AS small_qty_revenue
+            FROM lineitem l
+            JOIN sel ON l.l_partkey = sel.p_partkey
+            JOIN pp ON l.l_partkey = pp.l_partkey
+            WHERE l.l_quantity::BIGINT * 5 * pp.qcnt < pp.qsum
+        """,
         # Gap-islands twin of the streaming sessionizer replay: break
         # on inter-event distance > gap, cumulative-sum the breaks
         # into session ids, aggregate — the textbook batch form of

@@ -618,3 +618,99 @@ def test_temperature_weights_interpolate_toward_uniform(spark):
     assert cooled["en"] < natural["en"]     # cooling lifts the tail
     assert cooled["fr"] > natural["fr"]
     assert abs(sum(cooled.values()) - 1.0) < 1e-6
+
+
+def test_ewma_matches_recursive_definition(spark):
+    from vanus_spark.operators.timeseries import ewma
+
+    rows = [(1, i, float(v)) for i, v in enumerate([10, 20, 40, 0, 8])]
+    rows += [(2, 0, 100.0)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, value double")
+    out = {
+        r.event_id: r.ewma
+        for r in ewma(
+            df.withColumn("ts", F.col("event_id").cast("timestamp")),
+            "value", "ts", "user_id", "event_id", alpha=0.5, k=32,
+        ).where(F.col("user_id") == 1).collect()
+    }
+    acc, want = None, {}
+    for i, v in enumerate([10.0, 20.0, 40.0, 0.0, 8.0]):
+        acc = v if acc is None else 0.5 * v + 0.5 * acc
+        want[i] = acc
+    assert out == want
+    # the lookback is bounded: with k=2 only the previous value counts
+    out2 = {
+        r.event_id: r.ewma
+        for r in ewma(
+            df.withColumn("ts", F.col("event_id").cast("timestamp")),
+            "value", "ts", "user_id", "event_id", alpha=0.5, k=2,
+        ).where(F.col("user_id") == 1).collect()
+    }
+    assert out2[2] == 0.5 * 40 + 0.5 * 20  # seed = oldest IN FRAME
+
+
+def test_weighted_sample_properties(spark):
+    from vanus_spark.llm.curation import weighted_sample
+
+    docs = spark.createDataFrame(
+        [(i, 100.0 if i < 10 else 1.0) for i in range(200)]
+        + [(900, 0.0), (901, -1.0)],
+        "doc_id long, w double",
+    )
+    a = weighted_sample(docs, "w", k=20, seed=3).collect()
+    b = weighted_sample(docs, "w", k=20, seed=3).collect()
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]  # deterministic
+    assert sorted(r.sample_rank for r in a) == list(range(1, 21))
+    assert not {900, 901} & {r.doc_id for r in a}  # w<=0 excluded
+    # heavy items (100x weight, 10 of 200 docs) dominate the sample
+    # across seeds: each heavy doc is ~5x likelier than all light
+    # docs combined per draw
+    heavy = 0
+    for seed in range(8):
+        got = {r.doc_id for r in weighted_sample(docs, "w", 20, seed).collect()}
+        heavy += len(got & set(range(10)))
+    assert heavy >= 8 * 6  # weak bound, p(fail) negligible
+
+
+def test_schema_drift_nested_and_arrays(spark):
+    from vanus_spark.llm.versioning import schema_drift
+    from vanus_spark.schema_infer import infer_data_schema
+
+    old = infer_data_schema(
+        spark.createDataFrame(
+            [('{"a": 1, "tags": ["x"], "m": {"k": 1}}',)], "data string"
+        )
+    )
+    new = infer_data_schema(
+        spark.createDataFrame(
+            [('{"a": "s", "m": {"k": 1, "j": 2.5}, "b": true}',)],
+            "data string",
+        )
+    )
+    got = {r.field: (r.status, r.old_type, r.new_type)
+           for r in schema_drift(spark, old, new).collect()}
+    assert got["a"] == ("type_changed", "long", "string")
+    assert got["tags"] == ("removed", "array<string>", None)
+    assert got["b"] == ("added", None, "boolean")
+    assert got["m"] == ("unchanged", "struct", "struct")
+    assert got["m.j"] == ("added", None, "double")
+    assert got["m.k"] == ("unchanged", "long", "long")
+
+
+def test_hard_negatives_excludes_same_label(spark, emb):
+    from vanus_spark.llm.similarity import hard_negatives
+
+    out = hard_negatives(emb, emb.where(F.col("vec_id") < 4), k=3).collect()
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    assert out
+    for r in out:
+        assert r.neg_label == labels[r.neighbor_id]
+        assert labels[r.query_id] != r.neg_label  # never a same-label row
+    # per query: ranks contiguous from 1 and cosines non-increasing
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert all(rs[i].cosine >= rs[i + 1].cosine for i in range(len(rs) - 1))

@@ -422,3 +422,38 @@ def temperature_weights(
             ).alias("weight"),
         )
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-ES): each row draws the key u^(1/w) from a seeded-hash uniform
+    u in (0,1]; the global top-k keys ARE a weighted sample — a row's
+    inclusion probability is proportional to its weight, with no
+    sequential state.
+
+    The 100 TB shape: one hash + one pow per row, then a
+    TakeOrderedAndProject top-k (per-partition heaps + one k-row
+    merge) — never a global sort, no rejection loop, deterministic
+    under (seed, id), so re-runs and incremental re-materializations
+    agree. Rows with weight <= 0 are excluded (their key is
+    undefined), matching the algorithm's domain."""
+    u = (hash_uniform(F.col(id_col).cast("string"), seed) * 999_999 + 1) / 1_000_000.0
+    key = F.pow(u, 1.0 / F.col(weight_col).cast("double"))
+    top = (
+        docs.where(F.col(weight_col) > 0)
+        .withColumn("_aes_key", key)
+        .orderBy(F.desc("_aes_key"), F.asc(id_col))
+        .limit(k)  # TakeOrderedAndProject: per-partition heaps, k-row merge
+    )
+    # rank assignment runs over the k surviving rows only — the global
+    # window here sorts k rows, not the corpus
+    w = Window.orderBy(F.desc("_aes_key"), F.asc(id_col))
+    return top.withColumn("sample_rank", F.row_number().over(w)).select(
+        *docs.columns, "sample_rank"
+    )

@@ -724,3 +724,54 @@ def semantic_dedup(
         _cluster_drops, f"{id_col} {id_field.dataType.simpleString()}"
     )
     return corpus.join(drops, id_col, "left_anti")
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training data: per query
+    vector, the top-k most similar corpus vectors with a DIFFERENT
+    label — the near-the-margin negatives a retrieval/embedding
+    trainer wants, as opposed to random negatives that teach nothing.
+
+    Same scale shape as :func:`cosine_topk` (broadcast queries, one
+    corpus scan, per-query top-k window); the label-mismatch predicate
+    joins the broadcast condition, so same-label rows never enter the
+    score stage at all. At 100 TB swap the brute-force scan for the
+    IVF route and apply the label filter on the probed lists."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("q_label"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+        l2_norm(F.col(vec_col).cast("array<double>")).alias("q_norm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("n_label"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+        l2_norm(F.col(vec_col).cast("array<double>")).alias("c_norm"),
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("n_label") != F.col("q_label")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.col("n_label").alias("neg_label"),
+        (
+            dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_norm") * F.col("c_norm"))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "neg_label", "cosine", "rank")
+    )

@@ -126,3 +126,51 @@ def hash_split(
         F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
     )
     return docs.withColumn("split", split)
+
+
+def _flatten_schema(schema, prefix: str = "") -> dict[str, str]:
+    """{dotted.path: typeName} for every leaf AND interior field of a
+    StructType (arrays render as element<...> one level deep)."""
+    from pyspark.sql.types import ArrayType, StructType
+
+    out: dict[str, str] = {}
+    for f in schema.fields:
+        path = f"{prefix}{f.name}"
+        dt = f.dataType
+        if isinstance(dt, StructType):
+            out[path] = "struct"
+            out.update(_flatten_schema(dt, path + "."))
+        elif isinstance(dt, ArrayType):
+            out[path] = f"array<{dt.elementType.typeName()}>"
+        else:
+            out[path] = dt.typeName()
+    return out
+
+
+def schema_drift(spark, old_schema, new_schema) -> DataFrame:
+    """(field, status, old_type, new_type): the schema-contract diff
+    between two payload snapshots — 'added', 'removed', 'type_changed'
+    or 'unchanged' per (nested) field path. Pairs with
+    ``schema_infer.infer_data_schema``: infer both corpus versions'
+    payload schemas (one bounded sample pass each), then diff the
+    RESULTING driver-side structs — the corpora themselves are never
+    rescanned, so the report costs the same at any corpus size. This
+    is the detection half of a data contract: a pipeline gates its
+    deploy on 'no removed/type_changed fields'."""
+    old_f = _flatten_schema(old_schema) if old_schema is not None else {}
+    new_f = _flatten_schema(new_schema) if new_schema is not None else {}
+    rows = []
+    for path in sorted(set(old_f) | set(new_f)):
+        o, n = old_f.get(path), new_f.get(path)
+        if o is None:
+            status = "added"
+        elif n is None:
+            status = "removed"
+        elif o != n:
+            status = "type_changed"
+        else:
+            status = "unchanged"
+        rows.append((path, status, o, n))
+    return spark.createDataFrame(
+        rows, "field string, status string, old_type string, new_type string"
+    )
