@@ -1436,6 +1436,32 @@ def q_filter_cel_data_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SESSION_GAP_S = 6 * 3600  # 6 h gap over ~8 h median inter-event time
 
 
+def _write_replay_batches(
+    src: str, batches: list[list[tuple]], cols: list[tuple[str, str]]
+) -> None:
+    """Driver-side parquet batch files for deterministic stream
+    replays: one file per micro-batch, mtime-forced order (the file
+    source admits by (modTime, path)). ``cols`` = [(name, 'ts'|'long')];
+    timestamps write as us. One collect upstream replaces what would
+    otherwise be a Spark write JOB per micro-batch file."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    types = {"ts": pa.timestamp("us"), "long": pa.int64()}
+    for i, rows in enumerate(batches):
+        tbl = pa.table(
+            {
+                name: pa.array([r[j] for r in rows], type=types[kind])
+                for j, (name, kind) in enumerate(cols)
+            }
+        )
+        dst = os.path.join(src, f"b{i}.parquet")
+        pq.write_table(tbl, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+
 def q_session_windows_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The custom stateful sessionizer (applyInPandasWithState +
     event-time timeouts, streaming/stateful.py) driven through a REAL
@@ -1449,7 +1475,6 @@ def q_session_windows_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     same user exists, 'timeout' for the user's final session, which is
     exactly the shape the DuckDB islands oracle states independently."""
     import datetime as dtm
-    import glob
     import os
     import shutil
     import tempfile
@@ -1465,22 +1490,15 @@ def q_session_windows_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(work, "src")
     os.makedirs(src)
     cut1, cut2 = dtm.datetime(2024, 1, 11), dtm.datetime(2024, 1, 21)
-    sentinel = spark.createDataFrame(
-        [(dtm.datetime(2030, 1, 1), -1)], "ts timestamp, user_id long"
-    )
-    batches = [
-        ev.where(F.col("ts") < F.lit(cut1)),
-        ev.where((F.col("ts") >= F.lit(cut1)) & (F.col("ts") < F.lit(cut2))),
-        ev.where(F.col("ts") >= F.lit(cut2)),
-        sentinel,
-    ]
-    for i, b in enumerate(batches):
-        stage = os.path.join(work, f"stage{i}")
-        b.coalesce(1).write.mode("overwrite").parquet(stage)
-        [part] = glob.glob(os.path.join(stage, "part-*.parquet"))
-        dst = os.path.join(src, f"b{i}.parquet")
-        shutil.copy(part, dst)
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    # ONE Spark job collects the (small) replay slice; the per-batch
+    # files are then written driver-side via pyarrow — 4 Spark write
+    # jobs would otherwise dominate this query's wall time
+    rows = ev.select("ts", "user_id").collect()
+    batches: list[list[tuple]] = [[], [], [], [(dtm.datetime(2030, 1, 1), -1)]]
+    for r in rows:
+        i = 0 if r.ts < cut1 else (1 if r.ts < cut2 else 2)
+        batches[i].append((r.ts, r.user_id))
+    _write_replay_batches(src, batches, [("ts", "ts"), ("user_id", "long")])
     out = session_windows(
         spark.readStream.schema("ts timestamp, user_id long")
         .option("maxFilesPerTrigger", "1")
@@ -1489,16 +1507,24 @@ def q_session_windows_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark_delay="60 days",
     )
     name = "session_replay_sink"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .start()
-    )
+    # 12 users need nowhere near 32 state-store partitions; each
+    # partition costs a store instance PER MICRO-BATCH (4 batches +
+    # no-data flushes), which dominates this replay's wall time
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        q.processAllAvailable()
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     rows = spark.table(name).where(F.col("user_id") >= 0).collect()
     shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(
@@ -1652,7 +1678,6 @@ def q_stream_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     window (a pair spans at most 2h; the files split at day 15 and
     the watermark trails the max seen event time by a full day). The
     oracle is the equivalent batch interval join."""
-    import glob
     import os
     import shutil
     import tempfile
@@ -1673,21 +1698,21 @@ def q_stream_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import datetime as dtm
 
     work = tempfile.mkdtemp(prefix="vs_ssj_replay_")
-    cut = F.lit(dtm.datetime(2024, 1, 15))
+    cut = dtm.datetime(2024, 1, 15)
     dirs = {}
-    for side, df, ts in (("v", views, "v_ts"), ("p", purchases, "p_ts")):
+    for side, df, cols in (
+        ("v", views, [("v_user", "long"), ("v_ts", "ts"), ("view_id", "long")]),
+        ("p", purchases, [("p_user", "long"), ("p_ts", "ts"), ("purchase_id", "long")]),
+    ):
         src = os.path.join(work, side)
         os.makedirs(src)
         dirs[side] = src
-        for i, half in enumerate(
-            (df.where(F.col(ts) < cut), df.where(F.col(ts) >= cut))
-        ):
-            stage = os.path.join(work, f"stage_{side}{i}")
-            half.coalesce(1).write.mode("overwrite").parquet(stage)
-            [part] = glob.glob(os.path.join(stage, "part-*.parquet"))
-            dst = os.path.join(src, f"b{i}.parquet")
-            shutil.copy(part, dst)
-            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        rows = df.collect()  # one job per side; files written driver-side
+        ts_ix = 1
+        halves: list[list[tuple]] = [[], []]
+        for r in rows:
+            halves[0 if r[ts_ix] < cut else 1].append(tuple(r))
+        _write_replay_batches(src, halves, cols)
     v_stream = (
         spark.readStream.schema("v_user long, v_ts timestamp, view_id long")
         .option("maxFilesPerTrigger", "1")
@@ -1709,16 +1734,23 @@ def q_stream_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("view_id", "purchase_id", F.col("v_user").alias("user_id"))
     name = "ssj_replay_sink"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .start()
-    )
+    # join state for 30 users: 4 store partitions beat 32 (an instance
+    # per partition per micro-batch dominates the replay wall time)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        q.processAllAvailable()
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     rows = spark.table(name).collect()
     shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(

@@ -94,6 +94,16 @@ HEADLINE = [
     "export_manifest",
     "table_stats",
     "zorder_layout",
+    # round 5
+    "session_windows_replay",
+    "filter_cel_data_dynamic",
+    "events_ewma",
+    "sample_weighted",
+    "schema_drift",
+    "hard_negatives",
+    "tpch_q17_small_qty",
+    "stream_stream_join_replay",
+    "bpe_token_count",
 ]
 
 

@@ -785,13 +785,13 @@ def substring_dup_pairs(
             ).alias("win"),
         )
         .distinct()
-        # materialization rule (ROADMAP #8): both self-join sides
-        # reference this table and its recompute chain contains a
-        # shuffle (the distinct) ON TOP of the per-position md5 anchor
-        # scan — the most expensive narrow chain in the module.
-        # Measured at sf0.1: 1.8 s -> 0.9 s median (the r4 bench
-        # regression was exactly this double evaluation).
-        .localCheckpoint(eager=False)
+        # NO materialization here, deliberately (measured r5): the two
+        # self-join sides are IDENTICAL plans, so Spark reuses the
+        # distinct's shuffle exchange (ReusedExchange) — the expensive
+        # per-position md5 anchor scan runs ONCE already. A
+        # localCheckpoint would break that reuse and add a full
+        # materialization of the window strings: 1.04 s -> 2.74 s
+        # median at sf0.1 under the bench's write-forced protocol.
     )
     a, b = wins.alias("a"), wins.alias("b")
     return (
