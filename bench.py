@@ -104,6 +104,7 @@ HEADLINE = [
     "tpch_q17_small_qty",
     "stream_stream_join_replay",
     "bpe_token_count",
+    "state_time_travel",
 ]
 
 

@@ -144,13 +144,46 @@ def test_compact_state_preserves_corpus_and_survives_restart(spark, tmp_path):
         spark.createDataFrame([(7, "four"), (8, "five")], "doc_id long, text string")
     )
     assert {r.doc_id for r in out.collect()} == {8}
-    # one directory per state table after compaction + the new append
+    # compaction no longer deletes (older epochs still reference the
+    # folded dirs — time travel); vacuum is the retention GC: after it,
+    # one compacted dir + the new append remain per state table
     import os
 
+    assert loop2.vacuum(retain_epochs=1) > 0
     assert len(os.listdir(os.path.join(state, "corpus"))) == 2
     # compacting a single-batch state is a no-op
     assert loop2.compact_state() == 2  # folds (compacted dir, new append) -> 1
     assert loop2.compact_state() == 0
+
+
+def test_time_travel_reads_every_epoch_and_vacuum_fences(spark, tmp_path):
+    """corpus_at_epoch(E) returns the corpus EXACTLY as of manifest
+    epoch E — across appends AND compaction (which must not destroy
+    older epochs' readability until vacuum reclaims them); after
+    vacuum, pruned epochs fail loudly instead of returning garbage."""
+    import pytest
+
+    state = str(tmp_path / "state")
+    loop = DedupIngestLoop(spark, lsh=False, state_dir=state)
+    loop.process_batch(_docs(spark, [(1, "one"), (2, "two")]))      # epoch 1
+    loop.process_batch(_docs(spark, [(3, "one"), (4, "three")]))    # epoch 2
+    loop.compact_state()                                            # epoch 3
+    loop.process_batch(_docs(spark, [(5, "three"), (6, "four")]))   # epoch 4
+    assert loop.epochs() == [1, 2, 3, 4]
+    at = lambda e: {r.doc_id for r in loop.corpus_at_epoch(e).collect()}
+    assert at(1) == {1, 2}
+    assert at(2) == {1, 2, 4}  # 3 was a cross-batch dup of 1
+    assert at(3) == {1, 2, 4}  # compaction preserves content
+    assert at(4) == {1, 2, 4, 6}
+    # retention: keep the last 2 epochs, reclaim the rest
+    assert loop.vacuum(retain_epochs=2) > 0
+    assert at(4) == {1, 2, 4, 6}
+    assert at(3) == {1, 2, 4}  # retained
+    with pytest.raises(ValueError):
+        loop.corpus_at_epoch(1)  # pruned epoch fails loudly
+    # a fresh loop restores the live state unaffected
+    loop2 = DedupIngestLoop(spark, lsh=False, state_dir=state)
+    assert {r.doc_id for r in loop2.corpus.collect()} == {1, 2, 4, 6}
 
 
 def test_compact_under_steady_cadence_never_destroys_state(spark, tmp_path):

@@ -184,9 +184,19 @@ class DedupIngestLoop:
                     f"live manifest is at epoch {live_epoch}"
                 )
             new_epoch = self._epoch + 1
+            content = "\n".join([f"#epoch={new_epoch}", *batches])
+            # history copy FIRST (time travel): a crash after it but
+            # before the COMMITTED swap leaves an orphan history file
+            # that the epoch's real commit simply overwrites later
+            hist_dir = f"{self.state_dir}/manifests"
+            os.makedirs(hist_dir, exist_ok=True)
+            htmp = f"{hist_dir}/.m{new_epoch}.tmp"
+            with open(htmp, "w") as f:
+                f.write(content)
+            os.replace(htmp, f"{hist_dir}/m{new_epoch}")
             tmp = f"{self.state_dir}/.COMMITTED.tmp"
             with open(tmp, "w") as f:
-                f.write("\n".join([f"#epoch={new_epoch}", *batches]))
+                f.write(content)
             os.replace(tmp, f"{self.state_dir}/COMMITTED")  # commit point
             self._epoch = new_epoch
         finally:
@@ -375,14 +385,106 @@ class DedupIngestLoop:
         self.sig.write.mode("overwrite").parquet(f"{self.state_dir}/sig/{b}")
         self._commit_manifest([b])
         self._restore_state()
-        for old in batches:
-            for kind in ("corpus", "sig"):
-                path = f"{self.state_dir}/{kind}/{old}"
-                if os.path.isdir(path):
-                    import shutil
-
-                    shutil.rmtree(path, ignore_errors=True)
+        # the folded directories are NOT deleted here: older manifest
+        # epochs still reference them (time travel); ``vacuum`` is the
+        # retention GC that reclaims directories no retained epoch
+        # references — the Delta OPTIMIZE/VACUUM split
         return len(batches)
+
+    # ----- time travel + retention ------------------------------------------
+
+    def epochs(self) -> list[int]:
+        """Committed manifest epochs available for time travel."""
+        import os
+        import re
+
+        d = f"{self.state_dir}/manifests"
+        if not self.state_dir or not os.path.isdir(d):
+            return []
+        return sorted(
+            int(m.group(1))
+            for name in os.listdir(d)
+            if (m := re.match(r"^m(\d+)$", name))
+        )
+
+    def _epoch_batches(self, epoch: int) -> list[str]:
+        path = f"{self.state_dir}/manifests/m{epoch}"
+        import os
+
+        if not os.path.exists(path):
+            raise ValueError(
+                f"epoch {epoch} has no manifest (never committed, or its "
+                f"history was pruned by vacuum)"
+            )
+        with open(path) as f:
+            return [t for t in f.read().split() if t and not t.startswith("#")]
+
+    def corpus_at_epoch(self, epoch: int) -> DataFrame:
+        """The accepted corpus EXACTLY as of manifest epoch ``epoch`` —
+        Delta-style time travel over the manifest history. Reads only
+        the batch directories that epoch's manifest references; raises
+        if ``vacuum`` already reclaimed them."""
+        import os
+
+        batches = self._epoch_batches(epoch)
+        paths = [f"{self.state_dir}/corpus/{b}" for b in batches]
+        missing = [p for p in paths if not os.path.isdir(p)]
+        if missing:
+            raise ValueError(
+                f"epoch {epoch} is no longer readable: vacuum reclaimed "
+                f"{missing[:2]}..."
+            )
+        return self.spark.read.parquet(*paths)
+
+    def vacuum(self, retain_epochs: int = 1) -> int:
+        """Retention GC: delete every batch directory not referenced by
+        the last ``retain_epochs`` manifests (the live COMMITTED is
+        always retained), then prune the unretained manifest history.
+        Returns the number of directories deleted.
+
+        Safe against in-flight writers: only directories whose
+        generation is <= the max generation referenced by RETAINED
+        manifests are candidates — a concurrent append's directories
+        always carry a strictly higher generation, so they can never
+        be mistaken for garbage."""
+        if not self.state_dir:
+            return 0
+        import os
+        import re
+        import shutil
+
+        eps = self.epochs()
+        retained = set(eps[-max(1, retain_epochs):])
+        live_epoch, live_batches = self._read_manifest()
+        referenced = set(live_batches)
+        for e in retained:
+            referenced.update(self._epoch_batches(e))
+        max_gen = 0
+        for b in referenced:
+            m = re.match(r"^[bc](\d+)", b)
+            if m:
+                max_gen = max(max_gen, int(m.group(1)))
+        deleted = 0
+        for kind in ("corpus", "sig"):
+            d = f"{self.state_dir}/{kind}"
+            if not os.path.isdir(d):
+                continue
+            for name in os.listdir(d):
+                m = re.match(r"^[bc](\d+)", name)
+                if (
+                    m
+                    and name not in referenced
+                    and int(m.group(1)) <= max_gen
+                ):
+                    shutil.rmtree(os.path.join(d, name), ignore_errors=True)
+                    deleted += 1
+        for e in eps:
+            if e not in retained and e != live_epoch:
+                try:
+                    os.unlink(f"{self.state_dir}/manifests/m{e}")
+                except FileNotFoundError:
+                    pass
+        return deleted
 
     def metrics_df(self) -> DataFrame:
         """Per-batch ingest metrics as a DataFrame (the corpus-growth
