@@ -1794,6 +1794,98 @@ def q_state_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(result, "epoch int, doc_id long")
 
 
+def q_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE streaming dedup (dropDuplicatesWithinWatermark)
+    under deterministic two-batch replay: events keyed down to
+    dup_key = event_id % 3000 (so ~70% of rows are duplicates, many
+    across the batch boundary), payload derived FROM the key so the
+    kept row is deterministic whichever arrival wins. State is bounded
+    by the 1-day watermark — the engine-provided counterpart of the
+    digest-state dedup the ingest loop implements, registered so both
+    shapes are oracle-gated."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    rows = ev.select("ts", (F.col("event_id") % 3000).alias("dup_key")).collect()
+    import datetime as dtm
+
+    cut = dtm.datetime(2024, 1, 15)
+    halves: list[list[tuple]] = [[], []]
+    for r in rows:
+        halves[0 if r.ts < cut else 1].append((r.ts, r.dup_key))
+    work = tempfile.mkdtemp(prefix="vs_sdedup_replay_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    _write_replay_batches(src, halves, [("ts", "ts"), ("dup_key", "long")])
+    stream = (
+        spark.readStream.schema("ts timestamp, dup_key long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "1 day")
+        .withColumn("payload", F.md5(F.col("dup_key").cast("string")))
+        .dropDuplicatesWithinWatermark(["dup_key"])
+        .select("dup_key", "payload")
+    )
+    name = "sdedup_replay_sink"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    out = spark.table(name).collect()
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(out, "dup_key long, payload string")
+
+
+def q_link_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the synthetic crawl graph (out-degree 2
+    per doc): canonicalize to undirected distinct edges, then the
+    standard three-way self-join a<b<c — each triangle counted once.
+    At scale the joins shuffle on the shared vertex and AQE's skew
+    split covers hub vertices; the a<b<c ordering keeps the join
+    frontier a strict fraction of the full edge set. Returns the
+    count plus a degree checksum so the canonicalization itself is
+    hash-checked, not just the final scalar."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    e = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % n).alias("dst"),
+    ).unionByName(
+        docs.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 13 + 5) % n).alias("dst"),
+        )
+    )
+    und = (
+        e.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    return tri.agg(
+        F.count("*").alias("n_triangles"),
+        F.sum(F.col("x") + F.col("y") + F.col("z")).alias("vertex_checksum"),
+    )
+
+
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization over deterministic messy URLs (mixed-case
     scheme/host, www, default ports, tracking params, unordered query,
@@ -2723,14 +2815,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17_small_qty": q_tpch_q17_small_qty,
         "stream_stream_join_replay": q_stream_stream_join_replay,
         "state_time_travel": q_state_time_travel,
+        "stream_dedup_replay": q_stream_dedup_replay,
+        "link_triangles": q_link_triangles,
         "zorder_layout": q_zorder_layout,
         "dedup_best_rep": q_dedup_best_rep,
         "link_pagerank": q_link_pagerank,
-        "vsctl_get": q_vsctl_get,
         "hash_split": q_hash_split,
         "intra_doc_dedup": q_intra_doc_dedup,
         "url_domain_filter": q_url_domain_filter,
-        "corpus_diff": q_corpus_diff,
         "corpus_shuffle": q_corpus_shuffle,
         "quality_classifier": q_quality_classifier,
         "ingest_metrics_windowed": q_ingest_metrics_windowed,
@@ -2799,6 +2891,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # golden; the TRAINING side stays gated by bpe_merges above ---
         "bpe_token_count": q_bpe_token_count,
         # ==================== end of the 50-entry window ====================
+        "vsctl_get": q_vsctl_get,
+        "corpus_diff": q_corpus_diff,
         "sink_payload_roundtrip": q_sink_payload_roundtrip,
         "table_stats": q_table_stats,
         "export_manifest": q_export_manifest,
@@ -4222,6 +4316,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, neg_label,
                    round(cosine, 6) AS cosine, rank
             FROM ranked WHERE rank <= 5
+        """,
+        # streaming dedup: one row per key, payload a pure function of
+        # the key (so the arbitrary-arrival winner is deterministic)
+        "stream_dedup_replay": """
+            SELECT DISTINCT event_id % 3000 AS dup_key,
+                   md5((event_id % 3000)::VARCHAR) AS payload
+            FROM events WHERE ts IS NOT NULL
+        """,
+        # triangles: same canonical undirected three-way join, stated
+        # over the generating edge formulas
+        "link_triangles": """
+            WITH n AS (SELECT count(*) AS n FROM documents),
+            e AS (
+              SELECT doc_id AS src, (doc_id * 7 + 3) % n.n AS dst
+              FROM documents, n
+              UNION ALL
+              SELECT doc_id, (doc_id * 13 + 5) % n.n FROM documents, n
+            ), und AS (
+              SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM e WHERE src != dst
+            )
+            SELECT count(*) AS n_triangles,
+                   sum(e1.a + e1.b + e2.b)::BIGINT AS vertex_checksum
+            FROM und e1
+            JOIN und e2 ON e2.a = e1.b
+            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
         """,
         # time travel: each epoch's corpus re-derived independently —
         # cumulative exact dedup == lowest doc_id per normalized text

@@ -105,6 +105,8 @@ HEADLINE = [
     "stream_stream_join_replay",
     "bpe_token_count",
     "state_time_travel",
+    "stream_dedup_replay",
+    "link_triangles",
 ]
 
 
