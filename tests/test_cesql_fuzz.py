@@ -138,9 +138,19 @@ def gen_bool(rng, depth):  # -> boolean-rooted node
             node = ("fn", which, [s1, ("int", rng.choice([0, 1, 2, 5]))])
         return ("cmp", rng.choice(["=", "!="]), node, gen_string(rng))
     op = rng.choice(["and", "or", "xor", "not"])
+
+    def operand():
+        # sometimes a RAW attr/str atom as the boolean operand — the
+        # coercion-to-bool path (r5 regression: parse_or discarded the
+        # right operand's tag, so a non-boolean attr ABORTED the job
+        # via ANSI's implicit cast instead of failing the filter)
+        if rng.random() < 0.15:
+            return gen_string(rng)
+        return gen_bool(rng, depth - 1)
+
     if op == "not":
-        return ("not", gen_bool(rng, depth - 1))
-    return (op, gen_bool(rng, depth - 1), gen_bool(rng, depth - 1))
+        return ("not", operand())
+    return (op, operand(), operand())
 
 
 # ---------------------------------------------------------------------------

@@ -379,3 +379,51 @@ def test_exact_prefix_consolidate_under_inferred_schema(spark):
         i for i in range(60) if i % 2 == 0 and i % 5 == 2 and i % 3 != 0 and i % 7 == 4
     }
     assert got == expected and got
+
+
+def test_cel_ternary_operator(spark):
+    """CEL ?: compiles to a NULL-propagating CASE: right-associative
+    chains, ?/: inside string literals, nesting under comparisons, and
+    — critically — a failed extraction in the CONDITION fails the
+    whole filter instead of silently taking the else branch."""
+    df = spark.createDataFrame(
+        [(1, '{"a": 5, "s": "x"}'), (2, '{"a": -1, "s": "y"}'), (3, '{"s": "x"}')],
+        "id long, data string",
+    )
+    cases = [
+        ('($a.(int64) > 0 ? "hi" : "lo") == "hi"', {1}),
+        # right-assoc chain; doc 3 (no "a") must FAIL, not fall to "neg"
+        ('($a.(int64) > 3 ? "big" : $a.(int64) > 0 ? "mid" : "neg") == "neg"', {2}),
+        ('($s.(string) == "x" ? "q?:mark" : "none") == "q?:mark"', {1, 3}),
+        ('(($a.(int64) > 0 ? $s.(string) : "z") == "x") && $a.(int64) != 0', {1}),
+    ]
+    for expr, want in cases:
+        got = {r.id for r in df.where(compile_filter({"cel": expr})).collect()}
+        assert got == want, expr
+
+
+def test_cesql_nonboolean_logical_operand_fails_filter_not_job(spark):
+    """Regression (r5): an attr as a bare OR/XOR operand went through
+    an ANSI implicit string->boolean cast, ABORTING the job on the
+    first malformed value; it must instead null out (filter fails)."""
+    from vanus_spark.cesql import cesql_to_column
+
+    df = spark.createDataFrame(
+        [("true", "1"), ("false", "0"), ("purchase", "x")],
+        "type string, subject string",
+    ).withColumn("attributes", F.create_map().cast("map<string,string>"))
+    expect = {
+        "TRUE OR type": [True, True, True],
+        "FALSE OR type": [True, False, False],
+        "type OR subject": [True, False, False],
+        "type XOR subject": [False, False, False],
+        "type AND TRUE": [True, False, False],
+    }
+    for expr, want in expect.items():
+        got = [
+            r.r
+            for r in df.select(
+                F.coalesce(cesql_to_column(expr), F.lit(False)).alias("r")
+            ).collect()
+        ]
+        assert got == want, expr

@@ -124,6 +124,98 @@ def _schema_for_paths(paths: list[str]) -> str:
     return render(tree)
 
 
+def _skip_sql_string(s: str, i: int) -> int:
+    """index just past the SQL string literal opening at s[i] == "'"
+    ('' is the escape)."""
+    i += 1
+    while i < len(s):
+        if s[i] == "'":
+            if i + 1 < len(s) and s[i + 1] == "'":
+                i += 2
+                continue
+            return i + 1
+        i += 1
+    return i
+
+
+def _rewrite_ternary(s: str) -> str:
+    """CEL ``cond ? a : b`` -> Spark SQL ``if(cond, a, b)``.
+
+    Right-associative like CEL: the FIRST top-level '?' splits the
+    condition, its matching ':' (skipping nested ternaries) splits
+    then/else, and the else-branch recursion handles chains. Runs
+    after the operator-spelling rewrite, so strings are SQL-quoted
+    ('' escapes) and are skipped; parenthesized groups are recursed
+    into so ``(c ? a : b) == 'hi'`` rewrites too."""
+    depth, i = 0, 0
+    while i < len(s):
+        c = s[i]
+        if c == "'":
+            i = _skip_sql_string(s, i)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "?" and depth == 0:
+            cond = s[:i]
+            j, d2, nest = i + 1, 0, 0
+            while j < len(s):
+                cj = s[j]
+                if cj == "'":
+                    j = _skip_sql_string(s, j)
+                    continue
+                if cj == "(":
+                    d2 += 1
+                elif cj == ")":
+                    d2 -= 1
+                elif cj == "?" and d2 == 0:
+                    nest += 1
+                elif cj == ":" and d2 == 0:
+                    if nest == 0:
+                        break
+                    nest -= 1
+                j += 1
+            if j >= len(s):
+                raise ValueError("cel: '?' without matching ':'")
+            # CASE with an explicit NOT-branch, not if(): a NULL
+            # condition (failed extraction) must yield NULL so the
+            # filter FAILS (reference: eval error fails the filter);
+            # if() would silently take the else branch instead
+            c = _rewrite_ternary(cond)
+            return (
+                f"(CASE WHEN ({c}) THEN {_rewrite_ternary(s[i + 1 : j])} "
+                f"WHEN NOT ({c}) THEN {_rewrite_ternary(s[j + 1 :])} END)"
+            )
+        i += 1
+    # no top-level ternary: rewrite inside parenthesized groups
+    out, i = [], 0
+    while i < len(s):
+        c = s[i]
+        if c == "'":
+            nxt = _skip_sql_string(s, i)
+            out.append(s[i:nxt])
+            i = nxt
+            continue
+        if c == "(":
+            d, j = 1, i + 1
+            while j < len(s) and d:
+                if s[j] == "'":
+                    j = _skip_sql_string(s, j)
+                    continue
+                if s[j] == "(":
+                    d += 1
+                elif s[j] == ")":
+                    d -= 1
+                j += 1
+            out.append("(" + _rewrite_ternary(s[i + 1 : j - 1]) + ")")
+            i = j
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def _bind_inferred_schema(
     inlined: str,
     variables: dict[str, tuple[str, str]],
@@ -188,7 +280,7 @@ def cel_to_column(
     exactly (a double 12.5 under an int64 declaration stays NULL,
     never truncates). Unresolvable variables keep per-path parsing."""
     rewritten, variables = extract_variables(expression)
-    inlined = _cel_syntax_to_sql(rewritten)
+    inlined = _rewrite_ternary(_cel_syntax_to_sql(rewritten))
     if not variables:
         return F.expr(inlined)
     if data_schema is not None and len(variables) >= 2:

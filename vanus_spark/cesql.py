@@ -107,8 +107,13 @@ class _Parser:
         left, lt = self.parse_and()
         while (t := self.peek()) and t.kind == "KEYWORD" and t.text in ("OR", "XOR"):
             op = self.next().text
-            right, _ = self.parse_and()
-            lb, rb = _as_bool(left, lt), _as_bool(right, "bool")
+            # the right operand's REAL tag must drive the coercion: a
+            # non-boolean attr here needs the try_cast route (NULL =>
+            # filter fails); claiming it bool let the raw string reach
+            # the OR, where ANSI's implicit cast ABORTED the whole job
+            # on the first malformed value (found by the r5 fuzz probe)
+            right, rt = self.parse_and()
+            lb, rb = _as_bool(left, lt), _as_bool(right, rt)
             left = (lb | rb) if op == "OR" else (lb != rb)
             lt = "bool"
         return left, lt
