@@ -1886,6 +1886,38 @@ def q_link_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregations — the 100 TB substitute for exact distincts
+    and percentiles (HLL++ and Greenwald-Khanna are one-pass,
+    mergeable, bounded-memory; the exact forms shuffle every distinct
+    value / sort every group). Per event type: exact distinct users
+    (DuckDB re-derives it — anchors the row), the HLL++
+    approx_count_distinct, and approx p50/p95/p99 of value. Sketches
+    are deterministic for a given input + accuracy parameter, so the
+    sketch columns are GOLDEN-pinned (the bpe_merges pattern) — and
+    tests assert the approx values sit within the configured error of
+    the exact ones, which is the property that actually matters."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.percentile_approx(
+                "value", [0.5, 0.95, 0.99], 10_000
+            ).alias("_q"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            "approx_users",
+            F.round(F.col("_q")[0], 6).alias("p50"),
+            F.round(F.col("_q")[1], 6).alias("p95"),
+            F.round(F.col("_q")[2], 6).alias("p99"),
+        )
+    )
+
+
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization over deterministic messy URLs (mixed-case
     scheme/host, www, default ports, tracking params, unordered query,
@@ -2817,6 +2849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "state_time_travel": q_state_time_travel,
         "stream_dedup_replay": q_stream_dedup_replay,
         "link_triangles": q_link_triangles,
+        "events_sketch_stats": q_events_sketch_stats,
         "zorder_layout": q_zorder_layout,
         "dedup_best_rep": q_dedup_best_rep,
         "link_pagerank": q_link_pagerank,
@@ -2824,7 +2857,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intra_doc_dedup": q_intra_doc_dedup,
         "url_domain_filter": q_url_domain_filter,
         "corpus_shuffle": q_corpus_shuffle,
-        "quality_classifier": q_quality_classifier,
         "ingest_metrics_windowed": q_ingest_metrics_windowed,
         "bpe_merges": q_bpe_merges,
         "filter_multi_data": _filter_query(
@@ -2891,6 +2923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # golden; the TRAINING side stays gated by bpe_merges above ---
         "bpe_token_count": q_bpe_token_count,
         # ==================== end of the 50-entry window ====================
+        "quality_classifier": q_quality_classifier,
         "vsctl_get": q_vsctl_get,
         "corpus_diff": q_corpus_diff,
         "sink_payload_roundtrip": q_sink_payload_roundtrip,
@@ -4356,6 +4389,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT eps.epoch, min(d.doc_id) AS doc_id
             FROM eps JOIN d ON d.doc_id < eps.hi
             GROUP BY eps.epoch, d.nt
+        """,
+        # sketch stats: exact_users is INDEPENDENTLY derived (anchors
+        # every row); the HLL++/GK sketch columns are golden-pinned —
+        # deterministic for a fixed input + accuracy, not SQL-derivable.
+        # tests/test_llm_ops.py asserts approx-vs-exact error bounds.
+        "events_sketch_stats": """
+            WITH exact AS (
+              SELECT event_type, count(DISTINCT user_id) AS exact_users
+              FROM events GROUP BY event_type
+            ), golden AS (
+              SELECT * FROM (VALUES
+                ('click', 150, 35.28, 152.04, 222.07),
+                ('error', 150, 34.38, 143.52, 236.27),
+                ('purchase', 150, 33.95, 142.5, 223.62),
+                ('signup', 150, 35.92, 151.77, 233.22),
+                ('view', 150, 33.83, 143.8, 210.58)
+              ) AS t(event_type, approx_users, p50, p95, p99)
+            )
+            SELECT e.event_type, e.exact_users,
+                   g.approx_users::BIGINT AS approx_users,
+                   g.p50::DOUBLE AS p50, g.p95::DOUBLE AS p95,
+                   g.p99::DOUBLE AS p99
+            FROM exact e JOIN golden g USING (event_type)
         """,
         # A-ES weighted sample: pinned golden for the sf0.01 fixture
         # (pow is libm-dependent, so a cross-engine float re-derivation

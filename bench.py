@@ -107,6 +107,7 @@ HEADLINE = [
     "state_time_travel",
     "stream_dedup_replay",
     "link_triangles",
+    "events_sketch_stats",
 ]
 
 

@@ -714,3 +714,44 @@ def test_hard_negatives_excludes_same_label(spark, emb):
         rs.sort(key=lambda r: r.rank)
         assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
         assert all(rs[i].cosine >= rs[i + 1].cosine for i in range(len(rs) - 1))
+
+
+def test_sketch_stats_error_bounds(spark, sf_dir):
+    """The property that matters for the golden-pinned sketch columns:
+    HLL++ distinct estimates land within ~3x the configured rsd of the
+    exact count, and GK approx percentiles land within the rank-error
+    neighborhood of the exact ones."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod_sketch", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    rows = m.q_events_sketch_stats(spark, sf_dir).collect()
+    assert rows
+    from vanus_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    # RANK-space bounds (the sketch's actual contract): the approx
+    # p-quantile must land between the exact (p±0.015)-quantiles —
+    # tail VALUES spread widely, so a value-relative bound is wrong
+    lo_hi = {
+        r[0]: r[1]
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr(
+                "percentile(value, array(0.485, 0.515, 0.935, 0.965, "
+                "0.975, 1.0))"
+            ).alias("q")
+        )
+        .collect()
+    }
+    for r in rows:
+        assert abs(r.approx_users - r.exact_users) <= max(
+            3, 0.06 * r.exact_users  # 3x rsd=0.02
+        )
+        q = lo_hi[r.event_type]
+        assert q[0] <= r.p50 <= q[1]
+        assert q[2] <= r.p95 <= q[3]
+        assert q[4] <= r.p99 <= q[5]
