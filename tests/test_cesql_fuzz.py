@@ -574,7 +574,7 @@ def _gen_cel(rng, depth=2):
             return (v != lit) if neg else (v == lit)
 
         return f'{var} {"!=" if neg else "=="} "{lit}"', ev
-    if r < 0.65:
+    if r < 0.6:
         frag, ev0 = _gen_cel(rng, depth - 1)
 
         def ev(p, ev0=ev0):
@@ -582,6 +582,19 @@ def _gen_cel(rng, depth=2):
             return None if v is None else not v
 
         return f"!({frag})", ev
+    if r < 0.7:
+        # ternary: a NULL condition (failed extraction) must fail the
+        # whole comparison, never fall through to the else branch
+        cf, ce = _gen_cel(rng, depth - 1)
+        pick = rng.choice(["A", "B"])
+
+        def ev(p, ce=ce, pick=pick):
+            c = ce(p)
+            if c is None:
+                return None
+            return ("A" if c else "B") == pick
+
+        return f'(({cf}) ? "A" : "B") == "{pick}"', ev
     op = rng.choice(["&&", "||"])
     lf, le = _gen_cel(rng, depth - 1)
     rf, re_ = _gen_cel(rng, depth - 1)
