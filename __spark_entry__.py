@@ -1860,15 +1860,17 @@ def q_link_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked, not just the final scalar."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     n = docs.count()
-    e = docs.select(
-        F.col("doc_id").alias("src"),
-        ((F.col("doc_id") * 7 + 3) % n).alias("dst"),
-    ).unionByName(
-        docs.select(
-            F.col("doc_id").alias("src"),
-            ((F.col("doc_id") * 13 + 5) % n).alias("dst"),
-        )
-    )
+    # ring + chord + hash edges: every i closes the (i, i+1, i+2)
+    # triangle, the hash edges add irregular extras — a graph with a
+    # KNOWN-nonzero triangle count (the pure hash graph had none)
+    e = None
+    for expr in (
+        (F.col("doc_id") + 1) % n,
+        (F.col("doc_id") + 2) % n,
+        (F.col("doc_id") * 7 + 3) % n,
+    ):
+        part = docs.select(F.col("doc_id").alias("src"), expr.alias("dst"))
+        e = part if e is None else e.unionByName(part)
     und = (
         e.where(F.col("src") != F.col("dst"))
         .select(
@@ -1876,13 +1878,23 @@ def q_link_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    # the three join sides reference und via .alias, NOT renamed
+    # projections: identical plans let Spark REUSE the distinct's
+    # shuffle exchange instead of recomputing the edge table 3x
+    tri = (
+        und.alias("e1")
+        .join(und.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .join(
+            und.alias("e3"),
+            (F.col("e1.a") == F.col("e3.a"))
+            & (F.col("e2.b") == F.col("e3.b")),
+        )
+    )
     return tri.agg(
         F.count("*").alias("n_triangles"),
-        F.sum(F.col("x") + F.col("y") + F.col("z")).alias("vertex_checksum"),
+        F.sum(
+            F.col("e1.a") + F.col("e1.b") + F.col("e2.b")
+        ).alias("vertex_checksum"),
     )
 
 
@@ -4362,10 +4374,12 @@ def oracle_sql() -> dict[str, str]:
         "link_triangles": """
             WITH n AS (SELECT count(*) AS n FROM documents),
             e AS (
-              SELECT doc_id AS src, (doc_id * 7 + 3) % n.n AS dst
+              SELECT doc_id AS src, (doc_id + 1) % n.n AS dst
               FROM documents, n
               UNION ALL
-              SELECT doc_id, (doc_id * 13 + 5) % n.n FROM documents, n
+              SELECT doc_id, (doc_id + 2) % n.n FROM documents, n
+              UNION ALL
+              SELECT doc_id, (doc_id * 7 + 3) % n.n FROM documents, n
             ), und AS (
               SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
               FROM e WHERE src != dst
