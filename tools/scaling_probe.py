@@ -192,7 +192,73 @@ def main() -> None:
             "pagerank3_skew": lambda: pagerank(skew_edges, iters=3).count(),
         }
 
-    op_set = corpus_ops if os.environ.get("PROBE_SET") == "corpus" else ops
+    def r5_ops(docs: DataFrame, n_docs: int) -> dict:
+        """Round-5 operators: EWMA (synthetic per-doc event values),
+        weighted sampling, hard negatives (fixed query count — cost
+        should track the corpus scan), triangles (ring+chord+hash
+        graph), sketch aggregations."""
+        from vanus_spark.llm.curation import weighted_sample
+        from vanus_spark.operators.timeseries import ewma
+
+        ts = F.timestamp_seconds(1_700_000_000 + (F.col("doc_id") % 86_400))
+        evs = docs.select(
+            "doc_id",
+            (F.col("doc_id") % 500).alias("key"),
+            ts.alias("ts"),
+            (F.col("doc_id") % 97).cast("double").alias("value"),
+        )
+
+        def triangles() -> int:
+            e = None
+            for expr in (
+                (F.col("doc_id") + 1) % n_docs,
+                (F.col("doc_id") + 2) % n_docs,
+                (F.col("doc_id") * 7 + 3) % n_docs,
+            ):
+                part = docs.select(
+                    F.col("doc_id").alias("src"), expr.alias("dst")
+                )
+                e = part if e is None else e.unionByName(part)
+            und = (
+                e.where(F.col("src") != F.col("dst"))
+                .select(
+                    F.least("src", "dst").alias("a"),
+                    F.greatest("src", "dst").alias("b"),
+                )
+                .distinct()
+            )
+            tri = (
+                und.alias("e1")
+                .join(und.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+                .join(
+                    und.alias("e3"),
+                    (F.col("e1.a") == F.col("e3.a"))
+                    & (F.col("e2.b") == F.col("e3.b")),
+                )
+            )
+            return tri.agg(F.count("*")).count()
+
+        return {
+            "ewma": lambda: ewma(
+                evs, "value", "ts", "key", "doc_id", k=32
+            ).agg(F.sum("ewma")).count(),
+            "weighted_sample": lambda: weighted_sample(
+                docs.withColumn("w", (F.col("doc_id") % 13 + 1).cast("double")),
+                "w",
+                k=100,
+            ).count(),
+            "triangles": triangles,
+            "sketch_stats": lambda: evs.groupBy("key")
+            .agg(
+                F.approx_count_distinct("doc_id", 0.02),
+                F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000),
+            )
+            .count(),
+        }
+
+    op_set = {"corpus": corpus_ops, "r5": r5_ops}.get(
+        os.environ.get("PROBE_SET", ""), ops
+    )
     results: dict[str, dict[int, float]] = {}
     for r in multiples:
         docs = replicate_docs(docs0, r).localCheckpoint(eager=True)
