@@ -2831,6 +2831,29 @@ def q_ingest_metrics_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_metrics(loop.metrics_df(), every=2)
 
 
+def q_text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 lexical retrieval (llm/search.py) — the
+    decontamination/eval-mining lookup primitive. Queries are the
+    first-4-token prefixes of four probe documents; index build is one
+    explode + partial aggregates (tf/dl/df), scoring is a broadcast
+    query join against term-partitioned postings + a (query, doc)
+    partial aggregate, top-k is a bounded per-query window. The oracle
+    re-derives the whole chain (tokenize -> tf/dl/df -> Lucene idf ->
+    BM25 -> rank) in independent SQL; ranking is deterministic via
+    (round(score, 9) DESC, doc_id)."""
+    from vanus_spark.llm.dedup import normalize_text
+    from vanus_spark.llm.search import bm25_search
+
+    docs = _t(spark, sf_dir, "documents")
+    qs = docs.where(F.col("doc_id").isin(3, 17, 31, 59)).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(F.split(normalize_text(F.col("text")), " "), 1, 4), " "
+        ).alias("query_text"),
+    )
+    return bm25_search(docs, qs, k=10)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2862,6 +2885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_replay": q_stream_dedup_replay,
         "link_triangles": q_link_triangles,
         "events_sketch_stats": q_events_sketch_stats,
+        "text_search_bm25": q_text_search_bm25,
         "zorder_layout": q_zorder_layout,
         "dedup_best_rep": q_dedup_best_rep,
         "link_pagerank": q_link_pagerank,
@@ -2927,7 +2951,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round (mixture, semantic dedup, funnel) ---
         "sample_mixture": q_sample_mixture,
         "semantic_dedup": q_semantic_dedup,
-        "events_funnel": q_events_funnel,
         "quality_bigram": q_quality_bigram,
         "quality_c4_lines": q_quality_c4_lines,
         # --- hash-gated this round (was the one rows-only entry):
@@ -2936,6 +2959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": q_bpe_token_count,
         # ==================== end of the 50-entry window ====================
         "quality_classifier": q_quality_classifier,
+        "events_funnel": q_events_funnel,
         "vsctl_get": q_vsctl_get,
         "corpus_diff": q_corpus_diff,
         "sink_payload_roundtrip": q_sink_payload_roundtrip,
@@ -3824,6 +3848,40 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(string_agg(CASE WHEN NOT boil THEN line END,
                                        chr(10) ORDER BY pos), '') AS clean_text
             FROM t GROUP BY doc_id
+        """,
+        "text_search_bm25": f"""
+            WITH tk AS (SELECT doc_id, unnest(str_split({norm_text}, ' ')) AS term
+                        FROM documents),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+                   FROM tk WHERE term <> '' GROUP BY 1, 2),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+            stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+            df AS (SELECT term, count(*)::DOUBLE AS dfreq FROM tf GROUP BY 1),
+            q AS (SELECT doc_id AS query_id,
+                         unnest(list_distinct(
+                           (str_split({norm_text}, ' '))[1:4])) AS term
+                  FROM documents WHERE doc_id IN (3, 17, 31, 59)),
+            cand AS (SELECT q.query_id, tf.doc_id,
+                            sum(ln(1.0::DOUBLE
+                                   + (stats.n_docs - df.dfreq + 0.5::DOUBLE)
+                                     / (df.dfreq + 0.5::DOUBLE))
+                                * tf.tf * (1.2::DOUBLE + 1.0::DOUBLE)
+                                / (tf.tf + 1.2::DOUBLE
+                                   * (1.0::DOUBLE - 0.75::DOUBLE
+                                      + 0.75::DOUBLE * dl.dl / stats.avgdl)))
+                              AS score
+                     FROM q JOIN tf USING (term)
+                            JOIN df USING (term)
+                            JOIN dl ON tf.doc_id = dl.doc_id
+                            CROSS JOIN stats
+                     GROUP BY 1, 2),
+            r AS (SELECT query_id, doc_id, score,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY round(score, 9) DESC,
+                                                     doc_id) AS rank
+                  FROM cand)
+            SELECT query_id, doc_id, rank::INT AS rank, round(score, 6) AS score
+            FROM r WHERE rank <= 10
         """,
         "text_langid": _langid_oracle(),
         "similarity_topk": """

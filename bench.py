@@ -108,6 +108,7 @@ HEADLINE = [
     "stream_dedup_replay",
     "link_triangles",
     "events_sketch_stats",
+    "text_search_bm25",
 ]
 
 

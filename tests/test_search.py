@@ -1,0 +1,78 @@
+"""BM25 lexical retrieval (vanus_spark/llm/search.py)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_exact_small_corpus(spark):
+    """Hand-computed BM25 on a 3-doc corpus matches to 1e-9."""
+    from vanus_spark.llm.search import bm25_search
+
+    docs = _docs(
+        spark,
+        [
+            (1, "cat sat on the mat"),
+            (2, "dog sat on the log"),
+            (3, "cat cat cat everywhere"),
+        ],
+    )
+    qs = spark.createDataFrame([(100, "cat sat")], "query_id long, query_text string")
+    out = {
+        (r.doc_id): (r.rank, r.score)
+        for r in bm25_search(docs, qs, k=10).collect()
+    }
+
+    # hand derivation: N=3, dl = [5,5,4], avgdl = 14/3
+    def idf(df):
+        return math.log(1 + (3 - df + 0.5) / (df + 0.5))
+
+    def tfn(tf, dl):
+        return tf * (1.2 + 1.0) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (14 / 3)))
+
+    exp1 = idf(2) * tfn(1, 5) + idf(2) * tfn(1, 5)  # doc1: cat + sat
+    exp2 = idf(2) * tfn(1, 5)  # doc2: sat only
+    exp3 = idf(2) * tfn(3, 4)  # doc3: cat x3
+    for did, exp in [(1, exp1), (2, exp2), (3, exp3)]:
+        assert abs(out[did][1] - round(exp, 6)) < 1e-9, (did, out[did], exp)
+    # doc1 matches both terms -> rank 1
+    assert out[1][0] == 1
+
+
+def test_bm25_rank_contract(spark, sf_dir):
+    """Ranks are 1..n contiguous per query, scores non-increasing and
+    positive, and top-k is respected."""
+    from vanus_spark.llm.dedup import normalize_text
+    from vanus_spark.llm.search import bm25_search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qs = docs.where(F.col("doc_id").isin(3, 17)).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(F.split(normalize_text(F.col("text")), " "), 1, 4), " "
+        ).alias("query_text"),
+    )
+    rows = bm25_search(docs, qs, k=10).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r.score for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert len(rs) <= 10 and all(s > 0 for s in scores), qid
+
+
+def test_bm25_empty_query_yields_no_rows(spark):
+    from vanus_spark.llm.search import bm25_search
+
+    docs = _docs(spark, [(1, "a b c")])
+    qs = spark.createDataFrame([(9, "   ")], "query_id long, query_text string")
+    assert bm25_search(docs, qs).count() == 0

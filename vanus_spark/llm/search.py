@@ -1,0 +1,133 @@
+"""Lexical retrieval: BM25 full-text search over a document corpus.
+
+The reference has no search engine; this belongs to the LLM-data-
+pipeline layer (SURVEY north star): lexical top-k retrieval is the
+workhorse for decontamination lookups ("is this eval question in the
+corpus?"), dedup triage, and eval-set mining at corpus scale.
+
+Scale design (100 TB):
+- the inverted index is ONE ``explode`` + ONE ``groupBy(doc, term)``
+  shuffle over the corpus; document length and per-term document
+  frequency are partial aggregates over the same exploded frame
+  (map-side combine does most of the work);
+- corpus stats (N, avgdl) are a one-row aggregate, joined back as a
+  broadcast — never a driver-side collect in the plan;
+- the query side is tiny by construction and broadcast to the postings
+  (partitioned by term), so candidate generation is a broadcast hash
+  join + a (query, doc) partial aggregate. No cross join anywhere;
+  top-k per query is a bounded per-query window over the candidate
+  rows, not a global sort.
+
+Scoring is Lucene-flavoured BM25:
+    idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+    tfn(t, d)   = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    score(q, d) = sum over DISTINCT query terms of idf * tfn
+(query-side term frequency is deliberately not weighted; queries are
+short probes here and the oracle mirrors the same convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from vanus_spark.llm.dedup import normalize_text
+
+
+def tokens_df(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per (doc, token occurrence), whitespace tokens of the
+    normalized (lowercase, collapsed-whitespace) text."""
+    return (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+
+
+def bm25_index(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the inverted index. Returns ``(postings, term_df, stats)``:
+
+    - postings: (id_col, term, tf, dl) — term frequency + doc length
+    - term_df:  (term, dfreq) — document frequency per term
+    - stats:    one row (n_docs, avgdl)
+
+    The postings/doclen/df trio shares one tokenized frame; Catalyst
+    reuses the scan, and each aggregate is a partial (map-side) combine
+    before its single shuffle.
+    """
+    tk = tokens_df(docs, text_col, id_col)
+    tf = tk.groupBy(id_col, "term").agg(F.count("*").cast("double").alias("tf"))
+    # dl and term_df both derive from the tf AGGREGATE (not from tk):
+    # all three consumers then share one tokenize+partial-aggregate
+    # chain via ReusedExchange instead of re-tokenizing the corpus.
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    postings = tf.join(dl, id_col)
+    term_df = tf.groupBy("term").agg(F.count("*").cast("double").alias("dfreq"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    return postings, term_df, stats
+
+
+def bm25_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """Top-k BM25 hits per query: (query_id, doc_id, rank, score).
+
+    Ranking is deterministic: order by round(score, 9) DESC then doc id
+    (ulp-level float divergence across engines cannot reorder, and
+    exact-duplicate documents tie-break stably).
+    """
+    postings, term_df, stats = bm25_index(docs, text_col, id_col)
+    q_terms = queries.select(
+        F.col(query_id_col),
+        F.explode(
+            F.array_distinct(F.split(normalize_text(F.col(query_text_col)), " "))
+        ).alias("term"),
+    ).where(F.col("term") != "")
+
+    from pyspark.sql.window import Window
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("dfreq") + F.lit(0.5)) / (F.col("dfreq") + F.lit(0.5))
+    )
+    tfn = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    # restrict the vocab-sized term_df to the query vocabulary BEFORE
+    # broadcasting — the full term_df is corpus-vocabulary-sized and must
+    # never ship to every executor; filtered, it is bounded by the number
+    # of distinct query terms.
+    q_term_df = term_df.join(
+        F.broadcast(q_terms.select("term").distinct()), "term"
+    )
+    cand = (
+        postings.join(F.broadcast(q_terms), "term")
+        .join(F.broadcast(q_term_df), "term")
+        .join(F.broadcast(stats))
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum(idf * tfn).alias("score"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.round("score", 9).desc(), F.col(id_col)
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", F.round("score", 6).alias("score"))
+    )
