@@ -2831,6 +2831,19 @@ def q_ingest_metrics_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_metrics(loop.metrics_df(), every=2)
 
 
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join (operators/fuzzy.py): all supplier-name
+    pairs within edit distance 1 via FastSS deletion-neighborhood
+    blocking + exact levenshtein verify. The oracle is the BRUTE-FORCE
+    O(n^2) cross join — genuinely independent of the blocking scheme,
+    so a missed candidate (incomplete neighborhood) or a phantom pair
+    would hash-mismatch."""
+    from vanus_spark.operators.fuzzy import fuzzy_self_pairs
+
+    sup = _t(spark, sf_dir, "supplier")
+    return fuzzy_self_pairs(sup, "s_name", "s_suppkey", max_dist=1)
+
+
 def q_text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 lexical retrieval (llm/search.py) — the
     decontamination/eval-mining lookup primitive. Queries are the
@@ -2886,6 +2899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_triangles": q_link_triangles,
         "events_sketch_stats": q_events_sketch_stats,
         "text_search_bm25": q_text_search_bm25,
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "zorder_layout": q_zorder_layout,
         "dedup_best_rep": q_dedup_best_rep,
         "link_pagerank": q_link_pagerank,
@@ -2951,7 +2965,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round (mixture, semantic dedup, funnel) ---
         "sample_mixture": q_sample_mixture,
         "semantic_dedup": q_semantic_dedup,
-        "quality_bigram": q_quality_bigram,
         "quality_c4_lines": q_quality_c4_lines,
         # --- hash-gated this round (was the one rows-only entry):
         # per-language rollup + full-token-array checksum vs a pinned
@@ -2960,6 +2973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==================== end of the 50-entry window ====================
         "quality_classifier": q_quality_classifier,
         "events_funnel": q_events_funnel,
+        "quality_bigram": q_quality_bigram,
         "vsctl_get": q_vsctl_get,
         "corpus_diff": q_corpus_diff,
         "sink_payload_roundtrip": q_sink_payload_roundtrip,
@@ -3848,6 +3862,12 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(string_agg(CASE WHEN NOT boil THEN line END,
                                        chr(10) ORDER BY pos), '') AS clean_text
             FROM t GROUP BY doc_id
+        """,
+        "fuzzy_name_pairs": """
+            SELECT a.s_suppkey AS id_l, b.s_suppkey AS id_r,
+                   levenshtein(a.s_name, b.s_name)::INT AS dist
+            FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+            WHERE levenshtein(a.s_name, b.s_name) <= 1
         """,
         "text_search_bm25": f"""
             WITH tk AS (SELECT doc_id, unnest(str_split({norm_text}, ' ')) AS term

@@ -109,6 +109,7 @@ HEADLINE = [
     "link_triangles",
     "events_sketch_stats",
     "text_search_bm25",
+    "fuzzy_name_pairs",
 ]
 
 
