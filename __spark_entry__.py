@@ -2831,6 +2831,100 @@ def q_ingest_metrics_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_metrics(loop.metrics_df(), every=2)
 
 
+def q_tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): orders in a 6-month
+    window having at least one late-shipping lineitem (l_shipdate >
+    o_orderdate), counted per priority. The EXISTS subquery becomes a
+    LEFT SEMI join on the order key with the cross-table predicate in
+    the join condition — one key-join shuffle + a tiny aggregate; no
+    decorrelation fallback to an inner join + distinct."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    sel = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return sel.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+def q_tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    the fixture's columns: for finished ('F') orders, a supplier is
+    'blamed' when its lineitem shipped late (> o_orderdate + 60 days),
+    the order involved at least one OTHER supplier (EXISTS -> left-semi
+    self-join on the order key), and NO other supplier in that order
+    shipped late too (NOT EXISTS -> left-anti self-join). Both
+    correlated subqueries become key-join shuffles against the same
+    lineitem scan; supplier names resolve via a broadcast."""
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    base = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    late = base.where(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).select("l_orderkey", "l_suppkey")
+    other = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    )
+    multi = late.join(
+        other,
+        (late.l_orderkey == other.o2_orderkey)
+        & (late.l_suppkey != other.o2_suppkey),
+        "left_semi",
+    )
+    late2 = late.select(
+        F.col("l_orderkey").alias("b_orderkey"),
+        F.col("l_suppkey").alias("b_suppkey"),
+    )
+    only_late = multi.join(
+        late2,
+        (multi.l_orderkey == late2.b_orderkey)
+        & (multi.l_suppkey != late2.b_suppkey),
+        "left_anti",
+    )
+    return (
+        only_late.join(F.broadcast(s), only_late.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+def q_tpch_q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity), adapted: LAPSED
+    customers — balance above the positive-balance average and no
+    order since 2000-09-01 — rolled up per nation. The scalar AVG
+    subquery is a one-row aggregate joined back as a broadcast (never
+    a driver collect); NOT EXISTS is a LEFT ANTI join against the
+    date-filtered orders key (filter pushed to the scan)."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= "2000-09-01")
+        .select("o_custkey")
+    )
+    thr = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    rich = c.join(F.broadcast(thr)).where(F.col("c_acctbal") > F.col("_avg_bal"))
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_custs"),
+        F.round(F.sum("c_acctbal"), 4).alias("total_acctbal"),
+    )
+
+
 def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy self-join (operators/fuzzy.py): all supplier-name
     pairs within edit distance 1 via FastSS deletion-neighborhood
@@ -2900,6 +2994,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sketch_stats": q_events_sketch_stats,
         "text_search_bm25": q_text_search_bm25,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
+        "tpch_q4_priority": q_tpch_q4_priority,
+        "tpch_q21_waiting": q_tpch_q21_waiting,
+        "tpch_q22_idle_balances": q_tpch_q22_idle_balances,
         "zorder_layout": q_zorder_layout,
         "dedup_best_rep": q_dedup_best_rep,
         "link_pagerank": q_link_pagerank,
@@ -2962,10 +3059,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_pipeline_e2e": q_transform_pipeline_e2e,
         "transform_pipeline_compiled": q_transform_pipeline_compiled,
         "transform_template_full": q_transform_template_full,
-        # --- new this round (mixture, semantic dedup, funnel) ---
-        "sample_mixture": q_sample_mixture,
-        "semantic_dedup": q_semantic_dedup,
-        "quality_c4_lines": q_quality_c4_lines,
         # --- hash-gated this round (was the one rows-only entry):
         # per-language rollup + full-token-array checksum vs a pinned
         # golden; the TRAINING side stays gated by bpe_merges above ---
@@ -2974,6 +3067,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "events_funnel": q_events_funnel,
         "quality_bigram": q_quality_bigram,
+        "sample_mixture": q_sample_mixture,
+        "semantic_dedup": q_semantic_dedup,
+        "quality_c4_lines": q_quality_c4_lines,
         "vsctl_get": q_vsctl_get,
         "corpus_diff": q_corpus_diff,
         "sink_payload_roundtrip": q_sink_payload_roundtrip,
@@ -3862,6 +3958,43 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(string_agg(CASE WHEN NOT boil THEN line END,
                                        chr(10) ORDER BY pos), '') AS clean_text
             FROM t GROUP BY doc_id
+        """,
+        "tpch_q4_priority": """
+            SELECT o_orderpriority, count(*)::BIGINT AS order_count
+            FROM orders o
+            WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        "tpch_q21_waiting": """
+            WITH late AS (
+              SELECT l.l_orderkey, l.l_suppkey
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE o.o_orderstatus = 'F'
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+            SELECT s.s_name, count(*)::BIGINT AS numwait
+            FROM late l1 JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+            WHERE EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM late l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey)
+            GROUP BY s.s_name
+        """,
+        "tpch_q22_idle_balances": """
+            WITH thr AS (SELECT avg(c_acctbal) AS avg_bal
+                         FROM customer WHERE c_acctbal > 0.0)
+            SELECT c.c_nationkey, count(*)::BIGINT AS n_custs,
+                   round(sum(c_acctbal)::DOUBLE, 4) AS total_acctbal
+            FROM customer c, thr
+            WHERE c.c_acctbal > thr.avg_bal
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= '2000-09-01')
+            GROUP BY 1
         """,
         "fuzzy_name_pairs": """
             SELECT a.s_suppkey AS id_l, b.s_suppkey AS id_r,

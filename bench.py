@@ -110,6 +110,9 @@ HEADLINE = [
     "events_sketch_stats",
     "text_search_bm25",
     "fuzzy_name_pairs",
+    "tpch_q4_priority",
+    "tpch_q21_waiting",
+    "tpch_q22_idle_balances",
 ]
 
 
