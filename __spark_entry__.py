@@ -2831,6 +2831,25 @@ def q_ingest_metrics_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_metrics(loop.metrics_df(), every=2)
 
 
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-grid resampling with forward fill
+    (operators/timeseries.gapfill): per-user hourly buckets (max value
+    per bucket — exact, no float-order sensitivity), spine from the
+    user's own min..max hour via sequence+explode, last-non-null carry
+    with one per-key ordered window. Oracle re-derives with DuckDB
+    generate_series + last_value IGNORE NULLS."""
+    from vanus_spark.operators.timeseries import gapfill
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    out = gapfill(ev, "ts", "user_id", "value")
+    return out.select(
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "value_filled",
+        "filled",
+    )
+
+
 def q_tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape (order-priority checking): orders in a 6-month
     window having at least one late-shipping lineitem (l_shipdate >
@@ -2994,6 +3013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sketch_stats": q_events_sketch_stats,
         "text_search_bm25": q_text_search_bm25,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
+        "events_gapfill": q_events_gapfill,
         "tpch_q4_priority": q_tpch_q4_priority,
         "tpch_q21_waiting": q_tpch_q21_waiting,
         "tpch_q22_idle_balances": q_tpch_q22_idle_balances,
@@ -3051,8 +3071,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_stream": q_dedup_incremental_stream,
         "dedup_simhash": q_dedup_simhash,
         "dedup_substring": q_dedup_substring,
-        # --- urls / audio fixed this round ---
-        "url_dedup": q_url_dedup,
         # --- filter-dependent streaming / transformer e2e ---
         "subscription_full": q_subscription_full,
         "fanout_multi_sub": q_fanout_multi_sub,
@@ -3070,6 +3088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mixture": q_sample_mixture,
         "semantic_dedup": q_semantic_dedup,
         "quality_c4_lines": q_quality_c4_lines,
+        "url_dedup": q_url_dedup,
         "vsctl_get": q_vsctl_get,
         "corpus_diff": q_corpus_diff,
         "sink_payload_roundtrip": q_sink_payload_roundtrip,
@@ -3958,6 +3977,25 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(string_agg(CASE WHEN NOT boil THEN line END,
                                        chr(10) ORDER BY pos), '') AS clean_text
             FROM t GROUP BY doc_id
+        """,
+        "events_gapfill": """
+            WITH h AS (SELECT user_id, date_trunc('hour', ts) AS bucket,
+                              max(value) AS v
+                       FROM events WHERE user_id < 20 GROUP BY 1, 2),
+            sp AS (SELECT user_id,
+                          unnest(generate_series(min(bucket), max(bucket),
+                                                 INTERVAL 1 HOUR)) AS bucket
+                   FROM h GROUP BY user_id),
+            j AS (SELECT sp.user_id, sp.bucket, h.v
+                  FROM sp LEFT JOIN h USING (user_id, bucket))
+            SELECT user_id,
+                   strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+                   last_value(v IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY bucket
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS value_filled,
+                   (v IS NULL) AS filled
+            FROM j
         """,
         "tpch_q4_priority": """
             SELECT o_orderpriority, count(*)::BIGINT AS order_count

@@ -113,6 +113,7 @@ HEADLINE = [
     "tpch_q4_priority",
     "tpch_q21_waiting",
     "tpch_q22_idle_balances",
+    "events_gapfill",
 ]
 
 

@@ -755,3 +755,29 @@ def test_sketch_stats_error_bounds(spark, sf_dir):
         assert q[0] <= r.p50 <= q[1]
         assert q[2] <= r.p95 <= q[3]
         assert q[4] <= r.p99 <= q[5]
+
+
+def test_gapfill_dense_grid_and_forward_fill(spark):
+    """Gaps become rows carrying the last observation; leading grid
+    rows before the first value stay null; flags mark synthesis."""
+    import datetime as dt
+
+    from vanus_spark.operators.timeseries import gapfill
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        (1, t0, 10.0),                                 # 00:xx
+        (1, t0 + dt.timedelta(hours=3), 13.0),         # 03:xx (01,02 missing)
+        (2, t0 + dt.timedelta(hours=1), 5.0),          # single point
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {
+        (r.user_id, r.bucket.hour): (r.value_filled, r.filled)
+        for r in gapfill(df, "ts", "user_id", "value").collect()
+    }
+    assert out[(1, 0)] == (10.0, False)
+    assert out[(1, 1)] == (10.0, True)
+    assert out[(1, 2)] == (10.0, True)
+    assert out[(1, 3)] == (13.0, False)
+    assert out[(2, 1)] == (5.0, False)
+    assert len(out) == 5  # dense grid, per-key span only

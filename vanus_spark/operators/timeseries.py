@@ -55,3 +55,60 @@ def ewma(
         lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
     )
     return staged.withColumn(out_col, folded).drop("_ewma_arr")
+
+
+def gapfill(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    step: str = "1 hour",
+    bucket_fn: str = "hour",
+) -> DataFrame:
+    """Regularize a sparse per-key series onto a dense time grid with
+    forward fill (the dashboard/feature-store resampling primitive
+    Spark lacks as a builtin).
+
+    Per key: bucket events to ``bucket_fn`` granularity (max value per
+    bucket — an exact aggregate, no float-order sensitivity), build the
+    dense spine from the key's own min..max bucket via
+    ``sequence``+``explode``, left-join the actuals, and carry the last
+    non-null value forward with one per-key ordered window
+    (``last(..., ignorenulls=True)``).
+
+    Returns (key, bucket, value_filled, filled) where ``filled`` marks
+    grid rows that had no observation.
+
+    Scale: two shuffles total (bucket aggregate, per-key window — AQE
+    coalesces them onto the same key partitioning); the spine explode
+    is bounded by the key's time span / step, generated executor-side,
+    never a driver-side range. Skewed keys (one key spanning years at
+    second granularity) bound their own cost: the spine is per-key
+    min..max, not a global calendar cross join.
+    """
+    bucket = F.date_trunc(bucket_fn, F.col(ts_col)).alias("bucket")
+    actual = df.groupBy(F.col(key_col), bucket).agg(
+        F.max(value_col).alias("_v")
+    )
+    spine = (
+        actual.groupBy(key_col)
+        .agg(F.min("bucket").alias("_mn"), F.max("bucket").alias("_mx"))
+        .select(
+            key_col,
+            F.explode(
+                F.sequence("_mn", "_mx", F.expr(f"INTERVAL {step}"))
+            ).alias("bucket"),
+        )
+    )
+    joined = spine.join(actual, [key_col, "bucket"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        key_col,
+        "bucket",
+        F.last("_v", ignorenulls=True).over(w).alias("value_filled"),
+        F.col("_v").isNull().alias("filled"),
+    )
