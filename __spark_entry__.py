@@ -1910,15 +1910,19 @@ def q_events_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests assert the approx values sit within the configured error of
     the exact ones, which is the property that actually matters."""
     ev = _t(spark, sf_dir, "events")
+    # exact distinct and the sketches aggregate SEPARATELY, joined on
+    # the tiny group key: combining count_distinct with other
+    # aggregates makes Catalyst Expand every input row for the
+    # distinct path (measured 4.3 s vs 0.3+0.5 s split at sf0.1).
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    sketches = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias("_q"),
+    )
     return (
-        ev.groupBy("event_type")
-        .agg(
-            F.count_distinct("user_id").alias("exact_users"),
-            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-            F.percentile_approx(
-                "value", [0.5, 0.95, 0.99], 10_000
-            ).alias("_q"),
-        )
+        exact.join(sketches, "event_type")
         .select(
             "event_type",
             "exact_users",
