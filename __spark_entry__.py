@@ -2835,6 +2835,32 @@ def q_ingest_metrics_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_metrics(loop.metrics_df(), every=2)
 
 
+def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change detection (operators/timeseries.cusum): the
+    sequential-looking recursion max(0, s+d) compiles to two ordered
+    per-key prefix windows via s_i = P_i - min(0, min_j P_j) — exact
+    full-history statistic, one shuffle, no truncated lookback.
+    Parity note: DuckDB evaluates windowed sums with a SEGMENT TREE
+    (different association order than Spark's sequential frame fold),
+    so prefix sums drift by ~1 ulp; the inputs are 2-decimal values,
+    so every true prefix sum sits on the 2-decimal lattice — round(4)
+    absorbs the drift, and the alarm threshold is chosen OFF-lattice
+    (200.005) so a 1-ulp drift can never flip the comparison."""
+    from vanus_spark.operators.timeseries import cusum
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    out = cusum(
+        ev, "value", "ts", "user_id", "event_id",
+        target=55.0, slack=5.0, threshold=200.005,
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("cusum"), 4).alias("cusum"),
+        F.col("cusum_alarm").alias("alarm"),
+    )
+
+
 def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense-grid resampling with forward fill
     (operators/timeseries.gapfill): per-user hourly buckets (max value
@@ -3018,6 +3044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_search_bm25": q_text_search_bm25,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "events_gapfill": q_events_gapfill,
+        "events_cusum": q_events_cusum,
         "tpch_q4_priority": q_tpch_q4_priority,
         "tpch_q21_waiting": q_tpch_q21_waiting,
         "tpch_q22_idle_balances": q_tpch_q22_idle_balances,
@@ -3080,7 +3107,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fanout_multi_sub": q_fanout_multi_sub,
         "transform_pipeline_e2e": q_transform_pipeline_e2e,
         "transform_pipeline_compiled": q_transform_pipeline_compiled,
-        "transform_template_full": q_transform_template_full,
         # --- hash-gated this round (was the one rows-only entry):
         # per-language rollup + full-token-array checksum vs a pinned
         # golden; the TRAINING side stays gated by bpe_merges above ---
@@ -3093,6 +3119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "quality_c4_lines": q_quality_c4_lines,
         "url_dedup": q_url_dedup,
+        "transform_template_full": q_transform_template_full,
         "vsctl_get": q_vsctl_get,
         "corpus_diff": q_corpus_diff,
         "sink_payload_roundtrip": q_sink_payload_roundtrip,
@@ -3981,6 +4008,27 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(string_agg(CASE WHEN NOT boil THEN line END,
                                        chr(10) ORDER BY pos), '') AS clean_text
             FROM t GROUP BY doc_id
+        """,
+        "events_cusum": """
+            WITH d AS (SELECT user_id, event_id, ts,
+                              value - 55.0::DOUBLE - 5.0::DOUBLE AS dd
+                       FROM events WHERE user_id < 40),
+            c AS (SELECT user_id, event_id, ts,
+                         sum(dd) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS p
+                  FROM d),
+            s AS (SELECT user_id, event_id,
+                         p - least(0.0::DOUBLE,
+                                   min(p) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id
+                                                ROWS UNBOUNDED PRECEDING))
+                           AS cusum
+                  FROM c)
+            SELECT user_id, event_id,
+                   round(cusum, 4) AS cusum,
+                   cusum > 200.005::DOUBLE AS alarm
+            FROM s
         """,
         "events_gapfill": """
             WITH h AS (SELECT user_id, date_trunc('hour', ts) AS bucket,

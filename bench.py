@@ -114,6 +114,7 @@ HEADLINE = [
     "tpch_q21_waiting",
     "tpch_q22_idle_balances",
     "events_gapfill",
+    "events_cusum",
 ]
 
 

@@ -781,3 +781,36 @@ def test_gapfill_dense_grid_and_forward_fill(spark):
     assert out[(1, 3)] == (13.0, False)
     assert out[(2, 1)] == (5.0, False)
     assert len(out) == 5  # dense grid, per-key span only
+
+
+def test_cusum_matches_recursive_definition(spark):
+    """The prefix-aggregate closed form equals the textbook recursion
+    s_i = max(0, s_{i-1} + (x_i - target - slack)), including resets."""
+    import datetime as dt
+
+    from vanus_spark.operators.timeseries import cusum
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [1.0, 9.0, -3.0, 15.0, -30.0, 8.0, 8.0]
+    rows = [
+        (1, t0 + dt.timedelta(minutes=i), i, v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    out = {
+        r.event_id: (r.cusum, r.cusum_alarm)
+        for r in cusum(
+            df, "value", "ts", "user_id", "event_id",
+            target=2.0, slack=1.0, threshold=10.0,
+        ).collect()
+    }
+    s, exp = 0.0, {}
+    for i, v in enumerate(vals):
+        s = max(0.0, s + (v - 3.0))
+        exp[i] = (s, s > 10.0)
+    for i in exp:
+        assert abs(out[i][0] - exp[i][0]) < 1e-12 and out[i][1] == exp[i][1], (
+            i, out[i], exp[i],
+        )
+    assert out[4][0] == 0.0  # the big negative resets to zero

@@ -112,3 +112,52 @@ def gapfill(
         F.last("_v", ignorenulls=True).over(w).alias("value_filled"),
         F.col("_v").isNull().alias("filled"),
     )
+
+
+def cusum(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    key_col: str,
+    order_tiebreak: str,
+    target: float,
+    slack: float = 0.0,
+    threshold: float = 0.0,
+    out_col: str = "cusum",
+) -> DataFrame:
+    """One-sided CUSUM change detection per key: the classic recursion
+    s_i = max(0, s_{i-1} + (x_i - target - slack)) flags sustained
+    upward mean shifts when s_i exceeds ``threshold``.
+
+    The recursion LOOKS inherently sequential, but it has an exact
+    closed form over prefix aggregates:
+
+        s_i = P_i - min(0, min_{j<=i} P_j)   where P = cumsum(x - target - slack)
+
+    so it compiles to two ordered per-key window aggregates (running
+    sum, then running min of that sum) — pure built-ins, whole-stage
+    codegen, ONE shuffle (the key partitioning), full history with no
+    truncated lookback. Both engines fold the prefix sum in the same
+    deterministic frame order, so values agree bit-for-bit.
+
+    Adds ``out_col`` (the CUSUM statistic) and ``out_col + '_alarm'``.
+    """
+    drift = F.col(value_col) - F.lit(target) - F.lit(slack)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col(order_tiebreak))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = F.sum(drift).over(w)
+    df2 = df.withColumn("_p", p)
+    w2 = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col(order_tiebreak))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = F.col("_p") - F.least(F.lit(0.0), F.min("_p").over(w2))
+    return (
+        df2.withColumn(out_col, s)
+        .withColumn(out_col + "_alarm", F.col(out_col) > F.lit(threshold))
+        .drop("_p")
+    )
