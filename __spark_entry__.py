@@ -2835,6 +2835,23 @@ def q_ingest_metrics_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_metrics(loop.metrics_df(), every=2)
 
 
+def q_heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters over document tokens
+    (operators/sketch_topk.py): per-partition Misra-Gries candidate
+    summaries (Arrow-batched mapInPandas), then EXACT counts of only
+    the candidates via broadcast semi-join + partial aggregate — the
+    shuffle carries candidates, not the vocabulary. Emitted counts
+    are exact, so the oracle is plain SQL top-k; candidate coverage
+    of the true top-k is the Misra-Gries guarantee (margin asserted
+    in tests)."""
+    from vanus_spark.llm.search import tokens_df
+    from vanus_spark.operators.sketch_topk import heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens_df(docs)
+    return heavy_hitters(toks, "term", k=25, capacity=1024)
+
+
 def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM change detection (operators/timeseries.cusum): the
     sequential-looking recursion max(0, s+d) compiles to two ordered
@@ -3045,6 +3062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "events_gapfill": q_events_gapfill,
         "events_cusum": q_events_cusum,
+        "heavy_hitters_tokens": q_heavy_hitters_tokens,
         "tpch_q4_priority": q_tpch_q4_priority,
         "tpch_q21_waiting": q_tpch_q21_waiting,
         "tpch_q22_idle_balances": q_tpch_q22_idle_balances,
@@ -3095,7 +3113,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- dedup/LSH family: bucket_cap default flip + pointer-jump ---
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_near_dup": q_dedup_near_dup,
         "corpus_clean": q_corpus_clean,
         "dedup_components": q_dedup_components,
         "dedup_incremental": q_dedup_incremental,
@@ -3120,6 +3137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_c4_lines": q_quality_c4_lines,
         "url_dedup": q_url_dedup,
         "transform_template_full": q_transform_template_full,
+        "dedup_near_dup": q_dedup_near_dup,
         "vsctl_get": q_vsctl_get,
         "corpus_diff": q_corpus_diff,
         "sink_payload_roundtrip": q_sink_payload_roundtrip,
@@ -4008,6 +4026,17 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(string_agg(CASE WHEN NOT boil THEN line END,
                                        chr(10) ORDER BY pos), '') AS clean_text
             FROM t GROUP BY doc_id
+        """,
+        "heavy_hitters_tokens": f"""
+            WITH tk AS (SELECT unnest(str_split({norm_text}, ' ')) AS value
+                        FROM documents),
+            c AS (SELECT value, count(*)::BIGINT AS cnt
+                  FROM tk WHERE value <> '' GROUP BY 1),
+            r AS (SELECT value, cnt,
+                         row_number() OVER (ORDER BY cnt DESC, value)::INT
+                           AS rank
+                  FROM c)
+            SELECT value, cnt, rank FROM r WHERE rank <= 25
         """,
         "events_cusum": """
             WITH d AS (SELECT user_id, event_id, ts,

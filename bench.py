@@ -115,6 +115,7 @@ HEADLINE = [
     "tpch_q22_idle_balances",
     "events_gapfill",
     "events_cusum",
+    "heavy_hitters_tokens",
 ]
 
 

@@ -814,3 +814,38 @@ def test_cusum_matches_recursive_definition(spark):
             i, out[i], exp[i],
         )
     assert out[4][0] == 0.0  # the big negative resets to zero
+
+
+def test_heavy_hitters_exact_under_eviction(spark):
+    """Force Misra-Gries evictions (tiny capacity) on a skewed stream:
+    the true heavy hitters must still surface with exact counts."""
+    rows = (
+        [("alpha",)] * 60
+        + [("beta",)] * 30
+        + [(f"noise{i}",) for i in range(40)]
+    )
+    df = spark.createDataFrame(rows, "term string").repartition(4)
+    from vanus_spark.operators.sketch_topk import heavy_hitters
+
+    out = {r.value: (r.cnt, r.rank) for r in heavy_hitters(df, "term", k=2, capacity=4).collect()}
+    assert out["alpha"] == (60, 1)
+    assert out["beta"] == (30, 2)
+
+
+def test_heavy_hitters_fixture_margin(spark, sf_dir):
+    """The registered query's correctness rests on candidate coverage:
+    every true top-25 token's count must clear the Misra-Gries bound
+    n/capacity with real margin."""
+    from vanus_spark.llm.search import tokens_df
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = tokens_df(docs)
+    import pyspark.sql.functions as F
+
+    counts = toks.groupBy("term").count().orderBy(F.desc("count"), "term")
+    top = counts.limit(25).collect()
+    n = toks.count()
+    bound = n / 1024
+    assert min(r["count"] for r in top) > 2 * bound, (
+        f"top-25 floor {min(r['count'] for r in top)} too close to bound {bound}"
+    )
