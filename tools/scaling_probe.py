@@ -256,7 +256,46 @@ def main() -> None:
             .count(),
         }
 
-    op_set = {"corpus": corpus_ops, "r5": r5_ops}.get(
+    def r5b_ops(docs: DataFrame, n_docs: int) -> dict:
+        """Late-round-5 operators: BM25 (fixed query count — cost should
+        track index build), fuzzy name pairs (ID-like names synthesized
+        from doc ids, pair volume grows with colliding neighborhoods),
+        gap-fill + CUSUM (synthetic per-key series), heavy hitters."""
+        from vanus_spark.llm.search import bm25_search, tokens_df
+        from vanus_spark.operators.fuzzy import fuzzy_self_pairs
+        from vanus_spark.operators.sketch_topk import heavy_hitters
+        from vanus_spark.operators.timeseries import cusum, gapfill
+
+        ts = F.timestamp_seconds(
+            1_700_000_000 + (F.col("doc_id") % 500) * 3600 * 3
+        )
+        evs = docs.select(
+            "doc_id",
+            (F.col("doc_id") % 200).alias("key"),
+            ts.alias("ts"),
+            (F.col("doc_id") % 97).cast("double").alias("value"),
+        )
+        names = docs.select(
+            F.col("doc_id").alias("id"),
+            F.format_string("Name#%09d", F.col("doc_id")).alias("name"),
+        )
+        queries = docs.where(F.col("doc_id").isin(3, 17, 31, 59)).select(
+            F.col("doc_id").alias("query_id"),
+            F.substring("text", 1, 30).alias("query_text"),
+        )
+        return {
+            "bm25_search": lambda: bm25_search(docs, queries, k=10).count(),
+            "fuzzy_pairs": lambda: fuzzy_self_pairs(names, "name", "id").count(),
+            "gapfill": lambda: gapfill(evs, "ts", "key", "value").count(),
+            "cusum": lambda: cusum(
+                evs, "value", "ts", "key", "doc_id", target=48.0, slack=5.0
+            ).agg(F.sum("cusum")).count(),
+            "heavy_hitters": lambda: heavy_hitters(
+                tokens_df(docs), "term", k=25, capacity=1024
+            ).count(),
+        }
+
+    op_set = {"corpus": corpus_ops, "r5": r5_ops, "r5b": r5b_ops}.get(
         os.environ.get("PROBE_SET", ""), ops
     )
     results: dict[str, dict[int, float]] = {}
