@@ -2835,6 +2835,52 @@ def q_ingest_metrics_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_metrics(loop.metrics_df(), every=2)
 
 
+def q_corpus_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two snapshots
+    (llm/versioning.population_stability): base = even events, cur =
+    odd events with values scaled 1.2x (a real induced shift). One
+    bucket-count shuffle per side, then everything on <= 8 rows; the
+    oracle re-derives bucket counts, clamped fractions, and the PSI
+    sum in SQL."""
+    from vanus_spark.llm.versioning import population_stability
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.where(F.col("event_id") % 2 == 0)
+    cur = ev.where(F.col("event_id") % 2 == 1).withColumn(
+        "value", F.col("value") * 1.2
+    )
+    return population_stability(
+        base, cur, "value", [0.0, 10.0, 20.0, 40.0, 80.0, 160.0, 320.0]
+    )
+
+
+def q_table_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations
+    (operators/expectations.py): six rules over events — null checks,
+    range, regex, accepted values, two uniqueness rules — evaluated as
+    ONE conditional-sum aggregate over one scan plus a separate
+    distinct aggregate (the Expand lesson), stacked to one row per
+    rule. The oracle re-states every rule in plain SQL."""
+    from vanus_spark.operators.expectations import expectations_report
+
+    ev = _t(spark, sf_dir, "events")
+    return expectations_report(
+        ev,
+        [
+            {"rule": "not_null", "column": "user_id"},
+            {"rule": "in_range", "column": "value", "lo": 0, "hi": 450},
+            {"rule": "matches", "column": "event_type", "pattern": "^[a-z_]+$"},
+            {
+                "rule": "accepted_values",
+                "column": "event_type",
+                "values": ["view", "click", "purchase"],
+            },
+            {"rule": "unique", "column": "event_id"},
+            {"rule": "unique", "column": "user_id"},
+        ],
+    )
+
+
 def q_heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate heavy hitters over document tokens
     (operators/sketch_topk.py): per-partition Misra-Gries candidate
@@ -3063,6 +3109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gapfill": q_events_gapfill,
         "events_cusum": q_events_cusum,
         "heavy_hitters_tokens": q_heavy_hitters_tokens,
+        "table_expectations": q_table_expectations,
+        "corpus_psi": q_corpus_psi,
         "tpch_q4_priority": q_tpch_q4_priority,
         "tpch_q21_waiting": q_tpch_q21_waiting,
         "tpch_q22_idle_balances": q_tpch_q22_idle_balances,
@@ -3111,7 +3159,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "filter_cel_data_dynamic": q_filter_cel_data_dynamic,
         # --- dedup/LSH family: bucket_cap default flip + pointer-jump ---
-        "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "corpus_clean": q_corpus_clean,
         "dedup_components": q_dedup_components,
@@ -3121,7 +3168,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring": q_dedup_substring,
         # --- filter-dependent streaming / transformer e2e ---
         "subscription_full": q_subscription_full,
-        "fanout_multi_sub": q_fanout_multi_sub,
         "transform_pipeline_e2e": q_transform_pipeline_e2e,
         "transform_pipeline_compiled": q_transform_pipeline_compiled,
         # --- hash-gated this round (was the one rows-only entry):
@@ -3138,6 +3184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "transform_template_full": q_transform_template_full,
         "dedup_near_dup": q_dedup_near_dup,
+        "dedup_exact": q_dedup_exact,
+        "fanout_multi_sub": q_fanout_multi_sub,
         "vsctl_get": q_vsctl_get,
         "corpus_diff": q_corpus_diff,
         "sink_payload_roundtrip": q_sink_payload_roundtrip,
@@ -4026,6 +4074,58 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(string_agg(CASE WHEN NOT boil THEN line END,
                                        chr(10) ORDER BY pos), '') AS clean_text
             FROM t GROUP BY doc_id
+        """,
+        "corpus_psi": """
+            WITH edges AS (SELECT [0.0, 10.0, 20.0, 40.0, 80.0, 160.0, 320.0] AS e),
+            b AS (SELECT len(list_filter(edges.e, x -> value >= x)) AS bucket
+                  FROM events, edges WHERE event_id % 2 = 0),
+            c AS (SELECT len(list_filter(edges.e, x -> value * 1.2 >= x)) AS bucket
+                  FROM events, edges WHERE event_id % 2 = 1),
+            bc AS (SELECT bucket, count(*)::BIGINT AS bn FROM b GROUP BY 1),
+            cc AS (SELECT bucket, count(*)::BIGINT AS cn FROM c GROUP BY 1),
+            j AS (SELECT bucket, coalesce(bn, 0) AS bn, coalesce(cn, 0) AS cn
+                  FROM bc FULL JOIN cc USING (bucket)),
+            t AS (SELECT sum(bn)::DOUBLE AS bt, sum(cn)::DOUBLE AS ct FROM j),
+            d AS (SELECT bucket,
+                         round(bn / bt, 9) AS base_frac,
+                         round(cn / ct, 9) AS cur_frac,
+                         round((greatest(bn / bt, 1e-6) - greatest(cn / ct, 1e-6))
+                               * ln(greatest(bn / bt, 1e-6)
+                                    / greatest(cn / ct, 1e-6)), 9) AS term
+                  FROM j, t)
+            SELECT d.*, (SELECT round(sum(term), 6) FROM d) AS psi FROM d
+        """,
+        "table_expectations": """
+            WITH b AS (SELECT count(*)::BIGINT AS n_rows,
+              sum((user_id IS NULL)::INT)::BIGINT AS v0,
+              sum((value IS NULL OR value < 0 OR value > 450)::INT)::BIGINT AS v1,
+              sum((event_type IS NULL
+                   OR NOT regexp_matches(event_type, '^[a-z_]+$'))::INT)::BIGINT AS v2,
+              sum((event_type IS NULL
+                   OR event_type NOT IN ('view','click','purchase'))::INT)::BIGINT AS v3,
+              (count(event_id) - count(DISTINCT event_id))::BIGINT AS v4,
+              (count(user_id) - count(DISTINCT user_id))::BIGINT AS v5
+            FROM events),
+            r AS (SELECT * FROM (VALUES
+                    (0, 'not_null', 'user_id'),
+                    (1, 'in_range', 'value'),
+                    (2, 'matches', 'event_type'),
+                    (3, 'accepted_values', 'event_type'),
+                    (4, 'unique', 'event_id'),
+                    (5, 'unique', 'user_id'))
+                  t(rule_id, rule, col_name))
+            SELECT r.rule_id::BIGINT AS rule_id, r.rule, r.col_name, b.n_rows,
+                   CASE r.rule_id WHEN 0 THEN v0 WHEN 1 THEN v1 WHEN 2 THEN v2
+                                  WHEN 3 THEN v3 WHEN 4 THEN v4 ELSE v5 END
+                     AS n_violations,
+                   round((CASE r.rule_id WHEN 0 THEN v0 WHEN 1 THEN v1
+                                         WHEN 2 THEN v2 WHEN 3 THEN v3
+                                         WHEN 4 THEN v4 ELSE v5 END)::DOUBLE
+                         / greatest(b.n_rows, 1), 9) AS violation_frac,
+                   (CASE r.rule_id WHEN 0 THEN v0 WHEN 1 THEN v1 WHEN 2 THEN v2
+                                   WHEN 3 THEN v3 WHEN 4 THEN v4 ELSE v5 END) = 0
+                     AS passed
+            FROM r CROSS JOIN b
         """,
         "heavy_hitters_tokens": f"""
             WITH tk AS (SELECT unnest(str_split({norm_text}, ' ')) AS value

@@ -116,6 +116,8 @@ HEADLINE = [
     "events_gapfill",
     "events_cusum",
     "heavy_hitters_tokens",
+    "table_expectations",
+    "corpus_psi",
 ]
 
 

@@ -849,3 +849,52 @@ def test_heavy_hitters_fixture_margin(spark, sf_dir):
     assert min(r["count"] for r in top) > 2 * bound, (
         f"top-25 floor {min(r['count'] for r in top)} too close to bound {bound}"
     )
+
+
+def test_expectations_report_hand_counts(spark):
+    import pytest as _pytest
+
+    from vanus_spark.operators.expectations import expectations_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "view", 10.0),
+            (2, "view", -5.0),      # range violation
+            (2, "Bad Type", 20.0),  # regex + accepted violation; dup id
+            (None, "click", None),  # null id; null value -> range violation
+        ],
+        "id long, etype string, value double",
+    )
+    rules = [
+        {"rule": "not_null", "column": "id"},
+        {"rule": "in_range", "column": "value", "lo": 0, "hi": 100},
+        {"rule": "matches", "column": "etype", "pattern": "^[a-z_]+$"},
+        {"rule": "accepted_values", "column": "etype", "values": ["view", "click"]},
+        {"rule": "unique", "column": "id"},
+    ]
+    out = {r.rule_id: r for r in expectations_report(df, rules).collect()}
+    assert [out[i].n_violations for i in range(5)] == [1, 2, 1, 1, 1]
+    assert out[0].n_rows == 4 and not out[0].passed
+    assert abs(out[1].violation_frac - 0.5) < 1e-12
+    # unique counts non-null dupes only (3 non-null ids, 2 distinct)
+    assert out[4].n_violations == 1
+
+    with _pytest.raises(ValueError):
+        expectations_report(df, [{"rule": "nope", "column": "id"}]).collect()
+
+
+def test_population_stability_properties(spark):
+    """PSI is ~0 for identical snapshots, grows with induced shift,
+    and fractions sum to 1 per side."""
+    from vanus_spark.llm.versioning import population_stability
+
+    import pyspark.sql.functions as F
+
+    base = spark.range(1000).select((F.col("id") % 100).cast("double").alias("v"))
+    same = population_stability(base, base, "v", [0.0, 25.0, 50.0, 75.0]).collect()
+    assert abs(same[0].psi) < 1e-9
+    assert abs(sum(r.base_frac for r in same) - 1.0) < 1e-6
+
+    shifted = base.select((F.col("v") * 2.0).alias("v"))
+    out = population_stability(base, shifted, "v", [0.0, 25.0, 50.0, 75.0]).collect()
+    assert out[0].psi > 0.1  # half the mass moved into the top bucket

@@ -174,3 +174,64 @@ def schema_drift(spark, old_schema, new_schema) -> DataFrame:
     return spark.createDataFrame(
         rows, "field string, status string, old_type string, new_type string"
     )
+
+
+def population_stability(
+    base: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    edges: list[float],
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the CONTENT-distribution counterpart of ``schema_drift``
+    (shape) and ``corpus_diff`` (membership): did the value
+    distribution move between corpus versions?
+
+    Buckets are explicit shared ``edges`` (bucket = #edges <= value, so
+    values below the first edge land in bucket 0); per-bucket
+    fractions are clamped at ``eps`` before the log so empty buckets
+    contribute a finite penalty (the standard PSI convention).
+
+    Returns one row per occupied bucket: (bucket, base_frac, cur_frac,
+    term) plus the total ``psi`` repeated on each row.  PSI > 0.25 is
+    the conventional "significant shift" flag.
+
+    Scale: one partial-aggregate shuffle per snapshot (bucket counts),
+    everything after runs on <= len(edges)+1 rows. The edges array is
+    ONE expression literal (the py4j element-per-call trap), and the
+    bucket index is a filter-count over it — no CASE-chain codegen
+    blowup for fine grids.
+    """
+    arr = F.expr(
+        "array(" + ",".join(f"{float(e)!r}D" for e in edges) + ")"
+    )
+
+    def bucket_counts(df: DataFrame, out: str) -> DataFrame:
+        b = F.size(F.filter(arr, lambda e: F.col(value_col) >= e)).alias(
+            "bucket"
+        )
+        return df.select(b).groupBy("bucket").agg(F.count("*").alias(out))
+
+    joined = (
+        bucket_counts(base, "base_n")
+        .join(bucket_counts(cur, "cur_n"), "bucket", "full")
+        .select(
+            "bucket",
+            F.coalesce("base_n", F.lit(0)).alias("base_n"),
+            F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
+        )
+    )
+    totals = joined.agg(
+        F.sum("base_n").alias("_bt"), F.sum("cur_n").alias("_ct")
+    )
+    p = F.greatest(F.col("base_n") / F.col("_bt"), F.lit(eps))
+    q = F.greatest(F.col("cur_n") / F.col("_ct"), F.lit(eps))
+    detail = joined.join(F.broadcast(totals)).select(
+        "bucket",
+        F.round(F.col("base_n") / F.col("_bt"), 9).alias("base_frac"),
+        F.round(F.col("cur_n") / F.col("_ct"), 9).alias("cur_frac"),
+        F.round((p - q) * F.log(p / q), 9).alias("term"),
+    )
+    psi = detail.agg(F.round(F.sum("term"), 6).alias("psi"))
+    return detail.join(F.broadcast(psi))
