@@ -2835,6 +2835,94 @@ def q_ingest_metrics_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_metrics(loop.metrics_df(), every=2)
 
 
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over user journeys: per-user
+    event-type bigrams in (ts, event_id) order via one lag window,
+    counted corpus-wide, with each source state's outgoing probability
+    (two tiny aggregates over the 25-cell matrix). The funnel
+    operator's generalization — shows where sessions actually flow."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.lag("event_type").over(w).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .where(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = pairs.groupBy("src").agg(F.sum("n").alias("_t"))
+    return pairs.join(F.broadcast(totals), "src").select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n") / F.col("_t"), 9).alias("p"),
+    )
+
+
+def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier stats per event type: exact interpolated median,
+    MAD (median absolute deviation), and the count/fraction beyond the
+    3-sigma-equivalent MAD fence (1.4826 * mad). Two partial-aggregate
+    shuffles (median, then MAD + fence count with the median joined
+    back as a broadcast) — the robust cousin of events_anomaly's
+    z-score."""
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "_adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(_adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("med"), 6).alias("med"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.count("*").alias("n_rows"),
+            F.sum(
+                (F.col("_adev") > 3.0 * 1.4826 * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "med",
+            "mad",
+            "n_rows",
+            "n_outliers",
+            F.round(F.col("n_outliers") / F.col("n_rows"), 9).alias(
+                "outlier_frac"
+            ),
+        )
+    )
+
+
+def q_fuzzy_join_typos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table fuzzy join e2e (operators/fuzzy.fuzzy_join): supplier
+    names vs a deterministically corrupted copy (every name drops the
+    character at position (key mod len)), matched at edit distance 1
+    via deletion-neighborhood blocking. The brute-force oracle
+    re-derives the corruption and cross-joins with levenshtein."""
+    from vanus_spark.operators.fuzzy import fuzzy_join
+
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    pos = (F.col("s_suppkey") % F.length("s_name")) + 1
+    typos = sup.select(
+        F.col("s_suppkey").alias("t_key"),
+        F.concat(
+            F.substr(F.col("s_name"), F.lit(1), pos - F.lit(1)),
+            F.substr(F.col("s_name"), pos + F.lit(1), F.length("s_name")),
+        ).alias("t_name"),
+    )
+    out = fuzzy_join(sup, typos, "s_name", "t_name")
+    return out.select("s_suppkey", "s_name", "t_key", "t_name")
+
+
 def q_corpus_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index between two snapshots
     (llm/versioning.population_stability): base = even events, cur =
@@ -3111,6 +3199,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_tokens": q_heavy_hitters_tokens,
         "table_expectations": q_table_expectations,
         "corpus_psi": q_corpus_psi,
+        "events_transitions": q_events_transitions,
+        "events_mad_outliers": q_events_mad_outliers,
+        "fuzzy_join_typos": q_fuzzy_join_typos,
         "tpch_q4_priority": q_tpch_q4_priority,
         "tpch_q21_waiting": q_tpch_q21_waiting,
         "tpch_q22_idle_balances": q_tpch_q22_idle_balances,
@@ -3139,14 +3230,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (the four plainest single-predicate forms rotate to the
         # tail to make window room for the new operators above; they
         # are r1-r3 driver-green and stay replica-gated) ---
-        "filter_any_all": _filter_query(
-            {
-                "any": [
-                    {"exact": {"type": "error"}},
-                    {"all": [{"prefix": {"type": "sign"}}, {"suffix": {"type": "up"}}]},
-                ]
-            }
-        ),
         "filter_cesql": _filter_query(
             {"ce_sql": "type = 'error' AND EXISTS partitionkey"}
         ),
@@ -3161,10 +3244,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- dedup/LSH family: bucket_cap default flip + pointer-jump ---
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "corpus_clean": q_corpus_clean,
-        "dedup_components": q_dedup_components,
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_stream": q_dedup_incremental_stream,
-        "dedup_simhash": q_dedup_simhash,
         "dedup_substring": q_dedup_substring,
         # --- filter-dependent streaming / transformer e2e ---
         "subscription_full": q_subscription_full,
@@ -3186,6 +3267,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near_dup": q_dedup_near_dup,
         "dedup_exact": q_dedup_exact,
         "fanout_multi_sub": q_fanout_multi_sub,
+        "filter_any_all": _filter_query(
+            {
+                "any": [
+                    {"exact": {"type": "error"}},
+                    {"all": [{"prefix": {"type": "sign"}}, {"suffix": {"type": "up"}}]},
+                ]
+            }
+        ),
+        "dedup_components": q_dedup_components,
+        "dedup_simhash": q_dedup_simhash,
         "vsctl_get": q_vsctl_get,
         "corpus_diff": q_corpus_diff,
         "sink_payload_roundtrip": q_sink_payload_roundtrip,
@@ -4074,6 +4165,46 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(string_agg(CASE WHEN NOT boil THEN line END,
                                        chr(10) ORDER BY pos), '') AS clean_text
             FROM t GROUP BY doc_id
+        """,
+        "events_transitions": """
+            WITH p AS (SELECT lag(event_type) OVER (PARTITION BY user_id
+                                                    ORDER BY ts, event_id) AS src,
+                              event_type AS dst
+                       FROM events),
+            c AS (SELECT src, dst, count(*)::BIGINT AS n
+                  FROM p WHERE src IS NOT NULL GROUP BY 1, 2),
+            t AS (SELECT src, sum(n)::BIGINT AS tt FROM c GROUP BY 1)
+            SELECT c.src, c.dst, c.n, round(c.n::DOUBLE / t.tt, 9) AS p
+            FROM c JOIN t USING (src)
+        """,
+        "events_mad_outliers": """
+            WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                         FROM events GROUP BY 1),
+            d AS (SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+                  FROM events e JOIN med m USING (event_type)),
+            m2 AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+                   FROM d GROUP BY 1)
+            SELECT d.event_type,
+                   round(any_value(d.med), 6) AS med,
+                   round(any_value(m2.mad), 6) AS mad,
+                   count(*)::BIGINT AS n_rows,
+                   sum((d.adev > 3.0 * 1.4826 * m2.mad)::INT)::BIGINT
+                     AS n_outliers,
+                   round(sum((d.adev > 3.0 * 1.4826 * m2.mad)::INT)::DOUBLE
+                         / count(*), 9) AS outlier_frac
+            FROM d JOIN m2 USING (event_type)
+            GROUP BY d.event_type
+        """,
+        "fuzzy_join_typos": """
+            WITH typos AS (
+              SELECT s_suppkey AS t_key,
+                     substr(s_name, 1, (s_suppkey % length(s_name))::INT)
+                     || substr(s_name, (s_suppkey % length(s_name))::INT + 2)
+                       AS t_name
+              FROM supplier)
+            SELECT a.s_suppkey, a.s_name, t.t_key, t.t_name
+            FROM supplier a JOIN typos t
+              ON levenshtein(a.s_name, t.t_name) <= 1
         """,
         "corpus_psi": """
             WITH edges AS (SELECT [0.0, 10.0, 20.0, 40.0, 80.0, 160.0, 320.0] AS e),

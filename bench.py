@@ -118,6 +118,9 @@ HEADLINE = [
     "heavy_hitters_tokens",
     "table_expectations",
     "corpus_psi",
+    "events_transitions",
+    "events_mad_outliers",
+    "fuzzy_join_typos",
 ]
 
 
