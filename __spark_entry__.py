@@ -2835,6 +2835,38 @@ def q_ingest_metrics_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_metrics(loop.metrics_df(), every=2)
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACID-ish MERGE on the manifest-committed table
+    (sources/manifest_table.ManifestTable): load documents, upsert a
+    batch (every 7th doc's n_chars doubled + 20 brand-new rows) via
+    partition-pruned copy-on-write (only the buckets the update keys
+    hash into are rewritten; commits are epoch-fenced). The oracle
+    re-states MERGE semantics as anti-join + union in SQL, so the
+    bucket routing, rewrite, and manifest swap are all under the
+    hash."""
+    import tempfile
+
+    from vanus_spark.sources.manifest_table import ManifestTable
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="vs_merge_")
+    t = ManifestTable(spark, f"{tmp}/t", "doc_id", n_buckets=8)
+    t.write_full(docs)
+    updates = (
+        docs.where(F.col("doc_id") % 7 == 0)
+        .withColumn("n_chars", F.col("n_chars") * 2)
+        .unionByName(
+            docs.where(F.col("doc_id") < 20).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.lit("xx").alias("lang"),
+                (F.col("doc_id") % 50).cast("long").alias("n_chars"),
+            )
+        )
+    )
+    t.merge(updates)
+    return t.read()
+
+
 def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov transition matrix over user journeys: per-user
     event-type bigrams in (ts, event_id) order via one lag window,
@@ -3199,6 +3231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_tokens": q_heavy_hitters_tokens,
         "table_expectations": q_table_expectations,
         "corpus_psi": q_corpus_psi,
+        "merge_upsert": q_merge_upsert,
         "events_transitions": q_events_transitions,
         "events_mad_outliers": q_events_mad_outliers,
         "fuzzy_join_typos": q_fuzzy_join_typos,
@@ -3250,7 +3283,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- filter-dependent streaming / transformer e2e ---
         "subscription_full": q_subscription_full,
         "transform_pipeline_e2e": q_transform_pipeline_e2e,
-        "transform_pipeline_compiled": q_transform_pipeline_compiled,
         # --- hash-gated this round (was the one rows-only entry):
         # per-language rollup + full-token-array checksum vs a pinned
         # golden; the TRAINING side stays gated by bpe_merges above ---
@@ -3277,6 +3309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "dedup_components": q_dedup_components,
         "dedup_simhash": q_dedup_simhash,
+        "transform_pipeline_compiled": q_transform_pipeline_compiled,
         "vsctl_get": q_vsctl_get,
         "corpus_diff": q_corpus_diff,
         "sink_payload_roundtrip": q_sink_payload_roundtrip,
@@ -4165,6 +4198,17 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(string_agg(CASE WHEN NOT boil THEN line END,
                                        chr(10) ORDER BY pos), '') AS clean_text
             FROM t GROUP BY doc_id
+        """,
+        "merge_upsert": """
+            WITH up AS (
+              SELECT doc_id, lang, (n_chars * 2)::BIGINT AS n_chars
+              FROM documents WHERE doc_id % 7 = 0
+              UNION ALL
+              SELECT doc_id + 100000, 'xx', (doc_id % 50)::BIGINT
+              FROM documents WHERE doc_id < 20)
+            SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 7 <> 0
+            UNION ALL
+            SELECT * FROM up
         """,
         "events_transitions": """
             WITH p AS (SELECT lag(event_type) OVER (PARTITION BY user_id

@@ -121,6 +121,7 @@ HEADLINE = [
     "events_transitions",
     "events_mad_outliers",
     "fuzzy_join_typos",
+    "merge_upsert",
 ]
 
 

@@ -1,0 +1,92 @@
+"""ManifestTable: partition-pruned copy-on-write MERGE/delete with
+epoch-fenced commits (vanus_spark/sources/manifest_table.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _mk(spark, tmp_path, n=40, buckets=8):
+    from vanus_spark.sources.manifest_table import ManifestTable
+
+    t = ManifestTable(spark, str(tmp_path / "t"), "k", n_buckets=buckets)
+    base = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    t.write_full(base)
+    return t
+
+
+def test_merge_upserts_and_inserts(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    updates = spark.createDataFrame(
+        [(3, 999), (7, 777), (1000, 1)], "k long, v long"
+    )
+    stats = t.merge(updates)
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert rows[3] == 999 and rows[7] == 777 and rows[1000] == 1
+    assert rows[4] == 40  # untouched row intact
+    assert len(rows) == 41
+    assert 0 < stats["rewritten_buckets"] <= 3
+
+
+def test_merge_rewrites_only_affected_buckets(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    before = dict(t._mapping)
+    t.merge(spark.createDataFrame([(3, 999)], "k long, v long"))
+    after = dict(t._mapping)
+    changed = [b for b in before if after[b] != before[b]]
+    assert len(changed) == 1  # exactly the bucket key 3 hashes into
+    unchanged = [b for b in before if after[b] == before[b]]
+    assert len(unchanged) == len(before) - 1
+
+
+def test_crash_before_commit_leaves_table_intact(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    epoch0, rows0 = t._epoch, sorted(
+        (r.k, r.v) for r in t.read().collect()
+    )
+    # simulate a crash: write the generation but never commit
+    gen, _ = t._write_generation(
+        spark.createDataFrame([(3, 12345)], "k long, v long")
+    )
+    assert os.path.isdir(f"{t.path}/data/{gen}")
+    t.refresh()
+    assert t._epoch == epoch0
+    assert sorted((r.k, r.v) for r in t.read().collect()) == rows0
+
+
+def test_concurrent_writer_fenced(spark, tmp_path):
+    from vanus_spark.sources.manifest_table import (
+        ConcurrentWriterError,
+        ManifestTable,
+    )
+
+    t1 = _mk(spark, tmp_path)
+    t2 = ManifestTable(spark, t1.path, "k", n_buckets=t1.n_buckets)
+    t1.merge(spark.createDataFrame([(3, 1)], "k long, v long"))
+    with pytest.raises(ConcurrentWriterError):
+        t2.merge(spark.createDataFrame([(4, 2)], "k long, v long"))
+    t2.refresh()
+    t2.merge(spark.createDataFrame([(4, 2)], "k long, v long"))
+    rows = {r.k: r.v for r in t2.read().collect()}
+    assert rows[3] == 1 and rows[4] == 2
+
+
+def test_delete_and_time_travel_and_vacuum(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    e1 = t._epoch
+    t.merge(spark.createDataFrame([(3, 999)], "k long, v long"))
+    t.delete(F.col("k") < 5)
+    rows = {r.k for r in t.read().collect()}
+    assert min(rows) == 5 and len(rows) == 35
+    # time travel reads the pre-merge snapshot
+    old = {r.k: r.v for r in t.read_at_epoch(e1).collect()}
+    assert old[3] == 30 and len(old) == 40
+    removed = t.vacuum(retain_epochs=1)
+    assert removed >= 1
+    # live read still intact after vacuum
+    assert {r.k for r in t.read().collect()} == rows

@@ -1,0 +1,251 @@
+"""ManifestTable: a generic manifest-committed parquet table with
+ACID-ish append / MERGE (upsert) / delete — the no-extra-jars shape of
+a Delta/Iceberg table (cf. the reference's Raft-replicated store,
+/root/reference/server/store/raft/, which provides the same atomic
+multi-write visibility via consensus).
+
+Layout on disk:
+
+    <path>/COMMITTED             # "#epoch=N" + one "bucket:relative_dir" per bucket
+    <path>/manifests/mN          # manifest history (time travel)
+    <path>/data/g<G>/_b=<B>/...  # generation directories, bucketed by key hash
+
+Commits are epoch-fenced optimistic concurrency (the dedup-ingest
+pattern, streaming/dedup_ingest.py): a writer that observed epoch E can
+only commit E+1 under a short-lived lock file; losers raise
+ConcurrentWriterError and their generation directories stay orphans.
+A crash before the COMMITTED swap leaves the table exactly as it was.
+
+MERGE is partition-pruned copy-on-write: rows hash into ``n_buckets``
+by key, and an upsert rewrites ONLY the buckets that contain updated
+keys (one Spark job writes all affected buckets via partitionBy);
+untouched buckets keep pointing at their existing directories. At
+100 TB this is the difference between rewriting the table and
+rewriting the few percent of partitions an update touches — the same
+pruning Iceberg gets from its partition spec. Bucket count is a
+layout choice: more buckets = finer rewrite granularity + more files.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import time
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+
+class ConcurrentWriterError(RuntimeError):
+    """Another writer committed since this writer last read the manifest."""
+
+
+class ManifestTable:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_col: str,
+        n_buckets: int = 16,
+    ):
+        self.spark = spark
+        self.path = path
+        self.key_col = key_col
+        self.n_buckets = n_buckets
+        self._writer_id = uuid.uuid4().hex[:8]
+        os.makedirs(path, exist_ok=True)
+        self._epoch, self._mapping = self._read_manifest()
+
+    # ----- manifest --------------------------------------------------------
+
+    def _read_manifest(self) -> tuple[int, dict[int, str]]:
+        p = f"{self.path}/COMMITTED"
+        if not os.path.exists(p):
+            return 0, {}
+        epoch, mapping = 0, {}
+        with open(p) as f:
+            for tok in f.read().split():
+                if tok.startswith("#epoch="):
+                    epoch = int(tok[len("#epoch=") :])
+                elif ":" in tok:
+                    b, d = tok.split(":", 1)
+                    mapping[int(b)] = d
+        return epoch, mapping
+
+    def refresh(self) -> None:
+        """Re-read the live manifest (pick up other writers' commits)."""
+        self._epoch, self._mapping = self._read_manifest()
+
+    def _commit(self, mapping: dict[int, str]) -> None:
+        lock = f"{self.path}/.COMMITTED.lock"
+        deadline = time.monotonic() + 10.0
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                if time.monotonic() > deadline:
+                    raise TimeoutError(f"manifest lock busy: {lock}")
+                time.sleep(0.01)
+        try:
+            live_epoch, _ = self._read_manifest()
+            if live_epoch != self._epoch:
+                raise ConcurrentWriterError(
+                    f"stale writer: observed epoch {self._epoch}, live "
+                    f"manifest is at epoch {live_epoch}"
+                )
+            new_epoch = self._epoch + 1
+            lines = [f"#epoch={new_epoch}"] + [
+                f"{b}:{d}" for b, d in sorted(mapping.items())
+            ]
+            content = "\n".join(lines)
+            hist = f"{self.path}/manifests"
+            os.makedirs(hist, exist_ok=True)
+            htmp = f"{hist}/.m{new_epoch}.tmp"
+            with open(htmp, "w") as f:
+                f.write(content)
+            os.replace(htmp, f"{hist}/m{new_epoch}")
+            tmp = f"{self.path}/.COMMITTED.tmp"
+            with open(tmp, "w") as f:
+                f.write(content)
+            os.replace(tmp, f"{self.path}/COMMITTED")  # commit point
+            self._epoch, self._mapping = new_epoch, dict(mapping)
+        finally:
+            os.close(fd)
+            os.unlink(lock)
+
+    def _next_gen(self) -> int:
+        d = f"{self.path}/data"
+        gen = 0
+        if os.path.isdir(d):
+            for name in os.listdir(d):
+                m = re.match(r"^g(\d+)", name)
+                if m:
+                    gen = max(gen, int(m.group(1)))
+        return gen + 1
+
+    # ----- reads -----------------------------------------------------------
+
+    def _bucket_col(self) -> Column:
+        return F.pmod(F.xxhash64(F.col(self.key_col)), F.lit(self.n_buckets))
+
+    def read(self, buckets: list[int] | None = None) -> DataFrame:
+        mapping = self._mapping
+        if buckets is not None:
+            mapping = {b: d for b, d in mapping.items() if b in buckets}
+        dirs = [f"{self.path}/data/{d}" for d in mapping.values()]
+        if not dirs:
+            raise ValueError("empty table (no committed buckets)")
+        return self.spark.read.parquet(*dirs)
+
+    def read_at_epoch(self, epoch: int) -> DataFrame:
+        p = f"{self.path}/manifests/m{epoch}"
+        with open(p) as f:
+            dirs = [
+                f"{self.path}/data/{tok.split(':', 1)[1]}"
+                for tok in f.read().split()
+                if ":" in tok
+            ]
+        return self.spark.read.parquet(*dirs)
+
+    # ----- writes ----------------------------------------------------------
+
+    def _write_generation(self, df: DataFrame) -> tuple[str, list[int]]:
+        """One Spark job writes df into gen/_b=<bucket>/ subdirs;
+        returns (gen name, buckets written)."""
+        gen = f"g{self._next_gen()}-{self._writer_id}"
+        out = f"{self.path}/data/{gen}"
+        df.withColumn("_b", self._bucket_col()).write.mode(
+            "error"
+        ).partitionBy("_b").parquet(out)
+        written = [
+            int(name.split("=", 1)[1])
+            for name in os.listdir(out)
+            if name.startswith("_b=")
+        ]
+        return gen, written
+
+    def write_full(self, df: DataFrame) -> None:
+        """Initial (or replace-all) load."""
+        gen, buckets = self._write_generation(df)
+        self._commit({b: f"{gen}/_b={b}" for b in buckets})
+
+    def merge(self, updates: DataFrame) -> dict:
+        """Copy-on-write upsert by key: rows whose key exists are
+        replaced, new keys are inserted. Rewrites ONLY the buckets the
+        update keys hash into; other buckets' directories are carried
+        over untouched. Returns {"rewritten_buckets": n, "epoch": e}."""
+        affected = sorted(
+            r["_b"]
+            for r in updates.select(
+                self._bucket_col().alias("_b")
+            ).distinct().collect()
+        )
+        current = {b: d for b, d in self._mapping.items() if b in affected}
+        if current:
+            cur_rows = self.read(buckets=affected)
+            keep = cur_rows.join(
+                updates.select(self.key_col), self.key_col, "left_anti"
+            )
+            new_rows = keep.unionByName(updates)
+        else:
+            new_rows = updates
+        gen, written = self._write_generation(new_rows)
+        mapping = dict(self._mapping)
+        for b in written:
+            mapping[b] = f"{gen}/_b={b}"
+        self._commit(mapping)
+        return {"rewritten_buckets": len(affected), "epoch": self._epoch}
+
+    def delete(self, predicate) -> dict:
+        """Copy-on-write delete: rewrites only buckets that still have
+        surviving rows; buckets whose rows ALL match the predicate are
+        dropped from the manifest."""
+        doomed = self.read().where(predicate)
+        affected = sorted(
+            r["_b"]
+            for r in doomed.select(self._bucket_col().alias("_b"))
+            .distinct()
+            .collect()
+        )
+        if not affected:
+            return {"rewritten_buckets": 0, "epoch": self._epoch}
+        survivors = self.read(buckets=affected).where(~predicate)
+        mapping = dict(self._mapping)
+        for b in affected:
+            mapping.pop(b, None)
+        if survivors.limit(1).count() > 0:
+            gen, written = self._write_generation(survivors)
+            for b in written:
+                mapping[b] = f"{gen}/_b={b}"
+        self._commit(mapping)
+        return {"rewritten_buckets": len(affected), "epoch": self._epoch}
+
+    def vacuum(self, retain_epochs: int = 1) -> int:
+        """Delete generation directories unreferenced by the last
+        ``retain_epochs`` manifests (and the live one). Returns the
+        number of directories removed."""
+        import shutil
+
+        keep_dirs: set[str] = set(self._mapping.values())
+        hist = f"{self.path}/manifests"
+        if os.path.isdir(hist):
+            epochs = sorted(
+                int(m.group(1))
+                for name in os.listdir(hist)
+                if (m := re.match(r"^m(\d+)$", name))
+            )
+            for e in epochs[-retain_epochs:]:
+                with open(f"{hist}/m{e}") as f:
+                    for tok in f.read().split():
+                        if ":" in tok:
+                            keep_dirs.add(tok.split(":", 1)[1])
+        keep_gens = {d.split("/", 1)[0] for d in keep_dirs}
+        removed = 0
+        data = f"{self.path}/data"
+        if os.path.isdir(data):
+            for name in os.listdir(data):
+                if name not in keep_gens:
+                    shutil.rmtree(f"{data}/{name}")
+                    removed += 1
+        return removed
