@@ -2835,6 +2835,58 @@ def q_ingest_metrics_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_metrics(loop.metrics_df(), every=2)
 
 
+def q_cdc_apply_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium-style CDC replay into the ACID manifest table
+    (streaming/cdc.apply_cdc_batch): three ordered change batches —
+    full insert load, then updates + deletes (one key gets both in a
+    batch: the higher source offset wins), then re-inserts of deleted
+    keys — folded with per-batch last-writer-wins + partition-pruned
+    MERGE/delete. The oracle computes the SAME converged state as one
+    global last-writer-wins window over the union of all change rows,
+    so batch folding, bucket routing, and both write paths sit under
+    the hash."""
+    import tempfile
+
+    from vanus_spark.sources.manifest_table import ManifestTable
+    from vanus_spark.streaming.cdc import apply_cdc_batch
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="vs_cdc_")
+    t = ManifestTable(spark, f"{tmp}/t", "doc_id", n_buckets=8)
+
+    b1 = docs.select(
+        "doc_id",
+        F.lit("i").alias("op"),
+        F.col("doc_id").alias("seq"),
+        "lang",
+        "n_chars",
+    )
+    upd = docs.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        F.lit("u").alias("op"),
+        (F.col("doc_id") + 100000).alias("seq"),
+        "lang",
+        (F.col("n_chars") + 1000).alias("n_chars"),
+    )
+    dels = docs.where(F.col("doc_id") % 7 == 3).select(
+        "doc_id",
+        F.lit("d").alias("op"),
+        (F.col("doc_id") + 200000).alias("seq"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("long").alias("n_chars"),
+    )
+    b3 = docs.where(F.col("doc_id") % 14 == 3).select(
+        "doc_id",
+        F.lit("i").alias("op"),
+        (F.col("doc_id") + 300000).alias("seq"),
+        F.lit("zz").alias("lang"),
+        F.lit(5).cast("long").alias("n_chars"),
+    )
+    for batch in (b1, upd.unionByName(dels), b3):
+        apply_cdc_batch(t, batch)
+    return t.read()
+
+
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ACID-ish MERGE on the manifest-committed table
     (sources/manifest_table.ManifestTable): load documents, upsert a
@@ -3232,6 +3284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_expectations": q_table_expectations,
         "corpus_psi": q_corpus_psi,
         "merge_upsert": q_merge_upsert,
+        "cdc_apply_replay": q_cdc_apply_replay,
         "events_transitions": q_events_transitions,
         "events_mad_outliers": q_events_mad_outliers,
         "fuzzy_join_typos": q_fuzzy_join_typos,
@@ -3281,7 +3334,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_stream": q_dedup_incremental_stream,
         "dedup_substring": q_dedup_substring,
         # --- filter-dependent streaming / transformer e2e ---
-        "subscription_full": q_subscription_full,
         "transform_pipeline_e2e": q_transform_pipeline_e2e,
         # --- hash-gated this round (was the one rows-only entry):
         # per-language rollup + full-token-array checksum vs a pinned
@@ -3310,6 +3362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "dedup_simhash": q_dedup_simhash,
         "transform_pipeline_compiled": q_transform_pipeline_compiled,
+        "subscription_full": q_subscription_full,
         "vsctl_get": q_vsctl_get,
         "corpus_diff": q_corpus_diff,
         "sink_payload_roundtrip": q_sink_payload_roundtrip,
@@ -4198,6 +4251,24 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(string_agg(CASE WHEN NOT boil THEN line END,
                                        chr(10) ORDER BY pos), '') AS clean_text
             FROM t GROUP BY doc_id
+        """,
+        "cdc_apply_replay": """
+            WITH cdc AS (
+              SELECT doc_id, 'i' AS op, doc_id::BIGINT AS seq, lang, n_chars
+              FROM documents
+              UNION ALL
+              SELECT doc_id, 'u', doc_id + 100000, lang, n_chars + 1000
+              FROM documents WHERE doc_id % 5 = 0
+              UNION ALL
+              SELECT doc_id, 'd', doc_id + 200000, NULL, NULL
+              FROM documents WHERE doc_id % 7 = 3
+              UNION ALL
+              SELECT doc_id, 'i', doc_id + 300000, 'zz', 5::BIGINT
+              FROM documents WHERE doc_id % 14 = 3),
+            last AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                                  ORDER BY seq DESC) AS rn
+                     FROM cdc)
+            SELECT doc_id, lang, n_chars FROM last WHERE rn = 1 AND op <> 'd'
         """,
         "merge_upsert": """
             WITH up AS (

@@ -122,6 +122,7 @@ HEADLINE = [
     "events_mad_outliers",
     "fuzzy_join_typos",
     "merge_upsert",
+    "cdc_apply_replay",
 ]
 
 

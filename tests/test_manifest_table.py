@@ -90,3 +90,35 @@ def test_delete_and_time_travel_and_vacuum(spark, tmp_path):
     assert removed >= 1
     # live read still intact after vacuum
     assert {r.k for r in t.read().collect()} == rows
+
+
+def test_cdc_apply_lww_and_idempotent_replay(spark, tmp_path):
+    """Within-batch last-writer-wins, cross-batch convergence, and a
+    crash-replayed batch leaving the same final state."""
+    from vanus_spark.sources.manifest_table import ManifestTable
+    from vanus_spark.streaming.cdc import apply_cdc_batch
+
+    t = ManifestTable(spark, str(tmp_path / "cdc"), "k", n_buckets=4)
+    b1 = spark.createDataFrame(
+        [(1, "i", 1, 10), (2, "i", 2, 20), (1, "u", 3, 11)],
+        "k long, op string, seq long, v long",
+    )
+    apply_cdc_batch(t, b1)
+    assert {r.k: r.v for r in t.read().collect()} == {1: 11, 2: 20}
+
+    b2 = spark.createDataFrame(
+        [(2, "d", 4, None), (3, "i", 5, 30), (2, "i", 6, 21)],
+        "k long, op string, seq long, v long",
+    )
+    apply_cdc_batch(t, b2)  # delete then re-insert in one batch: insert wins
+    assert {r.k: r.v for r in t.read().collect()} == {1: 11, 2: 21, 3: 30}
+
+    # replaying b2 (crash recovery) converges to the same state
+    apply_cdc_batch(t, b2)
+    assert {r.k: r.v for r in t.read().collect()} == {1: 11, 2: 21, 3: 30}
+
+    b3 = spark.createDataFrame(
+        [(1, "d", 7, None)], "k long, op string, seq long, v long"
+    )
+    apply_cdc_batch(t, b3)
+    assert {r.k for r in t.read().collect()} == {2, 3}

@@ -221,6 +221,33 @@ class ManifestTable:
         self._commit(mapping)
         return {"rewritten_buckets": len(affected), "epoch": self._epoch}
 
+    def delete_keys(self, keys: DataFrame) -> dict:
+        """Copy-on-write delete BY KEY SET (no driver-side collect of
+        the keys — the CDC-sized sibling of ``delete``): rewrites only
+        the buckets the keys hash into, dropping buckets that end up
+        empty."""
+        affected = sorted(
+            r["_b"]
+            for r in keys.select(self._bucket_col().alias("_b"))
+            .distinct()
+            .collect()
+        )
+        affected = [b for b in affected if b in self._mapping]
+        if not affected:
+            return {"rewritten_buckets": 0, "epoch": self._epoch}
+        survivors = self.read(buckets=affected).join(
+            keys.select(self.key_col).distinct(), self.key_col, "left_anti"
+        )
+        mapping = dict(self._mapping)
+        for b in affected:
+            mapping.pop(b, None)
+        if survivors.limit(1).count() > 0:
+            gen, written = self._write_generation(survivors)
+            for b in written:
+                mapping[b] = f"{gen}/_b={b}"
+        self._commit(mapping)
+        return {"rewritten_buckets": len(affected), "epoch": self._epoch}
+
     def vacuum(self, retain_epochs: int = 1) -> int:
         """Delete generation directories unreferenced by the last
         ``retain_epochs`` manifests (and the live one). Returns the

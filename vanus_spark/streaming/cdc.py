@@ -1,0 +1,58 @@
+"""CDC apply: fold Debezium-style change events into a ManifestTable.
+
+The reference ships a Debezium -> MongoDB sink adapter
+(actions/interp DEBEZIUM_CONVERT_TO_MONGODB_SINK mirrors
+/root/reference's connector semantics); this is the Spark-native
+destination side: a stream of (key, op, seq, payload...) change rows
+applied to the ACID-ish manifest table so the table converges to the
+source system's state.
+
+Per batch (call from ``foreachBatch`` or a deterministic replay):
+
+1. last-writer-wins WITHIN the batch — one per-key window ordered by
+   the change sequence (Debezium's source offset), so a key touched
+   ten times in a batch costs one row;
+2. the surviving upserts apply as ONE partition-pruned MERGE;
+3. the surviving deletes apply as ONE key-set anti-join delete.
+
+Cross-batch ordering comes from the stream itself (micro-batches are
+ordered); within-batch ordering from ``seq_col``. Both table writes
+are epoch-fenced commits, so a crash mid-batch leaves the table at a
+consistent prior epoch and the replayed batch re-applies idempotently
+(same keys, same final rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from vanus_spark.sources.manifest_table import ManifestTable
+
+
+def apply_cdc_batch(
+    table: ManifestTable,
+    batch: DataFrame,
+    op_col: str = "op",
+    seq_col: str = "seq",
+    delete_op: str = "d",
+) -> dict:
+    """Apply one micro-batch of change events. ``batch`` columns =
+    table columns + op_col + seq_col. Returns apply stats."""
+    key = table.key_col
+    w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())
+    last = (
+        batch.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    upserts = last.where(F.col(op_col) != delete_op).drop(op_col, seq_col)
+    deletes = last.where(F.col(op_col) == delete_op).select(key)
+    stats = {"upsert_buckets": 0, "delete_buckets": 0}
+    if upserts.limit(1).count() > 0:
+        stats["upsert_buckets"] = table.merge(upserts)["rewritten_buckets"]
+    if deletes.limit(1).count() > 0:
+        stats["delete_buckets"] = table.delete_keys(deletes)[
+            "rewritten_buckets"
+        ]
+    stats["epoch"] = table._epoch
+    return stats
