@@ -122,3 +122,37 @@ def test_cdc_apply_lww_and_idempotent_replay(spark, tmp_path):
     )
     apply_cdc_batch(t, b3)
     assert {r.k for r in t.read().collect()} == {2, 3}
+
+
+def test_run_cdc_stream_converges(spark, tmp_path):
+    """A real Structured Streaming query (file source, availableNow)
+    folds CDC files into the table; final state matches LWW."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vanus_spark.sources.manifest_table import ManifestTable
+    from vanus_spark.streaming.cdc import run_cdc_stream
+
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    pq.write_table(
+        pa.table(
+            {"k": [1, 2], "op": ["i", "i"], "seq": [1, 2], "v": [10, 20]}
+        ),
+        str(src / "f1.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {"k": [1, 3, 2], "op": ["u", "i", "d"], "seq": [3, 4, 5],
+             "v": [11, 30, None]}
+        ),
+        str(src / "f2.parquet"),
+    )
+    t = ManifestTable(spark, str(tmp_path / "t"), "k", n_buckets=4)
+    q = run_cdc_stream(
+        spark, t, str(src), "k long, op string, seq long, v long",
+        checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
+    )
+    q.awaitTermination(120)
+    t.refresh()
+    assert {r.k: r.v for r in t.read().collect()} == {1: 11, 3: 30}

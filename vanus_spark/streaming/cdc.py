@@ -56,3 +56,36 @@ def apply_cdc_batch(
         ]
     stats["epoch"] = table._epoch
     return stats
+
+
+def run_cdc_stream(
+    spark,
+    table: ManifestTable,
+    source_dir: str,
+    schema,
+    op_col: str = "op",
+    seq_col: str = "seq",
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+    trigger_seconds: float = 2.0,
+):
+    """Continuously fold a CDC file stream into the table: a real
+    Structured Streaming query whose foreachBatch applies
+    ``apply_cdc_batch``. If the source delivers several files in one
+    micro-batch, the within-batch LWW fold (ordered by ``seq_col``)
+    keeps convergence independent of file batching — the property the
+    deterministic-replay oracle (cdc_apply_replay) pins.
+
+    Returns the StreamingQuery; callers own awaitTermination/stop.
+    """
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    writer = stream.writeStream.foreachBatch(
+        lambda df, _eid: apply_cdc_batch(table, df, op_col, seq_col)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
