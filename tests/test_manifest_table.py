@@ -59,7 +59,10 @@ def test_crash_before_commit_leaves_table_intact(spark, tmp_path):
     assert sorted((r.k, r.v) for r in t.read().collect()) == rows0
 
 
-def test_concurrent_writer_fenced(spark, tmp_path):
+def test_concurrent_writer_conflict_vs_rebase(spark, tmp_path):
+    """Delta-style conflict resolution: a stale writer whose rewrite
+    touched a bucket another commit changed RAISES; a stale writer
+    touching only other buckets rebases and commits."""
     from vanus_spark.sources.manifest_table import (
         ConcurrentWriterError,
         ManifestTable,
@@ -67,13 +70,30 @@ def test_concurrent_writer_fenced(spark, tmp_path):
 
     t1 = _mk(spark, tmp_path)
     t2 = ManifestTable(spark, t1.path, "k", n_buckets=t1.n_buckets)
+    t3 = ManifestTable(spark, t1.path, "k", n_buckets=t1.n_buckets)
     t1.merge(spark.createDataFrame([(3, 1)], "k long, v long"))
+
+    # same-bucket conflict: t2 is stale AND touches key 3's bucket
     with pytest.raises(ConcurrentWriterError):
-        t2.merge(spark.createDataFrame([(4, 2)], "k long, v long"))
-    t2.refresh()
-    t2.merge(spark.createDataFrame([(4, 2)], "k long, v long"))
-    rows = {r.k: r.v for r in t2.read().collect()}
-    assert rows[3] == 1 and rows[4] == 2
+        t2.merge(spark.createDataFrame([(3, 2)], "k long, v long"))
+
+    # disjoint buckets: find a key hashing into a DIFFERENT bucket
+    b_of = {
+        r.k: r.b
+        for r in spark.range(30)
+        .select(
+            F.col("id").alias("k"),
+            F.pmod(F.xxhash64(F.col("id")), F.lit(t1.n_buckets)).alias("b"),
+        )
+        .collect()
+    }
+    other = next(k for k in sorted(b_of) if b_of[k] != b_of[3] and k != 3)
+    # t3 is stale (observed the pre-merge epoch) but touches only
+    # `other`'s bucket -> rebases onto t1's commit and succeeds
+    t3.merge(spark.createDataFrame([(int(other), 777)], "k long, v long"))
+    fresh = ManifestTable(spark, t1.path, "k", n_buckets=t1.n_buckets)
+    rows = {r.k: r.v for r in fresh.read().collect()}
+    assert rows[3] == 1 and rows[other] == 777
 
 
 def test_delete_and_time_travel_and_vacuum(spark, tmp_path):

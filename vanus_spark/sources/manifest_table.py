@@ -150,6 +150,40 @@ class ManifestTable:
 
     # ----- writes ----------------------------------------------------------
 
+    def _commit_buckets(
+        self,
+        base_view: dict[int, str | None],
+        updates: dict[int, str | None],
+        max_retries: int = 5,
+    ) -> None:
+        """Bucket-level commit with Delta-style conflict resolution:
+        if another writer committed in between but touched only OTHER
+        buckets, rebase our bucket updates onto the live manifest and
+        retry; if any bucket we READ for this rewrite changed
+        (``base_view`` mismatch), the rewrite was computed against a
+        stale snapshot and the conflict is real — raise."""
+        for _ in range(max_retries):
+            for b, based_on in base_view.items():
+                if self._mapping.get(b) != based_on:
+                    raise ConcurrentWriterError(
+                        f"bucket {b} changed since this rewrite read it "
+                        f"({based_on} -> {self._mapping.get(b)})"
+                    )
+            mapping = dict(self._mapping)
+            for b, d in updates.items():
+                if d is None:
+                    mapping.pop(b, None)
+                else:
+                    mapping[b] = d
+            try:
+                self._commit(mapping)
+                return
+            except ConcurrentWriterError:
+                self.refresh()  # rebase and re-check the conflict set
+        raise ConcurrentWriterError(
+            f"gave up after {max_retries} rebase attempts"
+        )
+
     def _write_generation(self, df: DataFrame) -> tuple[str, list[int]]:
         """One Spark job writes df into gen/_b=<bucket>/ subdirs;
         returns (gen name, buckets written)."""
@@ -181,6 +215,7 @@ class ManifestTable:
                 self._bucket_col().alias("_b")
             ).distinct().collect()
         )
+        base_view = {b: self._mapping.get(b) for b in affected}
         current = {b: d for b, d in self._mapping.items() if b in affected}
         if current:
             cur_rows = self.read(buckets=affected)
@@ -191,10 +226,9 @@ class ManifestTable:
         else:
             new_rows = updates
         gen, written = self._write_generation(new_rows)
-        mapping = dict(self._mapping)
-        for b in written:
-            mapping[b] = f"{gen}/_b={b}"
-        self._commit(mapping)
+        self._commit_buckets(
+            base_view, {b: f"{gen}/_b={b}" for b in written}
+        )
         return {"rewritten_buckets": len(affected), "epoch": self._epoch}
 
     def delete(self, predicate) -> dict:
@@ -210,15 +244,14 @@ class ManifestTable:
         )
         if not affected:
             return {"rewritten_buckets": 0, "epoch": self._epoch}
+        base_view = {b: self._mapping.get(b) for b in affected}
         survivors = self.read(buckets=affected).where(~predicate)
-        mapping = dict(self._mapping)
-        for b in affected:
-            mapping.pop(b, None)
+        updates: dict[int, str | None] = {b: None for b in affected}
         if survivors.limit(1).count() > 0:
             gen, written = self._write_generation(survivors)
             for b in written:
-                mapping[b] = f"{gen}/_b={b}"
-        self._commit(mapping)
+                updates[b] = f"{gen}/_b={b}"
+        self._commit_buckets(base_view, updates)
         return {"rewritten_buckets": len(affected), "epoch": self._epoch}
 
     def delete_keys(self, keys: DataFrame) -> dict:
@@ -235,17 +268,16 @@ class ManifestTable:
         affected = [b for b in affected if b in self._mapping]
         if not affected:
             return {"rewritten_buckets": 0, "epoch": self._epoch}
+        base_view = {b: self._mapping.get(b) for b in affected}
         survivors = self.read(buckets=affected).join(
             keys.select(self.key_col).distinct(), self.key_col, "left_anti"
         )
-        mapping = dict(self._mapping)
-        for b in affected:
-            mapping.pop(b, None)
+        updates: dict[int, str | None] = {b: None for b in affected}
         if survivors.limit(1).count() > 0:
             gen, written = self._write_generation(survivors)
             for b in written:
-                mapping[b] = f"{gen}/_b={b}"
-        self._commit(mapping)
+                updates[b] = f"{gen}/_b={b}"
+        self._commit_buckets(base_view, updates)
         return {"rewritten_buckets": len(affected), "epoch": self._epoch}
 
     def vacuum(self, retain_epochs: int = 1) -> int:
