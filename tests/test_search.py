@@ -76,3 +76,41 @@ def test_bm25_empty_query_yields_no_rows(spark):
     docs = _docs(spark, [(1, "a b c")])
     qs = spark.createDataFrame([(9, "   ")], "query_id long, query_text string")
     assert bm25_search(docs, qs).count() == 0
+
+
+def test_bm25_plan_shape(spark, sf_dir):
+    """Pin the scale-shape: query/df/stats sides broadcast, no
+    cartesian product, no sort-merge join anywhere in the plan."""
+    from pyspark.sql import functions as F
+
+    from vanus_spark.llm.dedup import normalize_text
+    from vanus_spark.llm.search import bm25_search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qs = docs.where(F.col("doc_id") < 2).select(
+        F.col("doc_id").alias("query_id"),
+        F.substring(normalize_text(F.col("text")), 1, 20).alias("query_text"),
+    )
+    plan = (
+        bm25_search(docs, qs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_heavy_hitters_plan_shape(spark, sf_dir):
+    """The exact recount must be a broadcast left-semi against the
+    candidate set — never a shuffle of the vocabulary."""
+    from vanus_spark.llm.search import tokens_df
+    from vanus_spark.operators.sketch_topk import heavy_hitters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        heavy_hitters(tokens_df(docs), "term", k=5, capacity=256)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan and "Broadcast" in plan
+    assert "CartesianProduct" not in plan
