@@ -2835,6 +2835,89 @@ def q_ingest_metrics_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_metrics(loop.metrics_df(), every=2)
 
 
+def q_authz_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch RBAC authorization (authz.authorize_requests — the
+    faithful port of /root/reference/pkg/authorization, including the
+    eventbus/subscription role-alias quirk): 10k audit-log requests
+    derived from events, role bindings derived from nation, resource
+    ownership by expression; decisions via three broadcast joins
+    (clusterAdmin, direct grant, namespace escalation). The oracle
+    restates the role->action table as a VALUES literal and re-derives
+    every decision in SQL."""
+    from vanus_spark.authz import authorize_requests
+
+    ev = _t(spark, sf_dir, "events")
+    kind = F.element_at(
+        F.array(F.lit("eventbus"), F.lit("subscription"), F.lit("namespace")),
+        (F.col("event_id") % 3 + 1).cast("int"),
+    )
+    eb_act = F.element_at(
+        F.array(*[F.lit(a) for a in (
+            "eventbus:read", "eventbus:write", "eventbus:get",
+            "eventbus:delete")]),
+        (F.col("event_id") % 4 + 1).cast("int"),
+    )
+    sub_act = F.element_at(
+        F.array(*[F.lit(a) for a in (
+            "subscription:get", "subscription:update",
+            "subscription:delete", "subscription:create")]),
+        (F.col("event_id") % 4 + 1).cast("int"),
+    )
+    ns_act = F.element_at(
+        F.array(*[F.lit(a) for a in (
+            "namespace:get", "namespace:grant", "namespace:revoke")]),
+        (F.col("user_id") % 3 + 1).cast("int"),
+    )
+    requests = ev.select(
+        F.col("event_id").alias("req_id"),
+        F.concat(F.lit("u"), F.col("user_id") % 8).alias("user"),
+        kind.alias("resource_kind"),
+        (F.col("user_id") % 6 + 1).alias("resource_id"),
+        F.when(kind == "eventbus", eb_act)
+        .when(kind == "subscription", sub_act)
+        .otherwise(ns_act)
+        .alias("action"),
+    )
+    nat = _t(spark, sf_dir, "nation")
+    rkind = F.element_at(
+        F.array(*[F.lit(k) for k in (
+            "namespace", "eventbus", "subscription", "namespace", "cluster")]),
+        (F.col("n_regionkey") + 1).cast("int"),
+    )
+    roles = nat.select(
+        F.concat(F.lit("u"), F.col("n_nationkey") % 8).alias("user"),
+        F.when(rkind == "cluster", F.lit("clusterAdmin"))
+        .otherwise(
+            F.element_at(
+                F.array(*[F.lit(r) for r in ("admin", "edit", "view", "read")]),
+                (F.col("n_nationkey") % 4 + 1).cast("int"),
+            )
+        )
+        .alias("role"),
+        rkind.alias("resource_kind"),
+        F.when(rkind == "cluster", F.lit(0))
+        .otherwise(F.col("n_nationkey") % 6 + 1)
+        .cast("long")
+        .alias("resource_id"),
+    )
+    ids = spark.range(1, 7)
+    resources = (
+        ids.select(
+            F.lit("eventbus").alias("resource_kind"),
+            F.col("id").alias("resource_id"),
+            (F.col("id") % 3 + 1).alias("namespace_id"),
+        )
+        .unionByName(
+            ids.select(
+                F.lit("subscription").alias("resource_kind"),
+                F.col("id").alias("resource_id"),
+                (F.col("id") % 3 + 1).alias("namespace_id"),
+            )
+        )
+    )
+    return authorize_requests(requests, roles, resources)
+
+
 def q_cdc_apply_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Debezium-style CDC replay into the ACID manifest table
     (streaming/cdc.apply_cdc_batch): three ordered change batches —
@@ -3285,6 +3368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_psi": q_corpus_psi,
         "merge_upsert": q_merge_upsert,
         "cdc_apply_replay": q_cdc_apply_replay,
+        "authz_decisions": q_authz_decisions,
         "events_transitions": q_events_transitions,
         "events_mad_outliers": q_events_mad_outliers,
         "fuzzy_join_typos": q_fuzzy_join_typos,
@@ -3334,7 +3418,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_stream": q_dedup_incremental_stream,
         "dedup_substring": q_dedup_substring,
         # --- filter-dependent streaming / transformer e2e ---
-        "transform_pipeline_e2e": q_transform_pipeline_e2e,
         # --- hash-gated this round (was the one rows-only entry):
         # per-language rollup + full-token-array checksum vs a pinned
         # golden; the TRAINING side stays gated by bpe_merges above ---
@@ -3363,6 +3446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "transform_pipeline_compiled": q_transform_pipeline_compiled,
         "subscription_full": q_subscription_full,
+        "transform_pipeline_e2e": q_transform_pipeline_e2e,
         "vsctl_get": q_vsctl_get,
         "corpus_diff": q_corpus_diff,
         "sink_payload_roundtrip": q_sink_payload_roundtrip,
@@ -3465,6 +3549,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _NORM = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
+
+
+def _authz_ra_values() -> str:
+    """The reference's built-in role->action table restated as a SQL
+    VALUES literal (independent of vanus_spark.authz — re-derived from
+    /root/reference/pkg/authorization/role.go:90-110, with the
+    eventbus/subscription alias collapse applied)."""
+    table = {
+        ("namespace", "admin"): [
+            "namespace:get", "namespace:grant", "namespace:revoke",
+            "eventbus:create", "eventbus:delete", "eventbus:grant",
+            "eventbus:revoke", "eventbus:update", "eventbus:get",
+            "eventbus:read", "eventbus:write",
+            "subscription:create", "subscription:delete",
+            "subscription:grant", "subscription:revoke",
+            "subscription:update", "subscription:get",
+        ],
+        ("namespace", "edit"): [
+            "namespace:get",
+            "eventbus:create", "eventbus:delete", "eventbus:grant",
+            "eventbus:revoke", "eventbus:update", "eventbus:get",
+            "eventbus:read", "eventbus:write",
+            "subscription:create", "subscription:delete",
+            "subscription:grant", "subscription:revoke",
+            "subscription:update", "subscription:get",
+        ],
+        ("namespace", "view"): [
+            "namespace:get", "eventbus:get", "subscription:get",
+        ],
+        ("eventbus", "admin"): [
+            "eventbus:create", "eventbus:grant", "eventbus:revoke",
+            "eventbus:update", "eventbus:get", "eventbus:read",
+            "eventbus:write",
+        ],
+        ("subscription", "admin"): [
+            "subscription:create", "subscription:grant",
+            "subscription:revoke", "subscription:update",
+            "subscription:get",
+        ],
+    }
+    return ",\n              ".join(
+        f"('{k}', '{r}', '{a}')"
+        for (k, r), acts in table.items()
+        for a in acts
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4251,6 +4380,77 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(string_agg(CASE WHEN NOT boil THEN line END,
                                        chr(10) ORDER BY pos), '') AS clean_text
             FROM t GROUP BY doc_id
+        """,
+        "authz_decisions": f"""
+            WITH ra(resource_kind, role, action) AS (VALUES
+              {_authz_ra_values()}),
+            req AS (
+              SELECT event_id AS req_id,
+                     'u' || (user_id % 8) AS "user",
+                     CASE event_id % 3 WHEN 0 THEN 'eventbus'
+                                       WHEN 1 THEN 'subscription'
+                                       ELSE 'namespace' END AS resource_kind,
+                     user_id % 6 + 1 AS resource_id,
+                     CASE WHEN event_id % 3 = 0 THEN
+                            CASE event_id % 4 WHEN 0 THEN 'eventbus:read'
+                                              WHEN 1 THEN 'eventbus:write'
+                                              WHEN 2 THEN 'eventbus:get'
+                                              ELSE 'eventbus:delete' END
+                          WHEN event_id % 3 = 1 THEN
+                            CASE event_id % 4 WHEN 0 THEN 'subscription:get'
+                                              WHEN 1 THEN 'subscription:update'
+                                              WHEN 2 THEN 'subscription:delete'
+                                              ELSE 'subscription:create' END
+                          ELSE
+                            CASE user_id % 3 WHEN 0 THEN 'namespace:get'
+                                             WHEN 1 THEN 'namespace:grant'
+                                             ELSE 'namespace:revoke' END
+                     END AS action
+              FROM events),
+            rol AS (
+              SELECT 'u' || (n_nationkey % 8) AS "user",
+                     CASE WHEN n_regionkey = 4 THEN 'clusterAdmin'
+                          ELSE CASE n_nationkey % 4 WHEN 0 THEN 'admin'
+                                                    WHEN 1 THEN 'edit'
+                                                    WHEN 2 THEN 'view'
+                                                    ELSE 'read' END
+                     END AS role,
+                     CASE n_regionkey WHEN 0 THEN 'namespace'
+                                      WHEN 1 THEN 'eventbus'
+                                      WHEN 2 THEN 'subscription'
+                                      WHEN 3 THEN 'namespace'
+                                      ELSE 'cluster' END AS resource_kind,
+                     CASE WHEN n_regionkey = 4 THEN 0
+                          ELSE n_nationkey % 6 + 1 END::BIGINT AS resource_id
+              FROM nation),
+            res AS (
+              SELECT 'eventbus' AS resource_kind, i AS resource_id,
+                     i % 3 + 1 AS namespace_id
+              FROM range(1, 7) t(i)
+              UNION ALL
+              SELECT 'subscription', i, i % 3 + 1 FROM range(1, 7) t(i)),
+            grants AS (
+              SELECT r."user" AS g_user, r.resource_id AS g_rid, ra.action
+              FROM rol r JOIN ra USING (resource_kind, role)),
+            ok AS (
+              SELECT req_id FROM req
+              WHERE "user" IN (SELECT "user" FROM rol
+                               WHERE role = 'clusterAdmin')
+              UNION
+              SELECT req_id FROM req JOIN grants g
+                ON req."user" = g.g_user AND req.resource_id = g.g_rid
+                   AND req.action = g.action
+              UNION
+              SELECT req_id FROM req
+                JOIN res USING (resource_kind, resource_id)
+                JOIN grants g ON req."user" = g.g_user
+                             AND res.namespace_id = g.g_rid
+                             AND req.action = g.action
+              WHERE req.resource_kind IN ('eventbus', 'subscription'))
+            SELECT req.req_id, req."user", req.resource_kind,
+                   req.resource_id, req.action,
+                   (req.req_id IN (SELECT req_id FROM ok)) AS allowed
+            FROM req
         """,
         "cdc_apply_replay": """
             WITH cdc AS (

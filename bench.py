@@ -123,6 +123,7 @@ HEADLINE = [
     "fuzzy_join_typos",
     "merge_upsert",
     "cdc_apply_replay",
+    "authz_decisions",
 ]
 
 
