@@ -3335,15 +3335,20 @@ def q_text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver verifies the FIRST 50 entries of this dict
     # against the DuckDB oracles (each CORRECTNESS file contains exactly
-    # registry positions 1-50). Round-5 window = every query NEW this round
-    # (session_windows_replay, filter_cel_data_dynamic, events_ewma,
+    # registry positions 1-50). Round-5 window = every query NEW this round:
+    # the early-r5 batch (session_windows_replay, events_ewma,
     # sample_weighted, schema_drift, hard_negatives, tpch_q17_small_qty,
-    # stream_stream_join_replay, state_time_travel, plus bpe_token_count —
-    # newly hash-gated via the golden per-language token rollup), and queries
-    # whose code paths CHANGED this round (the filter/cel family after the
-    # schema-inference extension, the dedup-ingest chain after the
-    # generation/fencing/time-travel state rework, zorder after the
-    # exact=False default flip, dedup_substring after the plan audit).
+    # stream_stream_join_replay, state_time_travel, stream_dedup_replay,
+    # link_triangles, events_sketch_stats, filter_cel_data_dynamic, plus
+    # bpe_token_count newly hash-gated) and the late-r5 batch
+    # (text_search_bm25, fuzzy_name_pairs + fuzzy_join_typos,
+    # events_gapfill/cusum/transitions/mad_outliers, tpch_q4/q21/q22,
+    # heavy_hitters_tokens, table_expectations, corpus_psi, merge_upsert,
+    # cdc_apply_replay, authz_decisions), plus queries whose code paths
+    # CHANGED this round (filter/cel family after the schema-inference
+    # extension, the dedup-ingest chain after the fencing/time-travel
+    # rework, zorder after the exact=False default flip, dedup_substring,
+    # events_sketch_stats after the Expand split).
     # Multi-round-green unchanged queries rotate to the tail; ALL entries
     # remain gated by tools/oracle_check.py regardless of position.
     return {
