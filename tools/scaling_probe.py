@@ -283,8 +283,32 @@ def main() -> None:
             F.col("doc_id").alias("query_id"),
             F.substring("text", 1, 30).alias("query_text"),
         )
+        mt_state: dict = {}
+
+        def merge_probe() -> int:
+            """COW MERGE cost vs table size: write_full once (warm
+            call), then time a 100-key upsert — the pruned rewrite
+            should track the AFFECTED BUCKETS' size, not the table."""
+            import tempfile
+
+            from vanus_spark.sources.manifest_table import ManifestTable
+
+            if "t" not in mt_state:
+                tmp = tempfile.mkdtemp(prefix="vs_probe_mt_")
+                t = ManifestTable(
+                    docs.sparkSession, f"{tmp}/t", "doc_id", n_buckets=64
+                )
+                t.write_full(docs.select("doc_id", "text"))
+                mt_state["t"] = t
+            t = mt_state["t"]
+            upd = docs.where(F.col("doc_id") % 997 == 0).select(
+                "doc_id", F.upper("text").alias("text")
+            )
+            return t.merge(upd)["rewritten_buckets"]
+
         return {
             "bm25_search": lambda: bm25_search(docs, queries, k=10).count(),
+            "merge_pruned": merge_probe,
             "fuzzy_pairs": lambda: fuzzy_self_pairs(names, "name", "id").count(),
             "gapfill": lambda: gapfill(evs, "ts", "key", "value").count(),
             "cusum": lambda: cusum(
