@@ -176,3 +176,40 @@ def test_run_cdc_stream_converges(spark, tmp_path):
     q.awaitTermination(120)
     t.refresh()
     assert {r.k: r.v for r in t.read().collect()} == {1: 11, 3: 30}
+
+
+def test_run_cdc_stream_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Restarting the stream with the same checkpoint applies ONLY new
+    files: the epoch count proves the old batch wasn't re-applied."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vanus_spark.sources.manifest_table import ManifestTable
+    from vanus_spark.streaming.cdc import run_cdc_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "k long, op string, seq long, v long"
+    pq.write_table(
+        pa.table({"k": [1], "op": ["i"], "seq": [1], "v": [10]}),
+        str(src / "f1.parquet"),
+    )
+    t = ManifestTable(spark, str(tmp_path / "t"), "k", n_buckets=4)
+    q = run_cdc_stream(spark, t, str(src), schema,
+                       checkpoint_dir=str(tmp_path / "ck"), available_now=True)
+    q.awaitTermination(120)
+    t.refresh()
+    epoch_after_first = t._epoch
+    assert {r.k: r.v for r in t.read().collect()} == {1: 10}
+
+    pq.write_table(
+        pa.table({"k": [2], "op": ["i"], "seq": [2], "v": [20]}),
+        str(src / "f2.parquet"),
+    )
+    q2 = run_cdc_stream(spark, t, str(src), schema,
+                        checkpoint_dir=str(tmp_path / "ck"), available_now=True)
+    q2.awaitTermination(120)
+    t.refresh()
+    assert {r.k: r.v for r in t.read().collect()} == {1: 10, 2: 20}
+    # exactly ONE more commit: f1 was not re-applied
+    assert t._epoch == epoch_after_first + 1
