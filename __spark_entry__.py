@@ -2835,6 +2835,26 @@ def q_ingest_metrics_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_metrics(loop.metrics_df(), every=2)
 
 
+def q_export_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL export/ingest roundtrip (sources/jsonl.py): write the
+    documents table as 8 gzip JSONL shards, read it back with an
+    explicit schema, and hand the rows to the oracle — the writer,
+    shard layout, and reader are all under the hash (exact integer/
+    string columns, so JSON rendering cannot introduce drift)."""
+    import tempfile
+
+    from vanus_spark.sources.jsonl import write_documents_jsonl
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    tmp = tempfile.mkdtemp(prefix="vs_jsonl_")
+    write_documents_jsonl(docs.repartition(8), f"{tmp}/out", compression="gzip")
+    return spark.read.schema(
+        "doc_id long, lang string, source string, n_chars long"
+    ).json(f"{tmp}/out")
+
+
 def q_authz_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch RBAC authorization (authz.authorize_requests — the
     faithful port of /root/reference/pkg/authorization, including the
@@ -3374,6 +3394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "cdc_apply_replay": q_cdc_apply_replay,
         "authz_decisions": q_authz_decisions,
+        "export_jsonl_roundtrip": q_export_jsonl_roundtrip,
         "events_transitions": q_events_transitions,
         "events_mad_outliers": q_events_mad_outliers,
         "fuzzy_join_typos": q_fuzzy_join_typos,
@@ -3382,7 +3403,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22_idle_balances": q_tpch_q22_idle_balances,
         "zorder_layout": q_zorder_layout,
         "dedup_best_rep": q_dedup_best_rep,
-        "link_pagerank": q_link_pagerank,
         "hash_split": q_hash_split,
         "intra_doc_dedup": q_intra_doc_dedup,
         "url_domain_filter": q_url_domain_filter,
@@ -3452,6 +3472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_pipeline_compiled": q_transform_pipeline_compiled,
         "subscription_full": q_subscription_full,
         "transform_pipeline_e2e": q_transform_pipeline_e2e,
+        "link_pagerank": q_link_pagerank,
         "vsctl_get": q_vsctl_get,
         "corpus_diff": q_corpus_diff,
         "sink_payload_roundtrip": q_sink_payload_roundtrip,
@@ -4385,6 +4406,9 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(string_agg(CASE WHEN NOT boil THEN line END,
                                        chr(10) ORDER BY pos), '') AS clean_text
             FROM t GROUP BY doc_id
+        """,
+        "export_jsonl_roundtrip": """
+            SELECT doc_id, lang, source, n_chars FROM documents
         """,
         "authz_decisions": f"""
             WITH ra(resource_kind, role, action) AS (VALUES

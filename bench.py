@@ -124,6 +124,7 @@ HEADLINE = [
     "merge_upsert",
     "cdc_apply_replay",
     "authz_decisions",
+    "export_jsonl_roundtrip",
 ]
 
 
