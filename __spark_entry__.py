@@ -2835,6 +2835,52 @@ def q_ingest_metrics_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_metrics(loop.metrics_df(), every=2)
 
 
+def q_events_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking/navigation window-function surface in one
+    query: lag/lead, rank/dense_rank/row_number, ntile, percent_rank,
+    cume_dist, and a centered moving average — all over ONE per-user
+    ordered window spec (deterministic order: ts, event_id), so the
+    whole suite costs a single key shuffle."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 15)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = w.rowsBetween(-2, 2)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.lag("value", 1).over(w).alias("prev_value"),
+        F.lead("value", 2).over(w).alias("next2_value"),
+        F.row_number().over(w).alias("rn"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        # cents floor -> integer-valued doubles: the frame sum is exact
+        # in either engine's summation order, so round(6) is airtight
+        F.round(F.avg(F.floor(F.col("value") * 100)).over(wr), 6).alias(
+            "centered_ma5_cents"
+        ),
+    )
+
+
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (all grouping-set combinations of event_type x
+    day): counts and exact integer value sums per cell, with
+    grouping-id disambiguating the null cells — the reporting rollup's
+    big sibling (events_rollup covers ROLLUP)."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    return (
+        ev.select("event_type", day, "value")
+        .cube("event_type", "day")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+                "value_cents"
+            ),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
 def q_export_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL export/ingest roundtrip (sources/jsonl.py): write the
     documents table as 8 gzip JSONL shards, read it back with an
@@ -3395,6 +3441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply_replay": q_cdc_apply_replay,
         "authz_decisions": q_authz_decisions,
         "export_jsonl_roundtrip": q_export_jsonl_roundtrip,
+        "events_window_suite": q_events_window_suite,
+        "events_cube": q_events_cube,
         "events_transitions": q_events_transitions,
         "events_mad_outliers": q_events_mad_outliers,
         "fuzzy_join_typos": q_fuzzy_join_typos,
@@ -3404,7 +3452,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": q_zorder_layout,
         "dedup_best_rep": q_dedup_best_rep,
         "hash_split": q_hash_split,
-        "intra_doc_dedup": q_intra_doc_dedup,
         "url_domain_filter": q_url_domain_filter,
         "corpus_shuffle": q_corpus_shuffle,
         "ingest_metrics_windowed": q_ingest_metrics_windowed,
@@ -3439,7 +3486,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- dedup/LSH family: bucket_cap default flip + pointer-jump ---
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "corpus_clean": q_corpus_clean,
-        "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_stream": q_dedup_incremental_stream,
         "dedup_substring": q_dedup_substring,
         # --- filter-dependent streaming / transformer e2e ---
@@ -3473,6 +3519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subscription_full": q_subscription_full,
         "transform_pipeline_e2e": q_transform_pipeline_e2e,
         "link_pagerank": q_link_pagerank,
+        "dedup_incremental": q_dedup_incremental,
+        "intra_doc_dedup": q_intra_doc_dedup,
         "vsctl_get": q_vsctl_get,
         "corpus_diff": q_corpus_diff,
         "sink_payload_roundtrip": q_sink_payload_roundtrip,
@@ -4406,6 +4454,30 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(string_agg(CASE WHEN NOT boil THEN line END,
                                        chr(10) ORDER BY pos), '') AS clean_text
             FROM t GROUP BY doc_id
+        """,
+        "events_window_suite": """
+            SELECT user_id, event_id,
+                   lag(value, 1) OVER w AS prev_value,
+                   lead(value, 2) OVER w AS next2_value,
+                   (row_number() OVER w)::INT AS rn,
+                   (ntile(4) OVER w)::INT AS quartile,
+                   round(percent_rank() OVER w, 9) AS pct_rank,
+                   round(cume_dist() OVER w, 9) AS cume,
+                   round(avg(floor(value * 100))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6)
+                     AS centered_ma5_cents
+            FROM events WHERE user_id < 15
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "events_cube": """
+            SELECT event_type,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   count(*)::BIGINT AS n,
+                   sum(floor(value * 100)::BIGINT)::BIGINT AS value_cents,
+                   (grouping(event_type) * 2 + grouping(day))::BIGINT AS gid
+            FROM events
+            GROUP BY CUBE (event_type, day)
         """,
         "export_jsonl_roundtrip": """
             SELECT doc_id, lang, source, n_chars FROM documents

@@ -125,6 +125,8 @@ HEADLINE = [
     "cdc_apply_replay",
     "authz_decisions",
     "export_jsonl_roundtrip",
+    "events_window_suite",
+    "events_cube",
 ]
 
 
