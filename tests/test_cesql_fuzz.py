@@ -137,6 +137,22 @@ def gen_bool(rng, depth):  # -> boolean-rooted node
         else:
             node = ("fn", which, [s1, ("int", rng.choice([0, 1, 2, 5]))])
         return ("cmp", rng.choice(["=", "!="]), node, gen_string(rng))
+    if r < 0.82:  # SUBSTRING / CONCAT_WS / STRING builders (late-r5 ext)
+        which = rng.choice(["SUBSTR2", "SUBSTR3", "CONCAT_WS", "STRING"])
+        if which == "SUBSTR2":
+            node = ("fn", "SUBSTRING",
+                    [gen_string(rng), ("int", rng.choice([1, 2, 3, 5]))])
+        elif which == "SUBSTR3":
+            node = ("fn", "SUBSTRING",
+                    [gen_string(rng), ("int", rng.choice([1, 2, 3])),
+                     ("int", rng.choice([0, 1, 2, 4]))])
+        elif which == "CONCAT_WS":
+            node = ("fn", "CONCAT_WS",
+                    [("str", rng.choice(["-", ",", ""])),
+                     gen_string(rng), gen_string(rng)])
+        else:
+            node = ("fn", "STRING", [("int", rng.choice(INT_POOL))])
+        return ("cmp", rng.choice(["=", "!="]), node, gen_string(rng))
     op = rng.choice(["and", "or", "xor", "not"])
 
     def operand():
@@ -412,6 +428,22 @@ def pyeval(n, row):
             if name == "LEFT":
                 return s[:nn], "str"
             return (s[max(len(s) - nn, 0):] if nn > 0 else ""), "str"
+        if name == "SUBSTRING":
+            s = _to_string(*pyeval(args[0], row))
+            pos, _ = pyeval(args[1], row)
+            if s is None:
+                return None, "str"
+            if len(args) == 3:
+                ln, _ = pyeval(args[2], row)
+                return s[pos - 1 : pos - 1 + ln], "str"
+            return s[pos - 1 :], "str"
+        if name == "CONCAT_WS":
+            parts = [_to_string(*pyeval(a, row)) for a in args]
+            if any(p is None for p in parts):
+                return None, "str"
+            return parts[0].join(parts[1:]), "str"
+        if name == "STRING":
+            return _to_string(*pyeval(args[0], row)), "str"
         if name == "IS_INT":
             s = _to_string(*pyeval(args[0], row))
             return (False if s is None else _str_to_long(s) is not None), "bool"
