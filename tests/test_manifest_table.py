@@ -213,3 +213,59 @@ def test_run_cdc_stream_restart_resumes_from_checkpoint(spark, tmp_path):
     assert {r.k: r.v for r in t.read().collect()} == {1: 10, 2: 20}
     # exactly ONE more commit: f1 was not re-applied
     assert t._epoch == epoch_after_first + 1
+
+
+def test_stats_pruned_read_skips_cold_buckets(spark, tmp_path):
+    """Per-bucket min/max sidecars: a range read skips buckets that
+    cannot contain matches, and pruning never changes the answer."""
+    from vanus_spark.sources.manifest_table import ManifestTable
+
+    t = ManifestTable(spark, str(tmp_path / "t"), "k", n_buckets=8,
+                      stats_cols=["v"])
+    # find keys all hashing into ONE bucket; give them hot values
+    b_of = {
+        r.k: r.b
+        for r in spark.range(200)
+        .select(F.col("id").alias("k"),
+                F.pmod(F.xxhash64(F.col("id")), F.lit(8)).alias("b"))
+        .collect()
+    }
+    hot_bucket = b_of[0]
+    rows = [
+        (int(k), 1000 + int(k) if b == hot_bucket else int(k) % 100)
+        for k, b in b_of.items()
+    ]
+    df = spark.createDataFrame(rows, "k long, v long")
+    t.write_full(df)
+
+    pruned, st = t.read_pruned("v", lo=1000)
+    expected = {r.k for r in df.where(F.col("v") >= 1000).collect()}
+    assert {r.k for r in pruned.collect()} == expected and expected
+    assert st["buckets_read"] == 1 and st["buckets_skipped"] == 7
+
+    # a range below every stored minimum of the hot bucket still reads
+    # the cold ones; answer identical to the unpruned filter
+    pruned2, st2 = t.read_pruned("v", lo=0, hi=50)
+    assert {r.k for r in pruned2.collect()} == {
+        r.k for r in df.where((F.col("v") >= 0) & (F.col("v") <= 50)).collect()
+    }
+    assert st2["buckets_skipped"] >= 1  # the hot bucket misses [0, 50]
+
+    # empty range: everything pruned, empty result, no wrong rows
+    pruned3, st3 = t.read_pruned("v", lo=10_000)
+    assert pruned3.count() == 0 and st3["buckets_read"] == 0
+
+
+def test_stats_sidecar_survives_merge(spark, tmp_path):
+    """A merge refreshes the rewritten buckets' stats; pruning after
+    the merge reflects the NEW values."""
+    from vanus_spark.sources.manifest_table import ManifestTable
+
+    t = ManifestTable(spark, str(tmp_path / "t"), "k", n_buckets=4,
+                      stats_cols=["v"])
+    t.write_full(spark.createDataFrame(
+        [(i, i) for i in range(40)], "k long, v long"))
+    t.merge(spark.createDataFrame([(3, 99999)], "k long, v long"))
+    pruned, st = t.read_pruned("v", lo=99999)
+    assert [r.k for r in pruned.collect()] == [3]
+    assert st["buckets_read"] == 1

@@ -47,11 +47,17 @@ class ManifestTable:
         path: str,
         key_col: str,
         n_buckets: int = 16,
+        stats_cols: list[str] | None = None,
     ):
         self.spark = spark
         self.path = path
         self.key_col = key_col
         self.n_buckets = n_buckets
+        # columns to collect per-bucket min/max for at write time —
+        # the data-skipping sidecar (Iceberg/Delta file stats shape):
+        # a stats-pruned read skips whole buckets whose [min, max]
+        # cannot satisfy a range predicate
+        self.stats_cols = list(stats_cols or [])
         self._writer_id = uuid.uuid4().hex[:8]
         os.makedirs(path, exist_ok=True)
         self._epoch, self._mapping = self._read_manifest()
@@ -138,6 +144,47 @@ class ManifestTable:
             raise ValueError("empty table (no committed buckets)")
         return self.spark.read.parquet(*dirs)
 
+    def read_pruned(
+        self, col: str, lo=None, hi=None
+    ) -> tuple[DataFrame, dict]:
+        """Stats-pruned range read: skip every bucket whose stored
+        [min, max] for ``col`` cannot intersect [lo, hi] (either bound
+        may be None). The residual predicate is ALWAYS applied to the
+        surviving buckets, so a missing or stale sidecar only costs
+        the skip, never correctness. Returns (df, {"buckets_read",
+        "buckets_skipped"})."""
+        import json
+
+        keep: list[int] = []
+        skipped = 0
+        for b, d in sorted(self._mapping.items()):
+            gen_root = f"{self.path}/data/{d.split('/', 1)[0]}"
+            sp = f"{gen_root}/_stats.json"
+            prune = False
+            if os.path.exists(sp):
+                with open(sp) as f:
+                    st = json.load(f)
+                ent = st.get(str(b), {}).get(col)
+                if ent is not None and ent[0] is not None:
+                    mn, mx = ent
+                    if lo is not None and mx < lo:
+                        prune = True
+                    if hi is not None and mn > hi:
+                        prune = True
+            if prune:
+                skipped += 1
+            else:
+                keep.append(b)
+        stats = {"buckets_read": len(keep), "buckets_skipped": skipped}
+        if not keep:
+            return self.read().where(F.lit(False)), stats
+        df = self.read(buckets=keep)
+        if lo is not None:
+            df = df.where(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.where(F.col(col) <= F.lit(hi))
+        return df, stats
+
     def read_at_epoch(self, epoch: int) -> DataFrame:
         p = f"{self.path}/manifests/m{epoch}"
         with open(p) as f:
@@ -186,7 +233,9 @@ class ManifestTable:
 
     def _write_generation(self, df: DataFrame) -> tuple[str, list[int]]:
         """One Spark job writes df into gen/_b=<bucket>/ subdirs;
-        returns (gen name, buckets written)."""
+        returns (gen name, buckets written). When ``stats_cols`` is
+        set, a second (bounded: buckets x cols rows) aggregate writes
+        the per-bucket min/max sidecar next to the data."""
         gen = f"g{self._next_gen()}-{self._writer_id}"
         out = f"{self.path}/data/{gen}"
         df.withColumn("_b", self._bucket_col()).write.mode(
@@ -197,6 +246,28 @@ class ManifestTable:
             for name in os.listdir(out)
             if name.startswith("_b=")
         ]
+        if self.stats_cols:
+            import json
+
+            aggs = []
+            for c in self.stats_cols:
+                aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+            rows = (
+                df.withColumn("_b", self._bucket_col())
+                .groupBy("_b")
+                .agg(*aggs)
+                .collect()
+            )
+            stats = {
+                str(r["_b"]): {
+                    c: [r[f"min_{c}"], r[f"max_{c}"]] for c in self.stats_cols
+                }
+                for r in rows
+            }
+            tmp = f"{out}/.stats.json.tmp"
+            with open(tmp, "w") as f:
+                json.dump(stats, f, default=str)
+            os.replace(tmp, f"{out}/_stats.json")
         return gen, written
 
     def write_full(self, df: DataFrame) -> None:
