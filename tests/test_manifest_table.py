@@ -269,3 +269,78 @@ def test_stats_sidecar_survives_merge(spark, tmp_path):
     pruned, st = t.read_pruned("v", lo=99999)
     assert [r.k for r in pruned.collect()] == [3]
     assert st["buckets_read"] == 1
+
+
+def test_lookup_reads_only_key_buckets(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=100, buckets=16)
+    out = {r.k: r.v for r in t.lookup([5, 17, 41]).collect()}
+    assert out == {5: 50, 17: 170, 41: 410}
+    assert t.lookup([99999]).count() == 0
+
+
+def test_merge_aggregate_accumulates(spark, tmp_path):
+    from vanus_spark.sources.manifest_table import ManifestTable
+
+    t = ManifestTable(spark, str(tmp_path / "agg"), "k", n_buckets=4)
+    t.merge_aggregate(
+        spark.createDataFrame([(1, 10, 1), (2, 5, 1)], "k long, s long, n long"),
+        ["s", "n"],
+    )
+    t.merge_aggregate(
+        spark.createDataFrame([(1, 7, 2), (3, 1, 1)], "k long, s long, n long"),
+        ["s", "n"],
+    )
+    out = {r.k: (r.s, r.n) for r in t.read().collect()}
+    assert out == {1: (17, 3), 2: (5, 1), 3: (1, 1)}
+
+
+def test_run_aggregate_stream_exactly_once(spark, tmp_path):
+    """Running totals accumulate across batches; re-running the whole
+    stream WITHOUT a checkpoint (full replay) does not double-count,
+    because applied batch ids commit atomically with the data."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F2
+
+    from vanus_spark.sources.manifest_table import ManifestTable
+    from vanus_spark.streaming.cdc import run_aggregate_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.table({"k": [1, 1, 2], "v": [10, 20, 5]}), str(src / "f1.parquet")
+    )
+    t = ManifestTable(spark, str(tmp_path / "t"), "k", n_buckets=4)
+
+    def agg(df):
+        return df.groupBy("k").agg(
+            F2.sum("v").alias("total"), F2.count("*").alias("n")
+        )
+
+    def run(ck):
+        q = run_aggregate_stream(
+            spark, t, str(src), "k long, v long", agg, ["total", "n"],
+            checkpoint_dir=str(tmp_path / ck), available_now=True,
+        )
+        q.awaitTermination(120)
+        t.refresh()
+
+    run("ck1")
+    assert {r.k: (r.total, r.n) for r in t.read().collect()} == {
+        1: (30, 2), 2: (5, 1),
+    }
+    # full replay from scratch (fresh checkpoint, same epoch ids):
+    # the manifest's applied_epoch marker suppresses double-counting
+    run("ck2")
+    assert {r.k: (r.total, r.n) for r in t.read().collect()} == {
+        1: (30, 2), 2: (5, 1),
+    }
+    # new data in a later batch DOES apply
+    pq.write_table(
+        pa.table({"k": [2], "v": [100]}), str(src / "f2.parquet")
+    )
+    run("ck1")
+    assert {r.k: (r.total, r.n) for r in t.read().collect()} == {
+        1: (30, 2), 2: (105, 2),
+    }

@@ -60,29 +60,36 @@ class ManifestTable:
         self.stats_cols = list(stats_cols or [])
         self._writer_id = uuid.uuid4().hex[:8]
         os.makedirs(path, exist_ok=True)
-        self._epoch, self._mapping = self._read_manifest()
+        self._epoch, self._mapping, self._meta = self._read_manifest()
 
     # ----- manifest --------------------------------------------------------
 
-    def _read_manifest(self) -> tuple[int, dict[int, str]]:
+    def _read_manifest(self) -> tuple[int, dict[int, str], dict[str, str]]:
         p = f"{self.path}/COMMITTED"
         if not os.path.exists(p):
-            return 0, {}
-        epoch, mapping = 0, {}
+            return 0, {}, {}
+        epoch, mapping, meta = 0, {}, {}
         with open(p) as f:
             for tok in f.read().split():
                 if tok.startswith("#epoch="):
                     epoch = int(tok[len("#epoch=") :])
+                elif tok.startswith("#meta:"):
+                    k, v = tok[len("#meta:") :].split("=", 1)
+                    meta[k] = v
+                elif tok.startswith("#"):
+                    continue
                 elif ":" in tok:
                     b, d = tok.split(":", 1)
                     mapping[int(b)] = d
-        return epoch, mapping
+        return epoch, mapping, meta
 
     def refresh(self) -> None:
         """Re-read the live manifest (pick up other writers' commits)."""
-        self._epoch, self._mapping = self._read_manifest()
+        self._epoch, self._mapping, self._meta = self._read_manifest()
 
-    def _commit(self, mapping: dict[int, str]) -> None:
+    def _commit(
+        self, mapping: dict[int, str], meta: dict[str, str] | None = None
+    ) -> None:
         lock = f"{self.path}/.COMMITTED.lock"
         deadline = time.monotonic() + 10.0
         while True:
@@ -94,16 +101,21 @@ class ManifestTable:
                     raise TimeoutError(f"manifest lock busy: {lock}")
                 time.sleep(0.01)
         try:
-            live_epoch, _ = self._read_manifest()
+            live_epoch, _, live_meta = self._read_manifest()
             if live_epoch != self._epoch:
                 raise ConcurrentWriterError(
                     f"stale writer: observed epoch {self._epoch}, live "
                     f"manifest is at epoch {live_epoch}"
                 )
             new_epoch = self._epoch + 1
-            lines = [f"#epoch={new_epoch}"] + [
-                f"{b}:{d}" for b, d in sorted(mapping.items())
-            ]
+            # commit metadata rides IN the atomic swap (exactly-once
+            # markers for stream batches); unspecified keys carry over
+            merged_meta = {**live_meta, **(meta or {})}
+            lines = (
+                [f"#epoch={new_epoch}"]
+                + [f"#meta:{k}={v}" for k, v in sorted(merged_meta.items())]
+                + [f"{b}:{d}" for b, d in sorted(mapping.items())]
+            )
             content = "\n".join(lines)
             hist = f"{self.path}/manifests"
             os.makedirs(hist, exist_ok=True)
@@ -116,6 +128,7 @@ class ManifestTable:
                 f.write(content)
             os.replace(tmp, f"{self.path}/COMMITTED")  # commit point
             self._epoch, self._mapping = new_epoch, dict(mapping)
+            self._meta = merged_meta
         finally:
             os.close(fd)
             os.unlink(lock)
@@ -185,13 +198,31 @@ class ManifestTable:
             df = df.where(F.col(col) <= F.lit(hi))
         return df, stats
 
+    def lookup(self, keys: list) -> DataFrame:
+        """Point lookup: hash-route the keys to their buckets and read
+        ONLY those directories — the O(|keys| buckets) path for "fetch
+        these documents by id" instead of a table scan."""
+        kdf = self.spark.createDataFrame(
+            [(k,) for k in keys], f"{self.key_col} {'string' if isinstance(keys[0], str) else 'long'}"
+        )
+        buckets = [
+            r["_b"]
+            for r in kdf.select(self._bucket_col().alias("_b")).distinct().collect()
+        ]
+        buckets = [b for b in buckets if b in self._mapping]
+        if not buckets:
+            return self.read().where(F.lit(False))
+        return self.read(buckets=buckets).join(
+            F.broadcast(kdf), self.key_col, "left_semi"
+        )
+
     def read_at_epoch(self, epoch: int) -> DataFrame:
         p = f"{self.path}/manifests/m{epoch}"
         with open(p) as f:
             dirs = [
                 f"{self.path}/data/{tok.split(':', 1)[1]}"
                 for tok in f.read().split()
-                if ":" in tok
+                if ":" in tok and not tok.startswith("#")
             ]
         return self.spark.read.parquet(*dirs)
 
@@ -202,6 +233,7 @@ class ManifestTable:
         base_view: dict[int, str | None],
         updates: dict[int, str | None],
         max_retries: int = 5,
+        meta: dict[str, str] | None = None,
     ) -> None:
         """Bucket-level commit with Delta-style conflict resolution:
         if another writer committed in between but touched only OTHER
@@ -223,7 +255,7 @@ class ManifestTable:
                 else:
                     mapping[b] = d
             try:
-                self._commit(mapping)
+                self._commit(mapping, meta)
                 return
             except ConcurrentWriterError:
                 self.refresh()  # rebase and re-check the conflict set
@@ -275,7 +307,7 @@ class ManifestTable:
         gen, buckets = self._write_generation(df)
         self._commit({b: f"{gen}/_b={b}" for b in buckets})
 
-    def merge(self, updates: DataFrame) -> dict:
+    def merge(self, updates: DataFrame, meta: dict[str, str] | None = None) -> dict:
         """Copy-on-write upsert by key: rows whose key exists are
         replaced, new keys are inserted. Rewrites ONLY the buckets the
         update keys hash into; other buckets' directories are carried
@@ -298,7 +330,48 @@ class ManifestTable:
             new_rows = updates
         gen, written = self._write_generation(new_rows)
         self._commit_buckets(
-            base_view, {b: f"{gen}/_b={b}" for b in written}
+            base_view, {b: f"{gen}/_b={b}" for b in written}, meta=meta
+        )
+        return {"rewritten_buckets": len(affected), "epoch": self._epoch}
+
+    def merge_aggregate(
+        self,
+        updates: DataFrame,
+        sum_cols: list[str],
+        meta: dict[str, str] | None = None,
+    ) -> dict:
+        """ADDITIVE merge — incremental maintenance of a materialized
+        aggregate table: ``updates`` carries per-key partial sums
+        (key + sum_cols only), which COMBINE with the stored row's
+        values instead of replacing them. Implemented as one groupBy
+        over (affected stored rows UNION updates): stored keys not in
+        the update batch pass through with their own values, matched
+        keys sum, new keys insert. Same partition-pruned rewrite and
+        commit path as merge()."""
+        cols = [self.key_col, *sum_cols]
+        updates = updates.select(*cols)
+        affected = sorted(
+            r["_b"]
+            for r in updates.select(self._bucket_col().alias("_b"))
+            .distinct()
+            .collect()
+        )
+        base_view = {b: self._mapping.get(b) for b in affected}
+        current = {b: d for b, d in self._mapping.items() if b in affected}
+        if current:
+            combined = (
+                self.read(buckets=affected)
+                .select(*cols)
+                .unionByName(updates)
+            )
+        else:
+            combined = updates
+        new_rows = combined.groupBy(self.key_col).agg(
+            *[F.sum(c).alias(c) for c in sum_cols]
+        )
+        gen, written = self._write_generation(new_rows)
+        self._commit_buckets(
+            base_view, {b: f"{gen}/_b={b}" for b in written}, meta=meta
         )
         return {"rewritten_buckets": len(affected), "epoch": self._epoch}
 
@@ -368,7 +441,7 @@ class ManifestTable:
             for e in epochs[-retain_epochs:]:
                 with open(f"{hist}/m{e}") as f:
                     for tok in f.read().split():
-                        if ":" in tok:
+                        if ":" in tok and not tok.startswith("#"):
                             keep_dirs.add(tok.split(":", 1)[1])
         keep_gens = {d.split("/", 1)[0] for d in keep_dirs}
         removed = 0

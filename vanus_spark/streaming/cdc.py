@@ -89,3 +89,48 @@ def run_cdc_stream(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def run_aggregate_stream(
+    spark,
+    table: ManifestTable,
+    source_dir: str,
+    schema,
+    agg_fn,
+    sum_cols: list[str],
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+    trigger_seconds: float = 2.0,
+):
+    """Maintain a MATERIALIZED AGGREGATE table from a stream: each
+    micro-batch runs ``agg_fn(batch_df) -> (key + sum_cols)`` partial
+    aggregates and folds them into the table with an ADDITIVE merge
+    (``merge_aggregate``), so the table always holds the running
+    totals — the streaming-upsert sink pattern (a metrics rollup that
+    downstream jobs can read transactionally at any epoch).
+
+    Exactly-once under replay: the batch id is committed ATOMICALLY
+    with the data (manifest ``#meta:applied_epoch``); foreachBatch is
+    at-least-once, so a crash-replayed batch sees its own id already
+    in the manifest and skips — no double counting, with no side
+    marker files that could decouple from the commit.
+    """
+
+    def on_batch(df, epoch_id: int) -> None:
+        table.refresh()
+        last = int(table._meta.get("applied_epoch", -1))
+        if epoch_id <= last:
+            return  # replayed batch: already folded in atomically
+        table.merge_aggregate(
+            agg_fn(df), sum_cols, meta={"applied_epoch": str(epoch_id)}
+        )
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    writer = stream.writeStream.foreachBatch(on_batch)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
