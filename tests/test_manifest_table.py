@@ -344,3 +344,18 @@ def test_run_aggregate_stream_exactly_once(spark, tmp_path):
     assert {r.k: (r.total, r.n) for r in t.read().collect()} == {
         1: (30, 2), 2: (105, 2),
     }
+
+
+def test_schema_evolution_on_merge(spark, tmp_path):
+    """An update batch may add a column: old rows read it as null;
+    later merges omitting a column fill it with null."""
+    t = _mk(spark, tmp_path, n=10, buckets=4)
+    t.merge(spark.createDataFrame(
+        [(3, 999, "en")], "k long, v long, lang string"))
+    rows = {r.k: (r.v, r.lang) for r in t.read().collect()}
+    assert rows[3] == (999, "en")
+    assert rows[4] == (40, None)
+    # a later old-schema merge still works; the new column stays null
+    t.merge(spark.createDataFrame([(5, 555)], "k long, v long"))
+    rows = {r.k: (r.v, r.lang) for r in t.read().collect()}
+    assert rows[5] == (555, None) and rows[3] == (999, "en")

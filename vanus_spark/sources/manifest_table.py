@@ -155,7 +155,9 @@ class ManifestTable:
         dirs = [f"{self.path}/data/{d}" for d in mapping.values()]
         if not dirs:
             raise ValueError("empty table (no committed buckets)")
-        return self.spark.read.parquet(*dirs)
+        # mergeSchema: generations written before a column was added
+        # surface it as null (schema evolution on read)
+        return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
 
     def read_pruned(
         self, col: str, lo=None, hi=None
@@ -325,7 +327,9 @@ class ManifestTable:
             keep = cur_rows.join(
                 updates.select(self.key_col), self.key_col, "left_anti"
             )
-            new_rows = keep.unionByName(updates)
+            # schema evolution: updates may ADD columns (old rows read
+            # them as null) or omit columns (filled with null)
+            new_rows = keep.unionByName(updates, allowMissingColumns=True)
         else:
             new_rows = updates
         gen, written = self._write_generation(new_rows)
