@@ -1,0 +1,104 @@
+"""Controller-style metadata catalog (vanus_spark/catalog.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _cat(tmp_path, name="cat.json"):
+    from vanus_spark.catalog import Catalog
+    from vanus_spark.snowflake import Snowflake
+
+    t = {"ms": 0}
+
+    def clock():
+        t["ms"] += 10
+        return t["ms"]
+
+    return Catalog(
+        str(tmp_path / name),
+        id_gen=Snowflake(machine_id=16, start_time_ms=0, clock_ms=clock),
+    )
+
+
+def test_crud_uniqueness_and_referential_integrity(tmp_path):
+    from vanus_spark.catalog import (
+        ResourceExistsError,
+        ResourceInUseError,
+        ResourceNotFoundError,
+    )
+
+    c = _cat(tmp_path)
+    ns = c.create_namespace("default")
+    with pytest.raises(ResourceExistsError):
+        c.create_namespace("default")
+    with pytest.raises(ValueError):
+        c.create_namespace("")
+
+    eb = c.create_eventbus(ns["id"], "orders", log_number=8)
+    with pytest.raises(ResourceExistsError):
+        c.create_eventbus(ns["id"], "orders")
+    ns2 = c.create_namespace("other")
+    c.create_eventbus(ns2["id"], "orders")  # same name, other ns: fine
+    with pytest.raises(ResourceNotFoundError):
+        c.create_eventbus(999999, "x")
+
+    sub = c.create_subscription(ns["id"], eb["id"], {"filters": []})
+    assert [b["name"] for b in c.list_eventbuses(ns["id"])] == ["orders"]
+    assert c.list_subscriptions(eb["id"])[0]["id"] == sub["id"]
+
+    with pytest.raises(ResourceInUseError):
+        c.delete_eventbus(eb["id"])
+    with pytest.raises(ResourceInUseError):
+        c.delete_namespace(ns["id"])
+    c.delete_subscription(sub["id"])
+    c.delete_eventbus(eb["id"])
+    c.delete_namespace(ns["id"])
+    assert [n["name"] for n in c.list_namespaces()] == ["other"]
+
+
+def test_persistence_and_concurrent_writer_fence(tmp_path):
+    from vanus_spark.catalog import Catalog, CatalogConcurrencyError
+
+    c1 = _cat(tmp_path)
+    ns = c1.create_namespace("default")
+    # reopening sees the committed state
+    c2 = Catalog(c1.path)
+    assert c2.get_namespace(ns["id"])["name"] == "default"
+    # a stale writer is fenced
+    c1.create_namespace("n2")
+    with pytest.raises(CatalogConcurrencyError):
+        c2.create_namespace("n3")
+    c2.refresh()
+    c2.create_namespace("n3")
+    assert len(c2.list_namespaces()) == 3
+
+
+def test_authz_integration_via_catalog_escalation(tmp_path):
+    """The catalog supplies the eventbus->namespace map; a namespace
+    edit role can create/read buses in ITS namespace only, and
+    namespace creation is clusterAdmin-only (no role grants
+    namespace:create in the reference's table)."""
+    from vanus_spark.authz import Authorizer
+
+    c = _cat(tmp_path)
+    ns_a = c.create_namespace("team-a")
+    ns_b = c.create_namespace("team-b")
+    eb_a = c.create_eventbus(ns_a["id"], "logs")
+    eb_b = c.create_eventbus(ns_b["id"], "logs")
+
+    az = Authorizer(
+        [
+            {"user": "root", "role": "clusterAdmin",
+             "resource_kind": "cluster", "resource_id": 0},
+            {"user": "alice", "role": "edit",
+             "resource_kind": "namespace", "resource_id": ns_a["id"]},
+        ]
+    )
+    c.guard(az, "alice", "eventbus", eb_a["id"], "eventbus:read")
+    with pytest.raises(PermissionError):
+        c.guard(az, "alice", "eventbus", eb_b["id"], "eventbus:read")
+    # namespace:create has no role-table entry -> clusterAdmin only
+    c.guard(az, "root", "namespace", 0, "namespace:create")
+    with pytest.raises(PermissionError):
+        c.guard(az, "alice", "namespace", 0, "namespace:create")

@@ -1,0 +1,241 @@
+"""Control-plane metadata catalog: namespaces / eventbuses /
+subscriptions (reference parity: server/controller/tenant/controller.go
+CreateNamespace/List/Get, eventbus + trigger controllers' CRUD).
+
+The reference persists this metadata in its etcd-like kv store behind
+the controller; here it is one JSON state document published with the
+same crash-safe discipline as the data tables: write-temp + atomic
+rename, epoch-fenced against concurrent writers under a lock file.
+Metadata is control-plane-sized, so a single document (not a bucketed
+table) is the right shape.
+
+Semantics mirrored from the reference:
+- names must be non-empty and unique within their scope (namespace
+  names globally, eventbus/subscription names per namespace) —
+  ErrResourceAlreadyExist -> ResourceExistsError;
+- ids come from the snowflake generator (controller.go:360 calls
+  snowflake.NewID); created_at/updated_at stamped on create;
+- deleting a namespace with live eventbuses/subscriptions is refused
+  (referential integrity);
+- the catalog implements the cluster-service side of authorization
+  (authorization.go:41-77 resolves an eventbus/subscription to its
+  OWNING NAMESPACE via the controller): ``resource_namespaces()``
+  feeds ``authz.Authorizer`` directly, and ``guard()`` wires a
+  user+action check in front of every mutation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from vanus_spark.snowflake import Snowflake
+
+
+class ResourceExistsError(RuntimeError):
+    pass
+
+
+class ResourceNotFoundError(RuntimeError):
+    pass
+
+
+class ResourceInUseError(RuntimeError):
+    pass
+
+
+class CatalogConcurrencyError(RuntimeError):
+    pass
+
+
+class Catalog:
+    def __init__(self, path: str, id_gen: Snowflake | None = None):
+        self.path = path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self._id_gen = id_gen or Snowflake(machine_id=16, start_time_ms=0)
+        self._epoch, self._state = self._load()
+
+    # ----- persistence -----------------------------------------------------
+
+    def _load(self) -> tuple[int, dict]:
+        if not os.path.exists(self.path):
+            return 0, {"namespaces": {}, "eventbuses": {}, "subscriptions": {}}
+        with open(self.path) as f:
+            doc = json.load(f)
+        return doc.get("epoch", 0), doc["state"]
+
+    def refresh(self) -> None:
+        self._epoch, self._state = self._load()
+
+    def _commit(self) -> None:
+        lock = self.path + ".lock"
+        deadline = time.monotonic() + 10.0
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                if time.monotonic() > deadline:
+                    raise TimeoutError(f"catalog lock busy: {lock}")
+                time.sleep(0.01)
+        try:
+            live_epoch, _ = self._load()
+            if live_epoch != self._epoch:
+                raise CatalogConcurrencyError(
+                    f"catalog changed underneath: observed epoch "
+                    f"{self._epoch}, live {live_epoch}"
+                )
+            self._epoch += 1
+            tmp = self.path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"epoch": self._epoch, "state": self._state}, f)
+            os.replace(tmp, self.path)
+        finally:
+            os.close(fd)
+            os.unlink(lock)
+
+    # ----- CRUD ------------------------------------------------------------
+
+    def _now_ms(self) -> int:
+        return int(time.time() * 1000)
+
+    def create_namespace(self, name: str) -> dict:
+        if not name:
+            raise ValueError("name is empty")
+        if any(n["name"] == name for n in self._state["namespaces"].values()):
+            raise ResourceExistsError(f"namespace {name} exist")
+        nid = self._id_gen.next_id()
+        now = self._now_ms()
+        ns = {"id": nid, "name": name, "created_at": now, "updated_at": now}
+        self._state["namespaces"][str(nid)] = ns
+        self._commit()
+        return dict(ns)
+
+    def create_eventbus(
+        self, namespace_id: int, name: str, log_number: int = 4
+    ) -> dict:
+        if not name:
+            raise ValueError("name is empty")
+        if str(namespace_id) not in self._state["namespaces"]:
+            raise ResourceNotFoundError(f"namespace {namespace_id}")
+        if any(
+            b["name"] == name and b["namespace_id"] == namespace_id
+            for b in self._state["eventbuses"].values()
+        ):
+            raise ResourceExistsError(f"eventbus {name} exist")
+        bid = self._id_gen.next_id()
+        now = self._now_ms()
+        eb = {
+            "id": bid,
+            "name": name,
+            "namespace_id": namespace_id,
+            "log_number": log_number,
+            "created_at": now,
+            "updated_at": now,
+        }
+        self._state["eventbuses"][str(bid)] = eb
+        self._commit()
+        return dict(eb)
+
+    def create_subscription(
+        self, namespace_id: int, eventbus_id: int, spec: dict
+    ) -> dict:
+        if str(namespace_id) not in self._state["namespaces"]:
+            raise ResourceNotFoundError(f"namespace {namespace_id}")
+        if str(eventbus_id) not in self._state["eventbuses"]:
+            raise ResourceNotFoundError(f"eventbus {eventbus_id}")
+        sid = self._id_gen.next_id()
+        now = self._now_ms()
+        sub = {
+            "id": sid,
+            "namespace_id": namespace_id,
+            "eventbus_id": eventbus_id,
+            "spec": spec,
+            "created_at": now,
+            "updated_at": now,
+        }
+        self._state["subscriptions"][str(sid)] = sub
+        self._commit()
+        return dict(sub)
+
+    def get_namespace(self, nid: int) -> dict:
+        ns = self._state["namespaces"].get(str(nid))
+        if ns is None:
+            raise ResourceNotFoundError(f"namespace {nid}")
+        return dict(ns)
+
+    def get_eventbus(self, bid: int) -> dict:
+        eb = self._state["eventbuses"].get(str(bid))
+        if eb is None:
+            raise ResourceNotFoundError(f"eventbus {bid}")
+        return dict(eb)
+
+    def get_subscription(self, sid: int) -> dict:
+        sub = self._state["subscriptions"].get(str(sid))
+        if sub is None:
+            raise ResourceNotFoundError(f"subscription {sid}")
+        return dict(sub)
+
+    def list_namespaces(self) -> list[dict]:
+        return sorted(self._state["namespaces"].values(), key=lambda n: n["id"])
+
+    def list_eventbuses(self, namespace_id: int | None = None) -> list[dict]:
+        ebs = self._state["eventbuses"].values()
+        if namespace_id is not None:
+            ebs = [b for b in ebs if b["namespace_id"] == namespace_id]
+        return sorted(ebs, key=lambda b: b["id"])
+
+    def list_subscriptions(self, eventbus_id: int | None = None) -> list[dict]:
+        subs = self._state["subscriptions"].values()
+        if eventbus_id is not None:
+            subs = [s for s in subs if s["eventbus_id"] == eventbus_id]
+        return sorted(subs, key=lambda s: s["id"])
+
+    def delete_subscription(self, sid: int) -> None:
+        if str(sid) not in self._state["subscriptions"]:
+            raise ResourceNotFoundError(f"subscription {sid}")
+        del self._state["subscriptions"][str(sid)]
+        self._commit()
+
+    def delete_eventbus(self, bid: int) -> None:
+        if str(bid) not in self._state["eventbuses"]:
+            raise ResourceNotFoundError(f"eventbus {bid}")
+        if any(
+            s["eventbus_id"] == bid
+            for s in self._state["subscriptions"].values()
+        ):
+            raise ResourceInUseError(f"eventbus {bid} has subscriptions")
+        del self._state["eventbuses"][str(bid)]
+        self._commit()
+
+    def delete_namespace(self, nid: int) -> None:
+        if str(nid) not in self._state["namespaces"]:
+            raise ResourceNotFoundError(f"namespace {nid}")
+        if any(
+            b["namespace_id"] == nid
+            for b in self._state["eventbuses"].values()
+        ):
+            raise ResourceInUseError(f"namespace {nid} has eventbuses")
+        del self._state["namespaces"][str(nid)]
+        self._commit()
+
+    # ----- authorization wiring -------------------------------------------
+
+    def resource_namespaces(self) -> dict[tuple[str, int], int]:
+        """The (kind, id) -> namespace_id map authz.Authorizer uses
+        for escalation — the catalog IS the cluster service here."""
+        out: dict[tuple[str, int], int] = {}
+        for b in self._state["eventbuses"].values():
+            out[("eventbus", b["id"])] = b["namespace_id"]
+        for s in self._state["subscriptions"].values():
+            out[("subscription", s["id"])] = s["namespace_id"]
+        return out
+
+    def guard(self, authorizer, user: str, kind: str, resource_id: int, action: str) -> None:
+        """Raise PermissionError unless the user may perform action —
+        with the authorizer's escalation map refreshed from THIS
+        catalog, so a just-created eventbus resolves immediately."""
+        authorizer.resource_namespaces = self.resource_namespaces()
+        if not authorizer.authorize(user, kind, resource_id, action):
+            raise PermissionError(f"{user} may not {action} on {kind} {resource_id}")
