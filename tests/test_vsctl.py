@@ -72,3 +72,24 @@ def test_cli_put_and_validate(spark, tmp_path, capsys):
         "--event", json.dumps({"id": "9", "type": "demo", "data": {}}),
     )
     assert miss[-1] == {"filter_result": False}
+
+
+def test_cli_catalog_management(tmp_path, capsys):
+    cat = str(tmp_path / "cat.json")
+    ns = _vsctl(capsys, "namespace", "create", "--catalog", cat,
+                "--name", "default")[0]
+    assert ns["name"] == "default" and ns["id"] > 0
+    eb = _vsctl(capsys, "eventbus", "create", "--catalog", cat,
+                "--namespace", "default", "--name", "orders",
+                "--log-number", "8")[0]
+    assert eb["log_number"] == 8 and eb["namespace_id"] == ns["id"]
+    sub = _vsctl(capsys, "subscription", "create", "--catalog", cat,
+                 "--namespace", "default", "--eventbus", "orders",
+                 "--spec", '{"filters": [{"exact": {"type": "x"}}]}')[0]
+    assert sub["eventbus_id"] == eb["id"]
+    listed = _vsctl(capsys, "eventbus", "list", "--catalog", cat,
+                    "--namespace", "default")
+    assert [b["name"] for b in listed] == ["orders"]
+    subs = _vsctl(capsys, "subscription", "list", "--catalog", cat,
+                  "--namespace", "default", "--eventbus", "orders")
+    assert len(subs) == 1 and subs[0]["spec"]["filters"][0]["exact"]["type"] == "x"

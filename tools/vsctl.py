@@ -124,6 +124,70 @@ def cmd_validate(args):
     print(json.dumps(result))
 
 
+def _catalog(args):
+    from vanus_spark.catalog import Catalog
+
+    return Catalog(args.catalog)
+
+
+def _ns_by_name(cat, name):
+    for ns in cat.list_namespaces():
+        if ns["name"] == name:
+            return ns
+    raise SystemExit(f"vsctl: namespace not found: {name}")
+
+
+def _eb_by_name(cat, ns_id, name):
+    for eb in cat.list_eventbuses(ns_id):
+        if eb["name"] == name:
+            return eb
+    raise SystemExit(f"vsctl: eventbus not found: {name}")
+
+
+def cmd_namespace(args):
+    cat = _catalog(args)
+    if args.action == "create":
+        print(json.dumps(cat.create_namespace(args.name)))
+    elif args.action == "delete":
+        ns = _ns_by_name(cat, args.name)
+        cat.delete_namespace(ns["id"])
+        print(json.dumps({"deleted": ns["id"]}))
+    else:
+        for ns in cat.list_namespaces():
+            print(json.dumps(ns))
+
+
+def cmd_eventbus(args):
+    cat = _catalog(args)
+    ns = _ns_by_name(cat, args.namespace)
+    if args.action == "create":
+        print(
+            json.dumps(
+                cat.create_eventbus(ns["id"], args.name, args.log_number)
+            )
+        )
+    elif args.action == "delete":
+        eb = _eb_by_name(cat, ns["id"], args.name)
+        cat.delete_eventbus(eb["id"])
+        print(json.dumps({"deleted": eb["id"]}))
+    else:
+        for eb in cat.list_eventbuses(ns["id"]):
+            print(json.dumps(eb))
+
+
+def cmd_subscription(args):
+    cat = _catalog(args)
+    ns = _ns_by_name(cat, args.namespace)
+    if args.action == "create":
+        eb = _eb_by_name(cat, ns["id"], args.eventbus)
+        spec = json.loads(args.spec) if args.spec else {}
+        print(json.dumps(cat.create_subscription(ns["id"], eb["id"], spec)))
+    else:
+        eb = _eb_by_name(cat, ns["id"], args.eventbus) if args.eventbus else None
+        for s in cat.list_subscriptions(eb["id"] if eb else None):
+            print(json.dumps(s))
+
+
 def main():
     p = argparse.ArgumentParser(prog="vsctl")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -154,6 +218,28 @@ def main():
     v.add_argument("--subscription", required=True)
     v.add_argument("--event", required=True)
     v.set_defaults(fn=cmd_validate)
+
+    n = sub.add_parser("namespace")
+    n.add_argument("action", choices=["create", "list", "delete"])
+    n.add_argument("--catalog", required=True)
+    n.add_argument("--name")
+    n.set_defaults(fn=cmd_namespace)
+
+    e = sub.add_parser("eventbus")
+    e.add_argument("action", choices=["create", "list", "delete"])
+    e.add_argument("--catalog", required=True)
+    e.add_argument("--namespace", required=True)
+    e.add_argument("--name")
+    e.add_argument("--log-number", type=int, default=4)
+    e.set_defaults(fn=cmd_eventbus)
+
+    s = sub.add_parser("subscription")
+    s.add_argument("action", choices=["create", "list"])
+    s.add_argument("--catalog", required=True)
+    s.add_argument("--namespace", required=True)
+    s.add_argument("--eventbus")
+    s.add_argument("--spec")
+    s.set_defaults(fn=cmd_subscription)
 
     args = p.parse_args()
     args.fn(args)
