@@ -102,3 +102,45 @@ def test_authz_integration_via_catalog_escalation(tmp_path):
     c.guard(az, "root", "namespace", 0, "namespace:create")
     with pytest.raises(PermissionError):
         c.guard(az, "alice", "namespace", 0, "namespace:create")
+
+
+def test_users_tokens_roles_lifecycle(tmp_path):
+    from vanus_spark.catalog import (
+        ResourceExistsError,
+        ResourceInUseError,
+        ResourceNotFoundError,
+    )
+
+    c = _cat(tmp_path, "ut.json")
+    c.create_user("alice")
+    with pytest.raises(ResourceExistsError):
+        c.create_user("alice")
+    with pytest.raises(ResourceNotFoundError):
+        c.create_token("bob")
+    tok = c.create_token("alice")
+    assert c.list_tokens("alice")[0]["token"] == tok["token"]
+
+    # authn from the stored tokens
+    auth = c.authenticator()
+    assert auth.authenticate(tok["token"]) == "alice"
+
+    ns = c.create_namespace("default")
+    c.grant_role("alice", "edit", "namespace", ns["id"])
+    with pytest.raises(ValueError):
+        c.grant_role("alice", "superuser", "namespace", ns["id"])
+    eb = c.create_eventbus(ns["id"], "logs")
+    az = c.authorizer()
+    assert az.authorize("alice", "eventbus", eb["id"], "eventbus:read")
+
+    c.revoke_role("alice", "edit", "namespace", ns["id"])
+    with pytest.raises(ResourceNotFoundError):
+        c.revoke_role("alice", "edit", "namespace", ns["id"])
+    assert not c.authorizer().authorize(
+        "alice", "eventbus", eb["id"], "eventbus:read"
+    )
+
+    with pytest.raises(ResourceInUseError):
+        c.delete_user("alice")  # has a live token
+    c.delete_token(tok["token"])
+    c.delete_user("alice")
+    assert c.list_users() == []

@@ -93,3 +93,27 @@ def test_cli_catalog_management(tmp_path, capsys):
     subs = _vsctl(capsys, "subscription", "list", "--catalog", cat,
                   "--namespace", "default", "--eventbus", "orders")
     assert len(subs) == 1 and subs[0]["spec"]["filters"][0]["exact"]["type"] == "x"
+
+
+def test_cli_user_token_permission(tmp_path, capsys):
+    cat = str(tmp_path / "cat2.json")
+    ns = _vsctl(capsys, "namespace", "create", "--catalog", cat,
+                "--name", "default")[0]
+    u = _vsctl(capsys, "user", "create", "--catalog", cat,
+               "--identifier", "alice")[0]
+    assert u["identifier"] == "alice"
+    tok = _vsctl(capsys, "token", "create", "--catalog", cat,
+                 "--user", "alice")[0]
+    assert tok["user"] == "alice" and tok["token"]
+    g = _vsctl(capsys, "permission", "grant", "--catalog", cat,
+               "--user", "alice", "--role", "edit", "--kind", "namespace",
+               "--id", str(ns["id"]))[0]
+    assert g["role"] == "edit"
+    roles = _vsctl(capsys, "user", "roles", "--catalog", cat,
+                   "--identifier", "alice")
+    assert len(roles) == 1 and roles[0]["resource_id"] == ns["id"]
+    _vsctl(capsys, "permission", "revoke", "--catalog", cat,
+           "--user", "alice", "--role", "edit", "--kind", "namespace",
+           "--id", str(ns["id"]))
+    assert _vsctl(capsys, "user", "roles", "--catalog", cat,
+                  "--identifier", "alice") == []

@@ -188,6 +188,46 @@ def cmd_subscription(args):
             print(json.dumps(s))
 
 
+def cmd_user(args):
+    cat = _catalog(args)
+    if args.action == "create":
+        print(json.dumps(cat.create_user(args.identifier)))
+    elif args.action == "delete":
+        cat.delete_user(args.identifier)
+        print(json.dumps({"deleted": args.identifier}))
+    elif args.action == "roles":
+        for r in cat.user_roles(args.identifier):
+            print(json.dumps(r))
+    else:
+        for u in cat.list_users():
+            print(json.dumps(u))
+
+
+def cmd_token(args):
+    cat = _catalog(args)
+    if args.action == "create":
+        print(json.dumps(cat.create_token(args.user)))
+    elif args.action == "delete":
+        cat.delete_token(args.token)
+        print(json.dumps({"deleted": True}))
+    else:
+        for t in cat.list_tokens(args.user):
+            print(json.dumps(t))
+
+
+def cmd_permission(args):
+    cat = _catalog(args)
+    if args.action == "grant":
+        print(
+            json.dumps(
+                cat.grant_role(args.user, args.role, args.kind, args.id)
+            )
+        )
+    else:
+        cat.revoke_role(args.user, args.role, args.kind, args.id)
+        print(json.dumps({"revoked": True}))
+
+
 def main():
     p = argparse.ArgumentParser(prog="vsctl")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -240,6 +280,28 @@ def main():
     s.add_argument("--eventbus")
     s.add_argument("--spec")
     s.set_defaults(fn=cmd_subscription)
+
+    u2 = sub.add_parser("user")
+    u2.add_argument("action", choices=["create", "delete", "list", "roles"])
+    u2.add_argument("--catalog", required=True)
+    u2.add_argument("--identifier")
+    u2.set_defaults(fn=cmd_user)
+
+    t2 = sub.add_parser("token")
+    t2.add_argument("action", choices=["create", "delete", "list"])
+    t2.add_argument("--catalog", required=True)
+    t2.add_argument("--user")
+    t2.add_argument("--token")
+    t2.set_defaults(fn=cmd_token)
+
+    pm = sub.add_parser("permission")
+    pm.add_argument("action", choices=["grant", "revoke"])
+    pm.add_argument("--catalog", required=True)
+    pm.add_argument("--user", required=True)
+    pm.add_argument("--role", required=True)
+    pm.add_argument("--kind", required=True)
+    pm.add_argument("--id", type=int, required=True)
+    pm.set_defaults(fn=cmd_permission)
 
     args = p.parse_args()
     args.fn(args)

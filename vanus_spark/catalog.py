@@ -58,12 +58,24 @@ class Catalog:
 
     # ----- persistence -----------------------------------------------------
 
+    _EMPTY = {
+        "namespaces": {},
+        "eventbuses": {},
+        "subscriptions": {},
+        "users": {},
+        "tokens": {},
+        "roles": [],
+    }
+
     def _load(self) -> tuple[int, dict]:
         if not os.path.exists(self.path):
-            return 0, {"namespaces": {}, "eventbuses": {}, "subscriptions": {}}
+            return 0, json.loads(json.dumps(self._EMPTY))
         with open(self.path) as f:
             doc = json.load(f)
-        return doc.get("epoch", 0), doc["state"]
+        state = doc["state"]
+        for k, v in self._EMPTY.items():  # forward-compat: older docs
+            state.setdefault(k, json.loads(json.dumps(v)))
+        return doc.get("epoch", 0), state
 
     def refresh(self) -> None:
         self._epoch, self._state = self._load()
@@ -219,6 +231,112 @@ class Catalog:
             raise ResourceInUseError(f"namespace {nid} has eventbuses")
         del self._state["namespaces"][str(nid)]
         self._commit()
+
+    # ----- users / tokens / role grants (tool/vsctl user|token|permission,
+    # pkg/authentication + the controller's role store) --------------------
+
+    def create_user(self, identifier: str) -> dict:
+        if not identifier:
+            raise ValueError("identifier is empty")
+        if identifier in self._state["users"]:
+            raise ResourceExistsError(f"user {identifier} exist")
+        u = {"identifier": identifier, "created_at": self._now_ms()}
+        self._state["users"][identifier] = u
+        self._commit()
+        return dict(u)
+
+    def delete_user(self, identifier: str) -> None:
+        if identifier not in self._state["users"]:
+            raise ResourceNotFoundError(f"user {identifier}")
+        if any(t["user"] == identifier for t in self._state["tokens"].values()):
+            raise ResourceInUseError(f"user {identifier} has tokens")
+        self._state["users"].pop(identifier)
+        self._state["roles"] = [
+            r for r in self._state["roles"] if r["user"] != identifier
+        ]
+        self._commit()
+
+    def list_users(self) -> list[dict]:
+        return sorted(self._state["users"].values(), key=lambda u: u["identifier"])
+
+    def create_token(self, user: str) -> dict:
+        if user not in self._state["users"]:
+            raise ResourceNotFoundError(f"user {user}")
+        token = f"{self._id_gen.next_id():x}"
+        t = {"token": token, "user": user, "created_at": self._now_ms()}
+        self._state["tokens"][token] = t
+        self._commit()
+        return dict(t)
+
+    def delete_token(self, token: str) -> None:
+        if token not in self._state["tokens"]:
+            raise ResourceNotFoundError("token")
+        self._state["tokens"].pop(token)
+        self._commit()
+
+    def list_tokens(self, user: str | None = None) -> list[dict]:
+        toks = self._state["tokens"].values()
+        if user is not None:
+            toks = [t for t in toks if t["user"] == user]
+        return sorted(toks, key=lambda t: t["created_at"])
+
+    def grant_role(
+        self, user: str, role: str, resource_kind: str, resource_id: int
+    ) -> dict:
+        from vanus_spark.authz import RESOURCE_KINDS, ROLES
+
+        if role not in ROLES:
+            raise ValueError(f"unknown role {role}")
+        if resource_kind not in RESOURCE_KINDS:
+            raise ValueError(f"unknown resource kind {resource_kind}")
+        if user not in self._state["users"]:
+            raise ResourceNotFoundError(f"user {user}")
+        binding = {
+            "user": user,
+            "role": role,
+            "resource_kind": resource_kind,
+            "resource_id": resource_id,
+        }
+        if binding not in self._state["roles"]:
+            self._state["roles"].append(binding)
+            self._commit()
+        return dict(binding)
+
+    def revoke_role(
+        self, user: str, role: str, resource_kind: str, resource_id: int
+    ) -> None:
+        binding = {
+            "user": user,
+            "role": role,
+            "resource_kind": resource_kind,
+            "resource_id": resource_id,
+        }
+        if binding not in self._state["roles"]:
+            raise ResourceNotFoundError("role binding")
+        self._state["roles"].remove(binding)
+        self._commit()
+
+    def user_roles(self, user: str) -> list[dict]:
+        return [dict(r) for r in self._state["roles"] if r["user"] == user]
+
+    def bindings(self) -> list[dict]:
+        """All role bindings — Authorizer's constructor input."""
+        return [dict(r) for r in self._state["roles"]]
+
+    def authenticator(self):
+        """authz.TokenAuthenticator over the stored tokens."""
+        from vanus_spark.authz import TokenAuthenticator
+
+        return TokenAuthenticator(
+            {t["token"]: t["user"] for t in self._state["tokens"].values()}
+        )
+
+    def authorizer(self):
+        """authz.Authorizer wired to THIS catalog's bindings and
+        resource-ownership map — the one-call control-plane bundle."""
+        from vanus_spark.authz import Authorizer
+
+        return Authorizer(self.bindings(), self.resource_namespaces())
 
     # ----- authorization wiring -------------------------------------------
 
