@@ -47,10 +47,16 @@ def apply_cdc_batch(
     )
     upserts = last.where(F.col(op_col) != delete_op).drop(op_col, seq_col)
     deletes = last.where(F.col(op_col) == delete_op).select(key)
+    # ONE probe job for both sides' presence (two limit(1).count()
+    # probes doubled this operator's fixed per-batch job count)
+    counts = last.agg(
+        F.sum((F.col(op_col) != delete_op).cast("int")).alias("u"),
+        F.sum((F.col(op_col) == delete_op).cast("int")).alias("d"),
+    ).collect()[0]
     stats = {"upsert_buckets": 0, "delete_buckets": 0}
-    if upserts.limit(1).count() > 0:
+    if (counts["u"] or 0) > 0:
         stats["upsert_buckets"] = table.merge(upserts)["rewritten_buckets"]
-    if deletes.limit(1).count() > 0:
+    if (counts["d"] or 0) > 0:
         stats["delete_buckets"] = table.delete_keys(deletes)[
             "rewritten_buckets"
         ]
