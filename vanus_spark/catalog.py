@@ -357,3 +357,40 @@ class Catalog:
         authorizer.resource_namespaces = self.resource_namespaces()
         if not authorizer.authorize(user, kind, resource_id, action):
             raise PermissionError(f"{user} may not {action} on {kind} {resource_id}")
+
+
+def publish_guard(catalog: Catalog, namespace_name: str):
+    """Gateway-side publish guard for CloudEventsReceiver: resolves the
+    Bearer token to a user (401 on unknown/revoked), the bus name to
+    the namespace's eventbus, and requires eventbus:write (403
+    otherwise) — the reference gateway's authn+authz front door."""
+
+    def guard(token: str, bus_name: str) -> None:
+        try:
+            user = catalog.authenticator().authenticate(token)
+        except PermissionError as e:
+            # authn failure is 401 (the receiver maps PermissionError
+            # to 403, which is reserved for authz denials)
+            raise ValueError(str(e)) from e
+        ns = next(
+            (n for n in catalog.list_namespaces() if n["name"] == namespace_name),
+            None,
+        )
+        eb = None
+        if ns is not None:
+            eb = next(
+                (
+                    b
+                    for b in catalog.list_eventbuses(ns["id"])
+                    if b["name"] == bus_name
+                ),
+                None,
+            )
+        if eb is None:
+            raise PermissionError(f"no such eventbus {bus_name}")
+        if not catalog.authorizer().authorize(
+            user, "eventbus", eb["id"], "eventbus:write"
+        ):
+            raise PermissionError(f"{user} may not publish to {bus_name}")
+
+    return guard

@@ -204,6 +204,22 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(404, {"error": f"no such route {self.path}"})
             return
         bus = m.group(1)
+        # gateway auth (reference: the gateway authenticates the Bearer
+        # token and authorizes eventbus:write before accepting a
+        # publish; pkg/interceptor wires this in front of Publish)
+        if self.server.guard is not None:
+            auth = self.headers.get("Authorization") or ""
+            if not auth.startswith("Bearer "):
+                self._reply(401, {"error": "missing bearer token"})
+                return
+            try:
+                self.server.guard(auth[len("Bearer ") :], bus)
+            except PermissionError as e:
+                self._reply(403, {"error": str(e)})
+                return
+            except Exception as e:
+                self._reply(401, {"error": str(e)})
+                return
         length = int(self.headers.get("Content-Length") or 0)
         body = self.rfile.read(length) if length else b""
         try:
@@ -245,8 +261,19 @@ class CloudEventsReceiver(ThreadingHTTPServer):
 
     daemon_threads = True
 
-    def __init__(self, spool_dir: str, n_logs: int = 4, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        spool_dir: str,
+        n_logs: int = 4,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        guard=None,
+    ):
         self.spool = SpoolWriter(spool_dir, n_logs)
+        # guard(token, bus_name) -> None; PermissionError => 403, any
+        # other exception => 401 (invalid/revoked token). None = open
+        # gateway (the default for tests and trusted-network spools).
+        self.guard = guard
         super().__init__((host, port), _Handler)
         self._thread: threading.Thread | None = None
 
