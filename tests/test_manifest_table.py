@@ -359,3 +359,21 @@ def test_schema_evolution_on_merge(spark, tmp_path):
     t.merge(spark.createDataFrame([(5, 555)], "k long, v long"))
     rows = {r.k: (r.v, r.lang) for r in t.read().collect()}
     assert rows[5] == (555, None) and rows[3] == (999, "en")
+
+
+def test_fsck_reports_orphans_and_missing_dirs(spark, tmp_path):
+    import shutil
+
+    t = _mk(spark, tmp_path)
+    assert t.fsck()["ok"] and t.fsck()["orphan_generations"] == []
+    # a crash leftover: written but never committed
+    gen, _ = t._write_generation(
+        spark.createDataFrame([(1, 1)], "k long, v long")
+    )
+    rep = t.fsck()
+    assert rep["ok"] and rep["orphan_generations"] == [gen]
+    # destroy a live directory -> fsck flags it
+    victim = sorted(t._mapping.values())[0]
+    shutil.rmtree(f"{t.path}/data/{victim}")
+    rep2 = t.fsck()
+    assert not rep2["ok"] and victim in rep2["missing_dirs"]

@@ -428,6 +428,38 @@ class ManifestTable:
         self._commit_buckets(base_view, updates)
         return {"rewritten_buckets": len(affected), "epoch": self._epoch}
 
+    def fsck(self) -> dict:
+        """Consistency report (the vsrepair counterpart for this
+        store): verifies every manifest-referenced directory exists
+        and is readable, lists orphan generations (crash leftovers —
+        harmless, vacuum reclaims them), and flags missing stats
+        sidecars for tables declaring stats_cols. Read-only."""
+        report: dict = {
+            "ok": True,
+            "missing_dirs": [],
+            "orphan_generations": [],
+            "missing_stats": [],
+            "epoch": self._epoch,
+            "buckets": len(self._mapping),
+        }
+        live_gens = set()
+        for b, d in sorted(self._mapping.items()):
+            full = f"{self.path}/data/{d}"
+            live_gens.add(d.split("/", 1)[0])
+            if not os.path.isdir(full):
+                report["missing_dirs"].append(d)
+                report["ok"] = False
+            if self.stats_cols:
+                gen_root = f"{self.path}/data/{d.split('/', 1)[0]}"
+                if not os.path.exists(f"{gen_root}/_stats.json"):
+                    report["missing_stats"].append(d)
+        data = f"{self.path}/data"
+        if os.path.isdir(data):
+            for name in sorted(os.listdir(data)):
+                if name not in live_gens:
+                    report["orphan_generations"].append(name)
+        return report
+
     def vacuum(self, retain_epochs: int = 1) -> int:
         """Delete generation directories unreferenced by the last
         ``retain_epochs`` manifests (and the live one). Returns the
