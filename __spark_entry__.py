@@ -2835,6 +2835,28 @@ def q_ingest_metrics_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_metrics(loop.metrics_df(), every=2)
 
 
+def q_events_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group trend analytics: OLS slope/intercept + Pearson
+    correlation of value against time (days), via the built-in
+    regression aggregates — one partial-aggregate shuffle, no window,
+    no collect. Cross-engine parity verified at round(6)/round(4)
+    (both engines fold the same closed-form moment sums)."""
+    ev = _t(spark, sf_dir, "events")
+    days = (F.col("ts").cast("double") / 86400.0).alias("days")
+    return (
+        ev.select("event_type", "value", days)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("regr_slope(value, days)"), 6).alias("slope"),
+            F.round(F.expr("regr_intercept(value, days)"), 4).alias(
+                "intercept"
+            ),
+            F.round(F.corr("value", "days"), 6).alias("pearson_r"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 def q_events_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full ranking/navigation window-function surface in one
     query: lag/lead, rank/dense_rank/row_number, ntile, percent_rank,
@@ -3443,6 +3465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_jsonl_roundtrip": q_export_jsonl_roundtrip,
         "events_window_suite": q_events_window_suite,
         "events_cube": q_events_cube,
+        "events_trend": q_events_trend,
         "events_transitions": q_events_transitions,
         "events_mad_outliers": q_events_mad_outliers,
         "fuzzy_join_typos": q_fuzzy_join_typos,
@@ -3453,7 +3476,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_best_rep": q_dedup_best_rep,
         "hash_split": q_hash_split,
         "url_domain_filter": q_url_domain_filter,
-        "corpus_shuffle": q_corpus_shuffle,
         "ingest_metrics_windowed": q_ingest_metrics_windowed,
         "bpe_merges": q_bpe_merges,
         "filter_multi_data": _filter_query(
@@ -3521,6 +3543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pagerank": q_link_pagerank,
         "dedup_incremental": q_dedup_incremental,
         "intra_doc_dedup": q_intra_doc_dedup,
+        "corpus_shuffle": q_corpus_shuffle,
         "vsctl_get": q_vsctl_get,
         "corpus_diff": q_corpus_diff,
         "sink_payload_roundtrip": q_sink_payload_roundtrip,
@@ -4454,6 +4477,15 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(string_agg(CASE WHEN NOT boil THEN line END,
                                        chr(10) ORDER BY pos), '') AS clean_text
             FROM t GROUP BY doc_id
+        """,
+        "events_trend": """
+            SELECT event_type,
+                   round(regr_slope(value, epoch(ts) / 86400.0), 6) AS slope,
+                   round(regr_intercept(value, epoch(ts) / 86400.0), 4)
+                     AS intercept,
+                   round(corr(value, epoch(ts) / 86400.0), 6) AS pearson_r,
+                   count(*)::BIGINT AS n
+            FROM events GROUP BY event_type
         """,
         "events_window_suite": """
             SELECT user_id, event_id,

@@ -127,6 +127,7 @@ HEADLINE = [
     "export_jsonl_roundtrip",
     "events_window_suite",
     "events_cube",
+    "events_trend",
 ]
 
 
