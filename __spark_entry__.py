@@ -2857,6 +2857,33 @@ def q_events_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment dispersion stats per group: sample variance /
+    stddev / covariance (identical definitions in both engines) plus
+    SAMPLE-corrected skewness and excess kurtosis — Spark's builtins
+    return the population g1/g2, so the adjusted-Fisher-Pearson
+    corrections G1 = g1*sqrt(n(n-1))/(n-2) and
+    G2 = ((n+1)g2+6)(n-1)/((n-2)(n-3)) are applied in-plan to match
+    DuckDB's sample convention. One partial-aggregate shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    days = (F.col("ts").cast("double") / 86400.0).alias("days")
+    n = F.count("*")
+    g1, g2 = F.skewness("value"), F.kurtosis("value")
+    return (
+        ev.select("event_type", "value", days)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.var_samp("value"), 4).alias("variance"),
+            F.round(F.stddev_samp("value"), 6).alias("stddev"),
+            F.round(F.covar_samp("value", "days"), 6).alias("covar_days"),
+            F.round(g1 * F.sqrt(n * (n - 1)) / (n - 2), 5).alias("skewness"),
+            F.round(
+                ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3)), 5
+            ).alias("kurtosis"),
+        )
+    )
+
+
 def q_events_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full ranking/navigation window-function surface in one
     query: lag/lead, rank/dense_rank/row_number, ntile, percent_rank,
@@ -3466,6 +3493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window_suite": q_events_window_suite,
         "events_cube": q_events_cube,
         "events_trend": q_events_trend,
+        "events_dispersion": q_events_dispersion,
         "events_transitions": q_events_transitions,
         "events_mad_outliers": q_events_mad_outliers,
         "fuzzy_join_typos": q_fuzzy_join_typos,
@@ -3474,7 +3502,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22_idle_balances": q_tpch_q22_idle_balances,
         "zorder_layout": q_zorder_layout,
         "dedup_best_rep": q_dedup_best_rep,
-        "hash_split": q_hash_split,
         "url_domain_filter": q_url_domain_filter,
         "ingest_metrics_windowed": q_ingest_metrics_windowed,
         "bpe_merges": q_bpe_merges,
@@ -3544,6 +3571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "intra_doc_dedup": q_intra_doc_dedup,
         "corpus_shuffle": q_corpus_shuffle,
+        "hash_split": q_hash_split,
         "vsctl_get": q_vsctl_get,
         "corpus_diff": q_corpus_diff,
         "sink_payload_roundtrip": q_sink_payload_roundtrip,
@@ -4477,6 +4505,16 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(string_agg(CASE WHEN NOT boil THEN line END,
                                        chr(10) ORDER BY pos), '') AS clean_text
             FROM t GROUP BY doc_id
+        """,
+        "events_dispersion": """
+            SELECT event_type,
+                   round(var_samp(value), 4) AS variance,
+                   round(stddev_samp(value), 6) AS stddev,
+                   round(covar_samp(value, epoch(ts) / 86400.0), 6)
+                     AS covar_days,
+                   round(skewness(value), 5) AS skewness,
+                   round(kurtosis(value), 5) AS kurtosis
+            FROM events GROUP BY event_type
         """,
         "events_trend": """
             SELECT event_type,

@@ -128,6 +128,7 @@ HEADLINE = [
     "events_window_suite",
     "events_cube",
     "events_trend",
+    "events_dispersion",
 ]
 
 
