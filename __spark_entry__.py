@@ -2857,6 +2857,79 @@ def q_events_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): revenue lost to
+    'R'-flag lineitems per customer over one quarter, top 20 — key
+    join lineitem-orders, broadcast customer/nation dims, one
+    aggregate, top-k via a bounded window over the rounded revenue
+    (deterministic tiebreak on custkey)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 20)
+    )
+
+
+def q_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    join keeps zero-order customers, two stacked aggregates produce
+    the histogram — integer-exact end to end."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue under brand/size/quantity
+    DISJUNCTIONS): the OR-of-ANDs predicate is expressed declaratively
+    so Catalyst can push the part-side conjuncts below the join and
+    keep the whole filter in the scan/codegen path."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    q = F.col("l_quantity")
+    pred = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 10)
+         & q.between(5, 15))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 25)
+           & q.between(15, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 40)
+           & q.between(25, 40))
+    )
+    return j.where(pred).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
 def q_events_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-moment dispersion stats per group: sample variance /
     stddev / covariance (identical definitions in both engines) plus
@@ -3498,11 +3571,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_mad_outliers": q_events_mad_outliers,
         "fuzzy_join_typos": q_fuzzy_join_typos,
         "tpch_q4_priority": q_tpch_q4_priority,
+        "tpch_q10_returns": q_tpch_q10_returns,
+        "tpch_q13_custdist": q_tpch_q13_custdist,
+        "tpch_q19_disjunctive": q_tpch_q19_disjunctive,
         "tpch_q21_waiting": q_tpch_q21_waiting,
         "tpch_q22_idle_balances": q_tpch_q22_idle_balances,
         "zorder_layout": q_zorder_layout,
         "dedup_best_rep": q_dedup_best_rep,
-        "url_domain_filter": q_url_domain_filter,
         "ingest_metrics_windowed": q_ingest_metrics_windowed,
         "bpe_merges": q_bpe_merges,
         "filter_multi_data": _filter_query(
@@ -3514,9 +3589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ]
             }
         ),
-        "ann_recall": q_ann_recall,
         # --- never driver-checked (r3 position 51) ---
-        "events_cohort_retention": q_events_cohort_retention,
         # --- filters.py was rewritten this round: family re-gated
         # (the four plainest single-predicate forms rotate to the
         # tail to make window room for the new operators above; they
@@ -3572,6 +3645,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intra_doc_dedup": q_intra_doc_dedup,
         "corpus_shuffle": q_corpus_shuffle,
         "hash_split": q_hash_split,
+        "ann_recall": q_ann_recall,
+        "events_cohort_retention": q_events_cohort_retention,
+        "url_domain_filter": q_url_domain_filter,
         "vsctl_get": q_vsctl_get,
         "corpus_diff": q_corpus_diff,
         "sink_payload_roundtrip": q_sink_payload_roundtrip,
@@ -4794,6 +4870,47 @@ def oracle_sql() -> dict[str, str]:
                      AS value_filled,
                    (v IS NULL) AS filled
             FROM j
+        """,
+        "tpch_q10_returns": """
+            WITH rev AS (
+              SELECT c.c_custkey, c.c_name, n.n_name,
+                     round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                       AS revenue
+              FROM lineitem l
+                   JOIN orders o ON l.l_orderkey = o.o_orderkey
+                   JOIN customer c ON o.o_custkey = c.c_custkey
+                   JOIN nation n ON c.c_nationkey = n.n_nationkey
+              WHERE l.l_returnflag = 'R'
+                AND o.o_orderdate >= '1996-01-01'
+                AND o.o_orderdate < '1996-04-01'
+              GROUP BY 1, 2, 3),
+            r AS (SELECT *, (row_number() OVER (ORDER BY revenue DESC,
+                                                c_custkey))::INT AS rank
+                  FROM rev)
+            SELECT * FROM r WHERE rank <= 20
+        """,
+        "tpch_q13_custdist": """
+            WITH c_orders AS (
+              SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+              FROM customer c LEFT JOIN orders o
+                ON c.c_custkey = o.o_custkey
+                   AND o.o_orderdate >= '1996-01-01'
+                   AND o.o_orderdate < '1997-01-01'
+              GROUP BY c.c_custkey)
+            SELECT c_count, count(*)::BIGINT AS custdist
+            FROM c_orders GROUP BY c_count
+        """,
+        "tpch_q19_disjunctive": """
+            SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                     AS revenue,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+                   AND l.l_quantity BETWEEN 5 AND 15)
+               OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 25
+                   AND l.l_quantity BETWEEN 15 AND 30)
+               OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 40
+                   AND l.l_quantity BETWEEN 25 AND 40)
         """,
         "tpch_q4_priority": """
             SELECT o_orderpriority, count(*)::BIGINT AS order_count

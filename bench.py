@@ -129,6 +129,9 @@ HEADLINE = [
     "events_cube",
     "events_trend",
     "events_dispersion",
+    "tpch_q10_returns",
+    "tpch_q13_custdist",
+    "tpch_q19_disjunctive",
 ]
 
 
