@@ -2930,6 +2930,71 @@ def q_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): the classic
+    scan-only aggregate — every predicate (ship-year, discount band,
+    quantity cap) sits on the lineitem scan, zero joins, one partial
+    aggregate. The float discount comparisons hit the SAME parquet
+    doubles in both engines, so the band is deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): promo revenue share over
+    one month — conditional sum / total sum in ONE aggregate over the
+    lineitem-part broadcast join."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-03-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct
+    suppliers per (brand, size) over the lineitem-part join, excluding
+    two brands (NOT IN) and restricted to a size set — a per-group
+    count_distinct kept UNMIXED with other aggregates (the Expand
+    lesson)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").where(
+        ~F.col("p_brand").isin("Brand#1", "Brand#2")
+        & F.col("p_size").isin(5, 10, 15, 20, 25, 30, 35, 40)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
 def q_events_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-moment dispersion stats per group: sample variance /
     stddev / covariance (identical definitions in both engines) plus
@@ -3574,33 +3639,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10_returns": q_tpch_q10_returns,
         "tpch_q13_custdist": q_tpch_q13_custdist,
         "tpch_q19_disjunctive": q_tpch_q19_disjunctive,
+        "tpch_q6_forecast": q_tpch_q6_forecast,
+        "tpch_q14_promo": q_tpch_q14_promo,
+        "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
         "tpch_q21_waiting": q_tpch_q21_waiting,
         "tpch_q22_idle_balances": q_tpch_q22_idle_balances,
         "zorder_layout": q_zorder_layout,
         "dedup_best_rep": q_dedup_best_rep,
         "ingest_metrics_windowed": q_ingest_metrics_windowed,
         "bpe_merges": q_bpe_merges,
-        "filter_multi_data": _filter_query(
-            {
-                "all": [
-                    {"prefix": {"type": "s"}},
-                    {"exact": {"data.props.k": "12"}},
-                    {"prefix": {"data.user_id": "1"}},
-                ]
-            }
-        ),
         # --- never driver-checked (r3 position 51) ---
         # --- filters.py was rewritten this round: family re-gated
         # (the four plainest single-predicate forms rotate to the
         # tail to make window room for the new operators above; they
         # are r1-r3 driver-green and stay replica-gated) ---
-        "filter_cesql": _filter_query(
-            {"ce_sql": "type = 'error' AND EXISTS partitionkey"}
-        ),
         "filter_cesql_like_in": _filter_query(
             {"ce_sql": "type LIKE 's%p' OR type IN ('error', 'view')"}
         ),
-        "filter_cel": _filter_query({"cel": "$user_id.(int64) > 10"}),
         "filter_cel_data": _filter_query(
             {"cel": "$props.k.(int64) >= 50 && $value.(double) < 100.0"}
         ),
@@ -3648,6 +3703,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "events_cohort_retention": q_events_cohort_retention,
         "url_domain_filter": q_url_domain_filter,
+        "filter_cesql": _filter_query(
+            {"ce_sql": "type = 'error' AND EXISTS partitionkey"}
+        ),
+        "filter_cel": _filter_query({"cel": "$user_id.(int64) > 10"}),
+        "filter_multi_data": _filter_query(
+            {
+                "all": [
+                    {"prefix": {"type": "s"}},
+                    {"exact": {"data.props.k": "12"}},
+                    {"prefix": {"data.user_id": "1"}},
+                ]
+            }
+        ),
         "vsctl_get": q_vsctl_get,
         "corpus_diff": q_corpus_diff,
         "sink_payload_roundtrip": q_sink_payload_roundtrip,
@@ -4870,6 +4938,32 @@ def oracle_sql() -> dict[str, str]:
                      AS value_filled,
                    (v IS NULL) AS filled
             FROM j
+        """,
+        "tpch_q6_forecast": """
+            SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "tpch_q14_promo": """
+            SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                          THEN l.l_extendedprice * (1 - l.l_discount)
+                                          ELSE 0.0 END)
+                         / sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+                     AS promo_pct,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= '1996-03-01' AND l.l_shipdate < '1996-04-01'
+        """,
+        "tpch_q16_supplier_cnt": """
+            SELECT p.p_brand, p.p_size,
+                   count(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_brand NOT IN ('Brand#1', 'Brand#2')
+              AND p.p_size IN (5, 10, 15, 20, 25, 30, 35, 40)
+            GROUP BY p.p_brand, p.p_size
         """,
         "tpch_q10_returns": """
             WITH rev AS (

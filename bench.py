@@ -132,6 +132,9 @@ HEADLINE = [
     "tpch_q10_returns",
     "tpch_q13_custdist",
     "tpch_q19_disjunctive",
+    "tpch_q6_forecast",
+    "tpch_q14_promo",
+    "tpch_q16_supplier_cnt",
 ]
 
 
