@@ -2995,6 +2995,80 @@ def q_tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two nations): lineitem
+    resolves to its SUPPLIER nation and, through orders->customer, to
+    the CUSTOMER nation; keep only the (0,1)/(1,0) pairs across two
+    ship-years. Both nation dims broadcast; one key-join shuffle +
+    the final tiny aggregate."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_0") & (F.col("cust_nation") == "NATION_1"))
+        | ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_0"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier, TIES INCLUDED): per-supplier
+    quarter revenue, then the suppliers whose revenue equals the
+    global max — the scalar-max subquery decorrelates into a one-row
+    aggregate joined back as a broadcast; the equality compares
+    round(4) revenues on both sides, so float fold order cannot break
+    the tie set."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
 def q_events_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-moment dispersion stats per group: sample variance /
     stddev / covariance (identical definitions in both engines) plus
@@ -3642,6 +3716,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6_forecast": q_tpch_q6_forecast,
         "tpch_q14_promo": q_tpch_q14_promo,
         "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
+        "tpch_q7_volume_shipping": q_tpch_q7_volume_shipping,
+        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
         "tpch_q21_waiting": q_tpch_q21_waiting,
         "tpch_q22_idle_balances": q_tpch_q22_idle_balances,
         "zorder_layout": q_zorder_layout,
@@ -3656,12 +3732,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_cesql_like_in": _filter_query(
             {"ce_sql": "type LIKE 's%p' OR type IN ('error', 'view')"}
         ),
-        "filter_cel_data": _filter_query(
-            {"cel": "$props.k.(int64) >= 50 && $value.(double) < 100.0"}
-        ),
         "filter_cel_data_dynamic": q_filter_cel_data_dynamic,
         # --- dedup/LSH family: bucket_cap default flip + pointer-jump ---
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "corpus_clean": q_corpus_clean,
         "dedup_incremental_stream": q_dedup_incremental_stream,
         "dedup_substring": q_dedup_substring,
@@ -3703,6 +3775,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "events_cohort_retention": q_events_cohort_retention,
         "url_domain_filter": q_url_domain_filter,
+        "filter_cel_data": _filter_query(
+            {"cel": "$props.k.(int64) >= 50 && $value.(double) < 100.0"}
+        ),
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "filter_cesql": _filter_query(
             {"ce_sql": "type = 'error' AND EXISTS partitionkey"}
         ),
@@ -4938,6 +5014,35 @@ def oracle_sql() -> dict[str, str]:
                      AS value_filled,
                    (v IS NULL) AS filled
             FROM j
+        """,
+        "tpch_q7_volume_shipping": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   year(l.l_shipdate)::BIGINT AS l_year,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                     AS revenue,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem l
+                 JOIN orders o ON l.l_orderkey = o.o_orderkey
+                 JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                 JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+                 JOIN customer c ON o.o_custkey = c.c_custkey
+                 JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            WHERE l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1998-01-01'
+              AND ((sn.n_name = 'NATION_0' AND cn.n_name = 'NATION_1')
+                   OR (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_0'))
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q15_top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+              GROUP BY l_suppkey)
+            SELECT s.s_suppkey, s.s_name, r.total_revenue
+            FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+            WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
         """,
         "tpch_q6_forecast": """
             SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,

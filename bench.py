@@ -135,6 +135,8 @@ HEADLINE = [
     "tpch_q6_forecast",
     "tpch_q14_promo",
     "tpch_q16_supplier_cnt",
+    "tpch_q7_volume_shipping",
+    "tpch_q15_top_supplier",
 ]
 
 
