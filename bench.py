@@ -137,6 +137,11 @@ HEADLINE = [
     "tpch_q16_supplier_cnt",
     "tpch_q7_volume_shipping",
     "tpch_q15_top_supplier",
+    "tpch_q8_market_share",
+    "events_ohlc",
+    "events_rolling_time",
+    "profile_table",
+    "link_communities",
 ]
 
 

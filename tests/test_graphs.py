@@ -36,3 +36,51 @@ def test_pagerank_mass_conservation_without_dangling(spark):
     # ring is symmetric: every node identical
     vals = {round(r.rank, 12) for r in ranks}
     assert len(vals) == 1
+
+
+def test_label_propagation_two_components(spark):
+    from vanus_spark.llm.graphs import label_propagation
+
+    # component A: 1-2-3 chain; component B: 10-11; a self-loop (20,20)
+    # contributes no edge (and, having no other edge, no node either)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], "src long, dst long"
+    )
+    out = {
+        r.node: r.community
+        for r in label_propagation(edges, iters=3).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_label_propagation_round_semantics_synchronous(spark):
+    from vanus_spark.llm.graphs import label_propagation
+
+    # path 1-2-3-4-5: after ONE synchronous round each node only sees
+    # direct neighbors (min of self+neighbors), not the transitive min
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    one = {
+        r.node: r.community
+        for r in label_propagation(edges, iters=1).collect()
+    }
+    assert one == {1: 1, 2: 1, 3: 2, 4: 3, 5: 4}
+    # diameter 4 -> converged by 4 rounds
+    four = {
+        r.node: r.community
+        for r in label_propagation(edges, iters=4).collect()
+    }
+    assert set(four.values()) == {1}
+
+
+def test_label_propagation_direction_blind(spark):
+    from vanus_spark.llm.graphs import label_propagation
+
+    # min label flows AGAINST edge direction too (undirected closure)
+    edges = spark.createDataFrame([(5, 1), (6, 5)], "src long, dst long")
+    out = {
+        r.node: r.community
+        for r in label_propagation(edges, iters=3).collect()
+    }
+    assert out == {1: 1, 5: 1, 6: 1}

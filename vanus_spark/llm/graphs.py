@@ -65,3 +65,54 @@ def pagerank(
         if (k + 1) % checkpoint_every == 0 and k + 1 < iters:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """(node, community) after ``iters`` synchronous min-label
+    propagation rounds over the UNDIRECTED closure of ``edges``.
+
+    label_{k+1}(n) = min(label_k(n), min_{m in N(n)} label_k(m)),
+    seeded with label_0(n) = n. Deterministic (min is order-free), so
+    an engine-exact SQL oracle can unroll the same k rounds as chained
+    CTEs. For components this converges in O(diameter) rounds; the
+    fixed-``iters`` form is the community/"sparsify the frontier"
+    variant crawl pipelines use to group mutually-linked hosts
+    (reference semantics: vanus has no graph layer; this mirrors the
+    GraphX/Pregel LPA shape re-expressed as DataFrame joins).
+
+    At 100 TB: one join + one partial-agg shuffle per round over the
+    symmetrized edge table — never an adjacency matrix; labels are a
+    (node, long) table co-partitioned with the edge src."""
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nodes = und.select(F.col("a").alias("node")).distinct()
+    labels = nodes.withColumn("community", F.col("node").cast("long"))
+    for k in range(iters):
+        neigh = (
+            und.join(labels, und["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("community").alias("nmin"))
+        )
+        labels = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("community"),
+                    F.coalesce(F.col("nmin"), F.col("community")),
+                ).alias("community"),
+            )
+        )
+        if (k + 1) % checkpoint_every == 0 and k + 1 < iters:
+            labels = labels.localCheckpoint(eager=True)
+    return labels
