@@ -142,6 +142,10 @@ HEADLINE = [
     "events_rolling_time",
     "profile_table",
     "link_communities",
+    "text_keywords",
+    "lang_confusion",
+    "events_attribution",
+    "salted_join_skew",
 ]
 
 

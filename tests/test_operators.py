@@ -101,3 +101,44 @@ def test_two_phase_count_matches_plain(spark, events):
     fast = {r.event_type: r["count"] for r in two_phase_count(events, ["event_type"]).collect()}
     plain = {r.event_type: r.n for r in events.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
     assert fast == plain
+
+
+def test_salted_join_matches_plain_join(spark, events):
+    from pyspark.sql import functions as F
+
+    from vanus_spark.operators.skew import salted_join
+
+    ev = events.select(
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "view", F.lit(0))
+        .otherwise(F.col("user_id"))
+        .cast("long")
+        .alias("k"),
+    )
+    dim = ev.select("k").distinct().select(
+        "k", F.pmod(F.col("k"), F.lit(5)).alias("segment")
+    )
+    plain = sorted(
+        (r.event_id, r.segment)
+        for r in ev.join(dim, "k").select("event_id", "segment").collect()
+    )
+    salted = sorted(
+        (r.event_id, r.segment)
+        for r in salted_join(ev, dim, "k", hot_keys=[0], replicas=8)
+        .select("event_id", "segment")
+        .collect()
+    )
+    assert salted == plain
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    from vanus_spark.operators.skew import salted_join
+
+    probe = spark.createDataFrame(
+        [(0, "a"), (0, "b"), (1, "c"), (9, "d")], "k long, tag string"
+    )
+    build = spark.createDataFrame([(0, "hot"), (1, "cold")], "k long, lab string")
+    out = salted_join(probe, build, "k", hot_keys=[0], replicas=4, how="left")
+    got = {(r.k, r.tag): r.lab for r in out.collect()}
+    assert got == {(0, "a"): "hot", (0, "b"): "hot", (1, "c"): "cold", (9, "d"): None}

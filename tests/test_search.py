@@ -114,3 +114,34 @@ def test_heavy_hitters_plan_shape(spark, sf_dir):
     )
     assert "LeftSemi" in plan and "Broadcast" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tfidf_keywords_hand_computed(spark):
+    import math
+
+    from vanus_spark.llm.search import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry durian"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_id, r.term): (r.rank, r.score)
+        for r in tfidf_keywords(docs, k=2).collect()
+    }
+
+    def score(tf, dl, df, n=3.0):
+        return round(tf / dl * (math.log((1 + n) / (1 + df)) + 1), 6)
+
+    # doc 1: apple tf=2 df=1, banana tf=1 df=2
+    assert out[(1, "apple")] == (1, score(2, 3, 1))
+    assert out[(1, "banana")] == (2, score(1, 3, 2))
+    # doc 3: cherry tf=3 df=2 ranks above the rarer durian tf=1 df=1
+    assert out[(3, "cherry")][0] == 1
+    assert out[(3, "durian")][0] == 2
+    # k=2 cap holds
+    assert all(rank <= 2 for rank, _ in out.values())

@@ -131,3 +131,45 @@ def bm25_search(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "rank", F.round("score", 6).alias("score"))
     )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF:
+    (id_col, term, rank, score) with
+
+        score(t, d) = tf(t,d)/dl(d) * (ln((1 + N) / (1 + df(t))) + 1)
+
+    (the sklearn ``smooth_idf`` convention — never divides by zero and
+    keeps corpus-universal terms at idf 1 instead of 0, so they still
+    rank below rare terms but are not erased).
+
+    Scale design: reuses the bm25_index chain — ONE tokenize +
+    partial-aggregate pass feeds tf/dl/df via ReusedExchange; the
+    vocabulary-sized term_df joins the postings ON TERM as a key join
+    (a 100 TB vocabulary must never broadcast); the corpus-stats row
+    broadcasts; top-k is a bounded per-document window, not a global
+    sort. Ranking is deterministic: round(score, 9) DESC then term
+    (ulp-level float divergence across engines cannot reorder)."""
+    from pyspark.sql.window import Window
+
+    postings, term_df, stats = bm25_index(docs, text_col, id_col)
+    score = (F.col("tf") / F.col("dl")) * (
+        F.log((F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("dfreq")))
+        + F.lit(1.0)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.round("score", 9).desc(), F.col("term")
+    )
+    return (
+        postings.join(term_df, "term")
+        .join(F.broadcast(stats))
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "rank", F.round("score", 6).alias("score"))
+    )

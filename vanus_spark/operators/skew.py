@@ -48,3 +48,31 @@ def explode_hot_keys(
         F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(replicas)),
     ).otherwise(F.lit(0))
     return replicated, probe_salt
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key_col: str,
+    hot_keys: list,
+    replicas: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """End-to-end hot-key salted equi-join: the build side's hot-key
+    rows are replicated ``replicas`` times, the probe side picks a
+    replica pseudo-randomly, and the join runs on (key, replica) — a
+    hot key's probe rows spread over ``replicas`` tasks instead of
+    serializing into one. The RESULT is identical to
+    ``probe.join(build, key_col, how)`` (each probe row matches
+    exactly the replica it picked), so correctness is salt-invariant
+    even though the replica assignment itself is not deterministic.
+
+    For when AQE's skew-join split can't help: a hot PARTITION it can
+    re-split, but a single hot KEY inside one task it cannot. Use with
+    a build side too large to broadcast; otherwise just broadcast."""
+    replicated, probe_salt = explode_hot_keys(build, key_col, hot_keys, replicas)
+    return (
+        probe.withColumn("_replica", probe_salt)
+        .join(replicated, [key_col, "_replica"], how)
+        .drop("_replica")
+    )
