@@ -3954,6 +3954,136 @@ def q_salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily + trailing-7-day active users (the sliding-DISTINCT
+    problem): a windowed count(distinct) doesn't exist in either
+    engine, so each (user, day) pair is exploded to the 7 window days
+    it contributes to — the standard scale-out rewrite (7x the
+    DISTINCT pairs, never the raw events; all shuffles are on
+    day-sized keys)."""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    dau = du.groupBy("day").agg(F.count("*").alias("dau"))
+    contrib = du.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("wday"),
+    ).distinct()
+    wau = contrib.groupBy("wday").agg(F.count("*").alias("wau"))
+    return (
+        dau.join(wau, dau.day == wau.wday)
+        .select(F.col("day").cast("string").alias("day"), "dau", "wau")
+    )
+
+
+def q_orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary
+    quartile scores). Deliberately NOT ntile(): a global ntile is a
+    single-task sort at 100 TB — instead the three quartile
+    boundaries come from one exact-percentile aggregate (one row,
+    broadcast back), and each customer scores by threshold
+    comparison — fully parallel, and ties land deterministically on
+    the same side in both engines because both compare the same
+    round(6) values."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("2001-09-01").cast("date"), F.max("o_orderdate")
+        ).alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 4).alias("monetary"),
+    )
+    thr = per_cust.agg(
+        *[
+            F.round(
+                F.percentile(c, F.lit(q)), 6
+            ).alias(f"{c}_q{int(q * 100)}")
+            for c in ("recency_days", "frequency", "monetary")
+            for q in (0.25, 0.5, 0.75)
+        ]
+    )
+
+    def score(c: str, invert: bool) -> F.Column:
+        v = F.col(c).cast("double")
+        s = (
+            F.lit(1)
+            + (v > F.col(f"{c}_q25")).cast("int")
+            + (v > F.col(f"{c}_q50")).cast("int")
+            + (v > F.col(f"{c}_q75")).cast("int")
+        )
+        # recency: LOWER days-since = better -> invert to 5 - s
+        return (F.lit(5) - s) if invert else s
+
+    return (
+        per_cust.join(F.broadcast(thr))
+        .select(
+            "o_custkey",
+            score("recency_days", True).alias("r_score"),
+            score("frequency", False).alias("f_score"),
+            score("monetary", False).alias("m_score"),
+        )
+        .withColumn(
+            "segment",
+            F.concat_ws(
+                "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+            ),
+        )
+    )
+
+
+def q_events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type stats: mean/stddev after winsorizing values to
+    the [p05, p95] band. The two clamp thresholds are one exact-
+    percentile aggregate per type (5 rows, broadcast back); the clamp
+    itself is a pure Column — one extra tiny aggregate, no second
+    scan shape. round(6) on thresholds BEFORE clamping so both
+    engines clamp against identical doubles."""
+    ev = _t(spark, sf_dir, "events")
+    thr = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.05)), 6).alias("lo"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("hi"),
+    )
+    clamped = ev.join(F.broadcast(thr), "event_type").select(
+        "event_type",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias(
+            "wv"
+        ),
+    )
+    return clamped.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("wv"), 6).alias("wins_mean"),
+        F.round(F.stddev("wv"), 6).alias("wins_stddev"),
+        F.round(F.min("wv"), 6).alias("wins_min"),
+        F.round(F.max("wv"), 6).alias("wins_max"),
+    )
+
+
+def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column QA report per label: row count, dimension
+    range (a dim mismatch is the classic silent corruption), zero-
+    vector count, and L2-norm min/mean/max. Norms are Catalyst HOF
+    folds over the double-cast array (sqrt is IEEE-exact, and both
+    engines fold the same sequential order); one partial-agg
+    shuffle."""
+    from vanus_spark.llm.similarity import l2_norm
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "label",
+        F.size("embedding").alias("dim"),
+        l2_norm(F.col("embedding").cast("array<double>")).alias("nrm"),
+    )
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.min("dim").alias("dim_min"),
+        F.max("dim").alias("dim_max"),
+        F.sum((F.col("nrm") == 0.0).cast("long")).alias("n_zero"),
+        F.round(F.min("nrm"), 6).alias("norm_min"),
+        F.round(F.avg("nrm"), 6).alias("norm_avg"),
+        F.round(F.max("nrm"), 6).alias("norm_max"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3998,15 +4128,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "authz_decisions": q_authz_decisions,
         "export_jsonl_roundtrip": q_export_jsonl_roundtrip,
         "events_window_suite": q_events_window_suite,
-        "events_cube": q_events_cube,
         "events_trend": q_events_trend,
         "events_dispersion": q_events_dispersion,
         "events_transitions": q_events_transitions,
         "events_mad_outliers": q_events_mad_outliers,
         "fuzzy_join_typos": q_fuzzy_join_typos,
-        "tpch_q4_priority": q_tpch_q4_priority,
-        "tpch_q19_disjunctive": q_tpch_q19_disjunctive,
-        "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
         "tpch_q7_volume_shipping": q_tpch_q7_volume_shipping,
         "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
         "tpch_q21_waiting": q_tpch_q21_waiting,
@@ -4025,6 +4151,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_confusion": q_lang_confusion,
         "events_attribution": q_events_attribution,
         "salted_join_skew": q_salted_join_skew,
+        "events_dau_wau": q_events_dau_wau,
+        "orders_rfm": q_orders_rfm,
+        "events_winsorized": q_events_winsorized,
+        "embedding_norm_stats": q_embedding_norm_stats,
         # --- never driver-checked (r3 position 51) ---
         # --- filters.py was rewritten this round: family re-gated
         # (the four plainest single-predicate forms rotate to the
@@ -4052,6 +4182,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10_returns": q_tpch_q10_returns,
         "tpch_q13_custdist": q_tpch_q13_custdist,
         "tpch_q14_promo": q_tpch_q14_promo,
+        "tpch_q4_priority": q_tpch_q4_priority,
+        "tpch_q19_disjunctive": q_tpch_q19_disjunctive,
+        "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
+        "events_cube": q_events_cube,
         "dedup_best_rep": q_dedup_best_rep,
         "bpe_merges": q_bpe_merges,
         "corpus_clean": q_corpus_clean,
@@ -5493,6 +5627,86 @@ def oracle_sql() -> dict[str, str]:
             SELECT segment, count(*)::BIGINT AS n,
                    round(sum(value), 4) AS total_value
             FROM ev JOIN dim USING (k) GROUP BY 1
+        """,
+        "events_dau_wau": """
+            WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                        FROM events),
+            dau AS (SELECT day, count(*)::BIGINT AS dau FROM du GROUP BY 1),
+            contrib AS (
+              SELECT DISTINCT user_id,
+                     unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                            INTERVAL 1 DAY))::DATE AS wday
+              FROM du),
+            wau AS (SELECT wday, count(*)::BIGINT AS wau
+                    FROM contrib GROUP BY 1)
+            SELECT dau.day::VARCHAR AS day, dau, wau
+            FROM dau JOIN wau ON dau.day = wau.wday
+        """,
+        "orders_rfm": """
+            WITH pc AS (
+              SELECT o_custkey,
+                     date_diff('day', max(o_orderdate)::DATE,
+                               DATE '2001-09-01')::INT AS recency_days,
+                     count(*)::BIGINT AS frequency,
+                     round(sum(o_totalprice), 4) AS monetary
+              FROM orders GROUP BY 1),
+            thr AS (
+              SELECT round(quantile_cont(recency_days, 0.25), 6) AS r25,
+                     round(quantile_cont(recency_days, 0.50), 6) AS r50,
+                     round(quantile_cont(recency_days, 0.75), 6) AS r75,
+                     round(quantile_cont(frequency, 0.25), 6) AS f25,
+                     round(quantile_cont(frequency, 0.50), 6) AS f50,
+                     round(quantile_cont(frequency, 0.75), 6) AS f75,
+                     round(quantile_cont(monetary, 0.25), 6) AS m25,
+                     round(quantile_cont(monetary, 0.50), 6) AS m50,
+                     round(quantile_cont(monetary, 0.75), 6) AS m75
+              FROM pc),
+            s AS (
+              SELECT o_custkey,
+                     5 - (1 + (recency_days::DOUBLE > r25)::INT
+                            + (recency_days::DOUBLE > r50)::INT
+                            + (recency_days::DOUBLE > r75)::INT) AS r_score,
+                     1 + (frequency::DOUBLE > f25)::INT
+                       + (frequency::DOUBLE > f50)::INT
+                       + (frequency::DOUBLE > f75)::INT AS f_score,
+                     1 + (monetary::DOUBLE > m25)::INT
+                       + (monetary::DOUBLE > m50)::INT
+                       + (monetary::DOUBLE > m75)::INT AS m_score
+              FROM pc CROSS JOIN thr)
+            SELECT o_custkey, r_score, f_score, m_score,
+                   r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR
+                     AS segment
+            FROM s
+        """,
+        "events_winsorized": """
+            WITH thr AS (
+              SELECT event_type,
+                     round(quantile_cont(value, 0.05), 6) AS lo,
+                     round(quantile_cont(value, 0.95), 6) AS hi
+              FROM events GROUP BY 1),
+            c AS (SELECT e.event_type,
+                         least(greatest(e.value, t.lo), t.hi) AS wv
+                  FROM events e JOIN thr t USING (event_type))
+            SELECT event_type, count(*)::BIGINT AS n,
+                   round(avg(wv), 6) AS wins_mean,
+                   round(stddev_samp(wv), 6) AS wins_stddev,
+                   round(min(wv), 6) AS wins_min,
+                   round(max(wv), 6) AS wins_max
+            FROM c GROUP BY 1
+        """,
+        "embedding_norm_stats": """
+            WITH e AS (
+              SELECT label, len(embedding)::INT AS dim,
+                     sqrt(list_dot_product(embedding::DOUBLE[],
+                                           embedding::DOUBLE[])) AS nrm
+              FROM embeddings)
+            SELECT label, count(*)::BIGINT AS n_vecs,
+                   min(dim) AS dim_min, max(dim) AS dim_max,
+                   sum((nrm = 0.0)::INT)::BIGINT AS n_zero,
+                   round(min(nrm), 6) AS norm_min,
+                   round(avg(nrm), 6) AS norm_avg,
+                   round(max(nrm), 6) AS norm_max
+            FROM e GROUP BY 1
         """,
         "tpch_q15_top_supplier": """
             WITH rev AS (

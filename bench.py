@@ -146,6 +146,10 @@ HEADLINE = [
     "lang_confusion",
     "events_attribution",
     "salted_join_skew",
+    "events_dau_wau",
+    "orders_rfm",
+    "events_winsorized",
+    "embedding_norm_stats",
 ]
 
 
