@@ -1449,7 +1449,7 @@ def _write_replay_batches(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    types = {"ts": pa.timestamp("us"), "long": pa.int64()}
+    types = {"ts": pa.timestamp("us"), "long": pa.int64(), "str": pa.string()}
     for i, rows in enumerate(batches):
         tbl = pa.table(
             {
@@ -3954,6 +3954,75 @@ def q_salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_late_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics under deterministic replay: a
+    daily windowed count (append mode, 2-hour watermark) over three
+    arrival batches where user_id%7==0 events arrive TWO batches late
+    and user_id%5==0 one batch late. Spark 3.4+ filters late events
+    with the PREVIOUS batch's watermark (watermarkForLateEvents — one
+    batch BEHIND the eviction watermark, verified empirically against
+    recentProgress), so the oracle restates exactly that rule in SQL:
+    a batch-k row is kept iff its day-window END exceeds
+    max(event time over batches <= k-2) - 2h. One-batch stragglers
+    all survive; two-batch stragglers beyond the lagged watermark are
+    dropped (427 rows at sf0.01). A far-future sentinel batch
+    advances the watermark past every real window so append mode
+    flushes them all (the sentinel's own window stays unemitted, so
+    it never reaches the output)."""
+    import datetime as dtm
+    import os
+    import shutil
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    rows = ev.select("ts", "event_type", "user_id").collect()
+    c1, c2 = dtm.datetime(2024, 1, 11), dtm.datetime(2024, 1, 21)
+    batches: list[list[tuple]] = [[], [], [], []]
+    for r in rows:
+        base = 0 if r.ts < c1 else (1 if r.ts < c2 else 2)
+        shift = 2 if r.user_id % 7 == 0 else (1 if r.user_id % 5 == 0 else 0)
+        batches[min(2, base + shift)].append((r.ts, r.event_type))
+    batches[3].append((dtm.datetime(2030, 1, 1), "sentinel"))
+    work = tempfile.mkdtemp(prefix="vs_late_replay_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    _write_replay_batches(
+        src, batches, [("ts", "ts"), ("event_type", "str")]
+    )
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd").alias("wstart"),
+            "event_type",
+            "n",
+        )
+    )
+    name = "late_metrics_sink"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    out = spark.table(name).collect()
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(out, "wstart string, event_type string, n long")
+
+
 def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily + trailing-7-day active users (the sliding-DISTINCT
     problem): a windowed count(distinct) doesn't exist in either
@@ -4128,7 +4197,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "authz_decisions": q_authz_decisions,
         "export_jsonl_roundtrip": q_export_jsonl_roundtrip,
         "events_window_suite": q_events_window_suite,
-        "events_trend": q_events_trend,
         "events_dispersion": q_events_dispersion,
         "events_transitions": q_events_transitions,
         "events_mad_outliers": q_events_mad_outliers,
@@ -4152,6 +4220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution": q_events_attribution,
         "salted_join_skew": q_salted_join_skew,
         "events_dau_wau": q_events_dau_wau,
+        "stream_late_metrics": q_stream_late_metrics,
         "orders_rfm": q_orders_rfm,
         "events_winsorized": q_events_winsorized,
         "embedding_norm_stats": q_embedding_norm_stats,
@@ -4186,6 +4255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19_disjunctive": q_tpch_q19_disjunctive,
         "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
         "events_cube": q_events_cube,
+        "events_trend": q_events_trend,
         "dedup_best_rep": q_dedup_best_rep,
         "bpe_merges": q_bpe_merges,
         "corpus_clean": q_corpus_clean,
@@ -5627,6 +5697,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT segment, count(*)::BIGINT AS n,
                    round(sum(value), 4) AS total_value
             FROM ev JOIN dim USING (k) GROUP BY 1
+        """,
+        "stream_late_metrics": """
+            WITH t AS (
+              SELECT ts, event_type,
+                     least(2, (CASE WHEN ts < TIMESTAMP '2024-01-11' THEN 0
+                                    WHEN ts < TIMESTAMP '2024-01-21' THEN 1
+                                    ELSE 2 END)
+                            + (CASE WHEN user_id % 7 = 0 THEN 2
+                                    WHEN user_id % 5 = 0 THEN 1
+                                    ELSE 0 END)) AS batch
+              FROM events WHERE ts IS NOT NULL),
+            bmax AS (SELECT batch, max(ts) AS mx FROM t GROUP BY 1),
+            wm AS (SELECT batch,
+                          max(mx) OVER (ORDER BY batch
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND 2 PRECEDING)
+                            - INTERVAL 2 HOUR AS lwm
+                   FROM bmax),
+            kept AS (
+              SELECT t.ts, t.event_type
+              FROM t JOIN wm USING (batch)
+              WHERE lwm IS NULL
+                 OR date_trunc('day', t.ts) + INTERVAL 1 DAY > lwm)
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS wstart,
+                   event_type, count(*)::BIGINT AS n
+            FROM kept GROUP BY 1, 2
         """,
         "events_dau_wau": """
             WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day

@@ -147,6 +147,7 @@ HEADLINE = [
     "events_attribution",
     "salted_join_skew",
     "events_dau_wau",
+    "stream_late_metrics",
     "orders_rfm",
     "events_winsorized",
     "embedding_norm_stats",
