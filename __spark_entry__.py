@@ -4153,6 +4153,80 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal profile per event type: the dow mean, its
+    ratio to the type's overall mean (the seasonal index a forecaster
+    divides out), and the share of the type's volume landing on that
+    dow. Two tiny aggregates joined on the 5-row type key — the
+    overall mean comes from the dow AGGREGATE (sum/count re-fold), not
+    a second scan, so one shuffle total."""
+    ev = _t(spark, sf_dir, "events")
+    dow = ev.groupBy(
+        "event_type", F.dayofweek("ts").cast("int").alias("dow")
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("_s"))
+    tot = dow.groupBy("event_type").agg(
+        (F.sum("_s") / F.sum("n")).alias("_mean_all"),
+        F.sum("n").alias("_n_all"),
+    )
+    return (
+        dow.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "n",
+            F.round(F.col("_s") / F.col("n"), 6).alias("dow_mean"),
+            F.round(
+                (F.col("_s") / F.col("n")) / F.col("_mean_all"), 6
+            ).alias("seasonal_index"),
+            F.round(
+                F.col("n").cast("double") / F.col("_n_all"), 6
+            ).alias("volume_share"),
+        )
+    )
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics — the report you run BEFORE picking a
+    join/partition strategy at 100 TB: per candidate key column, the
+    distinct-key count, the share of all rows on the hottest key, the
+    max/mean key-frequency ratio, and the top key itself. One
+    groupBy(key) per column plus a 1-row fold; the hot-key share
+    directly answers 'does this join need a broadcast, AQE skew
+    split, or salting?'. Top-key ties break to the lexicographically
+    LARGER key (max over (n, k) structs) so the report is
+    deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    docs = _t(spark, sf_dir, "documents")
+    parts = []
+    for tbl, df, col in (
+        ("events", ev, "user_id"),
+        ("events", ev, "event_type"),
+        ("documents", docs, "lang"),
+        ("documents", docs, "source"),
+    ):
+        freq = df.groupBy(F.col(col).cast("string").alias("k")).agg(
+            F.count("*").alias("n")
+        )
+        parts.append(
+            freq.agg(
+                F.lit(f"{tbl}.{col}").alias("key_column"),
+                F.count("*").alias("n_keys"),
+                F.sum("n").alias("n_rows"),
+                F.round(F.max("n") / F.sum("n"), 6).alias("top_share"),
+                F.round(
+                    F.max("n") / (F.sum("n") / F.count("*")), 6
+                ).alias("max_over_mean"),
+                F.max(F.struct(F.col("n"), F.col("k")))
+                .getField("k")
+                .alias("top_key"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4184,7 +4258,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stream_join_replay": q_stream_stream_join_replay,
         "state_time_travel": q_state_time_travel,
         "stream_dedup_replay": q_stream_dedup_replay,
-        "link_triangles": q_link_triangles,
         "events_sketch_stats": q_events_sketch_stats,
         "text_search_bm25": q_text_search_bm25,
         "events_gapfill": q_events_gapfill,
@@ -4197,7 +4270,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "authz_decisions": q_authz_decisions,
         "export_jsonl_roundtrip": q_export_jsonl_roundtrip,
         "events_window_suite": q_events_window_suite,
-        "events_dispersion": q_events_dispersion,
         "events_transitions": q_events_transitions,
         "events_mad_outliers": q_events_mad_outliers,
         "fuzzy_join_typos": q_fuzzy_join_typos,
@@ -4224,6 +4296,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_rfm": q_orders_rfm,
         "events_winsorized": q_events_winsorized,
         "embedding_norm_stats": q_embedding_norm_stats,
+        "events_seasonality": q_events_seasonality,
+        "skew_report": q_skew_report,
         # --- never driver-checked (r3 position 51) ---
         # --- filters.py was rewritten this round: family re-gated
         # (the four plainest single-predicate forms rotate to the
@@ -4256,6 +4330,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
         "events_cube": q_events_cube,
         "events_trend": q_events_trend,
+        "events_dispersion": q_events_dispersion,
+        "link_triangles": q_link_triangles,
         "dedup_best_rep": q_dedup_best_rep,
         "bpe_merges": q_bpe_merges,
         "corpus_clean": q_corpus_clean,
@@ -5723,6 +5799,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS wstart,
                    event_type, count(*)::BIGINT AS n
             FROM kept GROUP BY 1, 2
+        """,
+        "events_seasonality": """
+            WITH dow AS (
+              SELECT event_type, (dayofweek(ts) + 1)::INT AS dow,
+                     count(*)::BIGINT AS n, sum(value) AS _s
+              FROM events GROUP BY 1, 2),
+            tot AS (
+              SELECT event_type, sum(_s) / sum(n) AS _mean_all,
+                     sum(n)::BIGINT AS _n_all
+              FROM dow GROUP BY 1)
+            SELECT d.event_type, d.dow, d.n,
+                   round(d._s / d.n, 6) AS dow_mean,
+                   round((d._s / d.n) / t._mean_all, 6) AS seasonal_index,
+                   round(d.n::DOUBLE / t._n_all, 6) AS volume_share
+            FROM dow d JOIN tot t USING (event_type)
+        """,
+        "skew_report": """
+            WITH f1 AS (SELECT user_id::VARCHAR AS k, count(*)::BIGINT AS n
+                        FROM events GROUP BY 1),
+            f2 AS (SELECT event_type AS k, count(*)::BIGINT AS n
+                   FROM events GROUP BY 1),
+            f3 AS (SELECT lang AS k, count(*)::BIGINT AS n
+                   FROM documents GROUP BY 1),
+            f4 AS (SELECT source AS k, count(*)::BIGINT AS n
+                   FROM documents GROUP BY 1),
+            s1 AS (SELECT 'events.user_id' AS key_column,
+                          count(*)::BIGINT AS n_keys,
+                          sum(n)::BIGINT AS n_rows,
+                          round(max(n)::DOUBLE / sum(n)::DOUBLE, 6)
+                            AS top_share,
+                          round(max(n)::DOUBLE
+                                / (sum(n)::DOUBLE / count(*)::DOUBLE), 6)
+                            AS max_over_mean,
+                          (SELECT k FROM f1 ORDER BY n DESC, k DESC LIMIT 1)
+                            AS top_key
+                   FROM f1),
+            s2 AS (SELECT 'events.event_type', count(*)::BIGINT,
+                          sum(n)::BIGINT,
+                          round(max(n)::DOUBLE / sum(n)::DOUBLE, 6),
+                          round(max(n)::DOUBLE
+                                / (sum(n)::DOUBLE / count(*)::DOUBLE), 6),
+                          (SELECT k FROM f2 ORDER BY n DESC, k DESC LIMIT 1)
+                   FROM f2),
+            s3 AS (SELECT 'documents.lang', count(*)::BIGINT,
+                          sum(n)::BIGINT,
+                          round(max(n)::DOUBLE / sum(n)::DOUBLE, 6),
+                          round(max(n)::DOUBLE
+                                / (sum(n)::DOUBLE / count(*)::DOUBLE), 6),
+                          (SELECT k FROM f3 ORDER BY n DESC, k DESC LIMIT 1)
+                   FROM f3),
+            s4 AS (SELECT 'documents.source', count(*)::BIGINT,
+                          sum(n)::BIGINT,
+                          round(max(n)::DOUBLE / sum(n)::DOUBLE, 6),
+                          round(max(n)::DOUBLE
+                                / (sum(n)::DOUBLE / count(*)::DOUBLE), 6),
+                          (SELECT k FROM f4 ORDER BY n DESC, k DESC LIMIT 1)
+                   FROM f4)
+            SELECT * FROM s1 UNION ALL SELECT * FROM s2
+            UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
         """,
         "events_dau_wau": """
             WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day

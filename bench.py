@@ -151,6 +151,8 @@ HEADLINE = [
     "orders_rfm",
     "events_winsorized",
     "embedding_norm_stats",
+    "events_seasonality",
+    "skew_report",
 ]
 
 
