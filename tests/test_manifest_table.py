@@ -377,3 +377,119 @@ def test_fsck_reports_orphans_and_missing_dirs(spark, tmp_path):
     shutil.rmtree(f"{t.path}/data/{victim}")
     rep2 = t.fsck()
     assert not rep2["ok"] and victim in rep2["missing_dirs"]
+
+
+def _file_counts(t):
+    out = {}
+    for b, rel in t._mapping.items():
+        d = f"{t.path}/data/{rel}"
+        out[b] = sum(
+            1
+            for f in os.listdir(d)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+    return out
+
+
+def test_compact_files_packs_and_preserves_data(spark, tmp_path):
+    from vanus_spark.sources.manifest_table import ManifestTable
+
+    t = ManifestTable(spark, str(tmp_path / "t"), "k", n_buckets=4)
+    base = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    # wide-partitioned write: every upstream partition leaves a file
+    # in every bucket directory it has rows for
+    t.write_full(base.repartition(8))
+    before = _file_counts(t)
+    assert max(before.values()) > 1
+    rows0 = sorted((r.k, r.v) for r in t.read().collect())
+    stats = t.compact_files(max_files=1)
+    assert stats["compacted_buckets"] == sum(
+        1 for n in before.values() if n > 1
+    )
+    assert stats["files_after"] < stats["files_before"]
+    after = _file_counts(t)
+    assert max(after.values()) == 1
+    assert sorted((r.k, r.v) for r in t.read().collect()) == rows0
+    # idempotent: a second pass finds nothing to do
+    assert t.compact_files(max_files=1)["compacted_buckets"] == 0
+
+
+def test_compact_files_rebases_over_disjoint_writer(spark, tmp_path):
+    """A concurrent merge that commits BETWEEN the compaction's read
+    and its commit succeeds if it touched other buckets (rebase), and
+    both changes survive."""
+    from vanus_spark.sources import manifest_table as mt
+
+    t = mt.ManifestTable(spark, str(tmp_path / "t"), "k", n_buckets=4)
+    t.write_full(spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    ).repartition(8))
+    writer2 = mt.ManifestTable(spark, t.path, "k", n_buckets=4)
+
+    # find the bucket key 3 hashes into by merging and diffing, then
+    # compact every OTHER bucket while the hook sneaks a second merge
+    # into the target bucket between the compaction's read and commit
+    target_key = 3
+    before = dict(writer2._mapping)
+    writer2.merge(spark.createDataFrame([(target_key, 111)], "k long, v long"))
+    target_bucket = [b for b in before if writer2._mapping[b] != before[b]][0]
+
+    orig_commit_buckets = t._commit_buckets
+    fired = {}
+
+    def hooked(base_view, updates, **kw):
+        if not fired:
+            fired["x"] = True
+            writer2.refresh()
+            writer2.merge(
+                spark.createDataFrame([(target_key, 222)], "k long, v long")
+            )
+        return orig_commit_buckets(base_view, updates, **kw)
+
+    t._commit_buckets = hooked
+    t.refresh()
+    stats = t.compact_files(
+        max_files=1, buckets=[b for b in range(4) if b != target_bucket]
+    )
+    assert stats["compacted_buckets"] >= 1
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert rows[target_key] == 222  # the interleaved merge survived
+    assert rows[5] == 50  # compacted data intact
+
+
+def test_compact_files_conflicts_on_overlapping_writer(spark, tmp_path):
+    """If the interleaved writer rewrote a bucket the compaction also
+    read, committing the compacted copy would resurrect overwritten
+    rows — it must raise instead."""
+    from pyspark.sql import functions as FF
+
+    from vanus_spark.sources import manifest_table as mt
+
+    t = mt.ManifestTable(spark, str(tmp_path / "t"), "k", n_buckets=2)
+    t.write_full(spark.range(100).select(
+        FF.col("id").alias("k"), (FF.col("id") * 10).alias("v")
+    ).repartition(8))
+    writer2 = mt.ManifestTable(spark, t.path, "k", n_buckets=2)
+
+    orig = t._commit_buckets
+    fired = {}
+
+    def hooked(base_view, updates, **kw):
+        if not fired:
+            fired["x"] = True
+            writer2.refresh()
+            # touch EVERY bucket so the conflict is guaranteed
+            writer2.merge(spark.createDataFrame(
+                [(1, 111), (2, 222), (3, 333), (4, 444)], "k long, v long"
+            ))
+        return orig(base_view, updates, **kw)
+
+    t._commit_buckets = hooked
+    t.refresh()
+    with pytest.raises(mt.ConcurrentWriterError):
+        t.compact_files(max_files=1)
+    # the losing compaction left the table exactly as writer2 committed
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert rows[1] == 111 and rows[4] == 444

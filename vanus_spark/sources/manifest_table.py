@@ -488,3 +488,70 @@ class ManifestTable:
                     shutil.rmtree(f"{data}/{name}")
                     removed += 1
         return removed
+
+    def compact_files(
+        self, max_files: int = 1, buckets: list[int] | None = None
+    ) -> dict:
+        """OPTIMIZE-style small-file compaction: rewrite every live
+        bucket whose directory holds more than ``max_files`` parquet
+        files into a coalesced copy (data unchanged, layout packed).
+        A bucket directory accumulates one file per upstream Spark
+        partition at write time, so a wide-partitioned ingest leaves
+        small files that tax every subsequent scan's task scheduling —
+        the classic lakehouse OPTIMIZE motivation.
+
+        Commits through the same bucket-level conflict resolution as
+        MERGE: the read set is exactly the compacted buckets, so a
+        concurrent writer touching OTHER buckets rebases cleanly,
+        while one that rewrote a bucket mid-compaction raises
+        (the compacted copy would silently resurrect overwritten
+        rows otherwise). Old directories stay until ``vacuum``.
+        ``buckets`` restricts the pass to a subset (incremental
+        background compaction). Returns {"compacted_buckets": n,
+        "files_before": x, "files_after": y}."""
+        self.refresh()
+        todo: dict[int, str] = {}
+        files_before = 0
+        for b, rel in self._mapping.items():
+            if buckets is not None and b not in buckets:
+                continue
+            d = f"{self.path}/data/{rel}"
+            n = sum(
+                1
+                for f in os.listdir(d)
+                if f.endswith(".parquet") and not f.startswith(".")
+            )
+            if n > max_files:
+                todo[b] = rel
+                files_before += n
+        if not todo:
+            return {
+                "compacted_buckets": 0,
+                "files_before": 0,
+                "files_after": 0,
+            }
+        base_view: dict[int, str | None] = {b: rel for b, rel in todo.items()}
+        gen = f"g{self._next_gen()}-{self._writer_id}"
+        out = f"{self.path}/data/{gen}"
+        files_after = 0
+        updates: dict[int, str | None] = {}
+        for b, rel in todo.items():
+            src = f"{self.path}/data/{rel}"
+            (
+                self.spark.read.parquet(src)
+                .coalesce(max_files)
+                .write.mode("error")
+                .parquet(f"{out}/_b={b}")
+            )
+            files_after += sum(
+                1
+                for f in os.listdir(f"{out}/_b={b}")
+                if f.endswith(".parquet")
+            )
+            updates[b] = f"{gen}/_b={b}"
+        self._commit_buckets(base_view, updates)
+        return {
+            "compacted_buckets": len(todo),
+            "files_before": files_before,
+            "files_after": files_after,
+        }
