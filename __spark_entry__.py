@@ -4153,6 +4153,78 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_static_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join under deterministic replay: the
+    event stream (3 micro-batches) joins a STATIC user-segment
+    dimension per batch — the standard streaming enrichment shape
+    (dim re-resolved every micro-batch, broadcast because it is
+    bounded; stateless, so no watermark needed). With a fixed dim the
+    result equals the batch join, which is exactly what the oracle
+    asserts; the per-type x segment rollup aggregates across all
+    batches in the sink table."""
+    import datetime as dtm
+    import os
+    import shutil
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    rows = ev.select("ts", "event_type", "user_id").collect()
+    c1, c2 = dtm.datetime(2024, 1, 11), dtm.datetime(2024, 1, 21)
+    batches: list[list[tuple]] = [[], [], []]
+    for r in rows:
+        b = 0 if r.ts < c1 else (1 if r.ts < c2 else 2)
+        batches[b].append((r.ts, r.event_type, r.user_id))
+    work = tempfile.mkdtemp(prefix="vs_ssj_replay_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    _write_replay_batches(
+        src,
+        batches,
+        [("ts", "ts"), ("event_type", "str"), ("user_id", "long")],
+    )
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.when(F.col("user_id") % 3 == 0, "gold")
+            .when(F.col("user_id") % 3 == 1, "silver")
+            .otherwise("bronze")
+            .alias("segment"),
+        )
+    )
+    stream = (
+        spark.readStream.schema(
+            "ts timestamp, event_type string, user_id long"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .join(F.broadcast(dim), "user_id")
+        .select("event_type", "segment")
+    )
+    name = "ssj_replay_sink"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = (
+        spark.table(name)
+        .groupBy("event_type", "segment")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "event_type string, segment string, n long"
+    )
+
+
 def q_events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-of-week seasonal profile per event type: the dow mean, its
     ratio to the type's overall mean (the seasonal index a forecaster
@@ -4270,7 +4342,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "authz_decisions": q_authz_decisions,
         "export_jsonl_roundtrip": q_export_jsonl_roundtrip,
         "events_window_suite": q_events_window_suite,
-        "events_transitions": q_events_transitions,
         "events_mad_outliers": q_events_mad_outliers,
         "fuzzy_join_typos": q_fuzzy_join_typos,
         "tpch_q7_volume_shipping": q_tpch_q7_volume_shipping,
@@ -4298,6 +4369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norm_stats": q_embedding_norm_stats,
         "events_seasonality": q_events_seasonality,
         "skew_report": q_skew_report,
+        "stream_static_join_replay": q_stream_static_join_replay,
         # --- never driver-checked (r3 position 51) ---
         # --- filters.py was rewritten this round: family re-gated
         # (the four plainest single-predicate forms rotate to the
@@ -4332,6 +4404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_trend": q_events_trend,
         "events_dispersion": q_events_dispersion,
         "link_triangles": q_link_triangles,
+        "events_transitions": q_events_transitions,
         "dedup_best_rep": q_dedup_best_rep,
         "bpe_merges": q_bpe_merges,
         "corpus_clean": q_corpus_clean,
@@ -5799,6 +5872,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS wstart,
                    event_type, count(*)::BIGINT AS n
             FROM kept GROUP BY 1, 2
+        """,
+        "stream_static_join_replay": """
+            WITH dim AS (
+              SELECT user_id,
+                     CASE WHEN user_id % 3 = 0 THEN 'gold'
+                          WHEN user_id % 3 = 1 THEN 'silver'
+                          ELSE 'bronze' END AS segment
+              FROM (SELECT DISTINCT user_id FROM events
+                    WHERE ts IS NOT NULL))
+            SELECT e.event_type, d.segment, count(*)::BIGINT AS n
+            FROM events e JOIN dim d USING (user_id)
+            WHERE e.ts IS NOT NULL
+            GROUP BY 1, 2
         """,
         "events_seasonality": """
             WITH dow AS (

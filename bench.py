@@ -148,6 +148,7 @@ HEADLINE = [
     "salted_join_skew",
     "events_dau_wau",
     "stream_late_metrics",
+    "stream_static_join_replay",
     "orders_rfm",
     "events_winsorized",
     "embedding_norm_stats",
