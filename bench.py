@@ -154,6 +154,7 @@ HEADLINE = [
     "embedding_norm_stats",
     "events_seasonality",
     "skew_report",
+    "dedup_lsh_recall",
 ]
 
 
