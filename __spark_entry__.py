@@ -4153,6 +4153,104 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining over orders: for every
+    unordered brand pair bought together in >= 5 orders, the support
+    count, confidence P(b|a) on the lexicographically smaller side,
+    and lift vs independence. The pair join is per-order (bounded by
+    items-per-order, like the shingle inverted index — never a global
+    cross join); brand totals broadcast back. Deterministic: counts
+    are exact integers, ratios rounded."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a, b = ob.alias("a"), ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= 5)
+    )
+    totals = ob.groupBy("p_brand").agg(F.count("*").alias("n_orders"))
+    n_all = ob.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_baskets")
+    )
+    ta = totals.select(
+        F.col("p_brand").alias("brand_a"), F.col("n_orders").alias("n_a")
+    )
+    tb = totals.select(
+        F.col("p_brand").alias("brand_b"), F.col("n_orders").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ta), "brand_a")
+        .join(F.broadcast(tb), "brand_b")
+        .join(F.broadcast(n_all))
+        .select(
+            "brand_a",
+            "brand_b",
+            "support",
+            F.round(F.col("support") / F.col("n_a"), 6).alias("confidence"),
+            F.round(
+                (F.col("support") * F.col("n_baskets")).cast("double")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+def q_pareto_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / cumulative-contribution analysis: brands ranked by
+    revenue with running share of total — the 80/20 concentration
+    report. The window is over the ~25-row BRAND AGGREGATE (global
+    ordering is fine on an aggregate that small; the lineitem-scale
+    work is one partial-agg shuffle). Revenue is rounded BEFORE the
+    running sum so both engines fold identical doubles; the window
+    frame is the explicit running prefix."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice", "l_discount")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+    tot = rev.agg(F.sum("revenue").alias("_tot"))
+    w = (
+        Window.orderBy(F.col("revenue").desc(), F.col("p_brand"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.join(F.broadcast(tot))
+        .select(
+            "p_brand",
+            "revenue",
+            F.row_number()
+            .over(Window.orderBy(F.col("revenue").desc(), F.col("p_brand")))
+            .alias("rank"),
+            F.round(F.sum("revenue").over(w) / F.col("_tot"), 6).alias(
+                "cum_share"
+            ),
+        )
+    )
+
+
 def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH recall report — the dedup counterpart of ann_recall
     ('measure, don't guess'): exact ground truth = every pair with
@@ -4387,14 +4485,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sketch_stats": q_events_sketch_stats,
         "text_search_bm25": q_text_search_bm25,
         "events_gapfill": q_events_gapfill,
-        "events_cusum": q_events_cusum,
         "heavy_hitters_tokens": q_heavy_hitters_tokens,
         "table_expectations": q_table_expectations,
         "corpus_psi": q_corpus_psi,
         "merge_upsert": q_merge_upsert,
         "cdc_apply_replay": q_cdc_apply_replay,
         "authz_decisions": q_authz_decisions,
-        "export_jsonl_roundtrip": q_export_jsonl_roundtrip,
         "events_window_suite": q_events_window_suite,
         "fuzzy_join_typos": q_fuzzy_join_typos,
         "tpch_q7_volume_shipping": q_tpch_q7_volume_shipping,
@@ -4424,6 +4520,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": q_skew_report,
         "stream_static_join_replay": q_stream_static_join_replay,
         "dedup_lsh_recall": q_dedup_lsh_recall,
+        "basket_brand_pairs": q_basket_brand_pairs,
+        "pareto_brands": q_pareto_brands,
         # --- never driver-checked (r3 position 51) ---
         # --- filters.py was rewritten this round: family re-gated
         # (the four plainest single-predicate forms rotate to the
@@ -4460,6 +4558,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_triangles": q_link_triangles,
         "events_transitions": q_events_transitions,
         "events_mad_outliers": q_events_mad_outliers,
+        "events_cusum": q_events_cusum,
+        "export_jsonl_roundtrip": q_export_jsonl_roundtrip,
         "dedup_best_rep": q_dedup_best_rep,
         "bpe_merges": q_bpe_merges,
         "corpus_clean": q_corpus_clean,
@@ -5929,6 +6029,45 @@ def oracle_sql() -> dict[str, str]:
             FROM kept GROUP BY 1, 2
         """,
         "dedup_lsh_recall": _lsh_recall_oracle(),
+        "basket_brand_pairs": """
+            WITH ob AS (SELECT DISTINCT l.l_orderkey, p.p_brand
+                        FROM lineitem l
+                             JOIN part p ON l.l_partkey = p.p_partkey),
+            pairs AS (
+              SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+                     count(*)::BIGINT AS support
+              FROM ob a JOIN ob b
+                ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+              GROUP BY 1, 2 HAVING count(*) >= 5),
+            t AS (SELECT p_brand, count(*)::BIGINT AS n FROM ob GROUP BY 1),
+            na AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_baskets
+                   FROM ob)
+            SELECT p.brand_a, p.brand_b, p.support,
+                   round(p.support::DOUBLE / ta.n, 6) AS confidence,
+                   round((p.support * na.n_baskets)::DOUBLE
+                         / (ta.n * tb.n), 6) AS lift
+            FROM pairs p JOIN t ta ON p.brand_a = ta.p_brand
+                         JOIN t tb ON p.brand_b = tb.p_brand
+                         CROSS JOIN na
+        """,
+        "pareto_brands": """
+            WITH rev AS (
+              SELECT p.p_brand,
+                     round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                       AS revenue
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              GROUP BY 1),
+            tot AS (SELECT sum(revenue) AS t FROM rev)
+            SELECT r.p_brand, r.revenue,
+                   row_number() OVER (ORDER BY r.revenue DESC,
+                                      r.p_brand)::INT AS rank,
+                   round(sum(r.revenue)
+                           OVER (ORDER BY r.revenue DESC, r.p_brand
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW)
+                         / tot.t, 6) AS cum_share
+            FROM rev r CROSS JOIN tot
+        """,
         "stream_static_join_replay": """
             WITH dim AS (
               SELECT user_id,

@@ -155,6 +155,8 @@ HEADLINE = [
     "events_seasonality",
     "skew_report",
     "dedup_lsh_recall",
+    "basket_brand_pairs",
+    "pareto_brands",
 ]
 
 
