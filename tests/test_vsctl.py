@@ -117,3 +117,39 @@ def test_cli_user_token_permission(tmp_path, capsys):
            "--id", str(ns["id"]))
     assert _vsctl(capsys, "user", "roles", "--catalog", cat,
                   "--identifier", "alice") == []
+
+
+def test_cli_table_maintenance(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    from vanus_spark.sources.manifest_table import ManifestTable
+
+    path = str(tmp_path / "t")
+    t = ManifestTable(spark, path, "k", n_buckets=4)
+    t.write_full(
+        spark.range(200)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .repartition(8)
+    )
+    t.merge(spark.createDataFrame([(3, 999)], "k long, v long"))
+
+    fsck = _vsctl(capsys, "table", "fsck", "--path", path, "--key", "k",
+                  "--buckets", "4")[0]
+    assert fsck.get("ok", fsck.get("healthy", True)) in (True, 1)
+
+    hist = _vsctl(capsys, "table", "history", "--path", path)[0]
+    assert [h["epoch"] for h in hist] == sorted(h["epoch"] for h in hist)
+    assert len(hist) >= 2
+
+    comp = _vsctl(capsys, "table", "compact", "--path", path, "--key", "k",
+                  "--buckets", "4")[0]
+    assert comp["compacted_buckets"] >= 1
+    assert comp["files_after"] < comp["files_before"]
+
+    vac = _vsctl(capsys, "table", "vacuum", "--path", path, "--key", "k",
+                 "--buckets", "4", "--retain", "1")[0]
+    assert vac["removed_generations"] >= 0
+    # data intact after the full maintenance pass
+    t2 = ManifestTable(spark, path, "k", n_buckets=4)
+    rows = {r.k: r.v for r in t2.read().collect()}
+    assert rows[3] == 999 and rows[10] == 20 and len(rows) == 200

@@ -228,6 +228,50 @@ def cmd_permission(args):
         print(json.dumps({"revoked": True}))
 
 
+def cmd_table(args):
+    """Lakehouse maintenance verbs over a ManifestTable (the vsrepair
+    counterpart for the Spark-native store): fsck integrity report,
+    OPTIMIZE-style small-file compaction, generation vacuum, and the
+    commit history."""
+    from vanus_spark.sources.manifest_table import ManifestTable
+
+    spark = _spark()
+    t = ManifestTable(
+        spark, args.path, args.key, n_buckets=args.buckets
+    )
+    if args.action == "fsck":
+        print(json.dumps(t.fsck(), default=str))
+    elif args.action == "compact":
+        print(json.dumps(t.compact_files(max_files=args.max_files)))
+    elif args.action == "vacuum":
+        print(json.dumps({"removed_generations": t.vacuum(args.retain)}))
+    elif args.action == "history":
+        hist_dir = os.path.join(args.path, "manifests")
+        out = []
+        if os.path.isdir(hist_dir):
+            import re as _re
+
+            for name in sorted(
+                os.listdir(hist_dir),
+                key=lambda n: int(n[1:]) if n[1:].isdigit() else -1,
+            ):
+                if not _re.match(r"^m\d+$", name):
+                    continue
+                with open(os.path.join(hist_dir, name)) as f:
+                    body = f.read().split()
+                out.append(
+                    {
+                        "epoch": int(name[1:]),
+                        "buckets": sum(
+                            1
+                            for tok in body
+                            if ":" in tok and not tok.startswith("#")
+                        ),
+                    }
+                )
+        print(json.dumps(out))
+
+
 def main():
     p = argparse.ArgumentParser(prog="vsctl")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -302,6 +346,15 @@ def main():
     pm.add_argument("--kind", required=True)
     pm.add_argument("--id", type=int, required=True)
     pm.set_defaults(fn=cmd_permission)
+
+    tb = sub.add_parser("table")
+    tb.add_argument("action", choices=["fsck", "compact", "vacuum", "history"])
+    tb.add_argument("--path", required=True)
+    tb.add_argument("--key", default="k")
+    tb.add_argument("--buckets", type=int, default=8)
+    tb.add_argument("--max-files", type=int, default=1)
+    tb.add_argument("--retain", type=int, default=1)
+    tb.set_defaults(fn=cmd_table)
 
     args = p.parse_args()
     args.fn(args)
