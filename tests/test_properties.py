@@ -164,3 +164,108 @@ def test_y4m_frame_walk_property(w, h, nf, cs, seed):
             assert u is None and v is None
         else:
             assert (u == payloads[i][w * h : 2 * w * h]).all()
+
+
+def _rand_json(rng, depth=0):
+    """Random nested doc: ascii keys, int/str/bool/null scalars (no
+    floats — their text renderings differ across serializers, which
+    is not what this fuzz is about)."""
+    if depth >= 3 or rng.random() < 0.35:
+        return rng.choice(
+            [rng.randint(-1000, 1000), "s" + str(rng.randint(0, 99)),
+             True, False, None]
+        )
+    if rng.random() < 0.5:
+        return {
+            k: _rand_json(rng, depth + 1)
+            for k in rng.sample(["a", "b", "c", "d", "e"], rng.randint(1, 3))
+        }
+    return [_rand_json(rng, depth + 1) for _ in range(rng.randint(1, 3))]
+
+
+def _rand_paths(rng, doc, n):
+    """Mix of paths that exist in doc (walked) and random ones."""
+    existing = []
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, f"{path}.{k}")
+        elif isinstance(node, list):
+            for i, v in enumerate(node):
+                walk(v, f"{path}[{i}]")
+        if path:
+            existing.append(path)
+
+    walk(doc, "")
+    out = []
+    for _ in range(n):
+        if existing and rng.random() < 0.6:
+            out.append("$" + rng.choice(existing))
+        else:
+            parts = "".join(
+                rng.choice([f".{rng.choice('abcdef')}", f"[{rng.randint(0,3)}]"])
+                for _ in range(rng.randint(1, 3))
+            )
+            out.append("$" + parts)
+    return out
+
+
+def _expected_get_json(doc, path):
+    """What Spark's get_json_object should return for (doc, path),
+    derived from py_get: None when missing or JSON null; raw token
+    for scalars; compact JSON for containers."""
+    try:
+        v = py_get(doc, path)
+    except JSONPathNotExist:
+        return None
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (dict, list)):
+        return json.dumps(v, separators=(",", ":"))
+    return str(v)
+
+
+def test_jsonpath_column_matches_python_kernel_fuzz(spark):
+    """The JVM column path (get_json_col -> get_json_object) and the
+    pure-Python kernel (py_get) must agree on every (doc, path): the
+    filters compile through the former, the interpreter walks the
+    latter, and a divergence would split the two execution paths'
+    filter decisions. 100 random docs x 50 random paths, batched into
+    two Spark jobs."""
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from vanus_spark.jsonpath import get_json_col
+
+    rng = _random.Random(20260814)
+    docs = [_rand_json(rng, 0) for _ in range(100)]
+    # ensure container roots (get_json_object over bare scalars is
+    # not a case the engine produces: data envelopes are objects)
+    docs = [d if isinstance(d, (dict, list)) else {"a": d} for d in docs]
+    paths = []
+    for d in docs[:25]:
+        paths.extend(_rand_paths(rng, d, 2))
+    seen = set()
+    paths = [p for p in paths if not (p in seen or seen.add(p))][:50]
+
+    df = spark.createDataFrame(
+        [(i, json.dumps(d, separators=(",", ":"))) for i, d in enumerate(docs)],
+        "i int, data string",
+    )
+    mismatches = []
+    for lo in range(0, len(paths), 25):
+        chunk = paths[lo : lo + 25]
+        cols = [F.col("i")] + [
+            get_json_col("data", p).alias(f"p{j}") for j, p in enumerate(chunk)
+        ]
+        for row in df.select(*cols).collect():
+            for j, p in enumerate(chunk):
+                got = row[f"p{j}"]
+                want = _expected_get_json(docs[row.i], p)
+                if got != want:
+                    mismatches.append((row.i, p, want, got))
+    assert not mismatches, mismatches[:10]
