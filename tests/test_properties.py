@@ -269,3 +269,75 @@ def test_jsonpath_column_matches_python_kernel_fuzz(spark):
                 if got != want:
                     mismatches.append((row.i, p, want, got))
     assert not mismatches, mismatches[:10]
+
+
+def test_text_template_compiled_vs_interpreter_fuzz(spark, cloudevents):
+    """Split-path parity for TEXT templates: the static Column
+    compiler (templates.compile_text_template — concat of literals,
+    attribute columns, get_json_object extracts) must render exactly
+    what the interpreter (parse_text_template + render_text) produces
+    for the same event, across 120 random templates mixing literal
+    runs, envelope attributes (present and absent), and data paths
+    (present and missing). Batched: ~5 Spark jobs."""
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from vanus_spark.templates import (
+        build_template_model,
+        compile_text_template,
+        parse_text_template,
+        render_text,
+    )
+
+    rng = _random.Random(20260815)
+    placeholders = [
+        "<$.data.user_id>", "<$.data.value>", "<$.data.nope>",
+        "<type>", "<id>", "<source>", "<subject>", "<specversion>",
+        "<$.type>", "<$.data.user_id>",
+    ]
+    lit_chars = "abc XYZ09.,:-_/!?"
+
+    def rand_template():
+        parts = []
+        for _ in range(rng.randint(1, 6)):
+            if rng.random() < 0.5:
+                parts.append(
+                    "".join(rng.choice(lit_chars) for _ in range(rng.randint(1, 8)))
+                )
+            else:
+                parts.append(rng.choice(placeholders))
+        return "".join(parts)
+
+    templates = [rand_template() for _ in range(120)]
+    ce = cloudevents.where(F.col("id") < 40).select(
+        "id", "source", "specversion", "type", "subject", "attributes", "data"
+    )
+    rows = ce.collect()
+
+    def py_render(t, r):
+        attrs = {
+            "id": str(r.id), "source": r.source,
+            "specversion": r.specversion, "type": r.type,
+            "subject": r.subject,
+        }
+        attrs.update(dict(r.attributes or {}))
+        data = json.loads(r.data) if r.data else None
+        model = build_template_model(attrs, data)
+        return render_text(parse_text_template(t), model, {})
+
+    mismatches = []
+    for lo in range(0, len(templates), 25):
+        chunk = templates[lo : lo + 25]
+        out = ce.select(
+            "id",
+            *[compile_text_template(t).alias(f"t{j}") for j, t in enumerate(chunk)],
+        ).collect()
+        by_id = {r.id: r for r in rows}
+        for orow in out:
+            for j, t in enumerate(chunk):
+                want = py_render(t, by_id[orow.id])
+                got = orow[f"t{j}"]
+                if got != want:
+                    mismatches.append((orow.id, t, want, got))
+    assert not mismatches, mismatches[:5]
