@@ -129,3 +129,64 @@ def test_subscription_routes_to_compiled(spark):
     )
     comp = sorted(out.select("id", "data", "transform_error").collect())
     assert comp == interp
+
+
+def test_position_actions_compiled_vs_interpreter_fuzz(spark):
+    """Randomized edge sweep of the POSITION/DELIMITER string family —
+    the off-by-one-prone corner of the action surface. Random source
+    strings (via names of varying length) x random positions/
+    intervals/delimiters, INCLUDING out-of-range and error-triggering
+    values: the compiled Column path must reproduce the interpreter's
+    outputs AND its skip-on-error decisions byte-for-byte. Batched:
+    each spec runs one compiled + one interpreted pass over the 8-row
+    envelope."""
+    import random as _random
+
+    rng = _random.Random(20260816)
+    specs = []
+    for i in range(40):
+        kind = rng.choice(
+            [
+                "SPLIT_FROM_START",
+                "SPLIT_BETWEEN_POSITIONS",
+                "SPLIT_WITH_INTERVALS",
+                "REPLACE_BETWEEN_POSITIONS",
+                "EXTRACT_BETWEEN_POSITIONS",
+                "REPLACE_BETWEEN_DELIMITERS",
+                "EXTRACT_BETWEEN_DELIMITERS",
+            ]
+        )
+        a, b = rng.randint(-1, 6), rng.randint(0, 8)
+        if kind == "SPLIT_FROM_START":
+            act = [kind, "$.data.name", a, "$.data.parts"]
+        elif kind == "SPLIT_BETWEEN_POSITIONS":
+            act = [kind, "$.data.name", a, b, "$.data.parts"]
+        elif kind == "SPLIT_WITH_INTERVALS":
+            act = [kind, "$.data.name", max(a, 0), max(b, 1), "$.data.parts"]
+        elif kind == "REPLACE_BETWEEN_POSITIONS":
+            act = [kind, "$.data.name", a, b, "XX"]
+        elif kind == "EXTRACT_BETWEEN_POSITIONS":
+            act = [kind, "$.data.name", "$.data.ext", a, b]
+        elif kind == "REPLACE_BETWEEN_DELIMITERS":
+            sd = rng.choice(["a", "d", "zz", "b"])
+            ed = rng.choice(["a", "e", "q", "o"])
+            act = [kind, "$.data.name", sd, ed, "Y"]
+        else:
+            sd = rng.choice(["a", "d", "zz", "b"])
+            ed = rng.choice(["a", "e", "q", "o"])
+            act = [kind, "$.data.name", "$.data.ext", sd, ed]
+        specs.append({"pipeline": [act]})
+
+    df = _envelope(spark)
+    cols = ["id", "data", "transform_error"]
+    bad = []
+    for i, spec in enumerate(specs):
+        try:
+            compiled_fn = compile_transformer(spec, DATA_SCHEMA)
+        except CompileFallback:
+            continue  # falls back to the interpreter: trivially equal
+        comp = sorted(compiled_fn(df).select(*cols).collect())
+        interp = sorted(transform_dataframe(df, spec).select(*cols).collect())
+        if comp != interp:
+            bad.append((i, spec["pipeline"][0], interp[:2], comp[:2]))
+    assert not bad, bad[:3]

@@ -491,6 +491,11 @@ def _split_between_positions(args, ctx):
     if _eval_exists(target, ctx):
         raise ActionError(f"key {target.original} exists")
     v, start, end = _run_args(args[:3], ["string", "int", "int"], ctx)
+    if start < 0:
+        # the reference slices v[:start] unguarded — a Go runtime panic
+        # (split_between_positions.go:80-88); the defined port behavior
+        # is an action error => skip (NOT Python negative slicing)
+        raise ActionError("start position must not be negative")
     if start >= end:
         raise ActionError("start position must be less than the endPosition")
     if start >= len(v):
@@ -508,6 +513,10 @@ def _split_with_intervals(args, ctx):
     if _eval_exists(target, ctx):
         raise ActionError(f"key {target.original} exists")
     v, start, interval = _run_args(args[:3], ["string", "int", "int"], ctx)
+    if start < 0 or interval < 1:
+        # negative start = reference Go slice panic; interval < 1 would
+        # never advance the cursor (infinite loop) — both error => skip
+        raise ActionError("start must be >= 0 and interval >= 1")
     if start > len(v):
         target.set_value(ctx, [v])
         return
@@ -534,6 +543,10 @@ def _replace_with_regex(args, ctx):
 @register("REPLACE_BETWEEN_POSITIONS", 4)
 def _replace_between_positions(args, ctx):
     v, start, end, val = _run_args(args, ["string", "int", "int", "string"], ctx)
+    if start < 0 or end < 0:
+        # unguarded in the reference (strings_functions.go:87-107) —
+        # Go slice panic; defined port behavior: error => skip
+        raise ActionError("positions must not be negative")
     if start >= len(v):
         raise ActionError("start position must be less than the length of the string")
     if end >= len(v):

@@ -194,6 +194,9 @@ def replace_with_regex(c: Column, pattern: str, replacement: str) -> Column:
 def replace_between_positions(c: Column, start: int, end: int, value: str) -> Column:
     """0-based, start<end<len, else error=skip (NULL here)
     (reference: strings_functions.go:87-107)."""
+    if start < 0 or end < 0:
+        # unguarded Go slice panic in the reference; error => skip
+        return F.lit(None).cast("string")
     n = F.length(c)
     ok = (F.lit(start) < n) & (F.lit(end) < n) & (F.lit(start) < F.lit(end))
     return F.when(

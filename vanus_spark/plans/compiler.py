@@ -440,7 +440,7 @@ def _compile_action(state: _State, cmd: list[Any]) -> None:  # noqa: PLR0912, PL
             # skip; only the statically-absent case compiles (cf. MOVE)
             raise CompileFallback(f"SPLIT_BETWEEN_POSITIONS target {target} may exist")
         start, end = int(args[1]), int(args[2])
-        if start >= end:
+        if start < 0 or start >= end:
             return  # static arg error -> action always skipped
         src = state.get(_path_of(args[0])).cast("string")
         state.set(
