@@ -341,3 +341,68 @@ def test_text_template_compiled_vs_interpreter_fuzz(spark, cloudevents):
                 if got != want:
                     mismatches.append((orow.id, t, want, got))
     assert not mismatches, mismatches[:5]
+
+
+def test_date_format_php_tokens_compiled_vs_python_fuzz(spark):
+    """PHP-token DATE_FORMAT translation parity: the java.time pattern
+    the compiled path builds (php_format_to_java -> F.date_format)
+    must render exactly what the interpreter's strftime translation
+    (php_format_to_strftime) renders, across random formats mixing
+    every known token, escaped letters, unknown letters (literal
+    pass-through), punctuation, and a trailing backslash."""
+    import datetime as _dt
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from vanus_spark.actions.interp import php_format_to_strftime
+    from vanus_spark.functions.scalars import date_format_php
+
+    rng = _random.Random(20260817)
+    atoms = (
+        list("dmYyhHis")            # known tokens
+        + ["\\d", "\\m", "\\Q", "\\z"]  # escaped letters -> literals
+        + list("QLzT")              # unknown letters -> literals
+        + list(" :-/.,")            # punctuation passes through
+    )
+    fmts = [
+        "".join(rng.choice(atoms) for _ in range(rng.randint(1, 8)))
+        for _ in range(78)
+    ] + ["Y-m-d H:i:s", "d/m/y h.i"]
+
+    stamps = [
+        _dt.datetime(2024, 1, 5, 0, 7, 9),    # midnight: h -> 12
+        _dt.datetime(2024, 12, 31, 13, 59, 59),
+        _dt.datetime(1999, 2, 28, 12, 0, 0),
+        _dt.datetime(2024, 6, 15, 23, 5, 1),
+    ]
+    # Formats whose adjacent tokens would merge into one java.time
+    # field (PHP 'dd' -> java 'dddd') are rejected by the compiled
+    # translation — the compiler falls back to the interpreter there,
+    # so parity holds by construction; the fuzz checks the rest.
+    from vanus_spark.functions.scalars import php_format_to_java
+
+    compilable, rejected = [], []
+    for f in fmts:
+        try:
+            php_format_to_java(f)
+            compilable.append(f)
+        except ValueError:
+            rejected.append(f)
+    assert any("dd" in f or "YY" in f or "Yy" in f for f in rejected) or rejected
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(stamps)], "i int, ts timestamp")
+    mismatches = []
+    for lo in range(0, len(compilable), 40):
+        chunk = compilable[lo : lo + 40]
+        out = df.select(
+            "i", *[date_format_php(F.col("ts"), f).alias(f"f{j}") for j, f in enumerate(chunk)]
+        ).collect()
+        for row in out:
+            ts = stamps[row.i]
+            for j, f in enumerate(chunk):
+                want = ts.strftime(php_format_to_strftime(f))
+                got = row[f"f{j}"]
+                if got != want:
+                    mismatches.append((f, ts.isoformat(), want, got))
+    assert not mismatches, mismatches[:8]

@@ -38,22 +38,53 @@ _PHP_TO_JAVA = {
 def php_format_to_java(fmt: str) -> str:
     """Convert the PHP-style token format to a java.time pattern
     (reference: pkg/transform/function/util/time.go:33-50).
-    Unknown characters pass through as quoted literals."""
+    Unknown characters pass through as quoted literals.
+
+    Raises ValueError when two ADJACENT tokens would merge into one
+    java.time field: PHP renders each token independently ('dd' ->
+    '0505', 'Yy' -> '202424'), but the concatenated java pattern
+    ('dddd', 'yyyyyy') is a single wider field — silently different
+    output, or a pattern java.time rejects outright. The compiler
+    catches the error and falls back to the interpreter, which
+    renders token-at-a-time and needs no such restriction."""
     out: list[str] = []
+    lit: list[str] = []  # pending literal run (merged into ONE quote
+    #                      pair — adjacent separate quotes would emit
+    #                      '', which java.time renders as an apostrophe)
+    last_pat = ""  # first letter of the previous emitted token
+
+    def flush_lit() -> None:
+        nonlocal last_pat
+        if lit:
+            out.append("'" + "".join(lit).replace("'", "''") + "'")
+            lit.clear()
+            last_pat = ""
+
     i = 0
     while i < len(fmt):
         ch = fmt[i]
         if ch == "\\" and i + 1 < len(fmt):
-            out.append("'" + fmt[i + 1] + "'")
+            lit.append(fmt[i + 1])
             i += 2
             continue
         if ch in _PHP_TO_JAVA:
-            out.append(_PHP_TO_JAVA[ch])
-        elif ch.isalpha():
-            out.append("'" + ch + "'")  # quote letters so java.time won't eat them
+            pat = _PHP_TO_JAVA[ch]
+            if not lit and last_pat == pat[0]:
+                raise ValueError(
+                    f"adjacent PHP tokens at {i} merge into one "
+                    f"java.time field ({fmt!r})"
+                )
+            flush_lit()
+            out.append(pat)
+            last_pat = pat[0]
+        elif ch.isalpha() or ch == "'":
+            lit.append(ch)  # letters must be quoted or java.time eats them
         else:
+            flush_lit()
             out.append(ch)
+            last_pat = ""
         i += 1
+    flush_lit()
     return "".join(out)
 
 

@@ -359,9 +359,13 @@ def _compile_action(state: _State, cmd: list[Any]) -> None:  # noqa: PLR0912, PL
     if name in in_place_str:
         path = _path_of(args[0])
         old = state.get(path).cast("string")
-        state.set(
-            path, _skip_on_null(state, path, in_place_str[name](old, args[1:])), "string"
-        )
+        try:
+            new = in_place_str[name](old, args[1:])
+        except ValueError as e:
+            # e.g. a PHP date format whose adjacent tokens would merge
+            # into one java.time field — interpreter-only semantics
+            raise CompileFallback(f"{name}: {e}") from e
+        state.set(path, _skip_on_null(state, path, new), "string")
         return
 
     if name == "CONDITION_IF":
