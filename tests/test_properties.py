@@ -406,3 +406,55 @@ def test_date_format_php_tokens_compiled_vs_python_fuzz(spark):
                 if got != want:
                     mismatches.append((f, ts.isoformat(), want, got))
     assert not mismatches, mismatches[:8]
+
+
+def test_numeric_cast_compiled_vs_python_fuzz(spark):
+    """String->Int/Float cast parity across the two execution paths,
+    pinned to Go strconv acceptance: whitespace-padded, underscore-
+    grouped, unicode-digit, overflow, inf/nan, hex and plain forms.
+    py_cast raising CastError must correspond exactly to the strict
+    column casts yielding NULL, and accepted values must agree."""
+    from pyspark.sql import functions as F
+
+    from vanus_spark.casts import CastError, col_to_float, col_to_int, py_cast
+
+    vals = [
+        "12", " 12 ", "12 ", " 12", "1_0", "+5", "-7", "12.5", "-0",
+        "١٢", "0x10", "1e3", "1E-2", "inf", "Inf", "Infinity",
+        "-Infinity", "nan", "NaN", "1.", ".", ".5", "1_000.5",
+        "9223372036854775807", "9223372036854775808",
+        "-9223372036854775808", "-9223372036854775809",
+        "1e999", "-1e999", "1e-999", "", "+", "-", "e5", "5e", "2.5e2",
+        "0005", "+inf", "tRuE", "½",
+    ]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i int, s string")
+    out = {
+        r.i: (r.l, r.d)
+        for r in df.select(
+            "i",
+            col_to_int(F.col("s")).alias("l"),
+            col_to_float(F.col("s")).alias("d"),
+        ).collect()
+    }
+    import math as _math
+
+    bad = []
+    for i, v in enumerate(vals):
+        want_l: object
+        try:
+            want_l = py_cast(v, "int")
+        except CastError:
+            want_l = None
+        try:
+            want_f = py_cast(v, "float")
+        except CastError:
+            want_f = None
+        got_l, got_f = out[i]
+        same_f = (
+            got_f == want_f
+            or (got_f is not None and want_f is not None
+                and _math.isnan(got_f) and _math.isnan(want_f))
+        )
+        if got_l != want_l or not same_f:
+            bad.append((v, want_l, got_l, want_f, got_f))
+    assert not bad, bad

@@ -33,6 +33,30 @@ class CastError(ValueError):
     """Cast failed — the enclosing action must be skipped."""
 
 
+import re as _re
+
+# Go strconv acceptance, shared by BOTH implementations so the
+# compiled and interpreted paths reject the same strings. ParseInt
+# (base 10) takes only [+-]?digits — no whitespace, no underscores,
+# no unicode digits (Python's int()/float() accept all three, so the
+# Python path must pre-screen). ParseFloat additionally takes
+# inf/infinity/nan forms. Known deltas vs Go, identical on both
+# paths (documented in ARCHITECTURE.md): Go's underscore-grouped
+# ("1_000.5") and hex ("0x1p-2") float literals are rejected here.
+_INT_STR_RE = _re.compile(r"[+-]?[0-9]+\Z")
+_FLOAT_STR_RE = _re.compile(
+    r"[+-]?(?:(?:[0-9]+(?:\.[0-9]*)?|\.[0-9]+)(?:[eE][+-]?[0-9]+)?"
+    r"|[iI][nN][fF](?:[iI][nN][iI][tT][yY])?|[nN][aA][nN])\Z"
+)
+_INF_STR_RE = _re.compile(r"[+-]?[iI][nN][fF](?:[iI][nN][iI][tT][yY])?\Z")
+_FLOAT_COL_RE = (
+    "^[+-]?((([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?)"
+    "|[iI][nN][fF]([iI][nN][iI][tT][yY])?|[nN][aA][nN])$"
+)
+_INF_COL_RE = "^[+-]?[iI][nN][fF]([iI][nN][iI][tT][yY])?$"
+_INT64_MIN, _INT64_MAX = -(2**63), 2**63 - 1
+
+
 def _format_float(v: float) -> str:
     # Go's %v prints floats in shortest repr: 6.0 -> "6", 6.5 -> "6.5".
     if math.isfinite(v) and v == int(v) and abs(v) < 1e15:
@@ -69,10 +93,15 @@ def py_cast(val: Any, target: str) -> Any:
         if isinstance(val, int):
             return float(val)
         if isinstance(val, str):
-            try:
-                return float(val)
-            except ValueError as e:
-                raise CastError(f"cannot cast from String value {val} to Float") from e
+            # Go ParseFloat acceptance, not Python float() — which
+            # would also take whitespace, underscores, unicode digits
+            if not _FLOAT_STR_RE.fullmatch(val):
+                raise CastError(f"cannot cast from String value {val} to Float")
+            v = float(val)
+            if math.isinf(v) and not _INF_STR_RE.fullmatch(val):
+                # overflow: Go returns ±Inf WITH ErrRange => error
+                raise CastError(f"cannot cast from String value {val} to Float")
+            return v
         raise CastError(f"undefined cast from {type(val).__name__} to float")
     if target == "int":
         if isinstance(val, bool):
@@ -82,10 +111,14 @@ def py_cast(val: Any, target: str) -> Any:
         if isinstance(val, float):
             return int(val)  # truncate toward zero, like Go int(value)
         if isinstance(val, str):
-            try:
-                return int(val, 10)
-            except ValueError as e:
-                raise CastError(f"cannot cast from String value {val} to Int") from e
+            # Go ParseInt(s, 10, 64) acceptance + range, not Python's
+            # int() — which also takes whitespace/underscores/unicode
+            if not _INT_STR_RE.fullmatch(val):
+                raise CastError(f"cannot cast from String value {val} to Int")
+            v = int(val, 10)
+            if not (_INT64_MIN <= v <= _INT64_MAX):
+                raise CastError(f"cannot cast from String value {val} to Int")
+            return v
         raise CastError(f"undefined cast from {type(val).__name__} to int")
     if target == "bool":
         if isinstance(val, bool):
@@ -119,7 +152,17 @@ def py_cast(val: Any, target: str) -> Any:
 # ---------------------------------------------------------------------------
 
 def col_to_float(c: Column) -> Column:
-    return c.try_cast("double")
+    """Strict ParseFloat twin of the py_cast float path: Spark's own
+    try_cast would also trim whitespace (' 12 ' -> 12.0, a Go parse
+    error), so the string form is regex-screened first; string
+    overflow to ±Inf (Go ErrRange) nulls out unless the input IS an
+    inf literal."""
+    s = c.cast("string")
+    d = s.try_cast("double")
+    overflow = (F.abs(d) == F.lit(float("inf"))) & ~s.rlike(_INF_COL_RE)
+    return F.when(
+        s.rlike(_FLOAT_COL_RE) & ~F.coalesce(overflow, F.lit(False)), d
+    )
 
 
 def col_to_int(c: Column) -> Column:

@@ -174,7 +174,19 @@ def _kind_of_arg(state: _State, arg: Any) -> str:
 
 
 def _num(state: _State, arg: Any) -> Column:
-    return _value_arg(state, arg).cast("string").try_cast("double")
+    from vanus_spark.casts import col_to_float
+
+    # strict ParseFloat twin — a bare try_cast would trim whitespace
+    # the interpreter's (and the reference's) parser rejects
+    return col_to_float(_value_arg(state, arg))
+
+
+def _strict_long(c: Column) -> Column:
+    """ParseInt-strict string->long (no whitespace trim) via the
+    shared cast helper."""
+    from vanus_spark.casts import col_to_int
+
+    return col_to_int(c)
 
 
 def _skip_on_null(state: _State, path: str, new: Column) -> Column:
@@ -350,7 +362,7 @@ def _compile_action(state: _State, cmd: list[Any]) -> None:  # noqa: PLR0912, PL
             F.to_timestamp(c), str(a[0]), str(a[1]) if len(a) > 1 else None
         ),
         "UNIX_TIME_FORMAT": lambda c, a: vf.unix_time_format(
-            c.cast("string").try_cast("long"), str(a[0]), str(a[1]) if len(a) > 1 else None
+            _strict_long(c), str(a[0]), str(a[1]) if len(a) > 1 else None
         ),
         "CONVERT_TIMEZONE": lambda c, a: vf.convert_timezone(
             c, str(a[0]), str(a[1]), str(a[2]) if len(a) > 2 else "Y-m-d H:i:s"
@@ -378,7 +390,9 @@ def _compile_action(state: _State, cmd: list[Any]) -> None:  # noqa: PLR0912, PL
         if op == "==":
             valid = srcv.isNotNull()
         else:
-            valid = srcv.cast("string").try_cast("double").isNotNull()
+            from vanus_spark.casts import col_to_float
+
+            valid = col_to_float(srcv).isNotNull()
         new = F.when(
             valid,
             vf.condition_if(
