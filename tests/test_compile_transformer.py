@@ -190,3 +190,39 @@ def test_position_actions_compiled_vs_interpreter_fuzz(spark):
         if comp != interp:
             bad.append((i, spec["pipeline"][0], interp[:2], comp[:2]))
     assert not bad, bad[:3]
+
+
+def test_math_actions_compiled_vs_interpreter_fuzz(spark):
+    """Randomized MATH_* sweep over mixed operands — data paths
+    (float, int, missing), numeric literals, numeric STRINGS (valid
+    and strconv-invalid like ' 12 ' / '1_0'), zero divisors — the
+    compiled Columns must reproduce the interpreter's values and its
+    skip decisions byte-for-byte, including the arg-cast errors the
+    strconv alignment just tightened."""
+    import random as _random
+
+    rng = _random.Random(20260818)
+    operands = [
+        "$.data.value", "$.data.user_id", "$.data.nope",
+        2, 100, -3, 0, 2.5, "7", "-1.5", " 12 ", "1_0", "0",
+    ]
+    specs = []
+    for _ in range(36):
+        op = rng.choice(["MATH_ADD", "MATH_SUB", "MATH_MUL", "MATH_DIV"])
+        n = 2 if op in ("MATH_SUB", "MATH_DIV") else rng.randint(2, 4)
+        args = [rng.choice(operands) for _ in range(n)]
+        specs.append({"pipeline": [[op, "$.data.out", *args]]})
+
+    df = _envelope(spark)
+    cols = ["id", "data", "transform_error"]
+    bad = []
+    for i, spec in enumerate(specs):
+        try:
+            fn = compile_transformer(spec, DATA_SCHEMA)
+        except CompileFallback:
+            continue
+        comp = sorted(fn(df).select(*cols).collect())
+        interp = sorted(transform_dataframe(df, spec).select(*cols).collect())
+        if comp != interp:
+            bad.append((i, spec["pipeline"][0], interp[:2], comp[:2]))
+    assert not bad, bad[:3]

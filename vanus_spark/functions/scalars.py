@@ -173,7 +173,12 @@ def split_from_start(c: Column, pos: int) -> Column:
     (reference: strings_functions.go:169-187)."""
     if pos <= 0:
         return F.lit(None).cast("array<string>")
-    return F.array(F.substring(c, 1, pos), c.substr(F.lit(pos + 1), F.length(c)))
+    # NULL source = arg error => whole result NULL (skip), never an
+    # array of nulls (which _skip_on_null would treat as a write)
+    return F.when(
+        c.isNotNull(),
+        F.array(F.substring(c, 1, pos), c.substr(F.lit(pos + 1), F.length(c))),
+    )
 
 
 def split_between_positions(c: Column, start: int, end: int) -> Column:
@@ -181,7 +186,8 @@ def split_between_positions(c: Column, start: int, end: int) -> Column:
     (reference: action/strings/split_between_positions.go:60-88)."""
     n = F.length(c)
     return (
-        F.when(n <= start, F.array(c, F.lit(""), F.lit("")))
+        F.when(c.isNull(), F.lit(None).cast("array<string>"))
+        .when(n <= start, F.array(c, F.lit(""), F.lit("")))
         .when(
             n < end,
             F.array(F.substring(c, 1, start), c.substr(F.lit(start + 1), n), F.lit("")),
@@ -208,7 +214,11 @@ def split_with_intervals(c: Column, start: int, interval: int) -> Column:
         lambda s: F.length(s) > 0,
     )
     full = F.concat(F.array(F.substring(c, 1, start)), chunks)
-    return F.when(F.length(c) < start, F.array(c)).otherwise(full)
+    return (
+        F.when(c.isNull(), F.lit(None).cast("array<string>"))
+        .when(F.length(c) < start, F.array(c))
+        .otherwise(full)
+    )
 
 
 def replace_string(c: Column, old: str, new: str) -> Column:

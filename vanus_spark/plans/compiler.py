@@ -71,6 +71,14 @@ def _schema_field(schema: T.StructType, path: str) -> T.DataType | None:
     return cur
 
 
+def _null_struct(dtype: T.StructType) -> Column:
+    """A typed struct literal with every field null — the
+    materialization seed for writes into nil payloads."""
+    return F.struct(
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in dtype.fields]
+    )
+
+
 class _State:
     """Tracks the evolving data struct column + the set of paths known
     to exist (schema fields + compiled CREATEs), the compiled define
@@ -81,6 +89,7 @@ class _State:
         self.data = data
         self.schema = schema
         self.created: set[str] = set()
+        self._mat: set[str] = set()  # struct levels already null-coalesced
         self.kinds: dict[str, str] = {}  # created path -> string|double|long|array|any
         self.define: dict[str, Column] = {}
         self.define_kinds: dict[str, str] = {}
@@ -100,7 +109,33 @@ class _State:
         return c
 
     def set(self, path: str, value: Column, kind: str = "any") -> None:
-        self.data = self.data.withField(path, value)
+        # Materialize null structs along the written path: py_set
+        # creates intermediate dicts (and replaces null/non-object
+        # intermediates with {}), so a write into a nil payload or
+        # through a null nested struct must CREATE the object here
+        # too — withField on a NULL struct would silently drop the
+        # write (caught by the MATH fuzz on nil-data rows).
+        # Each level is coalesced at most ONCE: after that its type may
+        # have evolved past the declared schema (withField adds
+        # fields), and it can no longer be null anyway.
+        if "" in self._mat:
+            base = self.data
+        else:
+            base = F.coalesce(self.data, _null_struct(self.schema))
+            self._mat.add("")
+        parts = path.split(".")
+        for i in range(1, len(parts)):
+            prefix = ".".join(parts[:i])
+            ptype = _schema_field(self.schema, prefix)
+            if isinstance(ptype, T.StructType) and prefix not in self._mat:
+                cur = base
+                for p in parts[:i]:
+                    cur = cur.getField(p)
+                base = base.withField(
+                    prefix, F.coalesce(cur, _null_struct(ptype))
+                )
+                self._mat.add(prefix)
+        self.data = base.withField(path, value)
         self.created.add(path)
         self.kinds[path] = kind
 
@@ -867,9 +902,16 @@ def compile_transformer(
     trimmed = F.trim(F.col("data"))
     nilish = F.col("data").isNull() | (trimmed == "") | (trimmed == "null")
     if ttype is None:
-        # no template: re-serialize mutated data; nil payload -> "null"
-        # (the interpreter's json.dumps(None))
-        rendered = F.when(nilish, F.lit("null")).otherwise(F.to_json(state.data))
+        # no template: re-serialize mutated data. A nil payload whose
+        # struct stayed all-null (no action wrote into it) renders
+        # "null" (the interpreter's json.dumps(None)); one an action
+        # DID write into renders the created object, matching py_set's
+        # create-on-write. to_json omits null fields, so "{}" ==
+        # "nothing was written".
+        js = F.to_json(state.data)
+        rendered = F.when(
+            nilish & F.coalesce(js == "{}", F.lit(True)), F.lit("null")
+        ).otherwise(F.coalesce(js, F.lit("null")))
 
     bad_json = F.coalesce(
         parsed.getField("_corrupt_record").isNotNull() & ~nilish, F.lit(False)
