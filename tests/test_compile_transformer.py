@@ -226,3 +226,107 @@ def test_math_actions_compiled_vs_interpreter_fuzz(spark):
         if comp != interp:
             bad.append((i, spec["pipeline"][0], interp[:2], comp[:2]))
     assert not bad, bad[:3]
+
+
+def test_condition_if_compiled_vs_interpreter_fuzz(spark):
+    """CONDITION_IF across all five operators with numeric, string,
+    missing, and non-numeric sources: ordered ops must cast-error =>
+    skip on non-numeric values while '==' compares strings — the
+    compiled probe and the interpreter must take identical branches
+    row-for-row."""
+    import random as _random
+
+    rng = _random.Random(20260819)
+    sources = ["$.data.value", "$.data.user_id", "$.data.name", "$.data.nope"]
+    cmp_vals = [0, 9.64, 50, "ada", "9.64", 1000, -1]
+    specs = []
+    for _ in range(30):
+        op = rng.choice(["==", ">", ">=", "<", "<="])
+        specs.append(
+            {
+                "pipeline": [
+                    [
+                        "CONDITION_IF",
+                        "$.data.flag",
+                        rng.choice(sources),
+                        op,
+                        rng.choice(cmp_vals),
+                        "yes",
+                        "no",
+                    ]
+                ]
+            }
+        )
+
+    df = _envelope(spark)
+    cols = ["id", "data", "transform_error"]
+    bad = []
+    for i, spec in enumerate(specs):
+        try:
+            fn = compile_transformer(spec, DATA_SCHEMA)
+        except CompileFallback:
+            continue
+        comp = sorted(fn(df).select(*cols).collect())
+        interp = sorted(transform_dataframe(df, spec).select(*cols).collect())
+        if comp != interp:
+            bad.append((i, spec["pipeline"][0], interp[:2], comp[:2]))
+    assert not bad, bad[:3]
+
+
+def test_struct_action_sequences_compiled_vs_interpreter_fuzz(spark):
+    """Random SEQUENCES of struct-shape actions (CREATE / DELETE /
+    RENAME / DUPLICATE / MOVE) over random paths: later actions see
+    the state earlier ones left, so exists/absent branches interact —
+    compiled state tracking must make the same skip decisions as the
+    interpreter for every prefix."""
+    import random as _random
+
+    rng = _random.Random(20260820)
+    paths = ["$.data.name", "$.data.tag", "$.data.x", "$.data.props.k",
+             "$.data.nope"]
+    specs = []
+    for _ in range(24):
+        pipeline = []
+        for _ in range(rng.randint(2, 4)):
+            kind = rng.choice(["CREATE", "DELETE", "RENAME", "DUPLICATE", "MOVE"])
+            if kind == "CREATE":
+                pipeline.append([kind, rng.choice(paths), rng.choice([1, "v", 2.5])])
+            elif kind == "DELETE":
+                pipeline.append([kind, rng.choice(paths)])
+            else:
+                pipeline.append([kind, rng.choice(paths), rng.choice(paths)])
+        specs.append({"pipeline": pipeline})
+
+    import json as _json
+
+    def canon(rows):
+        # Key ORDER in the data JSON is representation, not
+        # semantics: the interpreter appends in creation order, the
+        # compiler in schema order (and the reference's Go map
+        # marshaling alphabetizes — a third convention). Compare
+        # parsed values.
+        out = []
+        for r in rows:
+            try:
+                d = _json.loads(r.data) if r.data is not None else None
+            except ValueError:
+                d = r.data
+            out.append((r.id, _json.dumps(d, sort_keys=True), r.transform_error))
+        return sorted(out)
+
+    df = _envelope(spark)
+    cols = ["id", "data", "transform_error"]
+    bad = []
+    fell_back = 0
+    for i, spec in enumerate(specs):
+        try:
+            fn = compile_transformer(spec, DATA_SCHEMA)
+        except CompileFallback:
+            fell_back += 1
+            continue
+        comp = canon(fn(df).select(*cols).collect())
+        interp = canon(transform_dataframe(df, spec).select(*cols).collect())
+        if comp != interp:
+            bad.append((i, spec["pipeline"], interp[:2], comp[:2]))
+    assert not bad, bad[:2]
+    assert fell_back < len(specs)  # the fuzz must exercise SOME compiled runs

@@ -86,9 +86,15 @@ class _State:
     stringification parity with the Go-style interpreter)."""
 
     def __init__(self, data: Column, schema: T.StructType):
-        self.data = data
+        # Root materialized up front (py_set creates the object when
+        # writing into a nil payload; withField on NULL would lose the
+        # write): at construction the column still has the DECLARED
+        # type, so the all-null seed matches. Serialization maps an
+        # all-null struct back to "null" for nil-ish inputs.
+        self.data = F.coalesce(data, _null_struct(schema))
         self.schema = schema
         self.created: set[str] = set()
+        self.removed: set[str] = set()
         self._mat: set[str] = set()  # struct levels already null-coalesced
         self.kinds: dict[str, str] = {}  # created path -> string|double|long|array|any
         self.define: dict[str, Column] = {}
@@ -109,25 +115,29 @@ class _State:
         return c
 
     def set(self, path: str, value: Column, kind: str = "any") -> None:
-        # Materialize null structs along the written path: py_set
-        # creates intermediate dicts (and replaces null/non-object
-        # intermediates with {}), so a write into a nil payload or
-        # through a null nested struct must CREATE the object here
-        # too — withField on a NULL struct would silently drop the
-        # write (caught by the MATH fuzz on nil-data rows).
-        # Each level is coalesced at most ONCE: after that its type may
-        # have evolved past the declared schema (withField adds
-        # fields), and it can no longer be null anyway.
-        if "" in self._mat:
-            base = self.data
-        else:
-            base = F.coalesce(self.data, _null_struct(self.schema))
-            self._mat.add("")
+        # Materialize null INTERMEDIATE structs along the written
+        # path: py_set creates intermediate dicts (and replaces
+        # null/non-object intermediates with {}), so a write through a
+        # null nested struct must create it here too — withField on a
+        # NULL struct silently drops the write (caught by the MATH
+        # fuzz on nil-data rows). Each level coalesces at most once
+        # with its DECLARED all-null seed; if an earlier action
+        # already evolved the level's type (created/removed a child),
+        # the seed no longer matches — interpreter path.
+        base = self.data
         parts = path.split(".")
         for i in range(1, len(parts)):
             prefix = ".".join(parts[:i])
             ptype = _schema_field(self.schema, prefix)
             if isinstance(ptype, T.StructType) and prefix not in self._mat:
+                pfx = prefix + "."
+                if any(
+                    p.startswith(pfx) for p in self.created | self.removed
+                ):
+                    raise CompileFallback(
+                        f"write through null-able struct {prefix} after "
+                        f"its type evolved"
+                    )
                 cur = base
                 for p in parts[:i]:
                     cur = cur.getField(p)
@@ -137,12 +147,54 @@ class _State:
                 self._mat.add(prefix)
         self.data = base.withField(path, value)
         self.created.add(path)
+        self.removed.discard(path)
         self.kinds[path] = kind
 
     def drop(self, path: str) -> None:
+        # Spark cannot dropFields the LAST field of a struct
+        # (CANNOT_DROP_ALL_FIELDS analysis error); the interpreter
+        # leaves an empty object there. Statically detectable from
+        # schema + created/removed bookkeeping -> interpreter path.
+        parts = path.split(".")
+        parent = ".".join(parts[:-1])
+        if len(self._child_names(parent)) <= 1:
+            raise CompileFallback(
+                f"DELETE {path} would drop every field of its struct"
+            )
         self.data = self.data.dropFields(path)
         self.created.discard(path)
+        self.removed.add(path)
         self.kinds.pop(path, None)
+
+    def _child_names(self, parent: str) -> set[str]:
+        """Field names the EVOLVED struct at ``parent`` still has:
+        declared schema fields, plus compiled CREATEs under it, minus
+        compiled DELETEs."""
+        if parent:
+            ptype = _schema_field(self.schema, parent)
+            names = (
+                {f.name for f in ptype.fields}
+                if isinstance(ptype, T.StructType)
+                else set()
+            )
+            prefix = parent + "."
+        else:
+            names = {f.name for f in self.schema.fields}
+            prefix = ""
+
+        def direct(p: str) -> str | None:
+            if not p.startswith(prefix):
+                return None
+            rest = p[len(prefix):]
+            return rest if rest and "." not in rest else None
+
+        for p in self.created:
+            if (n := direct(p)) is not None:
+                names.add(n)
+        for p in self.removed:
+            if (n := direct(p)) is not None and p not in self.created:
+                names.discard(n)
+        return names
 
     def kind_of(self, path: str) -> str:
         """Coarse type for template rendering: schema dtype when the
@@ -422,18 +474,26 @@ def _compile_action(state: _State, cmd: list[Any]) -> None:  # noqa: PLR0912, PL
         # interpreter parity: missing source -> arg error -> skip; for
         # ordered ops a non-numeric source -> cast error -> skip
         # (condition_if_action.go via RunArgs). NULL result = skipped.
+        cmp_raw = _value_arg(state, args[3])
         if op == "==":
             valid = srcv.isNotNull()
+            cmp_col = cmp_raw
         else:
             from vanus_spark.casts import col_to_float
 
-            valid = col_to_float(srcv).isNotNull()
+            # the COMPARAND must also parse as a float for ordered
+            # ops (a non-numeric one is a per-row cast error => skip
+            # in the interpreter; a non-numeric LITERAL would even
+            # constant-fold into an ANSI cast crash here) — probe it
+            # and hand condition_if the already-cast double
+            cmp_col = col_to_float(cmp_raw)
+            valid = col_to_float(srcv).isNotNull() & cmp_col.isNotNull()
         new = F.when(
             valid,
             vf.condition_if(
                 srcv,
                 op,
-                _value_arg(state, args[3]),
+                cmp_col,
                 _value_arg(state, args[4]),
                 _value_arg(state, args[5]),
             ),
