@@ -79,20 +79,34 @@ def _null_struct(dtype: T.StructType) -> Column:
     )
 
 
+def _prune_schema(dtype: T.StructType, removed: set[str], prefix: str = "") -> T.StructType:
+    """The declared struct type minus compiled DELETEs — the seed for
+    a root coalesce that happens AFTER drops already evolved the
+    column's type."""
+    fields = []
+    for f in dtype.fields:
+        path = prefix + f.name
+        if path in removed:
+            continue
+        ftype = f.dataType
+        if isinstance(ftype, T.StructType):
+            ftype = _prune_schema(ftype, removed, path + ".")
+        fields.append(T.StructField(f.name, ftype, f.nullable))
+    return T.StructType(fields)
+
+
 class _State:
     """Tracks the evolving data struct column + the set of paths known
     to exist (schema fields + compiled CREATEs), the compiled define
     vars, and a coarse output-type kind per created path (for template
     stringification parity with the Go-style interpreter)."""
 
-    def __init__(self, data: Column, schema: T.StructType):
-        # Root materialized up front (py_set creates the object when
-        # writing into a nil payload; withField on NULL would lose the
-        # write): at construction the column still has the DECLARED
-        # type, so the all-null seed matches. Serialization maps an
-        # all-null struct back to "null" for nil-ish inputs.
-        self.data = F.coalesce(data, _null_struct(schema))
+    def __init__(
+        self, data: Column, schema: T.StructType, root_materialize: bool = False
+    ):
+        self.data = data
         self.schema = schema
+        self.root_materialize = root_materialize
         self.created: set[str] = set()
         self.removed: set[str] = set()
         self._mat: set[str] = set()  # struct levels already null-coalesced
@@ -115,16 +129,28 @@ class _State:
         return c
 
     def set(self, path: str, value: Column, kind: str = "any") -> None:
-        # Materialize null INTERMEDIATE structs along the written
-        # path: py_set creates intermediate dicts (and replaces
-        # null/non-object intermediates with {}), so a write through a
-        # null nested struct must create it here too — withField on a
-        # NULL struct silently drops the write (caught by the MATH
-        # fuzz on nil-data rows). Each level coalesces at most once
-        # with its DECLARED all-null seed; if an earlier action
-        # already evolved the level's type (created/removed a child),
-        # the seed no longer matches — interpreter path.
-        base = self.data
+        # Materialize null structs along the written path: py_set
+        # creates the object when writing into a nil payload / through
+        # a null nested struct — withField on a NULL struct silently
+        # drops the write (caught by the MATH fuzz on nil-data rows).
+        # The ROOT only coalesces in the nil-branch state
+        # (root_materialize=True, seeded from the constant all-null
+        # struct): wrapping the main chain's root in coalesce would
+        # block nested-field pruning on every read (measured ~40% on
+        # the compiled transform suite) — the main chain's rows with a
+        # null root are exactly the rows the final select takes from
+        # the nil branch instead. NESTED null intermediates are
+        # materialized in both states (a valid payload can still lack
+        # a nested object the write must create). Each level coalesces
+        # at most once; the root seed reflects drops that happened
+        # before the first write.
+        if not self.root_materialize or "" in self._mat:
+            base = self.data
+        else:
+            base = F.coalesce(
+                self.data, _null_struct(_prune_schema(self.schema, self.removed))
+            )
+            self._mat.add("")
         parts = path.split(".")
         for i in range(1, len(parts)):
             prefix = ".".join(parts[:i])
@@ -261,11 +287,47 @@ def _kind_of_arg(state: _State, arg: Any) -> str:
 
 
 def _num(state: _State, arg: Any) -> Column:
-    from vanus_spark.casts import col_to_float
+    """Numeric arg with the interpreter's py_cast(..., 'float')
+    semantics, paying the strict ParseFloat screen ONLY where the
+    value is actually an untyped string:
 
-    # strict ParseFloat twin — a bare try_cast would trim whitespace
-    # the interpreter's (and the reference's) parser rejects
-    return col_to_float(_value_arg(state, arg))
+    - literal args fold through py_cast at COMPILE time (an invalid
+      one makes the action error on every row => statically skipped);
+    - schema/kind-typed numeric columns cast directly (a number never
+      re-parses through its string form);
+    - everything else goes through col_to_float, whose regex screen
+      rejects what Go's parser rejects (a bare try_cast would trim
+      whitespace)."""
+    from vanus_spark.casts import CastError, col_to_float, py_cast
+
+    if isinstance(arg, bool) or arg is None:
+        raise _UnknownRead(arg)  # bool/nil -> cast error on every row
+    if isinstance(arg, (int, float)):
+        return F.lit(float(arg))
+    if (
+        isinstance(arg, str)
+        and not arg.startswith(("$.", "@."))
+        and not _is_define_ref(arg)
+    ):
+        try:
+            return F.lit(py_cast(arg, "float"))
+        except CastError:
+            raise _UnknownRead(arg) from None
+    col = _value_arg(state, arg)
+    if _is_data_path(arg):
+        path = _path_of(arg)
+        kind = state.kinds.get(path)
+        if kind in ("double", "long"):
+            return col.cast("double")
+        if kind is None:
+            dtype = _schema_field(state.schema, path)
+            if isinstance(
+                dtype,
+                (T.DoubleType, T.FloatType, T.DecimalType, T.LongType,
+                 T.IntegerType, T.ShortType, T.ByteType),
+            ):
+                return col.cast("double")
+    return col_to_float(col)
 
 
 def _strict_long(c: Column) -> Column:
@@ -305,12 +367,25 @@ def compile_pipeline(
         # per-row parse count.
         staged = df.withColumn("__vs_parsed", F.from_json(F.col("data"), schema))
         state = _State(F.col("__vs_parsed"), schema)
+        state_nil = _State(_null_struct(schema), schema, root_materialize=True)
         for cmd in pipeline:
-            try:
-                _compile_action(state, cmd)
-            except _UnknownRead:
-                continue  # action can never succeed -> statically skipped
-        return staged.withColumn("data", F.to_json(state.data)).drop("__vs_parsed")
+            for st in (state, state_nil):
+                try:
+                    _compile_action(st, cmd)
+                except _UnknownRead:
+                    continue  # action can never succeed -> statically skipped
+        # rows whose payload didn't parse to an object take the
+        # nil-branch chain (constant-folded all-null seed): writes
+        # into a nil payload create the object, py_set-style
+        js_nil = F.to_json(state_nil.data)
+        out = F.when(
+            F.col("__vs_parsed").isNotNull(), F.to_json(state.data)
+        ).otherwise(
+            F.when(
+                F.coalesce(js_nil == "{}", F.lit(True)), F.lit("null")
+            ).otherwise(js_nil)
+        )
+        return staged.withColumn("data", out).drop("__vs_parsed")
 
     # dry-compile against an empty state to surface fallbacks eagerly
     probe = _State(F.from_json(F.lit("{}"), schema), schema)
@@ -474,24 +549,23 @@ def _compile_action(state: _State, cmd: list[Any]) -> None:  # noqa: PLR0912, PL
         # interpreter parity: missing source -> arg error -> skip; for
         # ordered ops a non-numeric source -> cast error -> skip
         # (condition_if_action.go via RunArgs). NULL result = skipped.
-        cmp_raw = _value_arg(state, args[3])
         if op == "==":
             valid = srcv.isNotNull()
-            cmp_col = cmp_raw
+            src_col: Column = srcv
+            cmp_col = _value_arg(state, args[3])
         else:
-            from vanus_spark.casts import col_to_float
-
-            # the COMPARAND must also parse as a float for ordered
-            # ops (a non-numeric one is a per-row cast error => skip
-            # in the interpreter; a non-numeric LITERAL would even
-            # constant-fold into an ANSI cast crash here) — probe it
-            # and hand condition_if the already-cast double
-            cmp_col = col_to_float(cmp_raw)
-            valid = col_to_float(srcv).isNotNull() & cmp_col.isNotNull()
+            # ordered ops: BOTH sides go through the interpreter's
+            # strict float cast — via _num, which folds literals at
+            # compile time (a non-numeric literal comparand would
+            # otherwise constant-fold into an ANSI cast crash) and
+            # skips the regex screen for schema-typed numbers
+            src_col = _num(state, args[1])
+            cmp_col = _num(state, args[3])
+            valid = src_col.isNotNull() & cmp_col.isNotNull()
         new = F.when(
             valid,
             vf.condition_if(
-                srcv,
+                src_col,
                 op,
                 cmp_col,
                 _value_arg(state, args[4]),
@@ -887,75 +961,92 @@ def compile_transformer(
     # a bare <$.data> template slot / no-template re-serialize never leaks
     # "_corrupt_record" into rendered output (a payload of the literal
     # 'null' is corrupt-flagged but nilish-suppressed, so it WOULD leak).
-    state = _State(parsed.dropFields("_corrupt_record"), schema)
-    for name, expr in define_spec.items():
-        try:
-            state.define[name] = _value_arg(state, expr)
-            state.define_kinds[name] = _kind_of_arg(state, expr)
-        except _UnknownRead:  # var statically never resolves -> nil
-            state.define[name] = F.lit(None)
-            state.define_kinds[name] = "string"
-    for cmd in pipeline:
-        try:
-            _compile_action(state, cmd)
-        except _UnknownRead:
-            continue  # action can never succeed -> statically skipped
+    def build(initial_data: Column, root_materialize: bool):
+        """Compile define vars + pipeline + template once against one
+        initial data column. Called TWICE: the main chain runs on the
+        raw parsed struct (pruning-friendly reads), and a nil-branch
+        chain runs on the CONSTANT all-null seed — it mostly
+        constant-folds, and the final select takes it only for rows
+        whose payload is nil-ish (where the main chain's withField
+        writes would null-propagate away)."""
+        state = _State(initial_data, schema, root_materialize=root_materialize)
+        for name, expr in define_spec.items():
+            try:
+                state.define[name] = _value_arg(state, expr)
+                state.define_kinds[name] = _kind_of_arg(state, expr)
+            except _UnknownRead:  # var statically never resolves -> nil
+                state.define[name] = F.lit(None)
+                state.define_kinds[name] = "string"
+        for cmd in pipeline:
+            try:
+                _compile_action(state, cmd)
+            except _UnknownRead:
+                continue  # action can never succeed -> statically skipped
 
-    def resolve_typed(inner: str) -> Column:
-        if inner == "$.data" or inner == "data":
-            return state.data
-        if inner.startswith("$.data."):
-            path = inner[7:]
-            if "[" in path or "*" in path:
-                raise CompileFallback(f"dynamic template path {inner}")
-            if not state.known(path):
-                return F.lit(None)
-            return state.get(path)
-        if inner == "time" or inner == "$.time":
-            # isoformat()-rendered in the interpreter; not replicated
-            raise CompileFallback("<time> model var")
-        if inner.startswith("$."):
-            return attribute_column(inner[2:])
-        if inner in state.define:  # define wins over model
-            return state.define[inner]
-        return attribute_column(inner)
+        def resolve_typed(inner: str) -> Column:
+            if inner == "$.data" or inner == "data":
+                return state.data
+            if inner.startswith("$.data."):
+                path = inner[7:]
+                if "[" in path or "*" in path:
+                    raise CompileFallback(f"dynamic template path {inner}")
+                if not state.known(path):
+                    return F.lit(None)
+                return state.get(path)
+            if inner == "time" or inner == "$.time":
+                # isoformat()-rendered in the interpreter; not replicated
+                raise CompileFallback("<time> model var")
+            if inner.startswith("$."):
+                return attribute_column(inner[2:])
+            if inner in state.define:  # define wins over model
+                return state.define[inner]
+            return attribute_column(inner)
 
-    def kind_of_inner(inner: str) -> str:
-        if inner == "$.data" or inner == "data":
-            return "array"
-        if inner.startswith("$.data."):
-            path = inner[7:]
-            return state.kind_of(path) if state.known(path) else "string"
-        if inner.startswith("$."):
-            return "string"
-        if inner in state.define_kinds:
-            return state.define_kinds[inner]
-        return "string"  # model attributes are strings
+        def kind_of_inner(inner: str) -> str:
+            if inner == "$.data" or inner == "data":
+                return "array"
+            if inner.startswith("$.data."):
+                path = inner[7:]
+                return state.kind_of(path) if state.known(path) else "string"
+            if inner.startswith("$."):
+                return "string"
+            if inner in state.define_kinds:
+                return state.define_kinds[inner]
+            return "string"  # model attributes are strings
 
-    def go_str(inner: str) -> Column:
-        """String form matching py_cast(v, 'string') for scalars."""
-        c = resolve_typed(inner)
-        k = kind_of_inner(inner)
-        if k == "double":
-            as_long = c.cast("long")
-            return F.when(
-                (c == as_long.cast("double")) & (F.abs(c) < F.lit(1e15)),
-                as_long.cast("string"),
-            ).otherwise(c.cast("string"))
-        if k in ("array", "any"):
-            raise CompileFallback(f"non-scalar string substitution <{inner}>")
-        return c.cast("string")
+        def go_str(inner: str) -> Column:
+            """String form matching py_cast(v, 'string') for scalars."""
+            c = resolve_typed(inner)
+            k = kind_of_inner(inner)
+            if k == "double":
+                as_long = c.cast("long")
+                return F.when(
+                    (c == as_long.cast("double")) & (F.abs(c) < F.lit(1e15)),
+                    as_long.cast("string"),
+                ).otherwise(c.cast("string"))
+            if k in ("array", "any"):
+                raise CompileFallback(f"non-scalar string substitution <{inner}>")
+            return c.cast("string")
 
-    if ttype == "text":
-        cols = []
-        for seg in parse_text_template(template):
-            if seg.kind == "text":
-                cols.append(F.lit(seg.value))
-            else:
-                cols.append(F.coalesce(go_str(seg.value), F.lit("")))
-        rendered = F.concat(*cols) if cols else F.lit("")
-    elif ttype == "json":
-        rendered = compile_json_template_generic(template, resolve_typed, go_str)
+        if ttype == "text":
+            cols = []
+            for seg in parse_text_template(template):
+                if seg.kind == "text":
+                    cols.append(F.lit(seg.value))
+                else:
+                    cols.append(F.coalesce(go_str(seg.value), F.lit("")))
+            r = F.concat(*cols) if cols else F.lit("")
+        elif ttype == "json":
+            r = compile_json_template_generic(template, resolve_typed, go_str)
+        else:
+            r = None
+        return state, r
+
+    state, rendered_main = build(
+        parsed.dropFields("_corrupt_record"), root_materialize=False
+    )
+    state_nil, rendered_nil = build(_null_struct(schema), root_materialize=True)
+
     # nil-ish payloads parse to data=None in the interpreter (no error):
     # NULL, empty/whitespace, and the JSON literal "null" (which the
     # corrupt-record parse wrongly flags).
@@ -963,15 +1054,20 @@ def compile_transformer(
     nilish = F.col("data").isNull() | (trimmed == "") | (trimmed == "null")
     if ttype is None:
         # no template: re-serialize mutated data. A nil payload whose
-        # struct stayed all-null (no action wrote into it) renders
-        # "null" (the interpreter's json.dumps(None)); one an action
-        # DID write into renders the created object, matching py_set's
-        # create-on-write. to_json omits null fields, so "{}" ==
-        # "nothing was written".
-        js = F.to_json(state.data)
+        # nil-branch struct stayed all-null (no action wrote into it)
+        # renders "null" (the interpreter's json.dumps(None)); one an
+        # action DID write into renders the created object, matching
+        # py_set's create-on-write. to_json omits null fields, so
+        # "{}" == "nothing was written".
+        js_nil = F.to_json(state_nil.data)
         rendered = F.when(
-            nilish & F.coalesce(js == "{}", F.lit(True)), F.lit("null")
-        ).otherwise(F.coalesce(js, F.lit("null")))
+            nilish,
+            F.when(
+                F.coalesce(js_nil == "{}", F.lit(True)), F.lit("null")
+            ).otherwise(js_nil),
+        ).otherwise(F.coalesce(F.to_json(state.data), F.lit("null")))
+    else:
+        rendered = F.when(nilish, rendered_nil).otherwise(rendered_main)
 
     bad_json = F.coalesce(
         parsed.getField("_corrupt_record").isNotNull() & ~nilish, F.lit(False)
