@@ -330,3 +330,46 @@ def test_struct_action_sequences_compiled_vs_interpreter_fuzz(spark):
             bad.append((i, spec["pipeline"], interp[:2], comp[:2]))
     assert not bad, bad[:2]
     assert fell_back < len(specs)  # the fuzz must exercise SOME compiled runs
+
+
+def test_json_template_compiled_vs_interpreter_fuzz(spark):
+    """Random JSON templates mixing BARE placeholders (JSON-encoded
+    substitution, null when missing) and IN-STRING placeholders
+    (string-form substitution, '' when missing) over numeric, string,
+    nested, and missing model values — the compiled JSON template
+    must render byte-for-byte what render_json produces."""
+    import random as _random
+
+    rng = _random.Random(20260821)
+    bare_vals = ["<$.data.user_id>", "<$.data.value>", "<$.data.nope>",
+                 "<$.data.props.k>"]
+    str_vals = ["<$.data.name>", "<$.data.user_id>", "<$.data.nope>",
+                "<type>", "<id>"]
+    specs = []
+    for _ in range(30):
+        fields = []
+        for j in range(rng.randint(1, 4)):
+            if rng.random() < 0.5:
+                fields.append(f'"f{j}":{rng.choice(bare_vals)}')
+            else:
+                fields.append(f'"f{j}":"pre {rng.choice(str_vals)} post"')
+        specs.append(
+            {"template": {"type": "json", "template": "{" + ",".join(fields) + "}"}}
+        )
+
+    df = _envelope(spark)
+    cols = ["id", "data", "transform_error", "datacontenttype"]
+    bad = []
+    fell_back = 0
+    for i, spec in enumerate(specs):
+        try:
+            fn = compile_transformer(spec, DATA_SCHEMA)
+        except CompileFallback:
+            fell_back += 1
+            continue
+        comp = sorted(fn(df).select(*cols).collect())
+        interp = sorted(transform_dataframe(df, spec).select(*cols).collect())
+        if comp != interp:
+            bad.append((i, spec["template"]["template"], interp[:2], comp[:2]))
+    assert not bad, bad[:2]
+    assert fell_back < len(specs)
