@@ -4451,6 +4451,32 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning: lineitem ⋈ urgent-orders with the
+    fact side pre-filtered by a distributed-built Bloom bitmap of the
+    dim keys BEFORE the join shuffle (`operators/bloom.py`). At 100 TB
+    this is semi-join reduction — only ~matching fact rows reach the
+    exchange. The result is bit-for-bit the plain join (the exact join
+    removes Bloom false positives), which is exactly what the oracle
+    states."""
+    from vanus_spark.operators.bloom import bloom_prune_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        bloom_prune_join(li, od, "l_orderkey", "o_orderkey", num_bits=1 << 14)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4708,6 +4734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_json": q_template_json,
         "cast_lattice": q_cast_lattice,
         "debezium_mongo_sink": q_debezium_mongo_sink,
+        "bloom_semi_join": q_bloom_semi_join,
     }
 
 
@@ -7051,6 +7078,16 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'delivered' END AS outcome,
                    CASE WHEN event_type = 'error' THEN 'OrderEvent' END AS reason
             FROM events
+        """,
+        # the Bloom prefilter has no false negatives and the exact join
+        # removes its false positives, so the result IS the plain join
+        "bloom_semi_join": """
+            SELECT l_returnflag,
+                   count(*)::BIGINT AS n_items,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderpriority = '1-URGENT'
+            GROUP BY l_returnflag
         """,
     }
 
