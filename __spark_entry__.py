@@ -4477,6 +4477,25 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup over REAL image bytes: binary PPMs
+    whose 2x2 blocks encode an md5-derived pattern (one flipped block
+    per variant) are decoded byte-for-byte, average-hashed (8x8 block
+    pooling, integer-exact threshold), and paired by pigeonhole
+    hamming blocking (`multimodal.ahash_near_pairs`). The oracle
+    re-derives pixels -> block sums -> threshold -> packed hash ->
+    brute-force hamming pairs arithmetically from the same synthesis
+    formula."""
+    from vanus_spark.llm.multimodal import (
+        ahash_near_pairs,
+        image_ahash,
+        synthesize_ppm_block_images,
+    )
+
+    media = synthesize_ppm_block_images(_t(spark, sf_dir, "documents"))
+    return ahash_near_pairs(image_ahash(media), max_hamming=2)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4735,6 +4754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cast_lattice": q_cast_lattice,
         "debezium_mongo_sink": q_debezium_mongo_sink,
         "bloom_semi_join": q_bloom_semi_join,
+        "image_phash_neardup": q_image_phash_neardup,
     }
 
 
@@ -7078,6 +7098,44 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'delivered' END AS outcome,
                    CASE WHEN event_type = 'error' THEN 'OrderEvent' END AS reason
             FROM events
+        """,
+        # re-derive the aHash chain arithmetically: md5 block pattern ->
+        # per-block gray -> integer block sums -> threshold -> signed
+        # 64-bit pack -> brute-force hamming pairs (O(n^2) fine at 500)
+        "image_phash_neardup": """
+            WITH d AS (
+              SELECT doc_id, doc_id // 5 AS base, doc_id % 5 AS v
+              FROM documents),
+            blocks AS (
+              SELECT doc_id, k,
+                     50 + 150 * (CASE WHEN v > 0 AND k = (base + v - 1) % 64
+                                      THEN 1 - raw ELSE raw END) AS gray
+              FROM (
+                SELECT d.doc_id, d.base, d.v, t.k,
+                       ('0x' || substr(md5(d.base::VARCHAR || ':' ||
+                                           t.k::VARCHAR), 1, 1))::INTEGER % 2
+                         AS raw
+                FROM d, generate_series(0, 63) AS t(k))),
+            sums AS (
+              SELECT doc_id, k, 12 * gray AS block_sum,
+                     sum(12 * gray) OVER (PARTITION BY doc_id) AS total
+              FROM blocks),
+            bits AS (
+              SELECT doc_id, k,
+                     CASE WHEN block_sum * 64 > total THEN 1 ELSE 0 END AS bit
+              FROM sums),
+            hashes AS (
+              SELECT doc_id,
+                     (sum(CASE WHEN k < 63
+                               THEN bit::BIGINT * (1::BIGINT << k::INTEGER)
+                               ELSE 0 END)::BIGINT
+                      + CASE WHEN max(CASE WHEN k = 63 THEN bit END) = 1
+                             THEN -9223372036854775808 ELSE 0 END) AS ahash
+              FROM bits GROUP BY doc_id)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.ahash, b.ahash))::INTEGER AS hamming
+            FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.ahash, b.ahash)) <= 2
         """,
         # the Bloom prefilter has no false negatives and the exact join
         # removes its false positives, so the result IS the plain join

@@ -898,3 +898,86 @@ def test_population_stability_properties(spark):
     shifted = base.select((F.col("v") * 2.0).alias("v"))
     out = population_stability(base, shifted, "v", [0.0, 25.0, 50.0, 75.0]).collect()
     assert out[0].psi > 0.1  # half the mass moved into the top bucket
+
+
+# ---------------------------------------------------------------------------
+# perceptual hash (aHash) near-dup
+# ---------------------------------------------------------------------------
+
+def test_image_ahash_matches_python_reference(spark, docs):
+    """The Spark-side hash (decode -> block pool -> integer threshold
+    -> signed pack) must equal an independent pure-Python fold of the
+    same synthesis formula."""
+    import hashlib
+
+    media = multimodal.synthesize_ppm_block_images(docs.limit(25))
+    got = {
+        r["media_id"]: r["ahash"]
+        for r in multimodal.image_ahash(media).collect()
+    }
+
+    def expect(d):
+        b, v = d // 5, d % 5
+        bits = [
+            int(hashlib.md5(f"{b}:{k}".encode()).hexdigest()[0], 16) % 2
+            for k in range(64)
+        ]
+        if v > 0:
+            bits[(b + v - 1) % 64] ^= 1
+        u = sum(bits[k] << k for k in range(64))
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    assert got == {d: expect(d) for d in got}
+
+
+def test_image_ahash_is_brightness_shift_invariant(spark):
+    """The whole point of aHash: a global brightness change leaves the
+    hash untouched (bits compare each block to the IMAGE mean)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 200, size=(16, 16, 3)).astype(np.uint8)
+    shifted = np.clip(base.astype(np.int16) + 40, 0, 255).astype(np.uint8)
+    pdf = spark.createDataFrame(
+        [
+            (0, bytearray(multimodal.encode_ppm(base))),
+            (1, bytearray(multimodal.encode_ppm(shifted))),
+        ],
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: r["ahash"] for r in multimodal.image_ahash(pdf).collect()}
+    # +40 clips at 255 for some pixels, so allow <=2 bit drift — the
+    # unclipped portion must dominate
+    drift = bin((rows[0] ^ rows[1]) & (2**64 - 1)).count("1")
+    assert drift <= 2, f"brightness shift moved {drift} bits"
+
+
+def test_ahash_near_pairs_blocking_equals_bruteforce(spark, docs):
+    media = multimodal.synthesize_ppm_block_images(docs.limit(60))
+    hs = multimodal.image_ahash(media).collect()
+    blocked = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in multimodal.ahash_near_pairs(
+            spark.createDataFrame(hs), max_hamming=2
+        ).collect()
+    }
+    brute = set()
+    for i, a in enumerate(hs):
+        for b in hs[i + 1 :]:
+            ham = bin((a["ahash"] ^ b["ahash"]) & (2**64 - 1)).count("1")
+            if ham <= 2:
+                x, y = sorted((a["media_id"], b["media_id"]))
+                brute.add((x, y, ham))
+    assert blocked == brute and len(brute) > 0
+
+
+def test_ahash_rejects_unpoolable_sizes(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    px = np.zeros((10, 10, 3), dtype=np.uint8)  # 10 % 8 != 0
+    pdf = spark.createDataFrame(
+        [(0, bytearray(multimodal.encode_ppm(px)))], "media_id long, content binary"
+    )
+    with _pytest.raises(Exception, match="not divisible"):
+        multimodal.image_ahash(pdf).collect()

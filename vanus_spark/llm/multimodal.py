@@ -323,3 +323,148 @@ def synthesize_media_from_documents(docs: DataFrame) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         F.encode("text", "utf-8").alias("content"),
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual hashing (average hash) + hamming near-dup over images
+# ---------------------------------------------------------------------------
+
+def synthesize_ppm_block_images(
+    docs: DataFrame, id_col: str = "doc_id", variants: int = 5
+) -> DataFrame:
+    """(media_id, content): 16x16 binary PPM (P6) images built as pure
+    Columns whose 2x2-pixel blocks encode a 64-bit md5-derived pattern
+    per BASE id (base = id // variants); every non-base variant flips
+    exactly one block. Under the 8x8 average hash a base's variants
+    therefore sit within hamming 2 of each other while distinct bases
+    stay >= 16 apart (measured over 200 bases: popcount 22-42, min
+    cross-base hamming 16) -- a controlled near-dup fixture whose hash
+    the oracle can re-derive arithmetically from this same formula."""
+    mid = F.col(id_col)
+    base = (mid / variants).cast("long")
+    v = mid % variants
+    flip_k = (base + v - 1) % 64
+
+    def gray(j):  # j: pixel index Column (0..255)
+        ji = j.cast("int")
+        k = (
+            F.shiftright(ji, 5) * 8
+            + F.shiftright(ji.bitwiseAND(F.lit(15)), 1)
+        ).cast("long")
+        raw = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(base.cast("string"), F.lit(":"), k.cast("string"))),
+                    1,
+                    1,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % 2
+        )
+        bit = F.when((v > 0) & (k == flip_k), 1 - raw).otherwise(raw)
+        return F.lit(50) + F.lit(150) * bit
+
+    raster = F.aggregate(
+        F.sequence(F.lit(0).cast("long"), F.lit(255).cast("long")),
+        F.lit(""),
+        lambda acc, j: F.concat(acc, F.char(gray(j)), F.char(gray(j)), F.char(gray(j))),
+    )
+    header = F.lit("P6\n16 16\n255\n")
+    return docs.select(
+        mid.alias("media_id"),
+        F.encode(F.concat(header, raster), "ISO-8859-1").alias("content"),
+    )
+
+
+def image_ahash(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    grid: int = 8,
+) -> DataFrame:
+    """Average hash: decode, pool to a grid x grid block matrix, set
+    bit k (row-major) iff that block's brightness exceeds the image
+    mean. ALL-INTEGER comparison (block_sum * n_blocks > total_sum) so
+    the bit is exact -- no float mean to disagree with an oracle. The
+    packed hash is the two's-complement int64 of the 64-bit pattern.
+    Requires width and height divisible by ``grid`` (the resize step
+    for arbitrary sizes is the PIL seam, absent from this container)."""
+    if grid * grid != 64:
+        raise ValueError("image_ahash packs exactly 64 bits: grid must be 8")
+    out_schema = f"{id_col} long, ahash long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = (np.uint64(1) << np.arange(64, dtype=np.uint64)).reshape(grid, grid)
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid_, raw in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(raw)
+                px = decode_bmp(b) if b[:2] == b"BM" else decode_ppm(b)
+                h, w = px.shape[:2]
+                if h % grid or w % grid:
+                    raise ValueError(
+                        f"image {mid_}: {w}x{h} not divisible by grid {grid}"
+                    )
+                bright = px.astype(np.int64).sum(axis=2)  # per-pixel r+g+b
+                blocks = bright.reshape(grid, h // grid, grid, w // grid).sum(
+                    axis=(1, 3)
+                )
+                bits = (blocks * (grid * grid) > bright.sum()).astype(np.uint64)
+                packed = np.int64((bits * weights).sum(dtype=np.uint64).astype(np.int64))
+                ids.append(mid_)
+                hashes.append(packed)
+            yield pd.DataFrame({id_col: ids, "ahash": hashes})
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def ahash_near_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 2,
+    id_col: str = "media_id",
+    hash_col: str = "ahash",
+    chunks: int = 8,
+) -> DataFrame:
+    """Near-dup image pairs with hamming(ahash_a, ahash_b) <=
+    max_hamming, via the same pigeonhole blocking as
+    dedup.simhash_near_pairs (dedup.py:402): any pair within radius
+    chunks-1 shares an identical 8-bit chunk, so candidates come from
+    ``chunks`` equi-joins and the exact bit_count(xor) check runs only
+    on candidates -- never O(n^2). shiftrightunsigned keeps the top
+    chunk of a negative (bit-63-set) hash from smearing sign bits."""
+    if max_hamming > chunks - 1:
+        raise ValueError("pigeonhole blocking needs max_hamming <= chunks - 1")
+    chunk_bits = 64 // chunks
+    mask = (1 << chunk_bits) - 1
+    keyed = hashes.select(
+        F.col(id_col),
+        F.col(hash_col),
+        *[
+            F.shiftrightunsigned(hash_col, i * chunk_bits)
+            .bitwiseAND(F.lit(mask))
+            .alias(f"c{i}")
+            for i in range(chunks)
+        ],
+    )
+    pairs = None
+    for i in range(chunks):
+        a, b = keyed.alias("a"), keyed.alias("b")
+        p = a.join(
+            b,
+            (F.col(f"a.c{i}") == F.col(f"b.c{i}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{hash_col}").alias("h_a"),
+            F.col(f"b.{hash_col}").alias("h_b"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        pairs.distinct()
+        .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
