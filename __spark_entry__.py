@@ -1758,6 +1758,111 @@ def q_stream_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked LEFT OUTER stream-stream join — the half of the
+    interval-join surface `stream_stream_join_replay` doesn't cover:
+    views with NO purchase inside [v_ts, v_ts + 2h] must still emit,
+    null-padded, once the watermark passes the end of their join
+    window (outer results are withheld while a match could still
+    arrive). The tail of the replay would otherwise never flush — the
+    watermark only trails seen data — so each side appends a
+    far-future sentinel batch that pushes the watermark past every
+    real window (state cleanup runs an extra no-data batch under
+    processAllAvailable, so ONE sentinel suffices — measured, not
+    assumed). The oracle is the equivalent batch left join."""
+    import datetime as dtm
+    import os
+    import shutil
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events").where(
+        (F.col("user_id") < 30) & F.col("ts").isNotNull()
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    work = tempfile.mkdtemp(prefix="vs_ssoj_replay_")
+    cut = dtm.datetime(2024, 1, 15)
+    sentinel_ts = dtm.datetime(2030, 1, 1)
+    dirs = {}
+    for side, df, cols, sentinel in (
+        (
+            "v",
+            views,
+            [("v_user", "long"), ("v_ts", "ts"), ("view_id", "long")],
+            1_000_000,
+        ),
+        (
+            "p",
+            purchases,
+            [("p_user", "long"), ("p_ts", "ts"), ("purchase_id", "long")],
+            1_000_001,
+        ),
+    ):
+        src = os.path.join(work, side)
+        os.makedirs(src)
+        dirs[side] = src
+        rows = df.collect()
+        halves: list[list[tuple]] = [[], [], [(sentinel, sentinel_ts, -1)]]
+        for r in rows:
+            halves[0 if r[1] < cut else 1].append(tuple(r))
+        _write_replay_batches(src, halves, cols)
+    v_stream = (
+        spark.readStream.schema("v_user long, v_ts timestamp, view_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dirs["v"])
+        .withWatermark("v_ts", "1 day")
+    )
+    p_stream = (
+        spark.readStream.schema("p_user long, p_ts timestamp, purchase_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dirs["p"])
+        .withWatermark("p_ts", "1 day")
+    )
+    # NOTE: the sentinel filter must NOT live inside the streaming
+    # plan — Catalyst pushes a left-column predicate below the
+    # EventTimeWatermark node, so the sentinel row would never reach
+    # the watermark stats and the v-side watermark (hence the global
+    # min) would stall a day behind; sentinels are dropped from the
+    # COLLECTED result instead.
+    joined = v_stream.join(
+        p_stream,
+        F.expr(
+            "v_user = p_user AND p_ts >= v_ts "
+            "AND p_ts <= v_ts + interval 2 hours"
+        ),
+        "left_outer",
+    ).select("view_id", "purchase_id", F.col("v_user").alias("user_id"))
+    name = "ssoj_replay_sink"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    rows = [r for r in spark.table(name).collect() if r["view_id"] >= 0]
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "view_id long, purchase_id long, user_id long"
+    )
+
+
 def q_state_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-style TIME TRAVEL over the manifest-committed state store:
     the documents corpus replays as three exact-dedup ingest batches
@@ -4755,6 +4860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "debezium_mongo_sink": q_debezium_mongo_sink,
         "bloom_semi_join": q_bloom_semi_join,
         "image_phash_neardup": q_image_phash_neardup,
+        "stream_outer_join_replay": q_stream_outer_join_replay,
     }
 
 
@@ -6927,6 +7033,20 @@ def oracle_sql() -> dict[str, str]:
              AND v.event_type = 'view' AND p.event_type = 'purchase'
              AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR
             WHERE v.user_id < 30 AND v.ts IS NOT NULL AND p.ts IS NOT NULL
+        """,
+        # left-outer interval join: unmatched views null-pad (the
+        # streaming side emits them on watermark flush via sentinel)
+        "stream_outer_join_replay": """
+            SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+                   v.user_id
+            FROM (SELECT * FROM events
+                  WHERE event_type = 'view' AND user_id < 30
+                    AND ts IS NOT NULL) v
+            LEFT JOIN (SELECT * FROM events
+                       WHERE event_type = 'purchase' AND user_id < 30
+                         AND ts IS NOT NULL) p
+              ON v.user_id = p.user_id
+             AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR
         """,
         # schema drift: the expected contract diff straight from the
         # two synthesized payload generators (v1 vs v2 field sets)
