@@ -157,6 +157,9 @@ HEADLINE = [
     "dedup_lsh_recall",
     "basket_brand_pairs",
     "pareto_brands",
+    "bloom_semi_join",
+    "image_phash_neardup",
+    "stream_outer_join_replay",
 ]
 
 

@@ -382,7 +382,16 @@ class ManifestTable:
     def delete(self, predicate) -> dict:
         """Copy-on-write delete: rewrites only buckets that still have
         surviving rows; buckets whose rows ALL match the predicate are
-        dropped from the manifest."""
+        dropped from the manifest.
+
+        The READ SET is the whole table — a predicate delete evaluated
+        the predicate against every bucket, so a concurrent commit to
+        ANY bucket (even one with no doomed rows in our snapshot — its
+        new rows might match the predicate) is a genuine conflict, the
+        same rule Delta's Serializable level applies to DELETE vs a
+        concurrent ADD. base_view therefore spans all n_buckets,
+        absent ones pinned at None so a concurrently-created bucket
+        fails the check instead of being silently missed."""
         doomed = self.read().where(predicate)
         affected = sorted(
             r["_b"]
@@ -392,7 +401,9 @@ class ManifestTable:
         )
         if not affected:
             return {"rewritten_buckets": 0, "epoch": self._epoch}
-        base_view = {b: self._mapping.get(b) for b in affected}
+        base_view = {
+            b: self._mapping.get(b) for b in range(self.n_buckets)
+        }
         survivors = self.read(buckets=affected).where(~predicate)
         updates: dict[int, str | None] = {b: None for b in affected}
         if survivors.limit(1).count() > 0:
@@ -406,27 +417,37 @@ class ManifestTable:
         """Copy-on-write delete BY KEY SET (no driver-side collect of
         the keys — the CDC-sized sibling of ``delete``): rewrites only
         the buckets the keys hash into, dropping buckets that end up
-        empty."""
+        empty.
+
+        EVERY key bucket is in the read set — including ones absent
+        from this writer's snapshot (based_on=None). A concurrent
+        writer may have just CREATED such a bucket with one of our
+        keys in it; filtering those buckets out (the previous
+        behavior) silently skipped the delete with no conflict raised
+        — a write-skew anomaly a two-writer fuzz caught. With the
+        None pin, the commit check sees None != <new dir> and raises,
+        and the retrying caller re-reads and deletes the key."""
         affected = sorted(
             r["_b"]
             for r in keys.select(self._bucket_col().alias("_b"))
             .distinct()
             .collect()
         )
-        affected = [b for b in affected if b in self._mapping]
         if not affected:
             return {"rewritten_buckets": 0, "epoch": self._epoch}
         base_view = {b: self._mapping.get(b) for b in affected}
-        survivors = self.read(buckets=affected).join(
-            keys.select(self.key_col).distinct(), self.key_col, "left_anti"
-        )
-        updates: dict[int, str | None] = {b: None for b in affected}
-        if survivors.limit(1).count() > 0:
-            gen, written = self._write_generation(survivors)
-            for b in written:
-                updates[b] = f"{gen}/_b={b}"
+        present = [b for b in affected if b in self._mapping]
+        updates: dict[int, str | None] = {b: None for b in present}
+        if present:
+            survivors = self.read(buckets=present).join(
+                keys.select(self.key_col).distinct(), self.key_col, "left_anti"
+            )
+            if survivors.limit(1).count() > 0:
+                gen, written = self._write_generation(survivors)
+                for b in written:
+                    updates[b] = f"{gen}/_b={b}"
         self._commit_buckets(base_view, updates)
-        return {"rewritten_buckets": len(affected), "epoch": self._epoch}
+        return {"rewritten_buckets": len(present), "epoch": self._epoch}
 
     def fsck(self) -> dict:
         """Consistency report (the vsrepair counterpart for this
