@@ -4601,6 +4601,71 @@ def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ahash_near_pairs(image_ahash(media), max_hamming=2)
 
 
+def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type ($25 buckets over
+    integer cents — the binning is ALL-INTEGER so bucket edges are
+    exact on both engines; an equi-width-over-range histogram would
+    put float bucket boundaries 1 ulp apart between Spark and DuckDB).
+    One partial-agg shuffle on (type, bucket); sums stay on the
+    2-decimal lattice so round(2) absorbs fp drift."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.expr("CAST(round(value * 100) AS BIGINT) DIV 2500")
+    return (
+        ev.groupBy("event_type", bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            "bucket",
+            (F.col("bucket") * 25.0).alias("lo"),
+            ((F.col("bucket") + 1) * 25.0).alias("hi"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def q_corpus_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity diagnostics (the distinct-n metric that flags
+    self-repetitive / templated corpora): distinct-vs-total n-gram
+    ratio for n in 1..3. One explode + ONE wide shuffle total: grams
+    aggregate by (n, gram) first — map-side combine collapses repeats
+    before the exchange — then the 3-row rollup derives totals and
+    ratios."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    words = F.split(norm, " ")
+    def gram_fn(n):
+        # one-parameter lambda ONLY: transform() inspects arity and
+        # would pass (element, index) to a two-parameter callable —
+        # a `lambda i, n=n:` binding gets its n silently replaced by
+        # the element INDEX
+        return lambda i: F.array_join(F.slice(words, i, n), " ")
+
+    parts = []
+    for n in (1, 2, 3):
+        grams = F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))
+            ),
+            gram_fn(n),
+        )
+        parts.append(
+            docs.select(F.lit(n).alias("n"), F.explode(grams).alias("g"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    per_gram = out.groupBy("n", "g").agg(F.count("*").alias("c"))
+    return per_gram.groupBy("n").agg(
+        F.sum("c").alias("total_ngrams"),
+        F.count("*").alias("distinct_ngrams"),
+        F.round(F.count("*") / F.sum("c"), 6).alias("distinct_ratio"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4861,6 +4926,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semi_join": q_bloom_semi_join,
         "image_phash_neardup": q_image_phash_neardup,
         "stream_outer_join_replay": q_stream_outer_join_replay,
+        "events_histogram": q_events_histogram,
+        "corpus_ngram_diversity": q_corpus_ngram_diversity,
     }
 
 
@@ -7257,6 +7324,34 @@ def oracle_sql() -> dict[str, str]:
             FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.ahash, b.ahash)) <= 2
         """,
+        "events_histogram": """
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) // 2500 AS bucket,
+                   (CAST(round(value * 100) AS BIGINT) // 2500) * 25.0 AS lo,
+                   ((CAST(round(value * 100) AS BIGINT) // 2500) + 1) * 25.0
+                     AS hi,
+                   count(*)::BIGINT AS n,
+                   round(sum(value)::DOUBLE, 2) AS sum_value
+            FROM events
+            GROUP BY event_type, bucket
+        """,
+        "corpus_ngram_diversity": f"""
+            WITH toks AS (
+              SELECT str_split({{norm}}, ' ') AS w FROM documents),
+            grams AS (
+              SELECT n, array_to_string(w[i : i + n - 1], ' ') AS g
+              FROM (
+                SELECT nn.n AS n, w,
+                       unnest(generate_series(
+                         1, greatest(len(w) - (nn.n - 1), 1))) AS i
+                FROM toks, (VALUES (1), (2), (3)) nn(n)))
+            SELECT n,
+                   count(*)::BIGINT AS total_ngrams,
+                   count(DISTINCT g)::BIGINT AS distinct_ngrams,
+                   round(count(DISTINCT g)::DOUBLE / count(*), 6)
+                     AS distinct_ratio
+            FROM grams GROUP BY n
+        """.replace("{norm}", norm_text),
         # the Bloom prefilter has no false negatives and the exact join
         # removes its false positives, so the result IS the plain join
         "bloom_semi_join": """

@@ -319,9 +319,43 @@ def main() -> None:
             ).count(),
         }
 
-    op_set = {"corpus": corpus_ops, "r5": r5_ops, "r5b": r5b_ops}.get(
-        os.environ.get("PROBE_SET", ""), ops
-    )
+    def r5c_ops(docs: DataFrame, n_docs: int) -> dict:
+        """Round-5 fourth-session operators: Bloom-pruned join vs the
+        plain shuffle join it replaces (broadcast disabled — the
+        operator targets dims ABOVE the broadcast threshold; at real
+        scale the dim would be too big to ship whole), and the
+        perceptual-hash near-dup chain (synthesize -> decode -> aHash
+        -> pigeonhole pairs; pair volume tracks variant-group count)."""
+        from vanus_spark.llm.multimodal import (
+            ahash_near_pairs,
+            image_ahash,
+            synthesize_ppm_block_images,
+        )
+        from vanus_spark.operators.bloom import bloom_prune_join
+
+        docs.sparkSession.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        fact = docs.select(
+            F.col("doc_id").alias("k"), F.length("text").alias("payload")
+        )
+        dim = docs.where(F.col("doc_id") % 199 == 0).select(
+            F.col("doc_id").alias("dk")
+        )
+        return {
+            "plain_join": lambda: fact.join(dim, fact.k == dim.dk).count(),
+            "bloom_join": lambda: bloom_prune_join(
+                fact, dim, "k", "dk", num_bits=1 << 17
+            ).count(),
+            "ahash_neardup": lambda: ahash_near_pairs(
+                image_ahash(synthesize_ppm_block_images(docs)), max_hamming=2
+            ).count(),
+        }
+
+    op_set = {
+        "corpus": corpus_ops,
+        "r5": r5_ops,
+        "r5b": r5b_ops,
+        "r5c": r5c_ops,
+    }.get(os.environ.get("PROBE_SET", ""), ops)
     results: dict[str, dict[int, float]] = {}
     for r in multiples:
         docs = replicate_docs(docs0, r).localCheckpoint(eager=True)
