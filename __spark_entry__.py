@@ -4601,6 +4601,23 @@ def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ahash_near_pairs(image_ahash(media), max_hamming=2)
 
 
+def q_audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup over REAL WAV bytes: tone/silence window
+    patterns (md5-keyed per base id, one window flipped per variant)
+    are RIFF-decoded, energy-fingerprinted (integer-exact per-window
+    energy vs clip mean), and paired with the same pigeonhole hamming
+    blocking as the image aHash. Oracle re-derives window energies ->
+    threshold -> packed hash -> brute-force pairs from the synthesis
+    formula."""
+    from vanus_spark.llm.audio import audio_fingerprint, synthesize_wav_tone_blocks
+    from vanus_spark.llm.multimodal import ahash_near_pairs
+
+    media = synthesize_wav_tone_blocks(_t(spark, sf_dir, "documents"))
+    return ahash_near_pairs(
+        audio_fingerprint(media), max_hamming=2, hash_col="afp"
+    )
+
+
 def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width value histogram per event type ($25 buckets over
     integer cents — the binning is ALL-INTEGER so bucket edges are
@@ -4928,6 +4945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_outer_join_replay": q_stream_outer_join_replay,
         "events_histogram": q_events_histogram,
         "corpus_ngram_diversity": q_corpus_ngram_diversity,
+        "audio_fp_neardup": q_audio_fp_neardup,
     }
 
 
@@ -7323,6 +7341,43 @@ def oracle_sql() -> dict[str, str]:
                    bit_count(xor(a.ahash, b.ahash))::INTEGER AS hamming
             FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.ahash, b.ahash)) <= 2
+        """,
+        # audio twin of image_phash_neardup: window energies replace
+        # block grays (tone window = 32 samples of (+/-40)^2 = 51200)
+        "audio_fp_neardup": """
+            WITH d AS (
+              SELECT doc_id, doc_id // 5 AS base, doc_id % 5 AS v
+              FROM documents),
+            wins AS (
+              SELECT doc_id, w,
+                     51200 * (CASE WHEN v > 0 AND w = (base + v - 1) % 64
+                                   THEN 1 - raw ELSE raw END) AS energy
+              FROM (
+                SELECT d.doc_id, d.base, d.v, t.w,
+                       ('0x' || substr(md5(d.base::VARCHAR || ':' ||
+                                           t.w::VARCHAR), 1, 1))::INTEGER % 2
+                         AS raw
+                FROM d, generate_series(0, 63) AS t(w))),
+            sums AS (
+              SELECT doc_id, w, energy,
+                     sum(energy) OVER (PARTITION BY doc_id) AS total
+              FROM wins),
+            bits AS (
+              SELECT doc_id, w,
+                     CASE WHEN energy * 64 > total THEN 1 ELSE 0 END AS bit
+              FROM sums),
+            hashes AS (
+              SELECT doc_id,
+                     (sum(CASE WHEN w < 63
+                               THEN bit::BIGINT * (1::BIGINT << w::INTEGER)
+                               ELSE 0 END)::BIGINT
+                      + CASE WHEN max(CASE WHEN w = 63 THEN bit END) = 1
+                             THEN -9223372036854775808 ELSE 0 END) AS afp
+              FROM bits GROUP BY doc_id)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.afp, b.afp))::INTEGER AS hamming
+            FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.afp, b.afp)) <= 2
         """,
         "events_histogram": """
             SELECT event_type,

@@ -108,3 +108,62 @@ def test_window_audio_emits_boundary_tail(spark):
     rows = window_audio(df, window_s=0.002, hop_s=0.002, decode_stub=False).collect()
     assert [r.window_index for r in rows] == [0, 1, 2]
     assert [r.n_samples for r in rows] == [2, 2, 1]
+
+
+# ---------------------------------------------------------------------------
+# band-energy fingerprint near-dup
+# ---------------------------------------------------------------------------
+
+def test_audio_fingerprint_matches_python_reference(spark, sf_dir):
+    import hashlib
+
+    from vanus_spark.llm.audio import audio_fingerprint, synthesize_wav_tone_blocks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = synthesize_wav_tone_blocks(docs.limit(25))
+    got = {
+        r["media_id"]: r["afp"] for r in audio_fingerprint(media).collect()
+    }
+
+    def expect(d):
+        b, v = d // 5, d % 5
+        bits = [
+            int(hashlib.md5(f"{b}:{w}".encode()).hexdigest()[0], 16) % 2
+            for w in range(64)
+        ]
+        if v > 0:
+            bits[(b + v - 1) % 64] ^= 1
+        u = sum(bits[w] << w for w in range(64))
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    assert got == {d: expect(d) for d in got}
+
+
+def test_audio_fingerprint_is_gain_invariant_shapewise(spark):
+    """Halving the tone amplitude scales every window energy equally,
+    so the threshold pattern (window vs clip mean) must not move."""
+    import numpy as np
+
+    from vanus_spark.llm.audio import audio_fingerprint, encode_wav
+
+    rng = np.random.RandomState(3)
+    tone_windows = rng.rand(64) > 0.5
+    if not tone_windows.any():
+        tone_windows[0] = True
+    if tone_windows.all():
+        tone_windows[0] = False
+
+    def clip(amp):
+        s = np.zeros(64 * 32, dtype=np.int16)
+        for w in range(64):
+            if tone_windows[w]:
+                seg = np.arange(32) % 2 * 2 - 1
+                s[w * 32 : (w + 1) * 32] = (seg * amp).astype(np.int16)
+        return encode_wav(s.reshape(-1, 1), 8000)
+
+    pdf = spark.createDataFrame(
+        [(0, bytearray(clip(8000))), (1, bytearray(clip(4000)))],
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: r["afp"] for r in audio_fingerprint(pdf).collect()}
+    assert rows[0] == rows[1]

@@ -344,3 +344,119 @@ def synthesize_wav_audio(
     return docs.select(
         mid.alias("media_id"), F.encode(wav, "ISO-8859-1").alias("content")
     )
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprinting (band-energy signature) + hamming near-dup
+# ---------------------------------------------------------------------------
+
+def synthesize_wav_tone_blocks(
+    docs: DataFrame, id_col: str = "doc_id", variants: int = 5
+) -> DataFrame:
+    """(media_id, content): 2048-sample 8-bit WAVs (64 windows of 32
+    samples) where each window is either SILENCE (constant 128) or an
+    alternating-sign square TONE (128 +/- 40), chosen by an
+    md5-derived 64-bit pattern per BASE id (base = id // variants);
+    every non-base variant flips one window. The audio counterpart of
+    multimodal.synthesize_ppm_block_images: the energy fingerprint of
+    a base's variants sits within hamming 2 while distinct bases stay
+    far apart, and the whole chain is integer-exact for the oracle."""
+    mid = F.col(id_col)
+    base = (mid / variants).cast("long")
+    v = mid % variants
+    flip_w = (base + v - 1) % 64
+
+    def sample(j):
+        w = F.shiftright(j.cast("int"), 5).cast("long")  # j // 32
+        raw = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            base.cast("string"), F.lit(":"), w.cast("string")
+                        )
+                    ),
+                    1,
+                    1,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % 2
+        )
+        bit = F.when((v > 0) & (w == flip_w), 1 - raw).otherwise(raw)
+        sign = 1 - 2 * (j.cast("int") % 2)  # +1 even sample, -1 odd
+        return F.lit(128) + bit * 40 * sign
+
+    n = 2048
+    data = F.aggregate(
+        F.sequence(F.lit(0).cast("long"), F.lit(n - 1).cast("long")),
+        F.lit(""),
+        lambda acc, j: F.concat(acc, F.char(sample(j))),
+    )
+    fmt = F.concat(
+        _u16le(F.lit(1)),
+        _u16le(F.lit(1)),
+        _u32le(F.lit(SYNTH_RATE)),
+        _u32le(F.lit(SYNTH_RATE)),
+        _u16le(F.lit(1)),
+        _u16le(F.lit(8)),
+    )
+    wav = F.concat(
+        F.lit("RIFF"),
+        _u32le(F.lit(n + 36)),
+        F.lit("WAVEfmt "),
+        _u32le(F.lit(16)),
+        fmt,
+        F.lit("data"),
+        _u32le(F.lit(n)),
+        data,
+    )
+    return docs.select(
+        mid.alias("media_id"),
+        F.encode(wav, "ISO-8859-1").alias("content"),
+    )
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    windows: int = 64,
+) -> DataFrame:
+    """Band-energy fingerprint: decode, split into ``windows`` equal
+    sample windows, set bit w iff that window's energy exceeds the
+    clip's mean window energy. Energies are integer-exact (squared
+    RAW-sample deviations — the normalized floats recover the integer
+    exactly for 8-bit PCM), so the threshold bit cannot drift from an
+    arithmetic oracle. Packs to the two's-complement int64 of the
+    64-bit pattern; pair with multimodal.ahash_near_pairs(hash_col=
+    'afp'). Mono or first channel; length must divide evenly."""
+    if windows != 64:
+        raise ValueError("fingerprint packs exactly 64 bits: windows must be 64")
+    out_schema = f"{id_col} long, afp long"
+
+    def run(batches):
+        import pandas as pd
+
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            ids, fps = [], []
+            for mid_, raw in zip(pdf[id_col], pdf[content_col]):
+                _, x = decode_wav(bytes(raw))
+                mono = x[:, 0]
+                if len(mono) % windows:
+                    raise ValueError(
+                        f"clip {mid_}: {len(mono)} samples not divisible "
+                        f"by {windows} windows"
+                    )
+                ints = np.rint(mono * 128.0).astype(np.int64)  # 8-bit exact
+                e = (ints * ints).reshape(windows, -1).sum(axis=1)
+                bits = (e * windows > e.sum()).astype(np.uint64)
+                fps.append(
+                    np.int64((bits * weights).sum(dtype=np.uint64).astype(np.int64))
+                )
+                ids.append(mid_)
+            yield pd.DataFrame({id_col: ids, "afp": fps})
+
+    return df.mapInPandas(run, schema=out_schema)
