@@ -4601,6 +4601,21 @@ def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ahash_near_pairs(image_ahash(media), max_hamming=2)
 
 
+def q_video_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup over REAL y4m bytes: 3-frame clips whose luma
+    blocks encode the md5 base pattern (frames 0-1) plus a per-base
+    NOISE frame (frame 2), frame-aHashed and pooled by strict
+    majority (`video.video_phash`) — the noise frame must cancel, so
+    the oracle is the SAME pattern derivation as the image/audio
+    twins: pixels -> block sums -> threshold -> pack -> brute pairs,
+    with no noise term (a pooling bug would hash-mismatch)."""
+    from vanus_spark.llm.multimodal import ahash_near_pairs
+    from vanus_spark.llm.video import synthesize_y4m_block_videos, video_phash
+
+    media = synthesize_y4m_block_videos(_t(spark, sf_dir, "documents"))
+    return ahash_near_pairs(video_phash(media), max_hamming=2, hash_col="vhash")
+
+
 def q_audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dup over REAL WAV bytes: tone/silence window
     patterns (md5-keyed per base id, one window flipped per variant)
@@ -4946,6 +4961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_histogram": q_events_histogram,
         "corpus_ngram_diversity": q_corpus_ngram_diversity,
         "audio_fp_neardup": q_audio_fp_neardup,
+        "video_phash_neardup": q_video_phash_neardup,
     }
 
 
@@ -7341,6 +7357,44 @@ def oracle_sql() -> dict[str, str]:
                    bit_count(xor(a.ahash, b.ahash))::INTEGER AS hamming
             FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.ahash, b.ahash)) <= 2
+        """,
+        # video twin: 2x2 LUMA blocks (4 px per block), majority
+        # pooling cancels the noise frame so only the frames-0/1
+        # pattern appears — a pooling bug would hash-mismatch here
+        "video_phash_neardup": """
+            WITH d AS (
+              SELECT doc_id, doc_id // 5 AS base, doc_id % 5 AS v
+              FROM documents),
+            blocks AS (
+              SELECT doc_id, k,
+                     50 + 150 * (CASE WHEN v > 0 AND k = (base + v - 1) % 64
+                                      THEN 1 - raw ELSE raw END) AS gray
+              FROM (
+                SELECT d.doc_id, d.base, d.v, t.k,
+                       ('0x' || substr(md5(d.base::VARCHAR || ':' ||
+                                           t.k::VARCHAR), 1, 1))::INTEGER % 2
+                         AS raw
+                FROM d, generate_series(0, 63) AS t(k))),
+            sums AS (
+              SELECT doc_id, k, 4 * gray AS block_sum,
+                     sum(4 * gray) OVER (PARTITION BY doc_id) AS total
+              FROM blocks),
+            bits AS (
+              SELECT doc_id, k,
+                     CASE WHEN block_sum * 64 > total THEN 1 ELSE 0 END AS bit
+              FROM sums),
+            hashes AS (
+              SELECT doc_id,
+                     (sum(CASE WHEN k < 63
+                               THEN bit::BIGINT * (1::BIGINT << k::INTEGER)
+                               ELSE 0 END)::BIGINT
+                      + CASE WHEN max(CASE WHEN k = 63 THEN bit END) = 1
+                             THEN -9223372036854775808 ELSE 0 END) AS vhash
+              FROM bits GROUP BY doc_id)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.vhash, b.vhash))::INTEGER AS hamming
+            FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.vhash, b.vhash)) <= 2
         """,
         # audio twin of image_phash_neardup: window energies replace
         # block grays (tone window = 32 samples of (+/-40)^2 = 51200)

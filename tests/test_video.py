@@ -93,3 +93,71 @@ def test_stub_path_for_compressed(spark):
     assert len(out) == 1 and out[0].frame_index == 0
     with pytest.raises(Exception, match="ffmpeg"):
         sample_video_frames(df, decode_stub=False).collect()
+
+
+# ---------------------------------------------------------------------------
+# temporal perceptual hash
+# ---------------------------------------------------------------------------
+
+def test_video_phash_majority_cancels_outlier_frame(spark):
+    """3-frame clip where frame 2 is the COMPLEMENT of frames 0-1: the
+    majority-pooled hash must equal the frames-0/1 pattern (a pooling
+    bug that trusts any single frame, or averages, would flip bits)."""
+    import numpy as np
+
+    from vanus_spark.llm.video import video_phash
+
+    rng = np.random.RandomState(5)
+    pattern = rng.rand(8, 8) > 0.5
+    if pattern.all():
+        pattern[0, 0] = False
+    if not pattern.any():
+        pattern[0, 0] = True
+
+    def luma(bits):
+        return np.where(np.kron(bits, np.ones((2, 2), bool)), 200, 50).astype(
+            np.uint8
+        )
+
+    uv = np.full((16, 16), 128, dtype=np.uint8)
+
+    def frame(y):
+        return b"FRAME\n" + y.tobytes() + uv.tobytes() + uv.tobytes()
+
+    clip = (
+        b"YUV4MPEG2 W16 H16 F25:1 Ip A1:1 C444\n"
+        + frame(luma(pattern))
+        + frame(luma(pattern))
+        + frame(luma(~pattern))
+    )
+    pdf = spark.createDataFrame(
+        [(0, bytearray(clip))], "media_id long, content binary"
+    )
+    got = video_phash(pdf).collect()[0]["vhash"]
+    expect_bits = pattern.ravel()
+    u = sum(int(b) << k for k, b in enumerate(expect_bits))
+    expect = u - (1 << 64) if u >= (1 << 63) else u
+    assert got == expect
+
+
+def test_video_phash_matches_python_reference(spark, sf_dir):
+    import hashlib
+
+    from vanus_spark.llm.video import synthesize_y4m_block_videos, video_phash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = synthesize_y4m_block_videos(docs.limit(20))
+    got = {r["media_id"]: r["vhash"] for r in video_phash(media).collect()}
+
+    def expect(d):
+        b, v = d // 5, d % 5
+        bits = [
+            int(hashlib.md5(f"{b}:{k}".encode()).hexdigest()[0], 16) % 2
+            for k in range(64)
+        ]
+        if v > 0:
+            bits[(b + v - 1) % 64] ^= 1
+        u = sum(bits[k] << k for k in range(64))
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    assert got == {d: expect(d) for d in got}

@@ -255,3 +255,134 @@ def synthesize_y4m_video(
         mid.alias("media_id"),
         F.encode(F.concat(header, frames), "ISO-8859-1").alias("content"),
     )
+
+
+# ---------------------------------------------------------------------------
+# temporal perceptual hash (majority-pooled frame aHash) + near-dup
+# ---------------------------------------------------------------------------
+
+def synthesize_y4m_block_videos(
+    docs: DataFrame, id_col: str = "doc_id", variants: int = 5
+) -> DataFrame:
+    """(media_id, content): 3-frame 16x16 C444 y4m clips. Frames 0-1
+    carry an md5-derived 64-bit block pattern per BASE id (2x2 luma
+    blocks at 50/200, one block flipped per variant — the video
+    counterpart of multimodal.synthesize_ppm_block_images); frame 2
+    carries per-base NOISE (an independent md5 pattern, no variant
+    flip), so the clip signature is correct ONLY if the temporal
+    pooling takes a true majority across frames rather than trusting
+    any single frame. U/V planes are constant 128."""
+    mid = F.col(id_col)
+    base = (mid / variants).cast("long")
+    v = mid % variants
+    flip_k = (base + v - 1) % 64
+
+    def luma(f, j):
+        ji = j.cast("int")
+        k = (
+            F.shiftright(ji, 5) * 8
+            + F.shiftright(ji.bitwiseAND(F.lit(15)), 1)
+        ).cast("long")
+        tag = F.when(F.lit(f) < 2, F.lit(":")).otherwise(F.lit(":n:"))
+        raw = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(base.cast("string"), tag, k.cast("string"))),
+                    1,
+                    1,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % 2
+        )
+        bit = (
+            F.when((F.lit(f) < 2) & (v > 0) & (k == flip_k), 1 - raw)
+            .otherwise(raw)
+        )
+        return F.lit(50) + F.lit(150) * bit
+
+    def plane_const(val):
+        return F.aggregate(
+            F.sequence(F.lit(0).cast("long"), F.lit(255).cast("long")),
+            F.lit(""),
+            lambda acc, j: F.concat(acc, F.char(F.lit(val))),
+        )
+
+    def yplane(f):
+        return F.aggregate(
+            F.sequence(F.lit(0).cast("long"), F.lit(255).cast("long")),
+            F.lit(""),
+            lambda acc, j: F.concat(acc, F.char(luma(f, j))),
+        )
+
+    uv = plane_const(128)
+    frames = F.concat(
+        *[
+            F.concat(F.lit("FRAME\n"), yplane(f), uv, uv)
+            for f in range(3)
+        ]
+    )
+    header = F.lit("YUV4MPEG2 W16 H16 F25:1 Ip A1:1 C444\n")
+    return docs.select(
+        mid.alias("media_id"),
+        F.encode(F.concat(header, frames), "ISO-8859-1").alias("content"),
+    )
+
+
+def video_phash(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    grid: int = 8,
+    every_n: int = 1,
+) -> DataFrame:
+    """Clip-level perceptual hash: aHash every sampled frame's LUMA
+    plane (grid x grid integer block pooling, block_sum * n_blocks >
+    frame_total threshold — the same integer-exact rule as
+    multimodal.image_ahash) and pool bits across frames by STRICT
+    MAJORITY (bit set iff set in more than half the sampled frames).
+    Majority pooling makes the signature robust to an outlier frame
+    (scene card, corruption) that would poison a single-frame hash.
+    Emits (id, vhash long); pair with multimodal.ahash_near_pairs
+    (hash_col='vhash'). Frame sizes must divide by ``grid``."""
+    if grid * grid != 64:
+        raise ValueError("video_phash packs exactly 64 bits: grid must be 8")
+    out_schema = f"{id_col} long, vhash long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid_, raw in zip(pdf[id_col], pdf[content_col]):
+                raw_b = bytes(raw)
+                counts = np.zeros(64, dtype=np.int64)
+                n_frames = 0
+                for idx, y, _u, _v in _iter_y4m_frames(raw_b):
+                    if idx % every_n:
+                        continue
+                    h, w = y.shape
+                    if h % grid or w % grid:
+                        raise ValueError(
+                            f"clip {mid_}: {w}x{h} not divisible by {grid}"
+                        )
+                    ys = y.astype(np.int64)
+                    blocks = ys.reshape(grid, h // grid, grid, w // grid).sum(
+                        axis=(1, 3)
+                    )
+                    counts += (
+                        (blocks * (grid * grid) > ys.sum()).astype(np.int64)
+                    ).ravel()
+                    n_frames += 1
+                if n_frames == 0:
+                    raise ValueError(f"clip {mid_}: no frames sampled")
+                bits = (2 * counts > n_frames).astype(np.uint64)
+                hashes.append(
+                    np.int64(
+                        (bits * weights).sum(dtype=np.uint64).astype(np.int64)
+                    )
+                )
+                ids.append(mid_)
+            yield pd.DataFrame({id_col: ids, "vhash": hashes})
+
+    return df.mapInPandas(run, schema=out_schema)
