@@ -4601,6 +4601,24 @@ def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ahash_near_pairs(image_ahash(media), max_hamming=2)
 
 
+def q_bloom_anti_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-split anti join (`operators/bloom.py:bloom_anti_join`) on
+    the incremental-dedup shape: documents whose content digest is NOT
+    in the seen-set (digests of doc_id < 150). Bloom-miss rows are
+    PROVABLY new and bypass the anti join's shuffle entirely; only
+    hit rows (matches + false positives) run the exact anti join.
+    Result is exactly the plain anti join — the oracle."""
+    from vanus_spark.operators.bloom import bloom_anti_join
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    digests = docs.select("doc_id", F.md5(norm).alias("dg"))
+    seen = digests.where(F.col("doc_id") < 150).select(
+        F.col("dg").alias("seen_dg")
+    )
+    return bloom_anti_join(digests, seen, "dg", "seen_dg").select("doc_id")
+
+
 def q_video_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-dup over REAL y4m bytes: 3-frame clips whose luma
     blocks encode the md5 base pattern (frames 0-1) plus a per-base
@@ -4962,6 +4980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_ngram_diversity": q_corpus_ngram_diversity,
         "audio_fp_neardup": q_audio_fp_neardup,
         "video_phash_neardup": q_video_phash_neardup,
+        "bloom_anti_dedup": q_bloom_anti_dedup,
     }
 
 
@@ -7460,6 +7479,14 @@ def oracle_sql() -> dict[str, str]:
                    round(count(DISTINCT g)::DOUBLE / count(*), 6)
                      AS distinct_ratio
             FROM grams GROUP BY n
+        """.replace("{norm}", norm_text),
+        "bloom_anti_dedup": f"""
+            WITH digests AS (
+              SELECT doc_id, md5({{norm}}) AS dg FROM documents),
+            seen AS (SELECT dg FROM digests WHERE doc_id < 150)
+            SELECT d.doc_id FROM digests d
+            LEFT JOIN (SELECT DISTINCT dg FROM seen) s ON d.dg = s.dg
+            WHERE s.dg IS NULL
         """.replace("{norm}", norm_text),
         # the Bloom prefilter has no false negatives and the exact join
         # removes its false positives, so the result IS the plain join

@@ -160,6 +160,10 @@ HEADLINE = [
     "bloom_semi_join",
     "image_phash_neardup",
     "stream_outer_join_replay",
+    "events_histogram",
+    "corpus_ngram_diversity",
+    "audio_fp_neardup",
+    "video_phash_neardup",
 ]
 
 

@@ -119,3 +119,50 @@ def test_semi_join_shape(spark, sf_dir):
     plain_semi = li.join(od, li.l_orderkey == od.o_orderkey, "left_semi")
     assert semi.count() == plain_semi.count()
     assert semi.columns == li.columns
+
+
+# ---------------------------------------------------------------------------
+# bloom anti join (the incremental-dedup split)
+# ---------------------------------------------------------------------------
+
+def test_anti_join_equals_plain_anti(spark, sf_dir):
+    from vanus_spark.operators.bloom import bloom_anti_join
+
+    li, od = _tables(spark, sf_dir)
+    got = bloom_anti_join(li, od, "l_orderkey", "o_orderkey", num_bits=1 << 14)
+    plain = li.join(od, li.l_orderkey == od.o_orderkey, "left_anti")
+    assert got.count() == plain.count()
+    assert sorted(got.columns) == sorted(li.columns)
+    a = {tuple(r) for r in got.select("l_orderkey", "l_linenumber").collect()}
+    b = {tuple(r) for r in plain.select("l_orderkey", "l_linenumber").collect()}
+    assert a == b
+
+
+def test_anti_join_exact_even_with_dense_bitmap(spark, sf_dir):
+    """At 128 bits nearly every row bloom-hits (false positives), so
+    nearly everything routes through the exact anti join — the result
+    must still be the plain anti join."""
+    from vanus_spark.operators.bloom import bloom_anti_join
+
+    li, od = _tables(spark, sf_dir)
+    got = bloom_anti_join(li, od, "l_orderkey", "o_orderkey", num_bits=128)
+    plain = li.join(od, li.l_orderkey == od.o_orderkey, "left_anti")
+    assert got.count() == plain.count()
+
+
+def test_anti_join_miss_path_carries_most_rows(spark, sf_dir):
+    """With a healthy bit budget, the definite-miss fraction (rows
+    bypassing the join) should be ~the true new fraction — that's the
+    whole scale argument."""
+    from vanus_spark.operators.bloom import (
+        _probed,
+        bloom_bitmap,
+    )
+
+    li, od = _tables(spark, sf_dir)
+    bm = F.broadcast(bloom_bitmap(od, "o_orderkey", 1 << 14))
+    probed, pred, tmp = _probed(li.crossJoin(bm), "l_orderkey", 1 << 14, 3)
+    n_miss = probed.where(~pred).count()
+    true_new = li.join(od, li.l_orderkey == od.o_orderkey, "left_anti").count()
+    assert n_miss <= true_new  # misses are provably new
+    assert n_miss >= true_new * 0.95  # and nearly all new rows miss

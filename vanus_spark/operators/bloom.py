@@ -94,9 +94,12 @@ def bloom_bitmap(
     )
 
 
-def _probe_filter(df: DataFrame, key: str, num_bits: int, num_hashes: int) -> DataFrame:
-    """Filter ``df`` (which carries a ``words`` bitmap column) to rows
-    whose ``key`` might be in the Bloom filter: every probe bit set.
+def _probed(
+    df: DataFrame, key: str, num_bits: int, num_hashes: int
+) -> tuple[DataFrame, Column, list[str]]:
+    """``df`` (carrying a ``words`` bitmap column) extended with probe
+    position temp columns, plus the might-contain predicate (every
+    probe bit set) and the temp column names to drop afterwards.
     Variable-amount shifts are SQL-only, so probe positions land in
     temp columns referenced by one F.expr predicate."""
     tmp = [f"_bp{i}" for i in range(num_hashes)]
@@ -108,7 +111,13 @@ def _probe_filter(df: DataFrame, key: str, num_bits: int, num_hashes: int) -> Da
         f" CAST({c} & 63 AS INT)) & 1) = 1"
         for c in tmp
     )
-    return probed.where(F.expr(pred)).drop(*tmp)
+    return probed, F.expr(pred), tmp
+
+
+def _probe_filter(df: DataFrame, key: str, num_bits: int, num_hashes: int) -> DataFrame:
+    """Rows whose ``key`` MIGHT be in the Bloom filter."""
+    probed, pred, tmp = _probed(df, key, num_bits, num_hashes)
+    return probed.where(pred).drop(*tmp)
 
 
 def bloom_prune_join(
@@ -136,3 +145,34 @@ def bloom_prune_join(
     if how in ("semi", "left_semi", "leftsemi"):
         return pruned.join(dim, pruned[fact_key] == dim[dim_key], "left_semi")
     return pruned.join(dim, pruned[fact_key] == dim[dim_key], how)
+
+
+def bloom_anti_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    num_bits: int = 1 << 17,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """``left ▷ right`` (anti join) with a Bloom split: a bloom MISS
+    proves the key is absent from ``right`` (no false negatives), so
+    miss rows bypass the join entirely; only hit rows (true matches +
+    false positives) run the exact anti join, and the union of the
+    miss rows with the anti-join survivors is EXACTLY the plain anti
+    join. This is the incremental-dedup ingest shape — "which of
+    these N new rows are NOT in the huge seen-set?" — where most rows
+    are genuinely new: the shuffle shrinks to the ~hit fraction.
+
+    ``left`` is scanned twice (once per side of the split); both scans
+    prune to the needed columns and neither shuffles, which at scale
+    is far cheaper than shuffling every left row into the anti join.
+    """
+    bm = F.broadcast(bloom_bitmap(right, right_key, num_bits, num_hashes))
+    probed, pred, tmp = _probed(left.crossJoin(bm), left_key, num_bits, num_hashes)
+    miss = probed.where(~pred).drop("words", *tmp)
+    hit = probed.where(pred).drop("words", *tmp)
+    survivors = hit.join(
+        right, hit[left_key] == right[right_key], "left_anti"
+    )
+    return miss.unionByName(survivors)
