@@ -333,18 +333,34 @@ def main() -> None:
         )
         from vanus_spark.operators.bloom import bloom_prune_join
 
-        docs.sparkSession.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        fact = docs.select(
-            F.col("doc_id").alias("k"), F.length("text").alias("payload")
+        spark = docs.sparkSession
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # docs rows are too few to expose shuffle cost — widen the fact
+        # 80x (payload string ~ the row weight a real fact table has);
+        # dim keys hit ~0.5% of the fact
+        fact = (
+            docs.select("doc_id")
+            .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(79))))
+            .select(
+                (F.col("doc_id") * 80 + F.col("rep")).alias("k"),
+                F.sha2(F.concat(F.col("doc_id").cast("string")), 256).alias(
+                    "payload"
+                ),
+            )
         )
-        dim = docs.where(F.col("doc_id") % 199 == 0).select(
-            F.col("doc_id").alias("dk")
+        dim = docs.select((F.col("doc_id") * 80).alias("dk")).where(
+            F.col("dk") % (199 * 80) == 0
         )
+
+        def timed_join(j):
+            j.write.format("noop").mode("overwrite").save()
+            return j.count()
+
         return {
-            "plain_join": lambda: fact.join(dim, fact.k == dim.dk).count(),
-            "bloom_join": lambda: bloom_prune_join(
-                fact, dim, "k", "dk", num_bits=1 << 17
-            ).count(),
+            "plain_join": lambda: timed_join(fact.join(dim, fact.k == dim.dk)),
+            "bloom_join": lambda: timed_join(
+                bloom_prune_join(fact, dim, "k", "dk", num_bits=1 << 17)
+            ),
             "ahash_neardup": lambda: ahash_near_pairs(
                 image_ahash(synthesize_ppm_block_images(docs)), max_hamming=2
             ).count(),

@@ -412,7 +412,16 @@ def simhash_near_pairs(
     ``chunks`` equal bit-chunks; any pair within radius chunks-1
     shares at least one identical chunk, so candidates come from
     ``chunks`` equi-joins (union) and the exact hamming check
-    (bit_count of xor) runs only on candidates. Never O(n²).
+    (bit_count of xor) runs only on candidates. Never O(n²) in the
+    join structure — but watch CHUNK-KEY ENTROPY: each equi-join
+    buckets the corpus into 2^(bits/chunks) keys, and candidate volume
+    grows ~ n²/2^(bits/chunks) per chunk. The 16/4 default (4-bit
+    keys, 16 buckets) is fine at fixture scale and WRONG at millions
+    of docs — measured on the 64-bit aHash family: 8-bit chunk keys
+    went 33x slower at 50x data until the default became
+    max_hamming+1 chunks of ~21 bits (multimodal.ahash_near_pairs).
+    At corpus scale pass bits=64 (or 128 via two columns) and
+    chunks=max_hamming+1 so n/2^(bits/chunks) stays << 1.
 
     Requires max_hamming <= chunks - 1 for full recall.
     """

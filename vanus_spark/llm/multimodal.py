@@ -425,28 +425,41 @@ def ahash_near_pairs(
     max_hamming: int = 2,
     id_col: str = "media_id",
     hash_col: str = "ahash",
-    chunks: int = 8,
+    chunks: int | None = None,
 ) -> DataFrame:
     """Near-dup image pairs with hamming(ahash_a, ahash_b) <=
     max_hamming, via the same pigeonhole blocking as
     dedup.simhash_near_pairs (dedup.py:402): any pair within radius
-    chunks-1 shares an identical 8-bit chunk, so candidates come from
+    chunks-1 shares an identical chunk, so candidates come from
     ``chunks`` equi-joins and the exact bit_count(xor) check runs only
-    on candidates -- never O(n^2). shiftrightunsigned keeps the top
-    chunk of a negative (bit-63-set) hash from smearing sign bits."""
+    on candidates. shiftrightunsigned keeps the top chunk of a
+    negative (bit-63-set) hash from smearing sign bits.
+
+    ``chunks`` defaults to max_hamming + 1 -- the FEWEST chunks that
+    preserve full recall, hence the WIDEST chunk keys. This is the
+    scale lever: 8 chunks of 8 bits have only 256 key values, so at
+    250k docs every bucket holds ~1k docs and the candidate join goes
+    quadratic (measured: 33x time at 50x data); 3 chunks of 21 bits
+    keep buckets ~collision-free and candidates ~= true pairs. The
+    last chunk absorbs the 64 % chunks remainder bits (diffs in
+    wider coverage only improve the pigeonhole bound)."""
+    if chunks is None:
+        chunks = max_hamming + 1
     if max_hamming > chunks - 1:
         raise ValueError("pigeonhole blocking needs max_hamming <= chunks - 1")
     chunk_bits = 64 // chunks
-    mask = (1 << chunk_bits) - 1
+
+    def chunk_key(i: int) -> Column:
+        shifted = F.shiftrightunsigned(hash_col, i * chunk_bits)
+        width = 64 - i * chunk_bits if i == chunks - 1 else chunk_bits
+        if width >= 64:  # chunks == 1: the whole hash is the key
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
     keyed = hashes.select(
         F.col(id_col),
         F.col(hash_col),
-        *[
-            F.shiftrightunsigned(hash_col, i * chunk_bits)
-            .bitwiseAND(F.lit(mask))
-            .alias(f"c{i}")
-            for i in range(chunks)
-        ],
+        *[chunk_key(i).alias(f"c{i}") for i in range(chunks)],
     )
     pairs = None
     for i in range(chunks):
