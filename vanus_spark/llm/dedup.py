@@ -417,11 +417,12 @@ def simhash_near_pairs(
     buckets the corpus into 2^(bits/chunks) keys, and candidate volume
     grows ~ n²/2^(bits/chunks) per chunk. The 16/4 default (4-bit
     keys, 16 buckets) is fine at fixture scale and WRONG at millions
-    of docs — measured on the 64-bit aHash family: 8-bit chunk keys
-    went 33x slower at 50x data until the default became
-    max_hamming+1 chunks of ~21 bits (multimodal.ahash_near_pairs).
-    At corpus scale pass bits=64 (or 128 via two columns) and
-    chunks=max_hamming+1 so n/2^(bits/chunks) stays << 1.
+    of docs: on the 64-bit aHash family, 8-bit chunk keys at a 250k
+    corpus put ~1e9 low-entropy candidate pairs through the hamming
+    check (n²/256/2 per chunk × 8 chunks — measured in the r5c
+    scaling probe) where max_hamming+1 chunks of ~21 bits keep
+    candidates ≈ true pairs. At corpus scale pass bits=64 (or 128 via
+    two columns) and chunks=max_hamming+1 so n/2^(bits/chunks) << 1.
 
     Requires max_hamming <= chunks - 1 for full recall.
     """
