@@ -366,14 +366,15 @@ def synthesize_wav_tone_blocks(
     v = mid % variants
     flip_w = (base + v - 1) % 64
 
-    def sample(j):
-        w = F.shiftright(j.cast("int"), 5).cast("long")  # j // 32
+    def window_bit(w):  # w: window index Column (0..63)
         raw = (
             F.conv(
                 F.substring(
                     F.md5(
                         F.concat(
-                            base.cast("string"), F.lit(":"), w.cast("string")
+                            base.cast("string"),
+                            F.lit(":"),
+                            w.cast("long").cast("string"),
                         )
                     ),
                     1,
@@ -384,16 +385,33 @@ def synthesize_wav_tone_blocks(
             ).cast("int")
             % 2
         )
-        bit = F.when((v > 0) & (w == flip_w), 1 - raw).otherwise(raw)
-        sign = 1 - 2 * (j.cast("int") % 2)  # +1 even sample, -1 odd
-        return F.lit(128) + bit * 40 * sign
+        return F.when((v > 0) & (w.cast("long") == flip_w), 1 - raw).otherwise(raw)
+
+    wbits = F.transform(F.sequence(F.lit(0), F.lit(63)), window_bit)
+
+    # LET-BINDING via a 1-element transform (see
+    # multimodal.synthesize_ppm_block_images): the 64 window bits
+    # evaluate once per row and each window reads the bound array —
+    # a withColumn binding gets CollapseProject-inlined per reference.
+    # 32 samples = 16 repeats of the (even, odd) char pair; the
+    # per-sample aggregate-concat this replaces recopied the whole
+    # accumulator per step (O(n^2) in clip length — minutes per 5k docs).
+    def data_from(bits):
+        def window_str(w):
+            bit = F.element_at(bits, w.cast("int") + 1)
+            return F.repeat(
+                F.concat(
+                    F.char(F.lit(128) + bit * 40), F.char(F.lit(128) - bit * 40)
+                ),
+                16,
+            )
+
+        return F.array_join(
+            F.transform(F.sequence(F.lit(0), F.lit(63)), window_str), ""
+        )
 
     n = 2048
-    data = F.aggregate(
-        F.sequence(F.lit(0).cast("long"), F.lit(n - 1).cast("long")),
-        F.lit(""),
-        lambda acc, j: F.concat(acc, F.char(sample(j))),
-    )
+    data = F.element_at(F.transform(F.array(wbits), data_from), 1)
     fmt = F.concat(
         _u16le(F.lit(1)),
         _u16le(F.lit(1)),

@@ -345,16 +345,17 @@ def synthesize_ppm_block_images(
     v = mid % variants
     flip_k = (base + v - 1) % 64
 
-    def gray(j):  # j: pixel index Column (0..255)
-        ji = j.cast("int")
-        k = (
-            F.shiftright(ji, 5) * 8
-            + F.shiftright(ji.bitwiseAND(F.lit(15)), 1)
-        ).cast("long")
+    def block_gray(k):  # k: block index Column (0..63)
         raw = (
             F.conv(
                 F.substring(
-                    F.md5(F.concat(base.cast("string"), F.lit(":"), k.cast("string"))),
+                    F.md5(
+                        F.concat(
+                            base.cast("string"),
+                            F.lit(":"),
+                            k.cast("long").cast("string"),
+                        )
+                    ),
                     1,
                     1,
                 ),
@@ -363,14 +364,43 @@ def synthesize_ppm_block_images(
             ).cast("int")
             % 2
         )
-        bit = F.when((v > 0) & (k == flip_k), 1 - raw).otherwise(raw)
-        return F.lit(50) + F.lit(150) * bit
+        bit = F.when((v > 0) & (k.cast("long") == flip_k), 1 - raw).otherwise(raw)
+        return (F.lit(50) + F.lit(150) * bit).cast("int")
 
-    raster = F.aggregate(
-        F.sequence(F.lit(0).cast("long"), F.lit(255).cast("long")),
-        F.lit(""),
-        lambda acc, j: F.concat(acc, F.char(gray(j)), F.char(gray(j)), F.char(gray(j))),
-    )
+    grays = F.transform(F.sequence(F.lit(0), F.lit(63)), block_gray)
+
+    # LET-BINDING via a 1-element transform: the 64-entry gray table
+    # becomes a lambda VARIABLE, so the md5 transform evaluates once
+    # per row and every element_at reads the bound array. Binding it
+    # as a withColumn instead gets CollapseProject-inlined into every
+    # one of the 128 references (measured 16x slower); a per-pixel
+    # aggregate-concat additionally recopies the accumulator per step.
+    def raster_from(g):
+        # pixel row p covers block row p//2; each of its 8 blocks
+        # contributes 2 pixels x 3 channels = 6 identical chars
+        def pixel_row(p):
+            return F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(7)),
+                    lambda c: F.repeat(
+                        F.char(
+                            F.element_at(
+                                g,
+                                (F.shiftright(p.cast("int"), 1) * 8 + c.cast("int"))
+                                + 1,
+                            )
+                        ),
+                        6,
+                    ),
+                ),
+                "",
+            )
+
+        return F.array_join(
+            F.transform(F.sequence(F.lit(0), F.lit(15)), pixel_row), ""
+        )
+
+    raster = F.element_at(F.transform(F.array(grays), raster_from), 1)
     header = F.lit("P6\n16 16\n255\n")
     return docs.select(
         mid.alias("media_id"),

@@ -277,17 +277,18 @@ def synthesize_y4m_block_videos(
     v = mid % variants
     flip_k = (base + v - 1) % 64
 
-    def luma(f, j):
-        ji = j.cast("int")
-        k = (
-            F.shiftright(ji, 5) * 8
-            + F.shiftright(ji.bitwiseAND(F.lit(15)), 1)
-        ).cast("long")
-        tag = F.when(F.lit(f) < 2, F.lit(":")).otherwise(F.lit(":n:"))
+    def block_gray(k, noise: bool):
+        tag = F.lit(":n:") if noise else F.lit(":")
         raw = (
             F.conv(
                 F.substring(
-                    F.md5(F.concat(base.cast("string"), tag, k.cast("string"))),
+                    F.md5(
+                        F.concat(
+                            base.cast("string"),
+                            tag,
+                            k.cast("long").cast("string"),
+                        )
+                    ),
                     1,
                     1,
                 ),
@@ -296,32 +297,66 @@ def synthesize_y4m_block_videos(
             ).cast("int")
             % 2
         )
-        bit = (
-            F.when((F.lit(f) < 2) & (v > 0) & (k == flip_k), 1 - raw)
-            .otherwise(raw)
-        )
-        return F.lit(50) + F.lit(150) * bit
+        if noise:
+            bit = raw
+        else:
+            bit = F.when(
+                (v > 0) & (k.cast("long") == flip_k), 1 - raw
+            ).otherwise(raw)
+        return (F.lit(50) + F.lit(150) * bit).cast("int")
 
-    def plane_const(val):
-        return F.aggregate(
-            F.sequence(F.lit(0).cast("long"), F.lit(255).cast("long")),
-            F.lit(""),
-            lambda acc, j: F.concat(acc, F.char(F.lit(val))),
+    gmain = F.transform(
+        F.sequence(F.lit(0), F.lit(63)), lambda k: block_gray(k, False)
+    )
+    gnoise = F.transform(
+        F.sequence(F.lit(0), F.lit(63)), lambda k: block_gray(k, True)
+    )
+
+    # LET-BINDING via a 1-element transform (see
+    # multimodal.synthesize_ppm_block_images): both 64-entry gray
+    # tables ride one struct lambda variable, evaluating their md5
+    # chains once per row — a withColumn binding gets
+    # CollapseProject-inlined into every pixel reference.
+    def frames_from(tabs):
+        def yplane(f):
+            table = tabs.getField("main") if f < 2 else tabs.getField("noise")
+
+            def pixel_row(p):
+                return F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(7)),
+                        lambda c: F.repeat(
+                            F.char(
+                                F.element_at(
+                                    table,
+                                    (
+                                        F.shiftright(p.cast("int"), 1) * 8
+                                        + c.cast("int")
+                                    )
+                                    + 1,
+                                )
+                            ),
+                            2,
+                        ),
+                    ),
+                    "",
+                )
+
+            return F.array_join(
+                F.transform(F.sequence(F.lit(0), F.lit(15)), pixel_row), ""
+            )
+
+        uv = F.repeat(F.char(F.lit(128)), 256)
+        return F.concat(
+            *[F.concat(F.lit("FRAME\n"), yplane(f), uv, uv) for f in range(3)]
         )
 
-    def yplane(f):
-        return F.aggregate(
-            F.sequence(F.lit(0).cast("long"), F.lit(255).cast("long")),
-            F.lit(""),
-            lambda acc, j: F.concat(acc, F.char(luma(f, j))),
-        )
-
-    uv = plane_const(128)
-    frames = F.concat(
-        *[
-            F.concat(F.lit("FRAME\n"), yplane(f), uv, uv)
-            for f in range(3)
-        ]
+    frames = F.element_at(
+        F.transform(
+            F.array(F.struct(gmain.alias("main"), gnoise.alias("noise"))),
+            frames_from,
+        ),
+        1,
     )
     header = F.lit("YUV4MPEG2 W16 H16 F25:1 Ip A1:1 C444\n")
     return docs.select(
