@@ -164,6 +164,12 @@ HEADLINE = [
     "corpus_ngram_diversity",
     "audio_fp_neardup",
     "video_phash_neardup",
+    "bloom_anti_dedup",
+    "tpch_q2_min_cost_supp",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode",
+    "tpch_q20_potential_promo",
 ]
 
 
