@@ -493,3 +493,62 @@ def test_compact_files_conflicts_on_overlapping_writer(spark, tmp_path):
     # the losing compaction left the table exactly as writer2 committed
     rows = {r.k: r.v for r in t.read().collect()}
     assert rows[1] == 111 and rows[4] == 444
+
+
+def test_changes_feed_semantics(spark, tmp_path):
+    """insert / delete / update pre+post images between epochs, and a
+    key inserted then deleted inside the span yields NO row."""
+    t = _mk(spark, tmp_path)  # epoch 1: keys 0..39, v = k*10
+    t.merge(
+        spark.createDataFrame([(3, 999), (1000, 1)], "k long, v long")
+    )  # epoch 2: update k=3, insert k=1000
+    t.delete_keys(spark.createDataFrame([(1000,), (5,)], "k long"))  # epoch 3
+    c12 = {(r.k, r._change_type) for r in t.changes(1, 2).collect()}
+    assert c12 == {
+        (3, "update_preimage"),
+        (3, "update_postimage"),
+        (1000, "insert"),
+    }
+    c13 = {(r.k, r._change_type) for r in t.changes(1, 3).collect()}
+    # 1000 was inserted AND deleted within the span: no row at all
+    assert c13 == {
+        (3, "update_preimage"),
+        (3, "update_postimage"),
+        (5, "delete"),
+    }
+    # preimage carries the OLD value, postimage the new one
+    rows = {
+        r._change_type: r.row_json for r in t.changes(1, 2).collect() if r.k == 3
+    }
+    assert '"v":30' in rows["update_preimage"]
+    assert '"v":999' in rows["update_postimage"]
+
+
+def test_changes_scans_only_changed_buckets(spark, tmp_path):
+    """The scale contract: the feed's scans touch ONLY directories of
+    buckets whose manifest entry differs between the epochs."""
+    t = _mk(spark, tmp_path, n=200, buckets=16)
+    t.merge(spark.createDataFrame([(3, 999)], "k long, v long"))
+    m1, m2 = t._mapping_at(1), t._mapping_at(2)
+    changed = {b for b in set(m1) | set(m2) if m1.get(b) != m2.get(b)}
+    assert len(changed) == 1
+    allowed = {
+        f"{t.path}/data/{m[b]}"
+        for m in (m1, m2)
+        for b in changed
+        if b in m
+    }
+    feed = t.changes(1, 2)
+    for f in feed.inputFiles():
+        local = "/" + f.split("://", 1)[-1].lstrip("/")
+        assert any(local.startswith(d) for d in allowed), f
+    assert {r._change_type for r in feed.collect()} == {
+        "update_preimage",
+        "update_postimage",
+    }
+
+
+def test_changes_missing_manifest_raises(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    with pytest.raises(FileNotFoundError):
+        t.changes(1, 99)

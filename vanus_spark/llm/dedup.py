@@ -496,6 +496,41 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    shingle_df: DataFrame | None = None,
+) -> DataFrame:
+    """DIRECTED shingle containment |A∩B|/|A| and |A∩B|/|B| for the
+    given candidate pairs — the asymmetric near-dup signal Jaccard
+    misses: a short document fully quoted inside a much longer one has
+    containment ~1.0 from the short side while Jaccard (normalized by
+    the union) stays low. Same candidates-only join shape as
+    ngram_jaccard_pairs: the shingle arrays join in by id, nothing
+    corpus-wide explodes."""
+    sh = (
+        shingle_df
+        if shingle_df is not None
+        else shingles_df(docs, text_col, id_col, n)
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+    return (
+        pairs.join(a, pairs.id_a == F.col(f"a.{id_col}"))
+        .join(b, pairs.id_b == F.col(f"b.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            (inter / F.size("a.sh")).alias("containment_a"),
+            (inter / F.size("b.sh")).alias("containment_b"),
+        )
+    )
+
+
 def incremental_dedup(
     new_docs: DataFrame,
     corpus_docs: DataFrame,

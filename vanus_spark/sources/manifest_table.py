@@ -228,6 +228,120 @@ class ManifestTable:
             ]
         return self.spark.read.parquet(*dirs)
 
+    def _mapping_at(self, epoch: int) -> dict[int, str]:
+        """Bucket->dir mapping as of a committed epoch (manifest history)."""
+        if epoch == self._epoch:
+            return dict(self._mapping)
+        p = f"{self.path}/manifests/m{epoch}"
+        if not os.path.exists(p):
+            raise FileNotFoundError(
+                f"no manifest for epoch {epoch} (vacuumed or never committed): {p}"
+            )
+        mapping: dict[int, str] = {}
+        with open(p) as f:
+            for tok in f.read().split():
+                if tok.startswith("#"):
+                    continue
+                if ":" in tok:
+                    b, d = tok.split(":", 1)
+                    mapping[int(b)] = d
+        return mapping
+
+    def changes(self, from_epoch: int, to_epoch: int) -> DataFrame:
+        """Row-level change feed between two committed epochs — the
+        Delta CDF / Iceberg incremental-read shape (``table_changes(v1,
+        v2)``). Returns (key, _change_type, row_json) where
+        _change_type is one of insert / delete / update_preimage /
+        update_postimage.
+
+        Scale contract: only buckets whose manifest entry DIFFERS
+        between the two epochs are ever scanned — every copy-on-write
+        commit rewrites whole bucket directories, so an untouched
+        bucket has a byte-identical manifest token and provably equal
+        content. At 100 TB a feed between adjacent epochs reads the
+        few percent of buckets the intervening commits touched, never
+        the table. Carried-over rows inside a rewritten bucket are
+        dropped by a row-digest equality check, so the feed is exact.
+
+        Rows are compared over the INTERSECTION of the two epochs'
+        column sets (sorted by name): a column added between the
+        epochs does not by itself mark every row an update.
+        """
+        m1 = self._mapping_at(from_epoch)
+        m2 = self._mapping_at(to_epoch)
+        changed = sorted(
+            b for b in set(m1) | set(m2) if m1.get(b) != m2.get(b)
+        )
+
+        def _side(m: dict[int, str]) -> DataFrame | None:
+            dirs = [f"{self.path}/data/{m[b]}" for b in changed if b in m]
+            if not dirs:
+                return None
+            return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+
+        pre, post = _side(m1), _side(m2)
+        schema = f"{self.key_col} long, _change_type string, row_json string"
+        if pre is None and post is None:
+            return self.spark.createDataFrame([], schema)
+        if pre is not None and post is not None:
+            cols = sorted(set(pre.columns) & set(post.columns))
+        else:
+            cols = sorted((pre if pre is not None else post).columns)
+        if self.key_col not in cols:
+            raise ValueError(f"key column {self.key_col} missing from diff")
+
+        def _pack(df: DataFrame) -> DataFrame:
+            return df.select(
+                F.col(self.key_col).alias("_k"),
+                F.to_json(F.struct(*[F.col(c) for c in cols])).alias("_row"),
+            )
+
+        key, ct = self.key_col, "_change_type"
+        if pre is None:
+            return _pack(post).select(
+                F.col("_k").alias(key),
+                F.lit("insert").alias(ct),
+                F.col("_row").alias("row_json"),
+            )
+        if post is None:
+            return _pack(pre).select(
+                F.col("_k").alias(key),
+                F.lit("delete").alias(ct),
+                F.col("_row").alias("row_json"),
+            )
+        a, b = _pack(pre).alias("a"), _pack(post).alias("b")
+        j = a.join(b, F.col("a._k") == F.col("b._k"), "full_outer")
+        inserts = j.where(F.col("a._k").isNull()).select(
+            F.col("b._k").alias(key),
+            F.lit("insert").alias(ct),
+            F.col("b._row").alias("row_json"),
+        )
+        deletes = j.where(F.col("b._k").isNull()).select(
+            F.col("a._k").alias(key),
+            F.lit("delete").alias(ct),
+            F.col("a._row").alias("row_json"),
+        )
+        upd = j.where(
+            F.col("a._k").isNotNull()
+            & F.col("b._k").isNotNull()
+            & (F.col("a._row") != F.col("b._row"))
+        )
+        pre_img = upd.select(
+            F.col("a._k").alias(key),
+            F.lit("update_preimage").alias(ct),
+            F.col("a._row").alias("row_json"),
+        )
+        post_img = upd.select(
+            F.col("a._k").alias(key),
+            F.lit("update_postimage").alias(ct),
+            F.col("b._row").alias("row_json"),
+        )
+        return (
+            inserts.unionByName(deletes)
+            .unionByName(pre_img)
+            .unionByName(post_img)
+        )
+
     # ----- writes ----------------------------------------------------------
 
     def _commit_buckets(
