@@ -5069,6 +5069,108 @@ def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_topk_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE-output-mode windowed aggregation under deterministic
+    replay — the trending-topics shape, and the one output mode no
+    other registry stream exercises. Events replay as three
+    time-ordered micro-batches into a 6 h tumbling count per
+    event_type; update mode re-emits a (window, type) row in exactly
+    the micro-batches where its count CHANGED, each emission carrying
+    the cumulative count so far — foreachBatch captures the full
+    revision history. final_rank then orders each window's types by
+    their LAST revision (the trending answer). The oracle restates
+    both semantics independently: revisions = batches containing at
+    least one event of the pair, cumulative over batches so far;
+    ranks from the total counts. No watermark, so no lateness rule
+    applies (batches are time-ordered by construction) and state is
+    never evicted — bounded here by the fixture's window span; a
+    production trend stream would add the watermark back."""
+    import datetime as dtm
+    import os
+    import shutil
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    rows = ev.select("ts", "event_type").collect()
+    cut1, cut2 = dtm.datetime(2024, 1, 11), dtm.datetime(2024, 1, 21)
+    batches: list[list[tuple]] = [[], [], []]
+    for r in rows:
+        i = 0 if r.ts < cut1 else (1 if r.ts < cut2 else 2)
+        batches[i].append((r.ts, r.event_type))
+    work = tempfile.mkdtemp(prefix="vs_topk_replay_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    _write_replay_batches(src, batches, [("ts", "ts"), ("event_type", "str")])
+    agg = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("window.start").cast("long").alias("ws_epoch"),
+            "event_type",
+            "cnt",
+        )
+    )
+    captured: list[tuple[int, list]] = []
+
+    def sink(df: DataFrame, epoch_id: int) -> None:
+        got = df.collect()
+        if got:
+            captured.append((epoch_id, got))
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    shutil.rmtree(work, ignore_errors=True)
+    flat = [
+        (b, r.ws_epoch, r.event_type, r.cnt)
+        for b, (_, got) in enumerate(sorted(captured))
+        for r in got
+    ]
+    rev = spark.createDataFrame(
+        flat, "batch long, ws_epoch long, event_type string, cnt long"
+    )
+    w = Window.partitionBy("ws_epoch", "event_type").orderBy(
+        F.col("batch").desc()
+    )
+    final = (
+        rev.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "ws_epoch",
+            "event_type",
+            F.col("cnt").alias("final_cnt"),
+        )
+    )
+    rk = final.select(
+        "ws_epoch",
+        "event_type",
+        F.row_number()
+        .over(
+            Window.partitionBy("ws_epoch").orderBy(
+                F.col("final_cnt").desc(), "event_type"
+            )
+        )
+        .alias("final_rank"),
+    )
+    return rev.join(rk, ["ws_epoch", "event_type"]).select(
+        "batch", "ws_epoch", "event_type", "cnt", "final_rank"
+    )
+
+
 def q_orders_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-2 slowly-changing dimension built from the orders history
     (operators/scd.py): per customer, runs of equal o_orderpriority
@@ -5237,7 +5339,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_late_metrics": q_stream_late_metrics,
         "orders_rfm": q_orders_rfm,
         "embedding_norm_stats": q_embedding_norm_stats,
-        "stream_static_join_replay": q_stream_static_join_replay,
         "dedup_lsh_recall": q_dedup_lsh_recall,
         # --- never driver-checked (r3 position 51) ---
         # --- filters.py was rewritten this round: family re-gated
@@ -5269,6 +5370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_changes": q_table_changes,
         "events_ab_test": q_events_ab_test,
         "graph_bfs": q_graph_bfs,
+        "stream_topk_replay": q_stream_topk_replay,
         "orders_scd2": q_orders_scd2,
         "sketch_count_min": q_sketch_count_min,
         "dedup_containment": q_dedup_containment,
@@ -5283,6 +5385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # partsupp fixture's driver row — for table_changes /
         # events_ab_test / graph_bfs / orders_scd2 / sketch_count_min
         # / dedup_containment.)
+        "stream_static_join_replay": q_stream_static_join_replay,
         "tpch_q17_small_qty": q_tpch_q17_small_qty,
         "tpch_q9_product_profit": q_tpch_q9_product_profit,
         "tpch_q21_waiting": q_tpch_q21_waiting,
@@ -8138,6 +8241,39 @@ def oracle_sql() -> dict[str, str]:
                           * (ca + cb) * ((na - ca) + (nb - cb))), 6)
                      AS chi2
             FROM f
+        """,
+        # update-mode revisions restated: a (window, type) pair emits
+        # in exactly the batches containing one of its events, with
+        # the count cumulative over batches so far
+        "stream_topk_replay": """
+            WITH e AS (
+              SELECT floor(epoch(ts) / 21600)::BIGINT * 21600 AS ws_epoch,
+                     event_type,
+                     CASE WHEN ts < TIMESTAMP '2024-01-11' THEN 0
+                          WHEN ts < TIMESTAMP '2024-01-21' THEN 1
+                          ELSE 2 END AS batch
+              FROM events WHERE ts IS NOT NULL),
+            touched AS (SELECT DISTINCT batch, ws_epoch, event_type FROM e),
+            rev AS (
+              SELECT t.batch, t.ws_epoch, t.event_type,
+                     count(*)::BIGINT AS cnt
+              FROM touched t
+              JOIN e ON e.ws_epoch = t.ws_epoch
+                    AND e.event_type = t.event_type
+                    AND e.batch <= t.batch
+              GROUP BY 1, 2, 3),
+            fin AS (SELECT ws_epoch, event_type, count(*)::BIGINT AS fc
+                    FROM e GROUP BY 1, 2),
+            rk AS (SELECT ws_epoch, event_type,
+                          row_number() OVER (PARTITION BY ws_epoch
+                                             ORDER BY fc DESC, event_type
+                                            )::INT AS final_rank
+                   FROM fin)
+            SELECT r.batch::BIGINT AS batch, r.ws_epoch, r.event_type,
+                   r.cnt, rk.final_rank
+            FROM rev r
+            JOIN rk ON r.ws_epoch = rk.ws_epoch
+                   AND r.event_type = rk.event_type
         """,
         # run compression + interval close, the same two window passes
         "orders_scd2": """

@@ -107,6 +107,32 @@ def test_two_writer_interleaving_is_serializable(spark, tmp_path, seed):
         }
         assert got == snapshots[epoch], f"epoch {epoch} diverged"
 
+    # change feed: for sampled epoch pairs the feed must equal the
+    # model-snapshot diff — inserted-then-deleted keys vanish, carried
+    # rows in rewritten buckets are digest-suppressed, and a span
+    # crossing a content-neutral compact_files commit shows rows only
+    # for genuine content changes
+    eps = sorted(snapshots)
+    pairs = list(zip(eps, eps[1:]))[-4:]
+    if len(eps) > 1:
+        pairs.append((eps[0], eps[-1]))
+    for e1, e2 in pairs:
+        s1, s2 = snapshots[e1], snapshots[e2]
+        want: set[tuple[int, str]] = set()
+        for k in s2.keys() - s1.keys():
+            want.add((k, "insert"))
+        for k in s1.keys() - s2.keys():
+            want.add((k, "delete"))
+        for k in s1.keys() & s2.keys():
+            if s1[k] != s2[k]:
+                want.add((k, "update_preimage"))
+                want.add((k, "update_postimage"))
+        got_feed = {
+            (r["k"], r["_change_type"])
+            for r in w1.changes(e1, e2).collect()
+        }
+        assert got_feed == want, f"changes({e1},{e2}) diverged from model"
+
 
 def test_stale_delete_conflicts_instead_of_skipping(spark, tmp_path):
     """The targeted write-skew case: writer B (stale) deletes a key
