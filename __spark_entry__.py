@@ -404,6 +404,29 @@ def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "asof_signup_id")
 
 
+def q_asof_nearest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (operators/asof.py
+    direction='nearest'): for each purchase, the click of the same
+    user with the smallest absolute time gap, backward winning exact
+    ties. Both direction carries ride ONE shuffle+sort (two window
+    frames over the same ordering); the oracle restates it as two
+    DuckDB ASOF joins (>= and <=) plus the same tie rule."""
+    from vanus_spark.operators import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.where("event_type = 'purchase'").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.where("event_type = 'click'").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("click_id")
+    )
+    out = asof_join(
+        purchases, clicks, "user_id", "ts", "cts", ["click_id"],
+        direction="nearest",
+    )
+    return out.select("event_id", "asof_click_id")
+
+
 def q_range_join_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketized range join: event pairs with |value diff| <= 0.25."""
     from vanus_spark.operators import range_join_buckets
@@ -5310,7 +5333,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ewma": q_events_ewma,
         "sample_weighted": q_sample_weighted,
         "schema_drift": q_schema_drift,
-        "hard_negatives": q_hard_negatives,
         "stream_stream_join_replay": q_stream_stream_join_replay,
         "state_time_travel": q_state_time_travel,
         "stream_dedup_replay": q_stream_dedup_replay,
@@ -5371,6 +5393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ab_test": q_events_ab_test,
         "graph_bfs": q_graph_bfs,
         "stream_topk_replay": q_stream_topk_replay,
+        "asof_nearest_events": q_asof_nearest_events,
         "orders_scd2": q_orders_scd2,
         "sketch_count_min": q_sketch_count_min,
         "dedup_containment": q_dedup_containment,
@@ -5385,6 +5408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # partsupp fixture's driver row — for table_changes /
         # events_ab_test / graph_bfs / orders_scd2 / sketch_count_min
         # / dedup_containment.)
+        "hard_negatives": q_hard_negatives,
         "stream_static_join_replay": q_stream_static_join_replay,
         "tpch_q17_small_qty": q_tpch_q17_small_qty,
         "tpch_q9_product_profit": q_tpch_q9_product_profit,
@@ -5907,6 +5931,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.event_id, s.signup_id AS asof_signup_id
             FROM p ASOF LEFT JOIN s
               ON p.user_id = s.user_id AND s.sts <= p.ts
+        """,
+        "asof_nearest_events": """
+            WITH p AS (SELECT user_id, ts, event_id FROM events
+                       WHERE event_type = 'purchase'),
+            c AS (SELECT user_id, ts AS cts, event_id AS click_id
+                  FROM events WHERE event_type = 'click'),
+            b AS (SELECT p.event_id, c.click_id AS b_id, c.cts AS b_ts
+                  FROM p ASOF LEFT JOIN c
+                    ON p.user_id = c.user_id AND c.cts <= p.ts),
+            f AS (SELECT p.event_id, c.click_id AS f_id, c.cts AS f_ts
+                  FROM p ASOF LEFT JOIN c
+                    ON p.user_id = c.user_id AND c.cts >= p.ts)
+            SELECT p.event_id,
+                   CASE WHEN b_ts IS NOT NULL
+                         AND (f_ts IS NULL
+                              OR (epoch(p.ts) - epoch(b_ts))
+                                 <= (epoch(f_ts) - epoch(p.ts)))
+                        THEN b_id ELSE f_id END AS asof_click_id
+            FROM p
+            JOIN b ON p.event_id = b.event_id
+            JOIN f ON p.event_id = f.event_id
         """,
         "range_join_values": """
             SELECT a.event_id AS aid, b.event_id AS bid

@@ -170,6 +170,14 @@ HEADLINE = [
     "tpch_q11_important_stock",
     "tpch_q12_shipmode",
     "tpch_q20_potential_promo",
+    # round 5, fifth session
+    "table_changes",
+    "events_ab_test",
+    "graph_bfs",
+    "orders_scd2",
+    "sketch_count_min",
+    "dedup_containment",
+    "stream_topk_replay",
 ]
 
 

@@ -47,6 +47,45 @@ def test_asof_strict_excludes_ties(spark, trades, quotes):
     assert got[("A", 3)] == 10.0  # quote@3 NOT visible under strict
 
 
+def test_asof_forward(spark, trades, quotes):
+    out = asof_join(
+        trades, quotes, "sym", "tts", "qts", ["price"], direction="forward"
+    )
+    got = {(r.sym, r.tts.hour): r.asof_price for r in out.collect()}
+    assert got == {
+        ("A", 0): 10.0,  # next quote@1
+        ("A", 2): 11.0,  # next quote@3
+        ("A", 3): 11.0,  # quote@3 ties -> visible
+        ("B", 5): None,  # no later quote
+    }
+
+
+def test_asof_forward_strict_excludes_ties(spark, trades, quotes):
+    out = asof_join(
+        trades, quotes, "sym", "tts", "qts", ["price"],
+        direction="forward", strict=True,
+    )
+    got = {(r.sym, r.tts.hour): r.asof_price for r in out.collect()}
+    assert got[("A", 3)] is None  # quote@3 NOT visible under strict
+
+
+def test_asof_nearest_picks_smaller_gap_backward_on_tie(spark, quotes):
+    t = spark.createDataFrame(
+        [
+            ("A", ts(2), 1),  # gap 1h back (q@1) vs 1h fwd (q@3): tie -> back
+            ("A", ts(0), 2),  # only forward exists
+            ("A", ts(9), 3),  # only backward exists
+            ("B", ts(1), 4),  # forward q@2 nearer than nothing-backward
+        ],
+        "sym string, tts timestamp, qty int",
+    )
+    out = asof_join(
+        t, quotes, "sym", "tts", "qts", ["price"], direction="nearest"
+    )
+    got = {r.qty: r.asof_price for r in out.collect()}
+    assert got == {1: 10.0, 2: 10.0, 3: 11.0, 4: 20.0}
+
+
 def test_asof_matches_pandas_merge_asof(spark, events):
     """Property check vs pandas.merge_asof on real data: for each
     purchase event, the latest prior signup of the same user."""
