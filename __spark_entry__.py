@@ -5303,6 +5303,157 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return settled
 
 
+def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog distinct-count sketch (operators/hll.py):
+    distinct users per event_type via an EXPLICIT 256-register table
+    that merges across shards/days by union+max — the workflow Spark's
+    opaque approx_count_distinct state cannot express. The build is
+    one partial-aggregated groupBy bounded by m x |groups| rows; the
+    oracle re-derives every register (same md5 hash, trailing-zero
+    rho) and the exact-integer scaled harmonic sum, so the estimate
+    must match to the last IEEE division. Exact distinct (its own
+    aggregate — count_distinct beside other aggs forces a catalyst
+    Expand of every row) joins back on the 5-row key for the error
+    report."""
+    from vanus_spark.operators.hll import hll_estimate, hll_registers
+
+    ev = _t(spark, sf_dir, "events")
+    regs = hll_registers(ev, "user_id", ["event_type"])
+    est = hll_estimate(regs, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "n_regs",
+        F.round("hll_est", 6).alias("hll_est"),
+        "exact_distinct",
+        F.round(
+            F.abs(F.col("hll_est") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
+def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted multi-source shortest paths (llm/graphs.sssp): 4
+    hop-bounded Bellman-Ford rounds over the synthetic weighted crawl
+    graph — per round ONE relax join + ONE partial-aggregated min, the
+    GraphX/Pregel SSSP shape without the framework. Integer weights
+    relax exactly, so the oracle unrolls the identical rounds as
+    chained CTEs (the pagerank/BFS oracle pattern)."""
+    from vanus_spark.llm.graphs import sssp
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    parts = []
+    for expr, wexpr in (
+        ((F.col("doc_id") + 1) % n, 1 + F.col("doc_id") % 3),
+        ((F.col("doc_id") * 7 + 3) % n, 2 + F.col("doc_id") % 5),
+    ):
+        parts.append(
+            docs.select(
+                F.col("doc_id").alias("src"),
+                expr.alias("dst"),
+                wexpr.cast("long").alias("w"),
+            )
+        )
+    edges = parts[0].unionByName(parts[1]).where(F.col("src") != F.col("dst"))
+    sources = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("node"), F.lit(0).cast("long").alias("dist")
+    )
+    out = sssp(edges, sources, rounds=4)
+    return out.select(F.col("node").alias("doc_id"), "dist")
+
+
+def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked geo radius join (operators/geo.py): customers
+    within 250 km of a supplier, coordinates hash-derived (seeded md5,
+    so the oracle re-derives them bit-for-bit). The Spark plan is an
+    EQUI-join on quantized grid cells (supplier side exploded 9x to
+    its neighbor cells) + exact haversine filter — no cross join at
+    any scale; the oracle IS the cross join, proving the blocking
+    loses no pair. Haversine arithmetic is restated operation-for-
+    operation (shared DEG_TO_RAD literal); a test pins the fixture's
+    |dist - R| margin far above cross-libm ulp drift."""
+    from vanus_spark.llm.dedup import md5_long
+    from vanus_spark.operators.geo import radius_join
+
+    def coord(col, seed, span, offset):
+        return (md5_long(col, seed) % span).cast("double") / 1000000.0 - offset
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        coord(F.col("c_custkey"), 1, 120000000, 60.0).alias("lat"),
+        coord(F.col("c_custkey"), 2, 360000000, 180.0).alias("lon"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        coord(F.col("s_suppkey"), 3, 120000000, 60.0).alias("lat2"),
+        coord(F.col("s_suppkey"), 4, 360000000, 180.0).alias("lon2"),
+    )
+    out = radius_join(cust, supp, 250.0, ("lat", "lon"), ("lat2", "lon2"))
+    return out.select(
+        "c_custkey", "s_suppkey", F.round("dist_km", 6).alias("dist_km")
+    )
+
+
+def q_export_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC export/ingest roundtrip (the columnar-sink sibling of
+    export_jsonl_roundtrip): write events as 8 ORC shards, read them
+    back, and hand every column — including the double and the
+    timestamp, which ORC roundtrips exactly where a text format could
+    drift — to the oracle, which restates the table from parquet."""
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    tmp = tempfile.mkdtemp(prefix="vs_orc_")
+    ev.repartition(8).write.mode("overwrite").orc(f"{tmp}/out")
+    return spark.read.orc(f"{tmp}/out")
+
+
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (llm/search.
+    rrf_fuse): BM25 lexical top-10 and exact-cosine embedding top-10
+    over the joined documents+embeddings corpus, fused as
+    sum(1/(60+rank)) and re-ranked — the RAG/training-data retrieval
+    stack's standard two-tower merge. Every stage is bounded: both
+    rankers emit #queries x 10 rows and fusion never touches the
+    corpus. The oracle re-derives BOTH ranking chains (the BM25 CTE
+    chain and the brute-force cosine scan) and the fusion sum."""
+    from vanus_spark.llm.dedup import normalize_text
+    from vanus_spark.llm.search import bm25_search, rrf_fuse
+    from vanus_spark.llm.similarity import cosine_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = docs.join(
+        emb, docs.doc_id == emb.vec_id
+    ).select("doc_id", "text", "embedding")
+    qids = (3, 17, 31, 59)
+    qs = corpus.where(F.col("doc_id").isin(*qids)).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(F.split(normalize_text(F.col("text")), " "), 1, 4), " "
+        ).alias("query_text"),
+    )
+    bm = bm25_search(corpus, qs, k=10)
+    qv = corpus.where(F.col("doc_id").isin(*qids)).select("doc_id", "embedding")
+    ann = cosine_topk(corpus, qv, k=10, id_col="doc_id")
+    return rrf_fuse(
+        [
+            bm.select("query_id", "doc_id", "rank"),
+            ann.select(
+                "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+            ),
+        ],
+        k=10,
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5329,6 +5480,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # family-represented rows.
     return {
         # --- new this round ---
+        # --- sixth-session additions: new operator modules ---
+        "sketch_hll": q_sketch_hll,
+        "graph_sssp": q_graph_sssp,
+        "geo_radius_join": q_geo_radius_join,
+        "export_orc_roundtrip": q_export_orc_roundtrip,
+        "hybrid_search_rrf": q_hybrid_search_rrf,
         "session_windows_replay": q_session_windows_replay,
         "events_ewma": q_events_ewma,
         "sample_weighted": q_sample_weighted,
@@ -5351,13 +5508,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- third-session additions: Q8, OHLC resample, RANGE-frame
         # rolling window, column profiler, label-propagation
         # communities ---
-        "profile_table": q_profile_table,
         "link_communities": q_link_communities,
         "text_keywords": q_text_keywords,
-        "lang_confusion": q_lang_confusion,
         "events_attribution": q_events_attribution,
         "salted_join_skew": q_salted_join_skew,
-        "events_dau_wau": q_events_dau_wau,
         "stream_late_metrics": q_stream_late_metrics,
         "orders_rfm": q_orders_rfm,
         "embedding_norm_stats": q_embedding_norm_stats,
@@ -5384,8 +5538,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fp_neardup": q_audio_fp_neardup,
         "video_phash_neardup": q_video_phash_neardup,
         "stream_outer_join_replay": q_stream_outer_join_replay,
-        "events_histogram": q_events_histogram,
-        "corpus_ngram_diversity": q_corpus_ngram_diversity,
         # --- TPC-H shapes unlocked by derived fixtures ---
         "tpch_q2_min_cost_supp": q_tpch_q2_min_cost_supp,
         # --- fifth-session additions ---
@@ -5408,6 +5560,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # partsupp fixture's driver row — for table_changes /
         # events_ab_test / graph_bfs / orders_scd2 / sketch_count_min
         # / dedup_containment.)
+        # (displaced by the sixth session: thin-restatement
+        # analytics whose families stay represented in-window;
+        # all replica-gated by the full oracle_check run.)
+        "profile_table": q_profile_table,
+        "lang_confusion": q_lang_confusion,
+        "events_dau_wau": q_events_dau_wau,
+        "events_histogram": q_events_histogram,
+        "corpus_ngram_diversity": q_corpus_ngram_diversity,
         "hard_negatives": q_hard_negatives,
         "stream_static_join_replay": q_stream_static_join_replay,
         "tpch_q17_small_qty": q_tpch_q17_small_qty,
@@ -5652,6 +5812,199 @@ def _authz_ra_values() -> str:
         for (k, r), acts in table.items()
         for a in acts
     )
+
+
+def _hll_oracle() -> str:
+    """SQL twin of q_sketch_hll: re-derives every register (shared md5
+    hash, trailing-zero rho via log2 of the isolated low bit — exact
+    in doubles because v & -v is a power of two) and the scaled-
+    integer harmonic sum, then the same estimator branch logic."""
+    from vanus_spark.operators.hll import (
+        HLL_ALPHA, HLL_M, HLL_SCALE, REG_BITS, RHO_MAX,
+    )
+
+    raw_num = repr(HLL_ALPHA * HLL_M * HLL_M * float(2**HLL_SCALE))
+    return f"""
+        WITH h AS (
+          SELECT event_type,
+                 ('0x' || substr(md5('0|' || user_id::VARCHAR), 1, 15))::BIGINT
+                   AS hv
+          FROM events),
+        r AS (
+          SELECT event_type, hv % {HLL_M} AS reg,
+                 max(CASE WHEN (hv >> {REG_BITS}) = 0 THEN {RHO_MAX + 1}
+                     ELSE 1 + floor(log2(((hv >> {REG_BITS}) & (-(hv >> {REG_BITS})))::DOUBLE))::BIGINT
+                     END) AS rho
+          FROM h GROUP BY 1, 2),
+        a AS (
+          SELECT event_type, count(*)::BIGINT AS n_regs,
+                 sum(1::BIGINT << ({HLL_SCALE} - rho))::BIGINT AS s_present
+          FROM r GROUP BY 1),
+        e AS (
+          SELECT event_type, n_regs,
+                 {raw_num}
+                   / (s_present
+                      + ({HLL_M} - n_regs) * (1::BIGINT << {HLL_SCALE}))::DOUBLE
+                   AS raw,
+                 {HLL_M} - n_regs AS zeros
+          FROM a),
+        est AS (
+          SELECT event_type, n_regs,
+                 CASE WHEN raw <= {repr(2.5 * HLL_M)} AND zeros > 0
+                      THEN {repr(float(HLL_M))}
+                           * ln({repr(float(HLL_M))} / zeros::DOUBLE)
+                      ELSE raw END AS hll_est
+          FROM e),
+        x AS (SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_distinct
+              FROM events GROUP BY 1)
+        SELECT est.event_type, est.n_regs,
+               round(est.hll_est, 6) AS hll_est,
+               x.exact_distinct,
+               round(abs(est.hll_est - x.exact_distinct) / x.exact_distinct, 6)
+                 AS rel_err
+        FROM est JOIN x ON est.event_type = x.event_type
+    """
+
+
+def _sssp_oracle() -> str:
+    """SQL twin of q_graph_sssp: the same 4 Bellman-Ford rounds
+    unrolled as chained CTEs (integer weights — exact relaxation)."""
+    rounds = []
+    prev = "d0"
+    for i in range(1, 5):
+        rounds.append(f"""
+        d{i} AS (
+          SELECT node, min(dist)::BIGINT AS dist FROM (
+            SELECT node, dist FROM {prev}
+            UNION ALL
+            SELECT e2.dst AS node, {prev}.dist + e2.w AS dist
+            FROM e2 JOIN {prev} ON e2.src = {prev}.node) u
+          GROUP BY 1)""")
+        prev = f"d{i}"
+    return f"""
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        e AS (
+          SELECT doc_id AS src, (doc_id + 1) % nn.n AS dst,
+                 (1 + doc_id % 3)::BIGINT AS w
+          FROM documents, nn
+          UNION ALL
+          SELECT doc_id, (doc_id * 7 + 3) % nn.n, (2 + doc_id % 5)::BIGINT
+          FROM documents, nn),
+        e2 AS (SELECT * FROM e WHERE src <> dst),
+        d0 AS (SELECT doc_id AS node, 0::BIGINT AS dist
+               FROM documents WHERE doc_id % 97 = 0),
+        {','.join(rounds)}
+        SELECT node AS doc_id, dist FROM d4
+    """
+
+
+def _geo_oracle() -> str:
+    """SQL twin of q_geo_radius_join: the PLAIN cross join + the same
+    operation-for-operation haversine — proving the grid blocking
+    loses no pair. Coordinates re-derive from the seeded md5 hashes."""
+    from vanus_spark.operators.geo import DEG_TO_RAD, EARTH_KM
+
+    def coord(col, seed, span, offset):
+        return (
+            f"(('0x' || substr(md5('{seed}|' || {col}::VARCHAR), 1, 15))"
+            f"::BIGINT % {span})::DOUBLE / 1000000.0 - {offset}"
+        )
+
+    rad = repr(DEG_TO_RAD)
+    return f"""
+        WITH c AS (SELECT c_custkey,
+                          {coord('c_custkey', 1, 120000000, 60.0)} AS lat,
+                          {coord('c_custkey', 2, 360000000, 180.0)} AS lon
+                   FROM customer),
+        s AS (SELECT s_suppkey,
+                     {coord('s_suppkey', 3, 120000000, 60.0)} AS lat2,
+                     {coord('s_suppkey', 4, 360000000, 180.0)} AS lon2
+              FROM supplier),
+        d AS (
+          SELECT c_custkey, s_suppkey,
+                 {repr(2.0 * EARTH_KM)} * asin(sqrt(
+                   sin((lat2 - lat) * {rad} / 2) * sin((lat2 - lat) * {rad} / 2)
+                   + cos(lat * {rad}) * cos(lat2 * {rad})
+                     * sin((lon2 - lon) * {rad} / 2)
+                     * sin((lon2 - lon) * {rad} / 2))) AS dist_km
+          FROM c CROSS JOIN s)
+        SELECT c_custkey, s_suppkey, round(dist_km, 6) AS dist_km
+        FROM d WHERE dist_km <= 250.0
+    """
+
+
+def _hybrid_rrf_oracle() -> str:
+    """SQL twin of q_hybrid_search_rrf: the full BM25 CTE chain (over
+    the documents-with-embeddings corpus), the brute-force cosine
+    scan, and the reciprocal-rank fusion sum."""
+    norm = _NORM.format(c="text")
+    return f"""
+        WITH corpus AS (
+          SELECT d.doc_id, d.text, e.embedding
+          FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        tk AS (SELECT doc_id, unnest(str_split({norm}, ' ')) AS term
+               FROM corpus),
+        tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+               FROM tk WHERE term <> '' GROUP BY 1, 2),
+        dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+        df AS (SELECT term, count(*)::DOUBLE AS dfreq FROM tf GROUP BY 1),
+        q AS (SELECT doc_id AS query_id,
+                     unnest(list_distinct(
+                       (str_split({norm}, ' '))[1:4])) AS term
+              FROM corpus WHERE doc_id IN (3, 17, 31, 59)),
+        cand AS (SELECT q.query_id, tf.doc_id,
+                        sum(ln(1.0::DOUBLE
+                               + (stats.n_docs - df.dfreq + 0.5::DOUBLE)
+                                 / (df.dfreq + 0.5::DOUBLE))
+                            * tf.tf * (1.2::DOUBLE + 1.0::DOUBLE)
+                            / (tf.tf + 1.2::DOUBLE
+                               * (1.0::DOUBLE - 0.75::DOUBLE
+                                  + 0.75::DOUBLE * dl.dl / stats.avgdl)))
+                          AS score
+                 FROM q JOIN tf USING (term)
+                        JOIN df USING (term)
+                        JOIN dl ON tf.doc_id = dl.doc_id
+                        CROSS JOIN stats
+                 GROUP BY 1, 2),
+        bm AS (SELECT query_id, doc_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY round(score, 9) DESC,
+                                                  doc_id) AS rank
+               FROM cand),
+        qv AS (SELECT doc_id AS query_id, embedding AS q_vec
+               FROM corpus WHERE doc_id IN (3, 17, 31, 59)),
+        scored AS (
+          SELECT qv.query_id, cp.doc_id,
+                 list_dot_product(qv.q_vec::DOUBLE[], cp.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(qv.q_vec::DOUBLE[],
+                                            qv.q_vec::DOUBLE[]))
+                      * sqrt(list_dot_product(cp.embedding::DOUBLE[],
+                                              cp.embedding::DOUBLE[])))
+                   AS cosine
+          FROM corpus cp, qv WHERE cp.doc_id != qv.query_id),
+        ann AS (SELECT query_id, doc_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, doc_id ASC)
+                         AS rank
+                FROM scored),
+        u AS (
+          SELECT query_id, doc_id, 1.0 / (60.0 + rank) AS contrib
+          FROM bm WHERE rank <= 10
+          UNION ALL
+          SELECT query_id, doc_id, 1.0 / (60.0 + rank)
+          FROM ann WHERE rank <= 10),
+        f AS (SELECT query_id, doc_id, sum(contrib) AS rrf,
+                     count(*)::BIGINT AS n_lists
+              FROM u GROUP BY 1, 2),
+        rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                            ORDER BY round(rrf, 12) DESC,
+                                                     doc_id) AS rank
+               FROM f)
+        SELECT query_id, doc_id, rank::INT AS rank,
+               round(rrf, 9) AS rrf, n_lists
+        FROM rr WHERE rank <= 10
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -8402,6 +8755,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderpriority = '1-URGENT'
             GROUP BY l_returnflag
         """,
+        "sketch_hll": _hll_oracle(),
+        "graph_sssp": _sssp_oracle(),
+        "geo_radius_join": _geo_oracle(),
+        # ORC is binary, so doubles and timestamps roundtrip exactly:
+        # the read-back must equal the parquet restatement
+        "export_orc_roundtrip": """
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM events
+        """,
+        "hybrid_search_rrf": _hybrid_rrf_oracle(),
     }
 
 

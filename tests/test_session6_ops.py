@@ -1,0 +1,189 @@
+"""Sixth-session operators: HLL sketch, weighted SSSP, grid-blocked
+geo radius join, RRF hybrid fusion."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- HLL
+
+
+def test_hll_merge_law(spark):
+    """Sketching two disjoint shards and union+max-merging the register
+    tables must equal sketching the whole corpus — the property that
+    makes the explicit register table worth keeping over
+    approx_count_distinct's opaque state."""
+    from vanus_spark.operators.hll import hll_estimate, hll_registers
+
+    df = spark.range(0, 5000).select(
+        F.lit("g").alias("g"), (F.col("id") % 1700).alias("v")
+    )
+    whole = hll_registers(df, "v", ["g"])
+    a = hll_registers(df.where(F.col("id") < 2500), "v", ["g"])
+    b = hll_registers(df.where(F.col("id") >= 2500), "v", ["g"])
+    merged = (
+        a.unionByName(b).groupBy("g", "reg").agg(F.max("rho").alias("rho"))
+    )
+    ew = hll_estimate(whole, ["g"]).collect()[0]
+    em = hll_estimate(merged, ["g"]).collect()[0]
+    assert ew["hll_est"] == em["hll_est"]
+    assert ew["n_regs"] == em["n_regs"]
+
+
+def test_hll_accuracy_and_bounded_registers(spark):
+    """m=64 gives ~13% standard error; the register table is bounded
+    by m rows per group however large the input."""
+    from vanus_spark.operators.hll import HLL_M, hll_estimate, hll_registers
+
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.col("id") % 3000).alias("v"),
+    )
+    regs = hll_registers(df, "v", ["g"])
+    assert regs.count() <= 2 * HLL_M
+    for row in hll_estimate(regs, ["g"]).collect():
+        # both groups see 1500 distinct values
+        assert abs(row["hll_est"] - 1500) / 1500 < 0.4
+
+
+# --------------------------------------------------------------- SSSP
+
+
+def test_sssp_exact_small_graph(spark):
+    """Known 5-node weighted graph: path 0->1->2 (cost 3) beats the
+    direct 0->2 edge (cost 10); node 4 is unreachable and absent."""
+    from vanus_spark.llm.graphs import sssp
+
+    edges = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 2), (0, 2, 10), (2, 3, 1)],
+        "src long, dst long, w long",
+    )
+    sources = spark.createDataFrame([(0, 0)], "node long, dist long")
+    got = {r["node"]: r["dist"] for r in sssp(edges, sources, rounds=4).collect()}
+    assert got == {0: 0, 1: 1, 2: 3, 3: 4}
+
+
+def test_sssp_hop_bound(spark):
+    """rounds bounds the explored hop radius: with 1 round the 2-hop
+    improvement over the direct edge is not yet visible."""
+    from vanus_spark.llm.graphs import sssp
+
+    edges = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 2), (0, 2, 10)], "src long, dst long, w long"
+    )
+    sources = spark.createDataFrame([(0, 0)], "node long, dist long")
+    got = {r["node"]: r["dist"] for r in sssp(edges, sources, rounds=1).collect()}
+    assert got == {0: 0, 1: 1, 2: 10}
+
+
+# ---------------------------------------------------------------- geo
+
+
+def _coords(spark, sf_dir):
+    from vanus_spark.llm.dedup import md5_long
+    from vanus_spark.sources.tables import load_table
+
+    def coord(col, seed, span, offset):
+        return (md5_long(col, seed) % span).cast("double") / 1000000.0 - offset
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        coord(F.col("c_custkey"), 1, 120000000, 60.0).alias("lat"),
+        coord(F.col("c_custkey"), 2, 360000000, 180.0).alias("lon"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        coord(F.col("s_suppkey"), 3, 120000000, 60.0).alias("lat2"),
+        coord(F.col("s_suppkey"), 4, 360000000, 180.0).alias("lon2"),
+    )
+    return cust, supp
+
+
+def test_geo_blocking_equals_cross_join(spark, sf_dir):
+    """The grid-blocked equi-join must find exactly the pairs the
+    naive cross join finds — blocking is a pure optimization."""
+    from vanus_spark.operators.geo import haversine_km, radius_join
+
+    cust, supp = _coords(spark, sf_dir)
+    blocked = {
+        (r["c_custkey"], r["s_suppkey"])
+        for r in radius_join(
+            cust, supp, 250.0, ("lat", "lon"), ("lat2", "lon2")
+        ).collect()
+    }
+    dist = haversine_km(
+        F.col("lat"), F.col("lon"), F.col("lat2"), F.col("lon2")
+    )
+    naive = {
+        (r["c_custkey"], r["s_suppkey"])
+        for r in cust.crossJoin(supp)
+        .where(dist <= 250.0)
+        .collect()
+    }
+    assert blocked == naive and len(naive) > 0
+
+
+def test_geo_threshold_margin(spark, sf_dir):
+    """No cross pair's distance sits near the 250 km threshold (or a
+    1e-6 rounding boundary of the reported distance), so cross-libm
+    sin/cos ulp drift cannot flip oracle membership — the
+    semantic-dedup margin-guard precedent."""
+    from vanus_spark.operators.geo import haversine_km
+
+    cust, supp = _coords(spark, sf_dir)
+    dist = haversine_km(
+        F.col("lat"), F.col("lon"), F.col("lat2"), F.col("lon2")
+    )
+    margin = (
+        cust.crossJoin(supp)
+        .select(F.abs(dist - 250.0).alias("m"))
+        .agg(F.min("m"))
+        .collect()[0][0]
+    )
+    assert margin > 1e-6
+
+
+def test_geo_plan_is_equi_join(spark, sf_dir):
+    """The radius join must compile to a hash equi-join on the grid
+    cells — never a cartesian/broadcast-nested-loop over the inputs."""
+    from vanus_spark.operators.geo import radius_join
+
+    cust, supp = _coords(spark, sf_dir)
+    plan = (
+        radius_join(cust, supp, 250.0, ("lat", "lon"), ("lat2", "lon2"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------- RRF
+
+
+def test_rrf_fusion_semantics(spark):
+    """A doc ranked mid-list by BOTH rankers outranks a doc that tops
+    only one list; ties between single-list docs at equal rank break
+    by id."""
+    from vanus_spark.llm.search import rrf_fuse
+
+    bm = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (1, 30, 3)],
+        "query_id long, doc_id long, rank int",
+    )
+    ann = spark.createDataFrame(
+        [(1, 20, 1), (1, 40, 2), (1, 30, 3)],
+        "query_id long, doc_id long, rank int",
+    )
+    rows = rrf_fuse([bm, ann], k=10).orderBy("rank").collect()
+    order = [r["doc_id"] for r in rows]
+    # doc 20: 1/62 + 1/61 wins over doc 10 (1/61 alone)
+    assert order[0] == 20
+    # doc 30 appears in both lists at rank 3: 2/63 > 1/61
+    assert order[1] == 30
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[20]["n_lists"] == 2 and by_id[10]["n_lists"] == 1
+    # single-list docs at the same rank tie exactly -> id order
+    assert order.index(10) < order.index(40) or by_id[10]["rrf"] != by_id[40]["rrf"]

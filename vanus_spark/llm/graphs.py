@@ -116,3 +116,48 @@ def label_propagation(
         if (k + 1) % checkpoint_every == 0 and k + 1 < iters:
             labels = labels.localCheckpoint(eager=True)
     return labels
+
+
+def sssp(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    node: str = "node",
+) -> DataFrame:
+    """(node, dist): weighted single-source (multi-source) shortest
+    paths after ``rounds`` Bellman-Ford relaxations — hop-bounded, the
+    distributed form (GraphX/Pregel's SSSP without the framework).
+
+    Per round: ONE join of the current distance table to the edge
+    table + ONE partial-aggregated min per dst, then a min-merge with
+    the standing distances. Integer weights relax exactly (no float
+    accumulation drift), so a SQL oracle can unroll the same rounds
+    as CTEs. The distance table is checkpointed per round to keep the
+    lineage linear in rounds, not exponential.
+
+    At 100 TB: edges partition by ``src`` and the distance table by
+    ``node``, so the relax join shuffles only the (shrinking) set of
+    improved distances; ``rounds`` bounds the hop radius explored —
+    callers iterate to a fixed point by comparing successive counts
+    (the same vote-to-halt contract as ``pagerank``)."""
+    dist = sources.select(F.col(node), F.col("dist")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(rounds):
+        relaxed = (
+            edges.join(dist, edges[src] == dist[node])
+            .select(
+                F.col(dst).alias(node),
+                (F.col("dist") + F.col(weight)).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy(node)
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

@@ -173,3 +173,50 @@ def tfidf_keywords(
         .where(F.col("rank") <= k)
         .select(id_col, "term", "rank", F.round("score", 6).alias("score"))
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    c: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of N retrieval rankings (hybrid search:
+    BM25 lexical + embedding ANN is the canonical pair). Each input is
+    (query_col, id_col, rank); a document absent from a list simply
+    contributes nothing (the standard RRF convention).
+
+    score(d) = sum over lists of 1 / (c + rank_list(d))
+
+    Shuffle shape: the inputs are already per-query top-k tables
+    (bounded: #queries x k rows each), so the union + groupBy + window
+    all run on candidate-sized data — fusion never touches the corpus.
+    Determinism: contributions are exact reciprocals summed over at
+    most N terms; ranking orders by round(rrf, 12) DESC then id, so
+    single-list ties at equal rank break stably."""
+    contrib = None
+    for r in rankings:
+        part = r.select(
+            query_col,
+            id_col,
+            (
+                F.lit(1.0) / (F.lit(float(c)) + F.col("rank").cast("double"))
+            ).alias("contrib"),
+        )
+        contrib = part if contrib is None else contrib.unionByName(part)
+    fused = contrib.groupBy(query_col, id_col).agg(
+        F.sum("contrib").alias("rrf"), F.count("*").alias("n_lists")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(query_col).orderBy(
+        F.round("rrf", 12).desc(), F.col(id_col)
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(
+            query_col, id_col, "rank", F.round("rrf", 9).alias("rrf"), "n_lists"
+        )
+    )
