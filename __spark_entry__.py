@@ -5454,6 +5454,129 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: shared (lo, hi, bins) for the registered quantile-sketch query —
+#: width (hi-lo)/bins = 2.0 is dyadic-exact, so the bin-edge read-back
+#: arithmetic cannot drift between engines.
+_QSK = (0.0, 512.0, 256)
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram quantile sketch (operators/qsketch.py):
+    p50/p90/p99 of events.value per event_type from a 256-bin count
+    table — the bounded-state alternative to a per-group sort, merged
+    across shards by summing counts (the t-digest workflow with an
+    engine-portable statistic). The oracle re-derives the bins, the
+    cumulative read-back, AND the exact type-1 quantile baseline
+    (row_number pick — the validation-only side, like exact_cnt beside
+    the Count-Min estimate), so the one-bin-width error bound is
+    hash-checked, not asserted."""
+    from vanus_spark.operators.qsketch import histogram_sketch, sketch_quantiles
+
+    lo, hi, bins = _QSK
+    ev = _t(spark, sf_dir, "events")
+    sk = histogram_sketch(ev, "value", ["event_type"], lo, hi, bins)
+    est = sketch_quantiles(
+        spark, sk, ["event_type"], [0.5, 0.9, 0.99], lo, hi, bins
+    ).select(
+        F.col("event_type").alias("etype"), "q", "n", "est"
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy("value", "event_id")
+    )
+    ranked = ev.select("event_type", "value", "event_id").withColumn("rn", rn)
+    return (
+        est.join(
+            ranked,
+            (est.etype == ranked.event_type)
+            & (ranked.rn == F.ceil(est.q * est.n)),
+        )
+        .select(
+            F.col("etype").alias("event_type"),
+            "q",
+            "n",
+            F.round("est", 6).alias("est_value"),
+            F.round("value", 6).alias("exact_value"),
+            F.round(F.col("est") - F.col("value"), 6).alias("err"),
+        )
+    )
+
+
+def q_stream_hll_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental HLL maintenance over a REAL Structured Streaming
+    replay — the 'daily uniques, merged monthly' workflow the explicit
+    register table exists for: 4 micro-batches (events split by
+    event_id % 4, one file per batch, mtime-forced order) each build
+    batch registers, union+max-merge into the standing state (bounded:
+    m x |groups| entries), and emit the post-merge estimate per epoch.
+    The HLL merge law makes each epoch's state identical to sketching
+    the prefix outright, which is exactly what the oracle restates:
+    the full register chain over event_id % 4 <= k for every epoch."""
+    import os
+    import shutil
+    import tempfile
+
+    from vanus_spark.operators.hll import hll_estimate, hll_registers
+
+    ev = _t(spark, sf_dir, "events")
+    rows = ev.select(
+        "event_type", "user_id", (F.col("event_id") % 4).alias("b")
+    ).collect()
+    batches: list[list[tuple]] = [[], [], [], []]
+    for r in rows:
+        batches[r.b].append((r.event_type, r.user_id))
+    work = tempfile.mkdtemp(prefix="vs_hll_replay_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    _write_replay_batches(
+        src, batches, [("event_type", "str"), ("user_id", "long")]
+    )
+
+    state: dict[tuple, int] = {}
+    out_rows: list[tuple] = []
+    epoch = {"k": 0}
+
+    def handle(bdf, _bid):
+        # per-batch registers are sketch-bounded -> the collect is a
+        # bounded model read, not a data read
+        for r in hll_registers(bdf, "user_id", ["event_type"]).collect():
+            key = (r.event_type, r.reg)
+            if state.get(key, 0) < r.rho:
+                state[key] = r.rho
+        merged = spark.createDataFrame(
+            [(et, reg, rho) for (et, reg), rho in state.items()],
+            "event_type string, reg long, rho long",
+        )
+        k = epoch["k"]
+        epoch["k"] += 1
+        for r in hll_estimate(merged, ["event_type"]).collect():
+            out_rows.append((k, r.event_type, r.n_regs, float(r.hll_est)))
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            spark.readStream.schema("event_type string, user_id long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(handle)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    shutil.rmtree(work, ignore_errors=True)
+    df = spark.createDataFrame(
+        out_rows, "epoch int, event_type string, n_regs long, hll_est double"
+    )
+    return df.select(
+        "epoch", "event_type", "n_regs", F.round("hll_est", 6).alias("hll_est")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5482,6 +5605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round ---
         # --- sixth-session additions: new operator modules ---
         "sketch_hll": q_sketch_hll,
+        "quantile_sketch": q_quantile_sketch,
+        "stream_hll_replay": q_stream_hll_replay,
         "graph_sssp": q_graph_sssp,
         "geo_radius_join": q_geo_radius_join,
         "export_orc_roundtrip": q_export_orc_roundtrip,
@@ -5509,8 +5634,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rolling window, column profiler, label-propagation
         # communities ---
         "link_communities": q_link_communities,
-        "text_keywords": q_text_keywords,
-        "events_attribution": q_events_attribution,
         "salted_join_skew": q_salted_join_skew,
         "stream_late_metrics": q_stream_late_metrics,
         "orders_rfm": q_orders_rfm,
@@ -5563,6 +5686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (displaced by the sixth session: thin-restatement
         # analytics whose families stay represented in-window;
         # all replica-gated by the full oracle_check run.)
+        "text_keywords": q_text_keywords,
+        "events_attribution": q_events_attribution,
         "profile_table": q_profile_table,
         "lang_confusion": q_lang_confusion,
         "events_dau_wau": q_events_dau_wau,
@@ -6005,6 +6130,95 @@ def _hybrid_rrf_oracle() -> str:
                round(rrf, 9) AS rrf, n_lists
         FROM rr WHERE rank <= 10
     """
+
+
+def _qsketch_oracle() -> str:
+    """SQL twin of q_quantile_sketch: re-derives the 256-bin sketch,
+    the cumulative read-back, and the exact row_number baseline.
+    Quantile literals are forced ::DOUBLE (DuckDB numerics default to
+    DECIMAL, whose exact q*n could ceil differently from the IEEE
+    product Spark computes)."""
+    lo, hi, bins = _QSK
+    width = (hi - lo) / bins
+    return f"""
+        WITH sk AS (
+          SELECT event_type,
+                 greatest(0, least({bins - 1},
+                   floor((value - {repr(lo)}) / {repr(width)})::BIGINT)) AS bin,
+                 count(*)::BIGINT AS cnt
+          FROM events GROUP BY 1, 2),
+        cum AS (
+          SELECT event_type, bin, cnt,
+                 sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)::BIGINT AS cum,
+                 sum(cnt) OVER (PARTITION BY event_type)::BIGINT AS n
+          FROM sk),
+        qs AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q),
+        hit AS (SELECT event_type, q, n, min(bin) AS bin
+                FROM cum CROSS JOIN qs
+                WHERE cum >= ceil(q * n) GROUP BY 1, 2, 3),
+        est AS (SELECT event_type, q, n,
+                       {repr(lo)} + (bin + 1)::DOUBLE * {repr(width)} AS est
+                FROM hit),
+        ranked AS (SELECT event_type, value,
+                          row_number() OVER (PARTITION BY event_type
+                                             ORDER BY value, event_id) AS rn
+                   FROM events)
+        SELECT e.event_type, e.q, e.n,
+               round(e.est, 6) AS est_value,
+               round(r.value, 6) AS exact_value,
+               round(e.est - r.value, 6) AS err
+        FROM est e JOIN ranked r
+          ON e.event_type = r.event_type AND r.rn = ceil(e.q * e.n)
+    """
+
+
+def _hll_epoch_oracle() -> str:
+    """SQL twin of q_stream_hll_replay: by the HLL merge law each
+    epoch's streamed state equals sketching the batch PREFIX outright,
+    so the oracle runs the full register chain over
+    event_id % 4 <= k for each of the four epochs."""
+    from vanus_spark.operators.hll import (
+        HLL_ALPHA, HLL_M, HLL_SCALE, REG_BITS, RHO_MAX,
+    )
+
+    raw_num = repr(HLL_ALPHA * HLL_M * HLL_M * float(2**HLL_SCALE))
+    parts = []
+    for k in range(4):
+        parts.append(f"""
+        SELECT * FROM (
+          WITH h AS (
+            SELECT event_type,
+                   ('0x' || substr(md5('0|' || user_id::VARCHAR), 1, 15))::BIGINT
+                     AS hv
+            FROM events WHERE event_id % 4 <= {k}),
+          r AS (
+            SELECT event_type, hv % {HLL_M} AS reg,
+                   max(CASE WHEN (hv >> {REG_BITS}) = 0 THEN {RHO_MAX + 1}
+                       ELSE 1 + floor(log2(((hv >> {REG_BITS})
+                              & (-(hv >> {REG_BITS})))::DOUBLE))::BIGINT
+                       END) AS rho
+            FROM h GROUP BY 1, 2),
+          a AS (
+            SELECT event_type, count(*)::BIGINT AS n_regs,
+                   sum(1::BIGINT << ({HLL_SCALE} - rho))::BIGINT AS s_present
+            FROM r GROUP BY 1),
+          e AS (
+            SELECT event_type, n_regs,
+                   {raw_num}
+                     / (s_present
+                        + ({HLL_M} - n_regs) * (1::BIGINT << {HLL_SCALE}))::DOUBLE
+                     AS raw,
+                   {HLL_M} - n_regs AS zeros
+            FROM a)
+          SELECT {k}::INT AS epoch, event_type, n_regs,
+                 round(CASE WHEN raw <= {repr(2.5 * HLL_M)} AND zeros > 0
+                       THEN {repr(float(HLL_M))}
+                            * ln({repr(float(HLL_M))} / zeros::DOUBLE)
+                       ELSE raw END, 6) AS hll_est
+          FROM e)""")
+    return " UNION ALL ".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -8765,6 +8979,8 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "hybrid_search_rrf": _hybrid_rrf_oracle(),
+        "quantile_sketch": _qsketch_oracle(),
+        "stream_hll_replay": _hll_epoch_oracle(),
     }
 
 

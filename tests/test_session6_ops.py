@@ -32,8 +32,8 @@ def test_hll_merge_law(spark):
 
 
 def test_hll_accuracy_and_bounded_registers(spark):
-    """m=64 gives ~13% standard error; the register table is bounded
-    by m rows per group however large the input."""
+    """m=256 keeps the standard error small; the register table is
+    bounded by m rows per group however large the input."""
     from vanus_spark.operators.hll import HLL_M, hll_estimate, hll_registers
 
     df = spark.range(0, 20000).select(
@@ -187,3 +187,56 @@ def test_rrf_fusion_semantics(spark):
     assert by_id[20]["n_lists"] == 2 and by_id[10]["n_lists"] == 1
     # single-list docs at the same rank tie exactly -> id order
     assert order.index(10) < order.index(40) or by_id[10]["rrf"] != by_id[40]["rrf"]
+
+
+# ------------------------------------------------------------- qsketch
+
+
+def test_qsketch_merge_law(spark):
+    """Summing two shard sketches equals sketching the whole input."""
+    from vanus_spark.operators.qsketch import histogram_sketch
+
+    df = spark.range(0, 4000).select(
+        F.lit("g").alias("g"), (F.col("id") % 997).cast("double").alias("v")
+    )
+    whole = histogram_sketch(df, "v", ["g"], 0.0, 1024.0, 128)
+    a = histogram_sketch(df.where(F.col("id") < 2000), "v", ["g"], 0.0, 1024.0, 128)
+    b = histogram_sketch(df.where(F.col("id") >= 2000), "v", ["g"], 0.0, 1024.0, 128)
+    merged = a.unionByName(b).groupBy("g", "bin").agg(F.sum("cnt").alias("cnt"))
+    w = {(r["bin"]): r["cnt"] for r in whole.collect()}
+    m = {(r["bin"]): r["cnt"] for r in merged.collect()}
+    assert w == m
+
+
+def test_qsketch_clamps_out_of_range(spark):
+    from vanus_spark.operators.qsketch import histogram_sketch
+
+    df = spark.createDataFrame(
+        [("g", -5.0), ("g", 9999.0), ("g", 1.0)], "g string, v double"
+    )
+    bins = {r["bin"]: r["cnt"] for r in
+            histogram_sketch(df, "v", ["g"], 0.0, 100.0, 10).collect()}
+    assert bins == {0: 2, 9: 1}  # -5 and 1.0 land in bin 0; 9999 clamps to 9
+
+
+def test_qsketch_error_bounded_by_bin_width(spark):
+    """Estimate minus exact type-1 quantile is within one bin width."""
+    from vanus_spark.operators.qsketch import histogram_sketch, sketch_quantiles
+
+    df = spark.range(0, 5000).select(
+        F.lit("g").alias("g"),
+        ((F.col("id") * 37) % 500).cast("double").alias("v"),
+    )
+    sk = histogram_sketch(df, "v", ["g"], 0.0, 512.0, 256)
+    est = {
+        r["q"]: r["est"]
+        for r in sketch_quantiles(
+            spark, sk, ["g"], [0.5, 0.9, 0.99], 0.0, 512.0, 256
+        ).collect()
+    }
+    vals = sorted(((i * 37) % 500) for i in range(5000))
+    import math
+
+    for q in (0.5, 0.9, 0.99):
+        exact = vals[math.ceil(q * 5000) - 1]
+        assert 0 <= est[q] - exact <= 2.0 + 1e-9, (q, est[q], exact)
