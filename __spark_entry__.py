@@ -5577,6 +5577,28 @@ def q_stream_hll_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed 2-D skyline (operators/skyline.py): users no other
+    user dominates on (event count, total spend) — the multi-objective
+    'best on every axis' report. Two-phase: hash-bucketed local prune
+    (one parallel windowed running-max pass; dominated-in-subset =>
+    dominated-globally) then the same pass over the surviving
+    candidates only — never a quadratic self-join, never a full-table
+    global sort. Spend accumulates as exact integer cents so dominance
+    comparisons are engine-portable; the oracle states the INDEPENDENT
+    quadratic NOT-EXISTS form, proving the two-phase prune is
+    lossless."""
+    from vanus_spark.operators.skyline import skyline_2d
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+    )
+    out = skyline_2d(per_user, "n_events", "total_cents")
+    return out.select("user_id", "n_events", "total_cents")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5606,6 +5628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- sixth-session additions: new operator modules ---
         "sketch_hll": q_sketch_hll,
         "quantile_sketch": q_quantile_sketch,
+        "events_skyline": q_events_skyline,
         "stream_hll_replay": q_stream_hll_replay,
         "graph_sssp": q_graph_sssp,
         "geo_radius_join": q_geo_radius_join,
@@ -5637,7 +5660,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_skew": q_salted_join_skew,
         "stream_late_metrics": q_stream_late_metrics,
         "orders_rfm": q_orders_rfm,
-        "embedding_norm_stats": q_embedding_norm_stats,
         "dedup_lsh_recall": q_dedup_lsh_recall,
         # --- never driver-checked (r3 position 51) ---
         # --- filters.py was rewritten this round: family re-gated
@@ -5686,6 +5708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (displaced by the sixth session: thin-restatement
         # analytics whose families stay represented in-window;
         # all replica-gated by the full oracle_check run.)
+        "embedding_norm_stats": q_embedding_norm_stats,
         "text_keywords": q_text_keywords,
         "events_attribution": q_events_attribution,
         "profile_table": q_profile_table,
@@ -8981,6 +9004,20 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_search_rrf": _hybrid_rrf_oracle(),
         "quantile_sketch": _qsketch_oracle(),
         "stream_hll_replay": _hll_epoch_oracle(),
+        # independent quadratic restatement of the two-phase skyline
+        "events_skyline": """
+            WITH pu AS (SELECT user_id, count(*)::BIGINT AS n_events,
+                               sum(round(value * 100)::BIGINT)::BIGINT
+                                 AS total_cents
+                        FROM events GROUP BY 1)
+            SELECT p.user_id, p.n_events, p.total_cents
+            FROM pu p WHERE NOT EXISTS (
+              SELECT 1 FROM pu o
+              WHERE o.n_events >= p.n_events
+                AND o.total_cents >= p.total_cents
+                AND (o.n_events > p.n_events
+                     OR o.total_cents > p.total_cents))
+        """,
     }
 
 

@@ -240,3 +240,39 @@ def test_qsketch_error_bounded_by_bin_width(spark):
     for q in (0.5, 0.9, 0.99):
         exact = vals[math.ceil(q * 5000) - 1]
         assert 0 <= est[q] - exact <= 2.0 + 1e-9, (q, est[q], exact)
+
+
+# ------------------------------------------------------------- skyline
+
+
+def test_skyline_known_points(spark):
+    """(3,1) and (1,3) and (2,2) are mutually non-dominating; (1,1)
+    and (2,1) are dominated; duplicate skyline points both survive."""
+    from vanus_spark.operators.skyline import skyline_2d
+
+    df = spark.createDataFrame(
+        [("a", 3, 1), ("b", 1, 3), ("c", 2, 2), ("d", 1, 1), ("e", 2, 1),
+         ("f", 2, 2)],
+        "id string, v1 long, v2 long",
+    )
+    got = {r["id"] for r in skyline_2d(df, "v1", "v2").collect()}
+    assert got == {"a", "b", "c", "f"}
+
+
+def test_skyline_matches_quadratic_truth(spark):
+    """Two-phase prune equals the brute-force dominance filter on a
+    pseudo-random point set that exercises ties in both dimensions."""
+    from vanus_spark.operators.skyline import skyline_2d
+
+    pts = [(i, (i * 37) % 101, (i * 59) % 103) for i in range(400)]
+    df = spark.createDataFrame(pts, "id long, v1 long, v2 long")
+    got = {r["id"] for r in skyline_2d(df, "v1", "v2", buckets=8).collect()}
+    truth = {
+        i
+        for (i, a1, a2) in pts
+        if not any(
+            b1 >= a1 and b2 >= a2 and (b1 > a1 or b2 > a2)
+            for (_, b1, b2) in pts
+        )
+    }
+    assert got == truth and len(truth) > 2
