@@ -5599,6 +5599,57 @@ def q_events_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "n_events", "total_cents")
 
 
+def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-similarity sketch (operators/kmv.py): per-event-type
+    high-value audiences (distinct users with a value > 200 event)
+    sketched as the 64 minimum hash values, pairwise Jaccard estimated
+    from the union's k smallest — the set-operation capability HLL
+    lacks. Build is the two-phase bounded pattern (per-partition heaps
+    via mapInPandas, exact candidate merge), so the result is EXACTLY
+    the k smallest distinct hashes and the oracle restates it as a
+    row_number over hashes; the exact Jaccard baseline rides along,
+    hash-checked like every other sketch-vs-truth report."""
+    from vanus_spark.operators.kmv import kmv_jaccard_pairs, kmv_sketch
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value") > 200.0)
+    members = ev.select("event_type", "user_id").distinct()
+    sk = kmv_sketch(members, "user_id", "event_type", k=64)
+    est = kmv_jaccard_pairs(sk, k=64)
+    sizes = members.groupBy("event_type").agg(F.count("*").alias("n"))
+    a, b = members.alias("a"), members.alias("b")
+    ix = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("g_a"),
+            F.col("b.event_type").alias("g_b"),
+        )
+        .agg(F.count("*").alias("nab"))
+    )
+    sa = sizes.select(F.col("event_type").alias("g_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("event_type").alias("g_b"), F.col("n").alias("nb"))
+    return (
+        est.join(F.broadcast(sa), "g_a")
+        .join(F.broadcast(sb), "g_b")
+        .join(F.broadcast(ix), ["g_a", "g_b"], "left")
+        .select(
+            "g_a",
+            "g_b",
+            "kk",
+            "inter",
+            F.round("j_est", 6).alias("j_est"),
+            F.round(
+                F.coalesce(F.col("nab"), F.lit(0)).cast("double")
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("nab"), F.lit(0))),
+                6,
+            ).alias("j_exact"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5629,6 +5680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll": q_sketch_hll,
         "quantile_sketch": q_quantile_sketch,
         "events_skyline": q_events_skyline,
+        "sketch_kmv": q_sketch_kmv,
         "stream_hll_replay": q_stream_hll_replay,
         "graph_sssp": q_graph_sssp,
         "geo_radius_join": q_geo_radius_join,
@@ -5657,7 +5709,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rolling window, column profiler, label-propagation
         # communities ---
         "link_communities": q_link_communities,
-        "salted_join_skew": q_salted_join_skew,
         "stream_late_metrics": q_stream_late_metrics,
         "orders_rfm": q_orders_rfm,
         "dedup_lsh_recall": q_dedup_lsh_recall,
@@ -5708,6 +5759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (displaced by the sixth session: thin-restatement
         # analytics whose families stay represented in-window;
         # all replica-gated by the full oracle_check run.)
+        "salted_join_skew": q_salted_join_skew,
         "embedding_norm_stats": q_embedding_norm_stats,
         "text_keywords": q_text_keywords,
         "events_attribution": q_events_attribution,
@@ -9017,6 +9069,49 @@ def oracle_sql() -> dict[str, str]:
                 AND o.total_cents >= p.total_cents
                 AND (o.n_events > p.n_events
                      OR o.total_cents > p.total_cents))
+        """,
+        "sketch_kmv": """
+            WITH m AS (SELECT DISTINCT event_type, user_id
+                       FROM events WHERE value > 200.0),
+            hs AS (SELECT DISTINCT event_type AS g,
+                     ('0x' || substr(md5('0|' || user_id::VARCHAR), 1, 15))::BIGINT
+                       AS h
+                   FROM m),
+            sk AS (SELECT g, h FROM (
+                     SELECT g, h,
+                            row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+                     FROM hs) WHERE rn <= 64),
+            gl AS (SELECT DISTINCT g FROM sk),
+            gp AS (SELECT a.g AS g_a, b.g AS g_b
+                   FROM gl a JOIN gl b ON a.g < b.g),
+            memb AS (
+              SELECT g_a, g_b, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+                SELECT gp.g_a, gp.g_b, s.h, 1 AS in_a, 0 AS in_b
+                FROM gp JOIN sk s ON s.g = gp.g_a
+                UNION ALL
+                SELECT gp.g_a, gp.g_b, s.h, 0, 1
+                FROM gp JOIN sk s ON s.g = gp.g_b) u
+              GROUP BY 1, 2, 3),
+            tk AS (SELECT * FROM (
+                     SELECT *, row_number() OVER (PARTITION BY g_a, g_b
+                                                  ORDER BY h) AS rn
+                     FROM memb) WHERE rn <= 64),
+            est AS (SELECT g_a, g_b, count(*)::BIGINT AS kk,
+                           sum(in_a * in_b)::BIGINT AS inter
+                    FROM tk GROUP BY 1, 2),
+            sizes AS (SELECT event_type, count(*)::BIGINT AS n FROM m GROUP BY 1),
+            ix AS (SELECT a.event_type AS g_a, b.event_type AS g_b,
+                          count(*)::BIGINT AS nab
+                   FROM m a JOIN m b
+                     ON a.user_id = b.user_id AND a.event_type < b.event_type
+                   GROUP BY 1, 2)
+            SELECT e.g_a, e.g_b, e.kk, e.inter,
+                   round(e.inter::DOUBLE / e.kk, 6) AS j_est,
+                   round(coalesce(ix.nab, 0)::DOUBLE
+                         / (sa.n + sb.n - coalesce(ix.nab, 0)), 6) AS j_exact
+            FROM est e JOIN sizes sa ON e.g_a = sa.event_type
+                       JOIN sizes sb ON e.g_b = sb.event_type
+                       LEFT JOIN ix ON e.g_a = ix.g_a AND e.g_b = ix.g_b
         """,
     }
 

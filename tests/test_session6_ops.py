@@ -276,3 +276,73 @@ def test_skyline_matches_quadratic_truth(spark):
         )
     }
     assert got == truth and len(truth) > 2
+
+
+# ----------------------------------------------------------------- KMV
+
+
+def test_kmv_sketch_is_exact_k_smallest(spark):
+    """The two-phase build must equal the brute-force k smallest
+    distinct hashes — the property that lets a SQL oracle restate it."""
+    from vanus_spark.llm.dedup import md5_long
+    from vanus_spark.operators.kmv import kmv_sketch
+
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 3).cast("string").alias("grp"),
+        (F.col("id") % 700).alias("v"),
+    )
+    got = {
+        (r["g"], r["h"])
+        for r in kmv_sketch(df, "v", "grp", k=32).collect()
+    }
+    brute = (
+        df.select(F.col("grp").alias("g"), md5_long(F.col("v")).alias("h"))
+        .distinct()
+        .collect()
+    )
+    import collections
+
+    by_g = collections.defaultdict(set)
+    for r in brute:
+        by_g[r["g"]].add(r["h"])
+    truth = {
+        (g, h) for g, hs in by_g.items() for h in sorted(hs)[:32]
+    }
+    assert got == truth
+
+
+def test_kmv_distinct_estimate(spark):
+    """Full sketch estimates within ~2/sqrt(k); under-full sketch is
+    exact."""
+    from vanus_spark.operators.kmv import kmv_distinct_estimate, kmv_sketch
+
+    df = spark.range(0, 10000).select(
+        F.when(F.col("id") < 9000, "big").otherwise("small").alias("grp"),
+        F.when(F.col("id") < 9000, F.col("id") % 2000)
+        .otherwise(F.col("id") % 10)
+        .alias("v"),
+    )
+    sk = kmv_sketch(df, "v", "grp", k=64)
+    est = {r["g"]: r for r in kmv_distinct_estimate(sk, k=64).collect()}
+    assert est["small"]["n_sketch"] == 10
+    assert est["small"]["distinct_est"] == 10.0
+    assert abs(est["big"]["distinct_est"] - 2000) / 2000 < 0.5
+
+
+def test_kmv_jaccard_identical_and_disjoint(spark):
+    """Identical sets estimate J = 1; disjoint sets J = 0."""
+    from vanus_spark.operators.kmv import kmv_jaccard_pairs, kmv_sketch
+
+    rows = (
+        [("a", i) for i in range(200)]
+        + [("b", i) for i in range(200)]
+        + [("c", i) for i in range(1000, 1200)]
+    )
+    df = spark.createDataFrame(rows, "grp string, v long")
+    sk = kmv_sketch(df, "v", "grp", k=32)
+    j = {
+        (r["g_a"], r["g_b"]): r["j_est"]
+        for r in kmv_jaccard_pairs(sk, k=32).collect()
+    }
+    assert j[("a", "b")] == 1.0
+    assert j[("a", "c")] == 0.0 and j[("b", "c")] == 0.0
