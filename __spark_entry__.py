@@ -5695,6 +5695,249 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs TF-IDF cosine join (llm/allpairs.py): every
+    document pair sharing >= 1 kept term scored via the inverted-index
+    self-join — the AllPairs set-similarity family, with df-pruning
+    (max_df_ratio=0.5) bounding the per-term fan-out the way
+    bucket_cap bounds LSH band joins. The fixture corpus is strongly
+    bimodal (near-dup cosines ~1.0, everything else <= 0.2), so the
+    0.6 threshold sits 0.4 away from any score — far beyond any
+    cross-engine summation-order drift. The oracle restates the exact
+    tokenize/idf/normalize/pair-sum chain."""
+    from vanus_spark.llm.allpairs import tfidf_cosine_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = tfidf_cosine_pairs(docs, threshold=0.6)
+    return pairs.select(
+        "id_l", "id_r", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition by iterative peeling (llm/graphs.kcore):
+    a seeded-md5 random graph (2-8 out-edges per doc) plus a planted
+    dense 80-node block; at k=8 the random periphery cascades away
+    over 9 peel rounds and EXACTLY the planted block survives — a
+    non-trivial fixed point the oracle restates by unrolling 12
+    identical integer peel rounds as chained CTEs (extra rounds
+    past convergence are no-ops, the pagerank/SSSP oracle pattern)."""
+    from vanus_spark.llm.graphs import kcore
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+
+    def h(j_col) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("doc_id").cast("string"),
+                        j_col.cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    cnt = F.lit(2) + (h(F.lit(99)) % 7)
+    rand = docs.select(
+        F.col("doc_id").alias("src_id"),
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), (cnt - 1))
+        ).alias("j"),
+    ).select(
+        F.col("src_id").alias("src"), (h(F.col("j")) % n).alias("dst")
+    )
+    blk = (
+        docs.where(F.col("doc_id") < 80)
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.sequence(F.lit(0), F.lit(5))).alias("j"),
+        )
+        .select(
+            "src",
+            ((F.col("src") * 17 + F.col("j") * 31 + 5) % 80).alias("dst"),
+        )
+    )
+    edges = (
+        rand.unionByName(blk)
+        .where(F.col("src") != F.col("dst"))
+        .select(F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst"))
+        .distinct()
+    )
+    return kcore(edges, k=8, max_rounds=15).select(F.col("node"))
+
+
+def q_er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship on top of entity resolution: the q_entity_resolution
+    record registry (base rows carry acctbal + segment; typo duplicates
+    lose acctbal) is clustered, then each entity collapses to ONE
+    golden row by rule — master-record fields from the lowest rec_id
+    (min_by), most-favorable balance (max over non-nulls), member
+    count. This is the merge step every MDM pipeline runs after
+    matching; one aggregate over the component join, no extra shuffle
+    beyond the ER chain itself. Oracle = the ER recursive-closure
+    oracle + arg_min/max survivorship in SQL."""
+    from vanus_spark.llm.dedup import duplicate_components
+    from vanus_spark.operators.fuzzy import fuzzy_self_pairs
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat(
+            F.col("c_name"),
+            F.lit("-"),
+            F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 6),
+        ).alias("name"),
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    pos = (F.col("c_custkey") % F.length("name")) + 1
+    typos = cust.where(F.col("c_custkey") % 3 == 0).select(
+        (F.col("c_custkey") * 2 + 1).alias("rec_id"),
+        F.concat(
+            F.substr(F.col("name"), F.lit(1), pos - F.lit(1)),
+            F.substr(F.col("name"), pos + F.lit(1), F.length("name")),
+        ).alias("name"),
+        F.lit(None).cast("double").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    recs = cust.select(
+        (F.col("c_custkey") * 2).alias("rec_id"),
+        "name",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    ).unionByName(typos)
+    pairs = fuzzy_self_pairs(recs, "name", "rec_id", max_dist=1).select(
+        F.col("id_l").alias("id_a"), F.col("id_r").alias("id_b")
+    )
+    comp = duplicate_components(pairs, id_col="rec_id")
+    tagged = recs.join(comp, "rec_id", "left").withColumn(
+        "entity_id", F.coalesce("component", "rec_id")
+    )
+    return tagged.groupBy("entity_id").agg(
+        F.min_by("name", "rec_id").alias("name"),
+        F.max("acctbal").alias("acctbal"),
+        F.min_by("segment", "rec_id").alias("segment"),
+        F.count("*").alias("n_members"),
+    )
+
+
+def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 user journey prefixes: each user's first 5 events (by
+    ts, event_id) joined into an ordered path string, counted across
+    users. One per-user window (row_number) + one per-user aggregate
+    whose ordering is made deterministic by sorting the collected
+    (rn, type) structs BEFORE joining — collect_list order is not
+    guaranteed under retries, sort_array makes it exact. The global
+    top-k is a bounded orderBy(count desc, path).limit — the driver-
+    side sort touches only the path-count table, never the events."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firstk = ev.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= 5
+    )
+    paths = firstk.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(20)
+    )
+
+
+def q_events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation onto the dense hourly grid
+    (operators/timeseries.interpolate_linear) — gapfill's sibling for
+    trend-faithful resampling: missing buckets get
+    pv + (nv - pv) * (t - pt)/(nt - pt) between the neighboring
+    observations. The spine is per-key min..max so every gap has both
+    neighbors; the fraction is a ratio of integer second offsets and
+    the blend a single IEEE expression, restated verbatim by the
+    DuckDB oracle. Deliberately UNROUNDED: the doubles are
+    bit-identical (same ops, same order), while round(6) actually
+    DIVERGED on the fixture — blends of 2-decimal values and dyadic
+    fractions land exactly on .5e-6 boundaries, where Spark rounds
+    HALF_UP and DuckDB half-even (the known halfway-double trap)."""
+    from vanus_spark.operators.timeseries import interpolate_linear
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    out = interpolate_linear(ev, "ts", "user_id", "value")
+    return out.select(
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "value_interp",
+        "filled",
+    )
+
+
+# Benford expected first-digit frequencies, computed ONCE driver-side
+# and injected as literals into BOTH the Spark plan and the oracle SQL
+# (log10 is libm-dependent cross-engine; a shared constant is not).
+_BENFORD_FREQ = {d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def q_quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    data-quality screen for fabricated/synthetic numeric columns.
+    Prices are snapped to exact integer cents (round(x*100) — the
+    2-decimal lattice never sits on a .5 boundary) so the first digit
+    comes from INTEGER rendering, identical across engines; expected
+    frequencies are driver-computed literals shared with the oracle.
+    One aggregate over orders; chi-square contributions ride along."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    per = (
+        orders.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n_obs"))
+    )
+    total = orders.select(F.count("*").cast("double").alias("n_total"))
+    exp_freq = F.create_map(
+        *[
+            x
+            for d in range(1, 10)
+            for x in (F.lit(d), F.lit(_BENFORD_FREQ[d]))
+        ]
+    )
+    # dev*dev, never pow(x, 2): Math.pow is libm territory, a product
+    # is a single IEEE op both engines perform identically.
+    joined = per.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n_obs",
+        (F.col("n_obs") / F.col("n_total")).alias("obs_freq"),
+        exp_freq[F.col("digit")].alias("exp_f"),
+        (
+            F.col("n_obs").cast("double")
+            - exp_freq[F.col("digit")] * F.col("n_total")
+        ).alias("dev"),
+        (exp_freq[F.col("digit")] * F.col("n_total")).alias("expn"),
+    )
+    return joined.select(
+        "digit",
+        "n_obs",
+        F.round("obs_freq", 6).alias("obs_freq"),
+        F.round("exp_f", 6).alias("exp_freq"),
+        F.round(F.col("dev") * F.col("dev") / F.col("expn"), 6).alias(
+            "chi2_part"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5721,6 +5964,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # family-represented rows.
     return {
         # --- new this round ---
+        # --- seventh-session additions: all-pairs TF-IDF cosine join,
+        # k-core peeling, ER survivorship, journey paths, linear
+        # interpolation, Benford audit ---
+        "dedup_tfidf_cosine": q_dedup_tfidf_cosine,
+        "graph_kcore": q_graph_kcore,
+        "er_golden_record": q_er_golden_record,
+        "events_top_paths": q_events_top_paths,
+        "events_interpolate": q_events_interpolate,
+        "quality_benford": q_quality_benford,
         # --- sixth-session additions: new operator modules ---
         "sketch_hll": q_sketch_hll,
         "quantile_sketch": q_quantile_sketch,
@@ -5733,15 +5985,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_orc_roundtrip": q_export_orc_roundtrip,
         "hybrid_search_rrf": q_hybrid_search_rrf,
         "session_windows_replay": q_session_windows_replay,
-        "events_ewma": q_events_ewma,
-        "sample_weighted": q_sample_weighted,
-        "schema_drift": q_schema_drift,
         "stream_stream_join_replay": q_stream_stream_join_replay,
         "state_time_travel": q_state_time_travel,
         "stream_dedup_replay": q_stream_dedup_replay,
-        "events_sketch_stats": q_events_sketch_stats,
-        "text_search_bm25": q_text_search_bm25,
-        "events_gapfill": q_events_gapfill,
         "heavy_hitters_tokens": q_heavy_hitters_tokens,
         "table_expectations": q_table_expectations,
         "corpus_psi": q_corpus_psi,
@@ -5791,6 +6037,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_count_min": q_sketch_count_min,
         "dedup_containment": q_dedup_containment,
         # ==================== end of the 50-entry window ====================
+        # displaced by the seventh-session batch: many-times
+        # replica-green pure-batch queries from the first r5 session
+        "events_ewma": q_events_ewma,
+        "sample_weighted": q_sample_weighted,
+        "schema_drift": q_schema_drift,
+        "events_sketch_stats": q_events_sketch_stats,
+        "text_search_bm25": q_text_search_bm25,
+        "events_gapfill": q_events_gapfill,
         # (rotated out for the third-session additions: the first
         # five are r4 driver-green with UNCHANGED code since; the
         # four TPC-H shapes are thin builtin compositions whose
@@ -6340,6 +6594,79 @@ def _hll_epoch_oracle() -> str:
                        ELSE raw END, 6) AS hll_est
           FROM e)""")
     return " UNION ALL ".join(parts)
+
+
+def _kcore_oracle(k: int = 8, rounds: int = 12) -> str:
+    """SQL twin of q_graph_kcore: the identical edge synthesis (seeded
+    md5 random graph + planted 80-node block) and ``rounds`` unrolled
+    integer peel rounds — convergence is at round 9 on the fixture, so
+    rounds=12 is past the fixed point and extra rounds are no-ops (the
+    SSSP/pagerank unroll pattern)."""
+    body = []
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        body.append(
+            f"""
+        k{i} AS MATERIALIZED (
+            SELECT src FROM {prev} GROUP BY 1 HAVING count(*) >= {k}),
+        l{i} AS MATERIALIZED (
+            SELECT l.src, l.dst FROM {prev} l
+            JOIN k{i} a ON l.src = a.src
+            JOIN k{i} b ON l.dst = b.src)"""
+        )
+        prev = f"l{i}"
+    return f"""
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        rnd AS (
+          SELECT doc_id AS src,
+                 ('0x' || substr(md5(doc_id::VARCHAR || ':' || j::VARCHAR),
+                                 1, 8))::BIGINT % nn.n AS dst
+          FROM documents, nn,
+               unnest(generate_series(0::BIGINT,
+                 1 + ('0x' || substr(md5(doc_id::VARCHAR || ':99'),
+                                     1, 8))::BIGINT % 7)) AS t(j)),
+        blk AS (
+          SELECT doc_id AS src, (doc_id * 17 + j * 31 + 5) % 80 AS dst
+          FROM documents, unnest(generate_series(0, 5)) AS t(j)
+          WHERE doc_id < 80),
+        e AS (SELECT DISTINCT src, dst
+              FROM (SELECT * FROM rnd UNION ALL SELECT * FROM blk)
+              WHERE src <> dst),
+        l0 AS MATERIALIZED (
+            SELECT DISTINCT src, dst
+            FROM (SELECT src, dst FROM e
+                  UNION ALL SELECT dst, src FROM e)),
+        {','.join(body)}
+        SELECT DISTINCT src AS node FROM l{rounds}
+    """
+
+
+def _benford_oracle() -> str:
+    """SQL twin of q_quality_benford: integer-cents first digit, the
+    SAME driver-computed expected-frequency literals (log10 is libm-
+    dependent; a shared constant is not), dev*dev instead of pow."""
+    vals = ", ".join(
+        f"({d}, {_BENFORD_FREQ[d]!r}::DOUBLE)" for d in range(1, 10)
+    )
+    return f"""
+        WITH src AS (SELECT round(o_totalprice * 100)::BIGINT AS cents
+                     FROM orders),
+        per AS (SELECT substr(cents::VARCHAR, 1, 1)::INT AS digit,
+                       count(*)::BIGINT AS n_obs
+                FROM src GROUP BY 1),
+        tot AS (SELECT count(*)::DOUBLE AS n_total FROM orders),
+        ef AS (SELECT * FROM (VALUES {vals}) AS t(digit, exp_f)),
+        d AS (SELECT per.digit, per.n_obs,
+                     per.n_obs / tot.n_total AS obs_freq,
+                     ef.exp_f,
+                     per.n_obs::DOUBLE - ef.exp_f * tot.n_total AS dev,
+                     ef.exp_f * tot.n_total AS expn
+              FROM per JOIN ef ON per.digit = ef.digit CROSS JOIN tot)
+        SELECT digit, n_obs, round(obs_freq, 6) AS obs_freq,
+               round(exp_f, 6) AS exp_freq,
+               round(dev * dev / expn, 6) AS chi2_part
+        FROM d
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -9190,6 +9517,115 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(c.component, r.rec_id) AS entity_id
             FROM recs r LEFT JOIN comp c ON r.rec_id = c.rec_id
         """,
+        "dedup_tfidf_cosine": f"""
+            WITH tk AS (SELECT doc_id,
+                               unnest(str_split({_NORM.format(c='text')}, ' ')) AS term
+                        FROM documents),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+                   FROM tk WHERE term <> '' GROUP BY 1, 2),
+            nd AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+            df AS (SELECT term, count(*)::DOUBLE AS dfreq FROM tf GROUP BY 1),
+            kept AS (SELECT term, ln(nd.n_docs / dfreq) AS idf
+                     FROM df, nd WHERE dfreq <= 0.5::DOUBLE * nd.n_docs),
+            w AS (SELECT doc_id, tf.term, tf * idf AS w
+                  FROM tf JOIN kept ON tf.term = kept.term),
+            nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+            u AS (SELECT w.doc_id, term, w / nrm AS w
+                  FROM w JOIN nrm ON w.doc_id = nrm.doc_id),
+            p AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+                         sum(a.w * b.w) AS cosine
+                  FROM u a JOIN u b ON a.term = b.term AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+            SELECT id_l, id_r, round(cosine, 6) AS cosine
+            FROM p WHERE cosine >= 0.6::DOUBLE
+        """,
+        "graph_kcore": _kcore_oracle(),
+        "er_golden_record": """
+            WITH RECURSIVE cust AS (
+              SELECT c_custkey,
+                     c_name || '-' || substr(md5(c_custkey::VARCHAR), 1, 6)
+                       AS name,
+                     c_acctbal, c_mktsegment
+              FROM customer),
+            recs AS (
+              SELECT c_custkey * 2 AS rec_id, name,
+                     c_acctbal AS acctbal, c_mktsegment AS segment
+              FROM cust
+              UNION ALL
+              SELECT c_custkey * 2 + 1,
+                     substr(name, 1, pos - 1)
+                       || substr(name, pos + 1, length(name)),
+                     NULL::DOUBLE, c_mktsegment
+              FROM (SELECT c_custkey, name, c_mktsegment,
+                           (c_custkey % length(name)) + 1 AS pos
+                    FROM cust) t
+              WHERE c_custkey % 3 = 0),
+            pr AS (SELECT a.rec_id AS id_a, b.rec_id AS id_b
+                   FROM recs a JOIN recs b ON a.rec_id < b.rec_id
+                   WHERE levenshtein(a.name, b.name) <= 1),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+                      UNION SELECT id_b, id_a FROM pr),
+            walk(node, label) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.node),
+            comp AS (SELECT node AS rec_id, min(label) AS component
+                     FROM walk GROUP BY 1),
+            tagged AS (SELECT r.*, coalesce(c.component, r.rec_id) AS entity_id
+                       FROM recs r LEFT JOIN comp c ON r.rec_id = c.rec_id)
+            SELECT entity_id, arg_min(name, rec_id) AS name,
+                   max(acctbal) AS acctbal,
+                   arg_min(segment, rec_id) AS segment,
+                   count(*)::BIGINT AS n_members
+            FROM tagged GROUP BY 1
+        """,
+        "events_top_paths": """
+            WITH r AS (SELECT user_id, event_type,
+                              row_number() OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id) AS rn
+                       FROM events),
+            p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn)
+                           AS path
+                  FROM r WHERE rn <= 5 GROUP BY 1)
+            SELECT path, count(*)::BIGINT AS n_users
+            FROM p GROUP BY 1
+            ORDER BY n_users DESC, path LIMIT 20
+        """,
+        "events_interpolate": """
+            WITH h AS (SELECT user_id, date_trunc('hour', ts) AS bucket,
+                              max(value) AS v
+                       FROM events WHERE user_id < 20 GROUP BY 1, 2),
+            sp AS (SELECT user_id,
+                          unnest(generate_series(min(bucket), max(bucket),
+                                                 INTERVAL 1 HOUR)) AS bucket
+                   FROM h GROUP BY user_id),
+            j AS (SELECT sp.user_id, sp.bucket, h.v
+                  FROM sp LEFT JOIN h USING (user_id, bucket)),
+            c AS (SELECT user_id, bucket, v,
+                         last_value(v IGNORE NULLS) OVER wb AS pv,
+                         last_value(CASE WHEN v IS NOT NULL THEN bucket END
+                                    IGNORE NULLS) OVER wb AS pt,
+                         first_value(v IGNORE NULLS) OVER wf AS nv,
+                         first_value(CASE WHEN v IS NOT NULL THEN bucket END
+                                     IGNORE NULLS) OVER wf AS nt
+                  FROM j
+                  WINDOW wb AS (PARTITION BY user_id ORDER BY bucket
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW),
+                         wf AS (PARTITION BY user_id ORDER BY bucket
+                                ROWS BETWEEN CURRENT ROW
+                                         AND UNBOUNDED FOLLOWING))
+            SELECT user_id,
+                   strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+                   CASE WHEN v IS NOT NULL THEN v
+                        ELSE pv + (nv - pv)
+                             * (date_diff('second', pt, bucket)::DOUBLE
+                                / date_diff('second', pt, nt)::DOUBLE)
+                        END AS value_interp,
+                   (v IS NULL) AS filled
+            FROM c
+        """,
+        "quality_benford": _benford_oracle(),
     }
 
 

@@ -27,6 +27,18 @@ def sf_dir():
 
 
 @pytest.fixture(scope="session")
+def entry_mod():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod_fixture", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+@pytest.fixture(scope="session")
 def events(spark, sf_dir):
     from vanus_spark.sources.tables import load_table
 

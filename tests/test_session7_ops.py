@@ -1,0 +1,215 @@
+"""Seventh-session operators: all-pairs TF-IDF cosine join, k-core
+peeling, linear interpolation, survivorship / journey / Benford
+query-level fixtures."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+# ------------------------------------------------- all-pairs cosine
+
+
+def _toy_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),  # exact dup of 1
+            (3, "alpha beta gamma epsilon"),  # near dup of 1/2
+            (4, "zeta eta theta iota"),  # disjoint
+            (5, "common common common words"),  # shares only df-pruned terms
+            (6, "common words here too"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_tfidf_cosine_exact_dup_scores_one(spark):
+    from vanus_spark.llm.allpairs import tfidf_cosine_pairs
+
+    out = {
+        (r["id_l"], r["id_r"]): r["cosine"]
+        for r in tfidf_cosine_pairs(
+            _toy_docs(spark), threshold=0.0, max_df_ratio=1.0
+        ).collect()
+    }
+    assert abs(out[(1, 2)] - 1.0) < 1e-12  # identical vectors
+    assert 0.0 < out[(1, 3)] < 1.0  # overlapping
+    assert (1, 4) not in out  # no shared term -> no candidate row
+
+
+def test_tfidf_cosine_df_pruning_bounds_fanout(spark):
+    """A term in > max_df_ratio of docs must not generate candidate
+    pairs (the quadratic stop-word blowup the cap exists for): docs 5
+    and 6 share only 'common'/'words' and both appear in 2/6 docs; at
+    max_df_ratio=0.2 every shared term is pruned and the pair
+    disappears entirely."""
+    from vanus_spark.llm.allpairs import tfidf_cosine_pairs
+
+    pairs = tfidf_cosine_pairs(
+        _toy_docs(spark), threshold=0.0, max_df_ratio=0.2
+    )
+    got = {(r["id_l"], r["id_r"]) for r in pairs.collect()}
+    assert (5, 6) not in got
+
+
+def test_tfidf_unit_vectors_are_unit(spark):
+    from vanus_spark.llm.allpairs import tfidf_unit_vectors
+
+    norms = (
+        tfidf_unit_vectors(_toy_docs(spark), max_df_ratio=1.0)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+        .collect()
+    )
+    for r in norms:
+        assert abs(r["n2"] - 1.0) < 1e-9
+
+
+def test_tfidf_cosine_plan_has_no_cartesian(spark):
+    from vanus_spark.llm.allpairs import tfidf_cosine_pairs
+
+    plan = (
+        tfidf_cosine_pairs(_toy_docs(spark), threshold=0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the only nested-loop is the bounded ONE-ROW n_docs stats
+    # broadcast (the bm25 pattern); a true cartesian over the postings
+    # would appear as CartesianProduct
+    assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------------ k-core
+
+
+def _ring_plus_clique(spark):
+    """Ring of 20 (degree 2) + a 6-clique on nodes 100..105."""
+    ring = [(i, (i + 1) % 20) for i in range(20)]
+    clique = [
+        (100 + a, 100 + b) for a in range(6) for b in range(6) if a < b
+    ]
+    return spark.createDataFrame(ring + clique, ["src", "dst"])
+
+
+def test_kcore_peels_ring_keeps_clique(spark):
+    from vanus_spark.llm.graphs import kcore
+
+    nodes = {
+        r["node"] for r in kcore(_ring_plus_clique(spark), k=3).collect()
+    }
+    assert nodes == {100 + i for i in range(6)}  # 6-clique is a 5-core
+
+
+def test_kcore_k2_keeps_everything(spark):
+    from vanus_spark.llm.graphs import kcore
+
+    assert kcore(_ring_plus_clique(spark), k=2).count() == 26
+
+
+def test_kcore_duplicate_and_reverse_edges_count_once(spark):
+    """Simple-graph degrees: feeding (a,b), (b,a) and a duplicate
+    (a,b) again must not inflate degrees past 1."""
+    from vanus_spark.llm.graphs import kcore
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (2, 3), (3, 1)], ["src", "dst"]
+    )
+    # triangle: every node has simple degree 2
+    nodes = {r["node"] for r in kcore(edges, k=2).collect()}
+    assert nodes == {1, 2, 3}
+    assert kcore(edges, k=3).count() == 0
+
+
+def test_kcore_raises_past_max_rounds(spark):
+    """A long chain peels one layer of endpoints per round; with
+    max_rounds too small the vote-to-halt contract must raise, never
+    return a non-fixed-point."""
+    import pytest
+
+    from vanus_spark.llm.graphs import kcore
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["src", "dst"]
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        kcore(chain, k=2, max_rounds=2)
+
+
+# ------------------------------------------- linear interpolation
+
+
+def test_interpolate_linear_fills_gap_linearly(spark):
+    from vanus_spark.operators.timeseries import interpolate_linear
+
+    df = spark.createDataFrame(
+        [
+            ("k", "2024-01-01 00:00:00", 10.0),
+            ("k", "2024-01-01 04:00:00", 30.0),
+        ],
+        ["key", "ts_s", "v"],
+    ).select("key", F.to_timestamp("ts_s").alias("ts"), "v")
+    out = {
+        r["bucket"].hour: (r["value_interp"], r["filled"])
+        for r in interpolate_linear(df, "ts", "key", "v").collect()
+    }
+    assert out[0] == (10.0, False)
+    assert out[1] == (15.0, True)
+    assert out[2] == (20.0, True)
+    assert out[3] == (25.0, True)
+    assert out[4] == (30.0, False)
+
+
+def test_interpolate_linear_observed_rows_untouched(spark):
+    """Buckets with observations keep the exact aggregate value even
+    when neighbors would interpolate to something else."""
+    from vanus_spark.operators.timeseries import interpolate_linear
+
+    df = spark.createDataFrame(
+        [
+            ("k", "2024-01-01 00:00:00", 10.0),
+            ("k", "2024-01-01 01:00:00", 99.0),
+            ("k", "2024-01-01 02:00:00", 30.0),
+        ],
+        ["key", "ts_s", "v"],
+    ).select("key", F.to_timestamp("ts_s").alias("ts"), "v")
+    rows = interpolate_linear(df, "ts", "key", "v").collect()
+    assert [r["value_interp"] for r in sorted(rows, key=lambda r: r["bucket"])] == [
+        10.0,
+        99.0,
+        30.0,
+    ]
+
+
+# ------------------------------------------------- query fixtures
+
+
+def test_golden_record_survivorship(spark, entry_mod, sf_dir):
+    """Every entity keeps the master (lowest rec_id) name — which is
+    always a BASE record (even rec_id), since typo rec_ids are odd and
+    larger — and a non-null balance (typo rows carry NULL)."""
+    out = entry_mod.queries()["er_golden_record"](spark, sf_dir)
+    rows = out.collect()
+    assert all(r["acctbal"] is not None for r in rows)
+    multi = [r for r in rows if r["n_members"] > 1]
+    assert multi, "fixture must produce real clusters"
+    assert all(r["n_members"] <= 4 for r in rows)
+
+
+def test_benford_report_is_complete_and_consistent(spark, entry_mod, sf_dir):
+    out = entry_mod.queries()["quality_benford"](spark, sf_dir).collect()
+    assert {r["digit"] for r in out} == set(range(1, 10))
+    assert abs(sum(r["obs_freq"] for r in out) - 1.0) < 1e-3
+    exp = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
+    for r in out:
+        assert abs(r["exp_freq"] - exp[r["digit"]]) < 1e-6
+
+
+def test_top_paths_are_bounded_and_ordered(spark, entry_mod, sf_dir):
+    rows = entry_mod.queries()["events_top_paths"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    counts = [r["n_users"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(1 <= len(r["path"].split(">")) <= 5 for r in rows)

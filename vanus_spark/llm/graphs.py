@@ -161,3 +161,57 @@ def sssp(
             .localCheckpoint(eager=True)
         )
     return dist
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 50,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node,) — the k-core of the undirected graph: the maximal
+    subgraph in which every node has degree >= k, computed by
+    iterative peeling (remove all nodes of degree < k, recompute
+    degrees on the surviving subgraph, repeat to a fixed point).
+
+    Community/spam analysis on crawl graphs uses the core number as a
+    robustness signal (link farms collapse at low k; genuine hub
+    neighborhoods survive). Peeling is the textbook distributed form:
+    each round is ONE degree aggregate over the surviving edge table +
+    ONE semi-join to drop edges touching peeled nodes — no adjacency
+    matrix, no per-node messaging framework.
+
+    The fixed point is unique (the k-core is well-defined), so extra
+    rounds after convergence are no-ops — an unrolled-SQL oracle with
+    >= the convergence round count restates the result exactly; all
+    arithmetic is integer. Raises if ``max_rounds`` is hit while still
+    shrinking (same vote-to-halt contract as duplicate_components).
+
+    At 100 TB: the edge table shrinks monotonically; each round's
+    degree aggregate is map-side combined on the src partitioning, and
+    the survivor filter is a broadcast-able semi-join once the peel
+    set is small. Rounds needed = peeling depth (typically tens even
+    on billion-edge graphs). localCheckpoint keeps lineage linear in
+    rounds."""
+    und = edges.select(src, dst).unionByName(
+        edges.select(F.col(dst).alias(src), F.col(src).alias(dst))
+    )
+    # simple-graph degrees: a pair present in both directions (or a
+    # duplicate input edge) must count once, so dedupe after
+    # symmetrizing — one up-front shuffle, amortized over every round.
+    live = und.distinct().localCheckpoint(eager=True)
+    n_prev = live.count()
+    for _ in range(max_rounds):
+        deg = live.groupBy(src).agg(F.count("*").alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select(src)
+        live = (
+            live.join(keep, src, "left_semi")
+            .join(keep.select(F.col(src).alias(dst)), dst, "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n = live.count()
+        if n == n_prev:
+            return live.select(F.col(src).alias("node")).distinct()
+        n_prev = n
+    raise RuntimeError(f"kcore did not converge within {max_rounds} rounds")

@@ -161,3 +161,70 @@ def cusum(
         .withColumn(out_col + "_alarm", F.col(out_col) > F.lit(threshold))
         .drop("_p")
     )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    step: str = "1 hour",
+    bucket_fn: str = "hour",
+) -> DataFrame:
+    """``gapfill``'s sibling with LINEAR interpolation: missing grid
+    buckets get pv + (nv - pv) * (t - pt)/(nt - pt) between the
+    previous and next observed buckets (sensor/metric resampling where
+    a step function misstates trends).
+
+    Same dense-spine construction as ``gapfill`` (per-key min..max, so
+    every interior gap has both neighbors); the previous/next carries
+    are ONE ordered window each over the same key partitioning —
+    still two shuffles total. The arithmetic is a single IEEE
+    expression over integer second offsets, so an independent SQL
+    engine reproduces it bit-for-bit.
+
+    Returns (key, bucket, value_interp, filled).
+    """
+    bucket = F.date_trunc(bucket_fn, F.col(ts_col)).alias("bucket")
+    actual = df.groupBy(F.col(key_col), bucket).agg(
+        F.max(value_col).alias("_v")
+    )
+    spine = (
+        actual.groupBy(key_col)
+        .agg(F.min("bucket").alias("_mn"), F.max("bucket").alias("_mx"))
+        .select(
+            key_col,
+            F.explode(
+                F.sequence("_mn", "_mx", F.expr(f"INTERVAL {step}"))
+            ).alias("bucket"),
+        )
+    )
+    joined = spine.join(actual, [key_col, "bucket"], "left")
+    wb = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_bucket = F.when(F.col("_v").isNotNull(), F.col("bucket"))
+    pv = F.last("_v", ignorenulls=True).over(wb)
+    pt = F.last(obs_bucket, ignorenulls=True).over(wb)
+    nv = F.first("_v", ignorenulls=True).over(wf)
+    nt = F.first(obs_bucket, ignorenulls=True).over(wf)
+    frac = (
+        (F.unix_timestamp("bucket") - F.unix_timestamp(pt)).cast("double")
+        / (F.unix_timestamp(nt) - F.unix_timestamp(pt)).cast("double")
+    )
+    interp = F.when(F.col("_v").isNotNull(), F.col("_v")).otherwise(
+        pv + (nv - pv) * frac
+    )
+    return joined.select(
+        key_col,
+        "bucket",
+        interp.alias("value_interp"),
+        F.col("_v").isNull().alias("filled"),
+    )
