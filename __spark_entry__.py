@@ -5938,6 +5938,150 @@ def q_quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA top component by exact-integer power iteration
+    (operators/pca.py): embeddings quantized to integers (one
+    well-separated round is the only float op), a planted dominant
+    direction (vec_id- and dim-keyed integer offsets — eigengap 117x,
+    alignment 1-2e-11 after 4 iterations), Gram matrix from
+    per-partition numpy partial Grams, 4 decimal(38,0) matvec rounds,
+    and ONE double division per dimension at the end. The oracle
+    replays the identical integer algebra in HUGEINT (int128) — every
+    intermediate agrees exactly, no summation-order drift anywhere."""
+    from vanus_spark.operators.pca import (
+        gram_matrix_exact,
+        power_iteration_exact,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvecs = emb.select(
+        F.transform(
+            "embedding",
+            lambda x, i: F.round(x.cast("double") * 100).cast("long")
+            + ((F.col("vec_id") % 7) - 3) * 8 * ((i % 5) - 2),
+        ).alias("qvec")
+    )
+    gram = gram_matrix_exact(qvecs, dim=64)
+    out = power_iteration_exact(spark, gram, dim=64, iters=4)
+    return out.select("dim", F.round("component", 9).alias("component"))
+
+
+# Portable regex subset only (anchors, classes, alternation-free
+# repetition): Spark matches with java.util.regex, DuckDB with RE2 —
+# these constructs agree; lookaround/backrefs would not port.
+_JOURNEY_PATTERNS = [
+    ("view_to_purchase", "view(>[a-z_]+)*>purchase"),
+    ("signup_start", "^signup"),
+    ("error_after_purchase", "purchase>error"),
+    ("triple_view", "view>view>view"),
+]
+
+
+def q_events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over user journeys (MATCH_RECOGNIZE
+    lite): each user's first 20 events serialize to an ordered path
+    string (one per-key window + one deterministic sorted-struct
+    aggregate), then a broadcast pattern table counts matching users
+    per regex. The path strings are bounded, so the regex cost is
+    per-user O(1) and the whole operator is two shuffles at any
+    scale. Oracle: same paths via string_agg(ORDER BY), same patterns
+    as a VALUES table, regexp_matches."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firstk = ev.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= 20
+    )
+    paths = firstk.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    pats = spark.createDataFrame(
+        _JOURNEY_PATTERNS, ["pattern_name", "pattern"]
+    )
+    return (
+        paths.crossJoin(F.broadcast(pats))
+        .where(F.expr("path rlike pattern"))
+        .groupBy("pattern_name")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence similarity (the classic collaborative-
+    filtering building block): parts bought together in one order,
+    cosine = cooc / sqrt(n_a * n_b) over exact integer counts (sqrt
+    is IEEE-exact, so both engines produce the identical double),
+    support floor cooc >= 2, top-3 neighbors per item by a bounded
+    per-item window. The within-order self-join fan-out is bounded by
+    basket size (TPC-H orders are <= 7 lines); at 100 TB a basket-size
+    cap guards pathological carts the same way bucket_cap guards LSH
+    buckets."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    cnt = li.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    cooc = (
+        a.join(b, "o")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("cooc"))
+        .where(F.col("cooc") >= 2)
+    )
+    na = cnt.select(F.col("l_partkey").alias("pa"), F.col("n").alias("na"))
+    nb = cnt.select(F.col("l_partkey").alias("pb"), F.col("n").alias("nb"))
+    sim = (
+        cooc.join(na, "pa")
+        .join(nb, "pb")
+        .select(
+            "pa",
+            "pb",
+            "cooc",
+            (
+                F.col("cooc")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb"))
+            ).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("pa").orderBy(F.col("cos_raw").desc(), F.col("pb"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("pa", "pb", "cooc", F.round("cos_raw", 6).alias("cos"), "rank")
+    )
+
+
+def q_corpus_select_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy max-coverage corpus selection (llm/selection.py): the
+    5 documents that together cover the most distinct word-3-gram
+    shingles, picked by the submodular greedy sweep (anti-join against
+    covered shingles + one count-distinct aggregate + a bounded
+    TakeOrdered per round). Fully deterministic (gain DESC, doc_id
+    tie), so the oracle unrolls the same 5 rounds as materialized
+    ANTI-JOIN CTEs. The k picked rows are the only driver-side data."""
+    from vanus_spark.llm.dedup import shingles_df
+    from vanus_spark.llm.selection import greedy_max_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    ds = (
+        shingles_df(docs)
+        .select("doc_id", F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    picks = greedy_max_coverage(ds, k=5)
+    return spark.createDataFrame(
+        picks, "round int, doc_id long, gain long"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5968,6 +6112,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # k-core peeling, ER survivorship, journey paths, linear
         # interpolation, Benford audit ---
         "dedup_tfidf_cosine": q_dedup_tfidf_cosine,
+        "embedding_pca": q_embedding_pca,
+        "events_pattern_match": q_events_pattern_match,
+        "item_similarity": q_item_similarity,
+        "corpus_select_greedy": q_corpus_select_greedy,
         "graph_kcore": q_graph_kcore,
         "er_golden_record": q_er_golden_record,
         "events_top_paths": q_events_top_paths,
@@ -5988,9 +6136,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stream_join_replay": q_stream_stream_join_replay,
         "state_time_travel": q_state_time_travel,
         "stream_dedup_replay": q_stream_dedup_replay,
-        "heavy_hitters_tokens": q_heavy_hitters_tokens,
-        "table_expectations": q_table_expectations,
-        "corpus_psi": q_corpus_psi,
         "merge_upsert": q_merge_upsert,
         "cdc_apply_replay": q_cdc_apply_replay,
         "authz_decisions": q_authz_decisions,
@@ -6002,7 +6147,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # communities ---
         "link_communities": q_link_communities,
         "stream_late_metrics": q_stream_late_metrics,
-        "dedup_lsh_recall": q_dedup_lsh_recall,
         # --- never driver-checked (r3 position 51) ---
         # --- filters.py was rewritten this round: family re-gated
         # (the four plainest single-predicate forms rotate to the
@@ -6038,7 +6182,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": q_dedup_containment,
         # ==================== end of the 50-entry window ====================
         # displaced by the seventh-session batch: many-times
-        # replica-green pure-batch queries from the first r5 session
+        # replica-green pure-batch queries from earlier r5 sessions
+        "heavy_hitters_tokens": q_heavy_hitters_tokens,
+        "table_expectations": q_table_expectations,
+        "corpus_psi": q_corpus_psi,
+        "dedup_lsh_recall": q_dedup_lsh_recall,
         "events_ewma": q_events_ewma,
         "sample_weighted": q_sample_weighted,
         "schema_drift": q_schema_drift,
@@ -6638,6 +6786,75 @@ def _kcore_oracle(k: int = 8, rounds: int = 12) -> str:
                   UNION ALL SELECT dst, src FROM e)),
         {','.join(body)}
         SELECT DISTINCT src AS node FROM l{rounds}
+    """
+
+
+def _pca_oracle(iters: int = 4) -> str:
+    """SQL twin of q_embedding_pca: the identical integer quantization
+    + plant, the Gram self-join, and ``iters`` HUGEINT (int128) matvec
+    rounds — Spark's decimal(38,0) and DuckDB's int128 hold the exact
+    same integers, so only the final double division meets floats."""
+    rounds = []
+    prev = "v0"
+    for i in range(1, iters + 1):
+        rounds.append(
+            f"""
+        v{i} AS MATERIALIZED (
+            SELECT g.i AS j, sum(g.g::HUGEINT * {prev}.v) AS v
+            FROM g JOIN {prev} ON g.j = {prev}.j GROUP BY 1)"""
+        )
+        prev = f"v{i}"
+    return f"""
+        WITH u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+                          unnest(range(64)) AS d
+                   FROM embeddings),
+        q AS (SELECT vec_id, d,
+                     round(x * 100)::BIGINT
+                       + ((vec_id % 7) - 3) * 8 * ((d % 5) - 2) AS q
+              FROM u),
+        g AS MATERIALIZED (
+            SELECT a.d AS i, b.d AS j, sum(a.q * b.q)::BIGINT AS g
+            FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+        v0 AS (SELECT j, 1::HUGEINT AS v FROM range(64) t(j)),
+        {','.join(rounds)},
+        mx AS (SELECT max(abs(v)) AS mx FROM {prev})
+        SELECT {prev}.j::INT AS dim,
+               round({prev}.v::DOUBLE / mx.mx::DOUBLE, 9) AS component
+        FROM {prev}, mx
+    """
+
+
+def _greedy_oracle(k: int = 5) -> str:
+    """SQL twin of q_corpus_select_greedy: the same 5 greedy rounds
+    unrolled — per round a gain aggregate over the remaining (doc,
+    shingle) pairs, a LIMIT-1 argmax with the (gain DESC, doc_id) tie
+    rule, and a materialized ANTI JOIN removing the covered shingles."""
+    norm = _NORM.format(c="text")
+    parts = []
+    prev = "r0"
+    sels = []
+    for i in range(1, k + 1):
+        parts.append(
+            f"""
+        g{i} AS (SELECT doc_id, count(DISTINCT shingle) AS gain
+                 FROM {prev} GROUP BY 1),
+        s{i} AS (SELECT {i} AS round, doc_id, gain FROM g{i}
+                 ORDER BY gain DESC, doc_id LIMIT 1),
+        r{i} AS MATERIALIZED (
+            SELECT {prev}.doc_id, {prev}.shingle FROM {prev}
+            ANTI JOIN (SELECT {prev}.shingle FROM {prev}
+                       JOIN s{i} USING (doc_id)) c USING (shingle))"""
+        )
+        sels.append(f"SELECT * FROM s{i}")
+        prev = f"r{i}"
+    return f"""
+        WITH n AS (SELECT doc_id, {norm} AS nt FROM documents),
+        sh AS (SELECT doc_id, {_shingle_sql()} AS sh FROM n),
+        r0 AS MATERIALIZED (
+            SELECT DISTINCT doc_id, u.s AS shingle
+            FROM sh, unnest(sh.sh) AS u(s)),
+        {','.join(parts)}
+        {' UNION ALL '.join(sels)}
     """
 
 
@@ -9540,6 +9757,50 @@ def oracle_sql() -> dict[str, str]:
             FROM p WHERE cosine >= 0.6::DOUBLE
         """,
         "graph_kcore": _kcore_oracle(),
+        "embedding_pca": _pca_oracle(),
+        "corpus_select_greedy": _greedy_oracle(),
+        "events_pattern_match": """
+            WITH r AS (SELECT user_id, event_type,
+                              row_number() OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id) AS rn
+                       FROM events),
+            p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn)
+                           AS path
+                  FROM r WHERE rn <= 20 GROUP BY 1),
+            pats AS (SELECT * FROM (VALUES
+                ('view_to_purchase', 'view(>[a-z_]+)*>purchase'),
+                ('signup_start', '^signup'),
+                ('error_after_purchase', 'purchase>error'),
+                ('triple_view', 'view>view>view'))
+                AS t(pattern_name, pattern))
+            SELECT pattern_name, count(*)::BIGINT AS n_users
+            FROM p, pats WHERE regexp_matches(path, pattern)
+            GROUP BY 1
+        """,
+        "item_similarity": """
+            WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM lineitem),
+            cnt AS (SELECT l_partkey, count(*)::BIGINT AS n
+                    FROM li GROUP BY 1),
+            cooc AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                            count(*)::BIGINT AS cooc
+                     FROM li a JOIN li b
+                       ON a.l_orderkey = b.l_orderkey
+                      AND a.l_partkey < b.l_partkey
+                     GROUP BY 1, 2 HAVING count(*) >= 2),
+            sim AS (SELECT pa, pb, cooc,
+                           cooc / sqrt(na.n::DOUBLE * nb.n) AS cos_raw
+                    FROM cooc
+                         JOIN cnt na ON cooc.pa = na.l_partkey
+                         JOIN cnt nb ON cooc.pb = nb.l_partkey),
+            rk AS (SELECT pa, pb, cooc, cos_raw,
+                          row_number() OVER (PARTITION BY pa
+                                             ORDER BY cos_raw DESC, pb)
+                            AS rank
+                   FROM sim)
+            SELECT pa, pb, cooc, round(cos_raw, 6) AS cos, rank::INT AS rank
+            FROM rk WHERE rank <= 3
+        """,
         "er_golden_record": """
             WITH RECURSIVE cust AS (
               SELECT c_custkey,

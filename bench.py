@@ -178,6 +178,25 @@ HEADLINE = [
     "sketch_count_min",
     "dedup_containment",
     "stream_topk_replay",
+    # round 5, sixth session
+    "sketch_hll",
+    "quantile_sketch",
+    "events_skyline",
+    "sketch_kmv",
+    "entity_resolution",
+    "stream_hll_replay",
+    "graph_sssp",
+    "geo_radius_join",
+    "export_orc_roundtrip",
+    "hybrid_search_rrf",
+    "asof_nearest_events",
+    # round 5, seventh session
+    "dedup_tfidf_cosine",
+    "graph_kcore",
+    "er_golden_record",
+    "events_top_paths",
+    "events_interpolate",
+    "quality_benford",
 ]
 
 

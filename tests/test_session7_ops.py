@@ -213,3 +213,86 @@ def test_top_paths_are_bounded_and_ordered(spark, entry_mod, sf_dir):
     counts = [r["n_users"] for r in rows]
     assert counts == sorted(counts, reverse=True)
     assert all(1 <= len(r["path"].split(">")) <= 5 for r in rows)
+
+
+# ------------------------------------------------- exact-integer PCA
+
+
+def test_gram_exact_equals_join_form(spark):
+    """The mapInPandas partial-Gram path (scale form) must equal the
+    d^2-per-row self-join (reference form) exactly — integer algebra."""
+    from vanus_spark.operators.pca import gram_matrix_exact, gram_matrix_join
+
+    rows = [(i, [(i * 7 + j * 3) % 11 - 5 for j in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "qvec"]).repartition(4)
+    fast = gram_matrix_exact(df, dim=8)
+    lng = df.select(
+        "vec_id", F.posexplode("qvec").alias("d", "q")
+    )
+    ref = gram_matrix_join(lng)
+    assert fast.exceptAll(ref).count() == 0
+    assert ref.exceptAll(fast).count() == 0
+
+
+def test_power_iteration_exact_matches_numpy_int(spark):
+    """4 decimal(38,0) matvec rounds from ones must equal exact python
+    integer arithmetic (no drift anywhere before the final division)."""
+    from vanus_spark.operators.pca import power_iteration_exact
+
+    import numpy as np
+
+    G = [[(i * 5 + j * 3) % 7 + (10 if i == j else 0) for j in range(4)] for i in range(4)]
+    gdf = spark.createDataFrame(
+        [(i, j, G[i][j]) for i in range(4) for j in range(4)],
+        ["i", "j", "g"],
+    )
+    out = {
+        r["dim"]: r["component"]
+        for r in power_iteration_exact(spark, gdf, dim=4, iters=4).collect()
+    }
+    v = [1] * 4
+    for _ in range(4):
+        v = [sum(G[i][j] * v[j] for j in range(4)) for i in range(4)]
+    mx = max(abs(x) for x in v)
+    for i in range(4):
+        assert abs(out[i] - v[i] / mx) < 1e-15
+
+
+def test_pca_fixture_recovers_planted_direction(spark, entry_mod):
+    """The registered query's output must align with the planted
+    direction g_d = (d % 5) - 2 (the eigengap makes 4 iterations
+    converge to ~1e-11 residual)."""
+    import math
+
+    out = entry_mod.queries()["embedding_pca"](spark, "/root/testdata/sf0.01")
+    comp = {r["dim"]: r["component"] for r in out.collect()}
+    g = [(d % 5) - 2 for d in range(64)]
+    dot = sum(comp[d] * g[d] for d in range(64))
+    ng = math.sqrt(sum(x * x for x in g))
+    nc = math.sqrt(sum(x * x for x in comp.values()))
+    assert abs(dot) / (ng * nc) > 0.99
+
+
+# ------------------------------------------------- greedy coverage
+
+
+def test_greedy_max_coverage_picks_best_first(spark):
+    from vanus_spark.llm.selection import greedy_max_coverage
+
+    rows = (
+        [(1, f"s{i}") for i in range(10)]  # doc 1 covers 10
+        + [(2, f"s{i}") for i in range(8)]  # subset of doc 1
+        + [(2, "x1"), (2, "x2")]  # +2 unique -> gain 2 after doc 1
+        + [(3, "y1"), (3, "y2"), (3, "y3")]  # disjoint 3
+    )
+    ds = spark.createDataFrame(rows, ["doc_id", "shingle"]).distinct()
+    picks = greedy_max_coverage(ds, k=3)
+    assert picks == [(1, 1, 10), (2, 3, 3), (3, 2, 2)]
+
+
+def test_greedy_stops_when_exhausted(spark):
+    from vanus_spark.llm.selection import greedy_max_coverage
+
+    ds = spark.createDataFrame([(1, "a"), (2, "a")], ["doc_id", "shingle"])
+    picks = greedy_max_coverage(ds, k=5)
+    assert picks == [(1, 1, 1)]  # doc 2's gain collapses to 0, loop ends

@@ -1,0 +1,59 @@
+"""Greedy maximum-coverage corpus selection (submodular subset pick).
+
+Training-data curation routinely wants "the k documents that together
+cover the most distinct content" — facility-location / max-coverage
+selection for diverse fine-tuning subsets, eval-seed picking, or
+dedup-aware sampling. Max coverage is submodular, so the greedy sweep
+(pick the doc with the largest marginal gain, repeat) carries the
+classic (1 - 1/e) guarantee and is the standard scalable algorithm.
+
+Distributed shape per round (the lazy part stays in Spark, only the
+ONE winning row reaches the driver):
+  1. anti-join the (doc, shingle) table against the covered-shingle set
+     (broadcast once it is small, shuffle-join while it is not);
+  2. one count-distinct-per-doc aggregate;
+  3. take the max row (gain DESC, doc_id ASC tie) — a bounded
+     TakeOrdered, not a global sort;
+  4. the winner's shingles union into the covered set (checkpointed —
+     lineage stays linear in rounds).
+
+k passes over the shingle table total. At 100 TB one would switch to
+stochastic-greedy (uniformly sample a candidate subset per round —
+same guarantee in expectation, fraction of the scan cost); the exact
+sweep here IS the oracle-checkable semantics that variant approximates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def greedy_max_coverage(
+    doc_shingles: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    shingle_col: str = "shingle",
+) -> list[tuple[int, int, int]]:
+    """Greedy max-coverage over a DISTINCT (doc, shingle) table.
+
+    Returns [(round, doc_id, gain)] for ``k`` rounds (fewer if the
+    corpus is exhausted first). Ties break on the smaller doc id —
+    fully deterministic, so an unrolled-SQL oracle restates it."""
+    remaining = doc_shingles.select(
+        F.col(id_col).alias("doc_id"), F.col(shingle_col).alias("shingle")
+    ).localCheckpoint(eager=True)
+    picks: list[tuple[int, int, int]] = []
+    for rnd in range(1, k + 1):
+        gains = remaining.groupBy("doc_id").agg(
+            F.count_distinct("shingle").alias("gain")
+        )
+        top = gains.orderBy(F.col("gain").desc(), F.col("doc_id")).take(1)
+        if not top or top[0]["gain"] == 0:
+            break
+        doc, gain = top[0]["doc_id"], top[0]["gain"]
+        picks.append((rnd, doc, gain))
+        won = remaining.where(F.col("doc_id") == doc).select("shingle")
+        remaining = remaining.join(
+            won, "shingle", "left_anti"
+        ).localCheckpoint(eager=True)
+    return picks
