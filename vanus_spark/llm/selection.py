@@ -38,14 +38,23 @@ def greedy_max_coverage(
 
     Returns [(round, doc_id, gain)] for ``k`` rounds (fewer if the
     corpus is exhausted first). Ties break on the smaller doc id —
-    fully deterministic, so an unrolled-SQL oracle restates it."""
-    remaining = doc_shingles.select(
-        F.col(id_col).alias("doc_id"), F.col(shingle_col).alias("shingle")
-    ).localCheckpoint(eager=True)
+    fully deterministic, so an unrolled-SQL oracle restates it.
+
+    The pair table is deduplicated ONCE up front so each round's gain
+    is a plain count(*) — a count_distinct per round would re-pay a
+    distinct Expand k times over the same rows."""
+    remaining = (
+        doc_shingles.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(shingle_col).alias("shingle"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     picks: list[tuple[int, int, int]] = []
     for rnd in range(1, k + 1):
         gains = remaining.groupBy("doc_id").agg(
-            F.count_distinct("shingle").alias("gain")
+            F.count("*").alias("gain")
         )
         top = gains.orderBy(F.col("gain").desc(), F.col("doc_id")).take(1)
         if not top or top[0]["gain"] == 0:
