@@ -391,3 +391,54 @@ def test_seasonal_naive_forecast_lags_exactly_12(spark, entry_mod, sf_dir):
         assert by_month[some]["forecast"] == by_month[prev]["actual"]
     for r in rows:
         assert abs(r["abs_err"] - round(abs(r["actual"] - r["forecast"]), 4)) < 1e-9
+
+
+# --------------------------------------------- grid clusters / whiten
+
+
+def test_grid_clusters_merge_adjacent_cells(spark, entry_mod):
+    """Cells sharing a cluster id must be connected through core-cell
+    adjacency; spot-check structure: every cluster's cells form one
+    component under the 8-neighborhood."""
+    out = entry_mod.queries()["geo_grid_clusters"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert out
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append((r["cx"], r["cy"]))
+    multi = {k: v for k, v in by_cluster.items() if len(v) > 1}
+    assert multi, "fixture must produce multi-cell clusters"
+    for cells in multi.values():
+        # BFS within the cluster's own cells proves internal connectivity
+        todo, seen = [cells[0]], {cells[0]}
+        cs = set(cells)
+        while todo:
+            x, y = todo.pop()
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    nb = (x + dx, y + dy)
+                    if nb in cs and nb not in seen:
+                        seen.add(nb)
+                        todo.append(nb)
+        assert seen == cs
+
+
+def test_whiten_removes_planted_direction(spark, entry_mod):
+    """Residual norms must be dramatically smaller than projections on
+    the planted-direction fixture scale: the projection carries the
+    dominant variance, so var(proj) >> mean(resid per-dim share)."""
+    rows = entry_mod.queries()["embedding_whiten"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == 500
+    import statistics
+
+    projs = [r["proj"] for r in rows]
+    resid = [r["resid_norm2"] for r in rows]
+    assert all(r >= -1e-6 for r in resid)  # residual norm^2 is nonnegative
+    # variance captured by the top component exceeds the mean residual
+    # variance per remaining dimension by a wide margin
+    var_proj = statistics.pvariance(projs)
+    mean_resid_per_dim = statistics.mean(resid) / 63
+    assert var_proj > 10 * mean_resid_per_dim
