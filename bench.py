@@ -197,6 +197,15 @@ HEADLINE = [
     "events_top_paths",
     "events_interpolate",
     "quality_benford",
+    "embedding_pca",
+    "events_pattern_match",
+    "item_similarity",
+    "corpus_select_greedy",
+    "dedup_jaccard_exact",
+    "events_entropy",
+    "orders_forecast",
+    "embedding_whiten",
+    "geo_grid_clusters",
 ]
 
 
