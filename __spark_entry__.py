@@ -6266,6 +6266,176 @@ def q_embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry
 # ---------------------------------------------------------------------------
 
+def q_text_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization (llm/normalize.py): accent folding via
+    one explicit translate table + lowercase + control strip +
+    whitespace collapse — the pure-Column normalization pass that runs
+    before hashing/dedup in a multilingual corpus. The fixture
+    re-accents the ASCII corpus deterministically (translate + upper on
+    every third doc + an injected control char / tab / double space),
+    so the fold has real work; the oracle normalizes the SAME dirty
+    text with the engine's ICU-style strip_accents, pinning the
+    translate table to unaccent semantics char-for-char."""
+    from vanus_spark.llm.normalize import canonicalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.translate(F.col("text"), "aeionc", "àéîöñç"),
+        F.lit("\x07  Trailing\tMix "),
+    )
+    dirty = F.when(F.col("doc_id") % 3 == 0, F.upper(dirty)).otherwise(dirty)
+    return docs.select(
+        "doc_id",
+        canonicalize_text(dirty).alias("canon_text"),
+        F.length(canonicalize_text(dirty)).alias("canon_len"),
+    )
+
+
+def q_er_jw_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro-Winkler record linkage (operators/fuzzy.jw_best_match):
+    link a deterministically-corrupted customer roster (three typo
+    classes: delete/swap/substitute inside positions 13-15) back to
+    the clean master by best JW score within last-2-chars blocking.
+    The scoring pandas UDF is bit-exact against the engine's
+    jaro_winkler_similarity (tests/test_fuzzy_jw.py), so the raw
+    double ranking itself is under the oracle hash."""
+    from vanus_spark.operators.fuzzy import jw_best_match
+
+    cust = _t(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    k = F.col("c_custkey")
+    delete13 = F.concat(F.substring(name, 1, 12), F.substring(name, 14, 6))
+    swap1314 = F.concat(
+        F.substring(name, 1, 12),
+        F.substring(name, 14, 1),
+        F.substring(name, 13, 1),
+        F.substring(name, 15, 4),
+    )
+    subst13 = F.concat(F.substring(name, 1, 12), F.lit("X"), F.substring(name, 14, 6))
+    dirty = cust.select(
+        k.alias("d_id"),
+        F.when(k % 3 == 0, delete13)
+        .when(k % 3 == 1, swap1314)
+        .otherwise(subst13)
+        .alias("d_name"),
+    )
+    return jw_best_match(
+        cust,
+        dirty,
+        master_id="c_custkey",
+        master_text="c_name",
+        dirty_id="d_id",
+        dirty_text="d_name",
+        block_key=lambda c: F.substring(c, -2, 2),
+        threshold=0.85,
+    )
+
+
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone k-means clustering report over the embedding corpus
+    (the building block semantic_dedup / IVF already chain): seeded
+    Lloyd (1 iteration, rounded means — engine-portable by
+    construction), then per-vector assignment + cluster size. The
+    oracle re-derives the identical seeds -> assign -> means -> assign
+    chain in SQL, so init, tie-breaks, and the empty-cluster rule are
+    all hash-checked."""
+    from vanus_spark.llm.similarity import _nearest_clusters, kmeans_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, n_clusters=8, iters=1)
+    vec = F.col("embedding").cast("array<double>")
+    assigned = emb.select(
+        "vec_id", _nearest_clusters(vec, cents, 1)[0].alias("cluster")
+    )
+    from pyspark.sql import Window
+
+    return assigned.select(
+        "vec_id",
+        "cluster",
+        F.count("*").over(Window.partitionBy("cluster")).alias("cluster_size"),
+    )
+
+
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join cardinality report (operators/joinstats.py) for the two
+    workhorse TPC-H joins: output size + hottest key from per-side key
+    histograms WITHOUT running the join, next to the distinct-count
+    planner estimate. The histogram inner product is exact for the
+    inner join, so the oracle can check it against SQL aggregation of
+    the same histograms."""
+    from vanus_spark.operators.joinstats import join_size_estimate
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    a = join_size_estimate(cust, orders, "c_custkey", "o_custkey", "customer_orders")
+    b = join_size_estimate(orders, li, "o_orderkey", "l_orderkey", "orders_lineitem")
+    return a.unionByName(b)
+
+
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-share) multi-touch attribution: every click/view
+    touch in the 6-hour window strictly preceding a purchase shares the
+    credit 1/n; untouched purchases credit 'direct'. Credits are
+    round(1/n, 12) cast to DECIMAL before the sum, so the rollup is
+    exact decimal addition — order-insensitive and engine-exact (a
+    double sum would be fold-order-dependent). Shape: the purchase x
+    touch pairing is a bounded-range join shuffled on user_id (per-user
+    event counts are bounded), then one channel rollup."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_timestamp("ts").alias("sec"),
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("sec").alias("psec")
+    )
+    touch = ev.where(F.col("event_type").isin("click", "view")).select(
+        "user_id", F.col("event_type").alias("channel"), F.col("sec").alias("tsec")
+    )
+    pairs = purch.join(
+        touch,
+        (purch.user_id == touch.user_id)
+        & (F.col("psec") - F.col("tsec") >= 1)
+        & (F.col("psec") - F.col("tsec") <= 21600),
+        "left",
+    )
+    from pyspark.sql import Window
+
+    n = F.count("channel").over(Window.partitionBy("pid"))
+    credited = pairs.select(
+        "pid",
+        F.coalesce(F.col("channel"), F.lit("direct")).alias("channel"),
+        F.round(F.lit(1.0) / F.greatest(n, F.lit(1)), 12)
+        .cast("decimal(22,12)")
+        .alias("credit"),
+    )
+    # decimal renders as a STRING on both engines: duckdb's .df()
+    # coerces DECIMAL to float64, which would un-exact the compare
+    return credited.groupBy("channel").agg(
+        F.sum("credit").cast("decimal(38,12)").cast("string").alias("credit"),
+        F.countDistinct("pid").alias("n_purchases"),
+    )
+
+
+def q_quality_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square token/label feature selection
+    (qualityrules.chi2_tokens): top-40 tokens most associated with the
+    lang=='en' label by document presence — the vocabulary-picking
+    companion to the NB corpus filter. Counts stay integers, products
+    are exact decimals, and the statistic is ONE double division, so
+    the oracle (HUGEINT products, same single division) hash-matches
+    the doubles exactly."""
+    from vanus_spark.llm.qualityrules import chi2_tokens
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "label", (F.col("lang") == "en").cast("int")
+    )
+    return chi2_tokens(docs, k=40)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver verifies the FIRST 50 entries of this dict
     # against the DuckDB oracles (each CORRECTNESS file contains exactly
@@ -6425,6 +6595,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_trend": q_events_trend,
         "events_dispersion": q_events_dispersion,
         "link_triangles": q_link_triangles,
+        "text_canonicalize": q_text_canonicalize,
+        "er_jw_match": q_er_jw_match,
+        "embedding_kmeans": q_embedding_kmeans,
+        "join_size_estimate": q_join_size_estimate,
+        "attribution_linear": q_attribution_linear,
+        "quality_chi2": q_quality_chi2,
         "events_transitions": q_events_transitions,
         "events_mad_outliers": q_events_mad_outliers,
         "events_cusum": q_events_cusum,
@@ -7147,6 +7323,149 @@ def _benford_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     norm_text = _NORM.format(c="text")
     return {
+        "text_canonicalize": """
+            WITH d AS (
+              SELECT doc_id,
+                     translate(text, 'aeionc', 'àéîöñç')
+                       || chr(7) || '  Trailing' || chr(9) || 'Mix ' AS t0
+              FROM documents),
+            u AS (SELECT doc_id,
+                         CASE WHEN doc_id % 3 = 0 THEN upper(t0) ELSE t0 END AS t
+                  FROM d),
+            c AS (SELECT doc_id,
+                         trim(regexp_replace(
+                              regexp_replace(lower(strip_accents(t)),
+                                             '[\\x00-\\x08\\x0e-\\x1f\\x7f]', '', 'g'),
+                              '\\s+', ' ', 'g')) AS canon_text
+                  FROM u)
+            SELECT doc_id, canon_text, length(canon_text)::BIGINT AS canon_len
+            FROM c
+        """,
+        "er_jw_match": """
+            WITH dirty AS (
+              SELECT c_custkey AS d_id,
+                     CASE WHEN c_custkey % 3 = 0
+                            THEN substr(c_name, 1, 12) || substr(c_name, 14, 6)
+                          WHEN c_custkey % 3 = 1
+                            THEN substr(c_name, 1, 12) || substr(c_name, 14, 1)
+                                 || substr(c_name, 13, 1) || substr(c_name, 15, 4)
+                          ELSE substr(c_name, 1, 12) || 'X' || substr(c_name, 14, 6)
+                     END AS d_name
+              FROM customer),
+            m AS (SELECT c_custkey AS mid, c_name AS mtxt, right(c_name, 2) AS blk
+                  FROM customer WHERE length(c_name) > 0),
+            d AS (SELECT d_id, d_name, right(d_name, 2) AS blk
+                  FROM dirty WHERE length(d_name) > 0),
+            s AS (SELECT d_id, mid, jaro_winkler_similarity(d_name, mtxt) AS s
+                  FROM d JOIN m USING (blk)),
+            r AS (SELECT d_id, mid, s,
+                         row_number() OVER (PARTITION BY d_id
+                                            ORDER BY s DESC, mid) AS rn
+                  FROM s WHERE s >= 0.85)
+            SELECT d_id AS dirty_id, mid AS matched_id, round(s, 6) AS score
+            FROM r WHERE rn = 1
+        """,
+        "embedding_kmeans": _embedding_kmeans_oracle(),
+        "join_size_estimate": """
+            WITH hl1 AS (SELECT c_custkey::VARCHAR AS k, count(*)::BIGINT AS cl
+                         FROM customer GROUP BY 1),
+            hr1 AS (SELECT o_custkey::VARCHAR AS k, count(*)::BIGINT AS cr
+                    FROM orders GROUP BY 1),
+            p1 AS (SELECT k, cl * cr AS out_rows FROM hl1 JOIN hr1 USING (k)),
+            hl2 AS (SELECT o_orderkey::VARCHAR AS k, count(*)::BIGINT AS cl
+                    FROM orders GROUP BY 1),
+            hr2 AS (SELECT l_orderkey::VARCHAR AS k, count(*)::BIGINT AS cr
+                    FROM lineitem GROUP BY 1),
+            p2 AS (SELECT k, cl * cr AS out_rows FROM hl2 JOIN hr2 USING (k)),
+            s1 AS (SELECT 'customer_orders' AS join_name,
+                          (SELECT count(*) FROM customer)::BIGINT AS n_left,
+                          (SELECT count(*) FROM orders)::BIGINT AS n_right,
+                          (SELECT count(*) FROM hl1)::BIGINT AS d_left,
+                          (SELECT count(*) FROM hr1)::BIGINT AS d_right,
+                          (SELECT coalesce(sum(out_rows), 0) FROM p1)::BIGINT AS est_rows,
+                          (SELECT top_key FROM (SELECT k AS top_key FROM p1
+                             ORDER BY out_rows DESC, k DESC LIMIT 1)) AS top_key,
+                          (SELECT out_rows FROM p1
+                             ORDER BY out_rows DESC, k DESC LIMIT 1)::BIGINT AS top_key_rows),
+            s2 AS (SELECT 'orders_lineitem' AS join_name,
+                          (SELECT count(*) FROM orders)::BIGINT AS n_left,
+                          (SELECT count(*) FROM lineitem)::BIGINT AS n_right,
+                          (SELECT count(*) FROM hl2)::BIGINT AS d_left,
+                          (SELECT count(*) FROM hr2)::BIGINT AS d_right,
+                          (SELECT coalesce(sum(out_rows), 0) FROM p2)::BIGINT AS est_rows,
+                          (SELECT top_key FROM (SELECT k AS top_key FROM p2
+                             ORDER BY out_rows DESC, k DESC LIMIT 1)) AS top_key,
+                          (SELECT out_rows FROM p2
+                             ORDER BY out_rows DESC, k DESC LIMIT 1)::BIGINT AS top_key_rows)
+            SELECT join_name, n_left, n_right, d_left, d_right, est_rows,
+                   ((n_left::HUGEINT * n_right::HUGEINT)
+                    // greatest(d_left, d_right)::HUGEINT)::BIGINT AS est_independent,
+                   top_key, top_key_rows
+            FROM s1
+            UNION ALL
+            SELECT join_name, n_left, n_right, d_left, d_right, est_rows,
+                   ((n_left::HUGEINT * n_right::HUGEINT)
+                    // greatest(d_left, d_right)::HUGEINT)::BIGINT AS est_independent,
+                   top_key, top_key_rows
+            FROM s2
+        """,
+        "attribution_linear": """
+            WITH ev AS (
+              SELECT event_id, user_id, event_type,
+                     floor(epoch(ts))::BIGINT AS sec
+              FROM events),
+            p AS (SELECT event_id AS pid, user_id, sec AS psec
+                  FROM ev WHERE event_type = 'purchase'),
+            t AS (SELECT user_id, event_type AS channel, sec AS tsec
+                  FROM ev WHERE event_type IN ('click', 'view')),
+            pairs AS (
+              SELECT p.pid, t.channel
+              FROM p LEFT JOIN t
+                ON p.user_id = t.user_id
+               AND p.psec - t.tsec BETWEEN 1 AND 21600),
+            cred AS (
+              SELECT pid, coalesce(channel, 'direct') AS channel,
+                     round(1.0 / greatest(count(channel)
+                                          OVER (PARTITION BY pid), 1),
+                           12)::DECIMAL(22,12) AS credit
+              FROM pairs)
+            SELECT channel,
+                   sum(credit)::DECIMAL(38,12)::VARCHAR AS credit,
+                   count(DISTINCT pid)::BIGINT AS n_purchases
+            FROM cred GROUP BY 1
+        """,
+        "quality_chi2": """
+            WITH lab AS (
+              SELECT doc_id, (lang = 'en')::BIGINT AS y,
+                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+              FROM documents),
+            tok AS (
+              SELECT DISTINCT doc_id, y,
+                     unnest(string_split(t, ' ')) AS tok
+              FROM lab),
+            pres AS (
+              SELECT tok, sum(y)::HUGEINT AS a, sum(1 - y)::HUGEINT AS c
+              FROM tok GROUP BY tok),
+            tot AS (
+              SELECT sum((lang = 'en')::BIGINT)::HUGEINT AS n_pos,
+                     sum((lang <> 'en')::BIGINT)::HUGEINT AS n_neg
+              FROM documents),
+            sc AS (
+              SELECT tok, a, c,
+                     (n_pos - a) AS b, (n_neg - c) AS d,
+                     (n_pos + n_neg) AS n
+              FROM pres CROSS JOIN tot),
+            scored AS (
+              SELECT tok, a::BIGINT AS df_pos, c::BIGINT AS df_neg,
+                     CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) > 0
+                          THEN round((n * (a * d - b * c) * (a * d - b * c))::DOUBLE
+                                     / ((a + b) * (c + d) * (a + c) * (b + d))::DOUBLE,
+                                     6)
+                          ELSE 0.0 END AS chi2
+              FROM sc)
+            SELECT tok, df_pos, df_neg, chi2
+            FROM scored ORDER BY chi2 DESC, tok LIMIT 40
+        """,
         "filter_exact": "SELECT event_id FROM events WHERE event_type = 'purchase'",
         "filter_prefix": "SELECT event_id FROM events WHERE event_type LIKE 'sign%'",
         "filter_suffix": "SELECT event_id FROM events WHERE event_type LIKE '%up'",
@@ -10600,6 +10919,54 @@ def _pagerank_oracle(iters: int = 3) -> str:
         SELECT node, round(rank, 9) AS rank FROM r{iters}"""
     )
     return "".join(parts)
+
+
+def _embedding_kmeans_oracle(n_clusters: int = 8) -> str:
+    """SQL twin of the seeded one-iteration k-means assignment chain
+    (same seeds / distance expansion / tie-breaks / rounded means /
+    empty-cluster rule as _semantic_dedup_oracle), emitting the
+    per-vector assignment plus cluster sizes."""
+    d_expr = (
+        "(list_dot_product(v.e, v.e) - 2 * list_dot_product(v.e, cent.c))"
+        " + list_dot_product(cent.c, cent.c)"
+    )
+    return f"""
+        WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        seeds AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, e AS c
+          FROM (SELECT * FROM emb ORDER BY vec_id LIMIT {n_clusters})),
+        d0 AS (
+          SELECT v.vec_id, cent.cluster, {d_expr} AS d
+          FROM emb v CROSS JOIN seeds cent),
+        a0 AS (
+          SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+            FROM d0) WHERE rn = 1),
+        m0 AS (
+          SELECT a0.cluster, u.pos, round(avg(u.val), 3) AS val
+          FROM a0 JOIN emb USING (vec_id),
+               LATERAL (SELECT unnest(e) AS val,
+                               generate_subscripts(e, 1) AS pos) u
+          GROUP BY a0.cluster, u.pos),
+        cent1 AS (
+          SELECT s.cluster,
+                 coalesce(list(m0.val ORDER BY m0.pos), s.c) AS c
+          FROM seeds s LEFT JOIN m0 ON s.cluster = m0.cluster
+          GROUP BY s.cluster, s.c),
+        d1 AS (
+          SELECT v.vec_id, cent.cluster, {d_expr} AS d
+          FROM emb v CROSS JOIN cent1 cent),
+        assigned AS (
+          SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+            FROM d1) WHERE rn = 1)
+        SELECT vec_id, cluster,
+               count(*) OVER (PARTITION BY cluster) AS cluster_size
+        FROM assigned
+    """
+
 
 
 def _semantic_dedup_oracle(n_clusters: int = 8, threshold: float = 0.5) -> str:

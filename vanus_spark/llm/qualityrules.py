@@ -551,3 +551,67 @@ def intra_doc_line_dedup(
         ),
         F.array_join("_kept", "\n").alias("clean_text"),
     )
+
+
+def chi2_tokens(
+    labeled: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+) -> DataFrame:
+    """Chi-square token/label association — the feature-selection pass
+    that picks the vocabulary for a model-based corpus filter (the
+    companion to nb_train: train the NB filter on the top-chi2 tokens
+    instead of the full vocab).
+
+    Per token, the 2x2 document-presence contingency table
+    (a = positive docs containing it, b = positive docs without,
+    c/d likewise for negatives) and
+    chi2 = N * (a*d - b*c)^2 / ((a+b)(c+d)(a+c)(b+d)).
+
+    Engine-exact by construction: every count is an integer, the
+    numerator and denominator are assembled as EXACT decimal(38,0)
+    integer products (headroom to ~10^9 seed docs — the labeled SEED
+    set is small by construction in the CCNet pattern), and the single
+    final division is one double op on the exactly-cast operands,
+    identical on every IEEE-754 engine; the emitted statistic is
+    rounded after that.
+
+    Shape: explode -> distinct(doc, tok) -> one groupBy(tok) partial
+    aggregate (shuffle ~#distinct tokens) + a broadcast 1-row total;
+    top-k is a bounded TakeOrdered. No collect of the vocabulary.
+    """
+    lab = F.col(label_col).cast("long")
+    totals = labeled.agg(
+        F.sum(lab).alias("n_pos"), F.sum(1 - lab).alias("n_neg")
+    )
+    presence = (
+        labeled.select(
+            F.col(id_col).alias("_doc"),
+            lab.alias("_y"),
+            F.explode(F.array_distinct(_words(F.col(text_col)))).alias("tok"),
+        )
+        .groupBy("tok")
+        .agg(
+            F.sum("_y").alias("df_pos"),
+            F.sum(1 - F.col("_y")).alias("df_neg"),
+        )
+    )
+    dec = "decimal(38,0)"
+    a = F.col("df_pos").cast(dec)
+    c = F.col("df_neg").cast(dec)
+    b = F.col("n_pos").cast(dec) - a
+    d = F.col("n_neg").cast(dec) - c
+    n = (F.col("n_pos") + F.col("n_neg")).cast(dec)
+    diff = (a * d - b * c).cast(dec)
+    num = (n * diff).cast(dec) * diff
+    den = ((a + b) * (c + d)).cast(dec) * ((a + c) * (b + d)).cast(dec)
+    num = num.cast(dec).cast("double")
+    den = den.cast(dec).cast("double")
+    scored = (
+        presence.crossJoin(F.broadcast(totals))
+        .withColumn("chi2", F.when(den > 0, F.round(num / den, 6)).otherwise(F.lit(0.0)))
+        .select("tok", "df_pos", "df_neg", "chi2")
+    )
+    return scored.orderBy(F.desc("chi2"), F.asc("tok")).limit(k)

@@ -20,6 +20,7 @@ recall trade documented to the caller, never an OOM.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — pandas_udf type hints resolve module-globally
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -118,3 +119,131 @@ def fuzzy_join(
         .distinct()
     )
     return joined.where(F.levenshtein(F.col(left_on), F.col(right_on)) <= max_dist)
+
+
+# --- Jaro-Winkler linkage -------------------------------------------------
+
+
+def _jaro_winkler_py(s1: str, s2: str, p: float = 0.1, boost_above: float = 0.7) -> float:
+    """Reference Jaro-Winkler (prefix scale 0.1, boost only when the
+    Jaro score exceeds 0.7 — the standard parameters). Implemented to
+    the letter of the published algorithm; tests/test_fuzzy_jw.py
+    asserts BIT-EXACT double parity against DuckDB's
+    jaro_winkler_similarity on thousands of pairs, which is what lets
+    the linkage query emit raw scores under the oracle hash.
+
+    Both-empty is scored 0.0 (the engine convention), so callers must
+    treat empty strings as non-matchable rather than identical."""
+    if not s1 or not s2:
+        return 0.0
+    if s1 == s2:
+        return 1.0
+    l1, l2 = len(s1), len(s2)
+    window = max(l1, l2) // 2 - 1
+    hit1 = [False] * l1
+    hit2 = [False] * l2
+    m = 0
+    for i, ch in enumerate(s1):
+        lo = i - window if i > window else 0
+        hi = i + window + 1
+        if hi > l2:
+            hi = l2
+        for j in range(lo, hi):
+            if not hit2[j] and s2[j] == ch:
+                hit1[i] = hit2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if hit1[i]:
+            while not hit2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    jaro = (m / l1 + m / l2 + (m - t) / m) / 3.0
+    if jaro > boost_above:
+        prefix = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            prefix += 1
+        jaro = jaro + prefix * p * (1.0 - jaro)
+    return jaro
+
+
+def jaro_winkler_udf():
+    """Arrow-batched (string, string) -> double Jaro-Winkler column.
+
+    The algorithm is inherently per-pair imperative (match-window
+    scan), so this is the documented pandas-UDF seam — still ~10-100x
+    over a row-at-a-time Python UDF because batches cross as Arrow.
+    """
+
+    @F.pandas_udf("double")
+    def jw(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_jaro_winkler_py(x, y) if x is not None and y is not None else None
+             for x, y in zip(a, b)],
+            dtype="float64",
+        )
+
+    return jw
+
+
+def jw_best_match(
+    master: DataFrame,
+    dirty: DataFrame,
+    master_id: str,
+    master_text: str,
+    dirty_id: str,
+    dirty_text: str,
+    block_key,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Record linkage: for every dirty row, the best-scoring master row
+    among candidates that share ``block_key`` (a Column function
+    applied to the text on BOTH sides), kept only at score >=
+    ``threshold``.
+
+    Scale shape: the blocked equi-join shuffles on the block key —
+    candidates per dirty row are bounded by block selectivity, never
+    O(|master|); scoring is one Arrow-batched pass over candidate
+    pairs; argmax is a bounded per-dirty-id window. Empty texts never
+    match (engine convention scores them 0.0).
+
+    Determinism: ties on the raw double score break to the smallest
+    master id, and the emitted score is rounded AFTER ranking.
+    """
+    from pyspark.sql import Window
+
+    jw = jaro_winkler_udf()
+    m = master.select(
+        F.col(master_id).alias("_mid"),
+        F.col(master_text).alias("_mtxt"),
+        block_key(F.col(master_text)).alias("_blk"),
+    ).where(F.length("_mtxt") > 0)
+    d = dirty.select(
+        F.col(dirty_id).alias("_did"),
+        F.col(dirty_text).alias("_dtxt"),
+        block_key(F.col(dirty_text)).alias("_blk"),
+    ).where(F.length("_dtxt") > 0)
+    scored = (
+        d.join(m, "_blk")
+        .select("_did", "_mid", "_dtxt", "_mtxt", jw("_dtxt", "_mtxt").alias("_s"))
+        .where(F.col("_s") >= threshold)
+    )
+    w = Window.partitionBy("_did").orderBy(F.desc("_s"), F.asc("_mid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("_did").alias("dirty_id"),
+            F.col("_mid").alias("matched_id"),
+            F.round("_s", 6).alias("score"),
+        )
+    )
