@@ -6295,7 +6295,11 @@ def q_er_jw_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jaro-Winkler record linkage (operators/fuzzy.jw_best_match):
     link a deterministically-corrupted customer roster (three typo
     classes: delete/swap/substitute inside positions 13-15) back to
-    the clean master by best JW score within last-2-chars blocking.
+    the clean master by best JW score within last-3-chars blocking
+    (every corruption class provably preserves the final four
+    characters, so the block never loses the true match; selectivity
+    ~0.1% of the master per dirty row is what bounds the scored-pair
+    volume at scale).
     The scoring pandas UDF is bit-exact against the engine's
     jaro_winkler_similarity (tests/test_fuzzy_jw.py), so the raw
     double ranking itself is under the oracle hash."""
@@ -6326,7 +6330,7 @@ def q_er_jw_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         master_text="c_name",
         dirty_id="d_id",
         dirty_text="d_name",
-        block_key=lambda c: F.substring(c, -2, 2),
+        block_key=lambda c: F.substring(c, -3, 3),
         threshold=0.85,
     )
 
@@ -6460,7 +6464,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Benford, displacing older stable analytics (window suite, BM25,
     # gapfill, EWMA, PSI, expectations, heavy hitters, LSH recall,
     # Q21, communities, sketch stats, sample_weighted, schema_drift).
+    # The eighth session fronted unicode canonicalization, JW linkage,
+    # k-means, join-size estimation, linear attribution, and chi2
+    # feature selection, displacing ORC roundtrip, geo radius join,
+    # A/B stats, BFS, nearest as-of, and Count-Min (all replica-green
+    # since their own sessions).
     return {
+        # --- new this session (8th) ---
+        "text_canonicalize": q_text_canonicalize,
+        "er_jw_match": q_er_jw_match,
+        "embedding_kmeans": q_embedding_kmeans,
+        "join_size_estimate": q_join_size_estimate,
+        "attribution_linear": q_attribution_linear,
+        "quality_chi2": q_quality_chi2,
         # --- new this round ---
         # --- seventh-session additions: all-pairs TF-IDF cosine join,
         # k-core peeling, ER survivorship, journey paths, linear
@@ -6488,8 +6504,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_resolution": q_entity_resolution,
         "stream_hll_replay": q_stream_hll_replay,
         "graph_sssp": q_graph_sssp,
-        "geo_radius_join": q_geo_radius_join,
-        "export_orc_roundtrip": q_export_orc_roundtrip,
         "hybrid_search_rrf": q_hybrid_search_rrf,
         "session_windows_replay": q_session_windows_replay,
         "stream_stream_join_replay": q_stream_stream_join_replay,
@@ -6529,11 +6543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q2_min_cost_supp": q_tpch_q2_min_cost_supp,
         # --- fifth-session additions ---
         "table_changes": q_table_changes,
-        "events_ab_test": q_events_ab_test,
-        "graph_bfs": q_graph_bfs,
         "stream_topk_replay": q_stream_topk_replay,
-        "asof_nearest_events": q_asof_nearest_events,
-        "sketch_count_min": q_sketch_count_min,
         # ==================== end of the 50-entry window ====================
         # displaced by the seventh-session batch: many-times
         # replica-green pure-batch queries from earlier r5 sessions
@@ -6595,12 +6605,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_trend": q_events_trend,
         "events_dispersion": q_events_dispersion,
         "link_triangles": q_link_triangles,
-        "text_canonicalize": q_text_canonicalize,
-        "er_jw_match": q_er_jw_match,
-        "embedding_kmeans": q_embedding_kmeans,
-        "join_size_estimate": q_join_size_estimate,
-        "attribution_linear": q_attribution_linear,
-        "quality_chi2": q_quality_chi2,
+        "export_orc_roundtrip": q_export_orc_roundtrip,
+        "geo_radius_join": q_geo_radius_join,
+        "events_ab_test": q_events_ab_test,
+        "graph_bfs": q_graph_bfs,
+        "asof_nearest_events": q_asof_nearest_events,
+        "sketch_count_min": q_sketch_count_min,
         "events_transitions": q_events_transitions,
         "events_mad_outliers": q_events_mad_outliers,
         "events_cusum": q_events_cusum,
@@ -7352,9 +7362,9 @@ def oracle_sql() -> dict[str, str]:
                           ELSE substr(c_name, 1, 12) || 'X' || substr(c_name, 14, 6)
                      END AS d_name
               FROM customer),
-            m AS (SELECT c_custkey AS mid, c_name AS mtxt, right(c_name, 2) AS blk
+            m AS (SELECT c_custkey AS mid, c_name AS mtxt, right(c_name, 3) AS blk
                   FROM customer WHERE length(c_name) > 0),
-            d AS (SELECT d_id, d_name, right(d_name, 2) AS blk
+            d AS (SELECT d_id, d_name, right(d_name, 3) AS blk
                   FROM dirty WHERE length(d_name) > 0),
             s AS (SELECT d_id, mid, jaro_winkler_similarity(d_name, mtxt) AS s
                   FROM d JOIN m USING (blk)),

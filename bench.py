@@ -206,6 +206,13 @@ HEADLINE = [
     "orders_forecast",
     "embedding_whiten",
     "geo_grid_clusters",
+    # round 5, eighth session
+    "text_canonicalize",
+    "er_jw_match",
+    "embedding_kmeans",
+    "join_size_estimate",
+    "attribution_linear",
+    "quality_chi2",
 ]
 
 
