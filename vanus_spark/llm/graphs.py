@@ -215,3 +215,55 @@ def kcore(
             return live.select(F.col(src).alias("node")).distinct()
         n_prev = n
     raise RuntimeError(f"kcore did not converge within {max_rounds} rounds")
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient over an undirected simple
+    graph given as canonical edges (a < b, distinct): coeff =
+    2*triangles(v) / (deg(v) * (deg(v) - 1)), 0.0 for degree < 2.
+
+    Shape: degree is one groupBy over the exploded endpoints; the
+    triangle enumeration is the standard two-join a<b<c wedge close
+    (each triangle materializes ONCE, then fans out to its three
+    vertices), shuffling on the shared vertex — AQE's skew split
+    covers hub vertices, and the a<b<c ordering keeps the join
+    frontier a strict fraction of the edge set. Counts stay integers;
+    the coefficient is one engine-exact double division, rounded
+    after.
+
+    Returns (node, degree, triangles, clustering_coeff).
+    """
+    e = edges.select(F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b"))
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    e1 = e.select(F.col("a"), F.col("b"))
+    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = e.select(F.col("a").alias("ta"), F.col("b").alias("c2"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("ta")) & (F.col("c") == F.col("c2")))
+        .select("a", "b", "c")
+    )
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("triangles"))
+    )
+    joined = deg.join(per_node, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+    )
+    coeff = F.when(
+        F.col("degree") >= 2,
+        F.round(
+            (2 * F.col("triangles"))
+            / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return joined.withColumn("clustering_coeff", coeff)

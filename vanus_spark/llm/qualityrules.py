@@ -615,3 +615,111 @@ def chi2_tokens(
         .select("tok", "df_pos", "df_neg", "chi2")
     )
     return scored.orderBy(F.desc("chi2"), F.asc("tok")).limit(k)
+
+
+def compression_signal(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+    repetitive_below: float = 0.4,
+) -> DataFrame:
+    """Compression-ratio quality signal: zlib(level)'s compressed size
+    over the UTF-8 byte length. Highly repetitive / templated text
+    compresses far below natural prose, so a low ratio is a cheap,
+    tokenizer-free repetition flag (the signal several published
+    corpus-filtering stacks use alongside the Gopher rules).
+
+    The compressor is inherently imperative, so this is a pandas-UDF
+    seam — one Arrow-batched pass over the scan, zero shuffle, and
+    only the two INTEGER lengths leave the UDF; the ratio itself is
+    one engine-exact double division over them. DEFLATE output for a
+    fixed level is deterministic for a given zlib build, which is what
+    lets the oracle pin golden compressed sizes (same pattern as the
+    BPE merge-table gate).
+    """
+    import pandas as pd
+
+    @F.pandas_udf("long")
+    def _clen(s: pd.Series) -> pd.Series:
+        import zlib
+
+        return pd.Series(
+            [
+                len(zlib.compress(x.encode("utf-8"), level)) if x is not None else None
+                for x in s
+            ],
+            dtype="int64",
+        )
+
+    blen = F.length(F.col(text_col).cast("binary")).cast("long")
+    out = docs.select(
+        F.col(id_col),
+        blen.alias("orig_bytes"),
+        _clen(F.col(text_col)).alias("compressed_bytes"),
+    )
+    ratio = F.round(
+        F.col("compressed_bytes")
+        / F.greatest(F.col("orig_bytes"), F.lit(1)).cast("double"),
+        6,
+    )
+    return out.select(
+        id_col,
+        "orig_bytes",
+        "compressed_bytes",
+        ratio.alias("compression_ratio"),
+        (ratio < repetitive_below).alias("repetitive"),
+    )
+
+
+def gopher_drop_reason(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **thresholds,
+) -> DataFrame:
+    """Per-document drop-reason lineage: the FIRST failing Gopher rule
+    in a fixed precedence (word bounds, symbol ratio, bullet, ellipsis,
+    alpha fraction, duplicate lines), else 'kept'. The per-doc 'WHY was
+    this dropped' record a corpus pipeline keeps next to the funnel's
+    aggregate counts — same pure-Column metrics as gopher_flags, one
+    CASE on top, zero shuffle."""
+    min_words = thresholds.pop("min_words", 50)
+    max_words = thresholds.pop("max_words", 100_000)
+    max_symbol_ratio = thresholds.pop("max_symbol_ratio", 0.1)
+    max_bullet_fraction = thresholds.pop("max_bullet_fraction", 0.9)
+    max_ellipsis_fraction = thresholds.pop("max_ellipsis_fraction", 0.3)
+    min_alpha_fraction = thresholds.pop("min_alpha_fraction", 0.8)
+    max_dup_line_fraction = thresholds.pop("max_dup_line_fraction", 0.3)
+    if thresholds:
+        raise TypeError(f"unknown thresholds: {sorted(thresholds)}")
+    m = gopher_flags(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        min_words=min_words,
+        max_words=max_words,
+        max_symbol_ratio=max_symbol_ratio,
+        max_bullet_fraction=max_bullet_fraction,
+        max_ellipsis_fraction=max_ellipsis_fraction,
+        min_alpha_fraction=min_alpha_fraction,
+        max_dup_line_fraction=max_dup_line_fraction,
+    )
+    reason = (
+        F.when(F.col("n_words") < min_words, F.lit("too_few_words"))
+        .when(F.col("n_words") > max_words, F.lit("too_many_words"))
+        .when(F.col("symbol_word_ratio") > max_symbol_ratio, F.lit("symbol_ratio"))
+        .when(
+            F.col("bullet_line_fraction") > max_bullet_fraction, F.lit("bullet_lines")
+        )
+        .when(
+            F.col("ellipsis_line_fraction") > max_ellipsis_fraction,
+            F.lit("ellipsis_lines"),
+        )
+        .when(
+            F.col("alpha_word_fraction") < min_alpha_fraction, F.lit("alpha_fraction")
+        )
+        .when(F.col("dup_line_fraction") > max_dup_line_fraction, F.lit("dup_lines"))
+        .otherwise(F.lit("kept"))
+    )
+    return m.select(id_col, reason.alias("drop_reason"), "keep")
