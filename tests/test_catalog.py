@@ -144,3 +144,59 @@ def test_users_tokens_roles_lifecycle(tmp_path):
     c.delete_token(tok["token"])
     c.delete_user("alice")
     assert c.list_users() == []
+
+
+def test_subscription_lifecycle_phases(tmp_path):
+    """Phase rules mirrored from controller.go:145-361: update/reset
+    require stopped; disable errors when already stopped (unless
+    declarative); resume requires stopped; offsets survive resume."""
+    from vanus_spark.catalog import ResourceCanNotOpError
+
+    c = _cat(tmp_path)
+    ns = c.create_namespace("default")
+    eb = c.create_eventbus(ns["id"], "demo")
+    sub = c.create_subscription(ns["id"], eb["id"], {"filters": []})
+    assert sub["phase"] == "created"
+
+    # wrong-phase guards while running
+    with pytest.raises(ResourceCanNotOpError):
+        c.update_subscription(sub["id"], {"sink": "http://x"})
+    with pytest.raises(ResourceCanNotOpError):
+        c.reset_subscription_offsets(sub["id"], {0: 5})
+    with pytest.raises(ResourceCanNotOpError):
+        c.resume_subscription(sub["id"])
+
+    d = c.disable_subscription(sub["id"])
+    assert d["phase"] == "stopped"
+    with pytest.raises(ResourceCanNotOpError):
+        c.disable_subscription(sub["id"])
+    # declarative disable of a stopped subscription is a no-op
+    assert c.disable_subscription(sub["id"], declaratively=True)["phase"] == "stopped"
+
+    # update: eventbus immutable, no-op refused, spec merged
+    with pytest.raises(ValueError):
+        c.update_subscription(sub["id"], {"eventbus_id": eb["id"] + 1})
+    u = c.update_subscription(sub["id"], {"sink": "http://hook"})
+    assert u["spec"]["sink"] == "http://hook"
+    with pytest.raises(ValueError):
+        c.update_subscription(sub["id"], {"sink": "http://hook"})  # no change
+
+    r = c.reset_subscription_offsets(sub["id"], {0: 5, 1: 7})
+    assert r["offsets"] == {"0": 5, "1": 7}
+
+    res = c.resume_subscription(sub["id"])
+    assert res["phase"] == "created"
+    assert res["offsets"] == {"0": 5, "1": 7}  # offsets intact across resume
+    assert c.subscription_is_active(sub["id"])
+
+    # create-disabled lands straight in stopped (controller.go:206-209)
+    sub2 = c.create_subscription(ns["id"], eb["id"], {}, disable=True)
+    assert sub2["phase"] == "stopped"
+    assert not c.subscription_is_active(sub2["id"])
+
+    # persistence: a fresh catalog instance sees the same lifecycle state
+    from vanus_spark.catalog import Catalog
+
+    c2 = Catalog(c.path)
+    assert c2.get_subscription(sub["id"])["phase"] == "created"
+    assert c2.get_subscription(sub2["id"])["phase"] == "stopped"

@@ -48,15 +48,27 @@ def test_dynamic_filter_query_plan_binds_one_parse(spark, sf_dir):
 
 
 def test_driver_window_is_exactly_50():
-    src = open("/root/repo/__spark_entry__.py").read()
+    m = _entry_module()
+    window = m._R6_WINDOW
+    assert len(window) == 50, f"window has {len(window)} entries"
+    assert len(set(window)) == 50, "duplicate keys in the window"
+    assert list(m.queries())[:50] == window
+
+
+def test_no_duplicate_keys_in_base_registry():
+    """A duplicate key in the _base_queries() dict literal silently drops
+    the first binding (round-5 verdict What's wrong #3: tpch_q21_waiting
+    appeared twice). Scan the source so the literal itself is checked."""
     import re
 
-    i = src.index("def queries()")
-    j = src.index("end of the 50-entry window")
+    src = open("/root/repo/__spark_entry__.py").read()
+    i = src.index("def _base_queries()")
+    j = src.index("# DuckDB oracles", i)
     keys = [
         k
-        for k in re.findall(r'^\s+"([a-z0-9_]+)":', src[i:j], re.M)
-        if k not in ("all", "any")  # nested filter-spec keys
+        for k in re.findall(r'^        "([a-z0-9_]+)":', src[i:j], re.M)
     ]
-    assert len(keys) == 50, f"window has {len(keys)} entries"
-    assert len(set(keys)) == 50, "duplicate keys in the window"
+    dups = sorted({k for k in keys if keys.count(k) > 1})
+    assert not dups, f"duplicate registry keys: {dups}"
+    m = _entry_module()
+    assert len(keys) == len(m.queries())

@@ -772,3 +772,34 @@ def test_session_windows_gap_and_timeout_close(spark, tmp_path):
     assert by_user[7][1].closed_by == "timeout"
     assert by_user[7][1].n_events == 1
     assert by_user[8][0].closed_by == "timeout"
+
+
+def test_catalog_phase_gates_delivery(spark, tmp_path):
+    """disable => no delivery (batch NOT consumed) => resume =>
+    delivery continues with offsets intact (the reference's trigger
+    worker descheduling on DisableSubscription, controller.go:305-361)."""
+    from vanus_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "cat.json"))
+    ns = cat.create_namespace("default")
+    eb = cat.create_eventbus(ns["id"], "demo")
+    sub_rec = cat.create_subscription(ns["id"], eb["id"], {})
+    loop = DeliveryLoop(
+        spark,
+        Subscription.from_spec({}),
+        lambda rows: [200] * len(rows),
+        catalog=cat,
+        catalog_sub_id=sub_rec["id"],
+    )
+    batch1 = _envelope(spark, [_row(1), _row(2)])
+    assert loop.process_batch(batch1, T0).delivered.count() == 2
+
+    cat.disable_subscription(sub_rec["id"])
+    batch2 = _envelope(spark, [_row(3), _row(4)])
+    res = loop.process_batch(batch2, T0)
+    assert res.delivered.count() == 0  # nothing delivered while stopped
+    assert loop.pending.count() == 0  # and nothing consumed into state
+
+    cat.resume_subscription(sub_rec["id"])
+    res = loop.process_batch(batch2, T0)  # caller redelivers from offset
+    assert sorted(r["id"] for r in res.delivered.collect()) == ["3", "4"]

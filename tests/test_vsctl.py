@@ -153,3 +153,99 @@ def test_cli_table_maintenance(spark, tmp_path, capsys):
     t2 = ManifestTable(spark, path, "k", n_buckets=4)
     rows = {r.k: r.v for r in t2.read().collect()}
     assert rows[3] == 999 and rows[10] == 20 and len(rows) == 200
+
+
+def _mk_dlq(spark, tmp_path):
+    """A small DLQ parquet built by the real DeliveryLoop (all events 404)."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from vanus_spark.bus import distributed_row_number
+    from vanus_spark.streaming.runner import DeliveryLoop
+    from vanus_spark.subscription import Subscription
+
+    rows = [
+        (str(i), "/s", "1.0", "error", dt.datetime(2024, 6, 1), None, None,
+         None, {}, '{"v":1}')
+        for i in range(6)
+    ]
+    env = spark.createDataFrame(
+        rows,
+        "id string, source string, specversion string, type string, "
+        "time timestamp, datacontenttype string, dataschema string, "
+        "subject string, attributes map<string,string>, data string",
+    )
+    loop = DeliveryLoop(spark, Subscription.from_spec({}), lambda r: [404] * len(r))
+    loop.process_batch(env, dt.datetime(2024, 6, 1, 12))
+    path = str(tmp_path / "dlq.parquet")
+    dead = loop.dead.withColumn("_idl", F.col("id").cast("long"))
+    distributed_row_number(dead, [], ["_idl"], "dlq_offset").drop("_idl") \
+        .write.parquet(path)
+    return path
+
+
+def test_cli_dead_letter_get_pages_by_offset(spark, tmp_path, capsys):
+    dlq = _mk_dlq(spark, tmp_path)
+    rows = _vsctl(capsys, "dead-letter", "get", "--dlq", dlq,
+                  "--offset", "2", "--number", "3")
+    assert [r["dlq_offset"] for r in rows] == [2, 3, 4]
+    assert all("xvanussubid" in r["attributes"] for r in rows)
+    assert all("xvanusdlreason" in r["attributes"] for r in rows)
+
+
+def test_cli_dead_letter_resend_strips_attrs_and_bounds(spark, tmp_path, capsys):
+    dlq = _mk_dlq(spark, tmp_path)
+    rows = _vsctl(capsys, "dead-letter", "resend", "--dlq", dlq,
+                  "--start", "1", "--end", "4")
+    assert [r["id"] for r in rows] == ["1", "2", "3", "4"]
+    for r in rows:
+        keys = r["attr_keys"].split(",") if r["attr_keys"] else []
+        assert not any(k.startswith("xvanusdl") or k.startswith("xvanuslastdl") for k in keys)
+        assert "xvanusretryattempts" not in keys
+
+    # --out appends restored envelopes to a parquet eventlog
+    out = str(tmp_path / "resent.parquet")
+    res = _vsctl(capsys, "dead-letter", "resend", "--dlq", dlq,
+                 "--start", "0", "--out", out)
+    assert res[0]["resent"] == 6
+    back = spark.read.parquet(out)
+    assert back.count() == 6 and "dlq_offset" not in back.columns
+
+
+def test_cli_subscription_lifecycle_verbs(spark, sf_dir, tmp_path, capsys):
+    import pytest as _pytest
+
+    from vanus_spark.catalog import ResourceCanNotOpError
+
+    cat = str(tmp_path / "cat.json")
+    _vsctl(capsys, "namespace", "create", "--catalog", cat, "--name", "default")
+    _vsctl(capsys, "eventbus", "create", "--catalog", cat,
+           "--namespace", "default", "--name", "demo")
+    sub = _vsctl(capsys, "subscription", "create", "--catalog", cat,
+                 "--namespace", "default", "--eventbus", "demo",
+                 "--spec", '{"filters": []}')[0]
+    sid = str(sub["id"])
+    assert sub["phase"] == "created"
+
+    with _pytest.raises(ResourceCanNotOpError):
+        _vsctl(capsys, "subscription", "reset-offset", "--catalog", cat,
+               "--id", sid, "--bus", f"{sf_dir}/events.parquet",
+               "--time", "2024-01-15T00:00:00")
+
+    assert _vsctl(capsys, "subscription", "disable", "--catalog", cat,
+                  "--id", sid)[0]["phase"] == "stopped"
+    reset = _vsctl(capsys, "subscription", "reset-offset", "--catalog", cat,
+                   "--id", sid, "--bus", f"{sf_dir}/events.parquet",
+                   "--time", "2024-01-15T00:00:00")[0]
+    assert reset["offsets"]  # one entry per eventlog
+    _vsctl(capsys, "subscription", "update", "--catalog", cat, "--id", sid,
+           "--spec", '{"sink": "http://hook"}')
+    assert _vsctl(capsys, "subscription", "resume", "--catalog", cat,
+                  "--id", sid)[0]["phase"] == "created"
+    info = _vsctl(capsys, "subscription", "info", "--catalog", cat, "--id", sid)[0]
+    assert info["spec"]["sink"] == "http://hook"
+    assert {int(k) for k in info["offsets"]} == {int(k) for k in reset["offsets"]}
+    _vsctl(capsys, "subscription", "delete", "--catalog", cat, "--id", sid)
+    assert _vsctl(capsys, "subscription", "list", "--catalog", cat,
+                  "--namespace", "default") == []

@@ -176,16 +176,116 @@ def cmd_eventbus(args):
 
 
 def cmd_subscription(args):
+    """Subscription lifecycle verbs (reference:
+    tool/vsctl/command/subscription.go:287-581 update/delete/resume/
+    disable/reset-offset/info; the controller-side phase rules live in
+    vanus_spark.catalog)."""
     cat = _catalog(args)
-    ns = _ns_by_name(cat, args.namespace)
     if args.action == "create":
+        ns = _ns_by_name(cat, args.namespace)
         eb = _eb_by_name(cat, ns["id"], args.eventbus)
         spec = json.loads(args.spec) if args.spec else {}
-        print(json.dumps(cat.create_subscription(ns["id"], eb["id"], spec)))
-    else:
+        print(
+            json.dumps(
+                cat.create_subscription(
+                    ns["id"], eb["id"], spec, disable=args.disable
+                )
+            )
+        )
+    elif args.action == "list":
+        ns = _ns_by_name(cat, args.namespace)
         eb = _eb_by_name(cat, ns["id"], args.eventbus) if args.eventbus else None
         for s in cat.list_subscriptions(eb["id"] if eb else None):
             print(json.dumps(s))
+    elif args.action == "info":
+        print(json.dumps(cat.get_subscription(args.id)))
+    elif args.action == "update":
+        print(json.dumps(cat.update_subscription(args.id, json.loads(args.spec))))
+    elif args.action == "delete":
+        cat.delete_subscription(args.id)
+        print(json.dumps({"subscription_id": args.id}))
+    elif args.action == "disable":
+        print(json.dumps(cat.disable_subscription(args.id, args.declaratively)))
+    elif args.action == "resume":
+        print(json.dumps(cat.resume_subscription(args.id)))
+    elif args.action == "reset-offset":
+        # ResetOffsetToTimestamp: per-eventlog LookupOffset(ts) over the
+        # bus, committed into the catalog (requires disabled phase).
+        from vanus_spark.bus import lookup_offset_by_time
+
+        spark = _spark()
+        bus = _load_bus(spark, args.bus)
+        t = dt.datetime.fromisoformat(args.time.replace("Z", "+00:00"))
+        if t.tzinfo is not None:
+            t = t.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        offsets = {
+            int(r["eventlog"]): int(r["offset"])
+            for r in lookup_offset_by_time(bus, t).collect()
+        }
+        cat.reset_subscription_offsets(args.id, offsets)
+        print(json.dumps({"offsets": offsets, "subscription_id": args.id}, sort_keys=True))
+
+
+def cmd_deadletter(args):
+    """`vsctl dead-letter get|resend` (reference:
+    tool/vsctl/command/deadletter.go:50,101). The DLQ is a parquet
+    eventlog per subscription; get pages by offset/number, resend
+    strips the x-vanus DLQ attributes (delivery.resend_dead_letter)
+    for the [start, end] offset range and either prints the restored
+    envelopes or appends them to --out."""
+    import pyspark.sql.functions as F
+
+    spark = _spark()
+    dead = spark.read.parquet(args.dlq)
+    # DLQ position = arrival order within the dead-letter log; the
+    # writer stamps it, but tolerate raw frames by deriving from id.
+    if "dlq_offset" not in dead.columns:
+        from vanus_spark.bus import distributed_row_number
+
+        dead = distributed_row_number(dead, [], ["id"], "dlq_offset")
+    if args.action == "get":
+        rows = (
+            dead.where(F.col("dlq_offset") >= args.offset)
+            .orderBy("dlq_offset")
+            .limit(args.number)
+            .collect()
+        )
+        for r in rows:
+            d = r.asDict()
+            attrs = d.get("attributes") or {}
+            print(
+                json.dumps(
+                    {
+                        "dlq_offset": int(d["dlq_offset"]),
+                        "id": str(d.get("id")),
+                        "type": str(d.get("type")),
+                        "attributes": dict(sorted(attrs.items())),
+                    },
+                    sort_keys=True,
+                )
+            )
+    else:  # resend
+        from vanus_spark.delivery import resend_dead_letter
+
+        sel = dead.where(F.col("dlq_offset") >= args.start)
+        if args.end:
+            sel = sel.where(F.col("dlq_offset") <= args.end)
+        resent = resend_dead_letter(sel.drop("dlq_offset"))
+        if args.out:
+            resent.write.mode("append").parquet(args.out)
+            print(json.dumps({"resent": resent.count(), "out": args.out}))
+        else:
+            for r in resent.orderBy("id").collect():
+                d = r.asDict()
+                print(
+                    json.dumps(
+                        {
+                            "id": str(d.get("id")),
+                            "attr_keys": ",".join(sorted((d.get("attributes") or {}).keys())),
+                        },
+                        sort_keys=True,
+                    )
+                )
 
 
 def cmd_user(args):
@@ -318,12 +418,34 @@ def main():
     e.set_defaults(fn=cmd_eventbus)
 
     s = sub.add_parser("subscription")
-    s.add_argument("action", choices=["create", "list"])
+    s.add_argument(
+        "action",
+        choices=[
+            "create", "list", "info", "update", "delete",
+            "disable", "resume", "reset-offset",
+        ],
+    )
     s.add_argument("--catalog", required=True)
-    s.add_argument("--namespace", required=True)
+    s.add_argument("--namespace", default="default")
     s.add_argument("--eventbus")
     s.add_argument("--spec")
+    s.add_argument("--id", type=int)
+    s.add_argument("--disable", action="store_true",
+                   help="create in the stopped phase")
+    s.add_argument("--declaratively", action="store_true")
+    s.add_argument("--bus", help="events parquet (reset-offset)")
+    s.add_argument("--time", help="RFC3339 timestamp (reset-offset)")
     s.set_defaults(fn=cmd_subscription)
+
+    dl = sub.add_parser("dead-letter")
+    dl.add_argument("action", choices=["get", "resend"])
+    dl.add_argument("--dlq", required=True, help="DLQ parquet path")
+    dl.add_argument("--offset", type=int, default=0)
+    dl.add_argument("--number", type=int, default=1)
+    dl.add_argument("--start", type=int, default=0)
+    dl.add_argument("--end", type=int, default=0)
+    dl.add_argument("--out", help="append resent events to this parquet")
+    dl.set_defaults(fn=cmd_deadletter)
 
     u2 = sub.add_parser("user")
     u2.add_argument("action", choices=["create", "delete", "list", "roles"])

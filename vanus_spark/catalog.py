@@ -49,6 +49,19 @@ class CatalogConcurrencyError(RuntimeError):
     pass
 
 
+class ResourceCanNotOpError(RuntimeError):
+    """Mirror of the reference's ErrResourceCanNotOp (raised when a
+    lifecycle verb is applied to a subscription in the wrong phase)."""
+
+
+# Subscription phases (reference: server/core/metadata phases; the
+# transient stopping/pending phases collapse to their terminal states
+# here because stopping a DeliveryLoop is synchronous in this port —
+# disable lands directly on "stopped", resume directly on "created").
+SUB_PHASE_CREATED = "created"
+SUB_PHASE_STOPPED = "stopped"
+
+
 class Catalog:
     def __init__(self, path: str, id_gen: Snowflake | None = None):
         self.path = path
@@ -75,6 +88,9 @@ class Catalog:
         state = doc["state"]
         for k, v in self._EMPTY.items():  # forward-compat: older docs
             state.setdefault(k, json.loads(json.dumps(v)))
+        for sub in state["subscriptions"].values():  # pre-lifecycle docs
+            sub.setdefault("phase", SUB_PHASE_CREATED)
+            sub.setdefault("offsets", {})
         return doc.get("epoch", 0), state
 
     def refresh(self) -> None:
@@ -151,7 +167,8 @@ class Catalog:
         return dict(eb)
 
     def create_subscription(
-        self, namespace_id: int, eventbus_id: int, spec: dict
+        self, namespace_id: int, eventbus_id: int, spec: dict,
+        disable: bool = False,
     ) -> dict:
         if str(namespace_id) not in self._state["namespaces"]:
             raise ResourceNotFoundError(f"namespace {namespace_id}")
@@ -164,12 +181,89 @@ class Catalog:
             "namespace_id": namespace_id,
             "eventbus_id": eventbus_id,
             "spec": spec,
+            "phase": SUB_PHASE_STOPPED if disable else SUB_PHASE_CREATED,
+            "offsets": {},
             "created_at": now,
             "updated_at": now,
         }
         self._state["subscriptions"][str(sid)] = sub
         self._commit()
         return dict(sub)
+
+    # ----- subscription lifecycle (reference:
+    # server/controller/trigger/controller.go:145-171 ResetOffsetToTimestamp,
+    # :224-305 Update/Delete/Disable/Resume;
+    # tool/vsctl/command/subscription.go:287-581) -------------------------
+
+    def _sub_ref(self, sid: int) -> dict:
+        sub = self._state["subscriptions"].get(str(sid))
+        if sub is None:
+            raise ResourceNotFoundError(f"subscription {sid}")
+        return sub
+
+    def update_subscription(self, sid: int, spec: dict) -> dict:
+        """UpdateSubscription: only legal while disabled; the eventbus
+        binding is immutable; a no-op patch is refused
+        (controller.go:236-243,263 'no change' => ErrInvalidRequest)."""
+        sub = self._sub_ref(sid)
+        if sub.get("phase") != SUB_PHASE_STOPPED:
+            raise ResourceCanNotOpError("subscription must be disabled can update")
+        if "eventbus_id" in spec and spec["eventbus_id"] != sub["eventbus_id"]:
+            raise ValueError("can not change eventbus")
+        new_spec = dict(sub["spec"])
+        new_spec.update({k: v for k, v in spec.items() if k != "eventbus_id"})
+        if new_spec == sub["spec"]:
+            raise ValueError("no change")
+        sub["spec"] = new_spec
+        sub["updated_at"] = self._now_ms()
+        self._commit()
+        return dict(sub)
+
+    def disable_subscription(self, sid: int, declaratively: bool = False) -> dict:
+        """DisableSubscription (controller.go:305-336): disabling an
+        already-stopped subscription errors unless declarative."""
+        sub = self._sub_ref(sid)
+        if sub.get("phase") == SUB_PHASE_STOPPED:
+            if declaratively:
+                return dict(sub)
+            raise ResourceCanNotOpError("subscription is disabled")
+        sub["phase"] = SUB_PHASE_STOPPED
+        sub["updated_at"] = self._now_ms()
+        self._commit()
+        return dict(sub)
+
+    def resume_subscription(self, sid: int) -> dict:
+        """ResumeSubscription (controller.go:338-361): only a stopped
+        subscription can resume; committed offsets are left intact so
+        delivery continues where it stopped (or at any reset point)."""
+        sub = self._sub_ref(sid)
+        if sub.get("phase") != SUB_PHASE_STOPPED:
+            raise ResourceCanNotOpError("subscription is not disable")
+        sub["phase"] = SUB_PHASE_CREATED
+        sub["updated_at"] = self._now_ms()
+        self._commit()
+        return dict(sub)
+
+    def reset_subscription_offsets(self, sid: int, offsets: dict[int, int]) -> dict:
+        """ResetOffsetToTimestamp's commit half (controller.go:145-171):
+        only legal while disabled ('subscription must be disable can
+        reset offset'). The per-eventlog offsets are computed by the
+        caller via bus.lookup_offset_by_time — the exact LookupOffset
+        the reference's subscriptionManager delegates to — so the
+        catalog stays Spark-free."""
+        sub = self._sub_ref(sid)
+        if sub.get("phase") != SUB_PHASE_STOPPED:
+            raise ResourceCanNotOpError("subscription must be disable can reset offset")
+        sub["offsets"] = {str(k): int(v) for k, v in offsets.items()}
+        sub["updated_at"] = self._now_ms()
+        self._commit()
+        return dict(sub)
+
+    def subscription_is_active(self, sid: int) -> bool:
+        """DeliveryLoop gate: only subscriptions outside the stopped
+        phase receive events (trigger worker checks the phase before
+        scheduling)."""
+        return self._sub_ref(sid).get("phase", SUB_PHASE_CREATED) != SUB_PHASE_STOPPED
 
     def get_namespace(self, nid: int) -> dict:
         ns = self._state["namespaces"].get(str(nid))

@@ -96,6 +96,8 @@ class DeliveryLoop:
         sink_fn: SinkFn,
         sub_id: str = "sub-0",
         state_dir: str | None = None,
+        catalog=None,
+        catalog_sub_id: int | None = None,
     ):
         """``state_dir`` makes pending/dead state durable: the pending
         table snapshots per epoch (alternating dirs, so a crash mid-
@@ -107,6 +109,14 @@ class DeliveryLoop:
         self.sink_fn = sink_fn
         self.sub_id = sub_id
         self.state_dir = state_dir
+        # Optional control-plane gate: when bound to a Catalog
+        # subscription, a disabled phase stops delivery at the top of
+        # every tick (the reference's trigger worker is descheduled on
+        # DisableSubscription, controller.go:305-336); the batch is NOT
+        # consumed, so offsets stand still and a later resume redelivers
+        # from where delivery stopped.
+        self.catalog = catalog
+        self.catalog_sub_id = catalog_sub_id
         self._epoch = 0
         self.empty_envelope = spark.createDataFrame(
             [],
@@ -172,6 +182,15 @@ class DeliveryLoop:
         immediately) and drains FIFO — by (time, id) — on later ticks,
         exactly the bounded-unacked-window behavior of the reference's
         offset tracker."""
+        # 0. control-plane gate: a stopped subscription receives nothing
+        if self.catalog is not None and self.catalog_sub_id is not None:
+            self.catalog.refresh()
+            if not self.catalog.subscription_is_active(self.catalog_sub_id):
+                return SinkResult(
+                    delivered=self.empty_envelope,
+                    pending=self.pending,
+                    dead=self.empty_envelope,
+                )
         # 1. transform: errors route to DLQ with TransformError
         processed = self.sub.apply(batch_df)
         fresh_ok = processed.where(~F.col("transform_error")).drop("transform_error")
