@@ -168,3 +168,32 @@ def test_c4_line_filter_rules(spark):
         for r in c4_line_filter(docs, require_terminal_punct=False).collect()
     }
     assert relaxed[1].n_lines_kept == 3
+
+
+def test_compression_signal_same_build_golden(spark):
+    """compression_signal vs zlib golden computed with the SAME
+    interpreter's zlib (DEFLATE output is deterministic only per zlib
+    build, so no cross-engine oracle — ADVICE r5)."""
+    import zlib
+
+    from vanus_spark.llm.qualityrules import compression_signal
+
+    texts = [
+        "natural prose varies its words enough to resist deflate a bit",
+        "spam spam spam spam spam spam spam spam spam spam spam spam",
+        "x",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r.asDict() for r in compression_signal(docs).collect()}
+    for i, t in enumerate(texts):
+        raw = t.encode("utf-8")
+        exp_c = len(zlib.compress(raw, 6))
+        assert out[i]["orig_bytes"] == len(raw)
+        assert out[i]["compressed_bytes"] == exp_c
+        exp_ratio = round(exp_c / max(len(raw), 1), 6)
+        assert abs(out[i]["compression_ratio"] - exp_ratio) < 1e-9
+    # the repetitive doc flags as repetitive, the prose doc does not
+    assert out[1]["repetitive"] and not out[0]["repetitive"]

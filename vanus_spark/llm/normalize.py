@@ -10,7 +10,7 @@ letters (ł, đ, ø, æ, œ, ß) are intentionally NOT folded: ICU-style
 unaccent (Unicode NFD + strip combining marks) leaves them alone too,
 so the fold agrees with ``strip_accents`` engines char-for-char on the
 covered set (parity is unit-tested against DuckDB in
-tests/test_normalize.py).
+tests/test_session8_ops.py).
 
 Reference parity: the reference's transformer normalizes payload text
 only via lower/upper actions (/root/reference/internal/primitive/

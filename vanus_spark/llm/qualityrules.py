@@ -572,11 +572,18 @@ def chi2_tokens(
 
     Engine-exact by construction: every count is an integer, the
     numerator and denominator are assembled as EXACT decimal(38,0)
-    integer products (headroom to ~10^9 seed docs — the labeled SEED
-    set is small by construction in the CCNet pattern), and the single
-    final division is one double op on the exactly-cast operands,
-    identical on every IEEE-754 engine; the emitted statistic is
-    rounded after that.
+    integer products, and the single final division is one double op
+    on the exactly-cast operands, identical on every IEEE-754 engine;
+    the emitted statistic is rounded after that.
+
+    Headroom: the numerator N*(ad-bc)^2 grows ~n^5/16 in the worst
+    case, so decimal(38,0) is exact to roughly n ~ 4*10^7 labeled
+    docs — plenty for a labeled SEED set (small by construction in
+    the CCNet pattern), NOT for scoring an unlabeled 10^9-doc corpus.
+    Past that, Spark decimal overflow yields NULL (silently dropping
+    the largest-chi2 tokens) while a HUGEINT engine errors; if you
+    need chi2 over >10^7 labeled docs, compute the statistic in
+    double from the start and accept ~1-ulp cross-engine drift.
 
     Shape: explode -> distinct(doc, tok) -> one groupBy(tok) partial
     aggregate (shuffle ~#distinct tokens) + a broadcast 1-row total;
@@ -634,14 +641,18 @@ def compression_signal(
     seam — one Arrow-batched pass over the scan, zero shuffle, and
     only the two INTEGER lengths leave the UDF; the ratio itself is
     one engine-exact double division over them. DEFLATE output for a
-    fixed level is deterministic for a given zlib build, which is what
-    lets the oracle pin golden compressed sizes (same pattern as the
-    BPE merge-table gate).
+    fixed level is deterministic only per zlib BUILD (different zlib
+    versions may emit different sizes), so this signal is gated by
+    tests/test_qualityrules.py computing the expected sizes with the
+    SAME interpreter's zlib — not by a cross-engine SQL oracle.
     """
     import pandas as pd
 
+    # no type hints: module-level `from __future__ import annotations`
+    # stringifies them, and the locally-imported `pd` is unresolvable at
+    # decoration time — SCALAR is the default eval type anyway
     @F.pandas_udf("long")
-    def _clen(s: pd.Series) -> pd.Series:
+    def _clen(s):
         import zlib
 
         return pd.Series(

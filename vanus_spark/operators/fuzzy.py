@@ -127,7 +127,7 @@ def fuzzy_join(
 def _jaro_winkler_py(s1: str, s2: str, p: float = 0.1, boost_above: float = 0.7) -> float:
     """Reference Jaro-Winkler (prefix scale 0.1, boost only when the
     Jaro score exceeds 0.7 — the standard parameters). Implemented to
-    the letter of the published algorithm; tests/test_fuzzy_jw.py
+    the letter of the published algorithm; tests/test_session8_ops.py
     asserts BIT-EXACT double parity against DuckDB's
     jaro_winkler_similarity on thousands of pairs, which is what lets
     the linkage query emit raw scores under the oracle hash.
