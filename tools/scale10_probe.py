@@ -1,0 +1,129 @@
+"""10x scale probe for the heaviest registry queries (round-5 verdict
+next-step #8): no sf1 fixture exists, so this materializes a synthetic
+one — an sf-dir-shaped directory whose `documents` and `customer`
+tables are DETERMINISTIC 10x replications of sf0.1 (word-rotated texts
+/ offset custkeys, so replicas are distinct records, not dedup
+collapse) and whose other tables symlink to sf0.1 — then times the
+REAL registry queries from __spark_entry__.py against both dirs.
+
+The question this answers is the one that matters at 100 TB: does each
+heavy query's wall time grow ~linearly (or better) when its input
+grows 10x, or does a hidden quadratic candidate generator blow up?
+
+Usage: python tools/scale10_probe.py [query ...]
+Writes one JSON line per (query, scale) and a ratio summary table
+(SCALING.md records the result).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+os.environ.setdefault("PYTHONPATH", "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+DEFAULT_QUERIES = [
+    "entity_resolution",
+    "er_golden_record",
+    "dedup_lsh_recall",
+    "dedup_jaccard_exact",
+    "video_phash_neardup",
+    "link_communities",
+    "corpus_ngram_diversity",
+]
+REPLICAS = 10
+
+
+def build_scaled_dir(spark) -> str:
+    out = tempfile.mkdtemp(prefix="sfx10_")
+    for name in os.listdir(BASE):
+        if name not in ("documents.parquet", "customer.parquet"):
+            os.symlink(os.path.join(BASE, name), os.path.join(out, name))
+
+    from vanus_spark.sources import load_table
+
+    reps = F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1))).alias("rep")
+
+    docs = load_table(spark, BASE, "documents")
+    words = F.split(F.col("text"), " ")
+    k = F.col("rep") % F.greatest(F.size(words), F.lit(1))
+    rotated = F.concat(
+        F.slice(words, k + 1, F.size(words) - k), F.slice(words, 1, k)
+    )
+    docs.select(*docs.columns, reps).select(
+        (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+        F.array_join(rotated, " ").alias("text"),
+        *[c for c in docs.columns if c not in ("doc_id", "text")],
+    ).write.parquet(os.path.join(out, "documents.parquet"))
+
+    cust = load_table(spark, BASE, "customer")
+    cust.select(*cust.columns, reps).select(
+        (F.col("c_custkey") + F.col("rep") * 10_000_000).alias("c_custkey"),
+        *[c for c in cust.columns if c != "c_custkey"],
+    ).write.parquet(os.path.join(out, "customer.parquet"))
+    return out
+
+
+def main() -> None:
+    import importlib.util
+
+    from vanus_spark import get_spark
+
+    names = sys.argv[1:] or DEFAULT_QUERIES
+    spec = importlib.util.spec_from_file_location(
+        "entry_probe", "/root/repo/__spark_entry__.py"
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    spark = get_spark("scale10_probe")
+    qs = entry.queries()
+
+    scaled = build_scaled_dir(spark)
+    print(f"# scaled dir: {scaled} ({REPLICAS}x documents/customer)")
+
+    def run(name: str, sf_dir: str) -> float:
+        # isolate: per-session memos (ER chain, Jaccard pairs) would let
+        # the second of a shared pair measure ~0; clear them so each
+        # query pays its full chain here
+        entry._ER_TAGGED_MEMO.clear()
+        entry._JACCARD_05_MEMO.clear()
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    results = []
+    for name in names:
+        base_t = min(run(name, BASE) for _ in range(2))
+        big_t = min(run(name, scaled) for _ in range(2))
+        ratio = big_t / max(base_t, 1e-9)
+        row = {
+            "query": name,
+            "sf0.1_sec": round(base_t, 2),
+            "x10_sec": round(big_t, 2),
+            "time_ratio_at_10x_data": round(ratio, 2),
+        }
+        results.append(row)
+        print(json.dumps(row))
+
+    print("\n| query | sf0.1 | 10x | time ratio |")
+    print("|---|---|---|---|")
+    for r in results:
+        flag = " **super-linear**" if r["time_ratio_at_10x_data"] > 10 else ""
+        print(
+            f"| {r['query']} | {r['sf0.1_sec']} s | {r['x10_sec']} s "
+            f"| {r['time_ratio_at_10x_data']}x{flag} |"
+        )
+    shutil.rmtree(scaled, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
