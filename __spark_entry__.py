@@ -6623,6 +6623,196 @@ def q_quality_drop_reason(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_drop_reason(_t(spark, sf_dir, "documents"))
 
 
+# Fellegi-Sunter priors shared by the Spark query and its oracle: the
+# log2 weights are computed ONCE in Python and embedded as identical
+# double literals in both plans, so the per-pair score is a fixed-order
+# sum of the same constants — bit-identical cross-engine.
+_FS_FIELDS = {"name": (0.9, 0.001), "segment": (0.95, 0.2), "phone": (0.9, 0.04)}
+_FS_MATCH, _FS_POSSIBLE = 8.0, 0.0
+
+
+def q_er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage
+    (operators/linkage.fellegi_sunter) over a blocked candidate set:
+    dirty customer records (1-char name substitution; every 9th gets a
+    3-char corruption so the name comparator DISAGREES; every 5th
+    flips segment; every 7th breaks the synthesized phone-prefix residue field) candidate-join
+    their masters on (nationkey, acctbal-hundreds) blocks, then each
+    pair's comparison vector (levenshtein<=1 name band, segment and
+    phone-prefix equality) is scored with log2(m/u) agreement weights
+    and classified match/possible/non_match — the 1969 decision model
+    production linkers (Splink/Dedupe) still run. Scoring is pure
+    Column arithmetic over the blocked join; the oracle restates the
+    whole chain with the SAME Python-computed weight literals."""
+    from vanus_spark.operators.linkage import fellegi_sunter
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    name = F.concat(
+        F.col("c_name"),
+        F.lit("-"),
+        F.substring(F.md5(k.cast("string")), 1, 6),
+    )
+    cents = (F.col("c_acctbal") * 100).cast("long")
+    blk = F.concat_ws(
+        "|",
+        F.col("c_nationkey").cast("string"),
+        F.floor(cents / F.lit(10000.0)).cast("long").cast("string"),
+    )
+    master = cust.select(
+        k.alias("m_id"),
+        name.alias("m_name"),
+        F.col("c_mktsegment").alias("m_seg"),
+        F.lpad((k % 997).cast("string"), 3, "0").alias("m_p3"),
+        blk.alias("blk"),
+    )
+    pos = (k % 12) + 2
+    sub1 = F.concat(
+        F.substr(name, F.lit(1), pos - F.lit(1)),
+        F.lit("X"),
+        F.substr(name, pos + F.lit(1), F.length(name)),
+    )
+    sub3 = F.concat(F.lit("ZZZ"), F.substr(name, F.lit(4), F.length(name)))
+    dirty = cust.select(
+        k.alias("d_id"),
+        F.when(k % 9 == 0, sub3).otherwise(sub1).alias("d_name"),
+        F.when(
+            k % 5 == 0,
+            F.when(F.col("c_mktsegment") == "BUILDING", F.lit("MACHINERY"))
+            .otherwise(F.lit("BUILDING")),
+        )
+        .otherwise(F.col("c_mktsegment"))
+        .alias("d_seg"),
+        F.when(k % 7 == 0, F.lit("XXX"))
+        .otherwise(F.lpad((k % 997).cast("string"), 3, "0"))
+        .alias("d_p3"),
+        blk.alias("blk"),
+    )
+    pairs = dirty.join(master, "blk").select(
+        "d_id",
+        "m_id",
+        (F.levenshtein("d_name", "m_name") <= 1).alias("agree_name"),
+        (F.col("d_seg") == F.col("m_seg")).alias("agree_segment"),
+        (F.col("d_p3") == F.col("m_p3")).alias("agree_phone"),
+    )
+    scored = fellegi_sunter(pairs, _FS_FIELDS, _FS_MATCH, _FS_POSSIBLE)
+    return scored.select(
+        "d_id",
+        "m_id",
+        "agree_name",
+        "agree_segment",
+        "agree_phone",
+        F.round("fs_score", 6).alias("fs_score"),
+        "fs_decision",
+    )
+
+
+def q_search_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval quality eval (llm/search.ranking_eval) over the REAL
+    BM25 ranking: the judged set is derived deterministically — a doc
+    is relevant to a query when it shares >= 2 of the query's 4
+    distinct terms, graded by shared-term count minus one — and the
+    BM25 top-10 (same 4 probe queries as text_search_bm25) is scored
+    with NDCG@10 / MRR / recall@10. The oracle re-derives the whole
+    chain (tokenize -> tf/df -> BM25 -> rank -> judged set -> metric
+    sums) in independent SQL."""
+    from vanus_spark.llm.dedup import normalize_text
+    from vanus_spark.llm.search import bm25_search, ranking_eval
+
+    docs = _t(spark, sf_dir, "documents")
+    qs = docs.where(F.col("doc_id").isin(3, 17, 31, 59)).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(F.split(normalize_text(F.col("text")), " "), 1, 4), " "
+        ).alias("query_text"),
+    )
+    ranked = bm25_search(docs, qs, k=10).select("query_id", "doc_id", "rank")
+    qterms = qs.select(
+        "query_id",
+        F.explode(
+            F.array_distinct(F.split(F.col("query_text"), " "))
+        ).alias("term"),
+    ).where(F.col("term") != "")
+    dterms = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(normalize_text(F.col("text")), " "))
+        ).alias("term"),
+    ).where(F.col("term") != "")
+    truth = (
+        qterms.join(dterms, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= 2)
+        .select("query_id", "doc_id", (F.col("shared") - 1).alias("grade"))
+    )
+    return ranking_eval(ranked, truth, k=10)
+
+
+def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection (similarity.random_projection): every
+    embedding projected onto 16 seeded gaussian directions scaled by
+    1/sqrt(16) — the shuffle-free dimensionality reduction used before
+    ANN indexing when PCA's train pass is overkill. The projection
+    matrix is driver-side literals shared with the oracle verbatim
+    (repr round-trip), so DuckDB recomputes every coordinate with
+    list_dot_product over the SAME doubles; round(6) absorbs the
+    fold-order ulp."""
+    from vanus_spark.llm.similarity import random_projection
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = random_projection(emb, dim=64, out_dim=16, seed=7)
+    return out.select(
+        "vec_id", F.posexplode("proj").alias("j", "v")
+    ).select(
+        "vec_id",
+        F.col("j").cast("long").alias("dim_j"),
+        F.round("v", 6).alias("proj"),
+    )
+
+
+def q_docs_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch Reading Ease + Flesch-Kincaid grade
+    (textstats.readability): dictionary-free regex counts (non-space
+    words, [.!?]+ sentences, vowel-group syllables) feeding the two
+    classic fixed-order score formulas — pure Columns over one scan.
+    The oracle recounts with RE2's regexp_extract_all and applies the
+    same literal coefficients."""
+    from vanus_spark.llm.textstats import readability
+
+    return readability(_t(spark, sf_dir, "documents"))
+
+
+def q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-shift changepoint per event type
+    (operators/timeseries.changepoint_binary): the daily event-count
+    series is split at the position maximizing the scaled mean-shift
+    statistic |mean_l - mean_r| * sqrt(i*(n-i)/n) — binary
+    segmentation's first cut, the anomaly primitive next to CUSUM.
+    Exact integer daily counts feed a fixed-order double statistic;
+    the oracle restates the cumulative-sum windows and the
+    (round(stat,9) DESC, day) argmax."""
+    from vanus_spark.operators.timeseries import changepoint_binary
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("key"),
+            F.to_date("ts").alias("t"),
+        )
+        .agg(F.count("*").cast("double").alias("v"))
+    )
+    out = changepoint_binary(daily)
+    return out.select(
+        F.col("key").alias("event_type"),
+        F.col("split_t").cast("string").alias("split_day"),
+        "n_points",
+        "stat",
+        "mean_left",
+        "mean_right",
+    )
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Round-6 policy (VERDICT r5 item #2): new-in-round queries first, then
@@ -6637,6 +6827,8 @@ _R6_WINDOW = [
     "dlq_resend_cli",
     "graph_clustering_coeff",
     "quality_drop_reason",
+    "er_fellegi_sunter",
+    "search_eval_ndcg",
     # --- never-driver-checked backfill (oldest first) ---
     "tpch_q4_priority",
     "tpch_q6_forecast",
@@ -6682,8 +6874,6 @@ _R6_WINDOW = [
     "graph_bfs",
     "asof_nearest_events",
     "sketch_count_min",
-    "events_transitions",
-    "events_mad_outliers",
 ]
 
 
@@ -6707,6 +6897,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dlq_resend_cli": q_dlq_resend_cli,
         "graph_clustering_coeff": q_graph_clustering_coeff,
         "quality_drop_reason": q_quality_drop_reason,
+        "er_fellegi_sunter": q_er_fellegi_sunter,
+        "search_eval_ndcg": q_search_eval_ndcg,
+        "embedding_random_projection": q_embedding_random_projection,
+        "docs_readability": q_docs_readability,
+        "events_changepoint": q_events_changepoint,
         # --- new in round 5 (8th session) ---
         "text_canonicalize": q_text_canonicalize,
         "er_jw_match": q_er_jw_match,
@@ -7564,9 +7759,217 @@ def _benford_oracle() -> str:
     """
 
 
+def _fs_oracle() -> str:
+    """SQL twin of q_er_fellegi_sunter: same fixture, same blocked
+    join, and the SAME Python-computed log2 weight literals (repr
+    round-trips the exact doubles), summed in the same left-to-right
+    order so the raw score is bit-identical before the shared
+    round(6)."""
+    from vanus_spark.operators.linkage import fs_weights
+
+    w = fs_weights(_FS_FIELDS)
+    wa_n, wd_n = (repr(x) for x in w["name"])
+    wa_s, wd_s = (repr(x) for x in w["segment"])
+    wa_p, wd_p = (repr(x) for x in w["phone"])
+    return f"""
+        WITH cust AS (
+          SELECT c_custkey AS k,
+                 c_name || '-' || substr(md5(c_custkey::VARCHAR), 1, 6) AS name,
+                 c_mktsegment AS seg,
+                 lpad((c_custkey % 997)::VARCHAR, 3, '0') AS p3,
+                 c_nationkey::VARCHAR || '|'
+                   || floor((c_acctbal * 100)::BIGINT / 10000.0)::BIGINT::VARCHAR
+                   AS blk
+          FROM customer),
+        master AS (
+          SELECT k AS m_id, name AS m_name, seg AS m_seg, p3 AS m_p3, blk
+          FROM cust),
+        dirty AS (
+          SELECT k AS d_id,
+                 CASE WHEN k % 9 = 0 THEN 'ZZZ' || substr(name, 4, length(name))
+                      ELSE substr(name, 1, pos - 1) || 'X'
+                           || substr(name, pos + 1, length(name)) END AS d_name,
+                 CASE WHEN k % 5 = 0
+                      THEN (CASE WHEN seg = 'BUILDING' THEN 'MACHINERY'
+                                 ELSE 'BUILDING' END)
+                      ELSE seg END AS d_seg,
+                 CASE WHEN k % 7 = 0 THEN 'XXX' ELSE p3 END AS d_p3,
+                 blk
+          FROM (SELECT *, (k % 12) + 2 AS pos FROM cust) t),
+        pairs AS (
+          SELECT d_id, m_id,
+                 levenshtein(d_name, m_name) <= 1 AS agree_name,
+                 d_seg = m_seg AS agree_segment,
+                 d_p3 = m_p3 AS agree_phone
+          FROM dirty JOIN master USING (blk)),
+        scored AS (
+          SELECT *,
+                 ((0.0 + (CASE WHEN agree_name THEN {wa_n} ELSE {wd_n} END))
+                   + (CASE WHEN agree_segment THEN {wa_s} ELSE {wd_s} END))
+                   + (CASE WHEN agree_phone THEN {wa_p} ELSE {wd_p} END)
+                   AS fs_score
+          FROM pairs)
+        SELECT d_id, m_id, agree_name, agree_segment, agree_phone,
+               round(fs_score, 6) AS fs_score,
+               CASE WHEN fs_score >= {repr(_FS_MATCH)} THEN 'match'
+                    WHEN fs_score >= {repr(_FS_POSSIBLE)} THEN 'possible'
+                    ELSE 'non_match' END AS fs_decision
+        FROM scored
+    """
+
+
+def _search_eval_oracle() -> str:
+    """SQL twin of q_search_eval_ndcg: the text_search_bm25 chain plus
+    the shared-term judged set and the NDCG/MRR/recall sums."""
+    norm_text = _NORM.format(c="text")
+    return f"""
+        WITH tk AS (SELECT doc_id, unnest(str_split({norm_text}, ' ')) AS term
+                    FROM documents),
+        tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+               FROM tk WHERE term <> '' GROUP BY 1, 2),
+        dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+        df AS (SELECT term, count(*)::DOUBLE AS dfreq FROM tf GROUP BY 1),
+        q AS (SELECT doc_id AS query_id,
+                     unnest(list_distinct(
+                       (str_split({norm_text}, ' '))[1:4])) AS term
+              FROM documents WHERE doc_id IN (3, 17, 31, 59)),
+        cand AS (SELECT q.query_id, tf.doc_id,
+                        sum(ln(1.0::DOUBLE
+                               + (stats.n_docs - df.dfreq + 0.5::DOUBLE)
+                                 / (df.dfreq + 0.5::DOUBLE))
+                            * tf.tf * (1.2::DOUBLE + 1.0::DOUBLE)
+                            / (tf.tf + 1.2::DOUBLE
+                               * (1.0::DOUBLE - 0.75::DOUBLE
+                                  + 0.75::DOUBLE * dl.dl / stats.avgdl)))
+                          AS score
+                 FROM q JOIN tf USING (term)
+                        JOIN df USING (term)
+                        JOIN dl ON tf.doc_id = dl.doc_id
+                        CROSS JOIN stats
+                 GROUP BY 1, 2),
+        topk AS (SELECT query_id, doc_id, rank FROM (
+                   SELECT query_id, doc_id,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY round(score, 9) DESC,
+                                                      doc_id) AS rank
+                   FROM cand) r
+                 WHERE rank <= 10),
+        dterm AS (SELECT DISTINCT doc_id, term FROM tk WHERE term <> ''),
+        truth AS (SELECT qq.query_id, d.doc_id, count(*) - 1 AS grade
+                  FROM (SELECT DISTINCT query_id, term FROM q
+                        WHERE term <> '') qq
+                  JOIN dterm d USING (term)
+                  GROUP BY 1, 2 HAVING count(*) >= 2),
+        j AS (SELECT t.query_id, t.rank, coalesce(tr.grade, 0)::DOUBLE AS g
+              FROM topk t LEFT JOIN truth tr
+                ON t.query_id = tr.query_id AND t.doc_id = tr.doc_id),
+        got AS (SELECT query_id,
+                       sum((pow(2.0::DOUBLE, g) - 1.0::DOUBLE)
+                           / log2(rank + 1.0::DOUBLE)) AS dcg,
+                       min(CASE WHEN g >= 1 THEN rank END) AS first_rel,
+                       count(CASE WHEN g >= 1 THEN 1 END) AS n_rel_retrieved
+                FROM j GROUP BY 1),
+        ideal AS (SELECT query_id,
+                         sum((pow(2.0::DOUBLE, grade::DOUBLE) - 1.0::DOUBLE)
+                             / log2(irank + 1.0::DOUBLE)) AS idcg
+                  FROM (SELECT query_id, grade,
+                               row_number() OVER (PARTITION BY query_id
+                                                  ORDER BY grade DESC,
+                                                           doc_id) AS irank
+                        FROM truth) x
+                  WHERE irank <= 10 GROUP BY 1),
+        nrel AS (SELECT query_id, count(*) AS n_relevant FROM truth GROUP BY 1)
+        SELECT got.query_id,
+               round(dcg / idcg, 6) AS ndcg_10,
+               round(coalesce(1.0::DOUBLE / first_rel, 0.0::DOUBLE), 6) AS mrr,
+               round(n_rel_retrieved / n_relevant::DOUBLE, 6) AS recall_10,
+               n_relevant
+        FROM got JOIN ideal USING (query_id) JOIN nrel USING (query_id)
+    """
+
+
+def _random_projection_oracle() -> str:
+    """SQL twin of q_embedding_random_projection: the SAME seeded
+    16x64 plane literals (repr round-trips the doubles), one
+    list_dot_product per (vector, direction)."""
+    import math as _math
+
+    from vanus_spark.llm.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(64, 16, seed=7)
+    scale = repr(1.0 / _math.sqrt(16))
+    rows = ",\n              ".join(
+        f"({j}, [{', '.join(repr(x) for x in p)}]::DOUBLE[])"
+        for j, p in enumerate(planes)
+    )
+    return f"""
+        SELECT e.vec_id, m.j::BIGINT AS dim_j,
+               round(list_dot_product(e.embedding::DOUBLE[], m.plane)
+                     * {scale}, 6) AS proj
+        FROM embeddings e, (VALUES
+              {rows}) AS m(j, plane)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     norm_text = _NORM.format(c="text")
     return {
+        "er_fellegi_sunter": _fs_oracle(),
+        "search_eval_ndcg": _search_eval_oracle(),
+        "embedding_random_projection": _random_projection_oracle(),
+        "events_changepoint": """
+            WITH daily AS (
+              SELECT event_type AS key, ts::DATE AS t,
+                     count(*)::DOUBLE AS v
+              FROM events GROUP BY 1, 2),
+            cum AS (
+              SELECT key, t,
+                     row_number() OVER (PARTITION BY key ORDER BY t) AS i,
+                     sum(v) OVER (PARTITION BY key ORDER BY t) AS s,
+                     count(*) OVER (PARTITION BY key) AS n,
+                     sum(v) OVER (PARTITION BY key) AS tot
+              FROM daily),
+            scored AS (
+              SELECT key, t AS split_t, n AS n_points,
+                     abs(s / i::DOUBLE - (tot - s) / (n - i)::DOUBLE)
+                       * sqrt(i::DOUBLE * (n - i)::DOUBLE / n::DOUBLE) AS stat,
+                     s / i::DOUBLE AS ml,
+                     (tot - s) / (n - i)::DOUBLE AS mr
+              FROM cum WHERE i < n),
+            pick AS (
+              SELECT *, row_number() OVER (PARTITION BY key
+                                           ORDER BY round(stat, 9) DESC,
+                                                    split_t) AS rk
+              FROM scored)
+            SELECT key AS event_type,
+                   strftime(split_t, '%Y-%m-%d') AS split_day, n_points,
+                   round(stat, 6) AS stat,
+                   round(ml, 6) AS mean_left,
+                   round(mr, 6) AS mean_right
+            FROM pick WHERE rk = 1
+        """,
+        "docs_readability": r"""
+            WITH c AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '\S+'))::BIGINT AS n_words,
+                     greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT
+                       AS n_sentences,
+                     len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+                       AS n_syllables
+              FROM documents)
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   round(206.835::DOUBLE
+                         - 1.015::DOUBLE * (n_words::DOUBLE / n_sentences::DOUBLE)
+                         - 84.6::DOUBLE * (n_syllables::DOUBLE
+                                           / greatest(n_words, 1)::DOUBLE), 6)
+                     AS flesch,
+                   round(0.39::DOUBLE * (n_words::DOUBLE / n_sentences::DOUBLE)
+                         + 11.8::DOUBLE * (n_syllables::DOUBLE
+                                           / greatest(n_words, 1)::DOUBLE)
+                         - 15.59::DOUBLE, 6) AS fk_grade
+            FROM c
+        """,
         # Lifecycle: the reset offsets re-derived per eventlog (the same
         # LookupOffset skeleton as bus_offset_by_time); the phase
         # progression, updated sink, and wrong-phase guard are the

@@ -218,6 +218,11 @@ HEADLINE = [
     "dlq_resend_cli",
     "graph_clustering_coeff",
     "quality_drop_reason",
+    "er_fellegi_sunter",
+    "search_eval_ndcg",
+    "embedding_random_projection",
+    "docs_readability",
+    "events_changepoint",
 ]
 
 

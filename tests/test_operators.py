@@ -181,3 +181,85 @@ def test_salted_join_left_keeps_unmatched(spark):
     out = salted_join(probe, build, "k", hot_keys=[0], replicas=4, how="left")
     got = {(r.k, r.tag): r.lab for r in out.collect()}
     assert got == {(0, "a"): "hot", (0, "b"): "hot", (1, "c"): "cold", (9, "d"): None}
+
+
+def test_fellegi_sunter_weights_and_decisions(spark):
+    """linkage.fellegi_sunter: log2 weight math, NULL-as-disagreement,
+    fixed-order summation, threshold classification, prior validation."""
+    import math
+
+    import pytest as _pytest
+
+    from vanus_spark.operators.linkage import fellegi_sunter, fs_weights
+
+    fields = {"a": (0.9, 0.1), "b": (0.8, 0.2)}
+    w = fs_weights(fields)
+    # log2(m/u) vs log2((1-m)/(1-u)): compare against the same
+    # formula, not an algebraic rearrangement (1-ulp apart)
+    assert w["a"] == (math.log2(0.9 / 0.1), math.log2((1 - 0.9) / (1 - 0.1)))
+    pairs = spark.createDataFrame(
+        [(1, True, True), (2, True, None), (3, False, False)],
+        "pid int, agree_a boolean, agree_b boolean",
+    )
+    out = {
+        r["pid"]: r.asDict()
+        for r in fellegi_sunter(pairs, fields, 4.0, 0.0).collect()
+    }
+    assert abs(out[1]["fs_score"] - (w["a"][0] + w["b"][0])) < 1e-12
+    # NULL comparison counts as disagreement
+    assert abs(out[2]["fs_score"] - (w["a"][0] + w["b"][1])) < 1e-12
+    assert out[1]["fs_decision"] == "match"
+    assert out[2]["fs_decision"] == "possible"
+    assert out[3]["fs_decision"] == "non_match"
+    with _pytest.raises(ValueError):
+        fs_weights({"bad": (0.1, 0.9)})  # u >= m
+    with _pytest.raises(ValueError):
+        fellegi_sunter(pairs, fields, 0.0, 4.0)  # thresholds inverted
+
+
+def test_changepoint_binary_finds_planted_shift(spark):
+    """changepoint_binary: a planted level shift at t=10 (values 5.0
+    then 50.0) is found exactly; a flat series picks the earliest
+    split by the deterministic tie-break."""
+    from vanus_spark.operators.timeseries import changepoint_binary
+
+    rows = [("shift", t, 5.0 if t <= 10 else 50.0) for t in range(1, 21)]
+    rows += [("flat", t, 7.0) for t in range(1, 6)]
+    s = spark.createDataFrame(rows, "key string, t int, v double")
+    out = {r["key"]: r.asDict() for r in changepoint_binary(s).collect()}
+    assert out["shift"]["split_t"] == 10
+    assert out["shift"]["mean_left"] == 5.0
+    assert out["shift"]["mean_right"] == 50.0
+    assert out["flat"]["stat"] == 0.0 and out["flat"]["split_t"] == 1
+
+
+def test_random_projection_preserves_norms_in_expectation(spark):
+    """random_projection: output dim, determinism across calls, and
+    JL norm preservation within loose bounds on real-ish vectors."""
+    import math
+    import random as _random
+
+    from vanus_spark.llm.similarity import random_projection
+
+    rng = _random.Random(3)
+    rows = [
+        (i, [rng.gauss(0.0, 1.0) for _ in range(64)]) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = random_projection(df, dim=64, out_dim=16, seed=7)
+    got = {r["vec_id"]: r["proj"] for r in out.collect()}
+    assert all(len(v) == 16 for v in got.values())
+    again = {
+        r["vec_id"]: r["proj"]
+        for r in random_projection(df, dim=64, out_dim=16, seed=7).collect()
+    }
+    assert got == again  # fully deterministic
+    # JL: projected norm ~ original norm in expectation; check the
+    # mean ratio over 50 vectors lands in a loose band
+    ratios = []
+    for i, vec in rows:
+        on = math.sqrt(sum(x * x for x in vec))
+        pn = math.sqrt(sum(x * x for x in got[i]))
+        ratios.append(pn / on)
+    mean_ratio = sum(ratios) / len(ratios)
+    assert 0.8 < mean_ratio < 1.2

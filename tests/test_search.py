@@ -145,3 +145,28 @@ def test_tfidf_keywords_hand_computed(spark):
     assert out[(3, "durian")][0] == 2
     # k=2 cap holds
     assert all(rank <= 2 for rank, _ in out.values())
+
+
+def test_ranking_eval_golden(spark):
+    """ranking_eval: hand-computed NDCG/MRR/recall on a tiny judged set."""
+    import math
+
+    from vanus_spark.llm.search import ranking_eval
+
+    ranked = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1), (2, 21, 2)],
+        "query_id long, doc_id long, rank int",
+    )
+    truth = spark.createDataFrame(
+        [(1, 11, 3), (1, 99, 1), (2, 20, 2)],
+        "query_id long, doc_id long, grade int",
+    )
+    out = {r["query_id"]: r.asDict() for r in ranking_eval(ranked, truth, k=3).collect()}
+    # q1: dcg = (2^3-1)/log2(3) at rank 2; idcg = 7/log2(2) + 1/log2(3)
+    dcg = 7.0 / math.log2(3.0)
+    idcg = 7.0 / 1.0 + 1.0 / math.log2(3.0)
+    assert out[1]["ndcg_3"] == round(dcg / idcg, 6)
+    assert out[1]["mrr"] == 0.5
+    assert out[1]["recall_3"] == 0.5
+    assert out[2]["ndcg_3"] == 1.0 and out[2]["mrr"] == 1.0
+    assert out[2]["recall_3"] == 1.0 and out[2]["n_relevant"] == 1

@@ -249,3 +249,25 @@ def test_cli_subscription_lifecycle_verbs(spark, sf_dir, tmp_path, capsys):
     _vsctl(capsys, "subscription", "delete", "--catalog", cat, "--id", sid)
     assert _vsctl(capsys, "subscription", "list", "--catalog", cat,
                   "--namespace", "default") == []
+
+
+def test_cli_eventbus_info_per_eventlog_view(spark, sf_dir, tmp_path, capsys):
+    """`vsctl eventbus info`: metadata + per-eventlog
+    earliest/latest/length (reference eventbus.go:129-180)."""
+    cat = str(tmp_path / "cat.json")
+    _vsctl(capsys, "namespace", "create", "--catalog", cat, "--name", "default")
+    _vsctl(capsys, "eventbus", "create", "--catalog", cat,
+           "--namespace", "default", "--name", "demo")
+    info = _vsctl(capsys, "eventbus", "info", "--catalog", cat,
+                  "--namespace", "default", "--name", "demo",
+                  "--bus", f"{sf_dir}/events.parquet")[0]
+    assert info["name"] == "demo"
+    logs = info["eventlogs"]
+    assert [d["eventlog"] for d in logs] == [0, 1, 2, 3]
+    for d in logs:
+        assert d["earliest"] == 0
+        assert d["latest"] == d["length"] - 1  # dense offsets
+    # without --bus it's the pure metadata record
+    meta = _vsctl(capsys, "eventbus", "info", "--catalog", cat,
+                  "--namespace", "default", "--name", "demo")[0]
+    assert "eventlogs" not in meta and meta["id"] == info["id"]

@@ -170,6 +170,27 @@ def cmd_eventbus(args):
         eb = _eb_by_name(cat, ns["id"], args.name)
         cat.delete_eventbus(eb["id"])
         print(json.dumps({"deleted": eb["id"]}))
+    elif args.action == "info":
+        # `vsctl eventbus info` (reference: tool/vsctl/command/
+        # eventbus.go:129-180): the metadata record plus the
+        # per-eventlog earliest/latest/length view of the bus data
+        # (the reference renders per-eventlog segments; the Spark port's
+        # storage unit is the eventlog itself).
+        eb = _eb_by_name(cat, ns["id"], args.name)
+        row = dict(eb)
+        if args.bus:
+            from vanus_spark.bus import earliest_latest_offsets
+
+            spark = _spark()
+            bus = _load_bus(spark, args.bus)
+            row["eventlogs"] = sorted(
+                (
+                    {k: int(v) for k, v in r.asDict().items()}
+                    for r in earliest_latest_offsets(bus).collect()
+                ),
+                key=lambda d: d["eventlog"],
+            )
+        print(json.dumps(row, sort_keys=True))
     else:
         for eb in cat.list_eventbuses(ns["id"]):
             print(json.dumps(eb))
@@ -410,11 +431,12 @@ def main():
     n.set_defaults(fn=cmd_namespace)
 
     e = sub.add_parser("eventbus")
-    e.add_argument("action", choices=["create", "list", "delete"])
+    e.add_argument("action", choices=["create", "list", "delete", "info"])
     e.add_argument("--catalog", required=True)
     e.add_argument("--namespace", required=True)
     e.add_argument("--name")
     e.add_argument("--log-number", type=int, default=4)
+    e.add_argument("--bus", help="events parquet for the per-eventlog view (info)")
     e.set_defaults(fn=cmd_eventbus)
 
     s = sub.add_parser("subscription")

@@ -220,3 +220,76 @@ def rrf_fuse(
             query_col, id_col, "rank", F.round("rrf", 9).alias("rrf"), "n_lists"
         )
     )
+
+
+def ranking_eval(
+    ranked: DataFrame,
+    truth: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Offline ranking-quality metrics — the eval loop every retrieval
+    stack (BM25, hybrid, ANN) runs against a judged set: per query,
+    NDCG@k (graded, 2^g-1 gains, log2(rank+1) discounts), MRR (first
+    relevant hit), and recall@k.
+
+    ``ranked``: (query_id, doc_id, rank) with rank starting at 1;
+    ``truth``: (query_id, doc_id, grade) with grade >= 1 for every
+    judged-relevant doc (absent pair = irrelevant).
+
+    Shape: one broadcast-friendly left join of the top-k lists against
+    the truth table, a per-query partial aggregate, and a bounded
+    per-query window on the truth side for IDCG — no shuffle larger
+    than the judged set. The metric sums are <= k doubles each, so a
+    round(6) absorbs cross-engine fold-order drift (the BM25/idf
+    precedent).
+
+    Reference parity: no retrieval surface exists in the reference
+    event engine; this is part of the LLM-pipeline eval family the
+    Spark port adds (decontamination / eval-mining quality control).
+    """
+    from pyspark.sql import Window
+
+    r = ranked.where(F.col("rank") <= k)
+    j = r.join(truth, ["query_id", "doc_id"], "left").withColumn(
+        "g", F.coalesce("grade", F.lit(0)).cast("double")
+    )
+    gain = (F.pow(F.lit(2.0), F.col("g")) - F.lit(1.0)) / F.log2(
+        F.col("rank") + F.lit(1.0)
+    )
+    got = j.groupBy("query_id").agg(
+        F.sum(gain).alias("dcg"),
+        F.min(F.when(F.col("g") >= 1, F.col("rank"))).alias("first_rel"),
+        F.count(F.when(F.col("g") >= 1, F.lit(1))).alias("n_rel_retrieved"),
+    )
+    # ideal DCG: the truth set's top-k grades in (grade desc, doc_id)
+    # order — doc_id tiebreak makes the window deterministic
+    iw = Window.partitionBy("query_id").orderBy(
+        F.desc("grade"), F.asc("doc_id")
+    )
+    ideal = (
+        truth.withColumn("irank", F.row_number().over(iw))
+        .where(F.col("irank") <= k)
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col("grade").cast("double")) - F.lit(1.0))
+                / F.log2(F.col("irank") + F.lit(1.0))
+            ).alias("idcg")
+        )
+    )
+    n_rel = truth.groupBy("query_id").agg(F.count("*").alias("n_relevant"))
+    return (
+        got.join(ideal, "query_id")
+        .join(n_rel, "query_id")
+        .select(
+            "query_id",
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias(f"ndcg_{k}"),
+            F.round(
+                F.coalesce(F.lit(1.0) / F.col("first_rel"), F.lit(0.0)), 6
+            ).alias("mrr"),
+            F.round(
+                F.col("n_rel_retrieved") / F.col("n_relevant").cast("double"), 6
+            ).alias(f"recall_{k}"),
+            "n_relevant",
+        )
+    )

@@ -775,3 +775,37 @@ def hard_negatives(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "neg_label", "cosine", "rank")
     )
+
+
+def random_projection(
+    df: DataFrame,
+    dim: int,
+    out_dim: int = 16,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: project each vector
+    onto ``out_dim`` seeded gaussian directions, scaled by
+    1/sqrt(out_dim) so pairwise distances are preserved in expectation
+    (the JL lemma) — the cheap dimensionality-reduction step pipelines
+    run before ANN indexing or clustering when PCA's train pass is too
+    expensive.
+
+    Scale shape: the projection matrix is out_dim x dim DRIVER-SIDE
+    literals (same seeded generator as the LSH hyperplanes, embedded
+    via lit_vec's repr round-trip), so the whole operator is a pure
+    per-row map over the scan — zero shuffle, zero UDF, constant-folded
+    by Catalyst. Appends ``proj`` (array<double>, length out_dim).
+    """
+    planes = random_hyperplanes(dim, out_dim, seed=seed)
+    scale = 1.0 / math.sqrt(out_dim)
+
+    def proj(v: Column) -> Column:
+        return F.array(
+            *[(dot(v, lit_vec(p)) * F.lit(scale)) for p in planes]
+        )
+
+    return df.withColumn(
+        "proj", bound(F.col(vec_col).cast("array<double>"), proj)
+    )

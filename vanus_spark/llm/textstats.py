@@ -237,3 +237,38 @@ def text_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         pred.alias("lang_pred"),
         "fingerprint",
     )
+
+
+def readability(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch Reading Ease + Flesch-Kincaid grade per document — the
+    classic readability pair corpus-quality stacks keep next to the
+    Gopher flags (templated/low-grade text clusters at the extremes).
+
+    Heuristics chosen to be regex-countable on ANY engine (no
+    dictionary): words = non-space runs, sentences = [.!?]+ runs
+    (min 1), syllables = [aeiouy]+ vowel-group runs of the lowercased
+    text (the standard dictionary-free approximation). Both scores
+    are fixed-order double expressions over three integer counts —
+    pure Columns, zero shuffle, one scan.
+    """
+    t = F.col(text_col)
+    words = F.regexp_count(t, F.lit(r"\S+")).cast("long")
+    sents = F.greatest(
+        F.regexp_count(t, F.lit(r"[.!?]+")).cast("long"), F.lit(1).cast("long")
+    )
+    syll = F.regexp_count(F.lower(t), F.lit("[aeiouy]+")).cast("long")
+    w = F.greatest(words, F.lit(1).cast("long")).cast("double")
+    wps = words.cast("double") / sents.cast("double")
+    spw = syll.cast("double") / w
+    flesch = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    fk = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    return docs.select(
+        id_col,
+        words.alias("n_words"),
+        sents.alias("n_sentences"),
+        syll.alias("n_syllables"),
+        F.round(flesch, 6).alias("flesch"),
+        F.round(fk, 6).alias("fk_grade"),
+    )

@@ -228,3 +228,63 @@ def interpolate_linear(
         interp.alias("value_interp"),
         F.col("_v").isNull().alias("filled"),
     )
+
+
+def changepoint_binary(
+    series: DataFrame,
+    key_col: str = "key",
+    t_col: str = "t",
+    val_col: str = "v",
+) -> DataFrame:
+    """Single-changepoint detection by binary segmentation (the first
+    split of the classic CUSUM/binary-segmentation family): per key,
+    the split position i maximizing |mean_left - mean_right| *
+    sqrt(i*(n-i)/n) over the time-ordered series — the scaled
+    mean-shift statistic whose argmax is the most likely level change.
+
+    Shape: one cumulative-sum window per key (Spark's range-bounded
+    running sum — the series is pre-bucketed by the caller, so rows
+    per key are bounded), one per-key total, one bounded argmax
+    window. The statistic is a fixed-order double expression over
+    exact sums; ties break to the earliest split via
+    (round(stat, 9) DESC, t) so ranking is deterministic cross-engine.
+
+    Returns (key, split_t, n_points, stat, mean_left, mean_right):
+    the last bucket of the left segment, the point count, and the
+    segment means (round(6))."""
+    w = Window.partitionBy(key_col).orderBy(t_col)
+    wall = Window.partitionBy(key_col)
+    cum = (
+        series.withColumn("_i", F.row_number().over(w))
+        .withColumn("_s", F.sum(val_col).over(w))
+        .withColumn("_n", F.count("*").over(wall))
+        .withColumn("_tot", F.sum(val_col).over(wall))
+    )
+    i = F.col("_i").cast("double")
+    n = F.col("_n").cast("double")
+    mean_l = F.col("_s") / i
+    mean_r = (F.col("_tot") - F.col("_s")) / (n - i)
+    stat = F.abs(mean_l - mean_r) * F.sqrt(i * (n - i) / n)
+    scored = cum.where(F.col("_i") < F.col("_n")).select(
+        key_col,
+        F.col(t_col).alias("split_t"),
+        F.col("_n").alias("n_points"),
+        stat.alias("_stat"),
+        mean_l.alias("_ml"),
+        mean_r.alias("_mr"),
+    )
+    pick = Window.partitionBy(key_col).orderBy(
+        F.desc(F.round("_stat", 9)), F.asc("split_t")
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(pick))
+        .where(F.col("_rk") == 1)
+        .select(
+            key_col,
+            "split_t",
+            "n_points",
+            F.round("_stat", 6).alias("stat"),
+            F.round("_ml", 6).alias("mean_left"),
+            F.round("_mr", 6).alias("mean_right"),
+        )
+    )
