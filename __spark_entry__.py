@@ -6813,6 +6813,46 @@ def q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_layout_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key (sources/layout.hilbert_key) over
+    synthetic 8-bit bucket coordinates (doc_id residues) — zorder's
+    locality-better sibling for write-time multi-dimensional
+    clustering. The unrolled xy2d walk is pure integer Columns; the
+    oracle re-walks the same 8 levels as chained CTEs, so every bit
+    of the curve arithmetic is hash-checked."""
+    from vanus_spark.sources.layout import hilbert_key
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    x = (F.col("doc_id") % 256).cast("long")
+    y = ((F.col("doc_id") * 7 + 3) % 256).cast("long")
+    return docs.select(
+        "doc_id",
+        x.alias("bx"),
+        y.alias("by"),
+        hilbert_key(x, y, bits=8).alias("hilbert_key"),
+    )
+
+
+def q_stats_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth histogram of order totals
+    (operators/joinstats.equi_depth_histogram): 16 equal-count buckets
+    with bounds/rows/ndv — the CBO range-selectivity statistic,
+    built on the two-phase distributed rank (never a single-task
+    global window). Oracle = the row_number/floor-cut twin."""
+    from vanus_spark.operators.joinstats import equi_depth_histogram
+
+    orders = _t(spark, sf_dir, "orders")
+    return equi_depth_histogram(
+        orders, "o_totalprice", "o_orderkey", n_buckets=16
+    ).select(
+        "bucket",
+        F.col("lo").cast("string").alias("lo"),
+        F.col("hi").cast("string").alias("hi"),
+        "n_rows",
+        "n_distinct",
+    )
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Round-6 policy (VERDICT r5 item #2): new-in-round queries first, then
@@ -6902,6 +6942,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_random_projection": q_embedding_random_projection,
         "docs_readability": q_docs_readability,
         "events_changepoint": q_events_changepoint,
+        "layout_hilbert": q_layout_hilbert,
+        "stats_equi_depth": q_stats_equi_depth,
         # --- new in round 5 (8th session) ---
         "text_canonicalize": q_text_canonicalize,
         "er_jw_match": q_er_jw_match,
@@ -7912,9 +7954,59 @@ def _random_projection_oracle() -> str:
     """
 
 
+def _hilbert_oracle(bits: int = 8) -> str:
+    """SQL twin of q_layout_hilbert: the same xy2d levels unrolled as
+    chained CTEs (state materialized per level — no expression
+    blowup in SQL)."""
+    ctes = [
+        """h0 AS (
+          SELECT doc_id,
+                 (doc_id % 256)::BIGINT AS bx,
+                 ((doc_id * 7 + 3) % 256)::BIGINT AS by,
+                 0::BIGINT AS d,
+                 (doc_id % 256)::BIGINT AS x,
+                 ((doc_id * 7 + 3) % 256)::BIGINT AS y
+          FROM documents)"""
+    ]
+    for i, level in enumerate(range(bits - 1, -1, -1)):
+        s = 1 << level
+        ctes.append(f"""h{i + 1} AS (
+          SELECT doc_id, bx, by,
+                 d + {s * s}::BIGINT * xor(3 * rx, ry)::BIGINT AS d,
+                 CASE WHEN ry = 0
+                      THEN (CASE WHEN rx = 1 THEN {s - 1} - y ELSE y END)
+                      ELSE x END AS x,
+                 CASE WHEN ry = 0
+                      THEN (CASE WHEN rx = 1 THEN {s - 1} - x ELSE x END)
+                      ELSE y END AS y
+          FROM (SELECT *,
+                       CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+                       CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END AS ry
+                FROM h{i}) t{i})""")
+    return (
+        "WITH " + ",\n        ".join(ctes)
+        + f"\n        SELECT doc_id, bx, by, d AS hilbert_key FROM h{bits}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     norm_text = _NORM.format(c="text")
     return {
+        "layout_hilbert": _hilbert_oracle(),
+        "stats_equi_depth": """
+            WITH r AS (
+              SELECT o_totalprice,
+                     row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1
+                       AS rk,
+                     count(*) OVER () AS n
+              FROM orders)
+            SELECT (rk * 16 // n)::BIGINT AS bucket,
+                   min(o_totalprice)::VARCHAR AS lo,
+                   max(o_totalprice)::VARCHAR AS hi,
+                   count(*)::BIGINT AS n_rows,
+                   count(DISTINCT o_totalprice)::BIGINT AS n_distinct
+            FROM r GROUP BY 1
+        """,
         "er_fellegi_sunter": _fs_oracle(),
         "search_eval_ndcg": _search_eval_oracle(),
         "embedding_random_projection": _random_projection_oracle(),

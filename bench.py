@@ -223,6 +223,8 @@ HEADLINE = [
     "embedding_random_projection",
     "docs_readability",
     "events_changepoint",
+    "layout_hilbert",
+    "stats_equi_depth",
 ]
 
 

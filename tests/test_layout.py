@@ -126,3 +126,30 @@ def test_zorder_default_path_has_no_global_window(spark):
         .toString()
     )
     assert "Window" in exact_plan
+
+
+def test_hilbert_key_is_bijective_and_unit_step(spark):
+    """hilbert_key on the full 64x64 grid (bits=6): a bijection onto
+    [0, 4096) whose consecutive indices are manhattan-adjacent cells —
+    the two defining properties of the curve (zorder fails the second;
+    that's exactly the locality win)."""
+    import pyspark.sql.functions as F
+
+    from vanus_spark.sources.layout import hilbert_key
+
+    grid = (
+        spark.range(64 * 64)
+        .select(
+            (F.col("id") % 64).alias("x"),
+            (F.col("id") / 64).cast("long").alias("y"),
+        )
+    )
+    rows = (
+        grid.select("x", "y", hilbert_key(F.col("x"), F.col("y"), bits=6).alias("d"))
+        .orderBy("d")
+        .collect()
+    )
+    ds = [r["d"] for r in rows]
+    assert ds == list(range(4096))  # bijective onto the full range
+    for a, b in zip(rows, rows[1:]):
+        assert abs(a["x"] - b["x"]) + abs(a["y"] - b["y"]) == 1  # unit steps

@@ -81,3 +81,46 @@ def join_size_estimate(
             F.col("_top.out_rows").alias("top_key_rows"),
         )
     )
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    val_col: str,
+    tiebreak_col: str,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Exact equi-depth histogram — the per-column statistic a
+    cost-based planner keeps next to ndv/min/max (selectivity of a
+    range predicate = covered bucket fraction): rows are globally
+    ranked by (value, tiebreak) and cut into ``n_buckets`` equal-count
+    buckets; each bucket reports its bounds, row count, and distinct
+    values.
+
+    Scale shape: the global rank is bus.distributed_row_number's
+    two-phase form (range partition -> local rank -> prefix-count
+    broadcast), NEVER a single-task window, so the histogram build is
+    shuffle-bounded by the range exchange — the same discipline as the
+    bus offset assignment. The bucket cut floor(rank * n / total) is
+    exact integer arithmetic, so the result is deterministic and
+    SQL-restatable (row_number twin).
+    """
+    from vanus_spark.bus import distributed_row_number
+
+    ranked = distributed_row_number(
+        df.select(val_col, tiebreak_col), [], [val_col, tiebreak_col], "_rk"
+    )
+    total = ranked.agg(F.count("*").alias("_n"))
+    # exact INTEGER floor division — a double floor(a/b) can misplace a
+    # boundary row when a/b rounds up to the next integer
+    bucket = F.expr(f"(_rk * {int(n_buckets)}L) div _n").cast("long")
+    return (
+        ranked.join(F.broadcast(total))
+        .withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.min(val_col).alias("lo"),
+            F.max(val_col).alias("hi"),
+            F.count("*").alias("n_rows"),
+            F.countDistinct(val_col).alias("n_distinct"),
+        )
+    )
