@@ -6853,6 +6853,119 @@ def q_stats_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_link_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from seeds {3, 17}
+    (graphs.personalized_pagerank) over the same deterministic crawl
+    graph as link_pagerank — the related-documents proximity signal.
+    Constants (alpha/|S|, 1-alpha) fold driver-side and are replayed
+    verbatim by the oracle's unrolled CTE iterations."""
+    from vanus_spark.llm.graphs import personalized_pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    e1 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % n).alias("dst"),
+    )
+    e2 = docs.where((F.col("doc_id") % 10 == 0) & (F.col("doc_id") != 0)).select(
+        F.col("doc_id").alias("src"), F.lit(0).cast("long").alias("dst")
+    )
+    ranks = personalized_pagerank(
+        e1.unionByName(e2), seed_nodes=[3, 17], alpha=0.15, iters=3
+    )
+    return ranks.where(F.col("rank") > 0).select(
+        "node", F.round("rank", 9).alias("rank")
+    )
+
+
+def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution — linear attribution's
+    recency-weighted sibling: each click/view touch in the 6-hour
+    window before a purchase gets weight 2^(-age/1h) (1-hour
+    half-life), normalized per purchase, then rolled up by channel.
+    Untouched purchases credit 'direct'. Same bounded-range join
+    shuffled on user_id as the linear gate; the exponential weights
+    are engine-portable doubles and round(6) caps the fold-order ulp
+    (the entropy/bm25 precedent)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("sec"),
+    )
+    purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("pid"),
+            "user_id",
+            F.col("sec").alias("psec"),
+        )
+        .alias("p")
+    )
+    touch = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("channel"),
+            F.col("sec").alias("tsec"),
+        )
+        .alias("t")
+    )
+    pairs = purch.join(
+        touch,
+        (F.col("p.user_id") == F.col("t.user_id"))
+        & (F.col("psec") - F.col("tsec") >= 1)
+        & (F.col("psec") - F.col("tsec") <= 21600),
+        "left",
+    )
+    w = F.pow(
+        F.lit(2.0), -(F.col("psec") - F.col("tsec")).cast("double") / F.lit(3600.0)
+    )
+    from pyspark.sql import Window
+
+    wsum = F.sum(w).over(Window.partitionBy("pid"))
+    credited = pairs.select(
+        "pid",
+        F.coalesce(F.col("channel"), F.lit("direct")).alias("channel"),
+        F.coalesce(F.round(w / wsum, 9), F.lit(1.0)).alias("credit"),
+    )
+    return credited.groupBy("channel").agg(
+        F.round(F.sum("credit"), 6).alias("credit"),
+        F.countDistinct("pid").alias("n_purchases"),
+    )
+
+
+def q_events_transitions_2step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step journey probabilities: the first-order transition
+    matrix (consecutive per-user events by ts, event_id) squared via a
+    join on the middle state — P2(a, c) = sum_b P1(a, b) * P1(b, c),
+    the distributed matrix-multiply shape (shuffle on the shared
+    state, 5x5 matrix so the join is broadcast-tiny; at scale the
+    same plan holds because the STATE SPACE, not the event count,
+    bounds the multiply). The per-pair sum is <= |states| doubles —
+    round(6) absorbs fold order."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        ev.withColumn("nxt", F.lead("event_type").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select(F.col("event_type").alias("a"), F.col("nxt").alias("b"))
+    )
+    counts = steps.groupBy("a", "b").agg(F.count("*").alias("n"))
+    outs = counts.groupBy("a").agg(F.sum("n").alias("tot"))
+    p1 = counts.join(outs, "a").select(
+        "a", "b", (F.col("n") / F.col("tot")).alias("p")
+    )
+    p1b = p1.select(
+        F.col("a").alias("b"), F.col("b").alias("c"), F.col("p").alias("p2")
+    )
+    return (
+        p1.join(p1b, "b")
+        .groupBy("a", "c")
+        .agg(F.round(F.sum(F.col("p") * F.col("p2")), 6).alias("prob_2step"))
+    )
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Round-6 policy (VERDICT r5 item #2): new-in-round queries first, then
@@ -6944,6 +7057,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_changepoint": q_events_changepoint,
         "layout_hilbert": q_layout_hilbert,
         "stats_equi_depth": q_stats_equi_depth,
+        "link_ppr": q_link_ppr,
+        "attribution_time_decay": q_attribution_time_decay,
+        "events_transitions_2step": q_events_transitions_2step,
         # --- new in round 5 (8th session) ---
         "text_canonicalize": q_text_canonicalize,
         "er_jw_match": q_er_jw_match,
@@ -7989,9 +8105,98 @@ def _hilbert_oracle(bits: int = 8) -> str:
     )
 
 
+def _ppr_oracle(iters: int = 3) -> str:
+    """SQL twin of q_link_ppr: the personalized power iterations
+    unrolled as CTEs with the SAME driver-folded constants (repr
+    round-trips alpha/|S| and 1-alpha exactly)."""
+    seed_mass = repr(1.0 / 2.0)
+    tele = repr(0.15 * (1.0 / 2.0))
+    damp = repr(1.0 - 0.15)
+    parts = [
+        f"""
+        WITH tot AS (SELECT count(*)::BIGINT AS n FROM documents),
+        e AS (
+          SELECT doc_id AS src,
+                 (doc_id * 7 + 3) % (SELECT n FROM tot) AS dst
+          FROM documents
+          UNION ALL
+          SELECT doc_id AS src, 0::BIGINT AS dst FROM documents
+          WHERE doc_id % 10 = 0 AND doc_id != 0),
+        nodes AS (SELECT DISTINCT node FROM
+                  (SELECT src AS node FROM e
+                   UNION ALL SELECT dst FROM e)),
+        deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        r0 AS (SELECT node,
+                      CASE WHEN node IN (3, 17) THEN {seed_mass}::DOUBLE
+                           ELSE 0.0::DOUBLE END AS rank
+               FROM nodes)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+        r{k} AS (
+          SELECT n.node,
+                 CASE WHEN n.node IN (3, 17) THEN {tele}::DOUBLE
+                      ELSE 0.0::DOUBLE END
+                 + {damp}::DOUBLE * coalesce(c.s, 0.0::DOUBLE) AS rank
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum(r.rank / d.deg) AS s
+            FROM e JOIN r{k - 1} r ON e.src = r.node
+                   JOIN deg d ON e.src = d.src
+            GROUP BY e.dst) c USING (node))"""
+        )
+    parts.append(
+        f"""
+        SELECT node, round(rank, 9) AS rank FROM r{iters} WHERE rank > 0"""
+    )
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     norm_text = _NORM.format(c="text")
     return {
+        "link_ppr": _ppr_oracle(iters=3),
+        "events_transitions_2step": """
+            WITH s AS (
+              SELECT event_type AS a,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS b
+              FROM events),
+            c AS (SELECT a, b, count(*)::DOUBLE AS n FROM s
+                  WHERE b IS NOT NULL GROUP BY 1, 2),
+            o AS (SELECT a, sum(n) AS tot FROM c GROUP BY 1),
+            p1 AS (SELECT c.a, c.b, c.n / o.tot AS p
+                   FROM c JOIN o USING (a))
+            SELECT x.a, y.b AS c,
+                   round(sum(x.p * y.p), 6) AS prob_2step
+            FROM p1 x JOIN p1 y ON x.b = y.a
+            GROUP BY 1, 2
+        """,
+        "attribution_time_decay": """
+            WITH ev AS (
+              SELECT event_id, user_id, event_type,
+                     floor(epoch(ts))::BIGINT AS sec
+              FROM events),
+            p AS (SELECT event_id AS pid, user_id, sec AS psec
+                  FROM ev WHERE event_type = 'purchase'),
+            t AS (SELECT user_id, event_type AS channel, sec AS tsec
+                  FROM ev WHERE event_type IN ('click', 'view')),
+            pairs AS (
+              SELECT p.pid, t.channel,
+                     pow(2.0::DOUBLE,
+                         -(p.psec - t.tsec)::DOUBLE / 3600.0::DOUBLE) AS w
+              FROM p LEFT JOIN t
+                ON p.user_id = t.user_id
+               AND p.psec - t.tsec BETWEEN 1 AND 21600),
+            cred AS (
+              SELECT pid, coalesce(channel, 'direct') AS channel,
+                     coalesce(round(w / sum(w) OVER (PARTITION BY pid), 9),
+                              1.0::DOUBLE) AS credit
+              FROM pairs)
+            SELECT channel, round(sum(credit), 6) AS credit,
+                   count(DISTINCT pid)::BIGINT AS n_purchases
+            FROM cred GROUP BY 1
+        """,
         "layout_hilbert": _hilbert_oracle(),
         "stats_equi_depth": """
             WITH r AS (

@@ -225,6 +225,9 @@ HEADLINE = [
     "events_changepoint",
     "layout_hilbert",
     "stats_equi_depth",
+    "link_ppr",
+    "attribution_time_decay",
+    "events_transitions_2step",
 ]
 
 
