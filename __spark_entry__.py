@@ -6966,6 +6966,76 @@ def q_events_transitions_2step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic SFT transcripts: each document becomes a JSON chat of
+    2 + (doc_id % 3)*2 alternating user/assistant turns whose contents
+    are md5-residue-derived — so the oracle can state every turn's
+    INTENDED text straight from the residues (the url_domain_filter
+    fixture pattern) while the ENGINE must actually parse the JSON."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("conv_id")
+    )
+    n = F.lit(2) + (F.col("conv_id") % 3) * 2
+    body = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda j: F.concat(
+            F.lit('{"role":"'),
+            F.when(j % 2 == 0, F.lit("user")).otherwise(F.lit("assistant")),
+            F.lit('","content":"t'),
+            j.cast("string"),
+            F.lit(":"),
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("conv_id").cast("string"),
+                        F.lit(":"),
+                        j.cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            F.lit('"}'),
+        ),
+    )
+    return docs.select(
+        "conv_id",
+        F.concat(F.lit("["), F.array_join(body, ","), F.lit("]")).alias(
+            "conversation"
+        ),
+    )
+
+
+def q_conversations_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT transcript flattening (curation.flatten_conversations): the
+    JSON chat column parses ONCE (from_json) and explodes to per-turn
+    rows — content hash-checked against the residue-derived intent."""
+    from vanus_spark.llm.curation import flatten_conversations
+
+    turns = flatten_conversations(_conversations(spark, sf_dir))
+    return turns.select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "role",
+        "content",
+    )
+
+
+def q_conversations_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation SFT validity rollup (curation.conversation_stats):
+    role turn counts, first/last role, strict-alternation flag, content
+    volume — the gate that drops malformed transcripts before
+    masking/packing."""
+    from vanus_spark.llm.curation import (
+        conversation_stats,
+        flatten_conversations,
+    )
+
+    return conversation_stats(
+        flatten_conversations(_conversations(spark, sf_dir))
+    )
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Round-6 policy (VERDICT r5 item #2): new-in-round queries first, then
@@ -7060,6 +7130,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_ppr": q_link_ppr,
         "attribution_time_decay": q_attribution_time_decay,
         "events_transitions_2step": q_events_transitions_2step,
+        "conversations_flatten": q_conversations_flatten,
+        "conversations_stats": q_conversations_stats,
         # --- new in round 5 (8th session) ---
         "text_canonicalize": q_text_canonicalize,
         "er_jw_match": q_er_jw_match,
@@ -8156,6 +8228,42 @@ def oracle_sql() -> dict[str, str]:
     norm_text = _NORM.format(c="text")
     return {
         "link_ppr": _ppr_oracle(iters=3),
+        "conversations_flatten": """
+            WITH c AS (SELECT doc_id AS conv_id,
+                              2 + (doc_id % 3) * 2 AS n
+                       FROM documents)
+            SELECT conv_id, unnest(range(n))::BIGINT AS turn_idx,
+                   CASE WHEN unnest(range(n)) % 2 = 0
+                        THEN 'user' ELSE 'assistant' END AS role,
+                   't' || unnest(range(n))::VARCHAR || ':'
+                     || substr(md5(conv_id::VARCHAR || ':'
+                                   || unnest(range(n))::VARCHAR), 1, 8)
+                     AS content
+            FROM c
+        """,
+        "conversations_stats": """
+            WITH c AS (SELECT doc_id AS conv_id,
+                              2 + (doc_id % 3) * 2 AS n
+                       FROM documents),
+            t AS (SELECT conv_id, unnest(range(n)) AS j, n FROM c),
+            turns AS (
+              SELECT conv_id, j,
+                     CASE WHEN j % 2 = 0 THEN 'user'
+                          ELSE 'assistant' END AS role,
+                     't' || j::VARCHAR || ':'
+                       || substr(md5(conv_id::VARCHAR || ':' || j::VARCHAR),
+                                 1, 8) AS content
+              FROM t)
+            SELECT conv_id,
+                   count(*)::BIGINT AS n_turns,
+                   sum((role = 'user')::INT)::BIGINT AS n_user,
+                   sum((role = 'assistant')::INT)::BIGINT AS n_assistant,
+                   arg_min(role, j) AS first_role,
+                   arg_max(role, j) AS last_role,
+                   true AS alternation_ok,
+                   sum(length(content))::BIGINT AS content_chars
+            FROM turns GROUP BY conv_id
+        """,
         "events_transitions_2step": """
             WITH s AS (
               SELECT event_type AS a,

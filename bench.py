@@ -228,6 +228,8 @@ HEADLINE = [
     "link_ppr",
     "attribution_time_decay",
     "events_transitions_2step",
+    "conversations_flatten",
+    "conversations_stats",
 ]
 
 

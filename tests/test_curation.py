@@ -208,3 +208,32 @@ def test_shard_assignment_balanced(spark):
     assert by[3].shard_tokens_before == 30 % 25
     # doc never splits: every doc appears exactly once
     assert len(out) == 10
+
+
+def test_conversation_stats_flags_malformed_transcripts(spark):
+    """conversation_stats: a double-assistant turn breaks
+    alternation_ok; assistant-first shows in first_role; bad JSON
+    yields zero turns (from_json -> NULL -> no rows)."""
+    from vanus_spark.llm.curation import (
+        conversation_stats,
+        flatten_conversations,
+    )
+
+    convs = spark.createDataFrame(
+        [
+            (1, '[{"role":"user","content":"a"},{"role":"assistant","content":"b"}]'),
+            (2, '[{"role":"user","content":"a"},{"role":"user","content":"b"},'
+                '{"role":"assistant","content":"c"}]'),
+            (3, '[{"role":"assistant","content":"x"}]'),
+            (4, "not json at all"),
+        ],
+        "conv_id long, conversation string",
+    )
+    turns = flatten_conversations(convs)
+    stats = {r["conv_id"]: r.asDict() for r in conversation_stats(turns).collect()}
+    assert stats[1]["alternation_ok"] and stats[1]["first_role"] == "user"
+    assert not stats[2]["alternation_ok"]
+    assert stats[2]["n_user"] == 2 and stats[2]["n_assistant"] == 1
+    assert stats[3]["first_role"] == "assistant" and stats[3]["n_turns"] == 1
+    assert 4 not in stats  # unparseable JSON produces no turn rows
+    assert stats[1]["content_chars"] == 2 and stats[1]["last_role"] == "assistant"

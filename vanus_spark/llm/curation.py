@@ -457,3 +457,55 @@ def weighted_sample(
     return top.withColumn("sample_rank", F.row_number().over(w)).select(
         *docs.columns, "sample_rank"
     )
+
+
+def flatten_conversations(
+    convs: DataFrame,
+    id_col: str = "conv_id",
+    json_col: str = "conversation",
+) -> DataFrame:
+    """Parse a JSON chat-transcript column (the SFT-data interchange
+    shape: ``[{"role": ..., "content": ...}, ...]``) into per-turn
+    rows (id, turn_idx, role, content) — the flattening step every
+    instruction-tuning pipeline runs before masking/packing.
+
+    One from_json + posexplode over the scan: the JSON parses ONCE per
+    row (the single-parse discipline of the filter dialects), and the
+    explode's output partitioning is the scan's — zero shuffle."""
+    schema = "array<struct<role string, content string>>"
+    return (
+        convs.withColumn("_turns", F.from_json(F.col(json_col), schema))
+        .select(id_col, F.posexplode("_turns").alias("turn_idx", "_t"))
+        .select(
+            id_col,
+            "turn_idx",
+            F.col("_t.role").alias("role"),
+            F.col("_t.content").alias("content"),
+        )
+    )
+
+
+def conversation_stats(
+    turns: DataFrame, id_col: str = "conv_id"
+) -> DataFrame:
+    """Per-conversation QA rollup over flattened turns: turn counts by
+    role, first/last role, strict user/assistant alternation flag, and
+    content volume — the validity gate SFT curation applies before
+    training (non-alternating or assistant-first transcripts get
+    dropped). One partial-agg groupBy; alternation is checked via a
+    bounded per-conversation window (turns per conversation are
+    bounded by construction)."""
+    w = Window.partitionBy(id_col).orderBy("turn_idx")
+    flagged = turns.withColumn(
+        "_alt",
+        F.coalesce(F.lag("role").over(w) != F.col("role"), F.lit(True)),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_turns"),
+        F.sum((F.col("role") == "user").cast("long")).alias("n_user"),
+        F.sum((F.col("role") == "assistant").cast("long")).alias("n_assistant"),
+        F.min_by("role", "turn_idx").alias("first_role"),
+        F.max_by("role", "turn_idx").alias("last_role"),
+        F.min(F.col("_alt").cast("int")).cast("boolean").alias("alternation_ok"),
+        F.sum(F.length("content")).alias("content_chars"),
+    )
