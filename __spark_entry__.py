@@ -7036,6 +7036,36 @@ def q_conversations_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sft_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loss-mask-aware SFT packing (curation.pack_turns_with_masks):
+    variable-length turns (word slices of each document, roles
+    alternating) lay end-to-end into 16-token context windows via the
+    two-phase global prefix sum (never a single-task window), each
+    turn carrying its pack-relative span and loss_mask=1 only on
+    assistant turns. The oracle restates the packing with an ordered
+    cumulative sum — same spans, same masks."""
+    from vanus_spark.llm.curation import pack_turns_with_masks
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    turn_rows = []
+    for j in range(4):
+        turn_rows.append(
+            docs.select(
+                F.col("doc_id").alias("conv_id"),
+                F.lit(j).cast("long").alias("turn_idx"),
+                F.lit("user" if j % 2 == 0 else "assistant").alias("role"),
+                F.array_join(
+                    F.slice(words, j * 7 + 1, 5 + j), " "
+                ).alias("content"),
+            )
+        )
+    turns = turn_rows[0]
+    for part in turn_rows[1:]:
+        turns = turns.unionByName(part)
+    return pack_turns_with_masks(turns, capacity=16)
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Round-6 policy (VERDICT r5 item #2): new-in-round queries first, then
@@ -7132,6 +7162,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transitions_2step": q_events_transitions_2step,
         "conversations_flatten": q_conversations_flatten,
         "conversations_stats": q_conversations_stats,
+        "pack_sft_masks": q_pack_sft_masks,
         # --- new in round 5 (8th session) ---
         "text_canonicalize": q_text_canonicalize,
         "er_jw_match": q_er_jw_match,
@@ -8228,6 +8259,35 @@ def oracle_sql() -> dict[str, str]:
     norm_text = _NORM.format(c="text")
     return {
         "link_ppr": _ppr_oracle(iters=3),
+        "pack_sft_masks": f"""
+            WITH t AS (
+              SELECT doc_id AS conv_id, u.j AS turn_idx,
+                     CASE WHEN u.j % 2 = 0 THEN 'user'
+                          ELSE 'assistant' END AS role,
+                     coalesce(array_to_string(
+                       (str_split(text, ' '))[u.j * 7 + 1 : u.j * 7 + 5 + u.j],
+                       ' '), '') AS content
+              FROM documents, (SELECT unnest([0, 1, 2, 3]) AS j) u),
+            tok AS (
+              SELECT conv_id, turn_idx, role,
+                     CASE WHEN length({_NORM.format(c="content")}) = 0
+                          THEN 0::BIGINT
+                          ELSE len(str_split({_NORM.format(c="content")},
+                                             ' '))::BIGINT
+                     END AS n_tokens
+              FROM t),
+            c AS (
+              SELECT *,
+                     sum(n_tokens) OVER (ORDER BY conv_id, turn_idx
+                                         ROWS UNBOUNDED PRECEDING)
+                       - n_tokens AS cb
+              FROM tok)
+            SELECT conv_id, turn_idx, role, n_tokens,
+                   (cb // 16)::BIGINT AS pack_id,
+                   (cb % 16)::BIGINT AS pack_offset,
+                   (role = 'assistant')::INT AS loss_mask
+            FROM c
+        """,
         "conversations_flatten": """
             WITH c AS (SELECT doc_id AS conv_id,
                               2 + (doc_id % 3) * 2 AS n

@@ -230,6 +230,7 @@ HEADLINE = [
     "events_transitions_2step",
     "conversations_flatten",
     "conversations_stats",
+    "pack_sft_masks",
 ]
 
 

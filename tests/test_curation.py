@@ -237,3 +237,30 @@ def test_conversation_stats_flags_malformed_transcripts(spark):
     assert stats[3]["first_role"] == "assistant" and stats[3]["n_turns"] == 1
     assert 4 not in stats  # unparseable JSON produces no turn rows
     assert stats[1]["content_chars"] == 2 and stats[1]["last_role"] == "assistant"
+
+
+def test_pack_turns_with_masks_spans_and_masks(spark):
+    """pack_turns_with_masks: global end-to-end layout in (conv, turn)
+    order, correct pack boundaries at capacity, loss_mask only on
+    assistant turns, zero-token turns take no space."""
+    from vanus_spark.llm.curation import pack_turns_with_masks
+
+    rows = [
+        (1, 0, "user", "a b c"),          # 3 tokens -> pack 0, off 0
+        (1, 1, "assistant", "d e f g"),   # 4 tokens -> pack 0, off 3
+        (2, 0, "user", "h i j"),          # 3 tokens -> pack 0, off 7
+        (2, 1, "assistant", ""),          # 0 tokens -> off 10, no space
+        (3, 0, "user", "k l m n o p"),    # 6 tokens -> spans into pack 1
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id long, turn_idx long, role string, content string"
+    )
+    out = {
+        (r["conv_id"], r["turn_idx"]): r.asDict()
+        for r in pack_turns_with_masks(turns, capacity=10).collect()
+    }
+    assert out[(1, 0)]["pack_id"] == 0 and out[(1, 0)]["pack_offset"] == 0
+    assert out[(1, 1)]["pack_offset"] == 3 and out[(1, 1)]["loss_mask"] == 1
+    assert out[(2, 0)]["pack_offset"] == 7 and out[(2, 0)]["loss_mask"] == 0
+    assert out[(2, 1)]["n_tokens"] == 0
+    assert out[(3, 0)]["pack_id"] == 1 and out[(3, 0)]["pack_offset"] == 0

@@ -509,3 +509,77 @@ def conversation_stats(
         F.min(F.col("_alt").cast("int")).cast("boolean").alias("alternation_ok"),
         F.sum(F.length("content")).alias("content_chars"),
     )
+
+
+def pack_turns_with_masks(
+    turns: DataFrame,
+    capacity: int,
+    id_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "content",
+    loss_roles: tuple[str, ...] = ("assistant",),
+) -> DataFrame:
+    """Loss-mask-aware packing of flattened SFT turns: conversations
+    lay end-to-end (by id, then turn order) into fixed ``capacity``-
+    token context windows, and every turn carries its pack-relative
+    span plus ``loss_mask`` — 1 only for ``loss_roles`` turns (the
+    prompt/user tokens train with loss masked out, the standard SFT
+    objective).
+
+    Same scale shape as pack_sequences — one running token sum per
+    window; here the window is GLOBAL over (id, turn) via the
+    two-phase distributed rank + a prefix-sum broadcast rather than a
+    single-task window, so the packer holds at corpus scale. Returns
+    (id, turn, role, n_tokens, pack_id, pack_offset, loss_mask).
+    """
+    from vanus_spark.bus import distributed_row_number
+
+    staged = turns.select(
+        id_col,
+        turn_col,
+        role_col,
+        whitespace_token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    ranked = distributed_row_number(
+        staged, [], [id_col, turn_col], "_rk"
+    )
+    # global prefix sum without a global window: per-slice partials
+    # broadcast-joined back (the distributed_row_number discipline,
+    # applied to the token count)
+    w_slice = (
+        Window.partitionBy("_slice")
+        .orderBy("_rk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_slice = ranked.withColumn(
+        "_slice", F.spark_partition_id()
+    ).localCheckpoint(eager=False)
+    local_cum = with_slice.withColumn(
+        "_lcum", F.sum("n_tokens").over(w_slice)
+    )
+    slice_tot = (
+        with_slice.groupBy("_slice")
+        .agg(F.sum("n_tokens").alias("_stot"), F.min("_rk").alias("_srk"))
+    )
+    w_pref = Window.orderBy("_srk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefixes = slice_tot.select(
+        "_slice", F.coalesce(F.sum("_stot").over(w_pref), F.lit(0)).alias("_pref")
+    )
+    cum = F.col("_lcum") + F.col("_pref")
+    cum_before = cum - F.col("n_tokens")
+    pack_id = F.floor(cum_before / capacity)
+    return (
+        local_cum.join(F.broadcast(prefixes), "_slice")
+        .select(
+            id_col,
+            turn_col,
+            role_col,
+            "n_tokens",
+            pack_id.cast("long").alias("pack_id"),
+            (cum_before % capacity).cast("long").alias("pack_offset"),
+            F.col(role_col).isin(*loss_roles).cast("int").alias("loss_mask"),
+        )
+    )
