@@ -7066,6 +7066,34 @@ def q_pack_sft_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_turns_with_masks(turns, capacity=16)
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish subword tokens per
+    whitespace word (textstats.bpe_ish_token_count /
+    whitespace_token_count) — the per-language cost metric tokenizer
+    evaluations report (high fertility = a language pays more context
+    per word). Two pure-Column counts + one partial-agg rollup; the
+    ratio is a ratio of exact integer sums, one double division."""
+    from vanus_spark.llm.textstats import (
+        bpe_ish_token_count,
+        whitespace_token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        whitespace_token_count(F.col("text")).alias("w"),
+        bpe_ish_token_count(F.col("text")).alias("t"),
+    )
+    return per.groupBy("lang").agg(
+        F.sum("w").alias("n_words"),
+        F.sum("t").alias("n_tokens"),
+        F.round(
+            F.sum("t").cast("double") / F.greatest(F.sum("w"), F.lit(1)),
+            6,
+        ).alias("fertility"),
+    )
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Round-6 policy (VERDICT r5 item #2): new-in-round queries first, then
@@ -7163,6 +7191,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversations_flatten": q_conversations_flatten,
         "conversations_stats": q_conversations_stats,
         "pack_sft_masks": q_pack_sft_masks,
+        "tokenizer_fertility": q_tokenizer_fertility,
         # --- new in round 5 (8th session) ---
         "text_canonicalize": q_text_canonicalize,
         "er_jw_match": q_er_jw_match,
@@ -8259,6 +8288,21 @@ def oracle_sql() -> dict[str, str]:
     norm_text = _NORM.format(c="text")
     return {
         "link_ppr": _ppr_oracle(iters=3),
+        "tokenizer_fertility": f"""
+            WITH per AS (
+              SELECT lang,
+                     CASE WHEN length({norm_text}) = 0 THEN 0
+                          ELSE len(str_split({norm_text}, ' '))
+                     END::BIGINT AS w,
+                     len(regexp_extract_all(
+                       text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS t
+              FROM documents)
+            SELECT lang, sum(w)::BIGINT AS n_words,
+                   sum(t)::BIGINT AS n_tokens,
+                   round(sum(t)::DOUBLE / greatest(sum(w), 1)::DOUBLE, 6)
+                     AS fertility
+            FROM per GROUP BY lang
+        """,
         "pack_sft_masks": f"""
             WITH t AS (
               SELECT doc_id AS conv_id, u.j AS turn_idx,

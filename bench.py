@@ -231,6 +231,7 @@ HEADLINE = [
     "conversations_flatten",
     "conversations_stats",
     "pack_sft_masks",
+    "tokenizer_fertility",
 ]
 
 
