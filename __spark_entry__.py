@@ -7094,6 +7094,66 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold calibration curve: ONE pass of the
+    LSH-bucketed embedding pair join (similarity.embedding_near_dup at
+    its base threshold) produces the pair count at EVERY candidate
+    threshold — the sweep a curator runs before picking the semantic-
+    dedup cutoff, without re-joining per threshold. The oracle
+    restates the plane signatures + quadratic-within-bucket join and
+    counts per threshold with scalar subqueries."""
+    from vanus_spark.llm.similarity import embedding_near_dup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup(emb, threshold=0.5, n_planes=6)
+    ths = [0.5, 0.6, 0.7, 0.8, 0.9, 0.95, 0.99]
+    wide = pairs.agg(
+        *[
+            F.coalesce(
+                F.sum((F.col("cosine") >= F.lit(t)).cast("long")), F.lit(0)
+            ).alias(f"_n{i}")
+            for i, t in enumerate(ths)
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("threshold"), F.col(f"_n{i}").alias("n_pairs")
+            )
+            for i, t in enumerate(ths)
+        ]
+    )
+    return wide.select(F.explode(rows).alias("s")).select("s.*")
+
+
+def q_url_path_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical URL-path rollup (crawl analytics): synthetic
+    3-segment paths from doc_id residues are aggregated at every
+    prefix depth — the per-directory count table a crawler's frontier
+    prioritizer reads. One explode over 3 depths + one partial-agg
+    groupBy; substring_index does the prefix cut engine-side."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    path = F.concat(
+        F.lit("/a"), (F.col("doc_id") % 3).cast("string"),
+        F.lit("/b"), (F.col("doc_id") % 5).cast("string"),
+        F.lit("/c"), (F.col("doc_id") % 7).cast("string"),
+    )
+    with_path = docs.select("doc_id", path.alias("path"))
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("depth"),
+                F.substring_index(F.col("path"), "/", d + 1).alias("prefix"),
+            )
+            for d in (1, 2, 3)
+        ]
+    )
+    exploded = with_path.select(F.explode(rows).alias("s")).select("s.*")
+    return exploded.groupBy("depth", "prefix").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Round-6 policy (VERDICT r5 item #2): new-in-round queries first, then
@@ -7192,6 +7252,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversations_stats": q_conversations_stats,
         "pack_sft_masks": q_pack_sft_masks,
         "tokenizer_fertility": q_tokenizer_fertility,
+        "semantic_dedup_calibration": q_semantic_dedup_calibration,
+        "url_path_rollup": q_url_path_rollup,
         # --- new in round 5 (8th session) ---
         "text_canonicalize": q_text_canonicalize,
         "er_jw_match": q_er_jw_match,
@@ -8284,10 +8346,50 @@ def _ppr_oracle(iters: int = 3) -> str:
     return "".join(parts)
 
 
+def _semantic_calibration_oracle() -> str:
+    """SQL twin of q_semantic_dedup_calibration: the neardup bucket
+    join at base threshold 0.5, counted once per candidate threshold
+    via scalar subqueries (a missing-pairs threshold still emits its
+    zero row, matching Spark's agg-of-empty semantics)."""
+    bucket = _planes_bucket_sql("embedding")
+    cos = _COSINE_SQL.format(a="a.embedding", b="b.embedding")
+    ths = [0.5, 0.6, 0.7, 0.8, 0.9, 0.95, 0.99]
+    vals = ", ".join(f"({repr(t)}::DOUBLE)" for t in ths)
+    return f"""
+        WITH signed AS (SELECT vec_id, embedding, {bucket} AS bucket
+                        FROM embeddings),
+        pairs AS (
+          SELECT {cos} AS cosine
+          FROM signed a JOIN signed b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          WHERE {cos} >= 0.5)
+        SELECT t.threshold,
+               (SELECT count(*) FROM pairs WHERE cosine >= t.threshold)::BIGINT
+                 AS n_pairs
+        FROM (VALUES {vals}) t(threshold)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     norm_text = _NORM.format(c="text")
     return {
         "link_ppr": _ppr_oracle(iters=3),
+        "semantic_dedup_calibration": _semantic_calibration_oracle(),
+        "url_path_rollup": """
+            WITH p AS (
+              SELECT doc_id,
+                     '/a' || (doc_id % 3)::VARCHAR
+                     || '/b' || (doc_id % 5)::VARCHAR
+                     || '/c' || (doc_id % 7)::VARCHAR AS path
+              FROM documents),
+            x AS (
+              SELECT d.depth,
+                     array_to_string((str_split(p.path, '/'))[1 : d.depth + 1],
+                                     '/') AS prefix
+              FROM p, (SELECT unnest([1, 2, 3]) AS depth) d)
+            SELECT depth, prefix, count(*)::BIGINT AS n_docs
+            FROM x GROUP BY 1, 2
+        """,
         "tokenizer_fertility": f"""
             WITH per AS (
               SELECT lang,

@@ -232,6 +232,8 @@ HEADLINE = [
     "conversations_stats",
     "pack_sft_masks",
     "tokenizer_fertility",
+    "semantic_dedup_calibration",
+    "url_path_rollup",
 ]
 
 
