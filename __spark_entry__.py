@@ -7154,6 +7154,68 @@ def q_url_path_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_users_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier churn curves (operators/survival.kaplan_meier):
+    each user's duration = days between first and last event; every
+    5th user enters censored (still active), the rest churn at their
+    last day; segments = user_id % 3. The risk table collapses to
+    (segment, duration) before any window runs, so the cumulative
+    product never sees the subject table. Oracle restates the
+    exp(sum(ln)) chain with the same zero guard."""
+    from vanus_spark.operators.survival import kaplan_meier
+
+    ev = _t(spark, sf_dir, "events")
+    subjects = ev.groupBy("user_id").agg(
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))).alias(
+            "duration"
+        )
+    ).select(
+        (F.col("user_id") % 3).cast("string").alias("segment"),
+        F.col("duration").cast("long").alias("duration"),
+        F.when(F.col("user_id") % 5 == 0, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("event"),
+    )
+    return kaplan_meier(subjects)
+
+
+def q_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of event value per event type — the
+    inequality statistic next to pareto_brands' 80/20 cut: values go
+    to exact integer cents, the per-type ascending rank comes from the
+    two-phase distributed rank (never a single-task sort), and
+    G = (2*S1 - (n+1)*S0) / (n*S0) is assembled from EXACT decimal
+    sums with ONE double division — engine-exact, like the chi2 gate."""
+    from vanus_spark.bus import distributed_row_number
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    ranked = distributed_row_number(
+        ev, ["event_type"], ["cents", "event_id"], "rk"
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s0"),
+        F.sum(
+            ((F.col("rk") + 1).cast("decimal(38,0)"))
+            * F.col("cents").cast("decimal(38,0)")
+        ).alias("s1"),
+    )
+    gini = (
+        (F.lit(2).cast("decimal(38,0)") * F.col("s1")
+         - (F.col("n") + 1) * F.col("s0")).cast("double")
+        / (F.col("n") * F.col("s0")).cast("double")
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.round(gini, 6).alias("gini"),
+    )
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Round-6 policy (VERDICT r5 item #2): new-in-round queries first, then
@@ -7254,6 +7316,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": q_tokenizer_fertility,
         "semantic_dedup_calibration": q_semantic_dedup_calibration,
         "url_path_rollup": q_url_path_rollup,
+        "users_kaplan_meier": q_users_kaplan_meier,
+        "value_gini": q_value_gini,
         # --- new in round 5 (8th session) ---
         "text_canonicalize": q_text_canonicalize,
         "er_jw_match": q_er_jw_match,
@@ -8374,6 +8438,66 @@ def oracle_sql() -> dict[str, str]:
     norm_text = _NORM.format(c="text")
     return {
         "link_ppr": _ppr_oracle(iters=3),
+        "users_kaplan_meier": """
+            WITH subj AS (
+              SELECT user_id,
+                     date_diff('day', min(ts::DATE), max(ts::DATE))::BIGINT
+                       AS duration
+              FROM events GROUP BY user_id),
+            s AS (SELECT (user_id % 3)::VARCHAR AS segment, duration,
+                         CASE WHEN user_id % 5 = 0 THEN 0 ELSE 1 END AS event
+                  FROM subj),
+            risk AS (SELECT segment, duration AS t,
+                            sum(event)::BIGINT AS n_events,
+                            sum(1 - event)::BIGINT AS n_censored
+                     FROM s GROUP BY 1, 2),
+            staged AS (
+              SELECT *,
+                     sum(n_events + n_censored)
+                       OVER (PARTITION BY segment)
+                     - coalesce(sum(n_events + n_censored)
+                         OVER (PARTITION BY segment ORDER BY t
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) AS n_at_risk
+              FROM risk),
+            curve AS (
+              SELECT *,
+                     max((n_events = n_at_risk)::INT)
+                       OVER (PARTITION BY segment ORDER BY t
+                             ROWS UNBOUNDED PRECEDING) AS dead,
+                     sum(CASE WHEN n_events < n_at_risk
+                              THEN ln(1.0::DOUBLE
+                                      - n_events::DOUBLE / n_at_risk::DOUBLE)
+                              ELSE 0.0::DOUBLE END)
+                       OVER (PARTITION BY segment ORDER BY t
+                             ROWS UNBOUNDED PRECEDING) AS ls
+              FROM staged)
+            SELECT segment, t, n_at_risk::BIGINT AS n_at_risk,
+                   n_events, n_censored,
+                   round(CASE WHEN dead = 1 THEN 0.0::DOUBLE
+                              ELSE exp(ls) END, 6) AS survival
+            FROM curve
+        """,
+        "value_gini": """
+            WITH ev AS (
+              SELECT event_type, event_id,
+                     round(value * 100)::BIGINT AS cents
+              FROM events),
+            r AS (SELECT *,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY cents, event_id) - 1
+                           AS rk
+                  FROM ev),
+            a AS (SELECT event_type,
+                         count(*)::HUGEINT AS n,
+                         sum(cents::HUGEINT) AS s0,
+                         sum((rk + 1)::HUGEINT * cents::HUGEINT) AS s1
+                  FROM r GROUP BY 1)
+            SELECT event_type, n::BIGINT AS n_events,
+                   round((2::HUGEINT * s1 - (n + 1) * s0)::DOUBLE
+                         / (n * s0)::DOUBLE, 6) AS gini
+            FROM a
+        """,
         "semantic_dedup_calibration": _semantic_calibration_oracle(),
         "url_path_rollup": """
             WITH p AS (

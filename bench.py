@@ -234,6 +234,8 @@ HEADLINE = [
     "tokenizer_fertility",
     "semantic_dedup_calibration",
     "url_path_rollup",
+    "users_kaplan_meier",
+    "value_gini",
 ]
 
 

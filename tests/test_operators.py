@@ -263,3 +263,36 @@ def test_random_projection_preserves_norms_in_expectation(spark):
         ratios.append(pn / on)
     mean_ratio = sum(ratios) / len(ratios)
     assert 0.8 < mean_ratio < 1.2
+
+
+def test_kaplan_meier_hand_computed(spark):
+    """kaplan_meier vs the textbook worked example: 5 subjects,
+    events at t=1 (n=5) and t=3 (n=3), censored at t=2 and t=4."""
+    from vanus_spark.operators.survival import kaplan_meier
+
+    subjects = spark.createDataFrame(
+        [
+            ("a", 1, 1), ("a", 2, 0), ("a", 3, 1), ("a", 3, 1), ("a", 4, 0),
+        ],
+        "segment string, duration long, event int",
+    )
+    rows = {r["t"]: r.asDict() for r in kaplan_meier(subjects).collect()}
+    assert rows[1]["n_at_risk"] == 5 and rows[1]["survival"] == 0.8
+    assert rows[2]["n_at_risk"] == 4 and rows[2]["survival"] == 0.8
+    # at t=3: 3 at risk, 2 events -> 0.8 * (1 - 2/3)
+    assert rows[3]["n_at_risk"] == 3
+    assert abs(rows[3]["survival"] - 0.8 * (1 / 3)) < 1e-6
+    assert rows[4]["n_censored"] == 1 and rows[4]["survival"] == rows[3]["survival"]
+
+
+def test_kaplan_meier_curve_hits_zero_without_ln0(spark):
+    """All subjects eventing at the last timepoint drives survival to
+    exactly 0.0 via the dead flag (never ln(0))."""
+    from vanus_spark.operators.survival import kaplan_meier
+
+    subjects = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 1), ("a", 2, 1)],
+        "segment string, duration long, event int",
+    )
+    rows = {r["t"]: r.asDict() for r in kaplan_meier(subjects).collect()}
+    assert rows[2]["survival"] == 0.0 and rows[2]["n_at_risk"] == 2
