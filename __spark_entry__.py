@@ -7216,6 +7216,90 @@ def q_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over per-user event-type baskets: for every
+    ordered type pair (a -> b), support = P(a and b), confidence =
+    P(b | a), lift = confidence / P(b) — the market-basket statistics
+    (Apriori's output layer) on a 5-type alphabet, so the pair join is
+    bounded by the TYPE space, not the event count. Distinct
+    (user, type) first (one map-side-combined shuffle), then the
+    per-user self-join fans out at most |types|^2 per user. All three
+    metrics are single double divisions of exact counts, round(6)."""
+    ev = _t(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n_users = ut.select("user_id").distinct().count()
+    singles = ut.groupBy("event_type").agg(F.count("*").alias("n_t"))
+    a = ut.alias("a")
+    b = ut.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") != F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("antecedent"),
+            F.col("b.event_type").alias("consequent"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("antecedent"), F.col("n_t").alias("n_a")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("consequent"), F.col("n_t").alias("n_b")
+    )
+    out = pairs.join(F.broadcast(sa), "antecedent").join(
+        F.broadcast(sb), "consequent"
+    )
+    conf = F.col("n_ab").cast("double") / F.col("n_a").cast("double")
+    pb = F.col("n_b").cast("double") / F.lit(float(n_users))
+    return out.select(
+        "antecedent",
+        "consequent",
+        "n_ab",
+        F.round(F.col("n_ab").cast("double") / F.lit(float(n_users)), 6).alias(
+            "support"
+        ),
+        F.round(conf, 6).alias("confidence"),
+        F.round(conf / pb, 6).alias("lift"),
+    )
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outlier report: each vector's euclidean
+    distance to its label centroid, z-scored within the label; rows
+    with |z| > 2 flag as outliers — the vector-QA pass run before
+    training on an embedding corpus. Centroids come from one per-label
+    aggregate over posexploded dims (shuffle bounded by labels x dim);
+    the distance and z-score are fixed-order double math, round(6)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "x")
+    )
+    cent = dims.groupBy("label", "d").agg(F.avg("x").alias("mu"))
+    sq = (
+        dims.join(cent, ["label", "d"])
+        .groupBy("label", "vec_id")
+        .agg(F.sum((F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu"))).alias("sq"))
+    )
+    dist = sq.select("label", "vec_id", F.sqrt("sq").alias("dist"))
+    stats = dist.groupBy("label").agg(
+        F.avg("dist").alias("d_mu"),
+        F.stddev_samp("dist").alias("d_sd"),
+    )
+    z = (F.col("dist") - F.col("d_mu")) / F.col("d_sd")
+    return dist.join(F.broadcast(stats), "label").select(
+        "label",
+        "vec_id",
+        F.round("dist", 6).alias("dist"),
+        F.round(z, 6).alias("z"),
+        # compare on the ROUNDED z so the flag is deterministic
+        # cross-engine even when raw z sits ulps from the boundary
+        (F.abs(F.round(z, 6)) > 2).alias("outlier"),
+    )
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Round-6 policy (VERDICT r5 item #2): new-in-round queries first, then
@@ -7318,6 +7402,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_path_rollup": q_url_path_rollup,
         "users_kaplan_meier": q_users_kaplan_meier,
         "value_gini": q_value_gini,
+        "events_assoc_rules": q_events_assoc_rules,
+        "embedding_outliers": q_embedding_outliers,
         # --- new in round 5 (8th session) ---
         "text_canonicalize": q_text_canonicalize,
         "er_jw_match": q_er_jw_match,
@@ -8438,6 +8524,49 @@ def oracle_sql() -> dict[str, str]:
     norm_text = _NORM.format(c="text")
     return {
         "link_ppr": _ppr_oracle(iters=3),
+        "events_assoc_rules": """
+            WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+            nu AS (SELECT count(DISTINCT user_id)::DOUBLE AS n FROM ut),
+            singles AS (SELECT event_type, count(*)::BIGINT AS n_t
+                        FROM ut GROUP BY 1),
+            pairs AS (
+              SELECT a.event_type AS antecedent, b.event_type AS consequent,
+                     count(*)::BIGINT AS n_ab
+              FROM ut a JOIN ut b
+                ON a.user_id = b.user_id AND a.event_type != b.event_type
+              GROUP BY 1, 2)
+            SELECT p.antecedent, p.consequent, p.n_ab,
+                   round(p.n_ab::DOUBLE / nu.n, 6) AS support,
+                   round(p.n_ab::DOUBLE / sa.n_t::DOUBLE, 6) AS confidence,
+                   round((p.n_ab::DOUBLE / sa.n_t::DOUBLE)
+                         / (sb.n_t::DOUBLE / nu.n), 6) AS lift
+            FROM pairs p
+            JOIN singles sa ON p.antecedent = sa.event_type
+            JOIN singles sb ON p.consequent = sb.event_type
+            CROSS JOIN nu
+        """,
+        "embedding_outliers": """
+            WITH dims AS (
+              SELECT label, vec_id, d.d AS d,
+                     (embedding[d.d + 1])::DOUBLE AS x
+              FROM embeddings, (SELECT unnest(range(64)) AS d) d),
+            cent AS (SELECT label, d, avg(x) AS mu
+                     FROM dims GROUP BY 1, 2),
+            sq AS (SELECT dims.label, dims.vec_id,
+                          sum((x - mu) * (x - mu)) AS sq
+                   FROM dims JOIN cent
+                     ON dims.label = cent.label AND dims.d = cent.d
+                   GROUP BY 1, 2),
+            dist AS (SELECT label, vec_id, sqrt(sq) AS dist FROM sq),
+            stats AS (SELECT label, avg(dist) AS d_mu,
+                             stddev_samp(dist) AS d_sd
+                      FROM dist GROUP BY 1)
+            SELECT dist.label, vec_id,
+                   round(dist, 6) AS dist,
+                   round((dist - d_mu) / d_sd, 6) AS z,
+                   abs(round((dist - d_mu) / d_sd, 6)) > 2 AS outlier
+            FROM dist JOIN stats ON dist.label = stats.label
+        """,
         "users_kaplan_meier": """
             WITH subj AS (
               SELECT user_id,

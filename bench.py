@@ -236,6 +236,8 @@ HEADLINE = [
     "url_path_rollup",
     "users_kaplan_meier",
     "value_gini",
+    "events_assoc_rules",
+    "embedding_outliers",
 ]
 
 
