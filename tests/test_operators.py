@@ -296,3 +296,40 @@ def test_kaplan_meier_curve_hits_zero_without_ln0(spark):
     )
     rows = {r["t"]: r.asDict() for r in kaplan_meier(subjects).collect()}
     assert rows[2]["survival"] == 0.0 and rows[2]["n_at_risk"] == 2
+
+
+def test_assoc_rules_hand_computed(spark):
+    """events_assoc_rules metric math on a 4-user fixture: lift > 1
+    for positively-associated pairs, symmetric support, conditional
+    confidence."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_assoc", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    # 4 users: u1{A,B} u2{A,B} u3{A} u4{B} — P(A)=3/4, P(B)=3/4,
+    # P(AB)=1/2, conf(A->B)=2/3, lift=8/9
+    import pyspark.sql.functions as F  # noqa: F401
+
+    rows = [(1, "A"), (1, "B"), (2, "A"), (2, "B"), (3, "A"), (4, "B")]
+    ev = spark.createDataFrame(
+        [(i, u, t) for i, (u, t) in enumerate(rows)],
+        "event_id long, user_id long, event_type string",
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    ev.write.parquet(f"{d}/events.parquet")
+    out = {
+        (r["antecedent"], r["consequent"]): r.asDict()
+        for r in m.queries()["events_assoc_rules"](spark, d).collect()
+    }
+    ab = out[("A", "B")]
+    assert ab["n_ab"] == 2
+    assert ab["support"] == 0.5
+    assert ab["confidence"] == round(2 / 3, 6)
+    assert ab["lift"] == round((2 / 3) / (3 / 4), 6)
+    ba = out[("B", "A")]
+    assert ba["support"] == 0.5 and ba["confidence"] == round(2 / 3, 6)
