@@ -7305,9 +7305,23 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round-6 policy (VERDICT r5 item #2): new-in-round queries first, then
 # backfill to 50 with the OLDEST rows that have never had a driver
 # correctness row (65 such rows entering r6; this window retires 44 of
-# them, the remaining 21 — all simple single-table analytics, replica-green
-# since their own sessions — front the r7 window). Everything outside the
-# window stays gated by the FULL tools/oracle_check.py replica run.
+# them; 21 older rows remain). Everything outside the window stays gated
+# by the FULL tools/oracle_check.py replica run. ENTERING ROUND 7 the
+# never-driver-checked set is: those 21 older single-table analytics
+# (orders_rfm, salted_join_skew, embedding_norm_stats, text_keywords,
+# events_attribution, profile_table, lang_confusion, events_dau_wau,
+# events_histogram, corpus_ngram_diversity, hard_negatives, events_cube,
+# events_trend, events_dispersion, events_transitions,
+# events_mad_outliers, events_winsorized, events_seasonality,
+# skew_report, basket_brand_pairs, pareto_brands) plus the 14 r6
+# operators added after the window froze (embedding_random_projection,
+# docs_readability, events_changepoint, layout_hilbert,
+# stats_equi_depth, link_ppr, attribution_time_decay,
+# events_transitions_2step, conversations_flatten, conversations_stats,
+# pack_sft_masks, tokenizer_fertility, semantic_dedup_calibration,
+# url_path_rollup, users_kaplan_meier, value_gini, events_assoc_rules,
+# embedding_outliers) — 35+ rows, one window's worth: make them the
+# whole r7 window.
 _R6_WINDOW = [
     # --- new in round 6 ---
     "subscription_lifecycle",
