@@ -6817,9 +6817,11 @@ def q_layout_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hilbert-curve clustering key (sources/layout.hilbert_key) over
     synthetic 8-bit bucket coordinates (doc_id residues) — zorder's
     locality-better sibling for write-time multi-dimensional
-    clustering. The unrolled xy2d walk is pure integer Columns; the
-    oracle re-walks the same 8 levels as chained CTEs, so every bit
-    of the curve arithmetic is hash-checked."""
+    clustering. The key is a driver-precomputed hex-string-literal
+    lookup (O(1) plan size — the round-6 unrolled expression was
+    compile-bound at 450 s); the oracle re-walks the 8 xy2d levels
+    as chained CTEs, so every bit of the curve arithmetic is
+    hash-checked."""
     from vanus_spark.sources.layout import hilbert_key
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")

@@ -23,6 +23,8 @@ Bucketing requires the session catalog (saveAsTable) — plain
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 
@@ -170,6 +172,91 @@ def zorder_table(
     )
 
 
+def _hilbert_d_int(x: int, y: int, bits: int) -> int:
+    """Plain-python xy2d walk (the algorithm the Column version used
+    to unroll; identical arithmetic to the DuckDB oracle's chained
+    CTEs, including the mid-walk negative intermediates — python ints
+    and SQL BIGINTs agree on two's-complement `&`)."""
+    d = 0
+    for level in range(bits - 1, -1, -1):
+        s = 1 << level
+        rx = 1 if (x & s) else 0
+        ry = 1 if (y & s) else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+    return d
+
+
+@lru_cache(maxsize=8)
+def _hilbert_full_table(bits: int) -> tuple[int, ...]:
+    """(x << bits | y) -> d for the whole 2^bits x 2^bits square."""
+    n = 1 << bits
+    return tuple(
+        _hilbert_d_int(xv, yv, bits) for xv in range(n) for yv in range(n)
+    )
+
+
+def _hex_lookup(table: tuple[int, ...], idx: Column, max_val: int) -> Column:
+    """O(1)-plan array lookup: the table is ONE fixed-width hex string
+    Literal (a 2^16-entry long table is a 256 KB string — one Catalyst
+    node), read with substring(idx*w+1, w) + conv(16,10). All three
+    ops are whole-stage-codegen built-ins; F.lit(python_list) is NOT
+    usable here because PySpark lowers it to CreateArray with one
+    child Literal per element — the same plan blowup this module
+    exists to avoid. Out-of-range idx yields NULL (empty substring ->
+    NULL conv)."""
+    w = max(1, (max_val.bit_length() + 3) // 4)
+    blob = F.lit("".join(format(v, f"0{w}x") for v in table))
+    return F.conv(
+        F.substring(blob, (idx * w + 1).cast("int"), F.lit(w)), 16, 10
+    ).cast("long")
+
+
+@lru_cache(maxsize=8)
+def _hilbert_chunk_table(k: int) -> tuple[int, ...]:
+    """Chunked-DFA table for MSB-first k-bit-at-a-time evaluation.
+
+    The xy2d walk's per-level mutations (swap; flip-both-then-swap)
+    generate the Klein four-group {id, swap, flip, flip∘swap}, and
+    modulo 2^r every accumulated mutation acts on the remaining low
+    bits as one of those four elements (s-1-x ≡ complement mod any
+    smaller power of two). So the walk is a 4-state DFA over 2-bit
+    digits, which we compose k levels at a time: entry index
+    (state*4^k + xc*2^k + yc) -> packed (digit*4 + next_state).
+    State encoding: bit0 = swap, bit1 = flip.
+    """
+    m = (1 << k) - 1
+    out = []
+    for state in range(4):
+        sw, fl = state & 1, state >> 1
+        for xc in range(1 << k):
+            for yc in range(1 << k):
+                tx, ty = (m - xc, m - yc) if fl else (xc, yc)
+                if sw:
+                    tx, ty = ty, tx
+                d = 0
+                tsw = tfl = 0
+                for level in range(k - 1, -1, -1):
+                    s = 1 << level
+                    rx = 1 if (tx & s) else 0
+                    ry = 1 if (ty & s) else 0
+                    d += s * s * ((3 * rx) ^ ry)
+                    if ry == 0:
+                        if rx == 1:
+                            tx = s - 1 - tx
+                            ty = s - 1 - ty
+                            tfl ^= 1
+                        tx, ty = ty, tx
+                        tsw ^= 1
+                nstate = ((fl ^ tfl) << 1) | (sw ^ tsw)
+                out.append(d * 4 + nstate)
+    return tuple(out)
+
+
 def hilbert_key(x: Column, y: Column, bits: int = 8) -> Column:
     """2-D Hilbert-curve index over bucket ids in [0, 2^bits) — the
     locality-better sibling of ``zorder_key`` (Hilbert has no Z-shaped
@@ -177,34 +264,50 @@ def hilbert_key(x: Column, y: Column, bits: int = 8) -> Column:
     fewer contiguous runs; it is what Delta/Iceberg OPTIMIZE use when
     asked for hilbert clustering).
 
-    The standard xy2d walk (s = 2^(bits-1) .. 1: quadrant digit
-    d += s*s*((3*rx) xor ry), then the conditional flip+swap rotation)
-    is UNROLLED at plan-build time into one integer Column expression
-    — the per-iteration x/y rebinding duplicates subtrees, but the
-    blowup is bounded (~2.4x per level, a few thousand int ops per
-    row at bits=8): pure whole-stage-codegen arithmetic, zero
-    shuffle, zero UDF. The oracle restates the same unrolled levels
-    as chained CTEs."""
+    Implementation is a DRIVER-PRECOMPUTED lookup, not an unrolled
+    expression (the round-6 version unrolled the 8-level xy2d walk
+    into one Column whose tree grew ~2.4-3x per level; Catalyst
+    analysis alone took 450 s at bits=8 — compile-bound, so no
+    cluster helps). Now:
+
+    - bits <= 8: ONE hex-string-literal lookup over the full
+      2^(2*bits) square (256 KB string at bits=8, a single Literal
+      node; see ``_hex_lookup``). O(1) plan size, zero shuffle,
+      zero UDF, whole-stage codegen.
+    - bits > 8: the walk is a 4-state DFA over 2-bit digits (the
+      mutation group is Klein-four modulo the remaining square, see
+      ``_hilbert_chunk_table``), evaluated 8 bits per step: ceil(
+      bits/8) lookups in a 4*4^8-entry table (1.3 MB string each).
+      Plan tree stays a few dozen nodes at any bit depth (bits=16
+      was unreachable before).
+
+    Out-of-range input yields NULL. The oracle restates the walk as
+    chained CTEs; tests cross-check against the plain-python walk on
+    full grids."""
     if bits < 1 or 2 * bits > 62:
         raise ValueError("hilbert_key needs 1 <= bits <= 31")
     xs = x.cast("long")
     ys = y.cast("long")
+    if bits <= 8:
+        idx = F.shiftleft(xs, bits) + ys
+        max_d = (1 << (2 * bits)) - 1
+        return _hex_lookup(_hilbert_full_table(bits), idx, max_d)
+    # MSB-first chunks: leading partial chunk, then 8-bit chunks
+    sizes = [bits % 8 or 8]
+    while sum(sizes) < bits:
+        sizes.append(8)
     d: Column = F.lit(0).cast("long")
-    for level in range(bits - 1, -1, -1):
-        s = 1 << level
-        rx = F.when((xs.bitwiseAND(F.lit(s))) > 0, F.lit(1)).otherwise(F.lit(0))
-        ry = F.when((ys.bitwiseAND(F.lit(s))) > 0, F.lit(1)).otherwise(F.lit(0))
-        d = d + F.lit(s * s).cast("long") * (
-            (F.lit(3) * rx).bitwiseXOR(ry)
-        ).cast("long")
-        # rotate the quadrant: if ry == 0, optionally flip, then swap
-        nx = (
-            F.when(ry == 0, F.when(rx == 1, F.lit(s - 1) - ys).otherwise(ys))
-            .otherwise(xs)
-        )
-        ny = (
-            F.when(ry == 0, F.when(rx == 1, F.lit(s - 1) - xs).otherwise(xs))
-            .otherwise(ys)
-        )
-        xs, ys = nx, ny
+    state: Column = F.lit(0).cast("long")
+    consumed = 0
+    for k in sizes:
+        consumed += k
+        shift = bits - consumed
+        mask = (1 << k) - 1
+        xc = F.shiftrightunsigned(xs, shift).bitwiseAND(F.lit(mask))
+        yc = F.shiftrightunsigned(ys, shift).bitwiseAND(F.lit(mask))
+        idx = state * F.lit(1 << (2 * k)) + F.shiftleft(xc, k) + yc
+        max_packed = ((1 << (2 * k)) - 1) * 4 + 3
+        packed = _hex_lookup(_hilbert_chunk_table(k), idx, max_packed)
+        d = d + F.shiftleft(F.shiftrightunsigned(packed, 2), 2 * shift)
+        state = packed.bitwiseAND(F.lit(3))
     return d
