@@ -5636,7 +5636,7 @@ def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_JACCARD_05_MEMO: dict[tuple[int, str], DataFrame] = {}
+_JACCARD_05_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 def _jaccard_pairs_05(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5644,9 +5644,11 @@ def _jaccard_pairs_05(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix-filtered join (llm/allpairs.jaccard_prefix_join, lossless
     by the pigeonhole lemma). q_dedup_jaccard_exact returns it and
     q_dedup_lsh_recall uses it as ground truth, so it checkpoints once
-    per (session, sf_dir) — the same shared-chain pattern as
-    _er_tagged."""
-    key = (id(spark), sf_dir)
+    per (applicationId, sf_dir) — the same shared-chain pattern as
+    _er_tagged. Keyed by applicationId, NOT id(spark): CPython reuses
+    addresses of collected sessions, which would hand a new session
+    checkpointed blocks of a dead one."""
+    key = (spark.sparkContext.applicationId, sf_dir)
     memo = _JACCARD_05_MEMO.get(key)
     if memo is not None:
         return memo
@@ -5654,11 +5656,15 @@ def _jaccard_pairs_05(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     out = jaccard_prefix_join(docs, threshold=0.5).localCheckpoint(eager=True)
+    # entries of other (stopped) apps are unreachable garbage: purge so
+    # their checkpointed blocks aren't pinned for the process lifetime
+    for k in [k for k in _JACCARD_05_MEMO if k[0] != key[0]]:
+        del _JACCARD_05_MEMO[k]
     _JACCARD_05_MEMO[key] = out
     return out
 
 
-_ER_TAGGED_MEMO: dict[tuple[int, str], DataFrame] = {}
+_ER_TAGGED_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 def _er_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5673,7 +5679,7 @@ def _er_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     registry localCheckpoints ONCE per (session, sf_dir) and both
     reuse it (round-5 verdict next-step #7); results are unchanged
     because the chain is deterministic."""
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     memo = _ER_TAGGED_MEMO.get(key)
     if memo is not None:
         return memo
@@ -5715,6 +5721,8 @@ def _er_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("entity_id", F.coalesce("component", "rec_id"))
         .localCheckpoint(eager=True)
     )
+    for k in [k for k in _ER_TAGGED_MEMO if k[0] != key[0]]:
+        del _ER_TAGGED_MEMO[k]
     _ER_TAGGED_MEMO[key] = tagged
     return tagged
 
@@ -8401,9 +8409,11 @@ def _search_eval_oracle() -> str:
         SELECT got.query_id,
                round(dcg / idcg, 6) AS ndcg_10,
                round(coalesce(1.0::DOUBLE / first_rel, 0.0::DOUBLE), 6) AS mrr,
-               round(n_rel_retrieved / n_relevant::DOUBLE, 6) AS recall_10,
-               n_relevant
-        FROM got JOIN ideal USING (query_id) JOIN nrel USING (query_id)
+               round(coalesce(n_rel_retrieved / n_relevant::DOUBLE,
+                              0.0::DOUBLE), 6) AS recall_10,
+               coalesce(n_relevant, 0) AS n_relevant
+        FROM got LEFT JOIN ideal USING (query_id)
+                 LEFT JOIN nrel USING (query_id)
     """
 
 

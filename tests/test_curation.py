@@ -264,3 +264,48 @@ def test_pack_turns_with_masks_spans_and_masks(spark):
     assert out[(2, 0)]["pack_offset"] == 7 and out[(2, 0)]["loss_mask"] == 0
     assert out[(2, 1)]["n_tokens"] == 0
     assert out[(3, 0)]["pack_id"] == 1 and out[(3, 0)]["pack_offset"] == 0
+
+
+def test_pack_turns_prefix_survives_hash_collisions(spark):
+    """Regression (round-7 advice, high): the packer's prefix sum must
+    group on distributed_row_number's pinned rank-contiguous _slice,
+    not on spark_partition_id() re-derived after the hash exchange —
+    with 7 shuffle partitions and AQE coalescing off, slices hash-
+    collide into shared physical partitions and the old derivation
+    corrupted 429/600 pack ids. Checks every row against the
+    driver-computed ground-truth packing."""
+    from pyspark.sql import functions as F
+
+    from vanus_spark.llm.curation import pack_turns_with_masks
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    old_coal = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        rows = [
+            (cid, t, "user" if t % 2 == 0 else "assistant",
+             " ".join(["w"] * ((cid * 7 + t * 3) % 9 + 1)))
+            for cid in range(100)
+            for t in range(6)
+        ]
+        turns = spark.createDataFrame(
+            rows, "conv_id long, turn_idx long, role string, content string"
+        ).repartition(11)
+        cap = 64
+        got = {
+            (r["conv_id"], r["turn_idx"]): (r["pack_id"], r["pack_offset"])
+            for r in pack_turns_with_masks(turns, capacity=cap).collect()
+        }
+        cum = 0
+        bad = 0
+        for cid, t, _role, text in sorted(rows):
+            n = len(text.split())
+            want = (cum // cap, cum % cap)
+            if got[(cid, t)] != want:
+                bad += 1
+            cum += n
+        assert bad == 0, f"{bad}/{len(rows)} rows mis-packed"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", old_coal)

@@ -170,3 +170,26 @@ def test_ranking_eval_golden(spark):
     assert out[1]["recall_3"] == 0.5
     assert out[2]["ndcg_3"] == 1.0 and out[2]["mrr"] == 1.0
     assert out[2]["recall_3"] == 1.0 and out[2]["n_relevant"] == 1
+
+
+def test_ranking_eval_keeps_unjudged_queries(spark):
+    """Regression (round-7 advice): a query present in `ranked` with
+    zero judged-relevant docs must still appear — ndcg NULL (no ideal
+    ranking exists), mrr 0.0, recall 0.0, n_relevant 0 — instead of
+    being dropped by an inner join against the truth aggregates."""
+    from vanus_spark.llm.search import ranking_eval
+
+    ranked = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (3, 30, 1), (3, 31, 2)],
+        "query_id long, doc_id long, rank int",
+    )
+    truth = spark.createDataFrame(
+        [(1, 10, 2)], "query_id long, doc_id long, grade int"
+    )
+    out = {r["query_id"]: r.asDict() for r in ranking_eval(ranked, truth, k=3).collect()}
+    assert set(out) == {1, 3}
+    assert out[3]["ndcg_3"] is None
+    assert out[3]["mrr"] == 0.0
+    assert out[3]["recall_3"] == 0.0
+    assert out[3]["n_relevant"] == 0
+    assert out[1]["ndcg_3"] == 1.0 and out[1]["n_relevant"] == 1

@@ -252,8 +252,10 @@ def cmd_deadletter(args):
     tool/vsctl/command/deadletter.go:50,101). The DLQ is a parquet
     eventlog per subscription; get pages by offset/number, resend
     strips the x-vanus DLQ attributes (delivery.resend_dead_letter)
-    for the [start, end] offset range and either prints the restored
-    envelopes or appends them to --out."""
+    for the half-open [start, end) offset range (no --end = no upper
+    bound; --end 0 is an expressible empty-from-0 bound, not a
+    sentinel) and either prints the restored envelopes or appends
+    them to --out."""
     import pyspark.sql.functions as F
 
     spark = _spark()
@@ -289,8 +291,8 @@ def cmd_deadletter(args):
         from vanus_spark.delivery import resend_dead_letter
 
         sel = dead.where(F.col("dlq_offset") >= args.start)
-        if args.end:
-            sel = sel.where(F.col("dlq_offset") <= args.end)
+        if args.end is not None:
+            sel = sel.where(F.col("dlq_offset") < args.end)
         resent = resend_dead_letter(sel.drop("dlq_offset"))
         if args.out:
             resent.write.mode("append").parquet(args.out)
@@ -465,7 +467,8 @@ def main():
     dl.add_argument("--offset", type=int, default=0)
     dl.add_argument("--number", type=int, default=1)
     dl.add_argument("--start", type=int, default=0)
-    dl.add_argument("--end", type=int, default=0)
+    dl.add_argument("--end", type=int, default=None,
+                    help="exclusive upper offset bound; omit for open-ended")
     dl.add_argument("--out", help="append resent events to this parquet")
     dl.set_defaults(fn=cmd_deadletter)
 

@@ -32,6 +32,7 @@ def distributed_row_number(
     part_cols: list[str],
     order_cols: list[str],
     out_col: str,
+    keep_slice: bool = False,
 ) -> DataFrame:
     """``row_number() OVER (PARTITION BY part_cols ORDER BY order_cols)
     - 1`` computed WITHOUT a per-key (or, for empty part_cols, global)
@@ -46,6 +47,16 @@ def distributed_row_number(
 
     Ordering keys must be unique per key-group (callers tie-break with
     event_id), which makes the result reproducible run-to-run.
+
+    ``keep_slice=True`` retains the internal ``_slice`` column. Its
+    contract (per key-group): ranks within a slice are CONTIGUOUS and
+    slices ordered by slice id have strictly increasing rank ranges —
+    both by construction, since the prefix sums counts over
+    ``_e_slice < _slice``. Downstream prefix-sum consumers (e.g. the
+    SFT packer) must group on THIS column, never on
+    ``spark_partition_id()`` re-derived after the exchange: hash
+    collisions / AQE coalescing put non-adjacent rank ranges into one
+    physical partition.
     """
     keys = [*part_cols, *order_cols]
     ranged = df.repartitionByRange(*keys).withColumn(
@@ -82,11 +93,12 @@ def distributed_row_number(
         .groupBy(*part_cols, "_slice")
         .agg(F.coalesce(F.sum("_e_n"), F.lit(0)).alias("_base"))
     )
-    return (
+    out = (
         local.join(F.broadcast(prefix), [*part_cols, "_slice"])
         .withColumn(out_col, (F.col("_base") + F.col("_lrn") - 1).cast("long"))
-        .drop("_slice", "_lrn", "_base")
+        .drop("_lrn", "_base")
     )
+    return out if keep_slice else out.drop("_slice")
 
 
 def assign_addresses(events: DataFrame, n_logs: int = 4) -> DataFrame:

@@ -530,7 +530,15 @@ def pack_turns_with_masks(
     Same scale shape as pack_sequences — one running token sum per
     window; here the window is GLOBAL over (id, turn) via the
     two-phase distributed rank + a prefix-sum broadcast rather than a
-    single-task window, so the packer holds at corpus scale. Returns
+    single-task window, so the packer holds at corpus scale.
+
+    The prefix groups are distributed_row_number's OWN pinned
+    ``_slice`` (rank-contiguous by construction — see the keep_slice
+    contract in bus.py), NOT spark_partition_id() re-derived after
+    the exchange: the rank output is hash-partitioned on _slice, so
+    hash collisions / AQE coalescing can place non-adjacent rank
+    ranges in one physical partition, which silently corrupted
+    pack_id/pack_offset at >1 shuffle partition. Returns
     (id, turn, role, n_tokens, pack_id, pack_offset, loss_mask).
     """
     from vanus_spark.bus import distributed_row_number
@@ -542,31 +550,31 @@ def pack_turns_with_masks(
         whitespace_token_count(F.col(text_col)).alias("n_tokens"),
     )
     ranked = distributed_row_number(
-        staged, [], [id_col, turn_col], "_rk"
+        staged, [], [id_col, turn_col], "_rk", keep_slice=True
     )
-    # global prefix sum without a global window: per-slice partials
-    # broadcast-joined back (the distributed_row_number discipline,
-    # applied to the token count)
+    # global prefix sum without a global window: per-slice running
+    # sums + a triangular broadcast join over the #slices-row totals
+    # (same discipline as distributed_row_number's prefix counts; a
+    # no-partition window here would both single-task and spam
+    # WindowExec warnings)
     w_slice = (
         Window.partitionBy("_slice")
         .orderBy("_rk")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    with_slice = ranked.withColumn(
-        "_slice", F.spark_partition_id()
-    ).localCheckpoint(eager=False)
-    local_cum = with_slice.withColumn(
-        "_lcum", F.sum("n_tokens").over(w_slice)
+    local_cum = ranked.withColumn("_lcum", F.sum("n_tokens").over(w_slice))
+    slice_tot = ranked.groupBy("_slice").agg(
+        F.sum("n_tokens").alias("_stot")
     )
-    slice_tot = (
-        with_slice.groupBy("_slice")
-        .agg(F.sum("n_tokens").alias("_stot"), F.min("_rk").alias("_srk"))
+    earlier = slice_tot.select(
+        F.col("_slice").alias("_e_slice"), F.col("_stot").alias("_e_stot")
     )
-    w_pref = Window.orderBy("_srk").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    prefixes = slice_tot.select(
-        "_slice", F.coalesce(F.sum("_stot").over(w_pref), F.lit(0)).alias("_pref")
+    prefixes = (
+        slice_tot.join(
+            F.broadcast(earlier), F.col("_e_slice") < F.col("_slice"), "left"
+        )
+        .groupBy("_slice")
+        .agg(F.coalesce(F.sum("_e_stot"), F.lit(0)).alias("_pref"))
     )
     cum = F.col("_lcum") + F.col("_pref")
     cum_before = cum - F.col("n_tokens")

@@ -278,9 +278,13 @@ def ranking_eval(
         )
     )
     n_rel = truth.groupBy("query_id").agg(F.count("*").alias("n_relevant"))
+    # LEFT joins from the retrieved side: a query with no judged-
+    # relevant docs still gets a row (ndcg NULL — undefined without an
+    # ideal ranking; mrr/recall 0.0; n_relevant 0) instead of being
+    # silently dropped from the eval.
     return (
-        got.join(ideal, "query_id")
-        .join(n_rel, "query_id")
+        got.join(ideal, "query_id", "left")
+        .join(n_rel, "query_id", "left")
         .select(
             "query_id",
             F.round(F.col("dcg") / F.col("idcg"), 6).alias(f"ndcg_{k}"),
@@ -288,8 +292,12 @@ def ranking_eval(
                 F.coalesce(F.lit(1.0) / F.col("first_rel"), F.lit(0.0)), 6
             ).alias("mrr"),
             F.round(
-                F.col("n_rel_retrieved") / F.col("n_relevant").cast("double"), 6
+                F.coalesce(
+                    F.col("n_rel_retrieved") / F.col("n_relevant").cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
             ).alias(f"recall_{k}"),
-            "n_relevant",
+            F.coalesce("n_relevant", F.lit(0)).alias("n_relevant"),
         )
     )
