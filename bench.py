@@ -162,6 +162,7 @@ HEADLINE = [
     "stream_outer_join_replay",
     "events_histogram",
     "corpus_ngram_diversity",
+    "corpus_ngram_diversity_approx",
     "audio_fp_neardup",
     "video_phash_neardup",
     "bloom_anti_dedup",

@@ -200,3 +200,95 @@ def test_hilbert_plan_is_compile_bounded(spark):
     out = df.select(hilbert_key(F.col("x"), F.col("y"), bits=16).alias("d"))
     out.schema  # forces analysis
     assert time.time() - t0 < 30
+
+
+def _scan_output_rows(df) -> int:
+    """numOutputRows of the parquet scan AFTER an action — with
+    filterPushdown, the vectorized reader emits only rows from row
+    groups whose min/max stats survive the predicate, so this metric
+    IS the row-group-pruning measurement."""
+    df.collect()
+    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+    for i in range(leaves.length()):
+        node = leaves.apply(i)
+        if "Scan" in node.nodeName():
+            return node.metrics().apply("numOutputRows").value()
+    raise AssertionError("no scan node found")
+
+
+def test_zorder_sorted_layout_prunes_row_groups(spark):
+    """The layout module's stated purpose, machine-checked (round-7
+    verdict #4): writing zkey-sorted parquet makes a 2-D range
+    predicate skip row groups via min/max stats — the scan emits a
+    small fraction of the table — while the same predicate on a
+    randomly-laid-out copy reads every row group. Mirrors the
+    reference's stime-seek file-stat capability
+    (/root/reference/server/store/vsb/block_seek.go:34-117)."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from vanus_spark.sources.layout import zorder_table
+
+    n = 100_000
+    base = spark.range(n).select(
+        F.col("id").alias("rid"),
+        ((F.hash(F.col("id").cast("string")) % 256 + 256) % 256 * 1.0).alias("x"),
+        ((F.hash((F.col("id") + 7).cast("string")) % 256 + 256) % 256 * 1.0).alias("y"),
+    )
+    zt = zorder_table(base, ["x", "y"], bits=4)
+    pred = (
+        (F.col("x") >= 10.0) & (F.col("x") < 26.0)
+        & (F.col("y") >= 200.0) & (F.col("y") < 216.0)
+    )
+
+    sorted_path = tempfile.mkdtemp(prefix="zt_sorted_") + "/t.parquet"
+    (
+        zt.repartitionByRange(8, "zkey")
+        .sortWithinPartitions("zkey")
+        .write.option("parquet.block.size", 65536)
+        .parquet(sorted_path)
+    )
+    random_path = tempfile.mkdtemp(prefix="zt_random_") + "/t.parquet"
+    zt.repartition(8).write.option("parquet.block.size", 65536).parquet(random_path)
+
+    scanned_sorted = _scan_output_rows(spark.read.parquet(sorted_path).where(pred))
+    scanned_random = _scan_output_rows(spark.read.parquet(random_path).where(pred))
+    assert scanned_random == n  # random layout: every row group survives
+    assert scanned_sorted < n // 10  # clustered layout: >90% skipped
+    # both layouts agree on the answer, of course
+    a = spark.read.parquet(sorted_path).where(pred).count()
+    b = spark.read.parquet(random_path).where(pred).count()
+    assert a == b
+
+
+def test_hilbert_sorted_layout_prunes_row_groups(spark):
+    """Same gate for the hilbert key: sorting by hilbert_key over the
+    bucketed dims must let a 2-D range predicate skip most row
+    groups."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from vanus_spark.sources.layout import hilbert_key
+
+    n = 100_000
+    base = spark.range(n).select(
+        F.col("id").alias("rid"),
+        (((F.hash(F.col("id").cast("string")) % 256 + 256) % 256)).alias("bx"),
+        (((F.hash((F.col("id") + 7).cast("string")) % 256 + 256) % 256)).alias("by"),
+    )
+    ht = base.withColumn("hk", hilbert_key(F.col("bx"), F.col("by"), bits=8))
+    path = tempfile.mkdtemp(prefix="ht_sorted_") + "/t.parquet"
+    (
+        ht.repartitionByRange(8, "hk")
+        .sortWithinPartitions("hk")
+        .write.option("parquet.block.size", 65536)
+        .parquet(path)
+    )
+    pred = (
+        (F.col("bx") >= 16) & (F.col("bx") < 32)
+        & (F.col("by") >= 192) & (F.col("by") < 208)
+    )
+    scanned = _scan_output_rows(spark.read.parquet(path).where(pred))
+    assert scanned < n // 10

@@ -981,3 +981,30 @@ def test_ahash_rejects_unpoolable_sizes(spark):
     )
     with _pytest.raises(Exception, match="not divisible"):
         multimodal.image_ahash(pdf).collect()
+
+
+def test_ngram_diversity_approx_tracks_exact(spark, sf_dir):
+    """The rows-only approx diversity variant must land within HLL++
+    error bounds of the exact oracle-gated sibling (rsd=0.01; allow
+    5x rsd for the small fixture) while sharing total counts
+    exactly."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    exact = {
+        r["n"]: r.asDict()
+        for r in m.queries()["corpus_ngram_diversity"](spark, sf_dir).collect()
+    }
+    approx = {
+        r["n"]: r.asDict()
+        for r in m.queries()["corpus_ngram_diversity_approx"](spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx) == {1, 2, 3}
+    for n in (1, 2, 3):
+        assert approx[n]["total_ngrams"] == exact[n]["total_ngrams"]
+        err = abs(approx[n]["distinct_ngrams_est"] - exact[n]["distinct_ngrams"])
+        assert err <= 0.05 * exact[n]["distinct_ngrams"]

@@ -6,7 +6,12 @@ from __future__ import annotations
 
 import importlib.util
 
-ROWS_ONLY: set[str] = set()  # every registered query is oracle-gated (r5)
+# Every registered query is oracle-gated (r5 policy) EXCEPT entries
+# whose values are engine-specific sketches: approx_count_distinct is
+# HLL++ in Spark and a different sketch in DuckDB, so no SQL twin can
+# hash-match. The exact sibling stays the oracle gate; tests bound the
+# estimate against the exact count.
+ROWS_ONLY: set[str] = {"corpus_ngram_diversity_approx"}
 
 
 def _entry_module():

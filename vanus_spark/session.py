@@ -32,4 +32,29 @@ def get_spark(app_name: str = "vanus_spark", cpus: int | None = None) -> SparkSe
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _quiet_bounded_window_warning(spark)
     return spark
+
+
+def _quiet_bounded_window_warning(spark: SparkSession) -> None:
+    """Silence WindowExec's "No Partition Defined" warning.
+
+    Every no-partition window in this repo runs over an audited
+    BOUNDED frame (top-k survivors after TakeOrderedAndProject,
+    sketch candidate sets capped at capacity*partitions, #slices-row
+    prefix aggregates, TPC-H top-k over small aggregates — round-6
+    verdict audit), so the per-query warning is pure noise that
+    floods the bench stderr tail the driver captures. Corpus-sized
+    global windows stay forbidden by design (the two-phase
+    distributed rank in bus.py is the scale path); the plan-audit
+    tests, not this log line, are the guard. Catalyst constant-folds
+    a literal partition key away, so partitionBy(lit(0)) cannot
+    suppress it — the logger level is the only lever."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # non-log4j2 deployments keep the warning; cosmetic only
