@@ -7361,87 +7361,293 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test on per-user purchase
+    spend between the two hash variants — the NONPARAMETRIC sibling of
+    q_events_ab_test's Welch t (rank-based, so spend outliers cannot
+    dominate). Average ranks come from the two-phase distributed rank
+    (bus.distributed_row_number — never a single-task global window)
+    + one groupBy(spend) tie collapse: avg rank per tie group times
+    the group's variant counts IS the rank sum. Tie-corrected normal
+    approximation z and the rank-biserial effect size fold from one
+    final 1-row aggregate. Spend is rounded to its 2-decimal lattice
+    BEFORE ranking so both engines form identical tie groups. The
+    cubic tie term stays in exact long arithmetic (bound: tie groups
+    up to ~2M rows before overflow — far beyond any real spend
+    lattice bucket)."""
+    from vanus_spark.operators.ranktests import mann_whitney_u
+
+    ev = _t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("value")
+                ).otherwise(0.0)
+            ),
+            2,
+        ).alias("spend")
+    )
+    users = users.withColumn("variant", (F.col("user_id") % 2).cast("int"))
+    return mann_whitney_u(users, "spend", "variant", "user_id")
+
+
+def q_docs_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus token frequencies — the
+    log-log regression (ln freq ~ ln rank over the top 500 terms)
+    whose slope near -1 is the standard natural-language health check
+    for a training corpus (templated/duplicated corpora flatten or
+    steepen it). Shape: one wordcount shuffle (map-side combined),
+    top-500 via TakeOrderedAndProject with a (freq desc, term) total
+    order, rank + regression over the 500 survivors only. Both
+    engines run regr_slope/intercept/r2 on identical (rank, freq)
+    integers; round(6) absorbs moment-sum fold order."""
+    from vanus_spark.llm.search import tokens_df
+
+    docs = _t(spark, sf_dir, "documents")
+    freqs = tokens_df(docs).groupBy("term").agg(F.count("*").alias("freq"))
+    top = freqs.orderBy(F.desc("freq"), F.asc("term")).limit(500)
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    return ranked.agg(
+        F.count("*").alias("n_terms"),
+        F.round(F.expr("regr_slope(ln(freq), ln(rank))"), 6).alias(
+            "zipf_slope"
+        ),
+        F.round(F.expr("regr_intercept(ln(freq), ln(rank))"), 6).alias(
+            "zipf_intercept"
+        ),
+        F.round(F.expr("regr_r2(ln(freq), ln(rank))"), 6).alias("r2"),
+    )
+
+
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram + retention accounting over
+    the near-dup component graph (same LSH+Jaccard pairs and
+    pointer-jumping components as q_dedup_components): docs outside
+    any pair are size-1 clusters, so sum(n_docs) is the corpus and
+    sum(n_clusters) is what survives keep-one-per-cluster dedup — the
+    before/after report every corpus-dedup run publishes. One extra
+    anti-join + two bounded aggregates on top of the shared component
+    machinery."""
+    from vanus_spark.llm.dedup import duplicate_components, near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pairs = near_dup_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.8, num_hashes=16, bands=8
+    )
+    comp = duplicate_components(pairs)
+    singles = docs.join(comp, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("component")
+    )
+    sizes = (
+        comp.unionByName(singles)
+        .groupBy("component")
+        .agg(F.count("*").alias("cluster_size"))
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("cluster_size").alias("n_docs"),
+        )
+        .select("cluster_size", "n_clusters", "n_docs")
+    )
+
+
+def q_events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per user: the MEDIAN of all pairwise
+    slopes (value diff / time diff) — the estimator that shrugs off
+    the outliers that swing q_events_trend's OLS slope. The pair join
+    is per-user (key-partitioned, quadratic only in each user's own
+    event count — bounded by the per-entity event volume, the same
+    bound sessionization already assumes); median is the exact
+    built-in on both engines. Equal-timestamp pairs are excluded
+    (undefined slope)."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id") < 40)
+        .select(
+            "user_id",
+            "event_id",
+            # whole seconds on both engines (floor(epoch) twin) — the
+            # sub-second residue differs between Spark's µs-truncated
+            # load and DuckDB's ns timestamps
+            F.floor(F.col("ts").cast("double")).cast("double").alias("secs"),
+            "value",
+        )
+    )
+    from vanus_spark.operators.timeseries import theil_sen
+
+    return theil_sen(ev, "value", "secs", "user_id", "event_id")
+
+
+def q_embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid silhouette per label — the embedding-space QA readout
+    (are the labels actually separated clusters?): per vector,
+    a = distance to the OWN label centroid, b = distance to the
+    nearest OTHER centroid, s = (b-a)/max(a,b); averaged per label.
+    Scale shape mirrors q_embedding_outliers: centroids from one
+    (label, dim) partial aggregate; every vector scores against all
+    #labels centroids through the per-dim join (intermediate volume
+    #vecs x dims x labels — labels are a handful, and the (vec,
+    clabel) distance aggregate is map-side combined), never a
+    vector-vector join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label",
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "x"),
+    )
+    cent = dims.groupBy("label", "d").agg(F.avg("x").alias("mu"))
+    call = cent.select(F.col("label").alias("clabel"), "d", "mu")
+    sq = (
+        dims.join(call, "d")
+        .groupBy("label", "vec_id", "clabel")
+        .agg(
+            F.sum(
+                (F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu"))
+            ).alias("sq")
+        )
+    )
+    scored = sq.select("label", "vec_id", "clabel", F.sqrt("sq").alias("dist"))
+    per_vec = scored.groupBy("label", "vec_id").agg(
+        F.max(F.when(F.col("clabel") == F.col("label"), F.col("dist"))).alias(
+            "a"
+        ),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("dist"))).alias(
+            "b"
+        ),
+    )
+    sil = (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    return per_vec.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg("a"), 6).alias("avg_own_dist"),
+        F.round(F.avg("b"), 6).alias("avg_other_dist"),
+        F.round(F.avg(sil), 6).alias("silhouette"),
+    )
+
+
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: for every LSH candidate pair,
+    the signature-agreement estimate (matching components / 16)
+    side-by-side with the EXACT shingle Jaccard — the measured-error
+    table that justifies choosing num_hashes (the ann_recall
+    discipline applied to the dedup sketch). Signatures and shingles
+    each compute once and serve both columns; the estimate is one
+    zip_with fold over the two broadcast-joined 16-long arrays."""
+    from vanus_spark.llm.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures_from_shingles,
+        ngram_jaccard_pairs,
+        shingles_df,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingles_df(docs)
+    sig = minhash_signatures_from_shingles(sh)
+    cands = minhash_lsh_pairs(docs, num_hashes=16, bands=8, sig_df=sig)
+    exact = ngram_jaccard_pairs(docs, cands, shingle_df=sh).select(
+        "id_a", "id_b", "jaccard"
+    )
+    est = (
+        F.aggregate(
+            F.zip_with(
+                "sig_a",
+                "sig_b",
+                lambda x, y: F.when(x == y, 1).otherwise(0),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double")
+        / 16.0
+    )
+    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        exact.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(est, 6).alias("est_jaccard"),
+            F.round("jaccard", 6).alias("exact_jaccard"),
+            F.round(F.abs(est - F.col("jaccard")), 6).alias("abs_err"),
+        )
+    )
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
-# Round-6 policy (VERDICT r5 item #2): new-in-round queries first, then
-# backfill to 50 with the OLDEST rows that have never had a driver
-# correctness row (65 such rows entering r6; this window retires 44 of
-# them; 21 older rows remain). Everything outside the window stays gated
-# by the FULL tools/oracle_check.py replica run. ENTERING ROUND 7 the
-# never-driver-checked set is: those 21 older single-table analytics
-# (orders_rfm, salted_join_skew, embedding_norm_stats, text_keywords,
-# events_attribution, profile_table, lang_confusion, events_dau_wau,
-# events_histogram, corpus_ngram_diversity, hard_negatives, events_cube,
-# events_trend, events_dispersion, events_transitions,
-# events_mad_outliers, events_winsorized, events_seasonality,
-# skew_report, basket_brand_pairs, pareto_brands) plus the 14 r6
-# operators added after the window froze (embedding_random_projection,
-# docs_readability, events_changepoint, layout_hilbert,
-# stats_equi_depth, link_ppr, attribution_time_decay,
-# events_transitions_2step, conversations_flatten, conversations_stats,
-# pack_sft_masks, tokenizer_fertility, semantic_dedup_calibration,
-# url_path_rollup, users_kaplan_meier, value_gini, events_assoc_rules,
-# embedding_outliers) — 35+ rows, one window's worth: make them the
-# whole r7 window.
-_R6_WINDOW = [
-    # --- new in round 6 ---
-    "subscription_lifecycle",
-    "dlq_resend_cli",
-    "graph_clustering_coeff",
-    "quality_drop_reason",
-    "er_fellegi_sunter",
-    "search_eval_ndcg",
-    # --- never-driver-checked backfill (oldest first) ---
-    "tpch_q4_priority",
-    "tpch_q6_forecast",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returns",
-    "tpch_q11_important_stock",
-    "tpch_q12_shipmode",
-    "tpch_q13_custdist",
-    "tpch_q14_promo",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_qty",
-    "tpch_q19_disjunctive",
-    "tpch_q20_potential_promo",
-    "tpch_q21_waiting",
-    "tpch_q22_idle_balances",
-    "events_window_suite",
-    "events_gapfill",
-    "events_cusum",
-    "events_ewma",
-    "events_sketch_stats",
-    "events_ohlc",
-    "events_rolling_time",
-    "events_ab_test",
-    "text_search_bm25",
-    "link_communities",
-    "link_triangles",
-    "heavy_hitters_tokens",
-    "table_expectations",
-    "corpus_psi",
-    "orders_scd2",
-    "dedup_containment",
-    "dedup_lsh_recall",
-    "sample_weighted",
-    "schema_drift",
-    "stream_static_join_replay",
-    "export_jsonl_roundtrip",
-    "export_orc_roundtrip",
-    "fuzzy_name_pairs",
-    "geo_radius_join",
-    "graph_bfs",
-    "asof_nearest_events",
-    "sketch_count_min",
+# Round-7 policy (VERDICT r6 item #2): the 7 new-in-round queries first,
+# then ALL 39 rows that had never had a driver correctness row entering
+# round 7 (21 older single-table analytics + 18 operators added after the
+# r6 window froze), then backfill to 50 with the 4 least-recently-checked
+# rows (round-2 action gates). After this window lands green, EVERY
+# registry query has a driver row — the never-driver-checked set is 0.
+# Everything outside the window stays gated by the FULL
+# tools/oracle_check.py replica run.
+_R7_WINDOW = [
+    # --- new in round 7 ---
+    "events_mann_whitney",
+    "docs_zipf_fit",
+    "dedup_cluster_stats",
+    "events_theil_sen",
+    "embedding_silhouette",
+    "minhash_calibration",
+    "corpus_ngram_diversity_approx",  # rows-only: sketch values are engine-specific
+    # --- the 39 never-driver-checked rows (r6 post-freeze first) ---
+    "embedding_random_projection",
+    "docs_readability",
+    "events_changepoint",
+    "layout_hilbert",
+    "stats_equi_depth",
+    "link_ppr",
+    "attribution_time_decay",
+    "events_transitions_2step",
+    "conversations_flatten",
+    "conversations_stats",
+    "pack_sft_masks",
+    "tokenizer_fertility",
+    "semantic_dedup_calibration",
+    "url_path_rollup",
+    "users_kaplan_meier",
+    "value_gini",
+    "events_assoc_rules",
+    "embedding_outliers",
+    "orders_rfm",
+    "salted_join_skew",
+    "embedding_norm_stats",
+    "text_keywords",
+    "events_attribution",
+    "profile_table",
+    "lang_confusion",
+    "events_dau_wau",
+    "events_histogram",
+    "corpus_ngram_diversity",
+    "hard_negatives",
+    "events_cube",
+    "events_trend",
+    "events_dispersion",
+    "events_transitions",
+    "events_mad_outliers",
+    "events_winsorized",
+    "events_seasonality",
+    "skew_report",
+    "basket_brand_pairs",
+    "pareto_brands",
+    # --- least-recently-checked backfill (round-2 rows) ---
+    "action_array_e2e",
+    "action_condition_length",
+    "action_convert_timezone",
+    "action_datetime",
 ]
+
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _base_queries()
-    ordered = {k: base[k] for k in _R6_WINDOW}
+    ordered = {k: base[k] for k in _R7_WINDOW}
     for k, v in base.items():
         if k not in ordered:
             ordered[k] = v
@@ -7450,9 +7656,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Grouped by the session that introduced each query; ORDER HERE IS
-    # IRRELEVANT — queries() reorders via _R6_WINDOW. tests/test_registry.py
+    # IRRELEVANT — queries() reorders via _R7_WINDOW. tests/test_registry.py
     # guards window size, duplicate keys, and oracle coverage.
     return {
+        # --- new in round 7: nonparametric stats, corpus health,
+        # dedup reporting, sketch calibration, embedding QA ---
+        "events_mann_whitney": q_events_mann_whitney,
+        "docs_zipf_fit": q_docs_zipf_fit,
+        "dedup_cluster_stats": q_dedup_cluster_stats,
+        "events_theil_sen": q_events_theil_sen,
+        "embedding_silhouette": q_embedding_silhouette,
+        "minhash_calibration": q_minhash_calibration,
         # --- new in round 6: control-plane lifecycle + DLQ CLI,
         # clustering coefficient, drop-reason lineage ---
         "subscription_lifecycle": q_subscription_lifecycle,
@@ -7553,7 +7767,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- fifth-session additions ---
         "table_changes": q_table_changes,
         "stream_topk_replay": q_stream_topk_replay,
-        # (ordering below is historical grouping only — see _R6_WINDOW)
+        # (ordering below is historical grouping only — see _R7_WINDOW)
         "orders_scd2": q_orders_scd2,
         "dedup_containment": q_dedup_containment,
         "heavy_hitters_tokens": q_heavy_hitters_tokens,
@@ -8601,6 +8815,93 @@ def _semantic_calibration_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     norm_text = _NORM.format(c="text")
     return {
+        "events_mann_whitney": """
+            WITH u AS (
+              SELECT user_id,
+                     round(sum(CASE WHEN event_type = 'purchase'
+                                    THEN value ELSE 0 END), 2) AS spend
+              FROM events GROUP BY user_id),
+            r AS (SELECT user_id, spend, (user_id % 2)::INT AS variant,
+                         row_number() OVER (ORDER BY spend, user_id) AS rk
+                  FROM u),
+            g AS (SELECT spend, avg(rk) AS arank, count(*)::BIGINT AS t,
+                         sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::BIGINT
+                           AS cnt_a
+                  FROM r GROUP BY spend),
+            one AS (SELECT sum(arank * cnt_a) AS r_a,
+                           sum(cnt_a)::BIGINT AS n_a,
+                           sum(t - cnt_a)::BIGINT AS n_b,
+                           sum(t * t * t - t)::BIGINT AS ties,
+                           sum(t)::BIGINT AS n
+                    FROM g)
+            SELECT n_a, n_b,
+                   round(r_a - n_a::DOUBLE * (n_a::DOUBLE + 1) / 2, 1) AS u_a,
+                   round(((r_a - n_a::DOUBLE * (n_a::DOUBLE + 1) / 2)
+                          - n_a::DOUBLE * n_b::DOUBLE / 2)
+                         / sqrt((n_a::DOUBLE * n_b::DOUBLE / 12)
+                                * ((n::DOUBLE + 1)
+                                   - ties::DOUBLE
+                                     / (n::DOUBLE * (n::DOUBLE - 1)))),
+                         6) AS z,
+                   round(1.0::DOUBLE
+                         - 2 * (r_a - n_a::DOUBLE * (n_a::DOUBLE + 1) / 2)
+                           / (n_a::DOUBLE * n_b::DOUBLE), 6) AS rank_biserial
+            FROM one
+        """,
+        "docs_zipf_fit": f"""
+            WITH tk AS (SELECT unnest(str_split({_NORM.format(c="text")},
+                                               ' ')) AS term
+                        FROM documents),
+            f AS (SELECT term, count(*)::BIGINT AS freq
+                  FROM tk WHERE term <> '' GROUP BY 1),
+            top AS (SELECT term, freq,
+                           row_number() OVER (ORDER BY freq DESC, term)
+                             AS rank
+                    FROM f QUALIFY rank <= 500)
+            SELECT count(*)::BIGINT AS n_terms,
+                   round(regr_slope(ln(freq), ln(rank)), 6) AS zipf_slope,
+                   round(regr_intercept(ln(freq), ln(rank)), 6)
+                     AS zipf_intercept,
+                   round(regr_r2(ln(freq), ln(rank)), 6) AS r2
+            FROM top
+        """,
+        "dedup_cluster_stats": _cluster_stats_oracle(),
+        "events_theil_sen": """
+            WITH e AS (SELECT user_id, event_id,
+                              floor(epoch(ts))::DOUBLE AS secs, value
+                       FROM events WHERE user_id < 40),
+            p AS (SELECT a.user_id,
+                         (b.value - a.value) / (b.secs - a.secs) AS slope
+                  FROM e a JOIN e b
+                    ON a.user_id = b.user_id
+                       AND a.event_id < b.event_id
+                       AND a.secs <> b.secs)
+            SELECT user_id, count(*)::BIGINT AS n_pairs,
+                   round(median(slope), 6) + 0.0::DOUBLE AS theil_slope
+            FROM p GROUP BY user_id
+        """,
+        "embedding_silhouette": """
+            WITH dims AS (
+              SELECT label, vec_id, d.d AS d,
+                     (embedding[d.d + 1])::DOUBLE AS x
+              FROM embeddings, (SELECT unnest(range(64)) AS d) d),
+            cent AS (SELECT label AS clabel, d, avg(x) AS mu
+                     FROM dims GROUP BY 1, 2),
+            sq AS (SELECT v.label, v.vec_id, c.clabel,
+                          sqrt(sum((v.x - c.mu) * (v.x - c.mu))) AS dist
+                   FROM dims v JOIN cent c USING (d)
+                   GROUP BY 1, 2, 3),
+            pv AS (SELECT label, vec_id,
+                          max(CASE WHEN clabel = label THEN dist END) AS a,
+                          min(CASE WHEN clabel <> label THEN dist END) AS b
+                   FROM sq GROUP BY 1, 2)
+            SELECT label, count(*)::BIGINT AS n_vecs,
+                   round(avg(a), 6) AS avg_own_dist,
+                   round(avg(b), 6) AS avg_other_dist,
+                   round(avg((b - a) / greatest(a, b)), 6) AS silhouette
+            FROM pv GROUP BY label
+        """,
+        "minhash_calibration": _minhash_calibration_oracle(),
         "link_ppr": _ppr_oracle(iters=3),
         "events_assoc_rules": """
             WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
@@ -12374,6 +12675,80 @@ def _components_oracle(threshold: float = 0.8) -> str:
           SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.node)
         SELECT node AS doc_id, min(label) AS component
         FROM walk GROUP BY node
+    """
+
+
+def _cluster_stats_oracle(threshold: float = 0.8) -> str:
+    """SQL twin of q_dedup_cluster_stats: the _components_oracle
+    closure plus size-1 singleton clusters for unpaired docs, rolled
+    into a (cluster_size, n_clusters, n_docs) histogram."""
+    return f"""
+        WITH RECURSIVE {_minhash_cte()},
+        pairs AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM buckets l JOIN buckets r
+            ON l.band = r.band AND l.band_key = r.band_key
+               AND l.doc_id < r.doc_id),
+        nd AS (
+          SELECT p.id_a, p.id_b FROM pairs p
+          JOIN sh a ON p.id_a = a.doc_id
+          JOIN sh b ON p.id_b = b.doc_id
+          WHERE len(list_intersect(a.sh, b.sh))
+                >= {threshold} * len(list_distinct(list_concat(a.sh, b.sh)))),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM nd
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM nd),
+        walk(node, label) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.node),
+        comp AS (
+          SELECT node AS doc_id, min(label) AS component
+          FROM walk GROUP BY node
+          UNION ALL
+          SELECT doc_id, doc_id AS component FROM documents
+          WHERE doc_id NOT IN (SELECT node FROM walk)),
+        sizes AS (
+          SELECT component, count(*)::BIGINT AS cluster_size
+          FROM comp GROUP BY component)
+        SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+               sum(cluster_size)::BIGINT AS n_docs
+        FROM sizes GROUP BY cluster_size
+    """
+
+
+def _minhash_calibration_oracle() -> str:
+    """SQL twin of q_minhash_calibration: the shared minhash CTE
+    already materializes the 16 signature components (sig.h0..h15)
+    and the shingle sets, so the estimate is 16 CASE matches / 16 and
+    the exact Jaccard is the list-intersection ratio."""
+    est = "(" + " + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(16)
+    ) + ")::DOUBLE / 16.0"
+    return f"""
+        WITH {_minhash_cte()},
+        pairs AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM buckets l JOIN buckets r
+            ON l.band = r.band AND l.band_key = r.band_key
+               AND l.doc_id < r.doc_id),
+        scored AS (
+          SELECT p.id_a, p.id_b,
+                 {est} AS est,
+                 len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                   / len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE
+                   AS exact
+          FROM pairs p
+          JOIN sig a ON p.id_a = a.doc_id
+          JOIN sig b ON p.id_b = b.doc_id
+          JOIN sh sa ON p.id_a = sa.doc_id
+          JOIN sh sb ON p.id_b = sb.doc_id)
+        SELECT id_a, id_b,
+               round(est, 6) AS est_jaccard,
+               round(exact, 6) AS exact_jaccard,
+               round(abs(est - exact), 6) AS abs_err
+        FROM scored
     """
 
 

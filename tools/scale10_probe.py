@@ -38,14 +38,23 @@ DEFAULT_QUERIES = [
     "video_phash_neardup",
     "link_communities",
     "corpus_ngram_diversity",
+    # round-7 additions (verdict #7): the r6 newcomers + the fixed
+    # hilbert key + the new approx diversity path
+    "pack_sft_masks",
+    "semantic_dedup_calibration",
+    "er_fellegi_sunter",
+    "link_ppr",
+    "layout_hilbert",
+    "corpus_ngram_diversity_approx",
 ]
 REPLICAS = 10
 
 
 def build_scaled_dir(spark) -> str:
     out = tempfile.mkdtemp(prefix="sfx10_")
+    scaled_tables = ("documents.parquet", "customer.parquet", "embeddings.parquet")
     for name in os.listdir(BASE):
-        if name not in ("documents.parquet", "customer.parquet"):
+        if name not in scaled_tables:
             os.symlink(os.path.join(BASE, name), os.path.join(out, name))
 
     from vanus_spark.sources import load_table
@@ -64,11 +73,41 @@ def build_scaled_dir(spark) -> str:
         *[c for c in docs.columns if c not in ("doc_id", "text")],
     ).write.parquet(os.path.join(out, "documents.parquet"))
 
+    # customer: replicas also shift acctbal by a per-rep lattice
+    # constant so BLOCKING KEYS (nation x balance-block in the linkage
+    # queries) grow with the data — unshifted replicas would pile 10x
+    # members into each existing block and the blocked candidate join
+    # would grow 100x, an artifact of replication rather than a
+    # property of the operator (real corpus growth spans new blocks;
+    # the same reason documents get word-rotation above)
     cust = load_table(spark, BASE, "customer")
     cust.select(*cust.columns, reps).select(
         (F.col("c_custkey") + F.col("rep") * 10_000_000).alias("c_custkey"),
-        *[c for c in cust.columns if c != "c_custkey"],
+        F.round(F.col("c_acctbal") + F.col("rep") * 11170.0, 2).alias(
+            "c_acctbal"
+        ),
+        *[c for c in cust.columns if c not in ("c_custkey", "c_acctbal")],
     ).write.parquet(os.path.join(out, "customer.parquet"))
+
+    # embeddings: replicas are dimension-ROTATED copies (coordinate
+    # permutation by rep) — norms and within-replica geometry are
+    # preserved, but a vector and its rotation are as dissimilar as
+    # random pairs, so the TRUE near-dup pair volume stays linear in
+    # the replica count (a small additive shift would leave replicas
+    # within every similarity threshold and quadratically inflate the
+    # true pair set — fixture artifact, not operator behavior)
+    emb = load_table(spark, BASE, "embeddings")
+    rotated = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda j: F.element_at(
+            F.col("embedding"), ((j + F.col("rep")) % 64 + 1).cast("int")
+        ),
+    )
+    emb.select(*emb.columns, reps).select(
+        (F.col("vec_id") + F.col("rep") * 1_000_000).alias("vec_id"),
+        rotated.alias("embedding"),
+        *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+    ).write.parquet(os.path.join(out, "embeddings.parquet"))
     return out
 
 

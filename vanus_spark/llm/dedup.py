@@ -117,13 +117,42 @@ def exact_dedup_rows(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 
 # Universal-hash permutation family: h_i(x) = (a_i*x + b_i) mod p over
 # a 31-bit base hash. ONE md5 per shingle; permutations are arithmetic.
-# p Mersenne prime keeps products inside signed-64 (no ANSI overflow).
+# p Mersenne prime keeps products inside signed-64 (no ANSI overflow:
+# a < 2^31 and x < 2^31 so a*x < 2^62).
 MINHASH_P = 2_147_483_647  # 2^31 - 1
 
 
 def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
-    """Deterministic (a_i, b_i) pairs, odd a, engine-portable."""
-    return [(2 * i + 1, (i * i + i + 7) % MINHASH_P) for i in range(num_hashes)]
+    """Deterministic (a_i, b_i) pairs with LARGE multipliers,
+    engine-portable (pure integer arithmetic, mirrored verbatim by the
+    DuckDB oracle CTE).
+
+    The coefficients must be NONLINEAR in i, not merely large: the
+    round-6 family used a_i = 2i+1, whose maps never wrap mod p for
+    typical shingle sets — every "permutation" preserved the base
+    ordering, all 16 minhashes picked the SAME argmin shingle, and the
+    signature carried ~1 permutation of information (the round-7
+    calibration query measured est 0.94 on a true-Jaccard-0.014 pair,
+    and each LSH band matched with probability ~J instead of J^rows).
+    A first fix with a_i = (i+1)*K mod p failed the same way: the
+    family is rank-1 in i, so h_i(x) = (i+1)*y(x) + c and one small
+    y(x) wins every map. splitmix64-finalized constants are
+    pseudo-random and independent across i; any a != 0 mod prime p is
+    a bijection, no parity constraint needed."""
+
+    def mix64(z: int) -> int:  # splitmix64 finalizer (public domain)
+        z = (z + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        return z ^ (z >> 31)
+
+    return [
+        (
+            mix64(2 * i) % (MINHASH_P - 1) + 1,
+            mix64(2 * i + 1) % MINHASH_P,
+        )
+        for i in range(num_hashes)
+    ]
 
 
 def minhash_base_hash(c: Column) -> Column:

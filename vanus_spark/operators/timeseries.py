@@ -288,3 +288,46 @@ def changepoint_binary(
             F.round("_mr", 6).alias("mean_right"),
         )
     )
+
+
+def theil_sen(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    key_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Theil-Sen robust trend per key: the MEDIAN of all pairwise
+    slopes (value diff / time diff) — up to ~29% of the points can be
+    arbitrary outliers before the estimate moves, where the OLS slope
+    (regr_slope) follows a single bad point.
+
+    ``time_col`` must already be numeric (caller converts timestamps;
+    whole seconds keep cross-engine parity). Equal-time pairs are
+    excluded (undefined slope). Returns (key, n_pairs, theil_slope).
+
+    Scale shape: the pair join is per-key (one key-partitioned
+    shuffle), quadratic only in each key's OWN row count — the same
+    per-entity bound sessionization assumes; median is the exact
+    built-in. For keys with unbounded history, window the input first
+    (the estimator is conventionally run per bounded period anyway).
+    """
+    a = df.alias("a")
+    b = df.alias("b")
+    pairs = a.join(
+        b,
+        (F.col(f"a.{key_col}") == F.col(f"b.{key_col}"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        & (F.col(f"a.{time_col}") != F.col(f"b.{time_col}")),
+    ).select(
+        F.col(f"a.{key_col}").alias(key_col),
+        (
+            (F.col(f"b.{value_col}") - F.col(f"a.{value_col}"))
+            / (F.col(f"b.{time_col}") - F.col(f"a.{time_col}"))
+        ).alias("slope"),
+    )
+    return pairs.groupBy(key_col).agg(
+        F.count("*").alias("n_pairs"),
+        # +0.0 canonicalizes IEEE -0.0 so engines stringify identically
+        (F.round(F.median("slope"), 6) + F.lit(0.0)).alias("theil_slope"),
+    )
