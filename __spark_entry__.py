@@ -6690,21 +6690,12 @@ _FS_FIELDS = {"name": (0.9, 0.001), "segment": (0.95, 0.2), "phone": (0.9, 0.04)
 _FS_MATCH, _FS_POSSIBLE = 8.0, 0.0
 
 
-def q_er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fellegi-Sunter probabilistic record linkage
-    (operators/linkage.fellegi_sunter) over a blocked candidate set:
-    dirty customer records (1-char name substitution; every 9th gets a
-    3-char corruption so the name comparator DISAGREES; every 5th
-    flips segment; every 7th breaks the synthesized phone-prefix residue field) candidate-join
-    their masters on (nationkey, acctbal-hundreds) blocks, then each
-    pair's comparison vector (levenshtein<=1 name band, segment and
-    phone-prefix equality) is scored with log2(m/u) agreement weights
-    and classified match/possible/non_match — the 1969 decision model
-    production linkers (Splink/Dedupe) still run. Scoring is pure
-    Column arithmetic over the blocked join; the oracle restates the
-    whole chain with the SAME Python-computed weight literals."""
-    from vanus_spark.operators.linkage import fellegi_sunter
-
+def _fs_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared Fellegi-Sunter fixture: dirty-vs-master customer records
+    blocked on (nationkey, acctbal-hundreds), emitting the comparison
+    vector (agree_name / agree_segment / agree_phone) that both the
+    scoring gate (q_er_fellegi_sunter) and the EM weight estimator
+    (q_linkage_em_weights) consume."""
     cust = _t(spark, sf_dir, "customer")
     k = F.col("c_custkey")
     name = F.concat(
@@ -6754,6 +6745,23 @@ def q_er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("d_seg") == F.col("m_seg")).alias("agree_segment"),
         (F.col("d_p3") == F.col("m_p3")).alias("agree_phone"),
     )
+    return pairs
+
+
+def q_er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage
+    (operators/linkage.fellegi_sunter) over a blocked candidate set
+    (fixture: _fs_pairs — dirty customer records with name/segment/
+    phone corruptions, blocked on (nationkey, acctbal-hundreds)):
+    each pair's comparison vector is scored with log2(m/u) agreement
+    weights and classified match/possible/non_match — the 1969
+    decision model production linkers (Splink/Dedupe) still run.
+    Scoring is pure Column arithmetic over the blocked join; the
+    oracle restates the whole chain with the SAME Python-computed
+    weight literals."""
+    from vanus_spark.operators.linkage import fellegi_sunter
+
+    pairs = _fs_pairs(spark, sf_dir)
     scored = fellegi_sunter(pairs, _FS_FIELDS, _FS_MATCH, _FS_POSSIBLE)
     return scored.select(
         "d_id",
@@ -7158,15 +7166,20 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_semantic_dedup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup threshold calibration curve: ONE pass of the
     LSH-bucketed embedding pair join (similarity.embedding_near_dup at
-    its base threshold) produces the pair count at EVERY candidate
-    threshold — the sweep a curator runs before picking the semantic-
+    its base threshold, planes auto-sized to the corpus) produces the
+    pair count at EVERY candidate threshold — the sweep a curator runs before picking the semantic-
     dedup cutoff, without re-joining per threshold. The oracle
     restates the plane signatures + quadratic-within-bucket join and
     counts per threshold with scalar subqueries."""
     from vanus_spark.llm.similarity import embedding_near_dup
 
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dup(emb, threshold=0.5, n_planes=6)
+    # n_planes=None sizes the signature to the corpus (constant mean
+    # bucket occupancy) — the fixed-6 version made candidate volume
+    # quadratic at scale (round-7 probe: 29x time on 10x vectors).
+    # The static oracle pins the sf0.01 auto size (500 vecs -> 3
+    # planes); correctness runs only at sf0.01, so both stay aligned.
+    pairs = embedding_near_dup(emb, threshold=0.5, n_planes=None)
     ths = [0.5, 0.6, 0.7, 0.8, 0.9, 0.95, 0.99]
     wide = pairs.agg(
         *[
@@ -7577,13 +7590,132 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_linkage_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsupervised EM estimation of the Fellegi-Sunter m/u weights
+    (operators/linkage.fs_em_estimate) over the SAME blocked
+    comparison vectors q_er_fellegi_sunter scores — how Splink-style
+    linkers LEARN the weights rather than hand-pick them. Two EM
+    iterations; each is one 1-row aggregate whose few scalars re-enter
+    the next E-step as plan literals (the k-means model-collect
+    pattern). The oracle re-runs the identical EM entirely in SQL —
+    its own aggregates, not synced literals — so agreement certifies
+    the algorithm, not a copied constant."""
+    from vanus_spark.operators.linkage import fs_em_estimate
+
+    pairs = _fs_pairs(spark, sf_dir)
+    return fs_em_estimate(
+        pairs, ["agree_name", "agree_segment", "agree_phone"], iters=2
+    )
+
+
+def q_docs_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit: vocabulary growth V(N) = K*N^beta measured at
+    10 corpus prefixes (by doc_id decile) and fitted by log-log
+    regression — beta far from the natural-language ~0.4-0.6 band
+    flags templated or duplicated corpora (the growth-side complement
+    of q_docs_zipf_fit's frequency slope). Scale shape: vocabulary at
+    EVERY prefix comes from one groupBy(term).min(doc_id) — a term
+    counts toward prefix i iff its first occurrence is inside it — so
+    the whole curve is ONE wordcount-shaped shuffle plus two 10-way
+    conditional 1-row aggregates; no per-prefix rescan."""
+    from vanus_spark.llm.search import tokens_df
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    cuts = [max(1, (n_docs * i) // 10) for i in range(1, 11)]
+    toks = tokens_df(docs)
+    first = toks.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    vocab = first.agg(
+        *[
+            F.sum((F.col("first_doc") < c).cast("long")).alias(f"_v{i}")
+            for i, c in enumerate(cuts)
+        ]
+    )
+    total = toks.agg(
+        *[
+            F.sum((F.col("doc_id") < c).cast("long")).alias(f"_t{i}")
+            for i, c in enumerate(cuts)
+        ]
+    )
+    points = vocab.crossJoin(total).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("prefix_docs"),
+                        F.col(f"_t{i}").alias("n_tokens"),
+                        F.col(f"_v{i}").alias("vocab"),
+                    )
+                    for i, c in enumerate(cuts)
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    return points.agg(
+        F.count("*").alias("n_points"),
+        F.round(F.expr("regr_slope(ln(vocab), ln(n_tokens))"), 6).alias(
+            "heaps_beta"
+        ),
+        F.round(
+            F.exp(F.expr("regr_intercept(ln(vocab), ln(n_tokens))")), 6
+        ).alias("heaps_k"),
+        F.round(F.expr("regr_r2(ln(vocab), ln(n_tokens))"), 6).alias("r2"),
+    )
+
+
+def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-Jaccard link prediction over the synthetic crawl graph
+    (same ring+chord+hash edge fixture as q_graph_clustering_coeff):
+    for every 2-hop NON-edge pair, score = |N(a) n N(b)| /
+    (deg(a)+deg(b)-common), top 50 — the classic common-neighbors
+    recommender (missing-citation / follow-suggestion shape).
+    Candidates come from the wedge join (quadratic only in per-node
+    degree), existing edges drop via one anti-join, degrees broadcast;
+    top-k is TakeOrderedAndProject on the rounded score with a full
+    (a, b) tiebreak."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    e = None
+    for expr in (
+        (F.col("doc_id") + 1) % n,
+        (F.col("doc_id") + 2) % n,
+        (F.col("doc_id") * 7 + 3) % n,
+    ):
+        part = docs.select(F.col("doc_id").alias("src"), expr.alias("dst"))
+        e = part if e is None else e.unionByName(part)
+    und = (
+        e.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    from vanus_spark.llm.graphs import link_prediction_jaccard
+
+    return link_prediction_jaccard(und, k=50)
+
+
+def q_events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per user: is the above/below-median
+    sign sequence of a user's time-ordered values random, or does it
+    trend/cluster? (The randomness check run on residual streams
+    before trusting an A/B readout.) Signs vs the user's own exact
+    median (equal-to-median rows drop, the standard convention); runs
+    count from one per-user ordered lag window; the tie-free normal
+    approximation z = (R - mu)/sigma with mu = 2*n1*n2/n + 1. All
+    per-user windows — no global anything."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    from vanus_spark.operators.ranktests import runs_test
+
+    return runs_test(ev, "value", "user_id", ["ts", "event_id"])
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
-# Round-7 policy (VERDICT r6 item #2): the 7 new-in-round queries first,
+# Round-7 policy (VERDICT r6 item #2): the 11 new-in-round queries first,
 # then ALL 39 rows that had never had a driver correctness row entering
 # round 7 (21 older single-table analytics + 18 operators added after the
-# r6 window froze), then backfill to 50 with the 4 least-recently-checked
-# rows (round-2 action gates). After this window lands green, EVERY
+# r6 window froze) — 50 exactly. After this window lands green, EVERY
 # registry query has a driver row — the never-driver-checked set is 0.
 # Everything outside the window stays gated by the FULL
 # tools/oracle_check.py replica run.
@@ -7595,6 +7727,10 @@ _R7_WINDOW = [
     "events_theil_sen",
     "embedding_silhouette",
     "minhash_calibration",
+    "linkage_em_weights",
+    "docs_heaps_law",
+    "graph_link_prediction",
+    "events_runs_test",
     "corpus_ngram_diversity_approx",  # rows-only: sketch values are engine-specific
     # --- the 39 never-driver-checked rows (r6 post-freeze first) ---
     "embedding_random_projection",
@@ -7636,11 +7772,6 @@ _R7_WINDOW = [
     "skew_report",
     "basket_brand_pairs",
     "pareto_brands",
-    # --- least-recently-checked backfill (round-2 rows) ---
-    "action_array_e2e",
-    "action_condition_length",
-    "action_convert_timezone",
-    "action_datetime",
 ]
 
 
@@ -7667,6 +7798,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_theil_sen": q_events_theil_sen,
         "embedding_silhouette": q_embedding_silhouette,
         "minhash_calibration": q_minhash_calibration,
+        "linkage_em_weights": q_linkage_em_weights,
+        "docs_heaps_law": q_docs_heaps_law,
+        "graph_link_prediction": q_graph_link_prediction,
+        "events_runs_test": q_events_runs_test,
         # --- new in round 6: control-plane lifecycle + DLQ CLI,
         # clustering coefficient, drop-reason lineage ---
         "subscription_lifecycle": q_subscription_lifecycle,
@@ -8610,6 +8745,93 @@ def _fs_oracle() -> str:
     """
 
 
+def _linkage_em_oracle(
+    iters: int = 2, m0: float = 0.9, u0: float = 0.1, lam0: float = 0.5
+) -> str:
+    """SQL twin of q_linkage_em_weights: the SAME blocked comparison
+    vectors (the _fs_oracle fixture CTEs), then the EM iterations run
+    ENTIRELY in SQL on DuckDB's own aggregates — no literals synced
+    from the Spark run, so a hash match certifies the algorithm."""
+    fields = ["name", "segment", "phone"]
+
+    def estep(lam_expr: str, m_exprs: dict, u_exprs: dict) -> str:
+        pm = lam_expr
+        pu = f"(1.0::DOUBLE - {lam_expr})"
+        for f in fields:
+            a = f"coalesce(agree_{f}, false)"
+            pm += (
+                f" * (CASE WHEN {a} THEN {m_exprs[f]}"
+                f" ELSE 1.0::DOUBLE - {m_exprs[f]} END)"
+            )
+            pu += (
+                f" * (CASE WHEN {a} THEN {u_exprs[f]}"
+                f" ELSE 1.0::DOUBLE - {u_exprs[f]} END)"
+            )
+        return f"({pm}) / (({pm}) + ({pu}))"
+
+    def msums(w: str) -> str:
+        cols = [f"sum({w}) AS sw", "count(*)::BIGINT AS n"]
+        for f in fields:
+            a = f"coalesce(agree_{f}, false)::INT::DOUBLE"
+            cols.append(f"sum(({w}) * {a}) AS wa_{f}")
+            cols.append(f"sum((1.0::DOUBLE - ({w})) * {a}) AS va_{f}")
+        return ", ".join(cols)
+
+    w1 = estep(
+        repr(lam0),
+        {f: repr(m0) for f in fields},
+        {f: repr(u0) for f in fields},
+    )
+    w2 = estep(
+        "(it1.sw / it1.n::DOUBLE)",
+        {f: f"(it1.wa_{f} / it1.sw)" for f in fields},
+        {f: f"(it1.va_{f} / (it1.n::DOUBLE - it1.sw))" for f in fields},
+    )
+    finals = " UNION ALL ".join(
+        f"""SELECT 'agree_{f}' AS field,
+               round(it2.wa_{f} / it2.sw, 6) AS m_est,
+               round(it2.va_{f} / (it2.n::DOUBLE - it2.sw), 6) AS u_est,
+               round(it2.sw / it2.n::DOUBLE, 6) AS lambda_est,
+               it2.n AS n_pairs FROM it2"""
+        for f in fields
+    )
+    return f"""
+        WITH cust AS (
+          SELECT c_custkey AS k,
+                 c_name || '-' || substr(md5(c_custkey::VARCHAR), 1, 6) AS name,
+                 c_mktsegment AS seg,
+                 lpad((c_custkey % 997)::VARCHAR, 3, '0') AS p3,
+                 c_nationkey::VARCHAR || '|'
+                   || floor((c_acctbal * 100)::BIGINT / 10000.0)::BIGINT::VARCHAR
+                   AS blk
+          FROM customer),
+        master AS (
+          SELECT k AS m_id, name AS m_name, seg AS m_seg, p3 AS m_p3, blk
+          FROM cust),
+        dirty AS (
+          SELECT k AS d_id,
+                 CASE WHEN k % 9 = 0 THEN 'ZZZ' || substr(name, 4, length(name))
+                      ELSE substr(name, 1, pos - 1) || 'X'
+                           || substr(name, pos + 1, length(name)) END AS d_name,
+                 CASE WHEN k % 5 = 0
+                      THEN (CASE WHEN seg = 'BUILDING' THEN 'MACHINERY'
+                                 ELSE 'BUILDING' END)
+                      ELSE seg END AS d_seg,
+                 CASE WHEN k % 7 = 0 THEN 'XXX' ELSE p3 END AS d_p3,
+                 blk
+          FROM (SELECT *, (k % 12) + 2 AS pos FROM cust) t),
+        pairs AS (
+          SELECT d_id, m_id,
+                 levenshtein(d_name, m_name) <= 1 AS agree_name,
+                 d_seg = m_seg AS agree_segment,
+                 d_p3 = m_p3 AS agree_phone
+          FROM dirty JOIN master USING (blk)),
+        it1 AS (SELECT {msums(w1)} FROM pairs),
+        it2 AS (SELECT {msums(w2)} FROM pairs, it1)
+        {finals}
+    """
+
+
 def _search_eval_oracle() -> str:
     """SQL twin of q_search_eval_ndcg: the text_search_bm25 chain plus
     the shared-term judged set and the NDCG/MRR/recall sums."""
@@ -8793,7 +9015,9 @@ def _semantic_calibration_oracle() -> str:
     join at base threshold 0.5, counted once per candidate threshold
     via scalar subqueries (a missing-pairs threshold still emits its
     zero row, matching Spark's agg-of-empty semantics)."""
-    bucket = _planes_bucket_sql("embedding")
+    # 3 planes = the auto size for the sf0.01 fixture (500 vectors,
+    # ceil(log2(500/64))) — the correctness gate only runs at sf0.01
+    bucket = _planes_bucket_sql("embedding", n_planes=3)
     cos = _COSINE_SQL.format(a="a.embedding", b="b.embedding")
     ths = [0.5, 0.6, 0.7, 0.8, 0.9, 0.95, 0.99]
     vals = ", ".join(f"({repr(t)}::DOUBLE)" for t in ths)
@@ -8902,6 +9126,94 @@ def oracle_sql() -> dict[str, str]:
             FROM pv GROUP BY label
         """,
         "minhash_calibration": _minhash_calibration_oracle(),
+        "linkage_em_weights": _linkage_em_oracle(),
+        "docs_heaps_law": f"""
+            WITH nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+            cuts AS (SELECT greatest(1, (nd.n * s.i) // 10)::BIGINT AS cut
+                     FROM (SELECT unnest(range(1, 11)) AS i) s, nd),
+            tk AS (SELECT doc_id,
+                          unnest(str_split({_NORM.format(c="text")}, ' '))
+                            AS term
+                   FROM documents),
+            tok AS (SELECT doc_id, term FROM tk WHERE term <> ''),
+            first AS (SELECT term, min(doc_id) AS fd
+                      FROM tok GROUP BY term),
+            points AS (
+              SELECT c.cut,
+                     (SELECT count(*)::BIGINT FROM tok
+                      WHERE tok.doc_id < c.cut) AS n_tokens,
+                     (SELECT count(*)::BIGINT FROM first f
+                      WHERE f.fd < c.cut) AS vocab
+              FROM cuts c)
+            SELECT count(*)::BIGINT AS n_points,
+                   round(regr_slope(ln(vocab), ln(n_tokens)), 6) AS heaps_beta,
+                   round(exp(regr_intercept(ln(vocab), ln(n_tokens))), 6)
+                     AS heaps_k,
+                   round(regr_r2(ln(vocab), ln(n_tokens)), 6) AS r2
+            FROM points
+        """,
+        "graph_link_prediction": """
+            WITH n AS (SELECT count(*) AS n FROM documents),
+            e AS (
+              SELECT doc_id AS src, (doc_id + 1) % n.n AS dst
+              FROM documents, n
+              UNION ALL
+              SELECT doc_id, (doc_id + 2) % n.n FROM documents, n
+              UNION ALL
+              SELECT doc_id, (doc_id * 7 + 3) % n.n FROM documents, n
+            ), und AS (
+              SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM e WHERE src != dst
+            ), sym AS (
+              SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und
+            ), deg AS (
+              SELECT a AS node, count(*)::BIGINT AS deg FROM sym GROUP BY a
+            ), wed AS (
+              SELECT l.a AS x, r.b AS y, count(*)::BIGINT AS common
+              FROM sym l JOIN sym r ON l.b = r.a AND l.a < r.b
+              GROUP BY 1, 2
+            ), non AS (
+              SELECT w.x, w.y, w.common FROM wed w
+              ANTI JOIN und u ON w.x = u.a AND w.y = u.b
+            )
+            SELECT non.x AS a, non.y AS b, non.common AS common,
+                   round(non.common
+                         / (da.deg + db.deg - non.common)::DOUBLE, 6) AS score
+            FROM non
+            JOIN deg da ON non.x = da.node
+            JOIN deg db ON non.y = db.node
+            ORDER BY score DESC, a, b LIMIT 50
+        """,
+        "events_runs_test": """
+            WITH e AS (SELECT user_id, ts, event_id, value
+                       FROM events WHERE user_id < 40),
+            med AS (SELECT user_id, median(value) AS med
+                    FROM e GROUP BY user_id),
+            s AS (SELECT e.user_id, ts, event_id,
+                         (value > med)::INT AS sgn
+                  FROM e JOIN med USING (user_id) WHERE value <> med),
+            r AS (SELECT user_id, sgn,
+                         CASE WHEN lag(sgn) OVER w IS NULL
+                                   OR sgn <> lag(sgn) OVER w
+                              THEN 1 ELSE 0 END AS new_run
+                  FROM s
+                  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            p AS (SELECT user_id, sum(sgn)::BIGINT AS n1,
+                         sum(1 - sgn)::BIGINT AS n2,
+                         sum(new_run)::BIGINT AS runs
+                  FROM r GROUP BY user_id)
+            SELECT user_id, n1, n2, runs,
+                   round((runs - (2 * n1::DOUBLE * n2::DOUBLE
+                                  / (n1::DOUBLE + n2::DOUBLE) + 1))
+                         / sqrt((2 * n1::DOUBLE * n2::DOUBLE
+                                 * (2 * n1::DOUBLE * n2::DOUBLE
+                                    - (n1::DOUBLE + n2::DOUBLE)))
+                                / ((n1::DOUBLE + n2::DOUBLE)
+                                   * (n1::DOUBLE + n2::DOUBLE)
+                                   * ((n1::DOUBLE + n2::DOUBLE) - 1))), 6)
+                     AS z
+            FROM p
+        """,
         "link_ppr": _ppr_oracle(iters=3),
         "events_assoc_rules": """
             WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),

@@ -163,6 +163,12 @@ HEADLINE = [
     "events_histogram",
     "corpus_ngram_diversity",
     "corpus_ngram_diversity_approx",
+    "events_mann_whitney",
+    "docs_zipf_fit",
+    "dedup_cluster_stats",
+    "events_theil_sen",
+    "embedding_silhouette",
+    "minhash_calibration",
     "audio_fp_neardup",
     "video_phash_neardup",
     "bloom_anti_dedup",

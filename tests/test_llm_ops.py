@@ -1008,3 +1008,27 @@ def test_ngram_diversity_approx_tracks_exact(spark, sf_dir):
         assert approx[n]["total_ngrams"] == exact[n]["total_ngrams"]
         err = abs(approx[n]["distinct_ngrams_est"] - exact[n]["distinct_ngrams"])
         assert err <= 0.05 * exact[n]["distinct_ngrams"]
+
+
+def test_embedding_near_dup_auto_planes(spark, emb):
+    """n_planes=None sizes the signature so mean bucket occupancy
+    stays ~target_bucket_rows regardless of corpus size (the fixed-
+    plane default makes candidate volume quadratic at scale: round-7
+    probe measured 31x time on 10x vectors). Clones must still be
+    found under auto sizing, and the plan must contain more buckets
+    for a bigger corpus (checked via the sizing formula)."""
+    import math
+
+    from vanus_spark.llm import similarity
+
+    clone = emb.limit(3).withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    aug = emb.unionByName(clone)
+    res = similarity.embedding_near_dup(aug, threshold=0.999, n_planes=None)
+    found = {(r.id_a, r.id_b) for r in res.collect()}
+    for r in emb.limit(3).select("vec_id").collect():
+        # exact clones share every plane sign: always same bucket
+        assert (r.vec_id, r.vec_id + 1_000_000) in found
+    # the sizing formula itself
+    for n, want in ((100, 1), (640, 4), (6400, 7), (64 * 1024, 10)):
+        got = max(1, math.ceil(math.log2(max(n, 2) / 64)))
+        assert got == want, (n, got, want)

@@ -184,3 +184,137 @@ def test_silhouette_separated_vs_mixed(spark):
     }
     assert out[0]["silhouette"] > 0.9 and out[1]["silhouette"] > 0.9
     assert out[0]["n_vecs"] == 10 and out[1]["n_vecs"] == 10
+
+
+def test_runs_test_hand_computed(spark):
+    """Values [1,2,9,8,7,3] in time order: median (3+7)/2 = 5, signs
+    [0,0,1,1,1,0] -> runs = 3, n1 = n2 = 3; mu = 2*9/6+1 = 4;
+    sigma^2 = 18*12/(36*5) = 1.2; z = -1/sqrt(1.2)."""
+    from vanus_spark.operators.ranktests import runs_test
+
+    vals = [1.0, 2.0, 9.0, 8.0, 7.0, 3.0]
+    rows = [(1, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    out = runs_test(df, "v", "k", ["t"]).collect()[0].asDict()
+    assert out["n1"] == 3 and out["n2"] == 3 and out["runs"] == 3
+    assert out["z"] == round(-1.0 / math.sqrt(1.2), 6)
+
+
+def test_runs_test_drops_median_equals(spark):
+    """Odd count: the median IS a sample value and must drop."""
+    from vanus_spark.operators.ranktests import runs_test
+
+    rows = [(1, i, float(v)) for i, v in enumerate([1, 5, 9])]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    out = runs_test(df, "v", "k", ["t"]).collect()[0].asDict()
+    assert out["n1"] == 1 and out["n2"] == 1 and out["runs"] == 2
+    assert out["z"] is None  # zero-variance degenerate: undefined, not an error
+
+
+def test_link_prediction_hand_computed(spark):
+    """Path graph 1-2, 2-3, 3-4 plus chord 1-3: the 2-hop non-edges
+    are (1,4) via 3 and (2,4) via 3, both with one common neighbor:
+    score(1,4) = 1/(3+1-1) = 0.5 wait deg(1)={2,3}=2, deg(4)={3}=1 ->
+    1/(2+1-1) = 0.5; score(2,4) = 1/(2+1-1) = 0.5."""
+    from vanus_spark.llm.graphs import link_prediction_jaccard
+
+    und = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3)], "a long, b long"
+    )
+    out = {(r["a"], r["b"]): r.asDict() for r in link_prediction_jaccard(und).collect()}
+    assert set(out) == {(1, 4), (2, 4)}
+    assert out[(1, 4)]["common"] == 1 and out[(1, 4)]["score"] == 0.5
+    assert out[(2, 4)]["common"] == 1 and out[(2, 4)]["score"] == 0.5
+
+
+def test_fs_em_matches_independent_python_em(spark):
+    """fs_em_estimate vs a from-scratch python EM on the same
+    comparison vectors — independent implementations must agree to
+    1e-9 before rounding differences."""
+    from vanus_spark.operators.linkage import fs_em_estimate
+
+    rows = []
+    # 40 matchy pairs (mostly all-agree) + 160 noise pairs
+    for i in range(200):
+        if i < 40:
+            rows.append((i, True, i % 7 != 0, True))
+        else:
+            rows.append((i, i % 11 == 0, i % 3 == 0, i % 13 == 0))
+    df = spark.createDataFrame(
+        rows, "pid long, agree_name boolean, agree_segment boolean, agree_phone boolean"
+    )
+    got = {
+        r["field"]: r.asDict()
+        for r in fs_em_estimate(
+            df, ["agree_name", "agree_segment", "agree_phone"], iters=2
+        ).collect()
+    }
+
+    # independent python EM
+    fields = ["agree_name", "agree_segment", "agree_phone"]
+    data = [dict(zip(["pid", *fields], r)) for r in rows]
+    m = {f: 0.9 for f in fields}
+    u = {f: 0.1 for f in fields}
+    lam = 0.5
+    for _ in range(2):
+        sw = 0.0
+        wa = {f: 0.0 for f in fields}
+        va = {f: 0.0 for f in fields}
+        for d in data:
+            pm, pu = lam, 1.0 - lam
+            for f in fields:
+                a = bool(d[f])
+                pm *= m[f] if a else 1.0 - m[f]
+                pu *= u[f] if a else 1.0 - u[f]
+            w = pm / (pm + pu)
+            sw += w
+            for f in fields:
+                if d[f]:
+                    wa[f] += w
+                    va[f] += 1.0 - w
+        n = len(data)
+        for f in fields:
+            m[f] = wa[f] / sw
+            u[f] = va[f] / (n - sw)
+        lam = sw / n
+    for f in fields:
+        assert abs(got[f]["m_est"] - round(m[f], 6)) <= 2e-6
+        assert abs(got[f]["u_est"] - round(u[f], 6)) <= 2e-6
+        assert abs(got[f]["lambda_est"] - round(lam, 6)) <= 2e-6
+    # the planted structure is recovered: matches agree more than noise
+    assert got["agree_name"]["m_est"] > got["agree_name"]["u_est"]
+
+
+def test_heaps_law_fit_properties(spark, sf_dir):
+    """Heaps beta in (0, 1) on the natural-ish fixture, and the
+    regression agrees with numpy on the same 10 (tokens, vocab)
+    points (re-derived independently here)."""
+    import importlib.util
+
+    import numpy as np
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    out = m.queries()["docs_heaps_law"](spark, sf_dir).collect()[0].asDict()
+    assert out["n_points"] == 10
+    # the tiny test fixture's closed vocabulary saturates within the
+    # first decile (beta -> 0); natural corpora sit in (0.4, 0.6)
+    assert 0.0 <= out["heaps_beta"] < 1.0
+
+    from vanus_spark.llm.search import tokens_df
+    from vanus_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = tokens_df(docs).select("doc_id", "term").collect()
+    cuts = [max(1, (n_docs * i) // 10) for i in range(1, 11)]
+    xs, ys = [], []
+    for c in cuts:
+        xs.append(sum(1 for r in toks if r["doc_id"] < c))
+        seen = {r["term"] for r in toks if r["doc_id"] < c}
+        ys.append(len(seen))
+    beta = np.polyfit(np.log(xs), np.log(ys), 1)[0]
+    assert abs(out["heaps_beta"] - beta) < 1e-4

@@ -325,3 +325,56 @@ def personalized_pagerank(
         if (k + 1) % checkpoint_every == 0 and k + 1 < iters:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def link_prediction_jaccard(und: DataFrame, k: int = 50) -> DataFrame:
+    """Neighbor-Jaccard link prediction: for every 2-hop NON-edge pair
+    (a < b), score = |N(a) n N(b)| / (deg(a)+deg(b)-common), top-k —
+    the classic common-neighbors recommender (missing-citation /
+    follow-suggestion shape).
+
+    ``und`` is the undirected edge set as (a, b) with a < b.
+    Candidates come from the wedge join (quadratic only in per-node
+    degree — cap hub degrees upstream on power-law graphs); existing
+    edges drop via one anti-join; the degree table broadcasts; top-k
+    is TakeOrderedAndProject on the rounded score with a full (a, b)
+    tiebreak, so results are deterministic cross-engine."""
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = (
+        sym.groupBy("a").agg(F.count("*").alias("deg"))
+        .withColumnRenamed("a", "node")
+    )
+    l = sym.select(F.col("a").alias("x"), F.col("b").alias("m"))
+    r = sym.select(F.col("a").alias("m"), F.col("b").alias("y"))
+    wedges = (
+        l.join(r, "m")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("common"))
+    )
+    non_edges = wedges.join(
+        und.select(F.col("a").alias("x"), F.col("b").alias("y")),
+        ["x", "y"],
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("x"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("y"), F.col("deg").alias("deg_b"))
+    scored = (
+        non_edges.join(F.broadcast(da), "x")
+        .join(F.broadcast(db), "y")
+        .select(
+            F.col("x").alias("a"),
+            F.col("y").alias("b"),
+            "common",
+            F.round(
+                F.col("common")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc("a"), F.asc("b")).limit(k)

@@ -75,3 +75,67 @@ def fellegi_sunter(
         .otherwise(F.lit("non_match"))
     )
     return pairs.withColumn("fs_score", score).withColumn("fs_decision", decision)
+
+
+def fs_em_estimate(
+    pairs: DataFrame,
+    agree_cols: list[str],
+    iters: int = 2,
+    m0: float = 0.9,
+    u0: float = 0.1,
+    lambda0: float = 0.5,
+) -> DataFrame:
+    """Unsupervised EM estimation of the Fellegi-Sunter m/u
+    probabilities from a blocked comparison-vector frame — how
+    production linkers (Splink's estimate_parameters, the Census
+    MAMBA matcher) LEARN the weights that ``fellegi_sunter`` then
+    applies, instead of hand-picking priors.
+
+    E-step: each pair's match responsibility
+    w = lambda*prod_k m_k^a (1-m_k)^(1-a)
+      / (that + (1-lambda)*prod_k u_k^a (1-u_k)^(1-a));
+    M-step: m_k = sum(w*a_k)/sum(w), u_k = sum((1-w)a_k)/sum(1-w),
+    lambda = mean(w). NULL comparisons count as disagreement (the
+    fellegi_sunter convention).
+
+    Scale shape: per iteration ONE 1-row aggregate over the pair
+    frame (map-side combined) whose 2F+1 scalars collect to the
+    driver and re-enter the next iteration's E-step as plan literals
+    — the k-means model-broadcast loop pattern, with a model of a few
+    doubles. Returns one row per field: (field, m_est, u_est,
+    lambda_est, n_pairs)."""
+    m = {k: float(m0) for k in agree_cols}
+    u = {k: float(u0) for k in agree_cols}
+    lam = float(lambda0)
+    n_pairs = None
+    for _ in range(iters):
+        pm: Column = F.lit(lam)
+        pu: Column = F.lit(1.0 - lam)
+        for k in agree_cols:
+            a = F.coalesce(F.col(k), F.lit(False))
+            pm = pm * F.when(a, F.lit(m[k])).otherwise(F.lit(1.0 - m[k]))
+            pu = pu * F.when(a, F.lit(u[k])).otherwise(F.lit(1.0 - u[k]))
+        w = pm / (pm + pu)
+        aggs = [
+            F.sum(w).alias("_sw"),
+            F.count(F.lit(1)).alias("_n"),
+        ]
+        for k in agree_cols:
+            a = F.coalesce(F.col(k), F.lit(False)).cast("double")
+            aggs.append(F.sum(w * a).alias(f"_wa_{k}"))
+            aggs.append(F.sum((F.lit(1.0) - w) * a).alias(f"_va_{k}"))
+        row = pairs.agg(*aggs).collect()[0]
+        sw, n = float(row["_sw"]), int(row["_n"])
+        n_pairs = n
+        for k in agree_cols:
+            m[k] = float(row[f"_wa_{k}"]) / sw
+            u[k] = float(row[f"_va_{k}"]) / (n - sw)
+        lam = sw / n
+    out = [
+        (k, round(m[k], 6), round(u[k], 6), round(lam, 6), n_pairs)
+        for k in agree_cols
+    ]
+    spark = pairs.sparkSession
+    return spark.createDataFrame(
+        out, "field string, m_est double, u_est double, lambda_est double, n_pairs long"
+    )

@@ -64,11 +64,65 @@ def mann_whitney_u(
     sig2 = (na * nb / 12) * (
         (nn + 1) - F.col("ties").cast("double") / (nn * (nn - 1))
     )
-    z = (u_a - mu) / F.sqrt(sig2)
+    # degenerate samples (everything tied) have zero variance: z is
+    # undefined -> NULL, not an ANSI divide-by-zero
+    z = F.when(sig2 > 0, (u_a - mu) / F.sqrt(sig2))
     return one.select(
         "n_a",
         "n_b",
         F.round(u_a, 1).alias("u_a"),
         F.round(z, 6).alias("z"),
         F.round(F.lit(1.0) - 2 * u_a / (na * nb), 6).alias("rank_biserial"),
+    )
+
+
+def runs_test(
+    samples: DataFrame,
+    value_col: str,
+    key_col: str,
+    order_cols: list[str],
+) -> DataFrame:
+    """Wald-Wolfowitz runs test per key: is the above/below-median
+    sign sequence of the key's ordered values random, or does it
+    trend/cluster? Values equal to the key's own exact median drop
+    (the standard convention); the tie-free normal approximation
+    z = (R - mu)/sigma with mu = 2*n1*n2/n + 1 and
+    sigma^2 = 2*n1*n2*(2*n1*n2 - n) / (n^2 (n-1)).
+
+    Scale shape: one per-key median aggregate, one per-key ordered
+    lag window, one per-key rollup — everything key-partitioned,
+    nothing global. Returns (key, n1, n2, runs, z)."""
+    from pyspark.sql import Window
+
+    med = samples.groupBy(key_col).agg(F.median(value_col).alias("_med"))
+    signed = (
+        samples.join(med, key_col)
+        .where(F.col(value_col) != F.col("_med"))
+        .select(
+            key_col,
+            *order_cols,
+            (F.col(value_col) > F.col("_med")).cast("int").alias("_sgn"),
+        )
+    )
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    runs = signed.withColumn(
+        "_new",
+        F.coalesce(
+            (F.col("_sgn") != F.lag("_sgn").over(w)).cast("int"), F.lit(1)
+        ),
+    )
+    per_key = runs.groupBy(key_col).agg(
+        F.sum("_sgn").alias("n1"),
+        F.sum(F.lit(1) - F.col("_sgn")).alias("n2"),
+        F.sum("_new").alias("runs"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    nn = n1 + n2
+    mu = 2 * n1 * n2 / nn + 1
+    sig2 = (2 * n1 * n2 * (2 * n1 * n2 - nn)) / (nn * nn * (nn - 1))
+    # n1 = n2 = 1 (or single-sign keys) has zero variance: z NULL
+    z = F.when(sig2 > 0, (F.col("runs") - mu) / F.sqrt(sig2))
+    return per_key.select(
+        key_col, "n1", "n2", "runs", F.round(z, 6).alias("z")
     )
