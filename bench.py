@@ -169,6 +169,10 @@ HEADLINE = [
     "events_theil_sen",
     "embedding_silhouette",
     "minhash_calibration",
+    "linkage_em_weights",
+    "docs_heaps_law",
+    "graph_link_prediction",
+    "events_runs_test",
     "audio_fp_neardup",
     "video_phash_neardup",
     "bloom_anti_dedup",

@@ -198,7 +198,9 @@ def test_cli_dead_letter_resend_strips_attrs_and_bounds(spark, tmp_path, capsys)
     dlq = _mk_dlq(spark, tmp_path)
     rows = _vsctl(capsys, "dead-letter", "resend", "--dlq", dlq,
                   "--start", "1", "--end", "4")
-    assert [r["id"] for r in rows] == ["1", "2", "3", "4"]
+    # --end is EXCLUSIVE (round-7 advice: [start, end) as documented;
+    # None default makes an upper bound of 0 expressible)
+    assert [r["id"] for r in rows] == ["1", "2", "3"]
     for r in rows:
         keys = r["attr_keys"].split(",") if r["attr_keys"] else []
         assert not any(k.startswith("xvanusdl") or k.startswith("xvanuslastdl") for k in keys)
