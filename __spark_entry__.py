@@ -7710,6 +7710,168 @@ def q_events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return runs_test(ev, "value", "user_id", ["ts", "event_id"])
 
 
+def q_events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov on per-user purchase spend
+    between the hash variants — the DISTRIBUTION-level companion of
+    q_events_mann_whitney (U asks "does one side stochastically
+    dominate", KS asks "are the ECDFs the same anywhere"): D plus the
+    Numerical-Recipes-corrected asymptotic p. Spend rounds to its
+    2-decimal lattice so both engines form identical support points;
+    cumulative counts over the distinct-spend table come from the
+    two-phase prefix (range exchange -> per-slice cumsum -> #slices
+    triangular broadcast), never a single-task global window."""
+    from vanus_spark.operators.hyptests import ks_two_sample
+
+    ev = _t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("value")
+                ).otherwise(0.0)
+            ),
+            2,
+        ).alias("spend")
+    )
+    users = users.withColumn("variant", (F.col("user_id") % 2).cast("int"))
+    return ks_two_sample(users, "spend", "variant")
+
+
+def q_events_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of event value across the five event types (the
+    "does the metric differ by category at all" omnibus test run
+    before any pairwise A/B): F statistic + eta^2 effect size. Values
+    move to the exact integer cents lattice FIRST, so every moment
+    sum both engines fold is the same BIGINT and the only doubles are
+    the final scale-free ratios. Two aggregates total — per-group,
+    then over #groups rows."""
+    from vanus_spark.operators.hyptests import anova_oneway
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "_cents",
+        F.expr("CAST(round(value * 100) AS BIGINT)"),
+    )
+    return anova_oneway(ev, "_cents", "event_type")
+
+
+def q_lineitem_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag Spearman rank correlation between order
+    quantity and discount — the monotone-association readout ("do
+    bigger orders get deeper discounts?") that Pearson gets wrong on
+    skewed metrics. Both variables live on bounded lattices (50
+    quantities, 11 discount steps cast to exact cents), so average
+    ranks derive from per-(flag, value) counts: the rank maps are
+    broadcastable dims and the fact table is scanned exactly twice.
+    rho = Pearson on the average ranks (the standard tie treatment),
+    via the built-in corr aggregate."""
+    from vanus_spark.operators.hyptests import spearman_by_group
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.expr("CAST(round(l_discount * 100) AS BIGINT)").alias("disc_c"),
+    )
+    out = spearman_by_group(li, "qty", "disc_c", "l_returnflag")
+    return out.orderBy("l_returnflag")
+
+
+def q_events_ab_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR across 20 segment-level A/B readouts
+    (event_type x quarter-of-day), the multiple-testing gate a metrics
+    platform applies before flagging any segment as moved: per-segment
+    Welch z on event value between the hash variants, two-sided p via
+    the shared A&S 26.2.17 normal-tail polynomial (identical closed
+    form in the oracle), then the BH step-up at alpha=0.05. All
+    per-segment moments stay in exact integer cents — ONE map-side
+    combined shuffle over the data; every window/aggregate after runs
+    on the 20-row hypothesis table."""
+    from vanus_spark.operators.hyptests import bh_fdr, norm_sf
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        # integer division on BOTH engines: a double->int cast rounds
+        # in DuckDB but truncates in Spark
+        F.expr("hour(ts) DIV 6").alias("day_quarter"),
+        (F.col("user_id") % 2).alias("variant"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("c"),
+    )
+    seg = ev.groupBy("event_type", "day_quarter").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("c"))).alias("s_a"),
+        F.sum(
+            F.when(F.col("variant") == 0, F.col("c") * F.col("c"))
+        ).alias("ss_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("c"))).alias("s_b"),
+        F.sum(
+            F.when(F.col("variant") == 1, F.col("c") * F.col("c"))
+        ).alias("ss_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ma = F.col("s_a").cast("double") / na
+    mb = F.col("s_b").cast("double") / nb
+    va = (F.col("ss_a").cast("double") - na * ma * ma) / (na - 1)
+    vb = (F.col("ss_b").cast("double") - nb * mb * mb) / (nb - 1)
+    z = (ma - mb) / F.sqrt(va / na + vb / nb)
+    hyps = seg.select(
+        "event_type",
+        "day_quarter",
+        "n_a",
+        "n_b",
+        z.alias("_z"),
+        (2.0 * norm_sf(F.abs(z))).alias("_p"),
+    )
+    out = bh_fdr(hyps, "_p", ["event_type", "day_quarter"], alpha=0.05)
+    return out.select(
+        "event_type",
+        "day_quarter",
+        "n_a",
+        "n_b",
+        F.round("_z", 6).alias("z"),
+        F.round("_p", 6).alias("p_value"),
+        "bh_rank",
+        F.round("bh_crit", 6).alias("bh_crit"),
+        "significant",
+    )
+
+
+def q_corpus_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the English and non-English
+    token distributions — the bounded symmetric drift metric
+    (jsd_bits in [0,1]) run between corpus versions / mixture sources
+    before a retrain, where PSI's eps-clamped buckets don't fit
+    open-vocabulary data. One count shuffle per side, a counts-only
+    full outer join on term, broadcast totals, one fold."""
+    from vanus_spark.llm.search import tokens_df
+    from vanus_spark.llm.versioning import js_divergence
+
+    docs = _t(spark, sf_dir, "documents")
+    return js_divergence(
+        tokens_df(docs.where(F.col("lang") == "en")),
+        tokens_df(docs.where(F.col("lang") != "en")),
+    )
+
+
+def q_orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for mean order value — the at-scale
+    bootstrap (Poisson(1) weights converge to sampling-with-
+    replacement) made DETERMINISTIC: replicate r's weight for an
+    order is the inverse-CDF draw from md5(seed_r | orderkey), so the
+    DuckDB oracle re-derives the identical 40 replicate sums. All 40
+    weighted sums fold into ONE aggregation pass in exact BIGINT
+    cents — no 40-way explode, no resampling shuffle; the map-side
+    combine carries 82 partial sums per task and nothing else."""
+    from vanus_spark.operators.hyptests import poisson_bootstrap_mean
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "_cents", F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    )
+    return poisson_bootstrap_mean(
+        orders, "_cents", "o_orderkey", reps=40, seed=7
+    )
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Round-7 policy (VERDICT r6 item #2): the 11 new-in-round queries first,
@@ -7790,6 +7952,14 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # IRRELEVANT — queries() reorders via _R7_WINDOW. tests/test_registry.py
     # guards window size, duplicate keys, and oracle coverage.
     return {
+        # --- new in round 7, second session: inference suite (post-
+        # window-freeze; the r8 driver window picks these up) ---
+        "events_ks_test": q_events_ks_test,
+        "events_anova": q_events_anova,
+        "lineitem_spearman": q_lineitem_spearman,
+        "events_ab_fdr": q_events_ab_fdr,
+        "corpus_jsd": q_corpus_jsd,
+        "orders_bootstrap_ci": q_orders_bootstrap_ci,
         # --- new in round 7: nonparametric stats, corpus health,
         # dedup reporting, sketch calibration, embedding QA ---
         "events_mann_whitney": q_events_mann_whitney,
@@ -9036,9 +9206,243 @@ def _semantic_calibration_oracle() -> str:
     """
 
 
+def _bootstrap_oracle_sql(reps: int = 40, seed: int = 7) -> str:
+    """DuckDB twin of q_orders_bootstrap_ci: re-derives the identical
+    deterministic Poisson(1) weights from the shared md5 draw and
+    folds the same ``reps`` exact-cents replicate sums."""
+    from vanus_spark.operators.hyptests import _POIS1_CDF
+
+    us = ",\n                  ".join(
+        f"((('0x' || substr(md5('{seed * 1000 + r}|' || "
+        f"o_orderkey::VARCHAR), 1, 15))::BIGINT % 1000000) / 1000000.0) "
+        f"AS u_{r}"
+        for r in range(reps)
+    )
+    cases = ",\n                  ".join(
+        "(CASE "
+        + " ".join(
+            f"WHEN u_{r} < {th!r} THEN {k}"
+            for k, th in enumerate(_POIS1_CDF)
+        )
+        + f" ELSE {len(_POIS1_CDF)} END) AS w_{r}"
+        for r in range(reps)
+    )
+    sums = ",\n                  ".join(
+        f"sum(w_{r} * c)::BIGINT AS ws_{r}, sum(w_{r})::BIGINT AS wn_{r}"
+        for r in range(reps)
+    )
+    means = ", ".join(
+        f"ws_{r}::DOUBLE / wn_{r} / 100.0" for r in range(reps)
+    )
+    return f"""
+            WITH e AS (
+              SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+                  {us}
+              FROM orders),
+            w AS (
+              SELECT c,
+                  {cases}
+              FROM e),
+            s AS (
+              SELECT count(*)::BIGINT AS n, sum(c)::BIGINT AS sc,
+                  {sums}
+              FROM w),
+            m AS (SELECT n, sc, list_sort([{means}]) AS ms FROM s)
+            SELECT n,
+                   round(sc::DOUBLE / 100.0 / n, 4) AS mean,
+                   round(sqrt(list_sum(list_transform(ms,
+                         x -> (x - list_sum(ms) / {reps})
+                            * (x - list_sum(ms) / {reps})))
+                         / {reps - 1}), 4) AS boot_se,
+                   round(ms[2], 4) AS ci_lo,
+                   round(ms[{reps - 1}], 4) AS ci_hi
+            FROM m
+        """
+
+
+# A&S 26.2.17 upper-tail normal polynomial — the SQL twin of
+# vanus_spark.operators.hyptests.norm_sf, same literals, same nesting.
+_NORM_SF_SQL = (
+    "(exp(-{z} * {z} / 2) / 2.5066282746310002"
+    " * ((1.0 / (1.0 + 0.2316419 * {z}))"
+    "    * (0.319381530 + (1.0 / (1.0 + 0.2316419 * {z}))"
+    "       * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * {z}))"
+    "          * (1.781477937 + (1.0 / (1.0 + 0.2316419 * {z}))"
+    "             * (-1.821255978 + (1.0 / (1.0 + 0.2316419 * {z}))"
+    "                * 1.330274429))))))"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     norm_text = _NORM.format(c="text")
     return {
+        "events_ks_test": """
+            WITH u AS (
+              SELECT user_id,
+                     round(sum(CASE WHEN event_type = 'purchase'
+                                    THEN value ELSE 0 END), 2) AS spend
+              FROM events GROUP BY user_id),
+            g AS (SELECT spend,
+                         sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0
+                             END)::BIGINT AS ca,
+                         sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0
+                             END)::BIGINT AS cb
+                  FROM u GROUP BY spend),
+            c AS (SELECT sum(ca) OVER (ORDER BY spend)::BIGINT AS cuma,
+                         sum(cb) OVER (ORDER BY spend)::BIGINT AS cumb
+                  FROM g),
+            t AS (SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b
+                  FROM g),
+            d AS (SELECT n_a, n_b,
+                         max(abs(cuma::DOUBLE / n_a - cumb::DOUBLE / n_b))
+                           AS dd
+                  FROM c, t GROUP BY n_a, n_b),
+            l AS (SELECT n_a, n_b, dd,
+                         (sqrt(n_a::DOUBLE * n_b / (n_a + n_b)) + 0.12
+                          + 0.11 / sqrt(n_a::DOUBLE * n_b / (n_a + n_b)))
+                         * dd AS lam
+                  FROM d)
+            SELECT n_a, n_b, round(dd, 6) AS d_stat,
+                   round(least(1.0, greatest(0.0,
+                         2 * (exp(-2 * lam * lam) - exp(-8 * lam * lam)
+                              + exp(-18 * lam * lam)))), 6) AS p_value
+            FROM l
+        """,
+        "events_anova": """
+            WITH e AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS c
+                       FROM events),
+            g AS (SELECT event_type, count(*)::BIGINT AS n,
+                         sum(c)::BIGINT AS s, sum(c * c)::BIGINT AS ss
+                  FROM e GROUP BY 1),
+            t AS (SELECT sum(n)::BIGINT AS tn, sum(s)::BIGINT AS ts,
+                         count(*)::BIGINT AS k
+                  FROM g),
+            j AS (SELECT n, ss, tn, k, s::DOUBLE / n AS mg,
+                         ts::DOUBLE / tn AS gm
+                  FROM g, t),
+            o AS (SELECT tn, k,
+                         sum(n * (mg - gm) * (mg - gm)) AS ssb,
+                         sum(n * (ss::DOUBLE / n - mg * mg)) AS ssw
+                  FROM j GROUP BY tn, k)
+            SELECT k AS k_groups, tn AS n,
+                   round((ssb / (k - 1)) / (ssw / (tn - k)), 6) AS f_stat,
+                   round(ssb / (ssb + ssw), 6) AS eta_sq
+            FROM o
+        """,
+        "lineitem_spearman": """
+            WITH li AS (SELECT l_returnflag,
+                               CAST(l_quantity AS BIGINT) AS qty,
+                               CAST(round(l_discount * 100) AS BIGINT)
+                                 AS disc_c
+                        FROM lineitem),
+            cx AS (SELECT l_returnflag, qty, count(*)::BIGINT AS t
+                   FROM li GROUP BY 1, 2),
+            rx AS (SELECT l_returnflag, qty,
+                          sum(t) OVER (PARTITION BY l_returnflag
+                                       ORDER BY qty)::DOUBLE
+                            - (t - 1) / 2.0 AS rkx
+                   FROM cx),
+            cy AS (SELECT l_returnflag, disc_c, count(*)::BIGINT AS t
+                   FROM li GROUP BY 1, 2),
+            ry AS (SELECT l_returnflag, disc_c,
+                          sum(t) OVER (PARTITION BY l_returnflag
+                                       ORDER BY disc_c)::DOUBLE
+                            - (t - 1) / 2.0 AS rky
+                   FROM cy),
+            j AS (SELECT li.l_returnflag AS rf, rkx, rky
+                  FROM li
+                  JOIN rx ON li.l_returnflag = rx.l_returnflag
+                         AND li.qty = rx.qty
+                  JOIN ry ON li.l_returnflag = ry.l_returnflag
+                         AND li.disc_c = ry.disc_c)
+            SELECT rf AS l_returnflag, count(*)::BIGINT AS n,
+                   round(corr(rkx, rky), 6) AS spearman_rho
+            FROM j GROUP BY rf ORDER BY rf
+        """,
+        "events_ab_fdr": f"""
+            WITH e AS (SELECT event_type, hour(ts) // 6 AS day_quarter,
+                              user_id,
+                              CAST(round(value * 100) AS BIGINT) AS c
+                       FROM events),
+            g AS (SELECT event_type, day_quarter,
+                         sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0
+                             END)::BIGINT AS n_a,
+                         sum(CASE WHEN user_id % 2 = 0 THEN c
+                             END)::BIGINT AS s_a,
+                         sum(CASE WHEN user_id % 2 = 0 THEN c * c
+                             END)::BIGINT AS ss_a,
+                         sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0
+                             END)::BIGINT AS n_b,
+                         sum(CASE WHEN user_id % 2 = 1 THEN c
+                             END)::BIGINT AS s_b,
+                         sum(CASE WHEN user_id % 2 = 1 THEN c * c
+                             END)::BIGINT AS ss_b
+                  FROM e GROUP BY 1, 2),
+            z0 AS (SELECT *, s_a::DOUBLE / n_a AS ma,
+                          s_b::DOUBLE / n_b AS mb
+                   FROM g),
+            z1 AS (SELECT *,
+                          (ss_a::DOUBLE - n_a * ma * ma) / (n_a - 1) AS va,
+                          (ss_b::DOUBLE - n_b * mb * mb) / (n_b - 1) AS vb
+                   FROM z0),
+            z2 AS (SELECT *, (ma - mb) / sqrt(va / n_a + vb / n_b) AS zz
+                   FROM z1),
+            z3 AS (SELECT *,
+                          2.0 * {_NORM_SF_SQL.format(z="abs(zz)")} AS p
+                   FROM z2),
+            r AS (SELECT *,
+                         row_number() OVER (ORDER BY p, event_type,
+                                            day_quarter) AS bh_rank,
+                         count(*) OVER () AS m
+                  FROM z3),
+            r2 AS (SELECT *, bh_rank * 0.05 / m AS bh_crit FROM r),
+            r3 AS (SELECT *,
+                          coalesce(max(CASE WHEN p <= bh_crit
+                                            THEN bh_rank END) OVER (), 0)
+                            AS kmax
+                   FROM r2)
+            SELECT event_type, day_quarter, n_a, n_b,
+                   round(zz, 6) AS z, round(p, 6) AS p_value, bh_rank,
+                   round(bh_crit, 6) AS bh_crit,
+                   bh_rank <= kmax AS significant
+            FROM r3
+        """,
+        "corpus_jsd": f"""
+            WITH ta AS (SELECT unnest(str_split({norm_text}, ' ')) AS term
+                        FROM documents WHERE lang = 'en'),
+            tb AS (SELECT unnest(str_split({norm_text}, ' ')) AS term
+                   FROM documents WHERE lang <> 'en'),
+            ca AS (SELECT term, count(*)::BIGINT AS na FROM ta
+                   WHERE term <> '' GROUP BY 1),
+            cb AS (SELECT term, count(*)::BIGINT AS nb FROM tb
+                   WHERE term <> '' GROUP BY 1),
+            j AS (SELECT coalesce(ca.na, 0) AS na, coalesce(cb.nb, 0) AS nb
+                  FROM ca FULL JOIN cb USING (term)),
+            t AS (SELECT sum(na)::BIGINT AS tta, sum(nb)::BIGINT AS ttb
+                  FROM j),
+            w AS (SELECT na, nb, tta, ttb, na::DOUBLE / tta AS p,
+                         nb::DOUBLE / ttb AS q
+                  FROM j, t),
+            s AS (SELECT count(*)::BIGINT AS vocab,
+                         sum(CASE WHEN na > 0 THEN 1 ELSE 0 END)::BIGINT
+                           AS vocab_a,
+                         sum(CASE WHEN nb > 0 THEN 1 ELSE 0 END)::BIGINT
+                           AS vocab_b,
+                         max(tta) AS n_tokens_a, max(ttb) AS n_tokens_b,
+                         sum(CASE WHEN p > 0
+                                  THEN p * ln(p / ((p + q) / 2)) / 2
+                                  ELSE 0 END
+                           + CASE WHEN q > 0
+                                  THEN q * ln(q / ((p + q) / 2)) / 2
+                                  ELSE 0 END) AS jsd
+                  FROM w)
+            SELECT vocab, vocab_a, vocab_b, n_tokens_a, n_tokens_b,
+                   round(jsd, 6) AS jsd_nats,
+                   round(jsd / 0.6931471805599453, 6) AS jsd_bits
+            FROM s
+        """,
+        "orders_bootstrap_ci": _bootstrap_oracle_sql(reps=40, seed=7),
         "events_mann_whitney": """
             WITH u AS (
               SELECT user_id,

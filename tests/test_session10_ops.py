@@ -1,0 +1,205 @@
+"""Round-7 second-session goldens: KS two-sample, one-way ANOVA,
+Spearman-by-group, BH FDR, normal-tail polynomial, Poisson bootstrap,
+JS divergence — hand-computed fixtures for the library ops; the
+registry-level queries are gated by the DuckDB oracles
+(tools/oracle_check.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+
+def test_ks_two_sample_hand_computed(spark):
+    """A=[1,2,3], B=[2,4]: pooled support {1,2,3,4};
+    ECDF_a = (1/3, 2/3, 1, 1), ECDF_b = (0, 1/2, 1/2, 1);
+    gaps (1/3, 1/6, 1/2, 0) -> D = 0.5."""
+    from vanus_spark.operators.hyptests import ks_two_sample
+
+    rows = [(0, 1.0), (0, 2.0), (0, 3.0), (1, 2.0), (1, 4.0)]
+    df = spark.createDataFrame(rows, "grp int, v double")
+    out = ks_two_sample(df, "v", "grp").collect()[0].asDict()
+    assert out["n_a"] == 3 and out["n_b"] == 2
+    assert out["d_stat"] == 0.5
+    assert 0.0 < out["p_value"] <= 1.0
+
+
+def test_ks_identical_samples_p_clamps_to_one(spark):
+    """Same values in both groups: D = 0, lambda = 0, the 3-term sum
+    degenerates to 2 -> the least(1, .) clamp must fire."""
+    from vanus_spark.operators.hyptests import ks_two_sample
+
+    rows = [(g, float(v)) for g in (0, 1) for v in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "grp int, v double")
+    out = ks_two_sample(df, "v", "grp").collect()[0].asDict()
+    assert out["d_stat"] == 0.0 and out["p_value"] == 1.0
+
+
+def test_anova_hand_computed(spark):
+    """g1 = [1,2,3], g2 = [2,4,6] (as cents x100): means 2 and 4,
+    grand 3; SSB = 3*1 + 3*1 = 6, SSW = 2 + 8 = 10;
+    F = (6/1)/(10/4) = 2.4, eta^2 = 6/16 = 0.375 (both scale-free,
+    so the x100 lattice cancels)."""
+    from vanus_spark.operators.hyptests import anova_oneway
+
+    rows = [("a", 100), ("a", 200), ("a", 300),
+            ("b", 200), ("b", 400), ("b", 600)]
+    df = spark.createDataFrame(rows, "g string, c long")
+    out = anova_oneway(df, "c", "g").collect()[0].asDict()
+    assert out["k_groups"] == 2 and out["n"] == 6
+    assert out["f_stat"] == 2.4
+    assert out["eta_sq"] == 0.375
+
+
+def test_spearman_monotone_and_ties(spark):
+    """Perfect monotone (x, x^2) -> rho 1; reversed -> -1; with a tie
+    x=[1,1,2] vs y=[1,2,3]: avg ranks x=(1.5,1.5,3), y=(1,2,3),
+    Pearson = 1.5 / sqrt(1.5 * 2) = 0.866025."""
+    from vanus_spark.operators.hyptests import spearman_by_group
+
+    rows = (
+        [("up", i, i * i) for i in range(1, 6)]
+        + [("dn", i, -i) for i in range(1, 6)]
+        + [("tie", 1, 1), ("tie", 1, 2), ("tie", 2, 3)]
+    )
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {
+        r["g"]: r for r in spearman_by_group(df, "x", "y", "g").collect()
+    }
+    assert out["up"]["spearman_rho"] == 1.0
+    assert out["dn"]["spearman_rho"] == -1.0
+    assert out["tie"]["spearman_rho"] == round(1.5 / math.sqrt(3.0), 6)
+
+
+def test_bh_fdr_step_up_rescues_earlier_miss(spark):
+    """p = [0.04, 0.19, 0.21, 0.9] at alpha=0.3: crit = (0.075, 0.15,
+    0.225, 0.3); rank 2 misses its own crit but rank 3 hits, so the
+    STEP-UP marks ranks 1..3 significant (the defining difference
+    from a per-rank threshold)."""
+    from vanus_spark.operators.hyptests import bh_fdr
+
+    rows = [("s1", 0.04), ("s2", 0.19), ("s3", 0.21), ("s4", 0.9)]
+    df = spark.createDataFrame(rows, "seg string, p double")
+    out = {
+        r["seg"]: r
+        for r in bh_fdr(df, "p", ["seg"], alpha=0.3).collect()
+    }
+    assert [out[s]["significant"] for s in ("s1", "s2", "s3", "s4")] == [
+        True, True, True, False,
+    ]
+    assert out["s3"]["bh_rank"] == 3
+    assert abs(out["s3"]["bh_crit"] - 0.225) < 1e-12
+
+
+def test_bh_fdr_no_hits(spark):
+    from vanus_spark.operators.hyptests import bh_fdr
+
+    df = spark.createDataFrame(
+        [("a", 0.5), ("b", 0.9)], "seg string, p double"
+    )
+    out = bh_fdr(df, "p", ["seg"], alpha=0.05).collect()
+    assert all(not r["significant"] for r in out)
+
+
+def test_norm_sf_matches_erfc(spark):
+    """The A&S 26.2.17 polynomial is documented |err| < 7.5e-8 against
+    the true upper tail Q(z) = erfc(z / sqrt(2)) / 2."""
+    from vanus_spark.operators.hyptests import norm_sf
+
+    zs = [0.0, 0.31, 0.5, 1.0, 1.96, 2.5, 3.2]
+    df = spark.createDataFrame([(z,) for z in zs], "z double")
+    got = {
+        r["z"]: r["q"]
+        for r in df.select("z", norm_sf(F.col("z")).alias("q")).collect()
+    }
+    for z in zs:
+        true_q = math.erfc(z / math.sqrt(2.0)) / 2.0
+        assert abs(got[z] - true_q) < 7.5e-8
+
+
+def test_poisson_weight_inverse_cdf(spark):
+    """Draws straddling each threshold map to the step's k, and the
+    tail clamps at 7."""
+    from vanus_spark.operators.hyptests import _POIS1_CDF, poisson_weight
+
+    us, want = [], []
+    eps = 1e-9
+    for k, th in enumerate(_POIS1_CDF):
+        us += [th - eps, th + eps]
+        want += [k, k + 1]
+    us.append(0.9999999)
+    want.append(7)
+    df = spark.createDataFrame([(u,) for u in us], "u double")
+    got = [
+        r["w"]
+        for r in df.select(
+            poisson_weight(F.col("u")).alias("w")
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_poisson_bootstrap_deterministic_and_sane(spark):
+    """Same seed -> identical row; the plain mean is exact cents/n;
+    the CI brackets the point estimate on a well-behaved sample."""
+    from vanus_spark.operators.hyptests import poisson_bootstrap_mean
+
+    rows = [(i, 1000 + 7 * (i % 13)) for i in range(400)]
+    df = spark.createDataFrame(rows, "k long, c long")
+    a = poisson_bootstrap_mean(df, "c", "k", reps=24, seed=3).collect()[0]
+    b = poisson_bootstrap_mean(df, "c", "k", reps=24, seed=3).collect()[0]
+    assert a.asDict() == b.asDict()
+    exact = sum(c for _, c in rows) / 100.0 / len(rows)
+    assert a["mean"] == round(exact, 4)
+    assert a["ci_lo"] <= a["mean"] <= a["ci_hi"]
+    assert a["boot_se"] > 0.0
+
+
+def test_js_divergence_bounds(spark):
+    """Identical token streams -> 0; disjoint vocabularies -> ln 2
+    nats = exactly 1 bit (the JSD upper bound)."""
+    from vanus_spark.llm.versioning import js_divergence
+
+    same = spark.createDataFrame(
+        [("x",), ("x",), ("y",)], "term string"
+    )
+    out = js_divergence(same, same).collect()[0]
+    assert out["jsd_nats"] == 0.0 and out["jsd_bits"] == 0.0
+    a = spark.createDataFrame([("x",), ("x",)], "term string")
+    b = spark.createDataFrame([("y",), ("z",)], "term string")
+    out2 = js_divergence(a, b).collect()[0]
+    assert out2["jsd_bits"] == 1.0
+    assert out2["vocab"] == 3 and out2["vocab_a"] == 1 and out2["vocab_b"] == 2
+    assert out2["n_tokens_a"] == 2 and out2["n_tokens_b"] == 2
+
+
+def test_ks_multi_partition_prefix(spark):
+    """The two-phase cumulative counts must agree with a single-node
+    ECDF when the distinct-value table spans many slices: 400 distinct
+    values across 7 shuffle partitions, compared against a pure-python
+    KS D."""
+    from vanus_spark.operators.hyptests import ks_two_sample
+
+    import random
+
+    rng = random.Random(5)
+    rows = [(0, float(rng.randrange(1000))) for _ in range(300)] + [
+        (1, float(rng.randrange(800))) for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "grp int, v double").repartition(7)
+    out = ks_two_sample(df, "v", "grp").collect()[0]
+
+    a = sorted(v for g, v in rows if g == 0)
+    b = sorted(v for g, v in rows if g == 1)
+    support = sorted(set(a + b))
+    import bisect
+
+    d = max(
+        abs(
+            bisect.bisect_right(a, x) / len(a)
+            - bisect.bisect_right(b, x) / len(b)
+        )
+        for x in support
+    )
+    assert out["d_stat"] == round(d, 6)

@@ -46,13 +46,26 @@ DEFAULT_QUERIES = [
     "link_ppr",
     "layout_hilbert",
     "corpus_ngram_diversity_approx",
+    # round-7 second session: the inference suite's data-touching
+    # members (anova/spearman are single partial-agg shuffles — flat
+    # by construction, not probed)
+    "events_ks_test",
+    "events_ab_fdr",
+    "orders_bootstrap_ci",
+    "corpus_jsd",
 ]
 REPLICAS = 10
 
 
 def build_scaled_dir(spark) -> str:
     out = tempfile.mkdtemp(prefix="sfx10_")
-    scaled_tables = ("documents.parquet", "customer.parquet", "embeddings.parquet")
+    scaled_tables = (
+        "documents.parquet",
+        "customer.parquet",
+        "embeddings.parquet",
+        "events.parquet",
+        "orders.parquet",
+    )
     for name in os.listdir(BASE):
         if name not in scaled_tables:
             os.symlink(os.path.join(BASE, name), os.path.join(out, name))
@@ -108,6 +121,38 @@ def build_scaled_dir(spark) -> str:
         rotated.alias("embedding"),
         *[c for c in emb.columns if c not in ("vec_id", "embedding")],
     ).write.parquet(os.path.join(out, "embeddings.parquet"))
+
+    # events: replicas are NEW USERS (user_id shifted per rep) with
+    # values nudged onto fresh lattice points — per-user aggregates
+    # (KS, Mann-Whitney, segment A/B) see 10x the population, and the
+    # distinct-value tables the prefix machinery walks grow with the
+    # data instead of piling replicas onto existing support points
+    ev = load_table(spark, BASE, "events")
+    ev.select(*ev.columns, reps).select(
+        (F.col("event_id") + F.col("rep") * 100_000_000).alias("event_id"),
+        (F.col("user_id") + F.col("rep") * 1_000_000).alias("user_id"),
+        F.round(F.col("value") + F.col("rep") * 0.07, 2).alias("value"),
+        *[
+            c
+            for c in ev.columns
+            if c not in ("event_id", "user_id", "value")
+        ],
+    ).write.parquet(os.path.join(out, "events.parquet"))
+
+    # orders: fresh order keys so the bootstrap's per-key md5 draws
+    # are new draws, not 10 copies of the same weight vector
+    orders = load_table(spark, BASE, "orders")
+    orders.select(*orders.columns, reps).select(
+        (F.col("o_orderkey") + F.col("rep") * 100_000_000).alias(
+            "o_orderkey"
+        ),
+        (F.col("o_custkey") + F.col("rep") * 10_000_000).alias("o_custkey"),
+        *[
+            c
+            for c in orders.columns
+            if c not in ("o_orderkey", "o_custkey")
+        ],
+    ).write.parquet(os.path.join(out, "orders.parquet"))
     return out
 
 

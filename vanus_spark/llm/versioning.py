@@ -235,3 +235,47 @@ def population_stability(
     )
     psi = detail.agg(F.round(F.sum("term"), 6).alias("psi"))
     return detail.join(F.broadcast(psi))
+
+
+def js_divergence(
+    tokens_a: DataFrame, tokens_b: DataFrame, term_col: str = "term"
+) -> DataFrame:
+    """Jensen-Shannon divergence between two token-frequency
+    distributions — PSI's bounded, symmetric sibling for CATEGORICAL
+    distributions (vocabularies): JSD = KL(P||M)/2 + KL(Q||M)/2 with
+    M = (P+Q)/2, which is finite on disjoint support (terms absent
+    from one side contribute p/2 * ln 2 — no eps clamping needed, so
+    the result is exactly the textbook quantity both engines agree
+    on). Emits one row: shared/only-a/only-b vocabulary accounting,
+    token totals, jsd_nats, and jsd_bits (= nats / ln 2, in [0, 1]).
+
+    Scale: one map-side-combined count shuffle per side, one full
+    outer join keyed by term (counts only — the text never moves),
+    totals broadcast from a 1-row aggregate, one final fold. The
+    standard drift check run between corpus versions / mixture
+    sources before a retrain."""
+    ca = tokens_a.groupBy(term_col).agg(F.count("*").alias("_na"))
+    cb = tokens_b.groupBy(term_col).agg(F.count("*").alias("_nb"))
+    j = ca.join(cb, term_col, "full").select(
+        F.coalesce("_na", F.lit(0)).alias("_na"),
+        F.coalesce("_nb", F.lit(0)).alias("_nb"),
+    )
+    totals = j.agg(F.sum("_na").alias("_ta"), F.sum("_nb").alias("_tb"))
+    wide = j.crossJoin(F.broadcast(totals))
+    p = F.col("_na") / F.col("_ta")
+    q = F.col("_nb") / F.col("_tb")
+    m = (p + q) / 2
+    term = F.when(p > 0, p * F.log(p / m) / 2).otherwise(0.0) + F.when(
+        q > 0, q * F.log(q / m) / 2
+    ).otherwise(0.0)
+    return wide.agg(
+        F.count("*").alias("vocab"),
+        F.sum((F.col("_na") > 0).cast("long")).alias("vocab_a"),
+        F.sum((F.col("_nb") > 0).cast("long")).alias("vocab_b"),
+        F.first("_ta").alias("n_tokens_a"),
+        F.first("_tb").alias("n_tokens_b"),
+        F.round(F.sum(term), 6).alias("jsd_nats"),
+        F.round(F.sum(term) / F.lit(0.6931471805599453), 6).alias(
+            "jsd_bits"
+        ),
+    )

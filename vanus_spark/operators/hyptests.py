@@ -1,0 +1,345 @@
+"""Statistical inference operators: KS two-sample, one-way ANOVA,
+Spearman rank correlation, Benjamini-Hochberg FDR, and the one-pass
+Poisson bootstrap.
+
+Reference parity: the reference event engine has no statistics surface
+(SURVEY §2.6-2.8 absences); this extends the A/B-stats family
+(`q_events_ab_test`, `operators/ranktests.py`) the Spark port adds.
+
+Scale shapes (the design constraint for every function here):
+
+- ``ks_two_sample``: one map-side-combined groupBy(value) collapse,
+  then cumulative counts over the DISTINCT-value table via the same
+  two-phase prefix machinery as ``bus.distributed_row_number`` (range
+  exchange -> local window per slice -> triangular broadcast prefix
+  join) — never a single-task global window over the data.
+- ``anova_oneway``: two aggregates (per-group, then over #groups
+  rows); all moment sums stay in exact BIGINT cents so both engines
+  derive F from identical integers.
+- ``spearman_by_group``: average ranks come from per-(group, value)
+  counts — valid when the metric lives on a bounded lattice (the
+  declared precondition), so the rank map is a broadcastable dim and
+  the data is touched exactly twice (count, then corr).
+- ``bh_fdr``: windows run over the HYPOTHESIS table (#segments rows),
+  never the observations.
+- ``poisson_bootstrap_mean``: the classic at-scale bootstrap — R
+  deterministic Poisson(1) weights per row computed from a seeded
+  md5, all R weighted sums folded into ONE aggregation pass (no R-way
+  data explosion, no resampling shuffle); the per-replicate sums stay
+  in exact BIGINT cents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+# Cumulative Poisson(1) CDF at k = 0..6 (rounded to 9 decimals so both
+# engines compare u against bit-identical literals); draws above the
+# last threshold clamp to 7 (P ~ 1e-5 at lambda=1).
+_POIS1_CDF = (
+    0.367879441,
+    0.735758882,
+    0.919698603,
+    0.981011843,
+    0.996340153,
+    0.999405815,
+    0.999916758,
+)
+
+
+def norm_sf(z: Column) -> Column:
+    """Upper-tail standard normal P(Z > z) for z >= 0 via the
+    Abramowitz & Stegun 26.2.17 five-term polynomial (|err| < 7.5e-8).
+    Pure arithmetic — the SAME closed form runs in the DuckDB oracle,
+    so both engines produce bit-comparable p-values from identical
+    inputs."""
+    t = 1.0 / (1.0 + 0.2316419 * z)
+    poly = t * (
+        0.319381530
+        + t
+        * (
+            -0.356563782
+            + t * (1.781477937 + t * (-1.821255978 + t * 1.330274429))
+        )
+    )
+    phi = F.exp(-z * z / 2) / 2.5066282746310002  # sqrt(2*pi)
+    return phi * poly
+
+
+def ks_two_sample(
+    samples: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """One-row two-sample Kolmogorov-Smirnov test: D = sup over the
+    pooled support of |ECDF_a - ECDF_b|, with the Numerical-Recipes
+    small-sample-corrected asymptotic p-value
+    p = 2 * sum_{k=1..3} (-1)^{k-1} exp(-2 k^2 lambda^2),
+    lambda = (sqrt(ne) + 0.12 + 0.11/sqrt(ne)) * D, ne = na*nb/(na+nb).
+
+    ``group_col`` must be 0/1. ``value_col`` must be exact-lattice
+    (pre-round floats) so both engines form identical support points.
+
+    The ECDFs need cumulative counts in value order — a global prefix
+    over the distinct-value table, computed with the two-phase shape
+    (range exchange, per-slice local cumsum, #slices-row triangular
+    broadcast prefix), so no single-task window ever sees the data.
+    """
+    grp = samples.groupBy(value_col).agg(
+        F.sum(F.when(F.col(group_col) == 0, 1).otherwise(0)).alias("_ca"),
+        F.sum(F.when(F.col(group_col) == 1, 1).otherwise(0)).alias("_cb"),
+    )
+    ranged = grp.repartitionByRange(value_col).withColumn(
+        "_slice", F.spark_partition_id()
+    )
+    # pin the sampled range-exchange assignment (same reasoning as
+    # bus.distributed_row_number): every branch below must observe ONE
+    # slice assignment.
+    ranged = ranged.localCheckpoint(eager=False)
+    w = Window.partitionBy("_slice").orderBy(value_col)
+    local = ranged.withColumn("_la", F.sum("_ca").over(w)).withColumn(
+        "_lb", F.sum("_cb").over(w)
+    )
+    totals = ranged.groupBy("_slice").agg(
+        F.sum("_ca").alias("_ta"), F.sum("_cb").alias("_tb")
+    )
+    earlier = totals.select(
+        F.col("_slice").alias("_e_slice"),
+        F.col("_ta").alias("_e_ta"),
+        F.col("_tb").alias("_e_tb"),
+    )
+    prefix = (
+        totals.join(
+            F.broadcast(earlier), F.col("_e_slice") < F.col("_slice"), "left"
+        )
+        .groupBy("_slice")
+        .agg(
+            F.coalesce(F.sum("_e_ta"), F.lit(0)).alias("_pa"),
+            F.coalesce(F.sum("_e_tb"), F.lit(0)).alias("_pb"),
+        )
+    )
+    cum = local.join(F.broadcast(prefix), "_slice").select(
+        (F.col("_la") + F.col("_pa")).alias("_cuma"),
+        (F.col("_lb") + F.col("_pb")).alias("_cumb"),
+    )
+    tot = grp.agg(
+        F.sum("_ca").alias("n_a"), F.sum("_cb").alias("n_b")
+    )
+    one = cum.crossJoin(F.broadcast(tot)).agg(
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+        F.max(
+            F.abs(
+                F.col("_cuma") / F.col("n_a") - F.col("_cumb") / F.col("n_b")
+            )
+        ).alias("_d"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    en = F.sqrt(na * nb / (na + nb))
+    lam = (en + 0.12 + 0.11 / en) * F.col("_d")
+    p = F.lit(2.0) * (
+        F.exp(-2 * lam * lam)
+        - F.exp(-8 * lam * lam)
+        + F.exp(-18 * lam * lam)
+    )
+    return one.select(
+        "n_a",
+        "n_b",
+        F.round(F.col("_d"), 6).alias("d_stat"),
+        F.round(F.least(F.lit(1.0), F.greatest(F.lit(0.0), p)), 6).alias(
+            "p_value"
+        ),
+    )
+
+
+def anova_oneway(
+    df: DataFrame, cents_col: str, group_col: str
+) -> DataFrame:
+    """One-row one-way ANOVA across ``group_col`` on an EXACT-INTEGER
+    metric (``cents_col`` must be a BIGINT lattice column — pass
+    round(value*100) cast long): per-group (n, sum, sum-of-squares)
+    stay in exact longs, so both engines derive F and eta^2 from
+    identical integers and the only doubles are the final scale-free
+    ratios. Variance terms use the numerically stable per-group
+    centering (n_g * (mean_g - grand)^2), never the difference of
+    astronomically close raw moment sums.
+
+    Overflow headroom: sum(v^2) <= n * max_cents^2 — 9.2e18 allows
+    ~9e8 rows at max_cents=1e5 per... the CALLER's lattice; pre-scale
+    the lattice down for wider metrics."""
+    g = df.groupBy(group_col).agg(
+        F.count("*").alias("_n"),
+        F.sum(cents_col).alias("_s"),
+        F.sum(F.col(cents_col) * F.col(cents_col)).alias("_ss"),
+    )
+    gm = g.agg(
+        F.sum("_n").alias("_tn"), F.sum("_s").alias("_ts"),
+        F.count("*").alias("_k"),
+    )
+    j = g.crossJoin(F.broadcast(gm))
+    mean_g = F.col("_s").cast("double") / F.col("_n")
+    grand = F.col("_ts").cast("double") / F.col("_tn")
+    ssb_t = F.col("_n") * (mean_g - grand) * (mean_g - grand)
+    ssw_t = F.col("_n") * (
+        F.col("_ss").cast("double") / F.col("_n") - mean_g * mean_g
+    )
+    one = j.groupBy("_tn", "_k").agg(
+        F.sum(ssb_t).alias("_ssb"), F.sum(ssw_t).alias("_ssw")
+    )
+    f_stat = (F.col("_ssb") / (F.col("_k") - 1)) / (
+        F.col("_ssw") / (F.col("_tn") - F.col("_k"))
+    )
+    return one.select(
+        F.col("_k").alias("k_groups"),
+        F.col("_tn").alias("n"),
+        F.round(f_stat, 6).alias("f_stat"),
+        F.round(F.col("_ssb") / (F.col("_ssb") + F.col("_ssw")), 6).alias(
+            "eta_sq"
+        ),
+    )
+
+
+def spearman_by_group(
+    df: DataFrame, x_col: str, y_col: str, group_col: str
+) -> DataFrame:
+    """Per-group Spearman rank correlation (Pearson on average ranks,
+    the standard tie treatment), for metrics on a BOUNDED LATTICE
+    (the declared precondition — e.g. quantities, discount steps,
+    star ratings): average ranks are derived from per-(group, value)
+    counts, so the rank map is #groups x #distinct-values rows — a
+    broadcastable dim at any data size — and the fact table is
+    touched exactly twice (one counting pass, one corr pass). The
+    within-group rank window runs over the distinct-value rows of one
+    group (<= lattice size), never the data."""
+    out = df.select(group_col, x_col, y_col)
+    for var in (x_col, y_col):
+        cnt = df.groupBy(group_col, var).agg(F.count("*").alias("_t"))
+        w = Window.partitionBy(group_col).orderBy(var)
+        ranks = cnt.select(
+            group_col,
+            var,
+            (
+                F.sum("_t").over(w).cast("double")
+                - (F.col("_t") - 1) / 2.0
+            ).alias(f"_r_{var}"),
+        )
+        out = out.join(F.broadcast(ranks), [group_col, var])
+    return (
+        out.groupBy(group_col)
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.corr(f"_r_{x_col}", f"_r_{y_col}"), 6).alias(
+                "spearman_rho"
+            ),
+        )
+    )
+
+
+def bh_fdr(
+    hyps: DataFrame, p_col: str, key_cols: list[str], alpha: float = 0.05
+) -> DataFrame:
+    """Benjamini-Hochberg step-up over a table of hypotheses: rank
+    p-values ascending (ties broken by ``key_cols`` so the order is
+    total), crit_i = i * alpha / m, and every hypothesis with rank
+    <= max{i : p_i <= crit_i} is significant — the standard FDR gate
+    run across per-segment A/B readouts before shipping any of them.
+
+    All windows/aggregates here run over the hypothesis table
+    (#segments rows, bounded by design), never the observations."""
+    m_df = hyps.agg(F.count("*").alias("_m"))
+    w = Window.orderBy(p_col, *key_cols)
+    ranked = (
+        hyps.withColumn("bh_rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(m_df))
+        .withColumn(
+            "bh_crit", F.col("bh_rank") * F.lit(alpha) / F.col("_m")
+        )
+    )
+    kmax = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(F.col(p_col) <= F.col("bh_crit"), F.col("bh_rank"))
+            ),
+            F.lit(0),
+        ).alias("_kmax")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kmax))
+        .withColumn("significant", F.col("bh_rank") <= F.col("_kmax"))
+        .drop("_m", "_kmax")
+    )
+
+
+def poisson_weight(u: Column) -> Column:
+    """Poisson(1) draw from a uniform in [0,1) by inverse CDF over the
+    literal cumulative thresholds (clamped at 7)."""
+    expr = None
+    for k, th in enumerate(_POIS1_CDF):
+        cond = u < F.lit(th)
+        expr = F.when(cond, k) if expr is None else expr.when(cond, k)
+    return expr.otherwise(len(_POIS1_CDF)).cast("long")
+
+
+def poisson_bootstrap_mean(
+    df: DataFrame,
+    cents_col: str,
+    key_col: str,
+    reps: int = 40,
+    seed: int = 7,
+) -> DataFrame:
+    """One-row Poisson-bootstrap estimate of the mean of an
+    exact-cents metric: replicate r reweights each row by a
+    DETERMINISTIC Poisson(1) draw from md5(seed*1000+r | key) — the
+    standard at-scale bootstrap (resampling n rows with replacement
+    converges to iid Poisson(1) weights), except reproducible, so the
+    DuckDB oracle re-derives the identical replicate sums.
+
+    ALL ``reps`` weighted sums fold into ONE aggregation pass: no
+    R-way explode, no per-replicate shuffle — the single map-side
+    combine carries 2R exact BIGINT partial sums. Returns
+    (n, mean, boot_se, ci_lo, ci_hi): se is the stddev of the
+    replicate means; the CI is the 2nd / (reps-1)-th order statistic
+    of the sorted replicate means (~central 95% at reps=40).
+    """
+    from vanus_spark.llm.dedup import md5_long
+
+    aggs = [
+        F.count("*").alias("_n"),
+        F.sum(cents_col).alias("_s"),
+    ]
+    for r in range(reps):
+        u = (md5_long(F.col(key_col), seed=seed * 1000 + r) % 1_000_000) / 1_000_000.0
+        wgt = poisson_weight(u)
+        aggs.append(F.sum(wgt * F.col(cents_col)).alias(f"_ws_{r}"))
+        aggs.append(F.sum(wgt).alias(f"_wn_{r}"))
+    one = df.agg(*aggs)
+    means = F.array_sort(
+        F.array(
+            *[
+                F.col(f"_ws_{r}").cast("double")
+                / F.col(f"_wn_{r}")
+                / 100.0
+                for r in range(reps)
+            ]
+        )
+    )
+    one = one.withColumn("_means", means)
+    mbar = F.aggregate(
+        "_means", F.lit(0.0), lambda a, x: a + x
+    ) / reps
+    var = F.aggregate(
+        "_means",
+        F.lit(0.0),
+        lambda a, x: a + (x - F.col("_mbar")) * (x - F.col("_mbar")),
+    ) / (reps - 1)
+    return (
+        one.withColumn("_mbar", mbar)
+        .select(
+            F.col("_n").alias("n"),
+            F.round(F.col("_s").cast("double") / 100.0 / F.col("_n"), 4).alias(
+                "mean"
+            ),
+            F.round(F.sqrt(var), 4).alias("boot_se"),
+            F.round(F.element_at("_means", 2), 4).alias("ci_lo"),
+            F.round(F.element_at("_means", reps - 1), 4).alias("ci_hi"),
+        )
+    )
