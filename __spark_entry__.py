@@ -7872,6 +7872,214 @@ def q_orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between the daily 'view' and
+    'purchase' count series at lags 0..7 — the lead/lag diagnostic
+    ("do views predict purchases k days out?") run before building
+    any transfer model. One daily partial-agg shuffle over the data;
+    the lag alignment is an equi-join of the #days-row series against
+    itself shifted (date_add with the exploded lag — never a theta
+    join), and each lag's Pearson corr folds from exact integer
+    counts. Everything after the first aggregate runs on #days x 8
+    rows."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("d"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    x = daily.where(F.col("event_type") == "view").select(
+        F.col("d").alias("xd"), F.col("n").alias("xn")
+    )
+    y = daily.where(F.col("event_type") == "purchase").select(
+        F.col("d").alias("yd"), F.col("n").alias("yn")
+    )
+    lagged = x.select(
+        "xd", "xn", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("lag")
+    )
+    j = lagged.join(y, F.date_add(F.col("xd"), F.col("lag")) == F.col("yd"))
+    return j.groupBy("lag").agg(
+        F.count("*").alias("n_days"),
+        F.round(F.corr("xn", "yn"), 6).alias("ccf"),
+    )
+
+
+def q_events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout: variant 1 vs 0, pre vs post
+    the mid-window cutover (2024-01-16) — the standard quasi-
+    experimental estimate when assignment wasn't randomized at the
+    metric's grain. All four cell moments come from ONE map-side
+    combined shuffle in exact integer cents; the estimate, its pooled
+    standard error sqrt(sum var_cell/n_cell), and z fold from the
+    4-row cell table. Dollars on output."""
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("variant"),
+        (F.col("ts") >= F.lit("2024-01-16").cast("timestamp"))
+        .cast("int")
+        .alias("post"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("c"),
+    )
+    cells = ev.groupBy("variant", "post").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / n
+    var = (F.col("ss").cast("double") - n * mean * mean) / (n - 1)
+    wide = cells.select(
+        "variant", "post", "n", mean.alias("m"), (var / n).alias("vn")
+    )
+
+    def cell(v, p, col):
+        return F.max(
+            F.when(
+                (F.col("variant") == v) & (F.col("post") == p), F.col(col)
+            )
+        )
+
+    one = wide.agg(
+        F.sum("n").alias("n_events"),
+        cell(1, 1, "m").alias("_m11"),
+        cell(1, 0, "m").alias("_m10"),
+        cell(0, 1, "m").alias("_m01"),
+        cell(0, 0, "m").alias("_m00"),
+        (
+            cell(1, 1, "vn") + cell(1, 0, "vn")
+            + cell(0, 1, "vn") + cell(0, 0, "vn")
+        ).alias("_se2"),
+    )
+    did = (F.col("_m11") - F.col("_m10")) - (F.col("_m01") - F.col("_m00"))
+    return one.select(
+        "n_events",
+        F.round(F.col("_m00") / 100.0, 4).alias("ctrl_pre"),
+        F.round(F.col("_m01") / 100.0, 4).alias("ctrl_post"),
+        F.round(F.col("_m10") / 100.0, 4).alias("treat_pre"),
+        F.round(F.col("_m11") / 100.0, 4).alias("treat_post"),
+        F.round(did / 100.0, 4).alias("did"),
+        F.round(F.sqrt(F.col("_se2")) / 100.0, 4).alias("se"),
+        F.round(did / F.sqrt(F.col("_se2")), 6).alias("z"),
+    )
+
+
+def q_events_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical association suite for event_type x quarter-of-day:
+    chi-square, Cramer's V (the [0,1] effect size chi2 alone
+    overstates on big n), and mutual information in nats — the three
+    numbers a feature-selection pass reads off a contingency table.
+    ONE shuffle over the data builds the cell table; margins re-fold
+    from the cells (never a second scan) and broadcast back; every
+    statistic derives from exact integer counts."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.expr("hour(ts) DIV 6").alias("day_quarter")
+    )
+    cells = ev.groupBy("event_type", "day_quarter").agg(
+        F.count("*").alias("o")
+    )
+    rows = cells.groupBy("event_type").agg(F.sum("o").alias("rn"))
+    cols = cells.groupBy("day_quarter").agg(F.sum("o").alias("cn"))
+    tot = cells.agg(F.sum("o").alias("nn"))
+    j = (
+        cells.join(F.broadcast(rows), "event_type")
+        .join(F.broadcast(cols), "day_quarter")
+        .crossJoin(F.broadcast(tot))
+    )
+    o = F.col("o").cast("double")
+    e = F.col("rn").cast("double") * F.col("cn") / F.col("nn")
+    p = o / F.col("nn")
+    # rn cast double BEFORE the product: long*long margins overflow
+    # at extreme table sizes
+    mi_t = p * F.log(
+        o
+        * F.col("nn").cast("double")
+        / (F.col("rn").cast("double") * F.col("cn"))
+    )
+    agg = j.agg(
+        F.max("nn").alias("n"),
+        F.countDistinct("event_type").alias("r"),
+        F.countDistinct("day_quarter").alias("c"),
+        F.sum((o - e) * (o - e) / e).alias("_chi2"),
+        F.sum(mi_t).alias("_mi"),
+    )
+    return agg.select(
+        "n",
+        "r",
+        "c",
+        ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"),
+        F.round("_chi2", 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("_chi2")
+                / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+        F.round("_mi", 6).alias("mi_nats"),
+    )
+
+
+def q_events_conversion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion conversion readout between the hash variants:
+    per-user purchase conversion, the pooled two-proportion z, and
+    each variant's 95% Wilson score interval (the binomial CI that
+    behaves at small counts and extreme rates, unlike Wald) — the
+    PROPORTIONS sibling of q_events_ab_test's Welch t on means. The
+    trial unit is the USER-DAY (any-purchase-today), not the user —
+    over the 30-day window virtually every user purchases at least
+    once, which degenerates the user-grain rate to 1.0 on both sides
+    (pooled z divides by zero). One per-(user, day) collapse, one
+    2-row aggregate; all inputs exact integer counts so both engines
+    derive identical doubles."""
+    ev = _t(spark, sf_dir, "events")
+    userdays = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("converted")
+    )
+    g = userdays.groupBy((F.col("user_id") % 2).alias("variant")).agg(
+        F.count("*").alias("n"), F.sum("converted").alias("k")
+    )
+    nn = F.col("n").cast("double")
+    ph = F.col("k").cast("double") / nn
+    zc = 1.959963985  # Phi^-1(0.975), shared literal with the oracle
+    denom = 1 + zc * zc / nn
+    center = (ph + zc * zc / (2 * nn)) / denom
+    half = (
+        zc
+        * F.sqrt(ph * (1 - ph) / nn + zc * zc / (4 * nn * nn))
+        / denom
+    )
+    per = g.select(
+        "variant",
+        "n",
+        "k",
+        F.round(ph, 6).alias("rate"),
+        F.round(center - half, 6).alias("wilson_lo"),
+        F.round(center + half, 6).alias("wilson_hi"),
+    )
+    pair = g.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("na"),
+        F.max(F.when(F.col("variant") == 0, F.col("k"))).alias("ka"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("variant") == 1, F.col("k"))).alias("kb"),
+    )
+    pp = (F.col("ka") + F.col("kb")).cast("double") / (
+        F.col("na") + F.col("nb")
+    )
+    sig2 = pp * (1 - pp) * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    # all-converted / none-converted pools have zero variance: z is
+    # undefined -> NULL, not an ANSI divide-by-zero
+    z2 = F.when(
+        sig2 > 0,
+        (
+            F.col("ka").cast("double") / F.col("na")
+            - F.col("kb").cast("double") / F.col("nb")
+        )
+        / F.sqrt(sig2),
+    )
+    return per.crossJoin(
+        F.broadcast(pair.select(F.round(z2, 6).alias("pooled_z")))
+    )
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Round-7 policy (VERDICT r6 item #2): the 11 new-in-round queries first,
@@ -7960,6 +8168,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ab_fdr": q_events_ab_fdr,
         "corpus_jsd": q_corpus_jsd,
         "orders_bootstrap_ci": q_orders_bootstrap_ci,
+        "events_ccf": q_events_ccf,
+        "events_diff_in_diff": q_events_diff_in_diff,
+        "events_contingency": q_events_contingency,
+        "events_conversion_test": q_events_conversion_test,
         # --- new in round 7: nonparametric stats, corpus health,
         # dedup reporting, sketch calibration, embedding QA ---
         "events_mann_whitney": q_events_mann_whitney,
@@ -9213,9 +9425,9 @@ def _bootstrap_oracle_sql(reps: int = 40, seed: int = 7) -> str:
     from vanus_spark.operators.hyptests import _POIS1_CDF
 
     us = ",\n                  ".join(
-        f"((('0x' || substr(md5('{seed * 1000 + r}|' || "
-        f"o_orderkey::VARCHAR), 1, 15))::BIGINT % 1000000) / 1000000.0) "
-        f"AS u_{r}"
+        f"((('0x' || substr(md5('{seed * 1000 + r // 3}|' || "
+        f"o_orderkey::VARCHAR), {1 + 10 * (r % 3)}, 10))::BIGINT"
+        f" % 1000000) / 1000000.0) AS u_{r}"
         for r in range(reps)
     )
     cases = ",\n                  ".join(
@@ -9443,6 +9655,136 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "orders_bootstrap_ci": _bootstrap_oracle_sql(reps=40, seed=7),
+        "events_ccf": """
+            WITH daily AS (SELECT date_trunc('day', ts)::DATE AS d,
+                                  event_type, count(*)::BIGINT AS n
+                           FROM events GROUP BY 1, 2),
+            x AS (SELECT d AS xd, n AS xn FROM daily
+                  WHERE event_type = 'view'),
+            y AS (SELECT d AS yd, n AS yn FROM daily
+                  WHERE event_type = 'purchase'),
+            l AS (SELECT xd, xn, unnest(range(0, 8)) AS lag FROM x),
+            j AS (SELECT lag, xn, yn FROM l
+                  JOIN y ON xd + lag::INT = yd)
+            SELECT lag, count(*)::BIGINT AS n_days,
+                   round(corr(xn, yn), 6) AS ccf
+            FROM j GROUP BY lag
+        """,
+        "events_diff_in_diff": """
+            WITH e AS (SELECT (user_id % 2) AS variant,
+                              (ts >= TIMESTAMP '2024-01-16')::INT AS post,
+                              CAST(round(value * 100) AS BIGINT) AS c
+                       FROM events),
+            cells AS (SELECT variant, post, count(*)::BIGINT AS n,
+                             sum(c)::BIGINT AS s, sum(c * c)::BIGINT AS ss
+                      FROM e GROUP BY 1, 2),
+            w AS (SELECT variant, post, n, s::DOUBLE / n AS m,
+                         ((ss::DOUBLE - n * (s::DOUBLE / n)
+                                          * (s::DOUBLE / n)) / (n - 1)) / n
+                           AS vn
+                  FROM cells),
+            one AS (SELECT sum(n)::BIGINT AS n_events,
+                           max(CASE WHEN variant = 1 AND post = 1
+                                    THEN m END) AS m11,
+                           max(CASE WHEN variant = 1 AND post = 0
+                                    THEN m END) AS m10,
+                           max(CASE WHEN variant = 0 AND post = 1
+                                    THEN m END) AS m01,
+                           max(CASE WHEN variant = 0 AND post = 0
+                                    THEN m END) AS m00,
+                           max(CASE WHEN variant = 1 AND post = 1
+                                    THEN vn END)
+                           + max(CASE WHEN variant = 1 AND post = 0
+                                      THEN vn END)
+                           + max(CASE WHEN variant = 0 AND post = 1
+                                      THEN vn END)
+                           + max(CASE WHEN variant = 0 AND post = 0
+                                      THEN vn END) AS se2
+                    FROM w)
+            SELECT n_events,
+                   round(m00 / 100.0, 4) AS ctrl_pre,
+                   round(m01 / 100.0, 4) AS ctrl_post,
+                   round(m10 / 100.0, 4) AS treat_pre,
+                   round(m11 / 100.0, 4) AS treat_post,
+                   round(((m11 - m10) - (m01 - m00)) / 100.0, 4) AS did,
+                   round(sqrt(se2) / 100.0, 4) AS se,
+                   round(((m11 - m10) - (m01 - m00)) / sqrt(se2), 6) AS z
+            FROM one
+        """,
+        "events_contingency": """
+            WITH e AS (SELECT event_type, hour(ts) // 6 AS day_quarter
+                       FROM events),
+            cells AS (SELECT event_type, day_quarter,
+                             count(*)::BIGINT AS o
+                      FROM e GROUP BY 1, 2),
+            rm AS (SELECT event_type, sum(o)::BIGINT AS rn FROM cells
+                   GROUP BY 1),
+            cm AS (SELECT day_quarter, sum(o)::BIGINT AS cn FROM cells
+                   GROUP BY 1),
+            t AS (SELECT sum(o)::BIGINT AS nn FROM cells),
+            j AS (SELECT event_type, day_quarter, o, rn, cn, nn
+                  FROM cells JOIN rm USING (event_type)
+                       JOIN cm USING (day_quarter) CROSS JOIN t),
+            a AS (SELECT max(nn) AS n,
+                         count(DISTINCT event_type)::BIGINT AS r,
+                         count(DISTINCT day_quarter)::BIGINT AS c,
+                         sum((o::DOUBLE - rn::DOUBLE * cn / nn)
+                             * (o::DOUBLE - rn::DOUBLE * cn / nn)
+                             / (rn::DOUBLE * cn / nn)) AS chi2,
+                         sum((o::DOUBLE / nn)
+                             * ln(o::DOUBLE * nn
+                                  / (rn::DOUBLE * cn))) AS mi
+                  FROM j)
+            SELECT n, r, c, (r - 1) * (c - 1) AS dof,
+                   round(chi2, 6) AS chi2,
+                   round(sqrt(chi2 / (n * least(r - 1, c - 1))), 6)
+                     AS cramers_v,
+                   round(mi, 6) AS mi_nats
+            FROM a
+        """,
+        "events_conversion_test": """
+            WITH u AS (SELECT user_id, date_trunc('day', ts)::DATE AS d,
+                              max(CASE WHEN event_type = 'purchase'
+                                       THEN 1 ELSE 0 END) AS converted
+                       FROM events GROUP BY 1, 2),
+            g AS (SELECT (user_id % 2) AS variant, count(*)::BIGINT AS n,
+                         sum(converted)::BIGINT AS k
+                  FROM u GROUP BY 1),
+            p0 AS (SELECT variant, n, k, n::DOUBLE AS nd,
+                          k::DOUBLE / n AS ph
+                   FROM g),
+            p1 AS (SELECT *,
+                          1 + 1.959963985 * 1.959963985 / nd AS denom,
+                          ph + 1.959963985 * 1.959963985 / (2 * nd)
+                            AS cnum,
+                          1.959963985
+                          * sqrt(ph * (1 - ph) / nd
+                                 + 1.959963985 * 1.959963985
+                                   / (4 * nd * nd)) AS hnum
+                   FROM p0),
+            per AS (SELECT variant, n, k, round(ph, 6) AS rate,
+                           round(cnum / denom - hnum / denom, 6)
+                             AS wilson_lo,
+                           round(cnum / denom + hnum / denom, 6)
+                             AS wilson_hi
+                    FROM p1),
+            pair AS (SELECT max(CASE WHEN variant = 0 THEN n END) AS na,
+                            max(CASE WHEN variant = 0 THEN k END) AS ka,
+                            max(CASE WHEN variant = 1 THEN n END) AS nb,
+                            max(CASE WHEN variant = 1 THEN k END) AS kb
+                     FROM g),
+            ps AS (SELECT na, ka, nb, kb,
+                          ((ka + kb)::DOUBLE / (na + nb))
+                          * (1 - (ka + kb)::DOUBLE / (na + nb))
+                          * (1.0 / na + 1.0 / nb) AS sig2
+                   FROM pair),
+            pz AS (SELECT round(CASE WHEN sig2 > 0 THEN
+                     (ka::DOUBLE / na - kb::DOUBLE / nb) / sqrt(sig2)
+                     END, 6) AS pooled_z
+                   FROM ps)
+            SELECT variant, n, k, rate, wilson_lo, wilson_hi, pooled_z
+            FROM per CROSS JOIN pz
+        """,
         "events_mann_whitney": """
             WITH u AS (
               SELECT user_id,

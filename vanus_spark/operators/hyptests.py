@@ -271,12 +271,17 @@ def bh_fdr(
 
 def poisson_weight(u: Column) -> Column:
     """Poisson(1) draw from a uniform in [0,1) by inverse CDF over the
-    literal cumulative thresholds (clamped at 7)."""
-    expr = None
-    for k, th in enumerate(_POIS1_CDF):
-        cond = u < F.lit(th)
-        expr = F.when(cond, k) if expr is None else expr.when(cond, k)
-    return expr.otherwise(len(_POIS1_CDF)).cast("long")
+    literal cumulative thresholds (clamped at 7): the draw k is the
+    COUNT of thresholds <= u (u in [cdf_{k-1}, cdf_k) passes exactly
+    k of them), expressed as one filter-count over a 7-element array
+    literal instead of an 8-arm CASE chain — the bootstrap builds
+    ``reps`` of these, and the when-chain form made the projected
+    plan ~5x bigger (compile time, not data time; same lesson as the
+    PSI bucketizer and the hilbert unroll)."""
+    arr = F.expr(
+        "array(" + ",".join(f"{th!r}D" for th in _POIS1_CDF) + ")"
+    )
+    return F.size(F.filter(arr, lambda t: u >= t)).cast("long")
 
 
 def poisson_bootstrap_mean(
@@ -300,18 +305,54 @@ def poisson_bootstrap_mean(
     replicate means; the CI is the 2nd / (reps-1)-th order statistic
     of the sorted replicate means (~central 95% at reps=40).
     """
-    from vanus_spark.llm.dedup import md5_long
-
+    # The digest work dominates this operator, so three deliberate
+    # shapes: (1) each md5 feeds THREE independent 40-bit draws (hex
+    # chars 1-10 / 11-20 / 21-30) — ceil(reps/3) digests per row, not
+    # reps (the mod-1e6 lattice bias of a 40-bit draw is ~1e-6,
+    # indistinguishable from the old 60-bit scheme's 1e-12 at the
+    # 1e-6 threshold granularity); (2) the uniforms are PROJECTED
+    # columns, because poisson_weight references its input 8 times
+    # across the CASE arms and aggregate children get no
+    # subexpression elimination — without the projection each row
+    # pays 8x the hashing (measured); (3) if the scan
+    # under-partitions (one small parquet file -> one task), the
+    # projection is spread first — at real scale the input splits
+    # already provide parallelism and the branch is a no-op.
+    if df.rdd.getNumPartitions() < df.sparkSession.sparkContext.defaultParallelism:
+        df = df.repartition(
+            df.sparkSession.sparkContext.defaultParallelism
+        )
+    us = []
+    for h in range((reps + 2) // 3):
+        payload = F.concat(
+            F.lit(str(seed * 1000 + h) + "|"), F.col(key_col).cast("string")
+        )
+        digest = F.md5(payload)
+        for third in range(3):
+            r = 3 * h + third
+            if r >= reps:
+                break
+            us.append(
+                (
+                    (
+                        F.conv(
+                            F.substring(digest, 1 + 10 * third, 10), 16, 10
+                        ).cast("long")
+                        % 1_000_000
+                    )
+                    / 1_000_000.0
+                ).alias(f"_u_{r}")
+            )
+    projected = df.select(F.col(cents_col), *us)
     aggs = [
         F.count("*").alias("_n"),
         F.sum(cents_col).alias("_s"),
     ]
     for r in range(reps):
-        u = (md5_long(F.col(key_col), seed=seed * 1000 + r) % 1_000_000) / 1_000_000.0
-        wgt = poisson_weight(u)
+        wgt = poisson_weight(F.col(f"_u_{r}"))
         aggs.append(F.sum(wgt * F.col(cents_col)).alias(f"_ws_{r}"))
         aggs.append(F.sum(wgt).alias(f"_wn_{r}"))
-    one = df.agg(*aggs)
+    one = projected.agg(*aggs)
     means = F.array_sort(
         F.array(
             *[
