@@ -8080,6 +8080,58 @@ def q_events_conversion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_users_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group log-rank test on the churn durations behind
+    q_users_kaplan_meier (same subjects: duration = days between
+    first and last event, every 5th user censored) split by the hash
+    variant — the significance readout on the KM curves. The risk
+    table collapses to per-duration counts before any window; the
+    hypergeometric expectation/variance fold runs over the bounded
+    duration axis only (operators/survival.logrank_test)."""
+    from vanus_spark.operators.survival import logrank_test
+
+    ev = _t(spark, sf_dir, "events")
+    subjects = (
+        ev.groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.max(F.to_date("ts")), F.min(F.to_date("ts"))
+            ).alias("duration")
+        )
+        .select(
+            F.col("duration").cast("long").alias("duration"),
+            F.when(F.col("user_id") % 5 == 0, F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("event"),
+            (F.col("user_id") % 2).cast("int").alias("grp"),
+        )
+    )
+    return logrank_test(subjects)
+
+
+def q_events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (period 7) over each event type's daily
+    value series — iterative level/trend/seasonal state folded
+    entirely inside ONE Catalyst higher-order aggregate (no UDF, no
+    per-step shuffle; operators/timeseries.holt_winters), emitting
+    the 1..7-day-ahead forecasts plus final state and in-sample SSE.
+    Daily sums stay exact integer cents, so both engines enter the
+    recursion with identical doubles and the DuckDB twin — the SAME
+    recursion as a recursive CTE over 7 seasonal columns —
+    hash-matches the whole walk at round(6). Smoothing constants are
+    powers of two (0.5/0.25/0.25): exact doubles, the EWMA module's
+    convention."""
+    from vanus_spark.operators.timeseries import holt_winters
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents")
+    )
+    return holt_winters(daily, "event_type", "day", "cents")
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Round-7 policy (VERDICT r6 item #2): the 11 new-in-round queries first,
@@ -8172,6 +8224,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_diff_in_diff": q_events_diff_in_diff,
         "events_contingency": q_events_contingency,
         "events_conversion_test": q_events_conversion_test,
+        "users_logrank": q_users_logrank,
+        "events_holt_winters": q_events_holt_winters,
         # --- new in round 7: nonparametric stats, corpus health,
         # dedup reporting, sketch calibration, embedding QA ---
         "events_mann_whitney": q_events_mann_whitney,
@@ -9472,6 +9526,75 @@ def _bootstrap_oracle_sql(reps: int = 40, seed: int = 7) -> str:
         """
 
 
+def _holt_winters_oracle_sql(p: int = 7) -> str:
+    """DuckDB twin of q_events_holt_winters: the SAME additive
+    Holt-Winters recursion as a recursive CTE carrying ``p`` scalar
+    seasonal columns (s0..s6), stepping one day per recursion level.
+    Every arithmetic expression textually mirrors the Spark fold
+    (same literals 0.5/0.25/0.75, same nesting), and the init moments
+    come from exact integer cents, so the walks are bit-identical."""
+    scols = ", ".join(f"s{i}" for i in range(p))
+    init_seas = ",\n                          ".join(
+        f"max(CASE WHEN t = {i} THEN y END)"
+        f" - sum(CASE WHEN t < {p} THEN y END) / {float(p)!r}::DOUBLE AS s{i}"
+        for i in range(p)
+    )
+    sold = (
+        "CASE s.t % 7 "
+        + " ".join(f"WHEN {i} THEN s.s{i}" for i in range(p))
+        + " END"
+    )
+    lvl_n = f"0.5 * (d.y - {sold}) + 0.5 * (s.lvl + s.tr)"
+    s_n = f"0.25 * (d.y - ({lvl_n})) + 0.75 * {sold}"
+    step_seas = ",\n                     ".join(
+        f"CASE WHEN s.t % 7 = {i} THEN {s_n} ELSE s.s{i} END AS s{i}"
+        for i in range(p)
+    )
+    fc_seas = (
+        "CASE (n - 1 + h) % 7 "
+        + " ".join(f"WHEN {i} THEN s{i}" for i in range(p))
+        + " END"
+    )
+    return f"""
+            WITH RECURSIVE d AS (
+              SELECT event_type AS k, ts::DATE AS day,
+                     sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS yc
+              FROM events GROUP BY 1, 2),
+            di AS (SELECT k,
+                          row_number() OVER (PARTITION BY k ORDER BY day)
+                            - 1 AS t,
+                          yc::DOUBLE AS y
+                   FROM d),
+            init AS (
+              SELECT k, count(*)::BIGINT AS n, {p}::BIGINT AS t,
+                     sum(CASE WHEN t < {p} THEN y END)
+                       / {float(p)!r}::DOUBLE AS lvl,
+                     (sum(CASE WHEN t >= {p} AND t < {2 * p} THEN y END)
+                      - sum(CASE WHEN t < {p} THEN y END))
+                       / {float(p * p)!r}::DOUBLE AS tr,
+                     0.0::DOUBLE AS sse,
+                          {init_seas}
+              FROM di GROUP BY k HAVING count(*) >= {2 * p}),
+            step AS (
+              SELECT * FROM init
+              UNION ALL
+              SELECT s.k, s.n, s.t + 1,
+                     {lvl_n} AS lvl,
+                     0.25 * (({lvl_n}) - s.lvl) + 0.75 * s.tr AS tr,
+                     s.sse + (d.y - (s.lvl + s.tr + {sold}))
+                           * (d.y - (s.lvl + s.tr + {sold})) AS sse,
+                     {step_seas}
+              FROM step s JOIN di d ON d.k = s.k AND d.t = s.t),
+            fin AS (SELECT * FROM step WHERE t = n),
+            hs AS (SELECT unnest(range(1, {p + 1})) AS h)
+            SELECT k AS event_type, n AS n_days, h,
+                   round(lvl + h * tr + {fc_seas}, 6) AS forecast,
+                   round(lvl, 6) AS level, round(tr, 6) AS trend,
+                   round(sse, 6) AS sse
+            FROM fin CROSS JOIN hs
+        """
+
+
 # A&S 26.2.17 upper-tail normal polynomial — the SQL twin of
 # vanus_spark.operators.hyptests.norm_sf, same literals, same nesting.
 _NORM_SF_SQL = (
@@ -9655,6 +9778,59 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "orders_bootstrap_ci": _bootstrap_oracle_sql(reps=40, seed=7),
+        "events_holt_winters": _holt_winters_oracle_sql(p=7),
+        "users_logrank": """
+            WITH subj AS (
+              SELECT user_id,
+                     date_diff('day', min(ts::DATE), max(ts::DATE))::BIGINT
+                       AS duration
+              FROM events GROUP BY user_id),
+            s AS (SELECT duration,
+                         CASE WHEN user_id % 5 = 0 THEN 0 ELSE 1 END
+                           AS event,
+                         (user_id % 2)::INT AS grp
+                  FROM subj),
+            risk AS (SELECT duration,
+                            sum(event * (grp = 1)::INT)::BIGINT AS d1,
+                            sum(event * (grp = 0)::INT)::BIGINT AS d0,
+                            sum((grp = 1)::INT)::BIGINT AS l1,
+                            sum((grp = 0)::INT)::BIGINT AS l0
+                     FROM s GROUP BY 1),
+            staged AS (
+              SELECT duration, d1, d1 + d0 AS d,
+                     sum(l1) OVER ()
+                     - coalesce(sum(l1) OVER (ORDER BY duration
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS n1,
+                     sum(l1) OVER ()
+                     - coalesce(sum(l1) OVER (ORDER BY duration
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0)
+                     + sum(l0) OVER ()
+                     - coalesce(sum(l0) OVER (ORDER BY duration
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS n,
+                     (sum(l1) OVER ())::BIGINT AS n_b,
+                     (sum(l0) OVER ())::BIGINT AS n_a
+              FROM risk),
+            f AS (SELECT * FROM staged WHERE d > 0),
+            agg AS (
+              SELECT n_a, n_b, sum(d1)::BIGINT AS o_b,
+                     sum(d::DOUBLE * n1 / n) AS e,
+                     sum(CASE WHEN n > 1 THEN
+                           d::DOUBLE * (n1::DOUBLE / n)
+                           * (1 - n1::DOUBLE / n)
+                           * (n - d) / (n - 1)
+                         ELSE 0.0 END) AS v
+              FROM f GROUP BY n_a, n_b)
+            SELECT n_a, n_b, o_b, round(e, 6) AS e_b,
+                   round(CASE WHEN v > 0 THEN
+                         (o_b::DOUBLE - e) * (o_b::DOUBLE - e) / v END, 6)
+                     AS logrank_chi2,
+                   round(CASE WHEN v > 0 THEN
+                         (o_b::DOUBLE - e) / sqrt(v) END, 6) AS z
+            FROM agg
+        """,
         "events_ccf": """
             WITH daily AS (SELECT date_trunc('day', ts)::DATE AS d,
                                   event_type, count(*)::BIGINT AS n

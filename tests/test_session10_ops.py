@@ -203,3 +203,84 @@ def test_ks_multi_partition_prefix(spark):
         for x in support
     )
     assert out["d_stat"] == round(d, 6)
+
+
+def test_logrank_hand_computed(spark):
+    """g0: events at t=1,2; g1: event at t=1, censored at t=3.
+    t=1: n=4, n1=2, d=2, d1=1 -> E=1, V=1/3;
+    t=2: n=2, n1=1, d=1, d1=0 -> E=0.5, V=0.25.
+    O_b=1, E_b=1.5, V=7/12 -> chi2=0.25/(7/12)=3/7, z=-0.5/sqrt(7/12)."""
+    import math
+
+    from vanus_spark.operators.survival import logrank_test
+
+    rows = [(1, 1, 0), (2, 1, 0), (1, 1, 1), (3, 0, 1)]
+    df = spark.createDataFrame(rows, "duration long, event int, grp int")
+    out = logrank_test(df).collect()[0].asDict()
+    assert out["n_a"] == 2 and out["n_b"] == 2
+    assert out["o_b"] == 1
+    assert out["e_b"] == 1.5
+    assert out["logrank_chi2"] == round(0.25 / (7 / 12), 6)
+    assert out["z"] == round(-0.5 / math.sqrt(7 / 12), 6)
+
+
+def test_logrank_identical_groups_is_null_effect(spark):
+    """Identical duration/event profiles in both groups: O = E, so
+    chi2 = 0 exactly."""
+    from vanus_spark.operators.survival import logrank_test
+
+    rows = [(t, 1, g) for g in (0, 1) for t in (1, 2, 3, 4)]
+    df = spark.createDataFrame(rows, "duration long, event int, grp int")
+    out = logrank_test(df).collect()[0].asDict()
+    assert out["o_b"] == 4 and out["e_b"] == 4.0
+    assert out["logrank_chi2"] == 0.0 and out["z"] == 0.0
+
+
+def _hw_python(ys, p=7, alpha=0.5, beta=0.25, gamma=0.25):
+    """Plain-python replica of the Holt-Winters fold."""
+    sum1, sum2 = sum(ys[:p]), sum(ys[p : 2 * p])
+    lvl, tr = sum1 / p, (sum2 - sum1) / (p * p)
+    seas = [y - lvl for y in ys[:p]]
+    sse = 0.0
+    for t in range(p, len(ys)):
+        pos = t % p
+        sold = seas[pos]
+        fitted = lvl + tr + sold
+        sse += (ys[t] - fitted) * (ys[t] - fitted)
+        lvl_n = alpha * (ys[t] - sold) + (1 - alpha) * (lvl + tr)
+        tr = beta * (lvl_n - lvl) + (1 - beta) * tr
+        seas[pos] = gamma * (ys[t] - lvl_n) + (1 - gamma) * sold
+        lvl = lvl_n
+    n = len(ys)
+    fcs = [
+        lvl + h * tr + seas[(n - 1 + h) % p] for h in range(1, p + 1)
+    ]
+    return lvl, tr, sse, fcs
+
+
+def test_holt_winters_matches_python_fold(spark):
+    """16-point seasonal-ish series vs an independent python replica
+    of the recursion; a 10-point key is dropped (needs 2 periods)."""
+    import datetime as dt
+
+    from vanus_spark.operators.timeseries import holt_winters
+
+    ys = [1000, 1200, 1400, 1600, 1800, 2000, 2200,
+          1100, 1300, 1500, 1700, 1900, 2100, 2300, 1200, 1400]
+    base = dt.date(2024, 1, 1)
+    rows = [("a", base + dt.timedelta(days=i), y) for i, y in enumerate(ys)]
+    rows += [
+        ("short", base + dt.timedelta(days=i), 10 * i) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "k string, day date, cents long")
+    out = holt_winters(df, "k", "day", "cents").collect()
+    assert {r["k"] for r in out} == {"a"}
+    lvl, tr, sse, fcs = _hw_python([float(y) for y in ys])
+    by_h = {r["h"]: r for r in out}
+    assert len(by_h) == 7
+    for h in range(1, 8):
+        assert by_h[h]["forecast"] == round(fcs[h - 1], 6)
+        assert by_h[h]["level"] == round(lvl, 6)
+        assert by_h[h]["trend"] == round(tr, 6)
+        assert by_h[h]["sse"] == round(sse, 6)
+        assert by_h[h]["n_days"] == 16

@@ -71,3 +71,80 @@ def kaplan_meier(
         "n_censored",
         F.round(survival, 6).alias("survival"),
     )
+
+
+def logrank_test(
+    subjects: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    group_col: str = "grp",
+) -> DataFrame:
+    """Two-group log-rank test — the significance readout on top of
+    the Kaplan-Meier curves ("do the two churn curves differ, or is
+    the gap noise?"): at every event time t, group 1's observed
+    events d1 vs its hypergeometric expectation d * n1/n, with
+    variance d * (n1/n)(1 - n1/n)(n - d)/(n - 1); the chi-square is
+    (sum(d1 - E))^2 / sum(V). ``group_col`` must be 0/1.
+
+    Scale shape mirrors ``kaplan_meier``: ONE groupBy collapses the
+    subject table to per-duration leave/event counts (map-side
+    combined, bounded by the duration lattice, not #subjects); the
+    at-risk prefix windows and the final fold run over that risk
+    table only. The windows are deliberately un-partitioned — the
+    frame is the distinct-duration axis, bounded by time resolution
+    (the same boundedness argument as the KM risk table).
+    """
+    one = F.lit(1).cast("long")
+    ev = F.col(event_col).cast("long")
+    is1 = (F.col(group_col) == 1).cast("long")
+    risk = subjects.groupBy(duration_col).agg(
+        F.sum(ev * is1).alias("_d1"),
+        F.sum(ev * (one - is1)).alias("_d0"),
+        F.sum(is1).alias("_l1"),
+        F.sum(one - is1).alias("_l0"),
+    )
+    w_tot = Window.partitionBy()
+    w_prev = (
+        Window.orderBy(duration_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tot1 = F.sum("_l1").over(w_tot)
+    tot0 = F.sum("_l0").over(w_tot)
+    n1 = tot1 - F.coalesce(F.sum("_l1").over(w_prev), F.lit(0))
+    n0 = tot0 - F.coalesce(F.sum("_l0").over(w_prev), F.lit(0))
+    staged = risk.select(
+        F.col(duration_col),
+        "_d1",
+        (F.col("_d1") + F.col("_d0")).alias("_d"),
+        n1.alias("_n1"),
+        (n1 + n0).alias("_n"),
+        tot1.alias("n_b"),
+        tot0.alias("n_a"),
+    ).where(F.col("_d") > 0)
+    r1 = F.col("_n1").cast("double") / F.col("_n")
+    e1 = F.col("_d").cast("double") * F.col("_n1") / F.col("_n")
+    v = F.when(
+        F.col("_n") > 1,
+        F.col("_d").cast("double")
+        * r1
+        * (1 - r1)
+        * (F.col("_n") - F.col("_d"))
+        / (F.col("_n") - 1),
+    ).otherwise(0.0)
+    agg = staged.groupBy("n_a", "n_b").agg(
+        F.sum("_d1").alias("o_b"),
+        F.sum(e1).alias("_e"),
+        F.sum(v).alias("_v"),
+    )
+    diff = F.col("o_b").cast("double") - F.col("_e")
+    z = F.when(F.col("_v") > 0, diff / F.sqrt("_v"))
+    return agg.select(
+        "n_a",
+        "n_b",
+        "o_b",
+        F.round("_e", 6).alias("e_b"),
+        F.round(F.when(F.col("_v") > 0, diff * diff / F.col("_v")), 6).alias(
+            "logrank_chi2"
+        ),
+        F.round(z, 6).alias("z"),
+    )

@@ -331,3 +331,123 @@ def theil_sen(
         # +0.0 canonicalizes IEEE -0.0 so engines stringify identically
         (F.round(F.median("slope"), 6) + F.lit(0.0)).alias("theil_slope"),
     )
+
+
+def holt_winters(
+    daily: DataFrame,
+    key_col: str,
+    day_col: str,
+    value_col: str,
+    period: int = 7,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    gamma: float = 0.25,
+) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing) per key,
+    folded entirely in Catalyst — level/trend/seasonal state walks the
+    series inside ONE ``F.aggregate`` higher-order function, no Python
+    at eval time and no per-step shuffle (the EWMA module's design,
+    extended to vector state: the accumulator is a struct carrying the
+    seasonal array, updated positionally with an indexed transform).
+
+    ``daily`` must hold one row per (key, day) with an EXACT-INTEGER
+    metric (``value_col`` as cents): the init moments then fold from
+    exact longs, so both engines enter the recursion with identical
+    doubles and every subsequent step is the same IEEE op sequence —
+    the DuckDB oracle replays the recursion as a recursive CTE and
+    hash-matches at round(6).
+
+    Init (standard 2-period bootstrap; keys with < 2*period points are
+    dropped): level = sum(first period)/p, trend = (sum(second period)
+    - sum(first period))/p^2, seasonal_i = y_i - level. One row per
+    (key, horizon 1..period): the h-step forecast level + h*trend +
+    season[(n-1+h) mod p], with the final level/trend and the
+    in-sample one-step SSE repeated per key.
+
+    Scale: one partial-agg shuffle to the daily grain, one
+    collect_list per key bounded by the CALENDAR (a #days array per
+    key — the same boundedness as any per-key series operator), fold
+    and forecast map-side after that.
+    """
+    p = period
+    grams = daily.groupBy(key_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(day_col), F.col(value_col)))
+        ).alias("_pairs")
+    )
+    ys = F.transform(F.col("_pairs"), lambda s: s[value_col].cast("double"))
+    series = grams.select(
+        key_col,
+        ys.alias("_y"),
+        F.size("_pairs").alias("n_days"),
+    ).where(F.col("n_days") >= 2 * p)
+
+    sum1 = F.aggregate(
+        F.slice("_y", 1, p), F.lit(0.0), lambda a, x: a + x
+    )
+    sum2 = F.aggregate(
+        F.slice("_y", p + 1, p), F.lit(0.0), lambda a, x: a + x
+    )
+    lvl0 = sum1 / float(p)
+    tr0 = (sum2 - sum1) / float(p * p)
+    seas0 = F.transform(
+        F.slice("_y", 1, p), lambda y: y - F.col("_lvl0")
+    )
+    init = series.withColumn("_lvl0", lvl0).select(
+        key_col,
+        "n_days",
+        "_y",
+        F.struct(
+            F.col("_lvl0").alias("lvl"),
+            tr0.alias("tr"),
+            seas0.alias("seas"),
+            F.lit(0.0).alias("sse"),
+            F.lit(p).alias("t"),
+        ).alias("_acc0"),
+    )
+
+    def step(acc, y):
+        pos = acc["t"] % p
+        sold = F.element_at(acc["seas"], pos + 1)
+        fitted = acc["lvl"] + acc["tr"] + sold
+        lvl_n = alpha * (y - sold) + (1 - alpha) * (acc["lvl"] + acc["tr"])
+        tr_n = beta * (lvl_n - acc["lvl"]) + (1 - beta) * acc["tr"]
+        s_n = gamma * (y - lvl_n) + (1 - gamma) * sold
+        seas_n = F.transform(
+            acc["seas"],
+            lambda s, i: F.when(i == pos, s_n).otherwise(s),
+        )
+        return F.struct(
+            lvl_n.alias("lvl"),
+            tr_n.alias("tr"),
+            seas_n.alias("seas"),
+            (acc["sse"] + (y - fitted) * (y - fitted)).alias("sse"),
+            (acc["t"] + 1).alias("t"),
+        )
+
+    folded = init.select(
+        key_col,
+        "n_days",
+        F.aggregate(
+            F.slice("_y", p + 1, F.size("_y") - p), F.col("_acc0"), step
+        ).alias("_acc"),
+    )
+    h = F.explode(F.sequence(F.lit(1), F.lit(p))).alias("h")
+    out = folded.select(key_col, "n_days", "_acc", h)
+    fc = (
+        F.col("_acc")["lvl"]
+        + F.col("h") * F.col("_acc")["tr"]
+        + F.element_at(
+            F.col("_acc")["seas"],
+            ((F.col("n_days") - 1 + F.col("h")) % p) + 1,
+        )
+    )
+    return out.select(
+        key_col,
+        "n_days",
+        "h",
+        F.round(fc, 6).alias("forecast"),
+        F.round(F.col("_acc")["lvl"], 6).alias("level"),
+        F.round(F.col("_acc")["tr"], 6).alias("trend"),
+        F.round(F.col("_acc")["sse"], 6).alias("sse"),
+    )
