@@ -8132,6 +8132,91 @@ def q_events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_winters(daily, "event_type", "day", "cents")
 
 
+# Z80/Z90: z_{alpha/2} + z_{power} for two-sided alpha=5% at 80%/90%
+# power. Summed in PYTHON and injected as one literal into BOTH
+# engines (repr round-trips the exact double) — a SQL-side decimal
+# addition could differ from the python float sum in the last ulp.
+_Z80 = 1.959963985 + 0.841621234
+_Z90 = 1.959963985 + 1.281551566
+
+
+def q_events_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B power readout per event type: the minimum detectable
+    effect at 80%/90% power for the CURRENT sample sizes, and the
+    per-arm n required to detect the currently observed delta at 80%
+    — the "is this experiment even capable of an answer" check run
+    before reading any of the significance queries. All moments from
+    ONE exact-cents shuffle (same cells as q_events_ab_fdr); the
+    z-quantile sums are python-folded literals shared with the
+    oracle. Dollars on output; a zero observed delta yields NULL
+    required-n, not a divide-by-zero."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2).alias("variant"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("c"),
+    )
+    seg = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("c"))).alias("s_a"),
+        F.sum(
+            F.when(F.col("variant") == 0, F.col("c") * F.col("c"))
+        ).alias("ss_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("c"))).alias("s_b"),
+        F.sum(
+            F.when(F.col("variant") == 1, F.col("c") * F.col("c"))
+        ).alias("ss_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ma = F.col("s_a").cast("double") / na
+    mb = F.col("s_b").cast("double") / nb
+    va = (F.col("ss_a").cast("double") - na * ma * ma) / (na - 1)
+    vb = (F.col("ss_b").cast("double") - nb * mb * mb) / (nb - 1)
+    delta = ma - mb
+    se = F.sqrt(va / na + vb / nb)
+    n80 = F.when(
+        F.abs(delta) > 0,
+        F.ceil(_Z80 * _Z80 * (va + vb) / (delta * delta)),
+    )
+    return seg.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(delta / 100.0, 4).alias("delta"),
+        F.round(_Z80 * se / 100.0, 4).alias("mde_80"),
+        F.round(_Z90 * se / 100.0, 4).alias("mde_90"),
+        n80.alias("n_per_arm_80"),
+    ).orderBy("event_type")
+
+
+def q_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC + Gini of the Naive-Bayes quality classifier
+    (q_quality_classifier's exact model and held-out split) against
+    the true labels — the threshold-free evaluation every
+    model-based corpus filter publishes next to its pred-at-0
+    confusion counts. AUC via the rank formulation on the two-phase
+    distributed rank (operators/hyptests.roc_auc — it IS the
+    Mann-Whitney U normalized); scores are already on the round(6)
+    lattice, so both engines form identical tie groups."""
+    from vanus_spark.llm.qualityrules import nb_score, nb_train
+    from vanus_spark.operators.hyptests import roc_auc
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0).withColumn(
+        "label", (F.col("lang") == "en").cast("int")
+    )
+    word_df, stats_df = nb_train(train)
+    held_out = docs.where(F.col("doc_id") % 2 == 1)
+    scored = nb_score(held_out, word_df, stats_df).join(
+        held_out.select(
+            "doc_id", (F.col("lang") == "en").cast("int").alias("label")
+        ),
+        "doc_id",
+    )
+    return roc_auc(scored, "score", "label", "doc_id")
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Round-7 policy (VERDICT r6 item #2): the 11 new-in-round queries first,
@@ -8226,6 +8311,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_conversion_test": q_events_conversion_test,
         "users_logrank": q_users_logrank,
         "events_holt_winters": q_events_holt_winters,
+        "events_ab_power": q_events_ab_power,
+        "quality_auc": q_quality_auc,
         # --- new in round 7: nonparametric stats, corpus health,
         # dedup reporting, sketch calibration, embedding QA ---
         "events_mann_whitney": q_events_mann_whitney,
@@ -9779,6 +9866,92 @@ def oracle_sql() -> dict[str, str]:
         """,
         "orders_bootstrap_ci": _bootstrap_oracle_sql(reps=40, seed=7),
         "events_holt_winters": _holt_winters_oracle_sql(p=7),
+        "events_ab_power": f"""
+            WITH e AS (SELECT event_type, user_id,
+                              CAST(round(value * 100) AS BIGINT) AS c
+                       FROM events),
+            g AS (SELECT event_type,
+                         sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0
+                             END)::BIGINT AS n_a,
+                         sum(CASE WHEN user_id % 2 = 0 THEN c
+                             END)::BIGINT AS s_a,
+                         sum(CASE WHEN user_id % 2 = 0 THEN c * c
+                             END)::BIGINT AS ss_a,
+                         sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0
+                             END)::BIGINT AS n_b,
+                         sum(CASE WHEN user_id % 2 = 1 THEN c
+                             END)::BIGINT AS s_b,
+                         sum(CASE WHEN user_id % 2 = 1 THEN c * c
+                             END)::BIGINT AS ss_b
+                  FROM e GROUP BY 1),
+            z0 AS (SELECT *, s_a::DOUBLE / n_a AS ma,
+                          s_b::DOUBLE / n_b AS mb
+                   FROM g),
+            z1 AS (SELECT *,
+                          (ss_a::DOUBLE - n_a * ma * ma) / (n_a - 1) AS va,
+                          (ss_b::DOUBLE - n_b * mb * mb) / (n_b - 1) AS vb
+                   FROM z0),
+            z2 AS (SELECT *, ma - mb AS delta,
+                          sqrt(va / n_a + vb / n_b) AS se
+                   FROM z1)
+            SELECT event_type, n_a, n_b,
+                   round(delta / 100.0, 4) AS delta,
+                   round({_Z80!r} * se / 100.0, 4) AS mde_80,
+                   round({_Z90!r} * se / 100.0, 4) AS mde_90,
+                   CASE WHEN abs(delta) > 0 THEN
+                     ceil({_Z80 * _Z80!r} * (va + vb)
+                          / (delta * delta))::BIGINT END AS n_per_arm_80
+            FROM z2 ORDER BY event_type
+        """,
+        "quality_auc": f"""
+            WITH train AS (
+              SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, text
+              FROM documents WHERE doc_id % 2 = 0),
+            tk AS (SELECT y, unnest(str_split({{norm}}, ' ')) AS tok
+                   FROM train),
+            wc AS (SELECT tok, sum(y)::BIGINT AS pos_c,
+                          sum(1 - y)::BIGINT AS neg_c
+                   FROM tk GROUP BY tok),
+            cls AS (SELECT sum(y)::BIGINT AS n_pos, sum(1 - y)::BIGINT
+                             AS n_neg
+                    FROM train),
+            ts AS (SELECT sum(pos_c) AS t_pos, sum(neg_c) AS t_neg,
+                          count(*) AS vocab FROM wc),
+            sc AS (SELECT doc_id, unnest(str_split({{norm}}, ' ')) AS tok
+                   FROM documents WHERE doc_id % 2 = 1),
+            agg AS (
+              SELECT doc_id,
+                     round(ln(any_value(cls.n_pos)::DOUBLE)
+                           - ln(any_value(cls.n_neg)::DOUBLE)
+                           + sum(ln(coalesce(wc.pos_c, 0) + 1.0)
+                                 - ln(coalesce(wc.neg_c, 0) + 1.0))
+                           + count(*) * (ln((any_value(ts.t_neg)
+                                             + any_value(ts.vocab))::DOUBLE)
+                                         - ln((any_value(ts.t_pos)
+                                               + any_value(ts.vocab))::DOUBLE)),
+                           6) AS score
+              FROM sc LEFT JOIN wc USING (tok) CROSS JOIN cls CROSS JOIN ts
+              GROUP BY doc_id),
+            lab AS (SELECT agg.doc_id, score,
+                           CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+                    FROM agg JOIN documents d USING (doc_id)),
+            r AS (SELECT doc_id, score, y,
+                         row_number() OVER (ORDER BY score, doc_id) AS rk
+                  FROM lab),
+            g2 AS (SELECT score, avg(rk) AS arank, count(*)::BIGINT AS t,
+                          sum(y)::BIGINT AS cp
+                   FROM r GROUP BY score),
+            one AS (SELECT sum(arank * cp) AS rp, sum(cp)::BIGINT AS np,
+                           sum(t - cp)::BIGINT AS nn
+                    FROM g2),
+            a2 AS (SELECT np, nn,
+                          (rp - np::DOUBLE * (np::DOUBLE + 1) / 2)
+                            / (np::DOUBLE * nn) AS auc
+                   FROM one)
+            SELECT np AS n_pos, nn AS n_neg, round(auc, 6) AS auc,
+                   round(2 * auc - 1, 6) AS gini
+            FROM a2
+        """.replace("{norm}", norm_text),
         "users_logrank": """
             WITH subj AS (
               SELECT user_id,

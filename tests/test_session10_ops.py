@@ -284,3 +284,34 @@ def test_holt_winters_matches_python_fold(spark):
         assert by_h[h]["trend"] == round(tr, 6)
         assert by_h[h]["sse"] == round(sse, 6)
         assert by_h[h]["n_days"] == 16
+
+
+def test_roc_auc_hand_computed(spark):
+    """Scores pos=[3,4], neg=[1,2]: perfect separation -> AUC 1,
+    Gini 1. One swapped pair (pos=[2,4], neg=[1,3]): concordant
+    pairs 3 of 4 -> AUC 0.75. A tie across classes counts half:
+    pos=[2,3], neg=[1,2] -> AUC = (1 + 0.5 + 1 + 1)/4 ... computed:
+    rank formulation gives 0.875."""
+    from vanus_spark.operators.hyptests import roc_auc
+
+    perfect = spark.createDataFrame(
+        [(1, 1.0, 1), (2, 2.0, 0), (3, 3.0, 1), (4, 4.0, 1)][:0]
+        + [(1, 1.0, 0), (2, 2.0, 0), (3, 3.0, 1), (4, 4.0, 1)],
+        "id long, score double, label int",
+    )
+    out = roc_auc(perfect, "score", "label", "id").collect()[0]
+    assert out["auc"] == 1.0 and out["gini"] == 1.0
+
+    swapped = spark.createDataFrame(
+        [(1, 1.0, 0), (2, 2.0, 1), (3, 3.0, 0), (4, 4.0, 1)],
+        "id long, score double, label int",
+    )
+    out2 = roc_auc(swapped, "score", "label", "id").collect()[0]
+    assert out2["auc"] == 0.75 and out2["gini"] == 0.5
+
+    tied = spark.createDataFrame(
+        [(1, 1.0, 0), (2, 2.0, 0), (3, 2.0, 1), (4, 3.0, 1)],
+        "id long, score double, label int",
+    )
+    out3 = roc_auc(tied, "score", "label", "id").collect()[0]
+    assert out3["auc"] == 0.875

@@ -384,3 +384,40 @@ def poisson_bootstrap_mean(
             F.round(F.element_at("_means", reps - 1), 4).alias("ci_hi"),
         )
     )
+
+
+def roc_auc(
+    scored: DataFrame, score_col: str, label_col: str, id_col: str
+) -> DataFrame:
+    """One-row ROC-AUC (+ Gini = 2*AUC - 1) for a score column
+    against a 0/1 label — the rank formulation AUC = (R_pos -
+    n_pos(n_pos+1)/2) / (n_pos * n_neg), which is exactly the
+    Mann-Whitney U statistic normalized, so it reuses the same
+    machinery: average ranks from the two-phase distributed rank
+    (bus.distributed_row_number — never a single-task global sort)
+    plus one groupBy(score) tie collapse. ``score_col`` must be on an
+    exact lattice (pre-rounded) so both engines form identical tie
+    groups; ``id_col`` breaks rank ties deterministically (the
+    average-rank collapse makes the tiebreak order irrelevant)."""
+    from vanus_spark.bus import distributed_row_number
+
+    ranked = distributed_row_number(scored, [], [score_col, id_col], "_rk")
+    grp = ranked.groupBy(score_col).agg(
+        F.avg(F.col("_rk") + 1).alias("arank"),
+        F.count("*").alias("t"),
+        F.sum(F.col(label_col).cast("long")).alias("cnt_p"),
+    )
+    one = grp.agg(
+        F.sum(F.col("arank") * F.col("cnt_p")).alias("r_p"),
+        F.sum("cnt_p").alias("n_pos"),
+        F.sum(F.col("t") - F.col("cnt_p")).alias("n_neg"),
+    )
+    np_ = F.col("n_pos").cast("double")
+    nn = F.col("n_neg").cast("double")
+    auc = (F.col("r_p") - np_ * (np_ + 1) / 2) / (np_ * nn)
+    return one.select(
+        "n_pos",
+        "n_neg",
+        F.round(auc, 6).alias("auc"),
+        F.round(2 * auc - 1, 6).alias("gini"),
+    )
