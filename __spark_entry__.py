@@ -8217,6 +8217,50 @@ def q_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roc_auc(scored, "score", "label", "doc_id")
 
 
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration (reliability) table + Brier score for the NB
+    quality classifier — the companion readout to q_quality_auc: AUC
+    says the RANKING is good, calibration says whether the sigmoid
+    probabilities mean anything (NB's are famously overconfident,
+    which this table exhibits and quantifies rather than hides).
+    prob = 1/(1+exp(-score)) on the round(6) score lattice, bucketed
+    into deciles; per bucket n / mean predicted / observed rate, with
+    the overall Brier score repeated per row (the PSI convention).
+    One scoring pass + one 10-row aggregate."""
+    from vanus_spark.llm.qualityrules import nb_score, nb_train
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0).withColumn(
+        "label", (F.col("lang") == "en").cast("int")
+    )
+    word_df, stats_df = nb_train(train)
+    held_out = docs.where(F.col("doc_id") % 2 == 1)
+    scored = nb_score(held_out, word_df, stats_df).join(
+        held_out.select(
+            "doc_id", (F.col("lang") == "en").cast("int").alias("y")
+        ),
+        "doc_id",
+    )
+    prob = 1.0 / (1.0 + F.exp(-F.col("score")))
+    staged = scored.select(
+        F.col("y"),
+        prob.alias("_p"),
+        F.least(F.lit(9), F.floor(prob * 10)).cast("int").alias("bucket"),
+    )
+    cal = staged.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("_p"), 6).alias("mean_pred"),
+        F.round(F.avg(F.col("y").cast("double")), 6).alias("obs_rate"),
+    )
+    brier = staged.agg(
+        F.round(
+            F.avg((F.col("_p") - F.col("y")) * (F.col("_p") - F.col("y"))),
+            6,
+        ).alias("brier")
+    )
+    return cal.crossJoin(F.broadcast(brier)).orderBy("bucket")
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Round-7 policy (VERDICT r6 item #2): the 11 new-in-round queries first,
@@ -8313,6 +8357,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_holt_winters": q_events_holt_winters,
         "events_ab_power": q_events_ab_power,
         "quality_auc": q_quality_auc,
+        "quality_calibration": q_quality_calibration,
         # --- new in round 7: nonparametric stats, corpus health,
         # dedup reporting, sketch calibration, embedding QA ---
         "events_mann_whitney": q_events_mann_whitney,
@@ -9951,6 +9996,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT np AS n_pos, nn AS n_neg, round(auc, 6) AS auc,
                    round(2 * auc - 1, 6) AS gini
             FROM a2
+        """.replace("{norm}", norm_text),
+        "quality_calibration": f"""
+            WITH train AS (
+              SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, text
+              FROM documents WHERE doc_id % 2 = 0),
+            tk AS (SELECT y, unnest(str_split({{norm}}, ' ')) AS tok
+                   FROM train),
+            wc AS (SELECT tok, sum(y)::BIGINT AS pos_c,
+                          sum(1 - y)::BIGINT AS neg_c
+                   FROM tk GROUP BY tok),
+            cls AS (SELECT sum(y)::BIGINT AS n_pos, sum(1 - y)::BIGINT
+                             AS n_neg
+                    FROM train),
+            ts AS (SELECT sum(pos_c) AS t_pos, sum(neg_c) AS t_neg,
+                          count(*) AS vocab FROM wc),
+            sc AS (SELECT doc_id, unnest(str_split({{norm}}, ' ')) AS tok
+                   FROM documents WHERE doc_id % 2 = 1),
+            agg AS (
+              SELECT doc_id,
+                     round(ln(any_value(cls.n_pos)::DOUBLE)
+                           - ln(any_value(cls.n_neg)::DOUBLE)
+                           + sum(ln(coalesce(wc.pos_c, 0) + 1.0)
+                                 - ln(coalesce(wc.neg_c, 0) + 1.0))
+                           + count(*) * (ln((any_value(ts.t_neg)
+                                             + any_value(ts.vocab))::DOUBLE)
+                                         - ln((any_value(ts.t_pos)
+                                               + any_value(ts.vocab))::DOUBLE)),
+                           6) AS score
+              FROM sc LEFT JOIN wc USING (tok) CROSS JOIN cls CROSS JOIN ts
+              GROUP BY doc_id),
+            lab AS (SELECT agg.doc_id, score,
+                           CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+                    FROM agg JOIN documents d USING (doc_id)),
+            st AS (SELECT y,
+                          1.0::DOUBLE / (1.0::DOUBLE + exp(-score)) AS p
+                   FROM lab),
+            st2 AS (SELECT y, p, least(9, floor(p * 10))::INT AS bucket
+                    FROM st),
+            cal AS (SELECT bucket, count(*)::BIGINT AS n,
+                           round(avg(p), 6) AS mean_pred,
+                           round(avg(y::DOUBLE), 6) AS obs_rate
+                    FROM st2 GROUP BY bucket),
+            b AS (SELECT round(avg((p - y) * (p - y)), 6) AS brier
+                  FROM st2)
+            SELECT bucket, n, mean_pred, obs_rate, brier
+            FROM cal CROSS JOIN b ORDER BY bucket
         """.replace("{norm}", norm_text),
         "users_logrank": """
             WITH subj AS (
