@@ -8261,6 +8261,30 @@ def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cal.crossJoin(F.broadcast(brier)).orderBy("bucket")
 
 
+def q_embedding_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diverse top-5 against vector 0 as the query
+    (llm/similarity.mmr_select): greedy lam*cos(query) -
+    (1-lam)*max cos(chosen), lam=0.75 — the diversity-aware selection
+    pass that keeps a retrieved/candidate set from being five
+    near-copies. k bounded driver rounds, each one scan + a
+    TakeOrdered(1); the oracle unrolls the same 5 rounds as
+    materialized argmax CTEs (the greedy_max_coverage pattern) with
+    list_dot_product cosines."""
+    from vanus_spark.llm.similarity import mmr_select
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    picks = mmr_select(
+        emb.where(F.col("vec_id") != 0), qvec, k=5, lam=0.75
+    )
+    return spark.createDataFrame(
+        picks, "round int, vec_id long, qsim double, mmr_score double"
+    )
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Round-7 policy (VERDICT r6 item #2): the 11 new-in-round queries first,
@@ -8358,6 +8382,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ab_power": q_events_ab_power,
         "quality_auc": q_quality_auc,
         "quality_calibration": q_quality_calibration,
+        "embedding_mmr": q_embedding_mmr,
         # --- new in round 7: nonparametric stats, corpus health,
         # dedup reporting, sketch calibration, embedding QA ---
         "events_mann_whitney": q_events_mann_whitney,
@@ -9727,6 +9752,59 @@ def _holt_winters_oracle_sql(p: int = 7) -> str:
         """
 
 
+def _mmr_oracle_sql(k: int = 5, lam: float = 0.75) -> str:
+    """DuckDB twin of q_embedding_mmr: the k greedy rounds unrolled
+    as materialized argmax CTEs (the greedy_max_coverage oracle
+    pattern), cosines via list_dot_product on ::DOUBLE[] vectors —
+    the similarity_topk convention. lam and 1-lam are exact doubles
+    (0.75/0.25), injected via repr."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_dot_product({a}, {b})"
+            f" / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b})))"
+        )
+
+    rounds, finals = [], []
+    for i in range(1, k + 1):
+        prev = [f"r{j}" for j in range(1, i)]
+        if not prev:
+            score = f"{lam!r} * c.qsim"
+            frm = "c"
+            excl = ""
+        else:
+            sims = [cos("c.v", f"{p}.v") for p in prev]
+            pen = sims[0] if len(sims) == 1 else (
+                "greatest(" + ", ".join(sims) + ")"
+            )
+            score = f"{lam!r} * c.qsim - {1 - lam!r} * ({pen})"
+            frm = "c, " + ", ".join(prev)
+            excl = " AND c.vec_id NOT IN (" + ", ".join(
+                f"{p}.vec_id" for p in prev
+            ) + ")"
+        rounds.append(
+            f"r{i} AS (SELECT c.vec_id, c.v, c.qsim, {score} AS score\n"
+            f"                   FROM {frm} WHERE 1=1{excl}\n"
+            f"                   ORDER BY score DESC, c.vec_id LIMIT 1)"
+        )
+        finals.append(
+            f"SELECT {i} AS round, vec_id, round(qsim, 6) AS qsim,"
+            f" round(score, 6) AS mmr_score FROM r{i}"
+        )
+    rounds_sql = ",\n            ".join(rounds)
+    finals_sql = " UNION ALL ".join(finals)
+    return f"""
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                       WHERE vec_id = 0),
+            e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                  WHERE vec_id != 0),
+            c AS (SELECT vec_id, v, {cos("v", "qv")} AS qsim FROM e, q),
+            {rounds_sql}
+            {finals_sql}
+        """
+
+
 # A&S 26.2.17 upper-tail normal polynomial — the SQL twin of
 # vanus_spark.operators.hyptests.norm_sf, same literals, same nesting.
 _NORM_SF_SQL = (
@@ -9911,6 +9989,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "orders_bootstrap_ci": _bootstrap_oracle_sql(reps=40, seed=7),
         "events_holt_winters": _holt_winters_oracle_sql(p=7),
+        "embedding_mmr": _mmr_oracle_sql(k=5, lam=0.75),
         "events_ab_power": f"""
             WITH e AS (SELECT event_type, user_id,
                               CAST(round(value * 100) AS BIGINT) AS c

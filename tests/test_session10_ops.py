@@ -315,3 +315,23 @@ def test_roc_auc_hand_computed(spark):
     )
     out3 = roc_auc(tied, "score", "label", "id").collect()[0]
     assert out3["auc"] == 0.875
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    """3D planted geometry, query=(1,0,0): a=(0.9,0.436,0) has top
+    qsim; b=(0.85,0.527,0) has HIGHER query similarity than
+    c=(0.8,0,0.6) but is nearly parallel to a (cos ~0.995), so round
+    2's MMR score for c (0.75*0.8 - 0.25*0.72 = 0.42) beats b's
+    (0.75*0.85 - 0.25*0.995 ~ 0.389): pick order a, c, b."""
+    from vanus_spark.llm.similarity import mmr_select
+
+    rows = [
+        (1, [0.9, 0.436, 0.0]),
+        (2, [0.85, 0.527, 0.0]),
+        (3, [0.8, 0.0, 0.6]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    picks = mmr_select(df, [1.0, 0.0, 0.0], k=3, lam=0.75)
+    assert [p[1] for p in picks] == [1, 3, 2]
+    assert picks[0][3] == round(0.75 * picks[0][2], 6)
+    assert all(p[2] is not None for p in picks)

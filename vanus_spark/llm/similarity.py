@@ -826,3 +826,66 @@ def random_projection(
     return df.withColumn(
         "proj", bound(F.col(vec_col).cast("array<double>"), proj)
     )
+
+
+def mmr_select(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    lam: float = 0.75,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple]:
+    """Maximal Marginal Relevance selection: greedily pick ``k``
+    vectors maximizing lam*cos(query) - (1-lam)*max cos(chosen) — the
+    diversity-aware retrieval/dedup pass run over candidate prompts
+    or passages so the selected set isn't k near-copies of the same
+    document. Returns [(round, id, qsim, mmr_score)] with the scores
+    rounded Spark-side (round 6).
+
+    Shape per round (k rounds, k small by definition): one scan of
+    the scored candidate frame + a bounded TakeOrdered(1) — the same
+    driver-loop profile as kmeans_centroids / greedy_max_coverage;
+    chosen vectors re-enter as lit_vec literals (one py4j round trip
+    each), never as a join. The query-similarity column is computed
+    once and pinned with a lazy localCheckpoint. lam defaults to
+    0.75 so both lam and 1-lam are EXACT doubles (python's 1-0.7 is
+    0.30000000000000004 — a cross-engine literal trap).
+
+    Cross-engine note: scores ORDER unrounded (the similarity_topk
+    convention); vectors are cast to array<double> up front so both
+    engines multiply doubles, mirroring the oracle's ::DOUBLE[]."""
+    q = lit_vec(query_vec)
+    base = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    ).withColumn("_qsim", cosine(F.col("_v"), q))
+    base = base.localCheckpoint(eager=False)
+    chosen: list[tuple] = []
+    out: list[tuple] = []
+    for i in range(k):
+        cands = (
+            base.where(~F.col(id_col).isin([c[0] for c in chosen]))
+            if chosen
+            else base
+        )
+        if chosen:
+            sims = [cosine(F.col("_v"), lit_vec(v)) for _, v in chosen]
+            pen = sims[0] if len(sims) == 1 else F.greatest(*sims)
+            score = lam * F.col("_qsim") - (1 - lam) * pen
+        else:
+            score = lam * F.col("_qsim")
+        pick = (
+            cands.select(
+                F.col(id_col),
+                "_v",
+                F.round("_qsim", 6).alias("_qsim_r"),
+                score.alias("_score"),
+                F.round(score, 6).alias("_score_r"),
+            )
+            .orderBy(F.desc("_score"), F.col(id_col))
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((pick[id_col], list(pick["_v"])))
+        out.append((i + 1, pick[id_col], pick["_qsim_r"], pick["_score_r"]))
+    return out
