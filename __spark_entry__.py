@@ -2571,7 +2571,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "left_semi",
             )
             .agg(F.count("*").alias("n_hits"))
-            .crossJoin(n_truth)
+            .crossJoin(F.broadcast(n_truth))
             .select(
                 F.lit(name).alias("method"),
                 "n_truth",
@@ -7637,7 +7637,7 @@ def q_docs_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, c in enumerate(cuts)
         ]
     )
-    points = vocab.crossJoin(total).select(
+    points = vocab.crossJoin(F.broadcast(total)).select(
         F.explode(
             F.array(
                 *[
@@ -8294,6 +8294,15 @@ def q_embedding_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry query has a driver row — the never-driver-checked set is 0.
 # Everything outside the window stays gated by the FULL
 # tools/oracle_check.py replica run.
+#
+# r8 window plan: the 16 operators added after the r7 freeze (the
+# second-session inference suite: events_ks_test, events_anova,
+# lineitem_spearman, events_ab_fdr, corpus_jsd, orders_bootstrap_ci,
+# events_ccf, events_diff_in_diff, events_contingency,
+# events_conversion_test, users_logrank, events_holt_winters,
+# events_ab_power, quality_auc, quality_calibration, embedding_mmr)
+# first, then backfill to 50 with the least-recently-driver-checked
+# rows.
 _R7_WINDOW = [
     # --- new in round 7 ---
     "events_mann_whitney",

@@ -442,7 +442,11 @@ def nb_train(
         F.sum("neg_c").alias("t_neg"),
         F.count("*").alias("vocab"),
     )
-    stats_df = docs_per_class.crossJoin(token_stats)
+    # explicit broadcast: both sides are 1-row aggregates, but Catalyst
+    # sizes an Aggregate from its CHILD (the exploded token table), so
+    # the unhinted cross join can flip to CartesianProduct when the
+    # child's stats resolve large (order-dependent plan-audit flake)
+    stats_df = docs_per_class.crossJoin(F.broadcast(token_stats))
     return word_df, stats_df
 
 

@@ -58,8 +58,8 @@ def join_size_estimate(
         F.max(F.struct("out_rows", "k")).alias("_top"),
     )
     return (
-        inner.crossJoin(totals_l)
-        .crossJoin(totals_r)
+        inner.crossJoin(F.broadcast(totals_l))
+        .crossJoin(F.broadcast(totals_r))
         .select(
             F.lit(join_name).alias("join_name"),
             "n_left",
