@@ -249,6 +249,23 @@ HEADLINE = [
     "value_gini",
     "events_assoc_rules",
     "embedding_outliers",
+    # round 7, second session: the inference suite
+    "events_ks_test",
+    "events_anova",
+    "lineitem_spearman",
+    "events_ab_fdr",
+    "corpus_jsd",
+    "orders_bootstrap_ci",
+    "events_ccf",
+    "events_diff_in_diff",
+    "events_contingency",
+    "events_conversion_test",
+    "users_logrank",
+    "events_holt_winters",
+    "events_ab_power",
+    "quality_auc",
+    "quality_calibration",
+    "embedding_mmr",
 ]
 
 
