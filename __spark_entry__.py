@@ -8285,6 +8285,57 @@ def q_embedding_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test per event type over the
+    daily value series (operators/timeseries.mann_kendall) — the
+    nonparametric drift check run next to theil_sen's robust slope:
+    exact-integer S and tie-corrected variance, continuity-corrected
+    z. Daily cents collapse first (one shuffle); the pair join runs
+    over the 30-row-per-type series table only."""
+    from vanus_spark.operators.timeseries import mann_kendall
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents")
+    )
+    return mann_kendall(daily, "event_type", "day", "cents").orderBy(
+        "event_type"
+    )
+
+
+def q_events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the variant A/B readout
+    (operators/hyptests.cuped_readout): adjust each user's
+    post-period spend by theta * (pre-period spend - pre-mean),
+    theta = cov(pre, post)/var(pre) pooled — the standard trick that
+    removes pre-existing user-level variance from the experiment
+    metric (Deng et al. 2013; every modern experimentation platform
+    ships it). Days 1-15 are "pre", 16-30 "post". One exact-cents
+    per-user collapse over the events; everything after runs on the
+    #users frame."""
+    from vanus_spark.operators.hyptests import cuped_readout
+
+    ev = _t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("ts") < F.lit("2024-01-16").cast("timestamp"),
+                F.expr("CAST(round(value * 100) AS BIGINT)"),
+            ).otherwise(F.lit(0))
+        ).alias("x"),
+        F.sum(
+            F.when(
+                F.col("ts") >= F.lit("2024-01-16").cast("timestamp"),
+                F.expr("CAST(round(value * 100) AS BIGINT)"),
+            ).otherwise(F.lit(0))
+        ).alias("y"),
+    )
+    users = users.withColumn("variant", (F.col("user_id") % 2).cast("int"))
+    return cuped_readout(users, "x", "y", "variant")
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Round-7 policy (VERDICT r6 item #2): the 11 new-in-round queries first,
@@ -8295,12 +8346,13 @@ def q_embedding_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Everything outside the window stays gated by the FULL
 # tools/oracle_check.py replica run.
 #
-# r8 window plan: the 16 operators added after the r7 freeze (the
+# r8 window plan: the 18 operators added after the r7 freeze (the
 # second-session inference suite: events_ks_test, events_anova,
 # lineitem_spearman, events_ab_fdr, corpus_jsd, orders_bootstrap_ci,
 # events_ccf, events_diff_in_diff, events_contingency,
 # events_conversion_test, users_logrank, events_holt_winters,
-# events_ab_power, quality_auc, quality_calibration, embedding_mmr)
+# events_ab_power, quality_auc, quality_calibration, embedding_mmr,
+# events_mann_kendall, events_cuped)
 # first, then backfill to 50 with the least-recently-driver-checked
 # rows.
 _R7_WINDOW = [
@@ -8392,6 +8444,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_auc": q_quality_auc,
         "quality_calibration": q_quality_calibration,
         "embedding_mmr": q_embedding_mmr,
+        "events_mann_kendall": q_events_mann_kendall,
+        "events_cuped": q_events_cuped,
         # --- new in round 7: nonparametric stats, corpus health,
         # dedup reporting, sketch calibration, embedding QA ---
         "events_mann_whitney": q_events_mann_whitney,
@@ -9999,6 +10053,104 @@ def oracle_sql() -> dict[str, str]:
         "orders_bootstrap_ci": _bootstrap_oracle_sql(reps=40, seed=7),
         "events_holt_winters": _holt_winters_oracle_sql(p=7),
         "embedding_mmr": _mmr_oracle_sql(k=5, lam=0.75),
+        "events_mann_kendall": """
+            WITH d AS (SELECT event_type AS k, ts::DATE AS day,
+                              sum(CAST(round(value * 100) AS
+                                       BIGINT))::BIGINT AS y
+                       FROM events GROUP BY 1, 2),
+            p AS (SELECT a.k,
+                         sum(CASE WHEN b.y > a.y THEN 1
+                                  WHEN b.y < a.y THEN -1
+                                  ELSE 0 END)::BIGINT AS s_stat
+                  FROM d a JOIN d b ON a.k = b.k AND a.day < b.day
+                  GROUP BY a.k),
+            t AS (SELECT k, y, count(*)::BIGINT AS t FROM d GROUP BY 1, 2),
+            tt AS (SELECT k, sum(t)::BIGINT AS n_obs,
+                          sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie
+                   FROM t GROUP BY k),
+            j AS (SELECT p.k, s_stat, n_obs,
+                         (n_obs * (n_obs - 1) * (2 * n_obs + 5)
+                          - tie)::DOUBLE / 18.0 AS var_s
+                  FROM p JOIN tt ON p.k = tt.k)
+            SELECT k AS event_type, n_obs, s_stat,
+                   round(var_s, 6) AS var_s,
+                   round(CASE WHEN s_stat > 0 AND var_s > 0
+                              THEN (s_stat - 1)::DOUBLE / sqrt(var_s)
+                              WHEN s_stat < 0 AND var_s > 0
+                              THEN (s_stat + 1)::DOUBLE / sqrt(var_s)
+                              ELSE 0.0 END, 6) AS z
+            FROM j ORDER BY event_type
+        """,
+        "events_cuped": """
+            WITH u AS (
+              SELECT user_id,
+                     sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                              THEN CAST(round(value * 100) AS BIGINT)
+                              ELSE 0 END)::BIGINT AS x,
+                     sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                              THEN CAST(round(value * 100) AS BIGINT)
+                              ELSE 0 END)::BIGINT AS y
+              FROM events GROUP BY 1),
+            u2 AS (SELECT *, (user_id % 2)::INT AS variant FROM u),
+            m AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+                         sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+                         sum(x * x)::BIGINT AS sxx
+                  FROM u2),
+            m2 AS (SELECT n::DOUBLE AS nd, sx, sy, sxy, sxx FROM m),
+            gl AS (SELECT sx::DOUBLE / nd AS xbar,
+                          ((sxy::DOUBLE - sx::DOUBLE * sy / nd)
+                           / (nd - 1))
+                          / ((sxx::DOUBLE - sx::DOUBLE * sx / nd)
+                             / (nd - 1)) AS theta
+                   FROM m2),
+            adj AS (SELECT variant, y::DOUBLE AS yv,
+                           y::DOUBLE - theta * (x::DOUBLE - xbar) AS ya,
+                           theta
+                    FROM u2, gl),
+            g AS (SELECT variant, count(*)::BIGINT AS n, sum(yv) AS sy,
+                         sum(yv * yv) AS syy, sum(ya) AS sa,
+                         sum(ya * ya) AS saa, max(theta) AS th
+                  FROM adj GROUP BY variant),
+            one AS (SELECT
+                      max(CASE WHEN variant = 0 THEN n END) AS n0,
+                      max(CASE WHEN variant = 0 THEN sy END) AS sy0,
+                      max(CASE WHEN variant = 0 THEN syy END) AS syy0,
+                      max(CASE WHEN variant = 0 THEN sa END) AS sa0,
+                      max(CASE WHEN variant = 0 THEN saa END) AS saa0,
+                      max(CASE WHEN variant = 1 THEN n END) AS n1,
+                      max(CASE WHEN variant = 1 THEN sy END) AS sy1,
+                      max(CASE WHEN variant = 1 THEN syy END) AS syy1,
+                      max(CASE WHEN variant = 1 THEN sa END) AS sa1,
+                      max(CASE WHEN variant = 1 THEN saa END) AS saa1,
+                      max(th) AS theta
+                    FROM g),
+            w AS (SELECT *,
+                         sy0 / (n0::DOUBLE) AS m0r,
+                         sy1 / (n1::DOUBLE) AS m1r,
+                         sa0 / (n0::DOUBLE) AS m0a,
+                         sa1 / (n1::DOUBLE) AS m1a
+                  FROM one),
+            w2 AS (SELECT *,
+                          (syy0 - n0::DOUBLE * m0r * m0r)
+                            / (n0::DOUBLE - 1) AS v0r,
+                          (syy1 - n1::DOUBLE * m1r * m1r)
+                            / (n1::DOUBLE - 1) AS v1r,
+                          (saa0 - n0::DOUBLE * m0a * m0a)
+                            / (n0::DOUBLE - 1) AS v0a,
+                          (saa1 - n1::DOUBLE * m1a * m1a)
+                            / (n1::DOUBLE - 1) AS v1a
+                   FROM w)
+            SELECT n0 AS n_a, n1 AS n_b, round(theta, 6) AS theta,
+                   round((m0r - m1r)
+                         / sqrt(v0r / (n0::DOUBLE) + v1r / (n1::DOUBLE)),
+                         6) AS z_raw,
+                   round((m0a - m1a)
+                         / sqrt(v0a / (n0::DOUBLE) + v1a / (n1::DOUBLE)),
+                         6) AS z_cuped,
+                   round(1.0::DOUBLE - (v0a + v1a) / (v0r + v1r), 6)
+                     AS var_reduction
+            FROM w2
+        """,
         "events_ab_power": f"""
             WITH e AS (SELECT event_type, user_id,
                               CAST(round(value * 100) AS BIGINT) AS c

@@ -335,3 +335,57 @@ def test_mmr_prefers_diverse_over_redundant(spark):
     assert [p[1] for p in picks] == [1, 3, 2]
     assert picks[0][3] == round(0.75 * picks[0][2], 6)
     assert all(p[2] is not None for p in picks)
+
+
+def test_mann_kendall_hand_computed(spark):
+    """Strictly increasing [1..5]: S = 10, var = 5*4*15/18; with a
+    tie [1,1,2]: S = 2, tie term 2*1*9 = 18, var = (66-18)/18."""
+    import math
+
+    from vanus_spark.operators.timeseries import mann_kendall
+
+    rows = [("up", i, 100 * i) for i in range(1, 6)] + [
+        ("tie", 1, 10), ("tie", 2, 10), ("tie", 3, 20),
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, y long")
+    out = {r["k"]: r for r in mann_kendall(df, "k", "t", "y").collect()}
+    up = out["up"]
+    assert up["s_stat"] == 10 and up["n_obs"] == 5
+    var_up = 5 * 4 * 15 / 18
+    assert up["var_s"] == round(var_up, 6)
+    assert up["z"] == round(9 / math.sqrt(var_up), 6)
+    tie = out["tie"]
+    assert tie["s_stat"] == 2
+    var_tie = (3 * 2 * 11 - 18) / 18
+    assert tie["var_s"] == round(var_tie, 6)
+    assert tie["z"] == round(1 / math.sqrt(var_tie), 6)
+
+
+def test_mann_kendall_constant_series_z_zero(spark):
+    from vanus_spark.operators.timeseries import mann_kendall
+
+    df = spark.createDataFrame(
+        [("c", i, 7) for i in range(1, 6)], "k string, t long, y long"
+    )
+    out = mann_kendall(df, "k", "t", "y").collect()[0]
+    assert out["s_stat"] == 0 and out["z"] == 0.0
+
+
+def test_cuped_removes_preperiod_variance(spark):
+    """y = 2x + variant effect + tiny noise: theta ~ 2, the CUPED z
+    dwarfs the raw z (pre-period spread drowns the effect raw), and
+    the pooled variance reduction is near 1."""
+    from vanus_spark.operators.hyptests import cuped_readout
+
+    rows = []
+    for i in range(200):
+        v = i % 2
+        x = 1000 + 37 * i
+        y = 2 * x + 500 * v + (i % 7)
+        rows.append((x, y, v))
+    df = spark.createDataFrame(rows, "x long, y long, variant int")
+    out = cuped_readout(df, "x", "y", "variant").collect()[0]
+    assert abs(out["theta"] - 2.0) < 0.01
+    assert out["var_reduction"] > 0.99
+    assert abs(out["z_cuped"]) > 10 * abs(out["z_raw"])
+    assert out["n_a"] == 100 and out["n_b"] == 100

@@ -421,3 +421,92 @@ def roc_auc(
         F.round(auc, 6).alias("auc"),
         F.round(2 * auc - 1, 6).alias("gini"),
     )
+
+
+def cuped_readout(
+    users: DataFrame, x_col: str, y_col: str, variant_col: str
+) -> DataFrame:
+    """One-row CUPED A/B readout: adjust each unit's metric
+    y' = y - theta*(x - xbar) with theta = cov(x,y)/var(x) pooled
+    (Deng et al. 2013), then report the raw and adjusted Welch z side
+    by side plus the pooled variance-reduction ratio
+    1 - var(y')/var(y). ``x_col``/``y_col`` must be exact-integer
+    (cents) so the pooled moments — and therefore theta and xbar —
+    are identical doubles on both engines; the adjusted metric is
+    then the same per-row IEEE expression everywhere.
+
+    Scale: one exact-integer moment pass over the unit table, a 1-row
+    broadcast of (xbar, theta), one re-aggregate of the unit table —
+    the unit table is already orders of magnitude below the raw
+    events, and nothing here shuffles more than #variants rows after
+    the first aggregate. ``variant_col`` must be 0/1."""
+    mom = users.agg(
+        F.count("*").alias("n"),
+        F.sum(x_col).alias("sx"),
+        F.sum(y_col).alias("sy"),
+        F.sum(F.col(x_col) * F.col(y_col)).alias("sxy"),
+        F.sum(F.col(x_col) * F.col(x_col)).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    xbar = F.col("sx").cast("double") / nd
+    cov = (
+        F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy") / nd
+    ) / (nd - 1)
+    varx = (
+        F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx") / nd
+    ) / (nd - 1)
+    glob = mom.select(xbar.alias("_xbar"), (cov / varx).alias("_theta"))
+    adj = users.crossJoin(F.broadcast(glob)).select(
+        F.col(variant_col).alias("variant"),
+        F.col(y_col).cast("double").alias("_y"),
+        (
+            F.col(y_col).cast("double")
+            - F.col("_theta")
+            * (F.col(x_col).cast("double") - F.col("_xbar"))
+        ).alias("_ya"),
+        F.col("_theta").alias("_theta"),
+    )
+    g = adj.groupBy("variant").agg(
+        F.count("*").alias("_n"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        F.sum("_ya").alias("_sa"),
+        F.sum(F.col("_ya") * F.col("_ya")).alias("_saa"),
+        F.max("_theta").alias("_theta"),
+    )
+
+    def cell(v, col):
+        return F.max(F.when(F.col("variant") == v, F.col(col)))
+
+    one = g.agg(
+        *[
+            cell(v, c).alias(f"_{c.strip('_')}{v}")
+            for v in (0, 1)
+            for c in ("_n", "_sy", "_syy", "_sa", "_saa")
+        ],
+        F.max("_theta").alias("theta"),
+    )
+
+    def welch(s0, ss0, s1, ss1):
+        n0 = F.col("_n0").cast("double")
+        n1 = F.col("_n1").cast("double")
+        m0 = F.col(s0) / n0
+        m1 = F.col(s1) / n1
+        v0 = (F.col(ss0) - n0 * m0 * m0) / (n0 - 1)
+        v1 = (F.col(ss1) - n1 * m1 * m1) / (n1 - 1)
+        return (m0 - m1) / F.sqrt(v0 / n0 + v1 / n1), v0, v1
+
+    z_raw, vr0, vr1 = welch("_sy0", "_syy0", "_sy1", "_syy1")
+    z_cuped, va0, va1 = welch("_sa0", "_saa0", "_sa1", "_saa1")
+    return one.select(
+        F.col("_n0").alias("n_a"),
+        F.col("_n1").alias("n_b"),
+        F.round(F.col("theta"), 6).alias("theta"),
+        F.round(z_raw, 6).alias("z_raw"),
+        F.round(z_cuped, 6).alias("z_cuped"),
+        F.round(1.0 - (va0 + va1) / (vr0 + vr1), 6).alias(
+            "var_reduction"
+        ),
+    )

@@ -451,3 +451,67 @@ def holt_winters(
         F.round(F.col("_acc")["tr"], 6).alias("trend"),
         F.round(F.col("_acc")["sse"], 6).alias("sse"),
     )
+
+
+def mann_kendall(
+    daily: DataFrame,
+    key_col: str,
+    idx_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mann-Kendall monotonic-trend test per key — the nonparametric
+    "is this series drifting" check (no linearity or normality
+    assumption; the significance sibling of theil_sen's slope):
+    S = sum over ordered pairs of sign(y_j - y_i), tie-corrected
+    variance (n(n-1)(2n+5) - sum t(t-1)(2t+5))/18, and the
+    continuity-corrected z ((S-1)/sd if S>0, (S+1)/sd if S<0, else
+    0). ``value_col`` must be exact-lattice (integer cents): S and
+    both variance terms are then exact integers, so z is the same
+    IEEE expression on both engines.
+
+    Scale: the pair self-join runs over the per-key SERIES table
+    (#days rows per key — bounded by the calendar, same argument as
+    holt_winters), key-partitioned; the data itself is touched once
+    by whatever daily aggregate builds ``daily``."""
+    a = daily.select(
+        F.col(key_col),
+        F.col(idx_col).alias("_ti"),
+        F.col(value_col).alias("_yi"),
+    )
+    b = daily.select(
+        F.col(key_col),
+        F.col(idx_col).alias("_tj"),
+        F.col(value_col).alias("_yj"),
+    )
+    pairs = a.join(b, key_col).where(F.col("_ti") < F.col("_tj"))
+    s_df = pairs.groupBy(key_col).agg(
+        F.sum(F.signum(F.col("_yj") - F.col("_yi")).cast("long")).alias(
+            "s_stat"
+        )
+    )
+    ties = daily.groupBy(key_col, value_col).agg(F.count("*").alias("_t"))
+    tie_df = ties.groupBy(key_col).agg(
+        F.sum("_t").alias("n_obs"),
+        F.sum(
+            F.col("_t") * (F.col("_t") - 1) * (2 * F.col("_t") + 5)
+        ).alias("_tie_term"),
+    )
+    j = s_df.join(tie_df, key_col)
+    n = F.col("n_obs")
+    var_s = (
+        n * (n - 1) * (2 * n + 5) - F.col("_tie_term")
+    ).cast("double") / 18.0
+    sd = F.sqrt(var_s)
+    s = F.col("s_stat")
+    z = (
+        F.when((s > 0) & (var_s > 0), (s - 1).cast("double") / sd)
+        .when((s < 0) & (var_s > 0), (s + 1).cast("double") / sd)
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        key_col,
+        "n_obs",
+        "s_stat",
+        F.round(var_s, 6).alias("var_s"),
+        F.round(z, 6).alias("z"),
+    )
