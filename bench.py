@@ -266,6 +266,8 @@ HEADLINE = [
     "quality_auc",
     "quality_calibration",
     "embedding_mmr",
+    "events_mann_kendall",
+    "events_cuped",
 ]
 
 
