@@ -8336,6 +8336,26 @@ def q_events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cuped_readout(users, "x", "y", "variant")
 
 
+def q_lineitem_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag Kendall tau-b between order quantity and
+    discount (operators/hyptests.kendall_tau_by_group) — the
+    pair-concordance association next to q_lineitem_spearman's
+    rank correlation, on the SAME lattice framing: C and D fold from
+    a self-join of the bounded (flag, qty, disc) cell table (<= 550
+    cells per flag), the raw lineitem touched only by the counting
+    pass."""
+    from vanus_spark.operators.hyptests import kendall_tau_by_group
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.expr("CAST(round(l_discount * 100) AS BIGINT)").alias("disc_c"),
+    )
+    return kendall_tau_by_group(li, "qty", "disc_c", "l_returnflag").orderBy(
+        "l_returnflag"
+    )
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Round-7 policy (VERDICT r6 item #2): the 11 new-in-round queries first,
@@ -8346,13 +8366,13 @@ def q_events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Everything outside the window stays gated by the FULL
 # tools/oracle_check.py replica run.
 #
-# r8 window plan: the 18 operators added after the r7 freeze (the
+# r8 window plan: the 19 operators added after the r7 freeze (the
 # second-session inference suite: events_ks_test, events_anova,
 # lineitem_spearman, events_ab_fdr, corpus_jsd, orders_bootstrap_ci,
 # events_ccf, events_diff_in_diff, events_contingency,
 # events_conversion_test, users_logrank, events_holt_winters,
 # events_ab_power, quality_auc, quality_calibration, embedding_mmr,
-# events_mann_kendall, events_cuped)
+# events_mann_kendall, events_cuped, lineitem_kendall)
 # first, then backfill to 50 with the least-recently-driver-checked
 # rows.
 _R7_WINDOW = [
@@ -8446,6 +8466,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_mmr": q_embedding_mmr,
         "events_mann_kendall": q_events_mann_kendall,
         "events_cuped": q_events_cuped,
+        "lineitem_kendall": q_lineitem_kendall,
         # --- new in round 7: nonparametric stats, corpus health,
         # dedup reporting, sketch calibration, embedding QA ---
         "events_mann_whitney": q_events_mann_whitney,
@@ -10053,6 +10074,38 @@ def oracle_sql() -> dict[str, str]:
         "orders_bootstrap_ci": _bootstrap_oracle_sql(reps=40, seed=7),
         "events_holt_winters": _holt_winters_oracle_sql(p=7),
         "embedding_mmr": _mmr_oracle_sql(k=5, lam=0.75),
+        "lineitem_kendall": """
+            WITH li AS (SELECT l_returnflag AS g,
+                               CAST(l_quantity AS BIGINT) AS x,
+                               CAST(round(l_discount * 100) AS BIGINT) AS y
+                        FROM lineitem),
+            cells AS (SELECT g, x, y, count(*)::BIGINT AS n
+                      FROM li GROUP BY 1, 2, 3),
+            pr AS (SELECT a.g,
+                          sum(CASE WHEN b.y > a.y
+                                   THEN a.n::DOUBLE * b.n END) AS c,
+                          sum(CASE WHEN b.y < a.y
+                                   THEN a.n::DOUBLE * b.n END) AS d
+                   FROM cells a JOIN cells b
+                     ON a.g = b.g AND b.x > a.x
+                   GROUP BY a.g),
+            tx AS (SELECT g, sum(t)::BIGINT AS nn,
+                          sum(t * (t - 1) / 2) AS n1t
+                   FROM (SELECT g, x, sum(n)::BIGINT AS t FROM cells
+                         GROUP BY 1, 2) GROUP BY g),
+            ty AS (SELECT g, sum(t * (t - 1) / 2) AS n2t
+                   FROM (SELECT g, y, sum(n)::BIGINT AS t FROM cells
+                         GROUP BY 1, 2) GROUP BY g),
+            j AS (SELECT pr.g, c, d, nn, n1t, n2t,
+                         nn::DOUBLE * (nn::DOUBLE - 1) / 2 AS n0
+                  FROM pr JOIN tx ON pr.g = tx.g JOIN ty ON pr.g = ty.g)
+            SELECT g AS l_returnflag, nn AS n,
+                   round(CASE WHEN sqrt((n0 - n1t) * (n0 - n2t)) > 0 THEN
+                         (coalesce(c, 0.0) - coalesce(d, 0.0))
+                         / sqrt((n0 - n1t) * (n0 - n2t)) END, 6)
+                     AS kendall_tau_b
+            FROM j ORDER BY g
+        """,
         "events_mann_kendall": """
             WITH d AS (SELECT event_type AS k, ts::DATE AS day,
                               sum(CAST(round(value * 100) AS

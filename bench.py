@@ -268,6 +268,7 @@ HEADLINE = [
     "embedding_mmr",
     "events_mann_kendall",
     "events_cuped",
+    "lineitem_kendall",
 ]
 
 

@@ -389,3 +389,26 @@ def test_cuped_removes_preperiod_variance(spark):
     assert out["var_reduction"] > 0.99
     assert abs(out["z_cuped"]) > 10 * abs(out["z_raw"])
     assert out["n_a"] == 100 and out["n_b"] == 100
+
+
+def test_kendall_tau_hand_computed(spark):
+    """No ties, x=[1,2,3] y=[1,3,2]: C=2, D=1, n0=3 -> tau = 1/3.
+    With an x-tie, x=[1,1,2] y=[1,2,3]: C=2, D=0, n1t=1, n2t=0 ->
+    tau_b = 2/sqrt(2*3). Perfect monotone -> 1."""
+    import math
+
+    from vanus_spark.operators.hyptests import kendall_tau_by_group
+
+    rows = (
+        [("a", 1, 1), ("a", 2, 3), ("a", 3, 2)]
+        + [("t", 1, 1), ("t", 1, 2), ("t", 2, 3)]
+        + [("m", i, 10 * i) for i in range(1, 6)]
+    )
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {
+        r["g"]: r
+        for r in kendall_tau_by_group(df, "x", "y", "g").collect()
+    }
+    assert out["a"]["kendall_tau_b"] == round(1 / 3, 6)
+    assert out["t"]["kendall_tau_b"] == round(2 / math.sqrt(6), 6)
+    assert out["m"]["kendall_tau_b"] == 1.0

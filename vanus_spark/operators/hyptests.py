@@ -510,3 +510,69 @@ def cuped_readout(
             "var_reduction"
         ),
     )
+
+
+def kendall_tau_by_group(
+    df: DataFrame, x_col: str, y_col: str, group_col: str
+) -> DataFrame:
+    """Per-group Kendall tau-b for metrics on BOUNDED LATTICES (the
+    spearman_by_group precondition): concordant/discordant pair
+    counts come from a self-join of the per-(group, x, y) CELL table
+    — #cells is |x-lattice| x |y-lattice| per group, so the join is
+    over a broadcast-scale dim and the raw data is touched exactly
+    once (the counting pass). tau_b = (C - D) / sqrt((n0-n1)(n0-n2))
+    with the standard tie terms n1 = sum t_x(t_x-1)/2, n2 = sum
+    t_y(t_y-1)/2, n0 = n(n-1)/2. Pair products are folded in doubles
+    (exact-integer inputs; counts beyond 2^26 per cell would overflow
+    a long product), final round(6)."""
+    cells = df.groupBy(group_col, x_col, y_col).agg(
+        F.count("*").alias("_n")
+    )
+    a = cells.select(
+        F.col(group_col),
+        F.col(x_col).alias("_x1"),
+        F.col(y_col).alias("_y1"),
+        F.col("_n").alias("_n1"),
+    )
+    b = cells.select(
+        F.col(group_col),
+        F.col(x_col).alias("_x2"),
+        F.col(y_col).alias("_y2"),
+        F.col("_n").alias("_n2"),
+    )
+    pairs = a.join(F.broadcast(b), group_col).where(
+        F.col("_x2") > F.col("_x1")
+    )
+    prod = F.col("_n1").cast("double") * F.col("_n2")
+    cd = pairs.groupBy(group_col).agg(
+        F.sum(F.when(F.col("_y2") > F.col("_y1"), prod)).alias("_c"),
+        F.sum(F.when(F.col("_y2") < F.col("_y1"), prod)).alias("_d"),
+    )
+    tx = (
+        cells.groupBy(group_col, x_col)
+        .agg(F.sum("_n").alias("_t"))
+        .groupBy(group_col)
+        .agg(
+            F.sum("_t").alias("_nn"),
+            F.sum(F.col("_t") * (F.col("_t") - 1) / 2).alias("_n1t"),
+        )
+    )
+    ty = (
+        cells.groupBy(group_col, y_col)
+        .agg(F.sum("_n").alias("_t"))
+        .groupBy(group_col)
+        .agg(F.sum(F.col("_t") * (F.col("_t") - 1) / 2).alias("_n2t"))
+    )
+    j = cd.join(tx, group_col).join(ty, group_col)
+    nn = F.col("_nn").cast("double")
+    n0 = nn * (nn - 1) / 2
+    denom = F.sqrt((n0 - F.col("_n1t")) * (n0 - F.col("_n2t")))
+    tau = (
+        F.coalesce(F.col("_c"), F.lit(0.0))
+        - F.coalesce(F.col("_d"), F.lit(0.0))
+    ) / denom
+    return j.select(
+        group_col,
+        F.col("_nn").alias("n"),
+        F.round(F.when(denom > 0, tau), 6).alias("kendall_tau_b"),
+    )
