@@ -8356,6 +8356,48 @@ def q_lineitem_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check — the first data-quality gate an
+    experimentation platform runs before ANY readout: chi-square of
+    the observed user split against the designed 50/50, per
+    event_type exposure population and overall ('_all_'). chi2 with
+    1 dof, p = 2 * Q(sqrt(chi2)) via the shared A&S normal-tail
+    polynomial (the chi2_1 tail IS the two-sided normal tail). A
+    significant p here means assignment is broken and every other
+    readout in the suite is void — which is why it ships in the same
+    family. One distinct-users shuffle; everything after runs on
+    #event_types rows."""
+    from vanus_spark.operators.hyptests import norm_sf
+
+    ev = _t(spark, sf_dir, "events")
+    pops = ev.select(
+        "event_type", "user_id", (F.col("user_id") % 2).alias("variant")
+    ).distinct()
+    seg = pops.groupBy("event_type").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    allrow = pops.select("user_id", "variant").distinct().agg(
+        F.lit("_all_").alias("event_type"),
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    u = seg.unionByName(allrow)
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    e = (na + nb) / 2
+    chi2 = (na - e) * (na - e) / e + (nb - e) * (nb - e) / e
+    p = 2.0 * norm_sf(F.sqrt(chi2))
+    return u.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(chi2, 6).alias("chi2"),
+        F.round(p, 6).alias("p_value"),
+        (p < 0.001).alias("srm_flag"),
+    ).orderBy("event_type")
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Round-7 policy (VERDICT r6 item #2): the 11 new-in-round queries first,
@@ -8366,13 +8408,13 @@ def q_lineitem_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Everything outside the window stays gated by the FULL
 # tools/oracle_check.py replica run.
 #
-# r8 window plan: the 19 operators added after the r7 freeze (the
+# r8 window plan: the 20 operators added after the r7 freeze (the
 # second-session inference suite: events_ks_test, events_anova,
 # lineitem_spearman, events_ab_fdr, corpus_jsd, orders_bootstrap_ci,
 # events_ccf, events_diff_in_diff, events_contingency,
 # events_conversion_test, users_logrank, events_holt_winters,
 # events_ab_power, quality_auc, quality_calibration, embedding_mmr,
-# events_mann_kendall, events_cuped, lineitem_kendall)
+# events_mann_kendall, events_cuped, lineitem_kendall, events_srm)
 # first, then backfill to 50 with the least-recently-driver-checked
 # rows.
 _R7_WINDOW = [
@@ -8467,6 +8509,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_mann_kendall": q_events_mann_kendall,
         "events_cuped": q_events_cuped,
         "lineitem_kendall": q_lineitem_kendall,
+        "events_srm": q_events_srm,
         # --- new in round 7: nonparametric stats, corpus health,
         # dedup reporting, sketch calibration, embedding QA ---
         "events_mann_whitney": q_events_mann_whitney,
@@ -10074,6 +10117,39 @@ def oracle_sql() -> dict[str, str]:
         "orders_bootstrap_ci": _bootstrap_oracle_sql(reps=40, seed=7),
         "events_holt_winters": _holt_winters_oracle_sql(p=7),
         "embedding_mmr": _mmr_oracle_sql(k=5, lam=0.75),
+        "events_srm": f"""
+            WITH pops AS (SELECT DISTINCT event_type, user_id,
+                                 (user_id % 2)::INT AS variant
+                          FROM events),
+            seg AS (SELECT event_type,
+                           sum(CASE WHEN variant = 0 THEN 1 ELSE 0
+                               END)::BIGINT AS n_a,
+                           sum(CASE WHEN variant = 1 THEN 1 ELSE 0
+                               END)::BIGINT AS n_b
+                    FROM pops GROUP BY 1),
+            allp AS (SELECT DISTINCT user_id, variant FROM pops),
+            alr AS (SELECT '_all_' AS event_type,
+                           sum(CASE WHEN variant = 0 THEN 1 ELSE 0
+                               END)::BIGINT AS n_a,
+                           sum(CASE WHEN variant = 1 THEN 1 ELSE 0
+                               END)::BIGINT AS n_b
+                    FROM allp),
+            u AS (SELECT * FROM seg UNION ALL SELECT * FROM alr),
+            c AS (SELECT event_type, n_a, n_b,
+                         (n_a::DOUBLE - (n_a::DOUBLE + n_b) / 2)
+                         * (n_a::DOUBLE - (n_a::DOUBLE + n_b) / 2)
+                         / ((n_a::DOUBLE + n_b) / 2)
+                         + (n_b::DOUBLE - (n_a::DOUBLE + n_b) / 2)
+                         * (n_b::DOUBLE - (n_a::DOUBLE + n_b) / 2)
+                         / ((n_a::DOUBLE + n_b) / 2) AS chi2
+                  FROM u),
+            pp AS (SELECT *,
+                          2.0 * {_NORM_SF_SQL.format(z="sqrt(chi2)")} AS p
+                   FROM c)
+            SELECT event_type, n_a, n_b, round(chi2, 6) AS chi2,
+                   round(p, 6) AS p_value, p < 0.001 AS srm_flag
+            FROM pp ORDER BY event_type
+        """,
         "lineitem_kendall": """
             WITH li AS (SELECT l_returnflag AS g,
                                CAST(l_quantity AS BIGINT) AS x,

@@ -269,6 +269,7 @@ HEADLINE = [
     "events_mann_kendall",
     "events_cuped",
     "lineitem_kendall",
+    "events_srm",
 ]
 
 
