@@ -8398,6 +8398,80 @@ def q_events_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_events_rank_gauss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based inverse normal transform (RankGauss / INT) of the
+    per-event value, per event type (operators/hyptests.
+    rank_gauss_by_group): Blom score Phi^{-1}((avg_rank - 3/8) /
+    (n + 1/4)) — the gaussianizing feature map every tabular-NN
+    pipeline applies to skewed metrics before training. Phi^{-1} is
+    the Beasley-Springer-Moro closed form, the SAME literals in the
+    DuckDB twin. Cents lattice precondition: ranks derive from the
+    bounded per-(type, cents) cell table (one counting shuffle);
+    the windows run over cells, never observations."""
+    from vanus_spark.operators.hyptests import rank_gauss_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    return rank_gauss_by_group(cents, "cents", "event_type").orderBy(
+        "event_type", "cents"
+    )
+
+
+def q_quality_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) recalibration of the NB quality classifier
+    (operators/calibration.isotonic_binned): the reliability table
+    from q_quality_calibration at 20 bins, plus the weighted
+    non-decreasing fit that REPAIRS the probabilities — computed via
+    the exact minimax closed form fit[i] = max_(j<=i) min_(k>=i)
+    mean(y[j..k]) on the bounded bin table (PAV is sequential, so it
+    never touches the observations; B=20 is data-scale-invariant).
+    Interval means divide exact BIGINT label sums. One scoring pass +
+    one 20-row aggregate + bounded bin algebra."""
+    from vanus_spark.llm.qualityrules import nb_score, nb_train
+    from vanus_spark.operators.calibration import isotonic_binned
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0).withColumn(
+        "label", (F.col("lang") == "en").cast("int")
+    )
+    word_df, stats_df = nb_train(train)
+    held_out = docs.where(F.col("doc_id") % 2 == 1)
+    scored = nb_score(held_out, word_df, stats_df).join(
+        held_out.select(
+            "doc_id", (F.col("lang") == "en").cast("int").alias("y")
+        ),
+        "doc_id",
+    )
+    prob = 1.0 / (1.0 + F.exp(-F.col("score")))
+    staged = scored.select(
+        F.col("y"),
+        prob.alias("_p"),
+        F.least(F.lit(19), F.floor(prob * 20)).cast("int").alias("bucket"),
+    )
+    bins = staged.groupBy("bucket").agg(
+        F.count("*").alias("w"),
+        F.sum("y").cast("long").alias("s"),
+        F.round(F.avg("_p"), 6).alias("mean_pred"),
+    )
+    iso = isotonic_binned(bins, "bucket", "w", "s")
+    return (
+        bins.join(iso, "bucket")
+        .select(
+            "bucket",
+            F.col("w").alias("n"),
+            "mean_pred",
+            F.round(F.col("s").cast("double") / F.col("w"), 6).alias(
+                "obs_rate"
+            ),
+            F.round("iso_rate", 6).alias("iso_rate"),
+        )
+        .orderBy("bucket")
+    )
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Round-7 policy (VERDICT r6 item #2): the 11 new-in-round queries first,
@@ -8488,6 +8562,12 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # IRRELEVANT — queries() reorders via _R7_WINDOW. tests/test_registry.py
     # guards window size, duplicate keys, and oracle coverage.
     return {
+        # --- new in round 7, third session: feature transforms,
+        # calibration, outlier/trend tests, corpus estimators, geo,
+        # fold assignment, Markov attribution (post-window-freeze;
+        # the r8 driver window picks these up) ---
+        "events_rank_gauss": q_events_rank_gauss,
+        "quality_isotonic": q_quality_isotonic,
         # --- new in round 7, second session: inference suite (post-
         # window-freeze; the r8 driver window picks these up) ---
         "events_ks_test": q_events_ks_test,
@@ -9945,9 +10025,67 @@ _NORM_SF_SQL = (
 )
 
 
+def _inv_norm_sql(p: str, r: str, y: str, slo: str, shi: str) -> str:
+    """SQL twin of hyptests.inv_norm_cdf (Beasley-Springer-Moro),
+    generated from the SAME constant tuples so every literal matches
+    the Spark side to the character. Callers stage the repeated
+    subexpressions as columns: r = p - 0.5, y = r*r,
+    slo = ln(-ln(p)), shi = ln(-ln(1 - p))."""
+    from vanus_spark.operators.hyptests import BSM_A, BSM_B, MORO_C
+
+    def horner(s: str) -> str:
+        acc = repr(MORO_C[-1])
+        for c in reversed(MORO_C[:-1]):
+            acc = f"({c!r} + {s} * {acc})"
+        return acc
+
+    num = (
+        f"({BSM_A[0]!r} + {y} * ({BSM_A[1]!r} + {y} * "
+        f"({BSM_A[2]!r} + {y} * {BSM_A[3]!r})))"
+    )
+    den = (
+        f"(1.0 + {y} * ({BSM_B[0]!r} + {y} * ({BSM_B[1]!r} + {y} * "
+        f"({BSM_B[2]!r} + {y} * {BSM_B[3]!r}))))"
+    )
+    return (
+        f"CASE WHEN {p} < 0.08 THEN -{horner(slo)} "
+        f"WHEN {p} > 0.92 THEN {horner(shi)} "
+        f"ELSE {r} * {num} / {den} END"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     norm_text = _NORM.format(c="text")
     return {
+        "events_rank_gauss": f"""
+            WITH c AS (SELECT event_type AS g,
+                              CAST(round(value * 100) AS BIGINT) AS cents,
+                              count(*)::BIGINT AS t
+                       FROM events GROUP BY 1, 2),
+            w AS (SELECT g, cents, t,
+                         coalesce(sum(t) OVER (PARTITION BY g
+                             ORDER BY cents ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND 1 PRECEDING), 0) AS bef,
+                         sum(t) OVER (PARTITION BY g) AS nn
+                  FROM c),
+            s1 AS (SELECT g, cents, t, nn,
+                          bef::DOUBLE + (t + 1)::DOUBLE / 2.0 AS ar
+                   FROM w),
+            s2 AS (SELECT *,
+                          (ar - 0.375) / (nn::DOUBLE + 0.25) AS pp
+                   FROM s1),
+            s3 AS (SELECT *, pp - 0.5 AS rr, ln(-ln(pp)) AS slo,
+                          ln(-ln(1.0 - pp)) AS shi
+                   FROM s2),
+            s4 AS (SELECT *, rr * rr AS yy FROM s3),
+            inv AS (SELECT g, cents, t, ar,
+                           {_inv_norm_sql("pp", "rr", "yy", "slo", "shi")}
+                             AS gauss
+                    FROM s4)
+            SELECT g AS event_type, cents, t AS n_ties,
+                   round(ar, 6) AS avg_rank, round(gauss, 6) AS gauss
+            FROM inv ORDER BY event_type, cents
+        """,
         "events_ks_test": """
             WITH u AS (
               SELECT user_id,
@@ -10411,6 +10549,63 @@ def oracle_sql() -> dict[str, str]:
                   FROM st2)
             SELECT bucket, n, mean_pred, obs_rate, brier
             FROM cal CROSS JOIN b ORDER BY bucket
+        """.replace("{norm}", norm_text),
+        "quality_isotonic": f"""
+            WITH train AS (
+              SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, text
+              FROM documents WHERE doc_id % 2 = 0),
+            tk AS (SELECT y, unnest(str_split({{norm}}, ' ')) AS tok
+                   FROM train),
+            wc AS (SELECT tok, sum(y)::BIGINT AS pos_c,
+                          sum(1 - y)::BIGINT AS neg_c
+                   FROM tk GROUP BY tok),
+            cls AS (SELECT sum(y)::BIGINT AS n_pos, sum(1 - y)::BIGINT
+                             AS n_neg
+                    FROM train),
+            ts AS (SELECT sum(pos_c) AS t_pos, sum(neg_c) AS t_neg,
+                          count(*) AS vocab FROM wc),
+            sc AS (SELECT doc_id, unnest(str_split({{norm}}, ' ')) AS tok
+                   FROM documents WHERE doc_id % 2 = 1),
+            agg AS (
+              SELECT doc_id,
+                     round(ln(any_value(cls.n_pos)::DOUBLE)
+                           - ln(any_value(cls.n_neg)::DOUBLE)
+                           + sum(ln(coalesce(wc.pos_c, 0) + 1.0)
+                                 - ln(coalesce(wc.neg_c, 0) + 1.0))
+                           + count(*) * (ln((any_value(ts.t_neg)
+                                             + any_value(ts.vocab))::DOUBLE)
+                                         - ln((any_value(ts.t_pos)
+                                               + any_value(ts.vocab))::DOUBLE)),
+                           6) AS score
+              FROM sc LEFT JOIN wc USING (tok) CROSS JOIN cls CROSS JOIN ts
+              GROUP BY doc_id),
+            lab AS (SELECT agg.doc_id, score,
+                           CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+                    FROM agg JOIN documents d USING (doc_id)),
+            st AS (SELECT y,
+                          1.0::DOUBLE / (1.0::DOUBLE + exp(-score)) AS p
+                   FROM lab),
+            st2 AS (SELECT y, p, least(19, floor(p * 20))::INT AS b
+                    FROM st),
+            bins AS (SELECT b, count(*)::BIGINT AS w, sum(y)::BIGINT AS s,
+                            round(avg(p), 6) AS mean_pred
+                     FROM st2 GROUP BY b),
+            pre AS (SELECT b, w, s,
+                           sum(w) OVER (ORDER BY b) AS pw,
+                           sum(s) OVER (ORDER BY b) AS ps
+                    FROM bins),
+            iv AS (SELECT a.b AS j, k.b AS k,
+                          (k.ps - (a.ps - a.s))::DOUBLE
+                            / (k.pw - (a.pw - a.w)) AS ia
+                   FROM pre a JOIN pre k ON a.b <= k.b),
+            mn AS (SELECT i.b AS i, iv.j, min(ia) AS mina
+                   FROM bins i JOIN iv ON iv.j <= i.b AND iv.k >= i.b
+                   GROUP BY 1, 2),
+            fit AS (SELECT i, max(mina) AS iso FROM mn GROUP BY i)
+            SELECT bins.b AS bucket, w AS n, mean_pred,
+                   round(s::DOUBLE / w, 6) AS obs_rate,
+                   round(iso, 6) AS iso_rate
+            FROM bins JOIN fit ON fit.i = bins.b ORDER BY bucket
         """.replace("{norm}", norm_text),
         "users_logrank": """
             WITH subj AS (

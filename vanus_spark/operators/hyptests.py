@@ -576,3 +576,85 @@ def kendall_tau_by_group(
         F.col("_nn").alias("n"),
         F.round(F.when(denom > 0, tau), 6).alias("kendall_tau_b"),
     )
+
+
+# Beasley-Springer-Moro inverse normal CDF. Central region |p-0.5| <=
+# 0.42 uses the BSM rational polynomial; the tails use Moro's
+# log-log Chebyshev fit (|err| < 3e-9 across (0,1)). The SAME
+# literals and nesting run in the DuckDB oracle (_INV_NORM_* in
+# __spark_entry__.py), so both engines produce bit-comparable
+# quantiles from identical inputs.
+BSM_A = (2.50662823884, -18.61500062529, 41.39119773534, -25.44106049637)
+BSM_B = (-8.47351093090, 23.08336743743, -21.06224101826, 3.13082909833)
+MORO_C = (
+    0.3374754822726147,
+    0.9761690190917186,
+    0.1607979714918209,
+    0.0276438810333863,
+    0.0038405729373609,
+    0.0003951896511919,
+    0.0000321767881768,
+    0.0000002888167364,
+    0.0000003960315187,
+)
+
+
+def _moro_horner(s: Column) -> Column:
+    acc: Column | float = F.lit(MORO_C[-1])
+    for c in reversed(MORO_C[:-1]):
+        acc = c + s * acc
+    return acc
+
+
+def inv_norm_cdf(p: Column) -> Column:
+    """Phi^{-1}(p) for p in (0, 1) — the quantile function behind the
+    rank-gauss / inverse-normal-transform feature map (RankGauss;
+    Blom 1958 scores). Pure arithmetic, no SciPy: Beasley-Springer
+    (1977) rational polynomial in the central region, Moro (1995)
+    log-log tail fit outside it."""
+    r = p - 0.5
+    y = r * r
+    num = BSM_A[0] + y * (BSM_A[1] + y * (BSM_A[2] + y * BSM_A[3]))
+    den = 1.0 + y * (
+        BSM_B[0] + y * (BSM_B[1] + y * (BSM_B[2] + y * BSM_B[3]))
+    )
+    central = r * num / den
+    hi = _moro_horner(F.log(-F.log(1.0 - p)))
+    lo = -_moro_horner(F.log(-F.log(p)))
+    return (
+        F.when(p < 0.08, lo).when(p > 0.92, hi).otherwise(central)
+    )
+
+
+def rank_gauss_by_group(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Rank-based inverse normal transform (RankGauss) per group: map
+    each value to Phi^{-1}((avg_tie_rank - 3/8) / (n + 1/4)) — the
+    Blom-score feature transform that gaussianizes any skewed metric
+    before it feeds a neural net or linear model (the Kaggle
+    'RankGauss' trick; standard in eQTL pipelines as INT).
+
+    Scale shape: valid on the declared bounded-lattice precondition
+    (fixed-precision metrics — cents, counts, ratings), the same
+    contract as ``spearman_by_group``: ranks derive from the
+    per-(group, value) CELL table, so the raw data is touched exactly
+    once (the counting aggregate) and every window below runs over
+    the bounded cell table, never the observations. Returns one row
+    per (group, value): n_ties, avg_rank, gauss.
+    """
+    cells = df.groupBy(group_col, value_col).agg(F.count("*").alias("_t"))
+    w_ord = Window.partitionBy(group_col).orderBy(value_col)
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    w_tot = Window.partitionBy(group_col)
+    before = F.coalesce(F.sum("_t").over(w_prev), F.lit(0))
+    n = F.sum("_t").over(w_tot)
+    avg_rank = before.cast("double") + (F.col("_t") + 1).cast("double") / 2.0
+    p = (avg_rank - 0.375) / (n.cast("double") + 0.25)
+    return cells.select(
+        group_col,
+        value_col,
+        F.col("_t").alias("n_ties"),
+        F.round(avg_rank, 6).alias("avg_rank"),
+        F.round(inv_norm_cdf(p), 6).alias("gauss"),
+    )
