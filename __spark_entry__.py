@@ -8472,6 +8472,55 @@ def q_quality_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance-aware outlier screen over the per-user (event count,
+    spend cents) plane (operators/hyptests.mahalanobis_2d): the 2x2
+    covariance inverts in closed form, d^2 gets the EXACT chi2(2)
+    tail p = exp(-d^2/2), and users beyond the 0.95 quantile
+    (d^2 >= 5.991465) are flagged — what per-feature z-scores
+    (q_events_mad_outliers, q_embedding_outliers) miss when a point
+    sits off the correlation ridge. One per-user collapse + one
+    exact-BIGINT moment aggregate broadcast back; int64 headroom: the
+    y^2 sums carry ~1e6-cents users to ~9e6 users per partition-free
+    aggregate — pre-scale to dollars beyond that."""
+    from vanus_spark.operators.hyptests import mahalanobis_2d
+
+    ev = _t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents"),
+    )
+    scored = mahalanobis_2d(
+        users, "n_events", "cents", ["user_id", "n_events", "cents"]
+    )
+    return scored.where(F.col("d2") >= 5.991465).orderBy("user_id")
+
+
+def q_events_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage dose-response trend test (operators/hyptests.
+    cochran_armitage_trend): conversion (any purchase) across the four
+    ordered exposure tiers user_id % 4 — the graduated-rollout readout
+    the two-arm z-test (q_events_conversion_test) can't express,
+    completing the proportions family (SRM gate, two-arm z, trend).
+    One distinct-user collapse, one 4-row tier aggregate; z and the
+    two-sided p ride the shared A&S tail polynomial."""
+    from vanus_spark.operators.hyptests import cochran_armitage_trend
+
+    ev = _t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    )
+    tiers = users.groupBy(
+        (F.col("user_id") % 4).cast("long").alias("tier")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("conv").cast("long").alias("r"),
+    )
+    return cochran_armitage_trend(tiers, "tier", "n", "r")
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Round-7 policy (VERDICT r6 item #2): the 11 new-in-round queries first,
@@ -8568,6 +8617,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the r8 driver window picks these up) ---
         "events_rank_gauss": q_events_rank_gauss,
         "quality_isotonic": q_quality_isotonic,
+        "events_mahalanobis": q_events_mahalanobis,
+        "events_cochran_armitage": q_events_cochran_armitage,
         # --- new in round 7, second session: inference suite (post-
         # window-freeze; the r8 driver window picks these up) ---
         "events_ks_test": q_events_ks_test,
@@ -10085,6 +10136,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT g AS event_type, cents, t AS n_ties,
                    round(ar, 6) AS avg_rank, round(gauss, 6) AS gauss
             FROM inv ORDER BY event_type, cents
+        """,
+        "events_mahalanobis": """
+            WITH u AS (SELECT user_id, count(*)::BIGINT AS x,
+                              sum(CAST(round(value * 100) AS
+                                       BIGINT))::BIGINT AS y
+                       FROM events GROUP BY 1),
+            m AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+                         sum(y)::BIGINT AS sy, sum(x * x)::BIGINT AS sxx,
+                         sum(y * y)::BIGINT AS syy,
+                         sum(x * y)::BIGINT AS sxy
+                  FROM u),
+            g AS (SELECT n::DOUBLE AS nd, sx, sy, sxx, syy, sxy,
+                         sx::DOUBLE / n::DOUBLE AS mx,
+                         sy::DOUBLE / n::DOUBLE AS my
+                  FROM m),
+            g2 AS (SELECT *,
+                          (sxx::DOUBLE - sx * mx) / (nd - 1) AS vxx,
+                          (syy::DOUBLE - sy * my) / (nd - 1) AS vyy,
+                          (sxy::DOUBLE - sx * my) / (nd - 1) AS vxy
+                   FROM g),
+            g3 AS (SELECT *, vxx * vyy - vxy * vxy AS det FROM g2),
+            dd AS (SELECT user_id, x, y, x::DOUBLE - mx AS dx,
+                          y::DOUBLE - my AS dy, vxx, vyy, vxy, det
+                   FROM u, g3),
+            d2t AS (SELECT user_id, x, y,
+                           (dx * dx * vyy - 2.0 * dx * dy * vxy
+                            + dy * dy * vxx) / det AS d2
+                    FROM dd)
+            SELECT user_id, x AS n_events, y AS cents,
+                   round(d2, 6) AS d2,
+                   round(exp(-d2 / 2.0), 6) AS p_value
+            FROM d2t WHERE round(d2, 6) >= 5.991465 ORDER BY user_id
+        """,
+        "events_cochran_armitage": f"""
+            WITH u AS (SELECT user_id,
+                              max(CASE WHEN event_type = 'purchase'
+                                  THEN 1 ELSE 0 END)::BIGINT AS conv
+                       FROM events GROUP BY 1),
+            t AS (SELECT (user_id % 4)::BIGINT AS tier,
+                         count(*)::BIGINT AS n, sum(conv)::BIGINT AS r
+                  FROM u GROUP BY 1),
+            a AS (SELECT sum(n)::BIGINT AS nn, sum(r)::BIGINT AS rr,
+                         sum(tier * n)::BIGINT AS sn,
+                         sum(tier * r)::BIGINT AS sr,
+                         sum(tier * tier * n)::BIGINT AS ssn
+                  FROM t),
+            b AS (SELECT nn, rr, sn, sr, ssn, nn::DOUBLE AS nd,
+                         rr::DOUBLE / nn::DOUBLE AS pbar
+                  FROM a),
+            c AS (SELECT nn, rr,
+                         sr::DOUBLE - sn * pbar AS t_stat,
+                         pbar * (1.0 - pbar)
+                           * (ssn::DOUBLE - sn * (sn / nd)) AS var
+                  FROM b),
+            d AS (SELECT nn, rr, var,
+                         t_stat / sqrt(var) AS z
+                  FROM c)
+            SELECT nn AS n_total, rr AS n_converted,
+                   round(CASE WHEN var > 0 THEN z END, 6) AS z,
+                   round(CASE WHEN var > 0 THEN
+                           2.0 * {_NORM_SF_SQL.format(z="abs(z)")}
+                         ELSE 1.0 END, 6) AS p_value
+            FROM d
         """,
         "events_ks_test": """
             WITH u AS (

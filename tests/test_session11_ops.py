@@ -122,3 +122,59 @@ def test_registry_isotonic_fit_is_monotone(spark, sf_dir):
     iso = [r["iso_rate"] for r in rows]
     assert iso == sorted(iso)
     assert all(0.0 <= v <= 1.0 for v in iso)
+
+
+def test_mahalanobis_symmetric_square(spark):
+    """Four corners of a square: identical d2 = 1.5 for each
+    (vxx = vyy = 4/3, vxy = 0, dx = dy = +-1)."""
+    from vanus_spark.operators.hyptests import mahalanobis_2d
+
+    df = spark.createDataFrame(
+        [(1, 0, 0), (2, 2, 0), (3, 0, 2), (4, 2, 2)],
+        "id int, x long, y long",
+    )
+    out = mahalanobis_2d(df, "x", "y", ["id"]).collect()
+    assert all(abs(r["d2"] - 1.5) < 1e-9 for r in out)
+    import math
+
+    assert all(
+        abs(r["p_value"] - math.exp(-0.75)) < 1e-6 for r in out
+    )
+
+
+def test_mahalanobis_catches_off_ridge_point(spark):
+    """Strongly correlated cloud + one point ON the marginal means of
+    each axis but OFF the ridge: it must out-score on-ridge extremes."""
+    from vanus_spark.operators.hyptests import mahalanobis_2d
+
+    ridge = [(i, i, i) for i in range(1, 11)]
+    rows = ridge + [(99, 2, 9)]  # marginally unremarkable, off-ridge
+    df = spark.createDataFrame(rows, "id int, x long, y long")
+    out = {r["id"]: r["d2"] for r in mahalanobis_2d(
+        df, "x", "y", ["id"]).collect()}
+    assert out[99] > max(v for k, v in out.items() if k != 99)
+
+
+def test_cochran_armitage_hand_computed(spark):
+    """n = [10,10,10], r = [2,5,8], scores 0,1,2: pbar = .5, T = 6,
+    Var = 5 -> z = 6/sqrt(5) = 2.683282, p ~ 0.0073."""
+    from vanus_spark.operators.hyptests import cochran_armitage_trend
+
+    tiers = spark.createDataFrame(
+        [(0, 10, 2), (1, 10, 5), (2, 10, 8)], "tier long, n long, r long"
+    )
+    out = cochran_armitage_trend(tiers, "tier", "n", "r").collect()[0]
+    assert out["n_total"] == 30 and out["n_converted"] == 15
+    assert abs(out["z"] - 2.683282) < 1e-6
+    assert 0.005 < out["p_value"] < 0.01
+
+
+def test_cochran_armitage_flat_is_null_trend(spark):
+    """Equal rates across tiers: T = 0 -> z = 0, p = 1."""
+    from vanus_spark.operators.hyptests import cochran_armitage_trend
+
+    tiers = spark.createDataFrame(
+        [(0, 10, 5), (1, 10, 5), (2, 10, 5)], "tier long, n long, r long"
+    )
+    out = cochran_armitage_trend(tiers, "tier", "n", "r").collect()[0]
+    assert out["z"] == 0.0 and out["p_value"] == 1.0

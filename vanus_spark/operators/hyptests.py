@@ -658,3 +658,84 @@ def rank_gauss_by_group(
         F.round(avg_rank, 6).alias("avg_rank"),
         F.round(inv_norm_cdf(p), 6).alias("gauss"),
     )
+
+
+def mahalanobis_2d(
+    df: DataFrame, x_col: str, y_col: str, keep_cols: list[str]
+) -> DataFrame:
+    """Two-feature Mahalanobis distance per row, with the EXACT
+    chi-square(2) upper-tail p-value p = exp(-d^2/2) (the 2-dof tail
+    is closed-form) — the covariance-aware outlier score that catches
+    what per-feature z-scores miss (a point can be 2 sigma on each
+    axis yet wildly off the correlation ridge).
+
+    Scale shape: ONE exact-integer moment aggregate (n, sums, cross
+    sums stay BIGINT so both engines derive identical doubles), the
+    2x2 covariance inverted in closed form inside the broadcast join
+    — no matrix library, no collect of the data, one pass."""
+    xi = F.col(x_col).cast("double")
+    yi = F.col(y_col).cast("double")
+    m = df.agg(
+        F.count("*").alias("_n"),
+        F.sum(x_col).alias("_sx"),
+        F.sum(y_col).alias("_sy"),
+        F.sum(F.col(x_col) * F.col(x_col)).alias("_sxx"),
+        F.sum(F.col(y_col) * F.col(y_col)).alias("_syy"),
+        F.sum(F.col(x_col) * F.col(y_col)).alias("_sxy"),
+    )
+    j = df.crossJoin(F.broadcast(m))
+    n = F.col("_n").cast("double")
+    mx = F.col("_sx").cast("double") / n
+    my = F.col("_sy").cast("double") / n
+    vxx = (F.col("_sxx").cast("double") - F.col("_sx") * mx) / (n - 1)
+    vyy = (F.col("_syy").cast("double") - F.col("_sy") * my) / (n - 1)
+    vxy = (F.col("_sxy").cast("double") - F.col("_sx") * my) / (n - 1)
+    det = vxx * vyy - vxy * vxy
+    dx = xi - mx
+    dy = yi - my
+    d2 = (dx * dx * vyy - 2.0 * dx * dy * vxy + dy * dy * vxx) / det
+    return j.select(
+        *keep_cols,
+        F.round(d2, 6).alias("d2"),
+        F.round(F.exp(-d2 / 2.0), 6).alias("p_value"),
+    )
+
+
+def cochran_armitage_trend(
+    tiers: DataFrame, score_col: str, n_col: str, r_col: str
+) -> DataFrame:
+    """Cochran-Armitage test for a linear trend in proportions across
+    ordered exposure tiers (the dose-response readout an
+    experimentation platform runs on graduated rollouts, where the
+    two-group z-test can't see ordering). ``tiers``: one row per tier
+    with an integer score, subject count n and converted count r.
+    z = sum(s_i (r_i - n_i pbar)) / sqrt(pbar (1-pbar)
+    (sum s_i^2 n_i - (sum s_i n_i)^2 / N)); two-sided p via the
+    shared A&S normal-tail polynomial. Runs on the TIER table
+    (#tiers rows) — callers own the one per-subject collapse."""
+    agg = tiers.agg(
+        F.sum(n_col).alias("_nn"),
+        F.sum(r_col).alias("_rr"),
+        F.sum(F.col(score_col) * F.col(n_col)).alias("_sn"),
+        F.sum(F.col(score_col) * F.col(r_col)).alias("_sr"),
+        F.sum(
+            F.col(score_col) * F.col(score_col) * F.col(n_col)
+        ).alias("_ssn"),
+    )
+    nn = F.col("_nn").cast("double")
+    pbar = F.col("_rr").cast("double") / nn
+    t_stat = F.col("_sr").cast("double") - F.col("_sn") * pbar
+    var = (
+        pbar
+        * (1.0 - pbar)
+        * (F.col("_ssn").cast("double") - F.col("_sn") * (F.col("_sn") / nn))
+    )
+    z = t_stat / F.sqrt(var)
+    return agg.select(
+        F.col("_nn").alias("n_total"),
+        F.col("_rr").alias("n_converted"),
+        F.round(F.when(var > 0, z), 6).alias("z"),
+        F.round(
+            F.when(var > 0, 2.0 * norm_sf(F.abs(z))).otherwise(1.0), 6
+        ).alias("p_value"),
+    )
