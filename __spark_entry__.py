@@ -8521,6 +8521,62 @@ def q_events_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cochran_armitage_trend(tiers, "tier", "n", "r")
 
 
+def q_users_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard per segment (operators/survival.
+    nelson_aalen) on the SAME subjects frame as q_users_kaplan_meier
+    (duration = first-to-last-event days, every 5th user censored,
+    segments user_id % 3): H(t) = sum d_i/n_i with variance
+    sum d_i/n_i^2 — the hazard-scale readout additive-risk models
+    consume; K-M gives the survival scale, this gives the integrated
+    hazard. Risk-table collapse first; running sums walk risk-table
+    rows only."""
+    from vanus_spark.operators.survival import nelson_aalen
+
+    ev = _t(spark, sf_dir, "events")
+    subjects = ev.groupBy("user_id").agg(
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))).alias(
+            "duration"
+        )
+    ).select(
+        (F.col("user_id") % 3).cast("string").alias("segment"),
+        F.col("duration").cast("long").alias("duration"),
+        F.when(F.col("user_id") % 5 == 0, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("event"),
+    )
+    return nelson_aalen(subjects).orderBy("segment", "t")
+
+
+def q_events_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily spend
+    series per event type (operators/timeseries.decompose_additive):
+    trend = centered 7-day moving average over the EXACT integer
+    cents (one int division, no float-order sensitivity), seasonal =
+    per-dow mean of the detrended series re-centered to zero with
+    equal phase weight, residual = remainder — the
+    trend/seasonal/residual split a forecaster inspects before
+    picking a model (q_events_seasonality gives the dow profile;
+    this decomposes the series itself). One daily collapse; all
+    windows run on the 30-row-per-type daily table."""
+    from vanus_spark.operators.timeseries import decompose_additive
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents")
+    )
+    out = decompose_additive(daily, "event_type", "day", "cents")
+    return out.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "value",
+        "trend",
+        "seasonal",
+        "residual",
+    ).orderBy("event_type", "day")
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Round-7 policy (VERDICT r6 item #2): the 11 new-in-round queries first,
@@ -8619,6 +8675,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_isotonic": q_quality_isotonic,
         "events_mahalanobis": q_events_mahalanobis,
         "events_cochran_armitage": q_events_cochran_armitage,
+        "users_nelson_aalen": q_users_nelson_aalen,
+        "events_stl": q_events_stl,
         # --- new in round 7, second session: inference suite (post-
         # window-freeze; the r8 driver window picks these up) ---
         "events_ks_test": q_events_ks_test,
@@ -10136,6 +10194,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT g AS event_type, cents, t AS n_ties,
                    round(ar, 6) AS avg_rank, round(gauss, 6) AS gauss
             FROM inv ORDER BY event_type, cents
+        """,
+        "users_nelson_aalen": """
+            WITH subj AS (
+              SELECT user_id,
+                     date_diff('day', min(ts::DATE), max(ts::DATE))::BIGINT
+                       AS duration
+              FROM events GROUP BY user_id),
+            s AS (SELECT (user_id % 3)::VARCHAR AS segment, duration,
+                         CASE WHEN user_id % 5 = 0 THEN 0 ELSE 1 END AS event
+                  FROM subj),
+            risk AS (SELECT segment, duration AS t,
+                            sum(event)::BIGINT AS n_events,
+                            sum(1 - event)::BIGINT AS n_censored
+                     FROM s GROUP BY 1, 2),
+            staged AS (
+              SELECT *,
+                     sum(n_events + n_censored)
+                       OVER (PARTITION BY segment)
+                     - coalesce(sum(n_events + n_censored)
+                         OVER (PARTITION BY segment ORDER BY t
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) AS n_at_risk
+              FROM risk),
+            curve AS (
+              SELECT *,
+                     sum(n_events::DOUBLE / n_at_risk::DOUBLE)
+                       OVER (PARTITION BY segment ORDER BY t
+                             ROWS UNBOUNDED PRECEDING) AS ch,
+                     sum(n_events::DOUBLE
+                         / (n_at_risk::DOUBLE * n_at_risk::DOUBLE))
+                       OVER (PARTITION BY segment ORDER BY t
+                             ROWS UNBOUNDED PRECEDING) AS vh
+              FROM staged)
+            SELECT segment, t, n_at_risk::BIGINT AS n_at_risk, n_events,
+                   round(ch, 6) AS cum_hazard, round(vh, 6) AS var_hazard
+            FROM curve ORDER BY segment, t
+        """,
+        "events_stl": """
+            WITH d AS (SELECT event_type AS k, ts::DATE AS day,
+                              sum(CAST(round(value * 100) AS
+                                       BIGINT))::BIGINT AS cents
+                       FROM events GROUP BY 1, 2),
+            ma AS (SELECT k, day, cents,
+                          count(cents) OVER w AS n7,
+                          sum(cents) OVER w AS s7,
+                          dayofweek(day) + 1 AS phase
+                   FROM d
+                   WINDOW w AS (PARTITION BY k ORDER BY day
+                                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+            st AS (SELECT k, day, phase, cents::DOUBLE AS y,
+                          CASE WHEN n7 = 7
+                               THEN s7::DOUBLE / 7.0 END AS trend
+                   FROM ma),
+            st2 AS (SELECT *, y - trend AS detr FROM st),
+            pm AS (SELECT k, phase, avg(detr) AS smean
+                   FROM st2 GROUP BY 1, 2),
+            ctr AS (SELECT k, phase,
+                           smean - avg(smean) OVER (PARTITION BY k)
+                             AS seas
+                    FROM pm)
+            SELECT st2.k AS event_type, strftime(st2.day, '%Y-%m-%d') AS day,
+                   round(y, 6) AS value, round(trend, 6) AS trend,
+                   round(seas, 6) AS seasonal,
+                   round(y - trend - seas, 6) AS residual
+            FROM st2 JOIN ctr ON st2.k = ctr.k AND st2.phase = ctr.phase
+            ORDER BY event_type, day
         """,
         "events_mahalanobis": """
             WITH u AS (SELECT user_id, count(*)::BIGINT AS x,

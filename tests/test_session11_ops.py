@@ -178,3 +178,73 @@ def test_cochran_armitage_flat_is_null_trend(spark):
     )
     out = cochran_armitage_trend(tiers, "tier", "n", "r").collect()[0]
     assert out["z"] == 0.0 and out["p_value"] == 1.0
+
+
+def test_nelson_aalen_hand_computed(spark):
+    """durations [1,2,2,3], censor one of the 2s: t=1 n=4 d=1,
+    t=2 n=3 d=1, t=3 n=1 d=1 -> H = .25, .583333, 1.583333;
+    var = .0625, .173611, 1.173611."""
+    from vanus_spark.operators.survival import nelson_aalen
+
+    subj = spark.createDataFrame(
+        [("g", 1, 1), ("g", 2, 1), ("g", 2, 0), ("g", 3, 1)],
+        "segment string, duration long, event int",
+    )
+    rows = {r["t"]: r for r in nelson_aalen(subj).collect()}
+    assert rows[1]["n_at_risk"] == 4 and rows[1]["cum_hazard"] == 0.25
+    assert rows[2]["n_at_risk"] == 3 and rows[2]["cum_hazard"] == 0.583333
+    assert rows[3]["n_at_risk"] == 1 and rows[3]["cum_hazard"] == 1.583333
+    assert rows[2]["var_hazard"] == 0.173611
+    assert rows[3]["var_hazard"] == 1.173611
+
+
+def test_decompose_additive_constant_series(spark):
+    """A constant series decomposes to trend = c, seasonal = 0,
+    residual = 0 (where the trend window is full)."""
+    import datetime
+
+    from vanus_spark.operators.timeseries import decompose_additive
+
+    rows = [
+        ("k", datetime.date(2024, 1, d), 700) for d in range(1, 22)
+    ]
+    df = spark.createDataFrame(rows, "k string, day date, cents long")
+    out = decompose_additive(df, "k", "day", "cents").collect()
+    mid = [r for r in out if r["trend"] is not None]
+    assert len(mid) == 15  # 21 days - 2*3 edge days
+    assert all(r["trend"] == 700.0 for r in mid)
+    assert all(abs(r["seasonal"]) < 1e-9 for r in out)
+    assert all(abs(r["residual"]) < 1e-9 for r in mid)
+
+
+def test_decompose_additive_recovers_weekly_pattern(spark):
+    """y = 1000 + 7-periodic bump: the seasonal indexes recover the
+    bump shape (re-centered), trend stays flat at 1000 + mean bump,
+    residuals vanish, and parts sum back to the value."""
+    import datetime
+
+    from vanus_spark.operators.timeseries import decompose_additive
+
+    bump = [0, 70, 140, 210, 280, 350, 420]  # mean 210
+    rows = [
+        (
+            "k",
+            datetime.date(2024, 1, 1) + datetime.timedelta(days=i),
+            1000 + bump[i % 7],
+        )
+        for i in range(28)
+    ]
+    df = spark.createDataFrame(rows, "k string, day date, cents long")
+    out = decompose_additive(df, "k", "day", "cents").collect()
+    mid = [r for r in out if r["trend"] is not None]
+    assert all(abs(r["trend"] - 1210.0) < 1e-6 for r in mid)
+    assert all(abs(r["residual"]) < 1e-6 for r in mid)
+    for r in out:
+        if r["trend"] is not None:
+            assert (
+                abs(r["value"] - r["trend"] - r["seasonal"] - r["residual"])
+                < 1e-6
+            )
+    # seasonal indexes sum to ~0 across one period
+    seas = sorted({round(r["seasonal"], 6) for r in out})
+    assert abs(sum(seas)) < 1e-6 and len(seas) == 7

@@ -148,3 +148,45 @@ def logrank_test(
         ),
         F.round(z, 6).alias("z"),
     )
+
+
+def nelson_aalen(
+    subjects: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    group_col: str = "segment",
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator per group:
+    H(t) = sum_{t_i <= t} d_i / n_i with the standard variance
+    sum d_i / n_i^2 — the hazard-scale companion to ``kaplan_meier``
+    (K-M answers "what fraction survives", N-A answers "how much
+    hazard has accumulated", the quantity additive-risk models and
+    hazard-ratio eyeballing need).
+
+    Same scale shape as kaplan_meier: the subject table collapses to
+    the (group, duration) risk table before any window runs; the
+    running sums accumulate in duration order over risk-table rows
+    only, so both engines walk identical IEEE sequences."""
+    risk = subjects.groupBy(group_col, duration_col).agg(
+        F.sum(F.col(event_col).cast("long")).alias("n_events"),
+        F.sum((F.lit(1) - F.col(event_col)).cast("long")).alias("n_censored"),
+    )
+    w_tot = Window.partitionBy(group_col)
+    w_ord = Window.partitionBy(group_col).orderBy(duration_col)
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    total = F.sum(F.col("n_events") + F.col("n_censored")).over(w_tot)
+    left_before = F.coalesce(
+        F.sum(F.col("n_events") + F.col("n_censored")).over(w_prev), F.lit(0)
+    )
+    staged = risk.withColumn("n_at_risk", total - left_before)
+    d = F.col("n_events").cast("double")
+    n = F.col("n_at_risk").cast("double")
+    return staged.select(
+        group_col,
+        F.col(duration_col).alias("t"),
+        "n_at_risk",
+        "n_events",
+        F.round(F.sum(d / n).over(w_run), 6).alias("cum_hazard"),
+        F.round(F.sum(d / (n * n)).over(w_run), 6).alias("var_hazard"),
+    )

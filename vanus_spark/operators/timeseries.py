@@ -515,3 +515,70 @@ def mann_kendall(
         F.round(var_s, 6).alias("var_s"),
         F.round(z, 6).alias("z"),
     )
+
+
+def decompose_additive(
+    daily: DataFrame,
+    key_col: str,
+    day_col: str,
+    value_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    method behind STL's initialization; Kendall & Stuart):
+    trend = centered ``period``-point moving average (full windows
+    only), seasonal = per-phase mean of the detrended series
+    re-centered to sum to zero over one period, residual = the rest.
+
+    Scale shape: runs entirely on the DAILY table (#keys x #days
+    rows — the caller owns the one collapse from raw events), windows
+    partitioned per key. Day phases come from dayofweek so the
+    seasonal index is calendar-stable. Integer-cents values divide
+    only at the mean steps, so both engines derive identical doubles.
+    """
+    half = period // 2
+    w_ma = (
+        Window.partitionBy(key_col)
+        .orderBy(day_col)
+        .rowsBetween(-half, half)
+    )
+    # the moving sum stays in the integer domain (callers pass cents),
+    # so the trend is a single exact-int / period division — immune to
+    # float summation-order differences between engines
+    staged = daily.select(
+        key_col,
+        day_col,
+        F.col(value_col).cast("double").alias("_y"),
+        F.when(
+            F.count(value_col).over(w_ma) == period,
+            F.sum(value_col).over(w_ma).cast("double") / float(period),
+        ).alias("_trend"),
+        F.dayofweek(day_col).alias("_phase"),
+    ).withColumn("_detr", F.col("_y") - F.col("_trend"))
+    # per-phase means on a (#keys x period)-row dim, re-centered so
+    # the seasonal indexes sum to zero with EQUAL phase weight (the
+    # classical convention; a row-weighted window avg would skew it
+    # when phases have unequal counts at the series edges)
+    phase_means = staged.groupBy(key_col, "_phase").agg(
+        F.avg("_detr").alias("_smean")
+    )
+    w_key = Window.partitionBy(key_col)
+    seasonal = phase_means.select(
+        key_col,
+        "_phase",
+        (F.col("_smean") - F.avg("_smean").over(w_key)).alias("_seas_raw"),
+    )
+    # equi-join back on (key, phase); AQE broadcasts the dim when the
+    # key cardinality is small — no forced hint, since the dim is
+    # #keys x period rows and keys may be high-cardinality
+    with_season = staged.join(seasonal, [key_col, "_phase"])
+    return with_season.select(
+        key_col,
+        day_col,
+        F.round("_y", 6).alias("value"),
+        F.round("_trend", 6).alias("trend"),
+        F.round("_seas_raw", 6).alias("seasonal"),
+        F.round(
+            F.col("_y") - F.col("_trend") - F.col("_seas_raw"), 6
+        ).alias("residual"),
+    )
