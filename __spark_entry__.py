@@ -8577,6 +8577,100 @@ def q_events_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "day")
 
 
+def q_docs_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple Good-Turing estimates over the corpus token-BIGRAM
+    frequencies: the frequency-of-frequencies table N_r, the Turing
+    re-estimate r* = (r+1) N_(r+1)/N_r, and the unseen probability
+    mass p0 = N_1/N — how much probability a language model should
+    reserve for n-grams it has never seen (Gale & Sampson 1995),
+    complementing q_docs_heaps_law's vocabulary-growth fit. Bigrams,
+    because the fixture's unigram vocabulary is closed (31 types, min
+    freq 26 — no tail); bigrams have the singleton tail GT needs.
+    Shape: one bigram-count shuffle (map-side combined), then
+    everything runs on the frequency-of-frequencies table (#distinct
+    freqs rows), shift via a self equi-join on r+1. Reported for
+    r <= 15 where raw Turing is meaningful."""
+    from vanus_spark.llm.dedup import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.split(normalize_text(F.col("text")), " ").alias("toks")
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, size(toks) - 1),"
+                " slice(toks, 2, size(toks) - 1),"
+                " (a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("term")
+    )
+    freqs = bigrams.groupBy("term").agg(F.count("*").alias("freq"))
+    fof = freqs.groupBy("freq").agg(F.count("*").alias("n_types"))
+    totals = fof.agg(
+        F.sum(F.col("freq") * F.col("n_types")).alias("n_tokens"),
+        F.sum("n_types").alias("vocab"),
+        F.max(F.when(F.col("freq") == 1, F.col("n_types"))).alias("_n1"),
+    )
+    nxt = fof.select(
+        (F.col("freq") - 1).alias("freq"), F.col("n_types").alias("_n_next")
+    )
+    return (
+        fof.join(nxt, "freq", "left")
+        .crossJoin(F.broadcast(totals))
+        .where(F.col("freq") <= 15)
+        .select(
+            F.col("freq").alias("r"),
+            "n_types",
+            F.round(
+                (F.col("freq") + 1)
+                * F.col("_n_next").cast("double")
+                / F.col("n_types"),
+                6,
+            ).alias("r_star"),
+            F.round(
+                F.col("_n1").cast("double") / F.col("n_tokens"), 6
+            ).alias("p_unseen"),
+            "n_tokens",
+            "vocab",
+        )
+        .orderBy("r")
+    )
+
+
+def q_sample_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified k-fold assignment + balance gate: fold
+    = md5(seed | custkey) % 5 (reproducible across engines and runs —
+    the property a training pipeline needs so every re-run and every
+    worker agrees on the split), stratum = market segment. Output per
+    (stratum, fold): n, within-stratum share, deviation from 1/k, and
+    the balance flag |dev| < 0.05 — the pre-training sanity gate that
+    a hash fold didn't land skewed in any stratum. One groupBy; the
+    share join is a 5-row-per-stratum dim."""
+    from vanus_spark.llm.dedup import md5_long
+
+    cust = _t(spark, sf_dir, "customer")
+    tagged = cust.select(
+        F.col("c_mktsegment").alias("stratum"),
+        (md5_long(F.col("c_custkey"), 11) % 5).alias("fold"),
+    )
+    cells = tagged.groupBy("stratum", "fold").agg(F.count("*").alias("n"))
+    tot = cells.groupBy("stratum").agg(F.sum("n").alias("_nt"))
+    share = F.col("n").cast("double") / F.col("_nt")
+    return (
+        cells.join(tot, "stratum")
+        .select(
+            "stratum",
+            "fold",
+            "n",
+            F.round(share, 6).alias("share"),
+            F.round(share - 0.2, 6).alias("dev"),
+            (F.abs(share - 0.2) < 0.05).alias("balanced"),
+        )
+        .orderBy("stratum", "fold")
+    )
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Round-7 policy (VERDICT r6 item #2): the 11 new-in-round queries first,
@@ -8677,6 +8771,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cochran_armitage": q_events_cochran_armitage,
         "users_nelson_aalen": q_users_nelson_aalen,
         "events_stl": q_events_stl,
+        "docs_good_turing": q_docs_good_turing,
+        "sample_kfold": q_sample_kfold,
         # --- new in round 7, second session: inference suite (post-
         # window-freeze; the r8 driver window picks these up) ---
         "events_ks_test": q_events_ks_test,
@@ -10194,6 +10290,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT g AS event_type, cents, t AS n_ties,
                    round(ar, 6) AS avg_rank, round(gauss, 6) AS gauss
             FROM inv ORDER BY event_type, cents
+        """,
+        "docs_good_turing": f"""
+            WITH d AS (SELECT str_split({norm_text}, ' ') AS toks
+                       FROM documents),
+            bg AS (SELECT toks[i] || ' ' || toks[i + 1] AS tok
+                   FROM d, unnest(range(1, len(toks))) AS t(i)),
+            fr AS (SELECT tok, count(*)::BIGINT AS freq FROM bg
+                   GROUP BY tok),
+            fof AS (SELECT freq AS r, count(*)::BIGINT AS n_types
+                    FROM fr GROUP BY 1),
+            tot AS (SELECT sum(r * n_types)::BIGINT AS n_tokens,
+                           sum(n_types)::BIGINT AS vocab,
+                           max(CASE WHEN r = 1
+                               THEN n_types END)::BIGINT AS n1
+                    FROM fof),
+            j AS (SELECT a.r, a.n_types, b.n_types AS n_next
+                  FROM fof a LEFT JOIN fof b ON b.r = a.r + 1)
+            SELECT j.r, j.n_types,
+                   round((j.r + 1) * n_next::DOUBLE / j.n_types, 6)
+                     AS r_star,
+                   round(n1::DOUBLE / n_tokens, 6) AS p_unseen,
+                   n_tokens, vocab
+            FROM j, tot WHERE j.r <= 15 ORDER BY r
+        """,
+        "sample_kfold": """
+            WITH tagged AS (
+              SELECT c_mktsegment AS stratum,
+                     ('0x' || substr(md5('11|' || c_custkey::VARCHAR),
+                                     1, 15))::BIGINT % 5 AS fold
+              FROM customer),
+            cells AS (SELECT stratum, fold, count(*)::BIGINT AS n
+                      FROM tagged GROUP BY 1, 2),
+            tot AS (SELECT stratum, sum(n)::BIGINT AS nt FROM cells
+                    GROUP BY 1)
+            SELECT cells.stratum, fold, n,
+                   round(n::DOUBLE / nt, 6) AS share,
+                   round(n::DOUBLE / nt - 0.2, 6) AS dev,
+                   abs(n::DOUBLE / nt - 0.2) < 0.05 AS balanced
+            FROM cells JOIN tot ON cells.stratum = tot.stratum
+            ORDER BY cells.stratum, fold
         """,
         "users_nelson_aalen": """
             WITH subj AS (

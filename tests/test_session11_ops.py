@@ -248,3 +248,44 @@ def test_decompose_additive_recovers_weekly_pattern(spark):
     # seasonal indexes sum to ~0 across one period
     seas = sorted({round(r["seasonal"], 6) for r in out})
     assert abs(sum(seas)) < 1e-6 and len(seas) == 7
+
+
+def _entry():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+def test_good_turing_mass_identities(spark, sf_dir):
+    """p_unseen = N_1/N in (0,1); r* > 0 where the next bucket exists;
+    n_tokens = sum over full fof (invariant vs direct bigram count)."""
+    m = _entry()
+    rows = m.queries()["docs_good_turing"](spark, sf_dir).collect()
+    assert rows, "expected a singleton tail in the bigram fof"
+    r1 = [r for r in rows if r["r"] == 1]
+    assert r1 and abs(
+        r1[0]["p_unseen"] - r1[0]["n_types"] / r1[0]["n_tokens"]
+    ) < 1e-6
+    for r in rows:
+        assert r["r_star"] is None or r["r_star"] > 0
+
+
+def test_kfold_partition_is_exhaustive_and_deterministic(spark, sf_dir):
+    """Folds 0..4 partition each stratum: shares sum to 1 per stratum;
+    re-running yields identical cells (hash determinism)."""
+    m = _entry()
+    a = m.queries()["sample_kfold"](spark, sf_dir).collect()
+    b = m.queries()["sample_kfold"](spark, sf_dir).collect()
+    assert a == b
+    from collections import defaultdict
+
+    share = defaultdict(float)
+    for r in a:
+        assert 0 <= r["fold"] <= 4
+        share[r["stratum"]] += r["share"]
+    assert all(abs(v - 1.0) < 1e-4 for v in share.values())
