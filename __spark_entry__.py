@@ -8671,6 +8671,78 @@ def q_sample_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geo_geohash_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash spatial rollup (operators/geo.geohash_from_micro):
+    customer coordinates (the geo fixture's seeded-md5 derivation,
+    kept in exact micro-degree INTEGERS) encode to precision-5 cells
+    via the standard lon-first bit interleave — a static 25-term
+    shift sum, the plan-size-linear shape the hilbert fix taught —
+    then per-cell counts with the containing precision-3 cell's total
+    alongside (geohashes nest by prefix, so the coarse rollup is a
+    substring, not a re-encode). One groupBy over the encoded cells;
+    the gh3 window runs on the bounded cell table."""
+    from vanus_spark.llm.dedup import md5_long
+    from vanus_spark.operators.geo import geohash_from_micro
+
+    cust = _t(spark, sf_dir, "customer")
+    lat_e6 = (md5_long(F.col("c_custkey"), 1) % 120000000) - 60000000
+    lon_e6 = (md5_long(F.col("c_custkey"), 2) % 360000000) - 180000000
+    cells = cust.select(
+        geohash_from_micro(lat_e6, lon_e6, 5).alias("gh5")
+    ).groupBy("gh5").agg(F.count("*").alias("n"))
+    w3 = Window.partitionBy(F.substring("gh5", 1, 3))
+    return cells.select(
+        F.substring("gh5", 1, 3).alias("gh3"),
+        "gh5",
+        "n",
+        F.sum("n").over(w3).alias("n_in_gh3"),
+    ).orderBy("gh5")
+
+
+def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (operators/markov): per-user
+    journeys cut at first purchase feed a first-order transition
+    matrix (one user-partitioned window + one map-side-combined edge
+    count — the only passes over the data); the matrix is BOUNDED by
+    the channel alphabet, so the absorption fixed point (50 Jacobi
+    sweeps, frozen term order) runs driver-side on the collected
+    counts — the same bounded-collect contract as the k-means loops.
+    Removal effect per channel = conversion probability lost when all
+    flow into the channel dies; attribution = normalized shares — the
+    data-driven upgrade over the position heuristics
+    (q_attribution_linear / _time_decay). The oracle replays the
+    identical IEEE walk in a recursive CTE."""
+    from vanus_spark.operators.markov import journey_edges, removal_effect
+
+    ev = _t(spark, sf_dir, "events")
+    edges = journey_edges(ev).collect()
+    rows = removal_effect(
+        [(r["src"], r["dst"], r["cnt"]) for r in edges],
+        ["click", "error", "signup", "view"],
+    )
+    out = spark.createDataFrame(
+        [
+            (
+                r["channel"],
+                r["p_conv_full"],
+                r["p_conv_removed"],
+                r["removal_effect"],
+                r["attribution"],
+            )
+            for r in rows
+        ],
+        "channel string, p_conv_full double, p_conv_removed double,"
+        " removal_effect double, attribution double",
+    )
+    return out.select(
+        "channel",
+        F.round("p_conv_full", 6).alias("p_conv_full"),
+        F.round("p_conv_removed", 6).alias("p_conv_removed"),
+        F.round("removal_effect", 6).alias("removal_effect"),
+        F.round("attribution", 6).alias("attribution"),
+    ).orderBy("channel")
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Round-7 policy (VERDICT r6 item #2): the 11 new-in-round queries first,
@@ -8773,6 +8845,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stl": q_events_stl,
         "docs_good_turing": q_docs_good_turing,
         "sample_kfold": q_sample_kfold,
+        "geo_geohash_rollup": q_geo_geohash_rollup,
+        "attribution_markov": q_attribution_markov,
         # --- new in round 7, second session: inference suite (post-
         # window-freeze; the r8 driver window picks these up) ---
         "events_ks_test": q_events_ks_test,
@@ -10230,6 +10304,139 @@ _NORM_SF_SQL = (
 )
 
 
+def _geohash5_sql() -> tuple[str, str]:
+    """SQL twin of operators/geo.geohash_from_micro at precision 5.
+    Returns (interleave_expr over staged latnum/lonnum columns,
+    base32_expr over a staged gg column) — generated from the same
+    bit layout so the interleave matches the Column build term for
+    term."""
+    from vanus_spark.operators.geo import GEOHASH32
+
+    total_bits, lon_nbits, lat_nbits = 25, 13, 12
+    terms = []
+    for i in range(lon_nbits):
+        terms.append(
+            f"(((lonnum >> {lon_nbits - 1 - i}) & 1)"
+            f" << {total_bits - 1 - 2 * i})"
+        )
+    for i in range(lat_nbits):
+        terms.append(
+            f"(((latnum >> {lat_nbits - 1 - i}) & 1)"
+            f" << {total_bits - 2 - 2 * i})"
+        )
+    g = " + ".join(terms)
+    chars = " || ".join(
+        f"substr('{GEOHASH32}',"
+        f" (((gg >> {total_bits - 5 * (k + 1)}) & 31) + 1)::INT, 1)"
+        for k in range(5)
+    )
+    return g, chars
+
+
+def _markov_attribution_sql(iters: int = 50) -> str:
+    """DuckDB twin of q_attribution_markov, generated so the Jacobi
+    sweep's term order matches operators/markov.removal_effect text
+    for text (sorted channels, conv last, left-associated): the
+    recursive CTE carries one u column per channel and one row per
+    scenario ('full' + each removed channel), replaying the identical
+    IEEE walk."""
+    ch = ["click", "error", "signup", "view"]
+    srcs = ["start"] + ch
+    dsts = ch + ["conv"]
+    pivots = ",\n                   ".join(
+        f"coalesce(max(CASE WHEN src = '{s}' AND dst = '{d}'"
+        f" THEN p END), 0.0) AS p_{s}_{d}"
+        for s in srcs
+        for d in dsts
+    )
+
+    def fold(src: str) -> str:
+        terms = " + ".join(
+            f"p_{src}_{d} * (CASE WHEN scen = '{d}' THEN 0.0"
+            f" ELSE u_{d} END)"
+            for d in ch
+        )
+        return f"{terms} + p_{src}_conv * 1.0"
+
+    u_updates = ",\n                   ".join(
+        f"CASE WHEN scen = '{s}' THEN 0.0 ELSE {fold(s)} END AS u_{s}"
+        for s in ch
+    )
+    u_init = ", ".join(f"0.0::DOUBLE AS u_{s}" for s in ch)
+    scen_list = ", ".join(f"'{s}'" for s in ["full"] + ch)
+    piv_fin = ",\n                   ".join(
+        f"max(CASE WHEN scen = '{s}' THEN pc END) AS pc_{s}"
+        for s in ["full"] + ch
+    )
+    re_cols = ",\n                   ".join(
+        f"(pc_full - pc_{c}) / pc_full AS re_{c}" for c in ch
+    )
+    re_tot = " + ".join(f"re_{c}" for c in ch)
+    unions = "\n              UNION ALL\n              ".join(
+        f"SELECT '{c}' AS channel, round(pc_full, 6) AS p_conv_full,"
+        f" round(pc_{c}, 6) AS p_conv_removed,"
+        f" round(re_{c}, 6) AS removal_effect,"
+        f" round(re_{c} / re_tot, 6) AS attribution FROM t2"
+        for c in ch
+    )
+    return f"""
+            WITH RECURSIVE ranked AS (
+              SELECT user_id, event_type AS state,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events),
+            fc AS (SELECT user_id, min(rn) AS fp FROM ranked
+                   WHERE state = 'purchase' GROUP BY 1),
+            tagged AS (SELECT r.*, fc.fp FROM ranked r
+                       LEFT JOIN fc USING (user_id)),
+            path AS (SELECT * FROM tagged WHERE fp IS NULL OR rn < fp),
+            chain AS (
+              SELECT user_id, state AS src,
+                     coalesce(lead(state) OVER (PARTITION BY user_id
+                                                ORDER BY rn),
+                              CASE WHEN fp IS NOT NULL THEN 'conv'
+                                   ELSE 'null' END) AS dst,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY rn) AS prn
+              FROM path),
+            starts AS (SELECT 'start' AS src, src AS dst FROM chain
+                       WHERE prn = 1),
+            emptyp AS (SELECT 'start' AS src, 'conv' AS dst FROM tagged
+                       WHERE rn = 1 AND fp = 1),
+            edges AS (SELECT src, dst FROM chain
+                      UNION ALL SELECT * FROM starts
+                      UNION ALL SELECT * FROM emptyp),
+            ec AS (SELECT src, dst, count(*)::BIGINT AS cnt FROM edges
+                   GROUP BY 1, 2),
+            tt AS (SELECT src, sum(cnt)::BIGINT AS t FROM ec GROUP BY 1),
+            pt AS (SELECT ec.src, ec.dst, cnt::DOUBLE / t AS p
+                   FROM ec JOIN tt ON ec.src = tt.src),
+            probs AS (SELECT
+                   {pivots}
+              FROM pt),
+            it AS (
+              SELECT scen, 0 AS iter, {u_init}
+              FROM (SELECT unnest([{scen_list}]) AS scen)
+              UNION ALL
+              SELECT scen, iter + 1,
+                   {u_updates}
+              FROM it, probs WHERE iter < {iters}),
+            fin AS (SELECT scen, {fold("start")} AS pc
+                    FROM it, probs WHERE iter = {iters}),
+            piv AS (SELECT
+                   {piv_fin}
+              FROM fin),
+            re AS (SELECT pc_full, pc_click, pc_error, pc_signup,
+                          pc_view,
+                   {re_cols}
+              FROM piv),
+            t2 AS (SELECT *, {re_tot} AS re_tot FROM re)
+            SELECT * FROM (
+              {unions}
+            ) ORDER BY channel
+        """
+
+
 def _inv_norm_sql(p: str, r: str, y: str, slo: str, shi: str) -> str:
     """SQL twin of hyptests.inv_norm_cdf (Beasley-Springer-Moro),
     generated from the SAME constant tuples so every literal matches
@@ -10291,6 +10498,33 @@ def oracle_sql() -> dict[str, str]:
                    round(ar, 6) AS avg_rank, round(gauss, 6) AS gauss
             FROM inv ORDER BY event_type, cents
         """,
+        "attribution_markov": _markov_attribution_sql(),
+        "geo_geohash_rollup": """
+            WITH pts AS (
+              SELECT ('0x' || substr(md5('1|' || c_custkey::VARCHAR),
+                                     1, 15))::BIGINT % 120000000
+                       - 60000000 AS lat_e6,
+                     ('0x' || substr(md5('2|' || c_custkey::VARCHAR),
+                                     1, 15))::BIGINT % 360000000
+                       - 180000000 AS lon_e6
+              FROM customer),
+            n1 AS (SELECT
+                     least(4095, floor(((lat_e6 + 90000000) * 4096)::DOUBLE
+                                       / 180000000))::BIGINT AS latnum,
+                     least(8191, floor(((lon_e6 + 180000000) * 8192)::DOUBLE
+                                       / 360000000))::BIGINT AS lonnum
+                   FROM pts),
+            g AS (SELECT ({gh_interleave}) AS gg FROM n1),
+            enc AS (SELECT {gh_chars} AS gh5 FROM g),
+            cells AS (SELECT gh5, count(*)::BIGINT AS n FROM enc
+                      GROUP BY gh5)
+            SELECT substr(gh5, 1, 3) AS gh3, gh5, n,
+                   sum(n) OVER (PARTITION BY substr(gh5, 1, 3))::BIGINT
+                     AS n_in_gh3
+            FROM cells ORDER BY gh5
+        """.replace("{gh_interleave}", _geohash5_sql()[0]).replace(
+            "{gh_chars}", _geohash5_sql()[1]
+        ),
         "docs_good_turing": f"""
             WITH d AS (SELECT str_split({norm_text}, ' ') AS toks
                        FROM documents),

@@ -289,3 +289,69 @@ def test_kfold_partition_is_exhaustive_and_deterministic(spark, sf_dir):
         assert 0 <= r["fold"] <= 4
         share[r["stratum"]] += r["share"]
     assert all(abs(v - 1.0) < 1e-4 for v in share.values())
+
+
+def test_markov_removal_effect_hand_computed():
+    """start->a:2, start->b:1; a->{conv,b}:.5/.5; b->{conv,null}:
+    .5/.5 -> u(b)=.5, u(a)=.75, pc=2/3*.75+1/3*.5=2/3;
+    remove a -> pc=1/6*... = 1/6? no: 1/3*.5=.166667, re_a=.75;
+    remove b -> pc=1/3, re_b=.5; shares .6/.4."""
+    from vanus_spark.operators.markov import removal_effect
+
+    edges = [
+        ("start", "a", 2),
+        ("start", "b", 1),
+        ("a", "conv", 1),
+        ("a", "b", 1),
+        ("b", "conv", 1),
+        ("b", "null", 1),
+    ]
+    out = {r["channel"]: r for r in removal_effect(edges, ["a", "b"])}
+    assert abs(out["a"]["p_conv_full"] - 2 / 3) < 1e-12
+    assert abs(out["a"]["p_conv_removed"] - 1 / 6) < 1e-12
+    assert abs(out["a"]["removal_effect"] - 0.75) < 1e-12
+    assert abs(out["b"]["removal_effect"] - 0.5) < 1e-12
+    assert abs(out["a"]["attribution"] - 0.6) < 1e-12
+    assert abs(out["b"]["attribution"] - 0.4) < 1e-12
+
+
+def test_journey_edges_cuts_at_first_conversion(spark):
+    """u1: a, purchase, b -> path [a]: start->a, a->conv (the trailing
+    b is ignored); u2: b, a (no purchase): start->b, b->a, a->null;
+    u3: purchase first -> start->conv."""
+    import datetime
+
+    from vanus_spark.operators.markov import journey_edges
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def r(uid, i, et):
+        return (i + uid * 10, t0 + datetime.timedelta(minutes=i), uid, et)
+
+    rows = [
+        r(1, 0, "a"), r(1, 1, "purchase"), r(1, 2, "b"),
+        r(2, 0, "b"), r(2, 1, "a"),
+        r(3, 0, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        (x["src"], x["dst"]): x["cnt"] for x in journey_edges(df).collect()
+    }
+    assert got == {
+        ("start", "a"): 1,
+        ("a", "conv"): 1,
+        ("start", "b"): 1,
+        ("b", "a"): 1,
+        ("a", "null"): 1,
+        ("start", "conv"): 1,
+    }
+
+
+def test_markov_shares_sum_to_one(spark, sf_dir):
+    m = _entry()
+    rows = m.queries()["attribution_markov"](spark, sf_dir).collect()
+    assert len(rows) == 4
+    assert abs(sum(r["attribution"] for r in rows) - 1.0) < 1e-4
+    assert all(r["p_conv_removed"] <= r["p_conv_full"] for r in rows)

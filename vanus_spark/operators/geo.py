@@ -101,3 +101,70 @@ def radius_join(
         .where(F.col("dist_km") <= radius_km)
         .drop("_cx", "_cy")
     )
+
+
+#: geohash base32 alphabet (no a, i, l, o) — the public standard.
+GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_from_micro(
+    lat_e6: Column, lon_e6: Column, precision: int = 5
+) -> Column:
+    """Geohash cell string from INTEGER micro-degree coordinates —
+    the standard bit-interleave (lon first, MSB first) over quantized
+    lat/lon, emitted as base32.
+
+    Exactness: cell numbers come from floor((e6 + offset) * 2^bits /
+    span) where numerator and denominator are exact integers well
+    under 2^53 — the IEEE double division is provably floor-exact
+    there (the remainder's fractional part is >= 1/span ~ 5.6e-9,
+    four orders above the division's max error), so any engine
+    derives the identical cell. The interleave is a STATIC sum of
+    5*precision shift terms — plan size linear in bits, never the
+    per-level expression rebinding that made the unrolled hilbert
+    walk explode. lat_e6 in [-90e6, 90e6], lon_e6 in [-180e6,
+    180e6]; the top edge clamps into the last cell.
+    """
+    total_bits = 5 * precision
+    lon_nbits = (total_bits + 1) // 2
+    lat_nbits = total_bits // 2
+
+    def cellnum(e6: Column, offset: int, span: int, nbits: int) -> Column:
+        raw = F.floor(
+            ((e6 + offset) * (1 << nbits)).cast("double") / span
+        ).cast("long")
+        return F.least(F.lit((1 << nbits) - 1), raw)
+
+    latnum = cellnum(lat_e6, 90_000_000, 180_000_000, lat_nbits)
+    lonnum = cellnum(lon_e6, 180_000_000, 360_000_000, lon_nbits)
+    # interleave, lon gets the even positions counted from the MSB
+    terms = []
+    for i in range(lon_nbits):
+        terms.append(
+            F.shiftleft(
+                F.shiftright(lonnum, lon_nbits - 1 - i).bitwiseAND(1),
+                total_bits - 1 - 2 * i,
+            )
+        )
+    for i in range(lat_nbits):
+        terms.append(
+            F.shiftleft(
+                F.shiftright(latnum, lat_nbits - 1 - i).bitwiseAND(1),
+                total_bits - 2 - 2 * i,
+            )
+        )
+    g = terms[0]
+    for t in terms[1:]:
+        g = g + t
+    alphabet = F.array(*[F.lit(c) for c in GEOHASH32])
+    chars = [
+        F.element_at(
+            alphabet,
+            (
+                F.shiftright(g, total_bits - 5 * (k + 1)).bitwiseAND(31)
+                + 1
+            ).cast("int"),
+        )
+        for k in range(precision)
+    ]
+    return F.concat(*chars)
