@@ -8743,6 +8743,261 @@ def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("channel")
 
 
+def q_events_journey_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Journey predictability: conditional entropy H(next | current)
+    per source state over the SAME first-order transition counts as
+    q_attribution_markov (operators/markov.journey_edges) — the
+    information-theoretic readout of how deterministic user flows are
+    (0 bits = every visitor does the same next thing; log2(k) =
+    uniform chaos), plus each source's share-weighted contribution to
+    the chain's overall conditional entropy. The raw events are
+    touched once (the edge pass); entropy folds run on the bounded
+    (src, dst) count table."""
+    from vanus_spark.operators.markov import journey_edges
+
+    ev = _t(spark, sf_dir, "events")
+    edges = journey_edges(ev)
+    tot = edges.groupBy("src").agg(F.sum("cnt").alias("_tot"))
+    p = edges.join(tot, "src").withColumn(
+        "_p", F.col("cnt").cast("double") / F.col("_tot")
+    )
+    per_src = p.groupBy("src").agg(
+        F.max("_tot").alias("n_out"),
+        F.round(-F.sum(F.col("_p") * F.log2("_p")), 6).alias(
+            "entropy_bits"
+        ),
+    )
+    grand = per_src.agg(F.sum("n_out").alias("_g"))
+    return (
+        per_src.crossJoin(F.broadcast(grand))
+        .select(
+            "src",
+            "n_out",
+            "entropy_bits",
+            F.round(
+                F.col("entropy_bits")
+                * F.col("n_out").cast("double")
+                / F.col("_g"),
+                6,
+            ).alias("weighted_bits"),
+        )
+        .orderBy("src")
+    )
+
+
+def q_users_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: days from a user's FIRST event to
+    their FIRST purchase (converted users only), on the bounded
+    day lattice — per-day counts, share, cumulative share, and the
+    running median/p90 flags a funnel owner reads off the curve.
+    One per-user collapse (min ts, min purchase ts), then every
+    window runs over the <= #days duration table, never the users."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("_first"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+        ).alias("_conv"),
+    )
+    days = (
+        per_user.where(F.col("_conv").isNotNull())
+        .select(F.datediff("_conv", "_first").cast("long").alias("days"))
+        .groupBy("days")
+        .agg(F.count("*").alias("n"))
+    )
+    w_tot = Window.partitionBy()
+    w_run = Window.orderBy("days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = F.sum("n").over(w_tot)
+    cum = F.sum("n").over(w_run)
+    return days.select(
+        "days",
+        "n",
+        F.round(F.col("n").cast("double") / tot, 6).alias("share"),
+        F.round(cum.cast("double") / tot, 6).alias("cum_share"),
+        ((cum * 2) >= tot).alias("at_or_past_median"),
+        ((cum * 10) >= tot * 9).alias("at_or_past_p90"),
+    ).orderBy("days")
+
+
+def q_orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers cohorted by first-order
+    month, cumulative revenue per cohort member by month age — the
+    marketing-finance companion to q_events_cohort_retention
+    (retention says who comes back; LTV says what they are worth by
+    age). Exact integer cents end to end: one per-order collapse to
+    (cohort, age) cells, cohort sizes from the first-order pass, a
+    running sum over the bounded cohort x age table, one division at
+    the readout."""
+    orders = _t(spark, sf_dir, "orders")
+    om = F.date_trunc("month", "o_orderdate")
+    with_cohort = orders.select(
+        "o_custkey",
+        om.alias("_om"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("_cents"),
+    ).withColumn(
+        "_cohort", F.min("_om").over(Window.partitionBy("o_custkey"))
+    )
+    cells = with_cohort.groupBy(
+        F.date_format("_cohort", "yyyy-MM").alias("cohort"),
+        (
+            (F.year("_om") - F.year("_cohort")) * 12
+            + (F.month("_om") - F.month("_cohort"))
+        ).cast("long").alias("age_months"),
+    ).agg(F.sum("_cents").alias("_cents"))
+    sizes = (
+        with_cohort.groupBy("o_custkey")
+        .agg(F.date_format(F.min("_cohort"), "yyyy-MM").alias("cohort"))
+        .groupBy("cohort")
+        .agg(F.count("*").alias("n_customers"))
+    )
+    w_run = Window.partitionBy("cohort").orderBy("age_months").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        cells.withColumn("_cum", F.sum("_cents").over(w_run))
+        .join(sizes, "cohort")
+        .select(
+            "cohort",
+            "age_months",
+            "n_customers",
+            F.round(F.col("_cents").cast("double") / 100.0, 2).alias(
+                "revenue"
+            ),
+            F.round(
+                F.col("_cum").cast("double")
+                / 100.0
+                / F.col("n_customers"),
+                6,
+            ).alias("cum_ltv_per_customer"),
+        )
+        .orderBy("cohort", "age_months")
+    )
+
+
+def q_events_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak detection on the daily spend series per event type: a day
+    is a peak when it strictly exceeds both neighbors; relief = how
+    far it stands above the higher neighbor (the alert-worthiness an
+    ops dashboard thresholds on). Exact integer cents end to end —
+    one daily collapse, one lag/lead window over the bounded daily
+    table, comparisons in the integer domain."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev, nxt = F.lag("cents").over(w), F.lead("cents").over(w)
+    staged = daily.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "cents",
+        prev.alias("_prev"),
+        nxt.alias("_next"),
+    )
+    relief = F.col("cents") - F.greatest("_prev", "_next")
+    return (
+        staged.where(
+            F.col("_prev").isNotNull()
+            & F.col("_next").isNotNull()
+            & (F.col("cents") > F.col("_prev"))
+            & (F.col("cents") > F.col("_next"))
+        )
+        .select(
+            "event_type",
+            "day",
+            "cents",
+            relief.alias("relief_cents"),
+            F.round(
+                relief.cast("double") / F.col("cents"), 6
+            ).alias("relief_ratio"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def q_events_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent via classical rescaled-range (R/S) analysis per
+    event type: the daily cents series splits into full blocks of
+    size 5/10/15, each block's R (range of cumulative deviations) and
+    S (population std) derive from EXACT integer sums — the
+    cumulative deviation is kept as the integer A_t = cum_t*n - t*sum
+    so max/min are order-free — then H = slope of ln(mean R/S) on
+    ln(n). H ~ 0.5 is a memoryless series; H >> 0.5 flags long-range
+    dependence (trending load), H << 0.5 mean reversion — the
+    long-memory diagnostic next to q_events_mann_kendall's trend
+    test. One daily collapse; everything else runs on the bounded
+    daily x 3-sizes table."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents")
+    )
+    w_day = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.select(
+        "event_type",
+        "cents",
+        (F.row_number().over(w_day) - 1).alias("_rn"),
+    )
+    sizes = spark.createDataFrame([(5,), (10,), (15,)], "size long")
+    tagged = idx.crossJoin(F.broadcast(sizes)).select(
+        "event_type",
+        "size",
+        "cents",
+        "_rn",
+        (F.col("_rn") / F.col("size")).cast("long").alias("_blk"),
+        (F.col("_rn") % F.col("size") + 1).alias("_t"),
+    )
+    w_blk = Window.partitionBy("event_type", "size", "_blk")
+    w_run = w_blk.orderBy("_rn").rowsBetween(Window.unboundedPreceding, 0)
+    staged = tagged.select(
+        "event_type",
+        "size",
+        "_blk",
+        F.count("*").over(w_blk).alias("_n"),
+        F.sum("cents").over(w_blk).alias("_sy"),
+        F.sum(F.col("cents") * F.col("cents")).over(w_blk).alias("_syy"),
+        (
+            F.sum("cents").over(w_run) * F.col("size")
+            - F.col("_t") * F.sum("cents").over(w_blk)
+        ).alias("_a"),
+    ).where(F.col("_n") == F.col("size"))
+    blocks = staged.groupBy("event_type", "size", "_blk").agg(
+        F.max("_a").alias("_amax"),
+        F.min("_a").alias("_amin"),
+        F.max("_sy").alias("_sy"),
+        F.max("_syy").alias("_syy"),
+    )
+    n = F.col("size").cast("double")
+    r_stat = (F.col("_amax") - F.col("_amin")).cast("double") / F.col(
+        "size"
+    )
+    s2 = (
+        F.col("_syy").cast("double")
+        - F.col("_sy") * (F.col("_sy").cast("double") / n)
+    ) / n
+    rs = blocks.where(s2 > 0).select(
+        "event_type", "size", (r_stat / F.sqrt(s2)).alias("_rs")
+    )
+    per_size = rs.groupBy("event_type", "size").agg(
+        F.avg("_rs").alias("_rsbar")
+    )
+    return (
+        per_size.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_sizes"),
+            F.round(
+                F.expr("regr_slope(ln(_rsbar), ln(size))"), 6
+            ).alias("hurst"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Round-7 policy (VERDICT r6 item #2): the 11 new-in-round queries first,
@@ -8753,15 +9008,20 @@ def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Everything outside the window stays gated by the FULL
 # tools/oracle_check.py replica run.
 #
-# r8 window plan: the 20 operators added after the r7 freeze (the
-# second-session inference suite: events_ks_test, events_anova,
+# r8 window plan: the 30 operators added after the r7 freeze — the
+# second-session inference suite (events_ks_test, events_anova,
 # lineitem_spearman, events_ab_fdr, corpus_jsd, orders_bootstrap_ci,
 # events_ccf, events_diff_in_diff, events_contingency,
 # events_conversion_test, users_logrank, events_holt_winters,
 # events_ab_power, quality_auc, quality_calibration, embedding_mmr,
 # events_mann_kendall, events_cuped, lineitem_kendall, events_srm)
-# first, then backfill to 50 with the least-recently-driver-checked
-# rows.
+# plus the third-session additions (events_rank_gauss,
+# quality_isotonic, events_mahalanobis, events_cochran_armitage,
+# users_nelson_aalen, events_stl, docs_good_turing, sample_kfold,
+# geo_geohash_rollup, attribution_markov, events_journey_entropy,
+# users_time_to_convert, orders_cohort_ltv, events_peaks,
+# events_hurst) — first, then backfill to 50 with the
+# least-recently-driver-checked rows.
 _R7_WINDOW = [
     # --- new in round 7 ---
     "events_mann_whitney",
@@ -8847,6 +9107,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_kfold": q_sample_kfold,
         "geo_geohash_rollup": q_geo_geohash_rollup,
         "attribution_markov": q_attribution_markov,
+        "events_journey_entropy": q_events_journey_entropy,
+        "users_time_to_convert": q_users_time_to_convert,
+        "orders_cohort_ltv": q_orders_cohort_ltv,
+        "events_peaks": q_events_peaks,
+        "events_hurst": q_events_hurst,
         # --- new in round 7, second session: inference suite (post-
         # window-freeze; the r8 driver window picks these up) ---
         "events_ks_test": q_events_ks_test,
@@ -10333,6 +10598,40 @@ def _geohash5_sql() -> tuple[str, str]:
     return g, chars
 
 
+# Shared SQL twin of operators/markov.journey_edges — the CTE chain
+# ending in ec (src, dst, cnt) and tt (src, total). Used by both the
+# attribution oracle and the journey-entropy oracle.
+_JOURNEY_EDGES_CTES = """ranked AS (
+              SELECT user_id, event_type AS state,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events),
+            fc AS (SELECT user_id, min(rn) AS fp FROM ranked
+                   WHERE state = 'purchase' GROUP BY 1),
+            tagged AS (SELECT r.*, fc.fp FROM ranked r
+                       LEFT JOIN fc USING (user_id)),
+            path AS (SELECT * FROM tagged WHERE fp IS NULL OR rn < fp),
+            chain AS (
+              SELECT user_id, state AS src,
+                     coalesce(lead(state) OVER (PARTITION BY user_id
+                                                ORDER BY rn),
+                              CASE WHEN fp IS NOT NULL THEN 'conv'
+                                   ELSE 'null' END) AS dst,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY rn) AS prn
+              FROM path),
+            starts AS (SELECT 'start' AS src, src AS dst FROM chain
+                       WHERE prn = 1),
+            emptyp AS (SELECT 'start' AS src, 'conv' AS dst FROM tagged
+                       WHERE rn = 1 AND fp = 1),
+            edges AS (SELECT src, dst FROM chain
+                      UNION ALL SELECT * FROM starts
+                      UNION ALL SELECT * FROM emptyp),
+            ec AS (SELECT src, dst, count(*)::BIGINT AS cnt FROM edges
+                   GROUP BY 1, 2),
+            tt AS (SELECT src, sum(cnt)::BIGINT AS t FROM ec GROUP BY 1)"""
+
+
 def _markov_attribution_sql(iters: int = 50) -> str:
     """DuckDB twin of q_attribution_markov, generated so the Jacobi
     sweep's term order matches operators/markov.removal_effect text
@@ -10380,35 +10679,7 @@ def _markov_attribution_sql(iters: int = 50) -> str:
         for c in ch
     )
     return f"""
-            WITH RECURSIVE ranked AS (
-              SELECT user_id, event_type AS state,
-                     row_number() OVER (PARTITION BY user_id
-                                        ORDER BY ts, event_id) AS rn
-              FROM events),
-            fc AS (SELECT user_id, min(rn) AS fp FROM ranked
-                   WHERE state = 'purchase' GROUP BY 1),
-            tagged AS (SELECT r.*, fc.fp FROM ranked r
-                       LEFT JOIN fc USING (user_id)),
-            path AS (SELECT * FROM tagged WHERE fp IS NULL OR rn < fp),
-            chain AS (
-              SELECT user_id, state AS src,
-                     coalesce(lead(state) OVER (PARTITION BY user_id
-                                                ORDER BY rn),
-                              CASE WHEN fp IS NOT NULL THEN 'conv'
-                                   ELSE 'null' END) AS dst,
-                     row_number() OVER (PARTITION BY user_id
-                                        ORDER BY rn) AS prn
-              FROM path),
-            starts AS (SELECT 'start' AS src, src AS dst FROM chain
-                       WHERE prn = 1),
-            emptyp AS (SELECT 'start' AS src, 'conv' AS dst FROM tagged
-                       WHERE rn = 1 AND fp = 1),
-            edges AS (SELECT src, dst FROM chain
-                      UNION ALL SELECT * FROM starts
-                      UNION ALL SELECT * FROM emptyp),
-            ec AS (SELECT src, dst, count(*)::BIGINT AS cnt FROM edges
-                   GROUP BY 1, 2),
-            tt AS (SELECT src, sum(cnt)::BIGINT AS t FROM ec GROUP BY 1),
+            WITH RECURSIVE {_JOURNEY_EDGES_CTES},
             pt AS (SELECT ec.src, ec.dst, cnt::DOUBLE / t AS p
                    FROM ec JOIN tt ON ec.src = tt.src),
             probs AS (SELECT
@@ -10499,6 +10770,136 @@ def oracle_sql() -> dict[str, str]:
             FROM inv ORDER BY event_type, cents
         """,
         "attribution_markov": _markov_attribution_sql(),
+        "events_journey_entropy": f"""
+            WITH {_JOURNEY_EDGES_CTES},
+            p AS (SELECT ec.src, cnt::DOUBLE / t AS p, t
+                  FROM ec JOIN tt ON ec.src = tt.src),
+            per AS (SELECT src, max(t)::BIGINT AS n_out,
+                           round(-sum(p * log2(p)), 6) AS entropy_bits
+                    FROM p GROUP BY src),
+            g AS (SELECT sum(n_out)::BIGINT AS gt FROM per)
+            SELECT src, n_out, entropy_bits,
+                   round(entropy_bits * n_out::DOUBLE / gt, 6)
+                     AS weighted_bits
+            FROM per, g ORDER BY src
+        """,
+        "users_time_to_convert": """
+            WITH pu AS (SELECT user_id, min(ts::DATE) AS f,
+                               min(CASE WHEN event_type = 'purchase'
+                                        THEN ts::DATE END) AS c
+                        FROM events GROUP BY 1),
+            d AS (SELECT date_diff('day', f, c)::BIGINT AS days
+                  FROM pu WHERE c IS NOT NULL),
+            g AS (SELECT days, count(*)::BIGINT AS n FROM d GROUP BY 1),
+            w AS (SELECT days, n, sum(n) OVER ()::BIGINT AS tot,
+                         sum(n) OVER (ORDER BY days
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+                  FROM g)
+            SELECT days, n, round(n::DOUBLE / tot, 6) AS share,
+                   round(cum::DOUBLE / tot, 6) AS cum_share,
+                   (cum * 2) >= tot AS at_or_past_median,
+                   (cum * 10) >= tot * 9 AS at_or_past_p90
+            FROM w ORDER BY days
+        """,
+        "events_peaks": """
+            WITH d AS (SELECT event_type, ts::DATE AS day,
+                              sum(CAST(round(value * 100) AS
+                                       BIGINT))::BIGINT AS cents
+                       FROM events GROUP BY 1, 2),
+            w AS (SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+                         cents,
+                         lag(cents) OVER (PARTITION BY event_type
+                                          ORDER BY day) AS p,
+                         lead(cents) OVER (PARTITION BY event_type
+                                           ORDER BY day) AS nx
+                  FROM d)
+            SELECT event_type, day, cents,
+                   (cents - greatest(p, nx))::BIGINT AS relief_cents,
+                   round((cents - greatest(p, nx))::DOUBLE / cents, 6)
+                     AS relief_ratio
+            FROM w
+            WHERE p IS NOT NULL AND nx IS NOT NULL
+              AND cents > p AND cents > nx
+            ORDER BY event_type, day
+        """,
+        "events_hurst": """
+            WITH d AS (SELECT event_type, ts::DATE AS day,
+                              sum(CAST(round(value * 100) AS
+                                       BIGINT))::BIGINT AS cents
+                       FROM events GROUP BY 1, 2),
+            idx AS (SELECT event_type, cents,
+                           (row_number() OVER (PARTITION BY event_type
+                                ORDER BY day) - 1)::BIGINT AS rn
+                    FROM d),
+            tg AS (SELECT event_type, s.size, cents, rn,
+                          (rn // s.size)::BIGINT AS blk,
+                          (rn % s.size + 1)::BIGINT AS t
+                   FROM idx, (SELECT unnest([5, 10, 15]::BIGINT[])
+                              AS size) s),
+            st AS (SELECT event_type, size, blk,
+                          count(*) OVER wb AS n,
+                          sum(cents) OVER wb AS sy,
+                          sum(cents * cents) OVER wb AS syy,
+                          sum(cents) OVER wr * size - t
+                            * (sum(cents) OVER wb) AS a
+                   FROM tg
+                   WINDOW wb AS (PARTITION BY event_type, size, blk),
+                          wr AS (PARTITION BY event_type, size, blk
+                                 ORDER BY rn
+                                 ROWS UNBOUNDED PRECEDING)),
+            fb AS (SELECT * FROM st WHERE n = size),
+            blocks AS (SELECT event_type, size, blk,
+                              max(a)::BIGINT AS amax,
+                              min(a)::BIGINT AS amin,
+                              max(sy)::BIGINT AS sy,
+                              max(syy)::BIGINT AS syy
+                       FROM fb GROUP BY 1, 2, 3),
+            rs AS (SELECT event_type, size,
+                          ((amax - amin)::DOUBLE / size)
+                          / sqrt((syy::DOUBLE
+                                  - sy * (sy::DOUBLE / size::DOUBLE))
+                                 / size::DOUBLE) AS rsv
+                   FROM blocks
+                   WHERE (syy::DOUBLE
+                          - sy * (sy::DOUBLE / size::DOUBLE))
+                         / size::DOUBLE > 0),
+            ps AS (SELECT event_type, size, avg(rsv) AS rsbar
+                   FROM rs GROUP BY 1, 2)
+            SELECT event_type, count(*)::BIGINT AS n_sizes,
+                   round(regr_slope(ln(rsbar), ln(size)), 6) AS hurst
+            FROM ps GROUP BY event_type ORDER BY event_type
+        """,
+        "orders_cohort_ltv": """
+            WITH wc AS (
+              SELECT o_custkey, date_trunc('month', o_orderdate) AS om,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                     min(date_trunc('month', o_orderdate))
+                       OVER (PARTITION BY o_custkey) AS cohort_m
+              FROM orders),
+            cells AS (SELECT strftime(cohort_m, '%Y-%m') AS cohort,
+                             ((year(om) - year(cohort_m)) * 12
+                              + (month(om) - month(cohort_m)))::BIGINT
+                               AS age_months,
+                             sum(cents)::BIGINT AS cents
+                      FROM wc GROUP BY 1, 2),
+            sizes AS (SELECT cohort, count(*)::BIGINT AS n_customers
+                      FROM (SELECT o_custkey,
+                                   strftime(min(cohort_m), '%Y-%m')
+                                     AS cohort
+                            FROM wc GROUP BY 1)
+                      GROUP BY 1),
+            run AS (SELECT cohort, age_months, cents,
+                           sum(cents) OVER (PARTITION BY cohort
+                               ORDER BY age_months
+                               ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+                    FROM cells)
+            SELECT run.cohort, age_months, n_customers,
+                   round(cents::DOUBLE / 100.0, 2) AS revenue,
+                   round(cum::DOUBLE / 100.0 / n_customers, 6)
+                     AS cum_ltv_per_customer
+            FROM run JOIN sizes ON run.cohort = sizes.cohort
+            ORDER BY run.cohort, age_months
+        """,
         "geo_geohash_rollup": """
             WITH pts AS (
               SELECT ('0x' || substr(md5('1|' || c_custkey::VARCHAR),

@@ -270,6 +270,21 @@ HEADLINE = [
     "events_cuped",
     "lineitem_kendall",
     "events_srm",
+    "events_rank_gauss",
+    "quality_isotonic",
+    "events_mahalanobis",
+    "events_cochran_armitage",
+    "users_nelson_aalen",
+    "events_stl",
+    "docs_good_turing",
+    "sample_kfold",
+    "geo_geohash_rollup",
+    "attribution_markov",
+    "events_journey_entropy",
+    "users_time_to_convert",
+    "orders_cohort_ltv",
+    "events_peaks",
+    "events_hurst",
 ]
 
 
