@@ -8998,6 +8998,171 @@ def q_events_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed evaluation of the LSH near-dup clustering against the
+    exact-normalized-text truth classes — the standard extrinsic
+    clustering metric for dedup/ER (Bagga & Baldwin 1998; the one the
+    TAC-KBP evaluations settled on because pairwise F overweights big
+    clusters): per-item precision = |cluster ∩ truth|/|cluster|,
+    recall = /|truth|, averaged over items — computed as
+    sum(n_ct^2/n_c)/N over the (cluster, truth) CELL table, so after
+    the clustering itself nothing touches per-item rows. Clusters =
+    q_dedup_components' LSH(0.8) components with unpaired docs as
+    singletons; truth = md5 of the normalized text. The readout a
+    dedup pipeline owner uses to pick thresholds."""
+    from vanus_spark.llm.dedup import (
+        duplicate_components,
+        near_dup_pairs,
+        normalize_text,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(docs, threshold=0.8, num_hashes=16, bands=8)
+    comp = duplicate_components(pairs)
+    base = docs.select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("_nth")
+    )
+    truth = base.groupBy("_nth").agg(F.min("doc_id").alias("tclass"))
+    tmap = base.join(truth, "_nth").select("doc_id", "tclass")
+    asg = tmap.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("cluster"),
+        "tclass",
+    )
+    cells = asg.groupBy("cluster", "tclass").agg(
+        F.count("*").alias("n_ct")
+    )
+    nc = cells.groupBy("cluster").agg(F.sum("n_ct").alias("n_c"))
+    ntr = cells.groupBy("tclass").agg(F.sum("n_ct").alias("n_t"))
+    j = cells.join(nc, "cluster").join(ntr, "tclass")
+    agg = j.agg(
+        F.sum("n_ct").alias("n_docs"),
+        F.sum(
+            F.col("n_ct").cast("double") * F.col("n_ct") / F.col("n_c")
+        ).alias("_ps"),
+        F.sum(
+            F.col("n_ct").cast("double") * F.col("n_ct") / F.col("n_t")
+        ).alias("_rs"),
+    )
+    n_clusters = nc.agg(F.count("*").alias("n_clusters"))
+    n_truth = ntr.agg(F.count("*").alias("n_truth"))
+    p = F.col("_ps") / F.col("n_docs")
+    r = F.col("_rs") / F.col("n_docs")
+    return (
+        agg.crossJoin(F.broadcast(n_clusters))
+        .crossJoin(F.broadcast(n_truth))
+        .select(
+            "n_docs",
+            "n_clusters",
+            "n_truth",
+            F.round(p, 6).alias("bcubed_precision"),
+            F.round(r, 6).alias("bcubed_recall"),
+            F.round(2.0 * p * r / (p + r), 6).alias("bcubed_f1"),
+        )
+    )
+
+
+def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price/value per (event type, day) — the
+    market-data aggregation where each observation is weighted by how
+    long it remained the latest one (TWAP), next to the plain mean
+    for contrast: thin-traffic hours stop being drowned out by burst
+    minutes. Exact integers end to end: weights are microsecond gaps
+    to the next observation (unix_micros), the weighted sum stays
+    BIGINT cents*us, one per-(type,day) ordered window + one
+    aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", F.to_date("ts")).orderBy(
+        "ts", "event_id"
+    )
+    staged = ev.select(
+        "event_type",
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("_cents"),
+        (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias(
+            "_dt"
+        ),
+    ).where(F.col("_dt").isNotNull())
+    return (
+        staged.groupBy("event_type", "day")
+        .agg(
+            F.count("*").alias("n_weighted"),
+            F.sum(F.col("_cents") * F.col("_dt")).alias("_wsum"),
+            F.sum("_dt").alias("_w"),
+            F.sum("_cents").alias("_plain"),
+        )
+        .select(
+            "event_type",
+            "day",
+            "n_weighted",
+            F.round(
+                F.col("_wsum").cast("double") / F.col("_w") / 100.0, 6
+            ).alias("twap"),
+            F.round(
+                F.col("_plain").cast("double") / F.col("n_weighted")
+                / 100.0,
+                6,
+            ).alias("plain_avg"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def q_events_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson autocorrelation test on the seasonal-
+    decomposition residuals (operators/timeseries.decompose_additive)
+    per event type: DW = sum((e_t - e_(t-1))^2) / sum(e_t^2) over the
+    trend-window-complete days — the model-adequacy readout run AFTER
+    q_events_stl (DW ~ 2 means the decomposition left white noise;
+    DW << 2 means structure remains and the forecaster needs a richer
+    model). All windows run on the bounded daily table; rho ~
+    1 - DW/2 reported alongside."""
+    from vanus_spark.operators.timeseries import decompose_additive
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents")
+    )
+    dec = decompose_additive(daily, "event_type", "day", "cents")
+    res = dec.where(F.col("residual").isNotNull()).select(
+        "event_type", "day", F.col("residual").alias("_e")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    staged = res.select(
+        "event_type", "_e", F.lag("_e").over(w).alias("_ep")
+    )
+    # rho derives from the RAW ratio, not the rounded dw: dw/2 of a
+    # 6-decimal dw always terminates at the 7th decimal, so rounding
+    # it again lands exactly on the .5 boundary whenever that digit
+    # is odd — a systematic cross-engine coin flip (caught by the
+    # oracle on first run)
+    return (
+        staged.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("_ep").isNotNull(),
+                        (F.col("_e") - F.col("_ep"))
+                        * (F.col("_e") - F.col("_ep")),
+                    )
+                )
+                / F.sum(F.col("_e") * F.col("_e"))
+            ).alias("_dw"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round("_dw", 6).alias("dw"),
+            F.round(1.0 - F.col("_dw") / 2.0, 6).alias("rho_approx"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Round-7 policy (VERDICT r6 item #2): the 11 new-in-round queries first,
@@ -9020,8 +9185,9 @@ def q_events_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
 # users_nelson_aalen, events_stl, docs_good_turing, sample_kfold,
 # geo_geohash_rollup, attribution_markov, events_journey_entropy,
 # users_time_to_convert, orders_cohort_ltv, events_peaks,
-# events_hurst) — first, then backfill to 50 with the
-# least-recently-driver-checked rows.
+# events_hurst, dedup_bcubed, events_twap, events_durbin_watson) —
+# first, then backfill to 50 with the least-recently-driver-checked
+# rows.
 _R7_WINDOW = [
     # --- new in round 7 ---
     "events_mann_whitney",
@@ -9112,6 +9278,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cohort_ltv": q_orders_cohort_ltv,
         "events_peaks": q_events_peaks,
         "events_hurst": q_events_hurst,
+        "dedup_bcubed": q_dedup_bcubed,
+        "events_twap": q_events_twap,
+        "events_durbin_watson": q_events_durbin_watson,
         # --- new in round 7, second session: inference suite (post-
         # window-freeze; the r8 driver window picks these up) ---
         "events_ks_test": q_events_ks_test,
@@ -10800,6 +10969,64 @@ def oracle_sql() -> dict[str, str]:
                    (cum * 2) >= tot AS at_or_past_median,
                    (cum * 10) >= tot * 9 AS at_or_past_p90
             FROM w ORDER BY days
+        """,
+        "events_twap": """
+            WITH st AS (
+              SELECT event_type, strftime(ts::DATE, '%Y-%m-%d') AS day,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     lead(epoch_us(ts)) OVER (PARTITION BY event_type,
+                         ts::DATE ORDER BY ts, event_id)
+                       - epoch_us(ts) AS dt
+              FROM events),
+            f AS (SELECT * FROM st WHERE dt IS NOT NULL)
+            SELECT event_type, day, count(*)::BIGINT AS n_weighted,
+                   round(sum(cents * dt)::DOUBLE / sum(dt) / 100.0, 6)
+                     AS twap,
+                   round(sum(cents)::DOUBLE / count(*) / 100.0, 6)
+                     AS plain_avg
+            FROM f GROUP BY event_type, day
+            ORDER BY event_type, day
+        """,
+        "events_durbin_watson": """
+            WITH d AS (SELECT event_type AS k, ts::DATE AS day,
+                              sum(CAST(round(value * 100) AS
+                                       BIGINT))::BIGINT AS cents
+                       FROM events GROUP BY 1, 2),
+            ma AS (SELECT k, day, cents,
+                          count(cents) OVER w AS n7,
+                          sum(cents) OVER w AS s7,
+                          dayofweek(day) + 1 AS phase
+                   FROM d
+                   WINDOW w AS (PARTITION BY k ORDER BY day
+                                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+            st AS (SELECT k, day, phase, cents::DOUBLE AS y,
+                          CASE WHEN n7 = 7
+                               THEN s7::DOUBLE / 7.0 END AS trend
+                   FROM ma),
+            st2 AS (SELECT *, y - trend AS detr FROM st),
+            pm AS (SELECT k, phase, avg(detr) AS smean
+                   FROM st2 GROUP BY 1, 2),
+            ctr AS (SELECT k, phase,
+                           smean - avg(smean) OVER (PARTITION BY k)
+                             AS seas
+                    FROM pm),
+            resid AS (SELECT st2.k, st2.day,
+                             round(y - trend - seas, 6) AS e
+                      FROM st2 JOIN ctr ON st2.k = ctr.k
+                                       AND st2.phase = ctr.phase
+                      WHERE trend IS NOT NULL),
+            lagged AS (SELECT k, e,
+                              lag(e) OVER (PARTITION BY k ORDER BY day)
+                                AS ep
+                       FROM resid),
+            agg AS (SELECT k, count(*)::BIGINT AS n,
+                           sum(CASE WHEN ep IS NOT NULL
+                               THEN (e - ep) * (e - ep) END)
+                             / sum(e * e) AS rdw
+                    FROM lagged GROUP BY k)
+            SELECT k AS event_type, n, round(rdw, 6) AS dw,
+                   round(1.0 - rdw / 2.0, 6) AS rho_approx
+            FROM agg ORDER BY event_type
         """,
         "events_peaks": """
             WITH d AS (SELECT event_type, ts::DATE AS day,
@@ -14822,6 +15049,7 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
         """,
         "dedup_components": _components_oracle(),
+        "dedup_bcubed": _bcubed_oracle(),
         "ordered_delivery": """
             SELECT event_id,
                    CASE WHEN event_type = 'error' THEN 'dead'
@@ -15716,6 +15944,68 @@ def _best_rep_oracle(threshold: float = 0.8) -> str:
         LEFT JOIN comp c ON d.doc_id = c.doc_id
         LEFT JOIN ranked r ON d.doc_id = r.doc_id
         WHERE c.doc_id IS NULL OR r.rn = 1
+    """
+
+
+def _bcubed_oracle(threshold: float = 0.8) -> str:
+    """SQL twin of q_dedup_bcubed: the _components_oracle closure
+    (plus singleton clusters), truth classes from md5(normalized
+    text), B-cubed precision/recall/F1 from the (cluster, truth) cell
+    table."""
+    return f"""
+        WITH RECURSIVE {_minhash_cte()},
+        pairs AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM buckets l JOIN buckets r
+            ON l.band = r.band AND l.band_key = r.band_key
+               AND l.doc_id < r.doc_id),
+        nd AS (
+          SELECT p.id_a, p.id_b FROM pairs p
+          JOIN sh a ON p.id_a = a.doc_id
+          JOIN sh b ON p.id_b = b.doc_id
+          WHERE len(list_intersect(a.sh, b.sh))
+                >= {threshold} * len(list_distinct(list_concat(a.sh, b.sh)))),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM nd
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM nd),
+        walk(node, label) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.node),
+        comp AS (SELECT node AS doc_id, min(label) AS component
+                 FROM walk GROUP BY node),
+        nn AS (SELECT doc_id,
+                      md5(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                              'g'))) AS nth
+               FROM documents),
+        tr AS (SELECT nth, min(doc_id) AS tclass FROM nn GROUP BY nth),
+        tm AS (SELECT nn.doc_id, tclass FROM nn JOIN tr
+               ON nn.nth = tr.nth),
+        asg AS (SELECT tm.doc_id,
+                       coalesce(comp.component, tm.doc_id) AS cluster,
+                       tclass
+                FROM tm LEFT JOIN comp ON tm.doc_id = comp.doc_id),
+        cells AS (SELECT cluster, tclass, count(*)::BIGINT AS n_ct
+                  FROM asg GROUP BY 1, 2),
+        nc AS (SELECT cluster, sum(n_ct)::BIGINT AS n_c FROM cells
+               GROUP BY 1),
+        ntr AS (SELECT tclass, sum(n_ct)::BIGINT AS n_t FROM cells
+                GROUP BY 1),
+        j AS (SELECT n_ct, n_c, n_t FROM cells
+              JOIN nc USING (cluster) JOIN ntr USING (tclass)),
+        agg AS (SELECT sum(n_ct)::BIGINT AS n_docs,
+                       sum(n_ct::DOUBLE * n_ct / n_c) AS ps,
+                       sum(n_ct::DOUBLE * n_ct / n_t) AS rs
+                FROM j),
+        cl AS (SELECT count(*)::BIGINT AS n_clusters FROM nc),
+        tc AS (SELECT count(*)::BIGINT AS n_truth FROM ntr)
+        SELECT n_docs, n_clusters, n_truth,
+               round(ps / n_docs, 6) AS bcubed_precision,
+               round(rs / n_docs, 6) AS bcubed_recall,
+               round(2.0 * (ps / n_docs) * (rs / n_docs)
+                     / (ps / n_docs + rs / n_docs), 6) AS bcubed_f1
+        FROM agg, cl, tc
     """
 
 

@@ -285,6 +285,9 @@ HEADLINE = [
     "orders_cohort_ltv",
     "events_peaks",
     "events_hurst",
+    "dedup_bcubed",
+    "events_twap",
+    "events_durbin_watson",
 ]
 
 

@@ -470,3 +470,55 @@ def test_hurst_trending_beats_alternating(spark, sf_dir, monkeypatch):
         tables.load_table = orig
     assert h_trend > 0.8
     assert h_alt < h_trend - 0.3
+
+
+def test_bcubed_bounds_and_f1_consistency(spark, sf_dir):
+    m = _entry()
+    r = m.queries()["dedup_bcubed"](spark, sf_dir).collect()[0]
+    p, rec, f1 = r["bcubed_precision"], r["bcubed_recall"], r["bcubed_f1"]
+    assert 0.0 < p <= 1.0 and 0.0 < rec <= 1.0
+    assert abs(f1 - 2 * p * rec / (p + rec)) < 1e-5
+    assert r["n_clusters"] <= r["n_docs"] and r["n_truth"] <= r["n_docs"]
+
+
+def test_twap_hand_fixture(spark, sf_dir):
+    """1.00 held 10s, 2.00 held 20s (3rd obs closes the window):
+    twap = (100*10 + 200*20)/30/100 = 1.666667; plain = 1.5."""
+    import datetime
+
+    import vanus_spark.sources.tables as tables
+
+    m = _entry()
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 1, "x", 1.0, "{}"),
+        (2, t0 + datetime.timedelta(seconds=10), 1, "x", 2.0, "{}"),
+        (3, t0 + datetime.timedelta(seconds=30), 1, "x", 9.0, "{}"),
+    ]
+    fake = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    orig = tables.load_table
+    try:
+        tables.load_table = lambda spark, sf, name: fake
+        out = m.queries()["events_twap"](spark, sf_dir).collect()
+    finally:
+        tables.load_table = orig
+    assert len(out) == 1
+    assert abs(out[0]["twap"] - 1.666667) < 1e-6
+    assert abs(out[0]["plain_avg"] - 1.5) < 1e-9
+    assert out[0]["n_weighted"] == 2
+
+
+def test_durbin_watson_range_and_white_noise_fixture(spark, sf_dir):
+    """Fixture residuals: DW in (0, 4); rho_approx = 1 - dw/2 within
+    rounding."""
+    m = _entry()
+    rows = m.queries()["events_durbin_watson"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 < r["dw"] < 4.0
+        assert abs(r["rho_approx"] - (1 - r["dw"] / 2)) < 2e-6
+        assert r["n"] == 24  # 30 days minus 2*3 trend-edge days
