@@ -9163,6 +9163,129 @@ def q_events_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_bayes_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian A/B conversion readout: Beta(1+r, 1+n-r) posteriors
+    per variant and P(B > A) via the normal approximation of the
+    posterior difference (exact Beta math needs an incomplete-beta
+    routine; at these n the normal approx is tight to ~1e-4 and stays
+    pure arithmetic the oracle can replay) — the "probability B is
+    better" readout product teams actually read, next to the
+    frequentist z (q_events_conversion_test). One distinct-user
+    shuffle; everything after runs on the 2-row arm table."""
+    from vanus_spark.operators.hyptests import norm_sf
+
+    ev = _t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    )
+    arms = users.groupBy(
+        (F.col("user_id") % 2).cast("int").alias("variant")
+    ).agg(F.count("*").alias("n"), F.sum("conv").cast("long").alias("r"))
+    a = F.col("r").cast("double") + 1.0
+    b = (F.col("n") - F.col("r")).cast("double") + 1.0
+    staged = arms.select(
+        "variant",
+        "n",
+        "r",
+        (a / (a + b)).alias("_mu"),
+        (a * b / ((a + b) * (a + b) * (a + b + 1.0))).alias("_var"),
+    )
+    wide = staged.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("r"))).alias("r_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("_mu"))).alias("_mu_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("_var"))).alias(
+            "_var_a"
+        ),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("r"))).alias("r_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("_mu"))).alias("_mu_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("_var"))).alias(
+            "_var_b"
+        ),
+    )
+    z = (F.col("_mu_b") - F.col("_mu_a")) / F.sqrt(
+        F.col("_var_a") + F.col("_var_b")
+    )
+    p_b = F.when(z >= 0, 1.0 - norm_sf(z)).otherwise(norm_sf(-z))
+    return wide.select(
+        "n_a",
+        "r_a",
+        F.round("_mu_a", 6).alias("post_mean_a"),
+        "n_b",
+        "r_b",
+        F.round("_mu_b", 6).alias("post_mean_b"),
+        F.round(z, 6).alias("z"),
+        F.round(p_b, 6).alias("p_b_beats_a"),
+    )
+
+
+def q_quality_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table for the NB quality classifier:
+    held-out docs ranked best-first on the round(6) score lattice
+    (two-phase distributed rank — never a single-task global sort),
+    cut into score deciles; per decile the positives captured,
+    cumulative gain (share of ALL positives found by this depth) and
+    cumulative lift vs random — the campaign-targeting readout that
+    complements AUC (ranking) and calibration (probabilities).
+    Windows run over the 10-row decile table."""
+    from vanus_spark.bus import distributed_row_number
+    from vanus_spark.llm.qualityrules import nb_score, nb_train
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0).withColumn(
+        "label", (F.col("lang") == "en").cast("int")
+    )
+    word_df, stats_df = nb_train(train)
+    held_out = docs.where(F.col("doc_id") % 2 == 1)
+    scored = nb_score(held_out, word_df, stats_df).join(
+        held_out.select(
+            "doc_id", (F.col("lang") == "en").cast("int").alias("y")
+        ),
+        "doc_id",
+    ).select("doc_id", (-F.col("score")).alias("_neg"), "y")
+    ranked = distributed_row_number(scored, [], ["_neg", "doc_id"], "_rk")
+    tot = ranked.agg(
+        F.count("*").alias("_n"), F.sum("y").cast("long").alias("_p")
+    )
+    dec = (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            F.floor(
+                F.col("_rk").cast("double") * 10.0 / F.col("_n")
+            ).cast("int").alias("decile"),
+            "y",
+            "_n",
+            "_p",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("y").cast("long").alias("positives"),
+            F.max("_n").alias("_tn"),
+            F.max("_p").alias("_tp"),
+        )
+    )
+    w_run = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum_n = F.sum("n").over(w_run)
+    cum_p = F.sum("positives").over(w_run)
+    gain = cum_p.cast("double") / F.col("_tp")
+    rate = F.col("_tp").cast("double") / F.col("_tn")
+    return dec.select(
+        "decile",
+        "n",
+        "positives",
+        F.round(gain, 6).alias("cum_gain"),
+        F.round(
+            (cum_p.cast("double") / cum_n) / rate, 6
+        ).alias("cum_lift"),
+    ).orderBy("decile")
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Round-7 policy (VERDICT r6 item #2): the 11 new-in-round queries first,
@@ -9185,9 +9308,9 @@ def q_events_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
 # users_nelson_aalen, events_stl, docs_good_turing, sample_kfold,
 # geo_geohash_rollup, attribution_markov, events_journey_entropy,
 # users_time_to_convert, orders_cohort_ltv, events_peaks,
-# events_hurst, dedup_bcubed, events_twap, events_durbin_watson) —
-# first, then backfill to 50 with the least-recently-driver-checked
-# rows.
+# events_hurst, dedup_bcubed, events_twap, events_durbin_watson,
+# events_bayes_ab, quality_gains) — first, then backfill to 50 with
+# the least-recently-driver-checked rows.
 _R7_WINDOW = [
     # --- new in round 7 ---
     "events_mann_whitney",
@@ -9281,6 +9404,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_bcubed": q_dedup_bcubed,
         "events_twap": q_events_twap,
         "events_durbin_watson": q_events_durbin_watson,
+        "events_bayes_ab": q_events_bayes_ab,
+        "quality_gains": q_quality_gains,
         # --- new in round 7, second session: inference suite (post-
         # window-freeze; the r8 driver window picks these up) ---
         "events_ks_test": q_events_ks_test,
@@ -10970,6 +11095,102 @@ def oracle_sql() -> dict[str, str]:
                    (cum * 10) >= tot * 9 AS at_or_past_p90
             FROM w ORDER BY days
         """,
+        "events_bayes_ab": f"""
+            WITH u AS (SELECT user_id,
+                              max(CASE WHEN event_type = 'purchase'
+                                  THEN 1 ELSE 0 END)::BIGINT AS conv
+                       FROM events GROUP BY 1),
+            arms AS (SELECT (user_id % 2)::INT AS variant,
+                            count(*)::BIGINT AS n, sum(conv)::BIGINT AS r
+                     FROM u GROUP BY 1),
+            st AS (SELECT variant, n, r,
+                          (r::DOUBLE + 1.0) /
+                            ((r::DOUBLE + 1.0)
+                             + ((n - r)::DOUBLE + 1.0)) AS mu,
+                          (r::DOUBLE + 1.0) * ((n - r)::DOUBLE + 1.0)
+                          / (((r::DOUBLE + 1.0) + ((n - r)::DOUBLE + 1.0))
+                             * ((r::DOUBLE + 1.0)
+                                + ((n - r)::DOUBLE + 1.0))
+                             * (((r::DOUBLE + 1.0)
+                                 + ((n - r)::DOUBLE + 1.0)) + 1.0))
+                            AS var
+                   FROM arms),
+            w AS (SELECT
+                    max(CASE WHEN variant = 0 THEN n END) AS n_a,
+                    max(CASE WHEN variant = 0 THEN r END) AS r_a,
+                    max(CASE WHEN variant = 0 THEN mu END) AS mu_a,
+                    max(CASE WHEN variant = 0 THEN var END) AS var_a,
+                    max(CASE WHEN variant = 1 THEN n END) AS n_b,
+                    max(CASE WHEN variant = 1 THEN r END) AS r_b,
+                    max(CASE WHEN variant = 1 THEN mu END) AS mu_b,
+                    max(CASE WHEN variant = 1 THEN var END) AS var_b
+                  FROM st),
+            zz AS (SELECT *, (mu_b - mu_a) / sqrt(var_a + var_b) AS z
+                   FROM w)
+            SELECT n_a, r_a, round(mu_a, 6) AS post_mean_a,
+                   n_b, r_b, round(mu_b, 6) AS post_mean_b,
+                   round(z, 6) AS z,
+                   round(CASE WHEN z >= 0
+                              THEN 1.0 - {_NORM_SF_SQL.format(z="z")}
+                              ELSE {_NORM_SF_SQL.format(z="(-z)")}
+                         END, 6) AS p_b_beats_a
+            FROM zz
+        """,
+        "quality_gains": f"""
+            WITH train AS (
+              SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, text
+              FROM documents WHERE doc_id % 2 = 0),
+            tk AS (SELECT y, unnest(str_split({{norm}}, ' ')) AS tok
+                   FROM train),
+            wc AS (SELECT tok, sum(y)::BIGINT AS pos_c,
+                          sum(1 - y)::BIGINT AS neg_c
+                   FROM tk GROUP BY tok),
+            cls AS (SELECT sum(y)::BIGINT AS n_pos, sum(1 - y)::BIGINT
+                             AS n_neg
+                    FROM train),
+            ts AS (SELECT sum(pos_c) AS t_pos, sum(neg_c) AS t_neg,
+                          count(*) AS vocab FROM wc),
+            sc AS (SELECT doc_id, unnest(str_split({{norm}}, ' ')) AS tok
+                   FROM documents WHERE doc_id % 2 = 1),
+            agg AS (
+              SELECT doc_id,
+                     round(ln(any_value(cls.n_pos)::DOUBLE)
+                           - ln(any_value(cls.n_neg)::DOUBLE)
+                           + sum(ln(coalesce(wc.pos_c, 0) + 1.0)
+                                 - ln(coalesce(wc.neg_c, 0) + 1.0))
+                           + count(*) * (ln((any_value(ts.t_neg)
+                                             + any_value(ts.vocab))::DOUBLE)
+                                         - ln((any_value(ts.t_pos)
+                                               + any_value(ts.vocab))::DOUBLE)),
+                           6) AS score
+              FROM sc LEFT JOIN wc USING (tok) CROSS JOIN cls CROSS JOIN ts
+              GROUP BY doc_id),
+            lab AS (SELECT agg.doc_id, -score AS neg,
+                           CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+                    FROM agg JOIN documents d USING (doc_id)),
+            rk AS (SELECT y,
+                          row_number() OVER (ORDER BY neg, doc_id) - 1
+                            AS rk
+                   FROM lab),
+            tot AS (SELECT count(*)::BIGINT AS tn, sum(y)::BIGINT AS tp
+                    FROM rk),
+            dec AS (SELECT floor(rk::DOUBLE * 10.0 / tn)::INT AS decile,
+                           count(*)::BIGINT AS n,
+                           sum(y)::BIGINT AS positives,
+                           max(tn)::BIGINT AS tn, max(tp)::BIGINT AS tp
+                    FROM rk, tot GROUP BY 1),
+            run AS (SELECT decile, n, positives, tn, tp,
+                           sum(n) OVER wr AS cum_n,
+                           sum(positives) OVER wr AS cum_p
+                    FROM dec
+                    WINDOW wr AS (ORDER BY decile
+                                  ROWS UNBOUNDED PRECEDING))
+            SELECT decile, n, positives,
+                   round(cum_p::DOUBLE / tp, 6) AS cum_gain,
+                   round((cum_p::DOUBLE / cum_n)
+                         / (tp::DOUBLE / tn), 6) AS cum_lift
+            FROM run ORDER BY decile
+        """.replace("{norm}", norm_text),
         "events_twap": """
             WITH st AS (
               SELECT event_type, strftime(ts::DATE, '%Y-%m-%d') AS day,

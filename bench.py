@@ -288,6 +288,8 @@ HEADLINE = [
     "dedup_bcubed",
     "events_twap",
     "events_durbin_watson",
+    "events_bayes_ab",
+    "quality_gains",
 ]
 
 

@@ -522,3 +522,31 @@ def test_durbin_watson_range_and_white_noise_fixture(spark, sf_dir):
         assert 0.0 < r["dw"] < 4.0
         assert abs(r["rho_approx"] - (1 - r["dw"] / 2)) < 2e-6
         assert r["n"] == 24  # 30 days minus 2*3 trend-edge days
+
+
+def test_bayes_ab_agrees_with_counts(spark, sf_dir):
+    """Posterior means = (r+1)/(n+2); P(B>A) in (0,1) and > 0.5 iff
+    posterior mean of B exceeds A."""
+    m = _entry()
+    r = m.queries()["events_bayes_ab"](spark, sf_dir).collect()[0]
+    assert abs(r["post_mean_a"] - (r["r_a"] + 1) / (r["n_a"] + 2)) < 1e-6
+    assert abs(r["post_mean_b"] - (r["r_b"] + 1) / (r["n_b"] + 2)) < 1e-6
+    assert 0.0 < r["p_b_beats_a"] < 1.0
+    if r["post_mean_b"] > r["post_mean_a"]:
+        assert r["p_b_beats_a"] > 0.5
+    elif r["post_mean_b"] < r["post_mean_a"]:
+        assert r["p_b_beats_a"] < 0.5
+
+
+def test_gains_table_invariants(spark, sf_dir):
+    """10 deciles partitioning the held-out set; cum_gain ends at 1,
+    is non-decreasing, and the first decile's lift >= 1 for a
+    better-than-random classifier; positives sum to the total."""
+    m = _entry()
+    rows = m.queries()["quality_gains"](spark, sf_dir).collect()
+    assert [r["decile"] for r in rows] == list(range(10))
+    gains = [r["cum_gain"] for r in rows]
+    assert gains == sorted(gains)
+    assert abs(gains[-1] - 1.0) < 1e-9
+    assert rows[0]["cum_lift"] >= 1.0  # NB model beats random at depth 1
+    assert rows[-1]["cum_lift"] == 1.0
