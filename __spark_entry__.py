@@ -9286,6 +9286,285 @@ def q_quality_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("decile")
 
 
+def _crawl_und_edges(docs: DataFrame, n: int) -> DataFrame:
+    """The shared ring+chord crawl-graph fixture (same edges as
+    q_graph_clustering_coeff / q_graph_link_prediction), undirected
+    and deduplicated: (a, b) with a < b."""
+    e = None
+    for expr in (
+        (F.col("doc_id") + 1) % n,
+        (F.col("doc_id") + 2) % n,
+        (F.col("doc_id") * 7 + 3) % n,
+    ):
+        part = docs.select(F.col("doc_id").alias("src"), expr.alias("dst"))
+        e = part if e is None else e.unionByName(part)
+    return (
+        e.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+
+
+def q_users_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull survival fit per segment, composed ON the Nelson-Aalen
+    output (operators/survival.nelson_aalen): a Weibull hazard has
+    ln H(t) = k ln t - k ln(lambda), so shape k and scale lambda fall
+    out of one regr_slope/intercept over the (ln t, ln H) risk-table
+    points — the parametric summary an actuarial/churn model wants
+    after the nonparametric curve. All work after the risk-table
+    collapse runs on <= #durations rows per segment."""
+    from vanus_spark.operators.survival import nelson_aalen
+
+    ev = _t(spark, sf_dir, "events")
+    subjects = ev.groupBy("user_id").agg(
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))).alias(
+            "duration"
+        )
+    ).select(
+        (F.col("user_id") % 3).cast("string").alias("segment"),
+        F.col("duration").cast("long").alias("duration"),
+        F.when(F.col("user_id") % 5 == 0, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("event"),
+    )
+    na = nelson_aalen(subjects).where(
+        (F.col("t") > 0) & (F.col("cum_hazard") > 0)
+    )
+    return (
+        na.groupBy("segment")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.round(
+                F.expr("regr_slope(ln(cum_hazard), ln(t))"), 6
+            ).alias("shape_k"),
+            F.round(
+                F.exp(
+                    -F.expr("regr_intercept(ln(cum_hazard), ln(t))")
+                    / F.expr("regr_slope(ln(cum_hazard), ln(t))")
+                ),
+                6,
+            ).alias("scale_lambda"),
+        )
+        .orderBy("segment")
+    )
+
+
+def q_events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness coefficient B = (sigma - mu) / (sigma + mu) of
+    inter-event gaps per event type (Goh & Barabasi 2008): B -> -1
+    is a metronome, 0 is Poisson, -> +1 is extreme burstiness — the
+    temporal-dynamics diagnostic behind rate-limit and capacity
+    decisions. Gaps are WITHIN each user's own stream (the window
+    partitions by user — parallel, never a global per-type sort),
+    floored to exact integer seconds so every moment sum stays
+    BIGINT; sigma derives from the exact (n, sum, sumsq) triple."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    us = F.unix_micros("ts")
+    gaps = ev.select(
+        "event_type",
+        # explicit floor: Spark's double->long cast truncates while
+        # DuckDB's rounds, so the division must be floored first
+        F.floor((F.lead(us).over(w) - us) / 1000000)
+        .cast("long")
+        .alias("_gap"),
+    ).where(F.col("_gap").isNotNull())
+    agg = gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("_gap").alias("_sg"),
+        F.sum(F.col("_gap") * F.col("_gap")).alias("_sgg"),
+    )
+    n = F.col("n_gaps").cast("double")
+    mu = F.col("_sg").cast("double") / n
+    sigma = F.sqrt(
+        (F.col("_sgg").cast("double") - F.col("_sg") * mu) / n
+    )
+    return agg.select(
+        "event_type",
+        "n_gaps",
+        F.round(mu, 6).alias("mean_gap_s"),
+        F.round(sigma, 6).alias("std_gap_s"),
+        F.round((sigma - mu) / (sigma + mu), 6).alias("burstiness"),
+    ).orderBy("event_type")
+
+
+def q_docs_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini-Simpson token diversity per source: 1 - sum(p_i^2) and
+    the effective vocabulary 1/sum(p_i^2) (inverse Simpson) — the
+    concentration-robust twin of entropy for corpus-mixture health
+    (a source dominated by one template collapses toward 0). Exact
+    integers: sum(cnt^2) and tot^2 stay BIGINT, one division at the
+    readout; one wordcount shuffle, then #sources rows."""
+    from vanus_spark.llm.search import tokens_df
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        tokens_df(docs.select(F.col("source").alias("doc_id"), "text"))
+        .groupBy(F.col("doc_id").alias("source"), "term")
+        .agg(F.count("*").alias("_c"))
+    )
+    agg = counts.groupBy("source").agg(
+        F.sum("_c").alias("_tot"),
+        F.count("*").alias("n_types"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_sc2"),
+    )
+    sumsq = F.col("_sc2").cast("double") / (F.col("_tot") * F.col("_tot"))
+    return agg.select(
+        "source",
+        F.col("_tot").alias("n_tokens"),
+        "n_types",
+        F.round(1.0 - sumsq, 6).alias("gini_simpson"),
+        F.round(1.0 / sumsq, 6).alias("effective_types"),
+    ).orderBy("source")
+
+
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the crawl graph (Newman 2002): the
+    Pearson correlation of endpoint degrees over undirected edges —
+    positive means hubs link to hubs (social-network shape), negative
+    means hubs link to leaves (internet/AS shape); it decides whether
+    degree-targeted sampling or dedup will shear the graph. Degrees
+    from one count over the edge list; all moment sums exact BIGINT
+    over edges (each edge contributes both orientations, the
+    undirected convention)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    und = _crawl_und_edges(docs, n)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    both = und.join(
+        deg.select(F.col("node").alias("a"), F.col("deg").alias("_ja")),
+        "a",
+    ).join(
+        deg.select(F.col("node").alias("b"), F.col("deg").alias("_kb")),
+        "b",
+    )
+    # both orientations: (j,k) and (k,j) per edge
+    pairs = both.select(
+        F.col("_ja").alias("j"), F.col("_kb").alias("k")
+    ).unionByName(
+        both.select(F.col("_kb").alias("j"), F.col("_ja").alias("k"))
+    )
+    agg = pairs.agg(
+        F.count("*").alias("_m"),
+        F.sum(F.col("j") * F.col("k")).alias("_sjk"),
+        F.sum("j").alias("_sj"),
+        F.sum(F.col("j") * F.col("j")).alias("_sjj"),
+    )
+    m = F.col("_m").cast("double")
+    mean = F.col("_sj").cast("double") / m
+    num = F.col("_sjk").cast("double") / m - mean * mean
+    den = F.col("_sjj").cast("double") / m - mean * mean
+    return agg.select(
+        (F.col("_m") / 2).cast("long").alias("n_edges"),
+        F.round(num / den, 6).alias("assortativity"),
+    )
+
+
+def q_graph_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law exponent of the crawl-graph degree distribution via
+    the continuous MLE alpha = 1 + n / sum(ln(k / kmin)) (Clauset,
+    Shalizi & Newman 2009) — the scale-free-ness readout that decides
+    whether hub-aware partitioning (salting the heavy keys) is needed
+    before graph joins. One degree count + one #nodes aggregate;
+    kmin = min degree."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    und = _crawl_und_edges(docs, n)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    kmin = deg.agg(F.min("deg").alias("_kmin"))
+    j = deg.crossJoin(F.broadcast(kmin))
+    return j.agg(
+        F.count("*").alias("n_nodes"),
+        F.max("_kmin").alias("k_min"),
+        F.max("deg").alias("k_max"),
+        F.round(
+            1.0
+            + F.count("*")
+            / F.sum(F.log(F.col("deg").cast("double") / F.col("_kmin"))),
+            6,
+        ).alias("alpha"),
+    )
+
+
+def q_lineitem_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC revenue classification of parts (the 80/15/5 inventory
+    rule): parts ranked by revenue on the two-phase distributed rank,
+    cumulative revenue share via the SAME slice-prefix pattern as the
+    SFT packer (per-slice totals + triangular broadcast + windows
+    partitioned BY SLICE — never a single-task global running sum),
+    class cuts tested in EXACT integer algebra (cum*5 <= grand*4 for
+    the 80% A-cut), then a 3-row class rollup. Revenue =
+    extendedprice * (1 - discount) in exact cents."""
+    from vanus_spark.bus import distributed_row_number
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.expr(
+                "CAST(round(l_extendedprice * (1 - l_discount) * 100)"
+                " AS BIGINT)"
+            )
+        ).alias("_cents")
+    )
+    ranked = distributed_row_number(
+        rev.withColumn("_negc", -F.col("_cents")),
+        [],
+        ["_negc", "l_partkey"],
+        "_rk",
+        keep_slice=True,
+    )
+    slice_tot = ranked.groupBy("_slice").agg(F.sum("_cents").alias("_sc"))
+    a, b = slice_tot.alias("a"), slice_tot.alias("b")
+    prefix = a.join(
+        b, F.col("b._slice") < F.col("a._slice"), "left"
+    ).groupBy(F.col("a._slice").alias("_slice")).agg(
+        F.coalesce(F.sum("b._sc"), F.lit(0)).alias("_pre")
+    )
+    w_slice = Window.partitionBy("_slice").orderBy("_rk").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    grand = rev.agg(F.sum("_cents").alias("_grand"))
+    cum = (
+        ranked.join(F.broadcast(prefix), "_slice")
+        .withColumn("_cum", F.col("_pre") + F.sum("_cents").over(w_slice))
+        .crossJoin(F.broadcast(grand))
+    )
+    cls = (
+        F.when(F.col("_cum") * 5 <= F.col("_grand") * 4, F.lit("A"))
+        .when(F.col("_cum") * 20 <= F.col("_grand") * 19, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return (
+        cum.select(cls.alias("abc_class"), "_cents", "_grand")
+        .groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(
+                F.sum("_cents").cast("double") / 100.0, 2
+            ).alias("revenue"),
+            F.round(
+                F.sum("_cents").cast("double") / F.max("_grand"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Round-7 policy (VERDICT r6 item #2): the 11 new-in-round queries first,
@@ -9309,8 +9588,10 @@ def q_quality_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
 # geo_geohash_rollup, attribution_markov, events_journey_entropy,
 # users_time_to_convert, orders_cohort_ltv, events_peaks,
 # events_hurst, dedup_bcubed, events_twap, events_durbin_watson,
-# events_bayes_ab, quality_gains) — first, then backfill to 50 with
-# the least-recently-driver-checked rows.
+# events_bayes_ab, quality_gains, users_weibull_fit,
+# events_burstiness, docs_simpson_diversity, graph_assortativity,
+# graph_powerlaw_alpha, lineitem_abc) — first, then backfill to 50
+# with the least-recently-driver-checked rows.
 _R7_WINDOW = [
     # --- new in round 7 ---
     "events_mann_whitney",
@@ -9406,6 +9687,12 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_durbin_watson": q_events_durbin_watson,
         "events_bayes_ab": q_events_bayes_ab,
         "quality_gains": q_quality_gains,
+        "users_weibull_fit": q_users_weibull_fit,
+        "events_burstiness": q_events_burstiness,
+        "docs_simpson_diversity": q_docs_simpson_diversity,
+        "graph_assortativity": q_graph_assortativity,
+        "graph_powerlaw_alpha": q_graph_powerlaw_alpha,
+        "lineitem_abc": q_lineitem_abc,
         # --- new in round 7, second session: inference suite (post-
         # window-freeze; the r8 driver window picks these up) ---
         "events_ks_test": q_events_ks_test,
@@ -11191,6 +11478,165 @@ def oracle_sql() -> dict[str, str]:
                          / (tp::DOUBLE / tn), 6) AS cum_lift
             FROM run ORDER BY decile
         """.replace("{norm}", norm_text),
+        "users_weibull_fit": """
+            WITH subj AS (
+              SELECT user_id,
+                     date_diff('day', min(ts::DATE), max(ts::DATE))::BIGINT
+                       AS duration
+              FROM events GROUP BY user_id),
+            s AS (SELECT (user_id % 3)::VARCHAR AS segment, duration,
+                         CASE WHEN user_id % 5 = 0 THEN 0 ELSE 1 END AS event
+                  FROM subj),
+            risk AS (SELECT segment, duration AS t,
+                            sum(event)::BIGINT AS n_events,
+                            sum(1 - event)::BIGINT AS n_censored
+                     FROM s GROUP BY 1, 2),
+            staged AS (
+              SELECT *,
+                     sum(n_events + n_censored)
+                       OVER (PARTITION BY segment)
+                     - coalesce(sum(n_events + n_censored)
+                         OVER (PARTITION BY segment ORDER BY t
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) AS n_at_risk
+              FROM risk),
+            curve AS (
+              SELECT segment, t,
+                     round(sum(n_events::DOUBLE / n_at_risk::DOUBLE)
+                       OVER (PARTITION BY segment ORDER BY t
+                             ROWS UNBOUNDED PRECEDING), 6) AS ch
+              FROM staged),
+            pts AS (SELECT * FROM curve WHERE t > 0 AND ch > 0)
+            SELECT segment, count(*)::BIGINT AS n_points,
+                   round(regr_slope(ln(ch), ln(t)), 6) AS shape_k,
+                   round(exp(-regr_intercept(ln(ch), ln(t))
+                             / regr_slope(ln(ch), ln(t))), 6)
+                     AS scale_lambda
+            FROM pts GROUP BY segment ORDER BY segment
+        """,
+        "events_burstiness": """
+            WITH g AS (
+              SELECT event_type,
+                     floor((lead(epoch_us(ts)) OVER (PARTITION BY
+                            user_id, event_type ORDER BY ts, event_id)
+                            - epoch_us(ts)) / 1000000)::BIGINT AS gap
+              FROM events),
+            f AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL),
+            a AS (SELECT event_type, count(*)::BIGINT AS n_gaps,
+                         sum(gap)::BIGINT AS sg,
+                         sum(gap * gap)::BIGINT AS sgg
+                  FROM f GROUP BY 1),
+            m AS (SELECT event_type, n_gaps, sg, sgg,
+                         sg::DOUBLE / n_gaps::DOUBLE AS mu,
+                         sqrt((sgg::DOUBLE
+                               - sg * (sg::DOUBLE / n_gaps::DOUBLE))
+                              / n_gaps::DOUBLE) AS sigma
+                  FROM a)
+            SELECT event_type, n_gaps, round(mu, 6) AS mean_gap_s,
+                   round(sigma, 6) AS std_gap_s,
+                   round((sigma - mu) / (sigma + mu), 6) AS burstiness
+            FROM m ORDER BY event_type
+        """,
+        "docs_simpson_diversity": f"""
+            WITH tk AS (SELECT source,
+                               unnest(str_split({{norm}}, ' ')) AS tok
+                        FROM documents),
+            tk2 AS (SELECT source, tok FROM tk WHERE tok <> ''),
+            c AS (SELECT source, tok, count(*)::BIGINT AS c FROM tk2
+                  GROUP BY 1, 2),
+            a AS (SELECT source, sum(c)::BIGINT AS tot,
+                         count(*)::BIGINT AS n_types,
+                         sum(c * c)::BIGINT AS sc2
+                  FROM c GROUP BY 1)
+            SELECT source, tot AS n_tokens, n_types,
+                   round(1.0 - sc2::DOUBLE / (tot * tot), 6)
+                     AS gini_simpson,
+                   round(1.0 / (sc2::DOUBLE / (tot * tot)), 6)
+                     AS effective_types
+            FROM a ORDER BY source
+        """.replace("{norm}", norm_text),
+        "graph_assortativity": """
+            WITH n AS (SELECT count(*)::BIGINT AS nn FROM documents),
+            e AS (
+              SELECT doc_id AS src, (doc_id + 1) % nn AS dst
+              FROM documents, n
+              UNION ALL
+              SELECT doc_id, (doc_id + 2) % nn FROM documents, n
+              UNION ALL
+              SELECT doc_id, (doc_id * 7 + 3) % nn FROM documents, n),
+            und AS (SELECT DISTINCT least(src, dst) AS a,
+                           greatest(src, dst) AS b
+                    FROM e WHERE src <> dst),
+            deg AS (SELECT node, count(*)::BIGINT AS deg FROM (
+                      SELECT a AS node FROM und
+                      UNION ALL SELECT b FROM und)
+                    GROUP BY node),
+            bth AS (SELECT da.deg AS ja, db.deg AS kb
+                    FROM und JOIN deg da ON und.a = da.node
+                             JOIN deg db ON und.b = db.node),
+            pr AS (SELECT ja AS j, kb AS k FROM bth
+                   UNION ALL SELECT kb, ja FROM bth),
+            agg AS (SELECT count(*)::BIGINT AS m,
+                           sum(j * k)::BIGINT AS sjk,
+                           sum(j)::BIGINT AS sj,
+                           sum(j * j)::BIGINT AS sjj
+                    FROM pr)
+            SELECT (m // 2)::BIGINT AS n_edges,
+                   round((sjk::DOUBLE / m::DOUBLE
+                          - (sj::DOUBLE / m::DOUBLE)
+                            * (sj::DOUBLE / m::DOUBLE))
+                         / (sjj::DOUBLE / m::DOUBLE
+                            - (sj::DOUBLE / m::DOUBLE)
+                              * (sj::DOUBLE / m::DOUBLE)), 6)
+                     AS assortativity
+            FROM agg
+        """,
+        "graph_powerlaw_alpha": """
+            WITH n AS (SELECT count(*)::BIGINT AS nn FROM documents),
+            e AS (
+              SELECT doc_id AS src, (doc_id + 1) % nn AS dst
+              FROM documents, n
+              UNION ALL
+              SELECT doc_id, (doc_id + 2) % nn FROM documents, n
+              UNION ALL
+              SELECT doc_id, (doc_id * 7 + 3) % nn FROM documents, n),
+            und AS (SELECT DISTINCT least(src, dst) AS a,
+                           greatest(src, dst) AS b
+                    FROM e WHERE src <> dst),
+            deg AS (SELECT node, count(*)::BIGINT AS deg FROM (
+                      SELECT a AS node FROM und
+                      UNION ALL SELECT b FROM und)
+                    GROUP BY node),
+            km AS (SELECT min(deg)::BIGINT AS kmin FROM deg)
+            SELECT count(*)::BIGINT AS n_nodes,
+                   max(kmin)::BIGINT AS k_min,
+                   max(deg)::BIGINT AS k_max,
+                   round(1.0 + count(*)
+                         / sum(ln(deg::DOUBLE / kmin)), 6) AS alpha
+            FROM deg, km
+        """,
+        "lineitem_abc": """
+            WITH rev AS (SELECT l_partkey,
+                                sum(CAST(round(l_extendedprice
+                                    * (1 - l_discount) * 100) AS
+                                    BIGINT))::BIGINT AS cents
+                         FROM lineitem GROUP BY 1),
+            rk AS (SELECT l_partkey, cents,
+                          sum(cents) OVER (ORDER BY -cents, l_partkey
+                              ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+                          sum(cents) OVER ()::BIGINT AS grand
+                   FROM rev),
+            cls AS (SELECT CASE WHEN cum * 5 <= grand * 4 THEN 'A'
+                                WHEN cum * 20 <= grand * 19 THEN 'B'
+                                ELSE 'C' END AS abc_class,
+                           cents, grand
+                    FROM rk)
+            SELECT abc_class, count(*)::BIGINT AS n_parts,
+                   round(sum(cents)::DOUBLE / 100.0, 2) AS revenue,
+                   round(sum(cents)::DOUBLE / max(grand), 6)
+                     AS revenue_share
+            FROM cls GROUP BY abc_class ORDER BY abc_class
+        """,
         "events_twap": """
             WITH st AS (
               SELECT event_type, strftime(ts::DATE, '%Y-%m-%d') AS day,

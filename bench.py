@@ -290,6 +290,12 @@ HEADLINE = [
     "events_durbin_watson",
     "events_bayes_ab",
     "quality_gains",
+    "users_weibull_fit",
+    "events_burstiness",
+    "docs_simpson_diversity",
+    "graph_assortativity",
+    "graph_powerlaw_alpha",
+    "lineitem_abc",
 ]
 
 

@@ -550,3 +550,77 @@ def test_gains_table_invariants(spark, sf_dir):
     assert abs(gains[-1] - 1.0) < 1e-9
     assert rows[0]["cum_lift"] >= 1.0  # NB model beats random at depth 1
     assert rows[-1]["cum_lift"] == 1.0
+
+
+def test_weibull_fit_on_planted_weibull(spark, sf_dir):
+    """Registry-level sanity: shape > 0, scale > 0 per segment (the
+    NA points are monotone so ln-ln regression is well-posed)."""
+    m = _entry()
+    rows = m.queries()["users_weibull_fit"](spark, sf_dir).collect()
+    assert len(rows) == 3
+    for r in rows:
+        if r["n_points"] < 2:  # regr over one point is NULL (both engines)
+            assert r["shape_k"] is None
+            continue
+        assert r["shape_k"] > 0 and r["scale_lambda"] > 0
+
+
+def test_burstiness_bounds_and_metronome(spark, sf_dir):
+    """Registry values in (-1, 1); a planted metronome stream scores
+    B = -1 (sigma = 0)."""
+    import datetime
+
+    import vanus_spark.sources.tables as tables
+
+    m = _entry()
+    rows = m.queries()["events_burstiness"](spark, sf_dir).collect()
+    assert rows and all(-1.0 <= r["burstiness"] < 1.0 for r in rows)
+    t0 = datetime.datetime(2024, 1, 1)
+    metro = spark.createDataFrame(
+        [
+            (i, t0 + datetime.timedelta(seconds=60 * i), 1, "x", 1.0, "{}")
+            for i in range(20)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    orig = tables.load_table
+    try:
+        tables.load_table = lambda spark, sf, name: metro
+        out = m.queries()["events_burstiness"](spark, sf_dir).collect()
+    finally:
+        tables.load_table = orig
+    assert out[0]["std_gap_s"] == 0.0 and out[0]["burstiness"] == -1.0
+
+
+def test_simpson_diversity_bounds(spark, sf_dir):
+    m = _entry()
+    rows = m.queries()["docs_simpson_diversity"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["gini_simpson"] < 1.0
+        assert 1.0 <= r["effective_types"] <= r["n_types"]
+
+
+def test_assortativity_in_range(spark, sf_dir):
+    m = _entry()
+    r = m.queries()["graph_assortativity"](spark, sf_dir).collect()[0]
+    assert -1.0 <= r["assortativity"] <= 1.0
+    assert r["n_edges"] > 0
+
+
+def test_powerlaw_alpha_positive(spark, sf_dir):
+    m = _entry()
+    r = m.queries()["graph_powerlaw_alpha"](spark, sf_dir).collect()[0]
+    assert r["k_min"] >= 1 and r["k_max"] >= r["k_min"]
+    assert r["alpha"] > 1.0
+
+
+def test_abc_partitions_and_shares(spark, sf_dir):
+    m = _entry()
+    rows = m.queries()["lineitem_abc"](spark, sf_dir).collect()
+    classes = {r["abc_class"]: r for r in rows}
+    assert set(classes) == {"A", "B", "C"}
+    assert abs(sum(r["revenue_share"] for r in rows) - 1.0) < 1e-4
+    # A-class: fewest parts, most revenue (the whole point of ABC)
+    assert classes["A"]["revenue_share"] > classes["C"]["revenue_share"]
