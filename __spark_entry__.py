@@ -11249,14 +11249,17 @@ def _markov_attribution_sql(iters: int = 50) -> str:
         for s in ["full"] + ch
     )
     re_cols = ",\n                   ".join(
-        f"(pc_full - pc_{c}) / pc_full AS re_{c}" for c in ch
+        f"CASE WHEN pc_full > 0.0 THEN (pc_full - pc_{c}) / pc_full"
+        f" ELSE 0.0 END AS re_{c}"
+        for c in ch
     )
     re_tot = " + ".join(f"re_{c}" for c in ch)
     unions = "\n              UNION ALL\n              ".join(
         f"SELECT '{c}' AS channel, round(pc_full, 6) AS p_conv_full,"
         f" round(pc_{c}, 6) AS p_conv_removed,"
         f" round(re_{c}, 6) AS removal_effect,"
-        f" round(re_{c} / re_tot, 6) AS attribution FROM t2"
+        f" round(CASE WHEN re_tot > 0.0 THEN re_{c} / re_tot"
+        f" ELSE 0.0 END, 6) AS attribution FROM t2"
         for c in ch
     )
     return f"""

@@ -624,3 +624,126 @@ def test_abc_partitions_and_shares(spark, sf_dir):
     assert abs(sum(r["revenue_share"] for r in rows) - 1.0) < 1e-4
     # A-class: fewest parts, most revenue (the whole point of ABC)
     assert classes["A"]["revenue_share"] > classes["C"]["revenue_share"]
+
+
+# ---- property tests for the session's pure-math helpers (driver-side
+# replicas of the Column formulas, so hypothesis can run them without
+# a Spark job per example) ----
+
+
+def _inv_norm_py(p: float) -> float:
+    import math
+
+    from vanus_spark.operators.hyptests import BSM_A, BSM_B, MORO_C
+
+    def horner(s: float) -> float:
+        acc = MORO_C[-1]
+        for c in reversed(MORO_C[:-1]):
+            acc = c + s * acc
+        return acc
+
+    if p < 0.08:
+        return -horner(math.log(-math.log(p)))
+    if p > 0.92:
+        return horner(math.log(-math.log(1.0 - p)))
+    r = p - 0.5
+    y = r * r
+    num = BSM_A[0] + y * (BSM_A[1] + y * (BSM_A[2] + y * BSM_A[3]))
+    den = 1.0 + y * (
+        BSM_B[0] + y * (BSM_B[1] + y * (BSM_B[2] + y * BSM_B[3]))
+    )
+    return r * num / den
+
+
+def test_inv_norm_python_replica_matches_column(spark):
+    """The pure-python replica above IS the Column formula (same
+    constants, same branches): pin them together on a grid so the
+    property tests below genuinely exercise the shipped math."""
+    from pyspark.sql import functions as F
+
+    from vanus_spark.operators.hyptests import inv_norm_cdf
+
+    grid = [0.001, 0.05, 0.08, 0.3, 0.5, 0.77, 0.92, 0.95, 0.9999]
+    df = spark.createDataFrame([(p,) for p in grid], "p double")
+    got = [
+        r["q"]
+        for r in df.select(inv_norm_cdf(F.col("p")).alias("q"))
+        .orderBy(F.col("q"))
+        .collect()
+    ]
+    exp = sorted(_inv_norm_py(p) for p in grid)
+    assert all(abs(g - e) < 1e-12 for g, e in zip(got, exp))
+
+
+def test_inv_norm_round_trips_normal_tail():
+    """Phi^{-1} then the A&S tail polynomial recovers 1-p within the
+    combined approximation error (~1e-7) across (0.5, 1)."""
+    import math
+
+    from hypothesis import given, strategies as st
+
+    from vanus_spark.operators.hyptests import norm_sf
+
+    # norm_sf is Column math; replicate via its closed form
+    def norm_sf_py(z: float) -> float:
+        t = 1.0 / (1.0 + 0.2316419 * z)
+        poly = t * (
+            0.319381530
+            + t
+            * (
+                -0.356563782
+                + t * (1.781477937 + t * (-1.821255978 + t * 1.330274429))
+            )
+        )
+        return math.exp(-z * z / 2) / 2.5066282746310002 * poly
+
+    @given(st.floats(min_value=0.5001, max_value=0.99999))
+    def check(p):
+        z = _inv_norm_py(p)
+        assert abs(norm_sf_py(z) - (1.0 - p)) < 5e-7
+
+    check()
+
+
+def test_inv_norm_monotone_property():
+    from hypothesis import given, strategies as st
+
+    @given(
+        st.floats(min_value=1e-9, max_value=1 - 1e-9),
+        st.floats(min_value=1e-9, max_value=1 - 1e-9),
+    )
+    def check(p1, p2):
+        lo, hi = min(p1, p2), max(p1, p2)
+        if hi - lo > 1e-12:
+            assert _inv_norm_py(lo) <= _inv_norm_py(hi) + 1e-9
+
+    check()
+
+
+def test_markov_removal_effect_properties():
+    """Random small chains: full conversion prob in [0,1]; removing a
+    channel never increases it; attribution sums to 1 when any effect
+    is positive."""
+    import random
+
+    from vanus_spark.operators.markov import removal_effect
+
+    rng = random.Random(7)
+    for _ in range(25):
+        chans = ["a", "b", "c"]
+        edges = []
+        for src in ["start"] + chans:
+            dsts = chans + ["conv", "null"]
+            for d in dsts:
+                if d != src and rng.random() < 0.7:
+                    edges.append((src, d, rng.randint(1, 9)))
+        # ensure start has at least one outgoing edge
+        if not any(s == "start" for s, _, _ in edges):
+            edges.append(("start", "a", 1))
+        out = removal_effect(edges, chans)
+        pc = out[0]["p_conv_full"]
+        assert 0.0 <= pc <= 1.0 + 1e-12
+        for r in out:
+            assert r["p_conv_removed"] <= pc + 1e-12
+        if pc > 0 and sum(r["removal_effect"] for r in out) > 0:
+            assert abs(sum(r["attribution"] for r in out) - 1.0) < 1e-9

@@ -134,7 +134,12 @@ def removal_effect(
 
     pc_full = converge(None)
     pcs = {c: converge(c) for c in chans}
-    res = {c: (pc_full - pcs[c]) / pc_full for c in chans}
+    # degenerate chains (nothing converts, or removals change nothing)
+    # report zero effect/attribution instead of 0/0
+    res = {
+        c: ((pc_full - pcs[c]) / pc_full if pc_full > 0.0 else 0.0)
+        for c in chans
+    }
     re_tot = 0.0
     for c in chans:
         re_tot = re_tot + res[c]
@@ -144,7 +149,7 @@ def removal_effect(
             "p_conv_full": pc_full,
             "p_conv_removed": pcs[c],
             "removal_effect": res[c],
-            "attribution": res[c] / re_tot,
+            "attribution": res[c] / re_tot if re_tot > 0.0 else 0.0,
         }
         for c in chans
     ]
