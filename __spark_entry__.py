@@ -9565,6 +9565,185 @@ def q_lineitem_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_part_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres / Paasche / Fisher price indices per ship month vs
+    the first month (the econ-stats basket readout: how unit prices
+    moved holding quantities at base — or current — weights): unit
+    prices from exact (cents, qty) integer pairs per (part, month),
+    restricted to parts present in both base and the month (the
+    matched-basket convention). One (part, month) collapse; the index
+    math runs on the matched-cell table."""
+    li = _t(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        "l_partkey",
+        F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias(
+            "month"
+        ),
+    ).agg(
+        F.sum(
+            F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+        ).alias("_cents"),
+        F.sum(F.col("l_quantity").cast("long")).alias("_qty"),
+    )
+    base_month = cells.agg(F.min("month").alias("_bm"))
+    base = (
+        cells.crossJoin(F.broadcast(base_month))
+        .where(F.col("month") == F.col("_bm"))
+        .select(
+            "l_partkey",
+            (F.col("_cents").cast("double") / F.col("_qty")).alias("_p0"),
+            F.col("_qty").alias("_q0"),
+        )
+    )
+    cur = cells.select(
+        "l_partkey",
+        "month",
+        (F.col("_cents").cast("double") / F.col("_qty")).alias("_pt"),
+        F.col("_qty").alias("_qt"),
+    )
+    j = cur.join(F.broadcast(base), "l_partkey")
+    agg = j.groupBy("month").agg(
+        F.count("*").alias("n_parts"),
+        F.sum(F.col("_pt") * F.col("_q0")).alias("_l_num"),
+        F.sum(F.col("_p0") * F.col("_q0")).alias("_l_den"),
+        F.sum(F.col("_pt") * F.col("_qt")).alias("_p_num"),
+        F.sum(F.col("_p0") * F.col("_qt")).alias("_p_den"),
+    )
+    lasp = F.col("_l_num") / F.col("_l_den")
+    paas = F.col("_p_num") / F.col("_p_den")
+    return agg.select(
+        "month",
+        "n_parts",
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    ).orderBy("month")
+
+
+def q_lineitem_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ demand-variability classification (the companion to
+    q_lineitem_abc — ABC says how much a part matters, XYZ says how
+    predictable it is): per part the coefficient of variation of
+    monthly demand over the FULL month range (absent months count as
+    zero demand via the global month-count denominator, all moments
+    exact BIGINT), classes X (cv < 0.5) / Y (< 1.0) / Z, rolled up to
+    class counts. One (part, month) collapse + one part-level fold."""
+    li = _t(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        "l_partkey", F.date_trunc("month", "l_shipdate").alias("_m")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("_q"))
+    n_months = monthly.agg(
+        F.countDistinct("_m").alias("_nm")
+    )
+    per_part = monthly.groupBy("l_partkey").agg(
+        F.sum("_q").alias("_sq"), F.sum(F.col("_q") * F.col("_q")).alias(
+            "_sqq"
+        )
+    )
+    j = per_part.crossJoin(F.broadcast(n_months))
+    nm = F.col("_nm").cast("double")
+    mu = F.col("_sq").cast("double") / nm
+    sigma = F.sqrt(
+        (F.col("_sqq").cast("double") - F.col("_sq") * mu) / nm
+    )
+    cv = sigma / mu
+    cls = (
+        F.when(cv < 0.5, F.lit("X"))
+        .when(cv < 1.0, F.lit("Y"))
+        .otherwise(F.lit("Z"))
+    )
+    staged = j.select(cls.alias("xyz_class"), cv.alias("_cv"))
+    tot = staged.agg(F.count("*").alias("_t"))
+    return (
+        staged.groupBy("xyz_class")
+        .agg(F.count("*").alias("n_parts"), F.round(F.avg("_cv"), 6).alias("avg_cv"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "xyz_class",
+            "n_parts",
+            F.round(F.col("n_parts").cast("double") / F.col("_t"), 6).alias(
+                "share"
+            ),
+            "avg_cv",
+        )
+        .orderBy("xyz_class")
+    )
+
+
+def q_features_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, active-day) ML feature materialization — the
+    feature-store shape a training pipeline snapshots daily: spend,
+    event count, days since previous activity, previous active day's
+    spend, and the trailing-7-calendar-day spend (RANGE window over
+    the day number, so calendar gaps are honored without gap-fill).
+    Exact integer cents; all windows partitioned per user."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("_day")
+    ).agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents"),
+        F.count("*").alias("n_events"),
+    ).withColumn("_dayn", F.datediff("_day", F.lit("1970-01-01")))
+    w = Window.partitionBy("user_id").orderBy("_dayn")
+    w7 = (
+        Window.partitionBy("user_id")
+        .orderBy("_dayn")
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "user_id",
+        F.date_format("_day", "yyyy-MM-dd").alias("day"),
+        "cents",
+        "n_events",
+        (F.col("_dayn") - F.lag("_dayn").over(w)).alias("prev_gap_days"),
+        F.lag("cents").over(w).alias("lag1_cents"),
+        F.sum("cents").over(w7).alias("rolling7_cents"),
+    ).orderBy("user_id", "day")
+
+
+def q_brand_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price elasticity of demand per brand: regr_slope(
+    ln(monthly qty), ln(unit price)) over (part, month) cells — the
+    pricing-analytics readout (elasticity < -1 = elastic demand).
+    Unit prices from exact integer (cents, qty) pairs; the part dim
+    broadcasts; regression runs per brand on the bounded cell
+    table."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cells = (
+        li.groupBy(
+            "l_partkey",
+            F.date_trunc("month", "l_shipdate").alias("_m"),
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            ).alias("_cents"),
+            F.sum(F.col("l_quantity").cast("long")).alias("_qty"),
+        )
+        .join(
+            F.broadcast(part),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+    )
+    lnq = F.log(F.col("_qty").cast("double"))
+    lnp = F.log(F.col("_cents").cast("double") / F.col("_qty"))
+    staged = cells.select(
+        "p_brand", lnq.alias("_lnq"), lnp.alias("_lnp")
+    )
+    return (
+        staged.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.round(F.expr("regr_slope(_lnq, _lnp)"), 6).alias(
+                "elasticity"
+            ),
+            F.round(F.expr("regr_r2(_lnq, _lnp)"), 6).alias("r2"),
+        )
+        .orderBy("p_brand")
+    )
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Round-7 policy (VERDICT r6 item #2): the 11 new-in-round queries first,
@@ -9590,8 +9769,9 @@ def q_lineitem_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # events_hurst, dedup_bcubed, events_twap, events_durbin_watson,
 # events_bayes_ab, quality_gains, users_weibull_fit,
 # events_burstiness, docs_simpson_diversity, graph_assortativity,
-# graph_powerlaw_alpha, lineitem_abc) — first, then backfill to 50
-# with the least-recently-driver-checked rows.
+# graph_powerlaw_alpha, lineitem_abc, part_price_index, lineitem_xyz,
+# features_user_daily, brand_price_elasticity) — first, then backfill
+# to 50 with the least-recently-driver-checked rows.
 _R7_WINDOW = [
     # --- new in round 7 ---
     "events_mann_whitney",
@@ -9693,6 +9873,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_assortativity": q_graph_assortativity,
         "graph_powerlaw_alpha": q_graph_powerlaw_alpha,
         "lineitem_abc": q_lineitem_abc,
+        "part_price_index": q_part_price_index,
+        "lineitem_xyz": q_lineitem_xyz,
+        "features_user_daily": q_features_user_daily,
+        "brand_price_elasticity": q_brand_price_elasticity,
         # --- new in round 7, second session: inference suite (post-
         # window-freeze; the r8 driver window picks these up) ---
         "events_ks_test": q_events_ks_test,
@@ -11481,6 +11665,103 @@ def oracle_sql() -> dict[str, str]:
                          / (tp::DOUBLE / tn), 6) AS cum_lift
             FROM run ORDER BY decile
         """.replace("{norm}", norm_text),
+        "part_price_index": """
+            WITH cells AS (
+              SELECT l_partkey,
+                     strftime(date_trunc('month', l_shipdate), '%Y-%m')
+                       AS month,
+                     sum(CAST(round(l_extendedprice * 100) AS
+                              BIGINT))::BIGINT AS cents,
+                     sum(CAST(l_quantity AS BIGINT))::BIGINT AS qty
+              FROM lineitem GROUP BY 1, 2),
+            bm AS (SELECT min(month) AS bm FROM cells),
+            base AS (SELECT l_partkey,
+                            cents::DOUBLE / qty AS p0, qty AS q0
+                     FROM cells, bm WHERE month = bm),
+            cur AS (SELECT l_partkey, month,
+                           cents::DOUBLE / qty AS pt, qty AS qt
+                    FROM cells),
+            j AS (SELECT cur.month, pt, qt, p0, q0
+                  FROM cur JOIN base USING (l_partkey)),
+            agg AS (SELECT month, count(*)::BIGINT AS n_parts,
+                           sum(pt * q0) AS lnum, sum(p0 * q0) AS lden,
+                           sum(pt * qt) AS pnum, sum(p0 * qt) AS pden
+                    FROM j GROUP BY month)
+            SELECT month, n_parts,
+                   round(lnum / lden, 6) AS laspeyres,
+                   round(pnum / pden, 6) AS paasche,
+                   round(sqrt((lnum / lden) * (pnum / pden)), 6)
+                     AS fisher
+            FROM agg ORDER BY month
+        """,
+        "lineitem_xyz": """
+            WITH m AS (SELECT l_partkey,
+                              date_trunc('month', l_shipdate) AS mo,
+                              sum(CAST(l_quantity AS BIGINT))::BIGINT
+                                AS q
+                       FROM lineitem GROUP BY 1, 2),
+            nm AS (SELECT count(DISTINCT mo)::BIGINT AS nmv FROM m),
+            pp AS (SELECT l_partkey, sum(q)::BIGINT AS sq,
+                          sum(q * q)::BIGINT AS sqq
+                   FROM m GROUP BY 1),
+            st AS (SELECT
+                     CASE WHEN sqrt((sqq::DOUBLE
+                                     - sq * (sq::DOUBLE / nmv::DOUBLE))
+                                    / nmv::DOUBLE)
+                               / (sq::DOUBLE / nmv::DOUBLE) < 0.5
+                          THEN 'X'
+                          WHEN sqrt((sqq::DOUBLE
+                                     - sq * (sq::DOUBLE / nmv::DOUBLE))
+                                    / nmv::DOUBLE)
+                               / (sq::DOUBLE / nmv::DOUBLE) < 1.0
+                          THEN 'Y' ELSE 'Z' END AS xyz_class,
+                     sqrt((sqq::DOUBLE
+                           - sq * (sq::DOUBLE / nmv::DOUBLE))
+                          / nmv::DOUBLE)
+                       / (sq::DOUBLE / nmv::DOUBLE) AS cv
+                   FROM pp, nm),
+            tot AS (SELECT count(*)::BIGINT AS t FROM st)
+            SELECT xyz_class, count(*)::BIGINT AS n_parts,
+                   round(count(*)::DOUBLE / max(t), 6) AS share,
+                   round(avg(cv), 6) AS avg_cv
+            FROM st, tot GROUP BY xyz_class ORDER BY xyz_class
+        """,
+        "features_user_daily": """
+            WITH d AS (SELECT user_id, ts::DATE AS day,
+                              sum(CAST(round(value * 100) AS
+                                       BIGINT))::BIGINT AS cents,
+                              count(*)::BIGINT AS n_events
+                       FROM events GROUP BY 1, 2),
+            d2 AS (SELECT *, date_diff('day', DATE '1970-01-01', day)
+                               ::BIGINT AS dayn
+                   FROM d)
+            SELECT user_id, strftime(day, '%Y-%m-%d') AS day, cents,
+                   n_events,
+                   (dayn - lag(dayn) OVER w)::BIGINT AS prev_gap_days,
+                   lag(cents) OVER w AS lag1_cents,
+                   sum(cents) OVER (PARTITION BY user_id ORDER BY dayn
+                       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                     ::BIGINT AS rolling7_cents
+            FROM d2
+            WINDOW w AS (PARTITION BY user_id ORDER BY dayn)
+            ORDER BY user_id, day
+        """,
+        "brand_price_elasticity": """
+            WITH cells AS (
+              SELECT l_partkey,
+                     date_trunc('month', l_shipdate) AS mo,
+                     sum(CAST(round(l_extendedprice * 100) AS
+                              BIGINT))::BIGINT AS cents,
+                     sum(CAST(l_quantity AS BIGINT))::BIGINT AS qty
+              FROM lineitem GROUP BY 1, 2),
+            j AS (SELECT p_brand, ln(qty::DOUBLE) AS lnq,
+                         ln(cents::DOUBLE / qty) AS lnp
+                  FROM cells JOIN part ON l_partkey = p_partkey)
+            SELECT p_brand, count(*)::BIGINT AS n_cells,
+                   round(regr_slope(lnq, lnp), 6) AS elasticity,
+                   round(regr_r2(lnq, lnp), 6) AS r2
+            FROM j GROUP BY p_brand ORDER BY p_brand
+        """,
         "users_weibull_fit": """
             WITH subj AS (
               SELECT user_id,

@@ -296,6 +296,10 @@ HEADLINE = [
     "graph_assortativity",
     "graph_powerlaw_alpha",
     "lineitem_abc",
+    "part_price_index",
+    "lineitem_xyz",
+    "features_user_daily",
+    "brand_price_elasticity",
 ]
 
 

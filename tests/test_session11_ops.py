@@ -747,3 +747,53 @@ def test_markov_removal_effect_properties():
             assert r["p_conv_removed"] <= pc + 1e-12
         if pc > 0 and sum(r["removal_effect"] for r in out) > 0:
             assert abs(sum(r["attribution"] for r in out) - 1.0) < 1e-9
+
+
+def test_price_index_base_month_is_one(spark, sf_dir):
+    """At the base month the matched basket is priced at base prices:
+    all three indices = 1."""
+    m = _entry()
+    rows = m.queries()["part_price_index"](spark, sf_dir).collect()
+    assert rows
+    first = rows[0]
+    assert first["laspeyres"] == 1.0 == first["paasche"] == first["fisher"]
+    import math
+
+    for r in rows:
+        assert r["n_parts"] > 0
+        assert abs(
+            r["fisher"] - math.sqrt(r["laspeyres"] * r["paasche"])
+        ) < 1e-5
+
+
+def test_xyz_partitions_all_parts(spark, sf_dir):
+    m = _entry()
+    rows = m.queries()["lineitem_xyz"](spark, sf_dir).collect()
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    assert all(r["xyz_class"] in {"X", "Y", "Z"} for r in rows)
+    assert all(r["avg_cv"] >= 0 for r in rows)
+
+
+def test_user_daily_features_windows(spark, sf_dir):
+    """rolling7 >= today's cents; first active day has NULL lag
+    features; prev_gap_days >= 1 when present."""
+    m = _entry()
+    rows = m.queries()["features_user_daily"](spark, sf_dir).collect()
+    by_user_first = {}
+    for r in rows:
+        assert r["rolling7_cents"] >= r["cents"]
+        if r["prev_gap_days"] is not None:
+            assert r["prev_gap_days"] >= 1
+        by_user_first.setdefault(r["user_id"], r)
+    for first in by_user_first.values():
+        assert first["prev_gap_days"] is None
+        assert first["lag1_cents"] is None
+
+
+def test_elasticity_regression_well_posed(spark, sf_dir):
+    m = _entry()
+    rows = m.queries()["brand_price_elasticity"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_cells"] >= 2
+        assert r["r2"] is None or 0.0 <= r["r2"] <= 1.0
