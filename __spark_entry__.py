@@ -9744,6 +9744,60 @@ def q_brand_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast backtest: Holt-Winters trained on the
+    first 23 days per event type (operators/timeseries.holt_winters —
+    the same Catalyst-HOF fold as q_events_holt_winters), its 1..7
+    step forecasts scored against the HELD-OUT actual days with APE
+    and sMAPE — the evaluation loop a forecasting platform runs
+    before trusting a model, closing the forecast family
+    (fit -> forecast -> backtest). Forecast error derives from the
+    round(6) forecast lattice on both engines. One daily collapse;
+    the train cut and the actual join run on the bounded daily
+    table."""
+    from vanus_spark.operators.timeseries import holt_winters
+
+    cutoff = 23
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.withColumn("_t", F.row_number().over(w) - 1)
+    train = idx.where(F.col("_t") < cutoff).select(
+        "event_type", "day", "cents"
+    )
+    fc = holt_winters(train, "event_type", "day", "cents")
+    act = idx.select(
+        "event_type",
+        F.col("_t").alias("_at"),
+        F.col("cents").cast("double").alias("actual"),
+    )
+    j = fc.join(
+        act,
+        (fc["event_type"] == act["event_type"])
+        & (F.col("_at") == F.col("h") + (cutoff - 1)),
+    )
+    ape = F.abs(F.col("forecast") - F.col("actual")) / F.abs(
+        F.col("actual")
+    )
+    smape = (
+        2.0
+        * F.abs(F.col("forecast") - F.col("actual"))
+        / (F.abs(F.col("forecast")) + F.abs(F.col("actual")))
+    )
+    return j.select(
+        fc["event_type"].alias("event_type"),
+        "h",
+        "forecast",
+        F.round("actual", 1).alias("actual"),
+        F.round(ape, 6).alias("ape"),
+        F.round(smape, 6).alias("smape"),
+    ).orderBy("event_type", "h")
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Round-7 policy (VERDICT r6 item #2): the 11 new-in-round queries first,
@@ -9770,8 +9824,9 @@ def q_brand_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # events_bayes_ab, quality_gains, users_weibull_fit,
 # events_burstiness, docs_simpson_diversity, graph_assortativity,
 # graph_powerlaw_alpha, lineitem_abc, part_price_index, lineitem_xyz,
-# features_user_daily, brand_price_elasticity) — first, then backfill
-# to 50 with the least-recently-driver-checked rows.
+# features_user_daily, brand_price_elasticity, forecast_backtest) —
+# first, then backfill to 50 with the least-recently-driver-checked
+# rows.
 _R7_WINDOW = [
     # --- new in round 7 ---
     "events_mann_whitney",
@@ -9877,6 +9932,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_xyz": q_lineitem_xyz,
         "features_user_daily": q_features_user_daily,
         "brand_price_elasticity": q_brand_price_elasticity,
+        "forecast_backtest": q_forecast_backtest,
         # --- new in round 7, second session: inference suite (post-
         # window-freeze; the r8 driver window picks these up) ---
         "events_ks_test": q_events_ks_test,
@@ -11268,6 +11324,81 @@ def _holt_winters_oracle_sql(p: int = 7) -> str:
         """
 
 
+def _hw_backtest_oracle_sql(p: int = 7, cutoff: int = 23) -> str:
+    """DuckDB twin of q_forecast_backtest: the SAME Holt-Winters
+    recursion as _holt_winters_oracle_sql but trained on t < cutoff,
+    forecasts joined to the held-out actuals with APE/sMAPE — error
+    derived from the round(6) forecast, matching the Spark side."""
+    init_seas = ",\n                          ".join(
+        f"max(CASE WHEN t = {i} THEN y END)"
+        f" - sum(CASE WHEN t < {p} THEN y END) / {float(p)!r}::DOUBLE AS s{i}"
+        for i in range(p)
+    )
+    sold = (
+        "CASE s.t % 7 "
+        + " ".join(f"WHEN {i} THEN s.s{i}" for i in range(p))
+        + " END"
+    )
+    lvl_n = f"0.5 * (d.y - {sold}) + 0.5 * (s.lvl + s.tr)"
+    s_n = f"0.25 * (d.y - ({lvl_n})) + 0.75 * {sold}"
+    step_seas = ",\n                     ".join(
+        f"CASE WHEN s.t % 7 = {i} THEN {s_n} ELSE s.s{i} END AS s{i}"
+        for i in range(p)
+    )
+    fc_seas = (
+        "CASE (n - 1 + h) % 7 "
+        + " ".join(f"WHEN {i} THEN s{i}" for i in range(p))
+        + " END"
+    )
+    return f"""
+            WITH RECURSIVE dd AS (
+              SELECT event_type AS k, ts::DATE AS day,
+                     sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS yc
+              FROM events GROUP BY 1, 2),
+            alli AS (SELECT k,
+                            row_number() OVER (PARTITION BY k
+                                               ORDER BY day) - 1 AS t,
+                            yc::DOUBLE AS y
+                     FROM dd),
+            di AS (SELECT * FROM alli WHERE t < {cutoff}),
+            init AS (
+              SELECT k, count(*)::BIGINT AS n, {p}::BIGINT AS t,
+                     sum(CASE WHEN t < {p} THEN y END)
+                       / {float(p)!r}::DOUBLE AS lvl,
+                     (sum(CASE WHEN t >= {p} AND t < {2 * p} THEN y END)
+                      - sum(CASE WHEN t < {p} THEN y END))
+                       / {float(p * p)!r}::DOUBLE AS tr,
+                     0.0::DOUBLE AS sse,
+                          {init_seas}
+              FROM di GROUP BY k HAVING count(*) >= {2 * p}),
+            step AS (
+              SELECT * FROM init
+              UNION ALL
+              SELECT s.k, s.n, s.t + 1,
+                     {lvl_n} AS lvl,
+                     0.25 * (({lvl_n}) - s.lvl) + 0.75 * s.tr AS tr,
+                     s.sse + (d.y - (s.lvl + s.tr + {sold}))
+                           * (d.y - (s.lvl + s.tr + {sold})) AS sse,
+                     {step_seas}
+              FROM step s JOIN di d ON d.k = s.k AND d.t = s.t),
+            fin AS (SELECT * FROM step WHERE t = n),
+            hs AS (SELECT unnest(range(1, {p + 1})) AS h),
+            fc AS (SELECT k AS event_type, h,
+                          round(lvl + h * tr + {fc_seas}, 6) AS forecast
+                   FROM fin CROSS JOIN hs),
+            j AS (SELECT fc.event_type, fc.h, fc.forecast,
+                         a.y AS actual
+                  FROM fc JOIN alli a
+                    ON a.k = fc.event_type
+                   AND a.t = fc.h + {cutoff - 1})
+            SELECT event_type, h, forecast, round(actual, 1) AS actual,
+                   round(abs(forecast - actual) / abs(actual), 6) AS ape,
+                   round(2.0 * abs(forecast - actual)
+                         / (abs(forecast) + abs(actual)), 6) AS smape
+            FROM j ORDER BY event_type, h
+        """
+
+
 def _mmr_oracle_sql(k: int = 5, lam: float = 0.75) -> str:
     """DuckDB twin of q_embedding_mmr: the k greedy rounds unrolled
     as materialized argmax CTEs (the greedy_max_coverage oracle
@@ -12441,6 +12572,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "orders_bootstrap_ci": _bootstrap_oracle_sql(reps=40, seed=7),
         "events_holt_winters": _holt_winters_oracle_sql(p=7),
+        "forecast_backtest": _hw_backtest_oracle_sql(p=7, cutoff=23),
         "embedding_mmr": _mmr_oracle_sql(k=5, lam=0.75),
         "events_srm": f"""
             WITH pops AS (SELECT DISTINCT event_type, user_id,

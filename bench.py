@@ -300,6 +300,7 @@ HEADLINE = [
     "lineitem_xyz",
     "features_user_daily",
     "brand_price_elasticity",
+    "forecast_backtest",
 ]
 
 

@@ -797,3 +797,16 @@ def test_elasticity_regression_well_posed(spark, sf_dir):
     for r in rows:
         assert r["n_cells"] >= 2
         assert r["r2"] is None or 0.0 <= r["r2"] <= 1.0
+
+
+def test_forecast_backtest_scores_holdout(spark, sf_dir):
+    """5 types x 7 horizons; error metrics consistent: smape <= 2,
+    ape >= 0, and smape == 0 iff ape == 0."""
+    m = _entry()
+    rows = m.queries()["forecast_backtest"](spark, sf_dir).collect()
+    assert len(rows) == 35
+    for r in rows:
+        assert r["ape"] >= 0.0
+        assert 0.0 <= r["smape"] <= 2.0
+        assert (r["smape"] == 0.0) == (r["ape"] == 0.0)
+        assert r["actual"] > 0
