@@ -9771,13 +9771,13 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fc = holt_winters(train, "event_type", "day", "cents")
     act = idx.select(
-        "event_type",
+        F.col("event_type").alias("_ak"),
         F.col("_t").alias("_at"),
         F.col("cents").cast("double").alias("actual"),
     )
     j = fc.join(
         act,
-        (fc["event_type"] == act["event_type"])
+        (F.col("event_type") == F.col("_ak"))
         & (F.col("_at") == F.col("h") + (cutoff - 1)),
     )
     ape = F.abs(F.col("forecast") - F.col("actual")) / F.abs(
@@ -9789,7 +9789,7 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.abs(F.col("forecast")) + F.abs(F.col("actual")))
     )
     return j.select(
-        fc["event_type"].alias("event_type"),
+        "event_type",
         "h",
         "forecast",
         F.round("actual", 1).alias("actual"),
