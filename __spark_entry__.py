@@ -9798,6 +9798,134 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "h")
 
 
+def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-session load curve (the capacity-planning sweep
+    line): 30-min-gap sessions (the q_events_sessionize convention)
+    become +1/-1 deltas on the MINUTE grid (+1 at the first minute
+    boundary >= start, -1 at the first >= end, so a session counts at
+    boundary m iff start <= m < end), and the running sum over the
+    calendar-bounded minute table is the concurrency at every
+    boundary — midnight spans carry naturally because the sum runs
+    over the whole range, not per day. Per (day, hour): peak and
+    mean concurrency. The sweep runs on a table bounded by CALENDAR
+    MINUTES regardless of data volume — the 100 TB-safe shape for
+    interval-overlap counting (a per-event global sort would not
+    be)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sid = ev.withColumn(
+        "_new",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn(
+        "_sid",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sessions = sid.groupBy("user_id", "_sid").agg(
+        F.min(F.unix_timestamp("ts")).alias("_s"),
+        (F.max(F.unix_timestamp("ts")) + 1).alias("_e"),
+    )
+    # first minute boundary >= t is ceil(t / 60) * 60
+    start_m = F.ceil(F.col("_s") / 60.0).cast("long") * 60
+    end_m = F.ceil(F.col("_e") / 60.0).cast("long") * 60
+    deltas = sessions.select(
+        start_m.alias("_m"), F.lit(1).alias("_d")
+    ).unionByName(
+        sessions.select(end_m.alias("_m"), F.lit(-1).alias("_d"))
+    )
+    per_min = deltas.groupBy("_m").agg(F.sum("_d").alias("_dd"))
+    w_run = Window.orderBy("_m").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    conc = per_min.withColumn("_c", F.sum("_dd").over(w_run))
+    ts_m = F.timestamp_seconds(F.col("_m"))
+    return (
+        conc.groupBy(
+            F.date_format(ts_m, "yyyy-MM-dd").alias("day"),
+            F.hour(ts_m).alias("hour"),
+        )
+        .agg(
+            F.max("_c").alias("peak_concurrent"),
+            F.round(F.avg("_c"), 6).alias("mean_concurrent"),
+            F.count("*").alias("n_boundaries"),
+        )
+        .where(F.col("peak_concurrent") > 0)
+        .orderBy("day", "hour")
+    )
+
+
+def q_events_anomaly_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-adjusted anomaly detection: days whose DECOMPOSITION
+    residual (operators/timeseries.decompose_additive) deviates more
+    than 2 robust sigmas from the type's residual median — the
+    upgrade over raw z-scores (q_events_anomaly) that stops flagging
+    ordinary weekly peaks. Median and MAD come from explicit
+    middle-rank formulas over the bounded residual table ((r_lo +
+    r_hi) / 2 written identically in both engines — engine-native
+    median() interpolates with different float expressions), robust
+    sigma = 1.4826 * MAD. Output: the flagged (type, day) rows with
+    their robust z."""
+    from vanus_spark.operators.timeseries import decompose_additive
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents")
+    )
+    res = (
+        decompose_additive(daily, "event_type", "day", "cents")
+        .where(F.col("residual").isNotNull())
+        .select("event_type", "day", F.col("residual").alias("_e"))
+    )
+
+    def middle_two(df: DataFrame, val: str, out: str) -> DataFrame:
+        w_ord = Window.partitionBy("event_type").orderBy(val, "day")
+        w_all = Window.partitionBy("event_type")
+        ranked = df.select(
+            "event_type",
+            "day",
+            F.col(val).alias("_v"),
+            F.row_number().over(w_ord).alias("_rn"),
+            F.count("*").over(w_all).alias("_n"),
+        )
+        lo = (F.col("_n") + 1) / 2
+        hi = (F.col("_n") + 2) / 2
+        picked = ranked.where(
+            (F.col("_rn") == F.floor(lo)) | (F.col("_rn") == F.floor(hi))
+        )
+        return picked.groupBy("event_type").agg(
+            ((F.min("_v") + F.max("_v")) / 2.0).alias(out)
+        )
+
+    med = middle_two(res, "_e", "_med")
+    dev = res.join(med, "event_type").select(
+        "event_type",
+        "day",
+        "_e",
+        "_med",
+        F.abs(F.col("_e") - F.col("_med")).alias("_ad"),
+    )
+    mad = middle_two(
+        dev.select("event_type", "day", F.col("_ad").alias("_e")),
+        "_e",
+        "_mad",
+    )
+    j = dev.join(mad, "event_type")
+    sigma = 1.4826 * F.col("_mad")
+    rz = (F.col("_e") - F.col("_med")) / sigma
+    return (
+        j.where(F.abs(F.col("_e") - F.col("_med")) > 2.0 * sigma)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round("_e", 6).alias("residual"),
+            F.round(rz, 6).alias("robust_z"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Round-7 policy (VERDICT r6 item #2): the 11 new-in-round queries first,
@@ -9824,9 +9952,9 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # events_bayes_ab, quality_gains, users_weibull_fit,
 # events_burstiness, docs_simpson_diversity, graph_assortativity,
 # graph_powerlaw_alpha, lineitem_abc, part_price_index, lineitem_xyz,
-# features_user_daily, brand_price_elasticity, forecast_backtest) —
-# first, then backfill to 50 with the least-recently-driver-checked
-# rows.
+# features_user_daily, brand_price_elasticity, forecast_backtest,
+# events_concurrency, events_anomaly_stl) — first, then backfill to
+# 50 with the least-recently-driver-checked rows.
 _R7_WINDOW = [
     # --- new in round 7 ---
     "events_mann_whitney",
@@ -9933,6 +10061,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "features_user_daily": q_features_user_daily,
         "brand_price_elasticity": q_brand_price_elasticity,
         "forecast_backtest": q_forecast_backtest,
+        "events_concurrency": q_events_concurrency,
+        "events_anomaly_stl": q_events_anomaly_stl,
         # --- new in round 7, second session: inference suite (post-
         # window-freeze; the r8 driver window picks these up) ---
         "events_ks_test": q_events_ks_test,
@@ -12051,6 +12181,107 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(cents)::DOUBLE / max(grand), 6)
                      AS revenue_share
             FROM cls GROUP BY abc_class ORDER BY abc_class
+        """,
+        "events_concurrency": """
+            WITH w1 AS (
+              SELECT user_id, ts, epoch_us(ts) // 1000000 AS sec,
+                     CASE WHEN lag(epoch_us(ts) // 1000000) OVER w
+                               IS NULL
+                          OR epoch_us(ts) // 1000000
+                             - lag(epoch_us(ts) // 1000000) OVER w
+                             > 1800
+                          THEN 1 ELSE 0 END AS newf
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            w2 AS (SELECT user_id, sec,
+                          sum(newf) OVER (PARTITION BY user_id
+                              ORDER BY ts ROWS UNBOUNDED PRECEDING)
+                            AS sid
+                   FROM w1),
+            sess AS (SELECT user_id, sid, min(sec) AS s,
+                            max(sec) + 1 AS e
+                     FROM w2 GROUP BY 1, 2),
+            deltas AS (
+              SELECT ceil(s / 60.0)::BIGINT * 60 AS m, 1 AS d FROM sess
+              UNION ALL
+              SELECT ceil(e / 60.0)::BIGINT * 60, -1 FROM sess),
+            pm AS (SELECT m, sum(d)::BIGINT AS dd FROM deltas
+                   GROUP BY m),
+            conc AS (SELECT m, sum(dd) OVER (ORDER BY m
+                         ROWS UNBOUNDED PRECEDING)::BIGINT AS c
+                     FROM pm),
+            lab AS (SELECT strftime(make_timestamp(m * 1000000),
+                                    '%Y-%m-%d') AS day,
+                           hour(make_timestamp(m * 1000000)) AS hour,
+                           c
+                    FROM conc)
+            SELECT day, hour, max(c)::BIGINT AS peak_concurrent,
+                   round(avg(c), 6) AS mean_concurrent,
+                   count(*)::BIGINT AS n_boundaries
+            FROM lab GROUP BY day, hour
+            HAVING max(c) > 0
+            ORDER BY day, hour
+        """,
+        "events_anomaly_stl": """
+            WITH d AS (SELECT event_type AS k, ts::DATE AS day,
+                              sum(CAST(round(value * 100) AS
+                                       BIGINT))::BIGINT AS cents
+                       FROM events GROUP BY 1, 2),
+            ma AS (SELECT k, day, cents,
+                          count(cents) OVER w AS n7,
+                          sum(cents) OVER w AS s7,
+                          dayofweek(day) + 1 AS phase
+                   FROM d
+                   WINDOW w AS (PARTITION BY k ORDER BY day
+                                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+            st AS (SELECT k, day, phase, cents::DOUBLE AS y,
+                          CASE WHEN n7 = 7
+                               THEN s7::DOUBLE / 7.0 END AS trend
+                   FROM ma),
+            st2 AS (SELECT *, y - trend AS detr FROM st),
+            pm AS (SELECT k, phase, avg(detr) AS smean
+                   FROM st2 GROUP BY 1, 2),
+            ctr AS (SELECT k, phase,
+                           smean - avg(smean) OVER (PARTITION BY k)
+                             AS seas
+                    FROM pm),
+            res AS (SELECT st2.k, st2.day,
+                           round(y - trend - seas, 6) AS e
+                    FROM st2 JOIN ctr ON st2.k = ctr.k
+                                     AND st2.phase = ctr.phase
+                    WHERE trend IS NOT NULL),
+            r1 AS (SELECT k, day, e,
+                          row_number() OVER (PARTITION BY k
+                              ORDER BY e, day) AS rn,
+                          count(*) OVER (PARTITION BY k) AS n
+                   FROM res),
+            med AS (SELECT k, (min(e) + max(e)) / 2.0 AS med
+                    FROM r1
+                    WHERE rn = floor((n + 1) / 2.0)
+                       OR rn = floor((n + 2) / 2.0)
+                    GROUP BY k),
+            dev AS (SELECT res.k, res.day, res.e, med,
+                           abs(res.e - med) AS ad
+                    FROM res JOIN med ON res.k = med.k),
+            r2 AS (SELECT k, day, ad,
+                          row_number() OVER (PARTITION BY k
+                              ORDER BY ad, day) AS rn,
+                          count(*) OVER (PARTITION BY k) AS n
+                   FROM dev),
+            mad AS (SELECT k, (min(ad) + max(ad)) / 2.0 AS mad
+                    FROM r2
+                    WHERE rn = floor((n + 1) / 2.0)
+                       OR rn = floor((n + 2) / 2.0)
+                    GROUP BY k),
+            j AS (SELECT dev.k, dev.day, dev.e, dev.med, dev.ad,
+                         mad.mad
+                  FROM dev JOIN mad ON dev.k = mad.k)
+            SELECT k AS event_type, strftime(day, '%Y-%m-%d') AS day,
+                   round(e, 6) AS residual,
+                   round((e - med) / (1.4826 * mad), 6) AS robust_z
+            FROM j
+            WHERE ad > 2.0 * (1.4826 * mad)
+            ORDER BY event_type, day
         """,
         "events_twap": """
             WITH st AS (

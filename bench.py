@@ -301,6 +301,8 @@ HEADLINE = [
     "features_user_daily",
     "brand_price_elasticity",
     "forecast_backtest",
+    "events_concurrency",
+    "events_anomaly_stl",
 ]
 
 

