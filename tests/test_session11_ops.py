@@ -882,3 +882,50 @@ def test_anomaly_stl_flags_planted_spike(spark, sf_dir):
     assert any(r["day"] == "2024-01-16" for r in out)
     spike = [r for r in out if r["day"] == "2024-01-16"][0]
     assert abs(spike["robust_z"]) > 2.0
+
+
+def test_geohash_roundtrip_contains_point(spark):
+    """200 seeded random points: decoding the emitted geohash yields
+    a cell that CONTAINS the (quantized) point — the containment
+    property every downstream prefix-join depends on."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from vanus_spark.operators.geo import GEOHASH32, geohash_from_micro
+
+    def decode(gh):
+        lat_r, lon_r = [-90.0, 90.0], [-180.0, 180.0]
+        even = True
+        for ch in gh:
+            v = GEOHASH32.index(ch)
+            for bit in (16, 8, 4, 2, 1):
+                rng = lon_r if even else lat_r
+                mid = (rng[0] + rng[1]) / 2
+                if v & bit:
+                    rng[0] = mid
+                else:
+                    rng[1] = mid
+                even = not even
+        return lat_r, lon_r
+
+    rng = random.Random(42)
+    pts = [
+        (
+            rng.randint(-90_000_000, 90_000_000 - 1),
+            rng.randint(-180_000_000, 180_000_000 - 1),
+        )
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(pts, "lat_e6 long, lon_e6 long")
+    rows = df.select(
+        "lat_e6",
+        "lon_e6",
+        geohash_from_micro(F.col("lat_e6"), F.col("lon_e6")).alias("gh"),
+    ).collect()
+    eps = 1e-6  # quantization slack: one micro-degree
+    for r in rows:
+        lat_r, lon_r = decode(r["gh"])
+        lat, lon = r["lat_e6"] / 1e6, r["lon_e6"] / 1e6
+        assert lat_r[0] - eps <= lat < lat_r[1] + eps, (r["gh"], lat, lat_r)
+        assert lon_r[0] - eps <= lon < lon_r[1] + eps, (r["gh"], lon, lon_r)
