@@ -9926,6 +9926,178 @@ def q_events_anomaly_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the detected communities — the quality
+    score the bare community listing (q_link_communities) lacks:
+    Q = sum_c (e_c/m - (d_c/2m)^2) over the SAME 3-round label
+    propagation and crawl graph, where e_c counts intra-community
+    undirected edges and d_c sums member degrees. Q ~ 0 means the
+    partition is no better than random wiring; the readout that
+    decides whether community-based sharding/grouping is worth
+    anything. Exact integer counts; per-community contributions on
+    the bounded community table."""
+    from vanus_spark.llm.graphs import label_propagation
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    e1 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % n).alias("dst"),
+    )
+    e2 = docs.where(
+        (F.col("doc_id") % 10 == 0) & (F.col("doc_id") != 0)
+    ).select(F.col("doc_id").alias("src"), F.lit(0).cast("long").alias("dst"))
+    edges = e1.unionByName(e2)
+    # labels feeds BOTH endpoint joins and sym feeds degree + the
+    # undirected edge set: pin them so the 3-round propagation chain
+    # is not re-derived per consumer (the shared-chain lesson from
+    # the round-5 ER checkpoints; 10.1 s -> ~2 s at sf0.1)
+    labels = label_propagation(edges, iters=3).localCheckpoint(eager=False)
+    sym = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(
+            edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    und = sym.where(F.col("a") < F.col("b"))
+    m_edges = und.count()
+    deg = sym.groupBy("a").agg(F.count("*").alias("_deg"))
+    la = labels.select(
+        F.col("node").alias("a"), F.col("community").alias("_ca")
+    )
+    lb = labels.select(
+        F.col("node").alias("b"), F.col("community").alias("_cb")
+    )
+    e_in = (
+        und.join(la, "a")
+        .join(lb, "b")
+        .where(F.col("_ca") == F.col("_cb"))
+        .groupBy(F.col("_ca").alias("community"))
+        .agg(F.count("*").alias("e_in"))
+    )
+    d_c = (
+        deg.join(la, "a")
+        .groupBy(F.col("_ca").alias("community"))
+        .agg(F.sum("_deg").alias("d_c"), F.count("*").alias("n_members"))
+    )
+    per_c = d_c.join(e_in, "community", "left").select(
+        "community",
+        "n_members",
+        F.coalesce("e_in", F.lit(0)).alias("e_in"),
+        "d_c",
+        (
+            F.coalesce("e_in", F.lit(0)).cast("double") / m_edges
+            - (F.col("d_c").cast("double") / (2 * m_edges))
+            * (F.col("d_c").cast("double") / (2 * m_edges))
+        ).alias("_contrib"),
+    )
+    q = per_c.agg(F.round(F.sum("_contrib"), 6).alias("modularity"))
+    return (
+        per_c.crossJoin(F.broadcast(q))
+        .select(
+            "community",
+            "n_members",
+            "e_in",
+            "d_c",
+            F.round("_contrib", 6).alias("contribution"),
+            "modularity",
+        )
+        .orderBy("community")
+    )
+
+
+def q_events_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift-by-decile + Qini curve for the A/B assignment: users
+    ranked by their PRE-period spend (days 1-15, a pre-treatment
+    covariate), outcome = any purchase in the POST period; per decile
+    the treated-minus-control conversion gap and the cumulative Qini
+    value cum_ct - cum_cc * (cum_nt / cum_nc) — the experimentation
+    readout that shows WHERE the effect lives (top spenders vs the
+    tail), which the single-number tests (z, CUPED, Bayes) cannot.
+    Deciles from the two-phase distributed rank; everything after the
+    per-user collapse runs on the 10-row decile table."""
+    from vanus_spark.bus import distributed_row_number
+
+    ev = _t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("ts") < F.lit("2024-01-16").cast("timestamp"),
+                F.expr("CAST(round(value * 100) AS BIGINT)"),
+            ).otherwise(F.lit(0))
+        ).alias("_pre"),
+        F.max(
+            F.when(
+                (F.col("ts") >= F.lit("2024-01-16").cast("timestamp"))
+                & (F.col("event_type") == "purchase"),
+                1,
+            ).otherwise(0)
+        ).alias("_conv"),
+    ).select(
+        "user_id",
+        (-F.col("_pre")).alias("_neg"),
+        "_conv",
+        (F.col("user_id") % 2).cast("int").alias("_variant"),
+    )
+    ranked = distributed_row_number(users, [], ["_neg", "user_id"], "_rk")
+    tot = ranked.agg(F.count("*").alias("_n"))
+    dec = (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            F.floor(
+                F.col("_rk").cast("double") * 10.0 / F.col("_n")
+            ).cast("int").alias("decile"),
+            "_conv",
+            "_variant",
+        )
+        .groupBy("decile")
+        .agg(
+            F.sum(F.when(F.col("_variant") == 1, 1).otherwise(0)).alias(
+                "n_t"
+            ),
+            F.sum(
+                F.when(F.col("_variant") == 1, F.col("_conv")).otherwise(0)
+            ).alias("c_t"),
+            F.sum(F.when(F.col("_variant") == 0, 1).otherwise(0)).alias(
+                "n_c"
+            ),
+            F.sum(
+                F.when(F.col("_variant") == 0, F.col("_conv")).otherwise(0)
+            ).alias("c_c"),
+        )
+    )
+    w_run = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum_ct = F.sum("c_t").over(w_run)
+    cum_cc = F.sum("c_c").over(w_run)
+    cum_nt = F.sum("n_t").over(w_run)
+    cum_nc = F.sum("n_c").over(w_run)
+    # tiny fixtures can leave an arm empty in a decile: report NULL
+    # rather than divide by zero (both engines)
+    uplift = F.when(
+        (F.col("n_t") > 0) & (F.col("n_c") > 0),
+        F.col("c_t").cast("double") / F.col("n_t")
+        - F.col("c_c").cast("double") / F.col("n_c"),
+    )
+    qini = F.when(
+        cum_nc > 0,
+        cum_ct.cast("double") - cum_cc * (cum_nt.cast("double") / cum_nc),
+    )
+    return dec.select(
+        "decile",
+        "n_t",
+        "c_t",
+        "n_c",
+        "c_c",
+        F.round(uplift, 6).alias("uplift"),
+        F.round(qini, 6).alias("qini"),
+    ).orderBy("decile")
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Round-7 policy (VERDICT r6 item #2): the 11 new-in-round queries first,
@@ -9953,8 +10125,9 @@ def q_events_anomaly_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
 # events_burstiness, docs_simpson_diversity, graph_assortativity,
 # graph_powerlaw_alpha, lineitem_abc, part_price_index, lineitem_xyz,
 # features_user_daily, brand_price_elasticity, forecast_backtest,
-# events_concurrency, events_anomaly_stl) — first, then backfill to
-# 50 with the least-recently-driver-checked rows.
+# events_concurrency, events_anomaly_stl, graph_modularity,
+# events_uplift_qini) — first, then backfill to 50 with the
+# least-recently-driver-checked rows.
 _R7_WINDOW = [
     # --- new in round 7 ---
     "events_mann_whitney",
@@ -10063,6 +10236,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_backtest": q_forecast_backtest,
         "events_concurrency": q_events_concurrency,
         "events_anomaly_stl": q_events_anomaly_stl,
+        "graph_modularity": q_graph_modularity,
+        "events_uplift_qini": q_events_uplift_qini,
         # --- new in round 7, second session: inference suite (post-
         # window-freeze; the r8 driver window picks these up) ---
         "events_ks_test": q_events_ks_test,
@@ -12181,6 +12356,113 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(cents)::DOUBLE / max(grand), 6)
                      AS revenue_share
             FROM cls GROUP BY abc_class ORDER BY abc_class
+        """,
+        "graph_modularity": """
+            WITH tot AS (SELECT count(*)::BIGINT AS n FROM documents),
+            e AS (
+              SELECT doc_id AS src,
+                     (doc_id * 7 + 3) % (SELECT n FROM tot) AS dst
+              FROM documents
+              UNION ALL
+              SELECT doc_id AS src, 0::BIGINT AS dst FROM documents
+              WHERE doc_id % 10 = 0 AND doc_id != 0),
+            sym AS (SELECT DISTINCT a, b FROM
+                      (SELECT src AS a, dst AS b FROM e
+                       UNION ALL SELECT dst, src FROM e)
+                    WHERE a != b),
+            und AS (SELECT a, b FROM sym WHERE a < b),
+            me AS (SELECT count(*)::BIGINT AS m FROM und),
+            l0 AS (SELECT DISTINCT a AS node, a::BIGINT AS community
+                   FROM sym),
+            l1 AS (
+              SELECT l.node,
+                     least(l.community,
+                           coalesce(mm.nmin, l.community)) AS community
+              FROM l0 l LEFT JOIN (
+                SELECT u.a AS node, min(x.community) AS nmin
+                FROM sym u JOIN l0 x ON u.b = x.node
+                GROUP BY u.a) mm USING (node)),
+            l2 AS (
+              SELECT l.node,
+                     least(l.community,
+                           coalesce(mm.nmin, l.community)) AS community
+              FROM l1 l LEFT JOIN (
+                SELECT u.a AS node, min(x.community) AS nmin
+                FROM sym u JOIN l1 x ON u.b = x.node
+                GROUP BY u.a) mm USING (node)),
+            l3 AS (
+              SELECT l.node,
+                     least(l.community,
+                           coalesce(mm.nmin, l.community)) AS community
+              FROM l2 l LEFT JOIN (
+                SELECT u.a AS node, min(x.community) AS nmin
+                FROM sym u JOIN l2 x ON u.b = x.node
+                GROUP BY u.a) mm USING (node)),
+            deg AS (SELECT a, count(*)::BIGINT AS dg FROM sym
+                    GROUP BY a),
+            ein AS (SELECT la.community, count(*)::BIGINT AS e_in
+                    FROM und
+                    JOIN l3 la ON und.a = la.node
+                    JOIN l3 lb ON und.b = lb.node
+                    WHERE la.community = lb.community
+                    GROUP BY 1),
+            dc AS (SELECT l3.community, sum(dg)::BIGINT AS d_c,
+                          count(*)::BIGINT AS n_members
+                   FROM deg JOIN l3 ON deg.a = l3.node
+                   GROUP BY 1),
+            per AS (SELECT dc.community, n_members,
+                           coalesce(e_in, 0)::BIGINT AS e_in, d_c,
+                           coalesce(e_in, 0)::DOUBLE / m
+                           - (d_c::DOUBLE / (2 * m))
+                             * (d_c::DOUBLE / (2 * m)) AS contrib
+                    FROM dc LEFT JOIN ein ON dc.community = ein.community
+                    CROSS JOIN me),
+            q AS (SELECT round(sum(contrib), 6) AS modularity FROM per)
+            SELECT community, n_members, e_in, d_c,
+                   round(contrib, 6) AS contribution, modularity
+            FROM per, q ORDER BY community
+        """,
+        "events_uplift_qini": """
+            WITH u AS (
+              SELECT user_id,
+                     sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                              THEN CAST(round(value * 100) AS BIGINT)
+                              ELSE 0 END)::BIGINT AS pre,
+                     max(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                               AND event_type = 'purchase'
+                              THEN 1 ELSE 0 END)::BIGINT AS conv
+              FROM events GROUP BY 1),
+            r AS (SELECT user_id, conv, (user_id % 2)::INT AS variant,
+                         row_number() OVER (ORDER BY -pre, user_id) - 1
+                           AS rk,
+                         count(*) OVER () AS n
+                  FROM u),
+            dec AS (SELECT floor(rk::DOUBLE * 10.0 / n)::INT AS decile,
+                           sum(CASE WHEN variant = 1 THEN 1 ELSE 0
+                               END)::BIGINT AS n_t,
+                           sum(CASE WHEN variant = 1 THEN conv ELSE 0
+                               END)::BIGINT AS c_t,
+                           sum(CASE WHEN variant = 0 THEN 1 ELSE 0
+                               END)::BIGINT AS n_c,
+                           sum(CASE WHEN variant = 0 THEN conv ELSE 0
+                               END)::BIGINT AS c_c
+                    FROM r GROUP BY 1),
+            run AS (SELECT *,
+                           sum(c_t) OVER wr AS cum_ct,
+                           sum(c_c) OVER wr AS cum_cc,
+                           sum(n_t) OVER wr AS cum_nt,
+                           sum(n_c) OVER wr AS cum_nc
+                    FROM dec
+                    WINDOW wr AS (ORDER BY decile
+                                  ROWS UNBOUNDED PRECEDING))
+            SELECT decile, n_t, c_t, n_c, c_c,
+                   round(CASE WHEN n_t > 0 AND n_c > 0 THEN
+                         c_t::DOUBLE / n_t - c_c::DOUBLE / n_c END, 6)
+                     AS uplift,
+                   round(CASE WHEN cum_nc > 0 THEN
+                         cum_ct::DOUBLE - cum_cc
+                         * (cum_nt::DOUBLE / cum_nc) END, 6) AS qini
+            FROM run ORDER BY decile
         """,
         "events_concurrency": """
             WITH w1 AS (

@@ -303,6 +303,8 @@ HEADLINE = [
     "forecast_backtest",
     "events_concurrency",
     "events_anomaly_stl",
+    "graph_modularity",
+    "events_uplift_qini",
 ]
 
 

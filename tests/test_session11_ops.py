@@ -929,3 +929,41 @@ def test_geohash_roundtrip_contains_point(spark):
         lat, lon = r["lat_e6"] / 1e6, r["lon_e6"] / 1e6
         assert lat_r[0] - eps <= lat < lat_r[1] + eps, (r["gh"], lat, lat_r)
         assert lon_r[0] - eps <= lon < lon_r[1] + eps, (r["gh"], lon, lon_r)
+
+
+def test_modularity_identities(spark, sf_dir):
+    """sum(e_in) <= m, sum(d_c) = 2m, contributions sum to the
+    reported modularity, Q in [-0.5, 1)."""
+    m = _entry()
+    rows = m.queries()["graph_modularity"](spark, sf_dir).collect()
+    assert rows
+    q = rows[0]["modularity"]
+    assert -0.5 <= q < 1.0
+    assert abs(sum(r["contribution"] for r in rows) - q) < 1e-4
+    two_m = sum(r["d_c"] for r in rows)
+    assert sum(r["e_in"] for r in rows) <= two_m // 2
+
+
+def test_uplift_qini_accounting(spark, sf_dir):
+    """Deciles partition both arms; final qini ~ total treated conv
+    minus rate-adjusted control conv; uplift consistent with
+    counts."""
+    m = _entry()
+    rows = m.queries()["events_uplift_qini"](spark, sf_dir).collect()
+    assert [r["decile"] for r in rows] == sorted(
+        {r["decile"] for r in rows}
+    )
+    for r in rows:
+        if r["n_t"] == 0 or r["n_c"] == 0:
+            assert r["uplift"] is None  # tiny-fixture empty arm
+            continue
+        assert abs(
+            r["uplift"] - (r["c_t"] / r["n_t"] - r["c_c"] / r["n_c"])
+        ) < 1e-5
+    tot_ct = sum(r["c_t"] for r in rows)
+    tot_cc = sum(r["c_c"] for r in rows)
+    tot_nt = sum(r["n_t"] for r in rows)
+    tot_nc = sum(r["n_c"] for r in rows)
+    if tot_nc > 0:
+        expected_final = tot_ct - tot_cc * (tot_nt / tot_nc)
+        assert abs(rows[-1]["qini"] - expected_final) < 1e-3
