@@ -12466,7 +12466,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_concurrency": """
             WITH w1 AS (
-              SELECT user_id, ts, epoch_us(ts) // 1000000 AS sec,
+              SELECT user_id, ts, event_id,
+                     epoch_us(ts) // 1000000 AS sec,
                      CASE WHEN lag(epoch_us(ts) // 1000000) OVER w
                                IS NULL
                           OR epoch_us(ts) // 1000000
@@ -12477,7 +12478,8 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
             w2 AS (SELECT user_id, sec,
                           sum(newf) OVER (PARTITION BY user_id
-                              ORDER BY ts ROWS UNBOUNDED PRECEDING)
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING)
                             AS sid
                    FROM w1),
             sess AS (SELECT user_id, sid, min(sec) AS s,
@@ -12875,11 +12877,12 @@ def oracle_sql() -> dict[str, str]:
                    FROM g),
             g3 AS (SELECT *, vxx * vyy - vxy * vxy AS det FROM g2),
             dd AS (SELECT user_id, x, y, x::DOUBLE - mx AS dx,
-                          y::DOUBLE - my AS dy, vxx, vyy, vxy, det
+                          y::DOUBLE - my AS dy, vxx, vyy, vxy, det, nd
                    FROM u, g3),
             d2t AS (SELECT user_id, x, y,
-                           (dx * dx * vyy - 2.0 * dx * dy * vxy
-                            + dy * dy * vxx) / det AS d2
+                           CASE WHEN nd >= 2 AND det > 0 THEN
+                             (dx * dx * vyy - 2.0 * dx * dy * vxy
+                              + dy * dy * vxx) / det END AS d2
                     FROM dd)
             SELECT user_id, x AS n_events, y AS cents,
                    round(d2, 6) AS d2,

@@ -124,7 +124,18 @@ def geohash_from_micro(
     per-level expression rebinding that made the unrolled hilbert
     walk explode. lat_e6 in [-90e6, 90e6], lon_e6 in [-180e6,
     180e6]; the top edge clamps into the last cell.
+
+    Precision is capped at 9: the floor-exactness argument needs
+    (e6 + offset) * 2^nbits < 2^53, and precision 10 puts lon_nbits
+    at 25 (360e6 * 2^25 ~ 1.2e16 > 2^53), where the double cast
+    loses integer exactness and cells could diverge cross-engine.
     """
+    if not 1 <= precision <= 9:
+        raise ValueError(
+            "geohash_from_micro precision must be in [1, 9]: above 9 "
+            "the cell numerator exceeds 2^53 and floor-exactness "
+            "(the cross-engine contract) no longer holds"
+        )
     total_bits = 5 * precision
     lon_nbits = (total_bits + 1) // 2
     lat_nbits = total_bits // 2

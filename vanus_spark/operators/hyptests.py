@@ -693,7 +693,14 @@ def mahalanobis_2d(
     det = vxx * vyy - vxy * vxy
     dx = xi - mx
     dy = yi - my
-    d2 = (dx * dx * vyy - 2.0 * dx * dy * vxy + dy * dy * vxx) / det
+    # degenerate covariance (n < 2 divides by zero; zero-variance or
+    # perfectly-correlated features give det <= 0) yields NULL
+    # explicitly rather than a silent Inf/NaN — the oracle twin
+    # carries the identical CASE WHEN guard
+    d2 = F.when(
+        (F.col("_n") >= 2) & (det > 0),
+        (dx * dx * vyy - 2.0 * dx * dy * vxy + dy * dy * vxx) / det,
+    )
     return j.select(
         *keep_cols,
         F.round(d2, 6).alias("d2"),

@@ -535,7 +535,18 @@ def decompose_additive(
     partitioned per key. Day phases come from dayofweek so the
     seasonal index is calendar-stable. Integer-cents values divide
     only at the mean steps, so both engines derive identical doubles.
+
+    Only period=7 is supported: the centered window rowsBetween(-half,
+    half) spans period+1 rows for EVEN periods (so the count==period
+    full-window test would select off-center truncated edge windows),
+    and the dayofweek phase is only meaningful on a weekly cycle.
     """
+    if period != 7:
+        raise ValueError(
+            "decompose_additive supports period=7 only: even periods "
+            "break the centered-window full-window test and the "
+            "dayofweek phase assumes a weekly cycle"
+        )
     half = period // 2
     w_ma = (
         Window.partitionBy(key_col)
