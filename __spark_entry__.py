@@ -10098,6 +10098,106 @@ def q_events_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("decile")
 
 
+# --- round 8, wave 1: sequence/time-series analytics ---
+
+
+def q_events_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user maximum drawdown of the cumulative signed-value curve
+    (operators/timeseries.max_drawdown): purchases/views/etc add,
+    errors subtract — "how far below its own high-water mark did the
+    user's cumulative contribution fall". One key-partitioned window
+    (running sum + running max share the frame) and one map-side
+    combined aggregate; every number stays on the exact BIGINT cents
+    lattice so both engines walk identical integers."""
+    from vanus_spark.operators.timeseries import max_drawdown
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (
+            F.expr("CAST(round(value * 100) AS BIGINT)")
+            * F.when(F.col("event_type") == "error", -1).otherwise(1)
+        ).alias("cents"),
+    )
+    out = max_drawdown(ev, "cents", "ts", "user_id", "event_id")
+    return out.orderBy("user_id")
+
+
+def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (lags 1..7) of each event type's daily
+    cents series (operators/timeseries.acf_exact) — the memory /
+    weekly-seasonality diagnostic behind lag selection. The raw table
+    collapses once to #types x #days rows; ONE window computes all 7
+    lag columns and one aggregate emits a #types-row result. Every
+    moment is an exact BIGINT; each r_k assembles from them in one
+    fixed scalar expression shared with the oracle."""
+    from vanus_spark.operators.timeseries import acf_exact
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"), F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents")
+    )
+    out = acf_exact(daily, "event_type", "day", "cents", 7)
+    return out.orderBy("event_type")
+
+
+def q_events_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box white-noise test per event type over the daily cents
+    series (operators/timeseries.ljung_box, h=5): Q = n(n+2) *
+    sum r_k^2/(n-k) on the exact-integer ACF, chi-square(5) tail via
+    the Wilson-Hilferty cube-root normal approximation feeding the
+    shared A&S normal-tail polynomial. Same one-collapse scale shape
+    as q_events_acf; the portmanteau rollup runs on #types rows."""
+    from vanus_spark.operators.timeseries import ljung_box
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"), F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents")
+    )
+    out = ljung_box(daily, "event_type", "day", "cents", 5)
+    return out.orderBy("event_type")
+
+
+def q_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands daily activity streaks per user (the retention
+    team's "longest consecutive-day streak" metric): distinct active
+    days collapse the raw table once, then the classic day_number -
+    row_number island key groups consecutive runs — two key-local
+    window-free aggregates after one per-user window, all exact
+    integers. Emits per-user longest streak, island count, and total
+    active days for users with >= 2 active days."""
+    ev = _t(spark, sf_dir, "events")
+    days = (
+        ev.select(
+            "user_id",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("dnum"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("dnum")
+    isl = days.select(
+        "user_id",
+        "dnum",
+        (F.col("dnum") - F.row_number().over(w)).alias("island"),
+    )
+    runs = isl.groupBy("user_id", "island").agg(
+        F.count("*").alias("run_len")
+    )
+    out = runs.groupBy("user_id").agg(
+        F.max("run_len").alias("longest_streak"),
+        F.count("*").alias("n_streaks"),
+        F.sum("run_len").alias("active_days"),
+    )
+    return out.where(F.col("active_days") >= 2).orderBy("user_id")
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Round-7 policy (VERDICT r6 item #2): the 11 new-in-round queries first,
@@ -10199,6 +10299,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # IRRELEVANT — queries() reorders via _R7_WINDOW. tests/test_registry.py
     # guards window size, duplicate keys, and oracle coverage.
     return {
+        # --- new in round 8, wave 1: sequence/time-series analytics ---
+        "events_drawdown": q_events_drawdown,
+        "events_acf": q_events_acf,
+        "events_ljung_box": q_events_ljung_box,
+        "user_streaks": q_user_streaks,
         # --- new in round 7, third session: feature transforms,
         # calibration, outlier/trend tests, corpus estimators, geo,
         # fold assignment, Markov attribution (post-window-freeze;
@@ -11941,9 +12046,134 @@ def _inv_norm_sql(p: str, r: str, y: str, slo: str, shi: str) -> str:
     )
 
 
+def _acf_agg_sql(max_lag: int) -> str:
+    """Shared CTE prefix for the ACF-family oracles: the daily
+    collapse, the lag columns, and the exact-BIGINT moment aggregate —
+    generated so the moment set matches operators/timeseries.acf_exact
+    term for term at any lag count."""
+    lag_cols = ", ".join(
+        f"lag(y, {k}) OVER w AS l{k}" for k in range(1, max_lag + 1)
+    )
+    aggs = []
+    for k in range(1, max_lag + 1):
+        aggs.append(
+            f"sum(y * l{k})::BIGINT AS syy{k}, "
+            f"sum(CASE WHEN l{k} IS NOT NULL THEN y END)::BIGINT AS sh{k}, "
+            f"sum(l{k})::BIGINT AS st{k}, count(l{k})::BIGINT AS nk{k}"
+        )
+    return f"""
+        WITH d AS (SELECT event_type AS key, ts::DATE AS day,
+                          sum(CAST(round(value * 100) AS
+                                   BIGINT))::BIGINT AS y
+                   FROM events GROUP BY 1, 2),
+        l AS (SELECT key, y, {lag_cols}
+              FROM d WINDOW w AS (PARTITION BY key ORDER BY day)),
+        a AS (SELECT key, count(*)::BIGINT AS n, sum(y)::BIGINT AS s,
+                     sum(y * y)::BIGINT AS ss, {', '.join(aggs)}
+              FROM l GROUP BY key),
+        g AS (SELECT *, s::DOUBLE / n::DOUBLE AS mean FROM a)
+    """
+
+
+_ACF_ORACLE_SQL = _acf_agg_sql(7) + "{select_tail}"
+
+
+def _ljung_box_sql(h: int) -> str:
+    """Ljung-Box oracle built on the same generated ACF moment CTEs:
+    r_k on the round(6) lattice (mirroring acf_exact's output, which
+    ljung_box consumes), Q left-associated in lag order, and the
+    Wilson-Hilferty literals computed by the SAME Python arithmetic
+    that parameterizes the Spark expression."""
+    rks = ", ".join(
+        "round(CASE WHEN ss::DOUBLE - n::DOUBLE * mean * mean > 0 "
+        f"THEN (syy{k}::DOUBLE - mean * (sh{k} + st{k})::DOUBLE "
+        f"+ nk{k}::DOUBLE * mean * mean) "
+        "/ (ss::DOUBLE - n::DOUBLE * mean * mean) END, 6) "
+        f"AS r{k}"
+        for k in range(1, h + 1)
+    )
+    q_terms = " + ".join(
+        f"r{k} * r{k} / (n::DOUBLE - {float(k)!r})" for k in range(1, h + 1)
+    )
+    hh = float(h)
+    wh_center = 1.0 - 2.0 / (9.0 * hh)
+    wh_var = 2.0 / (9.0 * hh)
+    z = f"(cbrt(q / {hh!r}) - {wh_center!r}) / sqrt({wh_var!r})"
+    return f"""
+        {_acf_agg_sql(h)},
+        r AS (SELECT key, n, {rks} FROM g),
+        qq AS (SELECT key, n,
+                      n::DOUBLE * (n::DOUBLE + 2.0)
+                        * (0.0 + {q_terms}) AS q
+               FROM r)
+        SELECT key AS event_type, n AS n_days,
+               round(q, 6) AS q_stat,
+               round({_NORM_SF_SQL.format(z=z)}, 6) AS p_value
+        FROM qq ORDER BY key
+    """
+
+
+_LJUNG_BOX_ORACLE_SQL = _ljung_box_sql(5)
+
+
 def oracle_sql() -> dict[str, str]:
     norm_text = _NORM.format(c="text")
     return {
+        # --- round 8, wave 1 ---
+        "events_drawdown": """
+            WITH s AS (
+              SELECT user_id, ts, event_id,
+                     CAST(round(value * 100) AS BIGINT)
+                       * (CASE WHEN event_type = 'error'
+                          THEN -1 ELSE 1 END) AS cents
+              FROM events),
+            c AS (SELECT user_id, ts, event_id, cents,
+                         sum(cents) OVER w AS eq
+                  FROM s
+                  WINDOW w AS (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING)),
+            e AS (SELECT user_id, cents, eq,
+                         max(eq) OVER w AS peak
+                  FROM c
+                  WINDOW w AS (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING))
+            SELECT user_id, count(*)::BIGINT AS n_events,
+                   max(peak - eq)::BIGINT AS max_drawdown_cents,
+                   max(eq)::BIGINT AS peak_cents,
+                   sum(cents)::BIGINT AS final_cents
+            FROM e GROUP BY user_id ORDER BY user_id
+        """,
+        "events_acf": _ACF_ORACLE_SQL.format(select_tail="""
+            SELECT key AS event_type, n AS n_days, {acfs}
+            FROM g ORDER BY key
+        """.format(acfs=", ".join(
+            "round(CASE WHEN ss::DOUBLE - n::DOUBLE * mean * mean > 0 "
+            "THEN (syy{k}::DOUBLE - mean * (sh{k} + st{k})::DOUBLE "
+            "+ nk{k}::DOUBLE * mean * mean) "
+            "/ (ss::DOUBLE - n::DOUBLE * mean * mean) END, 6) "
+            "AS acf_{k}".format(k=k)
+            for k in range(1, 8)
+        ))),
+        "events_ljung_box": _LJUNG_BOX_ORACLE_SQL,
+        "user_streaks": """
+            WITH d AS (SELECT DISTINCT user_id,
+                              date_diff('day', DATE '2024-01-01',
+                                        ts::DATE)::BIGINT AS dnum
+                       FROM events),
+            i AS (SELECT user_id, dnum,
+                         dnum - row_number() OVER (
+                           PARTITION BY user_id ORDER BY dnum) AS island
+                  FROM d),
+            r AS (SELECT user_id, island, count(*)::BIGINT AS run_len
+                  FROM i GROUP BY 1, 2)
+            SELECT user_id, max(run_len)::BIGINT AS longest_streak,
+                   count(*)::BIGINT AS n_streaks,
+                   sum(run_len)::BIGINT AS active_days
+            FROM r GROUP BY user_id
+            HAVING sum(run_len) >= 2 ORDER BY user_id
+        """,
         "events_rank_gauss": f"""
             WITH c AS (SELECT event_type AS g,
                               CAST(round(value * 100) AS BIGINT) AS cents,

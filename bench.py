@@ -305,6 +305,11 @@ HEADLINE = [
     "events_anomaly_stl",
     "graph_modularity",
     "events_uplift_qini",
+    # round 8
+    "events_drawdown",
+    "events_acf",
+    "events_ljung_box",
+    "user_streaks",
 ]
 
 

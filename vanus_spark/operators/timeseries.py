@@ -593,3 +593,143 @@ def decompose_additive(
             F.col("_y") - F.col("_trend") - F.col("_seas_raw"), 6
         ).alias("residual"),
     )
+
+
+def max_drawdown(
+    df: DataFrame,
+    cents_col: str,
+    ts_col: str,
+    key_col: str,
+    order_tiebreak: str,
+) -> DataFrame:
+    """Per-key maximum drawdown of the cumulative ``cents_col`` curve
+    (the risk readout a metrics platform runs on any cumulative KPI —
+    "how far below its own high-water mark did this series fall"):
+    equity = running sum, drawdown = running max(equity) - equity,
+    answer = max drawdown per key.
+
+    Scale shape: one key-partitioned window (running sum and running
+    max share the same frame, one shuffle) then a per-key aggregate
+    with map-side combine. Everything stays on the exact BIGINT cents
+    lattice — the running max of a prefix sum is order-sensitive, so
+    the frame orders by (ts, tiebreak) and both engines walk identical
+    integers."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, order_tiebreak)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    equity = F.sum(cents_col).over(w)
+    staged = df.select(
+        key_col,
+        F.col(cents_col).alias("_c"),
+        equity.alias("_eq"),
+        F.max(equity).over(w).alias("_peak"),
+    )
+    # final equity = the running sum at the last row = the plain total,
+    # an order-free aggregate (never F.last, whose groupBy order is
+    # nondeterministic)
+    return staged.groupBy(key_col).agg(
+        F.count("*").alias("n_events"),
+        F.max(F.col("_peak") - F.col("_eq")).alias("max_drawdown_cents"),
+        F.max("_eq").alias("peak_cents"),
+        F.sum("_c").alias("final_cents"),
+    )
+
+
+def acf_exact(
+    daily: DataFrame,
+    key_col: str,
+    day_col: str,
+    cents_col: str,
+    max_lag: int,
+) -> DataFrame:
+    """Autocorrelation function r_1..r_max_lag per key over a DAILY
+    integer series (the seasonality/memory diagnostic behind lag
+    selection and Ljung-Box): r_k = sum((y_t - m)(y_{t-k} - m)) /
+    sum((y_t - m)^2) with the full-series mean m.
+
+    Exactness: every aggregate is a BIGINT — per-lag cross products
+    sum(y_t * y_{t-k}) plus the head/tail linear sums — and r_k is
+    assembled from them in ONE fixed scalar expression, so both
+    engines derive identical doubles. Overflow headroom: the cross
+    sums need n * max_cents^2 < 9.2e18 (~1e5-cent days for 1e8 rows);
+    pre-scale wider lattices down.
+
+    Scale shape: runs on the DAILY table (#keys x #days — the caller
+    owns the one collapse from raw events); ONE key-partitioned
+    window computes all ``max_lag`` lag columns, then one map-side
+    combined aggregate emits a #keys-row table. Returns one row per
+    key with n_days plus acf_1..acf_{max_lag}."""
+    w = Window.partitionBy(key_col).orderBy(day_col)
+    y = F.col(cents_col)
+    lagged = daily.select(
+        key_col,
+        y.alias("_y"),
+        *[F.lag(y, k).over(w).alias(f"_l{k}") for k in range(1, max_lag + 1)],
+    )
+    aggs = [
+        F.count("*").alias("_n"),
+        F.sum("_y").alias("_s"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_ss"),
+    ]
+    for k in range(1, max_lag + 1):
+        lk = F.col(f"_l{k}")
+        aggs += [
+            F.sum(F.col("_y") * lk).alias(f"_syy{k}"),
+            F.sum(F.when(lk.isNotNull(), F.col("_y"))).alias(f"_sh{k}"),
+            F.sum(lk).alias(f"_st{k}"),
+            F.count(lk).alias(f"_nk{k}"),
+        ]
+    g = lagged.groupBy(key_col).agg(*aggs)
+    n = F.col("_n").cast("double")
+    mean = F.col("_s").cast("double") / n
+    denom = F.col("_ss").cast("double") - n * mean * mean
+    out_cols = [F.col(key_col), F.col("_n").alias("n_days")]
+    for k in range(1, max_lag + 1):
+        num = (
+            F.col(f"_syy{k}").cast("double")
+            - mean * (F.col(f"_sh{k}") + F.col(f"_st{k}")).cast("double")
+            + F.col(f"_nk{k}").cast("double") * mean * mean
+        )
+        out_cols.append(
+            F.round(F.when(denom > 0, num / denom), 6).alias(f"acf_{k}")
+        )
+    return g.select(*out_cols)
+
+
+def ljung_box(
+    daily: DataFrame,
+    key_col: str,
+    day_col: str,
+    cents_col: str,
+    h: int,
+) -> DataFrame:
+    """Ljung-Box portmanteau test per key ("is this daily series
+    white noise?"): Q = n(n+2) * sum_{k=1..h} r_k^2/(n-k) over the
+    exact-integer ACF, with the chi-square(h) upper tail via the
+    Wilson-Hilferty cube-root normal approximation (documented
+    approximation — exact chi2 tails for arbitrary dof have no closed
+    form; the z it produces feeds the same shared A&S normal-tail
+    polynomial both engines already use). Runs entirely on acf_exact's
+    #keys-row output."""
+    from .hyptests import norm_sf
+
+    acf = acf_exact(daily, key_col, day_col, cents_col, h)
+    n = F.col("n_days").cast("double")
+    q = F.lit(0.0)
+    for k in range(1, h + 1):
+        rk = F.col(f"acf_{k}")
+        q = q + rk * rk / (n - float(k))
+    q = n * (n + 2.0) * q
+    hh = float(h)
+    # Wilson-Hilferty: (Q/h)^(1/3) ~ N(1 - 2/(9h), 2/(9h))
+    z = (F.cbrt(q / hh) - (1.0 - 2.0 / (9.0 * hh))) / F.sqrt(
+        F.lit(2.0 / (9.0 * hh))
+    )
+    return acf.select(
+        key_col,
+        "n_days",
+        F.round(q, 6).alias("q_stat"),
+        F.round(norm_sf(z), 6).alias("p_value"),
+    )
