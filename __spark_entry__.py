@@ -10198,6 +10198,126 @@ def q_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("active_days") >= 2).orderBy("user_id")
 
 
+# --- round 8, wave 2: inference additions ---
+
+
+def q_events_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test across the five event
+    types (the Levene variant on |y - group MEDIAN| — the guard an
+    experimentation platform runs before trusting any pooled-variance
+    readout): deviations double onto the exact-integer lattice
+    (|2y - 2*median| is a BIGINT because the interpolated median of
+    ints lands on the half lattice), then the one-way ANOVA F on the
+    deviations via the shared exact-moment operator
+    (operators/hyptests.anova_oneway). Two partial-agg shuffles
+    (median, deviations) with the 5-row median dim broadcast."""
+    from vanus_spark.operators.hyptests import anova_oneway
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(
+            F.col("cents") * 2 - (F.col("med") * 2.0).cast("long")
+        ).alias("dev2"),
+    )
+    return anova_oneway(dev, "dev2", "event_type")
+
+
+def q_events_poisson_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Poisson rate comparison of error events between the
+    hash variants (the incident-rate A/B readout a reliability team
+    runs): exposure = distinct active user-days per variant, counts =
+    error events; conditional on the total, c_a ~ Binomial(N, p0)
+    with p0 = exposure_a / total exposure, z = (c_a - N p0) /
+    sqrt(N p0 (1 - p0)), two-sided p through the shared A&S
+    normal-tail polynomial. Two map-side combined aggregates (counts,
+    user-day exposure) folded into one row — every operand an exact
+    BIGINT until the final scale-free ratios."""
+    from vanus_spark.operators.hyptests import norm_sf
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("variant"),
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        (F.col("event_type") == "error").cast("long").alias("is_err"),
+    )
+    cnt = ev.groupBy("variant").agg(F.sum("is_err").alias("c"))
+    expo = (
+        ev.select("variant", "user_id", "day")
+        .distinct()
+        .groupBy("variant")
+        .agg(F.count("*").alias("e"))
+    )
+    byv = cnt.join(expo, "variant")
+
+    def pick(col: str, v: int) -> Column:
+        return F.max(F.when(F.col("variant") == v, F.col(col)))
+
+    one = byv.agg(
+        pick("c", 0).alias("c_a"),
+        pick("c", 1).alias("c_b"),
+        pick("e", 0).alias("e_a"),
+        pick("e", 1).alias("e_b"),
+    )
+    nn = (F.col("c_a") + F.col("c_b")).cast("double")
+    p0 = F.col("e_a").cast("double") / (F.col("e_a") + F.col("e_b")).cast(
+        "double"
+    )
+    z = (F.col("c_a").cast("double") - nn * p0) / F.sqrt(
+        nn * p0 * (1.0 - p0)
+    )
+    rate_ratio = (
+        F.col("c_a").cast("double") / F.col("e_a").cast("double")
+    ) / (F.col("c_b").cast("double") / F.col("e_b").cast("double"))
+    return one.select(
+        "c_a",
+        "c_b",
+        "e_a",
+        "e_b",
+        F.round(rate_ratio, 6).alias("rate_ratio"),
+        F.round(z, 6).alias("z"),
+        F.round(2.0 * norm_sf(F.abs(z)), 6).alias("p_value"),
+    )
+
+
+def q_events_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score 95% interval for each event type's high-value
+    share (value > 100) — the small-sample-safe proportion CI every
+    metrics dashboard should publish instead of the Wald interval
+    (which collapses to zero width at p = 0 or 1). One map-side
+    combined aggregate to (n, k) per type; the closed-form bounds are
+    a single fixed IEEE expression with z = 1.96 shared with the
+    oracle character for character."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("value") > 100.0).cast("long")).alias("k"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("k").cast("double") / n
+    z2 = 1.96 * 1.96
+    center = (p + z2 / (2.0 * n)) / (1.0 + z2 / n)
+    half = (
+        1.96
+        * F.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+        / (1.0 + z2 / n)
+    )
+    return g.select(
+        "event_type",
+        "n",
+        "k",
+        F.round(p, 6).alias("p_hat"),
+        F.round(center - half, 6).alias("ci_lo"),
+        F.round(center + half, 6).alias("ci_hi"),
+    ).orderBy("event_type")
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Round-7 policy (VERDICT r6 item #2): the 11 new-in-round queries first,
@@ -10304,6 +10424,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_acf": q_events_acf,
         "events_ljung_box": q_events_ljung_box,
         "user_streaks": q_user_streaks,
+        "events_levene": q_events_levene,
+        "events_poisson_test": q_events_poisson_test,
+        "events_wilson_ci": q_events_wilson_ci,
         # --- new in round 7, third session: feature transforms,
         # calibration, outlier/trend tests, corpus estimators, geo,
         # fold assignment, Markov attribution (post-window-freeze;
@@ -12157,6 +12280,93 @@ def oracle_sql() -> dict[str, str]:
             for k in range(1, 8)
         ))),
         "events_ljung_box": _LJUNG_BOX_ORACLE_SQL,
+        "events_levene": """
+            WITH c AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events),
+            med AS (SELECT event_type,
+                           quantile_cont(cents, 0.5) AS med
+                    FROM c GROUP BY 1),
+            d AS (SELECT c.event_type,
+                         abs(c.cents * 2 - (m.med * 2.0)::BIGINT)::BIGINT
+                           AS dev2
+                  FROM c JOIN med m USING (event_type)),
+            g AS (SELECT event_type, count(*)::BIGINT AS n,
+                         sum(dev2)::BIGINT AS s,
+                         sum(dev2 * dev2)::BIGINT AS ss
+                  FROM d GROUP BY 1),
+            t AS (SELECT sum(n)::BIGINT AS tn, sum(s)::BIGINT AS ts,
+                         count(*)::BIGINT AS k
+                  FROM g),
+            j AS (SELECT n, ss, tn, k, s::DOUBLE / n AS mg,
+                         ts::DOUBLE / tn AS gm
+                  FROM g, t),
+            o AS (SELECT tn, k,
+                         sum(n * (mg - gm) * (mg - gm)) AS ssb,
+                         sum(n * (ss::DOUBLE / n - mg * mg)) AS ssw
+                  FROM j GROUP BY tn, k)
+            SELECT k AS k_groups, tn AS n,
+                   round((ssb / (k - 1)) / (ssw / (tn - k)), 6) AS f_stat,
+                   round(ssb / (ssb + ssw), 6) AS eta_sq
+            FROM o
+        """,
+        "events_poisson_test": f"""
+            WITH e AS (SELECT user_id % 2 AS variant, user_id,
+                              ts::DATE AS day,
+                              (event_type = 'error')::BIGINT AS is_err
+                       FROM events),
+            cnt AS (SELECT variant, sum(is_err)::BIGINT AS c
+                    FROM e GROUP BY 1),
+            expo AS (SELECT variant, count(*)::BIGINT AS ex
+                     FROM (SELECT DISTINCT variant, user_id, day FROM e)
+                     GROUP BY 1),
+            one AS (SELECT
+                      max(CASE WHEN cnt.variant = 0 THEN c END)::BIGINT
+                        AS c_a,
+                      max(CASE WHEN cnt.variant = 1 THEN c END)::BIGINT
+                        AS c_b,
+                      max(CASE WHEN cnt.variant = 0 THEN ex END)::BIGINT
+                        AS e_a,
+                      max(CASE WHEN cnt.variant = 1 THEN ex END)::BIGINT
+                        AS e_b
+                    FROM cnt JOIN expo USING (variant)),
+            s AS (SELECT c_a, c_b, e_a, e_b,
+                         (c_a + c_b)::DOUBLE AS nn,
+                         e_a::DOUBLE / (e_a + e_b)::DOUBLE AS p0
+                  FROM one),
+            zt AS (SELECT c_a, c_b, e_a, e_b,
+                          (c_a::DOUBLE / e_a::DOUBLE)
+                            / (c_b::DOUBLE / e_b::DOUBLE) AS rate_ratio,
+                          (c_a::DOUBLE - nn * p0)
+                            / sqrt(nn * p0 * (1.0 - p0)) AS z
+                   FROM s)
+            SELECT c_a, c_b, e_a, e_b,
+                   round(rate_ratio, 6) AS rate_ratio,
+                   round(z, 6) AS z,
+                   round(2.0 * {_NORM_SF_SQL.format(z="abs(z)")}, 6)
+                     AS p_value
+            FROM zt
+        """,
+        "events_wilson_ci": f"""
+            WITH g AS (SELECT event_type, count(*)::BIGINT AS n,
+                              sum((value > 100.0)::BIGINT)::BIGINT AS k
+                       FROM events GROUP BY 1),
+            s AS (SELECT event_type, n, k, n::DOUBLE AS nd,
+                         k::DOUBLE / n::DOUBLE AS p
+                  FROM g),
+            w AS (SELECT event_type, n, k, p,
+                         (p + {1.96 * 1.96!r} / (2.0 * nd))
+                           / (1.0 + {1.96 * 1.96!r} / nd) AS center,
+                         1.96 * sqrt(p * (1.0 - p) / nd
+                                     + {1.96 * 1.96!r} / (4.0 * nd * nd))
+                           / (1.0 + {1.96 * 1.96!r} / nd) AS half
+                  FROM s)
+            SELECT event_type, n, k,
+                   round(p, 6) AS p_hat,
+                   round(center - half, 6) AS ci_lo,
+                   round(center + half, 6) AS ci_hi
+            FROM w ORDER BY event_type
+        """,
         "user_streaks": """
             WITH d AS (SELECT DISTINCT user_id,
                               date_diff('day', DATE '2024-01-01',

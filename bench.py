@@ -310,6 +310,9 @@ HEADLINE = [
     "events_acf",
     "events_ljung_box",
     "user_streaks",
+    "events_levene",
+    "events_poisson_test",
+    "events_wilson_ci",
 ]
 
 

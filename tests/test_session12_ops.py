@@ -125,3 +125,84 @@ def test_streak_islands_query_shape(spark, tmp_path):
     assert out[1]["n_islands"] == 2
     assert out[1]["total"] == 5
     assert out[2]["longest"] == 1 and out[2]["n_islands"] == 1
+
+
+def test_brown_forsythe_detects_spread_difference(spark):
+    """Group a = tight around 100 (+-1), group b = wide (+-50):
+    F should be large; identical groups give F ~ 0."""
+    from vanus_spark.operators.hyptests import anova_oneway
+    from pyspark.sql import functions as F
+
+    tight = [("a", 100 + d) for d in (-1, 0, 1) * 10]
+    wide = [("b", 100 + d) for d in (-50, 0, 50) * 10]
+    df = spark.createDataFrame(tight + wide, "g string, cents long")
+    med = df.groupBy("g").agg(F.expr("percentile(cents, 0.5)").alias("m"))
+    dev = df.join(F.broadcast(med), "g").select(
+        "g",
+        F.abs(F.col("cents") * 2 - (F.col("m") * 2.0).cast("long")).alias(
+            "dev2"
+        ),
+    )
+    r = anova_oneway(dev, "dev2", "g").collect()[0]
+    assert r["k_groups"] == 2 and r["n"] == 60
+    assert r["f_stat"] > 30.0
+
+    same = spark.createDataFrame(
+        [("a", v) for v in (90, 100, 110) * 5]
+        + [("b", v) for v in (90, 100, 110) * 5],
+        "g string, cents long",
+    )
+    med2 = same.groupBy("g").agg(
+        F.expr("percentile(cents, 0.5)").alias("m")
+    )
+    dev2 = same.join(F.broadcast(med2), "g").select(
+        "g",
+        F.abs(F.col("cents") * 2 - (F.col("m") * 2.0).cast("long")).alias(
+            "dev2"
+        ),
+    )
+    r2 = anova_oneway(dev2, "dev2", "g").collect()[0]
+    assert abs(r2["f_stat"]) < 1e-9
+
+
+def test_wilson_interval_textbook_point(spark):
+    """n=10, k=5: Wilson 95% CI ~ (0.2366, 0.7634) (textbook value);
+    the interval always stays inside [0, 1] even at k = 0."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(10, 5), (10, 0)], "n long, k long")
+    n = F.col("n").cast("double")
+    p = F.col("k").cast("double") / n
+    z2 = 1.96 * 1.96
+    center = (p + z2 / (2.0 * n)) / (1.0 + z2 / n)
+    half = (
+        1.96
+        * F.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+        / (1.0 + z2 / n)
+    )
+    rows = df.select(
+        "k",
+        F.round(center - half, 4).alias("lo"),
+        F.round(center + half, 4).alias("hi"),
+    ).collect()
+    got = {r["k"]: (r["lo"], r["hi"]) for r in rows}
+    assert abs(got[5][0] - 0.2366) < 5e-4
+    assert abs(got[5][1] - 0.7634) < 5e-4
+    assert got[0][0] == 0.0 and 0.0 < got[0][1] < 0.35
+
+
+def test_poisson_two_sample_z_direction(spark):
+    """Variant a has 3x the event rate at equal exposure: z positive
+    and large; equal rates give z ~ 0. Conditional-binomial formula
+    checked against a hand fold."""
+    import math
+
+    c_a, c_b, e_a, e_b = 30, 10, 100, 100
+    nn = float(c_a + c_b)
+    p0 = e_a / (e_a + e_b)
+    z = (c_a - nn * p0) / math.sqrt(nn * p0 * (1 - p0))
+    assert z > 3.0
+    c_a2 = 10
+    nn2 = float(c_a2 + c_b)
+    z2 = (c_a2 - nn2 * p0) / math.sqrt(nn2 * p0 * (1 - p0))
+    assert abs(z2) < 1e-9
