@@ -10318,6 +10318,223 @@ def q_events_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+# --- round 8, wave 3: business analytics ---
+
+
+def q_brand_rolling_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """28-day rolling market share per part brand over 1995 ship
+    dates — the category-management trend readout. Revenue stays on
+    the exact cent-percent lattice (price_cents * (100 - disc_pct));
+    the raw table collapses once to #brands x #days, the rolling sums
+    are RANGE windows over the integer day number (per brand, plus a
+    single 365-row daily-total series partitioned by a constant so the
+    bounded frame doesn't emit the no-partition warning), and the
+    share is one final division. Part joins un-hinted: it scales
+    with SF, so AQE picks broadcast only while it fits."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+        * (100 - F.expr("CAST(round(l_discount * 100) AS BIGINT)"))
+    ).alias("rev")
+    daily = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(
+            "p_brand",
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.lit("1995-01-01").cast("date"),
+            ).alias("dnum"),
+            rev,
+        )
+        .groupBy("p_brand", "dnum")
+        .agg(F.sum("rev").alias("rev"))
+    )
+    wb = (
+        Window.partitionBy("p_brand").orderBy("dnum").rangeBetween(-27, 0)
+    )
+    rolled = daily.select(
+        "p_brand", "dnum", F.sum("rev").over(wb).alias("roll")
+    )
+    tot = daily.groupBy("dnum").agg(F.sum("rev").alias("trev"))
+    wt = Window.partitionBy(F.lit(1)).orderBy("dnum").rangeBetween(-27, 0)
+    tot_rolled = tot.select(
+        "dnum", F.sum("trev").over(wt).alias("troll")
+    )
+    out = rolled.join(tot_rolled, "dnum").select(
+        "dnum",
+        "p_brand",
+        F.col("roll").alias("roll_cp"),
+        F.round(
+            F.col("roll").cast("double") / F.col("troll").cast("double"), 6
+        ).alias("share"),
+    )
+    return out.orderBy("dnum", "p_brand")
+
+
+def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman supplier-concentration index per nation
+    (the procurement-risk readout: is one supplier dominating?):
+    per-supplier revenue on the exact cent-percent lattice, then
+    HHI = sum(rev_i^2) / total^2 with the squares summed in
+    DECIMAL(38,0) (HUGEINT on the oracle side) so the quadratic
+    lattice never overflows BIGINT at scale. Two partial-agg shuffles
+    (supplier rollup, nation rollup); nation is a broadcast dim,
+    supplier joins un-hinted (it scales with SF)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+        * (100 - F.expr("CAST(round(l_discount * 100) AS BIGINT)"))
+    ).alias("rev")
+    per_sup = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .select("s_nationkey", "s_suppkey", rev)
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(F.sum("rev").alias("rs"))
+    )
+    per_nat = per_sup.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum("rs").alias("total"),
+        F.sum(
+            F.col("rs").cast("decimal(19,0)")
+            * F.col("rs").cast("decimal(19,0)")
+        ).alias("sumsq"),
+        F.max("rs").alias("top_rev"),
+    )
+    hhi = F.col("sumsq").cast("double") / (
+        F.col("total").cast("double") * F.col("total").cast("double")
+    )
+    return (
+        per_nat.join(
+            F.broadcast(nat), per_nat.s_nationkey == nat.n_nationkey
+        )
+        .select(
+            "n_name",
+            "n_suppliers",
+            F.round(hhi, 6).alias("hhi"),
+            F.round(
+                F.col("top_rev").cast("double")
+                / F.col("total").cast("double"),
+                6,
+            ).alias("top_share"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q_lineitem_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue waterfall per ship year: gross -> (- discount) -> net
+    -> (+ tax) -> charge, every step an exact integer on the
+    cent-percent-percent lattice (price*10000, price*disc*100,
+    price*(100-disc)*tax) summed in DECIMAL(38,0)/HUGEINT so the
+    quadratic units survive any SF. ONE map-side combined aggregate;
+    dollars and the discount leakage ratio are final-step
+    divisions."""
+    li = _t(spark, sf_dir, "lineitem")
+    pc = F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+    dp = F.expr("CAST(round(l_discount * 100) AS BIGINT)")
+    tp = F.expr("CAST(round(l_tax * 100) AS BIGINT)")
+    staged = li.select(
+        F.year("l_shipdate").alias("ship_year"),
+        (pc * 10000).cast("decimal(38,0)").alias("gross_cpp"),
+        (pc * dp * 100).cast("decimal(38,0)").alias("disc_cpp"),
+        (pc * (100 - dp) * tp).cast("decimal(38,0)").alias("tax_cpp"),
+    )
+    g = staged.groupBy("ship_year").agg(
+        F.count("*").alias("n_lines"),
+        F.sum("gross_cpp").alias("g"),
+        F.sum("disc_cpp").alias("d"),
+        F.sum("tax_cpp").alias("t"),
+    )
+    usd = lambda c: F.round(c.cast("double") / 1000000.0, 4)  # noqa: E731
+    return g.select(
+        "ship_year",
+        "n_lines",
+        usd(F.col("g")).alias("gross_usd"),
+        usd(F.col("d")).alias("discount_usd"),
+        usd(F.col("g") - F.col("d")).alias("net_usd"),
+        usd(F.col("t")).alias("tax_usd"),
+        usd(F.col("g") - F.col("d") + F.col("t")).alias("charge_usd"),
+        F.round(
+            F.col("d").cast("double") / F.col("g").cast("double"), 6
+        ).alias("discount_leakage"),
+    ).orderBy("ship_year")
+
+
+def q_orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging buckets per priority as of 1998-08-01
+    (the fulfillment-ops report): age = days since order date, bucketed
+    0-30 / 31-90 / 91-365 / 365+; one filtered map-side combined
+    aggregate, all integers except the final dollar division."""
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus").isin("O", "P")
+    )
+    age = F.datediff(
+        F.lit("1998-08-01").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    bucket = (
+        F.when(age <= 30, "00-30")
+        .when(age <= 90, "31-90")
+        .when(age <= 365, "91-365")
+        .otherwise("365+")
+    )
+    g = o.select(
+        "o_orderpriority",
+        bucket.alias("age_bucket"),
+        age.alias("age"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    ).groupBy("o_orderpriority", "age_bucket")
+    return (
+        g.agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("cents").cast("double") / 100.0, 2).alias(
+                "backlog_usd"
+            ),
+            F.max("age").alias("oldest_days"),
+        )
+        .orderBy("o_orderpriority", "age_bucket")
+    )
+
+
+def q_nation_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per customer nation: exact cents
+    per (nation, order year), then one lag window over the #nations x
+    #years rollup — the growth table every regional dashboard leads
+    with. Nation is a broadcast dim; customer scales with SF so its
+    join stays un-hinted for AQE. First year emits NULL growth
+    explicitly."""
+    o = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per = (
+        o.join(cust, o.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.sum(
+                F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+            ).alias("cents")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("yr")
+    prev = F.lag("cents").over(w)
+    return per.select(
+        "n_name",
+        "yr",
+        F.round(F.col("cents").cast("double") / 100.0, 2).alias(
+            "revenue_usd"
+        ),
+        F.round(
+            (F.col("cents") - prev).cast("double") / prev.cast("double"), 6
+        ).alias("yoy_growth"),
+    ).orderBy("n_name", "yr")
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Round-7 policy (VERDICT r6 item #2): the 11 new-in-round queries first,
@@ -10427,6 +10644,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_levene": q_events_levene,
         "events_poisson_test": q_events_poisson_test,
         "events_wilson_ci": q_events_wilson_ci,
+        "brand_rolling_share": q_brand_rolling_share,
+        "supplier_hhi": q_supplier_hhi,
+        "lineitem_waterfall": q_lineitem_waterfall,
+        "orders_backlog_aging": q_orders_backlog_aging,
+        "nation_revenue_yoy": q_nation_revenue_yoy,
         # --- new in round 7, third session: feature transforms,
         # calibration, outlier/trend tests, corpus estimators, geo,
         # fold assignment, Markov attribution (post-window-freeze;
@@ -12366,6 +12588,123 @@ def oracle_sql() -> dict[str, str]:
                    round(center - half, 6) AS ci_lo,
                    round(center + half, 6) AS ci_hi
             FROM w ORDER BY event_type
+        """,
+        "brand_rolling_share": """
+            WITH li AS (
+              SELECT p.p_brand,
+                     date_diff('day', DATE '1995-01-01',
+                               l_shipdate::DATE)::BIGINT AS dnum,
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                       AS rev
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+                AND l_shipdate < TIMESTAMP '1996-01-01'),
+            daily AS (SELECT p_brand, dnum, sum(rev)::BIGINT AS rev
+                      FROM li GROUP BY 1, 2),
+            rolled AS (SELECT p_brand, dnum,
+                              sum(rev) OVER (PARTITION BY p_brand
+                                ORDER BY dnum
+                                RANGE BETWEEN 27 PRECEDING
+                                  AND CURRENT ROW)::BIGINT AS roll
+                       FROM daily),
+            tot AS (SELECT dnum, sum(rev)::BIGINT AS trev
+                    FROM daily GROUP BY 1),
+            trolled AS (SELECT dnum,
+                               sum(trev) OVER (ORDER BY dnum
+                                 RANGE BETWEEN 27 PRECEDING
+                                   AND CURRENT ROW)::BIGINT AS troll
+                        FROM tot)
+            SELECT r.dnum, r.p_brand, r.roll AS roll_cp,
+                   round(r.roll::DOUBLE / t.troll::DOUBLE, 6) AS share
+            FROM rolled r JOIN trolled t USING (dnum)
+            ORDER BY r.dnum, r.p_brand
+        """,
+        "supplier_hhi": """
+            WITH rev AS (
+              SELECT s.s_nationkey, s.s_suppkey,
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                       AS rev
+              FROM lineitem l JOIN supplier s
+                ON l.l_suppkey = s.s_suppkey),
+            per_sup AS (SELECT s_nationkey, s_suppkey,
+                               sum(rev)::BIGINT AS rs
+                        FROM rev GROUP BY 1, 2),
+            per_nat AS (SELECT s_nationkey,
+                               count(*)::BIGINT AS n_suppliers,
+                               sum(rs)::BIGINT AS total,
+                               sum(rs::HUGEINT * rs::HUGEINT) AS sumsq,
+                               max(rs)::BIGINT AS top_rev
+                        FROM per_sup GROUP BY 1)
+            SELECT n.n_name, p.n_suppliers,
+                   round(p.sumsq::DOUBLE
+                         / (p.total::DOUBLE * p.total::DOUBLE), 6) AS hhi,
+                   round(p.top_rev::DOUBLE / p.total::DOUBLE, 6)
+                     AS top_share
+            FROM per_nat p JOIN nation n
+              ON p.s_nationkey = n.n_nationkey
+            ORDER BY n.n_name
+        """,
+        "lineitem_waterfall": """
+            WITH s AS (
+              SELECT year(l_shipdate)::INT AS ship_year,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+                     CAST(round(l_discount * 100) AS BIGINT) AS dp,
+                     CAST(round(l_tax * 100) AS BIGINT) AS tp
+              FROM lineitem),
+            g AS (SELECT ship_year, count(*)::BIGINT AS n_lines,
+                         sum((pc * 10000)::HUGEINT) AS g,
+                         sum((pc * dp * 100)::HUGEINT) AS d,
+                         sum((pc * (100 - dp) * tp)::HUGEINT) AS t
+                  FROM s GROUP BY 1)
+            SELECT ship_year, n_lines,
+                   round(g::DOUBLE / 1000000.0, 4) AS gross_usd,
+                   round(d::DOUBLE / 1000000.0, 4) AS discount_usd,
+                   round((g - d)::DOUBLE / 1000000.0, 4) AS net_usd,
+                   round(t::DOUBLE / 1000000.0, 4) AS tax_usd,
+                   round((g - d + t)::DOUBLE / 1000000.0, 4) AS charge_usd,
+                   round(d::DOUBLE / g::DOUBLE, 6) AS discount_leakage
+            FROM g ORDER BY ship_year
+        """,
+        "orders_backlog_aging": """
+            WITH o AS (
+              SELECT o_orderpriority,
+                     date_diff('day', o_orderdate::DATE,
+                               DATE '1998-08-01')::BIGINT AS age,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders WHERE o_orderstatus IN ('O', 'P')),
+            b AS (SELECT o_orderpriority,
+                         CASE WHEN age <= 30 THEN '00-30'
+                              WHEN age <= 90 THEN '31-90'
+                              WHEN age <= 365 THEN '91-365'
+                              ELSE '365+' END AS age_bucket,
+                         age, cents
+                  FROM o)
+            SELECT o_orderpriority, age_bucket,
+                   count(*)::BIGINT AS n_orders,
+                   round(sum(cents)::DOUBLE / 100.0, 2) AS backlog_usd,
+                   max(age)::INT AS oldest_days
+            FROM b GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "nation_revenue_yoy": """
+            WITH per AS (
+              SELECT n.n_name, year(o_orderdate)::INT AS yr,
+                     sum(CAST(round(o_totalprice * 100) AS
+                              BIGINT))::BIGINT AS cents
+              FROM orders o
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              GROUP BY 1, 2),
+            l AS (SELECT n_name, yr, cents,
+                         lag(cents) OVER (PARTITION BY n_name
+                                          ORDER BY yr) AS prev
+                  FROM per)
+            SELECT n_name, yr,
+                   round(cents::DOUBLE / 100.0, 2) AS revenue_usd,
+                   round((cents - prev)::DOUBLE / prev::DOUBLE, 6)
+                     AS yoy_growth
+            FROM l ORDER BY n_name, yr
         """,
         "user_streaks": """
             WITH d AS (SELECT DISTINCT user_id,

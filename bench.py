@@ -313,6 +313,11 @@ HEADLINE = [
     "events_levene",
     "events_poisson_test",
     "events_wilson_ci",
+    "brand_rolling_share",
+    "supplier_hhi",
+    "lineitem_waterfall",
+    "orders_backlog_aging",
+    "nation_revenue_yoy",
 ]
 
 

@@ -206,3 +206,68 @@ def test_poisson_two_sample_z_direction(spark):
     nn2 = float(c_a2 + c_b)
     z2 = (c_a2 - nn2 * p0) / math.sqrt(nn2 * p0 * (1 - p0))
     assert abs(z2) < 1e-9
+
+
+def test_hhi_extremes(spark):
+    """One supplier owning everything -> HHI 1; n equal suppliers ->
+    HHI 1/n (the two textbook anchors), computed through the same
+    decimal-squares expression the registry query uses."""
+    from pyspark.sql import functions as F
+
+    rows = [(1, 1, 500)] + [(2, s, 100) for s in range(4)]
+    df = spark.createDataFrame(rows, "nat long, sup long, rs long")
+    per = df.groupBy("nat").agg(
+        F.sum("rs").alias("total"),
+        F.sum(
+            F.col("rs").cast("decimal(19,0)")
+            * F.col("rs").cast("decimal(19,0)")
+        ).alias("sumsq"),
+    )
+    got = {
+        r["nat"]: r["hhi"]
+        for r in per.select(
+            "nat",
+            (
+                F.col("sumsq").cast("double")
+                / (F.col("total").cast("double") * F.col("total").cast("double"))
+            ).alias("hhi"),
+        ).collect()
+    }
+    assert abs(got[1] - 1.0) < 1e-12
+    assert abs(got[2] - 0.25) < 1e-12
+
+
+def test_waterfall_identity_holds(spark):
+    """charge = gross - discount + tax on the integer lattice for a
+    hand row: price 100.00, disc 5%, tax 8%."""
+    pc, dp, tp = 10000, 5, 8
+    gross = pc * 10000
+    disc = pc * dp * 100
+    tax = pc * (100 - dp) * tp
+    charge = gross - disc + tax
+    # 100 * 0.95 * 1.08 = 102.60 exactly
+    assert charge / 1_000_000 == 102.6
+    assert (gross - disc) / 1_000_000 == 95.0
+
+
+def test_rolling_share_sums_to_one(spark):
+    """Per-day shares across brands must sum to 1 whenever every
+    brand's window covers the same days (dense daily panel)."""
+    from pyspark.sql import Window, functions as F
+
+    rows = [
+        (b, d, (b + 1) * 10 + d) for b in range(3) for d in range(6)
+    ]
+    daily = spark.createDataFrame(rows, "brand long, dnum long, rev long")
+    wb = Window.partitionBy("brand").orderBy("dnum").rangeBetween(-2, 0)
+    rolled = daily.select(
+        "brand", "dnum", F.sum("rev").over(wb).alias("roll")
+    )
+    tot = daily.groupBy("dnum").agg(F.sum("rev").alias("trev"))
+    wt = Window.partitionBy(F.lit(1)).orderBy("dnum").rangeBetween(-2, 0)
+    trolled = tot.select("dnum", F.sum("trev").over(wt).alias("troll"))
+    shares = rolled.join(trolled, "dnum").groupBy("dnum").agg(
+        F.sum(F.col("roll") / F.col("troll")).alias("s")
+    )
+    for r in shares.collect():
+        assert abs(r["s"] - 1.0) < 1e-12
