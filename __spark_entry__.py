@@ -10535,6 +10535,132 @@ def q_nation_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("n_name", "yr")
 
 
+# --- round 8, wave 4: feature encoding / model evaluation ---
+
+
+def q_features_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of event_type against the
+    high-value flag (operators/encoding.target_encode_loo, prior
+    weight 10): the high-cardinality categorical encoder that
+    subtracts each row's own label before forming the category mean,
+    so the feature never leaks its target. One category aggregate
+    broadcast back over the fact table; output bounded to users < 40
+    to keep the hash-compare row count sane."""
+    from vanus_spark.operators.encoding import target_encode_loo
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.col("value") > 100.0).cast("long").alias("converted"),
+    )
+    out = target_encode_loo(
+        ev, "event_type", "converted", ["event_id", "user_id"]
+    )
+    return (
+        out.where(F.col("user_id") < 40)
+        .select(
+            "event_id",
+            "event_type",
+            "converted",
+            F.round("enc", 6).alias("enc"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q_features_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value screen of event_type
+    against the high-value flag (operators/encoding.woe_iv, Laplace
+    0.5): the credit-scoring predictive-power table. One map-side
+    combined aggregate to the 5-row category dim; total IV repeats on
+    every row (the PSI-report convention)."""
+    from vanus_spark.operators.encoding import woe_iv
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("value") > 100.0).cast("long").alias("converted"),
+    )
+    return woe_iv(ev, "event_type", "converted").orderBy("event_type")
+
+
+def q_quality_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision + best F1 of the Naive-Bayes quality
+    classifier on its held-out split (operators/encoding.pr_auc over
+    q_quality_auc's exact scored table) — the imbalanced-class
+    companion to ROC-AUC (precision-recall is what a corpus filter
+    actually trades off). Scores sit on the round(6) lattice, so both
+    engines form identical tie groups; the PR walk runs on the
+    #distinct-scores dim."""
+    from vanus_spark.llm.qualityrules import nb_score, nb_train
+    from vanus_spark.operators.encoding import pr_auc
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0).withColumn(
+        "label", (F.col("lang") == "en").cast("int")
+    )
+    word_df, stats_df = nb_train(train)
+    held_out = docs.where(F.col("doc_id") % 2 == 1)
+    scored = nb_score(held_out, word_df, stats_df).join(
+        held_out.select(
+            "doc_id", (F.col("lang") == "en").cast("int").alias("label")
+        ),
+        "doc_id",
+    )
+    return pr_auc(scored, "score", "label")
+
+
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift between the two vec_id-parity halves
+    of the embedding table — the train/serve skew check an embedding
+    pipeline runs between snapshots: cosine similarity and L2 distance
+    of the half centroids. Same scale shape as q_embedding_silhouette:
+    ONE (label, dim) partial aggregate builds both centroids (the
+    halves are CASE branches of the same scan), then a 64-row-per-label
+    fold — the vectors are never joined pairwise."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "d", "x"
+        ),
+    )
+    cent = dims.groupBy("label", "d").agg(
+        F.avg(F.when(F.col("half") == 0, F.col("x"))).alias("ma"),
+        F.avg(F.when(F.col("half") == 1, F.col("x"))).alias("mb"),
+    )
+    agg = cent.groupBy("label").agg(
+        F.sum(F.col("ma") * F.col("mb")).alias("dot"),
+        F.sum(F.col("ma") * F.col("ma")).alias("qa"),
+        F.sum(F.col("mb") * F.col("mb")).alias("qb"),
+        F.sum(
+            (F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb"))
+        ).alias("sq"),
+    )
+    cnt = emb.groupBy("label").agg(
+        F.count_distinct(
+            F.when(F.col("vec_id") % 2 == 0, F.col("vec_id"))
+        ).alias("n_a"),
+        F.count_distinct(
+            F.when(F.col("vec_id") % 2 == 1, F.col("vec_id"))
+        ).alias("n_b"),
+    )
+    return (
+        agg.join(cnt, "label")
+        .select(
+            "label",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("dot") / (F.sqrt("qa") * F.sqrt("qb")), 6
+            ).alias("cosine"),
+            F.round(F.sqrt("sq"), 6).alias("l2"),
+        )
+        .orderBy("label")
+    )
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Round-7 policy (VERDICT r6 item #2): the 11 new-in-round queries first,
@@ -10649,6 +10775,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_waterfall": q_lineitem_waterfall,
         "orders_backlog_aging": q_orders_backlog_aging,
         "nation_revenue_yoy": q_nation_revenue_yoy,
+        "features_target_encoding": q_features_target_encoding,
+        "features_woe_iv": q_features_woe_iv,
+        "quality_pr_auc": q_quality_pr_auc,
+        "embedding_drift": q_embedding_drift,
         # --- new in round 7, third session: feature transforms,
         # calibration, outlier/trend tests, corpus estimators, geo,
         # fold assignment, Markov attribution (post-window-freeze;
@@ -12588,6 +12718,130 @@ def oracle_sql() -> dict[str, str]:
                    round(center - half, 6) AS ci_lo,
                    round(center + half, 6) AS ci_hi
             FROM w ORDER BY event_type
+        """,
+        "features_target_encoding": """
+            WITH e AS (SELECT event_id, user_id, event_type,
+                              (value > 100.0)::BIGINT AS converted
+                       FROM events),
+            g AS (SELECT event_type, count(*)::BIGINT AS n,
+                         sum(converted)::BIGINT AS s
+                  FROM e GROUP BY 1),
+            t AS (SELECT sum(n)::BIGINT AS tn, sum(s)::BIGINT AS ts
+                  FROM g)
+            SELECT e.event_id, e.event_type, e.converted,
+                   round(((g.s - e.converted)::DOUBLE
+                          + 10.0 * (t.ts::DOUBLE / t.tn::DOUBLE))
+                         / ((g.n - 1)::DOUBLE + 10.0), 6) AS enc
+            FROM e JOIN g USING (event_type) CROSS JOIN t
+            WHERE e.user_id < 40
+            ORDER BY e.event_id
+        """,
+        "features_woe_iv": """
+            WITH e AS (SELECT event_type,
+                              (value > 100.0)::BIGINT AS converted
+                       FROM events),
+            g AS (SELECT event_type, count(*)::BIGINT AS n,
+                         sum(converted)::BIGINT AS good,
+                         sum(1 - converted)::BIGINT AS bad
+                  FROM e GROUP BY 1),
+            t AS (SELECT sum(good)::BIGINT AS tg, sum(bad)::BIGINT AS tb
+                  FROM g),
+            s AS (SELECT event_type, n, good, bad,
+                         (good + 0.5) / tg::DOUBLE AS pg,
+                         (bad + 0.5) / tb::DOUBLE AS pb
+                  FROM g, t),
+            w AS (SELECT event_type, n, good, bad,
+                         ln(pg / pb) AS woe,
+                         (pg - pb) * ln(pg / pb) AS ivt
+                  FROM s),
+            iv AS (SELECT sum(ivt) AS iv FROM w)
+            SELECT event_type, n, good, bad,
+                   round(woe, 6) AS woe,
+                   round(ivt, 6) AS iv_term,
+                   round(iv.iv, 6) AS iv_total
+            FROM w, iv ORDER BY event_type
+        """,
+        "quality_pr_auc": f"""
+            WITH train AS (
+              SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, text
+              FROM documents WHERE doc_id % 2 = 0),
+            tk AS (SELECT y, unnest(str_split({{norm}}, ' ')) AS tok
+                   FROM train),
+            wc AS (SELECT tok, sum(y)::BIGINT AS pos_c,
+                          sum(1 - y)::BIGINT AS neg_c
+                   FROM tk GROUP BY tok),
+            cls AS (SELECT sum(y)::BIGINT AS n_pos, sum(1 - y)::BIGINT
+                             AS n_neg
+                    FROM train),
+            ts AS (SELECT sum(pos_c) AS t_pos, sum(neg_c) AS t_neg,
+                          count(*) AS vocab FROM wc),
+            sc AS (SELECT doc_id, unnest(str_split({{norm}}, ' ')) AS tok
+                   FROM documents WHERE doc_id % 2 = 1),
+            agg AS (
+              SELECT doc_id,
+                     round(ln(any_value(cls.n_pos)::DOUBLE)
+                           - ln(any_value(cls.n_neg)::DOUBLE)
+                           + sum(ln(coalesce(wc.pos_c, 0) + 1.0)
+                                 - ln(coalesce(wc.neg_c, 0) + 1.0))
+                           + count(*) * (ln((any_value(ts.t_neg)
+                                             + any_value(ts.vocab))::DOUBLE)
+                                         - ln((any_value(ts.t_pos)
+                                               + any_value(ts.vocab))::DOUBLE)),
+                           6) AS score
+              FROM sc LEFT JOIN wc USING (tok) CROSS JOIN cls CROSS JOIN ts
+              GROUP BY doc_id),
+            lab AS (SELECT agg.doc_id, score,
+                           CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+                    FROM agg JOIN documents d USING (doc_id)),
+            g2 AS (SELECT score, count(*)::BIGINT AS m,
+                          sum(y)::BIGINT AS tp
+                   FROM lab GROUP BY score),
+            tot AS (SELECT sum(m)::BIGINT AS n, sum(tp)::BIGINT AS p
+                    FROM g2),
+            cum AS (SELECT score,
+                           sum(m) OVER wd AS cm,
+                           sum(tp) OVER wd AS ctp
+                    FROM g2
+                    WINDOW wd AS (ORDER BY score DESC
+                                  ROWS UNBOUNDED PRECEDING)),
+            pr AS (SELECT n, p,
+                          ctp::DOUBLE / cm::DOUBLE AS prec,
+                          ctp::DOUBLE / p::DOUBLE AS rec,
+                          coalesce(lag(ctp::DOUBLE / p::DOUBLE)
+                                   OVER (ORDER BY score DESC), 0.0)
+                            AS prev_rec
+                   FROM cum, tot)
+            SELECT n, p AS n_pos,
+                   round(sum((rec - prev_rec) * prec), 6)
+                     AS average_precision,
+                   round(max(CASE WHEN prec + rec > 0
+                             THEN 2.0 * prec * rec / (prec + rec)
+                             ELSE 0.0 END), 6) AS best_f1
+            FROM pr GROUP BY n, p
+        """.replace("{norm}", norm_text),
+        "embedding_drift": """
+            WITH dims AS (
+              SELECT label, vec_id % 2 AS half, d.d AS d,
+                     (embedding[d.d + 1])::DOUBLE AS x
+              FROM embeddings, (SELECT unnest(range(64)) AS d) d),
+            cent AS (SELECT label, d,
+                            avg(CASE WHEN half = 0 THEN x END) AS ma,
+                            avg(CASE WHEN half = 1 THEN x END) AS mb
+                     FROM dims GROUP BY 1, 2),
+            agg AS (SELECT label, sum(ma * mb) AS dot,
+                           sum(ma * ma) AS qa, sum(mb * mb) AS qb,
+                           sum((ma - mb) * (ma - mb)) AS sq
+                    FROM cent GROUP BY 1),
+            cnt AS (SELECT label,
+                           count(DISTINCT CASE WHEN vec_id % 2 = 0
+                                 THEN vec_id END)::BIGINT AS n_a,
+                           count(DISTINCT CASE WHEN vec_id % 2 = 1
+                                 THEN vec_id END)::BIGINT AS n_b
+                    FROM embeddings GROUP BY 1)
+            SELECT a.label, c.n_a, c.n_b,
+                   round(dot / (sqrt(qa) * sqrt(qb)), 6) AS cosine,
+                   round(sqrt(sq), 6) AS l2
+            FROM agg a JOIN cnt c USING (label) ORDER BY a.label
         """,
         "brand_rolling_share": """
             WITH li AS (

@@ -318,6 +318,10 @@ HEADLINE = [
     "lineitem_waterfall",
     "orders_backlog_aging",
     "nation_revenue_yoy",
+    "features_target_encoding",
+    "features_woe_iv",
+    "quality_pr_auc",
+    "embedding_drift",
 ]
 
 

@@ -271,3 +271,95 @@ def test_rolling_share_sums_to_one(spark):
     )
     for r in shares.collect():
         assert abs(r["s"] - 1.0) < 1e-12
+
+
+def test_target_encode_loo_hand_case(spark):
+    """Category 'a' = labels [1, 0], prior 10, global mean 0.5:
+    row 1's enc = (1 - 1 + 10*0.5)/(2 - 1 + 10) = 5/11; own label
+    never contributes to its own encoding."""
+    from vanus_spark.operators.encoding import target_encode_loo
+
+    rows = [(1, "a", 1), (2, "a", 0), (3, "b", 1), (4, "b", 0)]
+    df = spark.createDataFrame(rows, "rid long, cat string, y long")
+    out = {
+        r["rid"]: r["enc"]
+        for r in target_encode_loo(df, "cat", "y", ["rid"]).collect()
+    }
+    assert abs(out[1] - 5.0 / 11.0) < 1e-12
+    assert abs(out[2] - 6.0 / 11.0) < 1e-12
+    # symmetric data -> categories mirror
+    assert abs(out[3] - out[1]) < 1e-12
+
+
+def test_woe_iv_direction_and_smoothing(spark):
+    """A category enriched in goods gets positive WoE, the depleted
+    one negative; IV total > 0 and identical on every row; smoothing
+    keeps a zero-bad cell finite."""
+    from vanus_spark.operators.encoding import woe_iv
+
+    rows = (
+        [("hi", 1)] * 8 + [("hi", 0)] * 2
+        + [("lo", 1)] * 2 + [("lo", 0)] * 8
+        + [("pure", 1)] * 3  # zero bads -> needs smoothing
+    )
+    df = spark.createDataFrame(rows, "cat string, y long")
+    out = {r["cat"]: r for r in woe_iv(df, "cat", "y").collect()}
+    assert out["hi"]["woe"] > 0 and out["lo"]["woe"] < 0
+    assert out["pure"]["woe"] > 0 and math.isfinite(out["pure"]["woe"])
+    ivs = {r["iv_total"] for r in out.values()}
+    assert len(ivs) == 1 and ivs.pop() > 0.1
+
+
+def test_pr_auc_perfect_and_random(spark):
+    """A perfectly separating score gives AP = 1 and best F1 = 1; a
+    constant score gives AP = prevalence."""
+    from vanus_spark.operators.encoding import pr_auc
+
+    perfect = [(float(y), y) for y in (1, 1, 1, 0, 0, 0, 0)]
+    df = spark.createDataFrame(perfect, "score double, label long")
+    r = pr_auc(df, "score", "label").collect()[0]
+    assert r["average_precision"] == 1.0 and r["best_f1"] == 1.0
+
+    const = [(0.5, y) for y in (1, 1, 0, 0, 0)]
+    df2 = spark.createDataFrame(const, "score double, label long")
+    r2 = pr_auc(df2, "score", "label").collect()[0]
+    assert abs(r2["average_precision"] - 0.4) < 1e-9
+
+
+def test_embedding_drift_identical_halves(spark):
+    """Two identical halves -> cosine 1, L2 0; orthogonal halves ->
+    cosine 0."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, 0, [1.0, 0.0]),
+        (1, 0, [1.0, 0.0]),
+        (2, 1, [0.0, 1.0]),
+        (3, 1, [1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    dims = df.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("d", "x"),
+    )
+    cent = dims.groupBy("label", "d").agg(
+        F.avg(F.when(F.col("half") == 0, F.col("x"))).alias("ma"),
+        F.avg(F.when(F.col("half") == 1, F.col("x"))).alias("mb"),
+    )
+    agg = cent.groupBy("label").agg(
+        F.sum(F.col("ma") * F.col("mb")).alias("dot"),
+        F.sum(F.col("ma") * F.col("ma")).alias("qa"),
+        F.sum(F.col("mb") * F.col("mb")).alias("qb"),
+    )
+    got = {
+        r["label"]: r["c"]
+        for r in agg.select(
+            "label",
+            (F.col("dot") / (F.sqrt("qa") * F.sqrt("qb"))).alias("c"),
+        ).collect()
+    }
+    assert abs(got[0] - 1.0) < 1e-12  # same vector both halves
+    assert abs(got[1] - 0.0) < 1e-12  # orthogonal halves
