@@ -10661,6 +10661,208 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- round 8, wave 5: attribution / graph additions ---
+
+#: Shapley coalition weights s!(n-1-s)!/n! for n = 4 touch channels,
+#: generated by the same factorial arithmetic on both engines' literals.
+_SHAPLEY_CHANNELS = ["view", "click", "signup", "error"]
+_SHAPLEY_W = [
+    __import__("math").factorial(s)
+    * __import__("math").factorial(len(_SHAPLEY_CHANNELS) - 1 - s)
+    / __import__("math").factorial(len(_SHAPLEY_CHANNELS))
+    for s in range(len(_SHAPLEY_CHANNELS))
+]
+
+
+def q_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value channel attribution over the 4 touch channels
+    (view/click/signup/error) with conversion = any purchase — the
+    game-theoretic credit split whose efficiency axiom the linear /
+    time-decay heuristics (q_events_attribution,
+    q_attribution_time_decay) lack. Coalition values v(S) = conversion
+    rate of users whose EXACT touch set is S (the simplified-Shapley
+    convention; unseen coalitions contribute v = 0), and phi_i =
+    sum_{S not containing i} w(|S|) (v(S+i) - v(S)).
+
+    Scale shape: ONE user rollup produces a 16-row coalition dim
+    (bitmask via max-per-channel flags); the Shapley fold is a
+    4-channel x 16-mask cross join over that dim with two broadcast
+    lookups — the raw table is touched exactly once regardless of SF.
+    """
+    ev = _t(spark, sf_dir, "events")
+    flags = [
+        F.max(
+            F.when(F.col("event_type") == ch, 1).otherwise(0)
+        ).alias(f"_f{i}")
+        for i, ch in enumerate(_SHAPLEY_CHANNELS)
+    ]
+    users = ev.groupBy("user_id").agg(
+        *flags,
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    mask = sum(
+        (F.col(f"_f{i}") * (1 << i) for i in range(len(_SHAPLEY_CHANNELS))),
+        F.lit(0),
+    )
+    coal = users.select(mask.alias("mask"), "conv").groupBy("mask").agg(
+        F.count("*").alias("m"), F.sum("conv").alias("c")
+    )
+    v = coal.select(
+        "mask",
+        (F.col("c").cast("double") / F.col("m").cast("double")).alias("v"),
+    )
+    n_ch = len(_SHAPLEY_CHANNELS)
+    masks = spark.range(1 << n_ch).select(F.col("id").alias("smask"))
+    chans = spark.createDataFrame(
+        [(ch, i) for i, ch in enumerate(_SHAPLEY_CHANNELS)],
+        "channel string, bit int",
+    )
+    pairs = masks.crossJoin(chans).where(
+        F.expr("shiftright(smask, bit) & 1") == 0
+    )
+    v_s = v.select(F.col("mask").alias("smask"), F.col("v").alias("v_s"))
+    v_si = v.select(
+        F.col("mask").alias("wmask"), F.col("v").alias("v_si")
+    )
+    w_expr = F.element_at(
+        F.array(*[F.lit(w) for w in _SHAPLEY_W]),
+        F.bit_count(F.col("smask")).cast("int") + 1,
+    )
+    terms = (
+        pairs.withColumn(
+            "wmask",
+            F.expr("smask + shiftleft(1, bit)").cast("long"),
+        )
+        .join(F.broadcast(v_s), "smask", "left")
+        .join(F.broadcast(v_si), "wmask", "left")
+        .select(
+            "channel",
+            (
+                w_expr
+                * (
+                    F.coalesce(F.col("v_si"), F.lit(0.0))
+                    - F.coalesce(F.col("v_s"), F.lit(0.0))
+                )
+            ).alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("channel")
+        .agg(F.round(F.sum("term"), 6).alias("phi"))
+        .orderBy("channel")
+    )
+
+
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities on the deterministic crawl graph shared
+    with q_link_pagerank (doc -> (7d+3) mod n, every 10th doc -> hub
+    0): two UNNORMALIZED mutual-reinforcement iterations so every
+    score stays an exact BIGINT (a1 = indegree, h1 = sum of a1 over
+    out-links, a2 = A^T h1, h2 = A a2) — normalization happens once at
+    the end against the max (an order-free integer aggregate). One
+    join + one partial-agg shuffle per half-iteration, the PageRank
+    scale shape. Top 20 authorities, ties to the lower node id."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    e1 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % n).alias("dst"),
+    )
+    e2 = docs.where(
+        (F.col("doc_id") % 10 == 0) & (F.col("doc_id") != 0)
+    ).select(F.col("doc_id").alias("src"), F.lit(0).cast("long").alias("dst"))
+    edges = e1.unionByName(e2)
+    a1 = edges.groupBy("dst").agg(F.count("*").alias("a1"))
+    h1 = (
+        edges.join(a1, "dst")
+        .groupBy("src")
+        .agg(F.sum("a1").alias("h1"))
+    )
+    a2 = (
+        edges.join(h1, "src")
+        .groupBy("dst")
+        .agg(F.sum("h1").alias("a2"))
+    )
+    h2 = (
+        edges.join(a2, "dst")
+        .groupBy("src")
+        .agg(F.sum("a2").alias("h2"))
+    )
+    joined = (
+        a2.select(F.col("dst").alias("node"), "a2")
+        .join(h2.select(F.col("src").alias("node"), "h2"), "node", "full")
+        .select(
+            "node",
+            F.coalesce("a2", F.lit(0)).alias("authority"),
+            F.coalesce("h2", F.lit(0)).alias("hub"),
+        )
+    )
+    mx = joined.agg(
+        F.max("authority").alias("ma"), F.max("hub").alias("mh")
+    )
+    out = (
+        joined.crossJoin(F.broadcast(mx))
+        .select(
+            "node",
+            "authority",
+            "hub",
+            F.round(
+                F.col("authority").cast("double") / F.col("ma").cast("double"),
+                6,
+            ).alias("authority_norm"),
+            F.round(
+                F.col("hub").cast("double") / F.col("mh").cast("double"), 6
+            ).alias("hub_norm"),
+        )
+        .orderBy(F.col("authority").desc(), "node")
+        .limit(20)
+    )
+    return out
+
+
+def q_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 2-hop reach per node on the shared crawl graph: the
+    neighborhood-growth readout behind influence ranking and
+    friend-of-friend features. N1 = direct successors; N2 = successors
+    of successors; reach = |N1 union N2 minus self|. The expansion is
+    one self-join bounded by out-degree squared (the inherent 2-hop
+    cost), then one distinct aggregate — exact integers end to end.
+    Top 30 by reach, ties to the lower node id."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    e1 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % n).alias("dst"),
+    )
+    e2 = docs.where(
+        (F.col("doc_id") % 10 == 0) & (F.col("doc_id") != 0)
+    ).select(F.col("doc_id").alias("src"), F.lit(0).cast("long").alias("dst"))
+    edges = e1.unionByName(e2)
+    two = edges.alias("a").join(
+        edges.alias("b"), F.col("a.dst") == F.col("b.src")
+    ).select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+    reach = (
+        edges.unionByName(two)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .groupBy("src")
+        .agg(F.count("*").alias("reach_2hop"))
+    )
+    deg = edges.groupBy("src").agg(
+        F.count_distinct("dst").alias("out_deg")
+    )
+    return (
+        reach.join(deg, "src")
+        .select(
+            F.col("src").alias("node"), "out_deg", "reach_2hop"
+        )
+        .orderBy(F.col("reach_2hop").desc(), "node")
+        .limit(30)
+    )
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Round-7 policy (VERDICT r6 item #2): the 11 new-in-round queries first,
@@ -10779,6 +10981,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "features_woe_iv": q_features_woe_iv,
         "quality_pr_auc": q_quality_pr_auc,
         "embedding_drift": q_embedding_drift,
+        "attribution_shapley": q_attribution_shapley,
+        "graph_hits": q_graph_hits,
+        "graph_2hop": q_graph_2hop,
         # --- new in round 7, third session: feature transforms,
         # calibration, outlier/trend tests, corpus estimators, geo,
         # fold assignment, Markov attribution (post-window-freeze;
@@ -12718,6 +12923,98 @@ def oracle_sql() -> dict[str, str]:
                    round(center - half, 6) AS ci_lo,
                    round(center + half, 6) AS ci_hi
             FROM w ORDER BY event_type
+        """,
+        "attribution_shapley": f"""
+            WITH u AS (
+              SELECT user_id,
+                     max(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+                         END) AS f0,
+                     max(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                         END) AS f1,
+                     max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0
+                         END) AS f2,
+                     max(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                         END) AS f3,
+                     max(CASE WHEN event_type = 'purchase' THEN 1
+                         ELSE 0 END) AS conv
+              FROM events GROUP BY 1),
+            coal AS (SELECT (f0 * 1 + f1 * 2 + f2 * 4
+                             + f3 * 8)::BIGINT AS mask,
+                            count(*)::BIGINT AS m,
+                            sum(conv)::BIGINT AS c
+                     FROM u GROUP BY 1),
+            v AS (SELECT mask, c::DOUBLE / m::DOUBLE AS v FROM coal),
+            masks AS (SELECT unnest(range(16))::BIGINT AS smask),
+            ch AS (SELECT * FROM (VALUES ('view', 0), ('click', 1),
+                                  ('signup', 2), ('error', 3))
+                   AS t(channel, bit)),
+            pairs AS (SELECT smask, channel, bit FROM masks, ch
+                      WHERE (smask >> bit) & 1 = 0),
+            terms AS (
+              SELECT channel,
+                     (CASE bit_count(smask)
+                        WHEN 0 THEN {_SHAPLEY_W[0]!r}
+                        WHEN 1 THEN {_SHAPLEY_W[1]!r}
+                        WHEN 2 THEN {_SHAPLEY_W[2]!r}
+                        ELSE {_SHAPLEY_W[3]!r} END)
+                     * (coalesce(vi.v, 0.0) - coalesce(vs.v, 0.0))
+                       AS term
+              FROM pairs
+              LEFT JOIN v vs ON vs.mask = pairs.smask
+              LEFT JOIN v vi ON vi.mask = pairs.smask + (1 << bit))
+            SELECT channel, round(sum(term), 6) AS phi
+            FROM terms GROUP BY channel ORDER BY channel
+        """,
+        "graph_hits": """
+            WITH nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+            e AS (SELECT doc_id AS src,
+                         (doc_id * 7 + 3) % nd.n AS dst
+                  FROM documents, nd
+                  UNION ALL
+                  SELECT doc_id, 0 FROM documents
+                  WHERE doc_id % 10 = 0 AND doc_id <> 0),
+            a1 AS (SELECT dst, count(*)::BIGINT AS a1
+                   FROM e GROUP BY 1),
+            h1 AS (SELECT e.src, sum(a1.a1)::BIGINT AS h1
+                   FROM e JOIN a1 USING (dst) GROUP BY 1),
+            a2 AS (SELECT e.dst, sum(h1.h1)::BIGINT AS a2
+                   FROM e JOIN h1 USING (src) GROUP BY 1),
+            h2 AS (SELECT e.src, sum(a2.a2)::BIGINT AS h2
+                   FROM e JOIN a2 USING (dst) GROUP BY 1),
+            j AS (SELECT coalesce(a2.dst, h2.src) AS node,
+                         coalesce(a2.a2, 0)::BIGINT AS authority,
+                         coalesce(h2.h2, 0)::BIGINT AS hub
+                  FROM a2 FULL JOIN h2 ON a2.dst = h2.src),
+            mx AS (SELECT max(authority)::BIGINT AS ma,
+                          max(hub)::BIGINT AS mh
+                   FROM j)
+            SELECT node, authority, hub,
+                   round(authority::DOUBLE / ma::DOUBLE, 6)
+                     AS authority_norm,
+                   round(hub::DOUBLE / mh::DOUBLE, 6) AS hub_norm
+            FROM j, mx ORDER BY authority DESC, node LIMIT 20
+        """,
+        "graph_2hop": """
+            WITH nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+            e AS (SELECT doc_id AS src,
+                         (doc_id * 7 + 3) % nd.n AS dst
+                  FROM documents, nd
+                  UNION ALL
+                  SELECT doc_id, 0 FROM documents
+                  WHERE doc_id % 10 = 0 AND doc_id <> 0),
+            two AS (SELECT a.src AS src, b.dst AS dst
+                    FROM e a JOIN e b ON a.dst = b.src),
+            allp AS (SELECT DISTINCT src, dst
+                     FROM (SELECT * FROM e
+                           UNION ALL SELECT * FROM two)
+                     WHERE src <> dst),
+            r AS (SELECT src, count(*)::BIGINT AS reach_2hop
+                  FROM allp GROUP BY 1),
+            d AS (SELECT src, count(DISTINCT dst)::BIGINT AS out_deg
+                  FROM e GROUP BY 1)
+            SELECT r.src AS node, d.out_deg, r.reach_2hop
+            FROM r JOIN d USING (src)
+            ORDER BY reach_2hop DESC, node LIMIT 30
         """,
         "features_target_encoding": """
             WITH e AS (SELECT event_id, user_id, event_type,

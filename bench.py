@@ -322,6 +322,9 @@ HEADLINE = [
     "features_woe_iv",
     "quality_pr_auc",
     "embedding_drift",
+    "attribution_shapley",
+    "graph_hits",
+    "graph_2hop",
 ]
 
 

@@ -363,3 +363,97 @@ def test_embedding_drift_identical_halves(spark):
     }
     assert abs(got[0] - 1.0) < 1e-12  # same vector both halves
     assert abs(got[1] - 0.0) < 1e-12  # orthogonal halves
+
+
+def test_shapley_two_channel_hand_case(spark):
+    """2-channel miniature of the coalition->Shapley algebra the
+    registry query uses: v({A})=1, v({B})=0, v({A,B})=1, v({})=0
+    -> phi_A = 1, phi_B = 0 (A carries all the credit; B is a dummy
+    player)."""
+    from pyspark.sql import functions as F
+
+    # coalition table: mask (bit0=A, bit1=B) -> v
+    v = spark.createDataFrame(
+        [(0, 0.0), (1, 1.0), (2, 0.0), (3, 1.0)], "mask long, v double"
+    )
+    masks = spark.range(4).select(F.col("id").alias("smask"))
+    chans = spark.createDataFrame(
+        [("A", 0), ("B", 1)], "channel string, bit int"
+    )
+    pairs = masks.crossJoin(chans).where(
+        F.expr("shiftright(smask, bit) & 1") == 0
+    )
+    w = F.element_at(
+        F.array(F.lit(0.5), F.lit(0.5)),
+        F.bit_count(F.col("smask")).cast("int") + 1,
+    )
+    v_s = v.select(F.col("mask").alias("smask"), F.col("v").alias("v_s"))
+    v_si = v.select(F.col("mask").alias("wmask"), F.col("v").alias("v_si"))
+    terms = (
+        pairs.withColumn(
+            "wmask", F.expr("smask + shiftleft(1, bit)").cast("long")
+        )
+        .join(v_s, "smask", "left")
+        .join(v_si, "wmask", "left")
+        .select(
+            "channel",
+            (
+                w
+                * (
+                    F.coalesce("v_si", F.lit(0.0))
+                    - F.coalesce("v_s", F.lit(0.0))
+                )
+            ).alias("term"),
+        )
+    )
+    got = {
+        r["channel"]: r["phi"]
+        for r in terms.groupBy("channel")
+        .agg(F.sum("term").alias("phi"))
+        .collect()
+    }
+    assert abs(got["A"] - 1.0) < 1e-12
+    assert abs(got["B"]) < 1e-12
+    # efficiency: phi_A + phi_B = v(full) - v(empty)
+    assert abs(sum(got.values()) - 1.0) < 1e-12
+
+
+def test_hits_star_graph(spark):
+    """1->0, 2->0, 0->3: after two unnormalized iterations node 0 is
+    the top authority (score 4 = h1(1)+h1(2)) and nodes 1, 2 the top
+    hubs (score 4 each)."""
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0), (0, 3)], "src long, dst long"
+    )
+    a1 = edges.groupBy("dst").agg(F.count("*").alias("a1"))
+    h1 = edges.join(a1, "dst").groupBy("src").agg(F.sum("a1").alias("h1"))
+    a2 = edges.join(h1, "src").groupBy("dst").agg(F.sum("h1").alias("a2"))
+    h2 = edges.join(a2, "dst").groupBy("src").agg(F.sum("a2").alias("h2"))
+    auth = {r["dst"]: r["a2"] for r in a2.collect()}
+    hubs = {r["src"]: r["h2"] for r in h2.collect()}
+    assert auth == {0: 4, 3: 1}
+    assert hubs == {1: 4, 2: 4, 0: 1}
+
+
+def test_two_hop_reach_chain(spark):
+    """Chain 1->2->3->4: reach(1) = {2,3}, reach(2) = {3,4},
+    reach(3) = {4}."""
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    two = edges.alias("a").join(
+        edges.alias("b"), F.col("a.dst") == F.col("b.src")
+    ).select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+    reach = (
+        edges.unionByName(two)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .groupBy("src")
+        .agg(F.count("*").alias("r"))
+    )
+    got = {r["src"]: r["r"] for r in reach.collect()}
+    assert got == {1: 2, 2: 2, 3: 1}
