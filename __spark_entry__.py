@@ -10863,6 +10863,138 @@ def q_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- round 8, wave 6: privacy / curation / intermittent demand ---
+
+
+def q_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit of the customer table under the
+    quasi-identifier pair (mktsegment, nationkey) with the balance
+    tier as the sensitive attribute — the re-identification risk
+    report a privacy review runs before any data release: k = group
+    size, l = distinct sensitive values in the group, at_risk flags
+    k < 5 or l < 2. ONE map-side combined aggregate to the QI dim
+    (#segments x #nations rows); exact integers throughout."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("tier"),
+    )
+    g = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count("*").alias("k"),
+        F.count_distinct("tier").alias("l_diversity"),
+    )
+    return g.select(
+        "c_mktsegment",
+        "c_nationkey",
+        "k",
+        "l_diversity",
+        ((F.col("k") < 5) | (F.col("l_diversity") < 2)).alias("at_risk"),
+    ).orderBy("c_mktsegment", "c_nationkey")
+
+
+def q_corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation dashboard cube over (lang, length bucket, exact-dup
+    flag): doc counts, char volume, and the grouping id — the joint
+    breakdown a dataset curator reads before setting mixture weights.
+    Dup status comes from ONE md5-key groupBy (the exact-dedup shape:
+    map-side combined, never a text self-join); the cube runs on the
+    annotated table in a single pass."""
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5(F.encode("text", "UTF-8")).alias("h"),
+    )
+    counts = keyed.groupBy("h").agg(F.count("*").alias("copies"))
+    ann = keyed.join(counts, "h").select(
+        "lang",
+        F.when(F.col("n_chars") < 500, "00-499")
+        .when(F.col("n_chars") < 2000, "500-1999")
+        .when(F.col("n_chars") < 5000, "2000-4999")
+        .otherwise("5000+")
+        .alias("len_bucket"),
+        F.when(F.col("copies") > 1, "dup").otherwise("uniq").alias(
+            "dup_status"
+        ),
+        "n_chars",
+    )
+    return ann.cube("lang", "len_bucket", "dup_status").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
+def q_events_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method for intermittent demand per user (the
+    spare-parts/sparse-purchase forecaster a naive EWMA gets wrong):
+    daily purchase cents collapse once; on NONZERO-demand days the
+    demand sizes and the inter-demand gaps each smooth through the
+    shared dyadic EWMA fold (operators/timeseries.ewma, alpha = 0.5 —
+    every step exact in doubles), and the forecast is the final
+    size-EWMA / gap-EWMA ratio. Fixed-point nanos via floor on both
+    engines (the events_ewma discipline). Users with >= 2 demand days
+    only (the gap series needs a second point)."""
+    from vanus_spark.operators.timeseries import ewma
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("dnum"),
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.expr("CAST(round(value * 100) AS BIGINT)"),
+            ).otherwise(0)
+        ).alias("z")
+    )
+    nz = daily.where(F.col("z") > 0)
+    w = Window.partitionBy("user_id").orderBy("dnum")
+    zs = ewma(nz, "z", "dnum", "user_id", "dnum", alpha=0.5, k=32)
+    gaps = nz.select(
+        "user_id",
+        "dnum",
+        (F.col("dnum") - F.lag("dnum").over(w)).alias("gap"),
+    ).where(F.col("gap").isNotNull())
+    gs = ewma(gaps, "gap", "dnum", "user_id", "dnum", alpha=0.5, k=32)
+    last_z = (
+        zs.withColumn(
+            "_rn", F.row_number().over(w.orderBy(F.col("dnum").desc()))
+        )
+        .where(F.col("_rn") == 1)
+        .select("user_id", F.col("ewma").alias("ez"))
+    )
+    last_g = (
+        gs.withColumn(
+            "_rn", F.row_number().over(w.orderBy(F.col("dnum").desc()))
+        )
+        .where(F.col("_rn") == 1)
+        .select("user_id", F.col("ewma").alias("eg"))
+    )
+    nd = nz.groupBy("user_id").agg(F.count("*").alias("n_demand_days"))
+    out = (
+        nd.join(last_z, "user_id")
+        .join(last_g, "user_id")
+        .where(F.col("n_demand_days") >= 2)
+    )
+    return out.select(
+        "user_id",
+        "n_demand_days",
+        F.floor(F.col("ez") * 1e9).cast("long").alias("size_ewma_nanos"),
+        F.floor(F.col("eg") * 1e9).cast("long").alias("gap_ewma_nanos"),
+        F.floor((F.col("ez") / F.col("eg")) * 1e9)
+        .cast("long")
+        .alias("croston_nanos"),
+    ).orderBy("user_id")
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Round-7 policy (VERDICT r6 item #2): the 11 new-in-round queries first,
@@ -10984,6 +11116,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_shapley": q_attribution_shapley,
         "graph_hits": q_graph_hits,
         "graph_2hop": q_graph_2hop,
+        "privacy_k_anonymity": q_privacy_k_anonymity,
+        "corpus_curation_report": q_corpus_curation_report,
+        "events_croston": q_events_croston,
         # --- new in round 7, third session: feature transforms,
         # calibration, outlier/trend tests, corpus estimators, geo,
         # fold assignment, Markov attribution (post-window-freeze;
@@ -12923,6 +13058,96 @@ def oracle_sql() -> dict[str, str]:
                    round(center - half, 6) AS ci_lo,
                    round(center + half, 6) AS ci_hi
             FROM w ORDER BY event_type
+        """,
+        "privacy_k_anonymity": """
+            WITH c AS (SELECT c_mktsegment, c_nationkey,
+                              CASE WHEN c_acctbal < 0 THEN 'neg'
+                                   WHEN c_acctbal < 5000 THEN 'mid'
+                                   ELSE 'high' END AS tier
+                       FROM customer),
+            g AS (SELECT c_mktsegment, c_nationkey,
+                         count(*)::BIGINT AS k,
+                         count(DISTINCT tier)::BIGINT AS l_diversity
+                  FROM c GROUP BY 1, 2)
+            SELECT c_mktsegment, c_nationkey, k, l_diversity,
+                   (k < 5 OR l_diversity < 2) AS at_risk
+            FROM g ORDER BY 1, 2
+        """,
+        "corpus_curation_report": """
+            WITH keyed AS (SELECT doc_id, lang, n_chars,
+                                  md5(text) AS h
+                           FROM documents),
+            counts AS (SELECT h, count(*)::BIGINT AS copies
+                       FROM keyed GROUP BY 1),
+            ann AS (SELECT lang,
+                           CASE WHEN n_chars < 500 THEN '00-499'
+                                WHEN n_chars < 2000 THEN '500-1999'
+                                WHEN n_chars < 5000 THEN '2000-4999'
+                                ELSE '5000+' END AS len_bucket,
+                           CASE WHEN copies > 1 THEN 'dup'
+                                ELSE 'uniq' END AS dup_status,
+                           n_chars
+                    FROM keyed JOIN counts USING (h))
+            SELECT lang, len_bucket, dup_status,
+                   count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS total_chars,
+                   (grouping(lang) * 4 + grouping(len_bucket) * 2
+                    + grouping(dup_status))::BIGINT AS gid
+            FROM ann GROUP BY CUBE (lang, len_bucket, dup_status)
+        """,
+        "events_croston": """
+            WITH daily AS (
+              SELECT user_id,
+                     date_diff('day', DATE '2024-01-01',
+                               ts::DATE)::BIGINT AS dnum,
+                     sum(CASE WHEN event_type = 'purchase'
+                         THEN CAST(round(value * 100) AS BIGINT)
+                         ELSE 0 END)::BIGINT AS z
+              FROM events GROUP BY 1, 2),
+            nz AS (SELECT * FROM daily WHERE z > 0),
+            zf AS (SELECT user_id, dnum,
+                          list(z) OVER (PARTITION BY user_id
+                            ORDER BY dnum ROWS BETWEEN 31 PRECEDING
+                            AND CURRENT ROW) AS arr
+                   FROM nz),
+            zlast AS (SELECT user_id, arr FROM (
+                        SELECT user_id, arr,
+                               row_number() OVER (PARTITION BY user_id
+                                 ORDER BY dnum DESC) AS rn
+                        FROM zf) WHERE rn = 1),
+            ez AS (SELECT user_id,
+                          list_reduce(arr::DOUBLE[],
+                                      (acc, x) -> 0.5*x + 0.5*acc) AS ez
+                   FROM zlast),
+            gp AS (SELECT user_id, dnum,
+                          dnum - lag(dnum) OVER (PARTITION BY user_id
+                            ORDER BY dnum) AS gap
+                   FROM nz),
+            gp2 AS (SELECT user_id, dnum, gap FROM gp
+                    WHERE gap IS NOT NULL),
+            gf AS (SELECT user_id, dnum,
+                          list(gap) OVER (PARTITION BY user_id
+                            ORDER BY dnum ROWS BETWEEN 31 PRECEDING
+                            AND CURRENT ROW) AS garr
+                   FROM gp2),
+            glast AS (SELECT user_id, garr FROM (
+                        SELECT user_id, garr,
+                               row_number() OVER (PARTITION BY user_id
+                                 ORDER BY dnum DESC) AS rn
+                        FROM gf) WHERE rn = 1),
+            eg AS (SELECT user_id,
+                          list_reduce(garr::DOUBLE[],
+                                      (acc, x) -> 0.5*x + 0.5*acc) AS eg
+                   FROM glast),
+            nd AS (SELECT user_id, count(*)::BIGINT AS n_demand_days
+                   FROM nz GROUP BY 1)
+            SELECT nd.user_id, nd.n_demand_days,
+                   floor(ez.ez * 1e9)::BIGINT AS size_ewma_nanos,
+                   floor(eg.eg * 1e9)::BIGINT AS gap_ewma_nanos,
+                   floor((ez.ez / eg.eg) * 1e9)::BIGINT AS croston_nanos
+            FROM nd JOIN ez USING (user_id) JOIN eg USING (user_id)
+            WHERE nd.n_demand_days >= 2
+            ORDER BY nd.user_id
         """,
         "attribution_shapley": f"""
             WITH u AS (

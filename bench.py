@@ -325,6 +325,9 @@ HEADLINE = [
     "attribution_shapley",
     "graph_hits",
     "graph_2hop",
+    "privacy_k_anonymity",
+    "corpus_curation_report",
+    "events_croston",
 ]
 
 

@@ -457,3 +457,88 @@ def test_two_hop_reach_chain(spark):
     )
     got = {r["src"]: r["r"] for r in reach.collect()}
     assert got == {1: 2, 2: 2, 3: 1}
+
+
+def test_k_anonymity_flags_small_groups(spark):
+    """A QI group of 3 (k < 5) and a 6-member group with a single
+    sensitive value (l = 1) both flag; a diverse 6-member group
+    doesn't."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        [("s1", 1, "mid")] * 3
+        + [("s2", 2, "mid")] * 6
+        + [("s3", 3, "mid"), ("s3", 3, "high")] * 3
+    )
+    df = spark.createDataFrame(rows, "seg string, nat long, tier string")
+    g = df.groupBy("seg", "nat").agg(
+        F.count("*").alias("k"),
+        F.count_distinct("tier").alias("l"),
+    )
+    out = {
+        r["seg"]: (r["k"], r["l"], r["k"] < 5 or r["l"] < 2)
+        for r in g.collect()
+    }
+    assert out["s1"] == (3, 1, True)  # too small
+    assert out["s2"] == (6, 1, True)  # no diversity
+    assert out["s3"] == (6, 2, False)  # fine
+
+
+def test_croston_constant_demand_reduces_to_ratio(spark):
+    """Demand 10 every 2 days: size EWMA -> 10, gap EWMA -> 2,
+    croston forecast -> 5 per day (the intermittent-demand identity
+    a plain EWMA of the raw series misses)."""
+    from pyspark.sql import Window, functions as F
+
+    from vanus_spark.operators.timeseries import ewma
+
+    rows = [(1, 2 * i, 10) for i in range(8)]
+    nz = spark.createDataFrame(rows, "user_id long, dnum long, z long")
+    w = Window.partitionBy("user_id").orderBy("dnum")
+    zs = ewma(nz, "z", "dnum", "user_id", "dnum", alpha=0.5, k=32)
+    gaps = nz.select(
+        "user_id",
+        "dnum",
+        (F.col("dnum") - F.lag("dnum").over(w)).alias("gap"),
+    ).where(F.col("gap").isNotNull())
+    gs = ewma(gaps, "gap", "dnum", "user_id", "dnum", alpha=0.5, k=32)
+    ez = zs.orderBy(F.col("dnum").desc()).limit(1).collect()[0]["ewma"]
+    eg = gs.orderBy(F.col("dnum").desc()).limit(1).collect()[0]["ewma"]
+    assert abs(ez - 10.0) < 1e-12
+    assert abs(eg - 2.0) < 1e-12
+    assert abs(ez / eg - 5.0) < 1e-12
+
+
+def test_curation_cube_totals_consistent(spark):
+    """The grand-total cube cell equals the sum of the finest cells
+    (grouping-set arithmetic sanity on a toy corpus)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("en", "a", 100),
+        ("en", "a", 100),
+        ("en", "b", 300),
+        ("de", "c", 700),
+    ]
+    df = spark.createDataFrame(rows, "lang string, text string, n long")
+    counts = df.groupBy("text").agg(F.count("*").alias("copies"))
+    ann = df.join(counts, "text").select(
+        "lang",
+        F.when(F.col("copies") > 1, "dup").otherwise("uniq").alias("ds"),
+        "n",
+    )
+    cube = ann.cube("lang", "ds").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").alias("chars"),
+        F.grouping_id().alias("gid"),
+    )
+    rows_out = cube.collect()
+    grand = [r for r in rows_out if r["gid"] == 3][0]
+    fine = [r for r in rows_out if r["gid"] == 0]
+    assert grand["n_docs"] == 4 and grand["chars"] == 1200
+    assert sum(r["n_docs"] for r in fine) == 4
+    assert sum(r["chars"] for r in fine) == 1200
+    dup_cell = [
+        r for r in rows_out if r["gid"] == 0 and r["ds"] == "dup"
+    ]
+    assert sum(r["n_docs"] for r in dup_cell) == 2
