@@ -10995,6 +10995,166 @@ def q_events_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+# --- round 8, wave 7: exact inference / latency / code detection ---
+
+
+def q_events_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's exact test on the 2x2 variant x conversion table
+    (operators/hyptests.fisher_exact_2x2) — the small-cell-safe
+    counterpart of q_events_ab_test's chi-square: the 4 counts come
+    from ONE distributed user rollup (the bounded-collect contract:
+    exactly four integers cross the driver boundary), and the
+    hypergeometric tail walks the exact ratio recursion in frozen
+    IEEE order; the oracle replays the identical walk in a recursive
+    CTE, so both engines derive bit-identical p-values."""
+    from vanus_spark.operators.hyptests import fisher_exact_2x2
+
+    ev = _t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 150),
+                1,
+            ).otherwise(0)
+        ).alias("conv")
+    )
+    cells = users.groupBy(
+        (F.col("user_id") % 2).alias("variant"), "conv"
+    ).agg(F.count("*").alias("n"))
+    got = {
+        (r["variant"], r["conv"]): r["n"] for r in cells.collect()
+    }
+    a = got.get((0, 1), 0)
+    b = got.get((0, 0), 0)
+    c = got.get((1, 1), 0)
+    d = got.get((1, 0), 0)
+    r = fisher_exact_2x2(a, b, c, d)
+    out = spark.createDataFrame(
+        [(r["a"], r["b"], r["c"], r["d"], r["odds_ratio"], r["p_value"])],
+        "a long, b long, c long, d long, odds_ratio double,"
+        " p_value double",
+    )
+    return out.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round("odds_ratio", 6).alias("odds_ratio"),
+        F.round("p_value", 9).alias("p_value"),
+    )
+
+
+def q_events_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation (lags 1-3) of each event type's daily
+    cents series: the Durbin-Levinson recursion unrolled to closed
+    form over the ROUNDED exact-integer ACF
+    (operators/timeseries.acf_exact) — phi11 = r1, phi22 =
+    (r2 - r1^2)/(1 - r1^2), phi33 from the order-2 coefficients. The
+    AR-order diagnostic next to q_events_acf; same one-collapse scale
+    shape, and the unroll is a fixed scalar expression shared with
+    the oracle character for character."""
+    from vanus_spark.operators.timeseries import acf_exact
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"), F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents")
+    )
+    acf = acf_exact(daily, "event_type", "day", "cents", 3)
+    r1, r2, r3 = F.col("acf_1"), F.col("acf_2"), F.col("acf_3")
+    phi22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    phi21 = r1 - phi22 * r1
+    phi33 = (r3 - phi21 * r2 - phi22 * r1) / (
+        1.0 - phi21 * r1 - phi22 * r2
+    )
+    return acf.select(
+        "event_type",
+        "n_days",
+        F.round(r1, 6).alias("pacf_1"),
+        F.round(phi22, 6).alias("pacf_2"),
+        F.round(phi33, 6).alias("pacf_3"),
+    ).orderBy("event_type")
+
+
+def q_lineitem_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per order priority (the
+    fulfillment SLA report): latency = days from order date to line
+    ship date, aggregated to n / exact mean (integer day sums) /
+    interpolated p50 + p90 / min / max. One equi-join on orderkey
+    (both sides shuffle on the same key; at scale this is the
+    bucketed-join candidate) and one map-side combined aggregate."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        ).alias("days"),
+    )
+    return (
+        lat.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum("days").cast("double") / F.count("*").cast("double"),
+                6,
+            ).alias("mean_days"),
+            F.expr("percentile(days, 0.5)").alias("p50_days"),
+            F.expr("percentile(days, 0.9)").alias("p90_days"),
+            F.min("days").alias("min_days"),
+            F.max("days").alias("max_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_docs_code_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-content detection per document — the pretraining-pipeline
+    router that separates prose from code before language-specific
+    filters: line-shape votes (trailing ';'/'{'/'}' or a 4-space
+    indent) via a Catalyst higher-order filter over the split lines
+    (no regex, so both engines' string semantics are identical), plus
+    symbol density from the length-of-replace trick. Pure per-row
+    Column arithmetic — embarrassingly parallel at any SF."""
+    docs = _t(spark, sf_dir, "documents")
+    code_lines = F.expr(
+        "size(filter(split(text, '\\n'), l ->"
+        " right(trim(l), 1) IN (';', '{', '}')"
+        " OR left(l, 4) = '    '))"
+    )
+    n_lines = F.expr("size(split(text, '\\n'))")
+    # regexp-free symbol count: sum of per-char replace deltas
+    sym = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("{"))))
+        + (F.length("text") - F.length(F.replace(F.col("text"), F.lit(";"))))
+        + (F.length("text") - F.length(F.replace(F.col("text"), F.lit("="))))
+    )
+    out = docs.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        code_lines.alias("code_lines"),
+        F.round(
+            sym.cast("double") / F.col("n_chars").cast("double"), 6
+        ).alias("sym_density"),
+    )
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "code_lines",
+        "sym_density",
+        (
+            (F.col("code_lines").cast("double") * 10.0
+             > F.col("n_lines").cast("double") * 3.0)
+            | (F.col("sym_density") > 0.02)
+        ).alias("looks_code"),
+    ).orderBy("doc_id")
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Round-7 policy (VERDICT r6 item #2): the 11 new-in-round queries first,
@@ -11119,6 +11279,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "privacy_k_anonymity": q_privacy_k_anonymity,
         "corpus_curation_report": q_corpus_curation_report,
         "events_croston": q_events_croston,
+        "events_fisher_exact": q_events_fisher_exact,
+        "events_pacf": q_events_pacf,
+        "lineitem_ship_latency": q_lineitem_ship_latency,
+        "docs_code_signal": q_docs_code_signal,
         # --- new in round 7, third session: feature transforms,
         # calibration, outlier/trend tests, corpus estimators, geo,
         # fold assignment, Markov attribution (post-window-freeze;
@@ -12931,6 +13095,39 @@ def _ljung_box_sql(h: int) -> str:
 _LJUNG_BOX_ORACLE_SQL = _ljung_box_sql(5)
 
 
+def _pacf_sql() -> str:
+    """Durbin-Levinson order-3 unroll over the ROUNDED ACF lattice —
+    generated beside the ljung-box oracle so the r_k expressions stay
+    textually identical to acf_exact's."""
+    rks = ", ".join(
+        "round(CASE WHEN ss::DOUBLE - n::DOUBLE * mean * mean > 0 "
+        f"THEN (syy{k}::DOUBLE - mean * (sh{k} + st{k})::DOUBLE "
+        f"+ nk{k}::DOUBLE * mean * mean) "
+        "/ (ss::DOUBLE - n::DOUBLE * mean * mean) END, 6) "
+        f"AS r{k}"
+        for k in range(1, 4)
+    )
+    return f"""
+        {_acf_agg_sql(3)},
+        r AS (SELECT key, n, {rks} FROM g),
+        p2 AS (SELECT key, n, r1, r2, r3,
+                      (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi22
+               FROM r),
+        p3 AS (SELECT key, n, r1, r2, r3, phi22,
+                      r1 - phi22 * r1 AS phi21
+               FROM p2)
+        SELECT key AS event_type, n AS n_days,
+               round(r1, 6) AS pacf_1,
+               round(phi22, 6) AS pacf_2,
+               round((r3 - phi21 * r2 - phi22 * r1)
+                     / (1.0 - phi21 * r1 - phi22 * r2), 6) AS pacf_3
+        FROM p3 ORDER BY key
+    """
+
+
+_PACF_ORACLE_SQL = _pacf_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     norm_text = _NORM.format(c="text")
     return {
@@ -13058,6 +13255,95 @@ def oracle_sql() -> dict[str, str]:
                    round(center - half, 6) AS ci_lo,
                    round(center + half, 6) AS ci_hi
             FROM w ORDER BY event_type
+        """,
+        "events_fisher_exact": """
+            WITH RECURSIVE u AS (
+              SELECT user_id % 2 AS variant,
+                     max(CASE WHEN event_type = 'purchase'
+                               AND value > 150
+                         THEN 1 ELSE 0 END) AS conv
+              FROM events GROUP BY user_id),
+            tab AS (SELECT
+                      sum(CASE WHEN variant = 0 AND conv = 1
+                          THEN 1 ELSE 0 END)::BIGINT AS a,
+                      sum(CASE WHEN variant = 0 AND conv = 0
+                          THEN 1 ELSE 0 END)::BIGINT AS b,
+                      sum(CASE WHEN variant = 1 AND conv = 1
+                          THEN 1 ELSE 0 END)::BIGINT AS c,
+                      sum(CASE WHEN variant = 1 AND conv = 0
+                          THEN 1 ELSE 0 END)::BIGINT AS d
+                    FROM u),
+            m AS (SELECT a, b, c, d, a + b AS r1, c + d AS r2,
+                         a + c AS c1,
+                         greatest(0, (a + c) - (c + d)) AS kmin,
+                         least(a + b, a + c) AS kmax
+                  FROM tab),
+            wk(k, w) AS (
+              SELECT kmin, 1.0::DOUBLE FROM m
+              UNION ALL
+              SELECT wk.k + 1,
+                     wk.w * (((m.r1 - wk.k) * (m.c1 - wk.k))::DOUBLE
+                             / ((wk.k + 1)
+                                * (m.r2 - m.c1 + wk.k + 1))::DOUBLE)
+              FROM wk, m WHERE wk.k < m.kmax),
+            obs AS (SELECT wk.w * 1.0000001 AS thresh
+                    FROM wk, m WHERE wk.k = m.a),
+            acc(k, den, num) AS (
+              SELECT m.kmin - 1, 0.0::DOUBLE, 0.0::DOUBLE FROM m
+              UNION ALL
+              SELECT acc.k + 1,
+                     acc.den + wk.w,
+                     acc.num + CASE WHEN wk.w <= obs.thresh
+                               THEN wk.w ELSE 0.0 END
+              FROM acc, wk, obs, m
+              WHERE wk.k = acc.k + 1 AND acc.k < m.kmax)
+            SELECT m.a, m.b, m.c, m.d,
+                   round(CASE WHEN m.b > 0 AND m.c > 0
+                         THEN (m.a * m.d)::DOUBLE
+                              / (m.b * m.c)::DOUBLE END, 6)
+                     AS odds_ratio,
+                   round(acc.num / acc.den, 9) AS p_value
+            FROM acc, m WHERE acc.k = m.kmax
+        """,
+        "events_pacf": _PACF_ORACLE_SQL,
+        "lineitem_ship_latency": """
+            WITH lat AS (
+              SELECT o.o_orderpriority,
+                     date_diff('day', o.o_orderdate::DATE,
+                               l.l_shipdate::DATE)::BIGINT AS days
+              FROM lineitem l JOIN orders o
+                ON l.l_orderkey = o.o_orderkey)
+            SELECT o_orderpriority, count(*)::BIGINT AS n_lines,
+                   round(sum(days)::DOUBLE / count(*)::DOUBLE, 6)
+                     AS mean_days,
+                   quantile_cont(days, 0.5) AS p50_days,
+                   quantile_cont(days, 0.9) AS p90_days,
+                   min(days)::BIGINT AS min_days,
+                   max(days)::BIGINT AS max_days
+            FROM lat GROUP BY 1 ORDER BY 1
+        """,
+        "docs_code_signal": """
+            WITH s AS (
+              SELECT doc_id,
+                     len(str_split(text, chr(10)))::BIGINT AS n_lines,
+                     len(list_filter(str_split(text, chr(10)),
+                         l -> right(trim(l), 1) IN (';', '{', '}')
+                              OR left(l, 4) = '    '))::BIGINT
+                       AS code_lines,
+                     ((length(text) - length(replace(text, '{', '')))
+                      + (length(text) - length(replace(text, ';', '')))
+                      + (length(text)
+                         - length(replace(text, '=', ''))))::BIGINT
+                       AS sym,
+                     n_chars
+              FROM documents)
+            SELECT doc_id, n_lines, code_lines,
+                   round(sym::DOUBLE / n_chars::DOUBLE, 6)
+                     AS sym_density,
+                   (code_lines::DOUBLE * 10.0 > n_lines::DOUBLE * 3.0
+                    OR round(sym::DOUBLE / n_chars::DOUBLE, 6) > 0.02)
+                     AS looks_code
+            FROM s ORDER BY doc_id
         """,
         "privacy_k_anonymity": """
             WITH c AS (SELECT c_mktsegment, c_nationkey,

@@ -328,6 +328,10 @@ HEADLINE = [
     "privacy_k_anonymity",
     "corpus_curation_report",
     "events_croston",
+    "events_fisher_exact",
+    "events_pacf",
+    "lineitem_ship_latency",
+    "docs_code_signal",
 ]
 
 

@@ -542,3 +542,70 @@ def test_curation_cube_totals_consistent(spark):
         r for r in rows_out if r["gid"] == 0 and r["ds"] == "dup"
     ]
     assert sum(r["n_docs"] for r in dup_cell) == 2
+
+
+def test_fisher_exact_matches_r_values(spark):
+    """Textbook tables against R's fisher.test: [[1,9],[11,3]] ->
+    p = 0.00275946, [[3,1],[1,3]] -> p = 0.4857143; a balanced table
+    gives p = 1."""
+    from vanus_spark.operators.hyptests import fisher_exact_2x2
+
+    assert abs(fisher_exact_2x2(1, 9, 11, 3)["p_value"] - 0.002759456) < 1e-8
+    assert abs(fisher_exact_2x2(3, 1, 1, 3)["p_value"] - 0.4857142857) < 1e-9
+    assert abs(fisher_exact_2x2(5, 5, 5, 5)["p_value"] - 1.0) < 1e-12
+    r = fisher_exact_2x2(1, 9, 11, 3)
+    assert abs(r["odds_ratio"] - (1 * 3) / (9 * 11)) < 1e-12
+
+
+def test_pacf_ar1_cuts_off_after_lag_one(spark):
+    """For an exact AR(1) ACF (r_k = rho^k) the Durbin-Levinson
+    unroll gives pacf_2 = pacf_3 = 0 — the textbook cutoff that makes
+    PACF the AR-order diagnostic."""
+    rho = 0.6
+    r1, r2, r3 = rho, rho**2, rho**3
+    phi22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    phi21 = r1 - phi22 * r1
+    phi33 = (r3 - phi21 * r2 - phi22 * r1) / (
+        1.0 - phi21 * r1 - phi22 * r2
+    )
+    assert abs(phi22) < 1e-12
+    assert abs(phi33) < 1e-12
+    # and an MA-ish ACF (r2 below rho^2) gives negative pacf_2
+    phi22b = (0.1 - 0.36) / (1.0 - 0.36)
+    assert phi22b < 0
+
+
+def test_code_signal_separates_code_from_prose(spark):
+    """A snippet with braces/semicolons + indented lines flags; plain
+    prose does not (drives the same HOF + replace-delta expressions as
+    the registry query)."""
+    from pyspark.sql import functions as F
+
+    code = "int f() {\n    int x = 1;\n    return x;\n}"
+    prose = "The quick brown fox jumps over the lazy dog.\nIt was sunny."
+    df = spark.createDataFrame(
+        [(1, code, len(code)), (2, prose, len(prose))],
+        "doc_id long, text string, n_chars long",
+    )
+    code_lines = F.expr(
+        "size(filter(split(text, '\\n'), l ->"
+        " right(trim(l), 1) IN (';', '{', '}')"
+        " OR left(l, 4) = '    '))"
+    )
+    n_lines = F.expr("size(split(text, '\\n'))")
+    sym = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("{"))))
+        + (F.length("text") - F.length(F.replace(F.col("text"), F.lit(";"))))
+        + (F.length("text") - F.length(F.replace(F.col("text"), F.lit("="))))
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            n_lines.alias("nl"),
+            code_lines.alias("cl"),
+            (sym.cast("double") / F.col("n_chars")).alias("dens"),
+        ).collect()
+    }
+    assert out[1]["cl"] == 4 and out[1]["dens"] > 0.02
+    assert out[2]["cl"] == 0 and out[2]["dens"] == 0.0

@@ -746,3 +746,54 @@ def cochran_armitage_trend(
             F.when(var > 0, 2.0 * norm_sf(F.abs(z))).otherwise(1.0), 6
         ).alias("p_value"),
     )
+
+
+def fisher_exact_2x2(a: int, b: int, c: int, d: int) -> dict:
+    """Fisher's exact test (two-sided, sum-of-smaller-tables
+    convention with R's 1e-7 relative slack) for the 2x2 table
+    [[a, b], [c, d]], computed with the exact hypergeometric ratio
+    recursion in a FROZEN left-to-right IEEE order so an independent
+    engine replaying the identical walk (a recursive CTE) derives
+    bit-identical doubles:
+
+        w(kmin) = 1;  w(k+1) = w(k) * ((r1-k)(c1-k)) / ((k+1)(r2-c1+k+1))
+        p = sum(w[k] for w[k] <= w[a] * (1 + 1e-7)) / sum(w)
+
+    Driver-side by design: the walk is bounded by min(row margin,
+    col margin) — the same bounded-collect contract as the Markov
+    absorption loop. For margins beyond ~1e6 use the chi-square
+    approximation instead (at that n they agree to many digits)."""
+    r1, r2 = a + b, c + d
+    c1 = a + c
+    kmin = max(0, c1 - r2)
+    kmax = min(r1, c1)
+    if kmax - kmin > 1_000_000:
+        raise ValueError(
+            "fisher_exact_2x2 is for bounded margins (walk length "
+            f"{kmax - kmin}); use the chi-square approximation at this n"
+        )
+    ws = [1.0]
+    w = 1.0
+    for k in range(kmin, kmax):
+        num = float((r1 - k) * (c1 - k))
+        den = float((k + 1) * (r2 - c1 + k + 1))
+        w = w * (num / den)
+        ws.append(w)
+    thresh = ws[a - kmin] * 1.0000001
+    numer = 0.0
+    denom = 0.0
+    for w in ws:
+        denom = denom + w
+        if w <= thresh:
+            numer = numer + w
+    odds = (
+        (a * d) / (b * c) if b > 0 and c > 0 else float("nan")
+    )
+    return {
+        "a": a,
+        "b": b,
+        "c": c,
+        "d": d,
+        "odds_ratio": odds,
+        "p_value": numer / denom,
+    }
