@@ -11155,6 +11155,166 @@ def q_docs_code_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# --- round 8, wave 8: chain equilibrium / lexical diversity / SAX ---
+
+_MARKOV_STATES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type transition chain
+    (operators/markov.stationary_distribution): where user flow
+    equilibrates if the observed bigram dynamics ran forever — the
+    long-run complement of q_events_transitions' one-step matrix. ONE
+    lag window + ONE map-side combined bigram count are the only
+    passes over the data; the 5x5 matrix collects to the driver
+    (bounded by the type alphabet) and the 50 power-iteration sweeps
+    run in frozen IEEE order, replayed identically by the oracle's
+    recursive CTE."""
+    from vanus_spark.operators.markov import stationary_distribution
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.lag("event_type").over(w).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .where(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    pi = stationary_distribution(
+        [(r["src"], r["dst"], r["n"]) for r in pairs], _MARKOV_STATES
+    )
+    out = spark.createDataFrame(pi, "state string, pi double")
+    return out.select(
+        "state", F.round("pi", 9).alias("pi")
+    ).orderBy("state")
+
+
+def q_docs_ttr_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per document: plain type-token ratio plus
+    MATTR (moving-average TTR over a 20-token window — Covington &
+    McFall's length-invariant form; raw TTR shrinks with length, which
+    makes cross-length comparisons lie). One posexplode pass, one
+    per-doc ordered window whose frame is BOUNDED at 20 tokens, and
+    the moving average folds as an exact integer sum of distinct
+    counts over full windows (never an average of per-window doubles).
+    Documents shorter than the window emit NULL mattr explicitly."""
+    from vanus_spark.llm.dedup import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(normalize_text(F.col("text")), " ")).alias(
+            "pos", "tok"
+        ),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-19, 0)
+    )
+    win = toks.select(
+        "doc_id", F.collect_list("tok").over(w).alias("arr")
+    )
+    full = win.where(F.size("arr") == 20).select(
+        "doc_id", F.size(F.array_distinct("arr")).alias("k")
+    )
+    pw = full.groupBy("doc_id").agg(
+        F.sum("k").alias("sk"), F.count("*").alias("nw")
+    )
+    base = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.count_distinct("tok").alias("n_types"),
+    )
+    return (
+        base.join(pw, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_types",
+            F.round(
+                F.col("n_types").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("ttr"),
+            F.round(
+                F.col("sk").cast("double")
+                / (20.0 * F.col("nw").cast("double")),
+                6,
+            ).alias("mattr"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_events_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization of each event type's daily cents series
+    (Lin/Keogh): PAA over 3-day buckets (exact integer sums divided
+    once), z-scored against the type's own daily moments (all exact
+    BIGINTs until the final ratios), then mapped to a 4-letter
+    alphabet at the N(0,1) quartile breakpoints +-0.6745 / 0 — the
+    shape-index primitive behind motif mining and cheap whole-series
+    similarity. One daily collapse + one bucket aggregate; the SAX
+    word assembles with an order-pinned fold over #buckets rows."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"),
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("dnum"),
+    ).agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("_n"),
+        F.sum("cents").alias("_s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("_ss"),
+    )
+    paa = daily.groupBy(
+        "event_type", F.expr("dnum DIV 3").alias("bucket")
+    ).agg(
+        (
+            F.sum("cents").cast("double")
+            / F.count("*").cast("double")
+        ).alias("paa")
+    )
+    nd = F.col("_n").cast("double")
+    mu = F.col("_s").cast("double") / nd
+    sigma = F.sqrt(
+        (F.col("_ss").cast("double") - nd * mu * mu) / (nd - 1.0)
+    )
+    z = (F.col("paa") - mu) / sigma
+    sym = (
+        F.when(z < -0.6745, "a")
+        .when(z < 0.0, "b")
+        .when(z < 0.6745, "c")
+        .otherwise("d")
+    )
+    staged = paa.join(F.broadcast(stats), "event_type").select(
+        "event_type", "bucket", sym.alias("sym")
+    )
+    return (
+        staged.groupBy("event_type")
+        .agg(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "struct(bucket, sym))), x -> x.sym)"
+                ),
+                "",
+            ).alias("sax"),
+            F.sum((F.col("sym") == "a").cast("long")).alias("n_a"),
+            F.sum((F.col("sym") == "b").cast("long")).alias("n_b"),
+            F.sum((F.col("sym") == "c").cast("long")).alias("n_c"),
+            F.sum((F.col("sym") == "d").cast("long")).alias("n_d"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Round-7 policy (VERDICT r6 item #2): the 11 new-in-round queries first,
@@ -11283,6 +11443,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pacf": q_events_pacf,
         "lineitem_ship_latency": q_lineitem_ship_latency,
         "docs_code_signal": q_docs_code_signal,
+        "events_markov_stationary": q_events_markov_stationary,
+        "docs_ttr_mattr": q_docs_ttr_mattr,
+        "events_sax": q_events_sax,
         # --- new in round 7, third session: feature transforms,
         # calibration, outlier/trend tests, corpus estimators, geo,
         # fold assignment, Markov attribution (post-window-freeze;
@@ -13128,6 +13291,62 @@ def _pacf_sql() -> str:
 _PACF_ORACLE_SQL = _pacf_sql()
 
 
+def _markov_stationary_sql(iters: int = 50) -> str:
+    """Recursive-CTE twin of operators/markov.stationary_distribution:
+    the 5x5 matrix pivots to one row of generated columns and every
+    power-iteration component unrolls as the SAME left-associated
+    ascending-i sum the Python walk folds — bit-identical doubles."""
+    st = _MARKOV_STATES
+    n = len(st)
+    cols_c = ", ".join(
+        f"coalesce(sum(CASE WHEN src = '{si}' AND dst = '{sj}' "
+        f"THEN n END), 0)::BIGINT AS c_{i}_{j}"
+        for i, si in enumerate(st)
+        for j, sj in enumerate(st)
+    )
+    cols_rs = ", ".join(
+        f"coalesce(sum(CASE WHEN src = '{si}' THEN n END), 0)::BIGINT "
+        f"AS rs_{i}"
+        for i, si in enumerate(st)
+    )
+    cols_p = ", ".join(
+        f"c_{i}_{j}::DOUBLE / rs_{i}::DOUBLE AS p_{i}_{j}"
+        for i in range(n)
+        for j in range(n)
+    )
+    pi_names = ", ".join(f"pi{i}" for i in range(n))
+    init = ", ".join([f"{1.0 / n!r}::DOUBLE"] * n)
+    steps = ", ".join(
+        " + ".join(f"r.pi{i} * p.p_{i}_{j}" for i in range(n))
+        for j in range(n)
+    )
+    finals = " UNION ALL ".join(
+        f"SELECT '{si}' AS state, pi{i} AS pi FROM rec WHERE it = {iters}"
+        for i, si in enumerate(st)
+    )
+    return f"""
+        WITH RECURSIVE bg AS (
+          SELECT lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS src,
+                 event_type AS dst
+          FROM events),
+        pairs AS (SELECT src, dst, count(*)::BIGINT AS n
+                  FROM bg WHERE src IS NOT NULL GROUP BY 1, 2),
+        mat AS (SELECT {cols_c}, {cols_rs} FROM pairs),
+        p AS (SELECT {cols_p} FROM mat),
+        rec(it, {pi_names}) AS (
+          SELECT 0, {init}
+          UNION ALL
+          SELECT r.it + 1, {steps}
+          FROM rec r, p WHERE r.it < {iters})
+        SELECT state, round(pi, 9) AS pi FROM ({finals})
+        ORDER BY state
+    """
+
+
+_MARKOV_STATIONARY_ORACLE_SQL = _markov_stationary_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     norm_text = _NORM.format(c="text")
     return {
@@ -13255,6 +13474,73 @@ def oracle_sql() -> dict[str, str]:
                    round(center - half, 6) AS ci_lo,
                    round(center + half, 6) AS ci_hi
             FROM w ORDER BY event_type
+        """,
+        "events_markov_stationary": _MARKOV_STATIONARY_ORACLE_SQL,
+        "docs_ttr_mattr": f"""
+            WITH tk AS (
+              SELECT doc_id,
+                     unnest(str_split({_NORM.format(c="text")}, ' '))
+                       AS tok,
+                     generate_subscripts(
+                       str_split({_NORM.format(c="text")}, ' '), 1)
+                       AS pos
+              FROM documents),
+            win AS (SELECT doc_id,
+                           list(tok) OVER (PARTITION BY doc_id
+                             ORDER BY pos ROWS BETWEEN 19 PRECEDING
+                             AND CURRENT ROW) AS arr
+                    FROM tk),
+            f AS (SELECT doc_id,
+                         len(list_distinct(arr))::BIGINT AS k
+                  FROM win WHERE len(arr) = 20),
+            pw AS (SELECT doc_id, sum(k)::BIGINT AS sk,
+                          count(*)::BIGINT AS nw
+                   FROM f GROUP BY 1),
+            base AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                            count(DISTINCT tok)::BIGINT AS n_types
+                     FROM tk GROUP BY 1)
+            SELECT b.doc_id, n_tokens, n_types,
+                   round(n_types::DOUBLE / n_tokens::DOUBLE, 6) AS ttr,
+                   round(sk::DOUBLE / (20.0 * nw::DOUBLE), 6) AS mattr
+            FROM base b LEFT JOIN pw USING (doc_id)
+            ORDER BY b.doc_id
+        """,
+        "events_sax": """
+            WITH daily AS (
+              SELECT event_type,
+                     date_diff('day', DATE '2024-01-01',
+                               ts::DATE)::BIGINT AS dnum,
+                     sum(CAST(round(value * 100) AS
+                              BIGINT))::BIGINT AS cents
+              FROM events GROUP BY 1, 2),
+            st AS (SELECT event_type, count(*)::BIGINT AS n,
+                          sum(cents)::BIGINT AS s,
+                          sum(cents * cents)::BIGINT AS ss
+                   FROM daily GROUP BY 1),
+            paa AS (SELECT event_type, dnum // 3 AS bucket,
+                           sum(cents)::DOUBLE / count(*)::DOUBLE AS paa
+                    FROM daily GROUP BY 1, 2),
+            z AS (SELECT p.event_type, p.bucket,
+                         (p.paa - (st.s::DOUBLE / st.n::DOUBLE))
+                           / sqrt((st.ss::DOUBLE
+                                   - st.n::DOUBLE
+                                     * (st.s::DOUBLE / st.n::DOUBLE)
+                                     * (st.s::DOUBLE / st.n::DOUBLE))
+                                  / (st.n::DOUBLE - 1.0)) AS z
+                  FROM paa p JOIN st USING (event_type)),
+            sy AS (SELECT event_type, bucket,
+                          CASE WHEN z < -0.6745 THEN 'a'
+                               WHEN z < 0.0 THEN 'b'
+                               WHEN z < 0.6745 THEN 'c'
+                               ELSE 'd' END AS sym
+                   FROM z)
+            SELECT event_type,
+                   string_agg(sym, '' ORDER BY bucket) AS sax,
+                   sum((sym = 'a')::BIGINT)::BIGINT AS n_a,
+                   sum((sym = 'b')::BIGINT)::BIGINT AS n_b,
+                   sum((sym = 'c')::BIGINT)::BIGINT AS n_c,
+                   sum((sym = 'd')::BIGINT)::BIGINT AS n_d
+            FROM sy GROUP BY event_type ORDER BY event_type
         """,
         "events_fisher_exact": """
             WITH RECURSIVE u AS (

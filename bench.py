@@ -332,6 +332,9 @@ HEADLINE = [
     "events_pacf",
     "lineitem_ship_latency",
     "docs_code_signal",
+    "events_markov_stationary",
+    "docs_ttr_mattr",
+    "events_sax",
 ]
 
 

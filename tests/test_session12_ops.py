@@ -609,3 +609,75 @@ def test_code_signal_separates_code_from_prose(spark):
     }
     assert out[1]["cl"] == 4 and out[1]["dens"] > 0.02
     assert out[2]["cl"] == 0 and out[2]["dens"] == 0.0
+
+
+def test_stationary_distribution_textbook_chain(spark):
+    """P = [[0.5, 0.5], [0.25, 0.75]] has stationary (1/3, 2/3);
+    the distribution sums to 1 and is invariant under one more step."""
+    from vanus_spark.operators.markov import stationary_distribution
+
+    out = dict(
+        stationary_distribution(
+            [("a", "a", 2), ("a", "b", 2), ("b", "a", 1), ("b", "b", 3)],
+            ["a", "b"],
+        )
+    )
+    assert abs(out["a"] - 1 / 3) < 1e-12
+    assert abs(out["b"] - 2 / 3) < 1e-12
+    assert abs(sum(out.values()) - 1.0) < 1e-12
+    # invariance: pi P = pi
+    pa = out["a"] * 0.5 + out["b"] * 0.25
+    assert abs(pa - out["a"]) < 1e-12
+
+
+def test_stationary_rejects_dead_state(spark):
+    import pytest
+
+    from vanus_spark.operators.markov import stationary_distribution
+
+    with pytest.raises(ValueError):
+        stationary_distribution([("a", "b", 1)], ["a", "b"])
+
+
+def test_mattr_constant_vs_diverse(spark):
+    """All-same tokens -> MATTR = 1/20; all-distinct -> MATTR = 1
+    (the two extremes of the 20-token window)."""
+    from pyspark.sql import Window, functions as F
+
+    same = [(1, i, "x") for i in range(25)]
+    uniq = [(2, i, f"w{i}") for i in range(25)]
+    toks = spark.createDataFrame(
+        same + uniq, "doc_id long, pos long, tok string"
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-19, 0)
+    win = toks.select("doc_id", F.collect_list("tok").over(w).alias("arr"))
+    full = win.where(F.size("arr") == 20).select(
+        "doc_id", F.size(F.array_distinct("arr")).alias("k")
+    )
+    got = {
+        r["doc_id"]: r["m"]
+        for r in full.groupBy("doc_id")
+        .agg((F.sum("k") / (20.0 * F.count("*"))).alias("m"))
+        .collect()
+    }
+    assert abs(got[1] - 1.0 / 20.0) < 1e-12
+    assert abs(got[2] - 1.0) < 1e-12
+
+
+def test_sax_symbols_track_level(spark):
+    """A series that steps low -> high maps to 'a...d...' symbols:
+    the low plateau z-scores below -0.6745, the high one above."""
+    import statistics
+
+    vals = [10.0] * 6 + [20.0] * 6
+    mu = statistics.mean(vals)
+    sd = statistics.stdev(vals)
+    syms = []
+    for v in vals:
+        z = (v - mu) / sd
+        syms.append(
+            "a" if z < -0.6745 else
+            "b" if z < 0 else
+            "c" if z < 0.6745 else "d"
+        )
+    assert set(syms[:6]) == {"a"} and set(syms[6:]) == {"d"}

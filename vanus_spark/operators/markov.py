@@ -153,3 +153,50 @@ def removal_effect(
         }
         for c in chans
     ]
+
+
+def stationary_distribution(
+    counts: list[tuple[str, str, int]],
+    states: list[str],
+    iters: int = 50,
+) -> list[tuple[str, float]]:
+    """Stationary distribution of the first-order transition chain by
+    power iteration from the uniform start, in FROZEN IEEE order (pi
+    components updated with a left-associated ascending-i sum; the
+    oracle's recursive CTE unrolls the identical 25 expressions), so
+    both engines land on bit-identical doubles after ``iters`` sweeps.
+
+    Driver-side by design: the matrix is BOUNDED by the state
+    alphabet (the journey_edges / removal_effect contract) — the
+    distributed work is the one edge-count aggregate that feeds
+    ``counts``. Every state must have at least one outgoing
+    transition (true for any chain built from consecutive-event
+    bigrams, where only the final event of a user lacks a successor
+    but its type appears elsewhere)."""
+    n = len(states)
+    idx = {s: i for i, s in enumerate(states)}
+    c = [[0] * n for _ in range(n)]
+    for src, dst, cnt in counts:
+        if src in idx and dst in idx:
+            c[idx[src]][idx[dst]] += cnt
+    p = []
+    for i in range(n):
+        rs = 0
+        for j in range(n):
+            rs += c[i][j]
+        if rs == 0:
+            raise ValueError(
+                f"state {states[i]!r} has no outgoing transitions; "
+                "the chain is not irreducible"
+            )
+        p.append([float(c[i][j]) / float(rs) for j in range(n)])
+    pi = [1.0 / n] * n
+    for _ in range(iters):
+        new = []
+        for j in range(n):
+            s = 0.0
+            for i in range(n):
+                s = s + pi[i] * p[i][j]
+            new.append(s)
+        pi = new
+    return list(zip(states, pi))
