@@ -11315,6 +11315,244 @@ def q_events_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- round 8, wave 9: unit roots / mix decomposition / novelty /
+# co-occurrence / inequality ---
+
+
+def q_events_adf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey-Fuller unit-root test per event type on the daily cents
+    series ("is this KPI mean-reverting or a random walk?" — the
+    stationarity gate before any ARIMA-style forecast): regress
+    delta_y on lagged y with the closed-form OLS from exact-BIGINT
+    moments (centered sums formed in doubles only at the final step,
+    so the quadratic lattice never overflows), t = beta / se, flagged
+    against the 5% asymptotic critical value -2.89. One collapse +
+    one lag window + one moment aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"), F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    pairs = daily.select(
+        "event_type",
+        (F.col("y") - F.lag("y").over(w)).alias("d"),
+        F.lag("y").over(w).alias("x"),
+    ).where(F.col("x").isNotNull())
+    g = pairs.groupBy("event_type").agg(
+        F.count("*").alias("_n"),
+        F.sum("x").alias("_sx"),
+        F.sum("d").alias("_sd"),
+        F.sum(F.col("x") * F.col("d")).alias("_sxd"),
+        F.sum(F.col("x") * F.col("x")).alias("_sxx"),
+        F.sum(F.col("d") * F.col("d")).alias("_sdd"),
+    )
+    n = F.col("_n").cast("double")
+    xb = F.col("_sx").cast("double") / n
+    db = F.col("_sd").cast("double") / n
+    sxx = F.col("_sxx").cast("double") - n * xb * xb
+    sxd = F.col("_sxd").cast("double") - n * xb * db
+    sdd = F.col("_sdd").cast("double") - n * db * db
+    beta = sxd / sxx
+    ssr = sdd - beta * sxd
+    se = F.sqrt((ssr / (n - 2.0)) / sxx)
+    t = beta / se
+    return g.select(
+        "event_type",
+        F.col("_n").alias("n_diffs"),
+        F.round(beta, 6).alias("beta"),
+        F.round(t, 6).alias("df_t"),
+        (t < -2.89).alias("stationary_5pct"),
+    ).orderBy("event_type")
+
+
+def q_orders_mix_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue-change decomposition per order priority
+    into volume and price effects (the FP&A bridge: delta_rev =
+    delta_n * avg_prev + n_now * delta_avg, an exact identity):
+    ONE (priority, year) rollup on the exact cents lattice, one lag
+    window over the #priorities x #years dim, and the effects are
+    fixed IEEE expressions shared with the oracle."""
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy(
+        "o_orderpriority", F.year("o_orderdate").alias("yr")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+        ).alias("cents"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("yr")
+    staged = per.select(
+        "o_orderpriority",
+        "yr",
+        "n",
+        "cents",
+        F.lag("n").over(w).alias("pn"),
+        F.lag("cents").over(w).alias("pc"),
+    ).where(F.col("pn").isNotNull())
+    avg_prev = F.col("pc").cast("double") / F.col("pn").cast("double")
+    avg_now = F.col("cents").cast("double") / F.col("n").cast("double")
+    vol = (F.col("n") - F.col("pn")).cast("double") * avg_prev
+    price = F.col("n").cast("double") * (avg_now - avg_prev)
+    usd = lambda c: F.round(c / 100.0, 4)  # noqa: E731
+    return staged.select(
+        "o_orderpriority",
+        "yr",
+        usd((F.col("cents") - F.col("pc")).cast("double")).alias(
+            "delta_rev_usd"
+        ),
+        usd(vol).alias("volume_effect_usd"),
+        usd(price).alias("price_effect_usd"),
+    ).orderBy("o_orderpriority", "yr")
+
+
+def q_docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram novelty: the fraction of a document's
+    bigrams that occur nowhere else in the corpus — the
+    memorization-risk / boilerplate dial a pretraining curator reads
+    next to the dedup report (novelty ~ 0 means the document is
+    assembled from corpus cliches). One corpus bigram count (map-side
+    combined) joined back onto each document's bigrams; exact integer
+    counts to the final ratio."""
+    from vanus_spark.llm.dedup import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    bigrams = docs.select(
+        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("toks")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, size(toks) - 1),"
+                " slice(toks, 2, size(toks) - 1),"
+                " (a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("bg"),
+    )
+    corpus = bigrams.groupBy("bg").agg(F.count("*").alias("cnt"))
+    per_doc = (
+        bigrams.join(corpus, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum((F.col("cnt") == 1).cast("long")).alias("n_unique"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        "n_unique",
+        F.round(
+            F.col("n_unique").cast("double")
+            / F.col("n_bigrams").cast("double"),
+            6,
+        ).alias("novelty"),
+    ).orderBy("doc_id")
+
+
+def q_events_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between event-type pairs at
+    user-day granularity ("which behaviors co-occur beyond chance?"):
+    presence sets collapse the raw table once; the pair table is a
+    self-join on the user-day key bounded by the 5-type alphabet
+    (<= 10 pairs per day); PMI and Jaccard come from exact integer
+    day counts. The market-basket readout for behavioral events."""
+    ev = _t(spark, sf_dir, "events")
+    pres = ev.select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        "event_type",
+    ).distinct()
+    n_days = pres.select("user_id", "day").distinct().count()
+    singles = pres.groupBy("event_type").agg(F.count("*").alias("c"))
+    a = pres.select(
+        "user_id", "day", F.col("event_type").alias("ta")
+    )
+    b = pres.select(
+        "user_id", "day", F.col("event_type").alias("tb")
+    )
+    both = (
+        a.join(b, ["user_id", "day"])
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("n_both"))
+    )
+    ca = singles.select(F.col("event_type").alias("ta"), F.col("c").alias("ca"))
+    cb = singles.select(F.col("event_type").alias("tb"), F.col("c").alias("cb"))
+    j = both.join(F.broadcast(ca), "ta").join(F.broadcast(cb), "tb")
+    pmi = F.log(
+        F.col("n_both").cast("double")
+        * F.lit(float(n_days))
+        / (F.col("ca").cast("double") * F.col("cb").cast("double"))
+    )
+    jac = F.col("n_both").cast("double") / (
+        F.col("ca") + F.col("cb") - F.col("n_both")
+    ).cast("double")
+    return j.select(
+        "ta",
+        "tb",
+        "n_both",
+        F.round(pmi, 6).alias("pmi"),
+        F.round(jac, 6).alias("jaccard"),
+    ).orderBy("ta", "tb")
+
+
+def q_users_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve deciles of user spend — the table behind
+    q_value_gini's scalar: users rank by (spend, user_id) through the
+    two-phase distributed rank (bus.distributed_row_number — range
+    exchange, local rank, prefix broadcast; never a single-task global
+    window), fold into 10 equal-count buckets, and each decile reports
+    its spend share plus the cumulative share. Exact cents until the
+    final ratios."""
+    from vanus_spark.bus import distributed_row_number
+
+    ev = _t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.expr("CAST(round(value * 100) AS BIGINT)"),
+            ).otherwise(0)
+        ).alias("spend")
+    )
+    ranked = distributed_row_number(
+        users, [], ["spend", "user_id"], "rk"
+    )
+    tot = ranked.agg(
+        F.count("*").alias("_n"), F.sum("spend").alias("_ts")
+    )
+    dec = (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr("CAST(rk * 10 DIV _n AS INT)").alias("decile"),
+            "spend",
+            "_ts",
+        )
+        .groupBy("decile", "_ts")
+        .agg(F.count("*").alias("n_users"), F.sum("spend").alias("sc"))
+    )
+    w = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return dec.select(
+        "decile",
+        "n_users",
+        F.round(
+            F.col("sc").cast("double") / F.col("_ts").cast("double"), 6
+        ).alias("spend_share"),
+        F.round(
+            F.sum("sc").over(w).cast("double")
+            / F.col("_ts").cast("double"),
+            6,
+        ).alias("cum_share"),
+    ).orderBy("decile")
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Round-7 policy (VERDICT r6 item #2): the 11 new-in-round queries first,
@@ -11446,6 +11684,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov_stationary": q_events_markov_stationary,
         "docs_ttr_mattr": q_docs_ttr_mattr,
         "events_sax": q_events_sax,
+        "events_adf": q_events_adf,
+        "orders_mix_decomposition": q_orders_mix_decomposition,
+        "docs_ngram_novelty": q_docs_ngram_novelty,
+        "events_pmi": q_events_pmi,
+        "users_lorenz_curve": q_users_lorenz_curve,
         # --- new in round 7, third session: feature transforms,
         # calibration, outlier/trend tests, corpus estimators, geo,
         # fold assignment, Markov attribution (post-window-freeze;
@@ -13474,6 +13717,147 @@ def oracle_sql() -> dict[str, str]:
                    round(center - half, 6) AS ci_lo,
                    round(center + half, 6) AS ci_hi
             FROM w ORDER BY event_type
+        """,
+        "events_adf": """
+            WITH daily AS (SELECT event_type, ts::DATE AS day,
+                                  sum(CAST(round(value * 100) AS
+                                           BIGINT))::BIGINT AS y
+                           FROM events GROUP BY 1, 2),
+            p AS (SELECT event_type,
+                         y - lag(y) OVER w AS d,
+                         lag(y) OVER w AS x
+                  FROM daily
+                  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+            p2 AS (SELECT * FROM p WHERE x IS NOT NULL),
+            g AS (SELECT event_type, count(*)::BIGINT AS n,
+                         sum(x)::BIGINT AS sx, sum(d)::BIGINT AS sd,
+                         sum(x * d)::BIGINT AS sxd,
+                         sum(x * x)::BIGINT AS sxx,
+                         sum(d * d)::BIGINT AS sdd
+                  FROM p2 GROUP BY 1),
+            c AS (SELECT event_type, n, n::DOUBLE AS nd,
+                         sx::DOUBLE / n::DOUBLE AS xb,
+                         sd::DOUBLE / n::DOUBLE AS db,
+                         sxd, sxx, sdd
+                  FROM g),
+            s AS (SELECT event_type, n, nd,
+                         sxx::DOUBLE - nd * xb * xb AS cxx,
+                         sxd::DOUBLE - nd * xb * db AS cxd,
+                         sdd::DOUBLE - nd * db * db AS cdd
+                  FROM c),
+            b AS (SELECT event_type, n, nd, cxx, cxd, cdd,
+                         cxd / cxx AS beta
+                  FROM s),
+            t AS (SELECT event_type, n, beta,
+                         beta / sqrt(((cdd - beta * cxd)
+                                      / (nd - 2.0)) / cxx) AS t
+                  FROM b)
+            SELECT event_type, n AS n_diffs,
+                   round(beta, 6) AS beta,
+                   round(t, 6) AS df_t,
+                   (t < -2.89) AS stationary_5pct
+            FROM t ORDER BY event_type
+        """,
+        "orders_mix_decomposition": """
+            WITH per AS (SELECT o_orderpriority,
+                                year(o_orderdate)::INT AS yr,
+                                count(*)::BIGINT AS n,
+                                sum(CAST(round(o_totalprice * 100) AS
+                                         BIGINT))::BIGINT AS cents
+                         FROM orders GROUP BY 1, 2),
+            l AS (SELECT o_orderpriority, yr, n, cents,
+                         lag(n) OVER w AS pn,
+                         lag(cents) OVER w AS pc
+                  FROM per
+                  WINDOW w AS (PARTITION BY o_orderpriority
+                               ORDER BY yr)),
+            s AS (SELECT o_orderpriority, yr, n, cents, pn, pc,
+                         pc::DOUBLE / pn::DOUBLE AS ap,
+                         cents::DOUBLE / n::DOUBLE AS an
+                  FROM l WHERE pn IS NOT NULL)
+            SELECT o_orderpriority, yr,
+                   round((cents - pc)::DOUBLE / 100.0, 4)
+                     AS delta_rev_usd,
+                   round((n - pn)::DOUBLE * ap / 100.0, 4)
+                     AS volume_effect_usd,
+                   round(n::DOUBLE * (an - ap) / 100.0, 4)
+                     AS price_effect_usd
+            FROM s ORDER BY o_orderpriority, yr
+        """,
+        "docs_ngram_novelty": f"""
+            WITH tk AS (SELECT doc_id,
+                               str_split({_NORM.format(c="text")}, ' ')
+                                 AS toks
+                        FROM documents),
+            bg AS (SELECT doc_id,
+                          unnest(list_zip(toks[1:-2], toks[2:-1]))
+                            AS z
+                   FROM tk),
+            bg2 AS (SELECT doc_id,
+                           z[1] || ' ' || z[2] AS b
+                    FROM bg),
+            corpus AS (SELECT b, count(*)::BIGINT AS cnt
+                       FROM bg2 GROUP BY 1),
+            per AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                           sum((cnt = 1)::BIGINT)::BIGINT AS n_unique
+                    FROM bg2 JOIN corpus USING (b) GROUP BY 1)
+            SELECT doc_id, n_bigrams, n_unique,
+                   round(n_unique::DOUBLE / n_bigrams::DOUBLE, 6)
+                     AS novelty
+            FROM per ORDER BY doc_id
+        """,
+        "events_pmi": """
+            WITH pres AS (SELECT DISTINCT user_id, ts::DATE AS day,
+                                 event_type
+                          FROM events),
+            nd AS (SELECT count(*)::BIGINT AS n
+                   FROM (SELECT DISTINCT user_id, day FROM pres)),
+            singles AS (SELECT event_type, count(*)::BIGINT AS c
+                        FROM pres GROUP BY 1),
+            pairs2 AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                              count(*)::BIGINT AS n_both
+                       FROM pres a JOIN pres b
+                         ON a.user_id = b.user_id AND a.day = b.day
+                        AND a.event_type < b.event_type
+                       GROUP BY 1, 2),
+            j AS (SELECT ta, tb, n_both, sa.c AS ca, sb.c AS cb
+                  FROM pairs2
+                  JOIN singles sa ON sa.event_type = pairs2.ta
+                  JOIN singles sb ON sb.event_type = pairs2.tb)
+            SELECT ta, tb, n_both,
+                   round(ln(n_both::DOUBLE * nd.n::DOUBLE
+                            / (ca::DOUBLE * cb::DOUBLE)), 6) AS pmi,
+                   round(n_both::DOUBLE
+                         / (ca + cb - n_both)::DOUBLE, 6) AS jaccard
+            FROM j, nd ORDER BY ta, tb
+        """,
+        "users_lorenz_curve": """
+            WITH u AS (SELECT user_id,
+                              sum(CASE WHEN event_type = 'purchase'
+                                  THEN CAST(round(value * 100) AS
+                                            BIGINT)
+                                  ELSE 0 END)::BIGINT AS spend
+                       FROM events GROUP BY 1),
+            r AS (SELECT spend,
+                         row_number() OVER (ORDER BY spend, user_id)
+                           - 1 AS rk,
+                         count(*) OVER () AS n,
+                         sum(spend) OVER () AS ts
+                  FROM u),
+            d AS (SELECT (rk * 10 // n)::INT AS decile, spend, ts
+                  FROM r),
+            g AS (SELECT decile, any_value(ts) AS ts,
+                         count(*)::BIGINT AS n_users,
+                         sum(spend)::BIGINT AS sc
+                  FROM d GROUP BY 1),
+            c AS (SELECT decile, n_users, sc, ts,
+                         sum(sc) OVER (ORDER BY decile
+                           ROWS UNBOUNDED PRECEDING) AS cs
+                  FROM g)
+            SELECT decile, n_users,
+                   round(sc::DOUBLE / ts::DOUBLE, 6) AS spend_share,
+                   round(cs::DOUBLE / ts::DOUBLE, 6) AS cum_share
+            FROM c ORDER BY decile
         """,
         "events_markov_stationary": _MARKOV_STATIONARY_ORACLE_SQL,
         "docs_ttr_mattr": f"""

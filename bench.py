@@ -335,6 +335,11 @@ HEADLINE = [
     "events_markov_stationary",
     "docs_ttr_mattr",
     "events_sax",
+    "events_adf",
+    "orders_mix_decomposition",
+    "docs_ngram_novelty",
+    "events_pmi",
+    "users_lorenz_curve",
 ]
 
 

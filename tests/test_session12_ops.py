@@ -681,3 +681,133 @@ def test_sax_symbols_track_level(spark):
             "c" if z < 0.6745 else "d"
         )
     assert set(syms[:6]) == {"a"} and set(syms[6:]) == {"d"}
+
+
+def test_adf_random_walk_vs_mean_reverting(spark):
+    """A pure random-ish walk (cumulative sum) should NOT reject the
+    unit root, while a strongly mean-reverting series should: checked
+    through the same closed-form OLS arithmetic the query uses."""
+
+    def df_t(ys):
+        pairs = [(ys[i] - ys[i - 1], ys[i - 1]) for i in range(1, len(ys))]
+        n = float(len(pairs))
+        sx = sum(x for _, x in pairs)
+        sd = sum(d for d, _ in pairs)
+        sxd = sum(d * x for d, x in pairs)
+        sxx = sum(x * x for _, x in pairs)
+        sdd = sum(d * d for d, _ in pairs)
+        xb, db = sx / n, sd / n
+        cxx = sxx - n * xb * xb
+        cxd = sxd - n * xb * db
+        cdd = sdd - n * db * db
+        beta = cxd / cxx
+        ssr = cdd - beta * cxd
+        return beta / math.sqrt((ssr / (n - 2.0)) / cxx)
+
+    # seeded +-1 random walk -> genuine unit root (a modular
+    # arithmetic "walk" is periodic, i.e. secretly stationary)
+    import random
+
+    random.seed(0)
+    walk = [0]
+    for _ in range(200):
+        walk.append(walk[-1] + random.choice([-1, 1]))
+    # strongly mean-reverting: y alternates around 0 (jittered so the
+    # AR fit isn't exact and the residual variance stays positive)
+    revert = [
+        (100 + (i % 5)) * (1 if i % 2 == 0 else -1) for i in range(60)
+    ]
+    assert df_t(walk) > -2.89
+    assert df_t(revert) < -2.89
+
+
+def test_mix_decomposition_identity(spark):
+    """volume + price effects reconstruct delta revenue exactly:
+    (n1-n0)*a0 + n1*(a1-a0) == n1*a1 - n0*a0."""
+    n0, c0 = 10, 1000  # avg 100
+    n1, c1 = 15, 1800  # avg 120
+    a0, a1 = c0 / n0, c1 / n1
+    vol = (n1 - n0) * a0
+    price = n1 * (a1 - a0)
+    assert abs((vol + price) - (c1 - c0)) < 1e-9
+
+
+def test_pmi_independence_is_zero(spark):
+    """Two types present on exactly the same fraction of days,
+    co-occurring at the product rate -> PMI 0; perfect co-occurrence
+    -> PMI = ln(N / c)."""
+    n_days = 100
+    ca = cb = 50
+    n_both_indep = ca * cb // n_days  # 25
+    pmi = math.log(n_both_indep * n_days / (ca * cb))
+    assert abs(pmi) < 1e-12
+    pmi_perfect = math.log(50 * n_days / (50 * 50))
+    assert abs(pmi_perfect - math.log(2.0)) < 1e-12
+
+
+def test_lorenz_uniform_spend_is_diagonal(spark):
+    """Equal spend per user -> each decile holds 10% and the
+    cumulative share is the diagonal (the Gini-0 anchor)."""
+    from pyspark.sql import Window, functions as F
+
+    from vanus_spark.bus import distributed_row_number
+
+    users = spark.createDataFrame(
+        [(i, 100) for i in range(50)], "user_id long, spend long"
+    )
+    ranked = distributed_row_number(users, [], ["spend", "user_id"], "rk")
+    tot = ranked.agg(F.count("*").alias("n"), F.sum("spend").alias("ts"))
+    dec = (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(F.expr("CAST(rk * 10 DIV n AS INT)").alias("d"), "spend", "ts")
+        .groupBy("d", "ts")
+        .agg(F.sum("spend").alias("sc"))
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    rows = dec.select(
+        "d",
+        (F.sum("sc").over(w) / F.col("ts")).alias("cum"),
+    ).collect()
+    got = {r["d"]: r["cum"] for r in rows}
+    for d in range(10):
+        assert abs(got[d] - (d + 1) / 10.0) < 1e-12
+
+
+def test_ngram_novelty_bounds(spark):
+    """A doc duplicated verbatim has novelty 0; a doc with a fully
+    unique vocabulary has novelty 1."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "alpha beta gamma"),
+        (3, "unique tokens only here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, size(toks) - 1),"
+                " slice(toks, 2, size(toks) - 1),"
+                " (a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("bg"),
+    )
+    corpus = bigrams.groupBy("bg").agg(F.count("*").alias("cnt"))
+    per = (
+        bigrams.join(corpus, "bg")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum((F.col("cnt") == 1).cast("long"))
+                / F.count("*")
+            ).alias("nov")
+        )
+    )
+    got = {r["doc_id"]: r["nov"] for r in per.collect()}
+    assert got[1] == 0.0 and got[2] == 0.0
+    assert got[3] == 1.0
