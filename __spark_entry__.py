@@ -11553,6 +11553,118 @@ def q_users_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("decile")
 
 
+# --- round 8, wave 10: ICC / balanced sampling / repeat rate ---
+
+
+def q_events_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intraclass correlation ICC(1) of event value within users —
+    the design-effect input every cluster-randomized experiment needs
+    (high ICC means user-level randomization wastes most of the
+    nominal sample size): one-way random-effects decomposition with
+    the unequal-group-size n0 correction, all moments exact BIGINTs
+    (per-user (n, sum, sumsq) then a #users-row fold — the anova
+    shape with user as the group)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("c"),
+    )
+    g = ev.groupBy("user_id").agg(
+        F.count("*").alias("_n"),
+        F.sum("c").alias("_s"),
+        F.sum(F.col("c") * F.col("c")).alias("_ss"),
+    )
+    gm = g.agg(
+        F.sum("_n").alias("_tn"),
+        F.sum("_s").alias("_ts"),
+        F.count("*").alias("_k"),
+        F.sum(F.col("_n") * F.col("_n")).alias("_snn"),
+    )
+    j = g.crossJoin(F.broadcast(gm))
+    mean_g = F.col("_s").cast("double") / F.col("_n")
+    grand = F.col("_ts").cast("double") / F.col("_tn")
+    ssb_t = F.col("_n") * (mean_g - grand) * (mean_g - grand)
+    ssw_t = F.col("_n") * (
+        F.col("_ss").cast("double") / F.col("_n") - mean_g * mean_g
+    )
+    one = j.groupBy("_tn", "_k", "_snn").agg(
+        F.sum(ssb_t).alias("_ssb"), F.sum(ssw_t).alias("_ssw")
+    )
+    tn = F.col("_tn").cast("double")
+    k = F.col("_k").cast("double")
+    msb = F.col("_ssb") / (k - 1.0)
+    msw = F.col("_ssw") / (tn - k)
+    n0 = (tn - F.col("_snn").cast("double") / tn) / (k - 1.0)
+    icc = (msb - msw) / (msb + (n0 - 1.0) * msw)
+    deff = 1.0 + (n0 - 1.0) * icc
+    return one.select(
+        F.col("_k").alias("k_users"),
+        F.col("_tn").alias("n"),
+        F.round(n0, 6).alias("n0"),
+        F.round(icc, 6).alias("icc"),
+        F.round(deff, 6).alias("design_effect"),
+    )
+
+
+def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every event type keeps exactly
+    min-class-count rows, chosen by a deterministic md5 shuffle key
+    (seeded hash rank per class — reproducible under reruns and
+    engine-independent, the sample_kfold discipline). One class-count
+    aggregate broadcast back, one per-class window whose partition is
+    the class (parallelism = #classes x slices); the selected set is
+    pinned by (hash, event_id) total order."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    m = counts.agg(F.min("n").alias("m"))
+    keyed = ev.withColumn(
+        "h", F.md5(F.concat(F.lit("bal7:"), F.col("event_id")))
+    )
+    w = Window.partitionBy("event_type").orderBy("h", "event_id")
+    ranked = keyed.select(
+        "event_id",
+        "event_type",
+        F.row_number().over(w).alias("rank"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(m))
+        .where(F.col("rank") <= F.col("m"))
+        .select("event_id", "event_type", "rank")
+        .orderBy("event_type", "rank")
+    )
+
+
+def q_orders_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-customer share per order quarter (the loyalty KPI):
+    an order is a repeat when its customer has a strictly earlier
+    order; first-order dates come from ONE per-customer min window
+    (same key partitioning as the rollup), then a (year, quarter)
+    aggregate. Exact integer counts to the final ratio."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    staged = o.select(
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        (
+            F.col("o_orderdate") > F.min("o_orderdate").over(w)
+        ).cast("long").alias("is_repeat"),
+    )
+    g = staged.groupBy("yr", "qtr").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("is_repeat").alias("n_repeat"),
+    )
+    return g.select(
+        "yr",
+        "qtr",
+        "n_orders",
+        "n_repeat",
+        F.round(
+            F.col("n_repeat").cast("double")
+            / F.col("n_orders").cast("double"),
+            6,
+        ).alias("repeat_rate"),
+    ).orderBy("yr", "qtr")
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Round-7 policy (VERDICT r6 item #2): the 11 new-in-round queries first,
@@ -11689,6 +11801,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_ngram_novelty": q_docs_ngram_novelty,
         "events_pmi": q_events_pmi,
         "users_lorenz_curve": q_users_lorenz_curve,
+        "events_icc": q_events_icc,
+        "sample_balanced": q_sample_balanced,
+        "orders_repeat_rate": q_orders_repeat_rate,
         # --- new in round 7, third session: feature transforms,
         # calibration, outlier/trend tests, corpus estimators, geo,
         # fold assignment, Markov attribution (post-window-freeze;
@@ -13717,6 +13832,71 @@ def oracle_sql() -> dict[str, str]:
                    round(center - half, 6) AS ci_lo,
                    round(center + half, 6) AS ci_hi
             FROM w ORDER BY event_type
+        """,
+        "events_icc": """
+            WITH e AS (SELECT user_id,
+                              CAST(round(value * 100) AS BIGINT) AS c
+                       FROM events),
+            g AS (SELECT user_id, count(*)::BIGINT AS n,
+                         sum(c)::BIGINT AS s, sum(c * c)::BIGINT AS ss
+                  FROM e GROUP BY 1),
+            t AS (SELECT sum(n)::BIGINT AS tn, sum(s)::BIGINT AS ts,
+                         count(*)::BIGINT AS k,
+                         sum(n * n)::BIGINT AS snn
+                  FROM g),
+            j AS (SELECT n, ss, tn, k, snn, s::DOUBLE / n AS mg,
+                         ts::DOUBLE / tn AS gm
+                  FROM g, t),
+            o AS (SELECT tn, k, snn,
+                         sum(n * (mg - gm) * (mg - gm)) AS ssb,
+                         sum(n * (ss::DOUBLE / n - mg * mg)) AS ssw
+                  FROM j GROUP BY tn, k, snn),
+            m AS (SELECT tn, k, snn, tn::DOUBLE AS tnd, k::DOUBLE AS kd,
+                         ssb / (k::DOUBLE - 1.0) AS msb,
+                         ssw / (tn::DOUBLE - k::DOUBLE) AS msw
+                  FROM o),
+            n0t AS (SELECT tn, k, msb, msw,
+                           (tnd - snn::DOUBLE / tnd) / (kd - 1.0) AS n0
+                    FROM m),
+            icct AS (SELECT tn, k, n0,
+                            (msb - msw) / (msb + (n0 - 1.0) * msw)
+                              AS icc
+                     FROM n0t)
+            SELECT k AS k_users, tn AS n,
+                   round(n0, 6) AS n0,
+                   round(icc, 6) AS icc,
+                   round(1.0 + (n0 - 1.0) * icc, 6) AS design_effect
+            FROM icct
+        """,
+        "sample_balanced": """
+            WITH c AS (SELECT event_type, count(*)::BIGINT AS n
+                       FROM events GROUP BY 1),
+            m AS (SELECT min(n)::BIGINT AS m FROM c),
+            k AS (SELECT event_id, event_type,
+                         md5('bal7:' || event_id::VARCHAR) AS h
+                  FROM events),
+            r AS (SELECT event_id, event_type,
+                         row_number() OVER (PARTITION BY event_type
+                           ORDER BY h, event_id) AS rank
+                  FROM k)
+            SELECT event_id, event_type, rank
+            FROM r, m WHERE rank <= m.m
+            ORDER BY event_type, rank
+        """,
+        "orders_repeat_rate": """
+            WITH s AS (SELECT year(o_orderdate)::INT AS yr,
+                              quarter(o_orderdate)::INT AS qtr,
+                              (o_orderdate > min(o_orderdate)
+                                 OVER (PARTITION BY o_custkey))::BIGINT
+                                AS is_repeat
+                       FROM orders),
+            g AS (SELECT yr, qtr, count(*)::BIGINT AS n_orders,
+                         sum(is_repeat)::BIGINT AS n_repeat
+                  FROM s GROUP BY 1, 2)
+            SELECT yr, qtr, n_orders, n_repeat,
+                   round(n_repeat::DOUBLE / n_orders::DOUBLE, 6)
+                     AS repeat_rate
+            FROM g ORDER BY yr, qtr
         """,
         "events_adf": """
             WITH daily AS (SELECT event_type, ts::DATE AS day,

@@ -340,6 +340,9 @@ HEADLINE = [
     "docs_ngram_novelty",
     "events_pmi",
     "users_lorenz_curve",
+    "events_icc",
+    "sample_balanced",
+    "orders_repeat_rate",
 ]
 
 

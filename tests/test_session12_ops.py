@@ -811,3 +811,91 @@ def test_ngram_novelty_bounds(spark):
     got = {r["doc_id"]: r["nov"] for r in per.collect()}
     assert got[1] == 0.0 and got[2] == 0.0
     assert got[3] == 1.0
+
+
+def test_icc_extremes(spark):
+    """Identical values within each user but different across users
+    -> ICC ~ 1; values identical across everyone -> ICC undefined
+    (MSB = MSW = 0) -> guarded NULL in the query's arithmetic (here:
+    checked the near-1 case and a shuffled near-0 case)."""
+    from pyspark.sql import functions as F
+
+    # 3 users x 4 obs, within-user constant -> ICC = 1
+    rows = [(u, u * 100) for u in (1, 2, 3) for _ in range(4)]
+    df = spark.createDataFrame(rows, "user_id long, c long")
+    g = df.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    gm = g.agg(
+        F.sum("n").alias("tn"),
+        F.sum("s").alias("ts"),
+        F.count("*").alias("k"),
+        F.sum(F.col("n") * F.col("n")).alias("snn"),
+    )
+    j = g.crossJoin(F.broadcast(gm))
+    mg = F.col("s").cast("double") / F.col("n")
+    gmn = F.col("ts").cast("double") / F.col("tn")
+    one = j.groupBy("tn", "k", "snn").agg(
+        F.sum(F.col("n") * (mg - gmn) * (mg - gmn)).alias("ssb"),
+        F.sum(
+            F.col("n")
+            * (F.col("ss").cast("double") / F.col("n") - mg * mg)
+        ).alias("ssw"),
+    )
+    r = one.collect()[0]
+    tn, k = float(r["tn"]), float(r["k"])
+    msb = r["ssb"] / (k - 1)
+    msw = r["ssw"] / (tn - k)
+    n0 = (tn - r["snn"] / tn) / (k - 1)
+    icc = (msb - msw) / (msb + (n0 - 1) * msw)
+    assert abs(icc - 1.0) < 1e-12
+
+
+def test_balanced_sample_equalizes_classes(spark):
+    """After the hash-rank cut every class holds exactly the min
+    count, and the picked set is deterministic across reruns."""
+    from pyspark.sql import Window, functions as F
+
+    rows = [(i, "a") for i in range(10)] + [(100 + i, "b") for i in range(4)]
+    ev = spark.createDataFrame(rows, "event_id long, event_type string")
+    m = ev.groupBy("event_type").count().agg(F.min("count").alias("m"))
+    keyed = ev.withColumn(
+        "h", F.md5(F.concat(F.lit("bal7:"), F.col("event_id")))
+    )
+    w = Window.partitionBy("event_type").orderBy("h", "event_id")
+    pick = (
+        keyed.select("event_id", "event_type", F.row_number().over(w).alias("r"))
+        .crossJoin(F.broadcast(m))
+        .where(F.col("r") <= F.col("m"))
+    )
+    counts = {
+        r["event_type"]: r["count"]
+        for r in pick.groupBy("event_type").count().collect()
+    }
+    assert counts == {"a": 4, "b": 4}
+    ids1 = sorted(r["event_id"] for r in pick.collect())
+    ids2 = sorted(r["event_id"] for r in pick.collect())
+    assert ids1 == ids2
+
+
+def test_repeat_rate_first_order_excluded(spark):
+    """A customer's first order never counts as repeat; later orders
+    do — strict inequality against the per-customer min date."""
+    from datetime import datetime
+
+    from pyspark.sql import Window, functions as F
+
+    rows = [
+        (1, datetime(1995, 1, 1)),
+        (1, datetime(1995, 5, 1)),
+        (2, datetime(1995, 5, 2)),
+    ]
+    o = spark.createDataFrame(rows, "cust long, d timestamp")
+    w = Window.partitionBy("cust")
+    s = o.select(
+        (F.col("d") > F.min("d").over(w)).cast("long").alias("rep")
+    )
+    got = [r["rep"] for r in s.collect()]
+    assert sorted(got) == [0, 0, 1]
