@@ -11667,94 +11667,91 @@ def q_orders_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
-# Round-7 policy (VERDICT r6 item #2): the 11 new-in-round queries first,
-# then ALL 39 rows that had never had a driver correctness row entering
-# round 7 (21 older single-table analytics + 18 operators added after the
-# r6 window froze) — 50 exactly. After this window lands green, EVERY
-# registry query has a driver row — the never-driver-checked set is 0.
-# Everything outside the window stays gated by the FULL
-# tools/oracle_check.py replica run.
+# Standing policy (VERDICT r6 item #2): new-in-round queries first, then
+# backfill to 50 with the rows that have never had a driver correctness
+# row, oldest additions first. Everything outside the window stays gated
+# by the FULL tools/oracle_check.py replica run each session.
 #
-# r8 window plan: the 30 operators added after the r7 freeze — the
-# second-session inference suite (events_ks_test, events_anova,
-# lineitem_spearman, events_ab_fdr, corpus_jsd, orders_bootstrap_ci,
-# events_ccf, events_diff_in_diff, events_contingency,
-# events_conversion_test, users_logrank, events_holt_winters,
-# events_ab_power, quality_auc, quality_calibration, embedding_mmr,
-# events_mann_kendall, events_cuped, lineitem_kendall, events_srm)
-# plus the third-session additions (events_rank_gauss,
-# quality_isotonic, events_mahalanobis, events_cochran_armitage,
-# users_nelson_aalen, events_stl, docs_good_turing, sample_kfold,
-# geo_geohash_rollup, attribution_markov, events_journey_entropy,
-# users_time_to_convert, orders_cohort_ltv, events_peaks,
-# events_hurst, dedup_bcubed, events_twap, events_durbin_watson,
-# events_bayes_ab, quality_gains, users_weibull_fit,
-# events_burstiness, docs_simpson_diversity, graph_assortativity,
-# graph_powerlaw_alpha, lineitem_abc, part_price_index, lineitem_xyz,
-# features_user_daily, brand_price_elasticity, forecast_backtest,
-# events_concurrency, events_anomaly_stl, graph_modularity,
-# events_uplift_qini) — first, then backfill to 50 with the
-# least-recently-driver-checked rows.
-_R7_WINDOW = [
-    # --- new in round 7 ---
-    "events_mann_whitney",
-    "docs_zipf_fit",
-    "dedup_cluster_stats",
-    "events_theil_sen",
-    "embedding_silhouette",
-    "minhash_calibration",
-    "linkage_em_weights",
-    "docs_heaps_law",
-    "graph_link_prediction",
-    "events_runs_test",
-    "corpus_ngram_diversity_approx",  # rows-only: sketch values are engine-specific
-    # --- the 39 never-driver-checked rows (r6 post-freeze first) ---
-    "embedding_random_projection",
-    "docs_readability",
-    "events_changepoint",
-    "layout_hilbert",
-    "stats_equi_depth",
-    "link_ppr",
-    "attribution_time_decay",
-    "events_transitions_2step",
-    "conversations_flatten",
-    "conversations_stats",
-    "pack_sft_masks",
-    "tokenizer_fertility",
-    "semantic_dedup_calibration",
-    "url_path_rollup",
-    "users_kaplan_meier",
-    "value_gini",
-    "events_assoc_rules",
-    "embedding_outliers",
-    "orders_rfm",
-    "salted_join_skew",
-    "embedding_norm_stats",
-    "text_keywords",
-    "events_attribution",
-    "profile_table",
-    "lang_confusion",
-    "events_dau_wau",
-    "events_histogram",
-    "corpus_ngram_diversity",
-    "hard_negatives",
-    "events_cube",
-    "events_trend",
-    "events_dispersion",
-    "events_transitions",
-    "events_mad_outliers",
-    "events_winsorized",
-    "events_seasonality",
-    "skew_report",
-    "basket_brand_pairs",
-    "pareto_brands",
+# Round 8: 37 new operators (waves 1-10) fill positions 1-37; the 13
+# backfill slots take the oldest never-driver-checked rows (the r7
+# second-session inference suite). 42 rows remain never-driver-checked
+# entering round 9 — the r9 window should take them ALL after its own
+# new-in-round ops (they are, oldest first: quality_auc,
+# quality_calibration, embedding_mmr, events_mann_kendall, events_cuped,
+# lineitem_kendall, events_srm, then the r7 third-session set
+# events_rank_gauss quality_isotonic events_mahalanobis
+# events_cochran_armitage users_nelson_aalen events_stl docs_good_turing
+# sample_kfold geo_geohash_rollup attribution_markov
+# events_journey_entropy users_time_to_convert orders_cohort_ltv
+# events_peaks events_hurst dedup_bcubed events_twap
+# events_durbin_watson events_bayes_ab quality_gains users_weibull_fit
+# events_burstiness docs_simpson_diversity graph_assortativity
+# graph_powerlaw_alpha lineitem_abc part_price_index lineitem_xyz
+# features_user_daily brand_price_elasticity forecast_backtest
+# events_concurrency events_anomaly_stl graph_modularity
+# events_uplift_qini) — so r9 should add at most ~8 new registry ops to
+# close the backlog in one window.
+_R8_WINDOW = [
+    # --- new in round 8 (waves 1-10) ---
+    "events_drawdown",
+    "events_acf",
+    "events_ljung_box",
+    "user_streaks",
+    "events_levene",
+    "events_poisson_test",
+    "events_wilson_ci",
+    "brand_rolling_share",
+    "supplier_hhi",
+    "lineitem_waterfall",
+    "orders_backlog_aging",
+    "nation_revenue_yoy",
+    "features_target_encoding",
+    "features_woe_iv",
+    "quality_pr_auc",
+    "embedding_drift",
+    "attribution_shapley",
+    "graph_hits",
+    "graph_2hop",
+    "privacy_k_anonymity",
+    "corpus_curation_report",
+    "events_croston",
+    "events_fisher_exact",
+    "events_pacf",
+    "lineitem_ship_latency",
+    "docs_code_signal",
+    "events_markov_stationary",
+    "docs_ttr_mattr",
+    "events_sax",
+    "events_adf",
+    "orders_mix_decomposition",
+    "docs_ngram_novelty",
+    "events_pmi",
+    "users_lorenz_curve",
+    "events_icc",
+    "sample_balanced",
+    "orders_repeat_rate",
+    # --- backfill: oldest never-driver-checked (r7 second-session
+    # inference suite) ---
+    "events_ks_test",
+    "events_anova",
+    "lineitem_spearman",
+    "events_ab_fdr",
+    "corpus_jsd",
+    "orders_bootstrap_ci",
+    "events_ccf",
+    "events_diff_in_diff",
+    "events_contingency",
+    "events_conversion_test",
+    "users_logrank",
+    "events_holt_winters",
+    "events_ab_power",
 ]
 
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _base_queries()
-    ordered = {k: base[k] for k in _R7_WINDOW}
+    ordered = {k: base[k] for k in _R8_WINDOW}
     for k, v in base.items():
         if k not in ordered:
             ordered[k] = v
@@ -11763,7 +11760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Grouped by the session that introduced each query; ORDER HERE IS
-    # IRRELEVANT — queries() reorders via _R7_WINDOW. tests/test_registry.py
+    # IRRELEVANT — queries() reorders via _R8_WINDOW. tests/test_registry.py
     # guards window size, duplicate keys, and oracle coverage.
     return {
         # --- new in round 8, wave 1: sequence/time-series analytics ---
@@ -11977,7 +11974,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- fifth-session additions ---
         "table_changes": q_table_changes,
         "stream_topk_replay": q_stream_topk_replay,
-        # (ordering below is historical grouping only — see _R7_WINDOW)
+        # (ordering below is historical grouping only — see _R8_WINDOW)
         "orders_scd2": q_orders_scd2,
         "dedup_containment": q_dedup_containment,
         "heavy_hitters_tokens": q_heavy_hitters_tokens,
