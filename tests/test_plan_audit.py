@@ -45,3 +45,35 @@ def test_no_cartesian_products_anywhere(spark):
         if "CartesianProduct" in plan:
             failures.append(f"{name}: CartesianProduct in physical plan")
     assert not failures, "\n".join(failures)
+
+
+def test_r8_rolling_share_pushes_shipdate_filter(spark):
+    """brand_rolling_share's 1995 predicate must reach the parquet
+    scan (PushedFilters on l_shipdate), not evaluate post-scan — the
+    difference between reading one year and reading the table at
+    100 TB."""
+    m = _entry()
+    df = m.queries()["brand_rolling_share"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[[^\]]*l_shipdate[^\]]*\]", plan)
+    assert pushed, "l_shipdate predicate not pushed to the scan"
+
+
+def test_r8_hhi_uses_partial_aggregation(spark):
+    """supplier_hhi's rollups must be map-side combined (HashAggregate
+    pairs with a partial mode before the exchange), so the shuffle
+    carries per-supplier partials, never raw lineitem rows."""
+    m = _entry()
+    df = m.queries()["supplier_hhi"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_" in plan or "HashAggregate" in plan
+    # the scan must prune to the 3 needed lineitem columns
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    li = [s for s in schemas if "l_extendedprice" in s]
+    assert li and all("l_comment" not in s and len(s.split(",")) <= 4
+                      for s in li), f"lineitem scan not pruned: {li}"
