@@ -11354,7 +11354,9 @@ def q_events_adf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxx = F.col("_sxx").cast("double") - n * xb * xb
     sxd = F.col("_sxd").cast("double") - n * xb * db
     sdd = F.col("_sdd").cast("double") - n * db * db
-    beta = sxd / sxx
+    # a constant lagged series gives Sxx = 0 -> the regression is
+    # undefined; NULL explicitly on both engines
+    beta = F.when(sxx > 0, sxd / sxx)
     ssr = sdd - beta * sxd
     se = F.sqrt((ssr / (n - 2.0)) / sxx)
     t = beta / se
@@ -11594,7 +11596,12 @@ def q_events_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
     msb = F.col("_ssb") / (k - 1.0)
     msw = F.col("_ssw") / (tn - k)
     n0 = (tn - F.col("_snn").cast("double") / tn) / (k - 1.0)
-    icc = (msb - msw) / (msb + (n0 - 1.0) * msw)
+    # a constant metric gives MSB = MSW = 0 -> ICC is undefined; emit
+    # NULL explicitly on both engines rather than a silent NaN
+    icc = F.when(
+        msb + (n0 - 1.0) * msw > 0,
+        (msb - msw) / (msb + (n0 - 1.0) * msw),
+    )
     deff = 1.0 + (n0 - 1.0) * icc
     return one.select(
         F.col("_k").alias("k_users"),
@@ -11804,7 +11811,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 7, third session: feature transforms,
         # calibration, outlier/trend tests, corpus estimators, geo,
         # fold assignment, Markov attribution (post-window-freeze;
-        # the r8 driver window picks these up) ---
+        # scheduled for the r9 driver window — see the _R8_WINDOW
+        # plan comment) ---
         "events_rank_gauss": q_events_rank_gauss,
         "quality_isotonic": q_quality_isotonic,
         "events_mahalanobis": q_events_mahalanobis,
@@ -13856,8 +13864,9 @@ def oracle_sql() -> dict[str, str]:
                            (tnd - snn::DOUBLE / tnd) / (kd - 1.0) AS n0
                     FROM m),
             icct AS (SELECT tn, k, n0,
-                            (msb - msw) / (msb + (n0 - 1.0) * msw)
-                              AS icc
+                            CASE WHEN msb + (n0 - 1.0) * msw > 0 THEN
+                              (msb - msw) / (msb + (n0 - 1.0) * msw)
+                            END AS icc
                      FROM n0t)
             SELECT k AS k_users, tn AS n,
                    round(n0, 6) AS n0,
@@ -13923,7 +13932,7 @@ def oracle_sql() -> dict[str, str]:
                          sdd::DOUBLE - nd * db * db AS cdd
                   FROM c),
             b AS (SELECT event_type, n, nd, cxx, cxd, cdd,
-                         cxd / cxx AS beta
+                         CASE WHEN cxx > 0 THEN cxd / cxx END AS beta
                   FROM s),
             t AS (SELECT event_type, n, beta,
                          beta / sqrt(((cdd - beta * cxd)
@@ -14461,8 +14470,10 @@ def oracle_sql() -> dict[str, str]:
                                   ROWS UNBOUNDED PRECEDING)),
             pr AS (SELECT n, p,
                           ctp::DOUBLE / cm::DOUBLE AS prec,
-                          ctp::DOUBLE / p::DOUBLE AS rec,
-                          coalesce(lag(ctp::DOUBLE / p::DOUBLE)
+                          CASE WHEN p > 0
+                          THEN ctp::DOUBLE / p::DOUBLE END AS rec,
+                          coalesce(lag(CASE WHEN p > 0
+                                       THEN ctp::DOUBLE / p::DOUBLE END)
                                    OVER (ORDER BY score DESC), 0.0)
                             AS prev_rec
                    FROM cum, tot)

@@ -140,7 +140,12 @@ def pr_auc(
         F.sum("_tp").over(w).alias("_ctp"),
     ).crossJoin(F.broadcast(tot))
     prec = F.col("_ctp").cast("double") / F.col("_cm").cast("double")
-    rec = F.col("_ctp").cast("double") / F.col("_p").cast("double")
+    # a label column with zero positives makes recall undefined — NULL
+    # explicitly (both engines) rather than a silent NaN cascade
+    rec = F.when(
+        F.col("_p") > 0,
+        F.col("_ctp").cast("double") / F.col("_p").cast("double"),
+    )
     wlag = Window.partitionBy(F.lit(1)).orderBy(F.col(score_col).desc())
     prev_rec = F.coalesce(F.lag(rec).over(wlag), F.lit(0.0))
     stepped = cum.select(
