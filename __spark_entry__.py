@@ -14,6 +14,8 @@ rounded on both sides to absorb engine-level float noise.
 
 from __future__ import annotations
 
+import math
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -10667,9 +10669,9 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: generated by the same factorial arithmetic on both engines' literals.
 _SHAPLEY_CHANNELS = ["view", "click", "signup", "error"]
 _SHAPLEY_W = [
-    __import__("math").factorial(s)
-    * __import__("math").factorial(len(_SHAPLEY_CHANNELS) - 1 - s)
-    / __import__("math").factorial(len(_SHAPLEY_CHANNELS))
+    math.factorial(s)
+    * math.factorial(len(_SHAPLEY_CHANNELS) - 1 - s)
+    / math.factorial(len(_SHAPLEY_CHANNELS))
     for s in range(len(_SHAPLEY_CHANNELS))
 ]
 
