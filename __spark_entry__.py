@@ -11674,6 +11674,237 @@ def q_orders_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("yr", "qtr")
 
 
+# --- round 8, wave 11: post-hoc tests / class migration / coverage /
+# churn ---
+
+
+def q_events_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-Kramer honest-significant-difference post-hoc over all 10
+    event-type pairs (the test you run AFTER q_events_anova rejects —
+    pairwise Welch/BH would inflate the family error): q = |mean_i -
+    mean_j| / sqrt(MSW/2 (1/n_i + 1/n_j)) against the studentized-range
+    5% critical value 3.858 (k = 5, df -> inf; fixed literal shared
+    with the oracle). All moments exact BIGINTs from ONE per-type
+    aggregate; the pair table is the bounded 5x5 alphabet."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("c"),
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("tn"),
+        F.count("*").alias("k"),
+        F.sum(
+            F.col("ss").cast("double")
+            - (F.col("s").cast("double") / F.col("n"))
+            * F.col("s").cast("double")
+        ).alias("ssw"),
+    )
+    a = g.select(
+        F.col("event_type").alias("ta"),
+        F.col("n").alias("na"),
+        (F.col("s").cast("double") / F.col("n")).alias("ma"),
+    )
+    b = g.select(
+        F.col("event_type").alias("tb"),
+        F.col("n").alias("nb"),
+        (F.col("s").cast("double") / F.col("n")).alias("mb"),
+    )
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("ta") < F.col("tb"))
+        .crossJoin(F.broadcast(tot))
+    )
+    msw = F.col("ssw") / (F.col("tn").cast("double") - F.col("k"))
+    se = F.sqrt(
+        msw
+        / 2.0
+        * (
+            1.0 / F.col("na").cast("double")
+            + 1.0 / F.col("nb").cast("double")
+        )
+    )
+    qstat = F.abs(F.col("ma") - F.col("mb")) / se
+    return pairs.select(
+        "ta",
+        "tb",
+        F.round((F.col("ma") - F.col("mb")) / 100.0, 6).alias(
+            "mean_diff_usd"
+        ),
+        F.round(qstat, 6).alias("q_stat"),
+        (qstat > 3.858).alias("significant_5pct"),
+    ).orderBy("ta", "tb")
+
+
+def _abc_class_per_part(spark, li, year: int):
+    """ABC class per part for one ship year — the q_lineitem_abc
+    machinery (two-phase rank + slice-prefix cumulative share + exact
+    integer cut tests), returned per part instead of rolled up."""
+    from vanus_spark.bus import distributed_row_number
+
+    rev = (
+        li.where(F.year("l_shipdate") == year)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(round(l_extendedprice * (1 - l_discount)"
+                    " * 100) AS BIGINT)"
+                )
+            ).alias("_cents")
+        )
+    )
+    ranked = distributed_row_number(
+        rev.withColumn("_negc", -F.col("_cents")),
+        [],
+        ["_negc", "l_partkey"],
+        "_rk",
+        keep_slice=True,
+    )
+    slice_tot = ranked.groupBy("_slice").agg(F.sum("_cents").alias("_sc"))
+    sa, sb = slice_tot.alias("a"), slice_tot.alias("b")
+    prefix = sa.join(
+        sb, F.col("b._slice") < F.col("a._slice"), "left"
+    ).groupBy(F.col("a._slice").alias("_slice")).agg(
+        F.coalesce(F.sum("b._sc"), F.lit(0)).alias("_pre")
+    )
+    w_slice = Window.partitionBy("_slice").orderBy("_rk").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    grand = rev.agg(F.sum("_cents").alias("_grand"))
+    cum = (
+        ranked.join(F.broadcast(prefix), "_slice")
+        .withColumn("_cum", F.col("_pre") + F.sum("_cents").over(w_slice))
+        .crossJoin(F.broadcast(grand))
+    )
+    cls = (
+        F.when(F.col("_cum") * 5 <= F.col("_grand") * 4, F.lit("A"))
+        .when(F.col("_cum") * 20 <= F.col("_grand") * 19, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return cum.select("l_partkey", cls.alias("cls"))
+
+
+def q_parts_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-class migration matrix of parts between ship years 1996 and
+    1997 (the inventory-policy churn readout: which A-parts slid to
+    C?): each year's classes come from the shared two-phase-rank ABC
+    machinery (never a single-task running sum), inner-joined on
+    partkey into a 3x3 transition rollup with per-origin retention
+    shares. Exact integers to the final division."""
+    li = _t(spark, sf_dir, "lineitem")
+    c96 = _abc_class_per_part(spark, li, 1996).select(
+        "l_partkey", F.col("cls").alias("cls_from")
+    )
+    c97 = _abc_class_per_part(spark, li, 1997).select(
+        "l_partkey", F.col("cls").alias("cls_to")
+    )
+    mat = c96.join(c97, "l_partkey").groupBy("cls_from", "cls_to").agg(
+        F.count("*").alias("n_parts")
+    )
+    w = Window.partitionBy("cls_from")
+    return mat.select(
+        "cls_from",
+        "cls_to",
+        "n_parts",
+        F.round(
+            F.col("n_parts").cast("double")
+            / F.sum("n_parts").over(w).cast("double"),
+            6,
+        ).alias("share_of_origin"),
+    ).orderBy("cls_from", "cls_to")
+
+
+def q_corpus_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the fraction of all corpus tokens
+    covered by the top-k most frequent types, k in {5, 10, 25} — the
+    Zipf-consequence readout behind vocab-size / stopword decisions.
+    ONE token count (map-side combined); the top-k selection is
+    TakeOrderedAndProject over the vocab dim (bounded k, never a full
+    sort), ties to the lexicographically first token; coverage sums
+    stay exact BIGINTs."""
+    from vanus_spark.llm.dedup import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.split(normalize_text(F.col("text")), " ")
+        ).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("tt"))
+    top = counts.orderBy(F.col("cnt").desc(), "tok").limit(100)
+    w = (
+        Window.partitionBy(F.lit(1))
+        .orderBy(F.col("cnt").desc(), "tok")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = top.select(
+        F.row_number()
+        .over(Window.partitionBy(F.lit(1)).orderBy(F.col("cnt").desc(), "tok"))
+        .alias("rk"),
+        F.sum("cnt").over(w).alias("cum"),
+    )
+    ks = spark.createDataFrame([(5,), (10,), (25,)], "k int")
+    at = ks.join(ranked, ks.k == ranked.rk).crossJoin(F.broadcast(total))
+    return at.select(
+        "k",
+        F.col("cum").alias("covered_tokens"),
+        F.round(
+            F.col("cum").cast("double") / F.col("tt").cast("double"), 6
+        ).alias("coverage"),
+    ).orderBy("k")
+
+
+def q_customer_churn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarterly customer churn: a customer active in quarter q churns
+    if they place no order in q+1 (the final observed quarter is
+    censored and excluded). Presence collapses orders once to the
+    (customer, quarter-index) grid; churn is one lead() over the
+    per-customer quarter sequence — exact integers to the final
+    rate."""
+    o = _t(spark, sf_dir, "orders")
+    pres = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 4 + (F.quarter("o_orderdate") - 1)).alias(
+            "qi"
+        ),
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("qi")
+    flagged = pres.select(
+        "o_custkey",
+        "qi",
+        (
+            F.coalesce(F.lead("qi").over(w), F.lit(-1)) != F.col("qi") + 1
+        ).cast("long").alias("churned"),
+    )
+    last_q = pres.agg(F.max("qi").alias("mq"))
+    g = (
+        flagged.crossJoin(F.broadcast(last_q))
+        .where(F.col("qi") < F.col("mq"))
+        .groupBy("qi")
+        .agg(
+            F.count("*").alias("n_active"),
+            F.sum("churned").alias("n_churned"),
+        )
+    )
+    return g.select(
+        F.expr("CAST(qi DIV 4 AS INT)").alias("yr"),
+        (F.col("qi") % 4 + 1).cast("int").alias("qtr"),
+        "n_active",
+        "n_churned",
+        F.round(
+            F.col("n_churned").cast("double")
+            / F.col("n_active").cast("double"),
+            6,
+        ).alias("churn_rate"),
+    ).orderBy("yr", "qtr")
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Standing policy (VERDICT r6 item #2): new-in-round queries first, then
@@ -11681,11 +11912,13 @@ def q_orders_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # row, oldest additions first. Everything outside the window stays gated
 # by the FULL tools/oracle_check.py replica run each session.
 #
-# Round 8: 37 new operators (waves 1-10) fill positions 1-37; the 13
+# Round 8: 41 new operators (waves 1-11) fill positions 1-41; the 9
 # backfill slots take the oldest never-driver-checked rows (the r7
-# second-session inference suite). 42 rows remain never-driver-checked
-# entering round 9 — the r9 window should take them ALL after its own
-# new-in-round ops (they are, oldest first: quality_auc,
+# second-session inference suite through events_contingency). 46 rows
+# remain never-driver-checked entering round 9 — the r9 window should
+# take them ALL after its own new-in-round ops (so r9 adds at most ~4
+# new registry ops; they are, oldest first: events_conversion_test,
+# users_logrank, events_holt_winters, events_ab_power, quality_auc,
 # quality_calibration, embedding_mmr, events_mann_kendall, events_cuped,
 # lineitem_kendall, events_srm, then the r7 third-session set
 # events_rank_gauss quality_isotonic events_mahalanobis
@@ -11698,8 +11931,7 @@ def q_orders_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # graph_powerlaw_alpha lineitem_abc part_price_index lineitem_xyz
 # features_user_daily brand_price_elasticity forecast_backtest
 # events_concurrency events_anomaly_stl graph_modularity
-# events_uplift_qini) — so r9 should add at most ~8 new registry ops to
-# close the backlog in one window.
+# events_uplift_qini).
 _R8_WINDOW = [
     # --- new in round 8 (waves 1-10) ---
     "events_drawdown",
@@ -11739,6 +11971,10 @@ _R8_WINDOW = [
     "events_icc",
     "sample_balanced",
     "orders_repeat_rate",
+    "events_tukey_hsd",
+    "parts_abc_migration",
+    "corpus_coverage_curve",
+    "customer_churn_rate",
     # --- backfill: oldest never-driver-checked (r7 second-session
     # inference suite) ---
     "events_ks_test",
@@ -11750,10 +11986,6 @@ _R8_WINDOW = [
     "events_ccf",
     "events_diff_in_diff",
     "events_contingency",
-    "events_conversion_test",
-    "users_logrank",
-    "events_holt_winters",
-    "events_ab_power",
 ]
 
 
@@ -11810,6 +12042,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_icc": q_events_icc,
         "sample_balanced": q_sample_balanced,
         "orders_repeat_rate": q_orders_repeat_rate,
+        "events_tukey_hsd": q_events_tukey_hsd,
+        "parts_abc_migration": q_parts_abc_migration,
+        "corpus_coverage_curve": q_corpus_coverage_curve,
+        "customer_churn_rate": q_customer_churn_rate,
         # --- new in round 7, third session: feature transforms,
         # calibration, outlier/trend tests, corpus estimators, geo,
         # fold assignment, Markov attribution (post-window-freeze;
@@ -13839,6 +14075,117 @@ def oracle_sql() -> dict[str, str]:
                    round(center - half, 6) AS ci_lo,
                    round(center + half, 6) AS ci_hi
             FROM w ORDER BY event_type
+        """,
+        "events_tukey_hsd": """
+            WITH e AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS c
+                       FROM events),
+            g AS (SELECT event_type, count(*)::BIGINT AS n,
+                         sum(c)::BIGINT AS s, sum(c * c)::BIGINT AS ss
+                  FROM e GROUP BY 1),
+            t AS (SELECT sum(n)::BIGINT AS tn, count(*)::BIGINT AS k,
+                         sum(ss::DOUBLE - (s::DOUBLE / n) * s::DOUBLE)
+                           AS ssw
+                  FROM g),
+            p AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                         a.n AS na, b.n AS nb,
+                         a.s::DOUBLE / a.n AS ma,
+                         b.s::DOUBLE / b.n AS mb
+                  FROM g a, g b WHERE a.event_type < b.event_type),
+            q AS (SELECT ta, tb, ma, mb, na, nb,
+                         t.ssw / (t.tn::DOUBLE - t.k) AS msw
+                  FROM p, t),
+            z AS (SELECT ta, tb, ma, mb,
+                         abs(ma - mb)
+                           / sqrt(msw / 2.0 * (1.0 / na::DOUBLE
+                                               + 1.0 / nb::DOUBLE))
+                           AS qstat
+                  FROM q)
+            SELECT ta, tb,
+                   round((ma - mb) / 100.0, 6) AS mean_diff_usd,
+                   round(qstat, 6) AS q_stat,
+                   (qstat > 3.858) AS significant_5pct
+            FROM z ORDER BY ta, tb
+        """,
+        "parts_abc_migration": """
+            WITH r94 AS (SELECT l_partkey,
+                                sum(CAST(round(l_extendedprice
+                                    * (1 - l_discount) * 100) AS
+                                    BIGINT))::BIGINT AS cents
+                         FROM lineitem
+                         WHERE year(l_shipdate) = 1996 GROUP BY 1),
+            c94 AS (SELECT l_partkey,
+                           CASE WHEN cum * 5 <= grand * 4 THEN 'A'
+                                WHEN cum * 20 <= grand * 19 THEN 'B'
+                                ELSE 'C' END AS cls_from
+                    FROM (SELECT l_partkey,
+                                 sum(cents) OVER (ORDER BY -cents,
+                                   l_partkey ROWS UNBOUNDED
+                                   PRECEDING) AS cum,
+                                 sum(cents) OVER () AS grand
+                          FROM r94)),
+            r95 AS (SELECT l_partkey,
+                                sum(CAST(round(l_extendedprice
+                                    * (1 - l_discount) * 100) AS
+                                    BIGINT))::BIGINT AS cents
+                         FROM lineitem
+                         WHERE year(l_shipdate) = 1997 GROUP BY 1),
+            c95 AS (SELECT l_partkey,
+                           CASE WHEN cum * 5 <= grand * 4 THEN 'A'
+                                WHEN cum * 20 <= grand * 19 THEN 'B'
+                                ELSE 'C' END AS cls_to
+                    FROM (SELECT l_partkey,
+                                 sum(cents) OVER (ORDER BY -cents,
+                                   l_partkey ROWS UNBOUNDED
+                                   PRECEDING) AS cum,
+                                 sum(cents) OVER () AS grand
+                          FROM r95)),
+            m AS (SELECT cls_from, cls_to, count(*)::BIGINT AS n_parts
+                  FROM c94 JOIN c95 USING (l_partkey) GROUP BY 1, 2)
+            SELECT cls_from, cls_to, n_parts,
+                   round(n_parts::DOUBLE
+                         / (sum(n_parts) OVER (PARTITION BY
+                            cls_from))::DOUBLE, 6) AS share_of_origin
+            FROM m ORDER BY cls_from, cls_to
+        """,
+        "corpus_coverage_curve": f"""
+            WITH tk AS (SELECT unnest(str_split(
+                          {_NORM.format(c="text")}, ' ')) AS tok
+                        FROM documents),
+            c AS (SELECT tok, count(*)::BIGINT AS cnt
+                  FROM tk GROUP BY 1),
+            t AS (SELECT sum(cnt)::BIGINT AS tt FROM c),
+            r AS (SELECT row_number() OVER (ORDER BY cnt DESC, tok)
+                           AS rk,
+                         sum(cnt) OVER (ORDER BY cnt DESC, tok
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM c)
+            SELECT ks.k, cum::BIGINT AS covered_tokens,
+                   round(cum::DOUBLE / tt::DOUBLE, 6) AS coverage
+            FROM (VALUES (5), (10), (25)) AS ks(k)
+            JOIN r ON ks.k = r.rk CROSS JOIN t
+            ORDER BY ks.k
+        """,
+        "customer_churn_rate": """
+            WITH pres AS (SELECT DISTINCT o_custkey,
+                                 year(o_orderdate)::BIGINT * 4
+                                   + (quarter(o_orderdate)::BIGINT - 1)
+                                   AS qi
+                          FROM orders),
+            f AS (SELECT o_custkey, qi,
+                         (coalesce(lead(qi) OVER (PARTITION BY
+                            o_custkey ORDER BY qi), -1)
+                          <> qi + 1)::BIGINT AS churned
+                  FROM pres),
+            mq AS (SELECT max(qi)::BIGINT AS mq FROM pres),
+            g AS (SELECT qi, count(*)::BIGINT AS n_active,
+                         sum(churned)::BIGINT AS n_churned
+                  FROM f, mq WHERE qi < mq GROUP BY 1)
+            SELECT (qi // 4)::INT AS yr, (qi % 4 + 1)::INT AS qtr,
+                   n_active, n_churned,
+                   round(n_churned::DOUBLE / n_active::DOUBLE, 6)
+                     AS churn_rate
+            FROM g ORDER BY yr, qtr
         """,
         "events_icc": """
             WITH e AS (SELECT user_id,

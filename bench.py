@@ -343,6 +343,10 @@ HEADLINE = [
     "events_icc",
     "sample_balanced",
     "orders_repeat_rate",
+    "events_tukey_hsd",
+    "parts_abc_migration",
+    "corpus_coverage_curve",
+    "customer_churn_rate",
 ]
 
 

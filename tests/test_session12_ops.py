@@ -899,3 +899,86 @@ def test_repeat_rate_first_order_excluded(spark):
     )
     got = [r["rep"] for r in s.collect()]
     assert sorted(got) == [0, 0, 1]
+
+
+def test_tukey_identical_groups_not_significant(spark):
+    """Two identical distributions give q ~ 0; a shifted pair exceeds
+    the 3.858 critical value when the shift dwarfs the within-group
+    spread (checked via the closed-form arithmetic)."""
+    ns = {"a": 30, "b": 30}
+    means = {"a": 100.0, "b": 100.0}
+    ssw = 2 * 29 * 25.0  # within variance 25 per group
+    msw = ssw / (60 - 2)
+    se = math.sqrt(msw / 2.0 * (1 / 30 + 1 / 30))
+    q0 = abs(means["a"] - means["b"]) / se
+    assert q0 < 1e-12
+    q1 = abs(100.0 - 120.0) / se
+    assert q1 > 3.858
+
+
+def test_abc_migration_shares_sum_to_one(spark):
+    """Per-origin migration shares always sum to 1 over destinations
+    (window arithmetic sanity on a toy matrix)."""
+    from pyspark.sql import Window, functions as F
+
+    rows = [
+        ("A", "A", 8), ("A", "B", 1), ("A", "C", 1),
+        ("B", "B", 5), ("B", "C", 5),
+        ("C", "C", 10),
+    ]
+    m = spark.createDataFrame(rows, "f string, t string, n long")
+    w = Window.partitionBy("f")
+    shares = m.select(
+        "f", (F.col("n") / F.sum("n").over(w)).alias("s")
+    ).groupBy("f").agg(F.sum("s").alias("tot"))
+    for r in shares.collect():
+        assert abs(r["tot"] - 1.0) < 1e-12
+
+
+def test_coverage_curve_monotone(spark):
+    """Coverage is nondecreasing in k and bounded by 1 (Zipf toy)."""
+    from pyspark.sql import Window, functions as F
+
+    counts = [("the", 50), ("a", 25), ("of", 10), ("x", 5), ("y", 5),
+              ("z", 5)]
+    c = spark.createDataFrame(counts, "tok string, cnt long")
+    w = (
+        Window.partitionBy(F.lit(1))
+        .orderBy(F.col("cnt").desc(), "tok")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wr = Window.partitionBy(F.lit(1)).orderBy(F.col("cnt").desc(), "tok")
+    r = c.select(
+        F.row_number().over(wr).alias("rk"),
+        F.sum("cnt").over(w).alias("cum"),
+    ).collect()
+    cums = {x["rk"]: x["cum"] for x in r}
+    assert cums[1] == 50 and cums[2] == 75 and cums[6] == 100
+    assert all(cums[i] <= cums[i + 1] for i in range(1, 6))
+
+
+def test_churn_rate_hand_case(spark):
+    """Customers: c1 active q0,q1; c2 active q0 only; c3 active q1
+    only. Last observed quarter (q1) is censored -> only q0 reports:
+    active 2, churned 1 (c2)."""
+    from pyspark.sql import Window, functions as F
+
+    rows = [(1, 0), (1, 1), (2, 0), (3, 1)]
+    pres = spark.createDataFrame(rows, "cust long, qi long")
+    w = Window.partitionBy("cust").orderBy("qi")
+    f = pres.select(
+        "qi",
+        (
+            F.coalesce(F.lead("qi").over(w), F.lit(-1)) != F.col("qi") + 1
+        ).cast("long").alias("ch"),
+    )
+    mq = pres.agg(F.max("qi").alias("m"))
+    g = (
+        f.crossJoin(F.broadcast(mq))
+        .where(F.col("qi") < F.col("m"))
+        .groupBy("qi")
+        .agg(F.count("*").alias("na"), F.sum("ch").alias("nc"))
+        .collect()
+    )
+    assert len(g) == 1
+    assert g[0]["na"] == 2 and g[0]["nc"] == 1
