@@ -4688,16 +4688,18 @@ def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_corpus_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus diversity diagnostics (the distinct-n metric that flags
-    self-repetitive / templated corpora): distinct-vs-total n-gram
-    ratio for n in 1..3. One explode + ONE wide shuffle total: grams
-    aggregate by (n, gram) first — map-side combine collapses repeats
-    before the exchange — then the 3-row rollup derives totals and
-    ratios."""
-    docs = _t(spark, sf_dir, "documents")
+def _ngram_pairs(docs: DataFrame) -> DataFrame:
+    """(n, gram) pairs for n in 1..3 from ONE scan of ``docs`` (round-8
+    verdict #3: the previous form unioned three full scans — the
+    corpus was read three times for one logical pass). Per document,
+    the three per-n gram arrays are built array-side, tagged with
+    their n via a struct wrap, concatenated, and exploded ONCE — so
+    the parquet scan, the decompression, and the normalization run a
+    single time and only the (already map-side-combined) pairs hit
+    any downstream exchange."""
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     words = F.split(norm, " ")
+
     def gram_fn(n):
         # one-parameter lambda ONLY: transform() inspects arity and
         # would pass (element, index) to a two-parameter callable —
@@ -4705,7 +4707,12 @@ def q_corpus_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the element INDEX
         return lambda i: F.array_join(F.slice(words, i, n), " ")
 
-    parts = []
+    def pair_fn(n):
+        # factory (not an inline loop lambda) for the same
+        # late-binding reason as gram_fn
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+
+    tagged = []
     for n in (1, 2, 3):
         grams = F.transform(
             F.sequence(
@@ -4713,12 +4720,21 @@ def q_corpus_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             gram_fn(n),
         )
-        parts.append(
-            docs.select(F.lit(n).alias("n"), F.explode(grams).alias("g"))
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+        tagged.append(F.transform(grams, pair_fn(n)))
+    return docs.select(
+        F.explode(F.concat(*tagged)).alias("_p")
+    ).select(F.col("_p.n").alias("n"), F.col("_p.g").alias("g"))
+
+
+def q_corpus_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity diagnostics (the distinct-n metric that flags
+    self-repetitive / templated corpora): distinct-vs-total n-gram
+    ratio for n in 1..3. ONE corpus scan + one explode (_ngram_pairs)
+    + ONE wide shuffle total: grams aggregate by (n, gram) first —
+    map-side combine collapses repeats before the exchange — then the
+    3-row rollup derives totals and ratios."""
+    docs = _t(spark, sf_dir, "documents")
+    out = _ngram_pairs(docs)
     per_gram = out.groupBy("n", "g").agg(F.count("*").alias("c"))
     return per_gram.groupBy("n").agg(
         F.sum("c").alias("total_ngrams"),
@@ -4738,29 +4754,10 @@ def q_corpus_ngram_diversity_approx(spark: SparkSession, sf_dir: str) -> DataFra
     so this is a rows-only registry entry (no DuckDB oracle); the
     exact sibling q_corpus_ngram_diversity stays the oracle gate, and
     tests assert the estimate lands within 5x rsd of the exact count
-    on the fixture."""
+    on the fixture. Shares the single-scan _ngram_pairs source with
+    the exact sibling — one corpus read, one explode."""
     docs = _t(spark, sf_dir, "documents")
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    words = F.split(norm, " ")
-
-    def gram_fn(n):
-        # one-parameter lambda ONLY (see q_corpus_ngram_diversity)
-        return lambda i: F.array_join(F.slice(words, i, n), " ")
-
-    parts = []
-    for n in (1, 2, 3):
-        grams = F.transform(
-            F.sequence(
-                F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))
-            ),
-            gram_fn(n),
-        )
-        parts.append(
-            docs.select(F.lit(n).alias("n"), F.explode(grams).alias("g"))
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    out = _ngram_pairs(docs)
     return (
         out.groupBy("n")
         .agg(
@@ -13800,7 +13797,9 @@ def _acf_agg_sql(max_lag: int) -> str:
     aggs = []
     for k in range(1, max_lag + 1):
         aggs.append(
-            f"sum(y * l{k})::BIGINT AS syy{k}, "
+            # quadratic terms in HUGEINT (Spark side: DECIMAL(38,0)) —
+            # int64 headroom is not enough past ~1e5-cent days x 1e8 rows
+            f"sum(y::HUGEINT * l{k})::HUGEINT AS syy{k}, "
             f"sum(CASE WHEN l{k} IS NOT NULL THEN y END)::BIGINT AS sh{k}, "
             f"sum(l{k})::BIGINT AS st{k}, count(l{k})::BIGINT AS nk{k}"
         )
@@ -13812,7 +13811,7 @@ def _acf_agg_sql(max_lag: int) -> str:
         l AS (SELECT key, y, {lag_cols}
               FROM d WINDOW w AS (PARTITION BY key ORDER BY day)),
         a AS (SELECT key, count(*)::BIGINT AS n, sum(y)::BIGINT AS s,
-                     sum(y * y)::BIGINT AS ss, {', '.join(aggs)}
+                     sum(y::HUGEINT * y)::HUGEINT AS ss, {', '.join(aggs)}
               FROM l GROUP BY key),
         g AS (SELECT *, s::DOUBLE / n::DOUBLE AS mean FROM a)
     """

@@ -545,29 +545,41 @@ def test_stationary_is_invariant_and_simplex(edges):
     assert res < 0.51
 
 
-@given(
-    st.lists(
-        st.integers(min_value=-1000, max_value=1000),
-        min_size=1,
-        max_size=40,
+def test_drawdown_prefix_identity(spark):
+    """The SHIPPED max_drawdown operator must equal the brute-forced
+    Python identity max over t of (max prefix sum up to t) - (prefix
+    sum at t) on random integer series. 40 random cases become 40
+    keys in ONE DataFrame, so the whole sweep is a single Spark job
+    over the operator's real window-plus-aggregate plan."""
+    import random as _random
+
+    from vanus_spark.operators.timeseries import max_drawdown
+
+    rng = _random.Random(20260816)
+    cases = [
+        [rng.randint(-1000, 1000) for _ in range(rng.randint(1, 40))]
+        for _ in range(40)
+    ]
+    rows = [
+        (k, t, t, c)
+        for k, cents in enumerate(cases)
+        for t, c in enumerate(cents)
+    ]
+    df = spark.createDataFrame(
+        rows, "k int, ts long, event_id long, cents long"
     )
-)
-@settings(max_examples=50, deadline=None)
-def test_drawdown_prefix_identity(cents):
-    """max drawdown == max over t of (max prefix sum up to t) - (prefix
-    sum at t), brute-forced in Python (the window formulation's
-    defining identity)."""
-    prefix, peak, best = 0, -(10**18), 0
-    for c in cents:
-        prefix += c
-        peak = max(peak, prefix)
-        best = max(best, peak - prefix)
-    # re-derive with the closed-form the operator uses
-    ps, run = [], 0
-    for c in cents:
-        run += c
-        ps.append(run)
-    want = max(
-        max(ps[: t + 1]) - ps[t] for t in range(len(ps))
-    )
-    assert best == want
+    got = {
+        r["k"]: (
+            r["max_drawdown_cents"],
+            r["peak_cents"],
+            r["final_cents"],
+        )
+        for r in max_drawdown(df, "cents", "ts", "k", "event_id").collect()
+    }
+    for k, cents in enumerate(cases):
+        prefix, peak, best = 0, -(10**18), 0
+        for c in cents:
+            prefix += c
+            peak = max(peak, prefix)
+            best = max(best, peak - prefix)
+        assert got[k] == (best, peak, prefix), f"case {k}: {cents}"

@@ -557,6 +557,25 @@ def test_fisher_exact_matches_r_values(spark):
     assert abs(r["odds_ratio"] - (1 * 3) / (9 * 11)) < 1e-12
 
 
+def test_fisher_exact_margin_cap_and_null_odds(spark):
+    """The documented contract bounds: (a) a walk longer than 1e6
+    raises (the O(min-margin) driver loop must not silently hang at
+    100 TB counts — the geohash precision-cap pattern); (b) a zero
+    off-diagonal returns odds_ratio None, not NaN, so the driver-side
+    DataFrame carries SQL NULL matching the oracle's CASE WHEN."""
+    import pytest as _pytest
+
+    from vanus_spark.operators.hyptests import fisher_exact_2x2
+
+    with _pytest.raises(ValueError, match="bounded margins"):
+        fisher_exact_2x2(2_000_000, 2_000_000, 2_000_000, 2_000_000)
+    # degenerate tables: b == 0 and c == 0 each null the odds ratio
+    assert fisher_exact_2x2(3, 0, 2, 4)["odds_ratio"] is None
+    assert fisher_exact_2x2(3, 2, 0, 4)["odds_ratio"] is None
+    # the p-value walk itself still runs on degenerate tables
+    assert 0.0 <= fisher_exact_2x2(3, 0, 2, 4)["p_value"] <= 1.0
+
+
 def test_pacf_ar1_cuts_off_after_lag_one(spark):
     """For an exact AR(1) ACF (r_k = rho^k) the Durbin-Levinson
     unroll gives pacf_2 = pacf_3 = 0 — the textbook cutoff that makes

@@ -123,7 +123,36 @@ def main(only: list[str]):
             print("  spark :", scan.head(3).to_dict("records"))
             print("  duckdb:", dcan.head(3).to_dict("records"))
     print(f"\n{passed} ok, {failed} failed, {rows_only} rows-only of {len(names)}")
+    if not only:
+        _refresh_coverage_header(passed, failed, rows_only, len(names))
     return 1 if failed else 0
+
+
+def _refresh_coverage_header(passed, failed, rows_only, total):
+    """Regenerate the live-status sentence in COVERAGE.md from THIS
+    run's numbers (round-8 verdict #4: the count must be generated,
+    never hand-typed — it went stale at 296/297 while the registry
+    grew to 373). Only a FULL run (no name filter) rewrites it."""
+    import re
+
+    path = "/root/repo/COVERAGE.md"
+    try:
+        text = open(path).read()
+    except OSError:
+        return
+    status = (
+        f"{passed}/{passed + failed + rows_only} hash-matched at sf0.01, "
+        f"{rows_only} rows-only by design"
+    )
+    new = re.sub(
+        r"\d+/\d+ hash-matched at sf0\.01, \d+ rows-only by design",
+        status,
+        text,
+        count=1,
+    )
+    if new != text:
+        open(path, "w").write(new)
+        print(f"COVERAGE.md status line regenerated: {status}")
 
 
 if __name__ == "__main__":

@@ -786,9 +786,10 @@ def fisher_exact_2x2(a: int, b: int, c: int, d: int) -> dict:
         denom = denom + w
         if w <= thresh:
             numer = numer + w
-    odds = (
-        (a * d) / (b * c) if b > 0 and c > 0 else float("nan")
-    )
+    # None (not NaN) on a zero off-diagonal: the driver-side
+    # DataFrame then carries SQL NULL, matching the oracle twin's
+    # CASE WHEN ... ELSE NULL convention (NaN would hash-mismatch)
+    odds = (a * d) / (b * c) if b > 0 and c > 0 else None
     return {
         "a": a,
         "b": b,

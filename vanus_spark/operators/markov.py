@@ -172,7 +172,17 @@ def stationary_distribution(
     ``counts``. Every state must have at least one outgoing
     transition (true for any chain built from consecutive-event
     bigrams, where only the final event of a user lacks a successor
-    but its type appears elsewhere)."""
+    but its type appears elsewhere).
+
+    ASSUMES APERIODICITY in addition to the irreducibility check
+    below: on a periodic chain (e.g. a 2-cycle) the fixed 50 power
+    sweeps oscillate and never converge — both engines still
+    hash-match (they replay the identical 50 sweeps) but the returned
+    vector is the sweep-50 iterate, not the stationary distribution.
+    Event-bigram chains are aperiodic in practice (self-loops exist
+    whenever any event type repeats consecutively); for a general
+    chain, average the last two iterates or add a damping factor
+    before trusting the output."""
     n = len(states)
     idx = {s: i for i, s in enumerate(states)}
     c = [[0] * n for _ in range(n)]

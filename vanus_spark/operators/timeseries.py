@@ -649,12 +649,16 @@ def acf_exact(
     selection and Ljung-Box): r_k = sum((y_t - m)(y_{t-k} - m)) /
     sum((y_t - m)^2) with the full-series mean m.
 
-    Exactness: every aggregate is a BIGINT — per-lag cross products
-    sum(y_t * y_{t-k}) plus the head/tail linear sums — and r_k is
-    assembled from them in ONE fixed scalar expression, so both
-    engines derive identical doubles. Overflow headroom: the cross
-    sums need n * max_cents^2 < 9.2e18 (~1e5-cent days for 1e8 rows);
-    pre-scale wider lattices down.
+    Exactness: every aggregate is an exact integer — the QUADRATIC
+    terms (sum y_t^2 and the per-lag cross products sum y_t * y_{t-k})
+    accumulate in DECIMAL(38,0) (the supplier_hhi/waterfall lattice
+    discipline; the oracle twin sums in HUGEINT), the linear sums in
+    BIGINT — and r_k is assembled from them in ONE fixed scalar
+    expression, so both engines derive identical doubles. Overflow
+    headroom is now n * max_cents^2 < 1e38 (vs the old int64 9.2e18,
+    where Spark 4 ANSI threw while DuckDB silently summed in HUGEINT
+    — a latent cross-engine divergence past ~1e5-cent days x 1e8
+    rows).
 
     Scale shape: runs on the DAILY table (#keys x #days — the caller
     owns the one collapse from raw events); ONE key-partitioned
@@ -668,15 +672,16 @@ def acf_exact(
         y.alias("_y"),
         *[F.lag(y, k).over(w).alias(f"_l{k}") for k in range(1, max_lag + 1)],
     )
+    ydec = F.col("_y").cast("decimal(19,0)")
     aggs = [
         F.count("*").alias("_n"),
         F.sum("_y").alias("_s"),
-        F.sum(F.col("_y") * F.col("_y")).alias("_ss"),
+        F.sum(ydec * ydec).alias("_ss"),
     ]
     for k in range(1, max_lag + 1):
         lk = F.col(f"_l{k}")
         aggs += [
-            F.sum(F.col("_y") * lk).alias(f"_syy{k}"),
+            F.sum(ydec * lk.cast("decimal(19,0)")).alias(f"_syy{k}"),
             F.sum(F.when(lk.isNotNull(), F.col("_y"))).alias(f"_sh{k}"),
             F.sum(lk).alias(f"_st{k}"),
             F.count(lk).alias(f"_nk{k}"),
