@@ -141,10 +141,15 @@ def zorder_table(
     BOUNDARIES (one approxQuantile sketch pass, driver-side list of
     2^bits-1 cut points) and a zero-shuffle bucket lookup per row — no
     global sort anywhere before the writer's range partitioning.
-    exact=True buckets by a percent_rank window per dim — exact and
-    oracle-mirrorable, but each window is a SINGLE-TASK global sort:
-    opt into it only for fixtures/small tables (the same safe-by-
-    default principle as dedup's bucket_cap)."""
+    exact=True derives the EXACT percent_rank bucket per dim from the
+    DISTINCT-VALUE table: one per-dim aggregate collapses the rows to
+    (value, count), a window over that collapsed table computes the
+    strictly-smaller prefix (rank-with-ties - 1), and the bucket map
+    joins back on the dim value. Same doubles as a percent_rank
+    window over all rows (pr = prefix / (n-1), the identical integer
+    inputs), but nothing bigger than the value DOMAIN ever funnels
+    through one task — the round-9 plan-audit sweep rejects the old
+    all-rows global window shape."""
     out = df
     n_buckets = (1 << bits) - 1
     all_bnds: dict[str, list[float]] = {}
@@ -154,11 +159,32 @@ def zorder_table(
         all_bnds = dict(zip(dims, df.approxQuantile(dims, qs, 0.001)))
     for d in dims:
         if exact:
-            w = Window.orderBy(F.col(d))
-            bucket = F.least(
-                F.floor(F.percent_rank().over(w) * (1 << bits)).cast("long"),
-                F.lit(n_buckets).cast("long"),
+            vals = df.groupBy(d).agg(F.count("*").alias("_c"))
+            # global window, but over the COLLAPSED distinct-value
+            # aggregate (bounded by the dim's domain, not the table)
+            wv = Window.orderBy(F.col(d)).rowsBetween(
+                Window.unboundedPreceding, -1
             )
+            cum = vals.select(
+                F.col(d).alias(f"_zv_{d}"),
+                F.coalesce(F.sum("_c").over(wv), F.lit(0)).alias("_prefix"),
+            )
+            tot = df.agg(F.count("*").alias("_nn"))
+            pr = F.when(
+                F.col("_nn") > 1,
+                F.col("_prefix").cast("double")
+                / (F.col("_nn") - 1).cast("double"),
+            ).otherwise(F.lit(0.0))
+            bmap = cum.crossJoin(F.broadcast(tot)).select(
+                f"_zv_{d}",
+                F.least(
+                    F.floor(pr * (1 << bits)).cast("long"),
+                    F.lit(n_buckets).cast("long"),
+                ).alias(f"_zb_{d}"),
+            )
+            out = out.join(
+                bmap, F.col(d).eqNullSafe(F.col(f"_zv_{d}")), "left"
+            ).drop(f"_zv_{d}")
         else:
             bucket = F.size(
                 F.filter(
@@ -166,7 +192,7 @@ def zorder_table(
                     lambda x: F.col(d).cast("double") > x,
                 )
             ).cast("long")
-        out = out.withColumn(f"_zb_{d}", bucket)
+            out = out.withColumn(f"_zb_{d}", bucket)
     return out.withColumn(
         "zkey", zorder_key([F.col(f"_zb_{d}") for d in dims], bits)
     )
