@@ -11902,6 +11902,275 @@ def q_customer_churn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("yr", "qtr")
 
 
+def q_quality_brier_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Murphy decomposition of the NB quality classifier's Brier score
+    (brier = reliability - resolution + uncertainty) plus ECE/MCE —
+    the one-row scorecard that says WHY the probabilities are
+    miscalibrated, where q_quality_calibration's table only shows
+    that they are. Same model, split, sigmoid, and decile buckets as
+    the calibration query (scores on the round(6) lattice, so both
+    engines form identical probabilities per row); per-bucket
+    (n_k, sum_y_k, sum_p_k, sum_sq_k) feed the closed forms
+    rel = sum n_k (pbar_k - obar_k)^2 / N, res = sum n_k
+    (obar_k - obar)^2 / N, unc = obar(1-obar), ece = sum n_k
+    |pbar_k - obar_k| / N, mce = max_k |pbar_k - obar_k|. One scoring
+    pass, one 10-row bucket aggregate, one broadcast of the 1-row
+    total — the same scale shape as calibration."""
+    from vanus_spark.llm.qualityrules import nb_score, nb_train
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0).withColumn(
+        "label", (F.col("lang") == "en").cast("int")
+    )
+    word_df, stats_df = nb_train(train)
+    held_out = docs.where(F.col("doc_id") % 2 == 1)
+    scored = nb_score(held_out, word_df, stats_df).join(
+        held_out.select(
+            "doc_id", (F.col("lang") == "en").cast("int").alias("y")
+        ),
+        "doc_id",
+    )
+    prob = 1.0 / (1.0 + F.exp(-F.col("score")))
+    staged = scored.select(
+        F.col("y"),
+        prob.alias("_p"),
+        F.least(F.lit(9), F.floor(prob * 10)).cast("int").alias("bucket"),
+    )
+    bins = staged.groupBy("bucket").agg(
+        F.count("*").alias("_nk"),
+        F.sum("y").alias("_syk"),
+        F.sum("_p").alias("_spk"),
+        F.sum(
+            (F.col("_p") - F.col("y")) * (F.col("_p") - F.col("y"))
+        ).alias("_ssqk"),
+    )
+    tot = staged.agg(
+        F.count("*").alias("_n"), F.sum("y").alias("_sy")
+    )
+    t = bins.crossJoin(F.broadcast(tot))
+    nk = F.col("_nk").cast("double")
+    pbar = F.col("_spk") / nk
+    obark = F.col("_syk").cast("double") / nk
+    obar = F.col("_sy").cast("double") / F.col("_n").cast("double")
+    nd = F.col("_n").cast("double")
+    return t.agg(
+        F.first("_n").alias("n"),
+        F.round(F.sum("_ssqk") / F.first(nd), 6).alias("brier"),
+        F.round(
+            F.sum(nk * (pbar - obark) * (pbar - obark)) / F.first(nd), 6
+        ).alias("reliability"),
+        F.round(
+            F.sum(nk * (obark - obar) * (obark - obar)) / F.first(nd), 6
+        ).alias("resolution"),
+        F.round(F.first(obar * (1.0 - obar)), 6).alias("uncertainty"),
+        F.round(
+            F.sum(nk * F.abs(pbar - obark)) / F.first(nd), 6
+        ).alias("ece"),
+        F.round(F.max(F.abs(pbar - obark)), 6).alias("mce"),
+    )
+
+
+def q_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit under the same quasi-identifier pair and
+    sensitive balance tier as q_privacy_k_anonymity — the
+    distribution-level privacy check k/l-diversity can't express: a
+    group can be large AND diverse yet still leak if its sensitive
+    distribution deviates from the corpus-wide one. Distance is the
+    total variation distance, kept EXACT-integer until one division:
+    tvd = 0.5 * sum_tiers |cnt*n_total - global_cnt*k| / (k*n_total).
+    Zero cells matter (an absent tier contributes its full global
+    share), so the group x tier frame is the CROSS of two bounded
+    dims (#groups x 3), never a row-level join. Flags t > 0.2."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("tier"),
+    )
+    cells = c.groupBy("c_mktsegment", "c_nationkey", "tier").agg(
+        F.count("*").alias("cnt")
+    )
+    groups = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count("*").alias("k")
+    )
+    glob = c.groupBy("tier").agg(F.count("*").alias("gc"))
+    tot = c.agg(F.count("*").alias("n_total"))
+    frame = groups.crossJoin(F.broadcast(glob)).join(
+        cells, ["c_mktsegment", "c_nationkey", "tier"], "left"
+    ).select(
+        "c_mktsegment",
+        "c_nationkey",
+        "k",
+        "gc",
+        F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+    )
+    g = frame.crossJoin(F.broadcast(tot)).groupBy(
+        "c_mktsegment", "c_nationkey"
+    ).agg(
+        F.first("k").alias("k"),
+        F.first("n_total").alias("_n"),
+        F.sum(
+            F.abs(
+                F.col("cnt") * F.col("n_total") - F.col("gc") * F.col("k")
+            )
+        ).alias("_s"),
+    )
+    tvd = (
+        0.5
+        * F.col("_s").cast("double")
+        / (F.col("k") * F.col("_n")).cast("double")
+    )
+    return g.select(
+        "c_mktsegment",
+        "c_nationkey",
+        "k",
+        F.round(tvd, 6).alias("tvd"),
+        (tvd > 0.2).alias("t_leaky"),
+    ).orderBy("c_mktsegment", "c_nationkey")
+
+
+def q_events_spc_xbar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-bar / R statistical process control chart over weekly
+    subgroups of daily event cents per type — the Shewhart monitor a
+    pipeline runs on its own volume: weekly mean outside
+    xbarbar +/- A2*rbar or weekly range outside [D3*rbar, D4*rbar]
+    flags a special cause. Weeks are fixed 7-day epochs
+    (epoch_days DIV 7 — integer math, no engine week conventions) and
+    only complete 7-day subgroups enter (so the tabulated n=7
+    constants A2=0.419, D3=0.076, D4=1.924 apply uniformly). All
+    centerlines derive from exact BIGINT sums — the one double
+    expression per limit is identical on both engines. Two map-side
+    combined aggregates (day, then week) + one #types-row broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("_day"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("_c"))
+    weekly = (
+        daily.select(
+            "event_type",
+            F.expr(
+                "CAST(datediff(_day, DATE '1970-01-01') DIV 7 AS BIGINT)"
+            ).alias("week"),
+            "_c",
+        )
+        .groupBy("event_type", "week")
+        .agg(
+            F.count("*").alias("_nd"),
+            F.sum("_c").alias("_ws"),
+            F.max("_c").alias("_mx"),
+            F.min("_c").alias("_mn"),
+        )
+        .where(F.col("_nd") == 7)
+    )
+    per_type = weekly.groupBy("event_type").agg(
+        F.count("*").alias("_kw"),
+        F.sum("_ws").alias("_tws"),
+        F.sum(F.col("_mx") - F.col("_mn")).alias("_tr"),
+    )
+    j = weekly.join(F.broadcast(per_type), "event_type")
+    xbarbar = F.col("_tws").cast("double") / (
+        7.0 * F.col("_kw").cast("double")
+    )
+    rbar = F.col("_tr").cast("double") / F.col("_kw").cast("double")
+    mean_w = F.col("_ws").cast("double") / 7.0
+    rng_w = (F.col("_mx") - F.col("_mn")).cast("double")
+    ucl_x = xbarbar + 0.419 * rbar
+    lcl_x = xbarbar - 0.419 * rbar
+    ucl_r = 1.924 * rbar
+    lcl_r = 0.076 * rbar
+    return j.select(
+        "event_type",
+        "week",
+        F.round(mean_w, 6).alias("week_mean_cents"),
+        F.round(rng_w, 6).alias("week_range_cents"),
+        F.round(ucl_x, 6).alias("ucl_x"),
+        F.round(lcl_x, 6).alias("lcl_x"),
+        ((mean_w > ucl_x) | (mean_w < lcl_x)).alias("ooc_mean"),
+        ((rng_w > ucl_r) | (rng_w < lcl_r)).alias("ooc_range"),
+    ).orderBy("event_type", "week")
+
+
+def q_events_interarrival_fit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exponential fit + Kolmogorov-Smirnov goodness-of-fit for
+    inter-event gaps per type (gaps WITHIN each user's stream, pooled
+    per type — q_events_burstiness's exact gap lattice): the capacity
+    model behind "can I treat this source as Poisson?". lambda = n/S
+    from exact integer-second sums; the one-sample KS statistic
+    D = max over the DISTINCT gap values g of
+    max(|ECDF(g) - F(g)|, |ECDF(g-) - F(g)|), F(g) = 1 - exp(-(n*g)/S)
+    — the lambda*g product is computed with the identical expression
+    text on both engines, and the ECDF runs on the per-type
+    DISTINCT-gap table (collapsed by one aggregate; the window's
+    partition is #types wide, its rows bounded by the gap-value
+    domain). Rejects at the 95% asymptotic line 1.36/sqrt(n)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    us = F.unix_micros("ts")
+    gaps = ev.select(
+        "event_type",
+        F.floor((F.lead(us).over(w) - us) / 1000000)
+        .cast("long")
+        .alias("_gap"),
+    ).where(F.col("_gap").isNotNull())
+    grp = gaps.groupBy("event_type", "_gap").agg(
+        F.count("*").alias("_cnt")
+    )
+    wt = (
+        Window.partitionBy("event_type")
+        .orderBy("_gap")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wk = Window.partitionBy("event_type")
+    staged = grp.select(
+        "event_type",
+        "_gap",
+        "_cnt",
+        F.sum("_cnt").over(wt).alias("_cum"),
+        F.sum("_cnt").over(wk).alias("_n"),
+        F.sum(F.col("_gap") * F.col("_cnt")).over(wk).alias("_s"),
+    )
+    nd = F.col("_n").cast("double")
+    fexp = 1.0 - F.exp(
+        -(nd * F.col("_gap").cast("double")) / F.col("_s").cast("double")
+    )
+    d_at = F.greatest(
+        F.abs(F.col("_cum").cast("double") / nd - fexp),
+        F.abs((F.col("_cum") - F.col("_cnt")).cast("double") / nd - fexp),
+    )
+    g = staged.groupBy("event_type").agg(
+        F.first("_n").alias("n_gaps"),
+        F.first("_s").alias("_st"),
+        F.max(d_at).alias("_d"),
+    )
+    return g.select(
+        "event_type",
+        "n_gaps",
+        F.round(
+            F.col("_st").cast("double") / F.col("n_gaps").cast("double"), 6
+        ).alias("mean_gap_s"),
+        F.round(
+            3600.0
+            * F.col("n_gaps").cast("double")
+            / F.col("_st").cast("double"),
+            6,
+        ).alias("lambda_per_hr"),
+        F.round(F.col("_d"), 6).alias("ks_d"),
+        (
+            F.col("_d")
+            > 1.36 / F.sqrt(F.col("n_gaps").cast("double"))
+        ).alias("reject_exponential"),
+    ).orderBy("event_type")
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Standing policy (VERDICT r6 item #2): new-in-round queries first, then
@@ -11909,87 +12178,74 @@ def q_customer_churn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # row, oldest additions first. Everything outside the window stays gated
 # by the FULL tools/oracle_check.py replica run each session.
 #
-# Round 8: 41 new operators (waves 1-11) fill positions 1-41; the 9
-# backfill slots take the oldest never-driver-checked rows (the r7
-# second-session inference suite through events_contingency). 46 rows
-# remain never-driver-checked entering round 9 — the r9 window should
-# take them ALL after its own new-in-round ops (so r9 adds at most ~4
-# new registry ops; they are, oldest first: events_conversion_test,
-# users_logrank, events_holt_winters, events_ab_power, quality_auc,
-# quality_calibration, embedding_mmr, events_mann_kendall, events_cuped,
-# lineitem_kendall, events_srm, then the r7 third-session set
-# events_rank_gauss quality_isotonic events_mahalanobis
-# events_cochran_armitage users_nelson_aalen events_stl docs_good_turing
-# sample_kfold geo_geohash_rollup attribution_markov
-# events_journey_entropy users_time_to_convert orders_cohort_ltv
-# events_peaks events_hurst dedup_bcubed events_twap
-# events_durbin_watson events_bayes_ab quality_gains users_weibull_fit
-# events_burstiness docs_simpson_diversity graph_assortativity
-# graph_powerlaw_alpha lineitem_abc part_price_index lineitem_xyz
-# features_user_daily brand_price_elasticity forecast_backtest
-# events_concurrency events_anomaly_stl graph_modularity
-# events_uplift_qini).
-_R8_WINDOW = [
-    # --- new in round 8 (waves 1-10) ---
-    "events_drawdown",
-    "events_acf",
-    "events_ljung_box",
-    "user_streaks",
-    "events_levene",
-    "events_poisson_test",
-    "events_wilson_ci",
-    "brand_rolling_share",
-    "supplier_hhi",
-    "lineitem_waterfall",
-    "orders_backlog_aging",
-    "nation_revenue_yoy",
-    "features_target_encoding",
-    "features_woe_iv",
-    "quality_pr_auc",
-    "embedding_drift",
-    "attribution_shapley",
-    "graph_hits",
-    "graph_2hop",
-    "privacy_k_anonymity",
-    "corpus_curation_report",
-    "events_croston",
-    "events_fisher_exact",
-    "events_pacf",
-    "lineitem_ship_latency",
-    "docs_code_signal",
-    "events_markov_stationary",
-    "docs_ttr_mattr",
-    "events_sax",
-    "events_adf",
-    "orders_mix_decomposition",
-    "docs_ngram_novelty",
-    "events_pmi",
-    "users_lorenz_curve",
-    "events_icc",
-    "sample_balanced",
-    "orders_repeat_rate",
-    "events_tukey_hsd",
-    "parts_abc_migration",
-    "corpus_coverage_curve",
-    "customer_churn_rate",
-    # --- backfill: oldest never-driver-checked (r7 second-session
-    # inference suite) ---
-    "events_ks_test",
-    "events_anova",
-    "lineitem_spearman",
-    "events_ab_fdr",
-    "corpus_jsd",
-    "orders_bootstrap_ci",
-    "events_ccf",
-    "events_diff_in_diff",
-    "events_contingency",
+# Round 9 (VERDICT r8 #1 — close the backlog for good): exactly 4 new
+# operators fill positions 1-4; the remaining 46 slots take EVERY row
+# that has never had a driver correctness row, oldest first. After this
+# round the never-driver-checked set is EMPTY — all 377 registry
+# queries will have a driver row. Round 10+ windows: new-in-round ops
+# first, then backfill with the LEAST-RECENTLY-checked rows (the r1/r2
+# vintage is oldest).
+_R9_WINDOW = [
+    # --- new in round 9 (capped at 4 by the r8 verdict) ---
+    "quality_brier_decomposition",
+    "privacy_t_closeness",
+    "events_spc_xbar",
+    "events_interarrival_fit",
+    # --- backfill: ALL 46 never-driver-checked rows, oldest first
+    # (r7 first-session leftovers, then the r7 third-session set) ---
+    "events_conversion_test",
+    "users_logrank",
+    "events_holt_winters",
+    "events_ab_power",
+    "quality_auc",
+    "quality_calibration",
+    "embedding_mmr",
+    "events_mann_kendall",
+    "events_cuped",
+    "lineitem_kendall",
+    "events_srm",
+    "events_rank_gauss",
+    "quality_isotonic",
+    "events_mahalanobis",
+    "events_cochran_armitage",
+    "users_nelson_aalen",
+    "events_stl",
+    "docs_good_turing",
+    "sample_kfold",
+    "geo_geohash_rollup",
+    "attribution_markov",
+    "events_journey_entropy",
+    "users_time_to_convert",
+    "orders_cohort_ltv",
+    "events_peaks",
+    "events_hurst",
+    "dedup_bcubed",
+    "events_twap",
+    "events_durbin_watson",
+    "events_bayes_ab",
+    "quality_gains",
+    "users_weibull_fit",
+    "events_burstiness",
+    "docs_simpson_diversity",
+    "graph_assortativity",
+    "graph_powerlaw_alpha",
+    "lineitem_abc",
+    "part_price_index",
+    "lineitem_xyz",
+    "features_user_daily",
+    "brand_price_elasticity",
+    "forecast_backtest",
+    "events_concurrency",
+    "events_anomaly_stl",
+    "graph_modularity",
+    "events_uplift_qini",
 ]
 
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _base_queries()
-    ordered = {k: base[k] for k in _R8_WINDOW}
+    ordered = {k: base[k] for k in _R9_WINDOW}
     for k, v in base.items():
         if k not in ordered:
             ordered[k] = v
@@ -11998,9 +12254,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Grouped by the session that introduced each query; ORDER HERE IS
-    # IRRELEVANT — queries() reorders via _R8_WINDOW. tests/test_registry.py
+    # IRRELEVANT — queries() reorders via _R9_WINDOW. tests/test_registry.py
     # guards window size, duplicate keys, and oracle coverage.
     return {
+        # --- new in round 9 (capped at 4 — the window absorbs the
+        # never-driver-checked backlog this round) ---
+        "quality_brier_decomposition": q_quality_brier_decomposition,
+        "privacy_t_closeness": q_privacy_t_closeness,
+        "events_spc_xbar": q_events_spc_xbar,
+        "events_interarrival_fit": q_events_interarrival_fit,
         # --- new in round 8, wave 1: sequence/time-series analytics ---
         "events_drawdown": q_events_drawdown,
         "events_acf": q_events_acf,
@@ -12046,7 +12308,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 7, third session: feature transforms,
         # calibration, outlier/trend tests, corpus estimators, geo,
         # fold assignment, Markov attribution (post-window-freeze;
-        # scheduled for the r9 driver window — see the _R8_WINDOW
+        # scheduled for the r9 driver window — see the _R9_WINDOW
         # plan comment) ---
         "events_rank_gauss": q_events_rank_gauss,
         "quality_isotonic": q_quality_isotonic,
@@ -12217,7 +12479,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- fifth-session additions ---
         "table_changes": q_table_changes,
         "stream_topk_replay": q_stream_topk_replay,
-        # (ordering below is historical grouping only — see _R8_WINDOW)
+        # (ordering below is historical grouping only — see _R9_WINDOW)
         "orders_scd2": q_orders_scd2,
         "dedup_containment": q_dedup_containment,
         "heavy_hitters_tokens": q_heavy_hitters_tokens,
@@ -16432,6 +16694,176 @@ def oracle_sql() -> dict[str, str]:
             SELECT bucket, n, mean_pred, obs_rate, brier
             FROM cal CROSS JOIN b ORDER BY bucket
         """.replace("{norm}", norm_text),
+        "quality_brier_decomposition": f"""
+            WITH train AS (
+              SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, text
+              FROM documents WHERE doc_id % 2 = 0),
+            tk AS (SELECT y, unnest(str_split({{norm}}, ' ')) AS tok
+                   FROM train),
+            wc AS (SELECT tok, sum(y)::BIGINT AS pos_c,
+                          sum(1 - y)::BIGINT AS neg_c
+                   FROM tk GROUP BY tok),
+            cls AS (SELECT sum(y)::BIGINT AS n_pos, sum(1 - y)::BIGINT
+                             AS n_neg
+                    FROM train),
+            ts AS (SELECT sum(pos_c) AS t_pos, sum(neg_c) AS t_neg,
+                          count(*) AS vocab FROM wc),
+            sc AS (SELECT doc_id, unnest(str_split({{norm}}, ' ')) AS tok
+                   FROM documents WHERE doc_id % 2 = 1),
+            agg AS (
+              SELECT doc_id,
+                     round(ln(any_value(cls.n_pos)::DOUBLE)
+                           - ln(any_value(cls.n_neg)::DOUBLE)
+                           + sum(ln(coalesce(wc.pos_c, 0) + 1.0)
+                                 - ln(coalesce(wc.neg_c, 0) + 1.0))
+                           + count(*) * (ln((any_value(ts.t_neg)
+                                             + any_value(ts.vocab))::DOUBLE)
+                                         - ln((any_value(ts.t_pos)
+                                               + any_value(ts.vocab))::DOUBLE)),
+                           6) AS score
+              FROM sc LEFT JOIN wc USING (tok) CROSS JOIN cls CROSS JOIN ts
+              GROUP BY doc_id),
+            lab AS (SELECT agg.doc_id, score,
+                           CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+                    FROM agg JOIN documents d USING (doc_id)),
+            st AS (SELECT y,
+                          1.0::DOUBLE / (1.0::DOUBLE + exp(-score)) AS p
+                   FROM lab),
+            st2 AS (SELECT y, p, least(9, floor(p * 10))::INT AS bucket
+                    FROM st),
+            bins AS (SELECT bucket, count(*)::BIGINT AS nk,
+                            sum(y)::BIGINT AS syk, sum(p) AS spk,
+                            sum((p - y) * (p - y)) AS ssqk
+                     FROM st2 GROUP BY bucket),
+            tot AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS sy
+                    FROM st2),
+            t AS (SELECT nk, syk, spk, ssqk, n, sy,
+                         spk / nk::DOUBLE AS pbar,
+                         syk::DOUBLE / nk::DOUBLE AS obark,
+                         sy::DOUBLE / n::DOUBLE AS obar
+                  FROM bins CROSS JOIN tot)
+            SELECT any_value(n) AS n,
+                   round(sum(ssqk) / any_value(n)::DOUBLE, 6) AS brier,
+                   round(sum(nk::DOUBLE * (pbar - obark) * (pbar - obark))
+                         / any_value(n)::DOUBLE, 6) AS reliability,
+                   round(sum(nk::DOUBLE * (obark - obar) * (obark - obar))
+                         / any_value(n)::DOUBLE, 6) AS resolution,
+                   round(any_value(obar) * (1.0 - any_value(obar)), 6)
+                     AS uncertainty,
+                   round(sum(nk::DOUBLE * abs(pbar - obark))
+                         / any_value(n)::DOUBLE, 6) AS ece,
+                   round(max(abs(pbar - obark)), 6) AS mce
+            FROM t
+        """.replace("{norm}", norm_text),
+        "privacy_t_closeness": """
+            WITH c AS (SELECT c_mktsegment, c_nationkey,
+                              CASE WHEN c_acctbal < 0 THEN 'neg'
+                                   WHEN c_acctbal < 5000 THEN 'mid'
+                                   ELSE 'high' END AS tier
+                       FROM customer),
+            cells AS (SELECT c_mktsegment, c_nationkey, tier,
+                             count(*)::BIGINT AS cnt
+                      FROM c GROUP BY 1, 2, 3),
+            groups AS (SELECT c_mktsegment, c_nationkey,
+                              count(*)::BIGINT AS k
+                       FROM c GROUP BY 1, 2),
+            gtier AS (SELECT tier, count(*)::BIGINT AS gc
+                      FROM c GROUP BY 1),
+            tot AS (SELECT count(*)::BIGINT AS n_total FROM c),
+            frame AS (SELECT g.c_mktsegment, g.c_nationkey, g.k, gl.gc,
+                             coalesce(ce.cnt, 0)::BIGINT AS cnt
+                      FROM groups g CROSS JOIN gtier gl
+                      LEFT JOIN cells ce
+                        ON ce.c_mktsegment = g.c_mktsegment
+                       AND ce.c_nationkey = g.c_nationkey
+                       AND ce.tier = gl.tier),
+            agg AS (SELECT c_mktsegment, c_nationkey,
+                           any_value(k) AS k,
+                           any_value(t.n_total) AS n,
+                           sum(abs(cnt * t.n_total - gc * k))::BIGINT AS s
+                    FROM frame CROSS JOIN tot t GROUP BY 1, 2)
+            SELECT c_mktsegment, c_nationkey, k,
+                   round(0.5 * s::DOUBLE / (k * n)::DOUBLE, 6) AS tvd,
+                   (0.5 * s::DOUBLE / (k * n)::DOUBLE) > 0.2 AS t_leaky
+            FROM agg ORDER BY c_mktsegment, c_nationkey
+        """,
+        "events_spc_xbar": """
+            WITH daily AS (
+              SELECT event_type, ts::DATE AS day,
+                     sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS c
+              FROM events GROUP BY 1, 2),
+            weekly AS (
+              SELECT event_type,
+                     datediff('day', DATE '1970-01-01', day) // 7 AS week,
+                     count(*)::BIGINT AS nd, sum(c)::BIGINT AS ws,
+                     max(c)::BIGINT AS mx, min(c)::BIGINT AS mn
+              FROM daily GROUP BY 1, 2),
+            full_w AS (SELECT * FROM weekly WHERE nd = 7),
+            per_type AS (SELECT event_type, count(*)::BIGINT AS kw,
+                                sum(ws)::BIGINT AS tws,
+                                sum(mx - mn)::BIGINT AS tr
+                         FROM full_w GROUP BY 1),
+            j AS (SELECT f.*, p.kw, p.tws, p.tr
+                  FROM full_w f JOIN per_type p USING (event_type)),
+            x AS (SELECT event_type, week,
+                         ws::DOUBLE / 7.0 AS mean_w,
+                         (mx - mn)::DOUBLE AS rng_w,
+                         tws::DOUBLE / (7.0 * kw::DOUBLE) AS xbarbar,
+                         tr::DOUBLE / kw::DOUBLE AS rbar
+                  FROM j)
+            SELECT event_type, week,
+                   round(mean_w, 6) AS week_mean_cents,
+                   round(rng_w, 6) AS week_range_cents,
+                   round(xbarbar + 0.419 * rbar, 6) AS ucl_x,
+                   round(xbarbar - 0.419 * rbar, 6) AS lcl_x,
+                   (mean_w > xbarbar + 0.419 * rbar
+                    OR mean_w < xbarbar - 0.419 * rbar) AS ooc_mean,
+                   (rng_w > 1.924 * rbar OR rng_w < 0.076 * rbar)
+                     AS ooc_range
+            FROM x ORDER BY event_type, week
+        """,
+        "events_interarrival_fit": """
+            WITH g0 AS (
+              SELECT event_type,
+                     CAST(floor((lead(epoch_us(ts)) OVER w
+                                 - epoch_us(ts)) / 1000000) AS BIGINT)
+                       AS gap
+              FROM events
+              WINDOW w AS (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id)),
+            gaps AS (SELECT event_type, gap FROM g0 WHERE gap IS NOT NULL),
+            grp AS (SELECT event_type, gap, count(*)::BIGINT AS cnt
+                    FROM gaps GROUP BY 1, 2),
+            staged AS (
+              SELECT event_type, gap, cnt,
+                     sum(cnt) OVER (PARTITION BY event_type ORDER BY gap
+                                    ROWS UNBOUNDED PRECEDING)::BIGINT
+                       AS cum,
+                     sum(cnt) OVER (PARTITION BY event_type)::BIGINT AS n,
+                     sum(gap * cnt) OVER (PARTITION BY event_type)::BIGINT
+                       AS s
+              FROM grp),
+            d AS (SELECT event_type, n, s,
+                         greatest(
+                           abs(cum::DOUBLE / n::DOUBLE
+                               - (1.0 - exp(-(n::DOUBLE * gap::DOUBLE)
+                                            / s::DOUBLE))),
+                           abs((cum - cnt)::DOUBLE / n::DOUBLE
+                               - (1.0 - exp(-(n::DOUBLE * gap::DOUBLE)
+                                            / s::DOUBLE)))) AS d_at
+                  FROM staged),
+            agg AS (SELECT event_type, any_value(n) AS n_gaps,
+                           any_value(s) AS st, max(d_at) AS dmax
+                    FROM d GROUP BY 1)
+            SELECT event_type, n_gaps,
+                   round(st::DOUBLE / n_gaps::DOUBLE, 6) AS mean_gap_s,
+                   round(3600.0 * n_gaps::DOUBLE / st::DOUBLE, 6)
+                     AS lambda_per_hr,
+                   round(dmax, 6) AS ks_d,
+                   dmax > 1.36 / sqrt(n_gaps::DOUBLE)
+                     AS reject_exponential
+            FROM agg ORDER BY event_type
+        """,
         "quality_isotonic": f"""
             WITH train AS (
               SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, text

@@ -347,6 +347,11 @@ HEADLINE = [
     "parts_abc_migration",
     "corpus_coverage_curve",
     "customer_churn_rate",
+    # round 9
+    "quality_brier_decomposition",
+    "privacy_t_closeness",
+    "events_spc_xbar",
+    "events_interarrival_fit",
 ]
 
 
