@@ -65,6 +65,7 @@ def build_scaled_dir(spark) -> str:
         "embeddings.parquet",
         "events.parquet",
         "orders.parquet",
+        "lineitem.parquet",
     )
     for name in os.listdir(BASE):
         if name not in scaled_tables:
@@ -153,6 +154,19 @@ def build_scaled_dir(spark) -> str:
             if c not in ("o_orderkey", "o_custkey")
         ],
     ).write.parquet(os.path.join(out, "orders.parquet"))
+
+    # lineitem (round 9: the backfill probes include per-part lineitem
+    # stats): order keys shift in lockstep with orders so order-line
+    # joins stay consistent; part/supp keys stay — 10x growth piles
+    # lines onto the FIXED catalog, which is what real volume growth
+    # does to per-part aggregates
+    li = load_table(spark, BASE, "lineitem")
+    li.select(*li.columns, reps).select(
+        (F.col("l_orderkey") + F.col("rep") * 100_000_000).alias(
+            "l_orderkey"
+        ),
+        *[c for c in li.columns if c != "l_orderkey"],
+    ).write.parquet(os.path.join(out, "lineitem.parquet"))
     return out
 
 
