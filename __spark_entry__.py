@@ -4696,7 +4696,20 @@ def _ngram_pairs(docs: DataFrame) -> DataFrame:
     their n via a struct wrap, concatenated, and exploded ONCE — so
     the parquet scan, the decompression, and the normalization run a
     single time and only the (already map-side-combined) pairs hit
-    any downstream exchange."""
+    any downstream exchange.
+
+    The scan is COLUMN-PRUNED to text and immediately repartitioned:
+    the fixture's documents table is one parquet row group, so the
+    fused single scan would otherwise run the whole explode+tokenize
+    chain in ONE task (the old triple-union form got accidental 3-way
+    parallelism from its three scans). Exchanging the pruned text
+    (~the corpus bytes, once) buys #cores-way parallelism for the
+    n-gram work that dominates; at 100 TB the scan has thousands of
+    splits and Catalyst elides the benefit question entirely — AQE
+    coalesces the exchange to nothing-burger sizes."""
+    docs = docs.select("text").repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    )
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     words = F.split(norm, " ")
 
