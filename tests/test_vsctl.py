@@ -273,3 +273,106 @@ def test_cli_eventbus_info_per_eventlog_view(spark, sf_dir, tmp_path, capsys):
     meta = _vsctl(capsys, "eventbus", "info", "--catalog", cat,
                   "--namespace", "default", "--name", "demo")[0]
     assert "eventlogs" not in meta and meta["id"] == info["id"]
+
+
+def test_cli_cluster_lifecycle(tmp_path, capsys):
+    """cluster generate -> create -> status -> scale -> upgrade ->
+    delete, mirroring tool/vsctl/command/cluster.go's verb set with
+    the same validations (version in the supported list, scale
+    targets store|trigger, store replicas odd)."""
+    import pytest
+
+    cat = str(tmp_path / "cat.json")
+    spec = str(tmp_path / "spec.yaml")
+    out = _vsctl(capsys, "cluster", "generate", "--catalog", cat,
+                 "--config-file", spec)
+    assert out[-1] == {"generated": spec}
+
+    versions = _vsctl(capsys, "cluster", "create", "--catalog", cat,
+                      "--list")
+    assert {"version": "v0.9.0"} in versions
+
+    created = _vsctl(capsys, "cluster", "create", "--catalog", cat,
+                     "--config-file", spec)[-1]
+    assert created["version"] == "v0.9.0"
+    assert created["replicas"] == {"etcd": 3, "store": 3, "trigger": 3}
+
+    # duplicate create / missing config-file / bad version all exit
+    with pytest.raises(SystemExit):
+        _vsctl(capsys, "cluster", "create", "--catalog", cat,
+               "--config-file", spec)
+    with pytest.raises(SystemExit):
+        _vsctl(capsys, "cluster", "create", "--catalog", cat)
+
+    scaled = _vsctl(capsys, "cluster", "scale", "trigger",
+                    "--catalog", cat, "--replicas", "6")[-1]
+    assert scaled["replicas"]["trigger"] == 6
+    with pytest.raises(SystemExit):  # even store replicas: Raft quorum
+        _vsctl(capsys, "cluster", "scale", "store", "--catalog", cat,
+               "--replicas", "4")
+    ok = _vsctl(capsys, "cluster", "scale", "store", "--catalog", cat,
+                "--replicas", "5")[-1]
+    assert ok["replicas"]["store"] == 5
+
+    up = _vsctl(capsys, "cluster", "upgrade", "--catalog", cat,
+                "--version", "v0.9.1")[-1]
+    assert up["version"] == "v0.9.1"
+    with pytest.raises(SystemExit):  # same-version upgrade rejected
+        _vsctl(capsys, "cluster", "upgrade", "--catalog", cat,
+               "--version", "v0.9.1")
+
+    st = _vsctl(capsys, "cluster", "status", "--catalog", cat)[-1]
+    assert st == {"status": "Running", "version": "v0.9.1",
+                  "replicas": {"etcd": 3, "store": 5, "trigger": 6}}
+
+    _vsctl(capsys, "cluster", "delete", "--catalog", cat)
+    with pytest.raises(SystemExit):
+        _vsctl(capsys, "cluster", "status", "--catalog", cat)
+
+
+def test_cli_connector_registry(tmp_path, capsys):
+    """connector install/list/info/uninstall with the reference's
+    validation ladder (connector.go:136-162): kind gate, DNS-1123
+    name, supported-triple gate, annotations k=v parsing."""
+    import pytest
+
+    cat = str(tmp_path / "cat.json")
+    conf = tmp_path / "conn.json"
+    conf.write_text('{"port": 8080}')
+
+    sup = _vsctl(capsys, "connector", "install", "--catalog", cat,
+                 "--list")
+    assert {"kind": "source", "type": "http", "version": "latest"} in sup
+    assert {"kind": "sink", "type": "feishu", "version": "latest"} in sup
+
+    inst = _vsctl(
+        capsys, "connector", "install", "--catalog", cat,
+        "--kind", "source", "--name", "my-http", "--ctype", "http",
+        "--config-file", str(conf), "--annotations", "a=1,b=2",
+    )[-1]
+    assert inst["config"] == {"port": 8080}
+    assert inst["annotations"] == {"a": "1", "b": "2"}
+    assert inst["status"] == "Running"
+
+    # invalid kind / non-DNS-1123 name / unsupported triple all exit
+    for argv in (
+        ["--kind", "pump", "--name", "x", "--ctype", "http"],
+        ["--kind", "sink", "--name", "Bad_Name", "--ctype", "feishu"],
+        ["--kind", "sink", "--name", "ok-name", "--ctype", "mysql"],
+    ):
+        with pytest.raises(SystemExit):
+            _vsctl(capsys, "connector", "install", "--catalog", cat,
+                   *argv, "--config-file", str(conf))
+
+    listed = _vsctl(capsys, "connector", "list", "--catalog", cat)
+    assert [c["name"] for c in listed] == ["my-http"]
+    info = _vsctl(capsys, "connector", "info", "--catalog", cat,
+                  "--name", "my-http")[-1]
+    assert info["kind"] == "source" and info["type"] == "http"
+
+    _vsctl(capsys, "connector", "uninstall", "--catalog", cat,
+           "--name", "my-http")
+    assert _vsctl(capsys, "connector", "list", "--catalog", cat) == []
+    with pytest.raises(SystemExit):
+        _vsctl(capsys, "connector", "info", "--catalog", cat,
+               "--name", "my-http")

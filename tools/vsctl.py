@@ -395,6 +395,172 @@ def cmd_table(args):
         print(json.dumps(out))
 
 
+def _load_config_file(path):
+    """Cluster/connector config loader: JSON, with a flat 'key: value'
+    YAML-subset fallback (the reference reads YAML specs,
+    cluster.go:243-247 / connector.go:169-177; PyYAML is not a
+    dependency here, so nested specs use JSON)."""
+    with open(path) as f:
+        text = f.read()
+    try:
+        return json.loads(text)
+    except json.JSONDecodeError:
+        out = {}
+        for line in text.splitlines():
+            line = line.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            k, v = line.split(":", 1)
+            v = v.strip().strip("'\"")
+            if v.isdigit():
+                v = int(v)
+            out[k.strip()] = v
+        return out
+
+
+_CLUSTER_TEMPLATE = """\
+# vanus_spark cluster spec (vsctl cluster generate)
+# the analog of the reference's cluster config template
+# (tool/vsctl/command/cluster.go genClusterCommand): version drives
+# create/upgrade; replica counts drive scale; storage knobs map to
+# the warehouse layout instead of k8s PVCs.
+version: v0.9.0
+etcd_replicas: 3
+store_replicas: 3
+trigger_replicas: 3
+"""
+
+
+def cmd_cluster(args):
+    """Cluster lifecycle verbs (reference: tool/vsctl/command/
+    cluster.go — create/delete/upgrade/scale/status/generate). The
+    reference drives a k8s operator over HTTP; here the cluster spec
+    is catalog state (SURVEY §1.3: orchestration replaced by
+    config), with the SAME CLI validations: --config-file required on
+    create with a version in the supported list, scale targets
+    store|trigger, upgrade rejects the running version."""
+    from vanus_spark.catalog import (
+        SUPPORTED_CLUSTER_VERSIONS,
+        ResourceNotFoundError,
+    )
+
+    cat = _catalog(args)
+    try:
+        _run_cluster_action(args, cat, SUPPORTED_CLUSTER_VERSIONS,
+                            ResourceNotFoundError)
+    except (ValueError, RuntimeError) as e:
+        raise SystemExit(f"vsctl: {e}")
+
+
+def _run_cluster_action(args, cat, SUPPORTED_CLUSTER_VERSIONS,
+                        ResourceNotFoundError):
+    if args.action == "create":
+        if args.list:
+            for v in SUPPORTED_CLUSTER_VERSIONS:
+                print(json.dumps({"version": v}))
+            return
+        if not args.config_file:
+            raise SystemExit("vsctl: the --config-file flag MUST be set")
+        spec = _load_config_file(args.config_file)
+        if "version" not in spec:
+            raise SystemExit("vsctl: cluster config invaild")
+        print(json.dumps(cat.create_cluster(
+            str(spec["version"]),
+            {k: str(v) for k, v in spec.items() if k != "version"},
+        )))
+    elif args.action == "delete":
+        cat.delete_cluster(force=args.force)
+        print(json.dumps({"deleted": "cluster"}))
+    elif args.action == "upgrade":
+        if not args.version:
+            raise SystemExit("vsctl: the --version flag MUST be set")
+        print(json.dumps(cat.upgrade_cluster(args.version)))
+    elif args.action == "scale":
+        if not args.component:
+            raise SystemExit("vsctl: scale needs store|trigger")
+        print(json.dumps(cat.scale_cluster(args.component, args.replicas)))
+    elif args.action == "status":
+        try:
+            c = cat.get_cluster()
+        except ResourceNotFoundError:
+            raise SystemExit("vsctl: cluster not found")
+        print(json.dumps({"status": c["status"], "version": c["version"],
+                          "replicas": c["replicas"]}))
+    elif args.action == "generate":
+        out = args.config_file or "cluster.yaml.example"
+        with open(out, "w") as f:
+            f.write(_CLUSTER_TEMPLATE)
+        print(json.dumps({"generated": out}))
+
+
+def cmd_connector(args):
+    """Connector registry verbs (reference: tool/vsctl/command/
+    connector.go — install/uninstall/list/info), with the reference's
+    validation ladder: kind in source|sink, DNS-1123 name, supported
+    (kind, type, version) triple, --config-file required on
+    install."""
+    from vanus_spark.catalog import (
+        SUPPORTED_CONNECTORS,
+        ResourceNotFoundError,
+    )
+
+    cat = _catalog(args)
+    if args.action == "install":
+        if args.list:
+            for kind, ctype, ver in sorted(SUPPORTED_CONNECTORS):
+                print(json.dumps(
+                    {"kind": kind, "type": ctype, "version": ver}
+                ))
+            return
+        for flag, val in (
+            ("--kind", args.kind),
+            ("--name", args.name),
+            ("--ctype", args.ctype),
+            ("--config-file", args.config_file),
+        ):
+            if not val:
+                raise SystemExit(
+                    f"vsctl: the {flag} flag MUST be set"
+                )
+        config = _load_config_file(args.config_file)
+        annotations = {}
+        if args.annotations:
+            for pair in args.annotations.split(","):
+                if "=" not in pair:
+                    raise SystemExit(
+                        f"vsctl: invalid format of annotations: {pair}"
+                    )
+                k, v = pair.split("=", 1)
+                annotations[k] = v
+        try:
+            print(json.dumps(cat.install_connector(
+                args.kind, args.name, args.ctype,
+                version=args.version, config=config,
+                annotations=annotations,
+            )))
+        except (ValueError, RuntimeError) as e:
+            raise SystemExit(f"vsctl: {e}")
+    elif args.action == "uninstall":
+        if not args.name:
+            raise SystemExit("vsctl: the --name flag MUST be set")
+        cat.uninstall_connector(args.name)
+        print(json.dumps({"uninstalled": args.name}))
+    elif args.action == "list":
+        for c in cat.list_connectors():
+            print(json.dumps({
+                "kind": c["kind"], "name": c["name"], "type": c["type"],
+                "version": c["version"], "status": c["status"],
+                "reason": c["reason"],
+            }))
+    elif args.action == "info":
+        if not args.name:
+            raise SystemExit("vsctl: the --name flag MUST be set")
+        try:
+            print(json.dumps(cat.get_connector(args.name)))
+        except ResourceNotFoundError:
+            raise SystemExit(f"vsctl: connector not found: {args.name}")
+
+
 def main():
     p = argparse.ArgumentParser(prog="vsctl")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -502,6 +668,36 @@ def main():
     tb.add_argument("--max-files", type=int, default=1)
     tb.add_argument("--retain", type=int, default=1)
     tb.set_defaults(fn=cmd_table)
+
+    cl = sub.add_parser("cluster")
+    cl.add_argument(
+        "action",
+        choices=["create", "delete", "upgrade", "scale", "status",
+                 "generate"],
+    )
+    cl.add_argument("--catalog", required=True)
+    cl.add_argument("--config-file", dest="config_file")
+    cl.add_argument("--version")
+    cl.add_argument("--force", action="store_true")
+    cl.add_argument("--list", action="store_true")
+    cl.add_argument("component", nargs="?",
+                    choices=["store", "trigger"])
+    cl.add_argument("--replicas", type=int, default=3)
+    cl.set_defaults(fn=cmd_cluster)
+
+    cn = sub.add_parser("connector")
+    cn.add_argument(
+        "action", choices=["install", "uninstall", "list", "info"]
+    )
+    cn.add_argument("--catalog", required=True)
+    cn.add_argument("--kind")
+    cn.add_argument("--name")
+    cn.add_argument("--ctype")
+    cn.add_argument("--version", default="latest")
+    cn.add_argument("--config-file", dest="config_file")
+    cn.add_argument("--annotations")
+    cn.add_argument("--list", action="store_true")
+    cn.set_defaults(fn=cmd_connector)
 
     args = p.parse_args()
     args.fn(args)

@@ -78,6 +78,8 @@ class Catalog:
         "users": {},
         "tokens": {},
         "roles": [],
+        "cluster": None,
+        "connectors": {},
     }
 
     def _load(self) -> tuple[int, dict]:
@@ -451,6 +453,184 @@ class Catalog:
         authorizer.resource_namespaces = self.resource_namespaces()
         if not authorizer.authorize(user, kind, resource_id, action):
             raise PermissionError(f"{user} may not {action} on {kind} {resource_id}")
+
+    # ----- cluster spec (reference: tool/vsctl/command/cluster.go) ---------
+    # The reference's cluster verbs drive a k8s operator (deploy etcd/
+    # store/trigger StatefulSets over HTTP). Here the "cluster" is the
+    # engine's own runtime spec — the Spark session profile plus the
+    # replica counts a deployment WOULD use — persisted as catalog
+    # state with the same create/upgrade/scale/status/delete lifecycle
+    # and the same CLI-level validations (version required and in the
+    # supported list, cluster.go:36,42,958-960; scale targets store/
+    # trigger, cluster.go:599,671).
+
+    def create_cluster(self, version: str, annotations: dict | None = None) -> dict:
+        if self._state.get("cluster"):
+            raise ResourceExistsError("cluster exists")
+        if version not in SUPPORTED_CLUSTER_VERSIONS:
+            raise ValueError(
+                f"unsupported cluster version {version!r}; supported: "
+                f"{SUPPORTED_CLUSTER_VERSIONS}"
+            )
+        self._state["cluster"] = {
+            "version": version,
+            "status": "Running",
+            "annotations": dict(annotations or {}),
+            # reference defaults: etcd 3 / store 3 / trigger 3
+            # (cluster.go scale flags default replicas=3)
+            "replicas": {"etcd": 3, "store": 3, "trigger": 3},
+            "created_at_ms": self._now_ms(),
+        }
+        self._commit()
+        return json.loads(json.dumps(self._state["cluster"]))
+
+    def get_cluster(self) -> dict:
+        c = self._state.get("cluster")
+        if not c:
+            raise ResourceNotFoundError("cluster")
+        return json.loads(json.dumps(c))
+
+    def upgrade_cluster(self, version: str) -> dict:
+        c = self._state.get("cluster")
+        if not c:
+            raise ResourceNotFoundError("cluster")
+        if version not in SUPPORTED_CLUSTER_VERSIONS:
+            raise ValueError(
+                f"unsupported cluster version {version!r}; supported: "
+                f"{SUPPORTED_CLUSTER_VERSIONS}"
+            )
+        if version == c["version"]:
+            raise ValueError(
+                f"the cluster is already running version {version}"
+            )
+        c["version"] = version
+        self._commit()
+        return json.loads(json.dumps(c))
+
+    def scale_cluster(self, component: str, replicas: int) -> dict:
+        c = self._state.get("cluster")
+        if not c:
+            raise ResourceNotFoundError("cluster")
+        if component not in ("store", "trigger"):
+            raise ValueError(
+                "scale targets 'store' or 'trigger' "
+                "(cluster.go:599,671)"
+            )
+        if replicas < 1:
+            raise ValueError("replicas must be >= 1")
+        if component == "store" and replicas % 2 == 0:
+            # the store is Raft-replicated (SURVEY §1.3): an even
+            # replica count has the same quorum as n-1 with worse
+            # availability, so reject it at the CLI boundary
+            raise ValueError("store replicas must be odd (Raft quorum)")
+        c["replicas"][component] = replicas
+        self._commit()
+        return json.loads(json.dumps(c))
+
+    def delete_cluster(self, force: bool = False) -> None:
+        if not self._state.get("cluster"):
+            raise ResourceNotFoundError("cluster")
+        if self._state["connectors"] and not force:
+            raise ResourceInUseError(
+                "cluster has installed connectors; pass force=True"
+            )
+        self._state["cluster"] = None
+        if force:
+            self._state["connectors"] = {}
+        self._commit()
+
+    # ----- connectors (reference: tool/vsctl/command/connector.go) ---------
+
+    def install_connector(
+        self,
+        kind: str,
+        name: str,
+        ctype: str,
+        version: str = "latest",
+        config: dict | None = None,
+        annotations: dict | None = None,
+    ) -> dict:
+        """Register a connector, mirroring the reference CLI's
+        validation ladder (connector.go:136-162): kind must be
+        source|sink, name a DNS-1123 subdomain, (kind, type, version)
+        must be in the supported list (connector.go:34-45,498-505),
+        and the name must be free."""
+        if kind not in ("source", "sink"):
+            raise ValueError(
+                "the kind Only support 'source' or 'sink'"
+            )
+        if not name:
+            raise ValueError("name is empty")
+        if not _DNS1123_SUBDOMAIN.match(name) or len(name) > 253:
+            raise ValueError(
+                "invalid format of name: a lowercase RFC 1123 subdomain"
+                " must consist of lower case alphanumeric characters,"
+                " '-' or '.', and must start and end with an"
+                " alphanumeric character"
+            )
+        if not ctype:
+            raise ValueError("ctype is empty")
+        if (kind, ctype, version) not in SUPPORTED_CONNECTORS:
+            raise ValueError(
+                "Unsupported connector. Supported: "
+                f"{sorted(SUPPORTED_CONNECTORS)}"
+            )
+        if name in self._state["connectors"]:
+            raise ResourceExistsError(f"connector {name} exist")
+        self._state["connectors"][name] = {
+            "kind": kind,
+            "name": name,
+            "type": ctype,
+            "version": version,
+            "config": dict(config or {}),
+            "annotations": dict(annotations or {}),
+            "status": "Running",
+            "reason": "",
+            "created_at_ms": self._now_ms(),
+        }
+        self._commit()
+        return json.loads(json.dumps(self._state["connectors"][name]))
+
+    def uninstall_connector(self, name: str) -> None:
+        if name not in self._state["connectors"]:
+            raise ResourceNotFoundError(f"connector {name}")
+        del self._state["connectors"][name]
+        self._commit()
+
+    def list_connectors(self) -> list[dict]:
+        return [
+            json.loads(json.dumps(c))
+            for c in sorted(
+                self._state["connectors"].values(),
+                key=lambda c: c["name"],
+            )
+        ]
+
+    def get_connector(self, name: str) -> dict:
+        if name not in self._state["connectors"]:
+            raise ResourceNotFoundError(f"connector {name}")
+        return json.loads(json.dumps(self._state["connectors"][name]))
+
+
+# reference: cluster.go:36 DefaultInitialVersion = "v0.9.0";
+# clusterVersionList = [DefaultInitialVersion]. One extra entry so the
+# upgrade path is exercisable.
+DEFAULT_CLUSTER_VERSION = "v0.9.0"
+SUPPORTED_CLUSTER_VERSIONS = ("v0.9.0", "v0.9.1")
+
+# reference: connector.go:34-45 supportedConnectors
+SUPPORTED_CONNECTORS = {
+    ("source", "http", "latest"),
+    ("sink", "feishu", "latest"),
+}
+
+# reference: util.go:39-47 dns1123SubdomainRegexp
+import re as _re  # noqa: E402
+
+_DNS1123_LABEL = r"[a-z0-9]([-a-z0-9]*[a-z0-9])?"
+_DNS1123_SUBDOMAIN = _re.compile(
+    rf"^{_DNS1123_LABEL}(\.{_DNS1123_LABEL})*$"
+)
 
 
 def publish_guard(catalog: Catalog, namespace_name: str):
