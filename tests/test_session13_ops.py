@@ -168,3 +168,106 @@ def test_interarrival_fit_poisson_vs_metronome(spark):
     assert r["mean_gap_s"] == 300.0
     assert abs(r["ks_d"] - (1.0 - math.exp(-1.0))) < 1e-6
     assert r["reject_exponential"]  # 0.632 >> 1.36/sqrt(39) ~ 0.218
+
+
+def test_t_closeness_brute_force_random(spark):
+    """Random group/tier tables: the exact-integer TVD formula must
+    equal the brute-forced float definition 0.5*sum|p_group - p_glob|
+    for every group (40 random tables batched into one DataFrame via
+    a table-id prefix on the group key)."""
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    rng = _random.Random(20260816)
+    tiers = ["a", "b", "c"]
+    rows = []
+    for t in range(40):
+        for _ in range(rng.randint(3, 30)):
+            rows.append(
+                (f"t{t}-g{rng.randint(0, 3)}", tiers[rng.randint(0, 2)], t)
+            )
+    df = spark.createDataFrame(rows, "grp string, tier string, tid int")
+    cells = df.groupBy("tid", "grp", "tier").agg(F.count("*").alias("cnt"))
+    groups = df.groupBy("tid", "grp").agg(F.count("*").alias("k"))
+    glob = df.groupBy("tid", "tier").agg(F.count("*").alias("gc"))
+    tot = df.groupBy("tid").agg(F.count("*").alias("n_total"))
+    frame = (
+        groups.join(glob, "tid")
+        .join(cells, ["tid", "grp", "tier"], "left")
+        .select(
+            "tid", "grp", "k", "gc",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        )
+    )
+    g = frame.join(tot, "tid").groupBy("tid", "grp").agg(
+        F.first("k").alias("k"),
+        F.first("n_total").alias("n"),
+        F.sum(
+            F.abs(F.col("cnt") * F.col("n_total") - F.col("gc") * F.col("k"))
+        ).alias("s"),
+    )
+    got = {
+        (r["tid"], r["grp"]): 0.5 * r["s"] / (r["k"] * r["n"])
+        for r in g.collect()
+    }
+    # brute force in Python
+    from collections import Counter, defaultdict
+
+    per_table = defaultdict(list)
+    for grp, tier, tid in rows:
+        per_table[tid].append((grp, tier))
+    for tid, items in per_table.items():
+        n = len(items)
+        glob_c = Counter(t for _, t in items)
+        by_group = defaultdict(Counter)
+        for grp, t in items:
+            by_group[grp][t] += 1
+        for grp, cnts in by_group.items():
+            k = sum(cnts.values())
+            tvd = 0.5 * sum(
+                abs(cnts.get(t, 0) / k - glob_c[t] / n) for t in tiers
+            )
+            assert abs(got[(tid, grp)] - tvd) < 1e-12, (tid, grp)
+
+
+def test_spc_constants_and_flag_logic(spark):
+    """The n=7 Shewhart constants must satisfy their defining
+    relations (A2 = 3/(d2*sqrt(7)), D3 = 1-3*d3/d2, D4 = 1+3*d3/d2
+    with the tabulated d2 = 2.704, d3 = 0.833) to the 3-decimal
+    precision used by the operator."""
+    import math
+
+    d2, d3 = 2.704, 0.833
+    assert abs(0.419 - 3.0 / (d2 * math.sqrt(7))) < 6e-4
+    assert abs(0.076 - (1.0 - 3.0 * d3 / d2)) < 6e-3
+    assert abs(1.924 - (1.0 + 3.0 * d3 / d2)) < 6e-3
+
+
+def test_interarrival_fit_exponential_like_accepts(spark):
+    """Gaps drawn from a discretized geometric (the integer-seconds
+    analog of exponential) must NOT reject at the 95% KS line —
+    the complement of the metronome-rejection golden."""
+    import math
+    import random as _random
+
+    from datetime import datetime, timedelta
+
+    rng = _random.Random(7)
+    t = datetime(2024, 1, 1)
+    rows = []
+    for i in range(400):
+        rows.append((i, t, 1, "t", 1.0, "{}"))
+        # geometric with mean ~120 s, >= 1 s
+        gap = 1 + int(-120.0 * math.log(1.0 - rng.random()))
+        t = t + timedelta(seconds=gap)
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.mode("overwrite").parquet("/tmp/ia_geo_fixture/events.parquet")
+    m = _entry()
+    r = m.q_events_interarrival_fit(spark, "/tmp/ia_geo_fixture").collect()[0]
+    assert r["n_gaps"] == 399
+    assert not r["reject_exponential"], r["ks_d"]
