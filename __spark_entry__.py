@@ -12196,8 +12196,14 @@ def q_events_interarrival_fit(
 # that has never had a driver correctness row, oldest first. After this
 # round the never-driver-checked set is EMPTY — all 377 registry
 # queries will have a driver row. Round 10+ windows: new-in-round ops
-# first, then backfill with the LEAST-RECENTLY-checked rows (the r1/r2
-# vintage is oldest).
+# first, then backfill with the LEAST-RECENTLY-checked rows. Entering
+# r10 the staleness ledger (from CORRECTNESS_r0{2..9}.json) is:
+# 37 rows last checked in r2 (delivery_routing dlq_replay
+# delayed_due_split retry_refilter publish_roundrobin tpch_q1_pricing
+# join_revenue_by_region topk_per_group events_windowed_agg
+# events_sessionize asof_join_events range_join_values ...), then 36
+# from r3, 42 from r4 — so the r10 window = new ops + the r2 vintage,
+# and each later round rolls the next-oldest cohort forward.
 _R9_WINDOW = [
     # --- new in round 9 (capped at 4 by the r8 verdict) ---
     "quality_brier_decomposition",
