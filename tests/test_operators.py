@@ -333,3 +333,75 @@ def test_assoc_rules_hand_computed(spark):
     assert ab["lift"] == round((2 / 3) / (3 / 4), 6)
     ba = out[("B", "A")]
     assert ba["support"] == 0.5 and ba["confidence"] == round(2 / 3, 6)
+
+
+def test_distributed_row_number_matches_window_randomized(spark):
+    """bus.distributed_row_number (the two-phase global/per-key rank
+    that underpins Gini, Lorenz, ABC shares, PR-AUC, RFM, offsets and
+    SFT packing) must equal the single-task window row_number - 1 on
+    random data, for BOTH the keyed and the global (empty part_cols)
+    forms, across duplicate order-values (broken by the unique
+    tiebreak) and key-group sizes from 1 to hundreds."""
+    import random as _random
+
+    from pyspark.sql import Window, functions as F
+
+    from vanus_spark.bus import distributed_row_number
+
+    rng = _random.Random(20260816)
+    rows = []
+    rid = 0
+    for key in range(7):
+        for _ in range(rng.choice([1, 3, 40, 200])):
+            # heavy ties: order value drawn from a tiny domain
+            rows.append((key, rng.randint(0, 5), rid))
+            rid += 1
+    df = spark.createDataFrame(rows, "k int, v int, uid long")
+
+    got = distributed_row_number(df, ["k"], ["v", "uid"], "rk")
+    w = Window.partitionBy("k").orderBy("v", "uid")
+    want = df.withColumn("rk_w", F.row_number().over(w) - 1)
+    joined = got.join(want, ["k", "v", "uid"])
+    assert joined.where(F.col("rk") != F.col("rk_w")).count() == 0
+    assert joined.count() == len(rows)
+
+    got_g = distributed_row_number(df, [], ["v", "uid"], "rk")
+    wg = Window.orderBy("v", "uid")
+    want_g = df.withColumn("rk_w", F.row_number().over(wg) - 1)
+    joined_g = got_g.join(want_g, ["k", "v", "uid"])
+    assert joined_g.where(F.col("rk") != F.col("rk_w")).count() == 0
+
+
+def test_distributed_row_number_slice_contract(spark):
+    """keep_slice=True contract (the SFT packer depends on it): within
+    every (key, slice), ranks are CONTIGUOUS, and slices ordered by id
+    hold strictly increasing rank ranges."""
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from vanus_spark.bus import distributed_row_number
+
+    rng = _random.Random(99)
+    rows = [(i % 3, rng.randint(0, 10**6), i) for i in range(3000)]
+    df = spark.createDataFrame(rows, "k int, v long, uid long")
+    out = distributed_row_number(
+        df, ["k"], ["v", "uid"], "rk", keep_slice=True
+    )
+    spans = (
+        out.groupBy("k", "_slice")
+        .agg(
+            F.min("rk").alias("lo"),
+            F.max("rk").alias("hi"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    by_key = {}
+    for r in spans:
+        assert r["hi"] - r["lo"] + 1 == r["n"], "ranks not contiguous"
+        by_key.setdefault(r["k"], []).append((r["_slice"], r["lo"], r["hi"]))
+    for k, lst in by_key.items():
+        lst.sort()
+        for (s1, lo1, hi1), (s2, lo2, hi2) in zip(lst, lst[1:]):
+            assert hi1 < lo2, f"slice ranges overlap for key {k}"
