@@ -11993,6 +11993,10 @@ def q_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution deviates from the corpus-wide one. Distance is the
     total variation distance, kept EXACT-integer until one division:
     tvd = 0.5 * sum_tiers |cnt*n_total - global_cnt*k| / (k*n_total).
+    The cnt*n_total products are widened to decimal(38,0) (HUGEINT on
+    the oracle) so the arithmetic survives past ~3e9 total rows where
+    a BIGINT product would silently wrap on Spark and error on DuckDB
+    (the acf_exact widening pattern).
     Zero cells matter (an absent tier contributes its full global
     share), so the group x tier frame is the CROSS of two bounded
     dims (#groups x 3), never a row-level join. Flags t > 0.2."""
@@ -12028,14 +12032,15 @@ def q_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("n_total").alias("_n"),
         F.sum(
             F.abs(
-                F.col("cnt") * F.col("n_total") - F.col("gc") * F.col("k")
+                F.col("cnt").cast("decimal(38,0)") * F.col("n_total")
+                - F.col("gc").cast("decimal(38,0)") * F.col("k")
             )
         ).alias("_s"),
     )
     tvd = (
         0.5
         * F.col("_s").cast("double")
-        / (F.col("k") * F.col("_n")).cast("double")
+        / (F.col("k").cast("decimal(38,0)") * F.col("_n")).cast("double")
     )
     return g.select(
         "c_mktsegment",
@@ -16799,11 +16804,14 @@ def oracle_sql() -> dict[str, str]:
             agg AS (SELECT c_mktsegment, c_nationkey,
                            any_value(k) AS k,
                            any_value(t.n_total) AS n,
-                           sum(abs(cnt * t.n_total - gc * k))::BIGINT AS s
+                           sum(abs(cnt::HUGEINT * t.n_total
+                                   - gc::HUGEINT * k)) AS s
                     FROM frame CROSS JOIN tot t GROUP BY 1, 2)
             SELECT c_mktsegment, c_nationkey, k,
-                   round(0.5 * s::DOUBLE / (k * n)::DOUBLE, 6) AS tvd,
-                   (0.5 * s::DOUBLE / (k * n)::DOUBLE) > 0.2 AS t_leaky
+                   round(0.5 * s::DOUBLE / (k::HUGEINT * n)::DOUBLE, 6)
+                     AS tvd,
+                   (0.5 * s::DOUBLE / (k::HUGEINT * n)::DOUBLE) > 0.2
+                     AS t_leaky
             FROM agg ORDER BY c_mktsegment, c_nationkey
         """,
         "events_spc_xbar": """

@@ -376,3 +376,8 @@ def test_cli_connector_registry(tmp_path, capsys):
     with pytest.raises(SystemExit):
         _vsctl(capsys, "connector", "info", "--catalog", cat,
                "--name", "my-http")
+    # uninstall of a missing connector exits with the clean vsctl
+    # message, not a raw traceback (round-9 advice)
+    with pytest.raises(SystemExit, match="vsctl: "):
+        _vsctl(capsys, "connector", "uninstall", "--catalog", cat,
+               "--name", "missing")

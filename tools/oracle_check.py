@@ -14,6 +14,7 @@ float64 ``1.0`` is a mismatch here too.
 
 Usage: python tools/oracle_check.py [query_name ...]
        python tools/oracle_check.py --window   # first-50 driver window only
+(--window is exclusive — combining it with query names is an error)
 Env: ORACLE_ENTRY=/path/to/entry.py to check an alternate entry module.
 """
 
@@ -63,14 +64,25 @@ def table_hash(pdf) -> str:
 
 
 def main(only: list[str]):
-    if only == ["--window"]:
-        # pre-flight exactly what the driver will check: the first 50
-        # registry entries (the _R{N}_WINDOW). COVERAGE.md is not
-        # rewritten for a partial run.
+    # --window pre-flights exactly what the driver will check: the
+    # first 50 registry entries (the _R{N}_WINDOW). It is a mode, not
+    # a query name — combining it with explicit names is ambiguous
+    # (round-9 advice: `--window name` used to silently treat
+    # --window as a query and skip it), so that is a hard error.
+    window_only = "--window" in only
+    if window_only:
+        only = [a for a in only if a != "--window"]
+        if only:
+            print(
+                "oracle_check: --window cannot be combined with "
+                f"explicit query names (got {only})"
+            )
+            return 2
         only = None  # resolved after the module loads
-        window_only = True
-    else:
-        window_only = False
+    unknown = [a for a in (only or []) if a.startswith("--")]
+    if unknown:
+        print(f"oracle_check: unknown flag(s) {unknown}")
+        return 2
     from vanus_spark.session import get_spark
 
     m = load_entry()

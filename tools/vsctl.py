@@ -543,7 +543,10 @@ def cmd_connector(args):
     elif args.action == "uninstall":
         if not args.name:
             raise SystemExit("vsctl: the --name flag MUST be set")
-        cat.uninstall_connector(args.name)
+        try:
+            cat.uninstall_connector(args.name)
+        except (ResourceNotFoundError, ValueError, RuntimeError) as e:
+            raise SystemExit(f"vsctl: {e}")
         print(json.dumps({"uninstalled": args.name}))
     elif args.action == "list":
         for c in cat.list_connectors():
