@@ -11181,7 +11181,10 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes over the data; the 5x5 matrix collects to the driver
     (bounded by the type alphabet) and the 50 power-iteration sweeps
     run in frozen IEEE order, replayed identically by the oracle's
-    recursive CTE."""
+    recursive CTE. The `residual` column (max_j |pi50_j - pi49_j|,
+    r9-verdict #4) makes non-convergence — e.g. a periodic chain,
+    where the fixed sweeps oscillate forever — observable instead of
+    silently returning the sweep-50 iterate; 0.0 means converged."""
     from vanus_spark.operators.markov import stationary_distribution
 
     ev = _t(spark, sf_dir, "events")
@@ -11196,12 +11199,19 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .collect()
     )
-    pi = stationary_distribution(
-        [(r["src"], r["dst"], r["n"]) for r in pairs], _MARKOV_STATES
+    pi, residual = stationary_distribution(
+        [(r["src"], r["dst"], r["n"]) for r in pairs],
+        _MARKOV_STATES,
+        with_residual=True,
     )
-    out = spark.createDataFrame(pi, "state string, pi double")
+    out = spark.createDataFrame(
+        [(s, p, residual) for s, p in pi],
+        "state string, pi double, residual double",
+    )
     return out.select(
-        "state", F.round("pi", 9).alias("pi")
+        "state",
+        F.round("pi", 9).alias("pi"),
+        F.round("residual", 9).alias("residual"),
     ).orderBy("state")
 
 
@@ -14210,6 +14220,13 @@ def _markov_stationary_sql(iters: int = 50) -> str:
         f"SELECT '{si}' AS state, pi{i} AS pi FROM rec WHERE it = {iters}"
         for i, si in enumerate(st)
     )
+    # final-sweep movement: max_j |pi@iters - pi@(iters-1)| — the
+    # non-convergence flag (r9-verdict #4), same bit-identical
+    # iterates on both engines so greatest(abs(...)) matches the
+    # Python walk's ascending-j max fold exactly
+    resid = "greatest(" + ", ".join(
+        f"abs(a.pi{i} - b.pi{i})" for i in range(n)
+    ) + ")"
     return f"""
         WITH RECURSIVE bg AS (
           SELECT lag(event_type) OVER (PARTITION BY user_id
@@ -14225,7 +14242,12 @@ def _markov_stationary_sql(iters: int = 50) -> str:
           UNION ALL
           SELECT r.it + 1, {steps}
           FROM rec r, p WHERE r.it < {iters})
-        SELECT state, round(pi, 9) AS pi FROM ({finals})
+        , res AS (SELECT {resid} AS residual
+                  FROM rec a, rec b
+                  WHERE a.it = {iters} AND b.it = {iters - 1})
+        SELECT state, round(pi, 9) AS pi,
+               round(res.residual, 9) AS residual
+        FROM ({finals}) CROSS JOIN res
         ORDER BY state
     """
 

@@ -658,6 +658,31 @@ def test_stationary_rejects_dead_state(spark):
         stationary_distribution([("a", "b", 1)], ["a", "b"])
 
 
+def test_stationary_residual_flags_periodic_chain(spark):
+    """r9-verdict #4: a periodic chain never converges under fixed
+    power sweeps — the residual column must FIRE, while an aperiodic
+    chain's residual is ~0. (A symmetric 2-cycle won't do: uniform is
+    its stationary vector and the uniform START hides the period. The
+    a<->b cycle with a one-way feeder c is period-2 from uniform: the
+    iterate oscillates (2/3,1/3,0) <-> (1/3,2/3,0), residual 1/3.)"""
+    from vanus_spark.operators.markov import stationary_distribution
+
+    _, resid = stationary_distribution(
+        [("a", "b", 1), ("b", "a", 1), ("c", "a", 1)],
+        ["a", "b", "c"],
+        with_residual=True,
+    )
+    assert abs(resid - 1 / 3) < 1e-12  # oscillating, clearly flagged
+
+    pairs, resid = stationary_distribution(
+        [("a", "a", 2), ("a", "b", 2), ("b", "a", 1), ("b", "b", 3)],
+        ["a", "b"],
+        with_residual=True,
+    )
+    assert resid < 1e-12  # converged
+    assert abs(dict(pairs)["a"] - 1 / 3) < 1e-12
+
+
 def test_mattr_constant_vs_diverse(spark):
     """All-same tokens -> MATTR = 1/20; all-distinct -> MATTR = 1
     (the two extremes of the 20-token window)."""

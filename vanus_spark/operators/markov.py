@@ -159,7 +159,8 @@ def stationary_distribution(
     counts: list[tuple[str, str, int]],
     states: list[str],
     iters: int = 50,
-) -> list[tuple[str, float]]:
+    with_residual: bool = False,
+):
     """Stationary distribution of the first-order transition chain by
     power iteration from the uniform start, in FROZEN IEEE order (pi
     components updated with a left-associated ascending-i sum; the
@@ -180,9 +181,14 @@ def stationary_distribution(
     hash-match (they replay the identical 50 sweeps) but the returned
     vector is the sweep-50 iterate, not the stationary distribution.
     Event-bigram chains are aperiodic in practice (self-loops exist
-    whenever any event type repeats consecutively); for a general
-    chain, average the last two iterates or add a damping factor
-    before trusting the output."""
+    whenever any event type repeats consecutively). To make the
+    failure OBSERVABLE rather than silent, pass
+    ``with_residual=True``: the return becomes
+    ``(pairs, residual)`` where ``residual = max_j |pi50_j - pi49_j|``
+    (the final-sweep movement, 0.0 at convergence, ~O(1) on a
+    periodic chain). The max folds over ascending j from 0.0 —
+    identical to the oracle twin's ``greatest(abs(...), ...)`` on the
+    same bit-identical iterates."""
     n = len(states)
     idx = {s: i for i, s in enumerate(states)}
     c = [[0] * n for _ in range(n)]
@@ -201,6 +207,7 @@ def stationary_distribution(
             )
         p.append([float(c[i][j]) / float(rs) for j in range(n)])
     pi = [1.0 / n] * n
+    residual = 0.0
     for _ in range(iters):
         new = []
         for j in range(n):
@@ -208,5 +215,13 @@ def stationary_distribution(
             for i in range(n):
                 s = s + pi[i] * p[i][j]
             new.append(s)
+        residual = 0.0
+        for j in range(n):
+            d = abs(new[j] - pi[j])
+            if d > residual:
+                residual = d
         pi = new
-    return list(zip(states, pi))
+    pairs = list(zip(states, pi))
+    if with_residual:
+        return pairs, residual
+    return pairs
