@@ -319,6 +319,21 @@ def minhash_lsh_pairs(
     b = minhash_lsh_buckets(
         docs, text_col, id_col, num_hashes, bands, shingle_n, sig_df=sig_df
     ).localCheckpoint(eager=False)
+    return bucket_pairs(b, id_col, bucket_cap)
+
+
+def bucket_pairs(
+    b: DataFrame,
+    id_col: str = "doc_id",
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) from an ALREADY-MATERIALIZED
+    (id, band, band_key) bucket table — the pair-generation half of
+    ``minhash_lsh_pairs``, split out so callers that need the bucket
+    table for OTHER joins too (dedup-on-ingest probes it against the
+    stored corpus buckets in the same batch) build and checkpoint it
+    exactly once. Same star-pairing cap semantics as
+    ``minhash_lsh_pairs``."""
 
     def all_pairs(buckets: DataFrame) -> DataFrame:
         left = buckets.alias("l")

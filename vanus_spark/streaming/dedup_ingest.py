@@ -22,10 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from vanus_spark.llm.dedup import (
+    bucket_pairs,
     exact_dedup_rows,
-    incremental_dedup,
+    minhash_lsh_buckets,
     minhash_signatures_from_shingles,
-    near_dup_pairs,
+    ngram_jaccard_pairs,
     normalize_text,
     shingles_df,
 )
@@ -57,6 +58,12 @@ class ConcurrentWriterError(RuntimeError):
 class DedupIngestLoop:
     """Per-stream incremental dedup with stored corpus/signature state."""
 
+    # in-memory state: collapse the lazy union-of-checkpoints tree
+    # into one checkpoint after this many appended leaves (bounds
+    # lineage depth; durable state_dir mode has no such tree — its
+    # equivalent is compact_state())
+    _COLLAPSE_LEAVES = 32
+
     def __init__(
         self,
         spark: SparkSession,
@@ -84,6 +91,11 @@ class DedupIngestLoop:
         self.lsh = lsh
         self.corpus: DataFrame | None = None
         self.sig: DataFrame | None = None
+        # LSH tier only: stored (id, content_hash) digests of every
+        # accepted doc, so the cross-batch EXACT check probes 32 B/doc
+        # state instead of re-hashing the accumulated corpus text per
+        # batch (the exact tier's sig table already IS this)
+        self.dig: DataFrame | None = None
         self.accepted_count = 0
         self.metrics: list[dict] = []
         # writer-private directory suffix: two concurrent loops can
@@ -94,6 +106,7 @@ class DedupIngestLoop:
 
         self._writer_id = uuid.uuid4().hex[:8]
         self._epoch = 0  # manifest epoch this loop last observed
+        self._state_leaves = 0  # in-memory union-tree width
         if state_dir:
             self._restore_state()
 
@@ -206,34 +219,86 @@ class DedupIngestLoop:
     def _restore_state(self) -> None:
         self._epoch, batches = self._read_manifest()
         if batches:
-            self.corpus = self.spark.read.parquet(
+            stored = self.spark.read.parquet(
                 *[f"{self.state_dir}/corpus/{b}" for b in batches]
             )
             self.sig = self.spark.read.parquet(
                 *[f"{self.state_dir}/sig/{b}" for b in batches]
             )
+            if self.lsh:
+                if "_ingest_digest" in stored.columns:
+                    self.dig = stored.select(
+                        self.id_col,
+                        F.col("_ingest_digest").alias("content_hash"),
+                    )
+                else:
+                    # pre-digest state dirs (back-compat): derive from
+                    # the stored text — one scan per probe, the legacy
+                    # cost the digest column exists to remove
+                    self.dig = stored.select(
+                        self.id_col,
+                        F.md5(
+                            normalize_text(F.col(self.text_col))
+                        ).alias("content_hash"),
+                    )
+                self.corpus = stored.drop("_ingest_digest")
+            else:
+                self.corpus = stored
 
     def _append_state(self, survivors: DataFrame, new_sig: DataFrame) -> None:
+        digest = F.md5(normalize_text(F.col(self.text_col)))
         if self.state_dir:
             batches = self._committed_batches()
             b = f"b{self._next_gen()}-{self._writer_id}"
-            survivors.write.mode("overwrite").parquet(
+            store_c = (
+                survivors.withColumn("_ingest_digest", digest)
+                if self.lsh
+                else survivors
+            )
+            store_c.write.mode("overwrite").parquet(
                 f"{self.state_dir}/corpus/{b}"
             )
             new_sig.write.mode("overwrite").parquet(f"{self.state_dir}/sig/{b}")
             self._commit_manifest([*batches, b])
             self._restore_state()
         else:
-            grown_c = (
+            # DELTA-ONLY checkpointing: `survivors` arrives already
+            # eagerly checkpointed and `new_sig` checkpoints lazily
+            # (it materializes inside whichever next job probes the
+            # state), so the accumulated corpus/sig stay LAZY UNIONS
+            # of per-batch checkpointed leaves — scanning them costs
+            # the same as scanning one big checkpoint, but the append
+            # no longer re-copies the entire state every batch (the
+            # old eager union-checkpoint made batch N pay O(state),
+            # which is what topped every bench; r9-verdict #3). The
+            # union tree collapses into a single checkpoint every
+            # _COLLAPSE_LEAVES batches to bound lineage depth on
+            # long-lived streams.
+            new_sig = new_sig.localCheckpoint(eager=False)
+            self.corpus = (
                 survivors
                 if self.corpus is None
                 else self.corpus.unionByName(survivors)
             )
-            grown_s = (
+            self.sig = (
                 new_sig if self.sig is None else self.sig.unionByName(new_sig)
             )
-            self.corpus = grown_c.localCheckpoint(eager=True)
-            self.sig = grown_s.localCheckpoint(eager=True)
+            if self.lsh:
+                new_dig = survivors.select(
+                    F.col(self.id_col), digest.alias("content_hash")
+                )
+                self.dig = (
+                    new_dig
+                    if self.dig is None
+                    else self.dig.unionByName(new_dig)
+                )
+            self._state_leaves += 1
+            if self._state_leaves >= self._COLLAPSE_LEAVES:
+                self.corpus = self.corpus.localCheckpoint(eager=True)
+                self.sig = self.sig.localCheckpoint(eager=True)
+                if self.dig is not None:
+                    self.dig = self.dig.localCheckpoint(eager=True)
+                self._state_leaves = 1
 
     # ----- one tick --------------------------------------------------------
 
@@ -270,43 +335,128 @@ class DedupIngestLoop:
                     "left_anti",
                 )
         else:
-            # ONE shingle table per batch, shared by the within-batch
-            # pair search, the cross-corpus incremental check, and the
-            # state-append signatures (was three independent
-            # normalize+shingle+minhash chains over the same rows)
+            # FUSED single-LSH-pass (r9-verdict #3): ONE shingle table
+            # and ONE checkpointed bucket table per batch serve the
+            # within-batch pair search, the cross-corpus candidate
+            # probe, AND the state-append signatures; all drop sets
+            # (within-greedy, cross-Jaccard, cross-exact-digest) apply
+            # in a SINGLE anti-join. Dropping a doc for matching the
+            # corpus even when it would also have been within-dropped
+            # (and vice versa) is a set-difference no-op, so the
+            # accepted set is identical to the old sequential
+            # within-then-cross pipeline — the oracle twin pins it.
             batch_sh = shingles_df(
                 uniq, self.text_col, self.id_col, self.shingle_n
             ).localCheckpoint(eager=False)
-            pairs = near_dup_pairs(
+            sig_all = minhash_signatures_from_shingles(
+                batch_sh, self.id_col, self.num_hashes
+            )
+            batch_b = minhash_lsh_buckets(
                 uniq,
-                self.threshold,
                 self.text_col,
                 self.id_col,
                 self.num_hashes,
                 self.bands,
                 self.shingle_n,
+                sig_df=sig_all,
+            ).localCheckpoint(eager=False)
+            pairs = ngram_jaccard_pairs(
+                uniq,
+                bucket_pairs(batch_b, self.id_col),
+                self.text_col,
+                self.id_col,
+                self.shingle_n,
                 shingle_df=batch_sh,
+            ).where(F.col("jaccard") >= self.threshold)
+            # consumed by BOTH the survivors anti-join and the metrics
+            # wdrop branch — checkpoint so the pair search runs once
+            within_drops = (
+                pairs.select(F.col("id_b").alias(self.id_col))
+                .distinct()
+                .localCheckpoint(eager=False)
             )
-            drops = pairs.select(F.col("id_b").alias(self.id_col)).distinct()
-            within = uniq.join(drops, self.id_col, "left_anti").localCheckpoint(
-                eager=False
-            )
-            if self.corpus is None:
-                survivors = within
-            else:
-                survivors = incremental_dedup(
-                    within,
+            drops = within_drops
+            if self.corpus is not None:
+                # cross-corpus candidates: batch buckets equi-joined
+                # against buckets derived (narrowly) from the STORED
+                # signature table — never a corpus self-join, never a
+                # corpus re-shingle except for the candidate docs
+                corpus_b = minhash_lsh_buckets(
                     self.corpus,
-                    self.threshold,
                     self.text_col,
                     self.id_col,
                     self.num_hashes,
                     self.bands,
                     self.shingle_n,
-                    corpus_sig_df=self.sig,
-                    new_sh_df=batch_sh,
+                    sig_df=self.sig,
                 )
-        survivors = survivors.localCheckpoint(eager=True)
+                cross_cands = (
+                    batch_b.alias("l")
+                    .join(
+                        corpus_b.alias("r"),
+                        (F.col("l.band") == F.col("r.band"))
+                        & (F.col("l.band_key") == F.col("r.band_key")),
+                    )
+                    .select(
+                        F.col(f"l.{self.id_col}").alias("new_id"),
+                        F.col(f"r.{self.id_col}").alias("corpus_id"),
+                    )
+                    .distinct()
+                )
+                cand_corpus = self.corpus.join(
+                    cross_cands.select(
+                        F.col("corpus_id").alias(self.id_col)
+                    ),
+                    self.id_col,
+                    "left_semi",
+                )
+                corpus_cand_sh = shingles_df(
+                    cand_corpus, self.text_col, self.id_col, self.shingle_n
+                )
+                a = batch_sh.alias("a")
+                bsh = corpus_cand_sh.alias("b")
+                cross_jac = (
+                    cross_cands.join(
+                        a, F.col("new_id") == F.col(f"a.{self.id_col}")
+                    )
+                    .join(
+                        bsh,
+                        F.col("corpus_id") == F.col(f"b.{self.id_col}"),
+                    )
+                    .where(
+                        F.size(F.array_intersect("a.sh", "b.sh"))
+                        >= F.lit(self.threshold)
+                        * F.size(F.array_union("a.sh", "b.sh"))
+                    )
+                    .select(F.col("new_id").alias(self.id_col))
+                )
+                # exact-digest cross check probes the STORED digest
+                # table (32 B/doc, appended at accept time) — the
+                # accumulated corpus text is never re-hashed per batch
+                digest = F.md5(normalize_text(F.col(self.text_col)))
+                dig_dups = (
+                    uniq.select(
+                        F.col(self.id_col), digest.alias("_h")
+                    )
+                    .join(
+                        self.dig.select(
+                            F.col("content_hash").alias("_h")
+                        ),
+                        "_h",
+                        "left_semi",
+                    )
+                    .select(self.id_col)
+                )
+                # no distinct: LEFT ANTI tolerates duplicate drop ids
+                drops = within_drops.unionByName(cross_jac).unionByName(
+                    dig_dups
+                )
+            survivors = uniq.join(drops, self.id_col, "left_anti")
+        # lazy: the metrics aggregate below is the first action and
+        # materializes this checkpoint inside its own job — shuffle
+        # stages shared with the uniq/wdrop branches compute once
+        # (same RDD objects), so folding saves a whole job boundary
+        survivors = survivors.localCheckpoint(eager=False)
         if self.lsh:
             new_sig = minhash_signatures_from_shingles(
                 batch_sh.join(
@@ -326,21 +476,28 @@ class DedupIngestLoop:
         # already localCheckpoint-materialized by the state append, so
         # this job re-scans checkpointed partitions, it does not
         # re-run the dedup) — vs four separate .count() jobs per batch
+        tagged = (
+            batch_df.select(F.lit("in").alias("stage"))
+            .unionByName(uniq.select(F.lit("uniq").alias("stage")))
+            .unionByName(survivors.select(F.lit("acc").alias("stage")))
+        )
+        if self.lsh:
+            # within-drop IDs stand in for the old `within` frame:
+            # n_within = n_uniq - |within_drops| (every drop id comes
+            # from a uniq-side pair), so the reported metrics are
+            # unchanged while the frame itself never materializes
+            tagged = tagged.unionByName(
+                within_drops.select(F.lit("wdrop").alias("stage"))
+            )
         stage_counts = {
             r["stage"]: r["n"]
-            for r in (
-                batch_df.select(F.lit("in").alias("stage"))
-                .unionByName(uniq.select(F.lit("uniq").alias("stage")))
-                .unionByName(within.select(F.lit("within").alias("stage")))
-                .unionByName(survivors.select(F.lit("acc").alias("stage")))
-                .groupBy("stage")
-                .agg(F.count("*").alias("n"))
-                .collect()
-            )
+            for r in tagged.groupBy("stage")
+            .agg(F.count("*").alias("n"))
+            .collect()
         }
         n_in = stage_counts.get("in", 0)
         n_uniq = stage_counts.get("uniq", 0)
-        n_within = stage_counts.get("within", 0)
+        n_wdrop = stage_counts.get("wdrop", 0)
         n_accepted = stage_counts.get("acc", 0)
         self.accepted_count += n_accepted
         self.metrics.append(
@@ -348,8 +505,8 @@ class DedupIngestLoop:
                 "batch": len(self.metrics),
                 "n_in": n_in,
                 "rejected_exact_within": n_in - n_uniq,
-                "rejected_near_within": n_uniq - n_within,
-                "rejected_vs_corpus": n_within - n_accepted,
+                "rejected_near_within": n_wdrop,
+                "rejected_vs_corpus": n_uniq - n_wdrop - n_accepted,
                 "accepted": n_accepted,
             }
         )
@@ -379,7 +536,17 @@ class DedupIngestLoop:
             return 0
         b = f"c{self._next_gen()}-{self._writer_id}"
         assert b not in batches  # fold target must never be live state
-        self.corpus.write.mode("overwrite").parquet(
+        store_c = (
+            # re-attach the digest column for the folded directory
+            # (maintenance-time scan; per-batch probes stay 32 B/doc)
+            self.corpus.withColumn(
+                "_ingest_digest",
+                F.md5(normalize_text(F.col(self.text_col))),
+            )
+            if self.lsh
+            else self.corpus
+        )
+        store_c.write.mode("overwrite").parquet(
             f"{self.state_dir}/corpus/{b}"
         )
         self.sig.write.mode("overwrite").parquet(f"{self.state_dir}/sig/{b}")
@@ -434,7 +601,7 @@ class DedupIngestLoop:
                 f"epoch {epoch} is no longer readable: vacuum reclaimed "
                 f"{missing[:2]}..."
             )
-        return self.spark.read.parquet(*paths)
+        return self.spark.read.parquet(*paths).drop("_ingest_digest")
 
     def vacuum(self, retain_epochs: int = 1) -> int:
         """Retention GC: delete every batch directory not referenced by
