@@ -51,6 +51,10 @@ class SinkResult:
     delivered: DataFrame
     pending: DataFrame
     dead: DataFrame
+    # newly-parked retries this tick (None for control-plane-gated
+    # ticks) — consumed by run_stream's counter aggregate, mirroring
+    # the reference's TriggerRetryEventCounter
+    retried: DataFrame | None = None
 
 
 _STATUS_SCHEMA_SUFFIX = ", status int, error string"
@@ -130,6 +134,17 @@ class DeliveryLoop:
         self.dead: DataFrame = self.empty_envelope
         self.delivered_count = 0
         self.metrics: list[dict] = []
+        # Prometheus-shaped counters (reference pkg/observability/
+        # metrics/trigger.go): monotonic totals accumulated per tick by
+        # run_stream, exported with the reference's metric names via
+        # vanus_spark.observability. Kept separate from self.metrics so
+        # the metrics_df schema (a query surface) stays frozen.
+        self.prom_counters: dict[str, int] = {
+            "pull_event_number": 0,
+            "push_event_number": 0,  # result=success pushes
+            "retry_event_number": 0,
+            "dead_letter_event_number": 0,
+        }
         if state_dir:
             self._restore_state()
 
@@ -256,7 +271,9 @@ class DeliveryLoop:
         else:
             self.pending = self.pending.localCheckpoint(eager=True)
             self.dead = self.dead.unionByName(new_dead).localCheckpoint(eager=True)
-        return SinkResult(delivered=ok, pending=self.pending, dead=new_dead)
+        return SinkResult(
+            delivered=ok, pending=self.pending, dead=new_dead, retried=retry
+        )
 
     # ----- Structured Streaming wiring -------------------------------------
 
@@ -333,18 +350,31 @@ class DeliveryLoop:
             # force delivery + expose progress in ONE tagged-union job
             # (the reference's TriggerDeliveryEventCounter surface:
             # delivered / newly-dead / parked per tick)
+            tag_union = (
+                batch_df.select(F.lit("pulled").alias("k"))
+                .unionByName(res.delivered.select(F.lit("delivered").alias("k")))
+                .unionByName(res.dead.select(F.lit("dead").alias("k")))
+                .unionByName(res.pending.select(F.lit("pending").alias("k")))
+            )
+            if res.retried is not None:
+                tag_union = tag_union.unionByName(
+                    res.retried.select(F.lit("retry").alias("k"))
+                )
             counts = {
                 r["k"]: r["n"]
-                for r in (
-                    res.delivered.select(F.lit("delivered").alias("k"))
-                    .unionByName(res.dead.select(F.lit("dead").alias("k")))
-                    .unionByName(res.pending.select(F.lit("pending").alias("k")))
-                    .groupBy("k")
-                    .agg(F.count("*").alias("n"))
-                    .collect()
-                )
+                for r in tag_union.groupBy("k")
+                .agg(F.count("*").alias("n"))
+                .collect()
             }
             self.delivered_count += counts.get("delivered", 0)
+            self.prom_counters["pull_event_number"] += counts.get("pulled", 0)
+            self.prom_counters["push_event_number"] += counts.get(
+                "delivered", 0
+            )
+            self.prom_counters["retry_event_number"] += counts.get("retry", 0)
+            self.prom_counters["dead_letter_event_number"] += counts.get(
+                "dead", 0
+            )
             self.metrics.append(
                 {
                     "epoch": int(epoch_id),
