@@ -12199,6 +12199,119 @@ def q_events_interarrival_fit(
     ).orderBy("event_type")
 
 
+def q_events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift detection over per-type daily volume — the
+    sequential mean-shift monitor a pipeline runs on its own intake
+    (the PH test of Page 1954 / Hinkley 1971; the drift detector in
+    Gama et al.'s DDM family). Two-pass retrospective form so the
+    whole statistic stays EXACT-integer (the streaming running-mean
+    form needs per-row rationals): with mu = S/n the global mean,
+    m_t = sum_{i<=t}(x_i - mu - delta) scales by n to
+    M_t = n*P_t - t*S - t*n*delta_c — all BIGINT products widened to
+    decimal/HUGEINT. PH_t = (M_t - min_{i<=t} M_i) / (100*n) and the
+    alarm threshold sits OFF the 1/(100n) value lattice so a 1-ulp
+    divide drift can never flip it. One daily aggregate + one
+    broadcast 1-row-per-type total + two prefix windows."""
+    ev = _t(spark, sf_dir, "events")
+    delta_c = 2500  # slack: 25.00 per day
+    lam = 2000.0005  # alarm threshold, off-lattice (fires for 3/5 types at sf0.01)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("_day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("_c"))
+    tot = daily.groupBy("event_type").agg(
+        F.count("*").alias("_n"), F.sum("_c").alias("_s")
+    )
+    wo = Window.partitionBy("event_type").orderBy("_day")
+    wp = wo.rowsBetween(Window.unboundedPreceding, 0)
+    staged = daily.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "_day",
+        "_n",
+        (
+            F.col("_n").cast("decimal(38,0)")
+            * F.sum("_c").over(wp)
+            - F.row_number().over(wo).cast("decimal(38,0)")
+            * (F.col("_s") + F.col("_n") * F.lit(delta_c))
+        ).alias("_m"),
+    )
+    ph = (
+        (F.col("_m") - F.min("_m").over(wp)).cast("double")
+        / (100.0 * F.col("_n").cast("double"))
+    )
+    return staged.select(
+        "event_type",
+        F.date_format("_day", "yyyy-MM-dd").alias("day"),
+        F.round(ph, 6).alias("ph"),
+        (ph > lam).alias("drift"),
+    ).orderBy("event_type", "day")
+
+
+def q_forecast_pinball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-forecast evaluation with pinball (quantile) loss — the
+    proper scoring rule for P10/P50/P90 forecasts (Koenker-Bassett
+    quantile regression loss; the M5-Uncertainty metric). Forecasts
+    are the train window's DISCRETE order statistics (rank
+    k = ceil(tau*n) via integer math (tau10*n + 9) DIV 10 — no float
+    ceil seam), evaluated on the held-out tail. The loss stays
+    EXACT-integer: with tau = tau10/10 and cents values,
+    10*loss = max(tau10*(y-f), (tau10-10)*(y-f)) — BIGINT until the
+    single final division. Coverage (frac of test days y <= f) rides
+    along: P90 coverage far from 0.9 means the quantile is lying.
+    One daily aggregate, one per-type rank window over <=21 rows, a
+    3-row tau cross, one test-window aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    split = "2024-01-22"
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("_day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("_c"))
+    train = daily.where(F.col("_day") < F.lit(split))
+    wtr = Window.partitionBy("event_type").orderBy("_c", "_day")
+    ranked = train.select(
+        "event_type",
+        F.row_number().over(wtr).alias("_rn"),
+        "_c",
+        F.count("*").over(
+            Window.partitionBy("event_type")
+        ).alias("_n"),
+    )
+    taus = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(5), F.lit(9))).alias("tau10")
+    )
+    fc = (
+        ranked.crossJoin(F.broadcast(taus))
+        .where(
+            F.col("_rn")
+            == F.expr("CAST((tau10 * _n + 9) DIV 10 AS INT)")
+        )
+        .select("event_type", "tau10", F.col("_c").alias("_f"))
+    )
+    test = daily.where(F.col("_day") >= F.lit(split))
+    j = test.join(F.broadcast(fc), "event_type")
+    dlt = F.col("_c") - F.col("_f")
+    l10 = F.greatest(
+        F.col("tau10") * dlt, (F.col("tau10") - F.lit(10)) * dlt
+    )
+    g = j.groupBy("event_type", "tau10").agg(
+        F.count("*").alias("_nt"),
+        F.first("_f").alias("_fv"),
+        F.sum(l10).alias("_l"),
+        F.sum((F.col("_c") <= F.col("_f")).cast("long")).alias("_cov"),
+    )
+    return g.select(
+        "event_type",
+        (F.col("tau10").cast("double") / 10.0).alias("tau"),
+        F.round(F.col("_fv").cast("double") / 100.0, 2).alias("forecast"),
+        F.round(
+            F.col("_l").cast("double")
+            / (1000.0 * F.col("_nt").cast("double")),
+            6,
+        ).alias("mean_pinball"),
+        F.round(
+            F.col("_cov").cast("double") / F.col("_nt").cast("double"), 6
+        ).alias("coverage"),
+    ).orderBy("event_type", "tau")
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Standing policy (VERDICT r6 item #2): new-in-round queries first, then
@@ -12291,6 +12404,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # IRRELEVANT — queries() reorders via _R9_WINDOW. tests/test_registry.py
     # guards window size, duplicate keys, and oracle coverage.
     return {
+        # --- new in round 10: drift / forecast-eval / fairness /
+        # customer-migration / corpus-dispersion operators ---
+        "events_page_hinkley": q_events_page_hinkley,
+        "forecast_pinball": q_forecast_pinball,
         # --- new in round 9 (capped at 4 — the window absorbs the
         # never-driver-checked backlog this round) ---
         "quality_brier_decomposition": q_quality_brier_decomposition,
@@ -14258,6 +14375,69 @@ _MARKOV_STATIONARY_ORACLE_SQL = _markov_stationary_sql()
 def oracle_sql() -> dict[str, str]:
     norm_text = _NORM.format(c="text")
     return {
+        # --- round 10 ---
+        "events_page_hinkley": """
+            WITH daily AS (
+              SELECT event_type, ts::DATE AS d,
+                     sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS c
+              FROM events GROUP BY 1, 2),
+            tot AS (SELECT event_type, count(*)::BIGINT AS n,
+                           sum(c)::BIGINT AS s
+                    FROM daily GROUP BY 1),
+            staged AS (
+              SELECT d.event_type, d.d, t.n,
+                     t.n::HUGEINT
+                       * sum(d.c) OVER (PARTITION BY d.event_type
+                                        ORDER BY d.d)
+                     - row_number() OVER (PARTITION BY d.event_type
+                                          ORDER BY d.d)::HUGEINT
+                       * (t.s + t.n * 2500) AS m
+              FROM daily d JOIN tot t USING (event_type)),
+            ph AS (
+              SELECT event_type, d, n,
+                     (m - min(m) OVER (PARTITION BY event_type
+                                       ORDER BY d))::DOUBLE
+                       / (100.0 * n::DOUBLE) AS ph
+              FROM staged)
+            SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+                   round(ph, 6) AS ph, ph > 2000.0005 AS drift
+            FROM ph ORDER BY event_type, day
+        """,
+        "forecast_pinball": """
+            WITH daily AS (
+              SELECT event_type, ts::DATE AS d,
+                     sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS c
+              FROM events GROUP BY 1, 2),
+            train AS (SELECT * FROM daily WHERE d < DATE '2024-01-22'),
+            ranked AS (
+              SELECT event_type, c,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY c, d) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM train),
+            taus AS (SELECT unnest([1, 5, 9])::BIGINT AS tau10),
+            fc AS (
+              SELECT event_type, tau10, c AS f
+              FROM ranked CROSS JOIN taus
+              WHERE rn = CAST((tau10 * n + 9) // 10 AS INT)),
+            test AS (SELECT * FROM daily WHERE d >= DATE '2024-01-22'),
+            g AS (
+              SELECT t.event_type, f.tau10,
+                     count(*)::BIGINT AS nt,
+                     any_value(f.f) AS fv,
+                     sum(greatest(f.tau10 * (t.c - f.f),
+                                  (f.tau10 - 10) * (t.c - f.f)))::BIGINT
+                       AS l,
+                     sum((t.c <= f.f)::INT)::BIGINT AS cov
+              FROM test t JOIN fc f USING (event_type)
+              GROUP BY 1, 2)
+            SELECT event_type, tau10::DOUBLE / 10.0 AS tau,
+                   round(fv::DOUBLE / 100.0, 2) AS forecast,
+                   round(l::DOUBLE / (1000.0 * nt::DOUBLE), 6)
+                     AS mean_pinball,
+                   round(cov::DOUBLE / nt::DOUBLE, 6) AS coverage
+            FROM g ORDER BY event_type, tau
+        """,
         # --- round 8, wave 1 ---
         "events_drawdown": """
             WITH s AS (

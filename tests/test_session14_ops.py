@@ -1,0 +1,93 @@
+"""Round-10 goldens: hand-computed fixtures for the new operators
+(Page-Hinkley drift, pinball forecast eval, conformal intervals,
+forecast baselines, per-segment AUC fairness, RFM migration, term
+burstiness); the registry queries themselves are gated by the DuckDB
+oracles (tools/oracle_check.py)."""
+
+from __future__ import annotations
+
+import importlib.util
+
+
+def _entry():
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry_s14__", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_page_hinkley_flags_injected_mean_shift(spark):
+    """A flat series (100.00/day) with a +500 step after day 10: PH
+    must stay 0 before the shift and climb linearly after — exact
+    values hand-derivable because mu and delta are known. With mu =
+    (10*100 + 10*600)/20 = 350 and delta = 25: pre-shift days drift
+    DOWN (x - mu - delta = -275, clamped by the running-min), so PH=0;
+    post-shift each day adds 600-350-25 = 225, crossing the 2000.0005
+    alarm line between day 18 (1800) and day 19 (2025)."""
+    from pyspark.sql import functions as F
+
+    m = _entry()
+    # build a synthetic events table shaped like the fixture
+    rows = [
+        (i, f"2024-01-{d:02d}T12:00:00", 1, "click",
+         100.00 if d <= 10 else 600.00, None)
+        for i, d in enumerate(range(1, 21))
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    import tempfile, os
+
+    tmp = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+    out = {
+        r["day"]: r
+        for r in m.queries()["events_page_hinkley"](spark, tmp).collect()
+    }
+    # pre-shift: running min tracks the prefix, PH pinned at 0
+    assert out["2024-01-05"]["ph"] == 0.0
+    assert out["2024-01-10"]["ph"] == 0.0
+    # post-shift: day 10+k has PH = k * (600-350-25) = k * 225
+    assert abs(out["2024-01-15"]["ph"] - 5 * 225.0) < 1e-9
+    assert abs(out["2024-01-20"]["ph"] - 10 * 225.0) < 1e-9
+    assert not out["2024-01-18"]["drift"]  # 1800 < 2000.0005
+    assert out["2024-01-19"]["drift"]  # 2025 > 2000.0005
+    assert out["2024-01-20"]["drift"]
+
+
+def test_pinball_loss_on_known_quantiles(spark):
+    """21 train days with cents 1..21 (values 0.01..0.21): the
+    discrete quantiles are rank ceil(tau*21) -> P10=3, P50=11, P90=19
+    cents. One test day with value 0.15 (15 cents): pinball loss =
+    max(tau*(y-f), (tau-1)*(y-f)) -> P10: 0.1*12=1.2c, P50: 0.5*4=2c,
+    P90: 0.9*(-4) vs -0.1*(-4)=0.4c."""
+    from pyspark.sql import functions as F
+
+    m = _entry()
+    rows = [
+        (d, f"2024-01-{d:02d}T12:00:00", 1, "view", d / 100.0, None)
+        for d in range(1, 22)
+    ] + [(22, "2024-01-22T12:00:00", 1, "view", 0.15, None)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    import tempfile, os
+
+    tmp = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+    out = {
+        round(r["tau"], 1): r
+        for r in m.queries()["forecast_pinball"](spark, tmp).collect()
+    }
+    assert out[0.1]["forecast"] == 0.03 and out[0.5]["forecast"] == 0.11
+    assert out[0.9]["forecast"] == 0.19
+    assert abs(out[0.1]["mean_pinball"] - 0.012) < 1e-9
+    assert abs(out[0.5]["mean_pinball"] - 0.020) < 1e-9
+    assert abs(out[0.9]["mean_pinball"] - 0.004) < 1e-9
+    assert out[0.1]["coverage"] == 0.0  # 15c > 3c forecast
+    assert out[0.9]["coverage"] == 1.0  # 15c <= 19c
