@@ -12312,6 +12312,159 @@ def q_forecast_pinball(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "tau")
 
 
+def q_forecast_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals over a seasonal-naive
+    forecaster (Vovk's conformal framework in its simplest split
+    form, the distribution-free coverage guarantee every forecast
+    SLA wants): calibration residuals |y_d - y_(d-7)| on days 8-21,
+    interval half-width q = the k-th smallest with
+    k = ceil((1-alpha)(n_cal+1)) (alpha=0.2, integer rank math —
+    (8*(n+1)+9) DIV 10, no float ceil seam), then the held-out tail
+    (days 22-30) checks empirical coverage against the nominal 80%.
+    Everything is exact BIGINT cents until the final divisions; the
+    order statistic is a row_number pick over a <=14-row-per-type
+    partition. One daily aggregate + one lag window + one rank
+    window + one test aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("_day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("_c"))
+    wo = Window.partitionBy("event_type").orderBy("_day")
+    lagged = daily.select(
+        "event_type", "_day", "_c", F.lag("_c", 7).over(wo).alias("_f")
+    ).where(F.col("_f").isNotNull())
+    cal = lagged.where(F.col("_day") < F.lit("2024-01-22")).select(
+        "event_type", F.abs(F.col("_c") - F.col("_f")).alias("_r")
+    )
+    wr = Window.partitionBy("event_type").orderBy("_r")
+    ranked = cal.select(
+        "event_type",
+        "_r",
+        F.row_number().over(wr).alias("_rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("_n"),
+    )
+    q = ranked.where(
+        F.col("_rn") == F.expr("CAST((8 * (_n + 1) + 9) DIV 10 AS INT)")
+    ).select(
+        "event_type", F.col("_n").alias("n_cal"), F.col("_r").alias("_q")
+    )
+    test = lagged.where(F.col("_day") >= F.lit("2024-01-22"))
+    g = test.join(F.broadcast(q), "event_type").groupBy("event_type").agg(
+        F.first("n_cal").alias("n_cal"),
+        F.first("_q").alias("_qv"),
+        F.count("*").alias("n_test"),
+        F.sum(
+            (F.abs(F.col("_c") - F.col("_f")) <= F.col("_q")).cast("long")
+        ).alias("_cov"),
+    )
+    return g.select(
+        "event_type",
+        "n_cal",
+        F.round(F.col("_qv").cast("double") / 100.0, 2).alias("q_width"),
+        "n_test",
+        F.round(
+            F.col("_cov").cast("double") / F.col("n_test").cast("double"),
+            6,
+        ).alias("coverage"),
+    ).orderBy("event_type")
+
+
+def q_forecast_baselines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four forecast baselines every model must beat (Hyndman &
+    Athanasopoulos FPP ch. 5): naive (last value), seasonal-naive
+    (same weekday last season, repeating the final season for h > m),
+    drift (line through first and last train points), and train mean —
+    MAE on the held-out tail per event type. All four forecasts are
+    expressed as exact-integer NUMERATORS over the common denominator
+    n*(n-1) (n = train days), so the scaled absolute errors stay
+    BIGINT-exact until ONE final division — no per-method float
+    seams. One daily aggregate, one broadcast per-type train summary,
+    one 7-row season join, one 20-row-per-type aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    split = "2024-01-22"
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("_day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("_c"))
+    train = daily.where(F.col("_day") < F.lit(split))
+    wo = Window.partitionBy("event_type").orderBy("_day")
+    wfull = Window.partitionBy("event_type")
+    tr = train.select(
+        "event_type",
+        "_day",
+        "_c",
+        F.row_number().over(wo).alias("_i"),
+        F.count("*").over(wfull).alias("_n"),
+        F.sum("_c").over(wfull).alias("_s"),
+        F.first("_c").over(wo).alias("_y1"),
+        F.max("_day").over(wfull).alias("_last"),
+    )
+    per_type = tr.where(F.col("_i") == F.col("_n")).select(
+        "event_type",
+        F.col("_n").alias("n_tr"),
+        F.col("_s").alias("s_tr"),
+        F.col("_y1").alias("y1"),
+        F.col("_c").alias("yn"),
+        F.col("_last").alias("last_day"),
+    )
+    # last season: the final 7 train days, keyed 0..6 from the oldest
+    season = tr.where(F.col("_i") > F.col("_n") - 7).select(
+        "event_type",
+        (F.col("_i") - (F.col("_n") - 7) - 1).alias("_sk"),
+        F.col("_c").alias("ysn"),
+    )
+    test = daily.where(F.col("_day") >= F.lit(split))
+    base = (
+        test.join(F.broadcast(per_type), "event_type")
+        .withColumn("_h", F.datediff("_day", "last_day"))
+        .join(F.broadcast(season), ["event_type"])
+        .where((F.col("_h") - 1) % 7 == F.col("_sk"))
+    )
+    den = F.col("n_tr").cast("decimal(38,0)") * (F.col("n_tr") - 1)
+    scaled_y = den * F.col("_c")
+    methods = [
+        ("naive", den * F.col("yn")),
+        ("snaive", den * F.col("ysn")),
+        (
+            "drift",
+            den * F.col("yn")
+            + F.col("n_tr").cast("decimal(38,0)")
+            * F.col("_h")
+            * (F.col("yn") - F.col("y1")),
+        ),
+        ("mean", (F.col("n_tr") - 1).cast("decimal(38,0)") * F.col("s_tr")),
+    ]
+    frames = [
+        base.select(
+            "event_type",
+            F.lit(name).alias("method"),
+            F.abs(scaled_y - num).alias("_ae"),
+            den.alias("_den"),
+        )
+        for name, num in methods
+    ]
+    u = frames[0]
+    for f in frames[1:]:
+        u = u.unionByName(f)
+    g = u.groupBy("event_type", "method").agg(
+        F.count("*").alias("_nt"),
+        F.sum("_ae").alias("_sae"),
+        F.first("_den").alias("_d"),
+    )
+    return g.select(
+        "event_type",
+        "method",
+        F.round(
+            F.col("_sae").cast("double")
+            / (
+                F.col("_d").cast("double")
+                * 100.0
+                * F.col("_nt").cast("double")
+            ),
+            6,
+        ).alias("mae"),
+    ).orderBy("event_type", "method")
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Standing policy (VERDICT r6 item #2): new-in-round queries first, then
@@ -12408,6 +12561,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # customer-migration / corpus-dispersion operators ---
         "events_page_hinkley": q_events_page_hinkley,
         "forecast_pinball": q_forecast_pinball,
+        "forecast_conformal": q_forecast_conformal,
+        "forecast_baselines": q_forecast_baselines,
         # --- new in round 9 (capped at 4 — the window absorbs the
         # never-driver-checked backlog this round) ---
         "quality_brier_decomposition": q_quality_brier_decomposition,
@@ -14437,6 +14592,94 @@ def oracle_sql() -> dict[str, str]:
                      AS mean_pinball,
                    round(cov::DOUBLE / nt::DOUBLE, 6) AS coverage
             FROM g ORDER BY event_type, tau
+        """,
+        "forecast_conformal": """
+            WITH daily AS (
+              SELECT event_type, ts::DATE AS d,
+                     sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS c
+              FROM events GROUP BY 1, 2),
+            lagged AS (
+              SELECT event_type, d, c,
+                     lag(c, 7) OVER (PARTITION BY event_type
+                                     ORDER BY d) AS f
+              FROM daily),
+            lv AS (SELECT * FROM lagged WHERE f IS NOT NULL),
+            cal AS (SELECT event_type, abs(c - f)::BIGINT AS r
+                    FROM lv WHERE d < DATE '2024-01-22'),
+            ranked AS (
+              SELECT event_type, r,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY r) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM cal),
+            q AS (SELECT event_type, n AS n_cal, r AS qv
+                  FROM ranked
+                  WHERE rn = CAST((8 * (n + 1) + 9) // 10 AS INT)),
+            g AS (
+              SELECT t.event_type, any_value(q.n_cal) AS n_cal,
+                     any_value(q.qv) AS qv, count(*)::BIGINT AS n_test,
+                     sum((abs(t.c - t.f) <= q.qv)::INT)::BIGINT AS cov
+              FROM lv t JOIN q USING (event_type)
+              WHERE t.d >= DATE '2024-01-22'
+              GROUP BY 1)
+            SELECT event_type, n_cal,
+                   round(qv::DOUBLE / 100.0, 2) AS q_width, n_test,
+                   round(cov::DOUBLE / n_test::DOUBLE, 6) AS coverage
+            FROM g ORDER BY event_type
+        """,
+        "forecast_baselines": """
+            WITH daily AS (
+              SELECT event_type, ts::DATE AS d,
+                     sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS c
+              FROM events GROUP BY 1, 2),
+            tr AS (
+              SELECT event_type, d, c,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY d) AS i,
+                     count(*) OVER (PARTITION BY event_type) AS n,
+                     sum(c) OVER (PARTITION BY event_type) AS s,
+                     first_value(c) OVER (PARTITION BY event_type
+                                          ORDER BY d) AS y1,
+                     max(d) OVER (PARTITION BY event_type) AS last_day
+              FROM daily WHERE d < DATE '2024-01-22'),
+            pt AS (SELECT event_type, n AS n_tr, s AS s_tr, y1,
+                          c AS yn, last_day
+                   FROM tr WHERE i = n),
+            season AS (SELECT event_type, i - (n - 7) - 1 AS sk,
+                              c AS ysn
+                       FROM tr WHERE i > n - 7),
+            base AS (
+              SELECT t.event_type, t.c,
+                     date_diff('day', p.last_day, t.d) AS h,
+                     p.n_tr, p.s_tr, p.y1, p.yn, se.ysn,
+                     p.n_tr::HUGEINT * (p.n_tr - 1) AS den
+              FROM daily t
+              JOIN pt p USING (event_type)
+              JOIN season se
+                ON se.event_type = t.event_type
+               AND (date_diff('day', p.last_day, t.d) - 1) % 7 = se.sk
+              WHERE t.d >= DATE '2024-01-22'),
+            u AS (
+              SELECT event_type, 'naive' AS method,
+                     abs(den * c - den * yn) AS ae, den FROM base
+              UNION ALL
+              SELECT event_type, 'snaive',
+                     abs(den * c - den * ysn), den FROM base
+              UNION ALL
+              SELECT event_type, 'drift',
+                     abs(den * c - (den * yn
+                         + n_tr::HUGEINT * h * (yn - y1))), den FROM base
+              UNION ALL
+              SELECT event_type, 'mean',
+                     abs(den * c - (n_tr - 1)::HUGEINT * s_tr), den
+              FROM base),
+            g AS (SELECT event_type, method, count(*)::BIGINT AS nt,
+                         sum(ae) AS sae, any_value(den) AS dn
+                  FROM u GROUP BY 1, 2)
+            SELECT event_type, method,
+                   round(sae::DOUBLE
+                         / (dn::DOUBLE * 100.0 * nt::DOUBLE), 6) AS mae
+            FROM g ORDER BY event_type, method
         """,
         # --- round 8, wave 1 ---
         "events_drawdown": """

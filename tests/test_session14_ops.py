@@ -91,3 +91,80 @@ def test_pinball_loss_on_known_quantiles(spark):
     assert abs(out[0.9]["mean_pinball"] - 0.004) < 1e-9
     assert out[0.1]["coverage"] == 0.0  # 15c > 3c forecast
     assert out[0.9]["coverage"] == 1.0  # 15c <= 19c
+
+
+def _events_fixture(spark, rows):
+    """Write a minimal events.parquet into a temp sf_dir."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    tmp = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+    return tmp
+
+
+def test_conformal_exact_quantile_and_coverage(spark):
+    """Flat +7/week series: every calibration residual |y_d - y_(d-7)|
+    is exactly 7.00, so q = 7.00 and every test residual (also 7.00)
+    is covered -> coverage 1.0 with n_cal = 14 (days 8-21), k =
+    ceil(0.8*15) = 12. Quadratic series y_d = d^2 cents: residuals
+    14d-49 strictly increase, the 12th smallest (d=19) is 2.17, and
+    every test residual (>= 2.59) misses -> coverage 0.0."""
+    m = _entry()
+    flat = _events_fixture(
+        spark,
+        [
+            (d, f"2024-01-{d:02d}T12:00:00", 1, "click", float(d), None)
+            for d in range(1, 31)
+        ],
+    )
+    r = {
+        x["event_type"]: x
+        for x in m.queries()["forecast_conformal"](spark, flat).collect()
+    }["click"]
+    assert r["n_cal"] == 14 and r["n_test"] == 9
+    assert r["q_width"] == 7.0 and r["coverage"] == 1.0
+
+    quad = _events_fixture(
+        spark,
+        [
+            (d, f"2024-01-{d:02d}T12:00:00", 1, "view", d * d / 100.0, None)
+            for d in range(1, 31)
+        ],
+    )
+    r = {
+        x["event_type"]: x
+        for x in m.queries()["forecast_conformal"](spark, quad).collect()
+    }["view"]
+    assert r["q_width"] == 2.17  # 14*19-49 = 217 cents
+    assert r["coverage"] == 0.0
+
+
+def test_forecast_baselines_linear_series(spark):
+    """Linear y_d = d over train days 1-21, test 22-30: drift is EXACT
+    (MAE 0), naive errs by h (mean 5), mean-method errs by h+10
+    (mean 15), seasonal-naive errs by 7,7,7,7,7,7,7,14,14
+    (mean 77/9)."""
+    m = _entry()
+    tmp = _events_fixture(
+        spark,
+        [
+            (d, f"2024-01-{d:02d}T12:00:00", 1, "click", float(d), None)
+            for d in range(1, 31)
+        ],
+    )
+    out = {
+        r["method"]: r["mae"]
+        for r in m.queries()["forecast_baselines"](spark, tmp).collect()
+    }
+    assert out["drift"] == 0.0
+    assert out["naive"] == 5.0
+    assert out["mean"] == 15.0
+    assert abs(out["snaive"] - 77 / 9) < 1e-6
