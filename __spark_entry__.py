@@ -12465,6 +12465,166 @@ def q_forecast_baselines(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "method")
 
 
+def q_quality_auc_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fairness audit of the NB quality classifier: ROC-AUC stratified
+    by document SOURCE (operators/hyptests.roc_auc_by — q_quality_auc's
+    exact model/split, per segment), plus each segment's gap to the
+    best one. An aggregate AUC of 0.9 that hides a 0.6 slice means the
+    corpus filter silently under-serves that source — the per-segment
+    table is the readout model governance asks for. Ranks are window
+    ranks PARTITIONED by source (parallel per segment, no global
+    sort); scores sit on the round(6) lattice so tie groups match the
+    oracle's."""
+    from vanus_spark.llm.qualityrules import nb_score, nb_train
+    from vanus_spark.operators.hyptests import roc_auc_by
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0).withColumn(
+        "label", (F.col("lang") == "en").cast("int")
+    )
+    word_df, stats_df = nb_train(train)
+    held_out = docs.where(F.col("doc_id") % 2 == 1)
+    scored = nb_score(held_out, word_df, stats_df).join(
+        held_out.select(
+            "doc_id",
+            "source",
+            (F.col("lang") == "en").cast("int").alias("label"),
+        ),
+        "doc_id",
+    )
+    per = roc_auc_by(scored, "score", "label", "doc_id", ["source"])
+    wall = Window.partitionBy(F.lit(1))
+    return per.select(
+        "source",
+        "n_pos",
+        "n_neg",
+        "auc",
+        F.round(F.max("auc").over(wall) - F.col("auc"), 6).alias(
+            "gap_to_best"
+        ),
+    ).orderBy("source")
+
+
+def _rfm_tier(o: DataFrame, anchor: str) -> DataFrame:
+    """(o_custkey, tier) for one period's orders — q_orders_rfm's
+    quartile-threshold scoring (broadcast 1-row thresholds, never an
+    ntile single-task sort) collapsed to high/mid/low by fixed cuts
+    on the 3-12 score sum."""
+    per_cust = o.groupBy("o_custkey").agg(
+        F.datediff(F.lit(anchor).cast("date"), F.max("o_orderdate")).alias(
+            "recency_days"
+        ),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 4).alias("monetary"),
+    )
+    thr = per_cust.agg(
+        *[
+            F.round(F.percentile(c, F.lit(q)), 6).alias(
+                f"{c}_q{int(q * 100)}"
+            )
+            for c in ("recency_days", "frequency", "monetary")
+            for q in (0.25, 0.5, 0.75)
+        ]
+    )
+
+    def score(c: str, invert: bool) -> F.Column:
+        v = F.col(c).cast("double")
+        s = (
+            F.lit(1)
+            + (v > F.col(f"{c}_q25")).cast("int")
+            + (v > F.col(f"{c}_q50")).cast("int")
+            + (v > F.col(f"{c}_q75")).cast("int")
+        )
+        return (F.lit(5) - s) if invert else s
+
+    total = (
+        score("recency_days", True)
+        + score("frequency", False)
+        + score("monetary", False)
+    )
+    return per_cust.join(F.broadcast(thr)).select(
+        "o_custkey",
+        F.when(total >= 10, "high")
+        .when(total >= 6, "mid")
+        .otherwise("low")
+        .alias("tier"),
+    )
+
+
+def q_orders_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM-tier migration matrix of customers between the 1995-1998
+    and 1999-2001 order periods — the customer analog of
+    q_parts_abc_migration (which high-value customers slid to low?).
+    Each period scores independently (q_orders_rfm's quartile
+    thresholds anchored at the period end, fixed 3-tier cuts on the
+    score sum), inner-joined on custkey into a 3x3 rollup with
+    per-origin retention shares. Exact integers to the final
+    division."""
+    o = _t(spark, sf_dir, "orders")
+    t1 = _rfm_tier(
+        o.where(F.col("o_orderdate") < F.lit("1999-01-01")), "1999-01-01"
+    ).select("o_custkey", F.col("tier").alias("tier_from"))
+    t2 = _rfm_tier(
+        o.where(F.col("o_orderdate") >= F.lit("1999-01-01")), "2001-09-01"
+    ).select("o_custkey", F.col("tier").alias("tier_to"))
+    mat = t1.join(t2, "o_custkey").groupBy("tier_from", "tier_to").agg(
+        F.count("*").alias("n_customers")
+    )
+    w = Window.partitionBy("tier_from")
+    return mat.select(
+        "tier_from",
+        "tier_to",
+        "n_customers",
+        F.round(
+            F.col("n_customers").cast("double")
+            / F.sum("n_customers").over(w).cast("double"),
+            6,
+        ).alias("share_of_origin"),
+    ).orderBy("tier_from", "tier_to")
+
+
+def q_docs_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness: collection frequency vs document frequency
+    dispersion per token (Church & Gale 1995 — content words CLUMP:
+    their df falls far below the Poisson expectation n*(1-e^(-cf/n)),
+    while function words scatter evenly). burstiness = cf/df (mean
+    occurrences per containing doc) and df_ratio = df/E[df]; ratio
+    below the off-lattice 0.79995 cut flags a bursty (topical) term —
+    the signal separating keywords from glue in stopword/keyword
+    induction. ONE tokenize pass; cf via a token count, df via one
+    distinct (doc, tok) aggregate; the corpus doc count broadcasts as
+    a 1-row cross."""
+    from vanus_spark.llm.dedup import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok"),
+    )
+    stats = toks.groupBy("tok").agg(
+        F.count("*").alias("cf"), F.count_distinct("doc_id").alias("df")
+    )
+    nd = docs.agg(F.count("*").alias("n_docs"))
+    j = stats.crossJoin(F.broadcast(nd)).where(F.col("df") >= 5)
+    e_df = F.col("n_docs").cast("double") * (
+        1.0
+        - F.exp(
+            -F.col("cf").cast("double") / F.col("n_docs").cast("double")
+        )
+    )
+    ratio = F.col("df").cast("double") / e_df
+    return j.select(
+        "tok",
+        "cf",
+        "df",
+        F.round(
+            F.col("cf").cast("double") / F.col("df").cast("double"), 6
+        ).alias("burstiness"),
+        F.round(ratio, 6).alias("df_ratio"),
+        (ratio < 0.79995).alias("bursty"),
+    ).orderBy("tok")
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Standing policy (VERDICT r6 item #2): new-in-round queries first, then
@@ -12563,6 +12723,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_pinball": q_forecast_pinball,
         "forecast_conformal": q_forecast_conformal,
         "forecast_baselines": q_forecast_baselines,
+        "quality_auc_by_segment": q_quality_auc_by_segment,
+        "orders_rfm_migration": q_orders_rfm_migration,
+        "docs_term_burstiness": q_docs_term_burstiness,
         # --- new in round 9 (capped at 4 — the window absorbs the
         # never-driver-checked backlog this round) ---
         "quality_brier_decomposition": q_quality_brier_decomposition,
@@ -14681,6 +14844,156 @@ def oracle_sql() -> dict[str, str]:
                          / (dn::DOUBLE * 100.0 * nt::DOUBLE), 6) AS mae
             FROM g ORDER BY event_type, method
         """,
+        "quality_auc_by_segment": f"""
+            WITH train AS (
+              SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, text
+              FROM documents WHERE doc_id % 2 = 0),
+            tk AS (SELECT y, unnest(str_split({{norm}}, ' ')) AS tok
+                   FROM train),
+            wc AS (SELECT tok, sum(y)::BIGINT AS pos_c,
+                          sum(1 - y)::BIGINT AS neg_c
+                   FROM tk GROUP BY tok),
+            cls AS (SELECT sum(y)::BIGINT AS n_pos, sum(1 - y)::BIGINT
+                             AS n_neg
+                    FROM train),
+            ts AS (SELECT sum(pos_c) AS t_pos, sum(neg_c) AS t_neg,
+                          count(*) AS vocab FROM wc),
+            sc AS (SELECT doc_id, unnest(str_split({{norm}}, ' ')) AS tok
+                   FROM documents WHERE doc_id % 2 = 1),
+            agg AS (
+              SELECT doc_id,
+                     round(ln(any_value(cls.n_pos)::DOUBLE)
+                           - ln(any_value(cls.n_neg)::DOUBLE)
+                           + sum(ln(coalesce(wc.pos_c, 0) + 1.0)
+                                 - ln(coalesce(wc.neg_c, 0) + 1.0))
+                           + count(*) * (ln((any_value(ts.t_neg)
+                                             + any_value(ts.vocab))::DOUBLE)
+                                         - ln((any_value(ts.t_pos)
+                                               + any_value(ts.vocab))::DOUBLE)),
+                           6) AS score
+              FROM sc LEFT JOIN wc USING (tok) CROSS JOIN cls CROSS JOIN ts
+              GROUP BY doc_id),
+            lab AS (SELECT agg.doc_id, d.source, score,
+                           CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+                    FROM agg JOIN documents d USING (doc_id)),
+            r AS (SELECT source, doc_id, score, y,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY score, doc_id) AS rk
+                  FROM lab),
+            g2 AS (SELECT source, score, avg(rk) AS arank,
+                          count(*)::BIGINT AS t, sum(y)::BIGINT AS cp
+                   FROM r GROUP BY 1, 2),
+            one AS (SELECT source, sum(arank * cp) AS rp,
+                           sum(cp)::BIGINT AS np,
+                           sum(t - cp)::BIGINT AS nn
+                    FROM g2 GROUP BY 1),
+            a2 AS (SELECT source, np, nn,
+                          round((rp - np::DOUBLE * (np::DOUBLE + 1) / 2)
+                                / (np::DOUBLE * nn), 6) AS auc
+                   FROM one)
+            SELECT source, np AS n_pos, nn AS n_neg, auc,
+                   round(max(auc) OVER () - auc, 6) AS gap_to_best
+            FROM a2 ORDER BY source
+        """.replace("{norm}", norm_text),
+        "orders_rfm_migration": """
+            WITH tiers AS (
+              SELECT p.period, p.o_custkey,
+                     CASE WHEN (5 - (1 + (recency_days::DOUBLE > r25)::INT
+                                      + (recency_days::DOUBLE > r50)::INT
+                                      + (recency_days::DOUBLE > r75)::INT))
+                             + (1 + (frequency::DOUBLE > f25)::INT
+                                  + (frequency::DOUBLE > f50)::INT
+                                  + (frequency::DOUBLE > f75)::INT)
+                             + (1 + (monetary::DOUBLE > m25)::INT
+                                  + (monetary::DOUBLE > m50)::INT
+                                  + (monetary::DOUBLE > m75)::INT) >= 10
+                          THEN 'high'
+                          WHEN (5 - (1 + (recency_days::DOUBLE > r25)::INT
+                                       + (recency_days::DOUBLE > r50)::INT
+                                       + (recency_days::DOUBLE > r75)::INT))
+                             + (1 + (frequency::DOUBLE > f25)::INT
+                                  + (frequency::DOUBLE > f50)::INT
+                                  + (frequency::DOUBLE > f75)::INT)
+                             + (1 + (monetary::DOUBLE > m25)::INT
+                                  + (monetary::DOUBLE > m50)::INT
+                                  + (monetary::DOUBLE > m75)::INT) >= 6
+                          THEN 'mid' ELSE 'low' END AS tier
+              FROM (
+                SELECT period, o_custkey,
+                       date_diff('day', max(o_orderdate)::DATE,
+                                 anchor)::INT AS recency_days,
+                       count(*)::BIGINT AS frequency,
+                       round(sum(o_totalprice), 4) AS monetary,
+                       any_value(anchor) AS a2
+                FROM (
+                  SELECT CASE WHEN o_orderdate < DATE '1999-01-01'
+                              THEN 1 ELSE 2 END AS period,
+                         CASE WHEN o_orderdate < DATE '1999-01-01'
+                              THEN DATE '1999-01-01'
+                              ELSE DATE '2001-09-01' END AS anchor,
+                         o_custkey, o_orderdate, o_totalprice
+                  FROM orders)
+                GROUP BY period, o_custkey, anchor) p
+              JOIN (
+                SELECT period,
+                       round(quantile_cont(recency_days, 0.25), 6) AS r25,
+                       round(quantile_cont(recency_days, 0.50), 6) AS r50,
+                       round(quantile_cont(recency_days, 0.75), 6) AS r75,
+                       round(quantile_cont(frequency, 0.25), 6) AS f25,
+                       round(quantile_cont(frequency, 0.50), 6) AS f50,
+                       round(quantile_cont(frequency, 0.75), 6) AS f75,
+                       round(quantile_cont(monetary, 0.25), 6) AS m25,
+                       round(quantile_cont(monetary, 0.50), 6) AS m50,
+                       round(quantile_cont(monetary, 0.75), 6) AS m75
+                FROM (
+                  SELECT period, o_custkey,
+                         date_diff('day', max(o_orderdate)::DATE,
+                                   anchor)::INT AS recency_days,
+                         count(*)::BIGINT AS frequency,
+                         round(sum(o_totalprice), 4) AS monetary
+                  FROM (
+                    SELECT CASE WHEN o_orderdate < DATE '1999-01-01'
+                                THEN 1 ELSE 2 END AS period,
+                           CASE WHEN o_orderdate < DATE '1999-01-01'
+                                THEN DATE '1999-01-01'
+                                ELSE DATE '2001-09-01' END AS anchor,
+                           o_custkey, o_orderdate, o_totalprice
+                    FROM orders)
+                  GROUP BY period, o_custkey, anchor)
+                GROUP BY period) t USING (period)),
+            mat AS (
+              SELECT a.tier AS tier_from, b.tier AS tier_to,
+                     count(*)::BIGINT AS n_customers
+              FROM (SELECT * FROM tiers WHERE period = 1) a
+              JOIN (SELECT * FROM tiers WHERE period = 2) b
+                USING (o_custkey)
+              GROUP BY 1, 2)
+            SELECT tier_from, tier_to, n_customers,
+                   round(n_customers::DOUBLE
+                         / (sum(n_customers)
+                            OVER (PARTITION BY tier_from))::DOUBLE,
+                         6) AS share_of_origin
+            FROM mat ORDER BY tier_from, tier_to
+        """,
+        "docs_term_burstiness": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(str_split({{norm}}, ' ')) AS tok
+              FROM documents),
+            stats AS (SELECT tok, count(*)::BIGINT AS cf,
+                             count(DISTINCT doc_id)::BIGINT AS df
+                      FROM toks GROUP BY 1),
+            nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+            j AS (SELECT tok, cf, df, n_docs,
+                         n_docs::DOUBLE
+                           * (1.0 - exp(-(cf::DOUBLE) / n_docs::DOUBLE))
+                           AS e_df
+                  FROM stats CROSS JOIN nd WHERE df >= 5)
+            SELECT tok, cf, df,
+                   round(cf::DOUBLE / df::DOUBLE, 6) AS burstiness,
+                   round(df::DOUBLE / e_df, 6) AS df_ratio,
+                   (df::DOUBLE / e_df) < 0.79995 AS bursty
+            FROM j ORDER BY tok
+        """.replace("{norm}", norm_text),
         # --- round 8, wave 1 ---
         "events_drawdown": """
             WITH s AS (

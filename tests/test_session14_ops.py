@@ -168,3 +168,79 @@ def test_forecast_baselines_linear_series(spark):
     assert out["naive"] == 5.0
     assert out["mean"] == 15.0
     assert abs(out["snaive"] - 77 / 9) < 1e-6
+
+
+def test_roc_auc_by_perfect_and_inverted_segments(spark):
+    """Segment A ranks perfectly (all positives above all negatives ->
+    AUC 1), segment B is perfectly inverted (AUC 0); the single-group
+    form must reproduce the global roc_auc on the same frame."""
+    from vanus_spark.operators.hyptests import roc_auc, roc_auc_by
+
+    rows = (
+        [("A", i, float(i), 1 if i >= 5 else 0) for i in range(10)]
+        + [("B", i, float(-i), 1 if i >= 5 else 0) for i in range(10)]
+    )
+    df = spark.createDataFrame(
+        rows, "seg string, doc_id long, score double, label int"
+    )
+    out = {
+        r["seg"]: r
+        for r in roc_auc_by(df, "score", "label", "doc_id", ["seg"]).collect()
+    }
+    assert out["A"]["auc"] == 1.0 and out["A"]["gini"] == 1.0
+    assert out["B"]["auc"] == 0.0 and out["B"]["gini"] == -1.0
+    # single group == global form
+    a = df.where("seg = 'A'")
+    g = roc_auc(a, "score", "label", "doc_id").collect()[0]
+    b = roc_auc_by(a, "score", "label", "doc_id", ["seg"]).collect()[0]
+    assert g["auc"] == b["auc"] and g["n_pos"] == b["n_pos"]
+
+
+def test_rfm_migration_matrix_invariants(spark):
+    """On the real fixture: per-origin shares sum to 1, tiers are the
+    fixed 3-level alphabet, and the joined population never exceeds
+    either period's customer count."""
+    m = _entry()
+    rows = m.queries()["orders_rfm_migration"](spark, SF).collect()
+    tiers = {"high", "mid", "low"}
+    assert all(r["tier_from"] in tiers and r["tier_to"] in tiers for r in rows)
+    from collections import defaultdict
+
+    share = defaultdict(float)
+    for r in rows:
+        share[r["tier_from"]] += r["share_of_origin"]
+    for s in share.values():
+        assert abs(s - 1.0) < 1e-4
+
+
+def test_term_burstiness_glue_vs_topical(spark):
+    """20 docs: 'the' once per doc (cf=df=20 -> burstiness 1, df_ratio
+    1/(1-e^-1) = 1.58 -> not bursty); 'quark' five times in each of 5
+    docs (cf=25, df=5 -> burstiness 5, e_df = 20(1-e^-1.25) = 14.27,
+    df_ratio 0.35 -> bursty)."""
+    import math
+    import os
+    import tempfile
+
+    m = _entry()
+    docs = []
+    for d in range(20):
+        text = "the filler" + (" quark" * 5 if d < 5 else " chatter")
+        docs.append((d, text, "en", "src", len(text)))
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    out = {
+        r["tok"]: r
+        for r in m.queries()["docs_term_burstiness"](spark, tmp).collect()
+    }
+    the = out["the"]
+    assert the["cf"] == 20 and the["df"] == 20 and the["burstiness"] == 1.0
+    assert abs(the["df_ratio"] - 1 / (1 - math.exp(-1))) < 1e-6
+    assert not the["bursty"]
+    q = out["quark"]
+    assert q["cf"] == 25 and q["df"] == 5 and q["burstiness"] == 5.0
+    assert abs(q["df_ratio"] - 5 / (20 * (1 - math.exp(-1.25)))) < 1e-6
+    assert q["bursty"]

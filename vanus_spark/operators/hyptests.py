@@ -423,6 +423,51 @@ def roc_auc(
     )
 
 
+def roc_auc_by(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Per-group ROC-AUC — ``roc_auc`` stratified by ``group_cols``
+    (the fairness-audit readout: does the ranking quality hold for
+    every segment, or is the aggregate AUC hiding a weak slice?).
+    Ranks come from a window PARTITIONED by the group (never a global
+    sort — each segment ranks independently, fully parallel), ties
+    collapse to average ranks per (group, score) exactly like the
+    global form, so a single-group call reproduces ``roc_auc``."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(score_col, id_col)
+    ranked = scored.select(
+        *group_cols,
+        score_col,
+        F.col(label_col).cast("long").alias("_y"),
+        F.row_number().over(w).alias("_rk"),
+    )
+    grp = ranked.groupBy(*group_cols, score_col).agg(
+        F.avg("_rk").alias("arank"),
+        F.count("*").alias("t"),
+        F.sum("_y").alias("cnt_p"),
+    )
+    per = grp.groupBy(*group_cols).agg(
+        F.sum(F.col("arank") * F.col("cnt_p")).alias("r_p"),
+        F.sum("cnt_p").alias("n_pos"),
+        F.sum(F.col("t") - F.col("cnt_p")).alias("n_neg"),
+    )
+    np_ = F.col("n_pos").cast("double")
+    nn = F.col("n_neg").cast("double")
+    auc = (F.col("r_p") - np_ * (np_ + 1) / 2) / (np_ * nn)
+    return per.select(
+        *group_cols,
+        "n_pos",
+        "n_neg",
+        F.round(auc, 6).alias("auc"),
+        F.round(2 * auc - 1, 6).alias("gini"),
+    )
+
+
 def cuped_readout(
     users: DataFrame, x_col: str, y_col: str, variant_col: str
 ) -> DataFrame:
