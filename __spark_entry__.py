@@ -12632,80 +12632,79 @@ def q_docs_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 # row, oldest additions first. Everything outside the window stays gated
 # by the FULL tools/oracle_check.py replica run each session.
 #
-# Round 9 (VERDICT r8 #1 — close the backlog for good): exactly 4 new
-# operators fill positions 1-4; the remaining 46 slots take EVERY row
-# that has never had a driver correctness row, oldest first. After this
-# round the never-driver-checked set is EMPTY — all 377 registry
-# queries will have a driver row. Round 10+ windows: new-in-round ops
-# first, then backfill with the LEAST-RECENTLY-checked rows. Entering
-# r10 the staleness ledger (from CORRECTNESS_r0{2..9}.json) is:
-# 37 rows last checked in r2 (delivery_routing dlq_replay
-# delayed_due_split retry_refilter publish_roundrobin tpch_q1_pricing
-# join_revenue_by_region topk_per_group events_windowed_agg
-# events_sessionize asof_join_events range_join_values ...), then 36
-# from r3, 42 from r4 — so the r10 window = new ops + the r2 vintage,
-# and each later round rolls the next-oldest cohort forward.
-_R9_WINDOW = [
-    # --- new in round 9 (capped at 4 by the r8 verdict) ---
-    "quality_brier_decomposition",
-    "privacy_t_closeness",
-    "events_spc_xbar",
-    "events_interarrival_fit",
-    # --- backfill: ALL 46 never-driver-checked rows, oldest first
-    # (r7 first-session leftovers, then the r7 third-session set) ---
-    "events_conversion_test",
-    "users_logrank",
-    "events_holt_winters",
-    "events_ab_power",
-    "quality_auc",
-    "quality_calibration",
-    "embedding_mmr",
-    "events_mann_kendall",
-    "events_cuped",
-    "lineitem_kendall",
-    "events_srm",
-    "events_rank_gauss",
-    "quality_isotonic",
-    "events_mahalanobis",
-    "events_cochran_armitage",
-    "users_nelson_aalen",
-    "events_stl",
-    "docs_good_turing",
-    "sample_kfold",
-    "geo_geohash_rollup",
-    "attribution_markov",
-    "events_journey_entropy",
-    "users_time_to_convert",
-    "orders_cohort_ltv",
-    "events_peaks",
-    "events_hurst",
-    "dedup_bcubed",
-    "events_twap",
-    "events_durbin_watson",
-    "events_bayes_ab",
-    "quality_gains",
-    "users_weibull_fit",
-    "events_burstiness",
-    "docs_simpson_diversity",
-    "graph_assortativity",
-    "graph_powerlaw_alpha",
-    "lineitem_abc",
-    "part_price_index",
-    "lineitem_xyz",
-    "features_user_daily",
-    "brand_price_elasticity",
-    "forecast_backtest",
-    "events_concurrency",
-    "events_anomaly_stl",
-    "graph_modularity",
-    "events_uplift_qini",
+# Round 10 (the standing least-recently-checked rotation, VERDICT r9
+# #1): the 7 new-in-round operators plus events_markov_stationary
+# (its HASH changed this round — the residual column, r9-verdict #4)
+# fill positions 1-8; the remaining 42 slots take the ENTIRE r2-vintage
+# cohort (the rows whose last driver check was CORRECTNESS_r02, in
+# that file's order) — 8 + 42 = exactly 50, so after r10 no registry
+# row is older than r3 vintage. privacy_t_closeness and the
+# dedup-ingest queries also changed code this round but their hashes
+# are UNCHANGED (re-gated locally) and their r9 driver rows are the
+# freshest on file, so they correctly yield their slots to the
+# backfill. Ledger after this round: r11 takes the 36 r3-vintage
+# rows, r12 the 49 r4 rows.
+_R10_WINDOW = [
+    # --- new in round 10 ---
+    "events_page_hinkley",
+    "forecast_pinball",
+    "forecast_conformal",
+    "forecast_baselines",
+    "quality_auc_by_segment",
+    "orders_rfm_migration",
+    "docs_term_burstiness",
+    # --- hash changed in round 10 (residual column) ---
+    "events_markov_stationary",
+    # --- backfill: the full r2-vintage cohort (42 rows) ---
+    "filter_exact",
+    "filter_prefix",
+    "filter_suffix",
+    "filter_not_missing",
+    "filter_data_raw_prefix",
+    "bus_offset_by_time",
+    "bus_get_event",
+    "bus_event_by_id",
+    "bus_earliest_latest",
+    "offset_commit",
+    "delivery_backoff",
+    "delivery_routing",
+    "delayed_due_split",
+    "action_math",
+    "action_strings_case",
+    "action_strings_extract",
+    "action_strings_split",
+    "action_datetime",
+    "action_condition_length",
+    "template_render",
+    "cast_lattice",
+    "tpch_q1_pricing",
+    "join_revenue_by_region",
+    "topk_per_group",
+    "events_windowed_agg",
+    "events_sessionize",
+    "asof_join_events",
+    "range_join_values",
+    "events_percentiles",
+    "events_rollup",
+    "events_setops",
+    "events_pivot",
+    "action_render_foreach",
+    "publish_roundrobin",
+    "retry_refilter",
+    "action_structs_e2e",
+    "action_array_e2e",
+    "action_regex_splits",
+    "action_convert_timezone",
+    "template_json",
+    "debezium_mongo_sink",
+    "dlq_replay",
 ]
 
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _base_queries()
-    ordered = {k: base[k] for k in _R9_WINDOW}
+    ordered = {k: base[k] for k in _R10_WINDOW}
     for k, v in base.items():
         if k not in ordered:
             ordered[k] = v
@@ -12714,7 +12713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Grouped by the session that introduced each query; ORDER HERE IS
-    # IRRELEVANT — queries() reorders via _R9_WINDOW. tests/test_registry.py
+    # IRRELEVANT — queries() reorders via _R10_WINDOW. tests/test_registry.py
     # guards window size, duplicate keys, and oracle coverage.
     return {
         # --- new in round 10: drift / forecast-eval / fairness /
@@ -12777,7 +12776,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 7, third session: feature transforms,
         # calibration, outlier/trend tests, corpus estimators, geo,
         # fold assignment, Markov attribution (post-window-freeze;
-        # scheduled for the r9 driver window — see the _R9_WINDOW
+        # scheduled for the r9 driver window — see the _R10_WINDOW
         # plan comment) ---
         "events_rank_gauss": q_events_rank_gauss,
         "quality_isotonic": q_quality_isotonic,
@@ -12948,7 +12947,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- fifth-session additions ---
         "table_changes": q_table_changes,
         "stream_topk_replay": q_stream_topk_replay,
-        # (ordering below is historical grouping only — see _R9_WINDOW)
+        # (ordering below is historical grouping only — see _R10_WINDOW)
         "orders_scd2": q_orders_scd2,
         "dedup_containment": q_dedup_containment,
         "heavy_hitters_tokens": q_heavy_hitters_tokens,
