@@ -12597,7 +12597,15 @@ def q_docs_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vanus_spark.llm.dedup import normalize_text
 
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
+    # prune to the two needed columns and repartition BEFORE the
+    # explode: the fixture's documents table is one parquet row group,
+    # so the tokenize+explode chain would otherwise run in ONE task
+    # (the _ngram_pairs lesson); at real scale the scan has thousands
+    # of splits and AQE coalesces the exchange away
+    pruned = docs.select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = pruned.select(
         "doc_id",
         F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok"),
     )
@@ -12625,6 +12633,105 @@ def q_docs_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("tok")
 
 
+def q_forecast_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-method forecast (Assimakopoulos & Nikolopoulos 2000, the
+    M3 winner) in the Hyndman-Billah closed form: Theta(0,2) equals
+    SES plus a b/2 drift, f(T+h) = S_T + (b/2)(h - 1 + 1/alpha), with
+    the OLS slope b and alpha FIXED at 0.5 (documented; no driver-side
+    optimizer loop). alpha = 1/2 makes the whole statistic
+    EXACT-integer: the SES level scales to
+    N = 2^(T-1)*S_T = y_1 + sum_t 2^(t-2)*y_t (shiftleft weights, no
+    float powers), the slope is the integer ratio
+    (T*Sty - St*Sy)/(T*Stt - St^2), and every forecast error scales by
+    the common denominator 2^T*(T*Stt - St^2) — decimal(38,0)
+    products, ONE final division for the MAE. One daily aggregate, one
+    per-type train fold (bounded T), one test-window aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    split = "2024-01-22"
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("_day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("_c"))
+    train = daily.where(F.col("_day") < F.lit(split))
+    wo = Window.partitionBy("event_type").orderBy("_day")
+    tr = train.select(
+        "event_type", "_day", "_c", F.row_number().over(wo).alias("_t")
+    )
+    per = tr.groupBy("event_type").agg(
+        F.count("*").alias("_T"),
+        F.sum("_c").alias("_sy"),
+        F.sum(F.col("_t").cast("decimal(38,0)") * F.col("_c")).alias(
+            "_sty"
+        ),
+        F.sum(F.col("_t").cast("decimal(38,0)") * F.col("_t")).alias(
+            "_stt"
+        ),
+        F.sum("_t").alias("_st"),
+        # N = 2^(T-1) * SES level: y_1 carries weight 2^(T-1-(T-1))=1,
+        # y_t (t>=2) carries 2^(t-2)
+        F.sum(
+            F.when(F.col("_t") == 1, F.col("_c").cast("decimal(38,0)"))
+            .otherwise(
+                F.expr("shiftleft(1L, _t - 2)").cast("decimal(38,0)")
+                * F.col("_c")
+            )
+        ).alias("_n"),
+        F.max("_day").alias("_last"),
+    )
+    # slope b = bn/bd; SES level = N / 2^(T-1); with alpha = 1/2 the
+    # h-step forecast is S_T + (b/2)(h+1). Common denominator
+    # D = 2^T * bd: f_num = 2*bd*N + 2^(T-1)*bn*(h+1)
+    bn = F.col("_T").cast("decimal(38,0)") * F.col("_sty") - F.col(
+        "_st"
+    ).cast("decimal(38,0)") * F.col("_sy")
+    bd = F.col("_T").cast("decimal(38,0)") * F.col("_stt") - F.col(
+        "_st"
+    ).cast("decimal(38,0)") * F.col("_st")
+    pow_t1 = F.expr("shiftleft(1L, _T - 1)").cast("decimal(38,0)")
+    test = daily.where(F.col("_day") >= F.lit(split))
+    j = (
+        test.join(F.broadcast(per), "event_type")
+        .withColumn("_h", F.datediff("_day", "_last"))
+        .select(
+            "event_type",
+            "_T",
+            bd.alias("_bd"),
+            bn.alias("_bn"),
+            (
+                F.lit(2).cast("decimal(38,0)") * bd * F.col("_n")
+                + pow_t1 * bn * (F.col("_h") + 1)
+            ).alias("_fnum"),
+            (F.lit(2).cast("decimal(38,0)") * bd * pow_t1).alias("_d"),
+            "_c",
+        )
+    )
+    g = j.groupBy("event_type").agg(
+        F.count("*").alias("_nt"),
+        F.first("_bn").alias("_bn"),
+        F.first("_bd").alias("_bd"),
+        F.sum(
+            F.abs(F.col("_d") * F.col("_c") - F.col("_fnum"))
+        ).alias("_sae"),
+        F.first("_d").alias("_dv"),
+    )
+    return g.select(
+        "event_type",
+        F.round(
+            F.col("_bn").cast("double")
+            / (100.0 * F.col("_bd").cast("double")),
+            6,
+        ).alias("slope"),
+        F.round(
+            F.col("_sae").cast("double")
+            / (
+                F.col("_dv").cast("double")
+                * 100.0
+                * F.col("_nt").cast("double")
+            ),
+            6,
+        ).alias("mae"),
+    ).orderBy("event_type")
+
+
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
 # oracles each round (CORRECTNESS_r{N}.json = registry positions 1-50).
 # Standing policy (VERDICT r6 item #2): new-in-round queries first, then
@@ -12635,15 +12742,16 @@ def q_docs_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round 10 (the standing least-recently-checked rotation, VERDICT r9
 # #1): the 7 new-in-round operators plus events_markov_stationary
 # (its HASH changed this round — the residual column, r9-verdict #4)
-# fill positions 1-8; the remaining 42 slots take the ENTIRE r2-vintage
+# fill positions 1-9; the remaining 41 slots take the r2-vintage
 # cohort (the rows whose last driver check was CORRECTNESS_r02, in
-# that file's order) — 8 + 42 = exactly 50, so after r10 no registry
-# row is older than r3 vintage. privacy_t_closeness and the
+# that file's order, minus dlq_replay which slides to the front of
+# the r11 backfill) — 9 heads + 41 = exactly 50, so after r10 the
+# only pre-r3-vintage row is that one slid entry. privacy_t_closeness and the
 # dedup-ingest queries also changed code this round but their hashes
 # are UNCHANGED (re-gated locally) and their r9 driver rows are the
 # freshest on file, so they correctly yield their slots to the
 # backfill. Ledger after this round: r11 takes the 36 r3-vintage
-# rows, r12 the 49 r4 rows.
+# rows (plus dlq_replay), r12 the 49 r4 rows.
 _R10_WINDOW = [
     # --- new in round 10 ---
     "events_page_hinkley",
@@ -12653,6 +12761,7 @@ _R10_WINDOW = [
     "quality_auc_by_segment",
     "orders_rfm_migration",
     "docs_term_burstiness",
+    "forecast_theta",
     # --- hash changed in round 10 (residual column) ---
     "events_markov_stationary",
     # --- backfill: the full r2-vintage cohort (42 rows) ---
@@ -12697,7 +12806,6 @@ _R10_WINDOW = [
     "action_convert_timezone",
     "template_json",
     "debezium_mongo_sink",
-    "dlq_replay",
 ]
 
 
@@ -12725,6 +12833,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_auc_by_segment": q_quality_auc_by_segment,
         "orders_rfm_migration": q_orders_rfm_migration,
         "docs_term_burstiness": q_docs_term_burstiness,
+        "forecast_theta": q_forecast_theta,
         # --- new in round 9 (capped at 4 — the window absorbs the
         # never-driver-checked backlog this round) ---
         "quality_brier_decomposition": q_quality_brier_decomposition,
@@ -14842,6 +14951,53 @@ def oracle_sql() -> dict[str, str]:
                    round(sae::DOUBLE
                          / (dn::DOUBLE * 100.0 * nt::DOUBLE), 6) AS mae
             FROM g ORDER BY event_type, method
+        """,
+        "forecast_theta": """
+            WITH daily AS (
+              SELECT event_type, ts::DATE AS d,
+                     sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS c
+              FROM events GROUP BY 1, 2),
+            tr AS (
+              SELECT event_type, d, c,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY d) AS t
+              FROM daily WHERE d < DATE '2024-01-22'),
+            per AS (
+              SELECT event_type,
+                     count(*)::HUGEINT AS tt,
+                     sum(c)::HUGEINT AS sy,
+                     sum(t::HUGEINT * c) AS sty,
+                     sum(t::HUGEINT * t) AS stt,
+                     sum(t)::HUGEINT AS st,
+                     sum(CASE WHEN t = 1 THEN c::HUGEINT
+                         ELSE (1::HUGEINT << (t - 2)) * c END) AS n,
+                     max(d) AS last_day
+              FROM tr GROUP BY 1),
+            j AS (
+              SELECT te.event_type, te.c,
+                     date_diff('day', p.last_day, te.d) AS h,
+                     p.tt * p.sty - p.st * p.sy AS bn,
+                     p.tt * p.stt - p.st * p.st AS bd,
+                     2::HUGEINT * (p.tt * p.stt - p.st * p.st) * p.n
+                       + (1::HUGEINT << (p.tt - 1)::INT)
+                         * (p.tt * p.sty - p.st * p.sy)
+                         * (date_diff('day', p.last_day, te.d) + 1)
+                       AS fnum,
+                     2::HUGEINT * (p.tt * p.stt - p.st * p.st)
+                       * (1::HUGEINT << (p.tt - 1)::INT) AS dv
+              FROM daily te JOIN per p USING (event_type)
+              WHERE te.d >= DATE '2024-01-22'),
+            g AS (
+              SELECT event_type, count(*)::BIGINT AS nt,
+                     any_value(bn) AS bn, any_value(bd) AS bd,
+                     sum(abs(dv * c - fnum)) AS sae,
+                     any_value(dv) AS dv
+              FROM j GROUP BY 1)
+            SELECT event_type,
+                   round(bn::DOUBLE / (100.0 * bd::DOUBLE), 6) AS slope,
+                   round(sae::DOUBLE
+                         / (dv::DOUBLE * 100.0 * nt::DOUBLE), 6) AS mae
+            FROM g ORDER BY event_type
         """,
         "quality_auc_by_segment": f"""
             WITH train AS (

@@ -352,6 +352,15 @@ HEADLINE = [
     "privacy_t_closeness",
     "events_spc_xbar",
     "events_interarrival_fit",
+    # round 10
+    "events_page_hinkley",
+    "forecast_pinball",
+    "forecast_conformal",
+    "forecast_baselines",
+    "quality_auc_by_segment",
+    "orders_rfm_migration",
+    "docs_term_burstiness",
+    "forecast_theta",
 ]
 
 

@@ -244,3 +244,22 @@ def test_term_burstiness_glue_vs_topical(spark):
     assert q["cf"] == 25 and q["df"] == 5 and q["burstiness"] == 5.0
     assert abs(q["df_ratio"] - 5 / (20 * (1 - math.exp(-1.25)))) < 1e-6
     assert q["bursty"]
+
+
+def test_theta_linear_series_closed_form(spark):
+    """Linear y_t = t over train days 1-21: OLS slope = 1 exactly; the
+    alpha=0.5 SES level is S_21 = 20 + 2^-20, so the h-step theta
+    forecast is 20.5 + h/2 + 2^-20 and the error vs y = 21+h is
+    0.5 + h/2 - 2^-20 -> MAE over h=1..9 = 3 - 2^-20 = 2.999999
+    at round(6)."""
+    m = _entry()
+    tmp = _events_fixture(
+        spark,
+        [
+            (d, f"2024-01-{d:02d}T12:00:00", 1, "click", float(d), None)
+            for d in range(1, 31)
+        ],
+    )
+    r = m.queries()["forecast_theta"](spark, tmp).collect()[0]
+    assert r["slope"] == 1.0
+    assert r["mae"] == 2.999999
