@@ -361,6 +361,7 @@ HEADLINE = [
     "orders_rfm_migration",
     "docs_term_burstiness",
     "forecast_theta",
+    "events_quantile_regression",
 ]
 
 

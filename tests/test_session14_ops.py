@@ -263,3 +263,35 @@ def test_theta_linear_series_closed_form(spark):
     r = m.queries()["forecast_theta"](spark, tmp).collect()[0]
     assert r["slope"] == 1.0
     assert r["mae"] == 2.999999
+
+
+def test_quantile_regression_median_ignores_outlier(spark):
+    """Five days y = 1,2,3,10,5 (day 4 is an outlier): the LAD line is
+    exactly y = x (slope 1, intercept 0) with mean check loss
+    0.5*|10-4|/5 = 0.6; the tau=0.25 line is the same (all residuals
+    above cost only 0.25 -> mean 0.3), while OLS would tilt toward
+    the outlier."""
+    m = _entry()
+    vals = {1: 1.0, 2: 2.0, 3: 3.0, 4: 10.0, 5: 5.0}
+    tmp = _events_fixture(
+        spark,
+        [
+            (d, f"2024-01-{d:02d}T12:00:00", 1, "click", vals[d], None)
+            for d in range(1, 6)
+        ],
+    )
+    out = {
+        round(r["tau"], 2): r
+        for r in m.queries()["events_quantile_regression"](
+            spark, tmp
+        ).collect()
+    }
+    med = out[0.5]
+    assert med["slope"] == 1.0 and med["intercept"] == 0.0
+    assert med["mean_check_loss"] == 0.6
+    lo = out[0.25]
+    assert lo["slope"] == 1.0 and lo["intercept"] == 0.0
+    assert lo["mean_check_loss"] == 0.3
+    # the 0.75 line may legitimately chase the high point; it must
+    # never score worse than the y = x line's 0.75-loss (0.9)
+    assert out[0.75]["mean_check_loss"] <= 0.9
