@@ -362,6 +362,8 @@ HEADLINE = [
     "docs_term_burstiness",
     "forecast_theta",
     "events_quantile_regression",
+    "bm25_param_sweep",
+    "sample_neyman_allocation",
 ]
 
 

@@ -295,3 +295,77 @@ def test_quantile_regression_median_ignores_outlier(spark):
     # the 0.75 line may legitimately chase the high point; it must
     # never score worse than the y = x line's 0.75-loss (0.9)
     assert out[0.75]["mean_check_loss"] <= 0.9
+
+
+def test_bm25_sweep_grid_and_known_item_recovery(spark):
+    """30-doc corpus where both probe docs (0 and 29 — the
+    doc_id % 29 == 0 probes) open with terms unique to them: every
+    (k1, b) config must retrieve its own doc at rank 1 -> MRR 1.0 on
+    all 9 grid rows."""
+    import os
+    import tempfile
+
+    m = _entry()
+    docs = []
+    for d in range(30):
+        if d == 0:
+            text = "zyx wvu tsr qpo common filler words"
+        elif d == 29:
+            text = "abc bcd cde def common filler words"
+        else:
+            text = "common filler words " * (1 + d % 3)
+        docs.append((d, text, "en", "src", len(text)))
+    df = spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    tmp = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    rows = m.queries()["bm25_param_sweep"](spark, tmp).collect()
+    assert len(rows) == 9  # full 3x3 grid
+    assert {(r["k1"], r["b"]) for r in rows} == {
+        (k1, b) for k1 in (0.5, 1.2, 2.0) for b in (0.0, 0.75, 1.0)
+    }
+    for r in rows:
+        assert r["n_queries"] == 2
+        assert r["mrr"] == 1.0
+
+
+def test_neyman_allocation_two_strata_closed_form(spark):
+    """Two strata, equal sizes (4 each), sds 1.0 and 3.0 (hand
+    constructed): Neyman gives the variable stratum 3x the samples —
+    750 vs 250 of the 1000 budget — while proportional gives 500/500.
+    Fixture: stratum A values {1,2,1,2} x100 cents? No — use values
+    with known sd: A = 9,11,9,11 (sd 2/sqrt(3)); simpler: A =
+    10-1,10+1 pattern -> sd = sqrt(4/3); B spread 3x wider -> sd
+    exactly 3x A's, so shares are 1/4 and 3/4 regardless of the
+    common factor."""
+    import os
+    import tempfile
+
+    m = _entry()
+    rows = []
+    k = 0
+    for v in (9.0, 11.0, 9.0, 11.0):
+        rows.append((k, f"a{k}", 1, v, "A")); k += 1
+    for v in (7.0, 13.0, 7.0, 13.0):  # 3x the deviations of A
+        rows.append((k, f"a{k}", 1, v, "B")); k += 1
+    df = spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    tmp = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(tmp, "customer.parquet"))
+    out = {
+        r["c_mktsegment"]: r
+        for r in m.queries()["sample_neyman_allocation"](
+            spark, tmp
+        ).collect()
+    }
+    assert out["A"]["n_h"] == 4 and out["B"]["n_h"] == 4
+    assert abs(out["B"]["sd"] - 3 * out["A"]["sd"]) < 1e-6
+    assert out["A"]["neyman_n"] == 250.0
+    assert out["B"]["neyman_n"] == 750.0
+    assert out["A"]["proportional_n"] == 500.0
+    assert out["B"]["proportional_n"] == 500.0
