@@ -654,3 +654,84 @@ def test_acf_exact_matches_brute_force_randomized(spark):
                 assert gotv is None
             else:
                 assert abs(gotv - round(want, 6)) < 2e-6, (k, lag)
+
+
+def test_quantile_regression_matches_brute_force(spark):
+    """The SHIPPED events_quantile_regression must pick, for every
+    random series and every tau, the SAME vertex (by its loss/dx sort
+    key with (i,j) tie-break) as a brute-force Python enumeration of
+    all point pairs. 12 random daily series become 12 event types in
+    ONE events frame, so the whole sweep runs the operator's real
+    cross+window plan once."""
+    import importlib.util
+    import os
+    import random as _random
+    import tempfile
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry_qr__", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    rng = _random.Random(20260817)
+    cases = {
+        f"t{k:02d}": [rng.randint(0, 500) for _ in range(rng.randint(3, 12))]
+        for k in range(12)
+    }
+    rows = []
+    eid = 0
+    for typ, cents in cases.items():
+        for d, c in enumerate(cents, start=1):
+            rows.append(
+                (eid, f"2024-01-{d:02d}T12:00:00", 1, typ, c / 100.0, None)
+            )
+            eid += 1
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    tmp = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+
+    def brute(cents, tau100):
+        best = None
+        n = len(cents)
+        for i in range(1, n + 1):
+            for j in range(i + 1, n + 1):
+                yi, yj = cents[i - 1], cents[j - 1]
+                dx, dy = j - i, yj - yi
+                l100 = 0
+                for d in range(1, n + 1):
+                    r = dx * (cents[d - 1] - yi) - (d - i) * dy
+                    l100 += max(tau100 * r, (tau100 - 100) * r)
+                key = (l100 / dx, i, j)
+                if best is None or key < best[0]:
+                    best = (key, dx, dy, yi, i, l100, n)
+        key, dx, dy, yi, i, l100, n = best
+        return (
+            round(dy / (100.0 * dx), 6),
+            round((dx * yi - i * dy) / (100.0 * dx), 6),
+            round(l100 / (100.0 * dx * 100.0 * n), 6),
+        )
+
+    got = {
+        (r["event_type"], round(r["tau"], 2)): (
+            r["slope"],
+            r["intercept"],
+            r["mean_check_loss"],
+        )
+        for r in m.queries()["events_quantile_regression"](
+            spark, tmp
+        ).collect()
+    }
+    for typ, cents in cases.items():
+        for tau100 in (25, 50, 75):
+            assert got[(typ, tau100 / 100)] == brute(cents, tau100), (
+                typ,
+                tau100,
+                cents,
+            )
