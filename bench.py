@@ -364,6 +364,7 @@ HEADLINE = [
     "events_quantile_regression",
     "bm25_param_sweep",
     "sample_neyman_allocation",
+    "embedding_matryoshka_recall",
 ]
 
 

@@ -369,3 +369,31 @@ def test_neyman_allocation_two_strata_closed_form(spark):
     assert out["B"]["neyman_n"] == 750.0
     assert out["A"]["proportional_n"] == 500.0
     assert out["B"]["proportional_n"] == 500.0
+
+
+def test_matryoshka_recall_perfect_when_signal_in_prefix(spark):
+    """Vectors whose dims beyond 8 are all ZERO: every prefix search
+    (8/16/32 — slices truncate at the vector length) sees exactly the
+    full-dim geometry, so recall must be 1.0 at every prefix."""
+    import os
+    import random as _random
+    import tempfile
+
+    m = _entry()
+    rng = _random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)] + [0.0] * 56, i % 3)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    tmp = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(
+        os.path.join(tmp, "embeddings.parquet")
+    )
+    out = m.queries()["embedding_matryoshka_recall"](spark, tmp).collect()
+    assert [r["prefix_dim"] for r in out] == [8, 16, 32]
+    for r in out:
+        assert r["n_truth"] == 40  # 8 queries x 5
+        assert r["recall"] == 1.0
