@@ -365,6 +365,7 @@ HEADLINE = [
     "bm25_param_sweep",
     "sample_neyman_allocation",
     "embedding_matryoshka_recall",
+    "dedup_threshold_curve",
 ]
 
 

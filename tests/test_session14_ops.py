@@ -397,3 +397,39 @@ def test_matryoshka_recall_perfect_when_signal_in_prefix(spark):
     for r in out:
         assert r["n_truth"] == 40  # 8 queries x 5
         assert r["recall"] == 1.0
+
+
+def test_threshold_curve_monotone_and_exact(spark):
+    """Three docs: A == B exactly (jaccard 1.0), C shares ~half its
+    grams with A. Curve invariants: n_pairs and n_dropped are
+    non-increasing in the threshold, the t=0.9 row keeps only the
+    exact pair, and drop rates divide by the corpus size."""
+    import os
+    import tempfile
+
+    m = _entry()
+    a = "alpha beta gamma delta epsilon zeta"
+    c = "alpha beta gamma delta other tokens entirely new"
+    rows = [
+        (0, a, "en", "s", len(a)),
+        (1, a, "en", "s", len(a)),
+        (2, c, "en", "s", len(c)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    tmp = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    out = {
+        round(r["threshold"], 1): r
+        for r in m.queries()["dedup_threshold_curve"](spark, tmp).collect()
+    }
+    assert out[0.9]["n_pairs"] == 1 and out[0.9]["n_dropped"] == 1
+    assert abs(out[0.9]["drop_rate"] - 1 / 3) < 1e-6  # round(6) output
+    last_p, last_d = float("inf"), float("inf")
+    for t in (0.5, 0.7, 0.8, 0.9):
+        if t in out:
+            assert out[t]["n_pairs"] <= last_p
+            assert out[t]["n_dropped"] <= last_d
+            last_p, last_d = out[t]["n_pairs"], out[t]["n_dropped"]
