@@ -51,10 +51,13 @@ def test_speedup_outlier_also_flagged():
 
 
 def test_r9_record_reproduction():
-    """The real r9 adjudication: driver BENCH_FULL.json vs the
-    committed take flagged exactly corpus_ngram_diversity_approx."""
+    """The real r9 adjudication: the driver-deposited BENCH_FULL.json
+    (ref 362f6b8, the round-9 driver commit) vs the builder's r9
+    committed take (ref c65548e) flagged exactly
+    corpus_ngram_diversity_approx. Both sides pinned from history —
+    the working-tree record moves every round."""
     m = _triage()
-    driver = m.load_record("/root/repo/BENCH_FULL.json")
+    driver = m.load_record("BENCH_FULL.json", git_ref="362f6b8")
     committed = m.load_record("BENCH_FULL.json", git_ref="c65548e")
     out = m.triage(driver, committed)
     assert [f["query"] for f in out["flags"]] == [
