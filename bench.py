@@ -366,6 +366,10 @@ HEADLINE = [
     "sample_neyman_allocation",
     "embedding_matryoshka_recall",
     "dedup_threshold_curve",
+    "dedup_cluster_agreement",
+    "quality_rater_kappa",
+    "docs_score_agreement",
+    "orders_ordinal_assoc",
 ]
 
 
