@@ -370,6 +370,10 @@ HEADLINE = [
     "quality_rater_kappa",
     "docs_score_agreement",
     "orders_ordinal_assoc",
+    "events_jarque_bera",
+    "quality_fleiss_kappa",
+    "table_fd_violations",
+    "embedding_cka",
 ]
 
 
