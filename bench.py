@@ -374,6 +374,10 @@ HEADLINE = [
     "quality_fleiss_kappa",
     "table_fd_violations",
     "embedding_cka",
+    "events_kpss",
+    "events_periodogram",
+    "events_granger",
+    "users_cox_score",
 ]
 
 

@@ -233,3 +233,194 @@ def test_cka_bounds_and_self_check_real_fixture(spark):
     for p in (8, 16, 32):
         assert 0.0 < out[p] <= 1.0
     assert out[8] <= out[64]
+
+
+def test_kpss_matches_python_reference(spark):
+    """10-day rising series: eta and the long-run variance agree with
+    a plain-Python transcription of the same KPSS formulas (Bartlett
+    weights, q = floor(4 (n/100)^0.25))."""
+    m = _entry()
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0]
+    rows = [
+        (i, f"2024-01-{i + 1:02d} 10:00:00", 1, "purchase", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    tmp = _write_events(spark, rows)
+    r = m.queries()["events_kpss"](spark, tmp).collect()[0]
+    n = len(vals)
+    mean = sum(vals) / n
+    e = [v - mean for v in vals]
+    q = int(4.0 * (n / 100.0) ** 0.25)
+    g0s = sum(v * v for v in e)
+    nws = 0.0
+    for lag in range(1, q + 1):
+        gls = sum(e[t] * e[t - lag] for t in range(lag, n))
+        nws += (1.0 - lag / (q + 1.0)) * gls
+    sigma2 = (g0s + 2.0 * nws) / n
+    st = 0.0
+    ss = 0.0
+    for v in e:
+        st += v
+        ss += st * st
+    eta = (ss / (n * n)) / sigma2
+    assert r["n_days"] == n and r["bandwidth"] == q
+    assert abs(r["sigma2_lr"] - sigma2) < 1e-6
+    assert abs(r["kpss_eta"] - eta) < 1e-6
+    assert r["stationary_5pct"] == (eta <= 0.463)
+
+
+def test_kpss_real_fixture_rows(spark):
+    """sf0.001: one row per type, 30-day series -> bandwidth 2,
+    positive long-run variance."""
+    m = _entry()
+    out = m.queries()["events_kpss"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r["bandwidth"] == 2
+        assert r["sigma2_lr"] > 0.0
+        assert r["kpss_eta"] > 0.0
+
+
+def test_periodogram_alternating_series(spark):
+    """Alternating 15/5 daily totals over 8 days: the period-2 line
+    carries essentially all candidate power, and the shares sum
+    to 1."""
+    m = _entry()
+    rows = []
+    for i in range(8):
+        v = 15.0 if i % 2 == 0 else 5.0
+        rows.append(
+            (i, f"2024-01-{i + 1:02d} 10:00:00", 1, "purchase", v, "{}")
+        )
+    tmp = _write_events(spark, rows)
+    out = m.queries()["events_periodogram"](spark, tmp).collect()
+    assert len(out) == 14
+    by_p = {r["period"]: r["power_frac"] for r in out}
+    # n=8 leaks some power into the non-harmonic periods; the
+    # period-2 line still dominates by far
+    assert by_p[2] > 0.8
+    assert by_p[2] == max(by_p.values())
+    assert abs(sum(by_p.values()) - 1.0) < 1e-5
+
+
+def test_granger_lagged_coupling(spark):
+    """signups(t) = purchases(t-1) + one off-by-one day: the
+    purchase->signup direction fits almost perfectly and its LM
+    statistic matches a plain-Python transcription of the
+    normal-equation closed form; the reverse direction is weaker."""
+    m = _entry()
+    p_cnt = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]
+    s_cnt = [2] + p_cnt[:-1]
+    s_cnt[5] += 1  # break the exact fit so RSS_u > 0
+    rows = []
+    eid = 0
+    for d in range(10):
+        for _ in range(p_cnt[d]):
+            rows.append(
+                (eid, f"2024-01-{d + 1:02d} 09:00:00", 1, "purchase", 1.0, "{}")
+            )
+            eid += 1
+        for _ in range(s_cnt[d]):
+            rows.append(
+                (eid, f"2024-01-{d + 1:02d} 10:00:00", 2, "signup", 1.0, "{}")
+            )
+            eid += 1
+    tmp = _write_events(spark, rows)
+    out = {
+        r["direction"]: r
+        for r in m.queries()["events_granger"](spark, tmp).collect()
+    }
+
+    def ref_lm(xs, ys):
+        z = ys[1:]
+        u = ys[:-1]
+        v = xs[:-1]
+        n = len(z)
+        su, sv, sz = sum(u), sum(v), sum(z)
+        suu = sum(a * a for a in u)
+        svv = sum(a * a for a in v)
+        suv = sum(a * b for a, b in zip(u, v))
+        suz = sum(a * b for a, b in zip(u, z))
+        svz = sum(a * b for a, b in zip(v, z))
+        szz = sum(a * a for a in z)
+        auu = float(n * suu - su * su)
+        avv = float(n * svv - sv * sv)
+        auv = float(n * suv - su * sv)
+        auz = float(n * suz - su * sz)
+        avz = float(n * svz - sv * sz)
+        azz = float(n * szz - sz * sz)
+        rss_r = azz - auz * auz / auu
+        ess = (
+            auz * auz * avv - 2.0 * auz * avz * auv + avz * avz * auu
+        ) / (auu * avv - auv * auv)
+        rss_u = azz - ess
+        return max(n * (rss_r - rss_u) / rss_r, 0.0)
+
+    fwd = out["purchase->signup"]
+    assert fwd["n"] == 9
+    assert abs(fwd["lm_stat"] - ref_lm(p_cnt, s_cnt)) < 1e-5
+    assert abs(
+        out["signup->purchase"]["lm_stat"] - ref_lm(s_cnt, p_cnt)
+    ) < 1e-5
+    assert fwd["lm_stat"] > out["signup->purchase"]["lm_stat"]
+    assert fwd["p_value"] < out["signup->purchase"]["p_value"]
+    for r in out.values():
+        assert r["f_stat"] >= 0.0 and 0.0 <= r["p_value"] <= 1.0
+
+
+def test_cox_score_matches_python_reference(spark):
+    """Four users with known (duration, status, covariate): the score
+    statistic matches a direct Breslow risk-set computation."""
+    m = _entry()
+    rows = [
+        # user 1: x=2 events, converts at +10h
+        (0, "2024-01-01 00:00:00", 1, "page_view", 1.0, "{}"),
+        (1, "2024-01-01 10:00:00", 1, "purchase", 1.0, "{}"),
+        # user 2: x=3 events, censored at +2h
+        (2, "2024-01-01 00:00:00", 2, "page_view", 1.0, "{}"),
+        (3, "2024-01-01 01:00:00", 2, "click", 1.0, "{}"),
+        (4, "2024-01-01 02:00:00", 2, "page_view", 1.0, "{}"),
+        # user 3: x=3 events, converts at +5h
+        (5, "2024-01-01 00:00:00", 3, "page_view", 1.0, "{}"),
+        (6, "2024-01-01 05:00:00", 3, "purchase", 1.0, "{}"),
+        (7, "2024-01-01 06:00:00", 3, "click", 1.0, "{}"),
+        # user 4: x=1 event, censored at duration 0
+        (8, "2024-01-01 00:00:00", 4, "page_view", 1.0, "{}"),
+    ]
+    tmp = _write_events(spark, rows)
+    r = m.queries()["users_cox_score"](spark, tmp).collect()[0]
+    subjects = [  # (dur_hours, status, x)
+        (10, 1, 2),
+        (2, 0, 3),
+        (5, 1, 3),
+        (0, 0, 1),
+    ]
+    u = v = 0.0
+    for dur, status, x in subjects:
+        if not status:
+            continue
+        atrisk = [s for s in subjects if s[0] >= dur]
+        rn = len(atrisk)
+        rx = sum(s[2] for s in atrisk)
+        rxx = sum(s[2] * s[2] for s in atrisk)
+        u += x - rx / rn
+        v += rxx / rn - (rx / rn) * (rx / rn)
+    assert r["n_users"] == 4 and r["n_conversions"] == 2
+    assert abs(r["score_u"] - u) < 1e-6
+    assert abs(r["score_var"] - v) < 1e-6
+    import math as _math
+
+    assert abs(r["z"] - u / _math.sqrt(v)) < 1e-6
+
+
+def test_cox_score_real_fixture_bounds(spark):
+    """sf0.001: p in [0,1], conversions <= users, variance > 0."""
+    m = _entry()
+    r = m.queries()["users_cox_score"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert 0.0 <= r["p_value"] <= 1.0
+    assert 0 < r["n_conversions"] <= r["n_users"]
+    assert r["score_var"] > 0.0
