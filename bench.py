@@ -378,6 +378,10 @@ HEADLINE = [
     "events_periodogram",
     "events_granger",
     "users_cox_score",
+    "docs_log_odds_terms",
+    "events_msprt",
+    "events_anderson_darling",
+    "docs_entropy_rate",
 ]
 
 

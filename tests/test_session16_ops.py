@@ -424,3 +424,154 @@ def test_cox_score_real_fixture_bounds(spark):
     assert 0.0 <= r["p_value"] <= 1.0
     assert 0 < r["n_conversions"] <= r["n_users"]
     assert r["score_var"] > 0.0
+
+
+def test_log_odds_symmetric_fixture(spark):
+    """Mirror-image slices (en: apple 3 / banana 1; rest: banana 3 /
+    apple 1): the Monroe deltas are exact negatives and match the
+    closed form 2 ln(53/51) under the a0=100 pooled prior."""
+    m = _entry()
+    rows = [
+        (0, "apple apple banana", "en", "s", 18),
+        (1, "apple", "en", "s", 5),
+        (2, "banana banana", "fr", "s", 13),
+        (3, "banana apple", "fr", "s", 12),
+    ]
+    tmp = _write_docs(spark, rows)
+    out = {
+        r["term"]: r
+        for r in m.queries()["docs_log_odds_terms"](spark, tmp).collect()
+    }
+    assert set(out) == {"apple", "banana"}
+    a = out["apple"]
+    assert (a["cnt_en"], a["cnt_rest"]) == (3, 1)
+    delta = 2.0 * math.log(53.0 / 51.0)
+    var = 1.0 / 53.0 + 1.0 / 51.0
+    assert abs(a["log_odds"] - delta) < 1e-6
+    assert abs(a["z_score"] - delta / math.sqrt(var)) < 1e-6
+    assert abs(out["banana"]["log_odds"] + delta) < 1e-6
+
+
+def test_msprt_matches_python_reference(spark):
+    """Five daily purchase-signup gaps: log Lambda and the running
+    always-valid p match a plain-Python transcription; p is monotone
+    non-increasing by construction."""
+    m = _entry()
+    p_vals = [5.0, 6.0, 5.5, 7.0, 6.5]
+    s_vals = [4.0, 4.0, 4.0, 4.5, 4.5]
+    rows = []
+    eid = 0
+    for day, (pv, sv) in enumerate(zip(p_vals, s_vals)):
+        rows.append(
+            (eid, f"2024-01-{day + 1:02d} 09:00:00", 1, "purchase", pv, "{}")
+        )
+        eid += 1
+        rows.append(
+            (eid, f"2024-01-{day + 1:02d} 10:00:00", 2, "signup", sv, "{}")
+        )
+        eid += 1
+    tmp = _write_events(spark, rows)
+    out = m.queries()["events_msprt"](spark, tmp).collect()
+    d = [a - b for a, b in zip(p_vals, s_vals)]
+    n = len(d)
+    s2 = sum(v * v for v in d) / n - (sum(d) / n) ** 2
+    cd = 0.0
+    best = None
+    last_p = 1.0
+    for t0, v in enumerate(d, start=1):
+        cd += v
+        dbar = cd / t0
+        llam = 0.5 * math.log(s2 / (s2 + t0 * s2)) + (
+            t0 * t0 * s2 * dbar * dbar
+        ) / (2.0 * s2 * (s2 + t0 * s2))
+        best = llam if best is None else max(best, llam)
+        p = min(1.0, math.exp(-best))
+        r = out[t0 - 1]
+        assert r["t"] == t0
+        assert abs(r["log_lambda"] - llam) < 1e-6
+        assert abs(r["always_valid_p"] - p) < 1e-6
+        assert r["always_valid_p"] <= last_p + 1e-9
+        last_p = r["always_valid_p"]
+
+
+def _as_norm_sf(z):
+    t = 1.0 / (1.0 + 0.2316419 * z)
+    poly = t * (
+        0.319381530
+        + t
+        * (
+            -0.356563782
+            + t * (1.781477937 + t * (-1.821255978 + t * 1.330274429))
+        )
+    )
+    return math.exp(-z * z / 2) / 2.5066282746310002 * poly
+
+
+def test_anderson_darling_matches_python_reference(spark):
+    """Six daily totals with a fat outlier: A^2 matches a direct
+    transcription using the same Abramowitz-Stegun tail."""
+    m = _entry()
+    vals = [10.0, 11.0, 12.0, 13.0, 14.0, 40.0]
+    rows = [
+        (i, f"2024-01-{i + 1:02d} 10:00:00", 1, "purchase", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    tmp = _write_events(spark, rows)
+    r = m.queries()["events_anderson_darling"](spark, tmp).collect()[0]
+    cents = [v * 100 for v in vals]
+    n = len(cents)
+    s = sum(cents)
+    amom = n * sum(c * c for c in cents) - s * s
+    zs = sorted(
+        (c - s / n) / (math.sqrt(amom) / n) for c in cents
+    )
+
+    def phi(z):
+        return 1.0 - _as_norm_sf(z) if z >= 0 else _as_norm_sf(-z)
+
+    def sf(z):
+        return _as_norm_sf(z) if z >= 0 else 1.0 - _as_norm_sf(-z)
+
+    ts = sum(
+        (2 * i - 1) * math.log(phi(z)) + (2 * (n - i) + 1) * math.log(sf(z))
+        for i, z in enumerate(zs, start=1)
+    )
+    a2 = -n - ts / n
+    a2s = a2 * (1.0 + 0.75 / n + 2.25 / (n * n))
+    assert r["n_days"] == 6
+    assert abs(r["a2"] - a2) < 1e-6
+    assert abs(r["a2_star"] - a2s) < 1e-6
+    assert r["normal_5pct"] == (a2s <= 0.752)
+    assert not r["normal_5pct"]  # the outlier breaks normality
+
+
+def test_entropy_rate_hand_fixture(spark):
+    """docs 'a b a b' and 'a a': H1 over {a:4, b:2}, H2 over bigram
+    counts {(a,b):2, (b,a):1, (a,a):1} with first-token margins
+    {a:3, b:1} — hand-derived nats."""
+    m = _entry()
+    rows = [
+        (0, "a b a b", "en", "s", 7),
+        (1, "a a", "en", "s", 3),
+    ]
+    tmp = _write_docs(spark, rows)
+    r = m.queries()["docs_entropy_rate"](spark, tmp).collect()[0]
+    h1 = -(4 / 6 * math.log(4 / 6) + 2 / 6 * math.log(2 / 6))
+    h2 = -(2 * math.log(2 / 3) + math.log(1.0) + math.log(1 / 3)) / 4
+    assert r["n_tokens"] == 6 and r["n_bigrams"] == 4
+    assert r["vocab"] == 2
+    assert abs(r["h_unigram"] - h1) < 1e-6
+    assert abs(r["h_bigram_cond"] - h2) < 1e-6
+    assert abs(r["entropy_ratio"] - h2 / h1) < 1e-6
+    assert abs(r["perplexity_bigram"] - math.exp(h2)) < 1e-6
+
+
+def test_entropy_rate_conditioning_reduces_entropy(spark):
+    """sf0.001: conditioning can only help — H(w2|w1) <= H1 on any
+    corpus (Shannon), so the ratio is in (0, 1]."""
+    m = _entry()
+    r = m.queries()["docs_entropy_rate"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert 0.0 < r["h_bigram_cond"] <= r["h_unigram"]
+    assert 0.0 < r["entropy_ratio"] <= 1.0
