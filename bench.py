@@ -382,6 +382,10 @@ HEADLINE = [
     "events_msprt",
     "events_anderson_darling",
     "docs_entropy_rate",
+    "sample_horvitz_thompson",
+    "docs_burrows_delta",
+    "graph_rich_club",
+    "privacy_dp_budget",
 ]
 
 

@@ -1,0 +1,161 @@
+"""Post-r10 wave-5 goldens: Horvitz-Thompson PPS sampling, Burrows'
+Delta stylometry, rich-club coefficient, DP budget planner; the
+registry queries themselves are gated by the DuckDB oracles
+(tools/oracle_check.py)."""
+
+from __future__ import annotations
+
+import importlib.util
+import math
+import os
+import tempfile
+
+
+def _entry():
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry_s17__", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+def test_ht_certainty_units_are_exact(spark):
+    """Four orders small enough that c*y >= 1 for every one: all are
+    certainty units (pi = 1), so the HT total IS the exact total,
+    the design variance is 0, and Kish neff = n."""
+    import datetime
+
+    m = _entry()
+    dt = datetime.datetime(1995, 1, 1)
+    rows = [
+        (i, 1, "O", float(i + 1), dt, "1-P") for i in range(4)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    tmp = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(tmp, "orders.parquet"))
+    r = m.queries()["sample_horvitz_thompson"](spark, tmp).collect()[0]
+    assert r["n_pop"] == 4 and r["n_sample"] == 4
+    assert r["ht_total_dollars"] == r["true_total_dollars"] == 10.0
+    assert r["rel_error"] == 0.0
+    assert r["se_dollars"] == 0.0
+    assert r["kish_neff"] == 4.0
+
+
+def test_ht_unbiasedness_ballpark_real_fixture(spark):
+    """sf0.001: the PPS estimate lands within 20% of the exact total
+    (a single deterministic draw, not an expectation — but pi is
+    value-proportional, so big orders are near-certainty and the
+    error is dominated by the small-order tail)."""
+    m = _entry()
+    r = m.queries()["sample_horvitz_thompson"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert 0 < r["n_sample"] <= r["n_pop"]
+    assert abs(r["rel_error"]) < 0.2
+    assert r["kish_neff"] <= r["n_sample"] + 1e-9
+    assert r["se_dollars"] > 0.0
+
+
+def _write_docs(spark, rows):
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    tmp = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    return tmp
+
+
+def test_burrows_delta_identical_sources_are_zero(spark):
+    """s1 and s2 share the exact term distribution (x:y = 1:1), s3
+    skews 3:1 — Delta(s1,s2) = 0 and both distances to s3 are equal
+    and positive."""
+    m = _entry()
+    rows = [
+        (0, "x y", "en", "s1", 3),
+        (1, "x y x y", "en", "s2", 7),
+        (2, "x x x y", "en", "s3", 7),
+    ]
+    tmp = _write_docs(spark, rows)
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in m.queries()["docs_burrows_delta"](spark, tmp).collect()
+    }
+    assert len(out) == 3
+    assert out[("s1", "s2")]["delta"] == 0.0
+    d13 = out[("s1", "s3")]["delta"]
+    d23 = out[("s2", "s3")]["delta"]
+    assert d13 > 0.0 and abs(d13 - d23) < 1e-9
+    assert out[("s1", "s2")]["n_terms"] == 2
+
+
+def test_burrows_delta_pair_count_real_fixture(spark):
+    """sf0.001: all C(20,2) = 190 source pairs emit, every delta is
+    non-negative."""
+    m = _entry()
+    out = m.queries()["docs_burrows_delta"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(out) == 190
+    for r in out:
+        assert r["delta"] >= 0.0
+
+
+def test_rich_club_structure_real_fixture(spark):
+    """sf0.001: the planted hub clique makes the high-k club denser
+    than the k=2 club; counts are monotone non-increasing in k and
+    phi stays in [0, 1]."""
+    m = _entry()
+    out = m.queries()["graph_rich_club"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert [r["k"] for r in out] == [2, 4, 8, 16, 24]
+    by_k = {r["k"]: r for r in out}
+    last_n = None
+    for r in out:
+        assert r["e_k"] >= 0 and r["n_k"] >= 0
+        if last_n is not None:
+            assert r["n_k"] <= last_n
+        last_n = r["n_k"]
+        if r["phi"] is not None:
+            assert 0.0 <= r["phi"] <= 1.0
+    assert by_k[8]["phi"] is not None and by_k[2]["phi"] is not None
+    assert by_k[8]["phi"] > by_k[2]["phi"]
+    assert by_k[8]["rho_vs_density"] > 1.0
+
+
+def test_dp_budget_hand_fixture(spark):
+    """Two QI groups of size 5 and 20: at eps=0.1 (b=10) both carry
+    >10% expected relative error; at eps=2 (b=0.5) neither does
+    (0.5/5 = 0.1 is NOT strictly greater). Gaussian sigma follows
+    sqrt(2 ln 1.25e5)/eps."""
+    m = _entry()
+    rows = [(i, f"c{i}", 1, 0.0, "AUTO") for i in range(5)] + [
+        (100 + i, f"d{i}", 2, 0.0, "AUTO") for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey long,"
+        " c_acctbal double, c_mktsegment string",
+    )
+    tmp = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(tmp, "customer.parquet"))
+    out = {
+        r["eps"]: r
+        for r in m.queries()["privacy_dp_budget"](spark, tmp).collect()
+    }
+    assert set(out) == {0.1, 0.5, 1.0, 2.0}
+    assert out[0.1]["n_groups"] == 2 and out[0.1]["min_group"] == 5
+    assert out[0.1]["n_groups_relerr_gt_10pct"] == 2
+    assert out[2.0]["n_groups_relerr_gt_10pct"] == 0
+    assert out[1.0]["laplace_b"] == 1.0
+    for e, r in out.items():
+        ref = math.sqrt(2.0 * math.log(125000.0)) / e
+        assert abs(r["gauss_sigma"] - ref) < 1e-6
