@@ -386,6 +386,10 @@ HEADLINE = [
     "docs_burrows_delta",
     "graph_rich_club",
     "privacy_dp_budget",
+    "events_mi_profile",
+    "events_hill_tail",
+    "lineitem_cpk",
+    "docs_kneser_ney",
 ]
 
 

@@ -159,3 +159,174 @@ def test_dp_budget_hand_fixture(spark):
     for e, r in out.items():
         ref = math.sqrt(2.0 * math.log(125000.0)) / e
         assert abs(r["gauss_sigma"] - ref) < 1e-6
+
+
+def _write_events(spark, rows):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    tmp = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+    return tmp
+
+
+def test_mi_profile_dependence_extremes(spark):
+    """purchase always at 01:00/band 0, signup always at 02:00/band 2:
+    hour and value_band carry FULL information about the type
+    (MI = ln 2, NMI = 1)."""
+    m = _entry()
+    rows = []
+    for i in range(5):
+        rows.append(
+            (i, f"2024-01-{i + 1:02d} 01:00:00", 1, "purchase", 10.0, "{}")
+        )
+        rows.append(
+            (10 + i, f"2024-01-{i + 1:02d} 02:00:00", 2, "signup", 60.0, "{}")
+        )
+    tmp = _write_events(spark, rows)
+    out = {
+        r["dim"]: r
+        for r in m.queries()["events_mi_profile"](spark, tmp).collect()
+    }
+    for dim in ("hour", "value_band"):
+        assert abs(out[dim]["mi_nats"] - math.log(2.0)) < 1e-6
+        assert abs(out[dim]["nmi"] - 1.0) < 1e-6
+        assert abs(out[dim]["h_type"] - math.log(2.0)) < 1e-6
+
+
+def test_mi_profile_independence_is_zero(spark):
+    """Both types occur at both hours with equal counts: MI over the
+    hour dimension is exactly 0."""
+    m = _entry()
+    rows = []
+    eid = 0
+    for t in ("purchase", "signup"):
+        for h in (1, 2):
+            for rep in range(3):
+                rows.append(
+                    (eid, f"2024-01-{rep + 1:02d} {h:02d}:00:00", 1, t, 10.0, "{}")
+                )
+                eid += 1
+    tmp = _write_events(spark, rows)
+    out = {
+        r["dim"]: r
+        for r in m.queries()["events_mi_profile"](spark, tmp).collect()
+    }
+    assert out["hour"]["mi_nats"] == 0.0
+    assert out["hour"]["nmi"] == 0.0
+
+
+def test_hill_tail_matches_python_reference(spark):
+    """300 linearly spaced values: alpha-hat and the implied P99.9
+    match a direct transcription of the Hill estimator."""
+    m = _entry()
+    rows = [
+        (i, f"2024-01-{i % 28 + 1:02d} 10:00:00", 1, "purchase",
+         float(i + 1), "{}")
+        for i in range(300)
+    ]
+    tmp = _write_events(spark, rows)
+    r = m.queries()["events_hill_tail"](spark, tmp).collect()[0]
+    cents = sorted((100 * (i + 1) for i in range(300)), reverse=True)
+    xref = cents[100]  # rank 101
+    slog = sum(math.log(c) - math.log(xref) for c in cents[:100])
+    alpha = 100.0 / slog
+    n = 300
+    p999 = xref / 100.0 * (100.0 / (0.001 * n)) ** (1.0 / alpha)
+    assert r["n"] == 300 and r["k"] == 100
+    assert abs(r["threshold_dollars"] - xref / 100.0) < 1e-9
+    assert abs(r["hill_alpha"] - alpha) < 1e-6
+    assert abs(r["p999_implied_dollars"] - p999) < 1e-4
+
+
+def test_cpk_hand_fixture(spark):
+    """Three lineitems shipped 10/20/30 days after the order:
+    mu=20, population sd = sqrt(200/3), Cp/Cpk from the [1,122]
+    spec window, nothing out of spec."""
+    import datetime
+
+    m = _entry()
+    odf = spark.createDataFrame(
+        [(1, 1, "O", 10.0, datetime.datetime(1995, 1, 1), "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    lrows = [
+        (1, 1, 1, i + 1, 1.0, 100.0, 0.0, 0.0, "N", "O",
+         datetime.datetime(1995, 1, 1) + datetime.timedelta(days=d))
+        for i, d in enumerate((10, 20, 30))
+    ]
+    ldf = spark.createDataFrame(
+        lrows,
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber long, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    )
+    tmp = tempfile.mkdtemp()
+    odf.write.mode("overwrite").parquet(os.path.join(tmp, "orders.parquet"))
+    ldf.write.mode("overwrite").parquet(os.path.join(tmp, "lineitem.parquet"))
+    r = m.queries()["lineitem_cpk"](spark, tmp).collect()[0]
+    mu = 20.0
+    sig = math.sqrt(200.0 / 3.0)
+    assert r["n"] == 3 and r["mean_days"] == 20.0
+    assert abs(r["sd_days"] - sig) < 1e-6
+    assert abs(r["cp"] - 121.0 / (6.0 * sig)) < 1e-6
+    assert abs(r["cpk"] - min(102.0, 19.0) / (3.0 * sig)) < 1e-6
+    assert r["n_out"] == 0 and r["frac_out_of_spec"] == 0.0
+
+
+def test_kneser_ney_matches_python_reference(spark):
+    """Train doc 'a b a b a c' + test doc 'a b c d': every model
+    count is hand-enumerable; the cross-entropy matches a direct
+    transcription of the interpolated-KN formula with the add-half
+    continuation smoothing."""
+    m = _entry()
+    rows = [
+        (0, "a b a b a c", "en", "s", 11),
+        (500, "a b c d", "en", "s", 7),
+    ]
+    tmp = _write_docs(spark, rows)
+    r = m.queries()["docs_kneser_ney"](spark, tmp).collect()[0]
+    big = {("a", "b"): 2, ("b", "a"): 2, ("a", "c"): 1}
+    c1 = {"a": (3, 2), "b": (2, 1)}
+    cont = {"b": 1, "a": 1, "c": 1}
+    ntot, v = 3, 3
+    pairs = [("a", "b"), ("b", "a"), ("a", "b"), ("b", "a"),
+             ("a", "c"), ("a", "b"), ("b", "c"), ("c", "d")]
+
+    def pkn(prev, tok):
+        pcont = (cont.get(tok, 0) + 0.5) / (ntot + 0.5 * (v + 1))
+        if prev in c1:
+            cv, nd = c1[prev]
+            return (
+                max(big.get((prev, tok), 0) - 0.75, 0.0) / cv
+                + 0.75 * nd / cv * pcont
+            )
+        return pcont
+
+    ce = -sum(math.log(pkn(p, t)) for p, t in pairs) / len(pairs)
+    assert r["n_bigrams"] == 8
+    assert r["n_backoff"] == 2  # (b,c) and (c,d)
+    assert r["n_unseen_context"] == 1  # prev = c
+    assert abs(r["cross_entropy"] - ce) < 1e-6
+    assert abs(r["perplexity"] - math.exp(ce)) < 1e-6
+
+
+def test_kneser_ney_tighter_than_backoff_on_real_corpus(spark):
+    """sf0.001: KN perplexity is finite and positive; backoff and
+    unseen-context counts are a small fraction of the scored pairs
+    (train split covers half the corpus)."""
+    m = _entry()
+    r = m.queries()["docs_kneser_ney"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert r["n_bigrams"] > 0
+    assert 0 <= r["n_unseen_context"] <= r["n_backoff"] <= r["n_bigrams"]
+    assert r["cross_entropy"] > 0.0
+    assert r["perplexity"] > 1.0
