@@ -390,6 +390,10 @@ HEADLINE = [
     "events_hill_tail",
     "lineitem_cpk",
     "docs_kneser_ney",
+    "orders_panel_fe",
+    "events_simpson_audit",
+    "events_trend_hac",
+    "embedding_intrinsic_dim",
 ]
 
 

@@ -330,3 +330,138 @@ def test_kneser_ney_tighter_than_backoff_on_real_corpus(spark):
     assert 0 <= r["n_unseen_context"] <= r["n_backoff"] <= r["n_bigrams"]
     assert r["cross_entropy"] > 0.0
     assert r["perplexity"] > 1.0
+
+
+def test_panel_fe_matches_python_reference(spark):
+    """Two customers with different spend levels but a shared +5
+    cents/day within-trend: the FE estimator recovers the within
+    slope a pooled OLS would distort."""
+    import datetime
+
+    m = _entry()
+    base = datetime.datetime(1995, 1, 1)
+    data = [  # (cust, day, dollars)
+        (1, 0, 1.00), (1, 10, 1.50), (1, 20, 2.00),
+        (2, 0, 30.00), (2, 10, 30.50), (2, 20, 31.00),
+    ]
+    rows = [
+        (i, c, "O", v, base + datetime.timedelta(days=d), "1-P")
+        for i, (c, d, v) in enumerate(data)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    tmp = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(tmp, "orders.parquet"))
+    r = m.queries()["orders_panel_fe"](spark, tmp).collect()[0]
+    # within slope: both customers rise 100 cents per 20 days = 5 c/d
+    assert r["n_orders"] == 6 and r["n_customers"] == 2
+    assert abs(r["beta_cents_per_day"] - 5.0) < 1e-9
+    # perfect within-fit -> rss = 0 -> se = 0, t undefined (NULL)
+    assert r["se"] == 0.0
+    assert r["t_stat"] is None
+
+
+def test_simpson_audit_detects_flip(spark):
+    """Cohort 1 beats cohort 0 by +$10 on BOTH days, but the pooled
+    means reverse (the weights are crossed) — the audit must flag
+    it."""
+    m = _entry()
+    rows = []
+    eid = 0
+    for _ in range(10):
+        rows.append((eid, "2024-01-01 09:00:00", 1, "purchase", 20.0, "{}"))
+        eid += 1
+    rows.append((eid, "2024-01-01 10:00:00", 2, "purchase", 10.0, "{}"))
+    eid += 1
+    rows.append((eid, "2024-01-02 09:00:00", 1, "purchase", 120.0, "{}"))
+    eid += 1
+    for _ in range(10):
+        rows.append((eid, "2024-01-02 10:00:00", 2, "purchase", 110.0, "{}"))
+        eid += 1
+    tmp = _write_events(spark, rows)
+    r = m.queries()["events_simpson_audit"](spark, tmp).collect()[0]
+    assert r["n_strata"] == 2
+    assert r["n_positive"] == 2 and r["n_negative"] == 0
+    assert r["n_sign_flips"] == 2
+    assert r["pooled_diff_dollars"] < 0 < r["mh_diff_dollars"]
+    assert abs(r["mh_diff_dollars"] - 10.0) < 1e-9
+    assert r["simpson_flag"]
+
+
+def test_trend_hac_matches_python_reference(spark):
+    """Six daily totals: slope, OLS and HAC standard errors all match
+    a direct transcription (Bartlett weights, q = 2)."""
+    m = _entry()
+    vals = [10.0, 12.0, 11.0, 15.0, 14.0, 18.0]
+    rows = [
+        (i, f"2024-01-{i + 1:02d} 10:00:00", 1, "purchase", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    tmp = _write_events(spark, rows)
+    r = m.queries()["events_trend_hac"](spark, tmp).collect()[0]
+    c = [v * 100 for v in vals]
+    n = len(c)
+    s = sum(c)
+    xs = [2 * (t + 1) - n - 1 for t in range(n)]
+    beta = 2.0 * sum(a * b for a, b in zip(xs, c)) / sum(a * a for a in xs)
+    sxx = sum(a * a for a in xs) / 4.0
+    e = [ci - s / n - beta * (x / 2.0) for ci, x in zip(c, xs)]
+    g = [(x / 2.0) * ei for x, ei in zip(xs, e)]
+    v0 = sum(v * v for v in g)
+    v1 = sum(g[t] * g[t - 1] for t in range(1, n))
+    v2 = sum(g[t] * g[t - 2] for t in range(2, n))
+    vhac = v0 + 2.0 * (1.0 - 1.0 / 3.0) * v1 + 2.0 * (1.0 - 2.0 / 3.0) * v2
+    see = sum(ei * ei for ei in e)
+    se_ols = math.sqrt(see / (n - 2.0) / sxx)
+    se_hac = math.sqrt(vhac) / sxx
+    assert r["n_days"] == 6
+    assert abs(r["slope_dollars_per_day"] - beta / 100.0) < 1e-6
+    assert abs(r["se_ols_dollars"] - se_ols / 100.0) < 1e-6
+    assert abs(r["se_hac_dollars"] - se_hac / 100.0) < 1e-6
+    assert abs(r["hac_inflation"] - se_hac / se_ols) < 1e-6
+
+
+def _write_embeddings(spark, rows):
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    tmp = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(
+        os.path.join(tmp, "embeddings.parquet")
+    )
+    return tmp
+
+
+def test_intrinsic_dim_hand_fixture(spark):
+    """One probe (vec 0 at the origin) with neighbors at distance 1
+    and 2: ln(r2/r1) = ln 2, so ID-hat = 1/ln 2."""
+    m = _entry()
+    z = [0.0] * 63
+    rows = [
+        (0, [0.0] + z, 0),
+        (1, [1.0] + z, 0),
+        (2, [2.0] + z, 0),
+        (3, [50.0] + z, 0),
+    ]
+    tmp = _write_embeddings(spark, rows)
+    r = m.queries()["embedding_intrinsic_dim"](spark, tmp).collect()[0]
+    assert r["n_probes"] == 1 and r["n_used"] == 1
+    assert abs(r["intrinsic_dim"] - 1.0 / math.log(2.0)) < 1e-6
+    assert abs(r["mean_log_ratio"] - math.log(2.0)) < 1e-6
+
+
+def test_intrinsic_dim_real_fixture_bounds(spark):
+    """sf0.001: the estimate is positive and cannot exceed the
+    ambient dimension by more than estimator noise allows on 64-dim
+    synthetic data; every probe has a usable 2-NN pair."""
+    m = _entry()
+    r = m.queries()["embedding_intrinsic_dim"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert r["n_probes"] >= 1
+    assert r["n_used"] >= 1
+    assert r["intrinsic_dim"] > 0.0
