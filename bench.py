@@ -394,6 +394,10 @@ HEADLINE = [
     "events_simpson_audit",
     "events_trend_hac",
     "embedding_intrinsic_dim",
+    "quality_krippendorff",
+    "events_stl_strength",
+    "events_tail_dependence",
+    "events_spectral_entropy",
 ]
 
 

@@ -465,3 +465,104 @@ def test_intrinsic_dim_real_fixture_bounds(spark):
     assert r["n_probes"] >= 1
     assert r["n_used"] >= 1
     assert r["intrinsic_dim"] > 0.0
+
+
+def test_krippendorff_hand_fixture(spark):
+    """Same 4-doc rater fixture as the Fleiss golden (votes 1,2,1,3):
+    S2 = 6, K = 7, n = 12 -> D_o = 0.5, D_e = 70/132,
+    alpha = 1 - 66/70. Note alpha > 0 while Fleiss kappa < 0 on the
+    same table — exactly the (n-1) small-sample correction."""
+    m = _entry()
+    a = " ".join(["tok"] * 60)
+    b = " ".join(f"word{i}" for i in range(60))
+    c = " ".join(["a the"] * 10)
+    d = " ".join(f"item{i}" for i in range(47)) + " a a a"
+    rows = [
+        (0, a, "en", "s", len(a)),
+        (1, b, "en", "s", len(b)),
+        (2, c, "en", "s", len(c)),
+        (3, d, "en", "s", len(d)),
+    ]
+    tmp = _write_docs(spark, rows)
+    r = m.queries()["quality_krippendorff"](spark, tmp).collect()[0]
+    assert r["n_docs"] == 4 and r["n_ratings"] == 12
+    assert r["d_observed"] == 0.5
+    assert abs(r["d_expected"] - 70.0 / 132.0) < 1e-6
+    assert abs(r["kripp_alpha"] - (1.0 - 66.0 / 70.0)) < 1e-6
+
+
+def test_stl_strength_pure_trend(spark):
+    """A steep linear series: the MA(7) trend absorbs nearly all
+    variance (trend_strength ~ 1); the dow means of the detrended
+    series are ~0 so seasonal strength is small."""
+    m = _entry()
+    rows = [
+        (i, f"2024-01-{i + 1:02d} 10:00:00", 1, "purchase",
+         100.0 * (i + 1), "{}")
+        for i in range(14)
+    ]
+    tmp = _write_events(spark, rows)
+    r = m.queries()["events_stl_strength"](spark, tmp).collect()[0]
+    assert r["n_days_used"] == 8  # 14 days minus 3 edges each side
+    assert r["trend_strength"] > 0.95
+    # the exactly-linear series has zero detrended variance: the
+    # seasonal strength is undefined (NULL), not a fabricated 0/0
+    assert r["seasonal_strength"] is None
+
+
+def test_stl_strength_bounds_real_fixture(spark):
+    """sf0.001: both strengths in [0,1]; 24 interior days per type."""
+    m = _entry()
+    out = m.queries()["events_stl_strength"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r["n_days_used"] == 24
+        assert 0.0 <= r["trend_strength"] <= 1.0
+        assert 0.0 <= r["seasonal_strength"] <= 1.0
+
+
+def test_tail_dependence_comonotone(spark):
+    """x = y = 1..10 across days: the single day above the 90%
+    order statistic is shared, so lambda_U = 1; no day sits strictly
+    below the 10% order statistic, so lambda_L is NULL (0/0)."""
+    m = _entry()
+    rows = []
+    eid = 0
+    for day in range(10):
+        for _ in range(day + 1):
+            rows.append(
+                (eid, f"2024-01-{day + 1:02d} 09:00:00", 1, "view", 1.0, "{}")
+            )
+            eid += 1
+            rows.append(
+                (eid, f"2024-01-{day + 1:02d} 10:00:00", 2, "purchase", 1.0, "{}")
+            )
+            eid += 1
+    tmp = _write_events(spark, rows)
+    r = m.queries()["events_tail_dependence"](spark, tmp).collect()[0]
+    assert r["n_days"] == 10
+    assert r["qx_hi"] == 9 and r["qy_hi"] == 9
+    assert r["n_joint_hi"] == 1
+    assert r["lambda_upper"] == 1.0
+    assert r["lambda_lower"] is None
+
+
+def test_spectral_entropy_periodic_is_low(spark):
+    """Alternating 15/5 series: one line dominates, so normalized
+    spectral entropy is far below the white-noise ceiling and
+    flatness is small."""
+    m = _entry()
+    rows = []
+    for i in range(8):
+        v = 15.0 if i % 2 == 0 else 5.0
+        rows.append(
+            (i, f"2024-01-{i + 1:02d} 10:00:00", 1, "purchase", v, "{}")
+        )
+    tmp = _write_events(spark, rows)
+    r = m.queries()["events_spectral_entropy"](spark, tmp).collect()[0]
+    assert r["n_periods"] == 14
+    assert 0.0 <= r["spectral_entropy_norm"] < 0.5
+    assert r["spectral_entropy"] <= math.log(14.0) + 1e-9
+    assert 0.0 < r["spectral_flatness"] < 0.5
