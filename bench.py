@@ -398,6 +398,10 @@ HEADLINE = [
     "events_stl_strength",
     "events_tail_dependence",
     "events_spectral_entropy",
+    "events_bayes_shrinkage",
+    "events_haar_wavelet",
+    "users_competing_risks",
+    "quality_gopher_ablation",
 ]
 
 

@@ -566,3 +566,125 @@ def test_spectral_entropy_periodic_is_low(spark):
     assert 0.0 <= r["spectral_entropy_norm"] < 0.5
     assert r["spectral_entropy"] <= math.log(14.0) + 1e-9
     assert 0.0 < r["spectral_flatness"] < 0.5
+
+
+def test_bayes_shrinkage_matches_python_reference(spark):
+    """Three users (1/1, 2/10, 3/10): the MoM beta-binomial prior and
+    every shrunk rate match the closed form; the 1/1 user moves the
+    most (the classic small-n pathology)."""
+    m = _entry()
+    rows = []
+    eid = 0
+    specs = [(1, 1, 1), (2, 10, 2), (3, 10, 3)]  # (user, n, k)
+    for u, n, k in specs:
+        for i in range(n):
+            t = "purchase" if i < k else "page_view"
+            rows.append(
+                (eid, f"2024-01-{i + 1:02d} 09:00:00", u, t, 1.0, "{}")
+            )
+            eid += 1
+    tmp = _write_events(spark, rows)
+    out = m.queries()["events_bayes_shrinkage"](spark, tmp).collect()
+    rates = [k / n for _, n, k in specs]
+    nn = len(rates)
+    mu = sum(rates) / nn
+    v = sum(r * r for r in rates) / nn - mu * mu
+    s = mu * (1 - mu) / v - 1.0
+    alpha, beta = mu * s, (1 - mu) * s
+    top = out[0]
+    assert top["user_id"] == 1
+    exp_shrunk = (1 + alpha) / (1 + alpha + beta)
+    assert abs(top["shrunk_rate"] - exp_shrunk) < 1e-6
+    assert abs(top["delta"] - (exp_shrunk - 1.0)) < 1e-6
+    assert abs(top["prior_alpha"] - alpha) < 1e-6
+    assert abs(top["prior_beta"] - beta) < 1e-6
+    # shrinkage always pulls toward the prior mean
+    for r in out:
+        raw, sh = r["raw_rate"], r["shrunk_rate"]
+        assert (sh - raw) * (mu - raw) >= -1e-9
+
+
+def test_haar_wavelet_step_loads_coarsest_scale(spark):
+    """A clean 8-low/8-high step over 16 days: every fine-scale Haar
+    detail is exactly zero and the level-4 (16-day) coefficient
+    carries ALL the energy."""
+    m = _entry()
+    rows = []
+    for i in range(16):
+        v = 0.0 if i < 8 else 10.0
+        rows.append(
+            (i, f"2024-01-{i + 1:02d} 10:00:00", 1, "purchase", v, "{}")
+        )
+    tmp = _write_events(spark, rows)
+    out = {
+        r["level"]: r
+        for r in m.queries()["events_haar_wavelet"](spark, tmp).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert out[4]["scale_days"] == 16
+    assert out[4]["energy_frac"] == 1.0
+    for lvl in (1, 2, 3):
+        assert out[lvl]["energy_frac"] == 0.0
+
+
+def test_competing_risks_hand_fixture(spark):
+    """Four users (churn at 0, churn at 1, convert at 2, convert at
+    5): the Aalen-Johansen CIFs match the hand risk-set walk, and
+    CIF_convert + CIF_churn + at-risk = 1 at every horizon."""
+    m = _entry()
+    rows = [
+        (0, "2024-01-01 09:00:00", 1, "page_view", 1.0, "{}"),
+        (1, "2024-01-03 09:00:00", 1, "purchase", 1.0, "{}"),
+        (2, "2024-01-01 09:00:00", 2, "page_view", 1.0, "{}"),
+        (3, "2024-01-02 09:00:00", 2, "click", 1.0, "{}"),
+        (4, "2024-01-01 09:00:00", 3, "page_view", 1.0, "{}"),
+        (5, "2024-01-06 09:00:00", 3, "purchase", 1.0, "{}"),
+        (6, "2024-01-01 09:00:00", 4, "page_view", 1.0, "{}"),
+    ]
+    tmp = _write_events(spark, rows)
+    out = {
+        r["horizon_days"]: r
+        for r in m.queries()["users_competing_risks"](spark, tmp).collect()
+    }
+    h3 = out[3]
+    assert h3["n_users"] == 4
+    assert abs(h3["cif_convert"] - 0.25) < 1e-9
+    assert abs(h3["cif_churn"] - 0.5) < 1e-9
+    assert abs(h3["still_at_risk"] - 0.25) < 1e-9
+    for h in (7, 14, 30):
+        assert abs(out[h]["cif_convert"] - 0.5) < 1e-9
+        assert abs(out[h]["cif_churn"] - 0.5) < 1e-9
+        assert abs(out[h]["still_at_risk"]) < 1e-9
+
+
+def test_gopher_ablation_sole_blocker_accounting(spark):
+    """A passes everything, B fails only the word-count range, C
+    fails word count AND symbol ratio: sole-blocker counts and the
+    keep-rate-without-rule arithmetic are fully determined."""
+    m = _entry()
+    a = " ".join(f"word{i}" for i in range(60))
+    b = " ".join(f"tok{i}" for i in range(10))
+    c = " ".join(["##x"] * 10)
+    rows = [
+        (0, a, "en", "s", len(a)),
+        (1, b, "en", "s", len(b)),
+        (2, c, "en", "s", len(c)),
+    ]
+    tmp = _write_docs(spark, rows)
+    out = {
+        r["rule"]: r
+        for r in m.queries()["quality_gopher_ablation"](spark, tmp).collect()
+    }
+    assert len(out) == 6
+    wr = out["words_range"]
+    assert wr["n_docs"] == 3
+    assert wr["n_fail"] == 2
+    assert wr["n_sole_blocker"] == 1  # doc B
+    assert wr["n_keep_without"] == 2  # A and B
+    sr = out["symbol_ratio"]
+    assert sr["n_fail"] == 1 and sr["n_sole_blocker"] == 0
+    assert sr["n_keep_without"] == 1  # only A
+    assert abs(wr["keep_rate"] - 1.0 / 3.0) < 1e-6
+    for r in out.values():
+        assert r["n_sole_blocker"] <= r["n_fail"]
+        assert r["n_keep_without"] >= r["n_sole_blocker"]
