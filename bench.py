@@ -402,6 +402,10 @@ HEADLINE = [
     "events_haar_wavelet",
     "users_competing_risks",
     "quality_gopher_ablation",
+    "events_var_cvar",
+    "embedding_mmd",
+    "orders_lmdi_decomposition",
+    "users_retention_decay_fit",
 ]
 
 

@@ -688,3 +688,148 @@ def test_gopher_ablation_sole_blocker_accounting(spark):
     for r in out.values():
         assert r["n_sole_blocker"] <= r["n_fail"]
         assert r["n_keep_without"] >= r["n_sole_blocker"]
+
+
+def test_var_cvar_matches_python_reference(spark):
+    """21 daily totals -> 20 day-over-day losses: the rank-19 order
+    statistic, the tail mean, and the worst loss all match a direct
+    transcription."""
+    m = _entry()
+    vals = [10.0, 8.0, 12.0, 5.0, 15.0, 14.0, 9.0, 20.0, 6.0, 18.0,
+            11.0, 13.0, 7.0, 16.0, 4.0, 19.0, 10.0, 17.0, 3.0, 21.0,
+            12.0]
+    rows = [
+        (i, f"2024-01-{i + 1:02d} 10:00:00", 1, "purchase", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    tmp = _write_events(spark, rows)
+    r = m.queries()["events_var_cvar"](spark, tmp).collect()[0]
+    cents = [int(v * 100) for v in vals]
+    losses = sorted(
+        cents[i - 1] - cents[i] for i in range(1, len(cents))
+    )
+    n = len(losses)
+    var_c = losses[math.ceil(0.95 * n) - 1]
+    tail = [x for x in losses if x >= var_c]
+    assert r["n_changes"] == 20
+    assert r["var95_dollars"] == var_c / 100.0
+    assert abs(r["cvar95_dollars"] - sum(tail) / len(tail) / 100.0) < 1e-9
+    assert r["worst_dollars"] == max(losses) / 100.0
+
+
+def test_mmd_identical_groups_is_zero(spark):
+    """The even and odd labels hold the SAME four vectors: every
+    moment matches, MMD^2 = 0."""
+    m = _entry()
+    rows = []
+    vid = 0
+    for lab in (0, 1):
+        for i in range(4):
+            vec = [float((i + 2) * (j % 5) % 7) for j in range(64)]
+            rows.append((vid, vec, lab))
+            vid += 1
+    tmp = _write_embeddings(spark, rows)
+    r = m.queries()["embedding_mmd"](spark, tmp).collect()[0]
+    assert r["n_even"] == 4 and r["n_odd"] == 4
+    assert r["mmd2_poly2"] == 0.0
+
+
+def test_mmd_mean_shift_detected_exactly(spark):
+    """Odd labels = even vectors shifted by +3 in dim 0: the mean
+    term is exactly 2 c^2 = 18 and the total exceeds it (the moment
+    matrices shift too)."""
+    m = _entry()
+    rows = []
+    vid = 0
+    base = []
+    for i in range(4):
+        vec = [float((i + 1) * ((j + 3) % 5) % 6) for j in range(64)]
+        base.append(vec)
+        rows.append((vid, vec, 0))
+        vid += 1
+    for vec in base:
+        shifted = [vec[0] + 3.0] + vec[1:]
+        rows.append((vid, shifted, 1))
+        vid += 1
+    tmp = _write_embeddings(spark, rows)
+    r = m.queries()["embedding_mmd"](spark, tmp).collect()[0]
+    assert abs(r["mmd2_mean_term"] - 18.0) < 1e-6
+    assert r["mmd2_poly2"] > r["mmd2_mean_term"]
+
+
+def test_lmdi_is_exact_decomposition(spark):
+    """Two priorities with hand counts/revenues: volume + intensity
+    effects reproduce the revenue delta with zero residual, and each
+    effect matches the closed form."""
+    import datetime
+
+    m = _entry()
+    rows = []
+    oid = 0
+    # (priority, year, count, each order value)
+    specs = [
+        ("1-P", 1996, 4, 10.0), ("1-P", 1997, 6, 12.0),
+        ("2-P", 1996, 5, 20.0), ("2-P", 1997, 5, 16.0),
+    ]
+    for prio, yr, cnt, val in specs:
+        for i in range(cnt):
+            rows.append(
+                (oid, 1, "O", val,
+                 datetime.datetime(yr, 3, 1 + i), prio)
+            )
+            oid += 1
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    tmp = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(tmp, "orders.parquet"))
+    out = {
+        r["o_orderpriority"]: r
+        for r in m.queries()["orders_lmdi_decomposition"](
+            spark, tmp
+        ).collect()
+    }
+    p1 = out["1-P"]
+    r0, r1 = 40.0, 72.0
+    lmean = (r1 - r0) / (math.log(r1) - math.log(r0))
+    vol = lmean * math.log(6.0 / 4.0)
+    inten = lmean * math.log((72.0 / 6.0) / (40.0 / 4.0))
+    assert abs(p1["volume_effect"] - vol) < 1e-6
+    assert abs(p1["intensity_effect"] - inten) < 1e-6
+    assert p1["residual"] == 0.0
+    assert abs(
+        p1["volume_effect"] + p1["intensity_effect"] - p1["delta_rev"]
+    ) < 1e-5
+    p2 = out["2-P"]
+    assert p2["volume_effect"] == 0.0  # count unchanged -> ln(1) = 0
+    assert p2["residual"] == 0.0
+
+
+def test_retention_decay_hand_fixture(spark):
+    """Four users with hand-placed qualifying purchases: r1 = 3/4,
+    r2 = 1/4, r3 = 1/3, slope = (ln r3 - ln r1)/2."""
+    m = _entry()
+    rows = []
+    eid = 0
+    # (user, weeks with a qualifying >= $50 purchase)
+    specs = [(1, [0, 1, 2, 3]), (2, [0, 1]), (3, [0]), (4, [1, 2])]
+    for u, weeks in specs:
+        for w in weeks:
+            rows.append(
+                (eid, f"2024-01-{7 * w + 2:02d} 09:00:00", u,
+                 "purchase", 60.0, "{}")
+            )
+            eid += 1
+    tmp = _write_events(spark, rows)
+    r = m.queries()["users_retention_decay_fit"](spark, tmp).collect()[0]
+    assert r["base1"] == 4
+    assert r["retention_w1"] == 0.75
+    assert r["retention_w2"] == 0.25
+    assert abs(r["retention_w3"] - 1.0 / 3.0) < 1e-6
+    slope = (math.log(1.0 / 3.0) - math.log(0.75)) / 2.0
+    assert abs(r["log_decay_slope"] - slope) < 1e-6
+    assert abs(r["implied_weekly_churn"] - (1.0 - math.exp(slope))) < 1e-6
+    assert abs(r["half_life_weeks"] - math.log(0.5) / slope) < 1e-6
