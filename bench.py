@@ -406,6 +406,10 @@ HEADLINE = [
     "embedding_mmd",
     "orders_lmdi_decomposition",
     "users_retention_decay_fit",
+    "events_rayleigh_circadian",
+    "events_permutation_entropy",
+    "events_negbin_fit",
+    "embedding_isotropy",
 ]
 
 

@@ -833,3 +833,145 @@ def test_retention_decay_hand_fixture(spark):
     assert abs(r["log_decay_slope"] - slope) < 1e-6
     assert abs(r["implied_weekly_churn"] - (1.0 - math.exp(slope))) < 1e-6
     assert abs(r["half_life_weeks"] - math.log(0.5) / slope) < 1e-6
+
+
+def test_rayleigh_point_mass_and_uniform(spark):
+    """All purchases at exactly 06:00 -> R = 1, peak hour 6, z = n;
+    four signups at 00/06/12/18 cancel exactly -> R rounds to 0 and
+    p_uniform = 1."""
+    m = _entry()
+    rows = []
+    eid = 0
+    for i in range(5):
+        rows.append(
+            (eid, f"2024-01-{i + 1:02d} 06:00:00", 1, "purchase", 1.0, "{}")
+        )
+        eid += 1
+    for h in (0, 6, 12, 18):
+        rows.append(
+            (eid, f"2024-01-10 {h:02d}:00:00", 2, "signup", 1.0, "{}")
+        )
+        eid += 1
+    tmp = _write_events(spark, rows)
+    out = {
+        r["event_type"]: r
+        for r in m.queries()["events_rayleigh_circadian"](
+            spark, tmp
+        ).collect()
+    }
+    p = out["purchase"]
+    assert p["r_bar"] == 1.0 and p["peak_hour"] == 6.0
+    assert p["rayleigh_z"] == 5.0
+    assert abs(p["p_uniform"] - math.exp(-5.0)) < 1e-6
+    s = out["signup"]
+    assert s["r_bar"] == 0.0
+    assert s["p_uniform"] == 1.0
+
+
+def test_permutation_entropy_extremes(spark):
+    """A monotone series has ONE ordinal pattern (H = 0); a strict
+    up-down alternation splits evenly between two patterns
+    (H = ln 2)."""
+    m = _entry()
+    rows = []
+    eid = 0
+    for i in range(8):
+        rows.append(
+            (eid, f"2024-01-{i + 1:02d} 10:00:00", 1, "purchase",
+             float(i + 1), "{}")
+        )
+        eid += 1
+    for i in range(8):
+        v = 10.0 if i % 2 == 0 else 1.0
+        rows.append(
+            (eid, f"2024-01-{i + 1:02d} 10:00:00", 2, "signup", v, "{}")
+        )
+        eid += 1
+    tmp = _write_events(spark, rows)
+    out = {
+        r["event_type"]: r
+        for r in m.queries()["events_permutation_entropy"](
+            spark, tmp
+        ).collect()
+    }
+    mono = out["purchase"]
+    assert mono["n_triples"] == 6 and mono["n_patterns"] == 1
+    assert mono["perm_entropy"] == 0.0
+    alt = out["signup"]
+    assert alt["n_patterns"] == 2
+    assert abs(alt["perm_entropy"] - math.log(2.0)) < 1e-6
+
+
+def test_negbin_fit_matches_python_reference(spark):
+    """Six daily counts with known moments: MoM r/p and the
+    index-of-dispersion z match a direct transcription; a constant
+    series goes NULL on the NB parameters (equidispersion is not a
+    fit)."""
+    m = _entry()
+    rows = []
+    eid = 0
+    counts = [1, 2, 9, 4, 4, 4]
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            rows.append(
+                (eid, f"2024-01-{d + 1:02d} 10:00:00", 1, "purchase",
+                 1.0, "{}")
+            )
+            eid += 1
+    for d in range(6):
+        for _ in range(3):
+            rows.append(
+                (eid, f"2024-01-{d + 1:02d} 11:00:00", 2, "signup",
+                 1.0, "{}")
+            )
+            eid += 1
+    tmp = _write_events(spark, rows)
+    out = {
+        r["event_type"]: r
+        for r in m.queries()["events_negbin_fit"](spark, tmp).collect()
+    }
+    p = out["purchase"]
+    n = len(counts)
+    mm = sum(counts) / n
+    vv = sum(c * c for c in counts) / n - mm * mm
+    assert abs(p["mean_daily"] - mm) < 1e-6
+    assert abs(p["var_daily"] - vv) < 1e-6
+    assert abs(p["nb_r"] - mm * mm / (vv - mm)) < 1e-6
+    assert abs(p["nb_p"] - mm / vv) < 1e-6
+    z = math.sqrt(2.0 * n * vv / mm) - math.sqrt(2.0 * (n - 1.0) - 1.0)
+    assert abs(p["z_overdispersion"] - z) < 1e-6
+    s = out["signup"]
+    assert s["var_daily"] == 0.0
+    assert s["nb_r"] is None and s["nb_p"] is None
+    assert s["p_overdispersed"] > 0.5
+
+
+def test_isotropy_orthogonal_one_hots(spark):
+    """Four one-hot vectors: pairwise cosines are exactly 0 and the
+    diagonal participation ratio counts exactly the 4 active
+    dimensions."""
+    m = _entry()
+    rows = []
+    for i in range(4):
+        vec = [0.0] * 64
+        vec[i] = 1.0
+        rows.append((i, vec, 0))
+    tmp = _write_embeddings(spark, rows)
+    r = m.queries()["embedding_isotropy"](spark, tmp).collect()[0]
+    assert r["n_vecs"] == 4
+    assert r["avg_pairwise_cos"] == 0.0
+    assert abs(r["participation_ratio"] - 4.0) < 1e-6
+    assert abs(r["pr_normalized"] - 4.0 / 64.0) < 1e-6
+
+
+def test_isotropy_collapsed_cone(spark):
+    """All vectors identical: average pairwise cosine is exactly 1
+    (total anisotropy) and the zero-variance PR is NULL, not a
+    fabricated number."""
+    m = _entry()
+    vec = [float((j % 7) + 1) for j in range(64)]
+    rows = [(i, vec, 0) for i in range(5)]
+    tmp = _write_embeddings(spark, rows)
+    r = m.queries()["embedding_isotropy"](spark, tmp).collect()[0]
+    assert r["avg_pairwise_cos"] == 1.0
+    assert r["participation_ratio"] is None
