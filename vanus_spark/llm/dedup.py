@@ -727,9 +727,17 @@ def duplicate_components(
     chain, so convergence is O(log diameter) rounds, not O(diameter):
     even a pathological 1e6-long duplicate chain converges in ~20
     rounds, and dedup graphs (near-clique boilerplate clusters) in
-    2-3. Each round is two key shuffles (neighbor min + jump join);
-    the driver only checks the per-round convergence flag (a 1-row
-    aggregate).
+    2-3.
+
+    r10 round shape (3 exchanges/round, was 5; 1 substantial job per
+    round, was 2): the edge set carries SELF-LOOPS, so one
+    join+aggregate yields both the new label (min over self +
+    neighbors — the self-loop row contributes the node's own label)
+    and the node's previous label (the self-loop row again, via
+    max(when(dst==src))), eliminating the separate left-join with the
+    label table. The convergence check reads a _changed flag off the
+    eagerly checkpointed round output — a cheap block scan, not the
+    old/new label join it used to be.
 
     If ``max_iters`` rounds pass without convergence this RAISES
     rather than silently returning split components (the DuckDB
@@ -747,54 +755,63 @@ def duplicate_components(
         F.col("id_a").cast("long").alias("src"),
         F.col("id_b").cast("long").alias("dst"),
     )
-    # undirected: both directions + self-loop seeds the label
-    sym = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+    # undirected (both directions) + a SELF-LOOP per node: the self
+    # edge folds the node's own label into the neighborhood-min
+    # aggregate, so no separate "keep my own label" join is needed
+    nodes = edges.select(F.col("src").alias("node")).unionByName(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct()
+    sym = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .unionByName(
+            nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+        )
         .localCheckpoint(eager=False)
     )
-    sym = sym.localCheckpoint(eager=False)
+    labels = nodes.withColumn("label", F.col("node")).localCheckpoint(
+        eager=False
+    )
     converged = False
     for _ in range(max_iters):
-        neighbor_min = (
+        # one join + one aggregate: new label = min over self+neighbor
+        # labels; previous label = the self-loop row's contribution
+        propagated = (
             sym.join(labels, sym.dst == labels.node)
             .groupBy("src")
-            .agg(F.min("label").alias("nlabel"))
-        )
-        propagated = labels.join(
-            neighbor_min, labels.node == neighbor_min.src, "left"
-        ).select(
-            "node",
-            F.least(
-                F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-            ).alias("label"),
+            .agg(
+                F.min("label").alias("label"),
+                F.max(
+                    F.when(F.col("dst") == F.col("src"), F.col("label"))
+                ).alias("_prev"),
+            )
+            .select(F.col("src").alias("node"), "label", "_prev")
         )
         # pointer jump (path halving): adopt the label OF my label.
         # Every label is itself a node id, so the self-join always
         # resolves; this is what turns O(diameter) into O(log d).
+        # Deliberately ONE jump per round: a second jump would nest
+        # the un-materialized `propagated` subtree 4x in the plan and
+        # (measured, r10) roughly doubles per-round cost for a far
+        # smaller round-count saving.
         parent = propagated.select(
-            F.col("node").alias("pnode"), F.col("label").alias("plabel")
+            F.col("node").alias("_pn0"), F.col("label").alias("_pl0")
         )
-        new_labels = (
-            propagated.join(parent, propagated.label == parent.pnode, "left")
-            .select(
-                "node",
-                F.coalesce(F.col("plabel"), F.col("label")).alias("label"),
-            )
-            .localCheckpoint(eager=True)
+        jumped = propagated.join(
+            parent, propagated.label == parent["_pn0"], "left"
+        ).select(
+            "node",
+            "_prev",
+            F.coalesce(F.col("_pl0"), F.col("label")).alias("label"),
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        new_labels = jumped.select(
+            "node",
+            "label",
+            (F.col("label") != F.col("_prev")).alias("_changed"),
+        ).localCheckpoint(eager=True)
+        changed = new_labels.where("_changed").limit(1).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             converged = True
             break
