@@ -379,6 +379,18 @@ def test_fsck_reports_orphans_and_missing_dirs(spark, tmp_path):
     assert not rep2["ok"] and victim in rep2["missing_dirs"]
 
 
+def _fragmented_write(spark, t, df, max_records=30):
+    """write_full with a low per-file row cap so each bucket holds
+    several files — the fragmentation compact_files exists to fix.
+    (The clustered generation write otherwise leaves one file per
+    bucket, which is the point of the r10 write-path change.)"""
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", str(max_records))
+    try:
+        t.write_full(df)
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+
+
 def _file_counts(t):
     out = {}
     for b, rel in t._mapping.items():
@@ -398,9 +410,10 @@ def test_compact_files_packs_and_preserves_data(spark, tmp_path):
     base = spark.range(400).select(
         F.col("id").alias("k"), (F.col("id") * 10).alias("v")
     )
-    # wide-partitioned write: every upstream partition leaves a file
-    # in every bucket directory it has rows for
-    t.write_full(base.repartition(8))
+    # the r10 clustered write leaves one file per bucket, so fragment
+    # via the file-size cap instead (how real buckets fragment at
+    # scale): 100 rows/bucket at 30 rows/file -> 4 files per bucket
+    _fragmented_write(spark, t, base)
     before = _file_counts(t)
     assert max(before.values()) > 1
     rows0 = sorted((r.k, r.v) for r in t.read().collect())
@@ -423,9 +436,9 @@ def test_compact_files_rebases_over_disjoint_writer(spark, tmp_path):
     from vanus_spark.sources import manifest_table as mt
 
     t = mt.ManifestTable(spark, str(tmp_path / "t"), "k", n_buckets=4)
-    t.write_full(spark.range(400).select(
+    _fragmented_write(spark, t, spark.range(400).select(
         F.col("id").alias("k"), (F.col("id") * 10).alias("v")
-    ).repartition(8))
+    ))
     writer2 = mt.ManifestTable(spark, t.path, "k", n_buckets=4)
 
     # find the bucket key 3 hashes into by merging and diffing, then
@@ -468,9 +481,9 @@ def test_compact_files_conflicts_on_overlapping_writer(spark, tmp_path):
     from vanus_spark.sources import manifest_table as mt
 
     t = mt.ManifestTable(spark, str(tmp_path / "t"), "k", n_buckets=2)
-    t.write_full(spark.range(100).select(
+    _fragmented_write(spark, t, spark.range(100).select(
         FF.col("id").alias("k"), (FF.col("id") * 10).alias("v")
-    ).repartition(8))
+    ))
     writer2 = mt.ManifestTable(spark, t.path, "k", n_buckets=2)
 
     orig = t._commit_buckets

@@ -311,35 +311,42 @@ class ManifestTable:
             )
         a, b = _pack(pre).alias("a"), _pack(post).alias("b")
         j = a.join(b, F.col("a._k") == F.col("b._k"), "full_outer")
-        inserts = j.where(F.col("a._k").isNull()).select(
-            F.col("b._k").alias(key),
-            F.lit("insert").alias(ct),
-            F.col("b._row").alias("row_json"),
+        # ONE join + one explode instead of four union branches over
+        # the same join (each branch re-planned and re-executed the
+        # full-outer join — 4 joins per span, 12 per 3-span feed):
+        # per joined row, a case-built array holds its change events
+        # (insert / delete / pre+post image / none) and explodes once.
+        def _ev(k, t, r):
+            return F.struct(
+                k.alias("_ek"), F.lit(t).alias("_et"), r.alias("_er")
+            )
+
+        events = (
+            F.when(
+                F.col("a._k").isNull(),
+                F.array(_ev(F.col("b._k"), "insert", F.col("b._row"))),
+            )
+            .when(
+                F.col("b._k").isNull(),
+                F.array(_ev(F.col("a._k"), "delete", F.col("a._row"))),
+            )
+            .when(
+                F.col("a._row") != F.col("b._row"),
+                F.array(
+                    _ev(F.col("a._k"), "update_preimage", F.col("a._row")),
+                    _ev(F.col("a._k"), "update_postimage", F.col("b._row")),
+                ),
+            )
+            .otherwise(
+                F.array().cast(
+                    "array<struct<_ek:long,_et:string,_er:string>>"
+                )
+            )
         )
-        deletes = j.where(F.col("b._k").isNull()).select(
-            F.col("a._k").alias(key),
-            F.lit("delete").alias(ct),
-            F.col("a._row").alias("row_json"),
-        )
-        upd = j.where(
-            F.col("a._k").isNotNull()
-            & F.col("b._k").isNotNull()
-            & (F.col("a._row") != F.col("b._row"))
-        )
-        pre_img = upd.select(
-            F.col("a._k").alias(key),
-            F.lit("update_preimage").alias(ct),
-            F.col("a._row").alias("row_json"),
-        )
-        post_img = upd.select(
-            F.col("a._k").alias(key),
-            F.lit("update_postimage").alias(ct),
-            F.col("b._row").alias("row_json"),
-        )
-        return (
-            inserts.unionByName(deletes)
-            .unionByName(pre_img)
-            .unionByName(post_img)
+        return j.select(F.explode(events).alias("_e")).select(
+            F.col("_e._ek").alias(key),
+            F.col("_e._et").alias(ct),
+            F.col("_e._er").alias("row_json"),
         )
 
     # ----- writes ----------------------------------------------------------
@@ -386,7 +393,16 @@ class ManifestTable:
         the per-bucket min/max sidecar next to the data."""
         gen = f"g{self._next_gen()}-{self._writer_id}"
         out = f"{self.path}/data/{gen}"
-        df.withColumn("_b", self._bucket_col()).write.mode(
+        # Cluster by bucket before the write (Iceberg's
+        # write.distribution-mode=hash): without it every upstream task
+        # writes one file per bucket it touches — tasks x buckets tiny
+        # files per generation (measured 122 files for a 3-commit
+        # table_changes history at sf0.1; guide §6 small-files) — and
+        # every later read/merge/changes pays the listing + open cost.
+        # With it each bucket value lands in exactly one task, so a
+        # generation is one file per bucket, which is also what makes
+        # bucket pruning read contiguous data at scale.
+        df.withColumn("_b", self._bucket_col()).repartition("_b").write.mode(
             "error"
         ).partitionBy("_b").parquet(out)
         written = [
@@ -520,10 +536,12 @@ class ManifestTable:
         }
         survivors = self.read(buckets=affected).where(~predicate)
         updates: dict[int, str | None] = {b: None for b in affected}
-        if survivors.limit(1).count() > 0:
-            gen, written = self._write_generation(survivors)
-            for b in written:
-                updates[b] = f"{gen}/_b={b}"
+        # no emptiness pre-probe: the write itself reveals which
+        # buckets survive (a fully-emptied generation lists no _b=
+        # dirs), so the old limit(1).count() job was pure overhead
+        gen, written = self._write_generation(survivors)
+        for b in written:
+            updates[b] = f"{gen}/_b={b}"
         self._commit_buckets(base_view, updates)
         return {"rewritten_buckets": len(affected), "epoch": self._epoch}
 
@@ -556,10 +574,11 @@ class ManifestTable:
             survivors = self.read(buckets=present).join(
                 keys.select(self.key_col).distinct(), self.key_col, "left_anti"
             )
-            if survivors.limit(1).count() > 0:
-                gen, written = self._write_generation(survivors)
-                for b in written:
-                    updates[b] = f"{gen}/_b={b}"
+            # the write itself reveals emptiness (no _b= dirs listed),
+            # so no limit(1).count() pre-probe job
+            gen, written = self._write_generation(survivors)
+            for b in written:
+                updates[b] = f"{gen}/_b={b}"
         self._commit_buckets(base_view, updates)
         return {"rewritten_buckets": len(present), "epoch": self._epoch}
 
