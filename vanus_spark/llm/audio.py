@@ -31,6 +31,8 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from vanus_spark.operators.parallelism import repartition_for_compute
+
 # ---------------------------------------------------------------------------
 # dependency-free WAV codec (RIFF, PCM 8-bit unsigned / 16-bit signed LE)
 # ---------------------------------------------------------------------------
@@ -316,6 +318,8 @@ def synthesize_wav_audio(
     these."""
     if max_rows:
         docs = docs.limit(max_rows)
+    # widen BEFORE synthesis (guide §8): ids shuffle, media bytes don't
+    docs = repartition_for_compute(docs)
     mid = F.col(id_col)
     n = (F.lit(300) + (mid % 8) * 50).cast("long")
     data = F.aggregate(
@@ -361,6 +365,8 @@ def synthesize_wav_tone_blocks(
     multimodal.synthesize_ppm_block_images: the energy fingerprint of
     a base's variants sits within hamming 2 while distinct bases stay
     far apart, and the whole chain is integer-exact for the oracle."""
+    # id-only exchange before per-sample synthesis + codec seam
+    docs = repartition_for_compute(docs)
     mid = F.col(id_col)
     base = (mid / variants).cast("long")
     v = mid % variants

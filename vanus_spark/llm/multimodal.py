@@ -30,6 +30,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
+from vanus_spark.operators.parallelism import repartition_for_compute
+
 IMAGE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -294,6 +296,8 @@ def synthesize_ppm_images(
     the bytes are real images the native decoder must actually parse."""
     if max_rows:
         docs = docs.limit(max_rows)
+    # widen BEFORE synthesis (guide §8): ids shuffle, media bytes don't
+    docs = repartition_for_compute(docs)
     mid = F.col(id_col)
     w = (F.lit(4) + mid % 8).cast("int")
     h = (F.lit(3) + mid % 5).cast("int")
@@ -340,6 +344,8 @@ def synthesize_ppm_block_images(
     stay >= 16 apart (measured over 200 bases: popcount 22-42, min
     cross-base hamming 16) -- a controlled near-dup fixture whose hash
     the oracle can re-derive arithmetically from this same formula."""
+    # id-only exchange before per-pixel synthesis + codec seam
+    docs = repartition_for_compute(docs)
     mid = F.col(id_col)
     base = (mid / variants).cast("long")
     v = mid % variants

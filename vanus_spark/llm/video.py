@@ -31,6 +31,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
+from vanus_spark.operators.parallelism import repartition_for_compute
+
 MAGIC = b"YUV4MPEG2"
 
 # colorspace -> bytes per frame as a multiple of (w*h) in sixths
@@ -221,6 +223,11 @@ def synthesize_y4m_video(
     The parser must actually walk FRAME markers to read these."""
     if max_rows:
         docs = docs.limit(max_rows)
+    # widen BEFORE synthesis: the exchange carries only ids (guide §8 —
+    # shuffle the proxy, not the payload), and both the per-pixel
+    # synthesis expressions and the downstream codec mapInPandas seam
+    # inherit #cores-way parallelism instead of the narrow scan's
+    docs = repartition_for_compute(docs)
     mid = F.col(id_col)
     w = (F.lit(8) + (mid % 3) * 4).cast("long")
     h = (F.lit(6) + (mid % 3) * 2).cast("long")
@@ -272,6 +279,8 @@ def synthesize_y4m_block_videos(
     flip), so the clip signature is correct ONLY if the temporal
     pooling takes a true majority across frames rather than trusting
     any single frame. U/V planes are constant 128."""
+    # id-only exchange before per-pixel synthesis + codec seam
+    docs = repartition_for_compute(docs)
     mid = F.col(id_col)
     base = (mid / variants).cast("long")
     v = mid % variants

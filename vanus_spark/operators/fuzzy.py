@@ -232,6 +232,14 @@ def jw_best_match(
         F.col(dirty_text).alias("_dtxt"),
         block_key(F.col(dirty_text)).alias("_blk"),
     ).where(F.length("_dtxt") > 0)
+    # the blocked join broadcasts the (small) master side, so the
+    # probe side keeps ITS partitioning — a narrow single-file dirty
+    # scan would run the whole Arrow-batched JW scoring pass in one
+    # task (measured: task time ~= wall at sf0.1). Widen it first;
+    # no-op when the dirty side is already wide.
+    from vanus_spark.operators.parallelism import repartition_for_compute
+
+    d = repartition_for_compute(d)
     scored = (
         d.join(m, "_blk")
         .select("_did", "_mid", "_dtxt", "_mtxt", jw("_dtxt", "_mtxt").alias("_s"))

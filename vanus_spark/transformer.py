@@ -123,6 +123,15 @@ def transform_dataframe(df: DataFrame, spec: dict[str, Any] | None) -> DataFrame
 
         return df.withColumn("transform_error", F.lit(False))
 
+    # the per-event action loop below is the expensive seam; a narrow
+    # (single-file-scan) input would run it in ONE task. Widen to the
+    # session's parallelism first — guide §2: the exchange moves the
+    # envelope bytes once and buys #cores-way Python workers. No-op on
+    # already-wide inputs.
+    from vanus_spark.operators.parallelism import repartition_for_compute
+
+    df = repartition_for_compute(df)
+
     spec_json = json.dumps(spec)  # re-build inside workers: cheap & picklable
     # user-registered actions (reference runtime.AddAction) live only in
     # the driver's registry — capture them into the closure so the
