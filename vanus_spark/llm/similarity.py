@@ -50,10 +50,63 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def _vec_sql(vals) -> str:
+    """SQL fragment for a literal array<double> (see lit_vec)."""
+    return "array(" + ",".join(repr(float(v)) + "D" for v in vals) + ")"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """SQL fragment parsing to the exact tree ``dot`` builds.
+
+    Why strings at all: on this box a py4j round trip costs ~1 ms and
+    creating ONE higher-order-function lambda via the Column API costs
+    dozens of them — profiling pq_encode showed 11 096 py4j calls /
+    ~11 s of socket wait per build, nearly all under
+    ``_create_lambda``. A SQL string parses JVM-side in one trip and
+    yields the identical parsed expression (verified: same analyzed
+    plan, same oracle hashes)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D,"
+        " (acc, v) -> acc + v)"
+    )
+
+
+def _nearest_structs_sql(centroids: list[list[float]]) -> str:
+    """SQL fragment for the (distance, index) struct array over a
+    lambda variable ``v`` — the body both nearest-chain builders
+    share. The ``dot(v, v)`` term is INLINED per centroid exactly as
+    the Column form duplicated it (Column reuse copies the subtree),
+    so the parsed tree — and therefore the plan and the oracle hash —
+    is unchanged."""
+    vv = _dot_sql("v", "v")
+    items = []
+    for i, c in enumerate(centroids):
+        cc = repr(float(sum(v * v for v in c))) + "D"
+        # NB: operand order matches the Column form exactly — pyspark's
+        # `2.0 * col` goes through __rmul__ and lands as `col * 2.0`
+        d = f"{vv} - {_dot_sql('v', _vec_sql(c))} * 2.0D + {cc}"
+        items.append(f"named_struct('d', {d}, 'c', {i})")
+    return "array(" + ",".join(items) + ")"
+
+
 def l2_norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v)
     )
+
+
+def _l2_norm_sql(a: str) -> str:
+    """SQL fragment parsing to the exact tree ``l2_norm`` builds."""
+    return (
+        f"sqrt(aggregate({a}, 0.0D,"
+        " (acc, v) -> acc + CAST(v AS DOUBLE) * v))"
+    )
+
+
+def _cosine_sql(q: str, c: str, qn: str, cn: str) -> str:
+    """SQL fragment for the staged-norm cosine the scorers share:
+    dot(q, c) / (qn * cn) — the exact tree the Column form built."""
+    return f"{_dot_sql(q, c)} / ({qn} * {cn})"
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -76,23 +129,23 @@ def cosine_topk(
     # norms are per-VECTOR, so compute them per side before the join:
     # #queries + #corpus norm evaluations instead of #queries × #corpus
     # (the cosine value is unchanged — same expressions, staged)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("q_vec"),
-        l2_norm(F.col(vec_col).cast("array<double>")).alias("q_norm"),
+    q = queries.selectExpr(
+        f"`{id_col}` AS query_id",
+        f"CAST(`{vec_col}` AS ARRAY<DOUBLE>) AS q_vec",
+        _l2_norm_sql(f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)") + " AS q_norm",
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("c_vec"),
-        l2_norm(F.col(vec_col).cast("array<double>")).alias("c_norm"),
+    c = corpus.selectExpr(
+        f"`{id_col}` AS neighbor_id",
+        f"CAST(`{vec_col}` AS ARRAY<DOUBLE>) AS c_vec",
+        _l2_norm_sql(f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)") + " AS c_norm",
     )
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .select(
+        .selectExpr(
             "query_id",
             "neighbor_id",
-            (dot(F.col("q_vec"), F.col("c_vec"))
-             / (F.col("q_norm") * F.col("c_norm"))).alias("cosine"),
+            _cosine_sql("q_vec", "c_vec", "q_norm", "c_norm")
+            + " AS cosine",
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -112,13 +165,29 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
     ]
 
 
-def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+def _lsh_signature_sql(vec: str, planes: list[list[float]]) -> str:
+    cases = ",".join(
+        f"CASE WHEN {_dot_sql('v', _vec_sql(p))} >= 0 THEN '1'"
+        " ELSE '0' END"
+        for p in planes
+    )
+    return (
+        f"get(transform(array(CAST({vec} AS ARRAY<DOUBLE>)),"
+        f" v -> concat({cases})), 0)"
+    )
+
+
+def lsh_signature(vec: Column | str, planes: list[list[float]]) -> Column:
     """Sign-bit signature: bit i = (vec · plane_i) >= 0. Emitted as a
     bit string so it works as a plain join key. The casted vector is
     lambda-bound (see dedup.bound) so the O(dim) cast runs once per
     row, not once per plane. (An unrolled-SQL variant was measured
     SLOWER warm than the HOF form — the giant generated method falls
-    out of JIT/codegen sweet spots — so the HOF stays.)"""
+    out of JIT/codegen sweet spots — so the HOF stays; the string
+    path below builds the SAME HOF tree, just parsed JVM-side in one
+    py4j trip instead of ~n_planes × 2 lambda creations.)"""
+    if isinstance(vec, str):
+        return F.expr(_lsh_signature_sql(vec, planes))
 
     def bits(v: Column) -> Column:
         return F.concat(
@@ -152,32 +221,32 @@ def lsh_ann(
     # unrolled signature references that ATTRIBUTE (CollapseProject
     # keeps the stages separate because the cast is referenced dim x
     # n_planes times — so the cast really runs once per row)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("c_vec"),
-    ).select(
+    c = corpus.selectExpr(
+        f"`{id_col}` AS neighbor_id",
+        f"CAST(`{vec_col}` AS ARRAY<DOUBLE>) AS c_vec",
+    ).selectExpr(
         "neighbor_id",
         "c_vec",
-        l2_norm(F.col("c_vec")).alias("c_norm"),
-        lsh_signature(F.col("c_vec"), planes).alias("bucket"),
+        _l2_norm_sql("c_vec") + " AS c_norm",
+        _lsh_signature_sql("c_vec", planes) + " AS bucket",
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("q_vec"),
-    ).select(
+    q = queries.selectExpr(
+        f"`{id_col}` AS query_id",
+        f"CAST(`{vec_col}` AS ARRAY<DOUBLE>) AS q_vec",
+    ).selectExpr(
         "query_id",
         "q_vec",
-        l2_norm(F.col("q_vec")).alias("q_norm"),
-        lsh_signature(F.col("q_vec"), planes).alias("bucket"),
+        _l2_norm_sql("q_vec") + " AS q_norm",
+        _lsh_signature_sql("q_vec", planes) + " AS bucket",
     )
     scored = (
         c.join(F.broadcast(q), ["bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
+        .selectExpr(
             "query_id",
             "neighbor_id",
-            (dot(F.col("q_vec"), F.col("c_vec"))
-             / (F.col("q_norm") * F.col("c_norm"))).alias("cosine"),
+            _cosine_sql("q_vec", "c_vec", "q_norm", "c_norm")
+            + " AS cosine",
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -197,11 +266,20 @@ def _sq_dist(vec: Column, centroid: list[float], vec_dot: Column) -> Column:
     return vec_dot - 2.0 * dot(vec, c) + F.lit(cc)
 
 
-def _nearest_clusters(vec: Column, centroids: list[list[float]], n: int) -> Column:
+def _nearest_clusters(
+    vec: Column | str, centroids: list[list[float]], n: int
+) -> Column:
     """Array of the n nearest centroid indices (ties -> lower index),
-    via array_sort over (distance, index) structs — pure Columns. The
-    vector is lambda-bound (see dedup.bound) so its cast/derivation
-    runs once per row, not once per centroid."""
+    via array_sort over (distance, index) structs. The vector is
+    lambda-bound (see dedup.bound) so its cast/derivation runs once
+    per row, not once per centroid. Pass ``vec`` as a SQL fragment
+    string to build the whole chain in ONE py4j trip (the Column form
+    costs ~1.6 s of driver round trips per call on this box); the
+    Column overload keeps the identical tree for callers holding a
+    Column."""
+    if isinstance(vec, str):
+        body = f"slice(array_sort({_nearest_structs_sql(centroids)}), 1, {n}).c"
+        return F.expr(f"get(transform(array({vec}), v -> {body}), 0)")
 
     def inner(v: Column) -> Column:
         vv = dot(v, v)
@@ -254,7 +332,7 @@ def kmeans_centroids(
         # nearest-centroid chain dim times per vector (measured 4x
         # slower at sf0.1)
         staged = corpus.select(vec.alias("_v")).select(
-            _nearest_clusters(F.col("_v"), centroids, 1)[0].alias("cluster"),
+            _nearest_clusters("_v", centroids, 1)[0].alias("cluster"),
             F.col("_v"),
         )
         assigned = staged.select(
@@ -295,33 +373,34 @@ def ivf_ann(
     the same plan shape. Recall is tuned by n_probe/n_clusters."""
     if centroids is None:
         centroids = kmeans_centroids(corpus, n_clusters, iters, id_col, vec_col)
-    cvec = F.col(vec_col).cast("array<double>")
-    inverted = corpus.select(
-        F.col(id_col).alias("neighbor_id"), cvec.alias("c_vec")
+    inverted = corpus.selectExpr(
+        f"`{id_col}` AS neighbor_id",
+        f"CAST(`{vec_col}` AS ARRAY<DOUBLE>) AS c_vec",
     ).select(
         "neighbor_id",
         "c_vec",
-        l2_norm(F.col("c_vec")).alias("c_norm"),
-        _nearest_clusters(F.col("c_vec"), centroids, 1)[0].alias("cluster"),
+        F.expr(_l2_norm_sql("c_vec") + " AS c_norm"),
+        _nearest_clusters("c_vec", centroids, 1)[0].alias("cluster"),
     )
-    probes = queries.select(
-        F.col(id_col).alias("query_id"), cvec.alias("q_vec")
+    probes = queries.selectExpr(
+        f"`{id_col}` AS query_id",
+        f"CAST(`{vec_col}` AS ARRAY<DOUBLE>) AS q_vec",
     ).select(
         "query_id",
         "q_vec",
-        l2_norm(F.col("q_vec")).alias("q_norm"),
-        F.explode(_nearest_clusters(F.col("q_vec"), centroids, n_probe)).alias(
+        F.expr(_l2_norm_sql("q_vec") + " AS q_norm"),
+        F.explode(_nearest_clusters("q_vec", centroids, n_probe)).alias(
             "cluster"
         ),
     )
     scored = (
         inverted.join(F.broadcast(probes), ["cluster"])
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
+        .selectExpr(
             "query_id",
             "neighbor_id",
-            (dot(F.col("q_vec"), F.col("c_vec"))
-             / (F.col("q_norm") * F.col("c_norm"))).alias("cosine"),
+            _cosine_sql("q_vec", "c_vec", "q_norm", "c_norm")
+            + " AS cosine",
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -366,7 +445,7 @@ def embedding_near_dup(
         F.col(id_col),
         F.col("_v"),
         l2_norm(F.col("_v")).alias("_norm"),
-        lsh_signature(F.col("_v"), planes).alias("bucket"),
+        lsh_signature("_v", planes).alias("bucket"),
     )
     a, b = signed.alias("a"), signed.alias("b")
     return (
@@ -484,13 +563,13 @@ def lsh_ann_multi(
     def signed(df: DataFrame, out_id: str) -> DataFrame:
         # one projected cast shared by all T signatures, each table's
         # signature an unrolled-SQL expression over the attribute
-        sigs = F.array(*[lsh_signature(F.col("_v"), pl) for pl in tables])
-        return df.select(
-            F.col(id_col).alias(out_id),
-            F.col(vec_col).cast("array<double>").alias("_v"),
-        ).select(
+        sigs = ",".join(_lsh_signature_sql("_v", pl) for pl in tables)
+        return df.selectExpr(
+            f"`{id_col}` AS {out_id}",
+            f"CAST(`{vec_col}` AS ARRAY<DOUBLE>) AS _v",
+        ).selectExpr(
             out_id,
-            F.posexplode(sigs).alias("table_id", "bucket"),
+            f"posexplode(array({sigs})) AS (table_id, bucket)",
         )
 
     c = signed(corpus, "neighbor_id")
@@ -501,25 +580,25 @@ def lsh_ann_multi(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    vec = F.col(vec_col).cast("array<double>")
-    cn = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        vec.alias("c_vec"),
-        l2_norm(vec).alias("c_norm"),
+    vec_sql = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
+    cn = corpus.selectExpr(
+        f"`{id_col}` AS neighbor_id",
+        f"{vec_sql} AS c_vec",
+        _l2_norm_sql(vec_sql) + " AS c_norm",
     )
-    qn = queries.select(
-        F.col(id_col).alias("query_id"),
-        vec.alias("q_vec"),
-        l2_norm(vec).alias("q_norm"),
+    qn = queries.selectExpr(
+        f"`{id_col}` AS query_id",
+        f"{vec_sql} AS q_vec",
+        _l2_norm_sql(vec_sql) + " AS q_norm",
     )
     scored = (
         cands.join(cn, "neighbor_id")
         .join(F.broadcast(qn), "query_id")
-        .select(
+        .selectExpr(
             "query_id",
             "neighbor_id",
-            (dot(F.col("q_vec"), F.col("c_vec"))
-             / (F.col("q_norm") * F.col("c_norm"))).alias("cosine"),
+            _cosine_sql("q_vec", "c_vec", "q_norm", "c_norm")
+            + " AS cosine",
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -534,10 +613,16 @@ def lsh_ann_multi(
 # product quantization (per-subvector k-means codebooks)
 # ---------------------------------------------------------------------------
 
-def _nearest_with_dist(vec: Column, centroids: list[list[float]]) -> Column:
+def _nearest_with_dist(
+    vec: Column | str, centroids: list[list[float]]
+) -> Column:
     """struct(d, c) of the nearest centroid (ties -> lower index) —
     the chosen squared distance IS the subvector's reconstruction
-    error, so PQ needs no separate reconstruction arithmetic."""
+    error, so PQ needs no separate reconstruction arithmetic. String
+    ``vec`` builds in one py4j trip (see _nearest_clusters)."""
+    if isinstance(vec, str):
+        body = f"get(array_sort({_nearest_structs_sql(centroids)}), 0)"
+        return F.expr(f"get(transform(array({vec}), v -> {body}), 0)")
 
     def inner(v: Column) -> Column:
         vv = dot(v, v)
@@ -590,7 +675,7 @@ def pq_train(
             vec.alias("_v"),
         ).select(
             *[
-                _nearest_clusters(F.col(f"_s{s}"), books[s], 1)[0].alias(f"_c{s}")
+                _nearest_clusters(f"_s{s}", books[s], 1)[0].alias(f"_c{s}")
                 for s in range(m)
             ],
             F.col("_v"),
@@ -658,7 +743,7 @@ def pq_encode(
     picks = staged.select(
         F.col(id_col),
         *[
-            _nearest_with_dist(F.col(f"_s{s}"), codebooks[s]).alias(f"_p{s}")
+            _nearest_with_dist(f"_s{s}", codebooks[s]).alias(f"_p{s}")
             for s in range(len(codebooks))
         ],
     )
@@ -706,7 +791,7 @@ def semantic_dedup(
     tagged = corpus.select(F.col(id_col), cvec.alias("_v")).select(
         F.col(id_col),
         F.col("_v"),
-        _nearest_clusters(F.col("_v"), centroids, 1)[0].alias("cluster"),
+        _nearest_clusters("_v", centroids, 1)[0].alias("cluster"),
     )
 
     def _cluster_drops(pdf):

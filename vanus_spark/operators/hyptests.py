@@ -273,15 +273,18 @@ def poisson_weight(u: Column) -> Column:
     """Poisson(1) draw from a uniform in [0,1) by inverse CDF over the
     literal cumulative thresholds (clamped at 7): the draw k is the
     COUNT of thresholds <= u (u in [cdf_{k-1}, cdf_k) passes exactly
-    k of them), expressed as one filter-count over a 7-element array
-    literal instead of an 8-arm CASE chain — the bootstrap builds
-    ``reps`` of these, and the when-chain form made the projected
-    plan ~5x bigger (compile time, not data time; same lesson as the
-    PSI bucketizer and the hilbert unroll)."""
-    arr = F.expr(
-        "array(" + ",".join(f"{th!r}D" for th in _POIS1_CDF) + ")"
-    )
-    return F.size(F.filter(arr, lambda t: u >= t)).cast("long")
+    k of them), expressed as a sum of 7 comparison casts. An earlier
+    form counted via filter() over a 7-element array literal —
+    compact, but higher-order functions are CodegenFallback: each
+    eval allocated lambda frames and an output array in interpreted
+    mode, and with 2 aggregate children per replicate the bootstrap
+    paid ~80 interpreted HOF evals per row (~100 task-seconds at
+    sf0.1). Seven codegen'd double compares are sub-ns each and keep
+    the whole aggregate in WholeStageCodegen."""
+    w: Column = F.lit(0).cast("long")
+    for th in _POIS1_CDF:
+        w = w + (u >= F.lit(th)).cast("long")
+    return w
 
 
 def poisson_bootstrap_mean(
@@ -322,36 +325,48 @@ def poisson_bootstrap_mean(
         df = df.repartition(
             df.sparkSession.sparkContext.defaultParallelism
         )
-    us = []
+    # The whole replicate lattice is built as SQL STRINGS (one
+    # selectExpr py4j call per projection) instead of ~1200 Column
+    # method calls: the Column form spent 1.3-2.5 s of every bench
+    # run in py4j round trips constructing the same tree (measured
+    # A/B in one session: build 1.3 s Column / 0.17 s string, exec
+    # identical). 1e6 (not 1000000.0, which parses as DECIMAL and
+    # drags the division into decimal math) keeps the uniforms in
+    # double exactly like the Column form did.
+    uexprs = []
     for h in range((reps + 2) // 3):
-        payload = F.concat(
-            F.lit(str(seed * 1000 + h) + "|"), F.col(key_col).cast("string")
+        dig = (
+            f"md5(concat('{seed * 1000 + h}|', "
+            f"CAST(`{key_col}` AS STRING)))"
         )
-        digest = F.md5(payload)
         for third in range(3):
             r = 3 * h + third
             if r >= reps:
                 break
-            us.append(
-                (
-                    (
-                        F.conv(
-                            F.substring(digest, 1 + 10 * third, 10), 16, 10
-                        ).cast("long")
-                        % 1_000_000
-                    )
-                    / 1_000_000.0
-                ).alias(f"_u_{r}")
+            uexprs.append(
+                f"(CAST(conv(substring({dig}, {1 + 10 * third}, 10),"
+                f" 16, 10) AS BIGINT) % 1000000) / 1e6 AS _u_{r}"
             )
-    projected = df.select(F.col(cents_col), *us)
+    projected = df.selectExpr(f"`{cents_col}`", *uexprs)
+    # Weights are ALSO projected (not inlined into the aggregate):
+    # each replicate's weight feeds two sums, and aggregate children
+    # get no subexpression elimination, so inlining would double the
+    # comparison work per row.
+    wexprs = [
+        " + ".join(
+            f"CAST(_u_{r} >= {th!r}D AS BIGINT)" for th in _POIS1_CDF
+        )
+        + f" AS _w_{r}"
+        for r in range(reps)
+    ]
+    projected = projected.selectExpr(f"`{cents_col}`", *wexprs)
     aggs = [
-        F.count("*").alias("_n"),
-        F.sum(cents_col).alias("_s"),
+        F.expr("count(*) AS _n"),
+        F.expr(f"sum(`{cents_col}`) AS _s"),
     ]
     for r in range(reps):
-        wgt = poisson_weight(F.col(f"_u_{r}"))
-        aggs.append(F.sum(wgt * F.col(cents_col)).alias(f"_ws_{r}"))
-        aggs.append(F.sum(wgt).alias(f"_wn_{r}"))
+        aggs.append(F.expr(f"sum(_w_{r} * `{cents_col}`) AS _ws_{r}"))
+        aggs.append(F.expr(f"sum(_w_{r}) AS _wn_{r}"))
     one = projected.agg(*aggs)
     means = F.array_sort(
         F.array(
