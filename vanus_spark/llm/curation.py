@@ -99,11 +99,11 @@ def contamination_report(
     map-side. Returns (id, n_shingles, n_overlap, contamination,
     contaminated)."""
     bench_sh = (
-        benchmark.select(F.explode(shingles(F.col(text_col), n)).alias("shingle"))
+        benchmark.select(F.explode(shingles(f"`{text_col}`", n)).alias("shingle"))
         .distinct()
     )
     doc_sh = docs.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+        F.col(id_col), F.explode(shingles(f"`{text_col}`", n)).alias("shingle")
     )
     overlap = (
         doc_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
@@ -111,7 +111,7 @@ def contamination_report(
         .agg(F.count("*").alias("n_overlap"))
     )
     totals = docs.select(
-        F.col(id_col), F.size(shingles(F.col(text_col), n)).alias("n_shingles")
+        F.col(id_col), F.size(shingles(f"`{text_col}`", n)).alias("n_shingles")
     )
     # coalesce BEFORE the ratio: a doc with no overlapping shingle has
     # contamination 0.0 / false, not null (left-join miss)

@@ -68,13 +68,28 @@ def bound(c: Column, f) -> Column:
     return F.get(F.transform(F.array(c), f), F.lit(0))
 
 
-def shingles(c: Column, n: int = 3) -> Column:
+def _shingles_sql(c: str, n: int = 3) -> str:
+    """SQL fragment parsing to the exact tree ``shingles`` builds —
+    one py4j trip instead of ~4 lambda creations (see
+    similarity._dot_sql for why that matters on this box)."""
+    toks = f"split(trim(regexp_replace(lower({c}), '\\\\s+', ' ')), ' ')"
+    return (
+        "get(transform(array(" + toks + "), tk -> array_distinct("
+        f"transform(sequence(0, greatest(size(tk) - {n}, 0)),"
+        f" i -> array_join(slice(tk, i + 1, {n}), ' ')))), 0)"
+    )
+
+
+def shingles(c: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles as an array of strings (distinct).
 
     slice+array_join measured faster than the try_element_at+concat_ws
     formulation (try_element_at's ANSI guard costs ~3× here). The
     token array is lambda-bound (see ``bound``) so the normalize+split
-    chain runs once per row, not once per shingle."""
+    chain runs once per row, not once per shingle. String input takes
+    the one-py4j-trip SQL path (identical tree)."""
+    if isinstance(c, str):
+        return F.expr(_shingles_sql(c, n))
     toks = F.split(normalize_text(c), " ")
     return bound(
         toks,
@@ -189,7 +204,9 @@ def shingles_df(
     widens narrow (single-file) scans so the shingle chain doesn't
     serialize into one task; no-op on wide scans."""
     docs = repartition_for_compute(docs, id_col)
-    return docs.select(F.col(id_col), shingles(F.col(text_col), n).alias("sh"))
+    return docs.select(
+        F.col(id_col), shingles(f"`{text_col}`", n).alias("sh")
+    )
 
 
 def minhash_signatures_from_shingles(
@@ -205,19 +222,25 @@ def minhash_signatures_from_shingles(
     5× slower at sf0.1.) The two-step select keeps CollapseProject
     from inlining the md5 chain 16×: `hs` is non-cheap and
     multiply-referenced, so Catalyst materializes it once per row."""
-    hashed = sh_df.select(
-        F.col(id_col),
-        F.transform("sh", lambda s: minhash_base_hash(s)).alias("hs"),
+    # Built as SQL strings (identical parsed trees) — the Column form
+    # spent ~0.5 s of py4j round trips per call creating the 17
+    # transform lambdas, and dedup-on-ingest builds this chain four
+    # times per batch pair.
+    hashed = sh_df.selectExpr(
+        f"`{id_col}`",
+        "transform(sh, s -> CAST(conv(substring(md5(concat('0|',"
+        " CAST(s AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        f" % {MINHASH_P}) AS hs",
     )
     mins = [
-        F.array_min(
-            F.transform("hs", lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P))
-        ).alias(f"h{i}")
+        f"array_min(transform(hs, h -> ({a} * h + {b}) % {MINHASH_P}))"
+        f" AS h{i}"
         for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
-    sig = hashed.select(F.col(id_col), *mins)
-    return sig.select(
-        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    sig = hashed.selectExpr(f"`{id_col}`", *mins)
+    return sig.selectExpr(
+        f"`{id_col}`",
+        "array(" + ",".join(f"h{i}" for i in range(num_hashes)) + ") AS sig",
     )
 
 
@@ -255,22 +278,15 @@ def minhash_lsh_buckets(
         if sig_df is not None
         else minhash_signatures_df(docs, text_col, id_col, num_hashes, shingle_n)
     )
-    bands_col = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.array_join(
-                        F.transform(
-                            F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ),
-                        "_",
-                    )
-                ).alias("band_key"),
-            )
+    bands_col = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('band', {b}, 'band_key',"
+            f" md5(array_join(transform(slice(sig, {b * rows_per_band + 1},"
+            f" {rows_per_band}), x -> CAST(x AS STRING)), '_')))"
             for b in range(bands)
-        ]
+        )
+        + ")"
     )
     return with_sig.select(id_col, F.explode(bands_col).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")

@@ -43,13 +43,18 @@ def greedy_max_coverage(
     The pair table is deduplicated ONCE up front so each round's gain
     is a plain count(*) — a count_distinct per round would re-pay a
     distinct Expand k times over the same rows."""
+    # Checkpoints are LAZY: each round's take(1) is a
+    # TakeOrderedAndProject over ALL partitions of `remaining`, so the
+    # checkpoint fully materializes inside that same job — eager=True
+    # here cost a separate materialization job per round (2 jobs/round
+    # -> 1; measured ~1.5 s of the query's 3.9 s at sf0.1).
     remaining = (
         doc_shingles.select(
             F.col(id_col).alias("doc_id"),
             F.col(shingle_col).alias("shingle"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     picks: list[tuple[int, int, int]] = []
     for rnd in range(1, k + 1):
@@ -64,5 +69,5 @@ def greedy_max_coverage(
         won = remaining.where(F.col("doc_id") == doc).select("shingle")
         remaining = remaining.join(
             won, "shingle", "left_anti"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return picks
