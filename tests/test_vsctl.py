@@ -126,11 +126,18 @@ def test_cli_table_maintenance(spark, tmp_path, capsys):
 
     path = str(tmp_path / "t")
     t = ManifestTable(spark, path, "k", n_buckets=4)
-    t.write_full(
-        spark.range(200)
-        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
-        .repartition(8)
-    )
+    # the clustered generation write leaves one file per bucket, so
+    # fragment via the per-file row cap to give compact work to do
+    # (same approach as tests/test_manifest_table.py::_fragmented_write)
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "30")
+    try:
+        t.write_full(
+            spark.range(200)
+            .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+            .repartition(8)
+        )
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
     t.merge(spark.createDataFrame([(3, 999)], "k long, v long"))
 
     fsck = _vsctl(capsys, "table", "fsck", "--path", path, "--key", "k",
