@@ -115,8 +115,13 @@ def test_soak_flaky_sink_invariants(spark, tmp_path):
     # run on the wall clock until the retry tail drains (503 events
     # need 2 retries: due +1s then +5s after their failing tick) or a
     # hard deadline passes. The stream keeps ticking on empty input —
-    # exactly the long-lived loop shape under test.
-    deadline = time.time() + 90
+    # exactly the long-lived loop shape under test. The deadline needs
+    # real headroom over the ~15 s nominal drain: under co-tenant load
+    # each tick stretches to seconds, and a deadline expiring mid-tick
+    # stops the stream AFTER the sink writes land but BEFORE the
+    # driver-side counter update — orphaning the final tick's count
+    # (observed: spool complete, pending 0, counter 6 shy at 90 s).
+    deadline = time.time() + 300
     try:
         while time.time() < deadline:
             time.sleep(2.0)
