@@ -44,6 +44,33 @@ def test_merge_rewrites_only_affected_buckets(spark, tmp_path):
     assert len(unchanged) == len(before) - 1
 
 
+def test_generation_write_parallelism(spark, tmp_path):
+    """A generation write must cluster into exactly n_buckets
+    partitions (one task per bucket, >= min(buckets, cores) concurrent
+    write tasks) regardless of spark.sql.shuffle.partitions or AQE
+    coalescing — r10 verdict: repartition("_b") inherited the ambient
+    partition count, so write parallelism could collapse. Output stays
+    one file per bucket (small-files invariant)."""
+    t = _mk(spark, tmp_path, n=400, buckets=8)
+    base = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    clustered = t._cluster_for_write(base)
+    assert clustered.rdd.getNumPartitions() == t.n_buckets
+    # and the write_full above produced exactly one file per bucket
+    gens = os.listdir(f"{t.path}/data")
+    assert len(gens) == 1
+    for bdir in os.listdir(f"{t.path}/data/{gens[0]}"):
+        if not bdir.startswith("_b="):
+            continue
+        files = [
+            f
+            for f in os.listdir(f"{t.path}/data/{gens[0]}/{bdir}")
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (bdir, files)
+
+
 def test_crash_before_commit_leaves_table_intact(spark, tmp_path):
     t = _mk(spark, tmp_path)
     epoch0, rows0 = t._epoch, sorted(

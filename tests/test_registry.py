@@ -54,7 +54,7 @@ def test_dynamic_filter_query_plan_binds_one_parse(spark, sf_dir):
 
 def test_driver_window_is_exactly_50():
     m = _entry_module()
-    window = m._R10_WINDOW
+    window = m._R11_WINDOW
     assert len(window) == 50, f"window has {len(window)} entries"
     assert len(set(window)) == 50, "duplicate keys in the window"
     assert list(m.queries())[:50] == window

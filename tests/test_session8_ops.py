@@ -88,6 +88,37 @@ def test_jw_empty_convention():
     assert _jaro_winkler_py("a", "") == 0.0
 
 
+def test_jw_non_ascii_byte_contract():
+    """The operator contract is Jaro-Winkler over UTF-8 BYTES (DuckDB's
+    semantics, hence the oracle's): the reference kernel must agree
+    with DuckDB on multi-byte text too, and the divergence from a
+    codepoint-level implementation is asserted deliberately (r10
+    advice) rather than left as a silent scoring change."""
+    from vanus_spark.operators.fuzzy import _jaro_winkler_py
+
+    con = duckdb.connect()
+    cases = [
+        ("café", "cafe"),
+        ("żółw", "zolw"),
+        ("über", "uber"),
+        ("naïve", "naive"),
+        ("日本語", "日本言"),
+        ("żółw", "żółw"),
+        ("Müller GmbH", "Mueller GmbH"),
+    ]
+    for a, b in cases:
+        mine = _jaro_winkler_py(a, b)
+        duck = con.sql(
+            "select jaro_winkler_similarity(?, ?)", params=[a, b]
+        ).fetchone()[0]
+        assert struct.pack("d", mine) == struct.pack("d", duck), (a, b, mine, duck)
+    # the byte view is a real divergence from codepoint JW: 'żółw' vs
+    # 'zolw' shares no BYTES in the match window, so it scores 0.0
+    # (a codepoint kernel would score 0.5) — pinned so a future kernel
+    # swap cannot silently flip the contract back
+    assert _jaro_winkler_py("żółw", "zolw") == 0.0
+
+
 def test_jw_best_match(spark):
     from vanus_spark.operators.fuzzy import jw_best_match
 

@@ -128,11 +128,14 @@ def fuzzy_join(
 
 def _jaro_winkler_py(s1: str, s2: str, p: float = 0.1, boost_above: float = 0.7) -> float:
     """Reference Jaro-Winkler (prefix scale 0.1, boost only when the
-    Jaro score exceeds 0.7 — the standard parameters). Implemented to
-    the letter of the published algorithm; tests/test_session8_ops.py
-    asserts BIT-EXACT double parity against DuckDB's
-    jaro_winkler_similarity on thousands of pairs, which is what lets
-    the linkage query emit raw scores under the oracle hash.
+    Jaro score exceeds 0.7 — the standard parameters), computed over
+    the **UTF-8 bytes** of the inputs: that is the operator contract
+    (it matches DuckDB's jaro_winkler_similarity and therefore the
+    oracle), and tests/test_session8_ops.py asserts BIT-EXACT double
+    parity against DuckDB on both ASCII and non-ASCII pairs. On pure
+    ASCII bytes == codepoints; on multi-byte text the byte view scores
+    differ from a codepoint implementation by design (e.g. 'café' vs
+    'cafe' compares the two bytes of 'é' individually).
 
     Both-empty is scored 0.0 (the engine convention), so callers must
     treat empty strings as non-matchable rather than identical."""
@@ -140,6 +143,8 @@ def _jaro_winkler_py(s1: str, s2: str, p: float = 0.1, boost_above: float = 0.7)
         return 0.0
     if s1 == s2:
         return 1.0
+    s1 = s1.encode("utf-8")
+    s2 = s2.encode("utf-8")
     l1, l2 = len(s1), len(s2)
     window = max(l1, l2) // 2 - 1
     hit1 = [False] * l1
@@ -184,14 +189,28 @@ def jaro_winkler_udf():
     The kernel is embedded DuckDB's ``jaro_winkler_similarity``
     (bit-exact with ``_jaro_winkler_py`` — the same parity
     tests/test_session8_ops.py asserts — and with the oracle, which
-    IS DuckDB): each Arrow batch is handed to one vectorized native
-    scan instead of a per-pair Python loop (guide §4.2; measured
-    ~30x on 200k pairs). Iterator form so the connection is built
-    once per task, not per batch (§4.5); single-threaded so the
-    replacement scan streams the batch in row order. The empty-string
-    convention (both-empty or one-empty scores 0.0, never a match) is
-    applied in the SQL CASE; NULLs propagate as NULL.
+    IS DuckDB; both operate over UTF-8 **bytes**, the documented
+    operator contract): each Arrow batch is handed to one vectorized
+    native scan instead of a per-pair Python loop (guide §4.2;
+    measured ~30x on 200k pairs). Iterator form so the connection is
+    built once per task, not per batch (§4.5); single-threaded so the
+    replacement scan streams the batch in row order. NULLs propagate
+    as NULL (explicit first CASE arm); otherwise the empty-string
+    convention (both-empty or one-empty scores 0.0, never a match)
+    applies.
+
+    duckdb is probed here, on the driver at construction time, so a
+    cluster missing the dependency fails fast with a clear error
+    rather than at first task execution.
     """
+    try:
+        import duckdb  # noqa: F401 — driver-side fail-fast probe
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "jaro_winkler_udf requires the 'duckdb' package on the "
+            "driver AND every executor (it is the vectorized JW "
+            "kernel); install duckdb>=0.9"
+        ) from e
 
     @F.pandas_udf("double")
     def jw(it: Iterator[Tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
@@ -202,7 +221,8 @@ def jaro_winkler_udf():
         for a, b in it:
             batch = pd.DataFrame({"a": a, "b": b})  # noqa: F841 — duckdb replacement scan
             yield con.execute(
-                "SELECT CASE WHEN a = '' OR b = '' THEN 0.0 "
+                "SELECT CASE WHEN a IS NULL OR b IS NULL THEN NULL "
+                "WHEN a = '' OR b = '' THEN 0.0 "
                 "ELSE jaro_winkler_similarity(a, b) END AS v FROM batch"
             ).df()["v"]
 

@@ -386,6 +386,28 @@ class ManifestTable:
             f"gave up after {max_retries} rebase attempts"
         )
 
+    def _cluster_for_write(self, df: DataFrame) -> DataFrame:
+        """Cluster by bucket before a generation write (Iceberg's
+        write.distribution-mode=hash): without it every upstream task
+        writes one file per bucket it touches — tasks x buckets tiny
+        files per generation (measured 122 files for a 3-commit
+        table_changes history at sf0.1; guide §6 small-files) — and
+        every later read/merge/changes pays the listing + open cost.
+        The partition count is pinned to ``n_buckets`` explicitly
+        rather than inherited from spark.sql.shuffle.partitions/AQE, so
+        write parallelism is min(n_buckets, cores) by construction and
+        cannot silently collapse to one task under AQE coalescing.
+        Each bucket value lands in exactly one task, so a generation is
+        one file per bucket — which is also what makes bucket pruning
+        read contiguous data at scale. Scale note: a single bucket is
+        still one task's work, so ``n_buckets`` must scale with table
+        size (the 100 TB deployment sizes buckets to ~0.5-1 GB; a hot
+        key that outgrows its bucket needs a bucket-count bump, the
+        same lever Iceberg's bucket transform uses)."""
+        return df.withColumn("_b", self._bucket_col()).repartition(
+            self.n_buckets, "_b"
+        )
+
     def _write_generation(self, df: DataFrame) -> tuple[str, list[int]]:
         """One Spark job writes df into gen/_b=<bucket>/ subdirs;
         returns (gen name, buckets written). When ``stats_cols`` is
@@ -393,16 +415,7 @@ class ManifestTable:
         the per-bucket min/max sidecar next to the data."""
         gen = f"g{self._next_gen()}-{self._writer_id}"
         out = f"{self.path}/data/{gen}"
-        # Cluster by bucket before the write (Iceberg's
-        # write.distribution-mode=hash): without it every upstream task
-        # writes one file per bucket it touches — tasks x buckets tiny
-        # files per generation (measured 122 files for a 3-commit
-        # table_changes history at sf0.1; guide §6 small-files) — and
-        # every later read/merge/changes pays the listing + open cost.
-        # With it each bucket value lands in exactly one task, so a
-        # generation is one file per bucket, which is also what makes
-        # bucket pruning read contiguous data at scale.
-        df.withColumn("_b", self._bucket_col()).repartition("_b").write.mode(
+        self._cluster_for_write(df).write.mode(
             "error"
         ).partitionBy("_b").parquet(out)
         written = [
