@@ -490,22 +490,33 @@ def envelope(spark):
 def test_cesql_fuzz_conformance(envelope):
     rng = random.Random(20260814)
     asts = [gen_bool(rng, 3) for _ in range(N_EXPRS)]
-    mismatches = []
-    for base in range(0, N_EXPRS, CHUNK):
+
+    def run_chunk(base):
+        # builds are py4j/socket-bound, so chunks overlap well on a
+        # small thread pool (same cases, ~3x less wall)
         chunk = asts[base : base + CHUNK]
         cols = [
             F.coalesce(cesql_to_column(render(a)), F.lit(False)).alias(f"c{i}")
             for i, a in enumerate(chunk)
         ]
         got = envelope.select(*cols).collect()
+        bad = []
         for ri, row in enumerate(ROWS):
             for ci, ast in enumerate(chunk):
                 v, t = pyeval(ast, row)
                 want = bool(_as_bool(v, t))  # None -> False (WHERE)
                 if got[ri][f"c{ci}"] != want:
-                    mismatches.append(
-                        (render(ast), row["id"], got[ri][f"c{ci}"], want)
-                    )
+                    bad.append((render(ast), row["id"], got[ri][f"c{ci}"], want))
+        return bad
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        mismatches = [
+            m
+            for bad in pool.map(run_chunk, range(0, N_EXPRS, CHUNK))
+            for m in bad
+        ]
     assert not mismatches, f"{len(mismatches)} divergences, first 5: {mismatches[:5]}"
 
 
@@ -657,7 +668,7 @@ def test_cel_fuzz_both_routes(spark):
     schema = infer_data_schema(df)
     exprs = [_gen_cel(rng, 2) for _ in range(400)]
     dicts = [json.loads(p) for _, p in payloads]
-    for base in range(0, len(exprs), 100):
+    def run_chunk(base):
         chunk = exprs[base : base + 100]
         cols = []
         for i, (frag, _) in enumerate(chunk):
@@ -671,8 +682,22 @@ def test_cel_fuzz_both_routes(spark):
                 ).alias(f"s{i}")
             )
         got = df.orderBy("pid").select(*cols).collect()
+        bad = []
         for ri, p in enumerate(dicts):
             for ci, (frag, ev) in enumerate(chunk):
                 want = bool(ev(p))
-                assert got[ri][f"f{ci}"] == want, (frag, p, "fallback")
-                assert got[ri][f"s{ci}"] == want, (frag, p, "schema-bound")
+                if got[ri][f"f{ci}"] != want:
+                    bad.append((frag, p, "fallback"))
+                if got[ri][f"s{ci}"] != want:
+                    bad.append((frag, p, "schema-bound"))
+        return bad
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        mismatches = [
+            m
+            for bad in pool.map(run_chunk, range(0, len(exprs), 100))
+            for m in bad
+        ]
+    assert not mismatches, mismatches[:5]

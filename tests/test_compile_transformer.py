@@ -22,6 +22,24 @@ ENV_SCHEMA = (
 DATA_SCHEMA = "user_id long, value double, name string, props struct<k: int>"
 
 
+def _sweep_specs(check_one, specs, workers=4):
+    """Run the per-spec compiled-vs-interpreter check over a small
+    thread pool: each check is two tiny collect() jobs whose wall is
+    dominated by job-submission latency, and the fuzz suites run dozens
+    of them — overlapping 4 at a time cut each suite ~3x without
+    changing a single case (guide §2.6 overlap, applied to the tests).
+    ``check_one(i, spec)`` returns None (pass), "fallback", or a bad
+    tuple; returns (bad, n_fellback)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        results = list(
+            pool.map(lambda t: check_one(*t), list(enumerate(specs)))
+        )
+    bad = [r for r in results if r is not None and r != "fallback"]
+    return bad, sum(1 for r in results if r == "fallback")
+
+
 def _envelope(spark):
     rows = [
         ("1", "/s", "1.0", "purchase", None, "application/json", None, None,
@@ -179,16 +197,19 @@ def test_position_actions_compiled_vs_interpreter_fuzz(spark):
 
     df = _envelope(spark)
     cols = ["id", "data", "transform_error"]
-    bad = []
-    for i, spec in enumerate(specs):
+
+    def check(i, spec):
         try:
             compiled_fn = compile_transformer(spec, DATA_SCHEMA)
         except CompileFallback:
-            continue  # falls back to the interpreter: trivially equal
+            return "fallback"  # interpreter route: trivially equal
         comp = sorted(compiled_fn(df).select(*cols).collect())
         interp = sorted(transform_dataframe(df, spec).select(*cols).collect())
         if comp != interp:
-            bad.append((i, spec["pipeline"][0], interp[:2], comp[:2]))
+            return (i, spec["pipeline"][0], interp[:2], comp[:2])
+        return None
+
+    bad, _ = _sweep_specs(check, specs)
     assert not bad, bad[:3]
 
 
@@ -215,16 +236,19 @@ def test_math_actions_compiled_vs_interpreter_fuzz(spark):
 
     df = _envelope(spark)
     cols = ["id", "data", "transform_error"]
-    bad = []
-    for i, spec in enumerate(specs):
+
+    def check(i, spec):
         try:
             fn = compile_transformer(spec, DATA_SCHEMA)
         except CompileFallback:
-            continue
+            return "fallback"
         comp = sorted(fn(df).select(*cols).collect())
         interp = sorted(transform_dataframe(df, spec).select(*cols).collect())
         if comp != interp:
-            bad.append((i, spec["pipeline"][0], interp[:2], comp[:2]))
+            return (i, spec["pipeline"][0], interp[:2], comp[:2])
+        return None
+
+    bad, _ = _sweep_specs(check, specs)
     assert not bad, bad[:3]
 
 
@@ -260,16 +284,19 @@ def test_condition_if_compiled_vs_interpreter_fuzz(spark):
 
     df = _envelope(spark)
     cols = ["id", "data", "transform_error"]
-    bad = []
-    for i, spec in enumerate(specs):
+
+    def check(i, spec):
         try:
             fn = compile_transformer(spec, DATA_SCHEMA)
         except CompileFallback:
-            continue
+            return "fallback"
         comp = sorted(fn(df).select(*cols).collect())
         interp = sorted(transform_dataframe(df, spec).select(*cols).collect())
         if comp != interp:
-            bad.append((i, spec["pipeline"][0], interp[:2], comp[:2]))
+            return (i, spec["pipeline"][0], interp[:2], comp[:2])
+        return None
+
+    bad, _ = _sweep_specs(check, specs)
     assert not bad, bad[:3]
 
 
@@ -316,18 +343,19 @@ def test_struct_action_sequences_compiled_vs_interpreter_fuzz(spark):
 
     df = _envelope(spark)
     cols = ["id", "data", "transform_error"]
-    bad = []
-    fell_back = 0
-    for i, spec in enumerate(specs):
+
+    def check(i, spec):
         try:
             fn = compile_transformer(spec, DATA_SCHEMA)
         except CompileFallback:
-            fell_back += 1
-            continue
+            return "fallback"
         comp = canon(fn(df).select(*cols).collect())
         interp = canon(transform_dataframe(df, spec).select(*cols).collect())
         if comp != interp:
-            bad.append((i, spec["pipeline"], interp[:2], comp[:2]))
+            return (i, spec["pipeline"], interp[:2], comp[:2])
+        return None
+
+    bad, fell_back = _sweep_specs(check, specs)
     assert not bad, bad[:2]
     assert fell_back < len(specs)  # the fuzz must exercise SOME compiled runs
 
@@ -359,17 +387,18 @@ def test_json_template_compiled_vs_interpreter_fuzz(spark):
 
     df = _envelope(spark)
     cols = ["id", "data", "transform_error", "datacontenttype"]
-    bad = []
-    fell_back = 0
-    for i, spec in enumerate(specs):
+
+    def check(i, spec):
         try:
             fn = compile_transformer(spec, DATA_SCHEMA)
         except CompileFallback:
-            fell_back += 1
-            continue
+            return "fallback"
         comp = sorted(fn(df).select(*cols).collect())
         interp = sorted(transform_dataframe(df, spec).select(*cols).collect())
         if comp != interp:
-            bad.append((i, spec["template"]["template"], interp[:2], comp[:2]))
+            return (i, spec["template"]["template"], interp[:2], comp[:2])
+        return None
+
+    bad, fell_back = _sweep_specs(check, specs)
     assert not bad, bad[:2]
     assert fell_back < len(specs)

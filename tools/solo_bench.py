@@ -26,7 +26,7 @@ import time
 sys.path.insert(0, "/root/repo")
 os.environ.setdefault("PYTHONPATH", "/root/repo")
 
-PLANS_DIR = "/root/repo/plans/r10"
+PLANS_DIR = os.environ.get("SPARK_GRAFT_PLANS_DIR", "/root/repo/plans/r11")
 
 
 def main() -> None:

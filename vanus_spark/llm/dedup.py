@@ -496,6 +496,13 @@ def simhash_near_pairs(
         for i in range(chunks)
     ]
     keyed = fp.select(F.col(id_col), F.col("fingerprint"), *chunk_cols)
+    # Materialize once: the union's 2 x chunks references each join on a
+    # DIFFERENT chunk key (no exchange to reuse), so without this every
+    # leg re-runs the simhash tokenize/fingerprint pipeline over the
+    # corpus (same defect as multimodal.ahash_near_pairs, guide §2.4).
+    # Eager: all legs execute inside one job, where a lazy checkpoint
+    # gets raced/recomputed. Rows are (id, fingerprint, chunk keys).
+    keyed = keyed.localCheckpoint(eager=True)
     pairs = None
     for i in range(chunks):
         a, b = keyed.alias("a"), keyed.alias("b")

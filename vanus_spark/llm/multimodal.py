@@ -497,6 +497,17 @@ def ahash_near_pairs(
         F.col(hash_col),
         *[chunk_key(i).alias(f"c{i}") for i in range(chunks)],
     )
+    # Materialize the (id, hash, chunk-keys) table ONCE: the pigeonhole
+    # union references `keyed` 2 x chunks times, and each leg joins on a
+    # DIFFERENT chunk key, so neither exchange reuse nor AQE can collapse
+    # the branches — without this every leg re-runs the upstream
+    # synthesis + codec + hash pipeline (measured: 6 recomputations =
+    # ~85% of video_phash_neardup's wall; guide §2.4/§3.3 "materialise an
+    # intermediate"). Eager, because all legs land in ONE job and a lazy
+    # checkpoint would be raced/recomputed by sibling branches. The
+    # checkpointed frame is id + hash + chunk keys only — bytes/row, not
+    # the media payload.
+    keyed = keyed.localCheckpoint(eager=True)
     pairs = None
     for i in range(chunks):
         a, b = keyed.alias("a"), keyed.alias("b")

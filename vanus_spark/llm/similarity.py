@@ -113,6 +113,20 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _topk_by_cosine(scored: DataFrame, k: int) -> DataFrame:
+    """Shared per-query top-k tail, emitted as ONE selectExpr trip:
+    the same WindowExpression tree the Window.partitionBy/orderBy
+    Column form built (DESC = NULLS LAST, ASC = NULLS FIRST defaults
+    on both paths), ~30 fewer py4j round trips per call site."""
+    return scored.selectExpr(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        "row_number() OVER (PARTITION BY query_id"
+        " ORDER BY cosine DESC, neighbor_id ASC) AS rank",
+    ).where(f"rank <= {int(k)}")
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -148,14 +162,7 @@ def cosine_topk(
             + " AS cosine",
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _topk_by_cosine(scored, k)
 
 
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -249,12 +256,7 @@ def lsh_ann(
             + " AS cosine",
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _topk_by_cosine(scored, k)
 
 
 def _sq_dist(vec: Column, centroid: list[float], vec_dot: Column) -> Column:
@@ -403,12 +405,7 @@ def ivf_ann(
             + " AS cosine",
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _topk_by_cosine(scored, k)
 
 
 def embedding_near_dup(
@@ -601,12 +598,7 @@ def lsh_ann_multi(
             + " AS cosine",
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _topk_by_cosine(scored, k)
 
 
 # ---------------------------------------------------------------------------
@@ -902,14 +894,21 @@ def random_projection(
     """
     planes = random_hyperplanes(dim, out_dim, seed=seed)
     scale = 1.0 / math.sqrt(out_dim)
-
-    def proj(v: Column) -> Column:
-        return F.array(
-            *[(dot(v, lit_vec(p)) * F.lit(scale)) for p in planes]
-        )
-
+    # whole projection emitted as ONE SQL fragment parsed JVM-side (the
+    # _dot_sql discipline): the Column form cost ~1.6k py4j round trips
+    # per build (out_dim x (zip_with + aggregate) lambda creations).
+    # Identical parsed tree: bound() is get(transform(array(c), f), 0),
+    # `dot * lit(scale)` is Multiply(dot, Literal), repr keeps the
+    # scale double bit-exact.
+    body = "array(" + ",".join(
+        f"{_dot_sql('v', _vec_sql(p))} * {repr(scale)}D" for p in planes
+    ) + ")"
     return df.withColumn(
-        "proj", bound(F.col(vec_col).cast("array<double>"), proj)
+        "proj",
+        F.expr(
+            f"get(transform(array(CAST(`{vec_col}` AS ARRAY<DOUBLE>)),"
+            f" v -> {body}), 0)"
+        ),
     )
 
 
@@ -940,32 +939,47 @@ def mmr_select(
     Cross-engine note: scores ORDER unrounded (the similarity_topk
     convention); vectors are cast to array<double> up front so both
     engines multiply doubles, mirroring the oracle's ::DOUBLE[]."""
-    q = lit_vec(query_vec)
-    base = emb.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
-    ).withColumn("_qsim", cosine(F.col("_v"), q))
+    # per-round expressions emitted as SQL fragments parsed JVM-side in
+    # one trip each (the _dot_sql discipline): the Column form cost
+    # ~5k py4j round trips per call (k rounds x #chosen cosine lambda
+    # chains). The parsed trees — and the doubles they produce — are
+    # unchanged: cosine stays dot/(l2*l2) with the same fold order,
+    # lam/(1-lam) literals embed via repr (both exact for 0.75).
+    def _cos_sql(a: str, b: str) -> str:
+        return (
+            f"{_dot_sql(a, b)} / ({_l2_norm_sql(a)} * {_l2_norm_sql(b)})"
+        )
+
+    base = emb.selectExpr(
+        f"`{id_col}`",
+        f"CAST(`{vec_col}` AS ARRAY<DOUBLE>) AS _v",
+    ).withColumn("_qsim", F.expr(_cos_sql("_v", _vec_sql(query_vec))))
     base = base.localCheckpoint(eager=False)
     chosen: list[tuple] = []
     out: list[tuple] = []
     for i in range(k):
         cands = (
-            base.where(~F.col(id_col).isin([c[0] for c in chosen]))
+            base.where(
+                f"`{id_col}` NOT IN ({','.join(repr(c[0]) for c in chosen)})"
+            )
             if chosen
             else base
         )
         if chosen:
-            sims = [cosine(F.col("_v"), lit_vec(v)) for _, v in chosen]
-            pen = sims[0] if len(sims) == 1 else F.greatest(*sims)
-            score = lam * F.col("_qsim") - (1 - lam) * pen
+            sims = [_cos_sql("_v", _vec_sql(v)) for _, v in chosen]
+            pen = sims[0] if len(sims) == 1 else (
+                "greatest(" + ",".join(sims) + ")"
+            )
+            score = f"(_qsim * {lam!r}D) - (({pen}) * {1 - lam!r}D)"
         else:
-            score = lam * F.col("_qsim")
+            score = f"_qsim * {lam!r}D"
         pick = (
-            cands.select(
-                F.col(id_col),
+            cands.selectExpr(
+                f"`{id_col}`",
                 "_v",
-                F.round("_qsim", 6).alias("_qsim_r"),
-                score.alias("_score"),
-                F.round(score, 6).alias("_score_r"),
+                "round(_qsim, 6) AS _qsim_r",
+                f"{score} AS _score",
+                f"round({score}, 6) AS _score_r",
             )
             .orderBy(F.desc("_score"), F.col(id_col))
             .limit(1)
