@@ -399,6 +399,34 @@ def test_duplicate_components_transitive(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_bounded_components_local_matches_distributed(spark):
+    """The driver union-find variant must emit exactly what
+    duplicate_components emits, on a randomized graph with chains,
+    cliques and singleton pairs; and its cap guard must refuse a
+    graph that is not model-sized."""
+    import random
+
+    import pytest as _pytest
+
+    from vanus_spark.llm.dedup import (
+        bounded_components_local,
+        duplicate_components,
+    )
+
+    rng = random.Random(7)
+    edges = [(rng.randint(0, 60), rng.randint(0, 60)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    dist = {r.doc_id: r.component for r in duplicate_components(pairs).collect()}
+    local = {
+        r.doc_id: r.component
+        for r in bounded_components_local(pairs).collect()
+    }
+    assert local == dist
+    with _pytest.raises(ValueError, match="not model-sized"):
+        bounded_components_local(pairs, cap=10)
+
+
 def test_duplicate_components_beats_greedy(spark):
     from vanus_spark.llm.dedup import duplicate_components
 

@@ -774,10 +774,20 @@ def duplicate_components(
     node that appears in a pair (isolated docs are their own trivial
     component and are not emitted).
     """
+    # Materialize the edge list ONCE before anything fans out over it:
+    # `sym` references it 3x (fwd ∪ rev ∪ self-loops) and `labels`
+    # derives from `nodes` again — with a lazy/no checkpoint all four
+    # references re-run the upstream PAIR PIPELINE (for the dedup
+    # family that is the full minhash/LSH band join; measured: ~4
+    # evaluations ≈ 100 executor-seconds on dedup_bcubed at sf0.1,
+    # guide §2.4 "materialise an intermediate"). Eager, because the
+    # union branches execute inside one job, where a lazy checkpoint
+    # is raced and recomputed per branch (r10 ann_recall lesson).
+    # Rows are (src, dst) longs — bytes per edge.
     edges = pairs.select(
         F.col("id_a").cast("long").alias("src"),
         F.col("id_b").cast("long").alias("dst"),
-    )
+    ).localCheckpoint(eager=True)
     # undirected (both directions) + a SELF-LOOP per node: the self
     # edge folds the node's own label into the neighborhood-min
     # aggregate, so no separate "keep my own label" join is needed
@@ -846,6 +856,63 @@ def duplicate_components(
         )
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("component")
+    )
+
+
+def bounded_components_local(
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    cap: int = 100_000,
+) -> DataFrame:
+    """Connected components for a provably BOUNDED graph — same
+    contract as duplicate_components ((id, component = min id in the
+    component) for every node that appears in a pair), solved by
+    union-find on the driver after collecting the edge list.
+
+    Use ONLY when the node universe is bounded by CONSTRUCTION, not by
+    data volume (grid cells capped by geography, category lattices,
+    model tables): that is the kmeans-centroids model-collect pattern,
+    and the ``cap`` guard raises on misuse instead of silently pulling
+    a corpus-sized graph through the driver. For dedup/ER graphs —
+    node count proportional to the data — use duplicate_components;
+    the iterative propagation there costs ~2 Spark jobs per round,
+    which dominates wall time when the graph is only a few hundred
+    nodes (measured: the 675-cell geo grid spent ~60 driver-loop jobs
+    on a graph a single task solves exactly)."""
+    rows = pairs.select(
+        F.col("id_a").cast("long").alias("a"),
+        F.col("id_b").cast("long").alias("b"),
+    ).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"bounded_components_local got {len(rows)} edges (cap "
+            f"{cap}): this graph is not model-sized — use "
+            "duplicate_components"
+        )
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        a, b = int(r["a"]), int(r["b"])
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min: dict[int, int] = {}
+    for n in parent:
+        root = find(n)
+        comp_min[root] = min(comp_min.get(root, n), n)
+    out = sorted((n, comp_min[find(n)]) for n in parent)
+    return pairs.sparkSession.createDataFrame(
+        out, f"{id_col} long, component long"
     )
 
 

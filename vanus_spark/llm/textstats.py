@@ -40,10 +40,21 @@ def occurrences(c: Column, needle: str) -> Column:
 
 
 def whitespace_token_count(c: Column) -> Column:
-    """Whitespace tokenization count."""
+    """Whitespace tokenization count.
+
+    Computed as spaces+1 by length arithmetic instead of
+    size(split(...)): normalize_text collapses every whitespace run to
+    one 0x20 and trims, so the two forms are exactly equivalent for
+    ALL inputs (size(split(t,' ')) == count(' ')+1 universally for a
+    single-char separator), and this form skips a per-row token-array
+    allocation the count immediately discards (guide §1.2 per-task
+    work). Probed equal over every SF's documents plus whitespace edge
+    cases before the swap."""
     t = normalize_text(c)
     return F.when(F.length(t) == 0, F.lit(0).cast("long")).otherwise(
-        F.size(F.split(t, " ")).cast("long")
+        (
+            F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1
+        ).cast("long")
     )
 
 
