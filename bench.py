@@ -410,6 +410,70 @@ HEADLINE = [
     "events_permutation_entropy",
     "events_negbin_fit",
     "embedding_isotropy",
+    # round 11 (ADDITIONS ONLY — the bench contract allows adding
+    # queries, never removing/renaming): the 60 registry entries that
+    # predate the headline list, so the driver's perf record covers
+    # every declared query path (434/434)
+    "action_array_e2e",
+    "action_condition_length",
+    "action_convert_timezone",
+    "action_regex_splits",
+    "action_render_foreach",
+    "action_strings_case",
+    "action_strings_split",
+    "action_structs_e2e",
+    "bus_earliest_latest",
+    "bus_event_by_id",
+    "bus_get_event",
+    "cast_lattice",
+    "cesql_functions",
+    "contamination_check",
+    "debezium_mongo_sink",
+    "dedup_components",
+    "dedup_incremental",
+    "dedup_near_dup",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_near",
+    "delayed_due_split",
+    "delivery_backoff",
+    "dlq_replay",
+    "dlq_resend",
+    "events_cohort_retention",
+    "events_percentiles",
+    "events_rollup",
+    "events_setops",
+    "fanout_multi_sub",
+    "filter_any_all",
+    "filter_cel",
+    "filter_cesql",
+    "filter_data_jsonpath",
+    "filter_data_raw_prefix",
+    "filter_not_missing",
+    "filter_prefix",
+    "filter_suffix",
+    "http_ingest_roundtrip",
+    "multimodal_decode",
+    "multimodal_decode_real",
+    "offset_commit",
+    "ordered_delivery",
+    "pack_sequences",
+    "pii_redact",
+    "publish_roundrobin",
+    "retry_refilter",
+    "sample_exact_stratified",
+    "sample_stratified",
+    "similarity_ivf_ann",
+    "similarity_lsh_ann",
+    "similarity_neardup_embedding",
+    "skew_two_phase_count",
+    "subscription_full",
+    "template_json",
+    "text_fingerprint",
+    "topk_per_group",
+    "tpch_q18_large_orders",
+    "tpch_q3_shipping",
+    "url_canonicalize",
+    "video_metadata",
 ]
 
 
